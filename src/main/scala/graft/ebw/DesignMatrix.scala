@@ -1,0 +1,78 @@
+package graft.ebw
+
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Spark-native replacement for the reference examples' use of
+ * formulaic.model_matrix (/root/reference/examples/pums_example.py,
+ * test_colinear.py): build EBW feature vectors from raw DataFrame columns.
+ * Categorical levels become one-hot dummies (SparseVector — the sparse
+ * input path of the reference), continuous columns pass through, and
+ * `interact` crosses a categorical with variables (the pums_example
+ * group-by-state moment structure).
+ */
+object DesignMatrix {
+
+  /** One-hot encode a single categorical column into a SparseVector
+   * features column. Returns (df + featuresCol, sorted level labels).
+   * Level vocabulary is collected to the driver — it is the moment
+   * dimension k, small by problem construction. */
+  def oneHot(df: DataFrame, inputCol: String, featuresCol: String): (DataFrame, Array[String]) = {
+    val labels = df.select(col(inputCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val idxMap = labels.zipWithIndex.toMap
+    val k = labels.length
+    val enc = udf { s: String =>
+      Vectors.sparse(k, Array(idxMap(s)), Array(1.0)): Vector
+    }
+    (df.withColumn(featuresCol, enc(col(inputCol).cast("string"))), labels)
+  }
+
+  /** Dense design: continuous columns as-is, then one dummy per level of
+   * each categorical. Produces array<double> assembled with native
+   * (codegen'd) expressions — no UDF. Returns (df + featuresCol, names). */
+  def assemble(
+      df: DataFrame,
+      continuous: Seq[String],
+      categoricals: Seq[String],
+      featuresCol: String): (DataFrame, Array[String]) = {
+    val contCols = continuous.map(c => col(c).cast("double"))
+    val catLevels = categoricals.map { c =>
+      val lv = df.select(col(c).cast("string")).distinct()
+        .collect().map(_.getString(0)).sorted
+      c -> lv
+    }
+    val dummyCols = catLevels.flatMap { case (c, lv) =>
+      lv.map(v => when(col(c).cast("string") === lit(v), 1.0).otherwise(0.0))
+    }
+    val names = continuous.toArray ++
+      catLevels.flatMap { case (c, lv) => lv.map(v => s"$c=$v") }
+    (df.withColumn(featuresCol, array(contCols ++ dummyCols: _*)), names)
+  }
+
+  /** The pums_example.py moment structure: interact a group column with
+   * each variable so that every group's weighted mean of every variable can
+   * be targeted (e.g. equalized across groups). Sparse: nnz per row =
+   * #variables. Returns (df + featuresCol, names = group x variable). */
+  def interact(
+      df: DataFrame,
+      groupCol: String,
+      varCols: Seq[String],
+      featuresCol: String): (DataFrame, Array[String]) = {
+    val groups = df.select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val gIdx = groups.zipWithIndex.toMap
+    val nv = varCols.length
+    val k = groups.length * nv
+    val varsArr = array(varCols.map(c => col(c).cast("double")): _*)
+    val enc = udf { (g: String, xs: Seq[Double]) =>
+      val base = gIdx(g) * nv
+      val idx = Array.tabulate(nv)(base + _)
+      Vectors.sparse(k, idx, xs.toArray): Vector
+    }
+    val names = groups.flatMap(g => varCols.map(v => s"$g:$v"))
+    (df.withColumn(featuresCol, enc(col(groupCol).cast("string"), varsArr)), names)
+  }
+}

@@ -1,0 +1,160 @@
+package graft.ebw
+
+import org.apache.spark.rdd.RDD
+
+/**
+ * The single distributed kernel behind every solver mode: one
+ * `treeAggregate` traversal computes, for the current k-dim dual iterate
+ * theta,
+ *
+ *   s    = sum_i w0_i r_i x_i                  (k)      weighted moment totals
+ *   gram = sum_i w0_i r'_i x_i x_i^T           (k(k+1)/2, packed upper tri)
+ *   fval = sum_i w0_i (r_i ln r_i - r_i + 1)   KL criterion (shared.py:41-54)
+ *   wrsum= sum_i w0_i r_i
+ *
+ * where r_i = link(x_i . theta). This is the same access pattern the
+ * reference implements with MKL sparse matvecs + gram_matrix_mkl
+ * (ebw_routines.py:211,226-233) — here it distributes over the N dimension
+ * with O(k^2) driver traffic per pass and zero shuffles (treeAggregate is a
+ * reduction). Buffers are flat primitive arrays: no per-row allocation.
+ */
+private[ebw] object EbwAggregator {
+
+  final case class Pass(
+      s: Array[Double],
+      gram: Array[Double],
+      fval: Double,
+      wrsum: Double,
+      count: Long)
+
+  /** Packed upper-triangular index for i <= j. */
+  @inline def pidx(k: Int, i: Int, j: Int): Int = i * k - i * (i + 1) / 2 + j
+
+  def run(rows: RDD[EbwRow], k: Int, theta: Array[Double], link: Link): Pass = {
+    val tri = k * (k + 1) / 2
+    val size = k + tri + 3
+    val th = theta
+    val lk = link
+    val out = rows.treeAggregate(new Array[Double](size))(
+      seqOp = (buf, row) => { add(buf, row, th, lk, k, tri); buf },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < size) { a(i) += b(i); i += 1 }
+        a
+      },
+      depth = 2)
+    Pass(
+      s = java.util.Arrays.copyOfRange(out, 0, k),
+      gram = java.util.Arrays.copyOfRange(out, k, k + tri),
+      fval = out(k + tri),
+      wrsum = out(k + tri + 1),
+      count = out(k + tri + 2).toLong)
+  }
+
+  private def add(
+      buf: Array[Double],
+      row: EbwRow,
+      theta: Array[Double],
+      link: Link,
+      k: Int,
+      tri: Int): Unit = {
+    val vals = row.vals
+    val idx = row.idx
+    // t = x . theta
+    var t = 0.0
+    if (idx == null) {
+      var j = 0
+      while (j < k) { t += vals(j) * theta(j); j += 1 }
+    } else {
+      var p = 0
+      while (p < idx.length) { t += vals(p) * theta(idx(p)); p += 1 }
+    }
+    // r and dr/dt under the link (exp input capped at 700 to stay finite;
+    // the driver's line search rejects divergent trial points).
+    var r = 0.0
+    var rp = 0.0
+    link.mode match {
+      case 0 => // EXP
+        val tt = if (t > 700.0) 700.0 else t
+        r = math.exp(tt); rp = r
+      case 1 => // CLIP
+        var et = link.eta * t
+        if (et > 700.0) et = 700.0
+        val e = math.exp(et)
+        r = if (e < link.lb) link.lb else if (e > link.ub) link.ub else e
+        rp = if (e > link.lb && e < link.ub) link.eta * e else 0.0
+      case _ => // NEGEXP
+        val tt = if (-t > 700.0) -700.0 else t
+        r = math.exp(-tt); rp = r
+    }
+    val w0 = row.w0
+    val wr = w0 * r
+    // KL criterion term; r -> 0 limit of (r ln r - r + 1) is 1.
+    buf(k + tri) += (if (r <= 0.0) w0 else w0 * (r * math.log(r) - r + 1.0))
+    buf(k + tri + 1) += wr
+    buf(k + tri + 2) += 1.0
+    val wrp = w0 * rp
+    if (idx == null) {
+      var i = 0
+      while (i < k) {
+        val vi = vals(i)
+        buf(i) += wr * vi
+        if (wrp != 0.0 && vi != 0.0) {
+          val wv = wrp * vi
+          val base = k + i * k - i * (i + 1) / 2
+          var j = i
+          while (j < k) { buf(base + j) += wv * vals(j); j += 1 }
+        }
+        i += 1
+      }
+    } else {
+      val nnz = idx.length
+      var p = 0
+      while (p < nnz) {
+        val i = idx(p)
+        val vi = vals(p)
+        buf(i) += wr * vi
+        if (wrp != 0.0) {
+          val wv = wrp * vi
+          val base = k + i * k - i * (i + 1) / 2
+          var q = p
+          while (q < nnz) { buf(base + idx(q)) += wv * vals(q); q += 1 }
+        }
+        p += 1
+      }
+    }
+  }
+
+  /** Validation + sizing pass: returns (badRows, sumW, n). Mirrors
+   * inputs_are_invalid (/root/reference/entropy_balance_weighting/shared.py:105-133). */
+  def validate(rows: RDD[EbwRow], k: Int): (Long, Double, Long) = {
+    val out = rows.treeAggregate(new Array[Double](3))(
+      seqOp = (buf, row) => {
+        var bad = false
+        if (row.w0.isNaN || row.w0.isInfinite || row.w0 <= 0.0) bad = true
+        if (row.vals == null) bad = true
+        else {
+          if (row.idx == null) {
+            if (row.vals.length != k) bad = true
+          } else {
+            if (row.idx.length != row.vals.length) bad = true
+            else if (row.idx.length > 0 && (row.idx(row.idx.length - 1) >= k || row.idx(0) < 0)) bad = true
+          }
+          if (!bad) {
+            var p = 0
+            while (p < row.vals.length && !bad) {
+              val v = row.vals(p)
+              if (v.isNaN || v.isInfinite) bad = true
+              p += 1
+            }
+          }
+        }
+        if (bad) buf(0) += 1.0 else buf(1) += row.w0
+        buf(2) += 1.0
+        buf
+      },
+      combOp = (a, b) => { a(0) += b(0); a(1) += b(1); a(2) += b(2); a },
+      depth = 2)
+    (out(0).toLong, out(1), out(2).toLong)
+  }
+}

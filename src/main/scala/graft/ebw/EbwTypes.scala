@@ -1,0 +1,69 @@
+package graft.ebw
+
+import org.apache.spark.sql.DataFrame
+
+/**
+ * Solver options, mirroring the reference option dictionary
+ * (/root/reference/entropy_balance_weighting/ebw_routines.py:62-99).
+ *
+ * Differences from the reference, due to the distributed re-design:
+ *  - `initialMultipliers` replaces `initial_ratio_guess`: warm starts are
+ *    expressed in the k-dim dual space (the only solver state we keep),
+ *    not as an N-vector of primal ratios.
+ *  - `optimalityTol` is applied relative to max(1, ||aggregate targets||):
+ *    the reference assumes inputs "scaled to have mean 1" and uses an
+ *    absolute 1e-5; at 100 TB scale the aggregate moments are huge and an
+ *    absolute tolerance is meaningless.
+ */
+final case class EbwOptions(
+    maxSteps: Int = 30,
+    maxStepsBounded: Int = 100,
+    bounds: Option[(Double, Option[Double])] = None,
+    initialMultipliers: Option[Array[Double]] = None,
+    optimalityTol: Double = 1e-5,
+    stepTol: Double = 1e-8,
+    eta: Option[Double] = None,
+    saveProblemData: Option[String] = None,
+    saveFailureData: Option[String] = None)
+
+/**
+ * Result container, mirroring `EntropyBalanceResults`
+ * (/root/reference/entropy_balance_weighting/shared.py:15-38) with one
+ * Spark-native change: the new weights are not a driver-side array but a
+ * DataFrame (`weighted` = input plus the output weight column), computed
+ * lazily as w0 * r(x . multipliers) — no N-sized collect ever happens.
+ */
+final case class EbwResult(
+    weighted: DataFrame,
+    failureWeighted: DataFrame,
+    converged: Boolean,
+    nIterations: Int,
+    constraintViolations: Array[Double],
+    equalityMultipliers: Array[Double],
+    eta: Option[Double] = None,
+    criterionValue: Double = 0.0,
+    errorMessage: String = "")
+
+/** One observation: features (sparse iff idx != null, sorted indices) + initial weight. */
+private[ebw] final case class EbwRow(idx: Array[Int], vals: Array[Double], w0: Double)
+
+/**
+ * Per-row primal map r(t), t = x . theta. One aggregation kernel serves all
+ * solver modes:
+ *   EXP     r = exp(t),                    dr/dt = r       (unbounded dual)
+ *   CLIP    r = clip(exp(eta*t), lb, ub),  dr/dt = eta*e on the interior,
+ *                                          0 when clipped  (elastic/bounded)
+ *   NEGEXP  r = exp(-t),                   dS/dtheta = -Gram (penalty mode;
+ *                                          sign handled on the driver)
+ * CLIP with eta = -1 doubles as the bounded-penalty map clip(exp(-t),lb,ub).
+ */
+private[ebw] final case class Link(mode: Int, eta: Double, lb: Double, ub: Double)
+
+private[ebw] object Link {
+  val EXP = 0
+  val CLIP = 1
+  val NEGEXP = 2
+  def exp: Link = Link(EXP, 1.0, 0.0, Double.PositiveInfinity)
+  def clip(eta: Double, lb: Double, ub: Double): Link = Link(CLIP, eta, lb, ub)
+  def negexp: Link = Link(NEGEXP, 1.0, 0.0, Double.PositiveInfinity)
+}

@@ -1,0 +1,477 @@
+package graft.ebw
+
+import org.apache.spark.ml.linalg.{DenseVector, SparseVector, Vector}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.storage.StorageLevel
+import org.slf4j.LoggerFactory
+
+import DriverLinalg.{axpy, dot, norm2}
+
+/**
+ * Entropy Balance Weighting on Spark — same capabilities as the reference
+ * package (/root/reference/entropy_balance_weighting), re-architected for a
+ * cluster instead of translated from it.
+ *
+ * The reference (ebw_routines.py:18-331) keeps the primal N-vector iterate
+ * in RAM and mixes primal and dual Newton steps; its pure-dual candidate
+ * `q * exp(X lambda)` (ebw_routines.py:263-272) is evaluated every step and
+ * taken whenever it wins. We work in that dual space exclusively: all solver
+ * state is the k-vector of equality multipliers on the driver, each Newton
+ * iteration is exactly ONE `treeAggregate` pass over the (cached) data, and
+ * the output weights stay distributed as a lazily-computed column
+ * `w0 * r(x . lambda)`. Bounds (elastic mode) and the penalty variant reduce
+ * to the same kernel with a different per-row link — see EbwTypes.Link and
+ * SURVEY.md §3 for the derivations.
+ */
+object EntropyBalance {
+
+  private val log = LoggerFactory.getLogger(getClass)
+
+  private[ebw] final case class Prepared(
+      rows: RDD[EbwRow], k: Int, sumW: Double, n: Long, useVectorUdf: Boolean)
+
+  /** Project the input down to (features, w0), convert to the compact row
+   * form, cache it for the iteration loop, and fail fast on invalid inputs
+   * (mirrors shared.py:105-133 / ebw_routines.py:158-161). */
+  private[ebw] def prepare(
+      df: DataFrame, featuresCol: String, weightCol: String, k: Int,
+      moments: Array[Double]): Prepared = {
+    require(moments.length == k)
+    if (moments.exists(m => m.isNaN || m.isInfinite))
+      throw new IllegalArgumentException(
+        "Inputs include invalid values (NaNs, non-positive weights, etc)")
+    val isVector = !df.schema(featuresCol).dataType.isInstanceOf[ArrayType]
+    val rows = df
+      .select(col(featuresCol), col(weightCol).cast(DoubleType))
+      .rdd
+      .map { r =>
+        val w = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
+        r.get(0) match {
+          case v: SparseVector => EbwRow(v.indices, v.values, w)
+          case v: DenseVector  => EbwRow(null, v.values, w)
+          case s: scala.collection.Seq[_] =>
+            EbwRow(null, s.asInstanceOf[scala.collection.Seq[Double]].toArray, w)
+          case _ => EbwRow(null, null, w)
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rows.setName(s"ebw-input-k$k")
+    val (bad, sumW, n) = EbwAggregator.validate(rows, k)
+    if (bad > 0 || n == 0) {
+      rows.unpersist(false)
+      throw new IllegalArgumentException(
+        "Inputs include invalid values (NaNs, non-positive weights, etc)")
+    }
+    Prepared(rows, k, sumW, n, isVector)
+  }
+
+  /** The ratio r(x . theta) as a DataFrame column (codegen-friendly path
+   * would be a Catalyst Expression; a deterministic UDF suffices for the
+   * single output pass). */
+  private[ebw] def ratioColumn(
+      df: DataFrame, featuresCol: String, theta: Array[Double], link: Link): Column = {
+    val th = theta
+    val lk = link
+    def r(t: Double): Double = lk.mode match {
+      case 0 => math.exp(math.min(t, 700.0))
+      case 1 =>
+        val e = math.exp(math.min(lk.eta * t, 700.0))
+        if (e < lk.lb) lk.lb else if (e > lk.ub) lk.ub else e
+      case _ => math.exp(-math.max(t, -700.0))
+    }
+    if (df.schema(featuresCol).dataType.isInstanceOf[ArrayType]) {
+      val f = udf { xs: Seq[Double] =>
+        var t = 0.0; var i = 0
+        while (i < xs.length) { t += xs(i) * th(i); i += 1 }
+        r(t)
+      }
+      f(col(featuresCol))
+    } else {
+      val f = udf { v: Vector =>
+        var t = 0.0
+        v.foreachActive((i, x) => t += x * th(i))
+        r(t)
+      }
+      f(col(featuresCol))
+    }
+  }
+
+  private def results(
+      df: DataFrame, featuresCol: String, weightCol: String, outputCol: String,
+      theta: Array[Double], link: Link, converged: Boolean, nIter: Int,
+      violations: Array[Double], multipliers: Array[Double],
+      eta: Option[Double], fval: Double, msg: String): EbwResult = {
+    val ratio = ratioColumn(df, featuresCol, theta, link)
+    val attempt = df.withColumn(outputCol, col(weightCol) * ratio)
+    val weighted =
+      if (converged) attempt else df.withColumn(outputCol, col(weightCol) * lit(1.0))
+    EbwResult(weighted, attempt, converged, nIter, violations, multipliers,
+      eta, fval, msg)
+  }
+
+  // ---------------------------------------------------------------- public
+
+  /**
+   * Reweight `df` so that the weighted totals of `featuresCol` match
+   * `meanPopulationMoments * sum(w0)`, minimizing KL divergence from the
+   * initial weights. Reference: entropy_balance (ebw_routines.py:18).
+   * `options.bounds` routes to the elastic bounded solver, as the reference
+   * does (ebw_routines.py:166-172).
+   */
+  def entropyBalance(
+      df: DataFrame,
+      featuresCol: String,
+      weightCol: String,
+      meanPopulationMoments: Array[Double],
+      outputCol: String = "weight_new",
+      options: EbwOptions = EbwOptions()): EbwResult = {
+    if (options.bounds.isDefined)
+      return entropyBalanceElastic(df, featuresCol, weightCol,
+        meanPopulationMoments, outputCol, options)
+    val k = meanPopulationMoments.length
+    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    try unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
+      meanPopulationMoments, options)
+    finally prep.rows.unpersist(false)
+  }
+
+  private def unboundedLoop(
+      df: DataFrame, featuresCol: String, weightCol: String, outputCol: String,
+      prep: Prepared, m: Array[Double], options: EbwOptions): EbwResult = {
+    val k = prep.k
+    val b = m.map(_ * prep.sumW)
+    val bscale = math.max(1.0, norm2(b))
+    val link = Link.exp
+    var lambda = options.initialMultipliers
+      .map(_.clone())
+      .getOrElse(new Array[Double](k))
+    var pass = EbwAggregator.run(prep.rows, k, lambda, link)
+    var ce = axpy(-1.0, b, pass.s)
+    var steps = 0
+    var converged = false
+    var failed = false
+    var msg = ""
+    log.info(s"EBW unbounded: n=${prep.n} k=$k sumW=${prep.sumW}")
+    var done = false
+    while (!done) {
+      val viol = norm2(ce)
+      log.info(f"step=$steps%3d f=${pass.fval}%12.6g ||Ce||=$viol%12.6g")
+      if (viol <= options.optimalityTol * bscale) {
+        converged = true; done = true
+      } else if (steps >= options.maxSteps) {
+        failed = true; msg = s"Max steps ${options.maxSteps} exceeded."; done = true
+      } else if (viol.isNaN) {
+        failed = true; msg = "NaN in optimality conditions"; done = true
+      } else {
+        // (G + ridge I) d = -Ce ; adaptive ridge as ebw_routines.py:235-237
+        val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale, 0.55))
+        val negCe = ce.map(-_)
+        val d = DriverLinalg.solveRidged(k, pass.gram, negCe, ridge)
+        // Armijo backtracking on the dual objective
+        // D(lambda) = b.lambda - (sum w0 exp(x.lambda) - sumW)
+        val dCur = dot(b, lambda) - (pass.wrsum - prep.sumW)
+        val gd = dot(negCe, d) // = grad D . d >= 0
+        var alpha = 1.0
+        var accepted = false
+        var trial = 0
+        while (!accepted && trial < 14) {
+          val cand = axpy(alpha, d, lambda)
+          val p2 = EbwAggregator.run(prep.rows, k, cand, link)
+          val dCand = dot(b, cand) - (p2.wrsum - prep.sumW)
+          if (!dCand.isNaN &&
+              dCand >= dCur + 1e-4 * alpha * gd - 1e-10 * (1.0 + math.abs(dCur))) {
+            accepted = true
+            lambda = cand
+            pass = p2
+            ce = axpy(-1.0, b, pass.s)
+          } else {
+            alpha /= 2.0
+            trial += 1
+          }
+        }
+        steps += 1
+        if (!accepted) {
+          failed = true
+          msg = "Bad step, feasibility in doubt; rerun with bounds=(0, None) " +
+            "for a certificate (see reference ebw_routines.py:274-282)."
+          done = true
+        } else if (norm2(d.map(_ * alpha)) < options.stepTol &&
+            norm2(ce) < 1e-3 * bscale) {
+          converged = true; done = true // step sizes converged (shared.py:57)
+        }
+      }
+    }
+    if (failed) log.warn(s"EBW did not converge: $msg")
+    results(df, featuresCol, weightCol, outputCol, lambda, link,
+      converged && !failed, steps, ce, lambda, None, pass.fval, msg)
+  }
+
+  /**
+   * Bounded / elastic-mode EBW: lb <= w_new/w0 <= ub. Reference:
+   * entropy_balance_elastic (ebw_routines.py:334-647). Spark-native
+   * derivation (SURVEY.md §3): the elastic program
+   *    min (1/eta) phi(r) + ||u||_1 + ||v||_1
+   *    s.t. A^T r - b + u - v = 0,  lb <= r <= ub,  u,v >= 0
+   * dualizes to maximizing the concave g(lambda) over the box
+   * lambda in [-1,1]^k with the closed-form primal map
+   *    r(lambda) = clip(exp(eta * x . lambda), lb, ub).
+   * Box-projected Newton on the driver; clipped rows drop out of the Gram.
+   * When `eta` is not user-fixed it auto-grows (x10) while the optimum pins
+   * to the box but the problem still looks feasible — the analogue of
+   * ebw_routines.py:576-584 — so feasible problems reproduce the unbounded
+   * answer exactly (test_elastic.py:8-32) and infeasible ones return the
+   * min-L1-violation elastic solution (test_elastic.py:35-53).
+   */
+  def entropyBalanceElastic(
+      df: DataFrame,
+      featuresCol: String,
+      weightCol: String,
+      meanPopulationMoments: Array[Double],
+      outputCol: String = "weight_new",
+      options: EbwOptions = EbwOptions()): EbwResult = {
+    val k = meanPopulationMoments.length
+    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    try elasticLoop(df, featuresCol, weightCol, outputCol, prep,
+      meanPopulationMoments, options)
+    finally prep.rows.unpersist(false)
+  }
+
+  private def elasticLoop(
+      df: DataFrame, featuresCol: String, weightCol: String, outputCol: String,
+      prep: Prepared, m: Array[Double], options: EbwOptions): EbwResult = {
+    val k = prep.k
+    val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
+    val lb = math.max(0.0, lbRaw) // reference clamps negative lb (L362)
+    val ub = ubOpt.getOrElse(Double.PositiveInfinity)
+    require(ub > lb, "upper bound must exceed lower bound")
+    val b = m.map(_ * prep.sumW)
+    val bscale = math.max(1.0, norm2(b))
+    val etaFixed = options.eta.isDefined
+    var eta = options.eta.getOrElse(1.0)
+    var lambda = new Array[Double](k)
+    options.initialMultipliers.foreach { mu =>
+      var i = 0
+      while (i < k) { lambda(i) = math.max(-1.0, math.min(1.0, mu(i) / eta)); i += 1 }
+    }
+    var pass = EbwAggregator.run(prep.rows, k, lambda, Link.clip(eta, lb, ub))
+    var ce = axpy(-1.0, b, pass.s)
+    var totalSteps = 0
+    var converged = false
+    var grow = true
+    var outer = 0
+    log.info(s"EBW elastic: n=${prep.n} k=$k bounds=($lb,$ub) eta0=$eta")
+    while (grow) {
+      outer += 1
+      val link = Link.clip(eta, lb, ub)
+      // ---- inner: box-projected Newton at fixed eta
+      var inner = 0
+      var innerDone = false
+      var innerConverged = false
+      var lastMove = Double.PositiveInfinity
+      while (!innerDone) {
+        // gradient of g is -Ce; pin coordinates pushing outside the box
+        val grad = ce.map(-_)
+        val pinned = new Array[Boolean](k)
+        var i = 0
+        while (i < k) {
+          if (lambda(i) >= 1.0 - 1e-12 && grad(i) > 0) pinned(i) = true
+          if (lambda(i) <= -1.0 + 1e-12 && grad(i) < 0) pinned(i) = true
+          i += 1
+        }
+        val free = (0 until k).filter(!pinned(_)).toArray
+        val pg = new Array[Double](k)
+        i = 0
+        while (i < k) { pg(i) = if (pinned(i)) 0.0 else grad(i); i += 1 }
+        val pgNorm = norm2(pg)
+        log.info(f"eta=$eta%10.3g inner=$inner%3d f=${pass.fval}%12.6g ||pg||=$pgNorm%12.6g")
+        if (pgNorm <= options.optimalityTol * bscale) {
+          innerDone = true; innerConverged = true
+        } else if (inner >= options.maxStepsBounded) {
+          innerDone = true
+        } else {
+          val ridge = math.max(1e-8, 1e-5 * math.pow(pgNorm / bscale, 0.55))
+          val d = DriverLinalg.solveSubset(k, pass.gram, pg, free, ridge)
+          // When most rows are clipped the interior Gram is tiny and the
+          // Newton direction blows up; any move beyond the box diameter is
+          // meaningless, so cap ||d||_inf at 2 (degrades gracefully into
+          // projected gradient ascent in the fully-clipped regime).
+          val dmax = d.map(math.abs).max
+          if (dmax > 2.0) {
+            val sc = 2.0 / dmax
+            var j = 0
+            while (j < k) { d(j) *= sc; j += 1 }
+          }
+          val gCur = pass.fval / eta - dot(lambda, ce)
+          var alpha = 1.0
+          var accepted = false
+          var trial = 0
+          while (!accepted && trial < 24) {
+            val cand = new Array[Double](k)
+            var j = 0
+            while (j < k) {
+              cand(j) = math.max(-1.0, math.min(1.0, lambda(j) + alpha * d(j)))
+              j += 1
+            }
+            // projected Armijo: directional derivative along the ACTUAL
+            // movement cand - lambda (Bertsekas, projected Newton)
+            var gdMove = 0.0
+            j = 0
+            while (j < k) { gdMove += pg(j) * (cand(j) - lambda(j)); j += 1 }
+            val p2 = EbwAggregator.run(prep.rows, k, cand, link)
+            val ce2 = axpy(-1.0, b, p2.s)
+            val gCand = p2.fval / eta - dot(cand, ce2)
+            if (!gCand.isNaN && gdMove >= 0.0 &&
+                gCand >= gCur + 1e-6 * gdMove - 1e-10 * (1.0 + math.abs(gCur))) {
+              accepted = true
+              var mv = 0.0
+              j = 0
+              while (j < k) {
+                val dj = cand(j) - lambda(j); mv += dj * dj; j += 1
+              }
+              lastMove = math.sqrt(mv)
+              lambda = cand
+              pass = p2
+              ce = ce2
+            } else {
+              alpha /= 2.0
+              trial += 1
+            }
+          }
+          inner += 1
+          totalSteps += 1
+          if (!accepted) innerDone = true
+          else if (lastMove < options.stepTol) {
+            innerDone = true; innerConverged = true
+          }
+        }
+      }
+      converged = innerConverged
+      // ---- eta growth: only in auto mode, only while multipliers pin to the
+      // box with residual violation (could be feasible with larger eta)
+      val pinnedAny = lambda.exists(l => math.abs(l) >= 1.0 - 1e-9)
+      if (!etaFixed && innerConverged && pinnedAny &&
+          norm2(ce) > options.optimalityTol * bscale && eta < 1e7) {
+        val etaOld = eta
+        eta *= 10.0
+        var i = 0
+        while (i < k) {
+          lambda(i) = math.max(-1.0, math.min(1.0, lambda(i) * etaOld / eta))
+          i += 1
+        }
+        pass = EbwAggregator.run(prep.rows, k, lambda, Link.clip(eta, lb, ub))
+        ce = axpy(-1.0, b, pass.s)
+      } else grow = false
+      if (outer > 12) grow = false
+    }
+    val multipliers = lambda.map(_ * eta)
+    results(df, featuresCol, weightCol, outputCol, lambda,
+      Link.clip(eta, lb, ub), converged, totalSteps, ce, multipliers,
+      Some(eta), pass.fval, if (converged) "" else "bounded solve did not converge")
+  }
+
+  /**
+   * Quadratic-penalty EBW: min phi(r) + 1/2 (A^T r - b)' P (A^T r - b),
+   * optionally with ratio bounds. Reference: entropy_balance_penalty
+   * (ebw_penalty.py:17-249) and the bounded variant (ebw_penalty.py:252-399).
+   * Spark-native reduction (SURVEY.md §3): stationarity gives the k-dim
+   * fixed point z = P (A^T r(z) - b) with r(z) = clip(exp(-x . z), lb, ub);
+   * Newton solves (P^-1 + G) delta = -P^-1 F, one aggregation pass per
+   * iteration. The reference needs the Woodbury identity (ebw_penalty.py:442)
+   * to dodge an N x N inverse; in z-space that matrix never exists.
+   */
+  def entropyBalancePenalty(
+      df: DataFrame,
+      featuresCol: String,
+      weightCol: String,
+      meanPopulationMoments: Array[Double],
+      penaltyParameter: Array[Double],
+      outputCol: String = "weight_new",
+      options: EbwOptions = EbwOptions()): EbwResult = {
+    val k = meanPopulationMoments.length
+    val pen =
+      if (penaltyParameter.length == 1) Array.fill(k)(penaltyParameter(0))
+      else penaltyParameter
+    if (pen.length != k)
+      throw new IllegalArgumentException("Penalties must be one per moment.")
+    if (!pen.forall(_ > 0.0))
+      throw new IllegalArgumentException("Penalty parameters must be strictly positive.")
+    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    try {
+      val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
+      val lb = math.max(0.0, lbRaw)
+      val ub = ubOpt.getOrElse(Double.PositiveInfinity)
+      // CLIP with eta=-1 gives r = clip(exp(-t), lb, ub); with no bounds the
+      // clip is inert, so one loop serves both variants.
+      val link =
+        if (options.bounds.isDefined) Link.clip(-1.0, lb, ub)
+        else Link.clip(-1.0, 0.0, Double.PositiveInfinity)
+      val b = m2agg(meanPopulationMoments, prep.sumW)
+      val bscale = math.max(1.0, norm2(b))
+      var z = new Array[Double](k)
+      var pass = EbwAggregator.run(prep.rows, k, z, link)
+      var ce = axpy(-1.0, b, pass.s)
+      val maxSteps =
+        if (options.bounds.isDefined) options.maxStepsBounded else options.maxSteps
+      var steps = 0
+      var converged = false
+      var done = false
+      val invP = pen.map(1.0 / _)
+      log.info(s"EBW penalty: n=${prep.n} k=$k bounded=${options.bounds.isDefined}")
+      while (!done) {
+        // F(z) = z - P Ce(z)
+        val f = new Array[Double](k)
+        var i = 0
+        while (i < k) { f(i) = z(i) - pen(i) * ce(i); i += 1 }
+        val fNorm = norm2(f)
+        log.info(f"step=$steps%3d ||F||=$fNorm%12.6g ||Ce||=${norm2(ce)}%12.6g")
+        if (fNorm <= options.optimalityTol * math.max(1.0, norm2(z))) {
+          converged = true; done = true
+        } else if (steps >= maxSteps) {
+          done = true
+        } else {
+          // gram accumulated dS/dz with CLIP(-1): dS/dz = -G, G PSD
+          val g = pass.gram.map(-_)
+          // (P^-1 + G) delta = -P^-1 F
+          val rhs = new Array[Double](k)
+          i = 0
+          while (i < k) { rhs(i) = -invP(i) * f(i); i += 1 }
+          val ridge = math.max(1e-10, 1e-7 * fNorm / bscale)
+          val d = DriverLinalg.solveWithDiag(k, g, invP, rhs, ridge)
+          var alpha = 1.0
+          var accepted = false
+          var trial = 0
+          while (!accepted && trial < 14) {
+            val cand = axpy(alpha, d, z)
+            val p2 = EbwAggregator.run(prep.rows, k, cand, link)
+            val ce2 = axpy(-1.0, b, p2.s)
+            val f2 = new Array[Double](k)
+            var j = 0
+            while (j < k) { f2(j) = cand(j) - pen(j) * ce2(j); j += 1 }
+            if (norm2(f2) <= fNorm * (1.0 - 1e-4 * alpha) + 1e-12) {
+              accepted = true
+              z = cand
+              pass = p2
+              ce = ce2
+            } else {
+              alpha /= 2.0
+              trial += 1
+            }
+          }
+          steps += 1
+          if (!accepted) done = true
+          else if (norm2(d.map(_ * alpha)) < options.stepTol) {
+            converged = true; done = true
+          }
+        }
+      }
+      results(df, featuresCol, weightCol, outputCol, z, link, converged,
+        steps, ce, z.map(-_), None, pass.fval,
+        if (converged) "" else "penalty solve did not converge")
+    } finally prep.rows.unpersist(false)
+  }
+
+  private def m2agg(m: Array[Double], sumW: Double): Array[Double] = m.map(_ * sumW)
+}

@@ -1,0 +1,227 @@
+package graft.ebw
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Replicates the reference test suite numerically:
+ * test_dense.py, test_sparse.py, test_colinear.py, test_elastic.py,
+ * test_penalty.py (same problem shapes, same assertions). */
+class EbwSolverSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ebw-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import org.apache.spark.sql.functions._
+
+  private def denseDf(x: Array[Array[Double]], w0: Array[Double]): DataFrame = {
+    val rows = x.indices.map(i => (x(i).toSeq, w0(i)))
+    spark.createDataFrame(rows).toDF("feat", "w0")
+  }
+
+  /** Weighted totals X^T w_new, computed distributed. */
+  private def weightedTotals(res: EbwResult, k: Int): Array[Double] = {
+    val agg = (0 until k).map(j =>
+      sum(col("feat").getItem(j) * col("weight_new")).as(s"m$j"))
+    val r = res.weighted.agg(agg.head, agg.tail: _*).collect()(0)
+    Array.tabulate(k)(j => r.getDouble(j))
+  }
+
+  test("tiny hand-solvable dense (test_dense.py::test_simple)") {
+    val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, 1.0))
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", Array(1.5))
+    assert(res.converged)
+    val w = res.weighted.orderBy(col("feat").getItem(0)).select("weight_new")
+      .collect().map(_.getDouble(0))
+    val norm = w.map(_ / w.sum)
+    assert(math.abs(norm(0) - 0.5) < 1e-6 && math.abs(norm(1) - 0.5) < 1e-6)
+  }
+
+  test("tiny hand-solvable 2 (test_dense.py::test_simple2)") {
+    val df = denseDf(Array(Array(-1.0), Array(2.0)), Array(0.5, 0.5))
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", Array(0.0))
+    assert(res.converged)
+    val w = res.weighted.orderBy(col("feat").getItem(0)).select("weight_new")
+      .collect().map(_.getDouble(0))
+    val norm = w.map(_ / w.sum)
+    assert(math.abs(norm(0) - 2.0 / 3) < 1e-6) // x=-1 gets 2/3
+    assert(math.abs(norm(1) - 1.0 / 3) < 1e-6)
+  }
+
+  test("complex dense example (test_dense.py::test_complex_dense_example)") {
+    val rng = new scala.util.Random(12522)
+    val n = 10000
+    val k = 40
+    val x = Array.fill(n)(Array.fill(k)(rng.nextDouble()))
+    val m = Array.fill(k)(0.0)
+    val sample = Array.fill(300)(Array.fill(k)(rng.nextDouble()))
+    for (j <- 0 until k) m(j) = sample.map(_(j)).sum / 300.0
+    val w0 = Array.fill(n)(1.0)
+    val df = denseDf(x, w0).repartition(4)
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    assert(res.converged)
+    val tot = weightedTotals(res, k)
+    for (j <- 0 until k)
+      assert(math.abs(tot(j) - m(j) * n) < 1e-3, s"moment $j: ${tot(j)} vs ${m(j) * n}")
+  }
+
+  test("sparse features (test_sparse.py)") {
+    import org.apache.spark.ml.linalg.Vectors
+    val rng = new scala.util.Random(7)
+    val n = 5000
+    val k = 12
+    val rows = (0 until n).map { _ =>
+      val j = rng.nextInt(k)
+      (Vectors.sparse(k, Array(j), Array(1.0)), 1.0)
+    }
+    val df = spark.createDataFrame(rows).toDF("feat", "w0")
+    val m = Array.fill(k)(1.0 / k)
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    assert(res.converged)
+    assert(res.constraintViolations.map(math.abs).max < 1e-3)
+  }
+
+  test("collinear moments tolerated (test_colinear.py::test_colinear_dense)") {
+    val rng = new scala.util.Random(100)
+    val n = 100
+    val x = Array.fill(n) {
+      val a = rng.nextDouble()
+      Array(a, -0.3 * a)
+    }
+    val msample = Array.fill(1000)(rng.nextDouble())
+    val m0 = msample.sum / 1000.0
+    val m = Array(m0, -0.3 * m0)
+    val df = denseDf(x, Array.fill(n)(1.0))
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m)
+    assert(res.converged)
+    val tot = weightedTotals(res, 2)
+    assert(math.abs(tot(0) - m(0) * n) < 1e-4)
+    assert(math.abs(tot(1) - m(1) * n) < 1e-4)
+  }
+
+  test("bounded feasible equals unbounded (test_elastic.py::test_elastic_feasible)") {
+    val rng = new scala.util.Random(10052)
+    val n = 2000
+    val k = 3
+    val x = Array.fill(n)(Array.fill(k)(if (rng.nextBoolean()) 1.0 else 0.0))
+    val w0 = Array.fill(n)(rng.nextDouble() + 0.5)
+    val m = Array(0.5, 0.5, 0.5)
+    val df = denseDf(x, w0)
+    val resU = EntropyBalance.entropyBalance(df, "feat", "w0", m)
+    val resB = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(bounds = Some((0.0, None))))
+    assert(resU.converged && resB.converged)
+    val sumW = w0.sum
+    val totB = weightedTotals(resB, k)
+    for (j <- 0 until k)
+      assert(math.abs(totB(j) - m(j) * sumW) < 1e-3 * sumW * 1e-2 + 1e-3,
+        s"moment $j: ${totB(j)} vs ${m(j) * sumW}")
+    // weights agree with unbounded
+    val joined = resU.weighted.select(col("feat"), col("weight_new").as("wu"))
+      .withColumn("id", monotonically_increasing_id())
+    val wU = resU.weighted.select("weight_new").collect().map(_.getDouble(0))
+    val wB = resB.weighted.select("weight_new").collect().map(_.getDouble(0))
+    val maxDiff = wU.zip(wB).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxDiff < 1e-4, s"max weight diff $maxDiff")
+  }
+
+  test("infeasible elastic converges with violations (test_elastic.py::test_elastic_infeasible)") {
+    val rng = new scala.util.Random(10052)
+    val n = 500
+    val k = 20
+    val x = Array.fill(n)(Array.fill(k)(if (rng.nextBoolean()) 1.0 else 0.0))
+    var w0 = Array.fill(n)(rng.nextDouble() + 0.5)
+    val mean = w0.sum / n
+    w0 = w0.map(_ / mean)
+    val m = Array.fill(k)(0.5)
+    val df = denseDf(x, w0)
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(bounds = Some((0.95, Some(1.05)))))
+    assert(res.converged)
+    val vNorm = math.sqrt(res.constraintViolations.map(v => v * v).sum)
+    assert(vNorm > 1.0, s"violations should be material, got $vNorm")
+    // all ratios within bounds
+    val ratios = res.weighted.select(col("weight_new") / col("w0")).collect()
+      .map(_.getDouble(0))
+    assert(ratios.forall(r => r >= 0.95 - 1e-9 && r <= 1.05 + 1e-9))
+  }
+
+  test("higher eta fits moments at least as well (test_elastic.py::test_elastic_infeasible_penalty)") {
+    val rng = new scala.util.Random(10052)
+    val n = 500
+    val k = 20
+    val x = Array.fill(n)(Array.fill(k)(if (rng.nextBoolean()) 1.0 else 0.0))
+    var w0 = Array.fill(n)(rng.nextDouble() + 0.5)
+    val mean = w0.sum / n
+    w0 = w0.map(_ / mean)
+    val m = Array.fill(k)(0.5)
+    val df = denseDf(x, w0)
+    val lo = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(bounds = Some((0.85, Some(1.25))), eta = Some(1.0)))
+    val hi = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(bounds = Some((0.85, Some(1.25))), eta = Some(10.0)))
+    assert(lo.converged && hi.converged)
+    val l1lo = lo.constraintViolations.map(math.abs).sum
+    val l1hi = hi.constraintViolations.map(math.abs).sum
+    assert(l1hi <= l1lo + 1e-6, s"eta=10 L1=$l1hi should be <= eta=1 L1=$l1lo")
+  }
+
+  test("penalty: higher penalty matches moments more closely (test_penalty.py)") {
+    val rng = new scala.util.Random(1252)
+    val n = 2000
+    val k = 3
+    val x = Array.fill(n)(Array.fill(k)(rng.nextDouble()))
+    val w0 = Array.fill(n)(1.0)
+    val sample = Array.fill(300)(Array.fill(k)(rng.nextDouble()))
+    val m = Array.tabulate(k)(j => sample.map(_(j)).sum / 300.0)
+    val df = denseDf(x, w0)
+    val lo = EntropyBalance.entropyBalancePenalty(df, "feat", "w0", m, Array(1.0))
+    val hi = EntropyBalance.entropyBalancePenalty(df, "feat", "w0", m, Array(50.0))
+    assert(lo.converged && hi.converged)
+    val misLo = math.sqrt(lo.constraintViolations.map(v => v * v).sum)
+    val misHi = math.sqrt(hi.constraintViolations.map(v => v * v).sum)
+    assert(misHi < misLo, s"high penalty miss $misHi !< low penalty miss $misLo")
+    assert(misLo > 1e-8) // penalty mode does NOT match exactly
+  }
+
+  test("invalid inputs rejected (shared.py::inputs_are_invalid)") {
+    val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, -1.0))
+    val e = intercept[IllegalArgumentException] {
+      EntropyBalance.entropyBalance(df, "feat", "w0", Array(1.5))
+    }
+    assert(e.getMessage.contains("invalid values"))
+    val df2 = denseDf(Array(Array(Double.NaN), Array(2.0)), Array(1.0, 1.0))
+    intercept[IllegalArgumentException] {
+      EntropyBalance.entropyBalance(df2, "feat", "w0", Array(1.5))
+    }
+  }
+
+  test("poststratification closed form via one-hot design") {
+    // disjoint exhaustive groups: EBW == exact poststratification
+    val rng = new scala.util.Random(42)
+    val n = 1000
+    val g = 4
+    val groups = Array.fill(n)(rng.nextInt(g))
+    val df = spark.createDataFrame(groups.toSeq.map(x => Tuple1(s"g$x")))
+      .toDF("grp").withColumn("w0", lit(1.0))
+    val (dfv, labels) = DesignMatrix.oneHot(df, "grp", "feat")
+    val m = Array.fill(g)(1.0 / g)
+    val res = EntropyBalance.entropyBalance(dfv, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10))
+    assert(res.converged)
+    val counts = groups.groupBy(identity).view.mapValues(_.length).toMap
+    val got = res.weighted.groupBy("grp").agg(first("weight_new").as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    for (gi <- 0 until g) {
+      val expect = (n.toDouble / g) / counts(gi)
+      assert(math.abs(got(s"g$gi") - expect) < 1e-7,
+        s"group $gi: ${got(s"g$gi")} vs $expect")
+    }
+  }
+}
