@@ -1,13 +1,303 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance}
+import graft.ops.{Dedup, Similarity, TextMetrics}
+
+/**
+ * Driver contract (SURVEY.md §2/§7): one entry per implemented capability,
+ * with DuckDB-equivalent oracle SQL wherever the semantics are
+ * SQL-expressible. Column names and float rounding are kept identical on
+ * both sides; every query ends in a deterministic total order.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship: EBW poststratification on sf=0.001 orders. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("ebw_poststrat")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- EBW helpers
+
+  private def ebwPoststrat(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
+    val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+    val k = labels.length
+    val res = EntropyBalance.entropyBalance(dfv, "feat", "w0",
+      Array.fill(k)(1.0 / k), options = EbwOptions(optimalityTol = 1e-11))
+    res.weighted
+      .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Solve on customer with a mixed continuous+dummy design targeting the
+   * c_custkey%3==0 subpopulation means; emit the achieved weighted means
+   * (which must equal the SQL-computed targets when converged). */
+  private def ebwMomentsMatch(
+      s: SparkSession, dir: String, bounds: Option[(Double, Option[Double])]): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .withColumn("bal_k", col("c_acctbal") / 1000.0)
+      .withColumn("lownation", when(col("c_nationkey") < 13, 1.0).otherwise(0.0))
+      .withColumn("w0", lit(1.0))
+      .withColumn("feat", array(col("bal_k"), col("lownation")))
+    val sub = cust.filter(col("c_custkey") % 3 === 0)
+    val mrow = sub.agg(avg("bal_k"), avg("lownation")).collect()(0)
+    val m = Array(mrow.getDouble(0), mrow.getDouble(1))
+    val res = EntropyBalance.entropyBalance(cust, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10, bounds = bounds))
+    val wtot = res.weighted
+      .agg(sum("w0").as("w"),
+        sum(col("bal_k") * col("weight_new")).as("s0"),
+        sum(col("lownation") * col("weight_new")).as("s1"))
+      .collect()(0)
+    import s.implicits._
+    Seq(("m0_bal_k", wtot.getDouble(1) / wtot.getDouble(0)),
+      ("m1_lownation", wtot.getDouble(2) / wtot.getDouble(0)))
+      .toDF("moment", "value")
+      .select(col("moment"), round(col("value"), 4).as("value"))
+      .orderBy("moment")
+  }
+
+  private val ebwMomentsOracle: String =
+    """SELECT 'm0_bal_k' AS moment, round(avg(c_acctbal/1000.0), 4) AS value
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT 'm1_lownation' AS moment,
+      |  round(avg(CASE WHEN c_nationkey < 13 THEN 1.0 ELSE 0.0 END), 4) AS value
+      |FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY moment""".stripMargin
+
+  // ----------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2b — query engine
+    "q1_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+    "q3_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    }),
+    "q_star_join" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nat = t(s, dir, "nation")
+      val reg = t(s, dir, "region")
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }),
+    "q_window" -> ((s, dir) => {
+      val order = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey").orderBy(order: _*)
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("run_qty", sum("l_quantity").over(wRun))
+        .filter(col("rn") <= 5)
+        .select(col("l_suppkey"), col("rn"), col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"), col("run_qty"))
+        .orderBy("l_suppkey", "rn")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val urgent = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy("c_custkey")
+    }),
+    "q_events_window" -> ((s, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, truncate
+      // to micros exactly as DuckDB does
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+    // §2a — EBW
+    "ebw_poststrat" -> ((s, dir) => ebwPoststrat(s, dir)),
+    "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
+    "ebw_bounded_feasible" -> ((s, dir) =>
+      ebwMomentsMatch(s, dir, Some((0.05, Some(20.0))))),
+    "ebw_penalty" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
+      val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+      val k = labels.length
+      val res = EntropyBalance.entropyBalancePenalty(dfv, "feat", "w0",
+        Array.fill(k)(1.0 / k), Array(2.0))
+      res.weighted
+        .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+        .orderBy("o_orderkey")
+    }),
+    // §2c — LLM-data pipeline ops
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("content_hash")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+    "text_tokens" -> ((s, dir) =>
+      TextMetrics.tokenCounts(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "text_quality" -> ((s, dir) =>
+      TextMetrics.quality(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "text_fingerprint" -> ((s, dir) =>
+      TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "embedding",
+          "vec_id", q, 10)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    })
+  )
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderkey, order_date
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q_window" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, ship_date, run_qty FROM (
+        |  SELECT l_suppkey,
+        |    row_number() OVER w AS rn,
+        |    l_orderkey, l_linenumber,
+        |    strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |    sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+        |  FROM lineitem
+        |  WINDOW w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |) WHERE rn <= 5
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
+        |    AS bucket_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY bucket_start, event_type
+        |ORDER BY bucket_start, event_type""".stripMargin,
+    "ebw_poststrat" ->
+      """SELECT o.o_orderkey,
+        |  round(((SELECT count(*) FROM orders) * 1.0 /
+        |         (SELECT count(DISTINCT o_orderpriority) FROM orders)) / g.c, 6)
+        |    AS new_weight
+        |FROM orders o
+        |JOIN (SELECT o_orderpriority, count(*) * 1.0 AS c
+        |      FROM orders GROUP BY 1) g
+        |  ON o.o_orderpriority = g.o_orderpriority
+        |ORDER BY o.o_orderkey""".stripMargin,
+    "ebw_moments_match" -> ebwMomentsOracle,
+    "ebw_bounded_feasible" -> ebwMomentsOracle,
+    "dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_minhash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+        |hh AS (
+        |  SELECT doc_id, j, min(md5(concat(j::VARCHAR, '|', s))) AS mh
+        |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+        |  GROUP BY doc_id, j)
+        |SELECT doc_id, string_agg(mh, '|' ORDER BY j) AS minhash_sig
+        |FROM hh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(str_split(text, ' '))::BIGINT AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars_m,
+        |  (length(text) - length(replace(text, ' ', '')) + 1)::BIGINT AS n_tokens,
+        |  round((length(text) - (length(text) - length(replace(text, ' ', ''))))
+        |    * 1.0 / (length(text) - length(replace(text, ' ', '')) + 1), 4)
+        |    AS avg_token_len,
+        |  round(least((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
+        |    / 20.0, 1.0), 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale text corpora. All are pure
+ * DataFrame pipelines: narrow maps plus exactly one shuffle (the groupBy on
+ * the dedup key), so they scale linearly with input and never materialize
+ * pairwise comparisons outside an LSH bucket.
+ */
+object Dedup {
+
+  /** Exact dedup on content hash. One shuffle on the 128-bit digest; at
+   * 100 TB use it with spark.sql.shuffle.partitions sized to the corpus. */
+  def exact(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /**
+   * MinHash signatures over 3-word shingles. Hash family j is
+   * md5(j || '|' || shingle); the per-document signature is the
+   * lexicographic min per family (portable across engines — the DuckDB
+   * oracle reproduces it verbatim). Documents with fewer than 3 tokens
+   * have no shingles and are dropped, as in common MinHash pipelines.
+   */
+  def minhashSignatures(
+      docs: DataFrame, textCol: String, idCol: String, numHashes: Int = 8): DataFrame = {
+    val tok = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= 3)
+    val shingled = tok.select(
+      col(idCol),
+      explode(expr(
+        "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))"))
+        .as("s"))
+    val aggs = (0 until numHashes).map(j =>
+      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
+    val sig = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    sig.select(col(idCol),
+      concat_ws("|", (0 until numHashes).map(j => col(s"h$j")): _*).as("minhash_sig"))
+  }
+
+  /** LSH banding over minhash signatures: band key -> candidate pairs.
+   * Self-join happens per-bucket only (the scale path for near-dup). */
+  def minhashCandidatePairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
+    val sig = minhashSignatures(docs, textCol, idCol, numHashes)
+      .withColumn("parts", split(col("minhash_sig"), "\\|"))
+    val bands = numHashes / bandSize
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandSize).map(i => col("parts").getItem(b * bandSize + i)): _*)
+          .as("key"))
+    }
+    val exploded = sig
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash: 64-bit fingerprint from token hashes; near-dups share most
+   * bits. xxhash64 gives a stable 64-bit token hash. */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol),
+      explode(split(col(textCol), " ", -1)).as("t"))
+      .filter(length(col("t")) > 0)
+      .withColumn("h", xxhash64(col("t")))
+    // per bit b: sum(+1 if bit set else -1); fingerprint bit = sign
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        .as(s"b$b")
+    }
+    val agg = tokens.groupBy(col(idCol)).agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    agg.select(col(idCol), fp.as("simhash"))
+  }
+}

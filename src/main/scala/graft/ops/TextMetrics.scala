@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for training-data pipelines. Every metric is
+ * built from codegen'd built-in functions (no UDFs) and is expressible in
+ * portable ANSI-ish SQL so the DuckDB oracle can replay it exactly.
+ */
+object TextMetrics {
+
+  def wsTokenCount(text: Column): Column = size(split(text, " ", -1)).cast("long")
+
+  def reTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0))).cast("long")
+
+  /** Whitespace + word-regex token counts. */
+  def tokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      wsTokenCount(col(textCol)).as("n_ws_tokens"),
+      reTokenCount(col(textCol)).as("n_re_tokens"))
+
+  /** Simple quality score: length stats + token shape, all portable
+   * arithmetic (length/replace/least/round). */
+  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("long")
+    val spaces = (length(t) - length(regexp_replace(t, lit(" "), lit("")))).cast("long")
+    val tokens = spaces + lit(1L)
+    docs.select(
+      col(idCol),
+      len.as("n_chars_m"),
+      tokens.as("n_tokens"),
+      round((len - spaces) * lit(1.0) / tokens, 4).as("avg_token_len"),
+      round(least(tokens * lit(1.0) / lit(20.0), lit(1.0)), 4).as("quality"))
+  }
+
+  /** Heuristic language ID from stopword hits (the container has no langid
+   * model; this is the standard n-gram/stopword heuristic). */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val markers = Map(
+      "en" -> Seq(" the ", " and ", " of "),
+      "de" -> Seq(" der ", " und ", " die "),
+      "fr" -> Seq(" le ", " et ", " les "),
+      "es" -> Seq(" el ", " y ", " los "))
+    val padded = concat(lit(" "), col(textCol), lit(" "))
+    def hits(words: Seq[String]): Column =
+      words.map(w => (length(padded) - length(regexp_replace(padded, lit(w), lit("")))) /
+        lit(w.length)).reduce(_ + _)
+    val scored = markers.toSeq.sortBy(_._1).map { case (l, ws) => (l, hits(ws)) }
+    val best = scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bs, bl), (l, s)) => (greatest(bs, s), when(s > bs, lit(l)).otherwise(bl))
+    }
+    docs.select(col(idCol), when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_pred"))
+  }
+
+  /** 64-bit rolling-hash document fingerprint (order-sensitive, unlike the
+   * bag-of-tokens simhash). */
+  def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
+}
