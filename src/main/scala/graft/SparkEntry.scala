@@ -164,6 +164,22 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
         .orderBy("o_orderkey")
     }),
+    "ebw_equalize_groups" -> ((s, dir) => {
+      // pums_example.py semantics: reweight so every market segment has the
+      // national weighted mean account balance, preserving segment totals
+      val cust = t(s, dir, "customer")
+        .withColumn("bal_k", col("c_acctbal") / 1000.0)
+        .withColumn("w0", lit(1.0))
+      val (dfv, m, _) = DesignMatrix.equalizeGroups(
+        cust, "c_mktsegment", Seq("bal_k"), "w0", "feat")
+      val res = EntropyBalance.entropyBalance(dfv, "feat", "w0", m,
+        options = EbwOptions(optimalityTol = 1e-10))
+      res.weighted
+        .groupBy(col("c_mktsegment").as("grp"))
+        .agg(round(sum(col("bal_k") * col("weight_new")) / sum(col("weight_new")), 4)
+          .as("mean_bal_k"))
+        .orderBy("grp")
+    }),
     // §2c — LLM-data pipeline ops
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("content_hash")),
@@ -267,6 +283,10 @@ object SparkEntry {
         |ORDER BY o.o_orderkey""".stripMargin,
     "ebw_moments_match" -> ebwMomentsOracle,
     "ebw_bounded_feasible" -> ebwMomentsOracle,
+    "ebw_equalize_groups" ->
+      """SELECT DISTINCT c_mktsegment AS grp,
+        |  (SELECT round(avg(c_acctbal/1000.0), 4) FROM customer) AS mean_bal_k
+        |FROM customer ORDER BY grp""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

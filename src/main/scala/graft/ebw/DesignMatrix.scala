@@ -75,4 +75,42 @@ object DesignMatrix {
     val names = groups.flatMap(g => varCols.map(v => s"$g:$v"))
     (df.withColumn(featuresCol, enc(col(groupCol).cast("string"), varsArr)), names)
   }
+
+  /**
+   * The pums_example.py treatment/control setup in one call: build the
+   * design and targets that reweight every group to the SAME weighted means
+   * of `varCols` (the overall w0-weighted means), holding each group's
+   * total weight fixed. Design = interact(group, 1 +: vars); targets:
+   * m(g, const) = W_g / W, m(g, v) = natMean_v * W_g / W.
+   * Returns (df + featuresCol, meanMoments, names).
+   */
+  def equalizeGroups(
+      df: DataFrame,
+      groupCol: String,
+      varCols: Seq[String],
+      weightCol: String,
+      featuresCol: String): (DataFrame, Array[Double], Array[String]) = {
+    val withConst = df.withColumn("__const", lit(1.0))
+    val (dfv, names) = interact(withConst, groupCol, "__const" +: varCols, featuresCol)
+    val nv = varCols.length + 1
+    // group totals and national weighted means (small collects: #groups, #vars)
+    val wtot = df.agg(sum(col(weightCol))).collect()(0).getDouble(0)
+    val natRow = df.agg(
+      varCols.map(v => (sum(col(v) * col(weightCol)) / sum(col(weightCol))).as(v)).head,
+      varCols.map(v => (sum(col(v) * col(weightCol)) / sum(col(weightCol))).as(v)).tail: _*)
+      .collect()(0)
+    val natMeans = Array.tabulate(varCols.length)(natRow.getDouble)
+    val gw = df.groupBy(col(groupCol).cast("string").as("g"))
+      .agg(sum(col(weightCol)).as("w"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val groups = names.grouped(nv).map(_.head.split(':')(0)).toArray
+    val m = new Array[Double](names.length)
+    for ((g, gi) <- groups.zipWithIndex) {
+      val share = gw(g) / wtot
+      m(gi * nv) = share // const moment: keep group total weight
+      for (vi <- varCols.indices)
+        m(gi * nv + 1 + vi) = natMeans(vi) * share
+    }
+    (dfv.drop("__const"), m, names)
+  }
 }

@@ -42,7 +42,9 @@ final case class EbwResult(
     equalityMultipliers: Array[Double],
     eta: Option[Double] = None,
     criterionValue: Double = 0.0,
-    errorMessage: String = "")
+    errorMessage: String = "",
+    private[graft] val theta: Array[Double] = Array.empty,
+    private[graft] val link: Link = Link.exp)
 
 /** One observation: features (sparse iff idx != null, sorted indices) + initial weight. */
 private[ebw] final case class EbwRow(idx: Array[Int], vals: Array[Double], w0: Double)
@@ -57,9 +59,9 @@ private[ebw] final case class EbwRow(idx: Array[Int], vals: Array[Double], w0: D
  *                                          sign handled on the driver)
  * CLIP with eta = -1 doubles as the bounded-penalty map clip(exp(-t),lb,ub).
  */
-private[ebw] final case class Link(mode: Int, eta: Double, lb: Double, ub: Double)
+private[graft] final case class Link(mode: Int, eta: Double, lb: Double, ub: Double)
 
-private[ebw] object Link {
+private[graft] object Link {
   val EXP = 0
   val CLIP = 1
   val NEGEXP = 2

@@ -109,7 +109,7 @@ object EntropyBalance {
     val weighted =
       if (converged) attempt else df.withColumn(outputCol, col(weightCol) * lit(1.0))
     EbwResult(weighted, attempt, converged, nIter, violations, multipliers,
-      eta, fval, msg)
+      eta, fval, msg, theta, link)
   }
 
   // ---------------------------------------------------------------- public
@@ -133,9 +133,25 @@ object EntropyBalance {
         meanPopulationMoments, outputCol, options)
     val k = meanPopulationMoments.length
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
-    try unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
-      meanPopulationMoments, options)
-    finally prep.rows.unpersist(false)
+    val res =
+      try unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
+        meanPopulationMoments, options)
+      finally prep.rows.unpersist(false)
+    maybeDump(df, featuresCol, weightCol, meanPopulationMoments, options, res)
+    res
+  }
+
+  /** save_problem_data / save_failure_data semantics
+   * (ebw_routines.py:312-319): always dump to the former; dump to the
+   * latter only on failure. */
+  private def maybeDump(
+      df: DataFrame, featuresCol: String, weightCol: String,
+      m: Array[Double], options: EbwOptions, res: EbwResult): Unit = {
+    options.saveProblemData.foreach(p =>
+      ProblemIO.save(df, featuresCol, weightCol, m, p))
+    if (!res.converged)
+      options.saveFailureData.foreach(p =>
+        ProblemIO.save(df, featuresCol, weightCol, m, p))
   }
 
   private def unboundedLoop(
@@ -234,9 +250,12 @@ object EntropyBalance {
       options: EbwOptions = EbwOptions()): EbwResult = {
     val k = meanPopulationMoments.length
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
-    try elasticLoop(df, featuresCol, weightCol, outputCol, prep,
-      meanPopulationMoments, options)
-    finally prep.rows.unpersist(false)
+    val res =
+      try elasticLoop(df, featuresCol, weightCol, outputCol, prep,
+        meanPopulationMoments, options)
+      finally prep.rows.unpersist(false)
+    maybeDump(df, featuresCol, weightCol, meanPopulationMoments, options, res)
+    res
   }
 
   private def elasticLoop(

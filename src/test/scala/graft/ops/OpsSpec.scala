@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("ops-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("exact dedup collapses duplicates") {
+    val dup = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 100000))
+    val out = Dedup.exact(dup, "text", "doc_id")
+    assert(out.count() == docs.count()) // every text collapses to one group
+    val copies = out.agg(min("n_copies"), max("n_copies")).collect()(0)
+    assert(copies.getLong(0) == 2 && copies.getLong(1) == 2)
+    // survivor is always the lower id (the original)
+    assert(out.filter(col("keep_id") >= 100000).count() == 0)
+  }
+
+  test("minhash LSH finds near-duplicate pairs") {
+    import spark.implicits._
+    val base = docs.limit(20).select("doc_id", "text")
+    // near-dup: same text with a few words appended
+    val near = base.select((col("doc_id") + 1000).as("doc_id"),
+      concat(col("text"), lit(" extra trailing words")).as("text"))
+    val corpus = base.unionAll(near)
+    val pairs = Dedup.minhashCandidatePairs(corpus, "text", "doc_id").collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every (id, id+1000) near-dup pair should share at least one band
+    val expected = (0 until 20).map(i => base.collect()(i).getLong(0)).map(id => (id, id + 1000))
+    val hits = expected.count(found.contains)
+    assert(hits >= 15, s"found only $hits/20 near-dup pairs: $found")
+  }
+
+  test("simhash: identical docs get identical fingerprints, near-dups close") {
+    val a = Dedup.simhash(docs.limit(10), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(docs.limit(10), "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b) // deterministic
+    val nearDf = docs.limit(10)
+      .withColumn("text", concat(col("text"), lit(" tail")))
+    val near = Dedup.simhash(nearDf, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = a.keys.map { id =>
+      java.lang.Long.bitCount(a(id) ^ near(id))
+    }
+    assert(dists.forall(_ <= 16), s"near-dup hamming distances too large: $dists")
+  }
+
+  test("LSH top-k cosines agree with brute force on shared ids") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lsh = Similarity.lshTopK(rest, "embedding", "vec_id", q, 10, bits = 3)
+      .collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val id = r.getLong(0)
+      assert(math.abs(brute(id) - r.getDouble(1)) < 1e-12)
+    }
+  }
+
+  test("langId returns valid labels") {
+    val out = TextMetrics.langId(docs, "text", "doc_id").collect()
+    val valid = Set("en", "de", "fr", "es", "und")
+    assert(out.length == docs.count())
+    assert(out.forall(r => valid.contains(r.getString(1))))
+  }
+
+  test("multimodal: batched stub decode is deterministic, frames sample") {
+    val bin = docs.limit(50).select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val f1 = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()
+      .map(m => m.id -> m.features.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()
+      .map(m => m.id -> m.features.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.length == 8))
+    val meta = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()
+    assert(meta.forall(_.format == "raw")) // text payloads have no magic bytes
+    assert(meta.forall(m => m.n_bytes > 0))
+    val frames = Multimodal.sampleFrames(bin, "doc_id", "payload", frameBytes = 64, everyNth = 2)
+    assert(frames.count() > 50) // multiple frames per doc
+    assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_payload"))
+  }
+}

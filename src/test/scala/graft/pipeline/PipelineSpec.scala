@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance, ProblemIO}
+
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("pipeline-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    .withColumn("bal_k", col("c_acctbal") / 1000.0)
+    .withColumn("lownation", when(col("c_nationkey") < 13, 1.0).otherwise(0.0))
+    .withColumn("w0", lit(1.0))
+    .withColumn("feat", array(col("bal_k"), col("lownation")))
+
+  private def targets(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+    val r = df.filter(col("c_custkey") % 3 === 0)
+      .agg(avg("bal_k"), avg("lownation")).collect()(0)
+    Array(r.getDouble(0), r.getDouble(1))
+  }
+
+  test("EntropyBalanceWeighter fits in an MLlib Pipeline and transforms") {
+    val df = cust
+    val m = targets(df)
+    val ebw = new EntropyBalanceWeighter()
+      .setFeaturesCol("feat").setWeightCol("w0").setOutputCol("w_new")
+      .setTargetMoments(m).setOptimalityTol(1e-9)
+    val pipe = new Pipeline().setStages(Array(ebw))
+    val model = pipe.fit(df)
+    val out = model.transform(df)
+    assert(out.columns.contains("w_new"))
+    val tot = out.agg(
+      sum(col("bal_k") * col("w_new")).as("s0"),
+      sum(col("lownation") * col("w_new")).as("s1"),
+      sum("w0").as("w")).collect()(0)
+    assert(math.abs(tot.getDouble(0) / tot.getDouble(2) - m(0)) < 1e-6)
+    assert(math.abs(tot.getDouble(1) / tot.getDouble(2) - m(1)) < 1e-6)
+    val inner = model.stages(0).asInstanceOf[EntropyBalanceModel]
+    assert(inner.converged)
+    assert(inner.multipliers.length == 2)
+  }
+
+  test("bounded weighter clips ratios") {
+    val df = cust
+    val m = targets(df)
+    val model = new EntropyBalanceWeighter()
+      .setFeaturesCol("feat").setWeightCol("w0").setOutputCol("w_new")
+      .setTargetMoments(m).setBounds(0.8, Some(1.2))
+      .fit(df)
+    val rng = model.transform(df)
+      .agg(min(col("w_new") / col("w0")), max(col("w_new") / col("w0"))).collect()(0)
+    assert(rng.getDouble(0) >= 0.8 - 1e-9 && rng.getDouble(1) <= 1.2 + 1e-9)
+  }
+
+  test("ProblemIO round-trips dense and sparse problems") {
+    val df = cust
+    val m = targets(df)
+    val tmp = java.nio.file.Files.createTempDirectory("ebwio").toString
+    ProblemIO.save(df, "feat", "w0", m, s"$tmp/dense")
+    val (loaded, m2) = ProblemIO.load(spark, s"$tmp/dense")
+    assert(m2.toSeq == m.toSeq)
+    val resA = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    val resB = EntropyBalance.entropyBalance(loaded, "features", "w0", m2,
+      options = EbwOptions(optimalityTol = 1e-9))
+    val dl = resA.equalityMultipliers.zip(resB.equalityMultipliers)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(dl < 1e-6, s"multipliers differ by $dl after round-trip")
+    // sparse round trip
+    val (dfs, labels) = DesignMatrix.oneHot(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("w0", lit(1.0)), "o_orderpriority", "feat")
+    val ms = Array.fill(labels.length)(1.0 / labels.length)
+    ProblemIO.save(dfs, "feat", "w0", ms, s"$tmp/sparse")
+    val (loadedS, ms2) = ProblemIO.load(spark, s"$tmp/sparse")
+    val resS = EntropyBalance.entropyBalance(loadedS, "features", "w0", ms2,
+      options = EbwOptions(optimalityTol = 1e-10))
+    assert(resS.converged)
+  }
+
+  test("equalizeGroups: every group hits the national weighted mean") {
+    val df = cust
+    val (dfv, m, names) = DesignMatrix.equalizeGroups(
+      df, "c_mktsegment", Seq("bal_k"), "w0", "feat")
+    assert(names.length == m.length)
+    val res = EntropyBalance.entropyBalance(dfv, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10))
+    assert(res.converged)
+    val nat = df.agg(avg("bal_k")).collect()(0).getDouble(0)
+    val grp = res.weighted.groupBy("c_mktsegment")
+      .agg((sum(col("bal_k") * col("weight_new")) / sum("weight_new")).as("gm"),
+        sum("weight_new").as("wtot"), count(lit(1)).as("n"))
+      .collect()
+    grp.foreach { r =>
+      assert(math.abs(r.getDouble(1) - nat) < 1e-6,
+        s"${r.getString(0)} mean ${r.getDouble(1)} != national $nat")
+      // group total weight preserved (w0 = 1 per row)
+      assert(math.abs(r.getDouble(2) - r.getLong(3)) < 1e-6)
+    }
+  }
+
+  test("warm start from previous multipliers converges in fewer passes") {
+    val df = cust
+    val m = targets(df)
+    val cold = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10))
+    val warm = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10,
+        initialMultipliers = Some(cold.equalityMultipliers)))
+    assert(warm.converged)
+    assert(warm.nIterations <= 1, s"warm start took ${warm.nIterations} steps")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("streaming-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  import EventsStream.{Event, UserRunning}
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("windowed counts over a stream match the batch computation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), "click", 1.0), Event(2, ts(1), "click", 2.0),
+      Event(1, ts(2), "view", 3.0), Event(3, ts(6), "click", 4.0),
+      Event(2, ts(7), "view", 5.0), Event(1, ts(11), "click", 6.0))
+    mem.addData(events: _*)
+    val agg = EventsStream.windowedTypeCounts(mem.toDF())
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("win_out")
+      .orderBy("bucket_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    val batch = EventsStream.windowedTypeCounts(events.toDF())
+      .orderBy("bucket_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq) // one code path, two engines
+  }
+
+  test("stateful running totals accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val running = EventsStream.runningUserTotals(mem.toDS())
+    val q = running.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("run_out").start()
+    mem.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(1), "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(2), "click", 4.0), Event(2, ts(2), "view", 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("run_out").as[UserRunning].collect()
+    // last update for user 1 must reflect state carried across batches
+    val u1 = rows.filter(_.user_id == 1).maxBy(_.n_events)
+    assert(u1.n_events == 3 && math.abs(u1.total_value - 7.0) < 1e-12)
+    val u2 = rows.filter(_.user_id == 2).maxBy(_.n_events)
+    assert(u2.n_events == 1 && math.abs(u2.total_value - 10.0) < 1e-12)
+  }
+}
