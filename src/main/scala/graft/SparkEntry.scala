@@ -197,6 +197,59 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) =>
       TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // self-union with mutated copies guarantees the operator exercises
+      // its match path even on a dup-free corpus
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"))
+      Dedup.ngramJaccardPairs(docs.unionAll(mutated), "text", "doc_id", 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
+    }),
+    "dedup_embed_cosine" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+          minCosine = 0.25, bits = 6)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
+        .orderBy("id_a", "id_b")
+    }),
+    "text_langid" -> ((s, dir) =>
+      TextMetrics.langId(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding",
+          "vec_id", q, 10, bits = 3)
+        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+    }),
+    "ebw_lineitem" -> ((s, dir) => {
+      // scale-representative solve: 3 continuous moments over lineitem,
+      // targets from the deterministic l_orderkey%5==0 subpopulation
+      val li = t(s, dir, "lineitem")
+        .withColumn("price_k", col("l_extendedprice") / 1000.0)
+        .withColumn("w0", lit(1.0))
+        .withColumn("feat", array(col("l_quantity"), col("price_k"), col("l_discount")))
+      val sub = li.filter(col("l_orderkey") % 5 === 0)
+      val mr = sub.agg(avg("l_quantity"), avg("price_k"), avg("l_discount")).collect()(0)
+      val m = Array(mr.getDouble(0), mr.getDouble(1), mr.getDouble(2))
+      val res = EntropyBalance.entropyBalance(li, "feat", "w0", m,
+        options = EbwOptions(optimalityTol = 1e-10))
+      val w = res.weighted.agg(sum("w0"),
+        sum(col("l_quantity") * col("weight_new")),
+        sum(col("price_k") * col("weight_new")),
+        sum(col("l_discount") * col("weight_new"))).collect()(0)
+      import s.implicits._
+      Seq(("m0_quantity", w.getDouble(1) / w.getDouble(0)),
+        ("m1_price_k", w.getDouble(2) / w.getDouble(0)),
+        ("m2_discount", w.getDouble(3) / w.getDouble(0)))
+        .toDF("moment", "value")
+        .select(col("moment"), round(col("value"), 5).as("value"))
+        .orderBy("moment")
+    }),
     "ann_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
@@ -287,6 +340,16 @@ object SparkEntry {
       """SELECT DISTINCT c_mktsegment AS grp,
         |  (SELECT round(avg(c_acctbal/1000.0), 4) FROM customer) AS mean_bal_k
         |FROM customer ORDER BY grp""".stripMargin,
+    "ebw_lineitem" ->
+      """SELECT 'm0_quantity' AS moment, round(avg(l_quantity), 5) AS value
+        |FROM lineitem WHERE l_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT 'm1_price_k' AS moment, round(avg(l_extendedprice/1000.0), 5) AS value
+        |FROM lineitem WHERE l_orderkey % 5 = 0
+        |UNION ALL
+        |SELECT 'm2_discount' AS moment, round(avg(l_discount), 5) AS value
+        |FROM lineitem WHERE l_orderkey % 5 = 0
+        |ORDER BY moment""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

@@ -139,6 +139,94 @@ private[ebw] object DriverLinalg {
     x
   }
 
+  /**
+   * Jacobi-preconditioned conjugate gradient for the large-k regime:
+   * solve (G + diag + ridge*I) x = rhs where G is the SPARSE upper-tri Gram
+   * from EbwAggregator.runSparse (keys = i*k+j, i <= j). Plays the role of
+   * pypardiso.spsolve in the reference (ebw_routines.py:242-245) without
+   * needing a sparse direct factorization on the driver. `free` masks
+   * pinned coordinates (elastic box): masked rows/cols behave as identity.
+   */
+  def cgSolve(
+      k: Int,
+      keys: Array[Long],
+      vals: Array[Double],
+      diag: Array[Double],
+      rhs: Array[Double],
+      ridge: Double,
+      free: Array[Boolean]): Array[Double] = {
+    val nnz = keys.length
+    @inline def isFree(i: Int): Boolean = free == null || free(i)
+    val precond = new Array[Double](k)
+    var i = 0
+    while (i < k) { precond(i) = diag(i) + ridge; i += 1 }
+    var p0 = 0
+    while (p0 < nnz) {
+      val key = keys(p0)
+      val ii = (key / k).toInt
+      if ((key % k).toInt == ii) precond(ii) += vals(p0)
+      p0 += 1
+    }
+    i = 0
+    while (i < k) { if (precond(i) <= 0.0) precond(i) = math.max(ridge, 1e-12); i += 1 }
+
+    def mv(x: Array[Double]): Array[Double] = {
+      val out = new Array[Double](k)
+      var p = 0
+      while (p < nnz) {
+        val key = keys(p)
+        val a = (key / k).toInt
+        val b = (key % k).toInt
+        if (isFree(a) && isFree(b)) {
+          val v = vals(p)
+          out(a) += v * x(b)
+          if (a != b) out(b) += v * x(a)
+        }
+        p += 1
+      }
+      var q = 0
+      while (q < k) {
+        if (isFree(q)) out(q) += (diag(q) + ridge) * x(q) else out(q) = x(q)
+        q += 1
+      }
+      out
+    }
+
+    val b = rhs.clone()
+    i = 0
+    while (i < k) { if (!isFree(i)) b(i) = 0.0; i += 1 }
+    val x = new Array[Double](k)
+    var r = b.clone()
+    val z = new Array[Double](k)
+    i = 0
+    while (i < k) { z(i) = r(i) / precond(i); i += 1 }
+    var p = z.clone()
+    var rz = dot(r, z)
+    val bnorm = math.max(norm2(b), 1e-300)
+    var iter = 0
+    val maxIter = math.min(2 * k + 20, 4000)
+    while (iter < maxIter && norm2(r) > 1e-12 * bnorm) {
+      val ap = mv(p)
+      val pap = dot(p, ap)
+      if (pap <= 0.0 || pap.isNaN) {
+        iter = maxIter // breakdown: return best-so-far (ridge guards PD)
+      } else {
+        val alpha = rz / pap
+        var j = 0
+        while (j < k) { x(j) += alpha * p(j); r(j) -= alpha * ap(j); j += 1 }
+        j = 0
+        while (j < k) { z(j) = r(j) / precond(j); j += 1 }
+        val rzNew = dot(r, z)
+        val beta = rzNew / rz
+        rz = rzNew
+        j = 0
+        while (j < k) { p(j) = z(j) + beta * p(j); j += 1 }
+        iter += 1
+      }
+    }
+    x
+  }
+
   @inline def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

@@ -25,7 +25,11 @@ private[ebw] object EbwAggregator {
       gram: Array[Double],
       fval: Double,
       wrsum: Double,
-      count: Long)
+      count: Long,
+      gramKeys: Array[Long] = null,
+      gramVals: Array[Double] = null) {
+    def isSparse: Boolean = gramKeys != null
+  }
 
   /** Packed upper-triangular index for i <= j. */
   @inline def pidx(k: Int, i: Int, j: Int): Int = i * k - i * (i + 1) / 2 + j
@@ -123,6 +127,116 @@ private[ebw] object EbwAggregator {
         p += 1
       }
     }
+  }
+
+  /**
+   * Large-k variant: identical statistics, but the Gram is accumulated as
+   * a sparse LongMap keyed by i*k+j (i <= j). For group-dummy / interaction
+   * designs (the reference's "hundreds of thousands of constraints" regime,
+   * README.md "models with ... hundreds of thousands of constraints") the
+   * Gram has O(k) to O(k * nnz_row) entries, not k^2 — a packed dense
+   * buffer would be 100 MB+/task at k = 5000 while the sparse map stays
+   * proportional to the realized cross pattern. Paired with the driver-side
+   * CG solve in DriverLinalg.
+   */
+  def runSparse(rows: RDD[EbwRow], k: Int, theta: Array[Double], link: Link): Pass = {
+    val th = theta
+    val lk = link
+    final case class Acc(
+        s: Array[Double],
+        gram: scala.collection.mutable.LongMap[Double],
+        var fval: Double, var wrsum: Double, var count: Long)
+    val out = rows.treeAggregate(
+      Acc(new Array[Double](k), new scala.collection.mutable.LongMap[Double](), 0.0, 0.0, 0L))(
+      seqOp = (acc, row) => {
+        val vals = row.vals
+        val idx = row.idx
+        var t = 0.0
+        if (idx == null) {
+          var j = 0
+          while (j < k) { t += vals(j) * th(j); j += 1 }
+        } else {
+          var p = 0
+          while (p < idx.length) { t += vals(p) * th(idx(p)); p += 1 }
+        }
+        var r = 0.0
+        var rp = 0.0
+        lk.mode match {
+          case 0 =>
+            val tt = if (t > 700.0) 700.0 else t
+            r = math.exp(tt); rp = r
+          case 1 =>
+            var et = lk.eta * t
+            if (et > 700.0) et = 700.0
+            val e = math.exp(et)
+            r = if (e < lk.lb) lk.lb else if (e > lk.ub) lk.ub else e
+            rp = if (e > lk.lb && e < lk.ub) lk.eta * e else 0.0
+          case _ =>
+            val tt = if (-t > 700.0) -700.0 else t
+            r = math.exp(-tt); rp = r
+        }
+        val w0 = row.w0
+        val wr = w0 * r
+        acc.fval += (if (r <= 0.0) w0 else w0 * (r * math.log(r) - r + 1.0))
+        acc.wrsum += wr
+        acc.count += 1
+        val wrp = w0 * rp
+        if (idx == null) {
+          var i = 0
+          while (i < k) {
+            val vi = vals(i)
+            if (vi != 0.0) {
+              acc.s(i) += wr * vi
+              if (wrp != 0.0) {
+                val wv = wrp * vi
+                var j = i
+                while (j < k) {
+                  val vj = vals(j)
+                  if (vj != 0.0) {
+                    val key = i.toLong * k + j
+                    acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wv * vj)
+                  }
+                  j += 1
+                }
+              }
+            }
+            i += 1
+          }
+        } else {
+          val nnz = idx.length
+          var p = 0
+          while (p < nnz) {
+            val i = idx(p)
+            val vi = vals(p)
+            acc.s(i) += wr * vi
+            if (wrp != 0.0) {
+              val wv = wrp * vi
+              var q = p
+              while (q < nnz) {
+                val key = i.toLong * k + idx(q)
+                acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wv * vals(q))
+                q += 1
+              }
+            }
+            p += 1
+          }
+        }
+        acc
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < k) { a.s(i) += b.s(i); i += 1 }
+        b.gram.foreachEntry((key, v) => a.gram.update(key, a.gram.getOrElse(key, 0.0) + v))
+        a.fval += b.fval; a.wrsum += b.wrsum; a.count += b.count
+        a
+      },
+      depth = 2)
+    val n = out.gram.size
+    val keys = new Array[Long](n)
+    val vals = new Array[Double](n)
+    var i = 0
+    out.gram.foreachEntry { (key, v) => keys(i) = key; vals(i) = v; i += 1 }
+    Pass(out.s, null, out.fval, out.wrsum, out.count, keys, vals)
   }
 
   /** Validation + sizing pass: returns (badRows, sumW, n). Mirrors

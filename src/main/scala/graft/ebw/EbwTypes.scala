@@ -24,7 +24,10 @@ final case class EbwOptions(
     stepTol: Double = 1e-8,
     eta: Option[Double] = None,
     saveProblemData: Option[String] = None,
-    saveFailureData: Option[String] = None)
+    saveFailureData: Option[String] = None,
+    /** Above this moment dimension the Gram is aggregated sparsely and the
+     * Newton systems solved by preconditioned CG (see SURVEY.md §3). */
+    denseGramMax: Int = 512)
 
 /**
  * Result container, mirroring `EntropyBalanceResults`

@@ -161,10 +161,14 @@ object EntropyBalance {
     val b = m.map(_ * prep.sumW)
     val bscale = math.max(1.0, norm2(b))
     val link = Link.exp
+    val sparseGram = k > options.denseGramMax
+    def agg(th: Array[Double]) =
+      if (sparseGram) EbwAggregator.runSparse(prep.rows, k, th, link)
+      else EbwAggregator.run(prep.rows, k, th, link)
     var lambda = options.initialMultipliers
       .map(_.clone())
       .getOrElse(new Array[Double](k))
-    var pass = EbwAggregator.run(prep.rows, k, lambda, link)
+    var pass = agg(lambda)
     var ce = axpy(-1.0, b, pass.s)
     var steps = 0
     var converged = false
@@ -185,7 +189,11 @@ object EntropyBalance {
         // (G + ridge I) d = -Ce ; adaptive ridge as ebw_routines.py:235-237
         val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale, 0.55))
         val negCe = ce.map(-_)
-        val d = DriverLinalg.solveRidged(k, pass.gram, negCe, ridge)
+        val d =
+          if (pass.isSparse)
+            DriverLinalg.cgSolve(k, pass.gramKeys, pass.gramVals,
+              new Array[Double](k), negCe, ridge, null)
+          else DriverLinalg.solveRidged(k, pass.gram, negCe, ridge)
         // Armijo backtracking on the dual objective
         // D(lambda) = b.lambda - (sum w0 exp(x.lambda) - sumW)
         val dCur = dot(b, lambda) - (pass.wrsum - prep.sumW)
@@ -195,7 +203,7 @@ object EntropyBalance {
         var trial = 0
         while (!accepted && trial < 14) {
           val cand = axpy(alpha, d, lambda)
-          val p2 = EbwAggregator.run(prep.rows, k, cand, link)
+          val p2 = agg(cand)
           val dCand = dot(b, cand) - (p2.wrsum - prep.sumW)
           if (!dCand.isNaN &&
               dCand >= dCur + 1e-4 * alpha * gd - 1e-10 * (1.0 + math.abs(dCur))) {
@@ -275,7 +283,11 @@ object EntropyBalance {
       var i = 0
       while (i < k) { lambda(i) = math.max(-1.0, math.min(1.0, mu(i) / eta)); i += 1 }
     }
-    var pass = EbwAggregator.run(prep.rows, k, lambda, Link.clip(eta, lb, ub))
+    val sparseGram = k > options.denseGramMax
+    def agg(th: Array[Double], lnk: Link) =
+      if (sparseGram) EbwAggregator.runSparse(prep.rows, k, th, lnk)
+      else EbwAggregator.run(prep.rows, k, th, lnk)
+    var pass = agg(lambda, Link.clip(eta, lb, ub))
     var ce = axpy(-1.0, b, pass.s)
     var totalSteps = 0
     var converged = false
@@ -312,7 +324,11 @@ object EntropyBalance {
           innerDone = true
         } else {
           val ridge = math.max(1e-8, 1e-5 * math.pow(pgNorm / bscale, 0.55))
-          val d = DriverLinalg.solveSubset(k, pass.gram, pg, free, ridge)
+          val d =
+            if (pass.isSparse)
+              DriverLinalg.cgSolve(k, pass.gramKeys, pass.gramVals,
+                new Array[Double](k), pg, ridge, pinned.map(!_))
+            else DriverLinalg.solveSubset(k, pass.gram, pg, free, ridge)
           // When most rows are clipped the interior Gram is tiny and the
           // Newton direction blows up; any move beyond the box diameter is
           // meaningless, so cap ||d||_inf at 2 (degrades gracefully into
@@ -339,7 +355,7 @@ object EntropyBalance {
             var gdMove = 0.0
             j = 0
             while (j < k) { gdMove += pg(j) * (cand(j) - lambda(j)); j += 1 }
-            val p2 = EbwAggregator.run(prep.rows, k, cand, link)
+            val p2 = agg(cand, link)
             val ce2 = axpy(-1.0, b, p2.s)
             val gCand = p2.fval / eta - dot(cand, ce2)
             if (!gCand.isNaN && gdMove >= 0.0 &&
@@ -380,7 +396,7 @@ object EntropyBalance {
           lambda(i) = math.max(-1.0, math.min(1.0, lambda(i) * etaOld / eta))
           i += 1
         }
-        pass = EbwAggregator.run(prep.rows, k, lambda, Link.clip(eta, lb, ub))
+        pass = agg(lambda, Link.clip(eta, lb, ub))
         ce = axpy(-1.0, b, pass.s)
       } else grow = false
       if (outer > 12) grow = false
@@ -429,8 +445,12 @@ object EntropyBalance {
         else Link.clip(-1.0, 0.0, Double.PositiveInfinity)
       val b = m2agg(meanPopulationMoments, prep.sumW)
       val bscale = math.max(1.0, norm2(b))
+      val sparseGram = k > options.denseGramMax
+      def agg(th: Array[Double]) =
+        if (sparseGram) EbwAggregator.runSparse(prep.rows, k, th, link)
+        else EbwAggregator.run(prep.rows, k, th, link)
       var z = new Array[Double](k)
-      var pass = EbwAggregator.run(prep.rows, k, z, link)
+      var pass = agg(z)
       var ce = axpy(-1.0, b, pass.s)
       val maxSteps =
         if (options.bounds.isDefined) options.maxStepsBounded else options.maxSteps
@@ -452,19 +472,22 @@ object EntropyBalance {
           done = true
         } else {
           // gram accumulated dS/dz with CLIP(-1): dS/dz = -G, G PSD
-          val g = pass.gram.map(-_)
           // (P^-1 + G) delta = -P^-1 F
           val rhs = new Array[Double](k)
           i = 0
           while (i < k) { rhs(i) = -invP(i) * f(i); i += 1 }
           val ridge = math.max(1e-10, 1e-7 * fNorm / bscale)
-          val d = DriverLinalg.solveWithDiag(k, g, invP, rhs, ridge)
+          val d =
+            if (pass.isSparse)
+              DriverLinalg.cgSolve(k, pass.gramKeys, pass.gramVals.map(-_),
+                invP, rhs, ridge, null)
+            else DriverLinalg.solveWithDiag(k, pass.gram.map(-_), invP, rhs, ridge)
           var alpha = 1.0
           var accepted = false
           var trial = 0
           while (!accepted && trial < 14) {
             val cand = axpy(alpha, d, z)
-            val p2 = EbwAggregator.run(prep.rows, k, cand, link)
+            val p2 = agg(cand)
             val ce2 = axpy(-1.0, b, p2.s)
             val f2 = new Array[Double](k)
             var j = 0

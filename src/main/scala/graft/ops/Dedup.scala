@@ -66,6 +66,48 @@ object Dedup {
       .distinct()
   }
 
+  /** n-gram Jaccard similarity for LSH candidate pairs: exact similarity
+   * computed ONLY inside buckets (never all-pairs). Returns pairs with
+   * their 3-gram shingle Jaccard. */
+  def ngramJaccardPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val cand = minhashCandidatePairs(docs, textCol, idCol)
+    val shingles = docs
+      .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("sid"), array_distinct(expr(
+        "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))"))
+        .as("sh"))
+    cand
+      .join(shingles.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shingles.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        (col("inter") * lit(1.0) / col("uni")).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: LSH-bucket the vectors (random
+   * hyperplane signs), compare only within buckets, keep pairs above the
+   * cosine threshold. The 100 TB-safe shape: no cross-bucket pairs exist. */
+  def embeddingCosinePairs(
+      emb: DataFrame, vecCol: String, idCol: String,
+      minCosine: Double = 0.95, bits: Int = 8): DataFrame = {
+    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val v = col(vecCol).cast("array<double>")
+    val withB = emb.select(col(idCol).as("id"), v.as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), dim, bits))
+    val a = withB.select(col("id").as("id_a"), col("v").as("v_a"), col("bucket"))
+    val b = withB.select(col("id").as("id_b"), col("v").as("v_b"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
   /** SimHash: 64-bit fingerprint from token hashes; near-dups share most
    * bits. xxhash64 gives a stable 64-bit token hash. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -190,6 +190,45 @@ class EbwSolverSpec extends AnyFunSuite {
     assert(misLo > 1e-8) // penalty mode does NOT match exactly
   }
 
+  test("sparse-Gram + CG path agrees with dense Cholesky path") {
+    val rng = new scala.util.Random(12522)
+    val n = 3000
+    val k = 10
+    val x = Array.fill(n)(Array.fill(k)(rng.nextDouble()))
+    val sample = Array.fill(300)(Array.fill(k)(rng.nextDouble()))
+    val m = Array.tabulate(k)(j => sample.map(_(j)).sum / 300.0)
+    val df = denseDf(x, Array.fill(n)(1.0))
+    val dense = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    val sparse = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9, denseGramMax = 1)) // force CG
+    assert(dense.converged && sparse.converged)
+    val dl = dense.equalityMultipliers.zip(sparse.equalityMultipliers)
+      .map { case (a, b) => math.abs(a - b) }.max
+    assert(dl < 1e-6, s"paths disagree by $dl")
+  }
+
+  test("large-k one-hot design runs the sparse path to the closed form") {
+    import org.apache.spark.ml.linalg.Vectors
+    val rng = new scala.util.Random(99)
+    val n = 20000
+    val k = 600 // > denseGramMax default: sparse Gram + CG
+    val groups = Array.fill(n)(rng.nextInt(k))
+    val rows = groups.toSeq.map(g => (Vectors.sparse(k, Array(g), Array(1.0)), 1.0, g))
+    val df = spark.createDataFrame(rows).toDF("feat", "w0", "g")
+    val m = Array.fill(k)(1.0 / k)
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    assert(res.converged)
+    val counts = groups.groupBy(identity).view.mapValues(_.length).toMap
+    val got = res.weighted.groupBy("g").agg(first("weight_new").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    counts.foreach { case (g, c) =>
+      val expect = (n.toDouble / k) / c
+      assert(math.abs(got(g) - expect) < 1e-6, s"group $g: ${got(g)} vs $expect")
+    }
+  }
+
   test("invalid inputs rejected (shared.py::inputs_are_invalid)") {
     val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, -1.0))
     val e = intercept[IllegalArgumentException] {
