@@ -11,6 +11,7 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Built-in composition (portable, interpreted higher-order funcs). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -19,14 +20,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Exact top-k by cosine against one query vector (broadcast literal). */
+  /** Codegen'd native kernel (graft.functions.ArrayDotProduct); requires
+   * GraftFunctions.register on the session. ~whole-stage-codegen speed. */
+  def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  def cosineNative(a: Column, b: Column): Column =
+    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+
+  /** Exact top-k by cosine against one query vector (broadcast literal).
+   * A single narrow codegen'd scan + TakeOrdered — no shuffle. */
   def bruteForceTopK(
       emb: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = typedlit(query)
     val v = col(vecCol).cast("array<double>")
     emb
-      .select(col(idCol), cosine(v, q).as("cosine"))
+      .select(col(idCol), cosineNative(v, q).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
@@ -64,9 +74,10 @@ object Similarity {
       }
       if (s >= 0) qb |= (1 << p)
     }
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     withBucket
       .filter(col("bucket") === qb)
-      .select(col(idCol), cosine(v, typedlit(query)).as("cosine"))
+      .select(col(idCol), cosineNative(v, typedlit(query)).as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
