@@ -154,6 +154,20 @@ object SparkEntry {
     "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
     "ebw_bounded_feasible" -> ((s, dir) =>
       ebwMomentsMatch(s, dir, Some((0.05, Some(20.0))))),
+    "ebw_sparse_bigk" -> ((s, dir) => {
+      // k=997 one-hot: exercises the sparse-Gram + CG large-k path under
+      // the oracle gate; closed-form poststratification weights in SQL
+      val orders = t(s, dir, "orders")
+        .withColumn("grp", (col("o_orderkey") % 997).cast("string"))
+        .withColumn("w0", lit(1.0))
+      val (dfv, labels) = DesignMatrix.oneHot(orders, "grp", "feat")
+      val k = labels.length
+      val res = EntropyBalance.entropyBalance(dfv, "feat", "w0",
+        Array.fill(k)(1.0 / k), options = EbwOptions(optimalityTol = 1e-11))
+      res.weighted
+        .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+        .orderBy("o_orderkey")
+    }),
     "ebw_penalty" -> ((s, dir) => {
       val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
       val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
@@ -350,6 +364,16 @@ object SparkEntry {
         |SELECT 'm2_discount' AS moment, round(avg(l_discount), 5) AS value
         |FROM lineitem WHERE l_orderkey % 5 = 0
         |ORDER BY moment""".stripMargin,
+    "ebw_sparse_bigk" ->
+      """SELECT o.o_orderkey,
+        |  round(((SELECT count(*) FROM orders) * 1.0 /
+        |         (SELECT count(DISTINCT o_orderkey % 997) FROM orders)) / g.c, 6)
+        |    AS new_weight
+        |FROM orders o
+        |JOIN (SELECT o_orderkey % 997 AS grp, count(*) * 1.0 AS c
+        |      FROM orders GROUP BY 1) g
+        |  ON o.o_orderkey % 997 = g.grp
+        |ORDER BY o.o_orderkey""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies

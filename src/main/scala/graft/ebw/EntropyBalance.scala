@@ -68,28 +68,35 @@ object EntropyBalance {
     Prepared(rows, k, sumW, n, isVector)
   }
 
-  /** The ratio r(x . theta) as a DataFrame column (codegen-friendly path
-   * would be a Catalyst Expression; a deterministic UDF suffices for the
-   * single output pass). */
+  /** The ratio r(x . theta) as a DataFrame column. For array<double>
+   * features this is pure codegen'd expressions (native graft_dot +
+   * exp/least/greatest) — model.transform stays inside whole-stage codegen
+   * at any scale. VectorUDT features fall back to a deterministic UDF
+   * (Catalyst has no native Vector ops). */
   private[ebw] def ratioColumn(
       df: DataFrame, featuresCol: String, theta: Array[Double], link: Link): Column = {
     val th = theta
     val lk = link
-    def r(t: Double): Double = lk.mode match {
-      case 0 => math.exp(math.min(t, 700.0))
-      case 1 =>
-        val e = math.exp(math.min(lk.eta * t, 700.0))
-        if (e < lk.lb) lk.lb else if (e > lk.ub) lk.ub else e
-      case _ => math.exp(-math.max(t, -700.0))
-    }
     if (df.schema(featuresCol).dataType.isInstanceOf[ArrayType]) {
-      val f = udf { xs: Seq[Double] =>
-        var t = 0.0; var i = 0
-        while (i < xs.length) { t += xs(i) * th(i); i += 1 }
-        r(t)
+      graft.functions.GraftFunctions.register(df.sparkSession)
+      val t = call_function("graft_dot",
+        col(featuresCol).cast("array<double>"), typedlit(th.toSeq))
+      lk.mode match {
+        case 0 => exp(least(t, lit(700.0)))
+        case 1 =>
+          val e = exp(least(t * lit(lk.eta), lit(700.0)))
+          val lo = greatest(e, lit(lk.lb))
+          if (lk.ub.isInfinite) lo else least(lo, lit(lk.ub))
+        case _ => exp(-greatest(t, lit(-700.0)))
       }
-      f(col(featuresCol))
     } else {
+      def r(t: Double): Double = lk.mode match {
+        case 0 => math.exp(math.min(t, 700.0))
+        case 1 =>
+          val e = math.exp(math.min(lk.eta * t, 700.0))
+          if (e < lk.lb) lk.lb else if (e > lk.ub) lk.ub else e
+        case _ => math.exp(-math.max(t, -700.0))
+      }
       val f = udf { v: Vector =>
         var t = 0.0
         v.foreachActive((i, x) => t += x * th(i))

@@ -67,21 +67,39 @@ object Dedup {
   }
 
   /** n-gram Jaccard similarity for LSH candidate pairs: exact similarity
-   * computed ONLY inside buckets (never all-pairs). Returns pairs with
-   * their 3-gram shingle Jaccard. */
+   * computed ONLY inside buckets (never all-pairs). The shingle frame is
+   * built once and cached (candidate generation and exact Jaccard reuse
+   * it); band hashes use xxhash64 (no oracle requires md5 here). */
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
-      minJaccard: Double = 0.5): DataFrame = {
-    val cand = minhashCandidatePairs(docs, textCol, idCol)
+      minJaccard: Double = 0.5, numHashes: Int = 8, bandSize: Int = 2): DataFrame = {
     val shingles = docs
       .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("sid"), array_distinct(expr(
         "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))"))
         .as("sh"))
+      .cache()
+    val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
+    val aggs = (0 until numHashes).map(j =>
+      min(xxhash64(lit(j), col("s"))).as(s"h$j"))
+    val sig = exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*)
+    val bands = numHashes / bandSize
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandSize).map(i =>
+          col(s"h${b * bandSize + i}").cast("string")): _*).as("key"))
+    }
+    val keyed = sig.select(col("sid").as("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val cand = keyed.as("a")
+      .join(keyed.as("b"), col("a.band") === col("b.band") &&
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
     cand
-      .join(shingles.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shingles.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(shingles.select(col("sid").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(shingles.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
@@ -95,6 +113,7 @@ object Dedup {
   def embeddingCosinePairs(
       emb: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val dim = emb.select(size(col(vecCol))).head().getInt(0)
     val v = col(vecCol).cast("array<double>")
     val withB = emb.select(col(idCol).as("id"), v.as("v"))

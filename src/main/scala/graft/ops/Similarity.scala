@@ -41,17 +41,19 @@ object Similarity {
       .limit(k)
   }
 
-  /** Random-hyperplane LSH bucket key: `bits` sign bits from deterministic
-   * pseudo-random hyperplanes (seeded hash of (plane, dim) — reproducible
-   * without any driver-side RNG state). */
+  /** Deterministic pseudo-random hyperplane p for dimension `dim` (seeded
+   * hash of (plane, dim) — reproducible without driver RNG state). */
+  private[ops] def plane(p: Int, dim: Int, seed: Long): Array[Double] =
+    Array.tabulate(dim) { d =>
+      scala.util.hashing.MurmurHash3.productHash((seed, p, d)).toDouble / Int.MaxValue
+    }
+
+  /** Random-hyperplane LSH bucket key: `bits` sign bits. Each plane is a
+   * literal array fed to the native graft_dot kernel — a compact expression
+   * tree (bits ~ 8 calls) instead of bits*dim codegen terms. */
   def lshBucket(vecCol: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val planes = (0 until bits).map { p =>
-      // deterministic "hyperplane": component d = hash(seed, p, d) mapped to [-1, 1)
-      val comps = (0 until dim).map { d =>
-        val h = scala.util.hashing.MurmurHash3.productHash((seed, p, d))
-        (h.toDouble / Int.MaxValue, d)
-      }
-      val s = comps.map { case (w, d) => vecCol.getItem(d) * lit(w) }.reduce(_ + _)
+      val s = dotNative(vecCol, typedlit(plane(p, dim, seed).toSeq))
       when(s >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
     }
     planes.reduce(_ + _)
@@ -61,20 +63,18 @@ object Similarity {
   def lshTopK(
       emb: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, bits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val dim = query.length
     val v = col(vecCol).cast("array<double>")
     val withBucket = emb.withColumn("bucket", lshBucket(v, dim, bits))
     // compute the query's bucket on the driver with the same planes
     var qb = 0
     for (p <- 0 until bits) {
+      val pl = plane(p, dim, 42L)
       var s = 0.0
-      for (d <- 0 until dim) {
-        val h = scala.util.hashing.MurmurHash3.productHash((42L, p, d))
-        s += query(d) * (h.toDouble / Int.MaxValue)
-      }
+      for (d <- 0 until dim) s += query(d) * pl(d)
       if (s >= 0) qb |= (1 << p)
     }
-    graft.functions.GraftFunctions.register(emb.sparkSession)
     withBucket
       .filter(col("bucket") === qb)
       .select(col(idCol), cosineNative(v, typedlit(query)).as("cosine"))
