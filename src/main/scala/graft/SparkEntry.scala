@@ -137,6 +137,22 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_mktsegment"))
         .orderBy("c_custkey")
     }),
+    "q_semi_join" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val li = t(s, dir, "lineitem").filter(col("l_quantity") >= 45)
+      part.join(li, col("p_partkey") === col("l_partkey"), "left_semi")
+        .select(col("p_partkey"), col("p_brand"))
+        .orderBy("p_partkey")
+    }),
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    }),
     "q_events_window" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, truncate
       // to micros exactly as DuckDB does
@@ -331,6 +347,18 @@ object SparkEntry {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_partkey = p_partkey AND l_quantity >= 45)
+        |ORDER BY p_partkey""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
         |    AS bucket_start,

@@ -46,6 +46,10 @@ final case class EbwResult(
     eta: Option[Double] = None,
     criterionValue: Double = 0.0,
     errorMessage: String = "",
+    /** Elastic mode only: multipliers of the u/v moment-slack bounds,
+     * (1-lambda, 1+lambda) — reference's moment_slack_multipliers_estimate
+     * (ebw_routines.py:639-641). */
+    momentSlackMultipliers: Option[Array[Double]] = None,
     private[graft] val theta: Array[Double] = Array.empty,
     private[graft] val link: Link = Link.exp)
 

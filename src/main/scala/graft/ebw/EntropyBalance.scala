@@ -116,7 +116,7 @@ object EntropyBalance {
     val weighted =
       if (converged) attempt else df.withColumn(outputCol, col(weightCol) * lit(1.0))
     EbwResult(weighted, attempt, converged, nIter, violations, multipliers,
-      eta, fval, msg, theta, link)
+      eta, fval, msg, theta = theta, link = link)
   }
 
   // ---------------------------------------------------------------- public
@@ -181,11 +181,11 @@ object EntropyBalance {
     var converged = false
     var failed = false
     var msg = ""
-    log.info(s"EBW unbounded: n=${prep.n} k=$k sumW=${prep.sumW}")
+    EbwLog.info(s"EBW unbounded: n=${prep.n} k=$k sumW=${prep.sumW}")
     var done = false
     while (!done) {
       val viol = norm2(ce)
-      log.info(f"step=$steps%3d f=${pass.fval}%12.6g ||Ce||=$viol%12.6g")
+      EbwLog.info(f"step=$steps%3d f=${pass.fval}%12.6g ||Ce||=$viol%12.6g")
       if (viol <= options.optimalityTol * bscale) {
         converged = true; done = true
       } else if (steps >= options.maxSteps) {
@@ -235,7 +235,7 @@ object EntropyBalance {
         }
       }
     }
-    if (failed) log.warn(s"EBW did not converge: $msg")
+    if (failed) EbwLog.warn(s"EBW did not converge: $msg")
     results(df, featuresCol, weightCol, outputCol, lambda, link,
       converged && !failed, steps, ce, lambda, None, pass.fval, msg)
   }
@@ -300,7 +300,7 @@ object EntropyBalance {
     var converged = false
     var grow = true
     var outer = 0
-    log.info(s"EBW elastic: n=${prep.n} k=$k bounds=($lb,$ub) eta0=$eta")
+    EbwLog.info(s"EBW elastic: n=${prep.n} k=$k bounds=($lb,$ub) eta0=$eta")
     while (grow) {
       outer += 1
       val link = Link.clip(eta, lb, ub)
@@ -324,7 +324,7 @@ object EntropyBalance {
         i = 0
         while (i < k) { pg(i) = if (pinned(i)) 0.0 else grad(i); i += 1 }
         val pgNorm = norm2(pg)
-        log.info(f"eta=$eta%10.3g inner=$inner%3d f=${pass.fval}%12.6g ||pg||=$pgNorm%12.6g")
+        EbwLog.info(f"eta=$eta%10.3g inner=$inner%3d f=${pass.fval}%12.6g ||pg||=$pgNorm%12.6g")
         if (pgNorm <= options.optimalityTol * bscale) {
           innerDone = true; innerConverged = true
         } else if (inner >= options.maxStepsBounded) {
@@ -409,9 +409,11 @@ object EntropyBalance {
       if (outer > 12) grow = false
     }
     val multipliers = lambda.map(_ * eta)
+    val slackLm = lambda.map(l => 1.0 - l) ++ lambda.map(l => 1.0 + l)
     results(df, featuresCol, weightCol, outputCol, lambda,
       Link.clip(eta, lb, ub), converged, totalSteps, ce, multipliers,
       Some(eta), pass.fval, if (converged) "" else "bounded solve did not converge")
+      .copy(momentSlackMultipliers = Some(slackLm))
   }
 
   /**
@@ -465,14 +467,14 @@ object EntropyBalance {
       var converged = false
       var done = false
       val invP = pen.map(1.0 / _)
-      log.info(s"EBW penalty: n=${prep.n} k=$k bounded=${options.bounds.isDefined}")
+      EbwLog.info(s"EBW penalty: n=${prep.n} k=$k bounded=${options.bounds.isDefined}")
       while (!done) {
         // F(z) = z - P Ce(z)
         val f = new Array[Double](k)
         var i = 0
         while (i < k) { f(i) = z(i) - pen(i) * ce(i); i += 1 }
         val fNorm = norm2(f)
-        log.info(f"step=$steps%3d ||F||=$fNorm%12.6g ||Ce||=${norm2(ce)}%12.6g")
+        EbwLog.info(f"step=$steps%3d ||F||=$fNorm%12.6g ||Ce||=${norm2(ce)}%12.6g")
         if (fNorm <= options.optimalityTol * math.max(1.0, norm2(z))) {
           converged = true; done = true
         } else if (steps >= maxSteps) {
