@@ -285,9 +285,15 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).collect()(0)
         .getSeq[Double](0)
-      Similarity.bruteForceTopK(emb.filter(col("vec_id") =!= 0), "embedding",
-          "vec_id", q, 10)
-        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+      // order by the ROUNDED similarity + id so the top-10 cut is
+      // deterministic and oracle-reproducible (TakeOrdered, no full sort)
+      graft.functions.GraftFunctions.register(s)
+      val v = col("embedding").cast("array<double>")
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(Similarity.cosineNative(v, typedlit(q)), 5).as("cosine"))
+        .orderBy(desc("cosine"), col("vec_id"))
+        .limit(10)
     })
   )
 
@@ -424,6 +430,25 @@ object SparkEntry {
         |  len(str_split(text, ' '))::BIGINT AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_topk" ->
+      """WITH q AS (
+        |  SELECT generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS qv
+        |  FROM embeddings WHERE vec_id = 0),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS ev
+        |  FROM embeddings WHERE vec_id <> 0),
+        |d AS (
+        |  SELECT e.vec_id,
+        |    sum(e.ev * q.qv) AS dp,
+        |    sqrt(sum(e.ev * e.ev)) AS na
+        |  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+        |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
+        |SELECT d.vec_id, round(d.dp / (d.na * nq.nq), 5) AS cosine
+        |FROM d, nq
+        |ORDER BY cosine DESC, d.vec_id
+        |LIMIT 10""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_m,

@@ -80,6 +80,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out.forall(r => valid.contains(r.getString(1))))
   }
 
+  test("salted join equals plain join on a skewed key") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    // 90% of rows share key 0 — the canonical hot-key shape
+    val big = (0 until 20000).map(i =>
+      (if (rng.nextDouble() < 0.9) 0L else rng.nextInt(100).toLong, i))
+      .toDF("k", "payload")
+    val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "attr")
+    val plain = big.join(small, "k")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+    assert(salted.count() == plain.count())
+    val a = plain.orderBy("k", "payload").collect().map(_.toSeq)
+    val b = salted.select("k", "payload", "attr")
+      .orderBy("k", "payload").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
   test("multimodal: batched stub decode is deterministic, frames sample") {
     val bin = docs.limit(50).select(col("doc_id"), col("text").cast("binary").as("payload"))
     val f1 = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()

@@ -46,6 +46,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq) // one code path, two engines
   }
 
+  test("streaming EBW recalibration: each micro-batch is re-solved") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("sw").toString
+    val mem = MemoryStream[(Double, Double)]
+    val stream = mem.toDF().toDF("x", "w0")
+      .withColumn("feat", org.apache.spark.sql.functions.array(
+        org.apache.spark.sql.functions.col("x")))
+    val q = StreamingWeighter.start(stream, "feat", "w0",
+      Array(1.5), s"$tmp/sink", s"$tmp/chk")
+    mem.addData((1.0, 1.0), (2.0, 1.0))
+    q.processAllAvailable()
+    mem.addData((1.0, 1.0), (1.5, 1.0), (2.5, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(s"$tmp/sink")
+    assert(out.select("batch_id").distinct().count() == 2)
+    // every batch's reweighted mean of x must hit the target 1.5
+    val means = out.groupBy("batch_id")
+      .agg((org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("x") *
+          org.apache.spark.sql.functions.col("weight_new")) /
+        org.apache.spark.sql.functions.sum("w0")).as("m"))
+      .collect().map(_.getDouble(1))
+    means.foreach(m => assert(math.abs(m - 1.5) < 1e-5, s"batch mean $m"))
+    assert(out.filter(org.apache.spark.sql.functions.col("converged") === false).count() == 0)
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
