@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance}
+import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance, GroupedEntropyBalance}
 import graft.ops.{Dedup, Similarity, TextMetrics}
 
 /**
@@ -180,6 +180,22 @@ object SparkEntry {
       val k = labels.length
       val res = EntropyBalance.entropyBalance(dfv, "feat", "w0",
         Array.fill(k)(1.0 / k), options = EbwOptions(optimalityTol = 1e-11))
+      res.weighted
+        .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+        .orderBy("o_orderkey")
+    }),
+    "ebw_grouped_poststrat" -> ((s, dir) => {
+      // many problems, one scan per Newton round: an independent
+      // priority-poststratification per order status
+      val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
+      val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+      val k = labels.length
+      val statuses = orders.select(col("o_orderstatus").cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val targets = statuses.map(st => st -> Array.fill(k)(1.0 / k)).toMap
+      val res = GroupedEntropyBalance.entropyBalanceGrouped(
+        dfv, "o_orderstatus", "feat", "w0", targets,
+        options = EbwOptions(optimalityTol = 1e-11, maxSteps = 60))
       res.weighted
         .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
         .orderBy("o_orderkey")
@@ -398,6 +414,20 @@ object SparkEntry {
         |SELECT 'm2_discount' AS moment, round(avg(l_discount), 5) AS value
         |FROM lineitem WHERE l_orderkey % 5 = 0
         |ORDER BY moment""".stripMargin,
+    "ebw_grouped_poststrat" ->
+      """SELECT o.o_orderkey,
+        |  round((s.cs * 1.0 /
+        |         (SELECT count(DISTINCT o_orderpriority) FROM orders)) / g.c, 6)
+        |    AS new_weight
+        |FROM orders o
+        |JOIN (SELECT o_orderstatus, count(*) AS cs
+        |      FROM orders GROUP BY 1) s
+        |  ON o.o_orderstatus = s.o_orderstatus
+        |JOIN (SELECT o_orderstatus, o_orderpriority, count(*) * 1.0 AS c
+        |      FROM orders GROUP BY 1, 2) g
+        |  ON o.o_orderstatus = g.o_orderstatus
+        | AND o.o_orderpriority = g.o_orderpriority
+        |ORDER BY o.o_orderkey""".stripMargin,
     "ebw_sparse_bigk" ->
       """SELECT o.o_orderkey,
         |  round(((SELECT count(*) FROM orders) * 1.0 /

@@ -1,0 +1,216 @@
+package graft.ebw
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.storage.StorageLevel
+
+import DriverLinalg.{axpy, norm2}
+
+/**
+ * Many independent EBW problems solved simultaneously — the "per-state /
+ * per-domain calibration" pattern (reference examples/pums_example.py does
+ * ONE big joint problem; at pipeline scale you often need thousands of
+ * independent small ones, e.g. per-source reweighting of training data).
+ *
+ * All groups advance together: each Newton round is ONE treeAggregate over
+ * the full dataset computing every group's (Ce, Gram) into a per-partition
+ * hash map — G problems cost one scan, not G scans. Driver state is a
+ * k-vector per group; converged groups freeze (their rows stop
+ * contributing Gram work via a skip check).
+ */
+object GroupedEntropyBalance {
+
+  final case class GroupResult(
+      converged: Boolean,
+      nIterations: Int,
+      multipliers: Array[Double],
+      constraintViolations: Array[Double])
+
+  final case class GroupedResult(
+      weighted: DataFrame,
+      groups: Map[String, GroupResult]) {
+    def allConverged: Boolean = groups.values.forall(_.converged)
+  }
+
+  private final case class GRow(g: Int, idx: Array[Int], vals: Array[Double], w0: Double)
+
+  /**
+   * Solve one unbounded EBW problem per distinct value of `groupCol`.
+   * `targets(g)` are mean population moments for group g; every group uses
+   * the same feature dimension k. Returns the input with `outputCol` (all
+   * groups' weights in one column) plus per-group diagnostics.
+   */
+  def entropyBalanceGrouped(
+      df: DataFrame,
+      groupCol: String,
+      featuresCol: String,
+      weightCol: String,
+      targets: Map[String, Array[Double]],
+      outputCol: String = "weight_new",
+      options: EbwOptions = EbwOptions()): GroupedResult = {
+    require(targets.nonEmpty)
+    val k = targets.head._2.length
+    require(targets.values.forall(_.length == k), "all groups need k moments")
+    val names = targets.keys.toArray.sorted
+    val gIdx = names.zipWithIndex.toMap
+    val nG = names.length
+    val spark = df.sparkSession
+
+    val bcGIdx = spark.sparkContext.broadcast(gIdx)
+    val rows: RDD[GRow] = df
+      .select(col(groupCol).cast("string"), col(featuresCol), col(weightCol).cast(DoubleType))
+      .rdd
+      .flatMap { r =>
+        bcGIdx.value.get(r.getString(0)).map { g =>
+          val w = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+          r.get(1) match {
+            case v: org.apache.spark.ml.linalg.SparseVector => GRow(g, v.indices, v.values, w)
+            case v: org.apache.spark.ml.linalg.DenseVector  => GRow(g, null, v.values, w)
+            case s: scala.collection.Seq[_] =>
+              GRow(g, null, s.asInstanceOf[scala.collection.Seq[Double]].toArray, w)
+            case _ => GRow(g, null, null, w)
+          }
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rows.setName(s"ebw-grouped-${nG}g-k$k")
+
+    try {
+      val tri = k * (k + 1) / 2
+      val blk = 1 + k + tri // per group: [wrsum, s(k), gram(tri)]
+
+      // one pass: per-group sumW (and validation)
+      val w0Stats = rows.treeAggregate(new Array[Double](nG + 1))(
+        (buf, r) => {
+          var bad = r.w0.isNaN || r.w0.isInfinite || r.w0 <= 0.0 || r.vals == null
+          if (!bad) {
+            var p = 0
+            while (p < r.vals.length && !bad) {
+              val v = r.vals(p); if (v.isNaN || v.isInfinite) bad = true; p += 1
+            }
+          }
+          if (bad) buf(nG) += 1 else buf(r.g) += r.w0
+          buf
+        },
+        (a, b) => { var i = 0; while (i <= nG) { a(i) += b(i); i += 1 }; a },
+        depth = 2)
+      if (w0Stats(nG) > 0)
+        throw new IllegalArgumentException(
+          "Inputs include invalid values (NaNs, non-positive weights, etc)")
+      val sumW = Array.tabulate(nG)(w0Stats)
+      val b = Array.tabulate(nG)(g => targets(names(g)).map(_ * sumW(g)))
+      val bscale = Array.tabulate(nG)(g => math.max(1.0, norm2(b(g))))
+
+      val lambda = Array.fill(nG)(new Array[Double](k))
+      val converged = new Array[Boolean](nG)
+      val iters = new Array[Int](nG)
+      val ceOut = Array.fill(nG)(new Array[Double](k))
+      var round = 0
+
+      while (round < options.maxSteps && !converged.forall(identity)) {
+        val bcLambda = spark.sparkContext.broadcast(lambda)
+        val bcDone = spark.sparkContext.broadcast(converged)
+        val agg = rows.treeAggregate(new Array[Double](nG * blk))(
+          (buf, r) => {
+            if (!bcDone.value(r.g)) {
+              val th = bcLambda.value(r.g)
+              val base = r.g * blk
+              var t = 0.0
+              if (r.idx == null) {
+                var j = 0
+                while (j < k) { t += r.vals(j) * th(j); j += 1 }
+              } else {
+                var p = 0
+                while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
+              }
+              val e = math.exp(math.min(t, 700.0))
+              val wr = r.w0 * e
+              buf(base) += wr
+              if (r.idx == null) {
+                var i = 0
+                while (i < k) {
+                  val vi = r.vals(i)
+                  buf(base + 1 + i) += wr * vi
+                  if (vi != 0.0) {
+                    val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                    var j = i
+                    while (j < k) { buf(gb + j) += wr * vi * r.vals(j); j += 1 }
+                  }
+                  i += 1
+                }
+              } else {
+                var p = 0
+                while (p < r.idx.length) {
+                  val i = r.idx(p); val vi = r.vals(p)
+                  buf(base + 1 + i) += wr * vi
+                  val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                  var q = p
+                  while (q < r.idx.length) { buf(gb + r.idx(q)) += wr * vi * r.vals(q); q += 1 }
+                  p += 1
+                }
+              }
+            }
+            buf
+          },
+          (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a },
+          depth = 2)
+        bcLambda.destroy()
+        bcDone.destroy()
+
+        var g = 0
+        while (g < nG) {
+          if (!converged(g)) {
+            val base = g * blk
+            val s = java.util.Arrays.copyOfRange(agg, base + 1, base + 1 + k)
+            val gram = java.util.Arrays.copyOfRange(agg, base + 1 + k, base + blk)
+            val ce = axpy(-1.0, b(g), s)
+            ceOut(g) = ce
+            val viol = norm2(ce)
+            if (viol <= options.optimalityTol * bscale(g)) converged(g) = true
+            else {
+              val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale(g), 0.55))
+              val d = DriverLinalg.solveRidged(k, gram, ce.map(-_), ridge)
+              // damped full step: groups share the pass, so no individual
+              // line search — cap the step to keep exp() sane instead
+              val dn = d.map(math.abs).max
+              val scale = if (dn > 30.0) 30.0 / dn else 1.0
+              var j = 0
+              while (j < k) { lambda(g)(j) += scale * d(j); j += 1 }
+              iters(g) += 1
+            }
+          }
+          g += 1
+        }
+        round += 1
+      }
+
+      // output: weights for all groups in one narrow pass
+      graft.functions.GraftFunctions.register(spark)
+      val multByName = names.indices.map(g => names(g) -> lambda(g).toSeq).toMap
+      val bcM = spark.sparkContext.broadcast(multByName)
+      val lamCol = udf { (gname: String) => bcM.value.getOrElse(gname, Seq.fill(k)(0.0)) }
+      val dotC = call_function("graft_dot",
+        col(featuresCol).cast("array<double>"), lamCol(col(groupCol).cast("string")))
+      val isArr = df.schema(featuresCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      val ratio =
+        if (isArr) exp(least(dotC, lit(700.0)))
+        else {
+          val f = udf { (v: org.apache.spark.ml.linalg.Vector, gname: String) =>
+            val th = bcM.value.getOrElse(gname, Seq.fill(k)(0.0))
+            var t = 0.0
+            v.foreachActive((i, x) => t += x * th(i))
+            math.exp(math.min(t, 700.0))
+          }
+          f(col(featuresCol), col(groupCol).cast("string"))
+        }
+      val weighted = df.withColumn(outputCol, col(weightCol) * ratio)
+      val results = names.indices.map { g =>
+        names(g) -> GroupResult(converged(g), iters(g), lambda(g), ceOut(g))
+      }.toMap
+      GroupedResult(weighted, results)
+    } finally rows.unpersist(false)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ebw
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GroupedSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("grouped-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("grouped solve equals independent per-group solves") {
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .withColumn("bal_k", col("c_acctbal") / 1000.0)
+      .withColumn("w0", lit(1.0))
+      .withColumn("feat", array(col("bal_k")))
+    val segs = cust.select("c_mktsegment").distinct()
+      .collect().map(_.getString(0)).sorted
+    // per-group target: that group's subpop (custkey%2==0) mean
+    val targets = segs.map { s =>
+      val m = cust.filter(col("c_mktsegment") === s && col("c_custkey") % 2 === 0)
+        .agg(avg("bal_k")).collect()(0).getDouble(0)
+      s -> Array(m)
+    }.toMap
+
+    val grouped = GroupedEntropyBalance.entropyBalanceGrouped(
+      cust, "c_mktsegment", "feat", "w0", targets,
+      options = EbwOptions(optimalityTol = 1e-9, maxSteps = 60))
+    assert(grouped.allConverged,
+      grouped.groups.map { case (g, r) => s"$g:${r.converged}" }.mkString(","))
+
+    // independent solves must give the same weights
+    val groupedW = grouped.weighted.select(col("c_custkey"), col("weight_new"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (s <- segs) {
+      val sub = cust.filter(col("c_mktsegment") === s)
+      val solo = EntropyBalance.entropyBalance(sub, "feat", "w0", targets(s),
+        options = EbwOptions(optimalityTol = 1e-9))
+      assert(solo.converged)
+      val soloW = solo.weighted.select(col("c_custkey"), col("weight_new"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val maxDiff = soloW.map { case (id, w) => math.abs(w - groupedW(id)) }.max
+      assert(maxDiff < 1e-6, s"segment $s weights differ by $maxDiff")
+    }
+    // per-group moment checks
+    grouped.groups.foreach { case (g, r) =>
+      assert(r.constraintViolations.map(math.abs).max < 1e-4, s"$g violations")
+    }
+  }
+
+  test("rows in groups without targets keep w0 and are not solved") {
+    val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .withColumn("bal_k", col("c_acctbal") / 1000.0)
+      .withColumn("w0", lit(1.0))
+      .withColumn("feat", array(col("bal_k")))
+    val only = Map("BUILDING" -> Array(4.5))
+    val res = GroupedEntropyBalance.entropyBalanceGrouped(
+      cust, "c_mktsegment", "feat", "w0", only,
+      options = EbwOptions(optimalityTol = 1e-8))
+    assert(res.groups.keySet == Set("BUILDING"))
+    val others = res.weighted.filter(col("c_mktsegment") =!= "BUILDING")
+      .filter(col("weight_new") =!= col("w0")).count()
+    assert(others == 0, "untargeted groups must keep original weights")
+  }
+}
