@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance, GroupedEntropyBalance}
-import graft.ops.{Dedup, Similarity, TextMetrics}
+import graft.ops.{Dedup, Similarity, Skew, TextMetrics}
 
 /**
  * Driver contract (SURVEY.md §2/§7): one entry per implemented capability,
@@ -152,6 +152,20 @@ object SparkEntry {
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("total"))
         .orderBy("status", "priority")
+    }),
+    "q_salted_join" -> ((s, dir) => {
+      // the skew-mitigation operator under the oracle gate: salted join
+      // must produce exactly the plain-join aggregate
+      val li = t(s, dir, "lineitem")
+        .select(col("l_suppkey").as("k"), col("l_extendedprice"), col("l_discount"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("k"), col("s_name"))
+      Skew.saltedJoin(li, sup, "k", 8)
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("s_name")
     }),
     "q_events_window" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, truncate
@@ -381,6 +395,11 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_salted_join" ->
+      """SELECT s_name, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S')
         |    AS bucket_start,

@@ -59,6 +59,44 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
+  /** IVF-style ANN: cluster the corpus with MLlib KMeans (nlist cells),
+   * then search only the nprobe cells nearest the query — the standard
+   * inverted-file index shape, built from Spark-native pieces. Returns
+   * exact cosines within the probed cells. */
+  def ivfTopK(
+      emb: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val toVec = udf { (xs: Seq[Double]) => Vectors.dense(xs.toArray) }
+    val v = col(vecCol).cast("array<double>")
+    val prepared = emb.select(col(idCol), v.as("arr"))
+      .withColumn("mlvec", toVec(col("arr")))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("mlvec").setPredictionCol("cell")
+      .fit(prepared)
+    val centers = model.clusterCenters
+    val qArr = query.toArray
+    val probed = centers.zipWithIndex
+      .map { case (c, i) =>
+        var d = 0.0
+        var j = 0
+        while (j < qArr.length) { val t = c(j) - qArr(j); d += t * t; j += 1 }
+        (i, d)
+      }
+      .sortBy(_._2).take(nprobe).map(_._1).toSet
+    val out = model.transform(prepared)
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col(idCol), cosineNative(col("arr"), typedlit(query)).as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+    prepared.unpersist(false)
+    out
+  }
+
   /** Approximate top-k: restrict the scan to the query's LSH bucket. */
   def lshTopK(
       emb: DataFrame, vecCol: String, idCol: String,

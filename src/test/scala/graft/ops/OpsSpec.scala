@@ -73,6 +73,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF top-k cosines agree with brute force; probing fewer cells is a subset") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ivf = Similarity.ivfTopK(rest, "embedding", "vec_id", q, 10,
+      nlist = 8, nprobe = 3).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-12)
+    }
+    // full probe (nprobe = nlist) must recover the exact brute-force top-10
+    val full = Similarity.ivfTopK(rest, "embedding", "vec_id", q, 10,
+      nlist = 8, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val bruteTop = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == bruteTop)
+  }
+
   test("langId returns valid labels") {
     val out = TextMetrics.langId(docs, "text", "doc_id").collect()
     val valid = Set("en", "de", "fr", "es", "und")
