@@ -59,14 +59,36 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
-  /** IVF-style ANN: cluster the corpus with MLlib KMeans (nlist cells),
-   * then search only the nprobe cells nearest the query — the standard
-   * inverted-file index shape, built from Spark-native pieces. Returns
-   * exact cosines within the probed cells. */
-  def ivfTopK(
+  /** A fitted IVF index: cluster assignments cached, centers on the
+   * driver. Build once, query many times (the KMeans fit amortizes). */
+  final class IvfIndex private[Similarity] (
+      private[Similarity] val assigned: DataFrame, // (id, arr, cell), cached
+      val centers: Array[Array[Double]],
+      val idCol: String) {
+    def query(q: Seq[Double], k: Int, nprobe: Int): DataFrame = {
+      val qArr = q.toArray
+      val probed = centers.zipWithIndex
+        .map { case (c, i) =>
+          var d = 0.0
+          var j = 0
+          while (j < qArr.length) { val t = c(j) - qArr(j); d += t * t; j += 1 }
+          (i, d)
+        }
+        .sortBy(_._2).take(math.max(1, nprobe)).map(_._1).toSeq
+      assigned
+        .filter(col("cell").isin(probed: _*))
+        .select(col(idCol), cosineNative(col("arr"), typedlit(q)).as("cosine"))
+        .orderBy(desc("cosine"), col(idCol))
+        .limit(k)
+    }
+    def unpersist(): Unit = assigned.unpersist()
+  }
+
+  /** Build an IVF index: MLlib KMeans into nlist cells, assignments
+   * cached. The 100 TB shape writes `assigned` partitioned by cell. */
+  def fitIvfIndex(
       emb: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      nlist: Int = 16, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     graft.functions.GraftFunctions.register(emb.sparkSession)
@@ -74,27 +96,24 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val prepared = emb.select(col(idCol), v.as("arr"))
       .withColumn("mlvec", toVec(col("arr")))
-      .cache()
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("mlvec").setPredictionCol("cell")
       .fit(prepared)
-    val centers = model.clusterCenters
-    val qArr = query.toArray
-    val probed = centers.zipWithIndex
-      .map { case (c, i) =>
-        var d = 0.0
-        var j = 0
-        while (j < qArr.length) { val t = c(j) - qArr(j); d += t * t; j += 1 }
-        (i, d)
-      }
-      .sortBy(_._2).take(nprobe).map(_._1).toSet
-    val out = model.transform(prepared)
-      .filter(col("cell").isin(probed.toSeq: _*))
-      .select(col(idCol), cosineNative(col("arr"), typedlit(query)).as("cosine"))
-      .orderBy(desc("cosine"), col(idCol))
-      .limit(k)
-    prepared.unpersist(false)
-    out
+    val assigned = model.transform(prepared)
+      .select(col(idCol), col("arr"), col("cell"))
+      .cache()
+    new IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol)
+  }
+
+  /** IVF-style ANN: cluster the corpus with MLlib KMeans (nlist cells),
+   * then search only the nprobe cells nearest the query. One-shot
+   * convenience over fitIvfIndex + query. */
+  def ivfTopK(
+      emb: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, nlist: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val index = fitIvfIndex(emb, vecCol, idCol, nlist, seed)
+    index.query(query, k, nprobe)
   }
 
   /** Approximate top-k: restrict the scan to the query's LSH bucket. */

@@ -229,6 +229,66 @@ class EbwSolverSpec extends AnyFunSuite {
     }
   }
 
+  test("bounded penalty respects bounds and tightens with penalty (ebw_penalty.py:252)") {
+    val rng = new scala.util.Random(1252)
+    val n = 1500
+    val k = 3
+    val x = Array.fill(n)(Array.fill(k)(rng.nextDouble()))
+    val sample = Array.fill(300)(Array.fill(k)(rng.nextDouble()))
+    val m = Array.tabulate(k)(j => sample.map(_(j)).sum / 300.0)
+    val df = denseDf(x, Array.fill(n)(1.0))
+    val lo = EntropyBalance.entropyBalancePenalty(df, "feat", "w0", m, Array(1.0),
+      options = EbwOptions(bounds = Some((0.8, Some(1.3)))))
+    val hi = EntropyBalance.entropyBalancePenalty(df, "feat", "w0", m, Array(30.0),
+      options = EbwOptions(bounds = Some((0.8, Some(1.3)))))
+    assert(lo.converged && hi.converged)
+    for (res <- Seq(lo, hi)) {
+      val rng2 = res.weighted
+        .agg(min(col("weight_new") / col("w0")), max(col("weight_new") / col("w0")))
+        .collect()(0)
+      assert(rng2.getDouble(0) >= 0.8 - 1e-9 && rng2.getDouble(1) <= 1.3 + 1e-9)
+    }
+    val missLo = math.sqrt(lo.constraintViolations.map(v => v * v).sum)
+    val missHi = math.sqrt(hi.constraintViolations.map(v => v * v).sum)
+    assert(missHi <= missLo + 1e-9, s"bounded penalty: $missHi !<= $missLo")
+  }
+
+  test("save_problem_data / save_failure_data options (shared.py::dump, test_dump.py)") {
+    val tmp = java.nio.file.Files.createTempDirectory("dump").toString
+    val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, 1.0))
+    // success: problem dumped, failure file absent
+    EntropyBalance.entropyBalance(df, "feat", "w0", Array(1.5),
+      options = EbwOptions(saveProblemData = Some(s"$tmp/ok"),
+        saveFailureData = Some(s"$tmp/okfail")))
+    assert(new java.io.File(s"$tmp/ok/meta").exists())
+    assert(!new java.io.File(s"$tmp/okfail").exists())
+    val (loaded, m2) = ProblemIO.load(spark, s"$tmp/ok")
+    assert(m2.toSeq == Seq(1.5) && loaded.count() == 2)
+    // infeasible (negative target with positive x is unreachable for any
+    // positive weights) -> failure dump written
+    val bad = EntropyBalance.entropyBalance(df, "feat", "w0", Array(-1.0),
+      options = EbwOptions(maxSteps = 5, saveFailureData = Some(s"$tmp/fail")))
+    assert(!bad.converged)
+    assert(new java.io.File(s"$tmp/fail/meta").exists())
+  }
+
+  test("auto-eta grows until feasible bounded problems match exactly") {
+    // total-weight constraint + a strongly shifted mean: the true
+    // multipliers exceed eta0=1, so the box pins and eta must grow
+    // (ebw_routines.py:576-584 analogue)
+    val rng = new scala.util.Random(77)
+    val n = 800
+    val x = Array.fill(n)(Array(1.0, rng.nextDouble()))
+    val m = Array(1.0, 0.75) // keep total weight; shift mean 0.5 -> 0.75
+    val df = denseDf(x, Array.fill(n)(1.0))
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(bounds = Some((0.0, None)), optimalityTol = 1e-8))
+    assert(res.converged)
+    assert(res.eta.exists(_ > 1.0), s"eta should have grown, got ${res.eta}")
+    assert(res.constraintViolations.map(math.abs).max < 1e-3 * n)
+    assert(res.equalityMultipliers.map(math.abs).max > 1.0) // needed the growth
+  }
+
   test("invalid inputs rejected (shared.py::inputs_are_invalid)") {
     val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, -1.0))
     val e = intercept[IllegalArgumentException] {
