@@ -144,6 +144,26 @@ object SparkEntry {
         .select(col("p_partkey"), col("p_brand"))
         .orderBy("p_partkey")
     }),
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("qty"))
+        .orderBy("rf", "ls")
+    }),
+    "ann_batch" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") >= 5)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.batchTopK(corpus, "embedding", "vec_id", queries,
+          "qid", "qvec", k = 5)
+        .select(col("qid"), col("id").as("vec_id"),
+          round(col("cosine"), 5).as("cosine"), col("rank"))
+        .orderBy("qid", "rank")
+    }),
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -388,6 +408,37 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM lineitem
         |  WHERE l_partkey = p_partkey AND l_quantity >= 45)
         |ORDER BY p_partkey""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "ann_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS ev
+        |  FROM embeddings WHERE vec_id >= 5),
+        |d AS (
+        |  SELECT q.qid, e.vec_id, sum(e.ev * q.qv) AS dp,
+        |    sqrt(sum(e.ev * e.ev)) AS na
+        |  FROM e JOIN q ON e.i = q.i GROUP BY q.qid, e.vec_id),
+        |nq AS (SELECT qid, sqrt(sum(qv * qv)) AS nqn FROM q GROUP BY qid),
+        |r AS (
+        |  SELECT d.qid, d.vec_id, d.dp / (d.na * nq.nqn) AS cos_raw
+        |  FROM d JOIN nq ON d.qid = nq.qid),
+        |rk AS (
+        |  SELECT qid, vec_id, round(cos_raw, 5) AS cosine,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY cos_raw DESC, vec_id) AS rank
+        |  FROM r)
+        |SELECT qid, vec_id, cosine, rank FROM rk
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

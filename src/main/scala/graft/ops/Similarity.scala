@@ -116,6 +116,29 @@ object Similarity {
     index.query(query, k, nprobe)
   }
 
+  /** Batched exact top-k: MANY query vectors against the corpus in ONE
+   * scan — at scale you never rescan per query. The query set is
+   * broadcast; per (row, query) cosine goes through the native kernel;
+   * ranking is a per-query window. Returns (qid, id, cosine, rank). */
+  def batchTopK(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val qv = col(qvecCol).cast("array<double>")
+    val q = broadcast(queries.select(col(qidCol).as("qid"), qv.as("qvec")))
+    val scored = corpus.select(col(idCol).as("id"), v.as("cvec"))
+      .crossJoin(q)
+      .select(col("qid"), col("id"),
+        cosineNative(col("cvec"), col("qvec")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: restrict the scan to the query's LSH bucket. */
   def lshTopK(
       emb: DataFrame, vecCol: String, idCol: String,

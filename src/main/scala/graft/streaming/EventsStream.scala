@@ -22,6 +22,17 @@ object EventsStream {
         col("n"), col("sum_value"))
   }
 
+  /** Streaming dedup: keep the first occurrence of each `keyCols` combo
+   * seen within the watermark horizon (dropDuplicatesWithinWatermark —
+   * state is bounded by the watermark, the only safe shape for an
+   * unbounded stream; exact-replay and near-replay duplicates collapse). */
+  def streamingDedup(
+      events: DataFrame, tsCol: String, watermark: String,
+      keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

@@ -73,6 +73,25 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("batch top-k equals per-query brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") >= 5)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val batch = Similarity.batchTopK(corpus, "embedding", "vec_id",
+      queries, "qid", "qvec", k = 7).collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq }
+    val qvecs = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    for ((qid, qv) <- qvecs) {
+      val solo = Similarity.bruteForceTopK(corpus, "embedding", "vec_id", qv, 7)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == solo, s"query $qid: ${batch(qid)} vs $solo")
+    }
+  }
+
   test("IVF top-k cosines agree with brute force; probing fewer cells is a subset") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = emb.filter(col("vec_id") === 0)

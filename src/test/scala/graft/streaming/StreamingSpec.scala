@@ -74,6 +74,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(org.apache.spark.sql.functions.col("converged") === false).count() == 0)
   }
 
+  test("streaming dedup collapses replayed events within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dedup = EventsStream.streamingDedup(
+      mem.toDF(), "ts", "10 minutes", Seq("user_id", "event_type"))
+    val q = dedup.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(
+      Event(1, ts(0), "click", 1.0),
+      Event(1, ts(1), "click", 1.0), // near-replay: same key, 1 min later
+      Event(2, ts(0), "view", 2.0))
+    q.processAllAvailable()
+    mem.addData(Event(1, ts(2), "click", 1.0)) // still within watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").collect()
+    // one (1, click) and one (2, view) survive
+    assert(rows.length == 2, rows.mkString(","))
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
