@@ -159,9 +159,9 @@ object SparkEntry {
       val queries = emb.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       Similarity.batchTopK(corpus, "embedding", "vec_id", queries,
-          "qid", "qvec", k = 5)
+          "qid", "qvec", k = 5, roundDigits = Some(5))
         .select(col("qid"), col("id").as("vec_id"),
-          round(col("cosine"), 5).as("cosine"), col("rank"))
+          col("cosine"), col("rank"))
         .orderBy("qid", "rank")
     }),
     "q_rollup" -> ((s, dir) => {
@@ -430,12 +430,14 @@ object SparkEntry {
         |  FROM e JOIN q ON e.i = q.i GROUP BY q.qid, e.vec_id),
         |nq AS (SELECT qid, sqrt(sum(qv * qv)) AS nqn FROM q GROUP BY qid),
         |r AS (
-        |  SELECT d.qid, d.vec_id, d.dp / (d.na * nq.nqn) AS cos_raw
+        |  SELECT d.qid, d.vec_id,
+        |    round(CASE WHEN d.na * nq.nqn > 0
+        |          THEN d.dp / (d.na * nq.nqn) ELSE 0.0 END, 5) AS cosine
         |  FROM d JOIN nq ON d.qid = nq.qid),
         |rk AS (
-        |  SELECT qid, vec_id, round(cos_raw, 5) AS cosine,
+        |  SELECT qid, vec_id, cosine,
         |    row_number() OVER (PARTITION BY qid
-        |      ORDER BY cos_raw DESC, vec_id) AS rank
+        |      ORDER BY cosine DESC, vec_id) AS rank
         |  FROM r)
         |SELECT qid, vec_id, cosine, rank FROM rk
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
@@ -545,7 +547,9 @@ object SparkEntry {
         |    sqrt(sum(e.ev * e.ev)) AS na
         |  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
         |nq AS (SELECT sqrt(sum(qv * qv)) AS nq FROM q)
-        |SELECT d.vec_id, round(d.dp / (d.na * nq.nq), 5) AS cosine
+        |SELECT d.vec_id,
+        |  round(CASE WHEN d.na * nq.nq > 0
+        |        THEN d.dp / (d.na * nq.nq) ELSE 0.0 END, 5) AS cosine
         |FROM d, nq
         |ORDER BY cosine DESC, d.vec_id
         |LIMIT 10""".stripMargin,

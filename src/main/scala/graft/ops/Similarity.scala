@@ -18,14 +18,21 @@ object Similarity {
   def norm(a: Column): Column =
     sqrt(aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm vectors get cosine 0 (not NaN): NaN would sort ABOVE every
+   * real similarity under desc and poison any top-k. */
+  def cosine(a: Column, b: Column): Column = {
+    val den = norm(a) * norm(b)
+    when(den > 0, dot(a, b) / den).otherwise(lit(0.0))
+  }
 
   /** Codegen'd native kernel (graft.functions.ArrayDotProduct); requires
    * GraftFunctions.register on the session. ~whole-stage-codegen speed. */
   def dotNative(a: Column, b: Column): Column = call_function("graft_dot", a, b)
 
-  def cosineNative(a: Column, b: Column): Column =
-    dotNative(a, b) / (sqrt(dotNative(a, a)) * sqrt(dotNative(b, b)))
+  def cosineNative(a: Column, b: Column): Column = {
+    val den = sqrt(dotNative(a, a)) * sqrt(dotNative(b, b))
+    when(den > 0, dotNative(a, b) / den).otherwise(lit(0.0))
+  }
 
   /** Exact top-k by cosine against one query vector (broadcast literal).
    * A single narrow codegen'd scan + TakeOrdered — no shuffle. */
@@ -118,23 +125,40 @@ object Similarity {
 
   /** Batched exact top-k: MANY query vectors against the corpus in ONE
    * scan — at scale you never rescan per query. The query set is
-   * broadcast; per (row, query) cosine goes through the native kernel;
-   * ranking is a per-query window. Returns (qid, id, cosine, rank). */
+   * broadcast; per (row, query) cosine goes through the native kernel.
+   * Ranking is two-stage so parallelism survives: a per-(qid, input
+   * partition) window prunes to k rows per partition (numPartitions * Q
+   * keys, fully parallel), then the tiny survivor set gets the global
+   * per-qid rank. A single global window would funnel the whole scored
+   * corpus through Q reducer tasks. `roundDigits` ranks on the rounded
+   * cosine (ties by id) for cross-engine-deterministic cuts.
+   * Returns (qid, id, cosine, rank). */
   def batchTopK(
       corpus: DataFrame, vecCol: String, idCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int): DataFrame = {
+      k: Int, roundDigits: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val v = col(vecCol).cast("array<double>")
     val qv = col(qvecCol).cast("array<double>")
     val q = broadcast(queries.select(col(qidCol).as("qid"), qv.as("qvec")))
+    val rawCos = cosineNative(col("cvec"), col("qvec"))
+    val cosExpr = roundDigits.map(d => round(rawCos, d)).getOrElse(rawCos)
     val scored = corpus.select(col(idCol).as("id"), v.as("cvec"))
+      .withColumn("part", spark_partition_id())
       .crossJoin(q)
-      .select(col("qid"), col("id"),
-        cosineNative(col("cvec"), col("qvec")).as("cosine"))
+      .select(col("qid"), col("id"), col("part"), cosExpr.as("cosine"))
+    // stage 1: partial top-k per (qid, source partition) — any grouping of
+    // the corpus is valid here, the union of partial top-ks contains the
+    // global top-k
+    val wPart = Window.partitionBy("qid", "part").orderBy(desc("cosine"), col("id"))
+    val pruned = scored
+      .withColumn("prank", row_number().over(wPart))
+      .filter(col("prank") <= k)
+      .drop("prank", "part")
+    // stage 2: global rank over <= numPartitions * k rows per query
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), col("id"))
-    scored
+    pruned
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
   }

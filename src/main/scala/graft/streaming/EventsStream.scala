@@ -22,10 +22,12 @@ object EventsStream {
         col("n"), col("sum_value"))
   }
 
-  /** Streaming dedup: keep the first occurrence of each `keyCols` combo
-   * seen within the watermark horizon (dropDuplicatesWithinWatermark —
-   * state is bounded by the watermark, the only safe shape for an
-   * unbounded stream; exact-replay and near-replay duplicates collapse). */
+  /** Streaming dedup: keep the first-PROCESSED occurrence of each
+   * `keyCols` combo within the watermark horizon
+   * (dropDuplicatesWithinWatermark — state is bounded by the watermark,
+   * the only safe shape for an unbounded stream). Note: with out-of-order
+   * arrival the survivor is the first to ARRIVE, not the earliest event
+   * time; earliest-event-time semantics need a windowed min-by instead. */
   def streamingDedup(
       events: DataFrame, tsCol: String, watermark: String,
       keyCols: Seq[String]): DataFrame =
