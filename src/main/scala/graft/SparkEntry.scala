@@ -274,6 +274,9 @@ object SparkEntry {
     "text_quality" -> ((s, dir) =>
       TextMetrics.quality(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "text_tfidf" -> ((s, dir) =>
+      TextMetrics.topTfidfTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+        .orderBy("doc_id", "rank")),
     "text_fingerprint" -> ((s, dir) =>
       TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
@@ -553,6 +556,25 @@ object SparkEntry {
         |FROM d, nq
         |ORDER BY cosine DESC, d.vec_id
         |LIMIT 10""".stripMargin,
+    "text_tfidf" ->
+      """WITH nn AS (SELECT count(*) AS n FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+        |dfreq AS (
+        |  SELECT term, count(DISTINCT doc_id) AS df FROM tok2 GROUP BY 1),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln((nn.n + 1.0) / (dfreq.df + 1.0)), 5) AS tfidf
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+        |rk AS (
+        |  SELECT doc_id, term, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, term) AS rank
+        |  FROM s)
+        |SELECT doc_id, term, tfidf, rank FROM rk
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_m,

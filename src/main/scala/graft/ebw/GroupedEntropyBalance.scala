@@ -103,19 +103,33 @@ object GroupedEntropyBalance {
       val b = Array.tabulate(nG)(g => targets(names(g)).map(_ * sumW(g)))
       val bscale = Array.tabulate(nG)(g => math.max(1.0, norm2(b(g))))
 
+      // Unified link: r = clip(exp(eta_g * t), lb, ub). Unbounded mode is
+      // lb=0, ub=inf, eta fixed at 1 (clip inert, no box on lambda);
+      // bounded/elastic mode box-projects lambda into [-1,1]^k and
+      // auto-grows each group's eta independently (SURVEY.md §3).
+      val bounded = options.bounds.isDefined
+      val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
+      val lb = math.max(0.0, lbRaw)
+      val ub = ubOpt.getOrElse(Double.PositiveInfinity)
+      val etaFixed = options.eta.isDefined
+      val etas = Array.fill(nG)(if (bounded) options.eta.getOrElse(1.0) else 1.0)
+
       val lambda = Array.fill(nG)(new Array[Double](k))
       val converged = new Array[Boolean](nG)
       val iters = new Array[Int](nG)
       val ceOut = Array.fill(nG)(new Array[Double](k))
       var round = 0
+      val maxRounds = if (bounded) options.maxStepsBounded else options.maxSteps
 
-      while (round < options.maxSteps && !converged.forall(identity)) {
+      while (round < maxRounds && !converged.forall(identity)) {
         val bcLambda = spark.sparkContext.broadcast(lambda)
         val bcDone = spark.sparkContext.broadcast(converged)
+        val bcEta = spark.sparkContext.broadcast(etas)
         val agg = rows.treeAggregate(new Array[Double](nG * blk))(
           (buf, r) => {
             if (!bcDone.value(r.g)) {
               val th = bcLambda.value(r.g)
+              val eta = bcEta.value(r.g)
               val base = r.g * blk
               var t = 0.0
               if (r.idx == null) {
@@ -125,18 +139,21 @@ object GroupedEntropyBalance {
                 var p = 0
                 while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
               }
-              val e = math.exp(math.min(t, 700.0))
-              val wr = r.w0 * e
+              val e = math.exp(math.min(eta * t, 700.0))
+              val rr = if (e < lb) lb else if (e > ub) ub else e
+              val rp = if (e > lb && e < ub) eta * e else 0.0
+              val wr = r.w0 * rr
+              val wrp = r.w0 * rp
               buf(base) += wr
               if (r.idx == null) {
                 var i = 0
                 while (i < k) {
                   val vi = r.vals(i)
                   buf(base + 1 + i) += wr * vi
-                  if (vi != 0.0) {
+                  if (vi != 0.0 && wrp != 0.0) {
                     val gb = base + 1 + k + i * k - i * (i + 1) / 2
                     var j = i
-                    while (j < k) { buf(gb + j) += wr * vi * r.vals(j); j += 1 }
+                    while (j < k) { buf(gb + j) += wrp * vi * r.vals(j); j += 1 }
                   }
                   i += 1
                 }
@@ -145,9 +162,11 @@ object GroupedEntropyBalance {
                 while (p < r.idx.length) {
                   val i = r.idx(p); val vi = r.vals(p)
                   buf(base + 1 + i) += wr * vi
-                  val gb = base + 1 + k + i * k - i * (i + 1) / 2
-                  var q = p
-                  while (q < r.idx.length) { buf(gb + r.idx(q)) += wr * vi * r.vals(q); q += 1 }
+                  if (wrp != 0.0) {
+                    val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                    var q = p
+                    while (q < r.idx.length) { buf(gb + r.idx(q)) += wrp * vi * r.vals(q); q += 1 }
+                  }
                   p += 1
                 }
               }
@@ -158,6 +177,7 @@ object GroupedEntropyBalance {
           depth = 2)
         bcLambda.destroy()
         bcDone.destroy()
+        bcEta.destroy()
 
         var g = 0
         while (g < nG) {
@@ -167,17 +187,46 @@ object GroupedEntropyBalance {
             val gram = java.util.Arrays.copyOfRange(agg, base + 1 + k, base + blk)
             val ce = axpy(-1.0, b(g), s)
             ceOut(g) = ce
-            val viol = norm2(ce)
-            if (viol <= options.optimalityTol * bscale(g)) converged(g) = true
-            else {
+            // projected gradient: pin box-saturated coordinates pushing out
+            val pg = ce.map(-_)
+            if (bounded) {
+              var j = 0
+              while (j < k) {
+                if (lambda(g)(j) >= 1.0 - 1e-12 && pg(j) > 0) pg(j) = 0.0
+                if (lambda(g)(j) <= -1.0 + 1e-12 && pg(j) < 0) pg(j) = 0.0
+                j += 1
+              }
+            }
+            val viol = norm2(pg)
+            if (viol <= options.optimalityTol * bscale(g)) {
+              // feasibility refinement: pinned with residual violation and
+              // growable eta -> retry at 10x (elastic auto-eta per group)
+              val pinnedAny = bounded && lambda(g).exists(l => math.abs(l) >= 1.0 - 1e-9)
+              if (bounded && !etaFixed && pinnedAny &&
+                  norm2(ce) > options.optimalityTol * bscale(g) && etas(g) < 1e7) {
+                val old = etas(g)
+                etas(g) *= 10.0
+                var j = 0
+                while (j < k) {
+                  lambda(g)(j) = math.max(-1.0, math.min(1.0, lambda(g)(j) * old / etas(g)))
+                  j += 1
+                }
+              } else converged(g) = true
+            } else {
               val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale(g), 0.55))
-              val d = DriverLinalg.solveRidged(k, gram, ce.map(-_), ridge)
+              val d = DriverLinalg.solveRidged(k, gram, pg, ridge)
               // damped full step: groups share the pass, so no individual
               // line search — cap the step to keep exp() sane instead
               val dn = d.map(math.abs).max
-              val scale = if (dn > 30.0) 30.0 / dn else 1.0
+              val cap = if (bounded) 2.0 else 30.0
+              val scale = if (dn > cap) cap / dn else 1.0
               var j = 0
-              while (j < k) { lambda(g)(j) += scale * d(j); j += 1 }
+              while (j < k) {
+                val next = lambda(g)(j) + scale * d(j)
+                lambda(g)(j) =
+                  if (bounded) math.max(-1.0, math.min(1.0, next)) else next
+                j += 1
+              }
               iters(g) += 1
             }
           }
@@ -186,29 +235,36 @@ object GroupedEntropyBalance {
         round += 1
       }
 
-      // output: weights for all groups in one narrow pass
+      // output: weights for all groups in one narrow pass; the effective
+      // multipliers are eta_g * lambda_g, so r = clip(exp(x . mult), lb, ub)
       graft.functions.GraftFunctions.register(spark)
-      val multByName = names.indices.map(g => names(g) -> lambda(g).toSeq).toMap
+      val mult = Array.tabulate(nG)(g => lambda(g).map(_ * etas(g)))
+      val multByName = names.indices.map(g => names(g) -> mult(g).toSeq).toMap
       val bcM = spark.sparkContext.broadcast(multByName)
       val lamCol = udf { (gname: String) => bcM.value.getOrElse(gname, Seq.fill(k)(0.0)) }
       val dotC = call_function("graft_dot",
         col(featuresCol).cast("array<double>"), lamCol(col(groupCol).cast("string")))
       val isArr = df.schema(featuresCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+      def clipCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val lo = greatest(c, lit(lb))
+        if (ub.isInfinite) lo else least(lo, lit(ub))
+      }
       val ratio =
-        if (isArr) exp(least(dotC, lit(700.0)))
+        if (isArr) clipCol(exp(least(dotC, lit(700.0))))
         else {
           val f = udf { (v: org.apache.spark.ml.linalg.Vector, gname: String) =>
             val th = bcM.value.getOrElse(gname, Seq.fill(k)(0.0))
             var t = 0.0
             v.foreachActive((i, x) => t += x * th(i))
-            math.exp(math.min(t, 700.0))
+            val e = math.exp(math.min(t, 700.0))
+            if (e < lb) lb else if (e > ub) ub else e
           }
           f(col(featuresCol), col(groupCol).cast("string"))
         }
       val weighted = df.withColumn(outputCol, col(weightCol) * ratio)
       val results = names.indices.map { g =>
-        names(g) -> GroupResult(converged(g), iters(g), lambda(g), ceOut(g))
+        names(g) -> GroupResult(converged(g), iters(g), mult(g), ceOut(g))
       }.toMap
       GroupedResult(weighted, results)
     } finally rows.unpersist(false)

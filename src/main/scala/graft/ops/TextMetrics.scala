@@ -59,4 +59,29 @@ object TextMetrics {
    * bag-of-tokens simhash). */
   def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame =
     docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
+
+  /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
+   * Two shuffles total: term-frequency groupBy and document-frequency
+   * groupBy; the idf table is tiny (vocabulary) and broadcast into the
+   * join. Ranking uses the ROUNDED score + term for cross-engine
+   * determinism. */
+  def topTfidfTerms(
+      docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tokens = docs
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+    val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term")
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 5))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tfidf"), col("rank"))
+  }
 }

@@ -53,6 +53,40 @@ class GroupedSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped bounded: loose bounds match unbounded, tight bounds clip per group") {
+    val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .withColumn("bal_k", col("c_acctbal") / 1000.0)
+      .withColumn("w0", lit(1.0))
+      .withColumn("feat", array(col("bal_k")))
+    val segs = cust.select("c_mktsegment").distinct().collect().map(_.getString(0)).sorted
+    val targets = segs.map { s =>
+      val m = cust.filter(col("c_mktsegment") === s && col("c_custkey") % 2 === 0)
+        .agg(avg("bal_k")).collect()(0).getDouble(0)
+      s -> Array(m)
+    }.toMap
+    val free = GroupedEntropyBalance.entropyBalanceGrouped(cust, "c_mktsegment",
+      "feat", "w0", targets, options = EbwOptions(optimalityTol = 1e-9))
+    val loose = GroupedEntropyBalance.entropyBalanceGrouped(cust, "c_mktsegment",
+      "feat", "w0", targets,
+      options = EbwOptions(optimalityTol = 1e-9, bounds = Some((0.01, Some(100.0)))))
+    assert(free.allConverged && loose.allConverged)
+    val wf = free.weighted.select(col("c_custkey"), col("weight_new"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val wl = loose.weighted.select(col("c_custkey"), col("weight_new"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val maxDiff = wf.map { case (id, w) => math.abs(w - wl(id)) }.max
+    assert(maxDiff < 1e-5, s"loose-bounded grouped differs from unbounded by $maxDiff")
+    // tight bounds: every group's ratios clipped into [0.97, 1.03]
+    val tight = GroupedEntropyBalance.entropyBalanceGrouped(cust, "c_mktsegment",
+      "feat", "w0", targets,
+      options = EbwOptions(bounds = Some((0.97, Some(1.03))), eta = Some(1.0)))
+    assert(tight.allConverged)
+    val rng = tight.weighted
+      .agg(min(col("weight_new") / col("w0")), max(col("weight_new") / col("w0")))
+      .collect()(0)
+    assert(rng.getDouble(0) >= 0.97 - 1e-9 && rng.getDouble(1) <= 1.03 + 1e-9)
+  }
+
   test("rows in groups without targets keep w0 and are not solved") {
     val cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
       .withColumn("bal_k", col("c_acctbal") / 1000.0)
