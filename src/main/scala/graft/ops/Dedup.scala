@@ -127,6 +127,40 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SimHash near-dup candidate pairs with exact verification: split the
+   * 64-bit fingerprint into maxHamming+1 bands — by pigeonhole, any pair
+   * within hamming distance maxHamming agrees exactly on at least one
+   * band — join per band, then verify with bit_count(xor). No all-pairs
+   * comparison ever happens. */
+  def simhashCandidatePairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val fp = simhash(docs, textCol, idCol)
+    val bandCols = (0 until nBands).map { bi =>
+      val lo = bi * bandBits
+      val width = if (bi == nBands - 1) 64 - lo else bandBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(bi).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val keyed = fp
+      .select(col(idCol).as("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = keyed.select(col("id").as("id_a"), col("simhash").as("h_a"),
+      col("band"), col("key"))
+    val b = keyed.select(col("id").as("id_b"), col("simhash").as("h_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash: 64-bit fingerprint from token hashes; near-dups share most
    * bits. xxhash64 gives a stable 64-bit token hash. */
   def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {

@@ -41,6 +41,18 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 15, s"found only $hits/20 near-dup pairs: $found")
   }
 
+  test("simhash banding finds near-dup pairs without all-pairs compare") {
+    val base = docs.limit(30).select("doc_id", "text")
+    val near = base.select((col("doc_id") + 5000).as("doc_id"),
+      concat(col("text"), lit(" tiny tail")).as("text"))
+    val pairs = Dedup.simhashCandidatePairs(base.unionAll(near), "text", "doc_id",
+        maxHamming = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val planted = pairs.filter { case (a2, b2, _) => b2 - a2 == 5000 }
+    assert(planted.length >= 25, s"found ${planted.length}/30 planted near-dups")
+    assert(pairs.forall(_._3 <= 12)) // every reported pair verified exactly
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups close") {
     val a = Dedup.simhash(docs.limit(10), "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
