@@ -15,13 +15,24 @@ import org.apache.spark.sql.functions._
  */
 object DesignMatrix {
 
+  /** Distinct sorted levels of a column; nulls are rejected explicitly
+   * (the reference's formulaic would error on them too — silently
+   * dropping or NPE-ing mid-sort are both worse). */
+  private def levels(df: DataFrame, c: String): Array[String] = {
+    val raw = df.select(col(c).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    if (raw.contains(null))
+      throw new IllegalArgumentException(
+        s"categorical column '$c' contains nulls; fill or filter them first")
+    raw.sorted
+  }
+
   /** One-hot encode a single categorical column into a SparseVector
    * features column. Returns (df + featuresCol, sorted level labels).
    * Level vocabulary is collected to the driver — it is the moment
    * dimension k, small by problem construction. */
   def oneHot(df: DataFrame, inputCol: String, featuresCol: String): (DataFrame, Array[String]) = {
-    val labels = df.select(col(inputCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val labels = levels(df, inputCol)
     val idxMap = labels.zipWithIndex.toMap
     val k = labels.length
     val enc = udf { s: String =>
@@ -39,11 +50,7 @@ object DesignMatrix {
       categoricals: Seq[String],
       featuresCol: String): (DataFrame, Array[String]) = {
     val contCols = continuous.map(c => col(c).cast("double"))
-    val catLevels = categoricals.map { c =>
-      val lv = df.select(col(c).cast("string")).distinct()
-        .collect().map(_.getString(0)).sorted
-      c -> lv
-    }
+    val catLevels = categoricals.map(c => c -> levels(df, c))
     val dummyCols = catLevels.flatMap { case (c, lv) =>
       lv.map(v => when(col(c).cast("string") === lit(v), 1.0).otherwise(0.0))
     }
@@ -61,8 +68,7 @@ object DesignMatrix {
       groupCol: String,
       varCols: Seq[String],
       featuresCol: String): (DataFrame, Array[String]) = {
-    val groups = df.select(col(groupCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
+    val groups = levels(df, groupCol)
     val gIdx = groups.zipWithIndex.toMap
     val nv = varCols.length
     val k = groups.length * nv
@@ -93,17 +99,20 @@ object DesignMatrix {
     val withConst = df.withColumn("__const", lit(1.0))
     val (dfv, names) = interact(withConst, groupCol, "__const" +: varCols, featuresCol)
     val nv = varCols.length + 1
+    val w = col(weightCol).cast("double")
     // group totals and national weighted means (small collects: #groups, #vars)
-    val wtot = df.agg(sum(col(weightCol))).collect()(0).getDouble(0)
+    val wtot = df.agg(sum(w)).collect()(0).getDouble(0)
     val natRow = df.agg(
-      varCols.map(v => (sum(col(v) * col(weightCol)) / sum(col(weightCol))).as(v)).head,
-      varCols.map(v => (sum(col(v) * col(weightCol)) / sum(col(weightCol))).as(v)).tail: _*)
+      varCols.map(v => (sum(col(v).cast("double") * w) / sum(w)).as(v)).head,
+      varCols.map(v => (sum(col(v).cast("double") * w) / sum(w)).as(v)).tail: _*)
       .collect()(0)
     val natMeans = Array.tabulate(varCols.length)(natRow.getDouble)
     val gw = df.groupBy(col(groupCol).cast("string").as("g"))
-      .agg(sum(col(weightCol)).as("w"))
+      .agg(sum(w).as("w"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val groups = names.grouped(nv).map(_.head.split(':')(0)).toArray
+    // derive groups the same way interact does — never reverse-parse them
+    // out of "group:var" display names (group values may contain ':')
+    val groups = levels(df, groupCol)
     val m = new Array[Double](names.length)
     for ((g, gi) <- groups.zipWithIndex) {
       val share = gw(g) / wtot

@@ -31,7 +31,7 @@ object EntropyBalance {
   private val log = LoggerFactory.getLogger(getClass)
 
   private[ebw] final case class Prepared(
-      rows: RDD[EbwRow], k: Int, sumW: Double, n: Long, useVectorUdf: Boolean)
+      rows: RDD[EbwRow], k: Int, sumW: Double, n: Long)
 
   /** Project the input down to (features, w0), convert to the compact row
    * form, cache it for the iteration loop, and fail fast on invalid inputs
@@ -43,20 +43,10 @@ object EntropyBalance {
     if (moments.exists(m => m.isNaN || m.isInfinite))
       throw new IllegalArgumentException(
         "Inputs include invalid values (NaNs, non-positive weights, etc)")
-    val isVector = !df.schema(featuresCol).dataType.isInstanceOf[ArrayType]
     val rows = df
       .select(col(featuresCol), col(weightCol).cast(DoubleType))
       .rdd
-      .map { r =>
-        val w = if (r.isNullAt(1)) Double.NaN else r.getDouble(1)
-        r.get(0) match {
-          case v: SparseVector => EbwRow(v.indices, v.values, w)
-          case v: DenseVector  => EbwRow(null, v.values, w)
-          case s: scala.collection.Seq[_] =>
-            EbwRow(null, s.asInstanceOf[scala.collection.Seq[Double]].toArray, w)
-          case _ => EbwRow(null, null, w)
-        }
-      }
+      .map(r => toEbwRow(r.get(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     rows.setName(s"ebw-input-k$k")
     val (bad, sumW, n) = EbwAggregator.validate(rows, k)
@@ -65,7 +55,19 @@ object EntropyBalance {
       throw new IllegalArgumentException(
         "Inputs include invalid values (NaNs, non-positive weights, etc)")
     }
-    Prepared(rows, k, sumW, n, isVector)
+    Prepared(rows, k, sumW, n)
+  }
+
+  /** Decode one feature cell; null elements inside an array flag the row
+   * invalid (vals = null) instead of silently unboxing to 0.0. */
+  private[ebw] def toEbwRow(feat: Any, w: Double): EbwRow = feat match {
+    case v: SparseVector => EbwRow(v.indices, v.values, w)
+    case v: DenseVector  => EbwRow(null, v.values, w)
+    case s: scala.collection.Seq[_] =>
+      val seq = s.asInstanceOf[scala.collection.Seq[Any]]
+      if (seq.exists(_ == null)) EbwRow(null, null, w)
+      else EbwRow(null, seq.map(_.asInstanceOf[Double]).toArray, w)
+    case _ => EbwRow(null, null, w)
   }
 
   /** The ratio r(x . theta) as a DataFrame column. For array<double>
@@ -139,6 +141,8 @@ object EntropyBalance {
       return entropyBalanceElastic(df, featuresCol, weightCol,
         meanPopulationMoments, outputCol, options)
     val k = meanPopulationMoments.length
+    options.initialMultipliers.foreach(mu => require(mu.length == k,
+      s"initialMultipliers has ${mu.length} entries, expected $k"))
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
     val res =
       try unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
@@ -264,6 +268,8 @@ object EntropyBalance {
       outputCol: String = "weight_new",
       options: EbwOptions = EbwOptions()): EbwResult = {
     val k = meanPopulationMoments.length
+    options.initialMultipliers.foreach(mu => require(mu.length == k,
+      s"initialMultipliers has ${mu.length} entries, expected $k"))
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
     val res =
       try elasticLoop(df, featuresCol, weightCol, outputCol, prep,

@@ -63,15 +63,11 @@ object GroupedEntropyBalance {
       .select(col(groupCol).cast("string"), col(featuresCol), col(weightCol).cast(DoubleType))
       .rdd
       .flatMap { r =>
-        bcGIdx.value.get(r.getString(0)).map { g =>
+        val gname = if (r.isNullAt(0)) null else r.getString(0)
+        Option(gname).flatMap(bcGIdx.value.get).map { g =>
           val w = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
-          r.get(1) match {
-            case v: org.apache.spark.ml.linalg.SparseVector => GRow(g, v.indices, v.values, w)
-            case v: org.apache.spark.ml.linalg.DenseVector  => GRow(g, null, v.values, w)
-            case s: scala.collection.Seq[_] =>
-              GRow(g, null, s.asInstanceOf[scala.collection.Seq[Double]].toArray, w)
-            case _ => GRow(g, null, null, w)
-          }
+          val e = EntropyBalance.toEbwRow(r.get(1), w)
+          GRow(g, e.idx, e.vals, e.w0)
         }
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -85,6 +81,18 @@ object GroupedEntropyBalance {
       val w0Stats = rows.treeAggregate(new Array[Double](nG + 1))(
         (buf, r) => {
           var bad = r.w0.isNaN || r.w0.isInfinite || r.w0 <= 0.0 || r.vals == null
+          if (!bad) {
+            // same dimension discipline as EbwAggregator.validate: a short/
+            // long dense row or an out-of-range sparse index must fail fast
+            // here, not AIOOBE (or silently truncate) inside the solve loop
+            if (r.idx == null) {
+              if (r.vals.length != k) bad = true
+            } else {
+              if (r.idx.length != r.vals.length) bad = true
+              else if (r.idx.length > 0 &&
+                  (r.idx(r.idx.length - 1) >= k || r.idx(0) < 0)) bad = true
+            }
+          }
           if (!bad) {
             var p = 0
             while (p < r.vals.length && !bad) {
@@ -241,9 +249,15 @@ object GroupedEntropyBalance {
       val mult = Array.tabulate(nG)(g => lambda(g).map(_ * etas(g)))
       val multByName = names.indices.map(g => names(g) -> mult(g).toSeq).toMap
       val bcM = spark.sparkContext.broadcast(multByName)
-      val lamCol = udf { (gname: String) => bcM.value.getOrElse(gname, Seq.fill(k)(0.0)) }
+      // rows whose group has no targets were never solved: they must keep
+      // their original weight (ratio 1), UNCLIPPED — a (2, 5) bound must
+      // not silently double untargeted rows. lamCol yields null for them.
+      val lamCol = udf { (gname: String) =>
+        if (gname == null) null else bcM.value.get(gname).map(_.toSeq).orNull
+      }
+      val lam = lamCol(col(groupCol).cast("string"))
       val dotC = call_function("graft_dot",
-        col(featuresCol).cast("array<double>"), lamCol(col(groupCol).cast("string")))
+        col(featuresCol).cast("array<double>"), lam)
       val isArr = df.schema(featuresCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.ArrayType]
       def clipCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
@@ -251,14 +265,19 @@ object GroupedEntropyBalance {
         if (ub.isInfinite) lo else least(lo, lit(ub))
       }
       val ratio =
-        if (isArr) clipCol(exp(least(dotC, lit(700.0))))
+        if (isArr)
+          when(lam.isNull, lit(1.0))
+            .otherwise(clipCol(exp(least(dotC, lit(700.0)))))
         else {
           val f = udf { (v: org.apache.spark.ml.linalg.Vector, gname: String) =>
-            val th = bcM.value.getOrElse(gname, Seq.fill(k)(0.0))
-            var t = 0.0
-            v.foreachActive((i, x) => t += x * th(i))
-            val e = math.exp(math.min(t, 700.0))
-            if (e < lb) lb else if (e > ub) ub else e
+            bcM.value.get(if (gname == null) "" else gname) match {
+              case None => 1.0
+              case Some(th) =>
+                var t = 0.0
+                v.foreachActive((i, x) => t += x * th(i))
+                val e = math.exp(math.min(t, 700.0))
+                if (e < lb) lb else if (e > ub) ub else e
+            }
           }
           f(col(featuresCol), col(groupCol).cast("string"))
         }

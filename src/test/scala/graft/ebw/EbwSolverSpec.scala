@@ -299,6 +299,18 @@ class EbwSolverSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       EntropyBalance.entropyBalance(df2, "feat", "w0", Array(1.5))
     }
+    // null ELEMENT inside the feature array must be rejected, not unboxed to 0.0
+    val dfNull = spark.createDataFrame(Seq(
+      (Seq[java.lang.Double](1.0, null), 1.0),
+      (Seq[java.lang.Double](2.0, 1.0), 1.0))).toDF("feat", "w0")
+    intercept[IllegalArgumentException] {
+      EntropyBalance.entropyBalance(dfNull, "feat", "w0", Array(1.5, 0.5))
+    }
+    // mismatched warm-start length must fail fast on the driver
+    intercept[IllegalArgumentException] {
+      EntropyBalance.entropyBalance(df, "feat", "w0", Array(1.5),
+        options = EbwOptions(initialMultipliers = Some(Array(0.0, 0.0))))
+    }
   }
 
   test("poststratification closed form via one-hot design") {

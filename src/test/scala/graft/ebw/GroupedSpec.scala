@@ -100,5 +100,14 @@ class GroupedSpec extends AnyFunSuite {
     val others = res.weighted.filter(col("c_mktsegment") =!= "BUILDING")
       .filter(col("weight_new") =!= col("w0")).count()
     assert(others == 0, "untargeted groups must keep original weights")
+    // ... even when bounds exclude ratio 1 (regression: clip(1) would
+    // silently rescale untargeted rows to the lower bound)
+    val bounded = GroupedEntropyBalance.entropyBalanceGrouped(
+      cust, "c_mktsegment", "feat", "w0", only,
+      options = EbwOptions(optimalityTol = 1e-8,
+        bounds = Some((2.0, Some(5.0))), eta = Some(1.0)))
+    val othersB = bounded.weighted.filter(col("c_mktsegment") =!= "BUILDING")
+      .filter(col("weight_new") =!= col("w0")).count()
+    assert(othersB == 0, "bounds must not rescale untargeted groups")
   }
 }
