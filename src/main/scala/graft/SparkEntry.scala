@@ -72,6 +72,219 @@ object SparkEntry {
       |FROM customer WHERE c_custkey % 3 = 0
       |ORDER BY moment""".stripMargin
 
+  // --------------------------------------------- shared gate parameters
+  // (the Spark query and its DuckDB oracle must agree on these exactly)
+
+  private val ngramMaxBucket = 2000
+  // 4 bands x 8 bits = 256 buckets/band suits the 500-5000-vector test
+  // corpus (bitsPerBand scales as ~log2(N) in production; the operator's
+  // own defaults are 4 x 16); the oracle replays the identical banding.
+  private val embCosMinCosine = 0.25
+  private val embCosBands = 4
+  private val embCosBits = 8
+  private val embCosMaxBucket = 1000
+  private val embDim = 64 // testdata embeddings dimension
+
+  // --------------------------------------------- generated oracle SQL
+
+  /** Portable simhash: bit b of a token is bit (b mod 4) of hex nibble
+   * (b div 4) of md5(token); per-doc bit b of the fingerprint is the sign
+   * of sum(+1/-1) over tokens. Emitted as a 16-char hex string, most
+   * significant nibble first (mirrors Spark's lpad(hex(long))). */
+  private def simhashOracle: String = {
+    val bitSums = (0 until 64).map { b =>
+      val j = b / 4
+      val c = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) // $c) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val nibbleChars = (15 to 0 by -1).map { j =>
+      val terms = (0 until 4)
+        .map(i => s"(CASE WHEN b${4 * j + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($terms) + 1, 1)"
+    }.mkString(" ||\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t) AS hx FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |    $nibbleChars AS simhash_hex
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** Full-pipeline ngram-Jaccard oracle: replays the md5 minhash
+   * signatures, 2-hash banding, hot-bucket cap, candidate join, and exact
+   * within-bucket Jaccard of Dedup.ngramJaccardPairs on the same
+   * docs-plus-mutated-copies union the gate query builds. */
+  private def ngramJaccardOracle: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tk FROM docs2
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |sh0 AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       |hh AS (
+       |  SELECT doc_id, j, min(md5(concat(j::VARCHAR, '|', s))) AS mh
+       |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+       |  GROUP BY doc_id, j),
+       |bk AS (
+       |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS key
+       |  FROM hh GROUP BY doc_id, j // 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, count(*) AS n
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.ia
+       |  JOIN sh y ON y.doc_id = c.ib AND y.s = x.s
+       |  GROUP BY c.ia, c.ib)
+       |SELECT i.ia AS id_a, i.ib AS id_b,
+       |  round(i.n * 1.0 / (sa.c + sb.c - i.n), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.ia
+       |JOIN sizes sb ON sb.doc_id = i.ib
+       |WHERE i.n * 1.0 / (sa.c + sb.c - i.n) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Multi-band hyperplane-LSH near-dup oracle: the exact plane literals
+   * from Similarity.hyperplane are inlined, so DuckDB reproduces the same
+   * buckets, the same hot-bucket cap, and the same within-bucket cosine
+   * threshold as Dedup.embeddingCosinePairs. */
+  private def embedCosineOracle: String = {
+    val planeRows = (for {
+      band <- 0 until embCosBands
+      bit <- 0 until embCosBits
+    } yield {
+      val vals = Similarity.hyperplane(band * embCosBits + bit, embDim)
+        .map(_.toString).mkString(", ")
+      s"($band, $bit, [$vals])"
+    }).mkString(",\n    ")
+    s"""WITH pl(band, bit, vec) AS (VALUES
+       |    $planeRows),
+       |pc AS (SELECT band, bit, generate_subscripts(vec, 1) AS i,
+       |    unnest(vec) AS c FROM pl),
+       |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |sgn AS (SELECT e.vec_id, pc.band, pc.bit,
+       |    CASE WHEN sum(e.x * pc.c) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM e JOIN pc ON e.i = pc.i GROUP BY 1, 2, 3),
+       |bk AS (SELECT vec_id, band, sum(b * (1 << bit)) AS key
+       |  FROM sgn GROUP BY 1, 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $embCosMaxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |d AS (SELECT c.ia, c.ib, sum(ea.x * eb.x) AS dp,
+       |    sqrt(sum(ea.x * ea.x)) AS na, sqrt(sum(eb.x * eb.x)) AS nb
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.ia
+       |  JOIN e eb ON eb.vec_id = c.ib AND eb.i = ea.i
+       |  GROUP BY c.ia, c.ib),
+       |cs AS (SELECT ia, ib,
+       |    CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END AS cosine
+       |  FROM d)
+       |SELECT ia AS id_a, ib AS id_b, round(cosine, 5) AS cosine FROM cs
+       |WHERE cosine >= $embCosMinCosine
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Stopword-marker langid oracle: counts each marker via replace()
+   * (non-overlapping left-to-right in both engines), argmax with the same
+   * tie order (alphabetical) as the Spark fold, 'und' when zero hits. */
+  private def langidOracle: String = {
+    val perLang = TextMetrics.langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val terms = ws.map(w =>
+        s"(length(p) - length(replace(p, '$w', ''))) / ${w.length}").mkString(" + ")
+      s"SELECT doc_id, '$l' AS lang, $terms AS hits FROM d"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |s AS (
+       |  $perLang),
+       |r AS (SELECT doc_id, lang, hits,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+       |  FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH-bucketed ANN oracle: the 3 hyperplanes are inlined; DuckDB
+   * recomputes every vector's bucket (including the query's), filters to
+   * the query's bucket, and ranks by the rounded cosine. */
+  private def annLshOracle: String = {
+    val bits = 3
+    val planeRows = (0 until bits).map { p =>
+      val vals = Similarity.hyperplane(p, embDim).map(_.toString).mkString(", ")
+      s"($p, [$vals])"
+    }.mkString(",\n    ")
+    s"""WITH pl(p, vec) AS (VALUES
+       |    $planeRows),
+       |pc AS (SELECT p, generate_subscripts(vec, 1) AS i, unnest(vec) AS c FROM pl),
+       |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |sgn AS (SELECT e.vec_id, pc.p,
+       |    CASE WHEN sum(e.x * pc.c) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM e JOIN pc ON e.i = pc.i GROUP BY e.vec_id, pc.p),
+       |bk AS (SELECT vec_id, sum(b * (1 << p)) AS bucket FROM sgn GROUP BY vec_id),
+       |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+       |cand AS (SELECT bk.vec_id FROM bk, qb
+       |  WHERE bk.bucket = qb.bucket AND bk.vec_id <> 0),
+       |q AS (SELECT generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS qv FROM embeddings WHERE vec_id = 0),
+       |ec AS (SELECT e.vec_id, e.i, e.x FROM e JOIN cand USING (vec_id)),
+       |d AS (SELECT ec.vec_id, sum(ec.x * q.qv) AS dp,
+       |    sqrt(sum(ec.x * ec.x)) AS na
+       |  FROM ec JOIN q ON ec.i = q.i GROUP BY ec.vec_id),
+       |nq AS (SELECT sqrt(sum(qv * qv)) AS nqn FROM q)
+       |SELECT d.vec_id,
+       |  round(CASE WHEN d.na * nq.nqn > 0
+       |        THEN d.dp / (d.na * nq.nqn) ELSE 0.0 END, 5) AS cosine
+       |FROM d, nq
+       |ORDER BY cosine DESC, d.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** Penalty-mode oracle. For a disjoint one-hot design the penalty fixed
+   * point z = P(A'r(z) - b), r = exp(-x.z) decouples into one scalar
+   * equation per group: z = p(c*exp(-z) - b) with c the group count and
+   * b = N/k the aggregate target. The oracle solves it with 10 scalar
+   * Newton steps in SQL (monotone convergence to machine precision) and
+   * emits the closed-form weights exp(-z). */
+  private def ebwPenaltyOracle: String = {
+    val newtonSteps = (1 to 10).map { i =>
+      s"t$i AS (SELECT o_orderpriority, c, b, " +
+        s"z - (z - 2.0*(c*exp(-z) - b)) / (1.0 + 2.0*c*exp(-z)) AS z FROM t${i - 1})"
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT o_orderpriority, count(*)::DOUBLE AS c
+       |  FROM orders GROUP BY 1),
+       |nk AS (SELECT count(*)::DOUBLE AS n,
+       |    count(DISTINCT o_orderpriority)::DOUBLE AS k FROM orders),
+       |t0 AS (SELECT g.o_orderpriority, g.c, nk.n / nk.k AS b, 0.0 AS z
+       |  FROM g, nk),
+       |$newtonSteps
+       |SELECT o.o_orderkey, round(exp(-t.z), 6) AS new_weight
+       |FROM orders o JOIN t10 t ON o.o_orderpriority = t.o_orderpriority
+       |ORDER BY o.o_orderkey""".stripMargin
+  }
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -239,7 +452,8 @@ object SparkEntry {
       val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
       val k = labels.length
       val res = EntropyBalance.entropyBalancePenalty(dfv, "feat", "w0",
-        Array.fill(k)(1.0 / k), Array(2.0))
+        Array.fill(k)(1.0 / k), Array(2.0),
+        options = EbwOptions(optimalityTol = 1e-10, stepTol = 1e-12))
       res.weighted
         .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
         .orderBy("o_orderkey")
@@ -267,7 +481,10 @@ object SparkEntry {
       Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id").orderBy("doc_id")),
+      Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", portable = true)
+        .select(col("doc_id"),
+          lower(lpad(hex(col("simhash")), 16, "0")).as("simhash_hex"))
+        .orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
       TextMetrics.tokenCounts(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
@@ -278,7 +495,8 @@ object SparkEntry {
       TextMetrics.topTfidfTerms(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("doc_id", "rank")),
     "text_fingerprint" -> ((s, dir) =>
-      TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id")
+      TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id",
+          portable = true)
         .orderBy("doc_id")),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // self-union with mutated copies guarantees the operator exercises
@@ -286,14 +504,16 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select("doc_id", "text")
       val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" tail tokens appended here")).as("text"))
-      Dedup.ngramJaccardPairs(docs.unionAll(mutated), "text", "doc_id", 0.5)
+      Dedup.ngramJaccardPairs(docs.unionAll(mutated), "text", "doc_id", 0.5,
+          maxBucketSize = ngramMaxBucket)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("id_a", "id_b")
     }),
     "dedup_embed_cosine" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
-          minCosine = 0.25, bits = 6)
+          minCosine = embCosMinCosine, bands = embCosBands,
+          bitsPerBand = embCosBits, maxBucketSize = embCosMaxBucket)
         .select(col("id_a"), col("id_b"), round(col("cosine"), 5).as("cosine"))
         .orderBy("id_a", "id_b")
     }),
@@ -306,8 +526,8 @@ object SparkEntry {
         .select(col("embedding").cast("array<double>")).collect()(0)
         .getSeq[Double](0)
       Similarity.lshTopK(emb.filter(col("vec_id") =!= 0), "embedding",
-          "vec_id", q, 10, bits = 3)
-        .select(col("vec_id"), round(col("cosine"), 5).as("cosine"))
+          "vec_id", q, 10, bits = 3, roundDigits = Some(5))
+        .orderBy(desc("cosine"), col("vec_id"))
     }),
     "ebw_lineitem" -> ((s, dir) => {
       // scale-representative solve: 3 continuous moments over lineitem,
@@ -575,6 +795,15 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, tfidf, rank FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_ngram_jaccard" -> ngramJaccardOracle,
+    "dedup_embed_cosine" -> embedCosineOracle,
+    "text_langid" -> langidOracle,
+    "text_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ann_lsh" -> annLshOracle,
+    "ebw_penalty" -> ebwPenaltyOracle,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_m,

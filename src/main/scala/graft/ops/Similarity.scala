@@ -49,21 +49,43 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane p for dimension `dim` (seeded
-   * hash of (plane, dim) — reproducible without driver RNG state). */
-  private[ops] def plane(p: Int, dim: Int, seed: Long): Array[Double] =
+   * hash of (plane, dim) — reproducible without driver RNG state). Public
+   * so oracle SQL can embed the exact same plane literals. */
+  def hyperplane(p: Int, dim: Int, seed: Long = 42L): Array[Double] =
     Array.tabulate(dim) { d =>
       scala.util.hashing.MurmurHash3.productHash((seed, p, d)).toDouble / Int.MaxValue
     }
 
-  /** Random-hyperplane LSH bucket key: `bits` sign bits. Each plane is a
-   * literal array fed to the native graft_dot kernel — a compact expression
-   * tree (bits ~ 8 calls) instead of bits*dim codegen terms. */
-  def lshBucket(vecCol: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+  private[ops] def plane(p: Int, dim: Int, seed: Long): Array[Double] =
+    hyperplane(p, dim, seed)
+
+  /** Random-hyperplane LSH bucket key: `bits` sign bits using planes
+   * `planeOffset until planeOffset + bits` (offsets give independent bands
+   * for OR-amplified multi-band bucketing). Each plane is a literal array
+   * fed to the native graft_dot kernel — a compact expression tree
+   * (bits ~ 8 calls) instead of bits*dim codegen terms. */
+  def lshBucket(
+      vecCol: Column, dim: Int, bits: Int, seed: Long = 42L,
+      planeOffset: Int = 0): Column = {
     val planes = (0 until bits).map { p =>
-      val s = dotNative(vecCol, typedlit(plane(p, dim, seed).toSeq))
+      val s = dotNative(vecCol, typedlit(plane(planeOffset + p, dim, seed).toSeq))
       when(s >= 0, lit(1)).otherwise(lit(0)) * lit(1 << p)
     }
     planes.reduce(_ + _)
+  }
+
+  /** Driver-side bucket of one vector under the same planes as lshBucket. */
+  def lshBucketOf(
+      vec: Seq[Double], bits: Int, seed: Long = 42L, planeOffset: Int = 0): Int = {
+    val dim = vec.length
+    var b = 0
+    for (p <- 0 until bits) {
+      val pl = plane(planeOffset + p, dim, seed)
+      var s = 0.0
+      for (d <- 0 until dim) s += vec(d) * pl(d)
+      if (s >= 0) b |= (1 << p)
+    }
+    b
   }
 
   /** A fitted IVF index: cluster assignments cached, centers on the
@@ -163,25 +185,24 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Approximate top-k: restrict the scan to the query's LSH bucket. */
+  /** Approximate top-k: restrict the scan to the query's LSH bucket.
+   * `roundDigits` ranks on the ROUNDED cosine (ties by id) so the top-k cut
+   * is deterministic and oracle-reproducible. */
   def lshTopK(
       emb: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int, bits: Int = 8): DataFrame = {
+      query: Seq[Double], k: Int, bits: Int = 8,
+      roundDigits: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val dim = query.length
     val v = col(vecCol).cast("array<double>")
     val withBucket = emb.withColumn("bucket", lshBucket(v, dim, bits))
     // compute the query's bucket on the driver with the same planes
-    var qb = 0
-    for (p <- 0 until bits) {
-      val pl = plane(p, dim, 42L)
-      var s = 0.0
-      for (d <- 0 until dim) s += query(d) * pl(d)
-      if (s >= 0) qb |= (1 << p)
-    }
+    val qb = lshBucketOf(query, bits)
+    val rawCos = cosineNative(v, typedlit(query))
+    val cosExpr = roundDigits.map(d => round(rawCos, d)).getOrElse(rawCos)
     withBucket
       .filter(col("bucket") === qb)
-      .select(col(idCol), cosineNative(v, typedlit(query)).as("cosine"))
+      .select(col(idCol), cosExpr.as("cosine"))
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }

@@ -36,14 +36,18 @@ object TextMetrics {
       round(least(tokens * lit(1.0) / lit(20.0), lit(1.0)), 4).as("quality"))
   }
 
+  /** Marker stopwords per language; shared with the oracle-SQL generator
+   * so both engines count the exact same substrings. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq(" the ", " and ", " of "),
+    "de" -> Seq(" der ", " und ", " die "),
+    "fr" -> Seq(" le ", " et ", " les "),
+    "es" -> Seq(" el ", " y ", " los "))
+
   /** Heuristic language ID from stopword hits (the container has no langid
    * model; this is the standard n-gram/stopword heuristic). */
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val markers = Map(
-      "en" -> Seq(" the ", " and ", " of "),
-      "de" -> Seq(" der ", " und ", " die "),
-      "fr" -> Seq(" le ", " et ", " les "),
-      "es" -> Seq(" el ", " y ", " los "))
+    val markers = langMarkers
     val padded = concat(lit(" "), col(textCol), lit(" "))
     def hits(words: Seq[String]): Column =
       words.map(w => (length(padded) - length(regexp_replace(padded, lit(w), lit("")))) /
@@ -55,29 +59,40 @@ object TextMetrics {
     docs.select(col(idCol), when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_pred"))
   }
 
-  /** 64-bit rolling-hash document fingerprint (order-sensitive, unlike the
-   * bag-of-tokens simhash). */
-  def fingerprint(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
+  /** 64-bit document fingerprint (order-sensitive, unlike the
+   * bag-of-tokens simhash). Default is xxhash64 (fastest); `portable =
+   * true` emits the first 16 hex chars of the md5 digest instead (a string
+   * column), which the DuckDB oracle reproduces exactly. */
+  def fingerprint(
+      docs: DataFrame, textCol: String, idCol: String,
+      portable: Boolean = false): DataFrame =
+    if (portable)
+      docs.select(col(idCol), substring(md5(col(textCol)), 1, 16).as("fingerprint"))
+    else
+      docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
 
   /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
    * Two shuffles total: term-frequency groupBy and document-frequency
-   * groupBy; the idf table is tiny (vocabulary) and broadcast into the
-   * join. Ranking uses the ROUNDED score + term for cross-engine
-   * determinism. */
+   * groupBy. The tf-df join is NOT hint-broadcast: on a web-scale corpus
+   * the vocabulary is billions of terms and a forced broadcast would OOM
+   * the driver — it stays a key-partitioned join unless AQE measures dfreq
+   * small enough to broadcast at runtime. The corpus size N enters the
+   * plan as a 1-row aggregate subtree (no separate count() action/pass).
+   * Ranking uses the ROUNDED score + term for cross-engine determinism. */
   def topTfidfTerms(
       docs: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val tokens = docs
       .select(col(idCol), explode(split(col(textCol), " ", -1)).as("term"))
       .filter(col("term") =!= "")
     val tf = tokens.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tokens.select(col(idCol), col("term")).distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(broadcast(dfreq), "term")
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(nDocs)
       .withColumn("tfidf",
-        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 5))
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 5))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), col("term"))
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

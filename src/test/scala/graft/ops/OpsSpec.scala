@@ -149,6 +149,73 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("hot-bucket cap drops degenerate buckets instead of going quadratic") {
+    import spark.implicits._
+    // 2000 identical docs: every band key collides into one hot bucket,
+    // which uncapped would mean ~2M within-bucket pairs
+    val clones = (0L until 2000L)
+      .map(i => (i, "the same boilerplate text repeated everywhere"))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minhashCandidatePairs(clones, "text", "doc_id",
+      maxBucketSize = 100)
+    assert(mh.count() == 0) // dropped (and logged), not 2M pairs
+    val sh = Dedup.simhashCandidatePairs(clones, "text", "doc_id",
+      maxBucketSize = 100)
+    assert(sh.count() == 0)
+    val ng = Dedup.ngramJaccardPairs(clones, "text", "doc_id", 0.5,
+      maxBucketSize = 100)
+    assert(ng.count() == 0)
+  }
+
+  test("embed cosine multi-band: genuine cosines above threshold, caps bound buckets") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Dedup.embeddingCosinePairs(emb, "embedding", "vec_id",
+      minCosine = 0.25, bands = 4, bitsPerBand = 6, maxBucketSize = 1000).collect()
+    assert(pairs.nonEmpty)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    pairs.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (va, vb) = (vecs(a), vecs(b))
+      val dot = va.zip(vb).map(t => t._1 * t._2).sum
+      val cos = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(cos - c) < 1e-9)
+      assert(c >= 0.25)
+    }
+    // a degenerate corpus (every vector identical -> one bucket per band)
+    // is capped: finishes with zero pairs instead of N^2/2 comparisons
+    val one = vecs(1L)
+    val clones = (0L until 3000L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val capped = Dedup.embeddingCosinePairs(clones, "embedding", "vec_id",
+      minCosine = 0.9, bands = 4, bitsPerBand = 16, maxBucketSize = 100)
+    assert(capped.count() == 0)
+  }
+
+  test("portable simhash: deterministic and near-dups stay close in hamming") {
+    val a = Dedup.simhash(docs.limit(10), "text", "doc_id", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.simhash(docs.limit(10), "text", "doc_id", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    val nearDf = docs.limit(10).withColumn("text", concat(col("text"), lit(" tail")))
+    val near = Dedup.simhash(nearDf, "text", "doc_id", portable = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dists = a.keys.map(id => java.lang.Long.bitCount(a(id) ^ near(id)))
+    assert(dists.forall(_ <= 16), s"near-dup hamming distances too large: $dists")
+  }
+
+  test("portable fingerprint is the md5 hex prefix") {
+    val row = docs.limit(1).select("doc_id", "text").collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(row.getString(1).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val fp = TextMetrics.fingerprint(docs.limit(1), "text", "doc_id",
+      portable = true).collect()(0).getString(1)
+    assert(fp == hex.substring(0, 16))
+  }
+
   test("multimodal: batched stub decode is deterministic, frames sample") {
     val bin = docs.limit(50).select(col("doc_id"), col("text").cast("binary").as("payload"))
     val f1 = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()
