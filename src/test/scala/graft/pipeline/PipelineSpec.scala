@@ -88,6 +88,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(resS.converged)
   }
 
+  test("reference zip interop: loads numpy-written dumps, round-trips own dumps") {
+    // fixtures written by numpy in the exact dump_problem_to_zip layout
+    // (shared.py:136-155): moments.npy + x.npy/x.npz + w0.npy
+    val denseFix = getClass.getResource("/ref_dense.zip").getPath
+    val (dfD, mD) = ProblemIO.loadReferenceZip(spark, denseFix)
+    assert(mD.length == 2 && dfD.count() == 6)
+    val resD = EntropyBalance.entropyBalance(dfD, "features", "w0", mD,
+      options = EbwOptions(optimalityTol = 1e-10))
+    assert(resD.converged)
+    val tot = resD.weighted.agg(
+      sum(col("w0")).as("w"),
+      sum(expr("features[0] * weight_new")).as("s0"),
+      sum(expr("features[1] * weight_new")).as("s1")).collect()(0)
+    assert(math.abs(tot.getDouble(1) / tot.getDouble(0) - mD(0)) < 1e-8)
+    assert(math.abs(tot.getDouble(2) / tot.getDouble(0) - mD(1)) < 1e-8)
+    // sparse fixture: scipy save_npz CSR with int32 indices
+    val sparseFix = getClass.getResource("/ref_sparse.zip").getPath
+    val (dfS, mS) = ProblemIO.loadReferenceZip(spark, sparseFix)
+    assert(mS.toSeq == Seq(1.0 / 3, 1.0 / 3, 1.0 / 3) && dfS.count() == 6)
+    val resS = EntropyBalance.entropyBalance(dfS, "features", "w0", mS,
+      options = EbwOptions(optimalityTol = 1e-10))
+    assert(resS.converged)
+    // own write -> own read round-trip, dense and sparse, same solution
+    val tmp = java.nio.file.Files.createTempDirectory("ebwzip").toString
+    val df = cust
+    val m = targets(df)
+    ProblemIO.saveReferenceZip(df, "feat", "w0", m, s"$tmp/d.zip")
+    val (rt, mrt) = ProblemIO.loadReferenceZip(spark, s"$tmp/d.zip")
+    assert(mrt.toSeq == m.toSeq)
+    val a = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    val b = EntropyBalance.entropyBalance(rt, "features", "w0", mrt,
+      options = EbwOptions(optimalityTol = 1e-9))
+    val dl = a.equalityMultipliers.zip(b.equalityMultipliers)
+      .map { case (x, y) => math.abs(x - y) }.max
+    assert(dl < 1e-6, s"multipliers differ by $dl after zip round-trip")
+    val (dfs, labels) = DesignMatrix.oneHot(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .withColumn("w0", lit(1.0)), "o_orderpriority", "feat")
+    val ms2 = Array.fill(labels.length)(1.0 / labels.length)
+    ProblemIO.saveReferenceZip(dfs, "feat", "w0", ms2, s"$tmp/s.zip")
+    val (rts, _) = ProblemIO.loadReferenceZip(spark, s"$tmp/s.zip")
+    val resRts = EntropyBalance.entropyBalance(rts, "features", "w0", ms2,
+      options = EbwOptions(optimalityTol = 1e-10))
+    assert(resRts.converged)
+  }
+
   test("equalizeGroups: every group hits the national weighted mean") {
     val df = cust
     val (dfv, m, names) = DesignMatrix.equalizeGroups(
