@@ -239,6 +239,65 @@ private[ebw] object EbwAggregator {
     Pass(out.s, null, out.fval, out.wrsum, out.count, keys, vals)
   }
 
+  /**
+   * One-pass weighted least squares for the primal warm start: solves
+   * (sum w0 x x') lambda = sum w0 x ln(r0) — the projection of the log
+   * ratio guess onto span(X). Returns (packed gram, rhs). Rows with
+   * non-finite or nonpositive ratios are skipped: the guess is only a
+   * seed, never a correctness input.
+   */
+  def ratioSeed(rows: RDD[(EbwRow, Double)], k: Int): (Array[Double], Array[Double]) = {
+    val tri = k * (k + 1) / 2
+    val size = tri + k
+    val out = rows.treeAggregate(new Array[Double](size))(
+      seqOp = (buf, rowAndRatio) => {
+        val (row, ratio) = rowAndRatio
+        if (ratio > 0.0 && !ratio.isInfinite && !ratio.isNaN &&
+            row.vals != null && !row.w0.isNaN && row.w0 > 0.0) {
+          val lnr = math.log(ratio)
+          val w0 = row.w0
+          val vals = row.vals
+          val idx = row.idx
+          if (idx == null) {
+            var i = 0
+            while (i < k) {
+              val vi = vals(i)
+              if (vi != 0.0) {
+                buf(tri + i) += w0 * lnr * vi
+                val wv = w0 * vi
+                val base = i * k - i * (i + 1) / 2
+                var j = i
+                while (j < k) { buf(base + j) += wv * vals(j); j += 1 }
+              }
+              i += 1
+            }
+          } else {
+            val nnz = idx.length
+            var p = 0
+            while (p < nnz) {
+              val i = idx(p)
+              val vi = vals(p)
+              buf(tri + i) += w0 * lnr * vi
+              val wv = w0 * vi
+              val base = i * k - i * (i + 1) / 2
+              var q = p
+              while (q < nnz) { buf(base + idx(q)) += wv * vals(q); q += 1 }
+              p += 1
+            }
+          }
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < size) { a(i) += b(i); i += 1 }
+        a
+      },
+      depth = 2)
+    (java.util.Arrays.copyOfRange(out, 0, tri),
+      java.util.Arrays.copyOfRange(out, tri, size))
+  }
+
   /** Validation + sizing pass: returns (badRows, sumW, n). Mirrors
    * inputs_are_invalid (/root/reference/entropy_balance_weighting/shared.py:105-133). */
   def validate(rows: RDD[EbwRow], k: Int): (Long, Double, Long) = {

@@ -20,6 +20,12 @@ final case class EbwOptions(
     maxStepsBounded: Int = 100,
     bounds: Option[(Double, Option[Double])] = None,
     initialMultipliers: Option[Array[Double]] = None,
+    /** Primal warm start, the reference's `initial_ratio_guess`
+     * (ebw_routines.py:206): name of a column holding a per-row ratio
+     * guess r0 = w_guess/w0. The solver projects log(r0) onto span(X) with
+     * one weighted-least-squares pass to seed the dual multipliers.
+     * Ignored when `initialMultipliers` is given explicitly. */
+    initialRatioGuessCol: Option[String] = None,
     optimalityTol: Double = 1e-5,
     stepTol: Double = 1e-8,
     eta: Option[Double] = None,
@@ -52,6 +58,15 @@ final case class EbwResult(
     momentSlackMultipliers: Option[Array[Double]] = None,
     private[graft] val theta: Array[Double] = Array.empty,
     private[graft] val link: Link = Link.exp)
+
+/** One-pass evaluation at fixed multipliers — `criterion` (shared.py:41)
+ * parity. criterionValue = sum(w0 (r ln r - r + 1)) with r = exp(x.lambda);
+ * constraintViolations = A'w(lambda) - m sum(w0). */
+final case class EbwEvaluation(
+    criterionValue: Double,
+    constraintViolations: Array[Double],
+    violationNorm: Double,
+    weightTotal: Double)
 
 /** One observation: features (sparse iff idx != null, sorted indices) + initial weight. */
 private[ebw] final case class EbwRow(idx: Array[Int], vals: Array[Double], w0: Double)

@@ -121,6 +121,64 @@ object EntropyBalance {
       eta, fval, msg, theta = theta, link = link)
   }
 
+  /** If a primal ratio guess column is configured (and no explicit dual
+   * warm start), project log(r0) onto span(X) with one least-squares pass
+   * and seed the multipliers with the solution — the dual-space image of
+   * the reference's `initial_ratio_guess` (ebw_routines.py:206): for the
+   * exp link, log r = x . lambda exactly, so a guess already of that form
+   * reproduces its lambda. */
+  private def resolveWarmStart(
+      df: DataFrame, featuresCol: String, weightCol: String, k: Int,
+      options: EbwOptions): EbwOptions =
+    (options.initialRatioGuessCol, options.initialMultipliers) match {
+      case (Some(rc), None) if k <= options.denseGramMax =>
+        val rows = df
+          .select(col(featuresCol), col(weightCol).cast(DoubleType),
+            col(rc).cast(DoubleType))
+          .rdd
+          .map(r => (
+            toEbwRow(r.get(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)),
+            if (r.isNullAt(2)) Double.NaN else r.getDouble(2)))
+        val (gram, rhs) = EbwAggregator.ratioSeed(rows, k)
+        val lambda0 = DriverLinalg.solveRidged(k, gram, rhs, 1e-10)
+        EbwLog.info(s"primal warm start: seeded ${k} multipliers from '$rc'")
+        options.copy(initialMultipliers = Some(lambda0))
+      case (Some(rc), None) =>
+        EbwLog.warn(s"primal warm start from '$rc' skipped: k=$k exceeds " +
+          s"denseGramMax=${options.denseGramMax} (dense LS seed only)")
+        options
+      case _ => options
+    }
+
+  /**
+   * `criterion` parity (shared.py:41), Spark-shaped: one aggregation pass
+   * evaluating the KL criterion sum(w0 (r ln r - r + 1)) and the moment
+   * violation Ce = A'w(lambda) - m sum(w0) at the given multipliers, with
+   * r = exp(x . lambda). The reference returns the N-vector jacobian and
+   * Hessian diagonal; distributed, those stay implicit (the jacobian's
+   * aggregate A'-image IS the violation returned here).
+   */
+  def evaluate(
+      df: DataFrame,
+      featuresCol: String,
+      weightCol: String,
+      meanPopulationMoments: Array[Double],
+      multipliers: Array[Double]): EbwEvaluation = {
+    val k = meanPopulationMoments.length
+    require(multipliers.length == k,
+      s"multipliers has ${multipliers.length} entries, expected $k")
+    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    try {
+      val pass =
+        if (k > EbwOptions().denseGramMax)
+          EbwAggregator.runSparse(prep.rows, k, multipliers, Link.exp)
+        else EbwAggregator.run(prep.rows, k, multipliers, Link.exp)
+      val b = meanPopulationMoments.map(_ * prep.sumW)
+      val ce = axpy(-1.0, b, pass.s)
+      EbwEvaluation(pass.fval, ce, norm2(ce), pass.wrsum)
+    } finally prep.rows.unpersist(false)
+  }
+
   // ---------------------------------------------------------------- public
 
   /**
@@ -143,10 +201,11 @@ object EntropyBalance {
     val k = meanPopulationMoments.length
     options.initialMultipliers.foreach(mu => require(mu.length == k,
       s"initialMultipliers has ${mu.length} entries, expected $k"))
+    val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
     val res =
       try unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
-        meanPopulationMoments, options)
+        meanPopulationMoments, opts)
       finally prep.rows.unpersist(false)
     maybeDump(df, featuresCol, weightCol, meanPopulationMoments, options, res)
     res
@@ -270,10 +329,11 @@ object EntropyBalance {
     val k = meanPopulationMoments.length
     options.initialMultipliers.foreach(mu => require(mu.length == k,
       s"initialMultipliers has ${mu.length} entries, expected $k"))
+    val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
     val res =
       try elasticLoop(df, featuresCol, weightCol, outputCol, prep,
-        meanPopulationMoments, options)
+        meanPopulationMoments, opts)
       finally prep.rows.unpersist(false)
     maybeDump(df, featuresCol, weightCol, meanPopulationMoments, options, res)
     res

@@ -313,6 +313,66 @@ class EbwSolverSpec extends AnyFunSuite {
     }
   }
 
+  test("primal warm start (initial_ratio_guess parity) cuts iteration count") {
+    val rng = new scala.util.Random(12522)
+    val n = 10000
+    val k = 40
+    val x = Array.fill(n)(Array.fill(k)(rng.nextDouble()))
+    val m = Array.fill(k)(0.0)
+    val sample = Array.fill(300)(Array.fill(k)(rng.nextDouble()))
+    for (j <- 0 until k) m(j) = sample.map(_(j)).sum / 300.0
+    val df = denseDf(x, Array.fill(n)(1.0)).repartition(4).cache()
+    val cold = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9))
+    assert(cold.converged && cold.nIterations > 1)
+    // ratio guess = the solved ratios (a previous run's weights): log r is
+    // exactly in span(X), so the LS seed recovers lambda* and the solve
+    // should need at most one step
+    val guessed = cold.weighted
+      .withColumn("r_guess", col("weight_new") / col("w0"))
+    val warm = EntropyBalance.entropyBalance(guessed, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9,
+        initialRatioGuessCol = Some("r_guess")))
+    assert(warm.converged)
+    assert(warm.nIterations < cold.nIterations,
+      s"warm=${warm.nIterations} cold=${cold.nIterations}")
+    assert(warm.nIterations <= 1, s"warm start took ${warm.nIterations} steps")
+    // a noisy guess still helps (seed is a projection, noise is off-span)
+    val noisy = guessed.withColumn("r_noisy",
+      col("r_guess") * exp((rand(7) - 0.5) * 0.01))
+    val warm2 = EntropyBalance.entropyBalance(noisy, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9,
+        initialRatioGuessCol = Some("r_noisy")))
+    assert(warm2.converged)
+    assert(warm2.nIterations <= cold.nIterations)
+    // explicit dual warm start takes precedence; invalid ratios don't crash
+    val mixedGuess = guessed.withColumn("r_bad",
+      when(col("w0") > 0.5, col("r_guess")).otherwise(lit(-1.0)))
+    val warm3 = EntropyBalance.entropyBalance(mixedGuess, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-9,
+        initialRatioGuessCol = Some("r_bad")))
+    assert(warm3.converged)
+    df.unpersist()
+  }
+
+  test("evaluate: criterion parity at lambda=0 and at the optimum") {
+    val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, 1.0))
+    val m = Array(1.5)
+    // lambda = 0 -> r = 1: KL term is zero, violation = A'w0 - m*sumW
+    val at0 = EntropyBalance.evaluate(df, "feat", "w0", m, Array(0.0))
+    assert(math.abs(at0.criterionValue) < 1e-15)
+    assert(math.abs(at0.constraintViolations(0) - (3.0 - 1.5 * 2.0)) < 1e-12)
+    assert(math.abs(at0.weightTotal - 2.0) < 1e-12)
+    // at the solved multipliers the violation vanishes and the criterion
+    // matches the solver's reported value
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-12))
+    val atOpt = EntropyBalance.evaluate(df, "feat", "w0", m,
+      res.equalityMultipliers)
+    assert(atOpt.violationNorm < 1e-9)
+    assert(math.abs(atOpt.criterionValue - res.criterionValue) < 1e-12)
+  }
+
   test("poststratification closed form via one-hot design") {
     // disjoint exhaustive groups: EBW == exact poststratification
     val rng = new scala.util.Random(42)
