@@ -128,71 +128,172 @@ object GroupedEntropyBalance {
       val ceOut = Array.fill(nG)(new Array[Double](k))
       var round = 0
       val maxRounds = if (bounded) options.maxStepsBounded else options.maxSteps
+      // Above denseGramMax the flat per-task buffer (nG * (1+k+k(k+1)/2)
+      // doubles: 500 groups x k=1000 would be ~2 GB/task) is replaced by a
+      // sparse accumulation — s stays flat (nG*k), the Gram becomes a
+      // LongMap keyed by (g*k+i)*k+j, proportional to the realized cross
+      // pattern (one-hot/interaction designs are O(nnz^2) per row, not
+      // k^2) — and the driver solves per-group via preconditioned CG.
+      val sparseGram = k > options.denseGramMax
 
       while (round < maxRounds && !converged.forall(identity)) {
         val bcLambda = spark.sparkContext.broadcast(lambda)
         val bcDone = spark.sparkContext.broadcast(converged)
         val bcEta = spark.sparkContext.broadcast(etas)
-        val agg = rows.treeAggregate(new Array[Double](nG * blk))(
-          (buf, r) => {
-            if (!bcDone.value(r.g)) {
-              val th = bcLambda.value(r.g)
-              val eta = bcEta.value(r.g)
-              val base = r.g * blk
-              var t = 0.0
-              if (r.idx == null) {
-                var j = 0
-                while (j < k) { t += r.vals(j) * th(j); j += 1 }
-              } else {
-                var p = 0
-                while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
-              }
-              val e = math.exp(math.min(eta * t, 700.0))
-              val rr = if (e < lb) lb else if (e > ub) ub else e
-              val rp = if (e > lb && e < ub) eta * e else 0.0
-              val wr = r.w0 * rr
-              val wrp = r.w0 * rp
-              buf(base) += wr
-              if (r.idx == null) {
-                var i = 0
-                while (i < k) {
-                  val vi = r.vals(i)
-                  buf(base + 1 + i) += wr * vi
-                  if (vi != 0.0 && wrp != 0.0) {
-                    val gb = base + 1 + k + i * k - i * (i + 1) / 2
-                    var j = i
-                    while (j < k) { buf(gb + j) += wrp * vi * r.vals(j); j += 1 }
+
+        // per-row link evaluation shared by both accumulation layouts
+        @inline def linkOf(r: GRow): (Double, Double) = {
+          val th = bcLambda.value(r.g)
+          val eta = bcEta.value(r.g)
+          var t = 0.0
+          if (r.idx == null) {
+            var j = 0
+            while (j < k) { t += r.vals(j) * th(j); j += 1 }
+          } else {
+            var p = 0
+            while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
+          }
+          val e = math.exp(math.min(eta * t, 700.0))
+          val rr = if (e < lb) lb else if (e > ub) ub else e
+          val rp = if (e > lb && e < ub) eta * e else 0.0
+          (r.w0 * rr, r.w0 * rp)
+        }
+
+        // (wrsumByG, sByG flat nG*k, dense grams | sparse gram entries)
+        var aggDense: Array[Double] = null
+        var sparseS: Array[Double] = null
+        var sparseGramMap: scala.collection.mutable.LongMap[Double] = null
+        if (!sparseGram) {
+          aggDense = rows.treeAggregate(new Array[Double](nG * blk))(
+            (buf, r) => {
+              if (!bcDone.value(r.g)) {
+                val (wr, wrp) = linkOf(r)
+                val base = r.g * blk
+                buf(base) += wr
+                if (r.idx == null) {
+                  var i = 0
+                  while (i < k) {
+                    val vi = r.vals(i)
+                    buf(base + 1 + i) += wr * vi
+                    if (vi != 0.0 && wrp != 0.0) {
+                      val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                      var j = i
+                      while (j < k) { buf(gb + j) += wrp * vi * r.vals(j); j += 1 }
+                    }
+                    i += 1
                   }
-                  i += 1
-                }
-              } else {
-                var p = 0
-                while (p < r.idx.length) {
-                  val i = r.idx(p); val vi = r.vals(p)
-                  buf(base + 1 + i) += wr * vi
-                  if (wrp != 0.0) {
-                    val gb = base + 1 + k + i * k - i * (i + 1) / 2
-                    var q = p
-                    while (q < r.idx.length) { buf(gb + r.idx(q)) += wrp * vi * r.vals(q); q += 1 }
+                } else {
+                  var p = 0
+                  while (p < r.idx.length) {
+                    val i = r.idx(p); val vi = r.vals(p)
+                    buf(base + 1 + i) += wr * vi
+                    if (wrp != 0.0) {
+                      val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                      var q = p
+                      while (q < r.idx.length) { buf(gb + r.idx(q)) += wrp * vi * r.vals(q); q += 1 }
+                    }
+                    p += 1
                   }
-                  p += 1
                 }
               }
-            }
-            buf
-          },
-          (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a },
-          depth = 2)
+              buf
+            },
+            (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a },
+            depth = 2)
+        } else {
+          final case class GAcc(
+              wr: Array[Double], s: Array[Double],
+              gram: scala.collection.mutable.LongMap[Double])
+          val out = rows.treeAggregate(GAcc(new Array[Double](nG),
+            new Array[Double](nG * k),
+            new scala.collection.mutable.LongMap[Double]()))(
+            (acc, r) => {
+              if (!bcDone.value(r.g)) {
+                val (wr, wrp) = linkOf(r)
+                acc.wr(r.g) += wr
+                val sBase = r.g * k
+                val gBase = r.g.toLong * k * k
+                if (r.idx == null) {
+                  var i = 0
+                  while (i < k) {
+                    val vi = r.vals(i)
+                    if (vi != 0.0) {
+                      acc.s(sBase + i) += wr * vi
+                      if (wrp != 0.0) {
+                        var j = i
+                        while (j < k) {
+                          val vj = r.vals(j)
+                          if (vj != 0.0) {
+                            val key = gBase + i.toLong * k + j
+                            acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wrp * vi * vj)
+                          }
+                          j += 1
+                        }
+                      }
+                    }
+                    i += 1
+                  }
+                } else {
+                  var p = 0
+                  while (p < r.idx.length) {
+                    val i = r.idx(p); val vi = r.vals(p)
+                    acc.s(sBase + i) += wr * vi
+                    if (wrp != 0.0) {
+                      var q = p
+                      while (q < r.idx.length) {
+                        val key = gBase + i.toLong * k + r.idx(q)
+                        acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wrp * vi * r.vals(q))
+                        q += 1
+                      }
+                    }
+                    p += 1
+                  }
+                }
+              }
+              acc
+            },
+            (a, c) => {
+              var i = 0
+              while (i < nG) { a.wr(i) += c.wr(i); i += 1 }
+              i = 0
+              while (i < nG * k) { a.s(i) += c.s(i); i += 1 }
+              c.gram.foreachEntry((key, v) =>
+                a.gram.update(key, a.gram.getOrElse(key, 0.0) + v))
+              a
+            },
+            depth = 2)
+          sparseS = out.s
+          sparseGramMap = out.gram
+        }
         bcLambda.destroy()
         bcDone.destroy()
         bcEta.destroy()
 
+        // sparse path: split the global gram map into per-group key/val
+        // arrays (keys re-based to i*k+j) for the CG solver
+        var gramKeysByG: Array[Array[Long]] = null
+        var gramValsByG: Array[Array[Double]] = null
+        if (sparseGram) {
+          val keyBufs = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Long]())
+          val valBufs = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Double]())
+          sparseGramMap.foreachEntry { (key, v) =>
+            val g = (key / (k.toLong * k)).toInt
+            keyBufs(g) += key - g.toLong * k * k
+            valBufs(g) += v
+          }
+          gramKeysByG = keyBufs.map(_.toArray)
+          gramValsByG = valBufs.map(_.toArray)
+        }
+
         var g = 0
         while (g < nG) {
           if (!converged(g)) {
-            val base = g * blk
-            val s = java.util.Arrays.copyOfRange(agg, base + 1, base + 1 + k)
-            val gram = java.util.Arrays.copyOfRange(agg, base + 1 + k, base + blk)
+            val s =
+              if (sparseGram) java.util.Arrays.copyOfRange(sparseS, g * k, (g + 1) * k)
+              else java.util.Arrays.copyOfRange(aggDense, g * blk + 1, g * blk + 1 + k)
+            val gram =
+              if (sparseGram) null
+              else java.util.Arrays.copyOfRange(aggDense, g * blk + 1 + k, (g + 1) * blk)
             val ce = axpy(-1.0, b(g), s)
             ceOut(g) = ce
             // projected gradient: pin box-saturated coordinates pushing out
@@ -222,7 +323,11 @@ object GroupedEntropyBalance {
               } else converged(g) = true
             } else {
               val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale(g), 0.55))
-              val d = DriverLinalg.solveRidged(k, gram, pg, ridge)
+              val d =
+                if (sparseGram)
+                  DriverLinalg.cgSolve(k, gramKeysByG(g), gramValsByG(g),
+                    new Array[Double](k), pg, ridge, null)
+                else DriverLinalg.solveRidged(k, gram, pg, ridge)
               // damped full step: groups share the pass, so no individual
               // line search — cap the step to keep exp() sane instead
               val dn = d.map(math.abs).max

@@ -53,6 +53,54 @@ class GroupedSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped sparse-Gram path (k > denseGramMax) matches the closed form and the dense path") {
+    import spark.implicits._
+    // 20 independent poststratification problems with k=550 one-hot levels:
+    // dense grouped buffers would be 20 * (1+550+550*551/2) doubles/task;
+    // the sparse path accumulates only the realized diagonal
+    val nGroups = 20
+    val k = 550
+    val rows = for {
+      g <- 0 until nGroups
+      level <- 0 until k
+      rep <- 0 until (1 + (g + level) % 3)
+    } yield (s"g$g", level)
+    val df = rows.toDF("grp", "level")
+      .withColumn("w0", lit(1.0))
+      .repartition(4)
+    val (dfv, labels) = DesignMatrix.oneHot(df, "level", "feat")
+    assert(labels.length == k)
+    val targets = (0 until nGroups).map(g => s"g$g" -> Array.fill(k)(1.0 / k)).toMap
+    val opts = EbwOptions(optimalityTol = 1e-10, maxSteps = 60) // denseGramMax=512 < k
+    val sparseRes = GroupedEntropyBalance.entropyBalanceGrouped(
+      dfv, "grp", "feat", "w0", targets, options = opts)
+    assert(sparseRes.allConverged)
+    // closed form: weight(g, level) = (sumW_g / k) / count(g, level)
+    val counts = rows.groupBy(identity).view.mapValues(_.length).toMap
+    val sumWg = (0 until nGroups).map(g =>
+      s"g$g" -> (0 until k).map(l => counts((s"g$g", l))).sum.toDouble).toMap
+    val got = sparseRes.weighted
+      .groupBy("grp", "level").agg(first("weight_new").as("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    var maxErr = 0.0
+    for (g <- 0 until nGroups; l <- 0 until k) {
+      val key = (s"g$g", l)
+      val expect = (sumWg(s"g$g") / k) / counts(key)
+      maxErr = math.max(maxErr, math.abs(got(key) - expect))
+    }
+    assert(maxErr < 1e-6, s"sparse grouped max weight error $maxErr")
+    // forcing the dense path on the same problem gives the same solution
+    val denseRes = GroupedEntropyBalance.entropyBalanceGrouped(
+      dfv, "grp", "feat", "w0", targets,
+      options = opts.copy(denseGramMax = 4096))
+    assert(denseRes.allConverged)
+    val dW = denseRes.weighted
+      .groupBy("grp", "level").agg(first("weight_new").as("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val pathDiff = got.map { case (key, w) => math.abs(w - dW(key)) }.max
+    assert(pathDiff < 1e-8, s"sparse vs dense grouped paths differ by $pathDiff")
+  }
+
   test("grouped bounded: loose bounds match unbounded, tight bounds clip per group") {
     val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
       .withColumn("bal_k", col("c_acctbal") / 1000.0)
