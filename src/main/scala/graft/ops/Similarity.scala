@@ -134,6 +134,40 @@ object Similarity {
     new IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol)
   }
 
+  /**
+   * Persist a fitted IVF index: the assignments are written PARTITIONED BY
+   * cell — at corpus scale, a query touching nprobe cells then prunes at
+   * the file level (the cell filter becomes a partition filter on the
+   * scan, so only nprobe/nlist of the corpus is ever read). Centers and
+   * the id column name go into tiny side tables.
+   */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    val spark = index.assigned.sparkSession
+    index.assigned.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/assigned")
+    import spark.implicits._
+    index.centers.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "center")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centers")
+    Seq(Tuple1(index.idCol)).toDF("id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reload a persisted IVF index. The assignment frame stays lazy/on-disk:
+   * `query` filters on `cell`, which Spark turns into partition pruning
+   * over the cell-partitioned layout (no full-corpus scan, no cache
+   * warmup needed). */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    graft.functions.GraftFunctions.register(spark)
+    val idCol = spark.read.parquet(s"$path/meta").collect()(0).getString(0)
+    val centers = spark.read.parquet(s"$path/centers")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col(idCol), col("arr"), col("cell"))
+    new IvfIndex(assigned, centers, idCol)
+  }
+
   /** IVF-style ANN: cluster the corpus with MLlib KMeans (nlist cells),
    * then search only the nprobe cells nearest the query. One-shot
    * convenience over fitIvfIndex + query. */

@@ -125,6 +125,28 @@ class OpsSpec extends AnyFunSuite {
     assert(full == bruteTop)
   }
 
+  test("IVF index persists partitioned by cell and prunes the scan on reload") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val index = Similarity.fitIvfIndex(rest, "embedding", "vec_id", nlist = 8)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Similarity.saveIvfIndex(index, tmp)
+    val loaded = Similarity.loadIvfIndex(spark, tmp)
+    assert(loaded.idCol == "vec_id")
+    assert(loaded.centers.map(_.toSeq).toSeq == index.centers.map(_.toSeq).toSeq)
+    val a = index.query(q, 10, 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val b = loaded.query(q, 10, 3).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(a.toSeq == b.toSeq)
+    // the cell restriction must reach the scan as a PARTITION filter
+    // (only nprobe/nlist of the corpus is read from disk)
+    val plan = loaded.query(q, 10, 3).queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[.*cell".r.findFirstIn(plan).isDefined,
+      s"no partition filter on cell in plan:\n$plan")
+    index.unpersist()
+  }
+
   test("langId returns valid labels") {
     val out = TextMetrics.langId(docs, "text", "doc_id").collect()
     val valid = Set("en", "de", "fr", "es", "und")
