@@ -134,7 +134,8 @@ object SparkEntry {
        |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
        |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
        |hh AS (
-       |  SELECT doc_id, j, min(md5(concat(j::VARCHAR, '|', s))) AS mh
+       |  SELECT doc_id, j,
+       |    min(substr(md5(concat((j // 4)::VARCHAR, '|', s)), (j % 4) * 8 + 1, 8)) AS mh
        |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
        |  GROUP BY doc_id, j),
        |bk AS (

@@ -65,7 +65,8 @@ object Dedup {
     val shingled = tok.select(
       col(idCol),
       explode(expr(
-        "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))"))
+        "transform(sequence(1, size(tok) - 2), i -> " +
+        "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"))
         .as("s"))
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
@@ -114,13 +115,21 @@ object Dedup {
       .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("sid"), array_distinct(expr(
-        "transform(sequence(1, size(tok) - 2), i -> concat_ws(' ', slice(tok, i, 3)))"))
+        "transform(sequence(1, size(tok) - 2), i -> " +
+        "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"))
         .as("sh"))
       .cache()
     val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
+    // hash families come 4-per-md5 (8-hex-char slices of the digest):
+    // engine-portable like a per-family md5 but 4x fewer digest
+    // computations — the signature aggregation is the expensive stage
+    val seeds = (0 to (numHashes - 1) / 4).map(si =>
+      md5(concat(lit(s"$si|"), col("s"))))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
-    val sig = exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*)
+      min(substring(seeds(j / 4), (j % 4) * 8 + 1, 8)).as(s"h$j"))
+    // cached so the bucket-count guard, both pair-join sides, and the
+    // verify step all reuse one computation
+    val sig = exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*).cache()
     val bands = numHashes / bandSize
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -169,15 +178,20 @@ object Dedup {
         Similarity.lshBucket(col("v"), dim, bitsPerBand, seed,
           planeOffset = bnd * bitsPerBand).as("key"))
     }
+    // cache the bucketed frame: the bands*bitsPerBand hyperplane dot
+    // products (and their codegen) run once, not once per join side and
+    // once more for the bucket-count guard
     val keyed = base
       .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bk"))
       .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     val kept = capBuckets(keyed, maxBucketSize, "embeddingCosinePairs")
     val a = kept.select(col("band"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
     val b = kept.select(col("band"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v_a"), col("v_b")))
+      // native codegen kernel; sums in index order like the SQL oracle
+      .withColumn("cosine", Similarity.cosineNative(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
       .distinct()
