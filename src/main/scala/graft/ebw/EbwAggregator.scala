@@ -73,24 +73,7 @@ private[ebw] object EbwAggregator {
       var p = 0
       while (p < idx.length) { t += vals(p) * theta(idx(p)); p += 1 }
     }
-    // r and dr/dt under the link (exp input capped at 700 to stay finite;
-    // the driver's line search rejects divergent trial points).
-    var r = 0.0
-    var rp = 0.0
-    link.mode match {
-      case 0 => // EXP
-        val tt = if (t > 700.0) 700.0 else t
-        r = math.exp(tt); rp = r
-      case 1 => // CLIP
-        var et = link.eta * t
-        if (et > 700.0) et = 700.0
-        val e = math.exp(et)
-        r = if (e < link.lb) link.lb else if (e > link.ub) link.ub else e
-        rp = if (e > link.lb && e < link.ub) link.eta * e else 0.0
-      case _ => // NEGEXP
-        val tt = if (-t > 700.0) -700.0 else t
-        r = math.exp(-tt); rp = r
-    }
+    val (r, rp) = link.rAndSlope(t)
     val w0 = row.w0
     val wr = w0 * r
     // KL criterion term; r -> 0 limit of (r ln r - r + 1) is 1.
@@ -159,22 +142,7 @@ private[ebw] object EbwAggregator {
           var p = 0
           while (p < idx.length) { t += vals(p) * th(idx(p)); p += 1 }
         }
-        var r = 0.0
-        var rp = 0.0
-        lk.mode match {
-          case 0 =>
-            val tt = if (t > 700.0) 700.0 else t
-            r = math.exp(tt); rp = r
-          case 1 =>
-            var et = lk.eta * t
-            if (et > 700.0) et = 700.0
-            val e = math.exp(et)
-            r = if (e < lk.lb) lk.lb else if (e > lk.ub) lk.ub else e
-            rp = if (e > lk.lb && e < lk.ub) lk.eta * e else 0.0
-          case _ =>
-            val tt = if (-t > 700.0) -700.0 else t
-            r = math.exp(-tt); rp = r
-        }
+        val (r, rp) = lk.rAndSlope(t)
         val w0 = row.w0
         val wr = w0 * r
         acc.fval += (if (r <= 0.0) w0 else w0 * (r * math.log(r) - r + 1.0))

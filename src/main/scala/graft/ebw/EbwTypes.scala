@@ -81,7 +81,25 @@ private[ebw] final case class EbwRow(idx: Array[Int], vals: Array[Double], w0: D
  *                                          sign handled on the driver)
  * CLIP with eta = -1 doubles as the bounded-penalty map clip(exp(-t),lb,ub).
  */
-private[graft] final case class Link(mode: Int, eta: Double, lb: Double, ub: Double)
+private[graft] final case class Link(mode: Int, eta: Double, lb: Double, ub: Double) {
+  /** (r, dr/dt) at t = x . theta — THE shared per-row evaluation for every
+   * solver mode (exp inputs capped at 700 to stay finite; the driver line
+   * searches reject divergent trials). (Double, Double) tuples are
+   * @specialized, so the JIT scalar-replaces them in the hot loops. */
+  @inline def rAndSlope(t: Double): (Double, Double) = mode match {
+    case Link.EXP =>
+      val r = math.exp(if (t > 700.0) 700.0 else t)
+      (r, r)
+    case Link.CLIP => Link.clipRAndSlope(eta, lb, ub, t)
+    case _ =>
+      val tt = if (-t > 700.0) -700.0 else t
+      val r = math.exp(-tt)
+      (r, r)
+  }
+
+  /** Ratio only (driver-side column fallback paths). */
+  @inline def r(t: Double): Double = rAndSlope(t)._1
+}
 
 private[graft] object Link {
   val EXP = 0
@@ -90,4 +108,15 @@ private[graft] object Link {
   def exp: Link = Link(EXP, 1.0, 0.0, Double.PositiveInfinity)
   def clip(eta: Double, lb: Double, ub: Double): Link = Link(CLIP, eta, lb, ub)
   def negexp: Link = Link(NEGEXP, 1.0, 0.0, Double.PositiveInfinity)
+
+  /** Static clip-link evaluation for callers carrying per-group eta
+   * (GroupedEntropyBalance) — same math as the CLIP instance mode. */
+  @inline def clipRAndSlope(
+      eta: Double, lb: Double, ub: Double, t: Double): (Double, Double) = {
+    var et = eta * t
+    if (et > 700.0) et = 700.0
+    val e = math.exp(et)
+    val r = if (e < lb) lb else if (e > ub) ub else e
+    (r, if (e > lb && e < ub) eta * e else 0.0)
+  }
 }

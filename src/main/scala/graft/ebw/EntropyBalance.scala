@@ -92,17 +92,10 @@ object EntropyBalance {
         case _ => exp(-greatest(t, lit(-700.0)))
       }
     } else {
-      def r(t: Double): Double = lk.mode match {
-        case 0 => math.exp(math.min(t, 700.0))
-        case 1 =>
-          val e = math.exp(math.min(lk.eta * t, 700.0))
-          if (e < lk.lb) lk.lb else if (e > lk.ub) lk.ub else e
-        case _ => math.exp(-math.max(t, -700.0))
-      }
       val f = udf { v: Vector =>
         var t = 0.0
         v.foreachActive((i, x) => t += x * th(i))
-        r(t)
+        lk.r(t)
       }
       f(col(featuresCol))
     }
@@ -203,25 +196,25 @@ object EntropyBalance {
       s"initialMultipliers has ${mu.length} entries, expected $k"))
     val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
-    val res =
-      try unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
+    try {
+      val res = unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
         meanPopulationMoments, opts)
-      finally prep.rows.unpersist(false)
-    maybeDump(df, featuresCol, weightCol, meanPopulationMoments, options, res)
-    res
+      maybeDump(df.sparkSession, prep, meanPopulationMoments, options, res)
+      res
+    } finally prep.rows.unpersist(false)
   }
 
   /** save_problem_data / save_failure_data semantics
    * (ebw_routines.py:312-319): always dump to the former; dump to the
-   * latter only on failure. */
+   * latter only on failure. Reuses the solve's cached row projection. */
   private def maybeDump(
-      df: DataFrame, featuresCol: String, weightCol: String,
+      spark: org.apache.spark.sql.SparkSession, prep: Prepared,
       m: Array[Double], options: EbwOptions, res: EbwResult): Unit = {
     options.saveProblemData.foreach(p =>
-      ProblemIO.save(df, featuresCol, weightCol, m, p))
+      ProblemIO.saveRows(spark, prep.rows, m, p))
     if (!res.converged)
       options.saveFailureData.foreach(p =>
-        ProblemIO.save(df, featuresCol, weightCol, m, p))
+        ProblemIO.saveRows(spark, prep.rows, m, p))
   }
 
   private def unboundedLoop(
@@ -331,12 +324,12 @@ object EntropyBalance {
       s"initialMultipliers has ${mu.length} entries, expected $k"))
     val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
-    val res =
-      try elasticLoop(df, featuresCol, weightCol, outputCol, prep,
+    try {
+      val res = elasticLoop(df, featuresCol, weightCol, outputCol, prep,
         meanPopulationMoments, opts)
-      finally prep.rows.unpersist(false)
-    maybeDump(df, featuresCol, weightCol, meanPopulationMoments, options, res)
-    res
+      maybeDump(df.sparkSession, prep, meanPopulationMoments, options, res)
+      res
+    } finally prep.rows.unpersist(false)
   }
 
   private def elasticLoop(

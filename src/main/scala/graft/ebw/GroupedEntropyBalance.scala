@@ -153,9 +153,7 @@ object GroupedEntropyBalance {
             var p = 0
             while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
           }
-          val e = math.exp(math.min(eta * t, 700.0))
-          val rr = if (e < lb) lb else if (e > ub) ub else e
-          val rp = if (e > lb && e < ub) eta * e else 0.0
+          val (rr, rp) = Link.clipRAndSlope(eta, lb, ub, t)
           (r.w0 * rr, r.w0 * rp)
         }
 
@@ -374,14 +372,15 @@ object GroupedEntropyBalance {
           when(lam.isNull, lit(1.0))
             .otherwise(clipCol(exp(least(dotC, lit(700.0)))))
         else {
+          // effective multipliers already include eta_g, so eta = 1 here
+          val outLink = Link.clip(1.0, lb, ub)
           val f = udf { (v: org.apache.spark.ml.linalg.Vector, gname: String) =>
             bcM.value.get(if (gname == null) "" else gname) match {
               case None => 1.0
               case Some(th) =>
                 var t = 0.0
                 v.foreachActive((i, x) => t += x * th(i))
-                val e = math.exp(math.min(t, 700.0))
-                if (e < lb) lb else if (e > ub) ub else e
+                outLink.r(t)
             }
           }
           f(col(featuresCol), col(groupCol).cast("string"))

@@ -16,17 +16,25 @@ object ProblemIO {
   def save(
       df: DataFrame, featuresCol: String, weightCol: String,
       moments: Array[Double], path: String): Unit = {
-    val spark = df.sparkSession
     val k = moments.length
     val prep = EntropyBalance.prepare(df, featuresCol, weightCol, k, moments)
-    try {
-      import spark.implicits._
-      prep.rows.map(r => (Option(r.idx), Option(r.vals).getOrElse(Array.empty[Double]).toSeq, r.w0))
-        .toDF("idx", "vals", "w0")
-        .write.mode("overwrite").parquet(s"$path/data")
-      Seq((moments.toSeq, k)).toDF("moments", "k")
-        .write.mode("overwrite").parquet(s"$path/meta")
-    } finally prep.rows.unpersist(false)
+    try saveRows(df.sparkSession, prep.rows, moments, path)
+    finally prep.rows.unpersist(false)
+  }
+
+  /** Dump an already-prepared (cached, validated) row RDD — used by the
+   * solvers' save_problem_data/save_failure_data hooks so the dump reuses
+   * the solve's own cached projection instead of re-preparing and
+   * re-validating the input. */
+  private[ebw] def saveRows(
+      spark: SparkSession, rows: org.apache.spark.rdd.RDD[EbwRow],
+      moments: Array[Double], path: String): Unit = {
+    import spark.implicits._
+    rows.map(r => (Option(r.idx), Option(r.vals).getOrElse(Array.empty[Double]).toSeq, r.w0))
+      .toDF("idx", "vals", "w0")
+      .write.mode("overwrite").parquet(s"$path/data")
+    Seq((moments.toSeq, moments.length)).toDF("moments", "k")
+      .write.mode("overwrite").parquet(s"$path/meta")
   }
 
   /**
