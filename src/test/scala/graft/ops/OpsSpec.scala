@@ -238,6 +238,44 @@ class OpsSpec extends AnyFunSuite {
     assert(fp == hex.substring(0, 16))
   }
 
+  test("multimodal: real header parsing for png/jpeg/gif/bmp/wav") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // PNG: magic + IHDR(len, type, 640x480, depth 8, truecolor)
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13) ++ "IHDR".getBytes ++
+      bytes(0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 2, 0, 0, 0)
+    // JPEG: SOI + APP0 (16 bytes) + SOF0 (precision 8, 480 high, 640 wide, 3 ch)
+    val jpeg = bytes(0xff, 0xd8, 0xff, 0xe0, 0, 16) ++
+      "JFIF".getBytes ++ bytes(0, 1, 1, 0, 0, 1, 0, 1, 0, 0) ++
+      bytes(0xff, 0xc0, 0, 17, 8, 1, 0xe0, 2, 0x80, 3)
+    // GIF89a 320x200; BMP 100x50; WAV stereo 44100 Hz
+    val gif = "GIF89a".getBytes ++ bytes(0x40, 1, 0xc8, 0, 0, 0)
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(100, 0, 0, 0, 50, 0, 0, 0) ++ new Array[Byte](4)
+    val wav = "RIFF".getBytes ++ bytes(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ bytes(16, 0, 0, 0, 1, 0, 2, 0,
+        0x44, 0xac, 0, 0, 0x10, 0xb1, 2, 0, 4, 0, 16, 0)
+    val df = Seq((1L, png), (2L, jpeg), (3L, gif), (4L, bmp), (5L, wav),
+      (6L, "just text".getBytes), (7L, bytes(0xff, 0xd8, 0xff)))
+      .toDF("doc_id", "payload")
+    val metas = Multimodal.extractMetadata(df, "doc_id", "payload")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas(1L).format == "png" && metas(1L).width == 640 &&
+      metas(1L).height == 480 && metas(1L).channels == 3)
+    assert(metas(2L).format == "jpeg" && metas(2L).width == 640 &&
+      metas(2L).height == 480 && metas(2L).channels == 3)
+    assert(metas(3L).format == "gif" && metas(3L).width == 320 &&
+      metas(3L).height == 200)
+    assert(metas(4L).format == "bmp" && metas(4L).width == 100 &&
+      metas(4L).height == 50)
+    assert(metas(5L).format == "wav" && metas(5L).channels == 2 &&
+      metas(5L).sample_rate == 44100)
+    assert(metas(6L).format == "raw")
+    // truncated jpeg must degrade, not throw
+    assert(metas(7L).format == "jpeg" && metas(7L).width == -1)
+  }
+
   test("multimodal: batched stub decode is deterministic, frames sample") {
     val bin = docs.limit(50).select(col("doc_id"), col("text").cast("binary").as("payload"))
     val f1 = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()
