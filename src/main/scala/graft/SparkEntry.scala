@@ -413,6 +413,23 @@ object SparkEntry {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("bucket_start", "event_type")
     }),
+    "q_asof_join" -> ((s, dir) => {
+      // attribution: each click matched to the user's latest at-or-before
+      // view (backward as-of join; union-window plan, no inequality join)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOf.joinBackward(clicks, views, "user_id", "ts", "ts",
+          "event_id", Seq("value"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          round(col("asof_value"), 2).as("view_value"))
+        .orderBy("click_id")
+    }),
     // §2a — EBW
     "ebw_poststrat" -> ((s, dir) => ebwPoststrat(s, dir)),
     "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
@@ -796,6 +813,19 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, tfidf, rank FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_asof_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    v.event_id AS view_id, v.value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts)
+        |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embed_cosine" -> embedCosineOracle,

@@ -238,6 +238,35 @@ class OpsSpec extends AnyFunSuite {
     assert(fp == hex.substring(0, 16))
   }
 
+  test("as-of join: latest at-or-before match, deterministic ties, tolerance") {
+    import spark.implicits._
+    val views = Seq(
+      (100L, 1L, 10L, 1.0), (101L, 1L, 20L, 2.0), (102L, 1L, 20L, 3.0),
+      (200L, 2L, 50L, 9.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val clicks = Seq(
+      (900L, 1L, 5L),  // before any view: no match
+      (901L, 1L, 20L), // tie at t=20: larger view id (102) wins
+      (902L, 1L, 25L), // latest view <= 25 is t=20 -> 102
+      (903L, 2L, 60L), // -> 200
+      (904L, 3L, 99L)) // user with no views: no match
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.joinBackward(clicks, views, "user_id", "ts", "ts",
+        "event_id", Seq("value"))
+      .select("event_id", "asof_event_id", "asof_time", "asof_value")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(!out.contains(900L) && !out.contains(904L))
+    assert(out(901L) == ((102L, 20L, 3.0)))
+    assert(out(902L) == ((102L, 20L, 3.0)))
+    assert(out(903L) == ((200L, 50L, 9.0)))
+    // tolerance: click at 25 is 5 ticks after the view -> dropped at tol 3
+    val tight = AsOf.joinBackward(clicks, views, "user_id", "ts", "ts",
+        "event_id", Seq("value"), tolerance = Some(lit(3)))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(tight == Set(901L)) // 902 (gap 5) and 903 (gap 10) drop
+  }
+
   test("multimodal: real header parsing for png/jpeg/gif/bmp/wav") {
     import spark.implicits._
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
