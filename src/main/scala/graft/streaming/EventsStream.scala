@@ -35,6 +35,36 @@ object EventsStream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Per-user session windows (gap-based): events closer than `gap` merge
+   * into one session. Uses the built-in session_window — in streaming mode
+   * (with `watermark`) sessions finalize in append mode once the watermark
+   * passes the gap; in batch mode the same code computes historical
+   * sessionization. */
+  def userSessions(
+      events: DataFrame, gap: String, watermark: Option[String] = None): DataFrame = {
+    val e = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    e.groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("session_value"))
+  }
+
+  /** Stream-stream interval join: each click joined to the same user's
+   * views within `[clickTs - horizon, clickTs]`. Both sides carry
+   * watermarks, so the join state is bounded — the streaming analogue of
+   * the AsOf/attribution pattern (an unbounded-history as-of join cannot
+   * run on two unbounded streams; the horizon IS the state bound). */
+  def clickViewJoin(
+      clicks: DataFrame, views: DataFrame,
+      watermark: String, horizon: String): DataFrame = {
+    val c = clicks.withWatermark("click_ts", watermark)
+    val v = views.withWatermark("view_ts", watermark)
+    c.join(v, expr(
+      s"""click_user = view_user AND
+         |view_ts <= click_ts AND
+         |view_ts >= click_ts - INTERVAL $horizon""".stripMargin))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
 

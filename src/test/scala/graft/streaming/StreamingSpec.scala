@@ -95,6 +95,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.length == 2, rows.mkString(","))
   }
 
+  test("session windows: gap-based sessions, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: events at 0,2,3 (one session), then 20,21 (second session);
+    // user 2: single event
+    val events = Seq(
+      Event(1, ts(0), "click", 1.0), Event(1, ts(2), "view", 2.0),
+      Event(1, ts(3), "click", 3.0), Event(1, ts(20), "view", 4.0),
+      Event(1, ts(21), "click", 5.0), Event(2, ts(5), "view", 10.0))
+    val batch = EventsStream.userSessions(events.toDF(), "10 minutes")
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(batch.length == 3)
+    assert(batch(0)._3 == 3 && math.abs(batch(0)._4 - 6.0) < 1e-12) // u1 s1
+    assert(batch(1)._3 == 2 && math.abs(batch(1)._4 - 9.0) < 1e-12) // u1 s2
+    assert(batch(2)._1 == 2 && batch(2)._3 == 1)
+    val mem = MemoryStream[Event]
+    mem.addData(events: _*)
+    val q = EventsStream.userSessions(mem.toDF(), "10 minutes", Some("0 seconds"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_out").start()
+    q.processAllAvailable()
+    // advance the watermark past every session end so they all finalize
+    mem.addData(Event(99, Timestamp.valueOf("2024-01-01 12:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_out")
+      .filter($"user_id" =!= 99)
+      .orderBy("user_id", "session_start")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getLong(3), r.getDouble(4)))
+    assert(streamed.toSeq == batch.toSeq) // one code path, two engines
+  }
+
+  test("stream-stream interval join bounds state and matches in-horizon views") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp, Long)]
+    val views = MemoryStream[(Long, Timestamp, Long)]
+    val cDf = clicks.toDF().toDF("click_user", "click_ts", "click_id")
+    val vDf = views.toDF().toDF("view_user", "view_ts", "view_id")
+    val joined = EventsStream.clickViewJoin(cDf, vDf, "30 minutes", "'10' MINUTES")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("join_out").start()
+    views.addData((1L, ts(0), 100L), (1L, ts(15), 101L), (2L, ts(0), 200L))
+    clicks.addData((1L, ts(18), 900L), (2L, ts(30), 901L))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("join_out")
+      .select("click_id", "view_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    // click 900 at :18 matches only view 101 at :15 (view 100 at :00 is
+    // outside the 10-minute horizon); click 901 at :30 matches nothing
+    assert(rows == Set(900L -> 101L), rows.toString)
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
