@@ -286,6 +286,30 @@ object SparkEntry {
        |ORDER BY o.o_orderkey""".stripMargin
   }
 
+  /** Grouped-penalty oracle: the per-(status, priority) cell fixed point
+   * z = p(c*exp(-z) - b) with c the cell count and b = N_status / k —
+   * solved by the same 10 scalar Newton steps as ebwPenaltyOracle. */
+  private def ebwGroupedPenaltyOracle: String = {
+    val newtonSteps = (1 to 10).map { i =>
+      s"t$i AS (SELECT o_orderstatus, o_orderpriority, c, b, " +
+        s"z - (z - 2.0*(c*exp(-z) - b)) / (1.0 + 2.0*c*exp(-z)) AS z FROM t${i - 1})"
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT o_orderstatus, o_orderpriority, count(*)::DOUBLE AS c
+       |  FROM orders GROUP BY 1, 2),
+       |ns AS (SELECT o_orderstatus, count(*)::DOUBLE AS n
+       |  FROM orders GROUP BY 1),
+       |kk AS (SELECT count(DISTINCT o_orderpriority)::DOUBLE AS k FROM orders),
+       |t0 AS (SELECT g.o_orderstatus, g.o_orderpriority, g.c,
+       |    ns.n / kk.k AS b, 0.0 AS z
+       |  FROM g JOIN ns USING (o_orderstatus), kk),
+       |$newtonSteps
+       |SELECT o.o_orderkey, round(exp(-t.z), 6) AS new_weight
+       |FROM orders o JOIN t10 t
+       |  ON o.o_orderstatus = t.o_orderstatus
+       | AND o.o_orderpriority = t.o_orderpriority
+       |ORDER BY o.o_orderkey""".stripMargin
+  }
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -472,6 +496,21 @@ object SparkEntry {
       val res = EntropyBalance.entropyBalancePenalty(dfv, "feat", "w0",
         Array.fill(k)(1.0 / k), Array(2.0),
         options = EbwOptions(optimalityTol = 1e-10, stepTol = 1e-12))
+      res.weighted
+        .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+        .orderBy("o_orderkey")
+    }),
+    "ebw_grouped_penalty" -> ((s, dir) => {
+      // one penalty problem per order status, all advanced in shared passes
+      val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
+      val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+      val k = labels.length
+      val statuses = orders.select(col("o_orderstatus").cast("string")).distinct()
+        .collect().map(_.getString(0))
+      val targets = statuses.map(st => st -> Array.fill(k)(1.0 / k)).toMap
+      val res = GroupedEntropyBalance.entropyBalancePenaltyGrouped(
+        dfv, "o_orderstatus", "feat", "w0", targets, Array(2.0),
+        options = EbwOptions(optimalityTol = 1e-10, maxSteps = 60))
       res.weighted
         .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
         .orderBy("o_orderkey")
@@ -835,6 +874,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ebw_penalty" -> ebwPenaltyOracle,
+    "ebw_grouped_penalty" -> ebwGroupedPenaltyOracle,
     "text_quality" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars_m,

@@ -1,7 +1,7 @@
 package graft.ebw
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 import org.apache.spark.storage.StorageLevel
@@ -15,10 +15,12 @@ import DriverLinalg.{axpy, norm2}
  * independent small ones, e.g. per-source reweighting of training data).
  *
  * All groups advance together: each Newton round is ONE treeAggregate over
- * the full dataset computing every group's (Ce, Gram) into a per-partition
- * hash map — G problems cost one scan, not G scans. Driver state is a
- * k-vector per group; converged groups freeze (their rows stop
- * contributing Gram work via a skip check).
+ * the full dataset computing every group's (Ce, Gram) — G problems cost one
+ * scan, not G scans. Driver state is a k-vector per group; converged groups
+ * freeze (their rows stop contributing Gram work via a skip check). The
+ * same round pass serves the exact solver (dual Newton, optional elastic
+ * bounds with per-group auto-eta) and the penalty solver (fixed point
+ * z = P(A'Phi(z) - b), link = clip(exp(-t)) i.e. eta = -1).
  */
 object GroupedEntropyBalance {
 
@@ -36,11 +38,281 @@ object GroupedEntropyBalance {
 
   private final case class GRow(g: Int, idx: Array[Int], vals: Array[Double], w0: Double)
 
+  // ------------------------------------------------------------ shared plumbing
+
+  private def prepGRows(
+      df: DataFrame, groupCol: String, featuresCol: String, weightCol: String,
+      gIdx: Map[String, Int], nG: Int, k: Int): RDD[GRow] = {
+    val bcGIdx = df.sparkSession.sparkContext.broadcast(gIdx)
+    val rows = df
+      .select(col(groupCol).cast("string"), col(featuresCol), col(weightCol).cast(DoubleType))
+      .rdd
+      .flatMap { r =>
+        val gname = if (r.isNullAt(0)) null else r.getString(0)
+        Option(gname).flatMap(bcGIdx.value.get).map { g =>
+          val w = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+          val e = EntropyBalance.toEbwRow(r.get(1), w)
+          GRow(g, e.idx, e.vals, e.w0)
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    rows.setName(s"ebw-grouped-${nG}g-k$k")
+    rows
+  }
+
+  /** One pass: per-group sumW plus the same validation discipline as
+   * EbwAggregator.validate (fail fast, never AIOOBE in the solve loop). */
+  private def validateSumW(rows: RDD[GRow], nG: Int, k: Int): Array[Double] = {
+    val w0Stats = rows.treeAggregate(new Array[Double](nG + 1))(
+      (buf, r) => {
+        var bad = r.w0.isNaN || r.w0.isInfinite || r.w0 <= 0.0 || r.vals == null
+        if (!bad) {
+          if (r.idx == null) {
+            if (r.vals.length != k) bad = true
+          } else {
+            if (r.idx.length != r.vals.length) bad = true
+            else if (r.idx.length > 0 &&
+                (r.idx(r.idx.length - 1) >= k || r.idx(0) < 0)) bad = true
+          }
+        }
+        if (!bad) {
+          var p = 0
+          while (p < r.vals.length && !bad) {
+            val v = r.vals(p); if (v.isNaN || v.isInfinite) bad = true; p += 1
+          }
+        }
+        if (bad) buf(nG) += 1 else buf(r.g) += r.w0
+        buf
+      },
+      (a, b) => { var i = 0; while (i <= nG) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    if (w0Stats(nG) > 0)
+      throw new IllegalArgumentException(
+        "Inputs include invalid values (NaNs, non-positive weights, etc)")
+    Array.tabulate(nG)(w0Stats)
+  }
+
+  /** Per-round aggregates with per-group accessors; dense layout is the
+   * flat [wrsum, s(k), gram(tri)] block per group, sparse layout keeps s
+   * flat and the Gram as per-group key/value arrays for CG. */
+  private final class RoundData(
+      nG: Int, k: Int, blk: Int,
+      aggDense: Array[Double], sparseS: Array[Double],
+      val gramKeysByG: Array[Array[Long]], val gramValsByG: Array[Array[Double]]) {
+    def sparse: Boolean = aggDense == null
+    def s(g: Int): Array[Double] =
+      if (sparse) java.util.Arrays.copyOfRange(sparseS, g * k, (g + 1) * k)
+      else java.util.Arrays.copyOfRange(aggDense, g * blk + 1, g * blk + 1 + k)
+    def gramDense(g: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(aggDense, g * blk + 1 + k, (g + 1) * blk)
+  }
+
   /**
-   * Solve one unbounded EBW problem per distinct value of `groupCol`.
-   * `targets(g)` are mean population moments for group g; every group uses
-   * the same feature dimension k. Returns the input with `outputCol` (all
-   * groups' weights in one column) plus per-group diagnostics.
+   * THE shared distributed kernel: one treeAggregate computing, for every
+   * unconverged group g, wrsum_g, s_g = sum w0 r x and the Gram
+   * sum w0 r' x x' under the clip link r = clip(exp(eta_g * t), lb, ub).
+   * Above denseGramMax the flat per-task buffer (nG * (1+k+k(k+1)/2)
+   * doubles: 500 groups x k=1000 would be ~2 GB/task) is replaced by a
+   * sparse accumulation — s stays flat (nG*k), the Gram becomes a LongMap
+   * keyed by (g*k+i)*k+j, proportional to the realized cross pattern.
+   */
+  private def roundPass(
+      rows: RDD[GRow], nG: Int, k: Int,
+      lambda: Array[Array[Double]], etas: Array[Double], done: Array[Boolean],
+      lb: Double, ub: Double, sparseGram: Boolean): RoundData = {
+    val spark = rows.sparkContext
+    val tri = k * (k + 1) / 2
+    val blk = 1 + k + tri
+    val bcLambda = spark.broadcast(lambda)
+    val bcDone = spark.broadcast(done)
+    val bcEta = spark.broadcast(etas)
+
+    @inline def linkOf(r: GRow): (Double, Double) = {
+      val th = bcLambda.value(r.g)
+      val eta = bcEta.value(r.g)
+      var t = 0.0
+      if (r.idx == null) {
+        var j = 0
+        while (j < k) { t += r.vals(j) * th(j); j += 1 }
+      } else {
+        var p = 0
+        while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
+      }
+      val (rr, rp) = Link.clipRAndSlope(eta, lb, ub, t)
+      (r.w0 * rr, r.w0 * rp)
+    }
+
+    val out =
+      if (!sparseGram) {
+        val aggDense = rows.treeAggregate(new Array[Double](nG * blk))(
+          (buf, r) => {
+            if (!bcDone.value(r.g)) {
+              val (wr, wrp) = linkOf(r)
+              val base = r.g * blk
+              buf(base) += wr
+              if (r.idx == null) {
+                var i = 0
+                while (i < k) {
+                  val vi = r.vals(i)
+                  buf(base + 1 + i) += wr * vi
+                  if (vi != 0.0 && wrp != 0.0) {
+                    val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                    var j = i
+                    while (j < k) { buf(gb + j) += wrp * vi * r.vals(j); j += 1 }
+                  }
+                  i += 1
+                }
+              } else {
+                var p = 0
+                while (p < r.idx.length) {
+                  val i = r.idx(p); val vi = r.vals(p)
+                  buf(base + 1 + i) += wr * vi
+                  if (wrp != 0.0) {
+                    val gb = base + 1 + k + i * k - i * (i + 1) / 2
+                    var q = p
+                    while (q < r.idx.length) { buf(gb + r.idx(q)) += wrp * vi * r.vals(q); q += 1 }
+                  }
+                  p += 1
+                }
+              }
+            }
+            buf
+          },
+          (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a },
+          depth = 2)
+        new RoundData(nG, k, blk, aggDense, null, null, null)
+      } else {
+        final case class GAcc(
+            wr: Array[Double], s: Array[Double],
+            gram: scala.collection.mutable.LongMap[Double])
+        val acc0 = GAcc(new Array[Double](nG), new Array[Double](nG * k),
+          new scala.collection.mutable.LongMap[Double]())
+        val agg = rows.treeAggregate(acc0)(
+          (acc, r) => {
+            if (!bcDone.value(r.g)) {
+              val (wr, wrp) = linkOf(r)
+              acc.wr(r.g) += wr
+              val sBase = r.g * k
+              val gBase = r.g.toLong * k * k
+              if (r.idx == null) {
+                var i = 0
+                while (i < k) {
+                  val vi = r.vals(i)
+                  if (vi != 0.0) {
+                    acc.s(sBase + i) += wr * vi
+                    if (wrp != 0.0) {
+                      var j = i
+                      while (j < k) {
+                        val vj = r.vals(j)
+                        if (vj != 0.0) {
+                          val key = gBase + i.toLong * k + j
+                          acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wrp * vi * vj)
+                        }
+                        j += 1
+                      }
+                    }
+                  }
+                  i += 1
+                }
+              } else {
+                var p = 0
+                while (p < r.idx.length) {
+                  val i = r.idx(p); val vi = r.vals(p)
+                  acc.s(sBase + i) += wr * vi
+                  if (wrp != 0.0) {
+                    var q = p
+                    while (q < r.idx.length) {
+                      val key = gBase + i.toLong * k + r.idx(q)
+                      acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wrp * vi * r.vals(q))
+                      q += 1
+                    }
+                  }
+                  p += 1
+                }
+              }
+            }
+            acc
+          },
+          (a, c) => {
+            var i = 0
+            while (i < nG) { a.wr(i) += c.wr(i); i += 1 }
+            i = 0
+            while (i < nG * k) { a.s(i) += c.s(i); i += 1 }
+            c.gram.foreachEntry((key, v) =>
+              a.gram.update(key, a.gram.getOrElse(key, 0.0) + v))
+            a
+          },
+          depth = 2)
+        // split the global map into per-group key/val arrays (keys re-based
+        // to i*k+j) for the CG solver
+        val keyBufs = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Long]())
+        val valBufs = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Double]())
+        agg.gram.foreachEntry { (key, v) =>
+          val g = (key / (k.toLong * k)).toInt
+          keyBufs(g) += key - g.toLong * k * k
+          valBufs(g) += v
+        }
+        new RoundData(nG, k, blk, null, agg.s,
+          keyBufs.map(_.toArray), valBufs.map(_.toArray))
+      }
+    bcLambda.destroy()
+    bcDone.destroy()
+    bcEta.destroy()
+    out
+  }
+
+  /** Output stage shared by both solvers: one narrow pass computing
+   * w0 * clip(exp(x . mult_g), lb, ub); rows whose group has no targets
+   * keep their original weight (ratio 1), UNCLIPPED. */
+  private def weightedOutput(
+      df: DataFrame, groupCol: String, featuresCol: String, weightCol: String,
+      outputCol: String, names: Array[String], mult: Array[Array[Double]],
+      lb: Double, ub: Double): DataFrame = {
+    val spark = df.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val multByName = names.indices.map(g => names(g) -> mult(g).toSeq).toMap
+    val bcM = spark.sparkContext.broadcast(multByName)
+    val lamCol = udf { (gname: String) =>
+      if (gname == null) null else bcM.value.get(gname).map(_.toSeq).orNull
+    }
+    val lam = lamCol(col(groupCol).cast("string"))
+    val dotC = call_function("graft_dot",
+      col(featuresCol).cast("array<double>"), lam)
+    val isArr = df.schema(featuresCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+    def clipCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val lo = greatest(c, lit(lb))
+      if (ub.isInfinite) lo else least(lo, lit(ub))
+    }
+    val ratio =
+      if (isArr)
+        when(lam.isNull, lit(1.0))
+          .otherwise(clipCol(exp(least(dotC, lit(700.0)))))
+      else {
+        // effective multipliers already absorb eta, so eta = 1 here
+        val outLink = Link.clip(1.0, lb, ub)
+        val f = udf { (v: org.apache.spark.ml.linalg.Vector, gname: String) =>
+          bcM.value.get(if (gname == null) "" else gname) match {
+            case None => 1.0
+            case Some(th) =>
+              var t = 0.0
+              v.foreachActive((i, x) => t += x * th(i))
+              outLink.r(t)
+          }
+        }
+        f(col(featuresCol), col(groupCol).cast("string"))
+      }
+    df.withColumn(outputCol, col(weightCol) * ratio)
+  }
+
+  // ------------------------------------------------------------------ public
+
+  /**
+   * Solve one unbounded (or elastic-bounded) EBW problem per distinct value
+   * of `groupCol`. `targets(g)` are mean population moments for group g;
+   * every group uses the same feature dimension k. Returns the input with
+   * `outputCol` (all groups' weights in one column) plus per-group
+   * diagnostics.
    */
   def entropyBalanceGrouped(
       df: DataFrame,
@@ -56,58 +328,10 @@ object GroupedEntropyBalance {
     val names = targets.keys.toArray.sorted
     val gIdx = names.zipWithIndex.toMap
     val nG = names.length
-    val spark = df.sparkSession
-
-    val bcGIdx = spark.sparkContext.broadcast(gIdx)
-    val rows: RDD[GRow] = df
-      .select(col(groupCol).cast("string"), col(featuresCol), col(weightCol).cast(DoubleType))
-      .rdd
-      .flatMap { r =>
-        val gname = if (r.isNullAt(0)) null else r.getString(0)
-        Option(gname).flatMap(bcGIdx.value.get).map { g =>
-          val w = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
-          val e = EntropyBalance.toEbwRow(r.get(1), w)
-          GRow(g, e.idx, e.vals, e.w0)
-        }
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    rows.setName(s"ebw-grouped-${nG}g-k$k")
+    val rows = prepGRows(df, groupCol, featuresCol, weightCol, gIdx, nG, k)
 
     try {
-      val tri = k * (k + 1) / 2
-      val blk = 1 + k + tri // per group: [wrsum, s(k), gram(tri)]
-
-      // one pass: per-group sumW (and validation)
-      val w0Stats = rows.treeAggregate(new Array[Double](nG + 1))(
-        (buf, r) => {
-          var bad = r.w0.isNaN || r.w0.isInfinite || r.w0 <= 0.0 || r.vals == null
-          if (!bad) {
-            // same dimension discipline as EbwAggregator.validate: a short/
-            // long dense row or an out-of-range sparse index must fail fast
-            // here, not AIOOBE (or silently truncate) inside the solve loop
-            if (r.idx == null) {
-              if (r.vals.length != k) bad = true
-            } else {
-              if (r.idx.length != r.vals.length) bad = true
-              else if (r.idx.length > 0 &&
-                  (r.idx(r.idx.length - 1) >= k || r.idx(0) < 0)) bad = true
-            }
-          }
-          if (!bad) {
-            var p = 0
-            while (p < r.vals.length && !bad) {
-              val v = r.vals(p); if (v.isNaN || v.isInfinite) bad = true; p += 1
-            }
-          }
-          if (bad) buf(nG) += 1 else buf(r.g) += r.w0
-          buf
-        },
-        (a, b) => { var i = 0; while (i <= nG) { a(i) += b(i); i += 1 }; a },
-        depth = 2)
-      if (w0Stats(nG) > 0)
-        throw new IllegalArgumentException(
-          "Inputs include invalid values (NaNs, non-positive weights, etc)")
-      val sumW = Array.tabulate(nG)(w0Stats)
+      val sumW = validateSumW(rows, nG, k)
       val b = Array.tabulate(nG)(g => targets(names(g)).map(_ * sumW(g)))
       val bscale = Array.tabulate(nG)(g => math.max(1.0, norm2(b(g))))
 
@@ -128,170 +352,14 @@ object GroupedEntropyBalance {
       val ceOut = Array.fill(nG)(new Array[Double](k))
       var round = 0
       val maxRounds = if (bounded) options.maxStepsBounded else options.maxSteps
-      // Above denseGramMax the flat per-task buffer (nG * (1+k+k(k+1)/2)
-      // doubles: 500 groups x k=1000 would be ~2 GB/task) is replaced by a
-      // sparse accumulation — s stays flat (nG*k), the Gram becomes a
-      // LongMap keyed by (g*k+i)*k+j, proportional to the realized cross
-      // pattern (one-hot/interaction designs are O(nnz^2) per row, not
-      // k^2) — and the driver solves per-group via preconditioned CG.
       val sparseGram = k > options.denseGramMax
 
       while (round < maxRounds && !converged.forall(identity)) {
-        val bcLambda = spark.sparkContext.broadcast(lambda)
-        val bcDone = spark.sparkContext.broadcast(converged)
-        val bcEta = spark.sparkContext.broadcast(etas)
-
-        // per-row link evaluation shared by both accumulation layouts
-        @inline def linkOf(r: GRow): (Double, Double) = {
-          val th = bcLambda.value(r.g)
-          val eta = bcEta.value(r.g)
-          var t = 0.0
-          if (r.idx == null) {
-            var j = 0
-            while (j < k) { t += r.vals(j) * th(j); j += 1 }
-          } else {
-            var p = 0
-            while (p < r.idx.length) { t += r.vals(p) * th(r.idx(p)); p += 1 }
-          }
-          val (rr, rp) = Link.clipRAndSlope(eta, lb, ub, t)
-          (r.w0 * rr, r.w0 * rp)
-        }
-
-        // (wrsumByG, sByG flat nG*k, dense grams | sparse gram entries)
-        var aggDense: Array[Double] = null
-        var sparseS: Array[Double] = null
-        var sparseGramMap: scala.collection.mutable.LongMap[Double] = null
-        if (!sparseGram) {
-          aggDense = rows.treeAggregate(new Array[Double](nG * blk))(
-            (buf, r) => {
-              if (!bcDone.value(r.g)) {
-                val (wr, wrp) = linkOf(r)
-                val base = r.g * blk
-                buf(base) += wr
-                if (r.idx == null) {
-                  var i = 0
-                  while (i < k) {
-                    val vi = r.vals(i)
-                    buf(base + 1 + i) += wr * vi
-                    if (vi != 0.0 && wrp != 0.0) {
-                      val gb = base + 1 + k + i * k - i * (i + 1) / 2
-                      var j = i
-                      while (j < k) { buf(gb + j) += wrp * vi * r.vals(j); j += 1 }
-                    }
-                    i += 1
-                  }
-                } else {
-                  var p = 0
-                  while (p < r.idx.length) {
-                    val i = r.idx(p); val vi = r.vals(p)
-                    buf(base + 1 + i) += wr * vi
-                    if (wrp != 0.0) {
-                      val gb = base + 1 + k + i * k - i * (i + 1) / 2
-                      var q = p
-                      while (q < r.idx.length) { buf(gb + r.idx(q)) += wrp * vi * r.vals(q); q += 1 }
-                    }
-                    p += 1
-                  }
-                }
-              }
-              buf
-            },
-            (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a },
-            depth = 2)
-        } else {
-          final case class GAcc(
-              wr: Array[Double], s: Array[Double],
-              gram: scala.collection.mutable.LongMap[Double])
-          val out = rows.treeAggregate(GAcc(new Array[Double](nG),
-            new Array[Double](nG * k),
-            new scala.collection.mutable.LongMap[Double]()))(
-            (acc, r) => {
-              if (!bcDone.value(r.g)) {
-                val (wr, wrp) = linkOf(r)
-                acc.wr(r.g) += wr
-                val sBase = r.g * k
-                val gBase = r.g.toLong * k * k
-                if (r.idx == null) {
-                  var i = 0
-                  while (i < k) {
-                    val vi = r.vals(i)
-                    if (vi != 0.0) {
-                      acc.s(sBase + i) += wr * vi
-                      if (wrp != 0.0) {
-                        var j = i
-                        while (j < k) {
-                          val vj = r.vals(j)
-                          if (vj != 0.0) {
-                            val key = gBase + i.toLong * k + j
-                            acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wrp * vi * vj)
-                          }
-                          j += 1
-                        }
-                      }
-                    }
-                    i += 1
-                  }
-                } else {
-                  var p = 0
-                  while (p < r.idx.length) {
-                    val i = r.idx(p); val vi = r.vals(p)
-                    acc.s(sBase + i) += wr * vi
-                    if (wrp != 0.0) {
-                      var q = p
-                      while (q < r.idx.length) {
-                        val key = gBase + i.toLong * k + r.idx(q)
-                        acc.gram.update(key, acc.gram.getOrElse(key, 0.0) + wrp * vi * r.vals(q))
-                        q += 1
-                      }
-                    }
-                    p += 1
-                  }
-                }
-              }
-              acc
-            },
-            (a, c) => {
-              var i = 0
-              while (i < nG) { a.wr(i) += c.wr(i); i += 1 }
-              i = 0
-              while (i < nG * k) { a.s(i) += c.s(i); i += 1 }
-              c.gram.foreachEntry((key, v) =>
-                a.gram.update(key, a.gram.getOrElse(key, 0.0) + v))
-              a
-            },
-            depth = 2)
-          sparseS = out.s
-          sparseGramMap = out.gram
-        }
-        bcLambda.destroy()
-        bcDone.destroy()
-        bcEta.destroy()
-
-        // sparse path: split the global gram map into per-group key/val
-        // arrays (keys re-based to i*k+j) for the CG solver
-        var gramKeysByG: Array[Array[Long]] = null
-        var gramValsByG: Array[Array[Double]] = null
-        if (sparseGram) {
-          val keyBufs = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Long]())
-          val valBufs = Array.fill(nG)(new scala.collection.mutable.ArrayBuffer[Double]())
-          sparseGramMap.foreachEntry { (key, v) =>
-            val g = (key / (k.toLong * k)).toInt
-            keyBufs(g) += key - g.toLong * k * k
-            valBufs(g) += v
-          }
-          gramKeysByG = keyBufs.map(_.toArray)
-          gramValsByG = valBufs.map(_.toArray)
-        }
-
+        val rd = roundPass(rows, nG, k, lambda, etas, converged, lb, ub, sparseGram)
         var g = 0
         while (g < nG) {
           if (!converged(g)) {
-            val s =
-              if (sparseGram) java.util.Arrays.copyOfRange(sparseS, g * k, (g + 1) * k)
-              else java.util.Arrays.copyOfRange(aggDense, g * blk + 1, g * blk + 1 + k)
-            val gram =
-              if (sparseGram) null
-              else java.util.Arrays.copyOfRange(aggDense, g * blk + 1 + k, (g + 1) * blk)
+            val s = rd.s(g)
             val ce = axpy(-1.0, b(g), s)
             ceOut(g) = ce
             // projected gradient: pin box-saturated coordinates pushing out
@@ -322,10 +390,10 @@ object GroupedEntropyBalance {
             } else {
               val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale(g), 0.55))
               val d =
-                if (sparseGram)
-                  DriverLinalg.cgSolve(k, gramKeysByG(g), gramValsByG(g),
+                if (rd.sparse)
+                  DriverLinalg.cgSolve(k, rd.gramKeysByG(g), rd.gramValsByG(g),
                     new Array[Double](k), pg, ridge, null)
-                else DriverLinalg.solveRidged(k, gram, pg, ridge)
+                else DriverLinalg.solveRidged(k, rd.gramDense(g), pg, ridge)
               // damped full step: groups share the pass, so no individual
               // line search — cap the step to keep exp() sane instead
               val dn = d.map(math.abs).max
@@ -346,46 +414,112 @@ object GroupedEntropyBalance {
         round += 1
       }
 
-      // output: weights for all groups in one narrow pass; the effective
-      // multipliers are eta_g * lambda_g, so r = clip(exp(x . mult), lb, ub)
-      graft.functions.GraftFunctions.register(spark)
+      // effective multipliers are eta_g * lambda_g: r = clip(exp(x . mult))
       val mult = Array.tabulate(nG)(g => lambda(g).map(_ * etas(g)))
-      val multByName = names.indices.map(g => names(g) -> mult(g).toSeq).toMap
-      val bcM = spark.sparkContext.broadcast(multByName)
-      // rows whose group has no targets were never solved: they must keep
-      // their original weight (ratio 1), UNCLIPPED — a (2, 5) bound must
-      // not silently double untargeted rows. lamCol yields null for them.
-      val lamCol = udf { (gname: String) =>
-        if (gname == null) null else bcM.value.get(gname).map(_.toSeq).orNull
-      }
-      val lam = lamCol(col(groupCol).cast("string"))
-      val dotC = call_function("graft_dot",
-        col(featuresCol).cast("array<double>"), lam)
-      val isArr = df.schema(featuresCol).dataType
-        .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-      def clipCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-        val lo = greatest(c, lit(lb))
-        if (ub.isInfinite) lo else least(lo, lit(ub))
-      }
-      val ratio =
-        if (isArr)
-          when(lam.isNull, lit(1.0))
-            .otherwise(clipCol(exp(least(dotC, lit(700.0)))))
-        else {
-          // effective multipliers already include eta_g, so eta = 1 here
-          val outLink = Link.clip(1.0, lb, ub)
-          val f = udf { (v: org.apache.spark.ml.linalg.Vector, gname: String) =>
-            bcM.value.get(if (gname == null) "" else gname) match {
-              case None => 1.0
-              case Some(th) =>
-                var t = 0.0
-                v.foreachActive((i, x) => t += x * th(i))
-                outLink.r(t)
+      val weighted = weightedOutput(df, groupCol, featuresCol, weightCol,
+        outputCol, names, mult, lb, ub)
+      val results = names.indices.map { g =>
+        names(g) -> GroupResult(converged(g), iters(g), mult(g), ceOut(g))
+      }.toMap
+      GroupedResult(weighted, results)
+    } finally rows.unpersist(false)
+  }
+
+  /**
+   * Grouped quadratic-penalty EBW: one penalty problem
+   * min phi(r) + 1/2 (A'r - b_g)' P (A'r - b_g) per group, optionally with
+   * ratio bounds — the grouped analogue of entropy_balance_penalty
+   * (ebw_penalty.py:17-399). Same per-round shared pass as the exact
+   * grouped solver with the penalty link r = clip(exp(-t), lb, ub)
+   * (eta = -1); per group the driver iterates the k-dim fixed point
+   * F(z) = z - P Ce(z) with damped Newton steps (P^-1 + G) d = -P^-1 F.
+   */
+  def entropyBalancePenaltyGrouped(
+      df: DataFrame,
+      groupCol: String,
+      featuresCol: String,
+      weightCol: String,
+      targets: Map[String, Array[Double]],
+      penaltyParameter: Array[Double],
+      outputCol: String = "weight_new",
+      options: EbwOptions = EbwOptions()): GroupedResult = {
+    require(targets.nonEmpty)
+    val k = targets.head._2.length
+    require(targets.values.forall(_.length == k), "all groups need k moments")
+    val pen =
+      if (penaltyParameter.length == 1) Array.fill(k)(penaltyParameter(0))
+      else penaltyParameter
+    if (pen.length != k)
+      throw new IllegalArgumentException("Penalties must be one per moment.")
+    if (!pen.forall(_ > 0.0))
+      throw new IllegalArgumentException("Penalty parameters must be strictly positive.")
+    val invP = pen.map(1.0 / _)
+    val names = targets.keys.toArray.sorted
+    val gIdx = names.zipWithIndex.toMap
+    val nG = names.length
+    val rows = prepGRows(df, groupCol, featuresCol, weightCol, gIdx, nG, k)
+
+    try {
+      val sumW = validateSumW(rows, nG, k)
+      val b = Array.tabulate(nG)(g => targets(names(g)).map(_ * sumW(g)))
+      val bscale = Array.tabulate(nG)(g => math.max(1.0, norm2(b(g))))
+      val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
+      val lb = math.max(0.0, lbRaw)
+      val ub = ubOpt.getOrElse(Double.PositiveInfinity)
+      // penalty link: r = clip(exp(-t), lb, ub) == clip link with eta = -1;
+      // the aggregated "Gram" is then dS/dz = -G (sign handled at the solve)
+      val etas = Array.fill(nG)(-1.0)
+
+      val z = Array.fill(nG)(new Array[Double](k))
+      val converged = new Array[Boolean](nG)
+      val iters = new Array[Int](nG)
+      val ceOut = Array.fill(nG)(new Array[Double](k))
+      var round = 0
+      val maxRounds =
+        if (options.bounds.isDefined) options.maxStepsBounded else options.maxSteps
+      val sparseGram = k > options.denseGramMax
+
+      while (round < maxRounds && !converged.forall(identity)) {
+        val rd = roundPass(rows, nG, k, z, etas, converged, lb, ub, sparseGram)
+        var g = 0
+        while (g < nG) {
+          if (!converged(g)) {
+            val s = rd.s(g)
+            val ce = axpy(-1.0, b(g), s)
+            ceOut(g) = ce
+            val f = new Array[Double](k)
+            var i = 0
+            while (i < k) { f(i) = z(g)(i) - pen(i) * ce(i); i += 1 }
+            val fNorm = norm2(f)
+            if (fNorm <= options.optimalityTol * math.max(1.0, norm2(z(g)))) {
+              converged(g) = true
+            } else {
+              val rhs = new Array[Double](k)
+              i = 0
+              while (i < k) { rhs(i) = -invP(i) * f(i); i += 1 }
+              val ridge = math.max(1e-10, 1e-7 * fNorm / bscale(g))
+              val d =
+                if (rd.sparse)
+                  DriverLinalg.cgSolve(k, rd.gramKeysByG(g),
+                    rd.gramValsByG(g).map(-_), invP, rhs, ridge, null)
+                else DriverLinalg.solveWithDiag(k, rd.gramDense(g).map(-_),
+                  invP, rhs, ridge)
+              val dn = d.map(math.abs).max
+              val scale = if (dn > 30.0) 30.0 / dn else 1.0
+              i = 0
+              while (i < k) { z(g)(i) += scale * d(i); i += 1 }
+              iters(g) += 1
             }
           }
-          f(col(featuresCol), col(groupCol).cast("string"))
+          g += 1
         }
-      val weighted = df.withColumn(outputCol, col(weightCol) * ratio)
+        round += 1
+      }
+
+      // ratio = clip(exp(-x . z), lb, ub): effective multipliers are -z
+      val mult = Array.tabulate(nG)(g => z(g).map(-_))
+      val weighted = weightedOutput(df, groupCol, featuresCol, weightCol,
+        outputCol, names, mult, lb, ub)
       val results = names.indices.map { g =>
         names(g) -> GroupResult(converged(g), iters(g), mult(g), ceOut(g))
       }.toMap

@@ -101,6 +101,41 @@ class GroupedSpec extends AnyFunSuite {
     assert(pathDiff < 1e-8, s"sparse vs dense grouped paths differ by $pathDiff")
   }
 
+  test("grouped penalty equals per-group single penalty solves") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("w0", lit(1.0))
+    val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+    val k = labels.length
+    val statuses = orders.select(col("o_orderstatus").cast("string")).distinct()
+      .collect().map(_.getString(0))
+    val targets = statuses.map(s => s -> Array.fill(k)(1.0 / k)).toMap
+    val opts = EbwOptions(optimalityTol = 1e-10)
+    val grouped = GroupedEntropyBalance.entropyBalancePenaltyGrouped(
+      dfv, "o_orderstatus", "feat", "w0", targets, Array(2.0), options = opts)
+    assert(grouped.allConverged,
+      grouped.groups.map { case (g, r) => s"$g:${r.converged}" }.mkString(","))
+    val gw = grouped.weighted.select(col("o_orderkey"), col("weight_new"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (s <- statuses) {
+      val sub = dfv.filter(col("o_orderstatus") === s)
+      val solo = EntropyBalance.entropyBalancePenalty(sub, "feat", "w0",
+        Array.fill(k)(1.0 / k), Array(2.0), options = opts)
+      assert(solo.converged)
+      val soloW = solo.weighted.select(col("o_orderkey"), col("weight_new"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val maxDiff = soloW.map { case (id, w) => math.abs(w - gw(id)) }.max
+      assert(maxDiff < 1e-7, s"status $s penalty weights differ by $maxDiff")
+    }
+    // bounded grouped penalty stays within bounds
+    val boundedRes = GroupedEntropyBalance.entropyBalancePenaltyGrouped(
+      dfv, "o_orderstatus", "feat", "w0", targets, Array(50.0),
+      options = opts.copy(bounds = Some((0.97, Some(1.03)))))
+    val rng = boundedRes.weighted
+      .agg(min(col("weight_new") / col("w0")), max(col("weight_new") / col("w0")))
+      .collect()(0)
+    assert(rng.getDouble(0) >= 0.97 - 1e-9 && rng.getDouble(1) <= 1.03 + 1e-9)
+  }
+
   test("grouped bounded: loose bounds match unbounded, tight bounds clip per group") {
     val cust = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
       .withColumn("bal_k", col("c_acctbal") / 1000.0)
