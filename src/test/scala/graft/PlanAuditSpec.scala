@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan audits: the scale claims in SURVEY.md §6 (pushdown, pruning,
+ * broadcast dims, bounded shuffle counts, no-shuffle top-k) asserted
+ * against the actual physical plans so a regression in plan shape fails
+ * CI, not a 100 TB run.
+ */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("plan-audit")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_pricing: filter pushed to the parquet scan, schema pruned") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"no pushed filter on l_shipdate:\n$p")
+    // projection pruning: the scan must NOT read unused wide columns
+    assert(!p.contains("l_comment"), "scan reads l_comment (no pruning)")
+    assert(!p.contains("l_shipinstruct"), "scan reads l_shipinstruct (no pruning)")
+  }
+
+  test("q3_topk and q_star_join: dimension sides broadcast") {
+    assert(plan("q3_topk").contains("BroadcastHashJoin"))
+    val star = plan("q_star_join")
+    val n = "BroadcastHashJoin".r.findAllIn(star).length
+    assert(n >= 3, s"star join should broadcast all 3 dims, found $n:\n$star")
+  }
+
+  test("ann_topk: single narrow scan + TakeOrdered, zero shuffles") {
+    val p = plan("ann_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no TakeOrdered:\n$p")
+    assert(!p.contains("Exchange"), s"brute-force top-k must not shuffle:\n$p")
+  }
+
+  test("dedup_exact operator: exactly one shuffle (the dedup-key exchange)") {
+    // the operator itself (the gate query adds a presentational orderBy,
+    // which is a second, output-only exchange)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.exact(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n$p")
+  }
+
+  test("text_tfidf: vocabulary join carries no broadcast hint") {
+    // the logical plan must not pin dfreq to a broadcast (a web-scale
+    // vocabulary would OOM the driver); AQE may still choose one at
+    // RUNTIME from measured sizes, which is fine
+    val lp = SparkEntry.queries("text_tfidf")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), s"broadcast hint survives:\n$lp")
+  }
+
+  test("ebw solve: model transform is a narrow codegen'd column (no shuffle)") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet").withColumn("w0", lit(1.0))
+    val (dfv, labels) = graft.ebw.DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+    val res = graft.ebw.EntropyBalance.entropyBalance(dfv, "feat", "w0",
+      Array.fill(labels.length)(1.0 / labels.length))
+    val p = res.weighted.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"weight column must stay narrow:\n$p")
+  }
+}
