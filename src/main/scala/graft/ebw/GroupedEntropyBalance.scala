@@ -509,6 +509,10 @@ object GroupedEntropyBalance {
               i = 0
               while (i < k) { z(g)(i) += scale * d(i); i += 1 }
               iters(g) += 1
+              // step-size exit (shared.py:57 semantics, as in the single
+              // solver): once steps shrink below stepTol the iterate is
+              // done — without this, groups spin at the ||F|| noise floor
+              if (norm2(d) * scale < options.stepTol) converged(g) = true
             }
           }
           g += 1
