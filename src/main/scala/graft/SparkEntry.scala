@@ -163,6 +163,36 @@ object SparkEntry {
        |WHERE i.n * 1.0 / (sa.c + sb.c - i.n) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** MinHash banding pairs oracle: per-family md5 signatures (the
+   * minhashSignatures hashing), 2-hash bands, hot-bucket cap, distinct
+   * within-bucket pairs — the full candidate-generation pipeline in SQL. */
+  private def minhashPairsOracle: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tk FROM docs2
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+       |hh AS (
+       |  SELECT doc_id, j, min(md5(concat(j::VARCHAR, '|', s))) AS mh
+       |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+       |  GROUP BY doc_id, j),
+       |bk AS (
+       |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS key
+       |  FROM hh GROUP BY doc_id, j // 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bk2 a JOIN bk2 b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Multi-band hyperplane-LSH near-dup oracle: the exact plane literals
    * from Similarity.hyperplane are inlined, so DuckDB reproduces the same
    * buckets, the same hot-bucket cap, and the same within-bucket cosine
@@ -555,6 +585,16 @@ object SparkEntry {
       TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id",
           portable = true)
         .orderBy("doc_id")),
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      // banding-level gate: candidate PAIRS (not just signatures) under
+      // the oracle, on the same docs-plus-near-dups union as ngram
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"))
+      Dedup.minhashCandidatePairs(docs.unionAll(mutated), "text", "doc_id",
+          maxBucketSize = ngramMaxBucket)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // self-union with mutated copies guarantees the operator exercises
       // its match path even on a dup-free corpus
@@ -866,6 +906,7 @@ object SparkEntry {
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embed_cosine" -> embedCosineOracle,
     "text_langid" -> langidOracle,

@@ -407,6 +407,11 @@ object GroupedEntropyBalance {
                 j += 1
               }
               iters(g) += 1
+              // step-size exit (shared.py:57), guarded by a loose
+              // feasibility check as in the single unbounded solver —
+              // stops groups from spinning at the noise floor
+              if (norm2(d) * scale < options.stepTol &&
+                  norm2(ce) < 1e-3 * bscale(g)) converged(g) = true
             }
           }
           g += 1
