@@ -71,26 +71,26 @@ object EntropyBalance {
   }
 
   /** The ratio r(x . theta) as a DataFrame column. For array<double>
-   * features this is pure codegen'd expressions (native graft_dot +
-   * exp/least/greatest) — model.transform stays inside whole-stage codegen
-   * at any scale. VectorUDT features fall back to a deterministic UDF
-   * (Catalyst has no native Vector ops). */
+   * features this is the fused native kernel `graft_ratio` — ONE codegen'd
+   * loop computing clip(exp(eta * x.theta), lb, ub), the same arithmetic
+   * (incl. the 700 exp cap) as the solver's aggregation kernel, so
+   * model.transform stays inside whole-stage codegen at any scale and
+   * bit-matches the solve. VectorUDT features fall back to a deterministic
+   * UDF (Catalyst has no native Vector ops). */
   private[ebw] def ratioColumn(
       df: DataFrame, featuresCol: String, theta: Array[Double], link: Link): Column = {
     val th = theta
     val lk = link
     if (df.schema(featuresCol).dataType.isInstanceOf[ArrayType]) {
       graft.functions.GraftFunctions.register(df.sparkSession)
-      val t = call_function("graft_dot",
-        col(featuresCol).cast("array<double>"), typedlit(th.toSeq))
-      lk.mode match {
-        case 0 => exp(least(t, lit(700.0)))
-        case 1 =>
-          val e = exp(least(t * lit(lk.eta), lit(700.0)))
-          val lo = greatest(e, lit(lk.lb))
-          if (lk.ub.isInfinite) lo else least(lo, lit(lk.ub))
-        case _ => exp(-greatest(t, lit(-700.0)))
+      val (eta, lb, ub) = lk.mode match {
+        case 0 => (1.0, 0.0, Double.PositiveInfinity)
+        case 1 => (lk.eta, lk.lb, lk.ub)
+        case _ => (-1.0, 0.0, Double.PositiveInfinity)
       }
+      call_function("graft_ratio",
+        col(featuresCol).cast("array<double>"), typedlit(th.toSeq),
+        lit(eta), lit(lb), lit(ub))
     } else {
       val f = udf { v: Vector =>
         var t = 0.0

@@ -276,18 +276,14 @@ object GroupedEntropyBalance {
       if (gname == null) null else bcM.value.get(gname).map(_.toSeq).orNull
     }
     val lam = lamCol(col(groupCol).cast("string"))
-    val dotC = call_function("graft_dot",
-      col(featuresCol).cast("array<double>"), lam)
     val isArr = df.schema(featuresCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-    def clipCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val lo = greatest(c, lit(lb))
-      if (ub.isInfinite) lo else least(lo, lit(ub))
-    }
     val ratio =
       if (isArr)
         when(lam.isNull, lit(1.0))
-          .otherwise(clipCol(exp(least(dotC, lit(700.0)))))
+          .otherwise(call_function("graft_ratio",
+            col(featuresCol).cast("array<double>"), lam,
+            lit(1.0), lit(lb), lit(ub)))
       else {
         // effective multipliers already absorb eta, so eta = 1 here
         val outLink = Link.clip(1.0, lb, ub)

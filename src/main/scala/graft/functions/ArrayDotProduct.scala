@@ -65,17 +65,37 @@ case class ArrayDotProduct(left: Expression, right: Expression)
 
 /** Session registration for the native functions. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+
+  private def d(e: Expression, name: String): Double = e.eval() match {
+    case x: java.lang.Double => x.doubleValue
+    case n: java.lang.Number => n.doubleValue
+    case other => throw new IllegalArgumentException(
+      s"graft_ratio $name must be a numeric literal, got $other")
+  }
+
+  private[functions] def ratioBuilder(exprs: Seq[Expression]): Expression =
+    ClippedExpRatio(exprs(0), exprs(1),
+      d(exprs(2), "eta"), d(exprs(3), "lb"), d(exprs(4), "ub"))
+
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_ratio", ratioBuilder, "built-in")
+  }
 }
 
 /** SparkSessionExtensions hook: enable with
  * .config("spark.sql.extensions", "graft.functions.GraftExtensions"). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "graft_dot"),
       (exprs: Seq[Expression]) => ArrayDotProduct(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_ratio"),
+      new ExpressionInfo(classOf[ClippedExpRatio].getName, "graft_ratio"),
+      (exprs: Seq[Expression]) => GraftFunctions.ratioBuilder(exprs)))
+  }
 }

@@ -41,6 +41,41 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(0))
   }
 
+  test("graft_ratio: fused kernel equals the expression composition") {
+    GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("v"))
+    val theta = typedlit((1 to 64).map(i => (i % 7 - 3) * 0.11))
+    for ((eta, lb, ub) <- Seq(
+        (1.0, 0.0, Double.PositiveInfinity),
+        (-1.0, 0.0, Double.PositiveInfinity),
+        (2.5, 0.8, 1.2),
+        (1.0, 0.0, 5.0))) {
+      val t = call_function("graft_dot", col("v"), theta)
+      val composed0 = exp(least(t * lit(eta), lit(700.0)))
+      val composedLo = greatest(composed0, lit(lb))
+      val composed = if (ub.isInfinite) composedLo else least(composedLo, lit(ub))
+      val fused = call_function("graft_ratio", col("v"), theta,
+        lit(eta), lit(lb), lit(ub))
+      // ulp-level agreement (the two exp call sites may round differently
+      // by 1 ulp; the solver-parity contract is with Link.rAndSlope)
+      val maxRel = emb.select(
+        max(abs(composed - fused) / greatest(abs(composed), lit(1.0))).as("d"))
+        .collect()(0).getDouble(0)
+      assert(maxRel < 1e-14, s"eta=$eta lb=$lb ub=$ub differ by rel $maxRel")
+    }
+    // interpreted path agrees with codegen
+    val row = ClippedExpRatio(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(0.5, -0.25), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      2.0, 0.9, 1.1).eval(null)
+    assert(math.abs(row.asInstanceOf[Double] - 1.0) < 1e-15) // exp(0)=1 in [0.9,1.1]
+  }
+
   test("graft_dot participates in whole-stage codegen") {
     GraftFunctions.register(spark)
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
