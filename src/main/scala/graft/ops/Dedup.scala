@@ -82,8 +82,11 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = 100000): DataFrame = {
+    // signatures cached: the bucket-count guard and both pair-join sides
+    // reuse one computation of the 8-md5-per-shingle aggregation
     val sig = minhashSignatures(docs, textCol, idCol, numHashes)
       .withColumn("parts", split(col("minhash_sig"), "\\|"))
+      .cache()
     val bands = numHashes / bandSize
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
