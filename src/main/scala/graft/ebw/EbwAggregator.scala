@@ -220,8 +220,14 @@ private[ebw] object EbwAggregator {
     val out = rows.treeAggregate(new Array[Double](size))(
       seqOp = (buf, rowAndRatio) => {
         val (row, ratio) = rowAndRatio
+        // defensive dimension guards: the solver validates the same frame
+        // separately, but this pass must never AIOOBE on its own
+        val dimsOk = row.vals != null && (
+          if (row.idx == null) row.vals.length == k
+          else row.idx.length == row.vals.length && (row.idx.length == 0 ||
+            (row.idx(0) >= 0 && row.idx(row.idx.length - 1) < k)))
         if (ratio > 0.0 && !ratio.isInfinite && !ratio.isNaN &&
-            row.vals != null && !row.w0.isNaN && row.w0 > 0.0) {
+            dimsOk && !row.w0.isNaN && row.w0 > 0.0) {
           val lnr = math.log(ratio)
           val w0 = row.w0
           val vals = row.vals

@@ -194,9 +194,11 @@ object EntropyBalance {
     val k = meanPopulationMoments.length
     options.initialMultipliers.foreach(mu => require(mu.length == k,
       s"initialMultipliers has ${mu.length} entries, expected $k"))
-    val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
+    // validate BEFORE the warm-start pass so malformed inputs fail with
+    // the documented error, not an index error inside ratioSeed
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
     try {
+      val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
       val res = unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
         meanPopulationMoments, opts)
       maybeDump(df.sparkSession, prep, meanPopulationMoments, options, res)
@@ -322,9 +324,10 @@ object EntropyBalance {
     val k = meanPopulationMoments.length
     options.initialMultipliers.foreach(mu => require(mu.length == k,
       s"initialMultipliers has ${mu.length} entries, expected $k"))
-    val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
+    // validate first (see entropyBalance)
     val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
     try {
+      val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
       val res = elasticLoop(df, featuresCol, weightCol, outputCol, prep,
         meanPopulationMoments, opts)
       maybeDump(df.sparkSession, prep, meanPopulationMoments, options, res)

@@ -58,6 +58,9 @@ object ProblemIO {
     val anySparse = rows.exists(_.idx != null)
     val xEntry: (String, Array[Byte]) =
       if (!anySparse) {
+        require(n.toLong * k <= (Int.MaxValue.toLong - 4096) / 8,
+          s"dense $n x $k problem is too large for the single-node " +
+            "reference zip format; use ProblemIO.save (parquet) instead")
         val flat = new Array[Double](n * k)
         var i = 0
         while (i < n) {

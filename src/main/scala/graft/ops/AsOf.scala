@@ -43,15 +43,20 @@ object AsOf {
       rightValueCols: Seq[String],
       tolerance: Option[Column] = None): DataFrame = {
     val leftCols = left.columns.toSeq
+    // join-key semantics: NULL keys/times never match (a window partition
+    // WOULD group nulls together, and a null right time would sort
+    // nulls-first and masquerade as a minus-infinity candidate)
+    val leftClean = left.filter(col(keyCol).isNotNull && col(leftTimeCol).isNotNull)
+    val rightClean = right.filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull)
     val rPayload = struct(
       (col(rightIdCol).as("_rid") +: col(rightTimeCol).as("_rt") +:
         rightValueCols.map(c => col(c).as(c))): _*)
-    val rTagged = right.select(
+    val rTagged = rightClean.select(
       col(keyCol).as("_k"), col(rightTimeCol).as("_t"), lit(0).as("_tag"),
       col(rightIdCol).as("_rord"), rPayload.as("_rp"),
       lit(null).cast(structType(left)).as("_lp"))
     val lPayload = struct(leftCols.map(c => col(c).as(c)): _*)
-    val lTagged = left.select(
+    val lTagged = leftClean.select(
       col(keyCol).as("_k"), col(leftTimeCol).as("_t"), lit(1).as("_tag"),
       lit(null).cast(right.select(col(rightIdCol)).schema.fields(0).dataType)
         .as("_rord"),

@@ -12,10 +12,28 @@ import org.slf4j.LoggerFactory
  * a hot-bucket cap (`maxBucketSize`): a single degenerate key (empty docs,
  * boilerplate bands) would otherwise rejoin quadratically at corpus scale.
  * Dropped buckets are logged, never silent.
+ *
+ * Caching contract: the pair-generating operators cache their intermediate
+ * signature/bucket frames (several downstream subtrees — the cap guard and
+ * both join sides — reuse them; without the cache each would recompute the
+ * expensive hashing). The cached frames stay registered for the lifetime
+ * of the returned plan; in a long-lived session, drop them after consuming
+ * the result via `spark.catalog.clearCache()` or by unpersisting through
+ * `spark.sharedState.cacheManager`. The guard itself runs one
+ * bucket-count job at operator-construction time (the price of the
+ * no-silent-caps rule).
  */
 object Dedup {
 
   private val log = LoggerFactory.getLogger(getClass)
+
+  /** 3-word shingles of a pre-split `tok` array — ONE definition shared by
+   * the minhash and ngram paths (both DuckDB oracles replay exactly this
+   * string construction; editing it in one place only would silently
+   * desynchronize them). */
+  private val shingleExpr: String =
+    "transform(sequence(1, size(tok) - 2), i -> " +
+      "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"
 
   /** Exact dedup on content hash. One shuffle on the 128-bit digest; at
    * 100 TB use it with spark.sql.shuffle.partitions sized to the corpus. */
@@ -64,10 +82,7 @@ object Dedup {
       .filter(size(col("tok")) >= 3)
     val shingled = tok.select(
       col(idCol),
-      explode(expr(
-        "transform(sequence(1, size(tok) - 2), i -> " +
-        "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"))
-        .as("s"))
+      explode(expr(shingleExpr)).as("s"))
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
     val sig = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -117,10 +132,7 @@ object Dedup {
     val shingles = docs
       .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
-      .select(col("sid"), array_distinct(expr(
-        "transform(sequence(1, size(tok) - 2), i -> " +
-        "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"))
-        .as("sh"))
+      .select(col("sid"), array_distinct(expr(shingleExpr)).as("sh"))
       .cache()
     val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
     // hash families come 4-per-md5 (8-hex-char slices of the digest):

@@ -79,7 +79,9 @@ object Multimodal {
       } else if (p.length >= 26 && ascii(0, 2) == "BM") {
         ("bmp", le32(18), le32(22), 3, -1)
       } else if (p.length >= 12 && ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE") {
-        // chunk scan for "fmt ": channels LE16 at +10, rate LE32 at +12
+        // chunk scan for "fmt ": channels LE16 at +10, rate LE32 at +12.
+        // Malformed (negative/zero-advance) chunk sizes abort the scan —
+        // a corrupt blob must degrade, never hang the task or throw.
         var i = 12
         var out: (String, Int, Int, Int, Int) = ("wav", -1, -1, -1, -1)
         var done = false
@@ -89,12 +91,15 @@ object Multimodal {
           if (id == "fmt ") {
             out = ("wav", -1, -1, le16(i + 10), le32(i + 12))
             done = true
-          } else i += 8 + sz + (sz & 1)
+          } else if (sz < 0) done = true
+          else i += 8 + sz + (sz & 1)
         }
         out
       } else ("raw", -1, -1, -1, -1)
     } catch {
-      case _: ArrayIndexOutOfBoundsException => ("raw", -1, -1, -1, -1)
+      // covers ArrayIndexOutOfBounds AND StringIndexOutOfBounds from
+      // adversarial offsets
+      case _: IndexOutOfBoundsException => ("raw", -1, -1, -1, -1)
     }
   }
 

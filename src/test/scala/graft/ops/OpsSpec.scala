@@ -305,6 +305,40 @@ class OpsSpec extends AnyFunSuite {
     assert(metas(7L).format == "jpeg" && metas(7L).width == -1)
   }
 
+  test("as-of join: NULL keys and NULL right timestamps never match") {
+    import spark.implicits._
+    val views = Seq(
+      (Some(100L), Some(1L), Some(10L), 1.0),
+      (Some(101L), None, Some(5L), 2.0),      // null key: never a candidate
+      (Some(102L), Some(2L), None, 3.0))      // null time: never a candidate
+      .toDF("event_id", "user_id", "ts", "value")
+    val clicks = Seq(
+      (900L, Some(1L), Some(20L)),
+      (901L, None, Some(20L)),                 // null key: no match
+      (902L, Some(2L), Some(20L)))             // only null-ts candidate: no match
+      .toDF("event_id", "user_id", "ts")
+    val out = AsOf.joinBackward(clicks, views, "user_id", "ts", "ts",
+        "event_id", Seq("value"))
+      .select("event_id", "asof_event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(900L -> 100L), out.toString)
+  }
+
+  test("multimodal: malformed RIFF chunk sizes terminate, never hang or throw") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // LIST chunk with size -8: naive scans advance by zero (hang) or go
+    // negative (StringIndexOutOfBounds)
+    val evil1 = "RIFF".getBytes ++ bytes(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ bytes(0xf8, 0xff, 0xff, 0xff) ++ new Array[Byte](8)
+    val evil2 = "RIFF".getBytes ++ bytes(36, 0, 0, 0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ bytes(0x9c, 0xff, 0xff, 0xff) ++ new Array[Byte](8)
+    val df = Seq((1L, evil1), (2L, evil2)).toDF("doc_id", "payload")
+    val metas = Multimodal.extractMetadata(df, "doc_id", "payload").collect()
+    assert(metas.length == 2)
+    assert(metas.forall(m => m.format == "wav" && m.channels == -1))
+  }
+
   test("multimodal: batched stub decode is deterministic, frames sample") {
     val bin = docs.limit(50).select(col("doc_id"), col("text").cast("binary").as("payload"))
     val f1 = Multimodal.extractFeatures(bin, "doc_id", "payload", dim = 8).collect()
