@@ -65,6 +65,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!lp.contains("ResolvedHint"), s"broadcast hint survives:\n$lp")
   }
 
+  test("bucketed tables: co-located join plans with zero Exchange") {
+    // the 100 TB fact-to-fact pattern: both sides bucketed by the join key
+    // at write time -> the sort-merge join needs no shuffle at read time
+    import org.apache.spark.sql.functions._
+    val wh = java.nio.file.Files.createTempDirectory("bucketwh").toString
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val ord = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_totalprice")
+      li.write.mode("overwrite").option("path", s"$wh/li_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("li_b")
+      ord.write.mode("overwrite").option("path", s"$wh/ord_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("ord_b")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("qty"), first("o_totalprice").as("price"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"bucketed co-located join must not shuffle:\n$p")
+      // and it computes the same result as the plain (shuffling) join
+      val plain = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("qty"), first("o_totalprice").as("price"))
+      assert(joined.orderBy("o_orderkey").collect().toSeq ==
+        plain.orderBy("o_orderkey").collect().toSeq)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+    }
+  }
+
   test("ebw solve: model transform is a narrow codegen'd column (no shuffle)") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet").withColumn("w0", lit(1.0))
