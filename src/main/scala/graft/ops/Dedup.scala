@@ -185,7 +185,16 @@ object Dedup {
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
       maxBucketSize: Int = 100000, seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dim = emb.select(size(col(vecCol))).head().getInt(0)
+    val dimRow = emb.select(size(col(vecCol))).head(1)
+    if (dimRow.isEmpty) {
+      // empty corpus: empty pair frame with the output schema, no probing
+      import emb.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+        .select(col("id_a").cast(emb.schema(idCol).dataType),
+          col("id_b").cast(emb.schema(idCol).dataType), col("cosine"))
+        .toDF("id_a", "id_b", "cosine")
+    }
+    val dim = dimRow(0).getInt(0)
     val v = col(vecCol).cast("array<double>")
     val base = emb.select(col(idCol).as("id"), v.as("v"))
     val bandCols = (0 until bands).map { bnd =>
