@@ -3,7 +3,7 @@ package graft.examples
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.ebw.{DesignMatrix, EbwOptions, EbwLog, EntropyBalance}
+import graft.ebw.{DesignMatrix, EbwOptions, EbwLog, EntropyBalance, ProblemIO}
 
 /**
  * The Spark analogue of /root/reference/examples/pums_example.py: there,
@@ -50,6 +50,23 @@ object PumsStyleExample {
         .as("mean_bal_k"),
         round(sum("weight_new"), 2).as("group_weight"))
       .orderBy("c_mktsegment").show(false)
+
+    // criterion at the solution (shared.py criterion parity): violations ~ 0
+    val eval = EntropyBalance.evaluate(dfv, "feat", "w0", m, res.equalityMultipliers)
+    println(f"criterion=${eval.criterionValue}%.6g  ||Ce||=${eval.violationNorm}%.3g")
+
+    // warm start from the previous solution's ratios (the reference's
+    // initial_ratio_guess): re-solving costs at most one Newton step
+    val guessed = res.weighted.withColumn("r_prev", col("weight_new") / col("w0"))
+    val warm = EntropyBalance.entropyBalance(guessed, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10,
+        initialRatioGuessCol = Some("r_prev")))
+    println(s"warm restart: converged=${warm.converged} iterations=${warm.nIterations}")
+
+    // dump the problem in the reference package's own zip format — the
+    // Python package can load and replay it with load_problem_from_zip
+    ProblemIO.saveReferenceZip(dfv, "feat", "w0", m, "/tmp/ebw_example_problem.zip")
+    println("problem dumped to /tmp/ebw_example_problem.zip (reference npy/npz layout)")
 
     spark.stop()
   }
