@@ -484,6 +484,15 @@ object SparkEntry {
           round(col("asof_value"), 2).as("view_value"))
         .orderBy("click_id")
     }),
+    "q_stratified_sample" -> ((s, dir) => {
+      // deterministic md5-ranked stratified sample: exact 50 orders per
+      // priority, reproducible across engines and cluster layouts
+      val orders = t(s, dir, "orders")
+      graft.ops.Sampling.stratifiedExact(orders, "o_orderpriority",
+          "o_orderkey", n = 50)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    }),
     // §2a — EBW
     "ebw_poststrat" -> ((s, dir) => ebwPoststrat(s, dir)),
     "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
@@ -892,6 +901,15 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, term, tfidf, rank FROM rk
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(concat('42|', o_orderkey::VARCHAR)), o_orderkey)
+        |      AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority FROM r
+        |WHERE rn <= 50 ORDER BY o_orderkey""".stripMargin,
     "q_asof_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |  WHERE event_type = 'click'),

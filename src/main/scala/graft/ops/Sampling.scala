@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling operators for training-data curation. Unlike
+ * `DataFrame.sample`/`sampleBy` (Bernoulli draws: non-exact counts,
+ * partitioning-dependent), these rank rows by a cryptographic hash of
+ * (seed, id) — the sample is EXACT-size per stratum, reproducible across
+ * runs/cluster layouts, stable under appends of other strata, and
+ * replayable in any engine with md5 (the DuckDB oracle gates it).
+ */
+object Sampling {
+
+  /**
+   * Exact-size stratified sample: up to `n` rows per stratum, chosen as
+   * the lowest md5(seed || '|' || id) within each stratum (ties broken by
+   * id). One shuffle (the per-stratum window); at corpus scale the hash
+   * rank prunes with a partial top-n per partition the same way any
+   * window top-k does.
+   */
+  def stratifiedExact(
+      df: DataFrame, stratumCol: String, idCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(rank, col(idCol))
+    df.withColumn("_sample_rank", row_number().over(w))
+      .filter(col("_sample_rank") <= n)
+      .drop("_sample_rank")
+  }
+
+  /** Deterministic fraction-based downsample: keep a row iff the md5 hash
+   * of (seed, id) falls below the fraction threshold (hex-prefix
+   * comparison — uniform over ids, independent of partitioning, exact in
+   * expectation and reproducible). */
+  def deterministicSample(
+      df: DataFrame, idCol: String, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0, 1]")
+    // first 12 hex chars as an integer in [0, 16^12): compare against
+    // fraction * 16^12 — plenty of resolution, no float-parse ambiguity
+    val space = math.pow(16.0, 12).toLong
+    val cut = (fraction * space).toLong
+    val h = conv(substring(md5(concat(lit(s"$seed|"), col(idCol).cast("string"))), 1, 12),
+      16, 10).cast("long")
+    df.filter(h < cut)
+  }
+}

@@ -238,6 +238,36 @@ class OpsSpec extends AnyFunSuite {
     assert(fp == hex.substring(0, 16))
   }
 
+  test("deterministic sampling: exact strata sizes, reproducible, append-stable") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val s1 = Sampling.stratifiedExact(orders, "o_orderpriority", "o_orderkey", 20)
+    val sizes = s1.groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.values.forall(_ == 20), sizes.toString)
+    // reproducible: same seed -> same ids; different seed -> different sample
+    val ids1 = s1.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedExact(orders, "o_orderpriority", "o_orderkey", 20)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    val ids3 = Sampling.stratifiedExact(orders, "o_orderpriority", "o_orderkey",
+      20, seed = 7L).select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(ids3 != ids1)
+    // append-stable: adding rows of OTHER strata never changes a stratum's sample
+    val more = orders.withColumn("o_orderpriority", lit("9-SYNTHETIC"))
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+    val s4 = Sampling.stratifiedExact(orders.unionByName(more),
+      "o_orderpriority", "o_orderkey", 20)
+      .filter(col("o_orderpriority") =!= "9-SYNTHETIC")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(s4 == ids1)
+    // fraction sampling: deterministic, near-expected size
+    val n = orders.count()
+    val frac = Sampling.deterministicSample(orders, "o_orderkey", 0.3).count()
+    assert(math.abs(frac.toDouble / n - 0.3) < 0.05, s"$frac of $n")
+    val frac2 = Sampling.deterministicSample(orders, "o_orderkey", 0.3).count()
+    assert(frac == frac2)
+  }
+
   test("as-of join: latest at-or-before match, deterministic ties, tolerance") {
     import spark.implicits._
     val views = Seq(
