@@ -590,6 +590,9 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextMetrics.topTfidfTerms(t(s, dir, "documents"), "text", "doc_id", 3)
         .orderBy("doc_id", "rank")),
+    "text_repetition" -> ((s, dir) =>
+      TextMetrics.repetition(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id",
           portable = true)
@@ -931,6 +934,17 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+        |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i))
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  count(DISTINCT s)::BIGINT AS n_distinct,
+        |  round(1.0 - count(DISTINCT s) * 1.0 / count(*), 4) AS dup_3gram_frac
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "ann_lsh" -> annLshOracle,
     "ebw_penalty" -> ebwPenaltyOracle,
     "ebw_grouped_penalty" -> ebwGroupedPenaltyOracle,

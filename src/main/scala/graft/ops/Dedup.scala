@@ -31,7 +31,7 @@ object Dedup {
    * the minhash and ngram paths (both DuckDB oracles replay exactly this
    * string construction; editing it in one place only would silently
    * desynchronize them). */
-  private val shingleExpr: String =
+  private[ops] val shingleExpr: String =
     "transform(sequence(1, size(tok) - 2), i -> " +
       "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"
 

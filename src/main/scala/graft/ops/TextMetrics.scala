@@ -59,6 +59,24 @@ object TextMetrics {
     docs.select(col(idCol), when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_pred"))
   }
 
+  /** Within-document repetition stats — the published "fraction of
+   * duplicated n-grams" quality-filter family (Gopher/Dolma rules): docs
+   * dominated by repeated 3-grams are boilerplate/template spam. Emits
+   * (n_shingles, n_distinct, dup_3gram_frac) per doc with >= 3 tokens.
+   * Narrow explode + one groupBy; shares Dedup's shingle definition. */
+  def repetition(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col(idCol), explode(expr(Dedup.shingleExpr)).as("s"))
+    sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        countDistinct(col("s")).as("n_distinct"))
+      .select(col(idCol), col("n_shingles"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_shingles"), 4)
+          .as("dup_3gram_frac"))
+  }
+
   /** 64-bit document fingerprint (order-sensitive, unlike the
    * bag-of-tokens simhash). Default is xxhash64 (fastest); `portable =
    * true` emits the first 16 hex chars of the md5 digest instead (a string

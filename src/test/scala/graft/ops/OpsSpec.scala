@@ -238,6 +238,21 @@ class OpsSpec extends AnyFunSuite {
     assert(fp == hex.substring(0, 16))
   }
 
+  test("repetition metric flags boilerplate-heavy docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),   // one distinct 3-gram
+      (2L, "the quick brown fox jumps over the lazy dog"), // all distinct
+      (3L, "ab"))                                        // < 3 tokens: excluded
+      .toDF("doc_id", "text")
+    val out = TextMetrics.repetition(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(!out.contains(3L))
+    assert(out(1L)._2 == 1L && out(1L)._3 > 0.8, out(1L).toString)
+    assert(out(2L)._1 == out(2L)._2 && out(2L)._3 == 0.0)
+  }
+
   test("deterministic sampling: exact strata sizes, reproducible, append-stable") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val s1 = Sampling.stratifiedExact(orders, "o_orderpriority", "o_orderkey", 20)
