@@ -116,6 +116,62 @@ object SparkEntry {
        |FROM bits ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash candidate-pair oracle: the portable fingerprint's 64 sign
+   * sums feed integer band keys (pigeonhole bands, maxHamming+1 of them),
+   * hot buckets are capped, and pairs verify with an exact 64-term
+   * hamming sum — the whole pipeline in SQL arithmetic. */
+  private def simhashPairsOracle: String = {
+    val maxHamming = 8
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val bitSums = (0 until 64).map { b =>
+      val j = b / 4
+      val c = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) // $c) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until nBands).map { bi =>
+      val lo = bi * bandBits
+      val width = if (bi == nBands - 1) 64 - lo else bandBits
+      val key = (0 until width)
+        .map(j => s"(CASE WHEN b${lo + j} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT doc_id, $bi AS band, ($key)::BIGINT AS key FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = (0 until 64)
+      .map(b => s"(CASE WHEN (x.b$b > 0) <> (y.b$b > 0) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, md5(t) AS hx FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs2)
+       |  WHERE t <> ''),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id),
+       |bk AS (
+       |  $bandSelects),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.ia, c.ib, ($hamming)::BIGINT AS hamming
+       |  FROM cand c
+       |  JOIN bits x ON x.doc_id = c.ia
+       |  JOIN bits y ON y.doc_id = c.ib)
+       |SELECT ia AS id_a, ib AS id_b, hamming FROM ham
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Full-pipeline ngram-Jaccard oracle: replays the md5 minhash
    * signatures, 2-hash banding, hot-bucket cap, candidate join, and exact
    * within-bucket Jaccard of Dedup.ngramJaccardPairs on the same
@@ -576,6 +632,16 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "dedup_simhash_pairs" -> ((s, dir) => {
+      // full near-dup pipeline under the gate: pigeonhole banding over the
+      // portable fingerprint, capped buckets, exact hamming verification
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"))
+      Dedup.simhashCandidatePairs(docs.unionAll(mutated), "text", "doc_id",
+          maxHamming = 8, maxBucketSize = ngramMaxBucket, portable = true)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", portable = true)
         .select(col("doc_id"),
@@ -927,6 +993,7 @@ object SparkEntry {
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embed_cosine" -> embedCosineOracle,

@@ -228,10 +228,11 @@ object Dedup {
    * bit_count(xor). No all-pairs comparison ever happens. */
   def simhashCandidatePairs(
       docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 8, maxBucketSize: Int = 100000): DataFrame = {
+      maxHamming: Int = 8, maxBucketSize: Int = 100000,
+      portable: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val fp = simhash(docs, textCol, idCol)
+    val fp = simhash(docs, textCol, idCol, portable)
     val bandCols = (0 until nBands).map { bi =>
       val lo = bi * bandBits
       val width = if (bi == nBands - 1) 64 - lo else bandBits
