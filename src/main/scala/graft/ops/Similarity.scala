@@ -219,6 +219,44 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * Multi-probe LSH top-k: probe the query's bucket PLUS the `nProbe - 1`
+   * buckets reached by flipping the sign bits with the smallest
+   * |dot(query, plane)| margin — the standard multi-probe refinement
+   * (Lv et al., VLDB'07): near-boundary bits are the likeliest to differ
+   * for true neighbors, so probing those flips recovers most of the recall
+   * a single-bucket probe loses, while still scanning only
+   * nProbe/2^bits of the corpus.
+   */
+  def lshTopKMultiProbe(
+      emb: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int, bits: Int = 8, nProbe: Int = 4,
+      seed: Long = 42L, roundDigits: Option[Int] = None): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val dim = query.length
+    val v = col(vecCol).cast("array<double>")
+    // query bucket + per-plane margins on the driver
+    var qb = 0
+    val margins = new Array[Double](bits)
+    for (p <- 0 until bits) {
+      val pl = plane(p, dim, seed)
+      var s = 0.0
+      for (d <- 0 until dim) s += query(d) * pl(d)
+      if (s >= 0) qb |= (1 << p)
+      margins(p) = math.abs(s)
+    }
+    val flips = margins.zipWithIndex.sortBy(_._1).map(_._2)
+    val probes = (qb +: flips.take(math.max(0, nProbe - 1)).toSeq
+      .map(p => qb ^ (1 << p))).distinct
+    val rawCos = cosineNative(v, typedlit(query))
+    val cosExpr = roundDigits.map(d => round(rawCos, d)).getOrElse(rawCos)
+    emb.withColumn("bucket", lshBucket(v, dim, bits, seed))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol), cosExpr.as("cosine"))
+      .orderBy(desc("cosine"), col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: restrict the scan to the query's LSH bucket.
    * `roundDigits` ranks on the ROUNDED cosine (ties by id) so the top-k cut
    * is deterministic and oracle-reproducible. */

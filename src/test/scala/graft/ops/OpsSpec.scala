@@ -85,6 +85,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH: exact cosines, recall at least single-bucket's") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
+    val rest = emb.filter(col("vec_id") =!= 0)
+    val brute = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 500)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val trueTop = Similarity.bruteForceTopK(rest, "embedding", "vec_id", q, 10)
+      .collect().map(_.getLong(0)).toSet
+    def recall(ids: Set[Long]): Double =
+      (ids & trueTop).size.toDouble / trueTop.size
+    val single = Similarity.lshTopK(rest, "embedding", "vec_id", q, 10, bits = 4)
+      .collect().map(_.getLong(0)).toSet
+    val multi = Similarity.lshTopKMultiProbe(rest, "embedding", "vec_id", q,
+      10, bits = 4, nProbe = 6).collect()
+    assert(multi.nonEmpty)
+    // every returned cosine is the true cosine (probing only restricts
+    // the candidate set, never distorts scores)
+    multi.foreach(r => assert(math.abs(brute(r.getLong(0)) - r.getDouble(1)) < 1e-12))
+    assert(recall(multi.map(_.getLong(0)).toSet) >= recall(single),
+      s"multi-probe recall below single-bucket")
+    // nProbe = 1 degenerates exactly to the single-bucket probe
+    val one = Similarity.lshTopKMultiProbe(rest, "embedding", "vec_id", q,
+      10, bits = 4, nProbe = 1).collect().map(_.getLong(0)).toSet
+    assert(one == single)
+  }
+
   test("batch top-k equals per-query brute force") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val corpus = emb.filter(col("vec_id") >= 5)
