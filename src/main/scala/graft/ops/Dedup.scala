@@ -232,7 +232,9 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val fp = simhash(docs, textCol, idCol, portable)
+    // fingerprints cached (doc-count-sized): the bucket-cap guard and both
+    // pair-join sides reuse one computation of the 64-bit-sum aggregation
+    val fp = simhash(docs, textCol, idCol, portable).cache()
     val bandCols = (0 until nBands).map { bi =>
       val lo = bi * bandBits
       val width = if (bi == nBands - 1) 64 - lo else bandBits
