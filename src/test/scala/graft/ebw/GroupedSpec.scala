@@ -101,6 +101,32 @@ class GroupedSpec extends AnyFunSuite {
     assert(pathDiff < 1e-8, s"sparse vs dense grouped paths differ by $pathDiff")
   }
 
+  test("grouped damped Newton matches the line-searched single solver on extreme targets") {
+    import spark.implicits._
+    // targets 98.5% of the way to the feature maximum: weights concentrate
+    // on the upper tail — the regime where a damped loop would oscillate
+    // if Newton on the entropy dual were not globally well-behaved
+    val rng = new scala.util.Random(11)
+    val rows = for (g <- 0 until 6; _ <- 0 until 800) yield
+      (s"g$g", Seq(rng.nextDouble(), rng.nextDouble()), 1.0)
+    val df = rows.toDF("grp", "feat", "w0").repartition(4)
+    val targets = (0 until 6).map(g => s"g$g" -> Array(0.985, 0.985)).toMap
+    val res = GroupedEntropyBalance.entropyBalanceGrouped(df, "grp", "feat", "w0",
+      targets, options = EbwOptions(optimalityTol = 1e-8, maxSteps = 200))
+    assert(res.allConverged)
+    val maxIters = res.groups.values.map(_.nIterations).max
+    val solo = EntropyBalance.entropyBalance(df.filter(col("grp") === "g0"),
+      "feat", "w0", targets("g0"),
+      options = EbwOptions(optimalityTol = 1e-8, maxSteps = 200))
+    assert(solo.converged)
+    // the shared-pass damped loop must not need materially more rounds
+    // than the per-problem Armijo line search
+    assert(maxIters <= solo.nIterations + 5,
+      s"grouped=$maxIters vs solo=${solo.nIterations}")
+    res.groups.values.foreach(r =>
+      assert(r.constraintViolations.map(math.abs).max < 1e-4))
+  }
+
   test("grouped penalty equals per-group single penalty solves") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .withColumn("w0", lit(1.0))
