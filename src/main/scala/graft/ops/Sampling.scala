@@ -26,10 +26,23 @@ object Sampling {
       n: Int, seed: Long = 42L): DataFrame = {
     require(n > 0, "sample size must be positive")
     val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
-    val w = Window.partitionBy(col(stratumCol)).orderBy(rank, col(idCol))
-    df.withColumn("_sample_rank", row_number().over(w))
+    // two-stage exact top-n (the batchTopK pattern): a hot stratum would
+    // otherwise funnel through ONE window task. Stage 1 takes the partial
+    // top-n per (stratum, input partition) — any grouping is valid, the
+    // union of partial top-ns contains the global top-n — so the global
+    // stage ranks at most n * numPartitions rows per stratum.
+    val wLocal = Window.partitionBy(col(stratumCol), col("_part"))
+      .orderBy(col("_hrank"), col(idCol))
+    val pruned = df
+      .withColumn("_hrank", rank)
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= n)
+      .drop("_lr", "_part")
+    val w = Window.partitionBy(col(stratumCol)).orderBy(col("_hrank"), col(idCol))
+    pruned.withColumn("_sample_rank", row_number().over(w))
       .filter(col("_sample_rank") <= n)
-      .drop("_sample_rank")
+      .drop("_sample_rank", "_hrank")
   }
 
   /** Deterministic fraction-based downsample: keep a row iff the md5 hash

@@ -308,6 +308,19 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(frac.toDouble / n - 0.3) < 0.05, s"$frac of $n")
     val frac2 = Sampling.deterministicSample(orders, "o_orderkey", 0.3).count()
     assert(frac == frac2)
+    // one-stratum degenerate corpus (maximum skew): two-stage pruning
+    // still yields the exact md5-min sample regardless of partitioning
+    import spark.implicits._
+    val skew = (0L until 5000L).map(i => ("only", i)).toDF("stratum", "id")
+    val expect = (0L until 5000L)
+      .sortBy { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"42|$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+      .take(25).toSet
+    val got = Sampling.stratifiedExact(skew.repartition(7), "stratum", "id", 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == expect)
   }
 
   test("as-of join: latest at-or-before match, deterministic ties, tolerance") {
