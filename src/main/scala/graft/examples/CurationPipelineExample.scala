@@ -63,7 +63,7 @@ object CurationPipelineExample {
 
     // 5. token accounting on the final corpus
     val tokens = TextMetrics.tokenCounts(sampled, "text", "doc_id")
-      .agg(sum("n_ws_tokens")).collect()(0).getLong(0)
+      .agg(coalesce(sum("n_ws_tokens"), lit(0L))).collect()(0).getLong(0)
 
     println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 sampled=$n4 tokens=$tokens")
     spark.stop()

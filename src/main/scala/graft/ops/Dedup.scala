@@ -185,7 +185,10 @@ object Dedup {
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
       maxBucketSize: Int = 100000, seed: Long = 42L): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    val dimRow = emb.select(size(col(vecCol))).head(1)
+    // dimension probe from the first NON-null vector (null vectors carry
+    // no bucket and drop out of the band join naturally)
+    val dimRow = emb.select(size(col(vecCol)).as("_d"))
+      .filter(col("_d").isNotNull && col("_d") > 0).head(1)
     if (dimRow.isEmpty) {
       // empty corpus: empty pair frame with the output schema, no probing
       import emb.sparkSession.implicits._

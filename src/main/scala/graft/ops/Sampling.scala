@@ -17,14 +17,20 @@ object Sampling {
   /**
    * Exact-size stratified sample: up to `n` rows per stratum, chosen as
    * the lowest md5(seed || '|' || id) within each stratum (ties broken by
-   * id). One shuffle (the per-stratum window); at corpus scale the hash
-   * rank prunes with a partial top-n per partition the same way any
-   * window top-k does.
+   * id). Two window stages / two exchanges: a partial top-n per
+   * (stratum, input partition) spreads hot strata across tasks, then the
+   * global per-stratum rank sees at most n * numPartitions rows per
+   * stratum — skew-proof AND provably identical to a single global
+   * window.
    */
   def stratifiedExact(
       df: DataFrame, stratumCol: String, idCol: String,
       n: Int, seed: Long = 42L): DataFrame = {
     require(n > 0, "sample size must be positive")
+    val internal = Seq("_hrank", "_part", "_lr", "_sample_rank")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with stratifiedExact internals; rename them first")
     val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
     // two-stage exact top-n (the batchTopK pattern): a hot stratum would
     // otherwise funnel through ONE window task. Stage 1 takes the partial

@@ -74,18 +74,59 @@ object Similarity {
     planes.reduce(_ + _)
   }
 
-  /** Driver-side bucket of one vector under the same planes as lshBucket. */
-  def lshBucketOf(
-      vec: Seq[Double], bits: Int, seed: Long = 42L, planeOffset: Int = 0): Int = {
+  /** Driver-side bucket AND per-bit |margin| of one vector under the same
+   * planes as lshBucket — the single source of the sign convention for
+   * every driver-side probe computation. */
+  def lshBucketAndMargins(
+      vec: Seq[Double], bits: Int, seed: Long = 42L,
+      planeOffset: Int = 0): (Int, Array[Double]) = {
     val dim = vec.length
     var b = 0
+    val margins = new Array[Double](bits)
     for (p <- 0 until bits) {
       val pl = plane(planeOffset + p, dim, seed)
       var s = 0.0
       for (d <- 0 until dim) s += vec(d) * pl(d)
       if (s >= 0) b |= (1 << p)
+      margins(p) = math.abs(s)
     }
-    b
+    (b, margins)
+  }
+
+  /** Driver-side bucket of one vector under the same planes as lshBucket. */
+  def lshBucketOf(
+      vec: Seq[Double], bits: Int, seed: Long = 42L, planeOffset: Int = 0): Int =
+    lshBucketAndMargins(vec, bits, seed, planeOffset)._1
+
+  /** The multi-probe perturbation sequence (Lv et al., VLDB'07): XOR masks
+   * over the sign bits in ascending total-|margin| order, generated with
+   * the classic shift/expand successor rule on the margin-sorted bit
+   * list — supports multi-bit perturbations, so any nProbe up to 2^bits
+   * is honored exactly. */
+  private[ops] def probeMasks(margins: Array[Double], nProbe: Int): Seq[Int] = {
+    val bits = margins.length
+    val order = margins.zipWithIndex.sortBy(_._1) // (margin, plane) ascending
+    def score(pos: List[Int]): Double = pos.map(order(_)._1).sum
+    def mask(pos: List[Int]): Int = pos.map(p => 1 << order(p)._2).sum
+    val seen = scala.collection.mutable.Set[List[Int]]()
+    val heap = scala.collection.mutable.PriorityQueue[(Double, List[Int])]()(
+      Ordering.by[(Double, List[Int]), Double](_._1).reverse)
+    if (bits > 0) { heap.enqueue((score(List(0)), List(0))); seen += List(0) }
+    val out = scala.collection.mutable.ArrayBuffer[Int](0) // the query bucket itself
+    while (out.length < math.min(nProbe, 1 << bits) && heap.nonEmpty) {
+      val (_, pos) = heap.dequeue()
+      out += mask(pos)
+      val maxPos = pos.max
+      if (maxPos + 1 < bits) {
+        val expand = (maxPos + 1 :: pos).sorted
+        val shift = (maxPos + 1 :: pos.filterNot(_ == maxPos)).sorted
+        for (cand <- Seq(expand, shift) if !seen(cand)) {
+          seen += cand
+          heap.enqueue((score(cand), cand))
+        }
+      }
+    }
+    out.toSeq
   }
 
   /** A fitted IVF index: cluster assignments cached, centers on the
@@ -221,12 +262,13 @@ object Similarity {
 
   /**
    * Multi-probe LSH top-k: probe the query's bucket PLUS the `nProbe - 1`
-   * buckets reached by flipping the sign bits with the smallest
-   * |dot(query, plane)| margin — the standard multi-probe refinement
-   * (Lv et al., VLDB'07): near-boundary bits are the likeliest to differ
-   * for true neighbors, so probing those flips recovers most of the recall
-   * a single-bucket probe loses, while still scanning only
-   * nProbe/2^bits of the corpus.
+   * buckets with the smallest total flipped-|margin| (single- AND
+   * multi-bit perturbations, generated in exact ascending order) — the
+   * standard multi-probe refinement (Lv et al., VLDB'07): near-boundary
+   * bits are the likeliest to differ for true neighbors, so probing those
+   * flips recovers most of the recall a single-bucket probe loses while
+   * scanning only nProbe/2^bits of the corpus. Any nProbe up to 2^bits is
+   * honored exactly.
    */
   def lshTopKMultiProbe(
       emb: DataFrame, vecCol: String, idCol: String,
@@ -235,19 +277,8 @@ object Similarity {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val dim = query.length
     val v = col(vecCol).cast("array<double>")
-    // query bucket + per-plane margins on the driver
-    var qb = 0
-    val margins = new Array[Double](bits)
-    for (p <- 0 until bits) {
-      val pl = plane(p, dim, seed)
-      var s = 0.0
-      for (d <- 0 until dim) s += query(d) * pl(d)
-      if (s >= 0) qb |= (1 << p)
-      margins(p) = math.abs(s)
-    }
-    val flips = margins.zipWithIndex.sortBy(_._1).map(_._2)
-    val probes = (qb +: flips.take(math.max(0, nProbe - 1)).toSeq
-      .map(p => qb ^ (1 << p))).distinct
+    val (qb, margins) = lshBucketAndMargins(query, bits, seed)
+    val probes = probeMasks(margins, nProbe).map(_ ^ qb)
     val rawCos = cosineNative(v, typedlit(query))
     val cosExpr = roundDigits.map(d => round(rawCos, d)).getOrElse(rawCos)
     emb.withColumn("bucket", lshBucket(v, dim, bits, seed))

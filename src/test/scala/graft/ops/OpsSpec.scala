@@ -110,6 +110,18 @@ class OpsSpec extends AnyFunSuite {
     val one = Similarity.lshTopKMultiProbe(rest, "embedding", "vec_id", q,
       10, bits = 4, nProbe = 1).collect().map(_.getLong(0)).toSet
     assert(one == single)
+    // multi-bit perturbations honor any nProbe: probing all 2^bits
+    // buckets recovers the exact brute-force top-10
+    val full = Similarity.lshTopKMultiProbe(rest, "embedding", "vec_id", q,
+      10, bits = 4, nProbe = 16).collect().map(_.getLong(0)).toSet
+    assert(full == trueTop, s"full probe $full vs $trueTop")
+    // the perturbation sequence itself: distinct masks, exact count
+    val masks = Similarity.probeMasks(Array(0.9, 0.1, 0.5, 0.3), 16)
+    assert(masks.length == 16 && masks.distinct.length == 16 && masks.head == 0)
+    assert(masks.toSet == (0 until 16).toSet)
+    // ascending total-margin order for the first few perturbations:
+    // flip b1 (0.1) < flip b3 (0.3) < flips b1+b3 (0.4) < flip b2 (0.5)
+    assert(masks(1) == 2 && masks(2) == 8 && masks(3) == 10 && masks(4) == 4)
   }
 
   test("batch top-k equals per-query brute force") {
