@@ -451,4 +451,103 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.count() > 50) // multiple frames per doc
     assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_payload"))
   }
+
+  /** Encode a solid-color or gradient image with the JDK's own writers so
+   * the decode test exercises REAL codec bytes, not handcrafted headers. */
+  private def encodeImage(fmt: String, w: Int, h: Int,
+      rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no JDK writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** Hand-assemble a 16-bit PCM WAV (the encoder side is a plain RIFF
+   * layout — no audio library involved on either side). */
+  private def encodeWav16(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    bb.put("data".getBytes).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("multimodal: REAL pixel decode via ImageIO for png/jpeg/gif/bmp") {
+    import spark.implicits._
+    val solid = (_: Int, _: Int) => (200 << 16) | (100 << 8) | 50 // R=200 G=100 B=50
+    val grad = (x: Int, _: Int) => { val v = (x * 255) / 63; (v << 16) | (v << 8) | v }
+    val df = Seq(
+      (1L, encodeImage("png", 64, 48, solid)),
+      (2L, encodeImage("jpg", 64, 48, solid)),
+      (3L, encodeImage("gif", 64, 48, solid)),
+      (4L, encodeImage("bmp", 64, 48, solid)),
+      (5L, encodeImage("png", 64, 4, grad))).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, "doc_id", "payload")
+      .collect().map(d => d.id -> d).toMap
+    assert(out.values.forall(d => d.real_decode && d.width == 64 && d.n_samples == d.width.toLong * d.height))
+    for ((id, fmt) <- Seq(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "bmp")) {
+      val d = out(id)
+      assert(d.format == fmt && d.height == 48 && d.channels >= 3, s"id=$id $d")
+      // solid color: channel means exact for lossless, within JPEG error
+      // for lossy; stds ~0 either way
+      val tol = if (fmt == "jpeg") 4.0f else 0.001f
+      assert(math.abs(d.features(0) - 200f) <= tol, s"id=$id R=${d.features(0)}")
+      assert(math.abs(d.features(1) - 100f) <= tol, s"id=$id G=${d.features(1)}")
+      assert(math.abs(d.features(2) - 50f) <= tol, s"id=$id B=${d.features(2)}")
+      assert(d.features(4) <= tol && d.features(5) <= tol && d.features(6) <= tol)
+    }
+    // gradient: real pixel variation shows up as a real std
+    val g = out(5L)
+    assert(g.height == 4 && g.features(4) > 50f, g.features.mkString(","))
+    // extractFeatures rides the same real path: dim-padded channel stats
+    val ef = Multimodal.extractFeatures(df.where($"doc_id" === 1), "doc_id", "payload", dim = 16)
+      .collect().head
+    assert(ef.format == "png" && math.abs(ef.features(0) - 200f) < 0.001f &&
+      ef.features.length == 16 && ef.features(8) == 0f)
+  }
+
+  test("multimodal: REAL WAV PCM sample decode (stats + stub fallback)") {
+    import spark.implicits._
+    // 1 kHz square wave at 8 kHz, amplitude 0.5: mean 0, rms 0.5, zcr 0.25
+    val square = Array.tabulate[Short](8000)(i => if ((i / 4) % 2 == 0) 16384 else -16384)
+    val silence = Array.fill[Short](100)(0)
+    val truncated = encodeWav16(8000, 1, square).take(50) // data chunk cut off
+    val df = Seq(
+      (1L, encodeWav16(8000, 1, square)),
+      (2L, encodeWav16(44100, 2, silence)),
+      (3L, truncated)).toDF("doc_id", "payload")
+    val out = Multimodal.decodeMedia(df, "doc_id", "payload")
+      .collect().map(d => d.id -> d).toMap
+    val sq = out(1L)
+    assert(sq.real_decode && sq.format == "wav" && sq.sample_rate == 8000 &&
+      sq.channels == 1 && sq.n_samples == 8000L)
+    assert(math.abs(sq.features(0)) < 0.001f)            // mean ~0
+    assert(math.abs(sq.features(4) - 0.5f) < 0.001f)     // rms = amplitude
+    assert(math.abs(sq.features(5) - 0.25f) < 0.01f)     // zcr: flips every 4
+    val st = out(2L)
+    assert(st.real_decode && st.channels == 2 && st.sample_rate == 44100 &&
+      st.n_samples == 50L && st.features(4) == 0f)
+    // truncated payload: sniffs wav but PCM decode fails -> stub, no throw
+    val tr = out(3L)
+    assert(!tr.real_decode && tr.format == "wav" && tr.n_samples == -1L)
+  }
+
+  test("multimodal: BMP top-down negative height reports magnitude") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // biHeight = -50 (top-down); sniff must report 50, not -50
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(100, 0, 0, 0, 0xce, 0xff, 0xff, 0xff) ++ new Array[Byte](4)
+    val (fmt, w, h, _, _) = Multimodal.sniffMeta(bmp)
+    assert(fmt == "bmp" && w == 100 && h == 50)
+    // Int.MinValue height cannot overflow back to negative: stays sentinel
+    val evil = "BM".getBytes ++ new Array[Byte](16) ++
+      bytes(100, 0, 0, 0, 0, 0, 0, 0x80) ++ new Array[Byte](4)
+    assert(Multimodal.sniffMeta(evil)._3 == -1)
+  }
 }
