@@ -16,16 +16,58 @@ import org.slf4j.LoggerFactory
  * Caching contract: the pair-generating operators cache their intermediate
  * signature/bucket frames (several downstream subtrees — the cap guard and
  * both join sides — reuse them; without the cache each would recompute the
- * expensive hashing). The cached frames stay registered for the lifetime
- * of the returned plan; in a long-lived session, drop them after consuming
- * the result via `spark.catalog.clearCache()` or by unpersisting through
- * `spark.sharedState.cacheManager`. The guard itself runs one
- * bucket-count job at operator-construction time (the price of the
- * no-silent-caps rule).
+ * expensive hashing). Cached frames are tracked per session; release them
+ * after consuming the pair results with `Dedup.unpersistAll(spark)` —
+ * no global `clearCache()`, no cacheManager internals. Operator
+ * construction is fully LAZY: the hot-bucket guard folds into the plan
+ * and logs dropped buckets at action time via an observed metric.
  */
 object Dedup {
 
   private val log = LoggerFactory.getLogger(getClass)
+
+  /** Release every frame the Dedup/Similarity operators cached in this
+   * session (see the caching contract above). */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    CacheScope.unpersistAll(spark)
+
+  /** Unique suffix for observed-metric names: CollectMetrics requires a
+   * distinct name per node within one query plan. */
+  private val capId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Sessions that already carry the cap-drop logging listener (weak keys:
+   * the registry must not pin a stopped session). */
+  private val capListenerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** Register (once per session) a QueryExecutionListener that logs the
+   * hot-bucket drop metrics observed by capBuckets — the lazy replacement
+   * for an eager construction-time count job. */
+  private def ensureCapListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      if (capListenerSessions.add(spark)) {
+        spark.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit = {
+              qe.observedMetrics.foreach { case (name, row) =>
+                if (name.startsWith("graft_cap/")) {
+                  val hot = row.getAs[Long]("hot_buckets")
+                  if (hot > 0)
+                    log.warn(s"$name: dropped $hot hot LSH buckets " +
+                      s"(${row.getAs[Long]("dropped_rows")} member rows) over " +
+                      s"maxBucketSize=${row.getAs[Long]("max_bucket_size")}")
+                }
+              }
+            }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+    }
 
   /** 3-word shingles of a pre-split `tok` array — ONE definition shared by
    * the minhash and ngram paths (both DuckDB oracles replay exactly this
@@ -44,25 +86,24 @@ object Dedup {
 
   /**
    * Hot-bucket guard for band joins: drop (band, key) buckets with more
-   * than `maxBucketSize` members from candidate generation and log what was
-   * dropped (a bucket of m rows contributes m(m-1)/2 pairs — one hot key
-   * is the difference between linear and quadratic). The count aggregation
-   * is one extra reduction over the keyed frame; the guard's collect is
-   * bucket-count-sized, never data-sized. Callers pass Int.MaxValue to
-   * disable (no extra pass then).
+   * than `maxBucketSize` members from candidate generation (a bucket of m
+   * rows contributes m(m-1)/2 pairs — one hot key is the difference
+   * between linear and quadratic). Fully LAZY: the count aggregation joins
+   * into the plan and the no-silent-caps rule is honored by an observed
+   * metric on the count frame, logged at action time by the session's
+   * QueryExecutionListener — constructing a pipeline never triggers a
+   * Spark job. Callers pass Int.MaxValue to disable (no extra pass then).
    */
   private def capBuckets(
       keyed: DataFrame, maxBucketSize: Int, opName: String): DataFrame = {
     if (maxBucketSize == Int.MaxValue) return keyed
+    ensureCapListener(keyed.sparkSession)
     val counts = keyed.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
-    val over = counts.filter(col("bucket_n") > maxBucketSize)
-    val dropped = over.limit(20).collect()
-    if (dropped.nonEmpty) {
-      val desc = dropped.map(r => s"band=${r.get(0)} key=${r.get(1)} n=${r.get(2)}")
-        .mkString(", ")
-      log.warn(s"$opName: dropping hot LSH buckets over maxBucketSize=" +
-        s"$maxBucketSize (first ${dropped.length}): $desc")
-    }
+      .observe(s"graft_cap/$opName/${capId.incrementAndGet()}",
+        sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(0L))
+          .as("dropped_rows"),
+        max(lit(maxBucketSize.toLong)).as("max_bucket_size"))
     keyed.join(
       counts.filter(col("bucket_n") <= maxBucketSize).select("band", "key"),
       Seq("band", "key"))
@@ -97,11 +138,12 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = 100000): DataFrame = {
-    // signatures cached: the bucket-count guard and both pair-join sides
-    // reuse one computation of the 8-md5-per-shingle aggregation
-    val sig = minhashSignatures(docs, textCol, idCol, numHashes)
-      .withColumn("parts", split(col("minhash_sig"), "\\|"))
-      .cache()
+    // signatures cached (tracked; release via unpersistAll): the bucket
+    // guard and both pair-join sides reuse one computation of the
+    // 8-md5-per-shingle aggregation
+    val sig = CacheScope.track(
+      minhashSignatures(docs, textCol, idCol, numHashes)
+        .withColumn("parts", split(col("minhash_sig"), "\\|")))
     val bands = numHashes / bandSize
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -129,11 +171,10 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = 100000): DataFrame = {
-    val shingles = docs
+    val shingles = CacheScope.track(docs
       .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
-      .select(col("sid"), array_distinct(expr(shingleExpr)).as("sh"))
-      .cache()
+      .select(col("sid"), array_distinct(expr(shingleExpr)).as("sh")))
     val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
     // hash families come 4-per-md5 (8-hex-char slices of the digest):
     // engine-portable like a per-family md5 but 4x fewer digest
@@ -142,9 +183,9 @@ object Dedup {
       md5(concat(lit(s"$si|"), col("s"))))
     val aggs = (0 until numHashes).map(j =>
       min(substring(seeds(j / 4), (j % 4) * 8 + 1, 8)).as(s"h$j"))
-    // cached so the bucket-count guard, both pair-join sides, and the
+    // cached (tracked) so the bucket guard, both pair-join sides, and the
     // verify step all reuse one computation
-    val sig = exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*).cache()
+    val sig = CacheScope.track(exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*))
     val bands = numHashes / bandSize
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
@@ -159,13 +200,27 @@ object Dedup {
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Exact verify via EXPLODED INTERSECTION: |A∩B| is a join of exploded
+    // shingles on (doc, shingle) plus a count — candidate pairs never
+    // carry either document's full shingle array through a shuffle, so
+    // per-pair shuffle bytes stay flat on long-document corpora (carrying
+    // both arrays amplifies every candidate row by the documents' combined
+    // shingle counts). |A∪B| = |A| + |B| - |A∩B| from doc-level sizes.
+    val sizes = shingles.select(col("sid"), size(col("sh")).as("nsh"))
+    val interCounts = cand
+      .join(exploded.select(col("sid").as("id_a"), col("s")), "id_a")
+      .join(exploded.select(col("sid").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
     cand
-      .join(shingles.select(col("sid").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(shingles.select(col("sid").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      // left join + coalesce: a hash-collision candidate with an EMPTY
+      // intersection must still surface (as jaccard 0) when minJaccard=0
+      .join(interCounts, Seq("id_a", "id_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("sid").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nsh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("inter") * lit(1.0) / col("uni")).as("jaccard"))
+        (col("inter") * lit(1.0) / (col("nsh_a") + col("nsh_b") - col("inter")))
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -205,13 +260,12 @@ object Dedup {
         Similarity.lshBucket(col("v"), dim, bitsPerBand, seed,
           planeOffset = bnd * bitsPerBand).as("key"))
     }
-    // cache the bucketed frame: the bands*bitsPerBand hyperplane dot
-    // products (and their codegen) run once, not once per join side and
-    // once more for the bucket-count guard
-    val keyed = base
+    // cache the bucketed frame (tracked): the bands*bitsPerBand hyperplane
+    // dot products (and their codegen) run once, not once per join side
+    // and once more for the bucket-count guard
+    val keyed = CacheScope.track(base
       .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key")))
     val kept = capBuckets(keyed, maxBucketSize, "embeddingCosinePairs")
     val a = kept.select(col("band"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
     val b = kept.select(col("band"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
@@ -235,9 +289,9 @@ object Dedup {
       portable: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    // fingerprints cached (doc-count-sized): the bucket-cap guard and both
-    // pair-join sides reuse one computation of the 64-bit-sum aggregation
-    val fp = simhash(docs, textCol, idCol, portable).cache()
+    // fingerprints cached (tracked, doc-count-sized): the bucket guard and
+    // both pair-join sides reuse one computation of the 64-bit-sum agg
+    val fp = CacheScope.track(simhash(docs, textCol, idCol, portable))
     val bandCols = (0 until nBands).map { bi =>
       val lo = bi * bandBits
       val width = if (bi == nBands - 1) 64 - lo else bandBits

@@ -11,6 +11,11 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
+  /** Release every frame the Similarity/Dedup operators cached in this
+   * session (per-index release: `IvfIndex.unpersist()`). */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    CacheScope.unpersistAll(spark)
+
   /** Built-in composition (portable, interpreted higher-order funcs). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -169,9 +174,8 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("mlvec").setPredictionCol("cell")
       .fit(prepared)
-    val assigned = model.transform(prepared)
-      .select(col(idCol), col("arr"), col("cell"))
-      .cache()
+    val assigned = CacheScope.track(model.transform(prepared)
+      .select(col(idCol), col("arr"), col("cell")))
     new IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol)
   }
 

@@ -228,6 +228,78 @@ class OpsSpec extends AnyFunSuite {
     assert(ng.count() == 0)
   }
 
+  test("pair operators: caches tracked per session, released by unpersistAll") {
+    import spark.implicits._
+    spark.catalog.clearCache() // independent of earlier suites
+    CacheScope.unpersistAll(spark)
+    val docsDf = docs.limit(200).select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashCandidatePairs(docsDf, "text", "doc_id")
+    pairs.count() // materialize: signature cache fills
+    assert(CacheScope.trackedCount(spark) > 0)
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    Dedup.unpersistAll(spark)
+    assert(CacheScope.trackedCount(spark) == 0)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator caches must be fully released without clearCache()")
+  }
+
+  test("pair-operator construction is lazy: no Spark job before an action") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // materialize the source frame FIRST: spark.read.parquet itself runs a
+    // footer-listing job, which is not what this test measures
+    val docsDf = docs.limit(100).select(col("doc_id"), col("text"))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // construction of every capped pipeline: plan building only
+      Dedup.minhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
+      Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", 0.5, maxBucketSize = 100)
+      Dedup.simhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
+      Thread.sleep(1000) // listener bus is async; give submissions time to surface
+      assert(jobs.get() == 0,
+        s"operator construction submitted ${jobs.get()} Spark job(s); must be lazy")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      Dedup.unpersistAll(spark)
+    }
+  }
+
+  test("ngram verify matches brute-force Jaccard on a long-document skew corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val vocab = (0 until 60).map(i => s"w$i")
+    def sent(n: Int) = (0 until n).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" ")
+    val base = sent(40)
+    val corpus = Seq(
+      (1L, base), (2L, base + " extra tail words here"), // near-dups
+      (3L, sent(5000)),                                   // one very long doc
+      (4L, sent(30)), (5L, sent(30))) ++
+      (6L to 20L).map(i => (i, sent(25)))
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df, "text", "doc_id", minJaccard = 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // brute-force oracle: exact jaccard over distinct 3-shingles
+    def shingles(t: String): Set[String] = {
+      val w = t.split(" ", -1)
+      (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+    }
+    val sh = corpus.map { case (id, t) => id -> shingles(t) }.toMap
+    got.foreach { case ((a, b), j) =>
+      val expect = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      assert(math.abs(j - expect) < 1e-12, s"pair ($a,$b): got $j expect $expect")
+    }
+    // the known near-dup pair must be found with its exact similarity
+    assert(got.contains((1L, 2L)) &&
+      math.abs(got((1L, 2L)) -
+        (sh(1L).intersect(sh(2L)).size.toDouble / sh(1L).union(sh(2L)).size)) < 1e-12)
+    Dedup.unpersistAll(spark)
+  }
+
   test("embed cosine multi-band: genuine cosines above threshold, caps bound buckets") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
