@@ -513,10 +513,12 @@ object SparkEntry {
     }),
     "q_events_window" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, truncate
-      // to micros exactly as DuckDB does
+      // to micros exactly as DuckDB does. `div` (integral division) is
+      // mandatory here: `/` on longs is double division, and epoch-nanos
+      // exceed double's 2^53 exact range, so `/ 1000` can be off by ±1 µs
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       t(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
@@ -528,13 +530,32 @@ object SparkEntry {
       // view (backward as-of join; union-window plan, no inequality join)
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
       graft.ops.AsOf.joinBackward(clicks, views, "user_id", "ts", "ts",
           "event_id", Seq("value"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          round(col("asof_value"), 2).as("view_value"))
+        .orderBy("click_id")
+    }),
+    "q_asof_bucketed" -> ((s, dir) => {
+      // skew-hardened as-of: same attribution semantics under a 30-minute
+      // tolerance, window split into (user, 1-hour bucket) partitions so a
+      // hot user never funnels through one task. Times stay integral
+      // epoch-micros on both engines (ts div 1000 == DuckDB's epoch_us).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("us"), col("value"))
+      graft.ops.AsOf.joinBackwardBucketed(clicks, views, "user_id", "us", "us",
+          "event_id", Seq("value"),
+          bucketWidth = 3600000000L, tolerance = 1800000000L)
         .select(col("event_id").as("click_id"), col("user_id"),
           col("asof_event_id").as("view_id"),
           round(col("asof_value"), 2).as("view_value"))
@@ -990,6 +1011,20 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY c.event_id
         |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
         |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts)
+        |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_asof_bucketed" ->
+      """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS us, value FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    v.event_id AS view_id, v.value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY v.us DESC, v.event_id DESC) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id AND v.us <= c.us
+        |    AND c.us - v.us <= 1800000000)
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "dedup_simhash" -> simhashOracle,

@@ -56,4 +56,30 @@ class AsOfPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("bucketed as-of equals plain as-of with tolerance on random data") {
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val gen = for {
+      c <- caseGen
+      width <- Gen.choose(1L, 6L)
+      tol <- Gen.choose(0L, width)
+    } yield (c, width, tol)
+    val prop = Prop.forAll(gen) { case ((lefts, rights), width, tol) =>
+      val lDf = lefts.toDF("event_id", "user_id", "ts")
+      val rDf = rights.toDF("event_id", "user_id", "ts", "value")
+      def key(rows: Array[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+          .sortBy(t => (t._1, t._2)).toSeq
+      val plain = key(AsOf.joinBackward(lDf, rDf, "user_id", "ts", "ts",
+          "event_id", Seq("value"), tolerance = Some(lit(tol)))
+        .select("event_id", "asof_event_id", "asof_time", "asof_value").collect())
+      val bucketed = key(AsOf.joinBackwardBucketed(lDf, rDf, "user_id", "ts", "ts",
+          "event_id", Seq("value"), bucketWidth = width, tolerance = tol)
+        .select("event_id", "asof_event_id", "asof_time", "asof_value").collect())
+      plain == bucketed
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -474,6 +474,44 @@ class OpsSpec extends AnyFunSuite {
     assert(metas(7L).format == "jpeg" && metas(7L).width == -1)
   }
 
+  test("bucketed as-of splits a hot key's window and matches the plain join") {
+    import spark.implicits._
+    // one bot user holds 50% of all events: the plain plan funnels its
+    // whole history through ONE window partition
+    val rng = new scala.util.Random(11)
+    val n = 4000
+    val events = (0 until n).map { i =>
+      val user = if (i % 2 == 0) 0L else (1 + rng.nextInt(50)).toLong
+      (i.toLong, user, rng.nextLong(100000L), rng.nextDouble())
+    }
+    val views = events.filter(_._1 % 3 == 0)
+      .toDF("event_id", "user_id", "ts", "value")
+    val clicks = events.filter(_._1 % 3 != 0)
+      .map(e => (e._1, e._2, e._3)).toDF("event_id", "user_id", "ts")
+    val tol = 500L
+    val width = 1000L
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "asof_event_id", "asof_time", "asof_value")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toString).toSeq
+    val plain = AsOf.joinBackward(clicks, views, "user_id", "ts", "ts",
+      "event_id", Seq("value"), tolerance = Some(lit(tol)))
+    val bucketed = AsOf.joinBackwardBucketed(clicks, views, "user_id", "ts", "ts",
+      "event_id", Seq("value"), bucketWidth = width, tolerance = tol)
+    assert(sorted(plain) == sorted(bucketed))
+    assert(plain.count() > 100) // non-trivial corpus actually matched
+    // skew envelope: the hot key's largest window partition shrinks from
+    // "all its events" to "one bucket's events (+1 carry)"
+    val hotPlain = events.count(_._2 == 0L) // rows in the hot key's one partition
+    val hotBucketedMax = events.filter(_._2 == 0L)
+      .groupBy(e => e._3 - e._3 % width).map(_._2.size).max + 1
+    assert(hotBucketedMax * 4 < hotPlain,
+      s"bucketing should split the hot partition: $hotBucketedMax vs $hotPlain")
+    // and the physical plan's window spec really partitions by (_k, _b)
+    val planStr = bucketed.queryExecution.executedPlan.toString
+    assert(planStr.contains("partitionBy=[_k, _b]") || planStr.contains("_b#"),
+      "window must partition by (key, bucket)")
+  }
+
   test("as-of join: NULL keys and NULL right timestamps never match") {
     import spark.implicits._
     val views = Seq(
