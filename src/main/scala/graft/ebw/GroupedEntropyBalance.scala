@@ -303,6 +303,20 @@ object GroupedEntropyBalance {
 
   // ------------------------------------------------------------------ public
 
+  /** Re-apply a grouped fit's learned multipliers to fresh data (the
+   * graft.pipeline transform bridge): exactly the weightedOutput stage of
+   * the solvers — rows of groups absent from `groups` keep their original
+   * weight. `groups` carries EFFECTIVE multipliers (eta absorbed), so the
+   * ratio is clip(exp(x . mult_g), lb, ub) with eta = 1. */
+  private[graft] def applyGroupWeights(
+      df: DataFrame, groupCol: String, featuresCol: String, weightCol: String,
+      outputCol: String, groups: Map[String, GroupResult],
+      lb: Double, ub: Double): DataFrame = {
+    val names = groups.keys.toArray.sorted
+    val mult = names.map(n => groups(n).multipliers)
+    weightedOutput(df, groupCol, featuresCol, weightCol, outputCol, names, mult, lb, ub)
+  }
+
   /**
    * Solve one unbounded (or elastic-bounded) EBW problem per distinct value
    * of `groupCol`. `targets(g)` are mean population moments for group g;

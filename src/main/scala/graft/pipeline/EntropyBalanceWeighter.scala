@@ -7,7 +7,19 @@ import org.apache.spark.ml.util.Identifiable
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
-import graft.ebw.{EbwOptions, EbwResult, EntropyBalance}
+import graft.ebw.{EbwOptions, EbwResult, EntropyBalance, GroupedEntropyBalance}
+import graft.ebw.GroupedEntropyBalance.GroupResult
+
+/** Learned state of a grouped fit: effective per-group multipliers plus
+ * the ratio box they were solved under — everything transform needs to
+ * re-derive `w0 * clip(exp(x . mult_g), lb, ub)` on fresh data. */
+final case class GroupedWeighterState(
+    groupCol: String,
+    groups: Map[String, GroupResult],
+    lb: Double,
+    ub: Double) {
+  def allConverged: Boolean = groups.values.forall(_.converged)
+}
 
 /**
  * MLlib Pipeline integration (the "north star" packaging): entropy balance
@@ -15,6 +27,11 @@ import graft.ebw.{EbwOptions, EbwResult, EntropyBalance}
  * Pipeline. fit() runs the solver; the resulting Model is a lightweight
  * transformer that appends the reweighted column from the learned k-dim
  * multipliers — transform() is a single narrow pass, no solver state.
+ *
+ * Grouped mode: set `groupCol` + `groupTargets` to solve one independent
+ * problem per group value (GroupedEntropyBalance — per-source / per-domain
+ * recalibration) inside the same Pipeline; transform then routes each row
+ * through its own group's multipliers.
  */
 class EntropyBalanceWeighter(override val uid: String)
     extends Estimator[EntropyBalanceModel]
@@ -31,6 +48,11 @@ class EntropyBalanceWeighter(override val uid: String)
   final val maxSteps: IntParam = new IntParam(this, "maxSteps", "max Newton steps")
   final val optimalityTol: DoubleParam =
     new DoubleParam(this, "optimalityTol", "relative optimality tolerance")
+  final val groupCol: Param[String] =
+    new Param[String](this, "groupCol", "column defining independent problems")
+  final val groupTargets: Param[Map[String, Array[Double]]] =
+    new Param[Map[String, Array[Double]]](this, "groupTargets",
+      "per-group mean population moments (grouped mode)")
 
   setDefault(outputCol -> "weight_new", maxSteps -> 30, optimalityTol -> 1e-5)
 
@@ -45,6 +67,8 @@ class EntropyBalanceWeighter(override val uid: String)
   }
   def setMaxSteps(v: Int): this.type = set(maxSteps, v)
   def setOptimalityTol(v: Double): this.type = set(optimalityTol, v)
+  def setGroupCol(v: String): this.type = set(groupCol, v)
+  def setGroupTargets(v: Map[String, Array[Double]]): this.type = set(groupTargets, v)
 
   override def fit(dataset: Dataset[_]): EntropyBalanceModel = {
     val bounds =
@@ -52,13 +76,29 @@ class EntropyBalanceWeighter(override val uid: String)
         Some((if (isSet(lowerBound)) $(lowerBound) else 0.0,
           if (isSet(upperBound)) Some($(upperBound)) else None))
       else None
-    val res = EntropyBalance.entropyBalance(
-      dataset.toDF(), $(featuresCol), $(weightCol), $(targetMoments),
-      $(outputCol),
-      EbwOptions(maxSteps = $(maxSteps), optimalityTol = $(optimalityTol),
-        bounds = bounds))
-    val model = new EntropyBalanceModel(uid, res).setParent(this)
-    copyValues(model)
+    val options = EbwOptions(maxSteps = $(maxSteps),
+      optimalityTol = $(optimalityTol), bounds = bounds)
+    val model =
+      if (isSet(groupCol)) {
+        require(isSet(groupTargets),
+          "grouped mode (groupCol set) requires groupTargets")
+        val res = GroupedEntropyBalance.entropyBalanceGrouped(
+          dataset.toDF(), $(groupCol), $(featuresCol), $(weightCol),
+          $(groupTargets), $(outputCol), options)
+        val (lb, ub) = bounds match {
+          case Some((l, u)) =>
+            (math.max(0.0, l), u.getOrElse(Double.PositiveInfinity))
+          case None => (0.0, Double.PositiveInfinity)
+        }
+        new EntropyBalanceModel(uid, None,
+          Some(GroupedWeighterState($(groupCol), res.groups, lb, ub)))
+      } else {
+        val res = EntropyBalance.entropyBalance(
+          dataset.toDF(), $(featuresCol), $(weightCol), $(targetMoments),
+          $(outputCol), options)
+        new EntropyBalanceModel(uid, Some(res), None)
+      }
+    copyValues(model.setParent(this))
   }
 
   override def copy(extra: ParamMap): EntropyBalanceWeighter =
@@ -68,11 +108,25 @@ class EntropyBalanceWeighter(override val uid: String)
     StructType(schema.fields :+ StructField($(outputCol), DoubleType, nullable = false))
 }
 
-class EntropyBalanceModel(override val uid: String, val result: EbwResult)
+class EntropyBalanceModel private[pipeline] (
+    override val uid: String,
+    private val singleResult: Option[EbwResult],
+    val groupedState: Option[GroupedWeighterState])
     extends Model[EntropyBalanceModel]
     with HasFeaturesCol with HasWeightCol with HasOutputCol {
 
-  def converged: Boolean = result.converged
+  /** Single-problem constructor (the original public shape). */
+  def this(uid: String, result: EbwResult) = this(uid, Some(result), None)
+
+  def isGrouped: Boolean = groupedState.isDefined
+
+  /** Single-mode solver result; throws in grouped mode (use groupedState). */
+  def result: EbwResult = singleResult.getOrElse(
+    throw new IllegalStateException(
+      "grouped model has per-group results; see groupedState"))
+
+  def converged: Boolean =
+    groupedState.map(_.allConverged).getOrElse(result.converged)
   def multipliers: Array[Double] = result.equalityMultipliers
 
   override def transform(dataset: Dataset[_]): DataFrame = {
@@ -80,11 +134,19 @@ class EntropyBalanceModel(override val uid: String, val result: EbwResult)
     // multipliers — the Spark analogue of applying saved calibration
     // weights to fresh data.
     import graft.ebw.EbwAccess
-    EbwAccess.applyWeights(result, dataset.toDF(), $(featuresCol), $(weightCol), $(outputCol))
+    groupedState match {
+      case Some(gs) =>
+        GroupedEntropyBalance.applyGroupWeights(dataset.toDF(), gs.groupCol,
+          $(featuresCol), $(weightCol), $(outputCol), gs.groups, gs.lb, gs.ub)
+      case None =>
+        EbwAccess.applyWeights(result, dataset.toDF(), $(featuresCol),
+          $(weightCol), $(outputCol))
+    }
   }
 
   override def copy(extra: ParamMap): EntropyBalanceModel =
-    copyValues(new EntropyBalanceModel(uid, result)).setParent(parent)
+    copyValues(new EntropyBalanceModel(uid, singleResult, groupedState))
+      .setParent(parent)
 
   override def transformSchema(schema: StructType): StructType =
     StructType(schema.fields :+ StructField($(outputCol), DoubleType, nullable = false))

@@ -50,6 +50,48 @@ class PipelineSpec extends AnyFunSuite {
     assert(inner.multipliers.length == 2)
   }
 
+  test("grouped weighter: Pipeline fit matches entropyBalanceGrouped, transforms fresh data") {
+    import graft.ebw.GroupedEntropyBalance
+    val df = cust.withColumn("grp",
+      when(col("c_mktsegment").isin("BUILDING", "MACHINERY"), col("c_mktsegment"))
+        .otherwise("OTHER"))
+    // per-group targets from a deterministic subpopulation of that group
+    val grpTargets = df.select("grp").distinct().collect().map(_.getString(0)).map { g =>
+      val r = df.filter(col("grp") === g && col("c_custkey") % 3 === 0)
+        .agg(avg("bal_k"), avg("lownation")).collect()(0)
+      g -> Array(r.getDouble(0), r.getDouble(1))
+    }.toMap
+    val ebw = new EntropyBalanceWeighter()
+      .setFeaturesCol("feat").setWeightCol("w0").setOutputCol("w_new")
+      .setGroupCol("grp").setGroupTargets(grpTargets).setOptimalityTol(1e-9)
+    val pipe = new Pipeline().setStages(Array(ebw))
+    val model = pipe.fit(df)
+    val inner = model.stages(0).asInstanceOf[EntropyBalanceModel]
+    assert(inner.isGrouped && inner.converged)
+    assert(inner.groupedState.get.groups.keySet == grpTargets.keySet)
+    // transform == the grouped solver's own weighted output, row for row
+    val direct = GroupedEntropyBalance.entropyBalanceGrouped(
+      df, "grp", "feat", "w0", grpTargets, "w_new",
+      graft.ebw.EbwOptions(optimalityTol = 1e-9)).weighted
+      .select("c_custkey", "w_new").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaPipe = model.transform(df).select("c_custkey", "w_new").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(viaPipe.keySet == direct.keySet)
+    viaPipe.foreach { case (k, w) => assert(math.abs(w - direct(k)) < 1e-12) }
+    // per-group moments hit their targets through the Pipeline transform
+    grpTargets.foreach { case (g, m) =>
+      val t = model.transform(df).filter(col("grp") === g)
+        .agg(sum(col("bal_k") * col("w_new")).as("s0"),
+          sum(col("lownation") * col("w_new")).as("s1"), sum("w0").as("w"))
+        .collect()(0)
+      assert(math.abs(t.getDouble(0) / t.getDouble(2) - m(0)) < 1e-6, s"group $g m0")
+      assert(math.abs(t.getDouble(1) / t.getDouble(2) - m(1)) < 1e-6, s"group $g m1")
+    }
+    // single-mode accessors guard against grouped misuse
+    intercept[IllegalStateException](inner.result)
+  }
+
   test("bounded weighter clips ratios") {
     val df = cust
     val m = targets(df)
