@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property fuzz for the curation operators' core invariants:
+ *
+ * - stratifiedExact: exactly min(n, |stratum|) rows per stratum, the SAME
+ *   rows on every run, and append-stability — adding rows of OTHER strata
+ *   never changes a stratum's sample (the property that makes incremental
+ *   corpus growth reproducible).
+ * - minhash banding recall: bands of size 1 guarantee (by the minhash
+ *   collision argument on EQUAL shingle sets) that exact-duplicate shingle
+ *   sets always collide; more generally the candidate set must contain
+ *   every pair whose shingle sets are IDENTICAL, for any band layout.
+ * - deterministicSample: partitioning-independence — the kept id set is
+ *   identical under any repartitioning of the input.
+ */
+class DedupPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("dedup-prop-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val corpusGen: Gen[(Seq[(Long, String)], Int, Long)] = for {
+    nDocs <- Gen.choose(1, 40)
+    nStrata <- Gen.choose(1, 5)
+    n <- Gen.choose(1, 6)
+    seed <- Gen.choose(0L, 100000L)
+  } yield {
+    val rng = new scala.util.Random(seed)
+    val docs = (0 until nDocs).map(i => (i.toLong, s"s${rng.nextInt(nStrata)}"))
+    (docs, n, seed)
+  }
+
+  test("stratifiedExact: exact per-stratum sizes, reproducible, append-stable") {
+    import spark.implicits._
+    val prop = Prop.forAll(corpusGen) { case (rows, n, seed) =>
+      val df = rows.toDF("id", "stratum").repartition(3)
+      def sampleIds(d: org.apache.spark.sql.DataFrame): Map[String, Set[Long]] =
+        Sampling.stratifiedExact(d, "stratum", "id", n, seed)
+          .select("stratum", "id").collect()
+          .groupBy(_.getString(0)).map { case (s, rs) =>
+            s -> rs.map(_.getLong(1)).toSet
+          }
+      val got = sampleIds(df)
+      val strata = rows.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._1).toSet }
+      val exactSizes = strata.forall { case (s, ids) =>
+        got.getOrElse(s, Set.empty).size == math.min(n, ids.size)
+      }
+      val reproducible = sampleIds(df.repartition(7)) == got
+      // append rows of a NEW stratum: existing strata's samples unchanged
+      val appended = rows ++ rows.indices.map(i => (10000L + i, "brand_new"))
+      val after = sampleIds(appended.toDF("id", "stratum"))
+      val appendStable = strata.keys.forall(s => after.getOrElse(s, Set.empty) == got.getOrElse(s, Set.empty))
+      exactSizes && reproducible && appendStable
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val dupCorpusGen: Gen[Seq[(Long, String)]] = for {
+    nBase <- Gen.choose(1, 8)
+    nDocs <- Gen.choose(2, 25)
+    seed <- Gen.choose(0L, 100000L)
+  } yield {
+    val rng = new scala.util.Random(seed)
+    val vocab = (0 until 12).map(i => s"w$i")
+    // small base-text pool => many docs share EXACT shingle sets
+    val bases = (0 until nBase).map(_ =>
+      (0 until 3 + rng.nextInt(8)).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    (0 until nDocs).map(i => (i.toLong, bases(rng.nextInt(nBase))))
+  }
+
+  test("minhash banding: candidates contain every identical-shingle-set pair") {
+    import spark.implicits._
+    val prop = Prop.forAll(dupCorpusGen) { case docs =>
+      val df = docs.toDF("doc_id", "text")
+      val got = Dedup.minhashCandidatePairs(df, "text", "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Dedup.unpersistAll(spark)
+      // brute-force: pairs with >= 3 tokens each and IDENTICAL shingle sets
+      // MUST be candidates (equal sets => equal signatures => same bands)
+      def shingleSet(t: String): Set[String] = {
+        val w = t.split(" ", -1)
+        (0 until w.length - 2).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}").toSet
+      }
+      val sh = docs.map { case (id, t) => id -> shingleSet(t) }.toMap
+      val must = for {
+        (a, sa) <- sh.toSeq; (b, sb) <- sh.toSeq
+        if a < b && sa.nonEmpty && sa == sb
+      } yield (a, b)
+      must.forall(got.contains)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(20), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("deterministicSample: kept set is partitioning-independent and seed-stable") {
+    import spark.implicits._
+    val prop = Prop.forAll(Gen.choose(1, 60), Gen.choose(0.0, 1.0), Gen.choose(0L, 9999L)) {
+      (nDocs, frac, seed) =>
+        val df = (0 until nDocs).map(i => Tuple1(i.toLong)).toDF("id")
+        def kept(d: org.apache.spark.sql.DataFrame) =
+          Sampling.deterministicSample(d, "id", frac, seed)
+            .collect().map(_.getLong(0)).toSet
+        val a = kept(df.repartition(2))
+        val b = kept(df.repartition(9))
+        val c = kept(df.coalesce(1))
+        a == b && b == c
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
