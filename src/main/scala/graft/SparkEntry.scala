@@ -222,7 +222,10 @@ object SparkEntry {
   /** MinHash banding pairs oracle: per-family md5 signatures (the
    * minhashSignatures hashing), 2-hash bands, hot-bucket cap, distinct
    * within-bucket pairs — the full candidate-generation pipeline in SQL. */
-  private def minhashPairsOracle: String =
+  /** Shared banding CTEs (docs ∪ mutated clones → capped band keys) for
+   * both minhash pair oracles — one definition so the self-join and
+   * incremental gates can never desynchronize. */
+  private def minhashBandingCtes: String =
     s"""WITH docs2 AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -243,11 +246,27 @@ object SparkEntry {
        |  FROM hh GROUP BY doc_id, j // 2),
        |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
        |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
-       |  WHERE bn.c <= $ngramMaxBucket)
+       |  WHERE bn.c <= $ngramMaxBucket)""".stripMargin
+
+  private def minhashPairsOracle: String =
+    s"""$minhashBandingCtes
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |FROM bk2 a JOIN bk2 b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental gate: new docs (ids >= 1000000) paired against the
+   * corpus index + themselves; corpus-corpus pairs excluded by
+   * construction, exactly like minhashCandidatePairsIncremental. */
+  private def minhashIncrOracle: String =
+    s"""$minhashBandingCtes
+       |SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match,
+       |  b.doc_id < 1000000 AS from_corpus
+       |FROM bk2 a JOIN bk2 b
+       |  ON a.band = b.band AND a.key = b.key
+       |WHERE a.doc_id >= 1000000
+       |  AND (b.doc_id < 1000000 OR a.doc_id < b.doc_id)
+       |ORDER BY id_new, id_match""".stripMargin
 
   /** Multi-band hyperplane-LSH near-dup oracle: the exact plane literals
    * from Similarity.hyperplane are inlined, so DuckDB reproduces the same
@@ -694,6 +713,17 @@ object SparkEntry {
           maxBucketSize = ngramMaxBucket)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_minhash_incr" -> ((s, dir) => {
+      // incremental crawl-vs-corpus dedup: the corpus contributes only its
+      // persisted band-key index; mutated clones play the "new batch"
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"))
+      val corpusKeys = Dedup.minhashBandKeys(docs, "text", "doc_id")
+      Dedup.minhashCandidatePairsIncremental(mutated, corpusKeys,
+          "text", "doc_id", maxBucketSize = ngramMaxBucket)
+        .orderBy("id_new", "id_match")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // self-union with mutated copies guarantees the operator exercises
       // its match path even on a dup-free corpus
@@ -1030,6 +1060,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_minhash_pairs" -> minhashPairsOracle,
+    "dedup_minhash_incr" -> minhashIncrOracle,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embed_cosine" -> embedCosineOracle,
     "text_langid" -> langidOracle,

@@ -131,6 +131,33 @@ object Dedup {
       concat_ws("|", (0 until numHashes).map(j => col(s"h$j")): _*).as("minhash_sig"))
   }
 
+  /** Explode a parts-split signature frame into one (id, band, key) row
+   * per band — the shared banding stage of the self-join and incremental
+   * pair generators. */
+  private def bandKeysOf(
+      sig: DataFrame, idCol: String, numHashes: Int, bandSize: Int): DataFrame = {
+    val bands = numHashes / bandSize
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandSize).map(i => col("parts").getItem(b * bandSize + i)): _*)
+          .as("key"))
+    }
+    sig.select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** MinHash band keys (id, band, key) — the PERSISTABLE dedup index.
+   * Compute once over the corpus, write to parquet, and hand the reloaded
+   * frame to `minhashCandidatePairsIncremental` for each new batch: the
+   * corpus is never re-shingled and never re-paired against itself. */
+  def minhashBandKeys(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    bandKeysOf(
+      minhashSignatures(docs, textCol, idCol, numHashes)
+        .withColumn("parts", split(col("minhash_sig"), "\\|")),
+      idCol, numHashes, bandSize)
+
   /** LSH banding over minhash signatures: band key -> candidate pairs.
    * Self-join happens per-bucket only (the scale path for near-dup),
    * hot buckets capped. */
@@ -144,21 +171,48 @@ object Dedup {
     val sig = CacheScope.track(
       minhashSignatures(docs, textCol, idCol, numHashes)
         .withColumn("parts", split(col("minhash_sig"), "\\|")))
-    val bands = numHashes / bandSize
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until bandSize).map(i => col("parts").getItem(b * bandSize + i)): _*)
-          .as("key"))
-    }
-    val exploded = sig
-      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val exploded = bandKeysOf(sig, idCol, numHashes, bandSize)
     val kept = capBuckets(exploded, maxBucketSize, "minhashCandidatePairs")
     val a = kept.as("a")
     val b = kept.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /**
+   * INCREMENTAL near-dup candidates: pair a batch of NEW documents against
+   * an existing corpus's persisted band-key index (`minhashBandKeys`
+   * output, typically read back from parquet) plus the new batch against
+   * itself — the corpus is never re-paired with itself, so deduplicating a
+   * daily crawl against a 100 TB corpus costs O(new · bands) join work,
+   * not O(corpus²). Ids must be disjoint across the two sides (the usual
+   * document-store invariant). The hot-bucket cap applies to the COMBINED
+   * (corpus + new) bucket, matching what the full self-join would see.
+   *
+   * Output: (id_new, id_match, from_corpus) — one row per candidate, with
+   * new-vs-new pairs emitted once (id_new < id_match).
+   */
+  def minhashCandidatePairsIncremental(
+      newDocs: DataFrame, corpusBandKeys: DataFrame,
+      textCol: String, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val newKeyed = CacheScope.track(
+      minhashBandKeys(newDocs, textCol, idCol, numHashes, bandSize))
+    val tagged = newKeyed.withColumn("_new", lit(true))
+      .unionByName(corpusBandKeys
+        .select(col("id"), col("band"), col("key"))
+        .withColumn("_new", lit(false)))
+    val kept = capBuckets(tagged, maxBucketSize, "minhashCandidatePairsIncremental")
+    val a = kept.filter(col("_new"))
+      .select(col("id").as("id_new"), col("band"), col("key"))
+    val b = kept.select(col("id").as("id_match"), col("band"), col("key"),
+      col("_new").as("_match_is_new"))
+    a.join(b, Seq("band", "key"))
+      .filter(!col("_match_is_new") || col("id_new") < col("id_match"))
+      .select(col("id_new"), col("id_match"), (!col("_match_is_new")).as("from_corpus"))
       .distinct()
   }
 

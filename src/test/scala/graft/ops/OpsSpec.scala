@@ -228,6 +228,33 @@ class OpsSpec extends AnyFunSuite {
     assert(ng.count() == 0)
   }
 
+  test("incremental minhash dedup equals the full self-join on new-involved pairs") {
+    import spark.implicits._
+    val base = docs.limit(300).select(col("doc_id"), col("text"))
+    val offset = 1000000L
+    val newBatch = base.limit(120).select((col("doc_id") + offset).as("doc_id"),
+      concat(col("text"), lit(" tail tokens appended here")).as("text"))
+    // corpus index persisted + reloaded: the production shape
+    val tmp = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Dedup.minhashBandKeys(base, "text", "doc_id").write.parquet(s"$tmp/idx")
+    val corpusKeys = spark.read.parquet(s"$tmp/idx")
+    val incr = Dedup.minhashCandidatePairsIncremental(newBatch, corpusKeys,
+        "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // reference: the full self-join over corpus ∪ new, keeping pairs that
+    // involve at least one new doc
+    val full = Dedup.minhashCandidatePairs(base.unionAll(newBatch), "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a >= offset || b >= offset }.toSet
+    val incrNorm = incr.map { case (n, m, _) => (math.min(n, m), math.max(n, m)) }.toSet
+    assert(incrNorm == full, s"incr=${incrNorm.size} full=${full.size}")
+    // tags are truthful: from_corpus iff the match id is below the offset
+    assert(incr.forall { case (n, m, fc) => n >= offset && (fc == (m < offset)) })
+    // every mutated clone finds its source (near-identical shingles)
+    assert(incr.count(_._3) >= 100)
+    Dedup.unpersistAll(spark)
+  }
+
   test("pair operators: caches tracked per session, released by unpersistAll") {
     import spark.implicits._
     spark.catalog.clearCache() // independent of earlier suites
