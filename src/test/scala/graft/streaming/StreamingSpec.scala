@@ -152,6 +152,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set(900L -> 101L), rows.toString)
   }
 
+  test("streaming as-of join matches the batch backward join under tolerance") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingAsOf.AsOfIn
+    val mem = MemoryStream[AsOfIn]
+    val tolMs = 5 * 60 * 1000L // 5 minutes
+    // out-of-order within the watermark; two users; rights = views (is_left
+    // false), lefts = clicks
+    val batch1 = Seq(
+      AsOfIn(1, ts(0), is_left = false, 100, 1.0),
+      AsOfIn(1, ts(4), is_left = false, 101, 2.0),
+      AsOfIn(1, ts(6), is_left = true, 900, 0.0),   // -> 101 (:04 within 5m)
+      AsOfIn(2, ts(2), is_left = false, 200, 9.0))
+    val batch2 = Seq(
+      AsOfIn(1, ts(3), is_left = false, 102, 3.0),  // late-but-in-watermark: beats 101? no — :04 > :03
+      AsOfIn(1, ts(12), is_left = true, 901, 0.0),  // no right in (:07,:12] -> no match
+      AsOfIn(2, ts(5), is_left = true, 902, 0.0),   // -> 200 (:02, gap 3m)
+      AsOfIn(2, ts(20), is_left = true, 903, 0.0))  // gap to 200 is 18m -> none
+    // sentinel right on an unused key pushes the watermark far past all lefts
+    val flush = Seq(AsOfIn(999, ts(59), is_left = false, 1, 0.0))
+    val out = StreamingAsOf.joinBackward(mem.toDS(), "10 minutes", tolMs)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("asof_out").start()
+    mem.addData(batch1: _*); q.processAllAvailable()
+    mem.addData(batch2: _*); q.processAllAvailable()
+    mem.addData(flush: _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out")
+      .select("left_id", "right_id", "right_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // brute-force reference over ALL events (everything arrived within
+    // watermark): latest right <= left within tolerance, ties to larger id
+    val all = batch1 ++ batch2
+    val expect = all.filter(_.is_left).flatMap { l =>
+      val cands = all.filter(e => !e.is_left && e.key == l.key &&
+        e.ts.getTime <= l.ts.getTime && l.ts.getTime - e.ts.getTime <= tolMs)
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(e => (e.ts.getTime, e.id))
+        Some(l.id -> ((best.id, best.value)))
+      }
+    }.toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(got(900L) == ((101L, 2.0)) && got(902L) == ((200L, 9.0)))
+    assert(!got.contains(901L) && !got.contains(903L))
+  }
+
   test("stateful running totals accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
