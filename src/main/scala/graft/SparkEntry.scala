@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -713,6 +713,29 @@ object SparkEntry {
           maxBucketSize = ngramMaxBucket)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_paragraph" -> ((s, dir) => {
+      // paragraph-level dedup gate: separators injected every 10 tokens
+      // (identically in the oracle), clones duplicate every paragraph and
+      // add one unique suffix paragraph — so clones survive with exactly
+      // that suffix paragraph and originals keep their first occurrences
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      def withSep(c: Column) =
+        regexp_replace(c, "((\\S+ ){9}\\S+) ", "$1 <p> ")
+      val base = docs.select(col("doc_id"), withSep(col("text")).as("text"))
+      val clones = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(withSep(col("text")), lit(" <p> unique suffix "),
+          col("doc_id")).as("text"))
+      Dedup.paragraphDedup(base.unionAll(clones), "text", "doc_id", " <p> ")
+        .orderBy("doc_id")
+    }),
+    "text_contamination" -> ((s, dir) => {
+      // decontamination gate: every 25th document plays the benchmark, so
+      // benchmark members read 1.0 and the rest 0.0 on this dup-free corpus
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+      TextMetrics.contamination(docs, "text", "doc_id", bench, "text", n = 8)
+        .orderBy("doc_id")
+    }),
     "dedup_minhash_incr" -> ((s, dir) => {
       // incremental crawl-vs-corpus dedup: the corpus contributes only its
       // persisted band-key index; mutated clones play the "new batch"
@@ -1061,6 +1084,45 @@ object SparkEntry {
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_minhash_incr" -> minhashIncrOracle,
+    "dedup_paragraph" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1 <p> ', 'g') AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    regexp_replace(text, '((\S+ ){9}\S+) ', '\1 <p> ', 'g')
+        |      || ' <p> unique suffix ' || doc_id::VARCHAR AS text
+        |  FROM documents),
+        |pp AS (SELECT doc_id, str_split(text, ' <p> ') AS ps FROM base),
+        |inst AS (
+        |  SELECT doc_id, i - 1 AS pos, ps[i] AS para, md5(ps[i]) AS h,
+        |    doc_id * 1000000 + (i - 1) AS ord
+        |  FROM pp, unnest(generate_series(1, len(ps))) AS u(i)
+        |  WHERE len(trim(ps[i])) > 0),
+        |win AS (SELECT h, min(ord) AS keep_ord FROM inst GROUP BY h)
+        |SELECT inst.doc_id,
+        |  count(*) AS n_paragraphs_kept,
+        |  string_agg(para, ' <p> ' ORDER BY pos) AS text_dedup
+        |FROM inst JOIN win ON inst.h = win.h AND inst.ord = win.keep_ord
+        |GROUP BY inst.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "text_contamination" ->
+      """WITH tok AS (
+        |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents
+        |  WHERE len(str_split(text, ' ')) >= 8),
+        |gx AS (
+        |  SELECT DISTINCT doc_id, array_to_string(tk[i:i+7], ' ') AS g
+        |  FROM tok, unnest(generate_series(1, len(tk) - 7)) AS u(i)),
+        |bg AS (SELECT DISTINCT g FROM gx WHERE doc_id % 25 = 0),
+        |tot AS (SELECT doc_id, count(*) AS n_ngrams FROM gx GROUP BY 1),
+        |mt AS (SELECT doc_id, count(*) AS n_matched
+        |  FROM gx JOIN bg USING (g) GROUP BY 1)
+        |SELECT t.doc_id, t.n_ngrams, coalesce(m.n_matched, 0) AS n_matched,
+        |  round(coalesce(m.n_matched, 0) * 1.0 / t.n_ngrams, 6)
+        |    AS contamination_frac
+        |FROM tot t LEFT JOIN mt m USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "dedup_ngram_jaccard" -> ngramJaccardOracle,
     "dedup_embed_cosine" -> embedCosineOracle,
     "text_langid" -> langidOracle,

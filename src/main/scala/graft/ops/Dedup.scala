@@ -332,6 +332,43 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * PARAGRAPH-level exact dedup (the Dolma/CCNet rule family): split each
+   * document on `sep`, keep only the globally-FIRST occurrence of every
+   * distinct paragraph (ordered by (doc id, position)), and reassemble the
+   * surviving paragraphs in document order. Documents whose paragraphs are
+   * all removed disappear from the output (fully-duplicated docs).
+   *
+   * Plan shape: explode → one map-side-combinable groupBy on the paragraph
+   * hash electing the canonical (doc, pos) — no window over the hash, so a
+   * boilerplate paragraph repeated a billion times is ONE aggregation key,
+   * not a hot sorted partition — then a join back and one groupBy(doc) to
+   * reassemble. Positions are encoded doc*1e6+pos for a single-column min
+   * (documents must have < 1e6 paragraphs; ids non-negative).
+   */
+  def paragraphDedup(
+      docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n\n"): DataFrame = {
+    val paras = docs
+      .select(col(idCol).as("did"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1))
+          .as(Seq("pos", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    val inst = paras.select(col("did"), col("pos"), col("para"),
+      md5(col("para")).as("h"),
+      (col("did").cast("long") * lit(1000000L) + col("pos")).as("ord"))
+    val winners = inst.groupBy("h").agg(min(col("ord")).as("keep_ord"))
+    inst.join(winners, "h")
+      .filter(col("ord") === col("keep_ord"))
+      .groupBy(col("did").as(idCol))
+      .agg(
+        count(lit(1)).as("n_paragraphs_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")),
+          sep).as("text_dedup"))
+  }
+
   /** SimHash near-dup candidate pairs with exact verification: split the
    * 64-bit fingerprint into maxHamming+1 bands — by pigeonhole, any pair
    * within hamming distance maxHamming agrees exactly on at least one

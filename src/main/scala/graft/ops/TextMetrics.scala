@@ -77,6 +77,48 @@ object TextMetrics {
           .as("dup_3gram_frac"))
   }
 
+  /** n-token shingle expression over a pre-split `tok` array, generic n
+   * (Dedup.shingleExpr is the fixed n=3 instance). */
+  private[ops] def ngramExpr(n: Int): String =
+    s"transform(sequence(1, size(tok) - ${n - 1}), i -> " +
+      s"array_join(transform(sequence(0, ${n - 1}), j -> tok[i - 1 + j]), ' '))"
+
+  /**
+   * Benchmark DECONTAMINATION scan — the eval-leakage check every serious
+   * training-data pipeline runs: per document, how many of its distinct
+   * word n-grams appear anywhere in the benchmark corpus. Filter or flag
+   * docs above a contamination fraction before training.
+   *
+   * Scale shape: the benchmark side (eval sets — thousands of docs, not
+   * billions) reduces to DISTINCT n-grams and is explicitly broadcast, so
+   * the corpus-side scan is one narrow explode + a broadcast semi-join +
+   * one groupBy — no shuffle of corpus n-grams across the cluster. Docs
+   * with fewer than n tokens carry no n-grams and are absent (same rule as
+   * the shingle operators).
+   */
+  def contamination(
+      docs: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    require(n >= 1, "n-gram order must be >= 1")
+    val d = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col(idCol), array_distinct(expr(ngramExpr(n))).as("gs"))
+    val dx = d.select(col(idCol), explode(col("gs")).as("g"))
+    val bg = benchmark
+      .select(split(col(benchTextCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(explode(array_distinct(expr(ngramExpr(n)))).as("g"))
+      .distinct()
+    val matched = dx.join(broadcast(bg), Seq("g"), "leftsemi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_matched"))
+    d.select(col(idCol), size(col("gs")).cast("long").as("n_ngrams"))
+      .join(matched, Seq(idCol), "left")
+      .withColumn("n_matched", coalesce(col("n_matched"), lit(0L)))
+      .withColumn("contamination_frac",
+        round(col("n_matched") * lit(1.0) / col("n_ngrams"), 6))
+  }
+
   /** 64-bit document fingerprint (order-sensitive, unlike the
    * bag-of-tokens simhash). Default is xxhash64 (fastest); `portable =
    * true` emits the first 16 hex chars of the md5 digest instead (a string

@@ -228,6 +228,40 @@ class OpsSpec extends AnyFunSuite {
     assert(ng.count() == 0)
   }
 
+  test("paragraph dedup keeps first occurrences, reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta\n\ngamma delta\n\nalpha beta"), // self-dup: 3rd para dies
+      (2L, "gamma delta\n\nfresh stuff"),              // 1st para already in doc 1
+      (3L, "alpha beta\n\ngamma delta"),               // fully duplicated: vanishes
+      (4L, "  \n\nonly real paragraph"))               // blank paragraph ignored
+      .toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1L) == ((2L, "alpha beta\n\ngamma delta")))
+    assert(out(2L) == ((1L, "fresh stuff")))
+    assert(!out.contains(3L))
+    assert(out(4L) == ((1L, "only real paragraph")))
+  }
+
+  test("contamination counts benchmark n-gram overlap per document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),   // 3 distinct 3-grams: abc bcd cde
+      (2L, "c d e f g"),   // cde def efg
+      (3L, "x y z w v"),   // none shared with benchmark
+      (4L, "a b"))         // < n tokens: absent
+      .toDF("doc_id", "text")
+    val bench = Seq(Tuple1("a b c d x x c d e")).toDF("text") // grams incl abc, bcd, cde
+    val out = TextMetrics.contamination(docs, "text", "doc_id", bench, "text", n = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // bench 3-grams: abc bcd cdx dxx xxc xcd cde
+    assert(out(1L) == ((3L, 3L, 1.0)))      // abc bcd cde all present
+    assert(out(2L) == ((3L, 1L, 0.333333))) // only cde
+    assert(out(3L) == ((3L, 0L, 0.0)))
+    assert(out.size == 3 && !out.contains(4L))
+  }
+
   test("incremental minhash dedup equals the full self-join on new-involved pairs") {
     import spark.implicits._
     val base = docs.limit(300).select(col("doc_id"), col("text"))
