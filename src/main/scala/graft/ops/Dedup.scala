@@ -292,26 +292,31 @@ object Dedup {
   def embeddingCosinePairs(
       emb: DataFrame, vecCol: String, idCol: String,
       minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
-      maxBucketSize: Int = 100000, seed: Long = 42L): DataFrame = {
+      maxBucketSize: Int = 100000, seed: Long = 42L,
+      dim: Option[Int] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
-    // dimension probe from the first NON-null vector (null vectors carry
-    // no bucket and drop out of the band join naturally)
-    val dimRow = emb.select(size(col(vecCol)).as("_d"))
-      .filter(col("_d").isNotNull && col("_d") > 0).head(1)
-    if (dimRow.isEmpty) {
-      // empty corpus: empty pair frame with the output schema, no probing
-      import emb.sparkSession.implicits._
-      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
-        .select(col("id_a").cast(emb.schema(idCol).dataType),
-          col("id_b").cast(emb.schema(idCol).dataType), col("cosine"))
-        .toDF("id_a", "id_b", "cosine")
+    // Pass `dim` to keep construction fully lazy (the hyperplane literals
+    // are driver-generated, so the vector dimension must be known up
+    // front); without it, ONE head(1) probe job reads the first non-null
+    // vector's size — the only operator-construction job left in Dedup.
+    val dimResolved = dim.getOrElse {
+      val dimRow = emb.select(size(col(vecCol)).as("_d"))
+        .filter(col("_d").isNotNull && col("_d") > 0).head(1)
+      if (dimRow.isEmpty) {
+        // empty corpus: empty pair frame with the output schema
+        import emb.sparkSession.implicits._
+        return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cosine")
+          .select(col("id_a").cast(emb.schema(idCol).dataType),
+            col("id_b").cast(emb.schema(idCol).dataType), col("cosine"))
+          .toDF("id_a", "id_b", "cosine")
+      }
+      dimRow(0).getInt(0)
     }
-    val dim = dimRow(0).getInt(0)
     val v = col(vecCol).cast("array<double>")
     val base = emb.select(col(idCol).as("id"), v.as("v"))
     val bandCols = (0 until bands).map { bnd =>
       struct(lit(bnd).as("band"),
-        Similarity.lshBucket(col("v"), dim, bitsPerBand, seed,
+        Similarity.lshBucket(col("v"), dimResolved, bitsPerBand, seed,
           planeOffset = bnd * bitsPerBand).as("key"))
     }
     // cache the bucketed frame (tracked): the bands*bitsPerBand hyperplane

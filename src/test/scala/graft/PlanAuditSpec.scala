@@ -101,6 +101,59 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: benchmark side broadcasts, corpus n-grams never shuffle") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+    val p = graft.ops.TextMetrics.contamination(docs, "text", "doc_id",
+      bench, "text", n = 8).queryExecution.executedPlan.toString
+    // the gram join must be a LeftSemi with the BENCHMARK side built and
+    // broadcast — corpus n-grams probe it in place, they never shuffle
+    assert(p.contains("LeftSemi, BuildRight"),
+      s"benchmark side must broadcast-build the semi join:\n$p")
+    // the only gram-keyed Exchange allowed is the benchmark's own distinct
+    // (bounded by eval-set size, feeding its BroadcastExchange)
+    val gramExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(g"))
+    assert(gramExchanges <= 1,
+      s"corpus n-grams shuffled by gram key ($gramExchanges gram exchanges):\n$p")
+  }
+
+  test("paragraph dedup: election is an aggregation, not a window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.paragraphDedup(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // a Window over the paragraph hash would funnel hot boilerplate
+    // paragraphs through single tasks; the groupBy election must win
+    assert(!p.contains("Window"), s"paragraph election uses a Window:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      s"election aggregation should be map-side combinable:\n$p")
+  }
+
+  test("incremental dedup: corpus index side carries no re-shingling") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mhidx_plan").toString
+    graft.ops.Dedup.minhashBandKeys(docs, "text", "doc_id")
+      .write.parquet(s"$tmp/idx")
+    val corpusKeys = spark.read.parquet(s"$tmp/idx")
+    val newBatch = docs.limit(10)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val p = graft.ops.Dedup.minhashCandidatePairsIncremental(
+        newBatch, corpusKeys, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    graft.ops.Dedup.unpersistAll(spark)
+    // the corpus side must come from the persisted index scan, and the
+    // new-batch banding work must flow through the tracked cache (every
+    // documents-table subtree sits under an InMemoryTableScan reuse;
+    // plan printing repeats the cached child per consumer, so counting
+    // raw FileScan lines would overcount)
+    assert(p.contains("mhidx_plan"), s"persisted index not scanned:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"new-batch band keys not served from the tracked cache:\n$p")
+  }
+
   test("ebw solve: model transform is a narrow codegen'd column (no shuffle)") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet").withColumn("w0", lit(1.0))

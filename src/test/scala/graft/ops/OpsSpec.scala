@@ -307,9 +307,10 @@ class OpsSpec extends AnyFunSuite {
   test("pair-operator construction is lazy: no Spark job before an action") {
     import spark.implicits._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    // materialize the source frame FIRST: spark.read.parquet itself runs a
-    // footer-listing job, which is not what this test measures
+    // materialize the source frames FIRST: spark.read.parquet itself runs
+    // a footer-listing job, which is not what this test measures
     val docsDf = docs.limit(100).select(col("doc_id"), col("text"))
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -321,6 +322,9 @@ class OpsSpec extends AnyFunSuite {
       Dedup.minhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
       Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", 0.5, maxBucketSize = 100)
       Dedup.simhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
+      // with dim supplied, even the hyperplane operator skips its probe job
+      Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", 0.9,
+        maxBucketSize = 100, dim = Some(64))
       Thread.sleep(1000) // listener bus is async; give submissions time to surface
       assert(jobs.get() == 0,
         s"operator construction submitted ${jobs.get()} Spark job(s); must be lazy")
