@@ -728,6 +728,13 @@ object SparkEntry {
       Dedup.paragraphDedup(base.unionAll(clones), "text", "doc_id", " <p> ")
         .orderBy("doc_id")
     }),
+    "text_normalize" -> ((s, dir) =>
+      TextMetrics.normalize(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "q_group_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.groupQuantiles(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("grp", "q")),
     "text_contamination" -> ((s, dir) => {
       // decontamination gate: every 25th document plays the benchmark, so
       // benchmark members read 1.0 and the rest 0.0 on this dup-free corpus
@@ -1107,6 +1114,23 @@ object SparkEntry {
         |FROM inst JOIN win ON inst.h = win.h AND inst.ord = win.keep_ord
         |GROUP BY inst.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS text_norm,
+        |  len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |    ' +', ' ', 'g'))) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_group_quantiles" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS vs,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT grp, CAST(([0.25, 0.5, 0.75, 0.95])[i] AS DOUBLE) AS q,
+        |  round(vs[i], 4) AS value, n
+        |FROM a, unnest(generate_series(1, 4)) AS u(i)
+        |ORDER BY grp, q""".stripMargin,
     "text_contamination" ->
       """WITH tok AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents

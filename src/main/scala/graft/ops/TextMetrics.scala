@@ -77,6 +77,18 @@ object TextMetrics {
           .as("dup_3gram_frac"))
   }
 
+  /** Text normalization for dedup/tokenization pre-passes: lowercase,
+   * strip non-alphanumerics, collapse runs of whitespace, trim — all
+   * codegen'd regexp/lower built-ins, replayable in any SQL engine.
+   * (Unicode NFC folding is intentionally out: not portable across
+   * engines, and the corpus contract here is UTF-8 text already.) */
+  def normalize(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(col(idCol), norm.as("text_norm"),
+      length(norm).cast("long").as("n_chars_norm"))
+  }
+
   /** n-token shingle expression over a pre-split `tok` array, generic n
    * (Dedup.shingleExpr is the fixed n=3 instance). */
   private[ops] def ngramExpr(n: Int): String =

@@ -262,6 +262,47 @@ class OpsSpec extends AnyFunSuite {
     assert(out.size == 3 && !out.contains(4L))
   }
 
+  test("normalize lowercases, strips punctuation, collapses whitespace") {
+    import spark.implicits._
+    val df = Seq((1L, "Hello,  WORLD!!  42&x "), (2L, "---"), (3L, "ok"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.normalize(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("hello world 42 x", 16L)))
+    assert(out(2L) == (("", 0L))) // punctuation-only collapses to empty
+    assert(out(3L) == (("ok", 2L)))
+  }
+
+  test("group quantiles: exact matches a sorted reference; approx within accuracy") {
+    import spark.implicits._
+    val rng = new scala.util.Random(5)
+    val df = (0 until 4000).map(i => (s"g${i % 3}", rng.nextDouble() * 1000))
+      .toDF("grp0", "x")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val exact = graft.ops.Profile.groupQuantiles(df, "grp0", "x", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    // reference: linear-interpolation percentile over the sorted values
+    def ref(vals: Seq[Double], q: Double): Double = {
+      val s = vals.sorted
+      val pos = q * (s.size - 1)
+      val lo = pos.toInt
+      val frac = pos - lo
+      if (lo + 1 < s.size) s(lo) * (1 - frac) + s(lo + 1) * frac else s(lo)
+    }
+    val data = df.collect().map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).toSeq }
+    for (g <- data.keys; q <- qs) {
+      val expect = math.rint(ref(data(g), q) * 1e4) / 1e4
+      assert(math.abs(exact((g, q)) - expect) <= 1e-4,
+        s"grp $g q $q: ${exact((g, q))} vs $expect")
+    }
+    // approx sketch tracks exact within a loose band (scale path sanity)
+    val approx = graft.ops.Profile.groupQuantilesApprox(df, "grp0", "x", qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    for (k <- exact.keys)
+      assert(math.abs(approx(k) - exact(k)) < 20.0, s"$k: ${approx(k)} vs ${exact(k)}")
+  }
+
   test("incremental minhash dedup equals the full self-join on new-involved pairs") {
     import spark.implicits._
     val base = docs.limit(300).select(col("doc_id"), col("text"))
