@@ -9,11 +9,14 @@ import graft.ops.{Dedup, Sampling, TextMetrics}
  * End-to-end training-data curation over the documents table — the
  * operators composed the way a production pipeline chains them:
  *
- *   1. quality + repetition filters (Gopher-style rules)
+ *   1. normalization + quality + repetition filters (Gopher-style rules)
  *   2. exact dedup (content hash, keep lowest id)
  *   3. near-dedup (minhash banding pairs -> drop the higher id of a pair)
- *   4. deterministic stratified sample per language
- *   5. corpus token accounting
+ *   4. benchmark decontamination (n-gram overlap vs a held-out eval set)
+ *   5. deterministic stratified sample per language
+ *   6. corpus token accounting
+ *   7. incremental day-2 path: dedupe a "new crawl" against the persisted
+ *      band-key index of the curated corpus — no corpus re-pairing
  *
  * Every stage is a narrow map or a single keyed shuffle; nothing collects
  * to the driver except final counts. Run:
@@ -57,15 +60,38 @@ object CurationPipelineExample {
     val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     val n3 = nearDeduped.count()
 
-    // 4. reproducible stratified sample: up to 100 docs per language
-    val sampled = Sampling.stratifiedExact(nearDeduped, "lang", "doc_id", 100)
-    val n4 = sampled.count()
+    // 4. decontamination: drop docs sharing 8-grams with the "eval set"
+    // (every 50th doc plays the benchmark here); benchmark broadcasts
+    val bench = docs.filter(col("doc_id") % 50 === 0)
+    val contaminated = TextMetrics.contamination(
+        nearDeduped, "text", "doc_id", bench, "text", n = 8)
+      .filter(col("contamination_frac") > 0.2)
+      .select("doc_id")
+    val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
+    val n4 = clean.count()
 
-    // 5. token accounting on the final corpus
+    // 5. reproducible stratified sample: up to 100 docs per language
+    val sampled = Sampling.stratifiedExact(clean, "lang", "doc_id", 100)
+    val n5 = sampled.count()
+
+    // 6. token accounting on the final corpus
     val tokens = TextMetrics.tokenCounts(sampled, "text", "doc_id")
       .agg(coalesce(sum("n_ws_tokens"), lit(0L))).collect()(0).getLong(0)
 
-    println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 sampled=$n4 tokens=$tokens")
+    // 7. persist the curated corpus's dedup index, then dedupe a mock
+    // "day-2 crawl" against it incrementally (corpus never re-paired)
+    val idxDir = java.nio.file.Files.createTempDirectory("curate_idx").toString
+    Dedup.minhashBandKeys(sampled, "text", "doc_id")
+      .write.mode("overwrite").parquet(s"$idxDir/minhash_idx")
+    val crawl = docs.limit(200).select(
+      (col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val crawlDups = Dedup.minhashCandidatePairsIncremental(
+        crawl, spark.read.parquet(s"$idxDir/minhash_idx"), "text", "doc_id")
+      .filter(col("from_corpus")).select("id_new").distinct().count()
+    Dedup.unpersistAll(spark)
+
+    println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 decontam=$n4 " +
+      f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups")
     spark.stop()
   }
 }
