@@ -18,6 +18,11 @@ private[ops] object CacheScope {
 
   /** Cache `df` and remember it under its session for later release. */
   def track(df: DataFrame): DataFrame = synchronized {
+    // The value Buffer holds DataFrames that strongly reference their
+    // session (the map key), so weak keys alone can't collect an entry —
+    // sweep stopped sessions here to bound the registry to live sessions
+    // plus at most the most recently stopped ones.
+    registry.keySet.removeIf(s => s.sparkContext.isStopped)
     df.cache()
     var buf = registry.get(df.sparkSession)
     if (buf == null) {

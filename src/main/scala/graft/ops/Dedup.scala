@@ -55,10 +55,14 @@ object Dedup {
               qe.observedMetrics.foreach { case (name, row) =>
                 if (name.startsWith("graft_cap/")) {
                   val hot = row.getAs[Long]("hot_buckets")
-                  if (hot > 0)
+                  if (hot > 0) {
+                    val worst = row.getAs[org.apache.spark.sql.Row]("worst_bucket")
                     log.warn(s"$name: dropped $hot hot LSH buckets " +
                       s"(${row.getAs[Long]("dropped_rows")} member rows) over " +
-                      s"maxBucketSize=${row.getAs[Long]("max_bucket_size")}")
+                      s"maxBucketSize=${row.getAs[Long]("max_bucket_size")}; " +
+                      s"worst bucket band=${worst.get(0)} key=${worst.get(1)} " +
+                      s"n=${worst.get(2)}")
+                  }
                 }
               }
             }
@@ -103,7 +107,11 @@ object Dedup {
         sum(when(col("bucket_n") > maxBucketSize, 1L).otherwise(0L)).as("hot_buckets"),
         sum(when(col("bucket_n") > maxBucketSize, col("bucket_n")).otherwise(0L))
           .as("dropped_rows"),
-        max(lit(maxBucketSize.toLong)).as("max_bucket_size"))
+        max(lit(maxBucketSize.toLong)).as("max_bucket_size"),
+        // the dominant degenerate key, so the log stays actionable
+        // without an eager top-20 query
+        max_by(struct(col("band"), col("key"), col("bucket_n")), col("bucket_n"))
+          .as("worst_bucket"))
     keyed.join(
       counts.filter(col("bucket_n") <= maxBucketSize).select("band", "key"),
       Seq("band", "key"))

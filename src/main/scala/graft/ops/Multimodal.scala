@@ -137,8 +137,12 @@ object Multimodal {
    * formats, truncated containers): a deterministic feature vector from a
    * rolling hash of the payload. Keeps the pipeline total — every row
    * yields features of the requested dim, never a throw. */
-  private[ops] def decodeStub(payload: Array[Byte], dim: Int): (String, Array[Float]) = {
-    val format = sniffMeta(payload)._1
+  private[ops] def decodeStub(payload: Array[Byte], dim: Int): (String, Array[Float]) =
+    (sniffMeta(payload)._1, stubFeatures(payload, dim))
+
+  /** Rolling-hash feature body of the stub, format-sniff-free so callers
+   * that already sniffed don't parse headers twice. */
+  private def stubFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val feats = new Array[Float](dim)
     var h = 1125899906842597L
     var i = 0
@@ -147,7 +151,7 @@ object Multimodal {
       feats(i % dim) += (h % 1000L) / 1000.0f
       i += 1
     }
-    (format, feats)
+    feats
   }
 
   /** Max pixels sampled per image for channel statistics: bounds per-row
@@ -177,7 +181,14 @@ object Multimodal {
           val sum = new Array[Double](4)
           val sumSq = new Array[Double](4)
           val total = w.toLong * h
-          val stride = math.max(1L, total / MaxSampledPixels)
+          // stride must be coprime to the width or the linear index only
+          // ever visits a few columns (stride 512 on a 256-wide strip
+          // samples column 0 forever); bumping to gcd(stride, w) == 1
+          // makes the scan cycle through every residue class
+          var stride = math.max(1L, total / MaxSampledPixels)
+          @annotation.tailrec
+          def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+          while (stride > 1 && gcd(stride, w.toLong) != 1L) stride += 1
           var idx = 0L
           var n = 0L
           while (idx < total) {
@@ -280,8 +291,11 @@ object Multimodal {
   }
 
   /** Per-row real decode with stub fallback; shared by decodeMedia and
-   * extractFeatures. */
-  private def decodeOne(id: Long, payloadOrNull: Array[Byte]): MediaDecoded = {
+   * extractFeatures. `stubDim` sizes the fallback feature vector so
+   * callers needing a different dim don't re-hash the payload. The
+   * format is sniffed ONCE here (decodeStub takes it pre-sniffed). */
+  private def decodeOne(
+      id: Long, payloadOrNull: Array[Byte], stubDim: Int = 8): MediaDecoded = {
     val payload = if (payloadOrNull == null) Array.empty[Byte] else payloadOrNull
     val fmt = sniffMeta(payload)._1
     val real = fmt match {
@@ -298,9 +312,8 @@ object Multimodal {
       case _ => None
     }
     real.getOrElse {
-      val (_, feats) = decodeStub(payload, 8)
       MediaDecoded(id, payload.length.toLong, fmt, real_decode = false,
-        -1, -1, -1, -1, -1L, feats)
+        -1, -1, -1, -1, -1L, stubFeatures(payload, stubDim))
     }
   }
 
@@ -328,10 +341,10 @@ object Multimodal {
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
-          val d = decodeOne(r.id, r.payload)
+          val d = decodeOne(r.id, r.payload, stubDim = dim)
           val feats =
             if (d.real_decode) java.util.Arrays.copyOf(d.features, dim)
-            else decodeStub(if (r.payload == null) Array.empty[Byte] else r.payload, dim)._2
+            else d.features // stub already produced at the requested dim
           MediaFeatures(r.id, d.n_bytes, d.format, feats)
         }
       }

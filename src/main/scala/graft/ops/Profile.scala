@@ -22,8 +22,10 @@ object Profile {
       qs: Seq[Double]): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
     val qLits = array(qs.map(lit): _*)
+    // DSL function, not an expr() string: valueCol stays an arbitrary
+    // column NAME (never parsed as SQL), like every other operator
     df.groupBy(col(groupCol).as("grp"))
-      .agg(expr(s"percentile($valueCol, array(${qs.mkString(", ")}))").as("vs"),
+      .agg(percentile(col(valueCol), qLits).as("vs"),
         count(lit(1)).as("n"))
       .select(col("grp"), col("n"), posexplode(col("vs")).as(Seq("qi", "v")))
       .select(col("grp"),
@@ -41,8 +43,8 @@ object Profile {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0))
     val qLits = array(qs.map(lit): _*)
     df.groupBy(col(groupCol).as("grp"))
-      .agg(expr(s"approx_percentile($valueCol, array(${qs.mkString(", ")}), $accuracy)")
-        .as("vs"), count(lit(1)).as("n"))
+      .agg(percentile_approx(col(valueCol), qLits, lit(accuracy)).as("vs"),
+        count(lit(1)).as("n"))
       .select(col("grp"), col("n"), posexplode(col("vs")).as(Seq("qi", "v")))
       .select(col("grp"),
         element_at(qLits, col("qi") + 1).as("q"),

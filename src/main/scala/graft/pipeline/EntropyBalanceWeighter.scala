@@ -127,7 +127,14 @@ class EntropyBalanceModel private[pipeline] (
 
   def converged: Boolean =
     groupedState.map(_.allConverged).getOrElse(result.converged)
-  def multipliers: Array[Double] = result.equalityMultipliers
+
+  /** Single-mode multipliers; grouped models have one vector per group. */
+  def multipliers: Array[Double] =
+    if (isGrouped)
+      throw new IllegalStateException(
+        "grouped model has per-group multipliers; use " +
+          "groupedState.get.groups(<group>).multipliers")
+    else result.equalityMultipliers
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     // Re-derive the ratio column on the new dataset from the learned

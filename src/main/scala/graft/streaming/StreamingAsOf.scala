@@ -51,7 +51,11 @@ object StreamingAsOf {
             .map(e => (e.ts.getTime, e.id, e.value))
           val lefts = s.lefts ++ incoming.filter(_.is_left)
             .map(e => (e.ts.getTime, e.id))
-          val (ready, pending) = lefts.partition(_._1 <= wm)
+          // STRICTLY below the watermark: Spark drops late rows with
+          // ts < wm but still accepts ts == wm, so a right at exactly the
+          // watermark can arrive in a later batch — a left at lt == wm
+          // must keep waiting or it could finalize against stale state
+          val (ready, pending) = lefts.partition(_._1 < wm)
           val out = ready.sortBy(l => (l._1, l._2)).flatMap { case (lt, lid) =>
             val cands = rights.filter(r => r._1 <= lt && lt - r._1 <= toleranceMs)
             if (cands.isEmpty) None
@@ -67,8 +71,14 @@ object StreamingAsOf {
           if (keptRights.isEmpty && pending.isEmpty) state.remove()
           else {
             state.update(AsOfState(keptRights, pending))
-            // wake once the watermark can finalize more work
-            state.setTimeoutTimestamp(wm + math.max(1L, toleranceMs))
+            // wake as soon as the watermark can finalize the earliest
+            // pending left (timeout must sit strictly above the current
+            // watermark); with only rights buffered, wake at their
+            // eviction horizon instead
+            val wake =
+              if (pending.nonEmpty) math.max(pending.map(_._1).min, wm + 1L)
+              else wm + math.max(1L, toleranceMs)
+            state.setTimeoutTimestamp(wake)
           }
           out.iterator
       }
