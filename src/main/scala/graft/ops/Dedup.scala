@@ -420,6 +420,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /**
+   * INCREMENTAL simhash near-dup: pair NEW documents against a persisted
+   * fingerprint table (`simhash` output written to parquet — the index is
+   * just (id, simhash)) plus the new batch against itself, with the same
+   * pigeonhole-band + exact-hamming verify as the self-join variant and
+   * the cap applied to combined buckets. Ids must be disjoint across
+   * sides. Output: (id_new, id_match, hamming, from_corpus).
+   */
+  def simhashCandidatePairsIncremental(
+      newDocs: DataFrame, corpusFingerprints: DataFrame,
+      textCol: String, idCol: String,
+      maxHamming: Int = 8, maxBucketSize: Int = 100000,
+      portable: Boolean = false): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val newFp = CacheScope.track(simhash(newDocs, textCol, idCol, portable))
+      .select(col(idCol).as("id"), col("simhash")).withColumn("_new", lit(true))
+    val corpusFp = corpusFingerprints
+      .select(col(idCol).as("id"), col("simhash")).withColumn("_new", lit(false))
+    val bandCols = (0 until nBands).map { bi =>
+      val lo = bi * bandBits
+      val width = if (bi == nBands - 1) 64 - lo else bandBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(bi).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }
+    val keyed = newFp.unionByName(corpusFp)
+      .select(col("id"), col("simhash"), col("_new"),
+        explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("_new"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairsIncremental")
+    val a = kept.filter(col("_new")).select(col("id").as("id_new"),
+      col("simhash").as("h_a"), col("band"), col("key"))
+    val b = kept.select(col("id").as("id_match"), col("simhash").as("h_b"),
+      col("_new").as("_match_is_new"), col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .filter(!col("_match_is_new") || col("id_new") < col("id_match"))
+      .select(col("id_new"), col("id_match"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"),
+        (!col("_match_is_new")).as("from_corpus"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** SimHash: 64-bit fingerprint from token hashes; near-dups share most
    * bits. The default token hash is xxhash64 (fastest); `portable = true`
    * derives the 64 bits from the md5 hex digest nibble-by-nibble instead,

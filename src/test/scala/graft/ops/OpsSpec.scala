@@ -330,6 +330,28 @@ class OpsSpec extends AnyFunSuite {
     Dedup.unpersistAll(spark)
   }
 
+  test("incremental simhash equals the full self-join on new-involved pairs") {
+    import spark.implicits._
+    val base = docs.limit(250).select(col("doc_id"), col("text"))
+    val offset = 1000000L
+    val newBatch = base.limit(100).select((col("doc_id") + offset).as("doc_id"),
+      concat(col("text"), lit(" small tail change")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("shidx").toString
+    Dedup.simhash(base, "text", "doc_id").write.parquet(s"$tmp/fp")
+    val incr = Dedup.simhashCandidatePairsIncremental(newBatch,
+        spark.read.parquet(s"$tmp/fp"), "text", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val full = Dedup.simhashCandidatePairs(base.unionAll(newBatch), "text", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .filter { case ((x, y), _) => x >= offset || y >= offset }.toMap
+    val incrNorm = incr.map { case (n, m, h, _) =>
+      ((math.min(n, m), math.max(n, m)), h) }.toMap
+    assert(incrNorm == full, s"incr=${incrNorm.size} full=${full.size}")
+    assert(incr.forall { case (n, m, _, fc) => n >= offset && fc == (m < offset) })
+    assert(incr.count(_._4) >= 80) // near-identical docs land within hamming 8
+    Dedup.unpersistAll(spark)
+  }
+
   test("pair operators: caches tracked per session, released by unpersistAll") {
     import spark.implicits._
     spark.catalog.clearCache() // independent of earlier suites
