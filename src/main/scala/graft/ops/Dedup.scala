@@ -392,20 +392,12 @@ object Dedup {
       maxHamming: Int = 8, maxBucketSize: Int = 100000,
       portable: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = 64 / nBands
     // fingerprints cached (tracked, doc-count-sized): the bucket guard and
     // both pair-join sides reuse one computation of the 64-bit-sum agg
     val fp = CacheScope.track(simhash(docs, textCol, idCol, portable))
-    val bandCols = (0 until nBands).map { bi =>
-      val lo = bi * bandBits
-      val width = if (bi == nBands - 1) 64 - lo else bandBits
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(bi).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
-    }
     val keyed = fp
       .select(col(idCol).as("id"), col("simhash"),
-        explode(array(bandCols: _*)).as("bk"))
+        explode(simhashBandCols(nBands)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs")
     val a = kept.select(col("id").as("id_a"), col("simhash").as("h_a"),
@@ -434,21 +426,13 @@ object Dedup {
       maxHamming: Int = 8, maxBucketSize: Int = 100000,
       portable: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
-    val bandBits = 64 / nBands
     val newFp = CacheScope.track(simhash(newDocs, textCol, idCol, portable))
       .select(col(idCol).as("id"), col("simhash")).withColumn("_new", lit(true))
     val corpusFp = corpusFingerprints
       .select(col(idCol).as("id"), col("simhash")).withColumn("_new", lit(false))
-    val bandCols = (0 until nBands).map { bi =>
-      val lo = bi * bandBits
-      val width = if (bi == nBands - 1) 64 - lo else bandBits
-      val mask = if (width >= 64) -1L else (1L << width) - 1L
-      struct(lit(bi).as("band"),
-        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
-    }
     val keyed = newFp.unionByName(corpusFp)
       .select(col("id"), col("simhash"), col("_new"),
-        explode(array(bandCols: _*)).as("bk"))
+        explode(simhashBandCols(nBands)).as("bk"))
       .select(col("id"), col("simhash"), col("_new"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairsIncremental")
@@ -463,6 +447,21 @@ object Dedup {
         (!col("_match_is_new")).as("from_corpus"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Pigeonhole band columns over a 64-bit `simhash` column — ONE
+   * definition shared by the self-join and incremental pair generators
+   * (editing the banding scheme in one place only would silently break
+   * their documented parity, like the shingleExpr hazard). */
+  private def simhashBandCols(nBands: Int): org.apache.spark.sql.Column = {
+    val bandBits = 64 / nBands
+    array((0 until nBands).map { bi =>
+      val lo = bi * bandBits
+      val width = if (bi == nBands - 1) 64 - lo else bandBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      struct(lit(bi).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
   }
 
   /** SimHash: 64-bit fingerprint from token hashes; near-dups share most

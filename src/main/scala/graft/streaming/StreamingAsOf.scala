@@ -71,14 +71,16 @@ object StreamingAsOf {
           if (keptRights.isEmpty && pending.isEmpty) state.remove()
           else {
             state.update(AsOfState(keptRights, pending))
-            // wake as soon as the watermark can finalize the earliest
-            // pending left (timeout must sit strictly above the current
-            // watermark); with only rights buffered, wake at their
-            // eviction horizon instead
-            val wake =
-              if (pending.nonEmpty) math.max(pending.map(_._1).min, wm + 1L)
-              else wm + math.max(1L, toleranceMs)
-            state.setTimeoutTimestamp(wake)
+            // wake at whichever comes first: the earliest pending left
+            // becoming finalizable, or the rights-eviction horizon (so
+            // unmatchable rights don't linger while a far-future left
+            // pends); timeout must sit strictly above the watermark
+            val evictionWake = wm + math.max(1L, toleranceMs)
+            val wake = pending.map(_._1).minOption match {
+              case Some(lt) => math.min(lt, evictionWake)
+              case None => evictionWake
+            }
+            state.setTimeoutTimestamp(math.max(wake, wm + 1L))
           }
           out.iterator
       }
