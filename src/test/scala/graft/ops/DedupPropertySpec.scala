@@ -103,6 +103,45 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("paragraphDedup is idempotent: a deduped corpus passes through unchanged") {
+    import spark.implicits._
+    val prop = Prop.forAll(dupCorpusGen) { case docs =>
+      // turn each doc into 2-4 "paragraphs" by reusing the doc text
+      val withParas = docs.map { case (id, t) =>
+        (id, Seq.fill(1 + (id % 3).toInt + 1)(t).mkString("\n\n"))
+      }
+      val once = Dedup.paragraphDedup(withParas.toDF("doc_id", "text"), "text", "doc_id")
+      val onceRows = once.select(col("doc_id"), col("text_dedup"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      val twice = Dedup.paragraphDedup(
+          once.select(col("doc_id"), col("text_dedup").as("text")), "text", "doc_id")
+        .select(col("doc_id"), col("text_dedup"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1).toSeq
+      onceRows == twice
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("contamination: fractions in [0,1]; benchmark-member docs read 1.0") {
+    import spark.implicits._
+    val prop = Prop.forAll(dupCorpusGen) { case docs =>
+      val df = docs.toDF("doc_id", "text")
+      val bench = df.filter(col("doc_id") % 3 === 0)
+      val out = TextMetrics.contamination(df, "text", "doc_id", bench, "text", n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      val bounded = out.forall { case (_, total, m, f) =>
+        f >= 0.0 && f <= 1.0 && m <= total
+      }
+      // a doc IN the benchmark has every n-gram in the benchmark set
+      val benchIds = docs.map(_._1).filter(_ % 3 == 0).toSet
+      val members = out.filter(o => benchIds.contains(o._1))
+      bounded && members.forall(_._4 == 1.0)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("deterministicSample: kept set is partitioning-independent and seed-stable") {
     import spark.implicits._
     val prop = Prop.forAll(Gen.choose(1, 60), Gen.choose(0.0, 1.0), Gen.choose(0L, 9999L)) {
