@@ -224,6 +224,70 @@ object Dedup {
       .distinct()
   }
 
+  /** Distinct 3-word shingle sets per document: (sid, sh) — the second
+   * half of the persistable ngram dedup index (with `ngramBandKeys`). */
+  def ngramShingles(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("sid"), array_distinct(expr(shingleExpr)).as("sh"))
+
+  /** Band keys from a (sid, sh) shingle frame — ONE definition shared by
+   * the self-join and incremental ngram paths. Hash families come
+   * 4-per-md5 (8-hex-char slices of the digest): engine-portable like a
+   * per-family md5 but 4x fewer digest computations — the signature
+   * aggregation is the expensive stage. */
+  private def ngramBandKeysOf(
+      shingles: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
+    val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
+    val seeds = (0 to (numHashes - 1) / 4).map(si =>
+      md5(concat(lit(s"$si|"), col("s"))))
+    val aggs = (0 until numHashes).map(j =>
+      min(substring(seeds(j / 4), (j % 4) * 8 + 1, 8)).as(s"h$j"))
+    val sig = exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*)
+    val bands = numHashes / bandSize
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("|", (0 until bandSize).map(i =>
+          col(s"h${b * bandSize + i}")): _*).as("key"))
+    }
+    sig.select(col("sid").as("id"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Ngram band keys (id, band, key) from raw documents — persist next to
+   * `ngramShingles` output as the corpus's incremental ngram index. */
+  def ngramBandKeys(
+      docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    ngramBandKeysOf(ngramShingles(docs, textCol, idCol), numHashes, bandSize)
+
+  /** Exact-Jaccard verify of candidate pairs via EXPLODED INTERSECTION:
+   * |A∩B| is a join of exploded shingles on (doc, shingle) plus a count —
+   * candidate pairs never carry either document's full shingle array
+   * through a shuffle, so per-pair shuffle bytes stay flat on
+   * long-document corpora. |A∪B| = |A| + |B| - |A∩B| from doc-level
+   * sizes. Left join keeps empty-intersection candidates at minJaccard=0.
+   * `aCol`/`bCol` name the pair columns of `cand`. */
+  private def jaccardVerify(
+      cand: DataFrame, shingles: DataFrame, aCol: String, bCol: String,
+      minJaccard: Double): DataFrame = {
+    val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
+    val sizes = shingles.select(col("sid"), size(col("sh")).as("nsh"))
+    val interCounts = cand
+      .join(exploded.select(col("sid").as(aCol), col("s")), aCol)
+      .join(exploded.select(col("sid").as(bCol), col("s")), Seq(bCol, "s"))
+      .groupBy(aCol, bCol).agg(count(lit(1)).as("inter"))
+    cand
+      .join(interCounts, Seq(aCol, bCol), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .join(sizes.select(col("sid").as(aCol), col("nsh").as("nsh_a")), aCol)
+      .join(sizes.select(col("sid").as(bCol), col("nsh").as("nsh_b")), bCol)
+      .withColumn("jaccard",
+        col("inter") * lit(1.0) / (col("nsh_a") + col("nsh_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** n-gram Jaccard similarity for LSH candidate pairs: exact similarity
    * computed ONLY inside buckets (never all-pairs). The shingle frame is
    * built once and cached (candidate generation and exact Jaccard reuse
@@ -233,57 +297,58 @@ object Dedup {
       docs: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = 100000): DataFrame = {
-    val shingles = CacheScope.track(docs
-      .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
-      .filter(size(col("tok")) >= 3)
-      .select(col("sid"), array_distinct(expr(shingleExpr)).as("sh")))
-    val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
-    // hash families come 4-per-md5 (8-hex-char slices of the digest):
-    // engine-portable like a per-family md5 but 4x fewer digest
-    // computations — the signature aggregation is the expensive stage
-    val seeds = (0 to (numHashes - 1) / 4).map(si =>
-      md5(concat(lit(s"$si|"), col("s"))))
-    val aggs = (0 until numHashes).map(j =>
-      min(substring(seeds(j / 4), (j % 4) * 8 + 1, 8)).as(s"h$j"))
-    // cached (tracked) so the bucket guard, both pair-join sides, and the
-    // verify step all reuse one computation
-    val sig = CacheScope.track(exploded.groupBy("sid").agg(aggs.head, aggs.tail: _*))
-    val bands = numHashes / bandSize
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws("|", (0 until bandSize).map(i =>
-          col(s"h${b * bandSize + i}")): _*).as("key"))
-    }
-    val keyed = sig.select(col("sid").as("id"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val shingles = CacheScope.track(ngramShingles(docs, textCol, idCol))
+    // cached (tracked): the signature aggregation inside feeds the bucket
+    // guard and both pair-join sides
+    val keyed = CacheScope.track(ngramBandKeysOf(shingles, numHashes, bandSize))
     val kept = capBuckets(keyed, maxBucketSize, "ngramJaccardPairs")
     val cand = kept.as("a")
       .join(kept.as("b"), col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    // Exact verify via EXPLODED INTERSECTION: |A∩B| is a join of exploded
-    // shingles on (doc, shingle) plus a count — candidate pairs never
-    // carry either document's full shingle array through a shuffle, so
-    // per-pair shuffle bytes stay flat on long-document corpora (carrying
-    // both arrays amplifies every candidate row by the documents' combined
-    // shingle counts). |A∪B| = |A| + |B| - |A∩B| from doc-level sizes.
-    val sizes = shingles.select(col("sid"), size(col("sh")).as("nsh"))
-    val interCounts = cand
-      .join(exploded.select(col("sid").as("id_a"), col("s")), "id_a")
-      .join(exploded.select(col("sid").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
-    cand
-      // left join + coalesce: a hash-collision candidate with an EMPTY
-      // intersection must still surface (as jaccard 0) when minJaccard=0
-      .join(interCounts, Seq("id_a", "id_b"), "left")
-      .withColumn("inter", coalesce(col("inter"), lit(0L)))
-      .join(sizes.select(col("sid").as("id_a"), col("nsh").as("nsh_a")), "id_a")
-      .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nsh_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (col("inter") * lit(1.0) / (col("nsh_a") + col("nsh_b") - col("inter")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+    jaccardVerify(cand, shingles, "id_a", "id_b", minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /**
+   * INCREMENTAL ngram Jaccard: pair a NEW batch against the corpus's
+   * persisted ngram index — `ngramBandKeys` + `ngramShingles` outputs,
+   * both written once and reloaded per batch — plus the new batch against
+   * itself. Candidates come from the combined-bucket band join (same cap
+   * semantics as the self-join variant); the exact-Jaccard verify joins
+   * exploded shingles of the UNION (corpus shingles reloaded, new
+   * shingles computed once), so the corpus is never re-shingled and never
+   * re-paired with itself. Ids must be disjoint across sides.
+   *
+   * Output: (id_new, id_match, jaccard, from_corpus).
+   */
+  def ngramJaccardPairsIncremental(
+      newDocs: DataFrame, corpusBandKeys: DataFrame, corpusShingles: DataFrame,
+      textCol: String, idCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val newShingles = CacheScope.track(ngramShingles(newDocs, textCol, idCol))
+    val newKeyed = CacheScope.track(
+      ngramBandKeysOf(newShingles, numHashes, bandSize))
+    val tagged = newKeyed.withColumn("_new", lit(true))
+      .unionByName(corpusBandKeys
+        .select(col("id"), col("band"), col("key"))
+        .withColumn("_new", lit(false)))
+    val kept = capBuckets(tagged, maxBucketSize, "ngramJaccardPairsIncremental")
+    val a = kept.filter(col("_new"))
+      .select(col("id").as("id_new"), col("band"), col("key"))
+    val b = kept.select(col("id").as("id_match"), col("band"), col("key"),
+      col("_new").as("_match_is_new"))
+    val cand = a.join(b, Seq("band", "key"))
+      .filter(!col("_match_is_new") || col("id_new") < col("id_match"))
+      .select(col("id_new"), col("id_match"),
+        (!col("_match_is_new")).as("from_corpus"))
+      .distinct()
+    val allShingles = newShingles
+      .unionByName(corpusShingles.select(col("sid"), col("sh")))
+    jaccardVerify(cand, allShingles, "id_new", "id_match", minJaccard)
+      .select("id_new", "id_match", "jaccard", "from_corpus")
   }
 
   /**
@@ -320,19 +385,12 @@ object Dedup {
       }
       dimRow(0).getInt(0)
     }
-    val v = col(vecCol).cast("array<double>")
-    val base = emb.select(col(idCol).as("id"), v.as("v"))
-    val bandCols = (0 until bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        Similarity.lshBucket(col("v"), dimResolved, bitsPerBand, seed,
-          planeOffset = bnd * bitsPerBand).as("key"))
-    }
     // cache the bucketed frame (tracked): the bands*bitsPerBand hyperplane
     // dot products (and their codegen) run once, not once per join side
-    // and once more for the bucket-count guard
-    val keyed = CacheScope.track(base
-      .select(col("id"), col("v"), explode(array(bandCols: _*)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key")))
+    // and once more for the bucket-count guard. ONE banding definition
+    // shared with the incremental variant (embeddingBandKeys).
+    val keyed = CacheScope.track(
+      embeddingBandKeys(emb, vecCol, idCol, dimResolved, bands, bitsPerBand, seed))
     val kept = capBuckets(keyed, maxBucketSize, "embeddingCosinePairs")
     val a = kept.select(col("band"), col("key"), col("id").as("id_a"), col("v").as("v_a"))
     val b = kept.select(col("band"), col("key"), col("id").as("id_b"), col("v").as("v_b"))
@@ -342,6 +400,61 @@ object Dedup {
       .withColumn("cosine", Similarity.cosineNative(col("v_a"), col("v_b")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
+      .distinct()
+  }
+
+  /** The persistable embedding near-dup index: the hyperplanes are
+   * DETERMINISTIC from (seed, dim), so the index is just the bucketed
+   * frame (id, v, band, key) — write it to parquet (partitioning by band
+   * helps) and feed new batches to `embeddingCosinePairsIncremental`
+   * with the SAME seed/bands/bitsPerBand/dim. */
+  def embeddingBandKeys(
+      emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, bands: Int = 4, bitsPerBand: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val base = emb.select(col(idCol).as("id"), v.as("v"))
+    val bandCols = (0 until bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        Similarity.lshBucket(col("v"), dim, bitsPerBand, seed,
+          planeOffset = bnd * bitsPerBand).as("key"))
+    }
+    base.select(col("id"), col("v"), explode(array(bandCols: _*)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /**
+   * INCREMENTAL embedding-cosine near-dup: bucket a NEW batch of vectors
+   * with the SAME deterministic hyperplanes as the persisted index
+   * (`embeddingBandKeys` output) and pair new-vs-(corpus + new) within
+   * combined-capped buckets, verifying with the exact native cosine.
+   * Seed/bands/bitsPerBand/dim MUST match the index's build parameters —
+   * the planes regenerate from them. Ids must be disjoint across sides.
+   * Output: (id_new, id_match, cosine, from_corpus).
+   */
+  def embeddingCosinePairsIncremental(
+      newEmb: DataFrame, corpusBandKeys: DataFrame,
+      vecCol: String, idCol: String, dim: Int,
+      minCosine: Double = 0.95, bands: Int = 4, bitsPerBand: Int = 16,
+      maxBucketSize: Int = 100000, seed: Long = 42L): DataFrame = {
+    val newKeyed = CacheScope.track(
+      embeddingBandKeys(newEmb, vecCol, idCol, dim, bands, bitsPerBand, seed))
+      .withColumn("_new", lit(true))
+    val tagged = newKeyed.unionByName(corpusBandKeys
+      .select(col("id"), col("v"), col("band"), col("key"))
+      .withColumn("_new", lit(false)))
+    val kept = capBuckets(tagged, maxBucketSize, "embeddingCosinePairsIncremental")
+    val a = kept.filter(col("_new")).select(col("band"), col("key"),
+      col("id").as("id_new"), col("v").as("v_a"))
+    val b = kept.select(col("band"), col("key"), col("id").as("id_match"),
+      col("v").as("v_b"), col("_new").as("_match_is_new"))
+    a.join(b, Seq("band", "key"))
+      .filter(!col("_match_is_new") || col("id_new") < col("id_match"))
+      .withColumn("cosine", Similarity.cosineNative(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_new"), col("id_match"), col("cosine"),
+        (!col("_match_is_new")).as("from_corpus"))
       .distinct()
   }
 

@@ -352,6 +352,61 @@ class OpsSpec extends AnyFunSuite {
     Dedup.unpersistAll(spark)
   }
 
+  test("incremental ngram equals the full self-join on new-involved pairs") {
+    import spark.implicits._
+    val base = docs.limit(250).select(col("doc_id"), col("text"))
+    val offset = 1000000L
+    val newBatch = base.limit(100).select((col("doc_id") + offset).as("doc_id"),
+      concat(col("text"), lit(" tail tokens appended here")).as("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("ngidx").toString
+    Dedup.ngramBandKeys(base, "text", "doc_id").write.parquet(s"$tmp/keys")
+    Dedup.ngramShingles(base, "text", "doc_id").write.parquet(s"$tmp/sh")
+    val incr = Dedup.ngramJaccardPairsIncremental(newBatch,
+        spark.read.parquet(s"$tmp/keys"), spark.read.parquet(s"$tmp/sh"),
+        "text", "doc_id", minJaccard = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val full = Dedup.ngramJaccardPairs(base.unionAll(newBatch), "text", "doc_id",
+        minJaccard = 0.3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((x, y), _) => x >= offset || y >= offset }.toMap
+    val incrNorm = incr.map { case (n, m, j, _) =>
+      ((math.min(n, m), math.max(n, m)), j) }.toMap
+    assert(incrNorm.keySet == full.keySet, s"incr=${incrNorm.size} full=${full.size}")
+    incrNorm.foreach { case (k, j) => assert(math.abs(j - full(k)) < 1e-12) }
+    assert(incr.forall { case (n, m, _, fc) => n >= offset && fc == (m < offset) })
+    assert(incr.count(_._4) >= 90) // each mutated clone finds its source
+    Dedup.unpersistAll(spark)
+  }
+
+  test("incremental embedding cosine equals the full self-join on new-involved pairs") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(400).select(col("vec_id"), col("embedding"))
+    val offset = 1000000L
+    // new batch = slightly perturbed copies of the first 150 vectors
+    val newBatch = emb.limit(150).select((col("vec_id") + offset).as("vec_id"),
+      transform(col("embedding").cast("array<double>"),
+        x => x * lit(1.000001)).as("embedding"))
+    val tmp = java.nio.file.Files.createTempDirectory("embidx").toString
+    Dedup.embeddingBandKeys(emb, "embedding", "vec_id", dim = 64, bands = 4,
+        bitsPerBand = 8).write.parquet(s"$tmp/keys")
+    val incr = Dedup.embeddingCosinePairsIncremental(newBatch,
+        spark.read.parquet(s"$tmp/keys"), "embedding", "vec_id", dim = 64,
+        minCosine = 0.5, bands = 4, bitsPerBand = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val full = Dedup.embeddingCosinePairs(emb.unionByName(newBatch),
+        "embedding", "vec_id", minCosine = 0.5, bands = 4, bitsPerBand = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .filter { case ((x, y), _) => x >= offset || y >= offset }.toMap
+    val incrNorm = incr.map { case (n, m, c, _) =>
+      ((math.min(n, m), math.max(n, m)), c) }.toMap
+    assert(incrNorm.keySet == full.keySet, s"incr=${incrNorm.size} full=${full.size}")
+    incrNorm.foreach { case (k, c) => assert(math.abs(c - full(k)) < 1e-12) }
+    // scaling a vector leaves cosine unchanged: every clone finds its source
+    assert(incr.count(_._4) >= 140)
+    Dedup.unpersistAll(spark)
+  }
+
   test("pair operators: caches tracked per session, released by unpersistAll") {
     import spark.implicits._
     spark.catalog.clearCache() // independent of earlier suites
