@@ -429,6 +429,9 @@ class OpsSpec extends AnyFunSuite {
     // a footer-listing job, which is not what this test measures
     val docsDf = docs.limit(100).select(col("doc_id"), col("text"))
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idxTmp = java.nio.file.Files.createTempDirectory("lazyidx").toString
+    Dedup.minhashBandKeys(docsDf, "text", "doc_id").write.parquet(s"$idxTmp/mh")
+    val mhIdx = spark.read.parquet(s"$idxTmp/mh")
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
@@ -443,6 +446,9 @@ class OpsSpec extends AnyFunSuite {
       // with dim supplied, even the hyperplane operator skips its probe job
       Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", 0.9,
         maxBucketSize = 100, dim = Some(64))
+      // incremental variants construct lazily against a persisted index
+      Dedup.minhashCandidatePairsIncremental(docsDf, mhIdx, "text", "doc_id",
+        maxBucketSize = 100)
       Thread.sleep(1000) // listener bus is async; give submissions time to surface
       assert(jobs.get() == 0,
         s"operator construction submitted ${jobs.get()} Spark job(s); must be lazy")
