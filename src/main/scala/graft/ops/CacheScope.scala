@@ -10,43 +10,72 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * `.cache()`; users call `Dedup.unpersistAll(spark)` /
  * `Similarity.unpersistAll(spark)` (both delegate here) once the pair /
  * index results are consumed.
+ *
+ * Caches are grouped into named scopes so short-lived pair-operator caches
+ * ([[Ops]]) release independently of long-lived index caches ([[Index]]):
+ * `Dedup.unpersistAll` after a dedup pass must NOT evict a live
+ * `IvfIndex`'s cell assignments (which would silently re-run the KMeans
+ * transform scan on every subsequent query). Index caches release only
+ * through their owner (e.g. `IvfIndex.unpersist()`).
  */
 private[ops] object CacheScope {
 
-  private val registry =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Buffer[DataFrame]]()
+  /** Short-lived pair-operator caches (signatures, band keys, shingles). */
+  val Ops = "ops"
 
-  /** Cache `df` and remember it under its session for later release. */
-  def track(df: DataFrame): DataFrame = synchronized {
+  /** Long-lived index caches (IVF cell assignments); released only by the
+   * owning index object, never by `Dedup`/`Similarity.unpersistAll`. */
+  val Index = "index"
+
+  private val registry =
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.mutable.Map[String, scala.collection.mutable.Buffer[DataFrame]]]()
+
+  /** Cache `df` and remember it under its session + scope for later release. */
+  def track(df: DataFrame, scope: String = Ops): DataFrame = synchronized {
     // The value Buffer holds DataFrames that strongly reference their
     // session (the map key), so weak keys alone can't collect an entry —
     // sweep stopped sessions here to bound the registry to live sessions
     // plus at most the most recently stopped ones.
     registry.keySet.removeIf(s => s.sparkContext.isStopped)
     df.cache()
-    var buf = registry.get(df.sparkSession)
-    if (buf == null) {
-      buf = scala.collection.mutable.Buffer.empty[DataFrame]
-      registry.put(df.sparkSession, buf)
+    var scopes = registry.get(df.sparkSession)
+    if (scopes == null) {
+      scopes = scala.collection.mutable.Map.empty
+      registry.put(df.sparkSession, scopes)
     }
-    buf += df
+    scopes.getOrElseUpdate(scope, scala.collection.mutable.Buffer.empty) += df
     df
   }
 
-  /** Unpersist every operator-cached frame of `spark` (non-blocking) and
-   * forget them. Safe to call at any time; in-flight queries re-materialize
-   * lazily. */
-  def unpersistAll(spark: SparkSession): Unit = synchronized {
-    val buf = registry.remove(spark)
-    if (buf != null) buf.foreach { df =>
+  /** Unpersist every operator-cached frame of `spark` in `scope`
+   * (non-blocking) and forget them. Safe to call at any time; in-flight
+   * queries re-materialize lazily. */
+  def unpersistAll(spark: SparkSession, scope: String = Ops): Unit = synchronized {
+    val scopes = registry.get(spark)
+    if (scopes != null) scopes.remove(scope).foreach(_.foreach { df =>
       try df.unpersist(false)
       catch { case scala.util.control.NonFatal(_) => () }
-    }
+    })
   }
 
-  /** Number of tracked (not yet released) frames for `spark` — spec hook. */
-  def trackedCount(spark: SparkSession): Int = synchronized {
-    val buf = registry.get(spark)
-    if (buf == null) 0 else buf.size
+  /** Unpersist one tracked frame (any scope) and forget it — for owners
+   * like `IvfIndex.unpersist()` that manage their own lifecycle. */
+  def untrack(df: DataFrame): Unit = synchronized {
+    val scopes = registry.get(df.sparkSession)
+    if (scopes != null) scopes.values.foreach { buf =>
+      val kept = buf.filterNot(_ eq df)
+      buf.clear(); buf ++= kept
+    }
+    try df.unpersist(false)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  /** Number of tracked (not yet released) frames for `spark` in `scope` —
+   * spec hook. */
+  def trackedCount(spark: SparkSession, scope: String = Ops): Int = synchronized {
+    val scopes = registry.get(spark)
+    if (scopes == null) 0 else scopes.get(scope).map(_.size).getOrElse(0)
   }
 }

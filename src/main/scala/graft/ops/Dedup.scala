@@ -21,6 +21,14 @@ import org.slf4j.LoggerFactory
  * no global `clearCache()`, no cacheManager internals. Operator
  * construction is fully LAZY: the hot-bucket guard folds into the plan
  * and logs dropped buckets at action time via an observed metric.
+ *
+ * Logging envelope (the price of laziness): drop counts are observed by a
+ * QueryExecutionListener on SUCCESSFUL actions in the owning session. If
+ * an action fails mid-run, or results are consumed through a path that
+ * bypasses the listener bus (e.g. a foreign session re-executing the
+ * plan), counts for that run go unlogged; onFailure still logs that caps
+ * were configured on the failed query, so the cap is never invisible
+ * while debugging.
  */
 object Dedup {
 
@@ -68,7 +76,21 @@ object Dedup {
             }
             override def onFailure(funcName: String,
                 qe: org.apache.spark.sql.execution.QueryExecution,
-                exception: Exception): Unit = ()
+                exception: Exception): Unit = {
+              // The observed metric is usually absent on a failed action,
+              // so drop COUNTS are unknowable here — but a debugging
+              // session still deserves the breadcrumb that caps were in
+              // force on the failed query (see the caching-contract note
+              // on the logging envelope).
+              val capNodes = qe.analyzed.collect {
+                case c: org.apache.spark.sql.catalyst.plans.logical.CollectMetrics
+                    if c.name.startsWith("graft_cap/") => c.name
+              }
+              if (capNodes.nonEmpty)
+                log.warn(s"query failed with hot-bucket caps configured " +
+                  s"(${capNodes.mkString(", ")}); drop counts for this run " +
+                  s"are unknown — rerun to observe them")
+            }
           })
       }
     }
@@ -469,8 +491,10 @@ object Dedup {
    * hash electing the canonical (doc, pos) — no window over the hash, so a
    * boilerplate paragraph repeated a billion times is ONE aggregation key,
    * not a hot sorted partition — then a join back and one groupBy(doc) to
-   * reassemble. Positions are encoded doc*1e6+pos for a single-column min
-   * (documents must have < 1e6 paragraphs; ids non-negative).
+   * reassemble. The election is `min(struct(did, pos))` (lexicographic
+   * struct ordering), so it is exact for ANY id range — negative ids,
+   * ids beyond 2^53, documents with millions of paragraphs — with no
+   * packed-long domain restriction.
    */
   def paragraphDedup(
       docs: DataFrame, textCol: String, idCol: String,
@@ -481,11 +505,11 @@ object Dedup {
           .as(Seq("pos", "para")))
       .filter(length(trim(col("para"))) > 0)
     val inst = paras.select(col("did"), col("pos"), col("para"),
-      md5(col("para")).as("h"),
-      (col("did").cast("long") * lit(1000000L) + col("pos")).as("ord"))
-    val winners = inst.groupBy("h").agg(min(col("ord")).as("keep_ord"))
+      md5(col("para")).as("h"))
+    val winners = inst.groupBy("h")
+      .agg(min(struct(col("did"), col("pos"))).as("keep"))
     inst.join(winners, "h")
-      .filter(col("ord") === col("keep_ord"))
+      .filter(col("did") === col("keep.did") && col("pos") === col("keep.pos"))
       .groupBy(col("did").as(idCol))
       .agg(
         count(lit(1)).as("n_paragraphs_kept"),

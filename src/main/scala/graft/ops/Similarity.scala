@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Release every frame the Similarity/Dedup operators cached in this
-   * session (per-index release: `IvfIndex.unpersist()`). */
+  /** Release every PAIR-OPERATOR frame the Similarity/Dedup operators
+   * cached in this session. Does NOT touch live index caches (IVF cell
+   * assignments live in a separate scope) — release those via
+   * `IvfIndex.unpersist()`. */
   def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
     CacheScope.unpersistAll(spark)
 
@@ -156,7 +158,7 @@ object Similarity {
         .orderBy(desc("cosine"), col(idCol))
         .limit(k)
     }
-    def unpersist(): Unit = assigned.unpersist()
+    def unpersist(): Unit = CacheScope.untrack(assigned)
   }
 
   /** Build an IVF index: MLlib KMeans into nlist cells, assignments
@@ -174,8 +176,10 @@ object Similarity {
     val model = new KMeans().setK(nlist).setSeed(seed)
       .setFeaturesCol("mlvec").setPredictionCol("cell")
       .fit(prepared)
+    // Index scope, NOT the pair-operator scope: a live index must survive
+    // Dedup/Similarity.unpersistAll; it releases via IvfIndex.unpersist().
     val assigned = CacheScope.track(model.transform(prepared)
-      .select(col(idCol), col("arr"), col("cell")))
+      .select(col(idCol), col("arr"), col("cell")), CacheScope.Index)
     new IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol)
   }
 

@@ -422,6 +422,46 @@ class OpsSpec extends AnyFunSuite {
       "operator caches must be fully released without clearCache()")
   }
 
+  test("IVF index cache lives in its own scope: unpersistAll cannot evict it") {
+    spark.catalog.clearCache()
+    CacheScope.unpersistAll(spark)
+    CacheScope.unpersistAll(spark, CacheScope.Index)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Similarity.fitIvfIndex(emb, "embedding", "vec_id", nlist = 4)
+    index.query(Seq.fill(64)(0.1), 5, 2).count() // materialize the cache
+    assert(CacheScope.trackedCount(spark, CacheScope.Index) == 1)
+    // a dedup pass + cleanup must NOT touch the live index
+    val docsDf = docs.limit(100).select(col("doc_id"), col("text"))
+    Dedup.minhashCandidatePairs(docsDf, "text", "doc_id").count()
+    Dedup.unpersistAll(spark)
+    Similarity.unpersistAll(spark)
+    assert(CacheScope.trackedCount(spark) == 0)
+    assert(CacheScope.trackedCount(spark, CacheScope.Index) == 1,
+      "pair-operator cleanup evicted a live IVF index cache")
+    assert(!spark.sharedState.cacheManager.isEmpty)
+    // the owner releases it — and only then is the session cache-clean
+    index.unpersist()
+    assert(CacheScope.trackedCount(spark, CacheScope.Index) == 0)
+    assert(spark.sharedState.cacheManager.isEmpty)
+  }
+
+  test("paragraphDedup election is exact for extreme and negative doc ids") {
+    import spark.implicits._
+    // packed-long encodings (did*1e6+pos) corrupt this corpus: a negative
+    // id, an id beyond 2^53, and a same-paragraph collision across them
+    val big = 4000000000000000000L // > 9.2e12 premise, near Long.MaxValue/2
+    val docsDf = Seq(
+      (-5L, "shared para <p> neg only"),
+      (big, "shared para <p> big only"),
+      (7L, "shared para <p> seven only")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docsDf, "text", "doc_id", " <p> ")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // min(struct) elects the NEGATIVE id as first for the shared paragraph
+    assert(out(-5L) == "shared para <p> neg only")
+    assert(out(big) == "big only")
+    assert(out(7L) == "seven only")
+  }
+
   test("pair-operator construction is lazy: no Spark job before an action") {
     import spark.implicits._
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
@@ -432,13 +472,28 @@ class OpsSpec extends AnyFunSuite {
     val idxTmp = java.nio.file.Files.createTempDirectory("lazyidx").toString
     Dedup.minhashBandKeys(docsDf, "text", "doc_id").write.parquet(s"$idxTmp/mh")
     val mhIdx = spark.read.parquet(s"$idxTmp/mh")
-    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    // Deterministic laziness check, no fixed sleep: jobs are counted only
+    // inside the construction window [t0, t1] (an unrelated background job
+    // outside it can't flake the assert), and instead of sleeping we run a
+    // tagged marker action afterwards and wait for ITS JobStart — the
+    // listener bus is FIFO, so once the marker surfaces, any
+    // construction-time job would already have been delivered.
+    val constructionJobs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val markerSeen = new java.util.concurrent.CountDownLatch(1)
+    @volatile var t0 = Long.MaxValue
+    @volatile var t1 = Long.MaxValue
     val listener = new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        jobs.incrementAndGet()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val desc = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+        if (desc == "graft-lazy-marker") markerSeen.countDown()
+        else if (js.time >= t0 && js.time <= t1)
+          constructionJobs.add(s"jobId=${js.jobId} time=${js.time} desc='$desc'")
+      }
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      t0 = System.currentTimeMillis()
       // construction of every capped pipeline: plan building only
       Dedup.minhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
       Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", 0.5, maxBucketSize = 100)
@@ -449,9 +504,15 @@ class OpsSpec extends AnyFunSuite {
       // incremental variants construct lazily against a persisted index
       Dedup.minhashCandidatePairsIncremental(docsDf, mhIdx, "text", "doc_id",
         maxBucketSize = 100)
-      Thread.sleep(1000) // listener bus is async; give submissions time to surface
-      assert(jobs.get() == 0,
-        s"operator construction submitted ${jobs.get()} Spark job(s); must be lazy")
+      t1 = System.currentTimeMillis()
+      spark.sparkContext.setJobDescription("graft-lazy-marker")
+      spark.range(1).count()
+      spark.sparkContext.setJobDescription(null)
+      assert(markerSeen.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus never delivered the marker job")
+      assert(constructionJobs.isEmpty,
+        s"operator construction submitted Spark job(s); must be lazy: " +
+          s"${constructionJobs.toArray.mkString("; ")}")
     } finally {
       spark.sparkContext.removeSparkListener(listener)
       Dedup.unpersistAll(spark)
