@@ -30,28 +30,55 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region (standard bench practice)
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    spark.read.parquet(s"$sfDir/nation.parquet").count()
+    // JVM/codegen warmup outside the timed region (standard bench practice);
+    // a bad data dir must still produce a JSON line (with per-query errors),
+    // not a crash before any output
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      spark.read.parquet(s"$sfDir/nation.parquet").count()
+    } catch { case e: Throwable if scala.util.control.NonFatal(e) => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      var err: String = null
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() }
+        catch {
+          // A failed rep must not bench as ~0 s and vanish: keep the wall
+          // time (it still bounds the failure cost) and surface the first
+          // exception per query in the JSON so breakage is visible here,
+          // not only in the correctness gate.
+          case e: Throwable if scala.util.control.NonFatal(e) =>
+            if (err == null) err = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // caches an operator populates during a run are dropped so every
         // rep measures the cold-plan cost, not a warm-cache rerun
         spark.catalog.clearCache()
         dt
       }
-      name -> times
+      (name, times, err)
     }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + median(ts) }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + median(ts) }
       .mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
+    val spread = results.map { case (k, ts, _) =>
       "\"" + k + "\":[" + ts.min + "," + ts.max + "]"
     }.mkString("{", ",", "}")
+    val errs = results.map { case (k, _, err) =>
+      "\"" + k + "\":" + (if (err == null) "null" else jstr(err))
+    }.mkString("{", ",", "}")
+    val nFailed = results.count(_._3 != null)
     val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spread}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spread,"errors":$errs,"failed":$nFailed}""")
     spark.stop()
   }
 }

@@ -65,8 +65,10 @@ private[ops] object CacheScope {
   def untrack(df: DataFrame): Unit = synchronized {
     val scopes = registry.get(df.sparkSession)
     if (scopes != null) scopes.values.foreach { buf =>
-      val kept = buf.filterNot(_ eq df)
-      buf.clear(); buf ++= kept
+      // reference identity, not Dataset equality: remove exactly the
+      // tracked frame, in place
+      val i = buf.indexWhere(_ eq df)
+      if (i >= 0) buf.remove(i)
     }
     try df.unpersist(false)
     catch { case scala.util.control.NonFatal(_) => () }

@@ -58,6 +58,95 @@ class EbwPropertySpec extends AnyFunSuite {
     }, 12)
   }
 
+  // ---- elastic / bounded-mode fuzz, the analogue of the reference's
+  // test_parametric_elastic.py: random problems with random ratio bounds.
+
+  /** Random positive problem plus random ratio bounds [lb, ub] and a
+   * per-row feasible ratio r* strictly inside the bounds (10% margin), so
+   * targets built from w0*r* are feasible BY CONSTRUCTION. First row is
+   * forced all-positive so every moment column carries mass. */
+  private val boundedGen: Gen[(Array[Array[Double]], Array[Double],
+      Array[Double], Double, Double, Int)] = for {
+    n <- Gen.choose(10, 24)
+    k <- Gen.choose(2, 4)
+    seed <- Gen.choose(0L, 100000L)
+  } yield {
+    val rng = new scala.util.Random(seed)
+    val x = Array.tabulate(n) { i =>
+      Array.fill(k)((0.9 + 0.2 * rng.nextDouble()) *
+        (if (i == 0 || rng.nextBoolean()) 1.0 else 0.0))
+    }
+    val w0 = Array.fill(n)(0.8 + 0.4 * rng.nextDouble())
+    val lb = 0.5 + 0.4 * rng.nextDouble()   // [0.5, 0.9]
+    val ub = 1.1 + 0.9 * rng.nextDouble()   // [1.1, 2.0]
+    val margin = 0.1 * (ub - lb)
+    val rStar = Array.fill(n)(lb + margin + (ub - lb - 2 * margin) * rng.nextDouble())
+    (x, w0, rStar, lb, ub, k)
+  }
+
+  test("elastic fuzz: feasible bounds => ratios in bounds and moments match " +
+      "(test_parametric_elastic.py::test_interface_positive_float_inputs)") {
+    runProp(Prop.forAll(boundedGen) { case (x, w0, rStar, lb, ub, k) =>
+      val n = x.length
+      val sumW = w0.sum
+      // targets of the known in-bounds weighting w* = w0 * r*
+      val m = Array.tabulate(k)(j =>
+        x.indices.map(i => w0(i) * rStar(i) * x(i)(j)).sum / sumW)
+      val df = spark.createDataFrame(
+        x.indices.map(i => (x(i).toSeq, w0(i)))).toDF("feat", "w0")
+      val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+        options = EbwOptions(bounds = Some((lb, Some(ub))),
+          optimalityTol = 1e-8, maxStepsBounded = 120))
+      val rows = res.weighted.select("weight_new", "w0").collect()
+      val ratiosOk = rows.forall { r =>
+        val ratio = r.getDouble(0) / r.getDouble(1)
+        ratio >= lb - 1e-9 && ratio <= ub + 1e-9
+      }
+      // bounds hold unconditionally (the clipped link guarantees them);
+      // a converged feasible solve must also match the targets
+      val momentsOk = !res.converged || res.constraintViolations.zipWithIndex
+        .forall { case (v, j) =>
+          math.abs(v) < 1e-3 * math.max(1.0, math.abs(m(j)) * sumW)
+        }
+      ratiosOk && momentsOk
+    }, 10)
+  }
+
+  test("elastic fuzz: infeasible bounds => converges, bounds respected, " +
+      "violations min-L1 (test_parametric_elastic.py linprog cross-check)") {
+    runProp(Prop.forAll(boundedGen) { case (x, w0, _, lb0, ub0, k) =>
+      val n = x.length
+      val sumW = w0.sum
+      // tight bounds + targets scaled ABOVE what ub*w0 can reach: with
+      // x >= 0 every moment maxes simultaneously at w = ub*w0, so the
+      // problem is infeasible by construction and the min-L1 violation is
+      // exactly sum_j (c - ub) * (A'w0)_j
+      val lb = math.min(lb0, 0.9)
+      val ub = math.min(ub0, 1.3)
+      val c = ub + 1.0
+      val base = Array.tabulate(k)(j => x.indices.map(i => w0(i) * x(i)(j)).sum)
+      val m = base.map(bj => c * bj / sumW)
+      val minL1 = base.map(bj => (c - ub) * bj).sum
+      val df = spark.createDataFrame(
+        x.indices.map(i => (x(i).toSeq, w0(i)))).toDF("feat", "w0")
+      val res = EntropyBalance.entropyBalance(df, "feat", "w0", m,
+        options = EbwOptions(bounds = Some((lb, Some(ub))),
+          optimalityTol = 1e-8, maxStepsBounded = 120))
+      val rows = res.weighted.select("weight_new", "w0").collect()
+      val ratiosOk = rows.forall { r =>
+        val ratio = r.getDouble(0) / r.getDouble(1)
+        ratio >= lb - 1e-9 && ratio <= ub + 1e-9
+      }
+      val l1 = res.constraintViolations.map(math.abs).sum
+      // never claims feasibility (l1 >= minL1 is a mathematical identity
+      // for any in-bounds w; the solver must also not do materially WORSE
+      // than the min-L1 optimum it is defined to find)
+      val minL1Ok = !res.converged ||
+        (l1 >= minL1 * (1.0 - 1e-6) && l1 <= minL1 * 1.02 + 1e-6)
+      ratiosOk && res.converged && minL1Ok
+    }, 10)
+  }
+
   test("weights stay positive and finite whenever the solver converges") {
     runProp(Prop.forAll(problemGen) { case (x, w0, k) =>
       val n = x.length
