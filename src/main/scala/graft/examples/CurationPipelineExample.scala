@@ -11,7 +11,8 @@ import graft.ops.{Dedup, Sampling, TextMetrics}
  *
  *   1. normalization + quality + repetition filters (Gopher-style rules)
  *   2. exact dedup (content hash, keep lowest id)
- *   3. near-dedup (minhash banding pairs -> drop the higher id of a pair)
+ *   3. near-dedup (minhash banding pairs -> connected-components cluster
+ *      election, keeping each cluster's minimum id)
  *   4. benchmark decontamination (n-gram overlap vs a held-out eval set)
  *   5. deterministic stratified sample per language
  *   6. corpus token accounting
@@ -53,11 +54,19 @@ object CurationPipelineExample {
     val exactDeduped = ruled.join(keep, "doc_id")
     val n2 = exactDeduped.count()
 
-    // 3. near-dedup: minhash banding candidates; drop the higher id
-    val losers = Dedup.minhashCandidatePairs(exactDeduped, "text", "doc_id",
+    // 3. near-dedup: minhash banding candidates. Two standard election
+    // policies over the candidate pairs:
+    //  (a) drop-larger-id: delete id_b of every pair — simple, one
+    //      anti-join, but over-deletes on chains (a-b, b-c kills b AND c);
+    //  (b) connected components: keep exactly one representative (the
+    //      minimum id) per TRANSITIVE duplicate cluster.
+    // The pipeline ships with (b); (a) is shown for comparison.
+    val pairs = Dedup.minhashCandidatePairs(exactDeduped, "text", "doc_id",
         maxBucketSize = 10000)
-      .select(col("id_b").as("doc_id")).distinct()
-    val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    val nDropLarger = exactDeduped.join(
+      pairs.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti").count()
+    val nearDeduped = Dedup.keepRepresentatives(exactDeduped, pairs, "doc_id")
     val n3 = nearDeduped.count()
 
     // 4. decontamination: drop docs sharing 8-grams with the "eval set"
@@ -90,7 +99,8 @@ object CurationPipelineExample {
       .filter(col("from_corpus")).select("id_new").distinct().count()
     Dedup.unpersistAll(spark)
 
-    println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 decontam=$n4 " +
+    println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 " +
+      f"(drop-larger-id would keep $nDropLarger) decontam=$n4 " +
       f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups")
     spark.stop()
   }

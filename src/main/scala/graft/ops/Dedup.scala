@@ -634,4 +634,126 @@ object Dedup {
       .reduce((x, y) => x.bitwiseOR(y))
     agg.select(col(idCol), fp.as("simhash"))
   }
+
+  /**
+   * Connected components over a candidate-pair frame: every id that appears
+   * in `pairs` is labeled with the MINIMUM id of its component. This is the
+   * cluster-election step downstream of the pair generators — the
+   * alternative to the per-pair "drop the larger id" policy, which
+   * over-deletes on chains (a-b, b-c drops both b and c even though b and c
+   * may never have been compared; component election keeps exactly one
+   * representative per transitive cluster).
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+   * DataFrame joins — no GraphX, no driver-side graph. Each half-round is
+   * one groupBy + one join on the node id; the edge set converges to
+   * per-component stars in O(log n) rounds (driver loop with a
+   * count+checksum fixed-point test, the only driver-side state). Works
+   * for any orderable id type; ids are compared with Spark ordering.
+   *
+   * At 100 TB scale: every iteration shuffles the CURRENT edge set only
+   * (which the star steps shrink toward one edge per node). Each round is
+   * CHECKPOINTED, not merely persisted: the star steps reference the
+   * previous round's frame several times, so without lineage truncation
+   * the logical plan grows ~4x per round and Catalyst analysis time
+   * explodes exponentially — the classic iterative-DataFrame trap. A
+   * reliable checkpoint is used when `spark.sparkContext.setCheckpointDir`
+   * has been called (survives executor loss — set one on a real cluster);
+   * otherwise `localCheckpoint` (executor-local blocks, fine for
+   * local-mode and fault-tolerant-enough short loops). Checkpoint blocks
+   * are released by the ContextCleaner once unreferenced.
+   */
+  def connectedComponents(
+      pairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIterations: Int = 50): DataFrame = {
+    // canonical orientation: (u, v) with u > v, self-pairs dropped
+    val raw = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+    val canonical = raw.where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+
+    // large-star: every node u links its LARGER neighbors to the minimum of
+    // its neighborhood (incl. u); keeps orientation larger -> smaller
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node u links its smaller neighbors (and itself) to
+    // the minimum of its smaller neighborhood
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      val relinked = e.join(mins, "u")
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      relinked.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    // fixed point = (count, order-independent checksum) of the edge set
+    // unchanged across a full round; XOR (not SUM) so ANSI mode can never
+    // overflow on the hash aggregate
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def truncate(e: DataFrame): DataFrame =
+      if (reliable) e.checkpoint() else e.localCheckpoint()
+
+    var cur = truncate(canonical)
+    var sig = signature(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = truncate(smallStar(largeStar(cur)))
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      cur = next
+      sig = nextSig
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"connectedComponents: not at fixed point after " +
+        s"$maxIterations rounds; labels may be non-minimal")
+    log.info(s"connectedComponents: ${sig._1} star edges after $iter rounds")
+
+    // at the fixed point edges are (member, component-min) stars; the min
+    // itself labels itself. groupBy(min) instead of a bare projection keeps
+    // the output well-defined even on a maxIterations bailout.
+    val members = cur.select(col("u").as("id"), col("v").as("component"))
+      .union(cur.select(col("v").as("id"), col("v").as("component")))
+      .groupBy("id").agg(min(col("component")).as("component"))
+    // ids appearing only in self-pairs never reach the edge set: they are
+    // their own singleton component
+    val allIds = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct()
+    allIds.join(members, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /**
+   * Component-election dedup policy: keep one representative (the minimum
+   * id) per connected component of `pairs`, return `docs` with all other
+   * members removed. Docs never mentioned in `pairs` pass through.
+   */
+  def keepRepresentatives(
+      docs: DataFrame, pairs: DataFrame, idCol: String,
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
+    val losers = connectedComponents(pairs, idACol, idBCol)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
 }

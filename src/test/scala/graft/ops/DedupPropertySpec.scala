@@ -158,4 +158,48 @@ class DedupPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("connectedComponents matches a driver-side union-find on random graphs") {
+    import spark.implicits._
+    val graphGen: Gen[(Int, Seq[(Long, Long)])] = for {
+      n <- Gen.choose(2, 60)
+      nEdges <- Gen.choose(0, 90)
+      seed <- Gen.choose(0L, 100000L)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      val edges = Seq.fill(nEdges)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      (n, edges)
+    }
+    val prop = Prop.forAll(graphGen) { case (n, edges) =>
+      // oracle: textbook union-find over the same edges
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // component label = MIN id in component among ids present in pairs
+      val present = ids.map(_.toInt).toSet
+      val expect = ids.map { id =>
+        val root = find(id.toInt)
+        val mn = present.filter(m => find(m) == root).min
+        id -> mn.toLong
+      }.toMap
+      val got =
+        if (edges.isEmpty) Map.empty[Long, Long]
+        else Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

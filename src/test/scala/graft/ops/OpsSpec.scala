@@ -657,6 +657,28 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect)
   }
 
+  test("connectedComponents: chains, singletons, and keepRepresentatives election") {
+    import spark.implicits._
+    // chain a-b, b-c, c-d plus an isolated self-pair e-e and a disjoint
+    // pair f-g: components {a,b,c,d} -> a, {e} -> e, {f,g} -> f
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 5L), (7L, 6L))
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L,
+      6L -> 6L, 7L -> 6L), cc.toString)
+    // election keeps exactly the component minima; untouched docs pass
+    val docsDf = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val kept = Dedup.keepRepresentatives(docsDf, pairs, "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 5L, 6L, 8L), kept.toString)
+    // long chain (64 nodes): converges in O(log n) star rounds, one component
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainCc = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(chainCc.length == 64 && chainCc.forall(_._2 == 0L))
+  }
+
   test("as-of join: latest at-or-before match, deterministic ties, tolerance") {
     import spark.implicits._
     val views = Seq(
