@@ -36,7 +36,14 @@ object Profile {
 
   /** Approximate per-group quantiles via approx_percentile (KLL-style
    * fixed-size sketch per group — the 100 TB path: no group's values are
-   * ever buffered whole). Same output shape as `groupQuantiles`. */
+   * ever buffered whole). Same output shape as `groupQuantiles`.
+   *
+   * Also the STREAMING profile: pass a streaming DataFrame and write the
+   * result in Complete output mode — the sketch is a mergeable aggregation
+   * buffer, so Structured Streaming keeps one fixed-size sketch per group
+   * as state and re-emits refreshed quantiles every micro-batch (state is
+   * bounded by #groups x sketch size, never by the stream length; rank
+   * error <= n/accuracy). One code path serves batch and live profiling. */
   def groupQuantilesApprox(
       df: DataFrame, groupCol: String, valueCol: String,
       qs: Seq[Double], accuracy: Int = 10000): DataFrame = {

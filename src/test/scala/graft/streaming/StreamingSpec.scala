@@ -218,4 +218,47 @@ class StreamingSpec extends AnyFunSuite {
     val u2 = rows.filter(_.user_id == 2).maxBy(_.n_events)
     assert(u2.n_events == 1 && math.abs(u2.total_value - 10.0) < 1e-12)
   }
+
+  test("streaming quantile profile: sketch state merges across batches, " +
+      "matches batch approx exactly and batch exact within the rank band") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    val events = (1 to 200).map(i => Event(i % 5, ts(i % 50, i % 60),
+      if (i % 2 == 0) "click" else "view", rng.nextDouble() * 100))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val mem = MemoryStream[Event]
+    val prof = graft.ops.Profile.groupQuantilesApprox(
+      mem.toDF(), "event_type", "value", qs)
+    val q = prof.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("prof_out").start()
+    mem.addData(events.take(100): _*)
+    q.processAllAvailable()
+    mem.addData(events.drop(100): _*) // second micro-batch: sketches MERGE
+    q.processAllAvailable()
+    q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getDouble(1))
+    val streamed = spark.table("prof_out").collect()
+      .map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    val batchApprox = graft.ops.Profile.groupQuantilesApprox(
+        events.toDF(), "event_type", "value", qs).collect()
+      .map(r => key(r) -> (r.getDouble(2), r.getLong(3))).toMap
+    // one code path, two engines: identical sketch, identical output
+    assert(streamed == batchApprox, s"streamed=$streamed batch=$batchApprox")
+    // and within the documented band of the EXACT per-group quantiles: at
+    // n=100/group and accuracy=10000 the rank error is < 1, so each approx
+    // value sits within one order-statistic gap of the interpolated exact
+    val exact = graft.ops.Profile.groupQuantiles(
+        events.toDF(), "event_type", "value", qs).collect()
+      .map(r => key(r) -> r.getDouble(2)).toMap
+    val gap = events.groupBy(_.event_type).map { case (g, es) =>
+      val sorted = es.map(_.value).sorted
+      g -> sorted.zip(sorted.tail).map(p => p._2 - p._1).max
+    }
+    streamed.foreach { case ((g, qq), (v, n)) =>
+      assert(n == 100, s"group $g count $n")
+      assert(math.abs(v - exact((g, qq))) <= gap(g) + 1e-9,
+        s"group $g q=$qq approx=$v exact=${exact((g, qq))} band=${gap(g)}")
+    }
+  }
 }
