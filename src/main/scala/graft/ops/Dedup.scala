@@ -744,6 +744,32 @@ object Dedup {
   }
 
   /**
+   * Incremental cluster election — the daily-crawl shape, matching the
+   * incremental pair generators: fold a NEW batch of candidate pairs into
+   * an existing `(id, component)` labeling (a prior [[connectedComponents]]
+   * output, typically read back from parquet) without re-pairing the
+   * corpus. The prior labeling is already a forest of stars, so it
+   * collapses in one round; convergence cost scales with the structure of
+   * the new edges only. Returns the updated COMPLETE labeling (old ids
+   * keep or merge their components; new ids join or found components).
+   * Labels remain component MINIMA, so they are stable across increments
+   * unless a new edge genuinely merges two clusters.
+   */
+  def connectedComponentsIncremental(
+      labels: DataFrame,
+      newPairs: DataFrame,
+      idACol: String = "id_a",
+      idBCol: String = "id_b",
+      maxIterations: Int = 50): DataFrame = {
+    val prior = labels.select(col("id").as(idACol), col("component").as(idBCol))
+    // self-pairs keep prior singletons in the output even when no new
+    // edge touches them (connectedComponents labels self-paired ids)
+    connectedComponents(
+      prior.unionByName(newPairs.select(col(idACol), col(idBCol))),
+      idACol, idBCol, maxIterations)
+  }
+
+  /**
    * Component-election dedup policy: keep one representative (the minimum
    * id) per connected component of `pairs`, return `docs` with all other
    * members removed. Docs never mentioned in `pairs` pass through.

@@ -147,6 +147,55 @@ class EbwPropertySpec extends AnyFunSuite {
     }, 10)
   }
 
+  test("grouped elastic fuzz: per-group feasible bounds => every group " +
+      "solves within bounds and matches its own targets") {
+    val gen: Gen[(Int, Long, Double, Double)] = for {
+      nGroups <- Gen.choose(2, 4)
+      seed <- Gen.choose(0L, 100000L)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      (nGroups, seed, 0.5 + 0.4 * rng.nextDouble(), 1.1 + 0.9 * rng.nextDouble())
+    }
+    runProp(Prop.forAll(gen) { case (nGroups, seed, lb, ub) =>
+      val rng = new scala.util.Random(seed)
+      val k = 2
+      val margin = 0.1 * (ub - lb)
+      // per group: its own rows, its own in-bounds r*, its own targets
+      val rows = scala.collection.mutable.Buffer.empty[(String, Seq[Double], Double)]
+      val targets = (0 until nGroups).map { g =>
+        val n = 8 + rng.nextInt(12)
+        val x = Array.fill(n)(Array.fill(k)(
+          (0.9 + 0.2 * rng.nextDouble()) * (if (rng.nextBoolean()) 1.0 else 0.0)))
+        val w0 = Array.fill(n)(0.8 + 0.4 * rng.nextDouble())
+        val rStar = Array.fill(n)(
+          lb + margin + (ub - lb - 2 * margin) * rng.nextDouble())
+        val sumW = w0.sum
+        x.indices.foreach(i => rows += ((s"g$g", x(i).toSeq, w0(i))))
+        s"g$g" -> Array.tabulate(k)(j =>
+          x.indices.map(i => w0(i) * rStar(i) * x(i)(j)).sum / sumW)
+      }.toMap
+      val df = spark.createDataFrame(rows.toSeq).toDF("grp", "feat", "w0")
+      val res = GroupedEntropyBalance.entropyBalanceGrouped(df, "grp", "feat",
+        "w0", targets, options = EbwOptions(bounds = Some((lb, Some(ub))),
+          optimalityTol = 1e-8, maxStepsBounded = 120))
+      // bounds hold for EVERY row regardless of convergence
+      val ratios = res.weighted
+        .select(org.apache.spark.sql.functions.col("weight_new") /
+          org.apache.spark.sql.functions.col("w0"))
+        .collect().map(_.getDouble(0))
+      val ratiosOk = ratios.forall(r => r >= lb - 1e-9 && r <= ub + 1e-9)
+      // each converged group matches ITS targets (per-group sumW scaling)
+      val sumWByG = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._3).sum }
+      val momentsOk = res.groups.forall { case (g, gr) =>
+        !gr.converged || gr.constraintViolations.zipWithIndex.forall {
+          case (v, j) =>
+            math.abs(v) < 1e-3 * math.max(1.0, math.abs(targets(g)(j)) * sumWByG(g))
+        }
+      }
+      ratiosOk && momentsOk
+    }, 8)
+  }
+
   test("weights stay positive and finite whenever the solver converges") {
     runProp(Prop.forAll(problemGen) { case (x, w0, k) =>
       val n = x.length

@@ -202,4 +202,30 @@ class DedupPropertySpec extends AnyFunSuite {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("incremental connectedComponents == full recompute on random batches") {
+    import spark.implicits._
+    val gen: Gen[(Seq[(Long, Long)], Seq[(Long, Long)])] = for {
+      n <- Gen.choose(2, 40)
+      n1 <- Gen.choose(1, 50)
+      n2 <- Gen.choose(1, 30)
+      seed <- Gen.choose(0L, 100000L)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      def batch(sz: Int) = Seq.fill(sz)(
+        (rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+      (batch(n1), batch(n2))
+    }
+    val prop = Prop.forAll(gen) { case (batch1, batch2) =>
+      val full = Dedup.connectedComponents((batch1 ++ batch2).toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val labels1 = Dedup.connectedComponents(batch1.toDF("id_a", "id_b"))
+      val incr = Dedup.connectedComponentsIncremental(
+          labels1, batch2.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      incr == full
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
