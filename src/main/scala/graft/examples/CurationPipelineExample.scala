@@ -87,21 +87,31 @@ object CurationPipelineExample {
     val tokens = TextMetrics.tokenCounts(sampled, "text", "doc_id")
       .agg(coalesce(sum("n_ws_tokens"), lit(0L))).collect()(0).getLong(0)
 
-    // 7. persist the curated corpus's dedup index, then dedupe a mock
-    // "day-2 crawl" against it incrementally (corpus never re-paired)
+    // 7. persist the curated corpus's dedup index AND component labeling,
+    // then dedupe a mock "day-2 crawl" against it incrementally: the
+    // corpus is never re-paired, and the new pairs fold into the existing
+    // labeling (prior clusters collapse in one star round)
     val idxDir = java.nio.file.Files.createTempDirectory("curate_idx").toString
     Dedup.minhashBandKeys(sampled, "text", "doc_id")
       .write.mode("overwrite").parquet(s"$idxDir/minhash_idx")
+    Dedup.connectedComponents(pairs)
+      .write.mode("overwrite").parquet(s"$idxDir/components")
     val crawl = docs.limit(200).select(
       (col("doc_id") + 10000000L).as("doc_id"), col("text"))
-    val crawlDups = Dedup.minhashCandidatePairsIncremental(
-        crawl, spark.read.parquet(s"$idxDir/minhash_idx"), "text", "doc_id")
+    val crawlPairs = Dedup.minhashCandidatePairsIncremental(
+      crawl, spark.read.parquet(s"$idxDir/minhash_idx"), "text", "doc_id")
+    val crawlDups = crawlPairs
       .filter(col("from_corpus")).select("id_new").distinct().count()
+    val mergedComponents = Dedup.connectedComponentsIncremental(
+        spark.read.parquet(s"$idxDir/components"),
+        crawlPairs.select(col("id_new").as("id_a"), col("id_match").as("id_b")))
+      .count()
     Dedup.unpersistAll(spark)
 
     println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 " +
       f"(drop-larger-id would keep $nDropLarger) decontam=$n4 " +
-      f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups")
+      f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups " +
+      f"merged_component_ids=$mergedComponents")
     spark.stop()
   }
 }

@@ -635,6 +635,31 @@ object Dedup {
     agg.select(col(idCol), fp.as("simhash"))
   }
 
+  /** Large-star round over edges oriented (u, v) with u > v: every node u
+   * links its LARGER neighbors to the minimum of its neighborhood (incl.
+   * u); keeps the larger -> smaller orientation. `private[graft]` so the
+   * plan audit can pin the per-round shuffle count. */
+  private[graft] def largeStar(e: DataFrame): DataFrame = {
+    val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = nbrs.groupBy("u")
+      .agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    nbrs.join(mins, "u")
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node u links its smaller neighbors (and
+   * itself) to the minimum of its smaller neighborhood. */
+  private[graft] def smallStar(e: DataFrame): DataFrame = {
+    val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+    val relinked = e.join(mins, "u")
+      .where(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    relinked.union(mins.select(col("u"), col("m").as("v"))).distinct()
+  }
+
   /**
    * Connected components over a candidate-pair frame: every id that appears
    * in `pairs` is labeled with the MINIMUM id of its component. This is the
@@ -675,29 +700,6 @@ object Dedup {
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
       .distinct()
-
-    // large-star: every node u links its LARGER neighbors to the minimum of
-    // its neighborhood (incl. u); keeps orientation larger -> smaller
-    def largeStar(e: DataFrame): DataFrame = {
-      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      val mins = nbrs.groupBy("u")
-        .agg(min(col("v")).as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      nbrs.join(mins, "u")
-        .where(col("v") > col("u"))
-        .select(col("v").as("u"), col("m").as("v"))
-        .distinct()
-    }
-
-    // small-star: every node u links its smaller neighbors (and itself) to
-    // the minimum of its smaller neighborhood
-    def smallStar(e: DataFrame): DataFrame = {
-      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
-      val relinked = e.join(mins, "u")
-        .where(col("v") =!= col("m"))
-        .select(col("v").as("u"), col("m").as("v"))
-      relinked.union(mins.select(col("u"), col("m").as("v"))).distinct()
-    }
 
     // fixed point = (count, order-independent checksum) of the edge set
     // unchanged across a full round; XOR (not SUM) so ANSI mode can never

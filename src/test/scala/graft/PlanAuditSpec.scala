@@ -56,6 +56,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(n == 1, s"expected exactly 1 Exchange, found $n:\n$p")
   }
 
+  test("connected-components star rounds: bounded shuffles, no nested-loop joins") {
+    // each star half-round must stay a keyed groupBy + keyed equi-join +
+    // distinct: at most 4 hash-partition shuffles, and never a cartesian /
+    // broadcast-nested-loop shape (which would go quadratic at corpus
+    // scale); the iterative driver loop multiplies whatever is here
+    import spark.implicits._
+    val e = (0L until 200L).map(i => (i + 1, i / 3)).toDF("u", "v")
+    for ((name, round) <- Seq(
+        ("largeStar", graft.ops.Dedup.largeStar(e)),
+        ("smallStar", graft.ops.Dedup.smallStar(e)))) {
+      val p = round.queryExecution.executedPlan.toString
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(shuffles <= 4, s"$name: $shuffles shuffle exchanges:\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a quadratic join:\n$p")
+    }
+  }
+
   test("text_tfidf: vocabulary join carries no broadcast hint") {
     // the logical plan must not pin dfreq to a broadcast (a web-scale
     // vocabulary would OOM the driver); AQE may still choose one at
