@@ -694,8 +694,13 @@ object Dedup {
       idACol: String = "id_a",
       idBCol: String = "id_b",
       maxIterations: Int = 50): DataFrame = {
+    // The input plan (often a full banding-pair pipeline) feeds BOTH the
+    // edge set and the node set below — persist it for the duration of
+    // this call so the upstream pipeline executes once, not twice (and
+    // not again every time the returned labels are consumed).
+    val raw = pairs.select(col(idACol).as("a"), col(idBCol).as("b")).persist()
+
     // canonical orientation: (u, v) with u > v, self-pairs dropped
-    val raw = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
     val canonical = raw.where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
@@ -738,9 +743,12 @@ object Dedup {
       .union(cur.select(col("v").as("id"), col("v").as("component")))
       .groupBy("id").agg(min(col("component")).as("component"))
     // ids appearing only in self-pairs never reach the edge set: they are
-    // their own singleton component
-    val allIds = raw.select(col("a").as("id"))
-      .union(raw.select(col("b").as("id"))).distinct()
+    // their own singleton component. Checkpointed so the returned labels
+    // are self-contained (consuming them must not re-run the upstream
+    // pair pipeline) and the input cache can be released NOW.
+    val allIds = truncate(raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct())
+    raw.unpersist(false)
     allIds.join(members, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
