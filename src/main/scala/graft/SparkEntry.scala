@@ -782,6 +782,20 @@ object SparkEntry {
         .where(col("id_a") % 20 < 7)
       Dedup.connectedComponents(edges).orderBy("id")
     }),
+    "dedup_components_incr" -> ((s, dir) => {
+      // incremental election gate: the same chain islands arrive in two
+      // batches (even id_a edges first, odd second); the day-2 fold must
+      // reproduce the full labeling exactly
+      val ids = t(s, dir, "documents").select("doc_id")
+      val edges = ids.select(col("doc_id").as("id_a"))
+        .join(ids.select(col("doc_id").as("id_b")),
+          col("id_b") === col("id_a") + 1)
+        .where(col("id_a") % 20 < 7)
+      val labels1 = Dedup.connectedComponents(edges.where(col("id_a") % 2 === 0))
+      Dedup.connectedComponentsIncremental(labels1,
+          edges.where(col("id_a") % 2 === 1))
+        .orderBy("id")
+    }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // self-union with mutated copies guarantees the operator exercises
       // its match path even on a dup-free corpus
@@ -1119,6 +1133,13 @@ object SparkEntry {
     // participants into islands {20k..20k+7}; the component minimum is the
     // closed form id - id%20 (doc_id contiguity checked: 0..N-1, N%20==0)
     "dedup_components" ->
+      """SELECT a.doc_id AS id, a.doc_id - a.doc_id % 20 AS component
+        |FROM documents a
+        |WHERE a.doc_id % 20 <= 7
+        |ORDER BY id""".stripMargin,
+    // incremental fold over the same chain islands must land on the same
+    // closed-form labeling as the one-shot computation
+    "dedup_components_incr" ->
       """SELECT a.doc_id AS id, a.doc_id - a.doc_id % 20 AS component
         |FROM documents a
         |WHERE a.doc_id % 20 <= 7

@@ -677,6 +677,13 @@ class OpsSpec extends AnyFunSuite {
     val chainCc = Dedup.connectedComponents(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(chainCc.length == 64 && chainCc.forall(_._2 == 0L))
+    // generic over orderable id types: string ids elect the lexicographic min
+    val sPairs = Seq(("url-b", "url-a"), ("url-b", "url-c"), ("url-x", "url-y"))
+      .toDF("id_a", "id_b")
+    val sCc = Dedup.connectedComponents(sPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(sCc == Map("url-a" -> "url-a", "url-b" -> "url-a",
+      "url-c" -> "url-a", "url-x" -> "url-x", "url-y" -> "url-x"), sCc.toString)
   }
 
   test("as-of join: latest at-or-before match, deterministic ties, tolerance") {
