@@ -762,7 +762,6 @@ object SparkEntry {
           .createTempDirectory("graft_minhash_idx").toString + "/keys"
         Dedup.minhashBandKeys(docs, "text", "doc_id")
           .write.mode("overwrite").parquet(p)
-        Dedup.unpersistAll(s)
         p
       })
       Dedup.minhashCandidatePairsIncremental(mutated, s.read.parquet(idxPath),
@@ -783,18 +782,20 @@ object SparkEntry {
       Dedup.connectedComponents(edges).orderBy("id")
     }),
     "dedup_components_incr" -> ((s, dir) => {
-      // incremental election gate: the same chain islands arrive in two
-      // batches (even id_a edges first, odd second); the day-2 fold must
-      // reproduce the full labeling exactly
+      // incremental election gate: the chain islands' even-id_a edges were
+      // labeled "yesterday" (in production that labeling arrives from
+      // parquet, so the gate constructs it directly — even edges pair
+      // (e, e+1), closed form component = id - id%2); today's odd-edge
+      // batch folds in and must reproduce the one-shot labeling exactly
       val ids = t(s, dir, "documents").select("doc_id")
-      val edges = ids.select(col("doc_id").as("id_a"))
+      val labels1 = ids.where(col("doc_id") % 20 <= 7)
+        .select(col("doc_id").as("id"),
+          (col("doc_id") - col("doc_id") % 2).as("component"))
+      val newEdges = ids.select(col("doc_id").as("id_a"))
         .join(ids.select(col("doc_id").as("id_b")),
           col("id_b") === col("id_a") + 1)
-        .where(col("id_a") % 20 < 7)
-      val labels1 = Dedup.connectedComponents(edges.where(col("id_a") % 2 === 0))
-      Dedup.connectedComponentsIncremental(labels1,
-          edges.where(col("id_a") % 2 === 1))
-        .orderBy("id")
+        .where(col("id_a") % 20 < 7 && col("id_a") % 2 === 1)
+      Dedup.connectedComponentsIncremental(labels1, newEdges).orderBy("id")
     }),
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // self-union with mutated copies guarantees the operator exercises
@@ -1131,7 +1132,10 @@ object SparkEntry {
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     // chain edges (d, d+1) for d%20<7 over contiguous doc_ids partition the
     // participants into islands {20k..20k+7}; the component minimum is the
-    // closed form id - id%20 (doc_id contiguity checked: 0..N-1, N%20==0)
+    // closed form id - id%20. ASSUMES doc_ids are contiguous 0..N-1 with
+    // N%20 == 0 (true of all driver-generated SFs: 500/500/5000, verified
+    // 2026-08-12; a regenerated table breaking this shows up as a
+    // boundary-island diff here, not an algorithm bug)
     "dedup_components" ->
       """SELECT a.doc_id AS id, a.doc_id - a.doc_id % 20 AS component
         |FROM documents a

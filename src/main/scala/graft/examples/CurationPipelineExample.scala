@@ -66,7 +66,12 @@ object CurationPipelineExample {
     val nDropLarger = exactDeduped.join(
       pairs.select(col("id_b").as("doc_id")).distinct(),
       Seq("doc_id"), "left_anti").count()
-    val nearDeduped = Dedup.keepRepresentatives(exactDeduped, pairs, "doc_id")
+    // one labeling serves both the election here and the persisted day-2
+    // artifact in step 7 (running keepRepresentatives would recompute it)
+    val labels = Dedup.connectedComponents(pairs)
+    val losers = labels.where(col("id") =!= col("component"))
+      .select(col("id").as("doc_id"))
+    val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
     val n3 = nearDeduped.count()
 
     // 4. decontamination: drop docs sharing 8-grams with the "eval set"
@@ -87,15 +92,17 @@ object CurationPipelineExample {
     val tokens = TextMetrics.tokenCounts(sampled, "text", "doc_id")
       .agg(coalesce(sum("n_ws_tokens"), lit(0L))).collect()(0).getLong(0)
 
-    // 7. persist the curated corpus's dedup index AND component labeling,
-    // then dedupe a mock "day-2 crawl" against it incrementally: the
-    // corpus is never re-paired, and the new pairs fold into the existing
-    // labeling (prior clusters collapse in one star round)
+    // 7. persist the curated corpus's dedup index AND the FULL component
+    // labeling (including dropped members mapping to their kept
+    // representative — so a day-2 doc that duplicates a dropped doc still
+    // lands in the right cluster), then dedupe a mock "day-2 crawl"
+    // incrementally: the corpus is never re-paired, and the new pairs
+    // fold into the existing labeling (prior clusters collapse in one
+    // star round)
     val idxDir = java.nio.file.Files.createTempDirectory("curate_idx").toString
     Dedup.minhashBandKeys(sampled, "text", "doc_id")
       .write.mode("overwrite").parquet(s"$idxDir/minhash_idx")
-    Dedup.connectedComponents(pairs)
-      .write.mode("overwrite").parquet(s"$idxDir/components")
+    labels.write.mode("overwrite").parquet(s"$idxDir/components")
     val crawl = docs.limit(200).select(
       (col("doc_id") + 10000000L).as("doc_id"), col("text"))
     val crawlPairs = Dedup.minhashCandidatePairsIncremental(

@@ -685,9 +685,13 @@ object Dedup {
    * explodes exponentially — the classic iterative-DataFrame trap. A
    * reliable checkpoint is used when `spark.sparkContext.setCheckpointDir`
    * has been called (survives executor loss — set one on a real cluster);
-   * otherwise `localCheckpoint` (executor-local blocks, fine for
-   * local-mode and fault-tolerant-enough short loops). Checkpoint blocks
-   * are released by the ContextCleaner once unreferenced.
+   * otherwise `localCheckpoint` (executor-local blocks, released by the
+   * ContextCleaner once unreferenced; fine for local-mode and
+   * fault-tolerant-enough short loops). NOTE: reliable checkpoint FILES
+   * are only auto-deleted when
+   * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark
+   * defaults it to false) — set it on a real cluster, or the per-round
+   * edge-set snapshots accumulate in the checkpoint dir until app exit.
    */
   def connectedComponents(
       pairs: DataFrame,
@@ -699,6 +703,7 @@ object Dedup {
     // this call so the upstream pipeline executes once, not twice (and
     // not again every time the returned labels are consumed).
     val raw = pairs.select(col(idACol).as("a"), col(idBCol).as("b")).persist()
+    try {
 
     // canonical orientation: (u, v) with u > v, self-pairs dropped
     val canonical = raw.where(col("a") =!= col("b"))
@@ -745,12 +750,13 @@ object Dedup {
     // ids appearing only in self-pairs never reach the edge set: they are
     // their own singleton component. Checkpointed so the returned labels
     // are self-contained (consuming them must not re-run the upstream
-    // pair pipeline) and the input cache can be released NOW.
+    // pair pipeline) and the input cache releases on exit, even on failure.
     val allIds = truncate(raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct())
-    raw.unpersist(false)
     allIds.join(members, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+
+    } finally raw.unpersist(false)
   }
 
   /**
