@@ -31,6 +31,50 @@ class EbwSolverSpec extends AnyFunSuite {
     Array.tabulate(k)(j => r.getDouble(j))
   }
 
+  test("aggregator Gram is the Jacobian of the moment map, all link modes " +
+      "(test_equations.py::test_criterion_hess analogue in dual space)") {
+    // The kernel contract every solver mode relies on: s_i(theta) =
+    // sum w0 r(t) x_i and Gram_ij = sum w0 r'(t) x_i x_j, i.e. the packed
+    // Gram IS the Jacobian ds/dtheta (negated for NEGEXP, whose slope
+    // aggregates as +Gram by convention). Verified by finite differences
+    // against the distributed aggregate itself — dense and sparse row
+    // encodings must agree too. Deterministic seed keeps the CLIP case
+    // away from measure-zero clip boundaries.
+    val rng = new scala.util.Random(155)
+    val n = 60
+    val k = 4
+    val dense = (0 until n).map { _ =>
+      EbwRow(null, Array.fill(k)(rng.nextDouble() + 0.05), 0.5 + rng.nextDouble())
+    }
+    // same data, sparse encoding (all k entries listed explicitly)
+    val sparse = dense.map(r => EbwRow(Array.tabulate(k)(identity), r.vals, r.w0))
+    val rdd = spark.sparkContext.parallelize(dense, 4)
+    val rddS = spark.sparkContext.parallelize(sparse, 4)
+    val theta = Array.fill(k)(rng.nextDouble() * 0.4 - 0.2)
+    val eps = 1e-6
+    for (link <- Seq(Link.exp, Link.clip(1.3, 0.7, 1.4), Link.negexp)) {
+      val p0 = EbwAggregator.run(rdd, k, theta, link)
+      val p0s = EbwAggregator.run(rddS, k, theta, link)
+      for (i <- 0 until k) {
+        assert(math.abs(p0.s(i) - p0s.s(i)) < 1e-12, s"dense/sparse s $i")
+        for (j <- i until k)
+          assert(math.abs(p0.gram(EbwAggregator.pidx(k, i, j)) -
+            p0s.gram(EbwAggregator.pidx(k, i, j))) < 1e-12, s"dense/sparse gram")
+      }
+      val sign = if (link.mode == Link.NEGEXP) -1.0 else 1.0
+      for (j <- 0 until k) {
+        val tj = theta.clone(); tj(j) += eps
+        val pj = EbwAggregator.run(rdd, k, tj, link)
+        for (i <- 0 until k) {
+          val fd = (pj.s(i) - p0.s(i)) / eps
+          val g = p0.gram(EbwAggregator.pidx(k, math.min(i, j), math.max(i, j)))
+          assert(math.abs(fd - sign * g) < 1e-3 * (1.0 + math.abs(g)),
+            s"link mode ${link.mode}: ds_$i/dtheta_$j fd=$fd gram=${sign * g}")
+        }
+      }
+    }
+  }
+
   test("tiny hand-solvable dense (test_dense.py::test_simple)") {
     val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, 1.0))
     val res = EntropyBalance.entropyBalance(df, "feat", "w0", Array(1.5))
