@@ -61,6 +61,16 @@ class EbwSolverSpec extends AnyFunSuite {
           assert(math.abs(p0.gram(EbwAggregator.pidx(k, i, j)) -
             p0s.gram(EbwAggregator.pidx(k, i, j))) < 1e-12, s"dense/sparse gram")
       }
+      // the sparse-Gram aggregation (big-k CG path) must produce the same
+      // moment map and the same Gram entries as the dense triangle
+      val pSp = EbwAggregator.runSparse(rddS, k, theta, link)
+      for (i <- 0 until k)
+        assert(math.abs(p0.s(i) - pSp.s(i)) < 1e-12, s"sparse-gram s $i")
+      pSp.gramKeys.zip(pSp.gramVals).foreach { case (key, v) =>
+        val (i, j) = ((key / k).toInt, (key % k).toInt) // packed i*k + j
+        assert(math.abs(v - p0.gram(EbwAggregator.pidx(k, i, j))) < 1e-12,
+          s"sparse-gram entry ($i,$j)")
+      }
       val sign = if (link.mode == Link.NEGEXP) -1.0 else 1.0
       for (j <- 0 until k) {
         val tj = theta.clone(); tj(j) += eps
