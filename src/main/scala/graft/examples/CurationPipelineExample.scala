@@ -69,9 +69,8 @@ object CurationPipelineExample {
     // one labeling serves both the election here and the persisted day-2
     // artifact in step 7 (running keepRepresentatives would recompute it)
     val labels = Dedup.connectedComponents(pairs)
-    val losers = labels.where(col("id") =!= col("component"))
-      .select(col("id").as("doc_id"))
-    val nearDeduped = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+    val nearDeduped = Dedup.keepRepresentativesByLabels(
+      exactDeduped, labels, "doc_id")
     val n3 = nearDeduped.count()
 
     // 4. decontamination: drop docs sharing 8-grams with the "eval set"

@@ -792,8 +792,17 @@ object Dedup {
    */
   def keepRepresentatives(
       docs: DataFrame, pairs: DataFrame, idCol: String,
-      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame = {
-    val losers = connectedComponents(pairs, idACol, idBCol)
+      idACol: String = "id_a", idBCol: String = "id_b"): DataFrame =
+    keepRepresentativesByLabels(
+      docs, connectedComponents(pairs, idACol, idBCol), idCol)
+
+  /** Same election, but from a PRECOMPUTED `(id, component)` labeling
+   * (a [[connectedComponents]] / [[connectedComponentsIncremental]] output,
+   * typically read back from parquet) — avoids re-running the iterative
+   * labeling when the caller already has it. */
+  def keepRepresentativesByLabels(
+      docs: DataFrame, labels: DataFrame, idCol: String): DataFrame = {
+    val losers = labels
       .where(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")

@@ -672,6 +672,11 @@ class OpsSpec extends AnyFunSuite {
     val kept = Dedup.keepRepresentatives(docsDf, pairs, "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 5L, 6L, 8L), kept.toString)
+    // same election from a precomputed labeling (the incremental flow)
+    val keptByLabels = Dedup.keepRepresentativesByLabels(docsDf,
+        Dedup.connectedComponents(pairs), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptByLabels == kept)
     // long chain (64 nodes): converges in O(log n) star rounds, one component
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val chainCc = Dedup.connectedComponents(chain).collect()
