@@ -682,6 +682,9 @@ class OpsSpec extends AnyFunSuite {
     val chainCc = Dedup.connectedComponents(chain).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
     assert(chainCc.length == 64 && chainCc.forall(_._2 == 0L))
+    // empty pair frame: converges immediately to an empty labeling
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
     // generic over orderable id types: string ids elect the lexicographic min
     val sPairs = Seq(("url-b", "url-a"), ("url-b", "url-c"), ("url-x", "url-y"))
       .toDF("id_a", "id_b")
