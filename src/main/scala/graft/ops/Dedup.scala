@@ -5,13 +5,16 @@ import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
 /**
- * Deduplication operators for large-scale text corpora. All are pure
- * DataFrame pipelines: narrow maps plus exactly one shuffle (the groupBy on
- * the dedup key), so they scale linearly with input and never materialize
- * pairwise comparisons outside an LSH bucket. Every band join is guarded by
- * a hot-bucket cap (`maxBucketSize`): a single degenerate key (empty docs,
- * boilerplate bands) would otherwise rejoin quadratically at corpus scale.
- * Dropped buckets are logged, never silent.
+ * Deduplication operators for large-scale text corpora. The hash/banding
+ * operators are pure DataFrame pipelines: narrow maps plus exactly one
+ * shuffle (the groupBy on the dedup key), so they scale linearly with
+ * input and never materialize pairwise comparisons outside an LSH bucket.
+ * The one exception by nature is [[connectedComponents]] (cluster
+ * election), an ITERATIVE pipeline: O(log n) checkpointed star rounds,
+ * each itself a bounded keyed groupBy + join (plan-audited). Every band
+ * join is guarded by a hot-bucket cap (`maxBucketSize`): a single
+ * degenerate key (empty docs, boilerplate bands) would otherwise rejoin
+ * quadratically at corpus scale. Dropped buckets are logged, never silent.
  *
  * Caching contract: the pair-generating operators cache their intermediate
  * signature/bucket frames (several downstream subtrees — the cap guard and
