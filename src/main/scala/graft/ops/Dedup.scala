@@ -705,7 +705,11 @@ object Dedup {
     // edge set and the node set below — persist it for the duration of
     // this call so the upstream pipeline executes once, not twice (and
     // not again every time the returned labels are consumed).
-    val raw = pairs.select(col(idACol).as("a"), col(idBCol).as("b")).persist()
+    // null ids cannot participate in an ordering-based election — drop the
+    // rows (vs emitting a meaningless (null, null) label)
+    val raw = pairs.select(col(idACol).as("a"), col(idBCol).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .persist()
     try {
 
     // canonical orientation: (u, v) with u > v, self-pairs dropped

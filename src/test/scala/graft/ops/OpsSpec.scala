@@ -685,6 +685,12 @@ class OpsSpec extends AnyFunSuite {
     // empty pair frame: converges immediately to an empty labeling
     assert(Dedup.connectedComponents(
       Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() == 0L)
+    // null ids drop instead of producing a (null, null) label
+    val withNulls = Seq((Some(1L), Some(2L)), (None, Some(3L)),
+      (Some(4L), None)).toDF("id_a", "id_b")
+    val nn = Dedup.connectedComponents(withNulls)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nn == Map(1L -> 1L, 2L -> 1L), nn.toString)
     // generic over orderable id types: string ids elect the lexicographic min
     val sPairs = Seq(("url-b", "url-a"), ("url-b", "url-c"), ("url-x", "url-y"))
       .toDF("id_a", "id_b")
