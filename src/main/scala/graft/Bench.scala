@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
- * prints one JSON line. Each query runs SPARK_GRAFT_BENCH_REPS times
+ * prints the headline JSON line LAST (compact, 4-decimal medians) with a
+ * full-precision detail line (per-query min/max spread + error strings)
+ * immediately before it. Each query runs SPARK_GRAFT_BENCH_REPS times
  * (default 3) and reports the per-query MEDIAN, so a single noisy run —
  * GC pause, page-cache miss, CI neighbor — cannot swing the recorded
- * number 4x the way a single-shot measurement can. `value` is the sum of
- * medians; `reps` and per-query min/max spread are emitted alongside for
- * reproducibility audits.
+ * number 4x the way a single-shot measurement can.
  */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
@@ -68,7 +68,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + median(ts) }
+    // 4-decimal rounding keeps the headline line compact (~1.2 KB for 45
+    // queries): the harness that collects this output keeps only the tail
+    // of stdout, and a full-precision line with spreads and errors inlined
+    // (~4 KB) gets its head truncated past recovery. Full-precision
+    // spreads and per-query errors go on their own earlier line.
+    def fmt(x: Double): String =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, ts, _) =>
       "\"" + k + "\":[" + ts.min + "," + ts.max + "]"
@@ -78,7 +85,8 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3 != null)
     val total = results.map(r => median(r._2)).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"spread":$spread,"errors":$errs,"failed":$nFailed}""")
+    println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$nFailed}""")
     spark.stop()
   }
 }
