@@ -736,6 +736,42 @@ object SparkEntry {
     "text_normalize" -> ((s, dir) =>
       TextMetrics.normalize(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "text_pii" -> ((s, dir) => {
+      // PII scrub gate: the corpus itself is PII-free, so deterministic
+      // synthetic PII (one email, one IPv4, one phone per doc, derived
+      // from doc_id) is appended identically here and in the oracle —
+      // every count lands non-zero and every replacement class fires
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val spiked = docs.select(col("doc_id"),
+        concat(col("text"), lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com from 10.0."),
+          (col("doc_id") % 256).cast("string"), lit(".7 or call 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      TextMetrics.piiScrub(spiked, "text", "doc_id").orderBy("doc_id")
+    }),
+    "text_chunk" -> ((s, dir) =>
+      TextMetrics.chunk(t(s, dir, "documents"), "text", "doc_id",
+          size = 64, stride = 32)
+        .orderBy("doc_id", "chunk_id")),
+    "text_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", col("doc_id") % 16)
+      TextMetrics.packBins(docs, "text", "doc_id", budget = 256,
+          shardCol = "shard")
+        .orderBy("doc_id")
+    }),
+    "q_pivot" -> ((s, dir) =>
+      // pivot with an explicit value list: one groupBy, no
+      // distinct-values pre-job, fixed output schema
+      t(s, dir, "orders")
+        .withColumn("yr", year(col("o_orderdate")))
+        .groupBy("o_orderpriority")
+        .pivot("yr", Seq(1995, 1996, 1997))
+        .agg(round(sum("o_totalprice"), 2))
+        .select(col("o_orderpriority").as("priority"),
+          col("1995").as("rev_1995"), col("1996").as("rev_1996"),
+          col("1997").as("rev_1997"))
+        .orderBy("priority")),
     "q_group_quantiles" -> ((s, dir) =>
       graft.ops.Profile.groupQuantiles(t(s, dir, "orders"),
           "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
@@ -1175,6 +1211,59 @@ object SparkEntry {
         |FROM inst JOIN win ON inst.h = win.h AND inst.ord = win.keep_ord
         |GROUP BY inst.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "text_pii" ->
+      """WITH spiked AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.7 or call 555-867-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b'))::BIGINT AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
+        |FROM spiked ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      """SELECT doc_id, i AS chunk_id, i * 32 AS chunk_start,
+        |  substr(text, i * 32 + 1, 64) AS chunk_text,
+        |  length(substr(text, i * 32 + 1, 64))::BIGINT AS n_chunk_chars
+        |FROM documents,
+        |  unnest(generate_series(0, (length(text) - 1) // 32)) AS u(i)
+        |WHERE length(text) >= 1
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "text_pack" ->
+      """WITH b AS (
+        |  SELECT doc_id, doc_id % 16 AS shard,
+        |    len(str_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS cum_tokens
+        |  FROM b)
+        |SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  (cum_tokens - n_tokens) // 256 AS bin,
+        |  cum_tokens - n_tokens - ((cum_tokens - n_tokens) // 256) * 256
+        |    AS bin_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority AS priority,
+        |  round(sum(CASE WHEN year(o_orderdate) = 1995 THEN o_totalprice END), 2)
+        |    AS rev_1995,
+        |  round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END), 2)
+        |    AS rev_1996,
+        |  round(sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 2)
+        |    AS rev_1997
+        |FROM orders GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
     "text_normalize" ->
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),

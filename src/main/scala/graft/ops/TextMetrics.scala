@@ -143,6 +143,98 @@ object TextMetrics {
     else
       docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
 
+  /** PII patterns (name, regex, replacement token) in scrub order.
+   * Restricted to the regex subset Java regex and RE2 share — ASCII
+   * classes, bounded repetition, `\b` word boundaries, no lookaround — so
+   * the DuckDB oracle replays both counting and redaction exactly.
+   * Emails scrub first: an address can embed digit runs that the ip/phone
+   * patterns would otherwise tear apart mid-token. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"))
+
+  /**
+   * PII detection + redaction — the scrub pass every public training
+   * corpus runs before release (C4/Dolma-style rule family): per-class
+   * match counts on the ORIGINAL text (so counts are independent of scrub
+   * order) plus the text with every class replaced by its token, applied
+   * in `piiPatterns` order. Per-row regexp built-ins only — narrow,
+   * codegen'd, shuffle-free: a 100 TB corpus scrubs in one
+   * embarrassingly parallel scan with full column pruning.
+   */
+  def piiScrub(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = piiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(t, lit(re), lit(0))).cast("long").as(s"n_$name")
+    }
+    val scrubbed = piiPatterns.foldLeft(t) { case (c, (_, re, repl)) =>
+      regexp_replace(c, re, repl)
+    }
+    docs.select(col(idCol) +: counts :+ scrubbed.as("text_scrubbed"): _*)
+  }
+
+  /**
+   * Fixed-size overlapping character chunks (context-window prep): chunk
+   * `i` covers `[i*stride, i*stride + size)`; the last chunk is clamped at
+   * the end of the document; empty documents emit no chunks. With
+   * `stride == size` the chunks tile the document exactly
+   * (concatenating them reconstructs the text — property-tested).
+   *
+   * Scale shape: one narrow per-row sequence+explode — no shuffle, no
+   * state; chunking 100 TB is a single embarrassingly parallel scan whose
+   * output partitioning inherits the input's.
+   */
+  def chunk(docs: DataFrame, textCol: String, idCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(size >= 1, s"chunk size must be >= 1, got $size")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    docs
+      .select(col(idCol), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") >= 1)
+      .select(col(idCol), col("t"),
+        explode(sequence(lit(0L),
+          floor((col("len") - lit(1)).cast("double") / lit(stride))
+            .cast("long"))).as("i"))
+      .select(col(idCol),
+        col("i").as("chunk_id"),
+        (col("i") * stride).as("chunk_start"),
+        col("t").substr(col("i") * stride + lit(1), lit(size))
+          .as("chunk_text"))
+      .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
+  /**
+   * Concat-and-split sequence packing (GPT-style batch prep): documents
+   * are laid end-to-end in deterministic `(shard, id)` order and cut every
+   * `budget` tokens; each document reports the bin its first token lands
+   * in and the offset within that bin, so a downstream writer can
+   * materialize fixed-length training sequences without a second pass.
+   *
+   * Packing is per-SHARD by construction: a single global running sum
+   * would funnel the whole corpus through ONE window partition — the
+   * textbook scale-killer — and production packing pipelines pack per
+   * worker shard anyway (bins never cross shards, so shards are
+   * independent and the bin id is the pair `(shard, bin)`). Cost is one
+   * shuffle on the shard key; per-shard state is a running sum.
+   */
+  def packBins(docs: DataFrame, textCol: String, idCol: String,
+      budget: Int, shardCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col(idCol), col(shardCol).as("shard"),
+        wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        expr(s"(cum_tokens - n_tokens) div $budget"))
+      .withColumn("bin_offset",
+        col("cum_tokens") - col("n_tokens") - col("bin") * budget)
+  }
+
   /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
    * Two shuffles total: term-frequency groupBy and document-frequency
    * groupBy. The tf-df join is NOT hint-broadcast: on a web-scale corpus

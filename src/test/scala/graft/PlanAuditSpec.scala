@@ -75,6 +75,33 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("piiScrub and chunk: narrow per-row scans, zero Exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pii = graft.ops.TextMetrics.piiScrub(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!pii.contains("Exchange"), s"pii scrub must not shuffle:\n$pii")
+    val ch = graft.ops.TextMetrics.chunk(docs, "text", "doc_id", 64, 32)
+      .queryExecution.executedPlan.toString
+    assert(!ch.contains("Exchange"), s"chunking must not shuffle:\n$ch")
+    // both stay inside whole-stage codegen — the `*(n)` stage marker in
+    // the plan's toString form (no UDF/interpreted break)
+    assert(pii.contains("*(1)"), s"pii scrub fell out of codegen:\n$pii")
+    assert(ch.contains("*(1)"), s"chunk fell out of codegen:\n$ch")
+  }
+
+  test("packBins: exactly one Exchange (the shard window), no global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("shard", org.apache.spark.sql.functions.col("doc_id") % 16)
+    val p = graft.ops.TextMetrics.packBins(docs, "text", "doc_id", 256, "shard")
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 Exchange (shard partitioning), found $n:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"window must partition by shard, not a global single partition:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"packing must never serialize into one partition:\n$p")
+  }
+
   test("text_tfidf: vocabulary join carries no broadcast hint") {
     // the logical plan must not pin dfreq to a broadcast (a web-scale
     // vocabulary would OOM the driver); AQE may still choose one at

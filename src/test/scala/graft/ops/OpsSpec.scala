@@ -273,6 +273,112 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == (("ok", 2L)))
   }
 
+  test("piiScrub counts and redacts emails, IPs, and phones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail a.b+c@x-y.co and d@e.org here"),
+      (2L, "ip 10.0.0.1 end 255.1.2.3"),
+      (3L, "call 555-123-4567 or 555.123.4567 or 555 123 4567"),
+      (4L, "no pii at all"),
+      // x10.0.0.1 has no word boundary before the first octet; 1234.1.1.1
+      // has no 1-3 digit first octet ending on a boundary
+      (5L, "a1b2@c3.com beside x10.0.0.1 and 1234.1.1.1"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.piiScrub(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def counts(id: Long) = (out(id).getLong(1), out(id).getLong(2), out(id).getLong(3))
+    assert(counts(1L) == ((2L, 0L, 0L)))
+    assert(out(1L).getString(4) == "mail <EMAIL> and <EMAIL> here")
+    assert(counts(2L) == ((0L, 2L, 0L)))
+    assert(out(2L).getString(4) == "ip <IP> end <IP>")
+    assert(counts(3L) == ((0L, 0L, 3L)))
+    assert(out(3L).getString(4) == "call <PHONE> or <PHONE> or <PHONE>")
+    assert(counts(4L) == ((0L, 0L, 0L)))
+    assert(out(4L).getString(4) == "no pii at all")
+    assert(counts(5L) == ((1L, 0L, 0L)))
+    assert(out(5L).getString(4) == "<EMAIL> beside x10.0.0.1 and 1234.1.1.1")
+  }
+
+  test("chunk tiles documents exactly; stride==size reconstructs the text") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, ""), (4L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.chunk(df, "text", "doc_id", size = 4, stride = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+    assert(!out.exists(_.getLong(0) == 3L)) // empty doc emits no chunks
+    assert(out.filter(_.getLong(0) == 1L).map(_.getString(3)).toSeq
+      == Seq("abcd", "efgh", "ij")) // last chunk clamped
+    assert(out.filter(_.getLong(0) == 4L).map(_.getString(3)).toSeq == Seq("abcd"))
+    // chunk_start bookkeeping
+    assert(out.forall(r => r.getLong(2) == r.getLong(1) * 4))
+    // reconstruction over the real corpus: concatenating stride==size
+    // chunks in chunk_id order restores every document byte-for-byte
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rebuilt = TextMetrics.chunk(docs, "text", "doc_id", 64, 64)
+      .select("doc_id", "chunk_id", "chunk_text").collect()
+      .groupBy(_.getLong(0)).map { case (id, rs) =>
+        id -> rs.sortBy(_.getLong(1)).map(_.getString(2)).mkString }
+    assert(rebuilt.size == texts.size)
+    assert(rebuilt.forall { case (id, s) => texts(id) == s })
+  }
+
+  test("chunk overlap: stride < size covers every position, counts match") {
+    val out = TextMetrics.chunk(docs, "text", "doc_id", size = 64, stride = 32)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        max(col("chunk_start") + col("n_chunk_chars")).as("covered"),
+        min("n_chunk_chars").as("min_len"))
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("len")),
+        "doc_id")
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, covered, minLen, len) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n == (len - 1) / 32 + 1, s"chunk count off for len=$len")
+      assert(covered == len, s"coverage gap: covered=$covered len=$len")
+      assert(minLen >= 1)
+    }
+  }
+
+  test("packBins: known bins on a handcrafted shard, invariants on the corpus") {
+    import spark.implicits._
+    // one shard, budget 10: token counts 4,4,4,9 -> starts 0,4,8,12 ->
+    // bins 0,0,0,1 with offsets 0,4,8,2
+    val df = Seq(
+      (1L, "a b c d"), (2L, "e f g h"), (3L, "i j k l"),
+      (4L, "m n o p q r s t u"))
+      .toDF("doc_id", "text").withColumn("shard", lit(0))
+    val out = TextMetrics.packBins(df, "text", "doc_id", budget = 10,
+        shardCol = "shard")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(4)).toSeq == Seq(0L, 0L, 0L, 1L))
+    assert(out.map(_.getLong(5)).toSeq == Seq(0L, 4L, 8L, 2L))
+    // corpus invariants per shard: cum is the running sum in id order,
+    // offsets stay inside the budget, bins never decrease
+    val rows = TextMetrics.packBins(
+        docs.withColumn("shard", col("doc_id") % 4), "text", "doc_id",
+        budget = 100, shardCol = "shard")
+      .collect().groupBy(_.getLong(1))
+    assert(rows.size == 4)
+    rows.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(0))
+      var run = 0L
+      var lastBin = 0L
+      sorted.foreach { r =>
+        val (tok, cum, bin, off) =
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+        run += tok
+        assert(cum == run, "cum_tokens is not the running sum")
+        assert(off >= 0 && off < 100, s"offset $off outside budget")
+        assert(bin >= lastBin, "bins must be non-decreasing in id order")
+        assert(bin == (cum - tok) / 100, "bin is not the start-token bin")
+        lastBin = bin
+      }
+    }
+  }
+
   test("group quantiles: exact matches a sorted reference; approx within accuracy") {
     import spark.implicits._
     val rng = new scala.util.Random(5)

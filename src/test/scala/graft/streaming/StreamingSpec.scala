@@ -46,6 +46,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq) // one code path, two engines
   }
 
+  test("stateless text operators run unchanged on streams: pii scrub + chunk") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // piiScrub and chunk are narrow stateless transforms — the SAME
+    // operator code drives a streaming frame with no watermark, no state,
+    // Append mode; stream output must equal the batch run row-for-row
+    val docs = Seq(
+      (1L, "mail a@b.co or call 555-123-4567 then more text here"),
+      (2L, "plain text with no personal data in it at all"),
+      (3L, "from 10.1.2.3 with love and a long tail of words"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val in = mem.toDF().toDF("doc_id", "text")
+    val scrub = graft.ops.TextMetrics.piiScrub(in, "text", "doc_id")
+    val chunks = graft.ops.TextMetrics.chunk(in, "text", "doc_id", 16, 16)
+    val q1 = scrub.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("pii_out").start()
+    val q2 = chunks.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunk_out").start()
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val batchDf = docs.toDF("doc_id", "text")
+    val sScrub = spark.table("pii_out").orderBy("doc_id").collect().toSeq
+    val bScrub = graft.ops.TextMetrics.piiScrub(batchDf, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(sScrub == bScrub && sScrub.nonEmpty)
+    val sCh = spark.table("chunk_out").orderBy("doc_id", "chunk_id").collect().toSeq
+    val bCh = graft.ops.TextMetrics.chunk(batchDf, "text", "doc_id", 16, 16)
+      .orderBy("doc_id", "chunk_id").collect().toSeq
+    assert(sCh == bCh && sCh.nonEmpty)
+  }
+
   test("streaming EBW recalibration: each micro-batch is re-solved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
