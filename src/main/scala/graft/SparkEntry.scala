@@ -776,6 +776,10 @@ object SparkEntry {
       graft.ops.Profile.groupQuantiles(t(s, dir, "orders"),
           "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
         .orderBy("grp", "q")),
+    "q_group_distinct" -> ((s, dir) =>
+      graft.ops.Profile.groupDistinct(t(s, dir, "orders"),
+          "o_orderpriority", "o_custkey")
+        .orderBy("grp")),
     "text_contamination" -> ((s, dir) => {
       // decontamination gate: every 25th document plays the benchmark, so
       // benchmark members read 1.0 and the rest 0.0 on this dup-free corpus
@@ -1271,6 +1275,12 @@ object SparkEntry {
         |  len(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
         |    ' +', ' ', 'g'))) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_group_distinct" ->
+      """SELECT o_orderpriority AS grp,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  count(o_custkey) AS n_values,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
     "q_group_quantiles" ->
       """WITH a AS (
         |  SELECT o_orderpriority AS grp,

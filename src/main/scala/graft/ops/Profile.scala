@@ -34,6 +34,38 @@ object Profile {
         col("n"))
   }
 
+  /**
+   * Per-group cardinality profile: EXACT distinct count plus basic value
+   * stats. Exact distinct is a two-level hash aggregate (Spark expands to
+   * a partial-distinct pre-aggregation, so the shuffle carries (group,
+   * value) partials, not raw rows) — correct at any scale but the shuffle
+   * width grows with the true cardinality; for web-scale cardinalities
+   * use `groupDistinctApprox`.
+   */
+  def groupDistinct(
+      df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(valueCol)).as("n_distinct"),
+        count(col(valueCol)).as("n_values"),
+        count(lit(1)).as("n_rows"))
+
+  /** Approximate per-group distinct count via HyperLogLog++
+   * (`approx_count_distinct`) — the 100 TB path: the aggregation state is
+   * one fixed-size HLL register set per group regardless of cardinality,
+   * the shuffle carries merged sketches, and relative error is bounded by
+   * `rsd` (default 5%). Mergeable sketch state also makes this the
+   * STREAMING cardinality profile (Complete mode), like
+   * `groupQuantilesApprox`. */
+  def groupDistinctApprox(
+      df: DataFrame, groupCol: String, valueCol: String,
+      rsd: Double = 0.05): DataFrame = {
+    require(rsd > 0.0 && rsd < 1.0, s"rsd must be in (0,1), got $rsd")
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(approx_count_distinct(col(valueCol), rsd).as("n_distinct_approx"),
+        count(col(valueCol)).as("n_values"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** Approximate per-group quantiles via approx_percentile (KLL-style
    * fixed-size sketch per group — the 100 TB path: no group's values are
    * ever buffered whole). Same output shape as `groupQuantiles`.

@@ -379,6 +379,33 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("group distinct: exact matches a closed form; HLL approx within its rsd band") {
+    import spark.implicits._
+    // closed form: group g has values 0..(50*(g+1)-1) each appearing twice,
+    // plus nulls that count in n_rows but not n_values/n_distinct
+    val rows = (0 until 3).flatMap { g =>
+      val vals = (0 until 50 * (g + 1)).flatMap(v => Seq(v, v))
+      vals.map(v => (s"g$g", Some(v.toLong))) :+ ((s"g$g", Option.empty[Long]))
+    }
+    val df = rows.toDF("grp0", "v")
+    val exact = Profile.groupDistinct(df, "grp0", "v")
+      .orderBy("grp").collect()
+    assert(exact.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      == Seq(("g0", 50L, 100L, 101L), ("g1", 100L, 200L, 201L), ("g2", 150L, 300L, 301L)))
+    // HLL sketch path on a wider cardinality spread: within 3x rsd of truth
+    val rng = new scala.util.Random(7)
+    val wide = (0 until 30000).map(i => (s"g${i % 2}", rng.nextInt(5000).toLong))
+      .toDF("grp0", "v")
+    val truth = Profile.groupDistinct(wide, "grp0", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    Profile.groupDistinctApprox(wide, "grp0", "v", rsd = 0.05)
+      .collect().foreach { r =>
+        val (g, est) = (r.getString(0), r.getLong(1))
+        val err = math.abs(est.toDouble - truth(g)) / truth(g)
+        assert(err <= 0.15, s"HLL estimate for $g off by ${err * 100}%")
+      }
+  }
+
   test("group quantiles: exact matches a sorted reference; approx within accuracy") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
