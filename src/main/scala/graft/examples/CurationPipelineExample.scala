@@ -18,6 +18,8 @@ import graft.ops.{Dedup, Sampling, TextMetrics}
  *   6. corpus token accounting
  *   7. incremental day-2 path: dedupe a "new crawl" against the persisted
  *      band-key index of the curated corpus — no corpus re-pairing
+ *   8. release prep: PII scrub, then fixed-window chunking and per-shard
+ *      sequence packing of the scrubbed corpus (training-batch shapes)
  *
  * Every stage is a narrow map or a single keyed shuffle; nothing collects
  * to the driver except final counts. Run:
@@ -114,10 +116,23 @@ object CurationPipelineExample {
       .count()
     Dedup.unpersistAll(spark)
 
+    // 8. release prep: scrub PII, then cut the scrubbed text into
+    // training-window chunks and pack documents into token-budget bins
+    // (both narrow/sharded — no global state, safe at any corpus size)
+    val scrubbed = TextMetrics.piiScrub(sampled, "text", "doc_id")
+      .select(col("doc_id"), col("text_scrubbed").as("text"))
+    val nChunks = TextMetrics.chunk(scrubbed, "text", "doc_id",
+      size = 2048, stride = 2048).count()
+    val nBins = TextMetrics.packBins(
+        scrubbed.withColumn("shard", col("doc_id") % 16), "text", "doc_id",
+        budget = 4096, shardCol = "shard")
+      .select("shard", "bin").distinct().count()
+
     println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 " +
       f"(drop-larger-id would keep $nDropLarger) decontam=$n4 " +
       f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups " +
-      f"merged_component_ids=$mergedComponents")
+      f"merged_component_ids=$mergedComponents chunks=$nChunks " +
+      f"packed_bins=$nBins")
     spark.stop()
   }
 }
