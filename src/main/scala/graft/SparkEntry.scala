@@ -753,6 +753,17 @@ object SparkEntry {
       TextMetrics.chunk(t(s, dir, "documents"), "text", "doc_id",
           size = 64, stride = 32)
         .orderBy("doc_id", "chunk_id")),
+    "text_strip_html" -> ((s, dir) => {
+      // markup-strip gate: the corpus is plain text, so deterministic
+      // markup (tags + all five core entities, incl. a double-escaped
+      // one) wraps every doc identically here and in the oracle
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val spiked = docs.select(col("doc_id"),
+        concat(lit("<html><body class=\"c\">"), col("text"),
+          lit("</p><br/> &amp; tail &lt;b&gt; &quot;q&quot; &#39;s&#39; " +
+            "&amp;lt;keep&amp;gt;")).as("text"))
+      TextMetrics.stripHtml(spiked, "text", "doc_id").orderBy("doc_id")
+    }),
     "text_pack" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .withColumn("shard", col("doc_id") % 16)
@@ -1235,6 +1246,24 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
         |FROM spiked ORDER BY doc_id""".stripMargin,
+    "text_strip_html" ->
+      """WITH spiked AS (
+        |  SELECT doc_id,
+        |    '<html><body class="c">' || text
+        |      || '</p><br/> &amp; tail &lt;b&gt; &quot;q&quot; &#39;s&#39; &amp;lt;keep&amp;gt;'
+        |      AS text
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(
+        |      regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&amp;', '&'),
+        |    ' +', ' ', 'g')) AS text_plain
+        |  FROM spiked)
+        |SELECT doc_id, text_plain,
+        |  length(text_plain)::BIGINT AS n_chars_plain
+        |FROM stripped ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       """SELECT doc_id, i AS chunk_id, i * 32 AS chunk_start,
         |  substr(text, i * 32 + 1, 64) AS chunk_text,

@@ -143,6 +143,32 @@ object TextMetrics {
     else
       docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
 
+  /** HTML entity decodings in application order. `&amp;` decodes LAST so
+   * double-escaped entities survive literally (`&amp;lt;` → `&lt;`, not
+   * `<`) — the standard single-pass decode order. */
+  val htmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&amp;" -> "&")
+
+  /**
+   * HTML boilerplate strip (C4/CommonCrawl-style text extraction rule
+   * family): drop every `<...>` tag (replaced by a space so adjacent words
+   * never fuse), decode the core entities in [[htmlEntities]] order,
+   * collapse whitespace runs, trim. Tags strip BEFORE entities decode, so
+   * text that spelled out `&lt;b&gt;` keeps its literal `<b>` instead of
+   * having it torn out as markup. Pure codegen'd regexp/replace built-ins
+   * — narrow, shuffle-free, engine-portable.
+   */
+  def stripHtml(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val noTags = regexp_replace(col(textCol), "<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (ent, ch)) =>
+      replace(c, lit(ent), lit(ch)) // literal replace, same as the oracle's
+    }
+    val plain = trim(regexp_replace(decoded, " +", " "))
+    docs.select(col(idCol), plain.as("text_plain"),
+      length(plain).cast("long").as("n_chars_plain"))
+  }
+
   /** PII patterns (name, regex, replacement token) in scrub order.
    * Restricted to the regex subset Java regex and RE2 share — ASCII
    * classes, bounded repetition, `\b` word boundaries, no lookaround — so

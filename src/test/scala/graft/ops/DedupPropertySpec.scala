@@ -40,6 +40,91 @@ class DedupPropertySpec extends AnyFunSuite {
     (docs, n, seed)
   }
 
+  private val chunkGen: Gen[(Seq[(Long, String)], Int, Int)] = for {
+    nDocs <- Gen.choose(1, 25)
+    size <- Gen.choose(1, 12)
+    stride <- Gen.choose(1, 12)
+    seed <- Gen.choose(0L, 100000L)
+  } yield {
+    val rng = new scala.util.Random(seed)
+    // includes empty and 1-char docs, and lengths around size/stride edges
+    val docs = (0 until nDocs).map { i =>
+      val len = rng.nextInt(40)
+      (i.toLong, rng.alphanumeric.take(len).mkString)
+    }
+    (docs, size, stride)
+  }
+
+  test("chunk: count/coverage closed forms and exact reassembly, any size/stride") {
+    import spark.implicits._
+    val prop = Prop.forAll(chunkGen) { case (rows, size, stride) =>
+      val df = rows.toDF("doc_id", "text").repartition(3)
+      val chunks = TextMetrics.chunk(df, "text", "doc_id", size, stride)
+        .collect().groupBy(_.getLong(0))
+      rows.forall { case (id, text) =>
+        if (text.isEmpty) !chunks.contains(id)
+        else {
+          val cs = chunks(id).sortBy(_.getLong(1))
+          val expectN = (text.length - 1) / stride + 1
+          cs.length == expectN &&
+            // every chunk is the exact substring it claims to be
+            cs.forall { r =>
+              val start = r.getLong(2).toInt
+              r.getString(3) == text.substring(start,
+                math.min(start + size, text.length))
+            } &&
+            // stride <= size means positions are covered; reassembly from
+            // the non-overlapping prefixes restores the document
+            (stride > size || cs.map { r =>
+              val start = r.getLong(2).toInt
+              val keep = math.min(stride, text.length - start)
+              r.getString(3).take(keep)
+            }.mkString == text)
+        }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val packGen: Gen[(Seq[(Long, Int, Int)], Int)] = for {
+    nDocs <- Gen.choose(1, 40)
+    nShards <- Gen.choose(1, 4)
+    budget <- Gen.choose(1, 30)
+    seed <- Gen.choose(0L, 100000L)
+  } yield {
+    val rng = new scala.util.Random(seed)
+    val docs = (0 until nDocs).map(i =>
+      (i.toLong, rng.nextInt(nShards), 1 + rng.nextInt(12)))
+    (docs, budget)
+  }
+
+  test("packBins equals a sequential per-shard brute-force packing") {
+    import spark.implicits._
+    val prop = Prop.forAll(packGen) { case (rows, budget) =>
+      // docs carry their token count as repeated single-char tokens
+      val df = rows.map { case (id, shard, ntok) =>
+        (id, shard, Seq.fill(ntok)("t").mkString(" "))
+      }.toDF("doc_id", "shard", "text").repartition(3)
+      val got = TextMetrics.packBins(df, "text", "doc_id", budget, "shard")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5)))).toMap
+      // driver-side reference: walk each shard in id order with a counter
+      val expect = rows.groupBy(_._2).flatMap { case (_, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).map { case (id, _, ntok) =>
+          val bin = cum / budget
+          val off = cum - bin * budget
+          cum += ntok
+          id -> ((bin, off))
+        }
+      }
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("stratifiedExact: exact per-stratum sizes, reproducible, append-stable") {
     import spark.implicits._
     val prop = Prop.forAll(corpusGen) { case (rows, n, seed) =>

@@ -299,6 +299,27 @@ class OpsSpec extends AnyFunSuite {
     assert(out(5L).getString(4) == "<EMAIL> beside x10.0.0.1 and 1234.1.1.1")
   }
 
+  test("stripHtml removes tags, decodes entities, preserves double-escapes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "<div>hello <b>world</b></div>"),
+      (2L, "a &lt;b&gt; is literal &amp; stays"),
+      (3L, "&amp;lt;x&amp;gt; double escape"),
+      (4L, "no markup here"),
+      (5L, "<a href=\"u\">link</a>text"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.stripHtml(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    // spelled-out markup stays literal text (tags strip before decode)
+    assert(out(2L) == "a <b> is literal & stays")
+    // double-escaped entities decode exactly one level
+    assert(out(3L) == "&lt;x&gt; double escape")
+    assert(out(4L) == "no markup here")
+    // tag removal never fuses adjacent words
+    assert(out(5L) == "link text")
+  }
+
   test("chunk tiles documents exactly; stride==size reconstructs the text") {
     import spark.implicits._
     val df = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, ""), (4L, "abcd"))
