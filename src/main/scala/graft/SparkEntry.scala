@@ -420,9 +420,35 @@ object SparkEntry {
        |ORDER BY o.o_orderkey""".stripMargin
   }
 
+  /** One SQL text, two engines: the `q_sql_exists` gate feeds this EXACT
+   * string to `spark.sql` over temp views AND to DuckDB as its oracle —
+   * the SQL front door is gated on dialect-portable text by construction. */
+  private val sqlExistsText: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_setops" -> ((s, dir) => {
+      // INTERSECT / EXCEPT (distinct set semantics in both engines)
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") >= 48).select("l_partkey")
+      val b = li.filter(col("l_discount") <= 0.01).select("l_partkey")
+      a.intersect(b).select(lit("intersect").as("op"), col("l_partkey"))
+        .unionAll(a.except(b).select(lit("except").as("op"), col("l_partkey")))
+        .orderBy("op", "l_partkey")
+    }),
+    "q_sql_exists" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlExistsText)
+    }),
     // §2b — query engine
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1246,6 +1272,16 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
         |FROM spiked ORDER BY doc_id""".stripMargin,
+    "q_setops" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_discount <= 0.01),
+        |i AS (SELECT l_partkey FROM a INTERSECT SELECT l_partkey FROM b),
+        |e AS (SELECT l_partkey FROM a EXCEPT SELECT l_partkey FROM b)
+        |SELECT 'intersect' AS op, l_partkey FROM i
+        |UNION ALL
+        |SELECT 'except' AS op, l_partkey FROM e
+        |ORDER BY op, l_partkey""".stripMargin,
+    "q_sql_exists" -> sqlExistsText,
     "text_strip_html" ->
       """WITH spiked AS (
         |  SELECT doc_id,
