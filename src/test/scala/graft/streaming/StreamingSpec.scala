@@ -46,7 +46,7 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq) // one code path, two engines
   }
 
-  test("stateless text operators run unchanged on streams: pii scrub + chunk") {
+  test("stateless text operators run unchanged on streams: scrub, chunk, strip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     // piiScrub and chunk are narrow stateless transforms — the SAME
@@ -54,19 +54,23 @@ class StreamingSpec extends AnyFunSuite {
     // Append mode; stream output must equal the batch run row-for-row
     val docs = Seq(
       (1L, "mail a@b.co or call 555-123-4567 then more text here"),
-      (2L, "plain text with no personal data in it at all"),
+      (2L, "plain <b>text</b> with no personal data &amp; markup"),
       (3L, "from 10.1.2.3 with love and a long tail of words"))
     val mem = MemoryStream[(Long, String)]
     mem.addData(docs: _*)
     val in = mem.toDF().toDF("doc_id", "text")
     val scrub = graft.ops.TextMetrics.piiScrub(in, "text", "doc_id")
     val chunks = graft.ops.TextMetrics.chunk(in, "text", "doc_id", 16, 16)
+    val plain = graft.ops.TextMetrics.stripHtml(in, "text", "doc_id")
     val q1 = scrub.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("pii_out").start()
     val q2 = chunks.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("chunk_out").start()
+    val q3 = plain.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("strip_out").start()
     q1.processAllAvailable(); q1.stop()
     q2.processAllAvailable(); q2.stop()
+    q3.processAllAvailable(); q3.stop()
     val batchDf = docs.toDF("doc_id", "text")
     val sScrub = spark.table("pii_out").orderBy("doc_id").collect().toSeq
     val bScrub = graft.ops.TextMetrics.piiScrub(batchDf, "text", "doc_id")
@@ -76,6 +80,10 @@ class StreamingSpec extends AnyFunSuite {
     val bCh = graft.ops.TextMetrics.chunk(batchDf, "text", "doc_id", 16, 16)
       .orderBy("doc_id", "chunk_id").collect().toSeq
     assert(sCh == bCh && sCh.nonEmpty)
+    val sSt = spark.table("strip_out").orderBy("doc_id").collect().toSeq
+    val bSt = graft.ops.TextMetrics.stripHtml(batchDf, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(sSt == bSt && sSt.nonEmpty)
   }
 
   test("streaming EBW recalibration: each micro-batch is re-solved") {
