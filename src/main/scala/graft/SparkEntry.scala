@@ -435,6 +435,36 @@ object SparkEntry {
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_window_range" -> ((s, dir) => {
+      // RANGE-frame window: 7-day ROLLING revenue per supplier — a value-
+      // distance frame over a numeric day key (the ROWS-frame q_window
+      // cannot express "all rows within 6 days"). Daily pre-aggregation
+      // keeps one row per (supplier, day); the subset bounds the gate at
+      // every SF while exercising the frame semantics fully.
+      val daily = t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 10 &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"), to_date(col("l_shipdate")).as("d"))
+        .agg(sum("l_extendedprice").as("rev"))
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy(datediff(col("d"), lit("1995-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+      daily.select(col("l_suppkey"),
+          date_format(col("d"), "yyyy-MM-dd").as("day"),
+          round(sum(col("rev")).over(w), 2).as("rev_7d"))
+        .orderBy("l_suppkey", "day")
+    }),
+    "q_stats_agg" -> ((s, dir) =>
+      // statistical aggregates: correlation, sample covariance/stddev —
+      // one map-side-combined groupBy, co-moment state per group
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+          round(stddev_samp(col("l_quantity")), 4).as("sd_q"),
+          round(avg(col("l_quantity")), 4).as("avg_q"))
+        .orderBy("l_returnflag")),
     "q_setops" -> ((s, dir) => {
       // INTERSECT / EXCEPT (distinct set semantics in both engines)
       val li = t(s, dir, "lineitem")
@@ -1272,6 +1302,25 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
         |FROM spiked ORDER BY doc_id""".stripMargin,
+    "q_window_range" ->
+      """WITH daily AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
+        |    sum(l_extendedprice) AS rev
+        |  FROM lineitem
+        |  WHERE l_suppkey < 10 AND l_shipdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY 1, 2)
+        |SELECT l_suppkey, strftime(d, '%Y-%m-%d') AS day,
+        |  round(sum(rev) OVER (PARTITION BY l_suppkey
+        |    ORDER BY datediff('day', DATE '1995-01-01', d)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM daily ORDER BY l_suppkey, day""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  round(stddev_samp(l_quantity), 4) AS sd_q,
+        |  round(avg(l_quantity), 4) AS avg_q
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_setops" ->
       """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity >= 48),
         |b AS (SELECT l_partkey FROM lineitem WHERE l_discount <= 0.01),
