@@ -118,15 +118,20 @@ object CurationPipelineExample {
 
     // 8. release prep: scrub PII, then cut the scrubbed text into
     // training-window chunks and pack documents into token-budget bins
-    // (both narrow/sharded — no global state, safe at any corpus size)
+    // (both narrow/sharded — no global state, safe at any corpus size).
+    // The scrubbed frame is persisted: chunking and packing are two
+    // separate actions, and without it each would re-execute the whole
+    // curation chain above (the operator caches released at step 7's end)
     val scrubbed = TextMetrics.piiScrub(sampled, "text", "doc_id")
       .select(col("doc_id"), col("text_scrubbed").as("text"))
+      .persist()
     val nChunks = TextMetrics.chunk(scrubbed, "text", "doc_id",
       size = 2048, stride = 2048).count()
     val nBins = TextMetrics.packBins(
         scrubbed.withColumn("shard", col("doc_id") % 16), "text", "doc_id",
         budget = 4096, shardCol = "shard")
       .select("shard", "bin").distinct().count()
+    scrubbed.unpersist(false)
 
     println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 " +
       f"(drop-larger-id would keep $nDropLarger) decontam=$n4 " +

