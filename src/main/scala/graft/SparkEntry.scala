@@ -435,6 +435,22 @@ object SparkEntry {
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_extract" -> ((s, dir) => {
+      // JSON parsing (crawl-metadata ingest): the JSON text is built by
+      // identical concat in both engines (lang/source are plain ASCII, no
+      // escaping), then parsed back with path extraction — nested object
+      // path, string field, and numeric casts all gated
+      val docs = t(s, dir, "documents")
+      val meta = concat(lit("{\"doc\": {\"id\": "),
+        col("doc_id").cast("string"), lit(", \"lang\": \""), col("lang"),
+        lit("\"}, \"n_chars\": "), col("n_chars").cast("string"), lit("}"))
+      docs.select(col("doc_id"), meta.as("meta"))
+        .select(col("doc_id"),
+          get_json_object(col("meta"), "$.doc.lang").as("lang_j"),
+          get_json_object(col("meta"), "$.doc.id").cast("long").as("id_j"),
+          get_json_object(col("meta"), "$.n_chars").cast("long").as("nc_j"))
+        .orderBy("doc_id")
+    }),
     "q_window_range" -> ((s, dir) => {
       // RANGE-frame window: 7-day ROLLING revenue per supplier — a value-
       // distance frame over a numeric day key (the ROWS-frame q_window
@@ -1302,6 +1318,18 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
         |FROM spiked ORDER BY doc_id""".stripMargin,
+    "q_json_extract" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    '{"doc": {"id": ' || CAST(doc_id AS VARCHAR) || ', "lang": "'
+        |      || lang || '"}, "n_chars": ' || CAST(n_chars AS VARCHAR)
+        |      || '}' AS meta
+        |  FROM documents)
+        |SELECT doc_id,
+        |  json_extract_string(meta, '$.doc.lang') AS lang_j,
+        |  CAST(json_extract_string(meta, '$.doc.id') AS BIGINT) AS id_j,
+        |  CAST(json_extract_string(meta, '$.n_chars') AS BIGINT) AS nc_j
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_window_range" ->
       """WITH daily AS (
         |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS d,
