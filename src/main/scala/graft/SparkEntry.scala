@@ -435,6 +435,17 @@ object SparkEntry {
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_array_agg" -> ((s, dir) =>
+      // array aggregation: collect_set + sort_array (deterministic via the
+      // sort), projected through array_join so both engines compare the
+      // same canonical string form
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy("o_orderpriority")),
     "q_json_extract" -> ((s, dir) => {
       // JSON parsing (crawl-metadata ingest): the JSON text is built by
       // identical concat in both engines (lang/source are plain ASCII, no
@@ -1318,6 +1329,12 @@ object SparkEntry {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g') AS text_scrubbed
         |FROM spiked ORDER BY doc_id""".stripMargin,
+    "q_array_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+        |    AS statuses,
+        |  count(DISTINCT o_orderstatus) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_json_extract" ->
       """WITH m AS (
         |  SELECT doc_id,
