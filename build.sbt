@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked stdout must reach the console verbatim: the default LoggedOutput
+// strategy prefixes every line with "[info] ", which breaks any collector
+// expecting a bare JSON line from Bench/Verify. StdoutOutput pipes the
+// child process's stdout straight through, no logger, no prefix.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -85,8 +85,18 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3 != null)
     val total = results.map(r => median(r._2)).sum
+    val headline =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$nFailed}"""
     println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$nFailed}""")
+    println(headline)
+    // Belt and suspenders for collectors that only see sbt-logged (or
+    // truncated) stdout: the same headline object lands in a plain file
+    // next to the working directory, always a single bare JSON line.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_headline.json")),
+        (headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Throwable if scala.util.control.NonFatal(e) => () }
     spark.stop()
   }
 }
