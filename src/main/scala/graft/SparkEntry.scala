@@ -506,6 +506,53 @@ object SparkEntry {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(sqlExistsText)
     }),
+    "q_window_nav" -> ((s, dir) => {
+      // window navigation family: lag/lead over the deterministic per-
+      // supplier ship order, rank/dense_rank over a tied value (l_quantity
+      // repeats within a supplier, so the two differ), ntile over the total
+      // order. The supplier subset bounds the gate at every SF; one window
+      // partitioning serves all five functions (a single Window exec pair,
+      // no extra Exchange per function).
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      val wq = Window.partitionBy("l_suppkey").orderBy("l_quantity")
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 10)
+        .select(col("l_suppkey"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          col("l_orderkey"), col("l_linenumber"),
+          lag("l_quantity", 1).over(w).as("prev_qty"),
+          lead("l_quantity", 1).over(w).as("next_qty"),
+          rank().over(wq).cast("long").as("qty_rank"),
+          dense_rank().over(wq).cast("long").as("qty_drank"),
+          ntile(4).over(w).cast("long").as("bucket4"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+    "q_full_outer" -> ((s, dir) => {
+      // FULL OUTER join (the one join type previously ungated): per-
+      // customer URGENT-order rollup vs the BUILDING customer dim. Every
+      // customer has *some* order in this testdata, so the left side is
+      // restricted to urgent orders to make both null sides real:
+      // right-only = BUILDING customers with no urgent orders, left-only =
+      // urgent buyers outside BUILDING. Keys coalesced, sides marked,
+      // total order.
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ord.join(cust, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+          when(col("o_custkey").isNotNull && col("c_custkey").isNotNull, "both")
+            .when(col("o_custkey").isNotNull, "orders_only")
+            .otherwise("building_only").as("side"),
+          col("n_orders"), col("total"), col("c_mktsegment"))
+        .orderBy("custkey")
+    }),
     // §2b — query engine
     "q1_pricing" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -1376,6 +1423,38 @@ object SparkEntry {
         |SELECT 'except' AS op, l_partkey FROM e
         |ORDER BY op, l_partkey""".stripMargin,
     "q_sql_exists" -> sqlExistsText,
+    "q_window_nav" ->
+      """SELECT l_suppkey,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |  l_orderkey, l_linenumber,
+        |  lag(l_quantity) OVER w AS prev_qty,
+        |  lead(l_quantity) OVER w AS next_qty,
+        |  rank() OVER wq AS qty_rank,
+        |  dense_rank() OVER wq AS qty_drank,
+        |  ntile(4) OVER w AS bucket4
+        |FROM lineitem
+        |WHERE l_suppkey < 10
+        |WINDOW
+        |  w AS (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber),
+        |  wq AS (PARTITION BY l_suppkey ORDER BY l_quantity)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_full_outer" ->
+      """WITH o AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS total
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  GROUP BY o_custkey),
+        |c AS (
+        |  SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |SELECT coalesce(o_custkey, c_custkey) AS custkey,
+        |  CASE WHEN o_custkey IS NOT NULL AND c_custkey IS NOT NULL THEN 'both'
+        |       WHEN o_custkey IS NOT NULL THEN 'orders_only'
+        |       ELSE 'building_only' END AS side,
+        |  n_orders, total, c_mktsegment
+        |FROM o FULL OUTER JOIN c ON o_custkey = c_custkey
+        |ORDER BY custkey""".stripMargin,
     "text_strip_html" ->
       """WITH spiked AS (
         |  SELECT doc_id,
