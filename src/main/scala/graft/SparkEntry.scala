@@ -939,8 +939,7 @@ object SparkEntry {
       val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" tail tokens appended here")).as("text"))
       val idxPath = minhashIdxPaths.computeIfAbsent(dir, _ => {
-        val p = java.nio.file.Files
-          .createTempDirectory("graft_minhash_idx").toString + "/keys"
+        val p = graft.ops.Scratch.dir("graft_minhash_idx") + "/keys"
         Dedup.minhashBandKeys(docs, "text", "doc_id")
           .write.mode("overwrite").parquet(p)
         p

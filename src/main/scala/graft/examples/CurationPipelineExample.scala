@@ -9,6 +9,8 @@ import graft.ops.{Dedup, Sampling, TextMetrics}
  * End-to-end training-data curation over the documents table — the
  * operators composed the way a production pipeline chains them:
  *
+ *   0. per-source corpus profile (the CCNet-style "which crawl sources
+ *      are garbage" report) — consulted BEFORE choosing filter thresholds
  *   1. normalization + quality + repetition filters (Gopher-style rules)
  *   2. exact dedup (content hash, keep lowest id)
  *   3. near-dedup (minhash banding pairs -> connected-components cluster
@@ -39,6 +41,18 @@ object CurationPipelineExample {
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val n0 = docs.count()
+
+    // 0. per-source health report: one sketch-state aggregation over the
+    // raw corpus; the lowest-median-quality source is what a real pipeline
+    // would inspect (or drop) before tuning the stage-1 thresholds
+    val report = graft.ops.Profile.sourceReport(
+        docs, "source", "lang", "text", "doc_id")
+      .orderBy("quality_p50", "source")
+    val worst = report.select("source", "quality_p50", "n_docs")
+      .first()
+    println(s"[curate] worst source by median quality: " +
+      s"${worst.getString(0)} (p50=${worst.getDouble(1)}, " +
+      s"docs=${worst.getLong(2)})")
 
     // 1. rule filters: minimum length, bounded repetition
     val quality = TextMetrics.quality(docs, "text", "doc_id")
@@ -100,7 +114,7 @@ object CurationPipelineExample {
     // incrementally: the corpus is never re-paired, and the new pairs
     // fold into the existing labeling (prior clusters collapse in one
     // star round)
-    val idxDir = java.nio.file.Files.createTempDirectory("curate_idx").toString
+    val idxDir = graft.ops.Scratch.dir("curate_idx")
     Dedup.minhashBandKeys(sampled, "text", "doc_id")
       .write.mode("overwrite").parquet(s"$idxDir/minhash_idx")
     labels.write.mode("overwrite").parquet(s"$idxDir/components")

@@ -66,6 +66,41 @@ object Profile {
         count(lit(1)).as("n_rows"))
   }
 
+  /**
+   * Per-source corpus health report — the CCNet-style "which crawl sources
+   * are garbage" table a curation pipeline consults before choosing
+   * filters. One row per source: doc count, approximate distinct-language
+   * count (HLL++), mean/median quality, and token-count deciles.
+   *
+   * Exactly one narrow projection (the quality metrics) followed by ONE
+   * groupBy-source aggregation whose per-group state is fixed-size (HLL
+   * registers + KLL sketches + scalar sums) — no source's rows are ever
+   * buffered, so the report costs one shuffle of sketch partials at any
+   * corpus size.
+   */
+  def sourceReport(
+      docs: DataFrame, sourceCol: String, langCol: String,
+      textCol: String, idCol: String): DataFrame = {
+    val q = TextMetrics.quality(docs, textCol, idCol,
+      keep = Seq(sourceCol, langCol))
+    q.groupBy(col(sourceCol).as("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        approx_count_distinct(col(langCol)).as("n_langs_approx"),
+        round(avg(col("quality")), 4).as("avg_quality"),
+        round(avg(col("n_tokens")), 2).as("avg_tokens"),
+        percentile_approx(col("n_tokens"),
+          array(lit(0.1), lit(0.5), lit(0.9)), lit(10000)).as("tok_q"),
+        round(percentile_approx(col("quality"), lit(0.5), lit(10000))
+          .cast("double"), 4).as("quality_p50"))
+      .select(col("source"), col("n_docs"), col("n_langs_approx"),
+        col("avg_quality"), col("avg_tokens"),
+        col("tok_q")(0).cast("long").as("tokens_p10"),
+        col("tok_q")(1).cast("long").as("tokens_p50"),
+        col("tok_q")(2).cast("long").as("tokens_p90"),
+        col("quality_p50"))
+  }
+
   /** Approximate per-group quantiles via approx_percentile (KLL-style
    * fixed-size sketch per group — the 100 TB path: no group's values are
    * ever buffered whole). Same output shape as `groupQuantiles`.

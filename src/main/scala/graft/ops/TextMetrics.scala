@@ -22,18 +22,20 @@ object TextMetrics {
       reTokenCount(col(textCol)).as("n_re_tokens"))
 
   /** Simple quality score: length stats + token shape, all portable
-   * arithmetic (length/replace/least/round). */
-  def quality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+   * arithmetic (length/replace/least/round). `keep` columns pass through
+   * unchanged (e.g. source/lang for per-source profiling) — still a single
+   * narrow projection, no join needed to retain them. */
+  def quality(docs: DataFrame, textCol: String, idCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     val t = col(textCol)
     val len = length(t).cast("long")
     val spaces = (length(t) - length(regexp_replace(t, lit(" "), lit("")))).cast("long")
     val tokens = spaces + lit(1L)
-    docs.select(
-      col(idCol),
-      len.as("n_chars_m"),
-      tokens.as("n_tokens"),
-      round((len - spaces) * lit(1.0) / tokens, 4).as("avg_token_len"),
-      round(least(tokens * lit(1.0) / lit(20.0), lit(1.0)), 4).as("quality"))
+    docs.select(col(idCol) +: keep.map(col) :+
+      len.as("n_chars_m") :+
+      tokens.as("n_tokens") :+
+      round((len - spaces) * lit(1.0) / tokens, 4).as("avg_token_len") :+
+      round(least(tokens * lit(1.0) / lit(20.0), lit(1.0)), 4).as("quality"): _*)
   }
 
   /** Marker stopwords per language; shared with the oracle-SQL generator

@@ -115,7 +115,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the 100 TB fact-to-fact pattern: both sides bucketed by the join key
     // at write time -> the sort-merge join needs no shuffle at read time
     import org.apache.spark.sql.functions._
-    val wh = java.nio.file.Files.createTempDirectory("bucketwh").toString
+    val wh = graft.ops.Scratch.dir("bucketwh")
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
@@ -180,7 +180,7 @@ class PlanAuditSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select("doc_id", "text")
-    val tmp = java.nio.file.Files.createTempDirectory("mhidx_plan").toString
+    val tmp = graft.ops.Scratch.dir("mhidx_plan")
     graft.ops.Dedup.minhashBandKeys(docs, "text", "doc_id")
       .write.parquet(s"$tmp/idx")
     val corpusKeys = spark.read.parquet(s"$tmp/idx")

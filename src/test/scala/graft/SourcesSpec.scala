@@ -28,7 +28,7 @@ class SourcesSpec extends AnyFunSuite {
   private def docs = spark.read.parquet(s"$dir/documents.parquet")
 
   private def tmp(name: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_$name").toString
+    graft.ops.Scratch.dir(s"graft_$name")
 
   private def asSet(df: DataFrame): Set[(Long, String, String, String, Long)] =
     df.select("doc_id", "text", "lang", "source", "n_chars").collect()

@@ -200,6 +200,64 @@ class EbwPropertySpec extends AnyFunSuite {
     }, 8)
   }
 
+  test("grouped elastic == per-group single elastic solves (weight-level " +
+      "equivalence on random feasible bounds)") {
+    // The grouped/single equivalence is spec'd for exact and penalty modes
+    // in GroupedSpec; this closes the remaining pairing: on the SAME rows,
+    // targets, and ratio bounds, the grouped solver's weights for a group
+    // must match an independent single-problem solve of just that group.
+    val gen: Gen[(Int, Long, Double, Double)] = for {
+      nGroups <- Gen.choose(2, 3)
+      seed <- Gen.choose(0L, 100000L)
+    } yield {
+      val rng = new scala.util.Random(seed)
+      (nGroups, seed, 0.5 + 0.4 * rng.nextDouble(), 1.1 + 0.9 * rng.nextDouble())
+    }
+    runProp(Prop.forAll(gen) { case (nGroups, seed, lb, ub) =>
+      val rng = new scala.util.Random(seed)
+      val k = 2
+      val margin = 0.1 * (ub - lb)
+      val rows = scala.collection.mutable.Buffer.empty[(Long, String, Seq[Double], Double)]
+      var nextId = 0L
+      val targets = (0 until nGroups).map { g =>
+        val n = 8 + rng.nextInt(10)
+        val x = Array.fill(n)(Array.fill(k)(
+          (0.9 + 0.2 * rng.nextDouble()) * (if (rng.nextBoolean()) 1.0 else 0.0)))
+        val w0 = Array.fill(n)(0.8 + 0.4 * rng.nextDouble())
+        val rStar = Array.fill(n)(
+          lb + margin + (ub - lb - 2 * margin) * rng.nextDouble())
+        val sumW = w0.sum
+        x.indices.foreach { i =>
+          rows += ((nextId, s"g$g", x(i).toSeq, w0(i))); nextId += 1
+        }
+        s"g$g" -> Array.tabulate(k)(j =>
+          x.indices.map(i => w0(i) * rStar(i) * x(i)(j)).sum / sumW)
+      }.toMap
+      val opts = EbwOptions(bounds = Some((lb, Some(ub))),
+        optimalityTol = 1e-9, maxStepsBounded = 150)
+      val df = spark.createDataFrame(rows.toSeq).toDF("id", "grp", "feat", "w0")
+      val grouped = GroupedEntropyBalance.entropyBalanceGrouped(
+        df, "grp", "feat", "w0", targets, options = opts)
+      val groupedW = grouped.weighted.select("id", "weight_new")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      (0 until nGroups).forall { g =>
+        val gName = s"g$g"
+        val single = EntropyBalance.entropyBalance(
+          df.filter(org.apache.spark.sql.functions.col("grp") === gName),
+          "feat", "w0", targets(gName), options = opts)
+        val singleW = single.weighted.select("id", "weight_new")
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val bothConverged = grouped.groups(gName).converged && single.converged
+        // equivalence is asserted whenever both solves converged; a random
+        // hard instance that fails to converge (reported, not thrown) must
+        // not flake the suite
+        !bothConverged || singleW.forall { case (id, ws) =>
+          math.abs(groupedW(id) - ws) <= 1e-5 * math.max(1.0, math.abs(ws))
+        }
+      }
+    }, 6)
+  }
+
   test("weights stay positive and finite whenever the solver converges") {
     runProp(Prop.forAll(problemGen) { case (x, w0, k) =>
       val n = x.length

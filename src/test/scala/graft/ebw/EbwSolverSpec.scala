@@ -308,7 +308,7 @@ class EbwSolverSpec extends AnyFunSuite {
   }
 
   test("save_problem_data / save_failure_data options (shared.py::dump, test_dump.py)") {
-    val tmp = java.nio.file.Files.createTempDirectory("dump").toString
+    val tmp = graft.ops.Scratch.dir("dump")
     val df = denseDf(Array(Array(1.0), Array(2.0)), Array(1.0, 1.0))
     // success: problem dumped, failure file absent
     EntropyBalance.entropyBalance(df, "feat", "w0", Array(1.5),

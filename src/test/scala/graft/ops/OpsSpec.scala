@@ -170,7 +170,7 @@ class OpsSpec extends AnyFunSuite {
       .select(col("embedding").cast("array<double>")).collect()(0).getSeq[Double](0)
     val rest = emb.filter(col("vec_id") =!= 0)
     val index = Similarity.fitIvfIndex(rest, "embedding", "vec_id", nlist = 8)
-    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val tmp = graft.ops.Scratch.dir("ivfidx")
     Similarity.saveIvfIndex(index, tmp)
     val loaded = Similarity.loadIvfIndex(spark, tmp)
     assert(loaded.idCol == "vec_id")
@@ -427,6 +427,33 @@ class OpsSpec extends AnyFunSuite {
       }
   }
 
+  test("source report: one row per source, consistent counts, ordered " +
+      "token deciles, exact language cardinality at this scale") {
+    val report = Profile.sourceReport(docs, "source", "lang", "text", "doc_id")
+      .collect()
+    val nSources = docs.select("source").distinct().count()
+    assert(report.length == nSources && nSources > 1)
+    // doc counts partition the corpus
+    assert(report.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    // exact per-source truth for the sketched columns
+    val truthLangs = docs.groupBy("source")
+      .agg(org.apache.spark.sql.functions.countDistinct("lang").as("nl"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    report.foreach { r =>
+      val src = r.getAs[String]("source")
+      val (p10, p50, p90) = (r.getAs[Long]("tokens_p10"),
+        r.getAs[Long]("tokens_p50"), r.getAs[Long]("tokens_p90"))
+      assert(p10 <= p50 && p50 <= p90, s"$src deciles out of order")
+      assert(p10 > 0, s"$src has empty docs")
+      val q50 = r.getAs[Double]("quality_p50")
+      assert(q50 > 0.0 && q50 <= 1.0, s"$src median quality $q50 out of range")
+      // HLL++ is exact at single-digit cardinalities, so require equality
+      assert(r.getAs[Long]("n_langs_approx") == truthLangs(src),
+        s"$src language cardinality")
+      assert(r.getAs[Double]("avg_quality") > 0.0)
+    }
+  }
+
   test("group quantiles: exact matches a sorted reference; approx within accuracy") {
     import spark.implicits._
     val rng = new scala.util.Random(5)
@@ -464,7 +491,7 @@ class OpsSpec extends AnyFunSuite {
     val newBatch = base.limit(120).select((col("doc_id") + offset).as("doc_id"),
       concat(col("text"), lit(" tail tokens appended here")).as("text"))
     // corpus index persisted + reloaded: the production shape
-    val tmp = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val tmp = graft.ops.Scratch.dir("mhidx")
     Dedup.minhashBandKeys(base, "text", "doc_id").write.parquet(s"$tmp/idx")
     val corpusKeys = spark.read.parquet(s"$tmp/idx")
     val incr = Dedup.minhashCandidatePairsIncremental(newBatch, corpusKeys,
@@ -490,7 +517,7 @@ class OpsSpec extends AnyFunSuite {
     val offset = 1000000L
     val newBatch = base.limit(100).select((col("doc_id") + offset).as("doc_id"),
       concat(col("text"), lit(" small tail change")).as("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("shidx").toString
+    val tmp = graft.ops.Scratch.dir("shidx")
     Dedup.simhash(base, "text", "doc_id").write.parquet(s"$tmp/fp")
     val incr = Dedup.simhashCandidatePairsIncremental(newBatch,
         spark.read.parquet(s"$tmp/fp"), "text", "doc_id").collect()
@@ -512,7 +539,7 @@ class OpsSpec extends AnyFunSuite {
     val offset = 1000000L
     val newBatch = base.limit(100).select((col("doc_id") + offset).as("doc_id"),
       concat(col("text"), lit(" tail tokens appended here")).as("text"))
-    val tmp = java.nio.file.Files.createTempDirectory("ngidx").toString
+    val tmp = graft.ops.Scratch.dir("ngidx")
     Dedup.ngramBandKeys(base, "text", "doc_id").write.parquet(s"$tmp/keys")
     Dedup.ngramShingles(base, "text", "doc_id").write.parquet(s"$tmp/sh")
     val incr = Dedup.ngramJaccardPairsIncremental(newBatch,
@@ -541,7 +568,7 @@ class OpsSpec extends AnyFunSuite {
     val newBatch = emb.limit(150).select((col("vec_id") + offset).as("vec_id"),
       transform(col("embedding").cast("array<double>"),
         x => x * lit(1.000001)).as("embedding"))
-    val tmp = java.nio.file.Files.createTempDirectory("embidx").toString
+    val tmp = graft.ops.Scratch.dir("embidx")
     Dedup.embeddingBandKeys(emb, "embedding", "vec_id", dim = 64, bands = 4,
         bitsPerBand = 8).write.parquet(s"$tmp/keys")
     val incr = Dedup.embeddingCosinePairsIncremental(newBatch,
@@ -623,7 +650,7 @@ class OpsSpec extends AnyFunSuite {
     // a footer-listing job, which is not what this test measures
     val docsDf = docs.limit(100).select(col("doc_id"), col("text"))
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val idxTmp = java.nio.file.Files.createTempDirectory("lazyidx").toString
+    val idxTmp = graft.ops.Scratch.dir("lazyidx")
     Dedup.minhashBandKeys(docsDf, "text", "doc_id").write.parquet(s"$idxTmp/mh")
     val mhIdx = spark.read.parquet(s"$idxTmp/mh")
     // Deterministic laziness check, no fixed sleep: jobs are counted only

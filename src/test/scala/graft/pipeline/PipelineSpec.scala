@@ -107,7 +107,7 @@ class PipelineSpec extends AnyFunSuite {
   test("ProblemIO round-trips dense and sparse problems") {
     val df = cust
     val m = targets(df)
-    val tmp = java.nio.file.Files.createTempDirectory("ebwio").toString
+    val tmp = graft.ops.Scratch.dir("ebwio")
     ProblemIO.save(df, "feat", "w0", m, s"$tmp/dense")
     val (loaded, m2) = ProblemIO.load(spark, s"$tmp/dense")
     assert(m2.toSeq == m.toSeq)
@@ -153,7 +153,7 @@ class PipelineSpec extends AnyFunSuite {
       options = EbwOptions(optimalityTol = 1e-10))
     assert(resS.converged)
     // own write -> own read round-trip, dense and sparse, same solution
-    val tmp = java.nio.file.Files.createTempDirectory("ebwzip").toString
+    val tmp = graft.ops.Scratch.dir("ebwzip")
     val df = cust
     val m = targets(df)
     ProblemIO.saveReferenceZip(df, "feat", "w0", m, s"$tmp/d.zip")

@@ -89,7 +89,7 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming EBW recalibration: each micro-batch is re-solved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val tmp = java.nio.file.Files.createTempDirectory("sw").toString
+    val tmp = graft.ops.Scratch.dir("sw")
     val mem = MemoryStream[(Double, Double)]
     val stream = mem.toDF().toDF("x", "w0")
       .withColumn("feat", org.apache.spark.sql.functions.array(
