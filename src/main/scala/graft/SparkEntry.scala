@@ -432,6 +432,19 @@ object SparkEntry {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** GROUPING SETS text shared verbatim with the DuckDB oracle (the
+   * q_sql_exists pattern): the explicit-sets general form that cube/rollup
+   * are shorthands for — one of the three sets is a partial set, so
+   * neither CUBE nor ROLLUP could express the same result. */
+  private val sqlGroupingSetsText: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |  (l_returnflag, l_linestatus))
+      |ORDER BY rf, ls""".stripMargin
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -552,6 +565,42 @@ object SparkEntry {
             .otherwise("building_only").as("side"),
           col("n_orders"), col("total"), col("c_mktsegment"))
         .orderBy("custkey")
+    }),
+    "q_setops_all" -> ((s, dir) => {
+      // EXCEPT ALL / INTERSECT ALL — the multiset (bag) semantics that
+      // q_setops' distinct variants cannot express: duplicate l_partkeys
+      // survive with multiplicity min(a,b) / a-b
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_quantity") >= 48).select("l_partkey")
+      val b = li.filter(col("l_discount") <= 0.01).select("l_partkey")
+      a.intersectAll(b).select(lit("intersect_all").as("op"), col("l_partkey"))
+        .unionAll(a.exceptAll(b).select(lit("except_all").as("op"), col("l_partkey")))
+        .orderBy("op", "l_partkey")
+    }),
+    "q_grouping_sets" -> ((s, dir) => {
+      // GROUPING SETS general form via the SQL front door — shared text
+      // with the oracle; the partial-set list is expressible by neither
+      // CUBE nor ROLLUP (both already gated)
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlGroupingSetsText)
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      // batch gap-based sessionization with the NATIVE session_window
+      // aggregation (one shuffle by user, sort-merge session assembly —
+      // the same operator the streaming path uses, here in batch): a
+      // session extends while the next event starts within 30 min of the
+      // last, and ends at last_event + gap. The DuckDB oracle derives
+      // identical sessions from first principles (lag + running break sum)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+        .select(col("user_id"),
+          date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+          date_format(col("sw.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
     }),
     // §2b — query engine
     "q1_pricing" -> ((s, dir) => {
@@ -1422,6 +1471,38 @@ object SparkEntry {
         |SELECT 'except' AS op, l_partkey FROM e
         |ORDER BY op, l_partkey""".stripMargin,
     "q_sql_exists" -> sqlExistsText,
+    "q_grouping_sets" -> sqlGroupingSetsText,
+    "q_setops_all" ->
+      """SELECT 'intersect_all' AS op, l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 48
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_discount <= 0.01)
+        |UNION ALL
+        |SELECT 'except_all' AS op, l_partkey FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_quantity >= 48
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_discount <= 0.01)
+        |ORDER BY op, l_partkey""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+        |    AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_window_nav" ->
       """SELECT l_suppkey,
         |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
