@@ -445,9 +445,125 @@ object SparkEntry {
       |  (l_returnflag, l_linestatus))
       |ORDER BY rf, ls""".stripMargin
 
+  /** Correlated scalar subquery, shared text (the q_sql_exists pattern):
+   * the subquery is correlated on the outer customer key and must produce
+   * exactly one value per outer row — Catalyst rewrites it to an outer
+   * aggregate join; DuckDB runs the identical text as the oracle. */
+  private val sqlScalarText: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  coalesce((SELECT round(sum(o.o_totalprice), 2) FROM orders o
+      |            WHERE o.o_custkey = c.c_custkey), 0.0) AS spend,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      |FROM customer c
+      |WHERE c.c_custkey < 500
+      |ORDER BY c_custkey""".stripMargin
+
+  /** DuckDB replay of the Gopher quality rules: identical spiking, token/
+   * line lambdas for the array statistics, the shared stopword list probed
+   * with the same padded-instr trick, and the keep verdict recomputed from
+   * the ROUNDED statistics exactly as the operator does. */
+  private def gopherOracle: String = {
+    val stops = TextMetrics.gopherStopwords
+      .map(w => s"(CASE WHEN instr(' ' || t || ' ', ' $w ') > 0 THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH sp AS (SELECT doc_id,
+       |  '- bullet intro' || chr(10) || text ||
+       |  CASE WHEN doc_id % 3 = 0
+       |    THEN chr(10) || '• dotted line' || chr(10) || 'to be continued...'
+       |    ELSE chr(10) || 'plain # tail line' END AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id, t,
+       |  string_split(t, ' ') AS tok, string_split(t, chr(10)) AS ln
+       |  FROM sp),
+       |m AS (SELECT doc_id,
+       |  len(tok)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(tok, x -> len(x))), 0)::BIGINT
+       |    AS word_chars,
+       |  len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+       |    AS n_alpha,
+       |  (len(t) - len(replace(t, '#', '')))::BIGINT AS n_hash,
+       |  ((len(t) - len(replace(t, '...', ''))) / 3)::BIGINT AS n_ell,
+       |  len(ln)::BIGINT AS n_lines,
+       |  len(list_filter(ln, x -> x LIKE '- %' OR x LIKE '• %'))::BIGINT
+       |    AS n_bullet,
+       |  len(list_filter(ln, x -> x LIKE '%...'))::BIGINT AS n_endell,
+       |  ($stops)::BIGINT AS stop_hits
+       |  FROM b),
+       |r AS (SELECT doc_id, n_words,
+       |  round(word_chars * 1.0 / n_words, 4) AS mean_word_len,
+       |  round(n_alpha * 1.0 / n_words, 4) AS alpha_word_frac,
+       |  round((n_hash + n_ell) * 1.0 / n_words, 4) AS symbol_word_ratio,
+       |  n_lines,
+       |  round(n_bullet * 1.0 / n_lines, 4) AS bullet_line_frac,
+       |  round(n_endell * 1.0 / n_lines, 4) AS ellipsis_line_frac,
+       |  stop_hits FROM m)
+       |SELECT *,
+       |  (CASE WHEN n_words >= 50 AND n_words <= 100000
+       |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |     AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
+       |     AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+       |     AND stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_scalar" -> ((s, dir) => {
+      // correlated scalar subqueries via the SQL front door: one aggregate
+      // subquery with a NULL-on-empty coalesce, one count subquery (counts
+      // over empty groups must read 0, not NULL) — Catalyst plans both as
+      // outer joins against grouped one-row-per-key aggregates, so the
+      // scan of orders is shared-nothing and shuffle-partitioned, never a
+      // per-row re-execution
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(sqlScalarText)
+    }),
+    "q_higher_order" -> ((s, dir) => {
+      // higher-order array functions (lambda family): filter + transform +
+      // aggregate over the token array — all evaluated inside the project
+      // (codegen'd, zero shuffle), the array never explodes to rows. Every
+      // output is cast to long because DuckDB's list_sum widens to HUGEINT
+      // and len() returns BIGINT; the casts pin both engines to int64.
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("tok"))
+        .select(col("doc_id"),
+          expr("size(filter(tok, x -> length(x) > 4))").cast("long")
+            .as("n_long"),
+          expr("aggregate(filter(tok, x -> length(x) > 4), 0L, " +
+            "(acc, x) -> acc + length(x))").as("sum_long_len"),
+          expr("array_max(transform(tok, x -> length(x)))").cast("long")
+            .as("max_len"),
+          expr("size(filter(tok, x -> x rlike '^[0-9]+$'))").cast("long")
+            .as("n_numeric"))
+        .orderBy("doc_id")
+    }),
+    "q_datetime" -> ((s, dir) =>
+      // datetime function family over the order-date column: truncation,
+      // field extraction, day arithmetic, month-end — all codegen'd
+      // date-time intrinsics evaluated in the scan's project (zero
+      // shuffle). Non-portable encodings avoided by construction: weekday
+      // is emitted as ISO Monday=1..7 (Spark weekday()+1 == DuckDB
+      // isodow), truncation as a formatted string, arithmetic as day
+      // counts from a fixed epoch.
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mth"),
+          (weekday(col("o_orderdate")) + 1).cast("long").as("isodow"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_95"))
+        .orderBy("o_orderkey")),
     "q_array_agg" -> ((s, dir) =>
       // array aggregation: collect_set + sort_array (deterministic via the
       // sort), projected through array_join so both engines compare the
@@ -928,6 +1044,70 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
       TextMetrics.piiScrub(spiked, "text", "doc_id").orderBy("doc_id")
     }),
+    "text_top_terms" -> ((s, dir) => {
+      // corpus heavy hitters: exact top-25 tokens by frequency, rank ties
+      // broken by the token — groupBy + TakeOrdered, no global sort (the
+      // CMS sketch variant of this profile is spec-gated: estimates are
+      // engine-specific by construction)
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("value"))
+        .filter(col("value") =!= "")
+      graft.ops.Profile.topValues(tok, "value", 25)
+    }),
+    "dedup_exact_incr" -> ((s, dir) => {
+      // bloom-prefiltered incremental exact dedup: the new batch is half
+      // exact corpus copies (new ids), half mutated texts; the bloom
+      // prefilter sizes the verification join but the gate compares the
+      // EXACT in_corpus answer, which must equal the oracle's plain
+      // semi-join regardless of false positives
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val newBatch = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          when(col("doc_id") % 4 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" novel tail"))).as("text"))
+      val corpusHashes = Dedup.exact(docs, "text", "doc_id")
+        .select("content_hash")
+      Dedup.exactIncrementalBloom(newBatch, "text", "doc_id", corpusHashes,
+          expectedItems = 1000000)
+        .orderBy("doc_id")
+    }),
+    "text_gopher" -> ((s, dir) => {
+      // Gopher quality-rule gate: the corpus is single-line prose, so
+      // deterministic line structure (a leading bullet line, a tail line
+      // that is either an ellipsis-ended continuation or a '#'-bearing
+      // plain line) is spiked identically in both engines — every line
+      // statistic and the symbol ratio land non-degenerate and the keep
+      // verdict splits
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val spiked = docs.select(col("doc_id"),
+        concat(lit("- bullet intro\n"), col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n• dotted line\nto be continued..."))
+            .otherwise(lit("\nplain # tail line"))).as("text"))
+      TextMetrics.gopherQuality(spiked, "text", "doc_id").orderBy("doc_id")
+    }),
+    "text_unigram_lm" -> ((s, dir) =>
+      // corpus-derived unigram LM quality score (CCNet-style perplexity
+      // proxy): vocabulary from the corpus itself, so no OOV path and the
+      // oracle replays the exact same model
+      TextMetrics.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "text_urls" -> ((s, dir) => {
+      // URL/domain curation gate: deterministic URLs (one allowed, one
+      // blocklisted per doc, derived from doc_id) are spiked identically
+      // in both engines; the blocklist is a 5-row table the operator
+      // broadcasts — the oracle replays it as the equivalent LIKE rule
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val spiked = docs.select(col("doc_id"),
+        concat(col("text"), lit(" see https://d"),
+          (col("doc_id") % 20).cast("string"), lit(".example.com/p/"),
+          col("doc_id").cast("string"), lit(" and http://ads"),
+          (col("doc_id") % 5).cast("string"), lit(".bad.org/x")).as("text"))
+      val urls = TextMetrics.extractUrls(spiked, "text", "doc_id")
+      import s.implicits._
+      val blocklist = (0 until 5).map(i => s"ads$i.bad.org").toDF("domain")
+      TextMetrics.domainProfile(urls, "doc_id", blocklist).orderBy("domain")
+    }),
     "text_chunk" -> ((s, dir) =>
       TextMetrics.chunk(t(s, dir, "documents"), "text", "doc_id",
           size = 64, stride = 32)
@@ -1101,6 +1281,79 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    "q_sql_scalar" -> sqlScalarText,
+    "q_higher_order" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> len(x) > 4))::BIGINT
+        |    AS n_long,
+        |  coalesce(list_sum(list_transform(
+        |    list_filter(string_split(text, ' '), x -> len(x) > 4),
+        |    x -> len(x))), 0)::BIGINT AS sum_long_len,
+        |  list_max(list_transform(string_split(text, ' '), x -> len(x)))::BIGINT
+        |    AS max_len,
+        |  len(list_filter(string_split(text, ' '),
+        |    x -> regexp_matches(x, '^[0-9]+$')))::BIGINT AS n_numeric
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    "q_datetime" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  year(o_orderdate)::BIGINT AS yr,
+        |  quarter(o_orderdate)::BIGINT AS qtr,
+        |  month(o_orderdate)::BIGINT AS mth,
+        |  isodow(o_orderdate)::BIGINT AS isodow,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(last_day(o_orderdate::DATE), '%Y-%m-%d') AS month_end,
+        |  datediff('day', DATE '1995-01-01', o_orderdate::DATE)::BIGINT
+        |    AS days_since_95
+        |FROM orders WHERE o_orderkey < 500
+        |ORDER BY o_orderkey""".stripMargin,
+    "text_gopher" -> gopherOracle,
+    "text_top_terms" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS value
+        |  FROM documents),
+        |tk AS (SELECT value FROM tok WHERE value <> '')
+        |SELECT value, count(*)::BIGINT AS n FROM tk GROUP BY value
+        |ORDER BY n DESC, value
+        |LIMIT 25""".stripMargin,
+    "dedup_exact_incr" ->
+      """WITH nb AS (SELECT doc_id + 1000000 AS doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text
+        |       ELSE text || ' novel tail' END AS text
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |ch AS (SELECT DISTINCT md5(text) AS content_hash FROM documents)
+        |SELECT nb.doc_id, md5(nb.text) AS content_hash,
+        |  (CASE WHEN ch.content_hash IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS in_corpus
+        |FROM nb LEFT JOIN ch ON md5(nb.text) = ch.content_hash
+        |ORDER BY doc_id""".stripMargin,
+    "text_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, t FROM tok WHERE t <> ''),
+        |v AS (SELECT t, count(*)::DOUBLE AS c FROM tk GROUP BY t),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM tk)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(ln(v.c / n.total)), 4) AS avg_logp
+        |FROM tk JOIN v USING (t), n
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+    "text_urls" ->
+      s"""WITH sp AS (SELECT doc_id,
+        |  text || ' see https://d' || (doc_id % 20) || '.example.com/p/' ||
+        |  doc_id || ' and http://ads' || (doc_id % 5) || '.bad.org/x' AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |  '${TextMetrics.urlPattern}', 0)) AS url FROM sp),
+        |d AS (SELECT doc_id,
+        |  regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS domain
+        |  FROM u)
+        |SELECT domain, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_urls,
+        |  (CASE WHEN domain LIKE 'ads%.bad.org' THEN 1 ELSE 0 END)::BIGINT
+        |    AS blocked
+        |FROM d GROUP BY domain
+        |ORDER BY domain""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

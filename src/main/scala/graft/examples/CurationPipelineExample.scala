@@ -10,8 +10,9 @@ import graft.ops.{Dedup, Sampling, TextMetrics}
  * operators composed the way a production pipeline chains them:
  *
  *   0. per-source corpus profile (the CCNet-style "which crawl sources
- *      are garbage" report) — consulted BEFORE choosing filter thresholds
- *   1. normalization + quality + repetition filters (Gopher-style rules)
+ *      are garbage" report) — consulted BEFORE choosing filter thresholds,
+ *      then a broadcast domain-blocklist filter on extracted URLs
+ *   1. quality + repetition + Gopher shape rules + unigram-LM floor
  *   2. exact dedup (content hash, keep lowest id)
  *   3. near-dedup (minhash banding pairs -> connected-components cluster
  *      election, keeping each cluster's minimum id)
@@ -54,14 +55,37 @@ object CurationPipelineExample {
       s"${worst.getString(0)} (p50=${worst.getDouble(1)}, " +
       s"docs=${worst.getLong(2)})")
 
-    // 1. rule filters: minimum length, bounded repetition
-    val quality = TextMetrics.quality(docs, "text", "doc_id")
+    // 0.5. domain blocklist: drop any document citing a blocklisted
+    // domain (UT1-style). The blocklist is curated — thousands of rows,
+    // never corpus-scale — so the membership check is a broadcast
+    // semi-join on the extracted domains; the synthetic corpus cites no
+    // URLs, so this stage is a structural no-op here and a real filter on
+    // crawl data
+    import spark.implicits._
+    val blocklist = Seq("ads.example.net", "tracker.bad.org").toDF("domain")
+    val blockedDocs = TextMetrics.extractUrls(docs, "text", "doc_id")
+      .join(broadcast(blocklist), Seq("domain"), "leftsemi")
+      .select("doc_id").distinct()
+    val allowed = docs.join(blockedDocs, Seq("doc_id"), "left_anti")
+
+    // 1. rule filters: minimum length, bounded repetition, Gopher shape
+    // rules, and a corpus-unigram LM floor (the CCNet perplexity axis) —
+    // the synthetic corpus is random words, so thresholds here exercise
+    // the shape rules rather than the full English-prose `keep` verdict
+    val quality = TextMetrics.quality(allowed, "text", "doc_id")
       .filter(col("n_tokens") >= 10)
-    val repetition = TextMetrics.repetition(docs, "text", "doc_id")
+    val repetition = TextMetrics.repetition(allowed, "text", "doc_id")
       .filter(col("dup_3gram_frac") <= 0.5)
-    val ruled = docs
+    val gopher = TextMetrics.gopherQuality(allowed, "text", "doc_id")
+      .filter(col("symbol_word_ratio") < 0.1 &&
+        col("bullet_line_frac") < 0.9 && col("ellipsis_line_frac") < 0.3)
+    val lm = TextMetrics.unigramLogProb(allowed, "text", "doc_id")
+      .filter(col("avg_logp") >= -12.0)
+    val ruled = allowed
       .join(quality.select("doc_id"), "doc_id")
       .join(repetition.select("doc_id"), "doc_id")
+      .join(gopher.select("doc_id"), "doc_id")
+      .join(lm.select("doc_id"), "doc_id")
     val n1 = ruled.count()
 
     // 2. exact dedup: keep each content hash's lowest doc_id

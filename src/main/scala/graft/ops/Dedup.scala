@@ -114,6 +114,53 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Incremental EXACT dedup with a Bloom-filter prefilter — the
+   * crawl-batch-vs-corpus membership check without shuffling the corpus:
+   * a Bloom filter over the corpus content hashes is built in one
+   * distributed pass (mergeable per-partition bit arrays), broadcast, and
+   * applied as a prefilter on the new batch; only Bloom POSITIVES (true
+   * duplicates + the fpp fraction of false positives) enter the exact
+   * verification semi-join, so the join's left side is a sliver of the
+   * batch and the corpus side prunes to matching hash partitions. The
+   * verification join makes the RESULT exact regardless of fpp — the
+   * filter only sizes the work, never the answer (false negatives are
+   * impossible by construction, so skipped rows are provably new).
+   *
+   * Scale envelope: the filter costs ~1.2 bytes/key at fpp=0.01 — fine on
+   * the driver/executors up to ~1e9 corpus keys; beyond that, range-
+   * partition the hash space and run one filter per range. Building the
+   * filter triggers one Spark job (like fitIvfIndex — an index build, not
+   * part of the query plan). The membership probe is a Scala UDF by
+   * necessity: Spark's native bloom expressions (`BloomFilterMightContain`)
+   * are internal to runtime-filter injection, and the probe runs on the
+   * 32-char hash column, never on the document text, so the codegen break
+   * is confined to a narrow post-hash filter.
+   *
+   * `corpusHashes` is one `content_hash` column (e.g. `exact()` output).
+   * Output: every new-batch row with its hash and an exact `in_corpus`
+   * 0/1 flag (oracle-gated: equals the plain semi-join answer).
+   */
+  def exactIncrementalBloom(
+      newBatch: DataFrame, textCol: String, idCol: String,
+      corpusHashes: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedItems >= 1, s"expectedItems must be >= 1")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val hashed = newBatch.select(col(idCol), md5(col(textCol)).as("content_hash"))
+    val bf = corpusHashes.stat
+      .bloomFilter(col("content_hash"), expectedItems, fpp)
+    val bc = newBatch.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    val verified = hashed
+      .filter(mightContain(col("content_hash")))
+      .join(corpusHashes.select("content_hash"), Seq("content_hash"), "leftsemi")
+      .select(col(idCol), lit(1L).as("in_corpus"))
+    hashed.join(verified, Seq(idCol), "left")
+      .select(col(idCol), col("content_hash"),
+        coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
+  }
+
+  /**
    * Hot-bucket guard for band joins: drop (band, key) buckets with more
    * than `maxBucketSize` members from candidate generation (a bucket of m
    * rows contributes m(m-1)/2 pairs — one hot key is the difference

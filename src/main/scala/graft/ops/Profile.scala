@@ -101,6 +101,42 @@ object Profile {
         col("quality_p50"))
   }
 
+  /**
+   * Corpus-level heavy hitters — the EXACT top-k most frequent values of a
+   * column (vocabulary terms, domains, user ids, …), with deterministic
+   * rank ties broken by the value itself. One map-side-combined groupBy
+   * then a `TakeOrdered` top-k on (count desc, value): the full frequency
+   * table is never sorted or collected, so the cost beyond the groupBy is
+   * a k-row per-partition heap — the same zero-global-sort shape as the
+   * brute-force ANN top-k.
+   */
+  def topValues(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.groupBy(col(valueCol).as("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("value"))
+      .limit(k)
+  }
+
+  /**
+   * Sketch path for heavy hitters: a Count-Min Sketch over the column,
+   * returning the CMS frequency ESTIMATE for each requested candidate
+   * value. The sketch is a fixed-size (depth x width) counter grid built
+   * in one distributed pass (`DataFrameStatFunctions.countMinSketch`,
+   * mergeable per-partition state) — at 100 TB the sketch, not an exact
+   * frequency table, is what fits beside the scan; estimates are
+   * one-sided: estimate >= true count, and <= true + eps*N with
+   * probability 1-delta (spec-asserted against exact counts).
+   */
+  def cmsEstimates(
+      df: DataFrame, valueCol: String, candidates: Seq[String],
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): Seq[(String, Long)] = {
+    val cms = df.stat.countMinSketch(col(valueCol).cast("string"),
+      eps, confidence, seed)
+    candidates.map(v => (v, cms.estimateCount(v)))
+  }
+
   /** Approximate per-group quantiles via approx_percentile (KLL-style
    * fixed-size sketch per group — the 100 TB path: no group's values are
    * ever buffered whole). Same output shape as `groupQuantiles`.

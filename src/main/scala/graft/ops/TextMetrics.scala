@@ -263,6 +263,128 @@ object TextMetrics {
         col("cum_tokens") - col("n_tokens") - col("bin") * budget)
   }
 
+  /** Gopher-rule stopword list (Rae et al. 2021 §A1.1): a document should
+   * contain at least two of these to count as running English prose.
+   * Shared with the oracle-SQL generator so both engines probe the exact
+   * same padded substrings. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * Gopher-style quality rule set (Rae et al. 2021, the rule family Dolma/
+   * RefinedWeb reuse): per-document word/line shape statistics plus the
+   * published keep/drop verdict — word count in [50, 100000], mean word
+   * length in [3, 10], symbol-to-word ratio < 0.1, >= 80% words with an
+   * alphabetic character, < 90% bullet lines, < 30% ellipsis-ending lines,
+   * >= 2 stopword hits.
+   *
+   * Scale shape: every statistic is a per-row expression over the token /
+   * line arrays (lambda built-ins, no explode) — one narrow codegen'd
+   * scan, zero shuffle, output partitioning inherits the input's. All
+   * predicates live in the Java∩RE2∩LIKE subset so the DuckDB oracle
+   * replays the verdict bit-for-bit.
+   */
+  def gopherQuality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("t"),
+      split(col(textCol), " ", -1).as("tok"),
+      split(col(textCol), "\n", -1).as("ln"))
+    val nWords = size(col("tok")).cast("long")
+    val nAlphaWords =
+      expr("size(filter(tok, x -> x rlike '[A-Za-z]'))").cast("long")
+    val wordChars = expr("aggregate(tok, 0L, (acc, x) -> acc + length(x))")
+    val nHash =
+      (length(col("t")) - length(replace(col("t"), lit("#"), lit("")))).cast("long")
+    val nEllipsis =
+      ((length(col("t")) - length(replace(col("t"), lit("..."), lit("")))) / 3)
+        .cast("long")
+    val nLines = size(col("ln")).cast("long")
+    val nBullet =
+      expr("size(filter(ln, x -> x LIKE '- %' OR x LIKE '• %'))").cast("long")
+    val nEndEllipsis = expr("size(filter(ln, x -> x LIKE '%...'))").cast("long")
+    val padded = concat(lit(" "), col("t"), lit(" "))
+    val stopHits = gopherStopwords
+      .map(w => when(instr(padded, s" $w ") > 0, 1L).otherwise(0L): Column)
+      .reduce(_ + _)
+    base.select(col(idCol),
+        nWords.as("n_words"),
+        round(wordChars * lit(1.0) / nWords, 4).as("mean_word_len"),
+        round(nAlphaWords * lit(1.0) / nWords, 4).as("alpha_word_frac"),
+        round((nHash + nEllipsis) * lit(1.0) / nWords, 4).as("symbol_word_ratio"),
+        nLines.as("n_lines"),
+        round(nBullet * lit(1.0) / nLines, 4).as("bullet_line_frac"),
+        round(nEndEllipsis * lit(1.0) / nLines, 4).as("ellipsis_line_frac"),
+        stopHits.as("stop_hits"))
+      .withColumn("keep",
+        (col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("alpha_word_frac") > 0.8 &&
+          col("bullet_line_frac") < 0.9 &&
+          col("ellipsis_line_frac") < 0.3 &&
+          col("stop_hits") >= 2).cast("long"))
+  }
+
+  /**
+   * Corpus-derived unigram language-model score (the CCNet/KenLM-style
+   * perplexity-proxy quality signal, reduced to its order-0 model so it is
+   * exactly SQL-replayable): token log-probability ln(count(t)/N) averaged
+   * per document. Low scores flag documents full of corpus-rare tokens —
+   * the same filtering axis CCNet's LM perplexity provides.
+   *
+   * Scale shape: one explode + vocabulary groupBy (map-side combined), the
+   * corpus total enters the plan as a 1-row aggregate subtree (no count()
+   * action), and the token→vocab join is NOT hint-broadcast — web-scale
+   * vocabularies are billions of terms, so it stays a key-partitioned join
+   * unless AQE measures it small (the topTfidfTerms rule).
+   */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("t"))
+      .filter(col("t") =!= "")
+    val vocab = tok.groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    val total = tok.select(count(lit(1)).cast("double").as("total"))
+    tok.join(vocab, "t")
+      .crossJoin(total)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("c") / col("total"))), 4).as("avg_logp"))
+  }
+
+  /** URL pattern in the Java∩RE2 subset (no lookaround): scheme + host +
+   * optional path. Shared with the oracle so both engines extract the
+   * same spans. */
+  val urlPattern: String = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9/._-]*)?"
+
+  /** Extract every URL (with its registrable host) per document — the
+   * first stage of crawl-curation domain filtering. One narrow codegen'd
+   * regexp scan + explode; no shuffle. */
+  def extractUrls(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        explode(regexp_extract_all(col(textCol), lit(urlPattern), lit(0)))
+          .as("url"))
+      .withColumn("domain",
+        regexp_extract(col("url"), "^https?://([A-Za-z0-9.-]+)", 1))
+
+  /**
+   * Per-domain curation profile with blocklist flagging (the UT1/adult-
+   * blocklist filtering step every public crawl pipeline runs): URL and
+   * document counts per domain, flagged against a blocklist table.
+   *
+   * Scale shape: one groupBy on domain (partial-aggregated); the blocklist
+   * is a curated list — thousands to millions of rows, never corpus-scale
+   * — so it is explicitly `broadcast()` and the flag join adds no
+   * shuffle.
+   */
+  def domainProfile(urls: DataFrame, idCol: String,
+      blocklist: DataFrame): DataFrame =
+    urls.groupBy("domain")
+      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
+      .join(broadcast(blocklist.select(col("domain"), lit(1L).as("b_"))),
+        Seq("domain"), "left")
+      .withColumn("blocked", coalesce(col("b_"), lit(0L)))
+      .drop("b_")
+
   /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
    * Two shuffles total: term-frequency groupBy and document-frequency
    * groupBy. The tf-df join is NOT hint-broadcast: on a web-scale corpus

@@ -1134,4 +1134,98 @@ class OpsSpec extends AnyFunSuite {
       bytes(100, 0, 0, 0, 0, 0, 0, 0x80) ++ new Array[Byte](4)
     assert(Multimodal.sniffMeta(evil)._3 == -1)
   }
+
+  test("gopherQuality: closed-form stats on a handcrafted document") {
+    import spark.implicits._
+    // 2 lines: a bullet line and an ellipsis line; 8 words total
+    val text = "- the cat sat\nwith a ## hat..."
+    val out = TextMetrics.gopherQuality(
+      Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    // space-split tokens: ["-","the","cat","sat\nwith","a","##","hat..."]
+    val nWords = text.split(" ", -1).length
+    assert(nWords == 7 && out.getAs[Long]("n_words") == nWords)
+    assert(out.getAs[Long]("n_lines") == 2)
+    assert(out.getAs[Double]("bullet_line_frac") == 0.5) // line 1 of 2
+    assert(out.getAs[Double]("ellipsis_line_frac") == 0.5) // line 2 of 2
+    // '##' = 2 hash chars, '...' = 1 occurrence → (2+1)/nWords
+    assert(out.getAs[Double]("symbol_word_ratio") ==
+      BigDecimal(3.0 / nWords).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+    // only ' the ' hits: 'with' is preceded by the newline, not a space
+    assert(out.getAs[Long]("stop_hits") == 1)
+    assert(out.getAs[Long]("keep") == 0) // fails the 50-word minimum
+  }
+
+  test("unigramLogProb: closed-form model on a tiny corpus") {
+    import spark.implicits._
+    // corpus tokens: a a a b — p(a)=3/4, p(b)=1/4
+    val corpus = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = TextMetrics.unigramLogProb(corpus, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._2 == r4(math.log(0.75)))
+    assert(out(2L)._2 == r4(math.log(0.25)))
+  }
+
+  test("extractUrls + domainProfile: extraction, counts, blocklist flag") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "see https://a.example.com/x and http://bad.org/y too"),
+      (2L, "https://a.example.com/z plain text no more urls"),
+      (3L, "no urls here at all")).toDF("doc_id", "text")
+    val urls = TextMetrics.extractUrls(d, "text", "doc_id")
+    assert(urls.count() == 3)
+    val profile = TextMetrics.domainProfile(urls, "doc_id",
+        Seq("bad.org").toDF("domain"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(profile("a.example.com") == ((2L, 2L, 0L)))
+    assert(profile("bad.org") == ((1L, 1L, 1L)))
+  }
+
+  test("topValues exact heavy hitters; CMS estimates bounded one-sided") {
+    import spark.implicits._
+    val tok = docs
+      .select(explode(split(col("text"), " ", -1)).as("value"))
+      .filter(col("value") =!= "")
+    val top = Profile.topValues(tok, "value", 10).collect()
+    assert(top.length == 10)
+    // descending counts, ties broken by value ascending
+    val pairs = top.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sameElements(pairs.sortBy { case (n, v) => (-n, v) }))
+    // CMS: estimate >= truth, and <= truth + eps * N (w.h.p.)
+    val n = tok.count()
+    val est = Profile.cmsEstimates(tok, "value",
+      top.map(_.getString(0)).toSeq, eps = 0.001).toMap
+    top.foreach { r =>
+      val (v, truth) = (r.getString(0), r.getLong(1))
+      assert(est(v) >= truth, s"CMS under-counted $v: ${est(v)} < $truth")
+      assert(est(v) <= truth + (0.001 * n).toLong + 1,
+        s"CMS over-counted $v beyond eps*N: ${est(v)} vs $truth")
+    }
+  }
+
+  test("exactIncrementalBloom equals the plain semi-join; no false negatives") {
+    val corpus = docs.select("doc_id", "text")
+    val newBatch = corpus.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 70000).as("doc_id"),
+        when(col("doc_id") % 6 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" fresh suffix"))).as("text"))
+    val hashes = Dedup.exact(corpus, "text", "doc_id").select("content_hash")
+    val out = Dedup.exactIncrementalBloom(newBatch, "text", "doc_id",
+      hashes, expectedItems = 100000, fpp = 0.01)
+    // ground truth by plain join (no bloom involved)
+    val truth = newBatch.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(hashes.withColumnRenamed("content_hash", "h")
+        .withColumn("t", lit(1L)), Seq("h"), "left")
+      .select(col("doc_id"), coalesce(col("t"), lit(0L)).as("in_corpus"))
+    val got = out.select("doc_id", "in_corpus").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = truth.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    assert(got.values.sum > 0, "gate needs real duplicates to be meaningful")
+    assert(got.values.count(_ == 0L) > 0, "gate needs real novel docs too")
+  }
 }

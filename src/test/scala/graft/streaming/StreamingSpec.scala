@@ -86,6 +86,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(sSt == bSt && sSt.nonEmpty)
   }
 
+  test("stateless quality + URL operators run unchanged on streams") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gopherQuality and extractUrls are per-row lambda/regexp projections —
+    // zero state, Append mode, no watermark; stream == batch row-for-row
+    val docs = Seq(
+      (1L, "- the cat sat on the mat\nwith a hat... see https://a.ex.com/p"),
+      (2L, "be that as it may have been # http://b.ex.org/q and more"),
+      (3L, "short doc\n- bullet one\n- bullet two"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val in = mem.toDF().toDF("doc_id", "text")
+    val q1 = graft.ops.TextMetrics.gopherQuality(in, "text", "doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gopher_out").start()
+    val q2 = graft.ops.TextMetrics.extractUrls(in, "text", "doc_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("url_out").start()
+    q1.processAllAvailable(); q1.stop()
+    q2.processAllAvailable(); q2.stop()
+    val batchDf = docs.toDF("doc_id", "text")
+    val sG = spark.table("gopher_out").orderBy("doc_id").collect().toSeq
+    val bG = graft.ops.TextMetrics.gopherQuality(batchDf, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+    assert(sG == bG && sG.nonEmpty)
+    val sU = spark.table("url_out").orderBy("doc_id", "url").collect().toSeq
+    val bU = graft.ops.TextMetrics.extractUrls(batchDf, "text", "doc_id")
+      .orderBy("doc_id", "url").collect().toSeq
+    assert(sU == bU && sU.size == 2) // docs 1 and 2 carry one URL each
+  }
+
   test("streaming EBW recalibration: each micro-batch is re-solved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
