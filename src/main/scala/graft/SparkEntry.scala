@@ -1044,6 +1044,35 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
       TextMetrics.piiScrub(spiked, "text", "doc_id").orderBy("doc_id")
     }),
+    "dedup_url" -> ((s, dir) => {
+      // URL-canonicalization dedup gate: deterministic messy URLs (mixed
+      // case, scheme/www variants, tracking query, fragment, trailing
+      // slash — all doc_id-derived, identical in both engines) collapse
+      // to lcm(50,100)=100 canonical keys with min-id election
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 4 === 0, "https://www.")
+            .when(col("doc_id") % 4 === 1, "HTTP://")
+            .when(col("doc_id") % 4 === 2, "https://")
+            .otherwise("http://www."),
+          lit("d"), (col("doc_id") % 50).cast("string"),
+          lit(".example.com/page/"), (col("doc_id") % 100).cast("string"),
+          when(col("doc_id") % 5 === 0, "/").otherwise(""),
+          when(col("doc_id") % 2 === 0, "?utm_source=feed").otherwise(""),
+          when(col("doc_id") % 3 === 0, "#section").otherwise("")).as("url"))
+      Dedup.urlDedup(urls, "url", "doc_id").orderBy("url_key")
+    }),
+    "q_describe" -> ((s, dir) =>
+      // DESCRIBE-style numeric profile: all three columns' statistics in
+      // ONE aggregation over one scan, unpivoted from the 1-row result
+      graft.ops.Profile.describeNumeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")),
+    "q_key_skew" -> ((s, dir) =>
+      // join-key skew diagnosis: heaviest 10 keys with row share and
+      // ratio to the mean key load (the salting decision input); totals
+      // enter as a 1-row aggregate subtree, top-k is a TakeOrdered
+      graft.ops.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", 10)),
     "text_top_terms" -> ((s, dir) => {
       // corpus heavy hitters: exact top-25 tokens by frequency, rank ties
       // broken by the token — groupBy + TakeOrdered, no global sort (the
@@ -1309,6 +1338,53 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
     "text_gopher" -> gopherOracle,
+    "dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 0 THEN 'https://www.'
+        |        WHEN doc_id % 4 = 1 THEN 'HTTP://'
+        |        WHEN doc_id % 4 = 2 THEN 'https://'
+        |        ELSE 'http://www.' END) ||
+        |  'd' || (doc_id % 50) || '.example.com/page/' || (doc_id % 100) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |  regexp_replace(regexp_replace(lower(url), '^https?://', ''),
+        |  '^www\.', ''), '#.*$', ''), '\?.*$', ''), '/+$', '') AS url_key
+        |  FROM u)
+        |SELECT url_key, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
+        |FROM c GROUP BY url_key
+        |ORDER BY url_key""".stripMargin,
+    "q_describe" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+        |  (count(*) - count(l_quantity)) AS n_nulls,
+        |  round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+        |  round(avg(l_quantity), 4) AS mean_v,
+        |  round(stddev_samp(l_quantity), 4) AS sd_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |  count(*) - count(l_extendedprice),
+        |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |  round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+        |  round(min(l_discount), 4), round(max(l_discount), 4),
+        |  round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS n_keys
+        |  FROM c)
+        |SELECT key, n, round(n / t.total, 6) AS share,
+        |  round(n * t.n_keys / t.total, 4) AS ratio_to_avg
+        |FROM c, t
+        |ORDER BY n DESC, key
+        |LIMIT 10""".stripMargin,
     "text_top_terms" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS value
         |  FROM documents),

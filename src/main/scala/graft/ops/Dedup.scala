@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.slf4j.LoggerFactory
 
@@ -159,6 +159,31 @@ object Dedup {
       .select(col(idCol), col("content_hash"),
         coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
   }
+
+  /** Canonical URL key: lowercase, strip scheme / leading `www.` /
+   * fragment / query string / trailing slashes. Anchored regexes in the
+   * Java∩RE2 subset; each pattern can match at most once, so Spark's
+   * replace-all and an oracle's replace-first agree by construction. */
+  def canonicalUrl(u: Column): Column = {
+    val steps = Seq("^https?://" -> "", "^www\\." -> "",
+      "#.*$" -> "", "\\?.*$" -> "", "/+$" -> "")
+    steps.foldLeft(lower(u)) { case (c, (pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+  }
+
+  /**
+   * URL-level dedup (the crawl-frontier rule CommonCrawl-style pipelines
+   * apply before any content hash is computed): pages are duplicates when
+   * their CANONICAL URLs collide — scheme, `www.`, query-string tracking
+   * params, fragments, and trailing slashes don't distinguish documents.
+   * Same shape as [[exact]]: one shuffle on the canonical key, min-id
+   * election, no window over hot keys.
+   */
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs
+      .groupBy(canonicalUrl(col(urlCol)).as("url_key"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /**
    * Hot-bucket guard for band joins: drop (band, key) buckets with more

@@ -137,6 +137,58 @@ object Profile {
     candidates.map(v => (v, cms.estimateCount(v)))
   }
 
+  /**
+   * Numeric column profile (the `DESCRIBE`-style summary, long format):
+   * one row per column with count / null count / min / max / mean /
+   * sample stddev. Computed as a SINGLE aggregation over one scan — all
+   * columns' statistics are partial-aggregated together, then unpivoted
+   * with a per-row struct explode on the 1-row result (driver-side cost
+   * is k structs, never data rows). At 100 TB this is one pass and one
+   * k·6-value shuffle, regardless of how many columns are profiled.
+   */
+  def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describeNumeric needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        round(min(col(c)).cast("double"), 4).as(s"${c}__min"),
+        round(max(col(c)).cast("double"), 4).as(s"${c}__max"),
+        round(avg(col(c)), 4).as(s"${c}__mean"),
+        round(stddev_samp(col(c)), 4).as(s"${c}__sd"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("column"), col(s"${c}__n").as("n"),
+        coalesce(col(s"${c}__nulls"), lit(0L)).as("n_nulls"),
+        col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"),
+        col(s"${c}__mean").as("mean_v"), col(s"${c}__sd").as("sd_v"))
+    }
+    one.select(explode(array(structs: _*)).as("s")).select(col("s.*"))
+  }
+
+  /**
+   * Join-key skew report — the diagnosis a salting/AQE decision is based
+   * on: the k heaviest keys with their row share and their ratio to the
+   * MEAN key load (ratio >> 1 on a key that carries a meaningful share is
+   * exactly the single-hot-partition signature). One groupBy on the key;
+   * the global totals enter as a 1-row aggregate subtree joined in (no
+   * separate count() action), and the top-k is a TakeOrdered, never a
+   * global sort.
+   */
+  def keySkew(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val counts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.select(sum("n").as("total"),
+      count(lit(1)).cast("double").as("n_keys"))
+    counts.crossJoin(totals)
+      .select(col("key"), col("n"),
+        round(col("n") / col("total"), 6).as("share"),
+        round(col("n") * col("n_keys") / col("total"), 4).as("ratio_to_avg"))
+      .orderBy(desc("n"), col("key"))
+      .limit(k)
+  }
+
   /** Approximate per-group quantiles via approx_percentile (KLL-style
    * fixed-size sketch per group — the 100 TB path: no group's values are
    * ever buffered whole). Same output shape as `groupQuantiles`.

@@ -1207,6 +1207,51 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("urlDedup: canonical variants collapse to one key, min-id election") {
+    import spark.implicits._
+    val variants = Seq(
+      (1L, "https://www.Site.Example.com/a/b?q=1#frag"),
+      (2L, "HTTP://site.example.com/a/b/"),
+      (3L, "https://site.example.com/a/b"),
+      (4L, "http://www.site.example.com/a/b#x"),
+      (5L, "https://other.example.com/a/b")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(variants, "url", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 2)
+    assert(out("site.example.com/a/b") == ((1L, 4L)))
+    assert(out("other.example.com/a/b") == ((5L, 1L)))
+  }
+
+  test("describeNumeric: closed-form stats incl. null counting, one row per column") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some(10.0)), (Some(2.0), None),
+      (Some(3.0), Some(30.0))).toDF("a", "b")
+    val out = Profile.describeNumeric(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.size == 2)
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 3 && a.getAs[Long]("n_nulls") == 0)
+    assert(a.getAs[Double]("min_v") == 1.0 && a.getAs[Double]("max_v") == 3.0)
+    assert(a.getAs[Double]("mean_v") == 2.0 && a.getAs[Double]("sd_v") == 1.0)
+    val b = out("b")
+    assert(b.getAs[Long]("n") == 2 && b.getAs[Long]("n_nulls") == 1)
+    assert(b.getAs[Double]("mean_v") == 20.0)
+  }
+
+  test("keySkew: hot key reports its share and ratio to the mean key load") {
+    import spark.implicits._
+    // key 1: 8 rows, keys 2..5: 2 rows each → total 16, 5 keys, avg 3.2
+    val rows = Seq.fill(8)(1) ++ (2 to 5).flatMap(k => Seq(k, k))
+    val out = Profile.keySkew(rows.toDF("k"), "k", 3).collect()
+    assert(out.length == 3)
+    val top = out(0)
+    assert(top.getAs[Int]("key") == 1 && top.getAs[Long]("n") == 8)
+    assert(top.getAs[Double]("share") == 0.5)
+    assert(top.getAs[Double]("ratio_to_avg") == 2.5) // 8 / 3.2
+    // remaining ties broken by key ascending
+    assert(out(1).getAs[Int]("key") == 2 && out(2).getAs[Int]("key") == 3)
+  }
+
   test("exactIncrementalBloom equals the plain semi-join; no false negatives") {
     val corpus = docs.select("doc_id", "text")
     val newBatch = corpus.filter(col("doc_id") % 3 === 0)
