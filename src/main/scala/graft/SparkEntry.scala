@@ -1062,6 +1062,21 @@ object SparkEntry {
           when(col("doc_id") % 3 === 0, "#section").otherwise("")).as("url"))
       Dedup.urlDedup(urls, "url", "doc_id").orderBy("url_key")
     }),
+    "q_map_type" -> ((s, dir) =>
+      // MAP-typed columns through the engine: construction from arrays,
+      // scalar extraction by key, key-set projection to a canonical
+      // string — all inside the scan's project (narrow, codegen'd).
+      // DuckDB's map extraction returns a 1-element LIST, so its oracle
+      // indexes [1]; Spark's element_at is already scalar.
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .withColumn("m", map_from_arrays(
+          array(lit("qty"), lit("price")),
+          array(col("l_quantity"), col("l_extendedprice"))))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          element_at(col("m"), "qty").as("qty_v"),
+          array_join(map_keys(col("m")), ",").as("keys_s"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "q_describe" -> ((s, dir) =>
       // DESCRIBE-style numeric profile: all three columns' statistics in
       // ONE aggregation over one scan, unpivoted from the 1-row result
@@ -1356,6 +1371,14 @@ object SparkEntry {
         |SELECT url_key, min(doc_id) AS keep_id, count(*)::BIGINT AS n_copies
         |FROM c GROUP BY url_key
         |ORDER BY url_key""".stripMargin,
+    "q_map_type" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  m['qty'][1] AS qty_v,
+        |  array_to_string(map_keys(m), ',') AS keys_s
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |  map(['qty', 'price'], [l_quantity, l_extendedprice]) AS m
+        |  FROM lineitem WHERE l_orderkey < 100)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_describe" ->
       """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
         |  (count(*) - count(l_quantity)) AS n_nulls,

@@ -102,6 +102,50 @@ class PlanAuditSpec extends AnyFunSuite {
       s"packing must never serialize into one partition:\n$p")
   }
 
+  test("gopherQuality and extractUrls: narrow codegen'd scans, zero Exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val g = graft.ops.TextMetrics.gopherQuality(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!g.contains("Exchange"), s"gopher rules must not shuffle:\n$g")
+    assert(g.contains("*(1)"), s"gopher rules fell out of codegen:\n$g")
+    val u = graft.ops.TextMetrics.extractUrls(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!u.contains("Exchange"), s"URL extraction must not shuffle:\n$u")
+    assert(u.contains("*(1)"), s"URL extraction fell out of codegen:\n$u")
+  }
+
+  test("describeNumeric: ONE scan and one aggregation pair for k columns") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = graft.ops.Profile.describeNumeric(li,
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+      .queryExecution.executedPlan.toString
+    // one partial+final aggregate pair over one FileScan — profiling k
+    // columns must never plan k scans or k aggregations
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"describe must read the table exactly once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length == 2,
+      s"describe must be one partial+final aggregate pair:\n$p")
+  }
+
+  test("keySkew and topValues: top-k via TakeOrdered, never a global sort") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val ks = graft.ops.Profile.keySkew(li, "l_suppkey", 10)
+      .queryExecution.executedPlan.toString
+    assert(ks.contains("TakeOrderedAndProject"), s"keySkew global-sorts:\n$ks")
+    val tv = graft.ops.Profile.topValues(li.select("l_suppkey"), "l_suppkey", 10)
+      .queryExecution.executedPlan.toString
+    assert(tv.contains("TakeOrderedAndProject"), s"topValues global-sorts:\n$tv")
+    assert(!tv.contains("Exchange rangepartitioning"),
+      s"topValues must not range-shuffle for a global sort:\n$tv")
+  }
+
+  test("unigramLogProb: no broadcast hint on the vocab join (AQE decides)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lp = graft.ops.TextMetrics.unigramLogProb(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("ResolvedHint"), s"broadcast hint survives:\n$lp")
+  }
+
   test("text_tfidf: vocabulary join carries no broadcast hint") {
     // the logical plan must not pin dfreq to a broadcast (a web-scale
     // vocabulary would OOM the driver); AQE may still choose one at
