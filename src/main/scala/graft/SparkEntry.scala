@@ -1152,6 +1152,13 @@ object SparkEntry {
       val blocklist = (0 until 5).map(i => s"ads$i.bad.org").toDF("domain")
       TextMetrics.domainProfile(urls, "doc_id", blocklist).orderBy("domain")
     }),
+    "text_cdc_chunk" -> ((s, dir) =>
+      // content-defined chunking: boundaries wherever the md5 of the
+      // trailing 8-char window starts with '0' — replayed exactly by the
+      // oracle's list lambdas; chunk ids/starts/texts all gated
+      TextMetrics.cdcChunk(t(s, dir, "documents"), "text", "doc_id",
+          window = 8)
+        .orderBy("doc_id", "chunk_id")),
     "text_chunk" -> ((s, dir) =>
       TextMetrics.chunk(t(s, dir, "documents"), "text", "doc_id",
           size = 64, stride = 32)
@@ -1353,6 +1360,27 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
     "text_gopher" -> gopherOracle,
+    "text_cdc_chunk" ->
+      """WITH d AS (SELECT doc_id, text AS t, len(text)::BIGINT AS n
+        |  FROM documents WHERE len(text) >= 1),
+        |c AS (SELECT doc_id, t, n,
+        |  [0::BIGINT] || list_filter(list_transform(range(8, n), i ->
+        |      CASE WHEN substr(md5(substr(t, (i-7)::INT, 8)), 1, 1) = '0'
+        |        THEN i END),
+        |    x -> x IS NOT NULL) || [n] AS cuts
+        |  FROM d),
+        |e AS (SELECT doc_id,
+        |  unnest(range(1, len(cuts)))::BIGINT - 1 AS chunk_id,
+        |  unnest(list_transform(range(1, len(cuts)), j -> cuts[j]))::BIGINT
+        |    AS chunk_start,
+        |  unnest(list_transform(range(1, len(cuts)), j ->
+        |    substr(t, (cuts[j]+1)::INT, (cuts[j+1]-cuts[j])::INT)))
+        |    AS chunk_text
+        |  FROM c)
+        |SELECT doc_id, chunk_id, chunk_start, chunk_text,
+        |  len(chunk_text)::BIGINT AS n_chunk_chars
+        |FROM e
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_url" ->
       """WITH u AS (SELECT doc_id,
         |  (CASE WHEN doc_id % 4 = 0 THEN 'https://www.'

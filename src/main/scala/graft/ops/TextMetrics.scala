@@ -234,6 +234,52 @@ object TextMetrics {
   }
 
   /**
+   * Content-defined chunking (the Rabin/rolling-boundary CDC family used
+   * by dedup storage systems and long-document pipelines): a chunk
+   * boundary falls after position `i` whenever the hash of the trailing
+   * `window` characters hits the boundary condition — so boundaries are
+   * determined by CONTENT, not offsets, and an edit near the start of a
+   * document shifts only the chunks up to the next surviving boundary
+   * (fixed-offset chunking reshuffles everything after the edit;
+   * spec-asserted). Expected chunk length is 16·window-char positions
+   * per boundary hit (the condition fires on 1/16 of positions).
+   *
+   * The boundary rule is `md5(window) starts with '0'` — deliberately in
+   * the md5-portable subset (the same trick as the portable fingerprint)
+   * so the DuckDB oracle replays boundaries exactly. Like [[chunk]], one
+   * narrow per-row sequence/filter/explode — zero shuffle, no state;
+   * output partitioning inherits the scan's. Cost is one md5 per
+   * character position, the price of content-determined boundaries.
+   */
+  def cdcChunk(docs: DataFrame, textCol: String, idCol: String,
+      window: Int = 8): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val w = window
+    val cuts =
+      s"""array_distinct(concat(array(0L),
+         |  CASE WHEN len >= $w + 1 THEN
+         |    filter(transform(sequence(${w}L, len - 1L), i ->
+         |      CASE WHEN substring(md5(substring(t,
+         |          cast(i - $w + 1 as int), $w)), 1, 1) = '0'
+         |        THEN i END), x -> x is not null)
+         |  ELSE cast(array() as array<bigint>) END,
+         |  array(len)))""".stripMargin
+    docs
+      .select(col(idCol), col(textCol).as("t"),
+        length(col(textCol)).cast("long").as("len"))
+      .filter(col("len") >= 1)
+      .withColumn("cuts", expr(cuts))
+      .select(col(idCol), expr(
+        s"""inline(transform(sequence(1, size(cuts) - 1), j -> struct(
+           |  cast(j - 1 as bigint) as chunk_id,
+           |  cuts[j - 1] as chunk_start,
+           |  substring(t, cast(cuts[j - 1] + 1 as int),
+           |    cast(cuts[j] - cuts[j - 1] as int)) as chunk_text)))"""
+          .stripMargin))
+      .withColumn("n_chunk_chars", length(col("chunk_text")).cast("long"))
+  }
+
+  /**
    * Concat-and-split sequence packing (GPT-style batch prep): documents
    * are laid end-to-end in deterministic `(shard, id)` order and cut every
    * `budget` tokens; each document reports the bin its first token lands

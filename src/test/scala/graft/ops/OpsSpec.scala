@@ -1207,6 +1207,36 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("cdcChunk: chunks reassemble exactly; boundaries are content-defined " +
+      "(prefix edit leaves later chunks intact)") {
+    import spark.implicits._
+    val base = docs.limit(50).select("doc_id", "text")
+    val out = TextMetrics.cdcChunk(base, "text", "doc_id", window = 8)
+    // 1. reassembly: concatenating chunks in order reproduces every doc
+    val rebuilt = out.orderBy("doc_id", "chunk_id")
+      .groupBy("doc_id")
+      .agg(concat_ws("", collect_list(col("chunk_text"))).as("r"))
+      .join(base, "doc_id")
+      .filter(col("r") =!= col("text"))
+    assert(rebuilt.count() == 0, "chunk reassembly diverged from the text")
+    // 2. the CDC property: prepend an edit — every chunk except the ones
+    // touching the perturbed head must survive unchanged (fixed-offset
+    // chunking would shift ALL of them)
+    val edited = base.select(col("doc_id"),
+      concat(lit("EDITED HEAD "), col("text")).as("text"))
+    val editedChunks = TextMetrics.cdcChunk(edited, "text", "doc_id", 8)
+      .select(col("doc_id"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val tailChunks = out.filter(col("chunk_id") >= 1)
+      .select(col("doc_id"), col("chunk_text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val survived = tailChunks.count(editedChunks.contains)
+    assert(tailChunks.nonEmpty &&
+      survived >= (tailChunks.length * 0.95).toInt,
+      s"only $survived/${tailChunks.length} post-head chunks survived a " +
+        "head edit — boundaries are not content-defined")
+  }
+
   test("urlDedup: canonical variants collapse to one key, min-id election") {
     import spark.implicits._
     val variants = Seq(
