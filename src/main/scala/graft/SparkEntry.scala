@@ -508,9 +508,63 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** FILTER-clause aggregates, shared text (the q_sql_exists pattern):
+   * per-group conditional aggregation without CASE WHEN rewrites. */
+  private val sqlFilterAggText: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+      |  round(sum(l_extendedprice) FILTER (WHERE l_discount <= 0.02), 2)
+      |    AS rev_lowdisc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ----------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unpivot" -> ((s, dir) =>
+      // UNPIVOT (melt): wide measure columns to long (metric, v) rows —
+      // the inverse of q_pivot, a narrow per-row expansion with a fixed
+      // metric list (no shuffle; the orderBy is presentational)
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "v")
+        .orderBy("l_orderkey", "l_linenumber", "metric")),
+    "q_try_cast" -> ((s, dir) =>
+      // error-safe ingestion: TRY_CAST over deterministically malformed
+      // numerics/dates (doc_id-derived, identical in both engines) —
+      // invalid inputs land NULL, never an exception; date results are
+      // projected through date_format so both engines compare strings
+      // NOTE the int-cast input stays integral-or-garbage: engines
+      // legitimately diverge on try_cast('2.5' AS INT) (DuckDB rounds,
+      // Spark ANSI rejects), so fractional strings only feed the double
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("doc_id") % 2 === 0, col("doc_id").cast("string"))
+            .otherwise(concat(lit("x"), col("doc_id").cast("string")))
+            .as("si"),
+          when(col("doc_id") % 3 === 0,
+              concat(col("doc_id").cast("string"), lit(".5")))
+            .when(col("doc_id") % 3 === 1,
+              concat(lit("x"), col("doc_id").cast("string")))
+            .otherwise(col("doc_id").cast("string")).as("sd"),
+          when(col("doc_id") % 2 === 0, "1995-03-07")
+            .otherwise("1995-13-40").as("dt"))
+        .select(col("doc_id"),
+          expr("try_cast(si as int)").as("i_v"),
+          expr("try_cast(sd as double)").as("d_v"),
+          date_format(expr("try_cast(dt as date)"), "yyyy-MM-dd").as("date_v"))
+        .orderBy("doc_id")),
+    "q_filter_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlFilterAggText)
+    }),
     "q_sql_scalar" -> ((s, dir) => {
       // correlated scalar subqueries via the SQL front door: one aggregate
       // subquery with a NULL-on-empty coalesce, one count subquery (counts
@@ -1333,6 +1387,33 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_sql_scalar" -> sqlScalarText,
+    "q_filter_agg" -> sqlFilterAggText,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS v
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |FROM lineitem WHERE l_orderkey < 100
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q_try_cast" ->
+      """SELECT doc_id,
+        |  try_cast(si AS INTEGER) AS i_v,
+        |  try_cast(sd AS DOUBLE) AS d_v,
+        |  strftime(try_cast(dt AS DATE), '%Y-%m-%d') AS date_v
+        |FROM (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id::VARCHAR
+        |       ELSE 'x' || doc_id END AS si,
+        |  CASE WHEN doc_id % 3 = 0 THEN doc_id || '.5'
+        |       WHEN doc_id % 3 = 1 THEN 'x' || doc_id
+        |       ELSE doc_id::VARCHAR END AS sd,
+        |  CASE WHEN doc_id % 2 = 0 THEN '1995-03-07'
+        |       ELSE '1995-13-40' END AS dt
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_higher_order" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> len(x) > 4))::BIGINT
