@@ -1098,6 +1098,22 @@ object SparkEntry {
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
       TextMetrics.piiScrub(spiked, "text", "doc_id").orderBy("doc_id")
     }),
+    "dedup_spans" -> ((s, dir) => {
+      // cross-document repeated spans: every 5th doc is cloned with a
+      // 3-token unique prefix, so each clone's spans duplicate the
+      // original's at shifted positions (stride=1 detection is
+      // alignment-free); the corpus's own docs are span-unique, so
+      // exactly the clone pairs (plus their internal prefix boundary
+      // spans) surface
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("clone marker "), col("doc_id").cast("string"),
+            lit(" "), col("text")).as("text"))
+      Dedup.crossDocSpans(docs.unionAll(clones), "text", "doc_id",
+          n = 10, stride = 1)
+        .orderBy("doc_id", "pos")
+    }),
     "dedup_url" -> ((s, dir) => {
       // URL-canonicalization dedup gate: deterministic messy URLs (mixed
       // case, scheme/www variants, tracking query, fragment, trailing
@@ -1441,6 +1457,25 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
     "text_gopher" -> gopherOracle,
+    "dedup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'clone marker ' || doc_id || ' ' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus
+        |  WHERE len(string_split(text, ' ')) >= 10),
+        |s AS (SELECT doc_id,
+        |  unnest(range(1, len(tok) - 8))::BIGINT AS pos,
+        |  unnest(list_transform(range(1, len(tok) - 8), i ->
+        |    md5(array_to_string(tok[i:i+9], ' ')))) AS span_hash
+        |  FROM tokd),
+        |d AS (SELECT span_hash, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |  count(*)::BIGINT AS n_occ
+        |  FROM s GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT s.doc_id, s.pos, s.span_hash, d.n_docs, d.n_occ
+        |FROM s JOIN d USING (span_hash)
+        |ORDER BY doc_id, pos""".stripMargin,
     "text_cdc_chunk" ->
       """WITH d AS (SELECT doc_id, text AS t, len(text)::BIGINT AS n
         |  FROM documents WHERE len(text) >= 1),

@@ -186,6 +186,46 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
   /**
+   * Cross-document repeated-SPAN detection — the exact-substring dedup
+   * family (Lee et al. 2021, "Deduplicating Training Data Makes Language
+   * Models Better"): a span is `n` consecutive tokens; every span whose
+   * hash occurs in >= 2 DISTINCT documents is flagged with its global
+   * document/occurrence counts, so a downstream pass can cut or mask the
+   * shared boilerplate (license headers, navigation chrome, templated
+   * paragraphs) instead of dropping whole near-unique documents.
+   *
+   * With `stride = 1` (default) detection is complete for any alignment —
+   * the reference suffix-array semantics, at O(tokens) span rows. Larger
+   * strides sample positions (linearly cheaper, detects stride-aligned
+   * copies only) — the knob for a first cheap pass at 100 TB.
+   *
+   * Scale shape: one narrow explode, one groupBy on the span hash
+   * (map-side combined), and one key-partitioned join back to positions —
+   * the dup table is NOT hint-broadcast (at corpus scale the duplicated-
+   * span set is itself huge; AQE may broadcast if it measures small).
+   */
+  def crossDocSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 10, stride: Int = 1): DataFrame = {
+    require(n >= 1, s"span length must be >= 1, got $n")
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val spans = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= n)
+      .select(col(idCol), expr(
+        s"""inline(transform(sequence(1, size(tok) - ${n - 1}, $stride),
+           |  i -> struct(cast(i as bigint) as pos,
+           |    md5(array_join(slice(tok, i, $n), ' ')) as span_hash)))"""
+          .stripMargin))
+    val dups = spans.groupBy("span_hash")
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+    spans.join(dups, "span_hash")
+      .select(col(idCol), col("pos"), col("span_hash"),
+        col("n_docs"), col("n_occ"))
+  }
+
+  /**
    * Hot-bucket guard for band joins: drop (band, key) buckets with more
    * than `maxBucketSize` members from candidate generation (a bucket of m
    * rows contributes m(m-1)/2 pairs — one hot key is the difference

@@ -423,13 +423,20 @@ object TextMetrics {
    * shuffle.
    */
   def domainProfile(urls: DataFrame, idCol: String,
-      blocklist: DataFrame): DataFrame =
+      blocklist: DataFrame, approxDocCounts: Boolean = false): DataFrame = {
+    // exact distinct doc counts for batch; the HLL++ sketch for STREAMING
+    // frames (Complete mode), where distinct aggregations are unsupported
+    // because their state is unbounded — the sketch is mergeable state
+    val docCount =
+      if (approxDocCounts) approx_count_distinct(col(idCol)).as("n_docs")
+      else countDistinct(col(idCol)).as("n_docs")
     urls.groupBy("domain")
-      .agg(countDistinct(col(idCol)).as("n_docs"), count(lit(1)).as("n_urls"))
+      .agg(docCount, count(lit(1)).as("n_urls"))
       .join(broadcast(blocklist.select(col("domain"), lit(1L).as("b_"))),
         Seq("domain"), "left")
       .withColumn("blocked", coalesce(col("b_"), lit(0L)))
       .drop("b_")
+  }
 
   /** Top-k TF-IDF terms per document (smoothed idf = ln((N+1)/(df+1))).
    * Two shuffles total: term-frequency groupBy and document-frequency

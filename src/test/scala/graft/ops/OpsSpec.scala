@@ -1207,6 +1207,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("crossDocSpans: shared spans flagged at any alignment, unique text silent") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ") // 12 shared tokens
+    val d = Seq(
+      (1L, s"$shared alpha beta gamma"),
+      (2L, s"pre1 pre2 $shared delta"), // shared block at offset 2
+      (3L, "entirely different words that never repeat anywhere else here yes")
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocSpans(d, "text", "doc_id", n = 10, stride = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 must be silent; docs 1 and 2 must flag the shared 12-token
+    // block's three 10-gram spans at their RESPECTIVE offsets
+    assert(!out.exists(_._1 == 3L))
+    assert(Set((1L, 1L), (1L, 2L), (1L, 3L)).subsetOf(out))
+    assert(Set((2L, 3L), (2L, 4L), (2L, 5L)).subsetOf(out))
+    // no span beyond the shared block is flagged
+    assert(out.forall { case (id, p) =>
+      (id == 1L && p <= 3) || (id == 2L && p >= 3 && p <= 5) })
+  }
+
   test("cdcChunk: chunks reassemble exactly; boundaries are content-defined " +
       "(prefix edit leaves later chunks intact)") {
     import spark.implicits._

@@ -117,6 +117,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sU == bU && sU.size == 2) // docs 1 and 2 carry one URL each
   }
 
+  test("streaming domain profile: Complete-mode aggregation == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // domainProfile is a groupBy aggregation + broadcast flag join — on a
+    // stream that is mergeable per-domain state re-emitted each batch in
+    // Complete mode; counts must equal the batch run over the same rows
+    val docs = Seq(
+      (1L, "x https://a.ex.com/1 y https://b.bad.org/2"),
+      (2L, "z https://a.ex.com/3"),
+      (3L, "w https://b.bad.org/4 v https://b.bad.org/5"))
+    val blocklist = Seq("b.bad.org").toDF("domain")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs.take(2): _*)
+    val in = mem.toDF().toDF("doc_id", "text")
+    val prof = graft.ops.TextMetrics.domainProfile(
+      graft.ops.TextMetrics.extractUrls(in, "text", "doc_id"),
+      "doc_id", blocklist, approxDocCounts = true)
+    val q = prof.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("domain_out").start()
+    q.processAllAvailable()
+    mem.addData(docs.drop(2): _*) // late batch merges into the same state
+    q.processAllAvailable(); q.stop()
+    val sD = spark.table("domain_out").orderBy("domain").collect().toSeq
+    val batchUrls = graft.ops.TextMetrics.extractUrls(
+      docs.toDF("doc_id", "text"), "text", "doc_id")
+    val bD = graft.ops.TextMetrics.domainProfile(batchUrls,
+        "doc_id", blocklist, approxDocCounts = true)
+      .orderBy("domain").collect().toSeq
+    assert(sD == bD && sD.size == 2)
+    // at these cardinalities the sketch count equals the exact count, so
+    // the streaming numbers are also the true ones
+    val exact = graft.ops.TextMetrics.domainProfile(batchUrls,
+        "doc_id", blocklist)
+      .orderBy("domain").collect().toSeq
+    assert(sD == exact)
+  }
+
   test("streaming EBW recalibration: each micro-batch is re-solved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
