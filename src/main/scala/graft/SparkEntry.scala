@@ -508,6 +508,29 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** NOT IN vs NOT EXISTS under ANSI three-valued logic, shared text:
+   * the classic dialect trap — a NULL in the NOT IN subquery makes the
+   * predicate UNKNOWN for every row (zero rows survive), while NOT
+   * EXISTS keeps its two-valued behavior. Both branches gated from one
+   * text so the engines must agree on the full 3VL semantics. */
+  private val sqlNotInText: String =
+    """SELECT 'not_in_clean' AS variant, count(*) AS n
+      |FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_quantity >= 49)
+      |UNION ALL
+      |SELECT 'not_in_with_null', count(*)
+      |FROM part
+      |WHERE p_partkey NOT IN (SELECT CASE WHEN l_quantity >= 49
+      |                          THEN l_partkey END
+      |                        FROM lineitem)
+      |UNION ALL
+      |SELECT 'not_exists', count(*)
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+      |ORDER BY variant""".stripMargin
+
   /** FILTER-clause aggregates, shared text (the q_sql_exists pattern):
    * per-group conditional aggregation without CASE WHEN rewrites. */
   private val sqlFilterAggText: String =
@@ -564,6 +587,14 @@ object SparkEntry {
     "q_filter_agg" -> ((s, dir) => {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(sqlFilterAggText)
+    }),
+    "q_not_in_null" -> ((s, dir) => {
+      // ANSI 3VL: NOT IN over a subquery containing NULL is UNKNOWN for
+      // every row — the with-null branch must count 0 while NOT EXISTS
+      // counts normally; one shared text, both engines
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(sqlNotInText)
     }),
     "q_sql_scalar" -> ((s, dir) => {
       // correlated scalar subqueries via the SQL front door: one aggregate
@@ -1404,6 +1435,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_sql_scalar" -> sqlScalarText,
     "q_filter_agg" -> sqlFilterAggText,
+    "q_not_in_null" -> sqlNotInText,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
         |  l_quantity AS v

@@ -154,6 +154,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(sD == exact)
   }
 
+  test("streaming heavy hitters: Complete-mode top-k == batch over all rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // topValues is groupBy-count + TakeOrdered — on a stream that is
+    // mergeable count state, re-ranked each micro-batch in Complete mode
+    val batch1 = Seq("a", "a", "b", "c")
+    val batch2 = Seq("b", "a", "d", "b", "b")
+    val mem = MemoryStream[String]
+    mem.addData(batch1: _*)
+    val q = graft.ops.Profile.topValues(mem.toDF().toDF("value"), "value", 3)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hh_out").start()
+    q.processAllAvailable()
+    mem.addData(batch2: _*) // counts must merge across batches
+    q.processAllAvailable(); q.stop()
+    val sH = spark.table("hh_out").collect().map(r => (r.getString(0), r.getLong(1)))
+    val bH = graft.ops.Profile.topValues(
+        (batch1 ++ batch2).toDF("value"), "value", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(sH.sameElements(bH))
+    assert(sH.head == (("b", 4L)) && sH(1) == (("a", 3L)))
+  }
+
   test("streaming EBW recalibration: each micro-batch is re-solved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
