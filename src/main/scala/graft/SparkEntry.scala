@@ -1145,6 +1145,21 @@ object SparkEntry {
           n = 10, stride = 1)
         .orderBy("doc_id", "pos")
     }),
+    "dedup_spans_mask" -> ((s, dir) => {
+      // the removal stage over the same cloned corpus as dedup_spans:
+      // fully-cloned docs mask to empty (every span duplicated — exact
+      // dedup's job in a real chain), docs sharing nothing pass through
+      // byte-identical, and the clone keeps only its unique 3-token
+      // prefix's boundary remainder
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val clones = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("clone marker "), col("doc_id").cast("string"),
+            lit(" "), col("text")).as("text"))
+      Dedup.maskRepeatedSpans(docs.unionAll(clones), "text", "doc_id",
+          n = 10, stride = 1)
+        .orderBy("doc_id")
+    }),
     "dedup_url" -> ((s, dir) => {
       // URL-canonicalization dedup gate: deterministic messy URLs (mixed
       // case, scheme/www variants, tracking query, fragment, trailing
@@ -1508,6 +1523,36 @@ object SparkEntry {
         |SELECT s.doc_id, s.pos, s.span_hash, d.n_docs, d.n_occ
         |FROM s JOIN d USING (span_hash)
         |ORDER BY doc_id, pos""".stripMargin,
+    "dedup_spans_mask" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'clone marker ' || doc_id || ' ' || text
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus),
+        |s AS (SELECT doc_id,
+        |  unnest(range(1, len(tok) - 8))::BIGINT AS pos,
+        |  unnest(list_transform(range(1, len(tok) - 8), i ->
+        |    md5(array_to_string(tok[i:i+9], ' ')))) AS span_hash
+        |  FROM tokd WHERE len(tok) >= 10),
+        |d AS (SELECT span_hash FROM s
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+        |f AS (SELECT s.doc_id, s.pos FROM s JOIN d USING (span_hash)),
+        |g AS (SELECT doc_id, list(pos) AS starts FROM f GROUP BY doc_id),
+        |m AS (SELECT t.doc_id, t.tok,
+        |  CASE WHEN g.starts IS NULL THEN []::BIGINT[] ELSE g.starts END
+        |    AS starts
+        |  FROM tokd t LEFT JOIN g USING (doc_id)),
+        |c AS (SELECT doc_id, tok,
+        |  list_distinct(flatten(list_transform(starts, p -> range(p, p + 10))))
+        |    AS cov
+        |  FROM m)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(range(1, len(tok) + 1), i -> NOT list_contains(cov, i)),
+        |    i -> tok[i]), ' '), '') AS text_masked,
+        |  len(cov)::BIGINT AS n_tokens_removed
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_cdc_chunk" ->
       """WITH d AS (SELECT doc_id, text AS t, len(text)::BIGINT AS n
         |  FROM documents WHERE len(text) >= 1),

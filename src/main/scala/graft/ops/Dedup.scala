@@ -226,6 +226,40 @@ object Dedup {
   }
 
   /**
+   * The removal stage for [[crossDocSpans]]: tokens covered by ANY
+   * flagged span are cut and the remaining tokens rejoined — shared
+   * boilerplate disappears from every document carrying it while the
+   * unique text survives (the Lee et al. cut, per-document). Documents
+   * with no flagged span pass through byte-identical.
+   *
+   * Scale shape: the span list aggregates per document (one groupBy on
+   * the already-flagged positions — a tiny fraction of the corpus), the
+   * join back to documents is key-partitioned, and the cut itself is
+   * per-row array lambdas (no second explode). Output column
+   * `n_tokens_removed` sizes the cut for pipeline accounting.
+   */
+  def maskRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 10, stride: Int = 1): DataFrame = {
+    val starts = crossDocSpans(docs, textCol, idCol, n, stride)
+      .groupBy(col(idCol))
+      .agg(collect_list(col("pos")).as("starts"))
+    docs
+      .join(starts, Seq(idCol), "left")
+      .select(col(idCol), split(col(textCol), " ", -1).as("tok"),
+        coalesce(col("starts"),
+          expr("cast(array() as array<bigint>)")).as("starts"))
+      .withColumn("cov", expr(
+        s"array_distinct(flatten(transform(starts, p -> sequence(p, p + ${n - 1}))))"))
+      .select(col(idCol),
+        expr("""array_join(transform(
+          |  filter(sequence(cast(1 as bigint), cast(size(tok) as bigint)),
+          |    i -> NOT array_contains(cov, i)),
+          |  i -> element_at(tok, cast(i as int))), ' ')""".stripMargin)
+          .as("text_masked"),
+        size(col("cov")).cast("long").as("n_tokens_removed"))
+  }
+
+  /**
    * Hot-bucket guard for band joins: drop (band, key) buckets with more
    * than `maxBucketSize` members from candidate generation (a bucket of m
    * rows contributes m(m-1)/2 pairs — one hot key is the difference

@@ -1227,6 +1227,24 @@ class OpsSpec extends AnyFunSuite {
       (id == 1L && p <= 3) || (id == 2L && p >= 3 && p <= 5) })
   }
 
+  test("maskRepeatedSpans: shared block cut, unique text byte-identical") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$shared alpha beta gamma"),
+      (2L, s"pre1 pre2 $shared delta"),
+      (3L, "entirely different words that never repeat anywhere else here yes")
+    ).toDF("doc_id", "text")
+    val out = Dedup.maskRepeatedSpans(d, "text", "doc_id", n = 10, stride = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 3 passes through byte-identical, zero removed
+    assert(out(3L) == (("entirely different words that never repeat " +
+      "anywhere else here yes", 0L)))
+    // docs 1 and 2: the shared 12 tokens vanish, unique remainder survives
+    assert(out(1L) == (("alpha beta gamma", 12L)))
+    assert(out(2L) == (("pre1 pre2 delta", 12L)))
+  }
+
   test("cdcChunk: chunks reassemble exactly; boundaries are content-defined " +
       "(prefix edit leaves later chunks intact)") {
     import spark.implicits._
