@@ -1158,6 +1158,11 @@ object SparkEntry {
             lit(" "), col("text")).as("text"))
       Dedup.maskRepeatedSpans(docs.unionAll(clones), "text", "doc_id",
           n = 10, stride = 1)
+        // the trivially-true filter pins the computed column into every
+        // consumer's plan: a bare count() would otherwise let Catalyst
+        // eliminate the (provably row-preserving) span join entirely and
+        // the bench would measure an empty shell
+        .filter(col("n_tokens_removed") >= 0)
         .orderBy("doc_id")
     }),
     "dedup_url" -> ((s, dir) => {
