@@ -531,6 +531,23 @@ object SparkEntry {
       |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
       |ORDER BY variant""".stripMargin
 
+  /** first/last/nth_value window functions, shared text. The frame is
+   * EXPLICIT (unbounded both ways): the ANSI default frame ends at
+   * CURRENT ROW, which silently turns last_value into "this row" — the
+   * classic window gotcha; pinning the frame in shared text makes both
+   * engines answer the intended question. */
+  private val sqlWindowFrameText: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  first_value(l_quantity) OVER w AS first_qty,
+      |  last_value(l_quantity) OVER w AS last_qty,
+      |  nth_value(l_quantity, 3) OVER w AS third_qty
+      |FROM lineitem
+      |WHERE l_suppkey < 10
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
   /** FILTER-clause aggregates, shared text (the q_sql_exists pattern):
    * per-group conditional aggregation without CASE WHEN rewrites. */
   private val sqlFilterAggText: String =
@@ -588,6 +605,27 @@ object SparkEntry {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(sqlFilterAggText)
     }),
+    "q_window_frame" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlWindowFrameText)
+    }),
+    "q_string_funcs" -> ((s, dir) =>
+      // scalar string-function family over part names — all codegen'd
+      // intrinsics in the Spark∩DuckDB dialect subset, evaluated in the
+      // scan's project
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "-").as("rp"),
+          reverse(col("p_type")).as("rev"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("tr"),
+          expr("split_part(p_type, ' ', 1)").as("first_word"),
+          substring(col("p_name"), 1, 5).as("left5"),
+          expr("repeat(p_brand, 2)").as("rep2"),
+          length(col("p_name")).cast("long").as("name_len"))
+        .orderBy("p_partkey")),
     "q_not_in_null" -> ((s, dir) => {
       // ANSI 3VL: NOT IN over a subquery containing NULL is UNKNOWN for
       // every row — the with-null branch must count 0 while NOT EXISTS
@@ -1456,6 +1494,20 @@ object SparkEntry {
     "q_sql_scalar" -> sqlScalarText,
     "q_filter_agg" -> sqlFilterAggText,
     "q_not_in_null" -> sqlNotInText,
+    "q_window_frame" -> sqlWindowFrameText,
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up,
+        |  lpad(p_brand, 12, '*') AS lp,
+        |  rpad(p_brand, 12, '-') AS rp,
+        |  reverse(p_type) AS rev,
+        |  translate(p_type, 'AEIOU', 'aeiou') AS tr,
+        |  split_part(p_type, ' ', 1) AS first_word,
+        |  substr(p_name, 1, 5) AS left5,
+        |  repeat(p_brand, 2) AS rep2,
+        |  len(p_name)::BIGINT AS name_len
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""".stripMargin,
     "q_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
         |  l_quantity AS v
