@@ -59,21 +59,25 @@ object PairScaling {
       "simhash_pairs" -> (d => Dedup.simhashCandidatePairs(d, "text", "doc_id")),
       "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(d, "text", "doc_id")))
 
-    val results = for (m <- multiples; (name, fn) <- ops) yield {
+    val results = multiples.flatMap { m =>
+      // one corpus + count per multiple — shared by all three ops (the
+      // untimed scan would otherwise run once per op for no benefit)
       val d = corpus(m)
       val nDocs = d.count()
-      var pairs = 0L
-      val times = (0 until reps).map { _ =>
-        val t0 = System.nanoTime()
-        pairs = fn(d).count()
-        val dt = (System.nanoTime() - t0) / 1e9
-        Dedup.unpersistAll(spark)
-        spark.catalog.clearCache()
-        dt
+      ops.map { case (name, fn) =>
+        var pairs = 0L
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          pairs = fn(d).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          Dedup.unpersistAll(spark)
+          spark.catalog.clearCache()
+          dt
+        }
+        val med = median(times)
+        println(f"""{"op":"$name","multiple":$m,"docs":$nDocs,"pairs":$pairs,"sec":$med%.3f}""")
+        (name, m, nDocs, pairs, med)
       }
-      val med = median(times)
-      println(f"""{"op":"$name","multiple":$m,"docs":$nDocs,"pairs":$pairs,"sec":$med%.3f}""")
-      (name, m, nDocs, pairs, med)
     }
     // fitted slope of log2(time) per log2(size) across the doubling chain;
     // ~1.0 = linear banding cost, 2.0 would be the all-pairs blow-up
@@ -82,7 +86,12 @@ object PairScaling {
       val slopes = rs.sliding(2).map { case Seq(a, b) =>
         math.log(b._5 / a._5) / math.log(b._2.toDouble / a._2)
       }.toSeq
-      val pairRatio = rs.last._4.toDouble / (rs.head._4 * rs.last._2 / rs.head._2)
+      // -1.0 sentinel when the base corpus has no candidate pairs: a 0/0
+      // here would emit NaN, which is not valid JSON and would sink the
+      // whole metrics line at the collector
+      val linearProjection = rs.head._4.toDouble * rs.last._2 / rs.head._2
+      val pairRatio =
+        if (linearProjection == 0.0) -1.0 else rs.last._4 / linearProjection
       f""""$name":{"slope":${median(slopes)}%.2f,"slope_last":${slopes.last}%.2f,"pair_ratio_vs_linear":$pairRatio%.3f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"pair_scaling","reps":$reps,"sf":"$sfDir","exponents":$summary}""")

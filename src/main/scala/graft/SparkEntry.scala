@@ -502,7 +502,7 @@ object SparkEntry {
        |SELECT *,
        |  (CASE WHEN n_words >= 50 AND n_words <= 100000
        |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-       |     AND symbol_word_ratio < 0.1 AND alpha_word_frac > 0.8
+       |     AND symbol_word_ratio < 0.1 AND alpha_word_frac >= 0.8
        |     AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
        |     AND stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
        |FROM r ORDER BY doc_id""".stripMargin

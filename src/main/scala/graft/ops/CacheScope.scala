@@ -49,15 +49,44 @@ private[ops] object CacheScope {
     df
   }
 
+  private val broadcasts =
+    new java.util.WeakHashMap[
+      SparkSession,
+      scala.collection.mutable.Buffer[org.apache.spark.broadcast.Broadcast[_]]]()
+
+  /** Remember an operator-created broadcast (e.g. the incremental-dedup
+   * Bloom filter) for release alongside the Ops-scope caches — without
+   * tracking, every call would pin its broadcast on the driver and all
+   * executors for the application lifetime. */
+  def trackBroadcast(spark: SparkSession,
+      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = synchronized {
+    var buf = broadcasts.get(spark)
+    if (buf == null) {
+      buf = scala.collection.mutable.Buffer.empty
+      broadcasts.put(spark, buf)
+    }
+    buf += bc
+  }
+
   /** Unpersist every operator-cached frame of `spark` in `scope`
-   * (non-blocking) and forget them. Safe to call at any time; in-flight
-   * queries re-materialize lazily. */
+   * (non-blocking) and forget them; the Ops scope also releases tracked
+   * broadcasts. Safe to call at any time; in-flight queries
+   * re-materialize lazily — but a RELEASED BROADCAST does not come back,
+   * so (as with the cached frames) release only after the results that
+   * reference it are consumed. */
   def unpersistAll(spark: SparkSession, scope: String = Ops): Unit = synchronized {
     val scopes = registry.get(spark)
     if (scopes != null) scopes.remove(scope).foreach(_.foreach { df =>
       try df.unpersist(false)
       catch { case scala.util.control.NonFatal(_) => () }
     })
+    if (scope == Ops) {
+      val buf = broadcasts.remove(spark)
+      if (buf != null) buf.foreach { bc =>
+        try bc.destroy()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
   }
 
   /** Unpersist one tracked frame (any scope) and forget it — for owners

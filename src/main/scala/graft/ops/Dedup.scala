@@ -150,7 +150,14 @@ object Dedup {
     val bf = corpusHashes.stat
       .bloomFilter(col("content_hash"), expectedItems, fpp)
     val bc = newBatch.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((h: String) => bc.value.mightContainString(h))
+    // tracked for release with unpersistAll (after results are consumed);
+    // otherwise every call pins its filter on driver+executors for the
+    // application lifetime. Null-safe: a null text hashes to a null
+    // hash, which is never in the corpus filter (and mightContainString
+    // would NPE on it).
+    CacheScope.trackBroadcast(newBatch.sparkSession, bc)
+    val mightContain =
+      udf((h: String) => h != null && bc.value.mightContainString(h))
     val verified = hashed
       .filter(mightContain(col("content_hash")))
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "leftsemi")
@@ -175,10 +182,14 @@ object Dedup {
   /**
    * URL-level dedup (the crawl-frontier rule CommonCrawl-style pipelines
    * apply before any content hash is computed): pages are duplicates when
-   * their CANONICAL URLs collide — scheme, `www.`, query-string tracking
-   * params, fragments, and trailing slashes don't distinguish documents.
-   * Same shape as [[exact]]: one shuffle on the canonical key, min-id
-   * election, no window over hot keys.
+   * their CANONICAL URLs collide — scheme, `www.`, fragments, trailing
+   * slashes, and the ENTIRE query string are treated as
+   * non-distinguishing. Whole-query stripping is the aggressive frontier
+   * rule; on sites where query params select real content
+   * (`?topic=42`), pre-strip only the known tracking params and skip
+   * [[canonicalUrl]]'s query step instead. Same shape as [[exact]]: one
+   * shuffle on the canonical key, min-id election, no window over hot
+   * keys.
    */
   def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
     docs
@@ -208,14 +219,18 @@ object Dedup {
       n: Int = 10, stride: Int = 1): DataFrame = {
     require(n >= 1, s"span length must be >= 1, got $n")
     require(stride >= 1, s"stride must be >= 1, got $stride")
-    val spans = docs
+    // cached (session-tracked, released by unpersistAll like the banding
+    // operators): the tokenize+explode+md5 scan feeds BOTH the dup
+    // aggregate and the probe side of the join — uncached it would run
+    // the full-corpus hashing twice per action
+    val spans = CacheScope.track(docs
       .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= n)
       .select(col(idCol), expr(
         s"""inline(transform(sequence(1, size(tok) - ${n - 1}, $stride),
            |  i -> struct(cast(i as bigint) as pos,
            |    md5(array_join(slice(tok, i, $n), ' ')) as span_hash)))"""
-          .stripMargin))
+          .stripMargin)))
     val dups = spans.groupBy("span_hash")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ"))

@@ -364,7 +364,7 @@ object TextMetrics {
         (col("n_words") >= 50 && col("n_words") <= 100000 &&
           col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
           col("symbol_word_ratio") < 0.1 &&
-          col("alpha_word_frac") > 0.8 &&
+          col("alpha_word_frac") >= 0.8 &&
           col("bullet_line_frac") < 0.9 &&
           col("ellipsis_line_frac") < 0.3 &&
           col("stop_hits") >= 2).cast("long"))
@@ -397,9 +397,13 @@ object TextMetrics {
   }
 
   /** URL pattern in the Java∩RE2 subset (no lookaround): scheme + host +
-   * optional path. Shared with the oracle so both engines extract the
-   * same spans. */
-  val urlPattern: String = "https?://[A-Za-z0-9.-]+(/[A-Za-z0-9/._-]*)?"
+   * optional path. The host must END on an alphanumeric so sentence
+   * punctuation after a bare-host URL ("visit http://ads.bad.org.") is
+   * not absorbed into the domain — a trailing dot would split domain
+   * counts and silently miss the blocklist. Shared with the oracle so
+   * both engines extract the same spans. */
+  val urlPattern: String =
+    "https?://[A-Za-z0-9.-]*[A-Za-z0-9](/[A-Za-z0-9/._-]*)?"
 
   /** Extract every URL (with its registrable host) per document — the
    * first stage of crawl-curation domain filtering. One narrow codegen'd
@@ -432,7 +436,10 @@ object TextMetrics {
       else countDistinct(col(idCol)).as("n_docs")
     urls.groupBy("domain")
       .agg(docCount, count(lit(1)).as("n_urls"))
-      .join(broadcast(blocklist.select(col("domain"), lit(1L).as("b_"))),
+      // distinct before the flag join: a blocklist file that lists a
+      // domain twice must not duplicate that domain's profile row
+      .join(broadcast(blocklist.select(col("domain")).distinct()
+          .withColumn("b_", lit(1L))),
         Seq("domain"), "left")
       .withColumn("blocked", coalesce(col("b_"), lit(0L)))
       .drop("b_")

@@ -1174,15 +1174,21 @@ class OpsSpec extends AnyFunSuite {
     val d = Seq(
       (1L, "see https://a.example.com/x and http://bad.org/y too"),
       (2L, "https://a.example.com/z plain text no more urls"),
-      (3L, "no urls here at all")).toDF("doc_id", "text")
+      (3L, "no urls here at all"),
+      (4L, "sentence ends with the url http://bad.org.")).toDF("doc_id", "text")
     val urls = TextMetrics.extractUrls(d, "text", "doc_id")
-    assert(urls.count() == 3)
+    assert(urls.count() == 4)
+    // the sentence period is NOT part of the domain
+    assert(urls.filter(col("doc_id") === 4).collect()(0)
+      .getAs[String]("domain") == "bad.org")
+    // duplicate blocklist entries must not duplicate profile rows
     val profile = TextMetrics.domainProfile(urls, "doc_id",
-        Seq("bad.org").toDF("domain"))
+        Seq("bad.org", "bad.org").toDF("domain"))
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(profile.size == 2)
     assert(profile("a.example.com") == ((2L, 2L, 0L)))
-    assert(profile("bad.org") == ((1L, 1L, 1L)))
+    assert(profile("bad.org") == ((2L, 2L, 1L)))
   }
 
   test("topValues exact heavy hitters; CMS estimates bounded one-sided") {
@@ -1322,10 +1328,13 @@ class OpsSpec extends AnyFunSuite {
 
   test("exactIncrementalBloom equals the plain semi-join; no false negatives") {
     val corpus = docs.select("doc_id", "text")
+    import spark.implicits._
     val newBatch = corpus.filter(col("doc_id") % 3 === 0)
       .select((col("doc_id") + 70000).as("doc_id"),
         when(col("doc_id") % 6 === 0, col("text"))
           .otherwise(concat(col("text"), lit(" fresh suffix"))).as("text"))
+      // a null text must flag in_corpus=0, not NPE in the bloom probe
+      .unionAll(Seq((99999L, null: String)).toDF("doc_id", "text"))
     val hashes = Dedup.exact(corpus, "text", "doc_id").select("content_hash")
     val out = Dedup.exactIncrementalBloom(newBatch, "text", "doc_id",
       hashes, expectedItems = 100000, fpp = 0.01)
