@@ -177,6 +177,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(sH.head == (("b", 4L)) && sH(1) == (("a", 3L)))
   }
 
+  test("stream-static enrichment join: dimension broadcast, stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // THE most common production streaming shape: an event stream
+    // enriched against a static dimension table. The static side plans as
+    // a broadcast per micro-batch — no stateful join buffers at all.
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val events = Seq((1L, 10.0), (2L, 5.0), (1L, 7.0), (3L, 99.0))
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData(events: _*)
+    val joined = mem.toDF().toDF("user_id", "value")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    q.processAllAvailable(); q.stop()
+    val s = spark.table("enrich_out").orderBy("user_id", "value").collect().toSeq
+    val b = events.toDF("user_id", "value").join(dim, Seq("user_id"))
+      .orderBy("user_id", "value").collect().toSeq
+    assert(s == b && s.size == 3) // user 3 has no dim row and drops
+  }
+
   test("streaming EBW recalibration: each micro-batch is re-solved") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
