@@ -609,6 +609,24 @@ object SparkEntry {
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(sqlWindowFrameText)
     }),
+    "q_array_funcs" -> ((s, dir) =>
+      // array set-function family over overlapping token slices:
+      // intersect/union/except/overlap, projected through sort+join to a
+      // canonical string because the engines order set results
+      // differently — all per-row lambda built-ins, zero shuffle
+      t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ", -1).as("tok"))
+        .filter(size(col("tok")) >= 15)
+        .select(col("doc_id"),
+          expr("slice(tok, 1, 10)").as("a"), expr("slice(tok, 6, 10)").as("b"))
+        .select(col("doc_id"),
+          array_join(sort_array(array_distinct(
+            array_intersect(col("a"), col("b")))), ",").as("inter_s"),
+          size(array_union(col("a"), col("b"))).cast("long").as("union_n"),
+          array_join(sort_array(array_distinct(
+            array_except(col("a"), col("b")))), ",").as("except_s"),
+          arrays_overlap(col("a"), col("b")).cast("long").as("overlap"))
+        .orderBy("doc_id")),
     "q_string_funcs" -> ((s, dir) =>
       // scalar string-function family over part names — all codegen'd
       // intrinsics in the Spark∩DuckDB dialect subset, evaluated in the
@@ -1495,6 +1513,18 @@ object SparkEntry {
     "q_filter_agg" -> sqlFilterAggText,
     "q_not_in_null" -> sqlNotInText,
     "q_window_frame" -> sqlWindowFrameText,
+    "q_array_funcs" ->
+      """SELECT doc_id,
+        |  array_to_string(list_sort(list_distinct(list_intersect(a, b))), ',')
+        |    AS inter_s,
+        |  len(list_distinct(list_concat(a, b)))::BIGINT AS union_n,
+        |  array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains(b, x)))), ',') AS except_s,
+        |  (CASE WHEN list_has_any(a, b) THEN 1 ELSE 0 END)::BIGINT AS overlap
+        |FROM (SELECT doc_id, tok[1:10] AS a, tok[6:15] AS b
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tok FROM documents)
+        |  WHERE len(tok) >= 15)
+        |ORDER BY doc_id""".stripMargin,
     "q_string_funcs" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up,
