@@ -975,4 +975,27 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
+
+  /**
+   * The standard corpus dedup chain as ONE call: exact dedup (content
+   * hash, min-id election) → MinHash banding candidate pairs over the
+   * exact survivors → transitive cluster election (connected
+   * components) → one representative per near-dup cluster. Returns the
+   * kept documents with their original schema — what `keep` means in a
+   * curation pipeline's dedup stage.
+   *
+   * Composes the individually-gated operators (`dedup_exact`,
+   * `dedup_minhash_pairs`, `dedup_components`), inheriting their scale
+   * shapes: two hash-key shuffles, banded joins under the hot-bucket
+   * cap, O(log n) star rounds. Release the banding caches with
+   * `unpersistAll` after consuming the result.
+   */
+  def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
+      maxBucketSize: Int = 100000): DataFrame = {
+    val keep = exact(docs, textCol, idCol).select(col("keep_id").as(idCol))
+    val exactKept = docs.join(keep, Seq(idCol))
+    val pairs = minhashCandidatePairs(exactKept, textCol, idCol,
+      maxBucketSize = maxBucketSize)
+    keepRepresentativesByLabels(exactKept, connectedComponents(pairs), idCol)
+  }
 }

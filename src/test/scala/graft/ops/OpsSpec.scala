@@ -1281,6 +1281,30 @@ class OpsSpec extends AnyFunSuite {
         "head edit — boundaries are not content-defined")
   }
 
+  test("dedupCorpus one-call chain: exact copies and near-dups collapse, " +
+      "uniques survive") {
+    val base = docs.limit(40).select("doc_id", "text")
+    // exact copies (new ids) AND near-dups (appended tail) of the base
+    val copies = base.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+    val nears = base.select((col("doc_id") + 400000).as("doc_id"),
+      concat(col("text"), lit(" small appended tail")).as("text"))
+    val corpus = base.unionAll(copies).unionAll(nears)
+    val kept = Dedup.dedupCorpus(corpus, "text", "doc_id")
+    Dedup.unpersistAll(spark)
+    val ids = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact copies always die (higher id); near-dups die for every pair
+    // minhash catches (>= 75% by the banding recall the pair spec pins)
+    assert(!ids.exists(id => id >= 200000 && id < 400000))
+    // most base docs survive; a few may be natural near-dups of OTHER
+    // base docs and lose the min-id election to them — correct behavior
+    assert(ids.count(_ < 200000) >= 35,
+      s"too few base survivors: ${ids.count(_ < 200000)}/40")
+    assert(ids.count(_ >= 400000) <= 10,
+      s"near-dup survivors should be rare, got ${ids.count(_ >= 400000)}")
+    // schema passes through untouched
+    assert(kept.columns.toSeq == Seq("doc_id", "text"))
+  }
+
   test("urlDedup: canonical variants collapse to one key, min-id election") {
     import spark.implicits._
     val variants = Seq(
