@@ -57,7 +57,11 @@ object PairScaling {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_pairs" -> (d => Dedup.minhashCandidatePairs(d, "text", "doc_id")),
       "simhash_pairs" -> (d => Dedup.simhashCandidatePairs(d, "text", "doc_id")),
-      "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(d, "text", "doc_id")))
+      "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(d, "text", "doc_id")),
+      // stride-1 span detection: O(tokens) span rows — the vocabulary
+      // bijection keeps spans disjoint across copies, so flagged spans
+      // (the within-copy natural dups) grow linearly with m by design
+      "cross_doc_spans" -> (d => Dedup.crossDocSpans(d, "text", "doc_id")))
 
     val results = multiples.flatMap { m =>
       // one corpus + count per multiple — shared by all three ops (the
