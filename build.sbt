@@ -16,6 +16,9 @@ run / fork := true
 // expecting a bare JSON line from Bench/Verify. StdoutOutput pipes the
 // child process's stdout straight through, no logger, no prefix.
 run / outputStrategy := Some(StdoutOutput)
+// ...and sbt's own trailing "[success] Total time: ..." line must not
+// follow it, or `| tail -1` reads the success banner instead of the JSON.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -460,13 +460,18 @@ object SparkEntry {
       |WHERE c.c_custkey < 500
       |ORDER BY c_custkey""".stripMargin
 
-  /** DuckDB replay of the Gopher quality rules: identical spiking, token/
-   * line lambdas for the array statistics, the shared stopword list probed
-   * with the same padded-instr trick, and the keep verdict recomputed from
-   * the ROUNDED statistics exactly as the operator does. */
+  /** DuckDB replay of the Gopher quality rules: identical spiking,
+   * whitespace-class tokenization with empties dropped, token/line
+   * lambdas for the array statistics, the shared stopword list probed on
+   * the lowercased letters-only projection (regexp_replace needs the 'g'
+   * flag — DuckDB replaces first-match-only by default, Spark replaces
+   * all), and the keep verdict recomputed from the ROUNDED statistics
+   * exactly as the operator does. */
   private def gopherOracle: String = {
     val stops = TextMetrics.gopherStopwords
-      .map(w => s"(CASE WHEN instr(' ' || t || ' ', ' $w ') > 0 THEN 1 ELSE 0 END)")
+      .map(w => "(CASE WHEN instr(' ' || " +
+        s"regexp_replace(lower(t), '[^a-z]', ' ', 'g') || ' ', ' $w ') > 0 " +
+        "THEN 1 ELSE 0 END)")
       .mkString("\n    + ")
     s"""WITH sp AS (SELECT doc_id,
        |  '- bullet intro' || chr(10) || text ||
@@ -475,7 +480,8 @@ object SparkEntry {
        |    ELSE chr(10) || 'plain # tail line' END AS t
        |  FROM documents),
        |b AS (SELECT doc_id, t,
-       |  string_split(t, ' ') AS tok, string_split(t, chr(10)) AS ln
+       |  list_filter(regexp_split_to_array(t, '\\s+'), x -> x != '') AS tok,
+       |  string_split(t, chr(10)) AS ln
        |  FROM sp),
        |m AS (SELECT doc_id,
        |  len(tok)::BIGINT AS n_words,

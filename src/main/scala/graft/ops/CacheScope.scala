@@ -27,6 +27,13 @@ private[ops] object CacheScope {
    * owning index object, never by `Dedup`/`Similarity.unpersistAll`. */
   val Index = "index"
 
+  /** Bloom-filter broadcasts ([[Dedup.exactIncrementalBloom]]); released
+   * only by `Dedup.releaseBloomFilters` — NOT by the Ops-scope
+   * `unpersistAll`, because a destroyed broadcast (unlike an unpersisted
+   * cache) never rebuilds: releasing it mid-pipeline would fail any
+   * not-yet-consumed result that references it at action time. */
+  val Bloom = "bloom"
+
   private val registry =
     new java.util.WeakHashMap[
       SparkSession,
@@ -52,41 +59,41 @@ private[ops] object CacheScope {
   private val broadcasts =
     new java.util.WeakHashMap[
       SparkSession,
-      scala.collection.mutable.Buffer[org.apache.spark.broadcast.Broadcast[_]]]()
+      scala.collection.mutable.Map[
+        String, scala.collection.mutable.Buffer[org.apache.spark.broadcast.Broadcast[_]]]]()
 
   /** Remember an operator-created broadcast (e.g. the incremental-dedup
-   * Bloom filter) for release alongside the Ops-scope caches — without
-   * tracking, every call would pin its broadcast on the driver and all
-   * executors for the application lifetime. */
+   * Bloom filter) under a scope for later release — without tracking,
+   * every call would pin its broadcast on the driver and all executors
+   * for the application lifetime. */
   def trackBroadcast(spark: SparkSession,
-      bc: org.apache.spark.broadcast.Broadcast[_]): Unit = synchronized {
-    var buf = broadcasts.get(spark)
-    if (buf == null) {
-      buf = scala.collection.mutable.Buffer.empty
-      broadcasts.put(spark, buf)
+      bc: org.apache.spark.broadcast.Broadcast[_],
+      scope: String = Ops): Unit = synchronized {
+    var scopes = broadcasts.get(spark)
+    if (scopes == null) {
+      scopes = scala.collection.mutable.Map.empty
+      broadcasts.put(spark, scopes)
     }
-    buf += bc
+    scopes.getOrElseUpdate(scope, scala.collection.mutable.Buffer.empty) += bc
   }
 
   /** Unpersist every operator-cached frame of `spark` in `scope`
-   * (non-blocking) and forget them; the Ops scope also releases tracked
-   * broadcasts. Safe to call at any time; in-flight queries
-   * re-materialize lazily — but a RELEASED BROADCAST does not come back,
-   * so (as with the cached frames) release only after the results that
-   * reference it are consumed. */
+   * (non-blocking), destroy that scope's tracked broadcasts, and forget
+   * both. Safe to call at any time for CACHES (in-flight queries
+   * re-materialize lazily) — but a DESTROYED BROADCAST does not come
+   * back, which is why Bloom broadcasts live in their own scope and are
+   * never released by the routine Ops-scope call. */
   def unpersistAll(spark: SparkSession, scope: String = Ops): Unit = synchronized {
     val scopes = registry.get(spark)
     if (scopes != null) scopes.remove(scope).foreach(_.foreach { df =>
       try df.unpersist(false)
       catch { case scala.util.control.NonFatal(_) => () }
     })
-    if (scope == Ops) {
-      val buf = broadcasts.remove(spark)
-      if (buf != null) buf.foreach { bc =>
-        try bc.destroy()
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-    }
+    val bscopes = broadcasts.get(spark)
+    if (bscopes != null) bscopes.remove(scope).foreach(_.foreach { bc =>
+      try bc.destroy()
+      catch { case scala.util.control.NonFatal(_) => () }
+    })
   }
 
   /** Unpersist one tracked frame (any scope) and forget it — for owners

@@ -138,7 +138,18 @@ object Dedup {
    *
    * `corpusHashes` is one `content_hash` column (e.g. `exact()` output).
    * Output: every new-batch row with its hash and an exact `in_corpus`
-   * 0/1 flag (oracle-gated: equals the plain semi-join answer).
+   * 0/1 flag (oracle-gated: equals the plain semi-join answer). Duplicate
+   * `idCol` values in `newBatch` are safe: the flag joins back on
+   * (idCol, content_hash) against a DISTINCT verification set, so each
+   * input row yields exactly one output row — though rows sharing an id
+   * AND text are indistinguishable in the output (as in the input).
+   *
+   * The broadcast Bloom filter is tracked in its own [[CacheScope.Bloom]]
+   * scope: the routine `Dedup.unpersistAll` between pipeline stages does
+   * NOT destroy it (a destroyed broadcast, unlike an unpersisted cache,
+   * never rebuilds — releasing it mid-pipeline would fail any unconsumed
+   * result at action time). Call [[releaseBloomFilters]] once every
+   * result of this operator has been consumed.
    */
   def exactIncrementalBloom(
       newBatch: DataFrame, textCol: String, idCol: String,
@@ -150,22 +161,33 @@ object Dedup {
     val bf = corpusHashes.stat
       .bloomFilter(col("content_hash"), expectedItems, fpp)
     val bc = newBatch.sparkSession.sparkContext.broadcast(bf)
-    // tracked for release with unpersistAll (after results are consumed);
-    // otherwise every call pins its filter on driver+executors for the
-    // application lifetime. Null-safe: a null text hashes to a null
-    // hash, which is never in the corpus filter (and mightContainString
-    // would NPE on it).
-    CacheScope.trackBroadcast(newBatch.sparkSession, bc)
+    // tracked for release with releaseBloomFilters (after results are
+    // consumed); otherwise every call pins its filter on driver+executors
+    // for the application lifetime. Null-safe: a null text hashes to a
+    // null hash, which is never in the corpus filter (and
+    // mightContainString would NPE on it).
+    CacheScope.trackBroadcast(newBatch.sparkSession, bc, CacheScope.Bloom)
     val mightContain =
       udf((h: String) => h != null && bc.value.mightContainString(h))
+    // distinct on (id, hash): the flag join below then matches each input
+    // row at most once, so duplicate ids cannot multiply output rows
     val verified = hashed
       .filter(mightContain(col("content_hash")))
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "leftsemi")
-      .select(col(idCol), lit(1L).as("in_corpus"))
-    hashed.join(verified, Seq(idCol), "left")
+      .select(col(idCol), col("content_hash")).distinct()
+      .withColumn("in_corpus", lit(1L))
+    hashed.join(verified, Seq(idCol, "content_hash"), "left")
       .select(col(idCol), col("content_hash"),
         coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
   }
+
+  /** Destroy every Bloom-filter broadcast [[exactIncrementalBloom]] has
+   * created in this session. Call ONLY after all results that reference
+   * them are consumed — a destroyed broadcast never rebuilds. Kept
+   * separate from [[unpersistAll]] so routine cache hygiene between
+   * pipeline stages cannot break an unconsumed incremental-dedup result. */
+  def releaseBloomFilters(spark: org.apache.spark.sql.SparkSession): Unit =
+    CacheScope.unpersistAll(spark, CacheScope.Bloom)
 
   /** Canonical URL key: lowercase, strip scheme / leading `www.` /
    * fragment / query string / trailing slashes. Anchored regexes in the
@@ -190,11 +212,24 @@ object Dedup {
    * [[canonicalUrl]]'s query step instead. Same shape as [[exact]]: one
    * shuffle on the canonical key, min-id election, no window over hot
    * keys.
+   *
+   * Rows with NO usable key — null URL, or one that canonicalizes to the
+   * empty string (a bare `https://`) — pass through as SINGLETONS, each
+   * its own survivor: a missing URL says nothing about content identity,
+   * so grouping all such rows under one key would elect one survivor
+   * among unrelated documents. (The singleton branch is a narrow filter
+   * on the same scan, not a second pass.)
    */
-  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
-    docs
-      .groupBy(canonicalUrl(col(urlCol)).as("url_key"))
+  def urlDedup(docs: DataFrame, urlCol: String, idCol: String): DataFrame = {
+    val keyed = docs.select(canonicalUrl(col(urlCol)).as("url_key"), col(idCol))
+    val noKey = col("url_key").isNull || col("url_key") === ""
+    keyed.filter(!noKey)
+      .groupBy("url_key")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .unionAll(keyed.filter(noKey)
+        .select(col("url_key"), col(idCol).as("keep_id"),
+          lit(1L).as("n_copies")))
+  }
 
   /**
    * Cross-document repeated-SPAN detection — the exact-substring dedup
@@ -252,6 +287,14 @@ object Dedup {
    * join back to documents is key-partitioned, and the cut itself is
    * per-row array lambdas (no second explode). Output column
    * `n_tokens_removed` sizes the cut for pipeline accounting.
+   *
+   * The cut is LINEAR per document: flagged starts sort once, one
+   * `aggregate` fold merges them into disjoint covered intervals
+   * (O(C log C) for C flagged starts), and a second fold emits the
+   * uncovered token SLICES between intervals (O(T) total slice work for
+   * T tokens) — never a per-position membership probe against the
+   * covered set, which would be O(T·C) and degrade exactly on the dense
+   * boilerplate-heavy documents this operator exists to clean.
    */
   def maskRepeatedSpans(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 10, stride: Int = 1): DataFrame = {
@@ -263,15 +306,39 @@ object Dedup {
       .select(col(idCol), split(col(textCol), " ", -1).as("tok"),
         coalesce(col("starts"),
           expr("cast(array() as array<bigint>)")).as("starts"))
-      .withColumn("cov", expr(
-        s"array_distinct(flatten(transform(starts, p -> sequence(p, p + ${n - 1}))))"))
+      // sorted starts → disjoint merged [s,e] intervals (1-based,
+      // inclusive); overlap-or-adjacent runs collapse to one interval
+      .withColumn("ivs", expr(
+        s"""aggregate(array_sort(starts),
+           |  named_struct(
+           |    'ivs', cast(array() as array<struct<s:bigint,e:bigint>>),
+           |    'cs', cast(-1 as bigint), 'ce', cast(-1 as bigint)),
+           |  (st, p) -> if(st.cs < 0,
+           |      named_struct('ivs', st.ivs, 'cs', p, 'ce', p + ${n - 1}),
+           |    if(p <= st.ce + 1,
+           |      named_struct('ivs', st.ivs, 'cs', st.cs,
+           |        'ce', greatest(st.ce, p + ${n - 1})),
+           |      named_struct('ivs', concat(st.ivs,
+           |          array(named_struct('s', st.cs, 'e', st.ce))),
+           |        'cs', p, 'ce', p + ${n - 1}))),
+           |  st -> if(st.cs < 0, st.ivs,
+           |    concat(st.ivs, array(named_struct('s', st.cs, 'e', st.ce)))))"""
+          .stripMargin))
       .select(col(idCol),
-        expr("""array_join(transform(
-          |  filter(sequence(cast(1 as bigint), cast(size(tok) as bigint)),
-          |    i -> NOT array_contains(cov, i)),
-          |  i -> element_at(tok, cast(i as int))), ' ')""".stripMargin)
+        // walk the gaps: slice the tokens before each interval, then the
+        // tail after the last one — each token copied at most once
+        expr("""array_join(aggregate(ivs,
+          |  named_struct('nxt', cast(1 as bigint),
+          |    'acc', cast(array() as array<string>)),
+          |  (st, iv) -> named_struct('nxt', iv.e + 1,
+          |    'acc', concat(st.acc,
+          |      slice(tok, cast(st.nxt as int), cast(iv.s - st.nxt as int)))),
+          |  st -> concat(st.acc,
+          |    slice(tok, cast(st.nxt as int),
+          |      cast(size(tok) - st.nxt + 1 as int)))), ' ')""".stripMargin)
           .as("text_masked"),
-        size(col("cov")).cast("long").as("n_tokens_removed"))
+        expr("aggregate(ivs, cast(0 as bigint), (a, iv) -> a + iv.e - iv.s + 1)")
+          .as("n_tokens_removed"))
   }
 
   /**

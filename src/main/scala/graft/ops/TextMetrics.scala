@@ -329,10 +329,19 @@ object TextMetrics {
    * scan, zero shuffle, output partitioning inherits the input's. All
    * predicates live in the Java∩RE2∩LIKE subset so the DuckDB oracle
    * replays the verdict bit-for-bit.
+   *
+   * Tokenization is on the WHITESPACE CLASS (`\s+`, empties dropped), so
+   * words separated by newlines/tabs count as separate words — the
+   * published rules assume real word counts, and space-only splitting
+   * fuses `sat\nwith` into one word, inflating mean_word_len on
+   * multi-line prose. The stopword probe runs on the LOWERCASED text
+   * with non-letters mapped to spaces, so `The` at sentence start, a
+   * stopword before punctuation (`of.`), or one against a newline all
+   * count toward the >= 2 threshold.
    */
   def gopherQuality(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val base = docs.select(col(idCol), col(textCol).as("t"),
-      split(col(textCol), " ", -1).as("tok"),
+      expr("filter(split(t, '\\\\s+'), x -> x != '')").as("tok"),
       split(col(textCol), "\n", -1).as("ln"))
     val nWords = size(col("tok")).cast("long")
     val nAlphaWords =
@@ -347,7 +356,9 @@ object TextMetrics {
     val nBullet =
       expr("size(filter(ln, x -> x LIKE '- %' OR x LIKE '• %'))").cast("long")
     val nEndEllipsis = expr("size(filter(ln, x -> x LIKE '%...'))").cast("long")
-    val padded = concat(lit(" "), col("t"), lit(" "))
+    // lowercase + non-letters→space: boundary-insensitive stopword probe
+    val padded = concat(lit(" "),
+      regexp_replace(lower(col("t")), "[^a-z]", " "), lit(" "))
     val stopHits = gopherStopwords
       .map(w => when(instr(padded, s" $w ") > 0, 1L).otherwise(0L): Column)
       .reduce(_ + _)

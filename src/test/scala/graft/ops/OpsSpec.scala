@@ -1137,13 +1137,19 @@ class OpsSpec extends AnyFunSuite {
 
   test("gopherQuality: closed-form stats on a handcrafted document") {
     import spark.implicits._
-    // 2 lines: a bullet line and an ellipsis line; 8 words total
+    // 2 lines: a bullet line and an ellipsis line
     val text = "- the cat sat\nwith a ## hat..."
     val out = TextMetrics.gopherQuality(
       Seq((1L, text)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
-    // space-split tokens: ["-","the","cat","sat\nwith","a","##","hat..."]
-    val nWords = text.split(" ", -1).length
-    assert(nWords == 7 && out.getAs[Long]("n_words") == nWords)
+    // whitespace-class tokens — 'sat' and 'with' are SEPARATE words even
+    // though a newline, not a space, divides them:
+    // ["-","the","cat","sat","with","a","##","hat..."]
+    val nWords = 8
+    assert(out.getAs[Long]("n_words") == nWords)
+    // 1+3+3+3+4+1+2+6 = 23 word chars
+    assert(out.getAs[Double]("mean_word_len") == 2.875)
+    // the, cat, sat, with, a, hat... carry a letter; '-' and '##' don't
+    assert(out.getAs[Double]("alpha_word_frac") == 0.75)
     assert(out.getAs[Long]("n_lines") == 2)
     assert(out.getAs[Double]("bullet_line_frac") == 0.5) // line 1 of 2
     assert(out.getAs[Double]("ellipsis_line_frac") == 0.5) // line 2 of 2
@@ -1151,9 +1157,16 @@ class OpsSpec extends AnyFunSuite {
     assert(out.getAs[Double]("symbol_word_ratio") ==
       BigDecimal(3.0 / nWords).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         .toDouble)
-    // only ' the ' hits: 'with' is preceded by the newline, not a space
-    assert(out.getAs[Long]("stop_hits") == 1)
+    // 'the' AND 'with' hit — the newline before 'with' is a boundary now
+    assert(out.getAs[Long]("stop_hits") == 2)
     assert(out.getAs[Long]("keep") == 0) // fails the 50-word minimum
+
+    // boundary cases the published rules require: capitalized 'The' at
+    // sentence start, 'of.' before punctuation, 'and' against a newline
+    val tricky = "The dog. Best of.\nand so on"
+    val t2 = TextMetrics.gopherQuality(
+      Seq((1L, tricky)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    assert(t2.getAs[Long]("stop_hits") == 3) // the, of, and
   }
 
   test("unigramLogProb: closed-form model on a tiny corpus") {
@@ -1251,6 +1264,40 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L) == (("pre1 pre2 delta", 12L)))
   }
 
+  test("maskRepeatedSpans: dense coverage on long docs stays linear") {
+    import spark.implicits._
+    // two identical 30k-token documents — EVERY position is covered by a
+    // flagged span, the worst case for the cut. The former per-position
+    // array_contains form was O(T·C) ≈ 9e8 comparisons per doc here; the
+    // interval-merge cut is O(C log C + T) and completes in seconds.
+    val tokens = 30000
+    val t1 = (0 until tokens).map(i => s"t${i % 977}_${i / 977}").mkString(" ")
+    val d = Seq((1L, t1), (2L, t1)).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val out = Dedup.maskRepeatedSpans(d, "text", "doc_id", n = 10, stride = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    // full coverage: everything cut, nothing left
+    assert(out(1L) == (("", tokens.toLong)))
+    assert(out(2L) == (("", tokens.toLong)))
+    assert(secs < 120, f"dense-coverage cut took $secs%.1f s — not linear")
+
+    // partial coverage with a mid-doc gap: two flagged runs merge into
+    // two intervals, and the three uncovered gaps survive in order
+    val uniqA = (0 until 40).map(i => s"ua$i").mkString(" ")
+    val uniqB = (0 until 40).map(i => s"ub$i").mkString(" ")
+    val uniqC = (0 until 40).map(i => s"uc$i").mkString(" ")
+    val shared1 = (0 until 15).map(i => s"s$i").mkString(" ")
+    val shared2 = (0 until 15).map(i => s"z$i").mkString(" ")
+    val d2 = Seq(
+      (1L, s"$uniqA $shared1 $uniqB $shared2 $uniqC"),
+      (2L, s"$shared1 $shared2")).toDF("doc_id", "text")
+    val out2 = Dedup.maskRepeatedSpans(d2, "text", "doc_id", n = 10, stride = 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out2(1L) == ((s"$uniqA $uniqB $uniqC", 30L)))
+    assert(out2(2L) == (("", 30L)))
+  }
+
   test("cdcChunk: chunks reassemble exactly; boundaries are content-defined " +
       "(prefix edit leaves later chunks intact)") {
     import spark.implicits._
@@ -1320,6 +1367,24 @@ class OpsSpec extends AnyFunSuite {
     assert(out("other.example.com/a/b") == ((5L, 1L)))
   }
 
+  test("urlDedup: null / empty-canonical URLs survive as singletons, never one group") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://site.example.com/x"),
+      (2L, "http://www.site.example.com/x/"),
+      (3L, null: String),          // no URL at all
+      (4L, null: String),          // unrelated doc, also no URL
+      (5L, "https://"),            // canonicalizes to the empty string
+      (6L, "http://www.")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(rows, "url", "doc_id").collect()
+    // one real group (docs 1+2) + four singletons; docs 3..6 all survive
+    assert(out.length == 5)
+    val keep = out.map(_.getLong(1)).sorted
+    assert(keep.toSeq == Seq(1L, 3L, 4L, 5L, 6L))
+    assert(out.filter(_.getLong(1) >= 3L).forall(_.getLong(2) == 1L),
+      "keyless rows must be singletons with n_copies=1")
+  }
+
   test("describeNumeric: closed-form stats incl. null counting, one row per column") {
     import spark.implicits._
     val df = Seq((Some(1.0), Some(10.0)), (Some(2.0), None),
@@ -1373,5 +1438,19 @@ class OpsSpec extends AnyFunSuite {
     assert(got == want)
     assert(got.values.sum > 0, "gate needs real duplicates to be meaningful")
     assert(got.values.count(_ == 0L) > 0, "gate needs real novel docs too")
+
+    // duplicate ids in the batch must not multiply output rows (the flag
+    // joins back on (id, hash) against a distinct verification set)
+    val dupIds = newBatch.unionAll(newBatch.filter(col("doc_id") % 2 === 0))
+    val outDup = Dedup.exactIncrementalBloom(dupIds, "text", "doc_id",
+      hashes, expectedItems = 100000, fpp = 0.01)
+    assert(outDup.count() == dupIds.count())
+
+    // routine Ops-scope release between pipeline stages must NOT destroy
+    // the bloom broadcast an unconsumed result still references...
+    Dedup.unpersistAll(spark)
+    assert(out.count() == newBatch.count())
+    // ...only the dedicated handle does
+    Dedup.releaseBloomFilters(spark)
   }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -169,9 +170,12 @@ class StreamingSpec extends AnyFunSuite {
     q.processAllAvailable()
     mem.addData(batch2: _*) // counts must merge across batches
     q.processAllAvailable(); q.stop()
-    val sH = spark.table("hh_out").collect().map(r => (r.getString(0), r.getLong(1)))
+    // sort both sides: the memory sink's row order is not contractual
+    val sH = spark.table("hh_out").orderBy(col("n").desc, col("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     val bH = graft.ops.Profile.topValues(
         (batch1 ++ batch2).toDF("value"), "value", 3)
+      .orderBy(col("n").desc, col("value"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(sH.sameElements(bH))
     assert(sH.head == (("b", 4L)) && sH(1) == (("a", 3L)))
