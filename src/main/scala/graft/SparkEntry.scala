@@ -514,6 +514,32 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the exact BPE token count: the same rank-ordered
+   * merge table ([[TextMetrics.bpeMerges]]) nested as the same replace
+   * chain over the same double-space symbol representation — only the
+   * char-split prep differs by dialect (`\\1`+`'g'` vs `$1`; DuckDB
+   * replaces first-match-only without the flag). list_sum returns
+   * HUGEINT, so both sums cast to BIGINT before the compare hashes
+   * dtypes. */
+  private def bpeOracle: String = {
+    val perWord = TextMetrics.bpeMerges.foldLeft(
+      "concat(' ', rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ')") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+    s"""WITH b AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(tok)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(tok, w ->
+       |    len(string_split($perWord, '  ')))), 0)::BIGINT AS n_bpe_tokens,
+       |  coalesce(list_sum(list_transform(tok, w -> len(w))), 0)::BIGINT AS wc
+       |  FROM b)
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  round(wc * 1.0 / greatest(n_bpe_tokens, 1), 4) AS chars_per_token
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** NOT IN vs NOT EXISTS under ANSI three-valued logic, shared text:
    * the classic dialect trap — a NULL in the NOT IN subquery makes the
    * predicate UNKNOWN for every row (zero rows survive), while NOT
@@ -1136,6 +1162,12 @@ object SparkEntry {
         .orderBy("doc_id")),
     "text_tokens" -> ((s, dir) =>
       TextMetrics.tokenCounts(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("doc_id")),
+    "text_tokens_bpe" -> ((s, dir) =>
+      // exact BPE encode (rank-ordered merge fold, shared table) — the
+      // budget unit context windows are actually measured in; DuckDB
+      // replays the identical 56-replace chain per word
+      TextMetrics.bpeTokenCounts(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
     "text_quality" -> ((s, dir) =>
       TextMetrics.quality(t(s, dir, "documents"), "text", "doc_id")
@@ -1949,6 +1981,7 @@ object SparkEntry {
         |  len(str_split(text, ' '))::BIGINT AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens_bpe" -> bpeOracle,
     "ann_topk" ->
       """WITH q AS (
         |  SELECT generate_subscripts(embedding, 1) AS i,

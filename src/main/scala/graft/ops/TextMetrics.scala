@@ -21,6 +21,84 @@ object TextMetrics {
       wsTokenCount(col(textCol)).as("n_ws_tokens"),
       reTokenCount(col(textCol)).as("n_re_tokens"))
 
+  /**
+   * Byte-pair-encoding merge table, in RANK order — a small embedded
+   * English merge list standing in for a production merges file (GPT-2's
+   * `vocab.bpe` et al. load through the same fold; the container ships no
+   * tokenizer assets). Later ranks may reference symbols earlier ranks
+   * created (`f + or → for` needs `o + r → or` first) — exactly how
+   * trained merge tables compose. Shared with the oracle-SQL generator
+   * so both engines apply the identical table in the identical order.
+   */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "e" -> "r",
+    "o" -> "n", "r" -> "e", "e" -> "d", "n" -> "d", "an" -> "d",
+    "in" -> "g", "e" -> "n", "o" -> "r", "e" -> "s", "a" -> "t",
+    "t" -> "o", "o" -> "u", "i" -> "t", "i" -> "s", "a" -> "r",
+    "a" -> "l", "s" -> "t", "o" -> "f", "e" -> "l", "l" -> "e",
+    "m" -> "e", "s" -> "e", "l" -> "l", "c" -> "h", "w" -> "h",
+    "v" -> "e", "c" -> "o", "r" -> "o", "l" -> "i", "r" -> "a",
+    "u" -> "s", "e" -> "a", "h" -> "a", "s" -> "i", "m" -> "a",
+    "t" -> "i", "ti" -> "on", "en" -> "t", "er" -> "s", "es" -> "t",
+    "u" -> "r", "c" -> "e", "o" -> "w", "p" -> "e", "b" -> "e",
+    "w" -> "e", "f" -> "or", "h" -> "i", "n" -> "o", "d" -> "e",
+    "u" -> "t")
+
+  /**
+   * BPE token count of one whitespace word, as a Column expression.
+   *
+   * The encode loop is the published BPE algorithm (Sennrich et al.
+   * 2016): start from the character sequence, apply each merge in rank
+   * order to every non-overlapping occurrence, leftmost first. One
+   * string `replace` per merge IS that step under this representation:
+   * a word is rendered `" c1  c2  c3 "` — every symbol wrapped in
+   * single spaces, so DOUBLE spaces separate adjacent symbols — and
+   * merge (a,b) rewrites `" a  b "` to `" ab "`. The wrapping spaces
+   * make cross-symbol false matches impossible (a pattern only ever
+   * matches a whole symbol: symbol interiors never contain a space,
+   * because words come from a whitespace split) while adjacent
+   * occurrences still chain, since neighbors abut on the DOUBLE
+   * separator and each match consumes only one space of it per side.
+   * Token count = symbols left = size of the split on the double space.
+   * DuckDB's `replace` has the same leftmost non-overlapping semantics,
+   * so the oracle nests the identical 56 calls (see the gate SQL).
+   */
+  private def bpeWordCount(w: Column): Column = {
+    val prepped = concat(lit(" "),
+      rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
+    val merged = bpeMerges.foldLeft(prepped) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    size(split(merged, "  "))
+  }
+
+  /** Exact BPE token count of `text` under [[bpeMerges]]: whitespace
+   * pre-tokenization (empties dropped), then the per-word encode fold.
+   * Per-row lambda built-ins only — narrow, zero shuffle. */
+  def bpeTokenCount(text: Column): Column =
+    aggregate(
+      filter(split(text, "\\s+"), w => w =!= ""),
+      lit(0L),
+      (acc, w) => acc + bpeWordCount(w).cast("long"))
+
+  /** Per-document BPE vs whitespace token counts — the budget most
+   * training pipelines actually meter (context windows are BPE tokens,
+   * not words). Emits the chars-per-BPE-token ratio as the calibration
+   * signal quality pipelines track per source. */
+  def bpeTokenCounts(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val wordChars = aggregate(words, lit(0L),
+      (acc, w) => acc + length(w).cast("long"))
+    docs.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      bpeTokenCount(col(textCol)).as("n_bpe_tokens"),
+      wordChars.as("__wc"))
+      .withColumn("chars_per_token",
+        round(col("__wc") * lit(1.0) /
+          greatest(col("n_bpe_tokens"), lit(1L)), 4))
+      .drop("__wc")
+  }
+
   /** Simple quality score: length stats + token shape, all portable
    * arithmetic (length/replace/least/round). `keep` columns pass through
    * unchanged (e.g. source/lang for per-source profiling) — still a single
@@ -292,16 +370,22 @@ object TextMetrics {
    * worker shard anyway (bins never cross shards, so shards are
    * independent and the bin id is the pair `(shard, bin)`). Cost is one
    * shuffle on the shard key; per-shard state is a running sum.
+   *
+   * `tokenCount` picks the budget's unit — whitespace words by default,
+   * [[bpeTokenCount]] to pack in the BPE tokens context windows are
+   * actually measured in (the counter is a per-row expression either
+   * way, so the plan shape does not change).
    */
   def packBins(docs: DataFrame, textCol: String, idCol: String,
-      budget: Int, shardCol: String): DataFrame = {
+      budget: Int, shardCol: String,
+      tokenCount: Column => Column = wsTokenCount): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"token budget must be >= 1, got $budget")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
       .select(col(idCol), col(shardCol).as("shard"),
-        wsTokenCount(col(textCol)).as("n_tokens"))
+        tokenCount(col(textCol)).as("n_tokens"))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("bin",
         expr(s"(cum_tokens - n_tokens) div $budget"))

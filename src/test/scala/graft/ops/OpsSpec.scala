@@ -400,6 +400,43 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeTokenCounts: closed-form merges, overlap chaining, word boundaries") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the cat"),            // the→1 ; cat→ c,at = 2
+      (2L, "interesting"),        // in,t,er,est,ing = 5
+      (3L, "thethethe aaaa"),     // the×3 = 3 ; a×4 = 4 (no (a,a) merge)
+      (4L, "weather for"),        // w,ea,the,r = 4 ; for = 1
+      (5L, ""),                   // no words at all
+      (6L, "x  \t y\nz")          // whitespace-class split: x,y,z = 3 chars
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.bpeTokenCounts(d, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((2L, 3L, 6.0 / 3)))   // 6 word chars / 3 tokens
+    assert(out(2L) == ((1L, 5L, 11.0 / 5)))
+    assert(out(3L) == ((2L, 7L, 13.0 / 7 match {
+      case x => BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble })))
+    assert(out(4L)._2 == 5L)
+    assert(out(5L) == ((0L, 0L, 0.0)))       // greatest(.,1) guards the ratio
+    assert(out(6L)._1 == 3L && out(6L)._2 == 3L)
+  }
+
+  test("packBins budgeted in BPE tokens: same plan shape, BPE running sum") {
+    import spark.implicits._
+    // BPE counts: "the cat"=3, "interesting"=5, "weather for"=5 →
+    // with budget 6: starts 0,3,8 → bins 0,0,1, offsets 0,3,2
+    val df = Seq((1L, "the cat"), (2L, "interesting"), (3L, "weather for"))
+      .toDF("doc_id", "text").withColumn("shard", lit(0))
+    val out = TextMetrics.packBins(df, "text", "doc_id", budget = 6,
+        shardCol = "shard", tokenCount = TextMetrics.bpeTokenCount)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(2)).toSeq == Seq(3L, 5L, 5L)) // n_tokens is BPE
+    assert(out.map(_.getLong(4)).toSeq == Seq(0L, 0L, 1L))
+    assert(out.map(_.getLong(5)).toSeq == Seq(0L, 3L, 2L))
+  }
+
   test("group distinct: exact matches a closed form; HLL approx within its rsd band") {
     import spark.implicits._
     // closed form: group g has values 0..(50*(g+1)-1) each appearing twice,
