@@ -19,6 +19,9 @@ run / outputStrategy := Some(StdoutOutput)
 // ...and sbt's own trailing "[success] Total time: ..." line must not
 // follow it, or `| tail -1` reads the success banner instead of the JSON.
 Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — exempt it from
+// the unused-key lint so batch output stays clean
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

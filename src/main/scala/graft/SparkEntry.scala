@@ -540,6 +540,92 @@ object SparkEntry {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** 8-word phrase the repetition-family gate repeats twice in a third
+   * of the spiked docs — guarantees non-degenerate dup 5..8-gram
+   * coverage in both engines. */
+  private val repPhrase =
+    "redwood canyon mist falcon ember quartz harbor lantern"
+
+  /** DuckDB replay of the full Gopher repetition family — deliberately a
+   * DIFFERENT formulation from the Spark operator's per-row lambdas:
+   * n-grams unnest to rows, duplication comes from a COUNT window,
+   * interval union from the classic gaps-and-islands running-max, and
+   * covered characters from 1-based list slices — so the gate
+   * cross-checks two independent derivations of the same statistics. */
+  private def repetitionFullOracle: String = {
+    val spike =
+      s"""sp AS (SELECT doc_id,
+         |  text || chr(10) || 'grey line repeats' ||
+         |    chr(10) || 'grey line repeats' ||
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN chr(10)||chr(10)||'para dup'||chr(10)||chr(10)||'para dup'
+         |    ELSE chr(10)||chr(10)||'solo para' END ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN chr(10) || '$repPhrase $repPhrase' ELSE '' END AS text
+         |  FROM documents)""".stripMargin
+    val tops = Seq(2, 3, 4).map { k =>
+      s"""t$k AS (SELECT doc_id, max(cnt * glen) AS top$k FROM (
+         |  SELECT doc_id, g, count(*) AS cnt, len(g) AS glen FROM (
+         |    SELECT doc_id, array_to_string(tok[i:i+${k - 1}], ' ') AS g
+         |    FROM d, unnest(generate_series(1, len(tok)-${k - 1})) AS u(i))
+         |  GROUP BY doc_id, g, glen) GROUP BY doc_id)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""g$n AS (SELECT doc_id, i AS p,
+         |    array_to_string(tok[i:i+${n - 1}], ' ') AS g
+         |  FROM d, unnest(generate_series(1, len(tok)-${n - 1})) AS u(i)),
+         |dp$n AS (SELECT doc_id, p FROM (
+         |  SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, g) AS c
+         |  FROM g$n) WHERE c >= 2),
+         |is$n AS (SELECT doc_id, p,
+         |  CASE WHEN p > coalesce(max(p + ${n - 1}) OVER (
+         |      PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |    THEN 1 ELSE 0 END AS ni FROM dp$n),
+         |iv$n AS (SELECT doc_id, min(p) AS s, max(p) + ${n - 1} AS e FROM (
+         |  SELECT doc_id, p, sum(ni) OVER (PARTITION BY doc_id ORDER BY p)
+         |    AS isl FROM is$n) GROUP BY doc_id, isl),
+         |c$n AS (SELECT iv$n.doc_id,
+         |  sum(len(array_to_string(d.tok[iv$n.s:iv$n.e], ' '))) AS cov
+         |  FROM iv$n JOIN d USING (doc_id) GROUP BY iv$n.doc_id)"""
+        .stripMargin
+    }
+    val selT = Seq(2, 3, 4).map(k =>
+      s"round(coalesce(t$k.top$k, 0) * 1.0 / greatest(d.doc_len, 1), 4)" +
+        s" AS top_${k}gram_char_frac").mkString(",\n  ")
+    val selD = (5 to 10).map(n =>
+      s"round(coalesce(c$n.cov, 0) * 1.0 / greatest(d.doc_len, 1), 4)" +
+        s" AS dup_${n}gram_char_frac").mkString(",\n  ")
+    val joins = (Seq(2, 3, 4).map(k => s"LEFT JOIN t$k USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN c$n USING (doc_id)")).mkString(" ")
+    s"""WITH $spike,
+       |d AS (SELECT doc_id, len(text)::BIGINT AS doc_len,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+       |      AS tok,
+       |    string_split(text, chr(10)) AS ln,
+       |    string_split(text, chr(10)||chr(10)) AS para
+       |  FROM sp),
+       |${tops.mkString(",\n")},
+       |${dups.mkString(",\n")}
+       |SELECT d.doc_id,
+       |  round((len(ln) - len(list_distinct(ln))) * 1.0 / len(ln), 4)
+       |    AS dup_line_frac,
+       |  round((coalesce(list_sum(list_transform(ln, x -> len(x))), 0) -
+       |      coalesce(list_sum(list_transform(list_distinct(ln),
+       |        x -> len(x))), 0)) * 1.0 / greatest(d.doc_len, 1), 4)
+       |    AS dup_line_char_frac,
+       |  round((len(para) - len(list_distinct(para))) * 1.0 / len(para), 4)
+       |    AS dup_para_frac,
+       |  round((coalesce(list_sum(list_transform(para, x -> len(x))), 0) -
+       |      coalesce(list_sum(list_transform(list_distinct(para),
+       |        x -> len(x))), 0)) * 1.0 / greatest(d.doc_len, 1), 4)
+       |    AS dup_para_char_frac,
+       |  $selT,
+       |  $selD
+       |FROM d $joins
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   /** NOT IN vs NOT EXISTS under ANSI three-valued logic, shared text:
    * the classic dialect trap — a NULL in the NOT IN subquery makes the
    * predicate UNKNOWN for every row (zero rows survive), while NOT
@@ -1178,6 +1264,21 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextMetrics.repetition(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "text_repetition_full" -> ((s, dir) => {
+      // the complete Rae et al. Table A1 statistic family. The corpus is
+      // single-line prose, so line/paragraph/phrase duplication is spiked
+      // deterministically (doc_id-derived, identical text in both
+      // engines): every doc gains a repeated line, half gain a repeated
+      // paragraph, a third gain a twice-repeated 8-word phrase (dup
+      // 5..8-grams) — every statistic lands non-degenerate
+      val spiked = t(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"), lit("\ngrey line repeats\ngrey line repeats"),
+        when(col("doc_id") % 2 === 0, lit("\n\npara dup\n\npara dup"))
+          .otherwise(lit("\n\nsolo para")),
+        when(col("doc_id") % 3 === 0, lit(s"\n$repPhrase $repPhrase"))
+          .otherwise(lit(""))).as("text"))
+      TextMetrics.repetitionFull(spiked, "text", "doc_id").orderBy("doc_id")
+    }),
     "text_fingerprint" -> ((s, dir) =>
       TextMetrics.fingerprint(t(s, dir, "documents"), "text", "doc_id",
           portable = true)
@@ -2341,6 +2442,7 @@ object SparkEntry {
         |  count(DISTINCT s)::BIGINT AS n_distinct,
         |  round(1.0 - count(DISTINCT s) * 1.0 / count(*), 4) AS dup_3gram_frac
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_repetition_full" -> repetitionFullOracle,
     "ann_lsh" -> annLshOracle,
     "ebw_penalty" -> ebwPenaltyOracle,
     "ebw_grouped_penalty" -> ebwGroupedPenaltyOracle,

@@ -157,6 +157,113 @@ object TextMetrics {
           .as("dup_3gram_frac"))
   }
 
+  /** Duplicated-n-gram char COVERAGE of one document, as a SQL fragment
+   * over a pre-bound `tok` array column: canonical-rendering characters
+   * inside any within-doc n-gram that occurs >= 2 times. The pipeline is
+   * all linear-ish per row: sort (gram, pos) structs, mark positions
+   * whose gram equals a sorted neighbor's (neighbor probes are O(1)
+   * element loads, never a membership scan), interval-merge the sorted
+   * positions (the [[Dedup.maskRepeatedSpans]] fold), then measure each
+   * merged interval with ONE array_join over its disjoint token slice —
+   * total join work is bounded by the document length. */
+  private def dupNgramCoverExpr(n: Int): String = {
+    val nm1 = n - 1
+    s"""aggregate(
+       |  aggregate(
+       |    array_sort(filter(transform(sequence(1, size(GE$n)), i ->
+       |      CASE WHEN get(GE$n, i-1) = get(GE$n, i-2)
+       |          OR get(GE$n, i-1) = get(GE$n, i)
+       |        THEN element_at(GP$n, i).p END), x -> x IS NOT NULL)),
+       |    named_struct(
+       |      'ivs', cast(array() as array<struct<s:bigint,e:bigint>>),
+       |      'cs', cast(-1 as bigint), 'ce', cast(-1 as bigint)),
+       |    (st, p) -> if(st.cs < 0,
+       |        named_struct('ivs', st.ivs, 'cs', p, 'ce', p + $nm1),
+       |      if(p <= st.ce + 1,
+       |        named_struct('ivs', st.ivs, 'cs', st.cs,
+       |          'ce', greatest(st.ce, p + $nm1)),
+       |        named_struct('ivs', concat(st.ivs,
+       |            array(named_struct('s', st.cs, 'e', st.ce))),
+       |          'cs', p, 'ce', p + $nm1))),
+       |    st -> if(st.cs < 0, st.ivs,
+       |      concat(st.ivs, array(named_struct('s', st.cs, 'e', st.ce))))),
+       |  0L, (a, iv) -> a + length(array_join(
+       |    slice(tok, cast(iv.s as int), cast(iv.e - iv.s + 1 as int)), ' ')))"""
+      .stripMargin
+  }
+
+  /**
+   * The COMPLETE Gopher repetition-statistic family (Rae et al. 2021
+   * Table A1, the filter block Dolma/RefinedWeb replicate), one row per
+   * document, one narrow zero-shuffle scan:
+   *
+   *  - `dup_line_frac` / `dup_para_frac` — fraction of lines (split on
+   *    `\n`) / paragraphs (split on `\n\n`) that repeat an earlier one.
+   *  - `dup_line_char_frac` / `dup_para_char_frac` — characters inside
+   *    those repeat occurrences, over the RAW document length (the
+   *    published denominator).
+   *  - `top_{2,3,4}gram_char_frac` — characters covered by the single
+   *    most-covering word n-gram: max over grams of count·len(gram),
+   *    gram rendered space-joined (the published numerator), over raw
+   *    length. (Deterministic formalization: published code takes
+   *    Counter.most_common(1) with arbitrary tie-break; max-coverage is
+   *    tie-stable and equals it whenever the top is unique.)
+   *  - `dup_{5..10}gram_char_frac` — canonical-rendering characters
+   *    covered by ANY n-gram occurring twice in the document, via
+   *    interval union (alignment-free — the [[Dedup.crossDocSpans]]
+   *    semantics applied within-doc; the published greedy skip-scan
+   *    undercounts staggered overlaps, the union does not).
+   *
+   * Words come from the whitespace-class split (empties dropped), like
+   * [[gopherQuality]]. Every statistic is per-row lambda arithmetic —
+   * no explode, no shuffle; output partitioning inherits the input's.
+   */
+  def repetitionFull(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dupElems = Seq("ln" -> "line", "para" -> "para").map { case (a, nm) =>
+      Seq(
+        round((size(col(a)) - size(array_distinct(col(a)))) * lit(1.0) /
+          size(col(a)), 4).as(s"dup_${nm}_frac"),
+        round((expr(s"aggregate($a, 0L, (a, x) -> a + length(x))") -
+          expr(s"aggregate(array_distinct($a), 0L, (a, x) -> a + length(x))")) *
+          lit(1.0) / greatest(col("doc_len"), lit(1L)), 4)
+          .as(s"dup_${nm}_char_frac"))
+    }
+    val topGrams = Seq(2, 3, 4).map { k =>
+      round(expr(
+        s"""aggregate(array_sort(GS$k),
+           |  named_struct('prev', cast(null as string),
+           |    'run', 0L, 'best', 0L),
+           |  (st, g) -> named_struct('prev', g,
+           |    'run', if(st.prev is not null and g = st.prev,
+           |      st.run + 1L, 1L),
+           |    'best', greatest(st.best,
+           |      if(st.prev is not null and g = st.prev, st.run + 1L, 1L)
+           |        * length(g))),
+           |  st -> st.best)""".stripMargin) * lit(1.0) /
+        greatest(col("doc_len"), lit(1L)), 4).as(s"top_${k}gram_char_frac")
+    }
+    val dupGrams = (5 to 10).map { n =>
+      round(expr(dupNgramCoverExpr(n)) *
+        lit(1.0) / greatest(col("doc_len"), lit(1L)), 4)
+        .as(s"dup_${n}gram_char_frac")
+    }
+    val gramCols = (2 to 10).flatMap { n =>
+      val gp = s"""array_sort(transform(sequence(1, size(tok) - ${n - 1}), i ->
+        named_struct('g', array_join(slice(tok, i, $n), ' '),
+          'p', cast(i as bigint))))"""
+      if (n <= 4) Seq(expr(s"transform($gp, x -> x.g)").as(s"GS$n"))
+      else Seq(expr(gp).as(s"GP$n"),
+        expr(s"transform($gp, x -> x.g)").as(s"GE$n"))
+    }
+    docs
+      .select(Seq(col(idCol),
+        length(col(textCol)).cast("long").as("doc_len"),
+        expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')").as("tok"),
+        split(col(textCol), "\n", -1).as("ln"),
+        split(col(textCol), "\n\n", -1).as("para")) ++ gramCols: _*)
+      .select(col(idCol) +: (dupElems.flatten ++ topGrams ++ dupGrams): _*)
+  }
+
   /** Text normalization for dedup/tokenization pre-passes: lowercase,
    * strip non-alphanumerics, collapse runs of whitespace, trim — all
    * codegen'd regexp/lower built-ins, replayable in any SQL engine.

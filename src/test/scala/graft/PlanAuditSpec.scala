@@ -114,6 +114,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(u.contains("*(1)"), s"URL extraction fell out of codegen:\n$u")
   }
 
+  test("repetitionFull: per-row lambda family stays a zero-Exchange scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.repetitionFull(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"the repetition family must not shuffle:\n$p")
+  }
+
   test("describeNumeric: ONE scan and one aggregation pair for k columns") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val p = graft.ops.Profile.describeNumeric(li,

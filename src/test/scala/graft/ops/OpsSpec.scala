@@ -1206,6 +1206,35 @@ class OpsSpec extends AnyFunSuite {
     assert(t2.getAs[Long]("stop_hits") == 3) // the, of, and
   }
 
+  test("repetitionFull: every Table-A1 statistic against closed forms") {
+    import spark.implicits._
+    val d = Seq(
+      // 7 lines (3 dup) / 3 paras (1 dup) / an 8-token run repeated once
+      (1L, "a b c d e f g h a b c d e f g h\nx y\nx y\n\npp qq\n\npp qq"),
+      (2L, "one two three four five six seven eight nine ten"),
+      // overlapping 'hi yo' x5: top-gram coverage legitimately exceeds 1
+      (3L, "hi yo hi yo hi yo hi yo hi yo")
+    ).toDF("doc_id", "text")
+    val out = TextMetrics.repetitionFull(d, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail.map(_.asInstanceOf[Double])).toMap
+    // doc 1, len 53: lines dup 3/7; dup line chars (3+5)/53; paras dup 1/3;
+    // dup para chars 5/53; top 2/3/4-grams 'pp qq' 2*5, 'a b c' 2*5,
+    // 'a b c d' 2*7; dup 5..8-grams all cover tokens 1..16 = 31 chars
+    // (adjacent intervals MERGE, chars counted once); no dup 9/10-grams
+    assert(out(1L) == Seq(0.4286, 0.1509, 0.3333, 0.0943,
+      0.1887, 0.1887, 0.2642, 0.5849, 0.5849, 0.5849, 0.5849, 0.0, 0.0))
+    // doc 2, len 49: nothing repeats; top n-gram is any single occurrence
+    // (count 1), e.g. 'one two' 7 chars -> 0.2292 etc.
+    assert(out(2L) == Seq(0.0, 0.0, 0.0, 0.0,
+      0.2292, 0.3333, 0.4167, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    // doc 3, len 29: 'hi yo' 5*5/29; 'hi yo hi' 4*8/29 > 1 (published
+    // numerator double-counts overlapping occurrences - preserved);
+    // all 10 tokens sit in a duplicated 5..8-gram -> full 29/29 coverage
+    assert(out(3L) == Seq(0.0, 0.0, 0.0, 0.0,
+      0.8621, 1.1034, 1.5172, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0))
+  }
+
   test("unigramLogProb: closed-form model on a tiny corpus") {
     import spark.implicits._
     // corpus tokens: a a a b — p(a)=3/4, p(b)=1/4
