@@ -1183,6 +1183,35 @@ object SparkEntry {
         .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
         .orderBy("o_orderkey")
     }),
+    "ebw_grouped_scale" -> ((s, dir) => {
+      // grouped-solver SCALE probe (bench-visible): 500 simultaneous
+      // poststratification problems advanced in shared treeAggregate
+      // passes — the regression canary for the G-group production shape.
+      // Sparse orderkeys leave thin groups at tiny SF, so groups missing
+      // a cell are filtered out (equal-share targets would be infeasible
+      // there); the filter is part of the shared semantics and at bench
+      // scale (sf0.1) virtually all 500 groups survive
+      val orders = t(s, dir, "orders")
+        .withColumn("grp", (col("o_orderkey") % 500).cast("string"))
+        .withColumn("cell",
+          when(col("o_orderkey") % 7 < 3, "A").otherwise("B"))
+        .withColumn("w0", lit(1.0))
+      val full = orders.groupBy("grp")
+        .agg(countDistinct(col("cell")).as("nc")).filter(col("nc") === 2)
+        .select("grp")
+      val kept = orders.join(full, "grp")
+      val (dfv, labels) = DesignMatrix.oneHot(kept, "cell", "feat")
+      val k = labels.length
+      val grps = kept.select(col("grp")).distinct()
+        .collect().map(_.getString(0))
+      val targets = grps.map(g => g -> Array.fill(k)(1.0 / k)).toMap
+      val res = GroupedEntropyBalance.entropyBalanceGrouped(
+        dfv, "grp", "feat", "w0", targets,
+        options = EbwOptions(optimalityTol = 1e-11, maxSteps = 60))
+      res.weighted
+        .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+        .orderBy("o_orderkey")
+    }),
     "ebw_penalty" -> ((s, dir) => {
       val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
       val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
@@ -2050,6 +2079,20 @@ object SparkEntry {
         |  ON o.o_orderstatus = g.o_orderstatus
         | AND o.o_orderpriority = g.o_orderpriority
         |ORDER BY o.o_orderkey""".stripMargin,
+    "ebw_grouped_scale" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    (o_orderkey % 500)::VARCHAR AS grp,
+        |    CASE WHEN o_orderkey % 7 < 3 THEN 'A' ELSE 'B' END AS cell
+        |  FROM orders),
+        |full_g AS (SELECT grp FROM o GROUP BY grp
+        |           HAVING count(DISTINCT cell) = 2),
+        |k AS (SELECT o.* FROM o JOIN full_g USING (grp)),
+        |s AS (SELECT grp, count(*) AS n FROM k GROUP BY grp),
+        |c AS (SELECT grp, cell, count(*) * 1.0 AS nc FROM k GROUP BY grp, cell)
+        |SELECT k.o_orderkey, round((s.n * 0.5) / c.nc, 6) AS new_weight
+        |FROM k JOIN s USING (grp)
+        |JOIN c ON k.grp = c.grp AND k.cell = c.cell
+        |ORDER BY k.o_orderkey""".stripMargin,
     "ebw_sparse_bigk" ->
       """SELECT o.o_orderkey,
         |  round(((SELECT count(*) FROM orders) * 1.0 /
