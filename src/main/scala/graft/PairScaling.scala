@@ -7,7 +7,7 @@ import graft.ops.Dedup
 
 /**
  * Scaling evidence for the banding-pair dedup operators (SURVEY §6): wall
- * time vs corpus size at 1x/2x/4x/8x the sf0.1 documents table.
+ * time vs corpus size at 1x/2x/4x/8x/16x the sf0.1 documents table.
  *
  * Corpus construction: copy c remaps ids into a disjoint range and
  * prefixes every word with a copy marker (`" " -> " c<c>"`, i.e. the
@@ -36,7 +36,7 @@ object PairScaling {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val multiples = Seq(1, 2, 4, 8)
+    val multiples = Seq(1, 2, 4, 8, 16)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,10 +61,18 @@ object PairScaling {
       // stride-1 span detection: O(tokens) span rows — the vocabulary
       // bijection keeps spans disjoint across copies, so flagged spans
       // (the within-copy natural dups) grow linearly with m by design
-      "cross_doc_spans" -> (d => Dedup.crossDocSpans(d, "text", "doc_id")))
+      "cross_doc_spans" -> (d => Dedup.crossDocSpans(d, "text", "doc_id")),
+      // the full detect+cut chain (row-preserving output: one row per
+      // doc); times the interval-merge cut on top of the span join. The
+      // filter pins the cut into the count plan — on a bare count()
+      // Catalyst eliminates the provably row-preserving join and the
+      // "measurement" is an empty shell (the bench gate has the same
+      // guard)
+      "spans_mask" -> (d => Dedup.maskRepeatedSpans(d, "text", "doc_id")
+        .filter(col("n_tokens_removed") >= 0)))
 
     val results = multiples.flatMap { m =>
-      // one corpus + count per multiple — shared by all three ops (the
+      // one corpus + count per multiple — shared by all the ops (the
       // untimed scan would otherwise run once per op for no benefit)
       val d = corpus(m)
       val nDocs = d.count()
