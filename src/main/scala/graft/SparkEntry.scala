@@ -1671,10 +1671,111 @@ object SparkEntry {
           round(Similarity.cosineNative(v, typedlit(q)), 5).as("cosine"))
         .orderBy(desc("cosine"), col("vec_id"))
         .limit(10)
+    }),
+    "q_mixture_sample" -> ((s, dir) => {
+      // domain-mixture realization at max corpus usage: weights cycle 1..4
+      // over the sources, so the heaviest-weighted present source pins
+      // T = min(n/w) and quotas land on floor(w * T) — the md5 election
+      // inside each source is the stratifiedExact rule
+      val weights = (0 until 20).map(i => (s"src$i", 1.0 + i % 4)).toMap
+      graft.ops.Sampling.mixtureSample(
+          t(s, dir, "documents"), "source", "doc_id", weights)
+        .select(col("source"), col("doc_id"))
+        .orderBy("source", "doc_id")
+    }),
+    "dedup_components_elect" -> ((s, dir) => {
+      // quality-aware survivor election over the chain islands: labels
+      // arrive closed-form (as a persisted labeling would from parquet);
+      // quality (doc_id*37)%100 permutes within each island so the winner
+      // is neither the min id nor the max id, and unlabeled docs
+      // (doc_id%20 > 7) must pass through untouched
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), ((col("doc_id") * 37) % 100).as("quality"))
+      val labels = docs.where(col("doc_id") % 20 <= 7)
+        .select(col("doc_id").as("id"),
+          (col("doc_id") - col("doc_id") % 20).as("component"))
+      graft.ops.Dedup.electRepresentativesByLabels(
+          docs, labels, "doc_id", "quality")
+        .orderBy("doc_id")
+    }),
+    "q_shard_assign" -> ((s, dir) =>
+      // deterministic training-order shuffle: shard + position are pure
+      // functions of (seed, id), so the (shard, shard_pos) read order is
+      // an engine-independent permutation of the corpus
+      graft.ops.Sampling.assignShards(
+          t(s, dir, "orders").select("o_orderkey"), "o_orderkey", nShards = 8)
+        .select(col("shard"), col("shard_pos"), col("o_orderkey"))
+        .orderBy("shard", "shard_pos")),
+    "q_fuzzy_join" -> ((s, dir) =>
+      // blocked fuzzy record linkage: TPC-H customer names differ only in
+      // their numeric suffix, so nation-blocked pairs within 2 edits are a
+      // dense, deterministic match set; the oracle verifies the length
+      // prefilter and the thresholded DP kernel change nothing
+      graft.ops.Linkage.fuzzySelfJoin(t(s, dir, "customer"),
+          Seq("c_nationkey"), "c_name", "c_custkey", maxDist = 2)
+        .select(col("id_a"), col("id_b"), col("c_nationkey"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("id_a", "id_b")),
+    "q_zorder" -> ((s, dir) =>
+      // Morton interleave of two uncorrelated key projections — the sort
+      // key behind clusterByZ's layout pass; the oracle recomputes the
+      // bit arithmetic as plain integer shifts
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          graft.ops.Layout.zValue(
+            Seq(pmod(col("o_custkey"), lit(256L)),
+              pmod(col("o_orderkey"), lit(256L))), 8).as("zval"))
+        .orderBy("zval", "o_orderkey")),
+    "text_bpe_train" -> ((s, dir) => {
+      // distributed BPE training over the corpus: the learned merge table
+      // itself is the result (rank-ordered). Iterative argmax has no
+      // single-query SQL form — the gate records the rows-only check; the
+      // spec pins the algorithm against a textbook reference implementation
+      val merges = graft.ops.TextMetrics.trainBpe(
+        t(s, dir, "documents"), "text", numMerges = 12)
+      import s.implicits._
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1L, a, b) }
+        .toDF("rank", "left", "right")
+        .orderBy("rank")
     })
   )
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Mixture-sample replay: the same weight table as a VALUES literal,
+   * quota_d = floor(w_d * min_e(n_e / w_e)) — the identical double
+   * expression the operator folds into its plan — then the md5 election
+   * within each source. */
+  private def mixtureSampleOracle: String = {
+    val wvals = (0 until 20)
+      .map(i => s"('src$i', ${1.0 + i % 4})").mkString(", ")
+    s"""WITH w(source, wt) AS (VALUES $wvals),
+       |c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+       |q AS (SELECT c.source, wt, n / wt AS r FROM c JOIN w USING (source)),
+       |k AS (SELECT source,
+       |    CAST(floor(wt * (SELECT min(r) FROM q)) AS BIGINT) AS quota
+       |  FROM q),
+       |ranked AS (
+       |  SELECT d.source, d.doc_id,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY md5(concat('42|', d.doc_id::VARCHAR)), d.doc_id) AS rn
+       |  FROM documents d JOIN w USING (source))
+       |SELECT r.source, r.doc_id FROM ranked r JOIN k USING (source)
+       |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin
+  }
+
+  /** Morton interleave replay as plain integer arithmetic: bit i of the
+   * first dimension lands at 2i+1, of the second at 2i — disjoint
+   * positions, so the OR chain is exact in any engine with shifts. */
+  private def zorderOracle: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
+      s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})"))
+    s"""SELECT o_orderkey,
+       |  (${terms.mkString(" | ")})::BIGINT AS zval
+       |FROM orders ORDER BY zval, o_orderkey""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_sql_scalar" -> sqlScalarText,
@@ -2498,6 +2599,41 @@ object SparkEntry {
         |    AS avg_token_len,
         |  round(least((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
         |    / 20.0, 1.0), 4) AS quality
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_mixture_sample" -> mixtureSampleOracle,
+    "dedup_components_elect" ->
+      // winners: per chain island the (quality desc, id asc) best among
+      // labeled members; unlabeled docs (doc_id % 20 > 7) pass through
+      """WITH q AS (SELECT doc_id, (doc_id * 37) % 100 AS quality
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, quality,
+        |    row_number() OVER (PARTITION BY doc_id - doc_id % 20
+        |      ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q WHERE doc_id % 20 <= 7)
+        |SELECT doc_id, quality FROM ranked WHERE rn = 1
+        |UNION ALL
+        |SELECT doc_id, quality FROM q WHERE doc_id % 20 > 7
+        |ORDER BY doc_id""".stripMargin,
+    "q_shard_assign" ->
+      """WITH h AS (SELECT o_orderkey,
+        |    md5(concat('42|', o_orderkey::VARCHAR)) AS hh FROM orders),
+        |a AS (SELECT o_orderkey, hh,
+        |    CAST(('0x' || substring(hh, 1, 6)) AS BIGINT) % 8 AS shard
+        |  FROM h)
+        |SELECT shard,
+        |  (row_number() OVER (PARTITION BY shard ORDER BY hh, o_orderkey))
+        |    ::BIGINT AS shard_pos,
+        |  o_orderkey
+        |FROM a ORDER BY shard, shard_pos""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  a.c_nationkey,
+        |  levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_zorder" -> zorderOracle
   )
 }

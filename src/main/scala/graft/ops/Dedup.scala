@@ -1044,6 +1044,48 @@ object Dedup {
   }
 
   /**
+   * Quality-aware survivor election: per duplicate cluster keep the row
+   * with the BEST quality score (highest `qualityCol`, ties broken by
+   * lowest id) instead of [[keepRepresentativesByLabels]]'s min-id rule —
+   * when near-dup clusters mix a clean original with boilerplate-wrapped
+   * or truncated copies, min-id election keeps whichever copy happened to
+   * crawl first; quality election keeps the copy a curation pipeline
+   * actually wants. Rows absent from `labels` (never paired) pass through
+   * untouched.
+   *
+   * Skew-proof shape: the same two-stage top-1 as `Sampling`'s exact
+   * elections — a partial best per (component, input partition), then a
+   * global best over at most numPartitions rows per component — so one
+   * giant boilerplate cluster never funnels through a single window task.
+   */
+  def electRepresentativesByLabels(
+      docs: DataFrame, labels: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    val internal = Seq("_comp", "_part", "_lr", "_rank")
+    val clash = internal.filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with electRepresentativesByLabels internals; rename them first")
+    val labeled = docs.join(
+      labels.select(col("id").as(idCol), col("component").as("_comp")),
+      Seq(idCol), "left")
+    val order = Seq(col(qualityCol).desc, col(idCol).asc)
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_comp"), col("_part")).orderBy(order: _*)
+    val pruned = labeled.where(col("_comp").isNotNull)
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") === 1)
+      .drop("_lr", "_part")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_comp")).orderBy(order: _*)
+    val winners = pruned
+      .withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") === 1)
+      .drop("_rank")
+    winners.unionByName(labeled.where(col("_comp").isNull)).drop("_comp")
+  }
+
+  /**
    * The standard corpus dedup chain as ONE call: exact dedup (content
    * hash, min-id election) → MinHash banding candidate pairs over the
    * exact survivors → transitive cluster election (connected

@@ -66,4 +66,97 @@ object Sampling {
       16, 10).cast("long")
     df.filter(h < cut)
   }
+
+  /**
+   * Domain-mixture sample: realize a target domain mixture (DoReMi /
+   * data-recipe style static reweighting) at the MAXIMUM total size the
+   * corpus supports. Given raw weights w_d over domains, the largest
+   * total T with share_d * T <= available_d for every weighted domain is
+   * T = min_d available_d / share_d; the per-domain quota reduces to
+   * floor(w_d * min_e(n_e / w_e)) — the normalizer cancels, so both
+   * engines evaluate the identical double expression (the oracle replays
+   * it). Within each domain the quota rows are the md5(seed|id)-lowest —
+   * exact-size, reproducible, append-stable per domain, same election as
+   * [[stratifiedExact]].
+   *
+   * Domains absent from `weights` are dropped (weight 0); weighted
+   * domains absent from the data simply don't constrain the mixture.
+   * Plan shape: one partial-aggregated count per domain, quota derivation
+   * on a #domains-row frame (broadcast back), then the two-stage skew-
+   * proof window election — a hot domain never funnels through one task.
+   */
+  def mixtureSample(
+      df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val internal = Seq("_w", "_n", "_r", "_quota", "_hrank", "_part", "_lr", "_rank")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with mixtureSample internals; rename them first")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.sortBy(_._1).toDF(domainCol, "_w")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    // quota_d = floor(w_d * min_e(n_e / w_e)) on the #domains-row frame;
+    // the 1-row min enters as a cross-joined aggregate subtree (the
+    // TF-IDF N pattern — no count() action, no driver round-trip)
+    val perDomain = counts.join(broadcast(wdf), domainCol)
+      .withColumn("_r", col("_n") / col("_w"))
+    val rmin = perDomain.agg(min(col("_r")).as("_rmin"))
+    val quotas = perDomain.crossJoin(rmin)
+      .select(col(domainCol),
+        floor(col("_w") * col("_rmin")).cast("long").as("_quota"))
+    val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    // same two-stage exact top-n as stratifiedExact, with the per-domain
+    // quota joined on (broadcast — #domains rows): stage 1 prunes each
+    // (domain, input partition) to its local quota, stage 2 ranks at most
+    // quota * numPartitions rows per domain
+    val wLocal = Window.partitionBy(col(domainCol), col("_part"))
+      .orderBy(col("_hrank"), col(idCol))
+    val pruned = df.join(broadcast(quotas), domainCol)
+      .withColumn("_hrank", rank)
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= col("_quota"))
+      .drop("_lr", "_part")
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("_hrank"), col(idCol))
+    pruned.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= col("_quota"))
+      .drop("_rank", "_hrank", "_quota")
+  }
+
+  /**
+   * Deterministic training-order shuffle: assign every row a shard and a
+   * position within it, both pure functions of (seed, id) — the global
+   * read order (shard asc, shard_pos asc) is a reproducible pseudo-random
+   * permutation of the corpus, independent of partitioning and cluster
+   * layout. This is the shard-writer step of a training pipeline: examples
+   * must be well-shuffled so consecutive records are near-iid, yet the
+   * order must be replayable for checkpoint-resume.
+   *
+   * shard = first 6 md5 hex chars mod nShards (uniform, so shards are
+   * balanced to ~±3·sqrt(n/nShards)); shard_pos ranks the full hash within
+   * the shard. ONE Exchange (the per-shard window) at any corpus size —
+   * a global total-order sort would also work but pays a range-exchange
+   * plus skew sensitivity; per-shard ranking is the same permutation
+   * read shard-major. Downstream: `df.repartitionByRange($"shard")`
+   * + `sortWithinPartitions("shard_pos")` + partitioned write.
+   */
+  def assignShards(
+      df: DataFrame, idCol: String, nShards: Int, seed: Long = 42L): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val internal = Seq("_hrank", "shard", "shard_pos")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with assignShards outputs; rename them first")
+    val h = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val shard = pmod(conv(substring(h, 1, 6), 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_hrank"), col(idCol))
+    df.withColumn("_hrank", h)
+      .withColumn("shard", shard)
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+      .drop("_hrank")
+  }
 }

@@ -63,10 +63,11 @@ object TextMetrics {
    * DuckDB's `replace` has the same leftmost non-overlapping semantics,
    * so the oracle nests the identical 56 calls (see the gate SQL).
    */
-  private def bpeWordCount(w: Column): Column = {
+  private def bpeWordCount(
+      w: Column, merges: Seq[(String, String)] = bpeMerges): Column = {
     val prepped = concat(lit(" "),
       rtrim(regexp_replace(w, "(.)", "$1  ")), lit(" "))
-    val merged = bpeMerges.foldLeft(prepped) { case (acc, (a, b)) =>
+    val merged = merges.foldLeft(prepped) { case (acc, (a, b)) =>
       replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
     }
     size(split(merged, "  "))
@@ -75,11 +76,94 @@ object TextMetrics {
   /** Exact BPE token count of `text` under [[bpeMerges]]: whitespace
    * pre-tokenization (empties dropped), then the per-word encode fold.
    * Per-row lambda built-ins only — narrow, zero shuffle. */
-  def bpeTokenCount(text: Column): Column =
+  def bpeTokenCount(text: Column): Column = bpeTokenCount(text, bpeMerges)
+
+  /** Same count under a CUSTOM merge table — typically one learned by
+   * [[trainBpe]], closing the train-then-budget loop. */
+  def bpeTokenCount(text: Column, merges: Seq[(String, String)]): Column =
     aggregate(
       filter(split(text, "\\s+"), w => w =!= ""),
       lit(0L),
-      (acc, w) => acc + bpeWordCount(w).cast("long"))
+      (acc, w) => acc + bpeWordCount(w, merges).cast("long"))
+
+  /**
+   * Distributed BPE TRAINING (Sennrich et al. 2016, learn-merges loop):
+   * derive the rank-ordered merge table from the corpus itself, the step
+   * a tokenizer pipeline runs before any counting/packing. Classic BPE
+   * trains on the word-frequency dictionary, so the corpus collapses to
+   * one `(word, count)` aggregation first — at web scale that dictionary
+   * is still hundreds of millions of rows, so it stays a DataFrame: each
+   * round counts adjacent symbol pairs weighted by word frequency in one
+   * distributed aggregation, takes the argmax (a 1-row TakeOrdered — the
+   * only driver state is the merge table itself, k pairs), and applies
+   * the merge as one narrow `replace` over the cached dictionary (the
+   * [[bpeWordCount]] double-space representation makes one replace per
+   * merge exactly the leftmost non-overlapping BPE step).
+   *
+   * Ties break (count desc, left asc, right asc) — deterministic across
+   * partitionings and engines. Stops early when no pair reaches
+   * `minPairCount` (the published stop rule at 2). Per round: one shuffle
+   * (pair-count aggregation) + one narrow map; the dictionary re-persists
+   * each round and truncates lineage every `checkpointEvery` rounds, so
+   * round r never replays rounds 1..r-1.
+   */
+  def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 2L, checkpointEvery: Int = 16): Seq[(String, String)] = {
+    require(numMerges >= 0, "numMerges must be non-negative")
+    require(minPairCount >= 2L,
+      "minPairCount below 2 would merge pairs that never repeat")
+    val rendered = docs
+      .select(explode(filter(split(col(textCol), "\\s+"), w => w =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit(" "),
+        rtrim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("sym"),
+        col("cnt"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var cur = rendered.persist()
+    var prev: DataFrame = null
+    try {
+      var done = merges.size >= numMerges
+      while (!done) {
+        // adjacent symbol pairs of each dictionary word, weighted by its
+        // corpus frequency; single-symbol words contribute nothing
+        val syms = filter(
+          transform(split(col("sym"), "  "), s => btrim(s)), s => s =!= "")
+        val top = cur
+          .select(col("cnt"), syms.as("ss"))
+          .where(size(col("ss")) >= 2)
+          .select(col("cnt"), explode(zip_with(
+            slice(col("ss"), lit(1), size(col("ss")) - 1),
+            slice(col("ss"), lit(2), size(col("ss")) - 1),
+            (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+          .groupBy(col("p.l"), col("p.r")).agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        // the aggregate above materialized cur's cache: the frame it was
+        // derived from is now safe to release
+        if (prev != null) { prev.unpersist(false); prev = null }
+        if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+        else {
+          val (a, b) = (top(0).getString(0), top(0).getString(1))
+          merges += ((a, b))
+          prev = cur
+          cur = cur.withColumn("sym",
+            replace(col("sym"), lit(s" $a  $b "), lit(s" $a$b "))).persist()
+          if (merges.size % checkpointEvery == 0) {
+            // truncate the replace-chain lineage so a cache eviction late
+            // in training never replays every earlier round
+            val cp = cur.localCheckpoint()
+            cur.unpersist(false)
+            cur = cp
+          }
+          done = merges.size >= numMerges
+        }
+      }
+      merges.toSeq
+    } finally {
+      cur.unpersist(false)
+      if (prev != null) prev.unpersist(false)
+    }
+  }
 
   /** Per-document BPE vs whitespace token counts — the budget most
    * training pipelines actually meter (context windows are BPE tokens,

@@ -261,4 +261,55 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = res.weighted.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"weight column must stay narrow:\n$p")
   }
+
+  test("fuzzySelfJoin: equi-join on the block key, never a nested loop") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val p = graft.ops.Linkage.fuzzySelfJoin(cust, Seq("c_nationkey"),
+        "c_name", "c_custkey", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"fuzzy join planned as a product — blocking key lost:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on the block key:\n$p")
+  }
+
+  test("assignShards: exactly one Exchange (the per-shard window)") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
+    val p = graft.ops.Sampling.assignShards(orders, "o_orderkey", 8)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 1, s"expected exactly 1 Exchange, found $n:\n$p")
+    assert(!p.contains("SinglePartition"), s"global funnel in shard plan:\n$p")
+  }
+
+  test("mixtureSample: quota side broadcasts, no global funnel") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = (0 until 20).map(i => (s"src$i", 1.0 + i % 4)).toMap
+    val p = graft.ops.Sampling.mixtureSample(docs, "source", "doc_id", w)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-domain quotas must broadcast onto the corpus:\n$p")
+    // the only non-equi join allowed is the 1-row min(r) broadcast cross
+    // (the TF-IDF N pattern); a CartesianProduct would mean the corpus
+    // itself entered a product
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected product in mixture plan:\n$p")
+    assert(p.contains("IdentityBroadcastMode"),
+      s"the mixture bound must enter as a 1-row broadcast subtree:\n$p")
+  }
+
+  test("clusterByZ: range partitioning on the Morton key, no global sort") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_custkey")
+    val p = graft.ops.Layout.clusterByZ(orders,
+        Seq(("o_custkey", 0.0, 4096.0), ("o_orderkey", 0.0, 65536.0)),
+        bits = 10, numFiles = 16)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning")
+      || p.contains("REPARTITION_BY_NUM"),
+      s"no range partitioning in layout plan:\n$p")
+    // the sort must be within partitions (Sort ... global=false), never global
+    assert(!p.contains("global=true"), s"global sort in layout plan:\n$p")
+  }
 }

@@ -1,0 +1,270 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+
+/** Round-8 curation operators: domain-mixture sampling, quality-aware
+  * survivor election, training-shard assignment, blocked fuzzy linkage,
+  * Z-order layout, and distributed BPE training. */
+class CurationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("curation-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  // ---------------------------------------------------------- mixtureSample
+
+  test("mixtureSample: quotas realize the target mixture at max usage") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("A", i * 10)) ++
+      (1 to 20).map(i => ("B", 1000 + i)) ++
+      (1 to 5).map(i => ("C", 2000 + i)) ++
+      (1 to 9).map(i => ("E", 3000 + i))) // E unweighted: must drop
+      .toDF("domain", "id")
+    // R = min(10/2, 20/1, 5/2) = 2.5 -> quotas A=5, B=2, C=5; D has no
+    // rows so it cannot constrain the mixture
+    val w = Map("A" -> 2.0, "B" -> 1.0, "C" -> 2.0, "D" -> 3.0)
+    val out = Sampling.mixtureSample(df, "domain", "id", w)
+    val sizes = out.groupBy("domain").count().collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(sizes == Map("A" -> 5L, "B" -> 2L, "C" -> 5L))
+    // deterministic: identical ids under a different partitioning
+    val again = Sampling.mixtureSample(df.repartition(7), "domain", "id", w)
+    assert(out.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      again.select("id").collect().map(_.getInt(0)).sorted.toSeq)
+    // chosen rows are the md5-lowest within each domain (spot check A)
+    val aIds = out.where($"domain" === "A").select("id").as[Int].collect().toSet
+    val aRanked = df.where($"domain" === "A")
+      .withColumn("h", md5(concat(lit("42|"), $"id".cast("string"))))
+      .orderBy("h", "id").select("id").as[Int].collect().take(5).toSet
+    assert(aIds == aRanked)
+  }
+
+  test("mixtureSample: single-domain degenerates to the full domain") {
+    import spark.implicits._
+    val df = (1 to 7).map(i => ("A", i)).toDF("domain", "id")
+    val out = Sampling.mixtureSample(df, "domain", "id", Map("A" -> 0.3))
+    assert(out.count() == 7) // R = n/w, quota = floor(w * n/w) = n
+  }
+
+  // ----------------------------------------------------------- assignShards
+
+  test("assignShards: deterministic permutation, contiguous positions, balance") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => i.toLong).toDF("id")
+    val out = Sampling.assignShards(df, "id", 7).cache()
+    try {
+      // partition of the input: every id exactly once
+      assert(out.count() == 1000)
+      assert(out.select("id").distinct().count() == 1000)
+      // positions are 1..count within each shard
+      val byShard = out.groupBy("shard")
+        .agg(count(lit(1)).as("n"), min("shard_pos").as("lo"),
+          max("shard_pos").as("hi"))
+        .collect()
+      assert(byShard.length == 7)
+      byShard.foreach { r => // (shard, n, lo, hi)
+        assert(r.getLong(2) == 1L && r.getLong(3) == r.getLong(1))
+      }
+      // hash balance: no shard more than 2x the smallest at n=1000, k=7
+      val ns = byShard.map(_.getLong(1))
+      assert(ns.max < 2 * ns.min, s"shard sizes ${ns.toSeq}")
+      // partitioning-independent: identical triples under repartition(13)
+      val again = Sampling.assignShards(df.repartition(13), "id", 7)
+      val a = out.select("shard", "shard_pos", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+      val b = again.select("shard", "shard_pos", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._3)
+      assert(a.toSeq == b.toSeq)
+    } finally out.unpersist()
+  }
+
+  // ------------------------------------------- electRepresentativesByLabels
+
+  test("electRepresentatives: best quality wins, ties to min id, unlabeled pass") {
+    import spark.implicits._
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), // cluster 1: tie 9 -> id 2
+      (4L, 1L), // singleton component: must survive
+      (10L, 0L)) // unlabeled: must pass through
+      .toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("id", "component")
+    val kept = Dedup.electRepresentativesByLabels(d, labels, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 10L))
+  }
+
+  test("electRepresentatives: min-id rule only when qualities are equal") {
+    import spark.implicits._
+    val d = Seq((1L, 1L), (2L, 3L), (3L, 2L)).toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("id", "component")
+    val kept = Dedup.electRepresentativesByLabels(d, labels, "doc_id", "quality")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(2L)) // highest quality, NOT the min id
+  }
+
+  // ---------------------------------------------------------------- Linkage
+
+  test("fuzzySelfJoin == unblocked brute force within blocks") {
+    import spark.implicits._
+    // strings engineered so some pairs sit exactly ON the threshold and
+    // some lengths differ by more than it (exercising the prefilter)
+    val rows = for {
+      b <- Seq("x", "y"); i <- 0 until 15
+    } yield (b, (if (b == "x") 0 else 100) + i.toLong,
+      "name" + ("ab" * (i % 4)) + (i % 10).toString)
+    val df = rows.toDF("blk", "id", "s")
+    val got = Linkage.fuzzySelfJoin(df, Seq("blk"), "s", "id", maxDist = 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: plain cross within block, untresholded levenshtein
+    val l = df.select($"blk".as("b1"), $"id".as("ia"), $"s".as("sa"))
+    val r = df.select($"blk".as("b2"), $"id".as("ib"), $"s".as("sb"))
+    val want = l.join(r, $"b1" === $"b2" && $"ia" < $"ib")
+      .select($"ia", $"ib", levenshtein($"sa", $"sb").as("d"))
+      .where($"d" <= 2).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(got == want && want.nonEmpty)
+    // cross-block pairs never appear
+    assert(got.forall { case (a, b, _) => (a < 100) == (b < 100) })
+  }
+
+  test("fuzzyJoin: match_rank 1 is the closest right, ties by right id") {
+    import spark.implicits._
+    val left = Seq(("k", 1L, "alpha")).toDF("blk", "lid", "ls")
+    val right = Seq(("k", 10L, "alphX"), ("k", 11L, "alphX"), // dist 1 twice
+      ("k", 12L, "alpha"), // dist 0: the best
+      ("k", 13L, "zzzzzzzz")) // dist > 2 and length-pruned: absent
+      .toDF("blk", "rid", "rs")
+    val out = Linkage.fuzzyJoin(left, right, Seq("blk"), "ls", "rs",
+        "lid", "rid", maxDist = 2)
+      .orderBy("match_rank")
+      .select("id_r", "dist", "match_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(out == Seq((12L, 0, 1), (10L, 1, 2), (11L, 1, 3)))
+  }
+
+  // ----------------------------------------------------------------- Layout
+
+  test("zValue matches a reference interleave; quantize clamps") {
+    import spark.implicits._
+    def ref(x: Long, y: Long, bits: Int): Long = {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((x >> i) & 1L) << (2 * i + 1)
+        z |= ((y >> i) & 1L) << (2 * i)
+      }
+      z
+    }
+    val pts = (0 until 200).map { i =>
+      (((i * 2654435761L) >>> 7) % 256, ((i * 40503L) >>> 3) % 256)
+    }
+    val got = pts.toDF("x", "y")
+      .select($"x", $"y", Layout.zValue(Seq($"x", $"y"), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (x, y, z) => assert(z == ref(x, y, 8), s"($x,$y)") }
+    // quantize: edges clamp, interior buckets uniformly
+    val q = Seq(-5.0, 0.0, 31.9, 63.9, 64.0, 99.0).toDF("v")
+      .select(Layout.quantize($"v", 0.0, 64.0, 4).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(q == Seq(0L, 0L, 7L, 15L, 15L, 15L))
+  }
+
+  test("clusterByZ: a y-only filter touches fewer files than an x-sorted layout") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 64; y <- 0 until 64)
+      yield (x.toLong, y.toLong)).toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dims = Seq(("x", 0.0, 64.0), ("y", 0.0, 64.0))
+    Layout.clusterByZ(grid, dims, bits = 6, numFiles = 16)
+      .write.mode("overwrite").parquet(s"$base/z")
+    grid.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$base/linear")
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).where($"y" < 8)
+        .select(input_file_name()).distinct().count()
+    val zf = filesTouched(s"$base/z")
+    val lf = filesTouched(s"$base/linear")
+    // x-sorted files each span all y: every file matches. The Morton
+    // layout confines y<8 to the quadrants with high y-bits zero.
+    assert(lf == 16, s"linear layout should touch all files, got $lf")
+    assert(zf <= 8, s"z-order should confine the y-band, touched $zf")
+  }
+
+  // --------------------------------------------------------------- trainBpe
+
+  /** Textbook in-memory BPE trainer (Sennrich et al. 2016, Algorithm 1):
+    * the independent reference the distributed loop must reproduce. */
+  private def referenceBpe(corpus: Seq[String], numMerges: Int): Seq[(String, String)] = {
+    var words: Map[List[String], Long] = corpus
+      .flatMap(_.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) =>
+        (w.toList.map(_.toString), ws.size.toLong) }
+    def applyMerge(s: List[String], m: (String, String)): List[String] = {
+      val buf = mutable.ListBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == m._1 && s(i + 1) == m._2) {
+          buf += m._1 + m._2; i += 2
+        } else { buf += s(i); i += 1 }
+      }
+      buf.toList
+    }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.size < numMerges) {
+      val pc = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += c
+      if (pc.isEmpty || pc.values.max < 2L) done = true
+      else {
+        val best = pc.toSeq.minBy { case ((l, r), n) => (-n, l, r) }._1
+        merges += best
+        words = words.map { case (syms, c) => (applyMerge(syms, best), c) }
+      }
+    }
+    merges.toSeq
+  }
+
+  test("trainBpe reproduces the textbook merge sequence") {
+    import spark.implicits._
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newest",
+      "newest newest newest newest newest",
+      "widest widest widest")
+    val got = TextMetrics.trainBpe(corpus.toDF("text"), "text", numMerges = 10)
+    val want = referenceBpe(corpus, 10)
+    assert(got == want, s"\ngot:  $got\nwant: $want")
+  }
+
+  test("trainBpe on the corpus == reference, and merges compress it") {
+    import spark.implicits._
+    val sample = docs.limit(40).cache()
+    try {
+      val texts = sample.select("text").as[String].collect().toSeq
+      val got = TextMetrics.trainBpe(sample, "text", numMerges = 6)
+      assert(got == referenceBpe(texts, 6))
+      // the learned table must actually compress its training corpus:
+      // strictly fewer BPE tokens than characters-in-words (= 0 merges)
+      val counts = sample.select(
+        TextMetrics.bpeTokenCount(col("text"), got).as("bpe"),
+        TextMetrics.bpeTokenCount(col("text"), Nil).as("chars"))
+        .agg(sum("bpe"), sum("chars")).collect()(0)
+      assert(counts.getLong(0) < counts.getLong(1))
+    } finally sample.unpersist()
+  }
+
+  test("trainBpe stops when no pair repeats") {
+    import spark.implicits._
+    val out = TextMetrics.trainBpe(Seq("ab cd ef").toDF("text"), "text", 50)
+    assert(out.isEmpty) // every adjacent pair occurs once: nothing merges
+  }
+}
