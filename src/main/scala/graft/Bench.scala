@@ -37,7 +37,13 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       spark.read.parquet(s"$sfDir/nation.parquet").count()
     } catch { case e: Throwable if scala.util.control.NonFatal(e) => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // comma-separated allowlist for iterating on a single operator locally;
+    // unset (the driver's mode) runs everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var err: String = null
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()

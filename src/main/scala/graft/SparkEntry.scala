@@ -1712,7 +1712,8 @@ object SparkEntry {
       // dense, deterministic match set; the oracle verifies the length
       // prefilter and the thresholded DP kernel change nothing
       graft.ops.Linkage.fuzzySelfJoin(t(s, dir, "customer"),
-          Seq("c_nationkey"), "c_name", "c_custkey", maxDist = 2)
+          Seq("c_nationkey"), "c_name", "c_custkey", maxDist = 2,
+          saltBuckets = 8)
         .select(col("id_a"), col("id_b"), col("c_nationkey"),
           col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),

@@ -33,32 +33,57 @@ object Linkage {
    *
    * One hash-partition shuffle on the block key; the id_a < id_b
    * predicate halves the verified pairs. Block-size skew is the caller's
-   * lever (block on more columns, or feed hot blocks through
-   * [[Dedup]] banding instead — edit-distance blocks are the record-
-   * linkage tool for SHORT entity strings, not documents).
+   * lever (block on more columns, raise `saltBuckets`, or feed hot blocks
+   * through [[Dedup]] banding instead — edit-distance blocks are the
+   * record-linkage tool for SHORT entity strings, not documents).
+   *
+   * `saltBuckets` > 1 splits every block into S sub-tasks: the left side
+   * is keyed by hash(id) % S and the right side is replicated S ways, so
+   * the DP-kernel work of one hot block spreads over S partitions instead
+   * of serializing on a single task. Replication cost is S copies of the
+   * (narrow) right projection — negligible next to the pair stream it
+   * parallelizes — and every pair still forms exactly once, at the
+   * left row's own salt. Result is provably identical for any S >= 1.
    */
   def fuzzySelfJoin(
       df: DataFrame, blockCols: Seq[String], strCol: String, idCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, saltBuckets: Int = 1): DataFrame = {
     require(blockCols.nonEmpty,
       "blocking columns are required: an unblocked fuzzy join is a cartesian product")
     require(maxDist >= 0, "maxDist must be non-negative")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    // the join INPUT is small (entity tables), but the join OUTPUT is the
+    // candidate-pair stream — hundreds of times larger — and the DP kernel
+    // runs inside the join's tasks. AQE sizes post-shuffle partitions from
+    // input bytes, so it would coalesce this join onto a handful of tasks
+    // and serialize the kernel; an explicit user repartition (which AQE
+    // honors) keeps the kernel spread over real parallelism.
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val saltKeys = blockCols :+ "_salt"
     val left = df.select(
       (blockCols.map(col) :+ col(idCol).as("id_a") :+ col(strCol).as("_sa")): _*)
+      .withColumn("_salt", pmod(xxhash64(col(s"id_a")), lit(saltBuckets.toLong)))
+      .repartition(nPart, saltKeys.map(col): _*)
     val right = df.select(
       (blockCols.map(col) :+ col(idCol).as("id_b") :+ col(strCol).as("_sb")): _*)
+      .withColumn("_salt", explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+      .repartition(nPart, saltKeys.map(col): _*)
     val joined = left.join(right,
-      blockCols.map(c => left(c) === right(c))
+      (blockCols.map(c => left(c) === right(c)) :+ (left("_salt") === right("_salt")))
         .reduce(_ && _)
         && col("id_a") < col("id_b")
         && abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
     // thresholded form returns -1 ABOVE the bound (that's the early-abandon
-    // signal, not a distance) — keep only 0 <= dist <= maxDist
+    // signal, not a distance) — keep 0 <= dist <= maxDist. The keep rule
+    // runs through ONE generator (explode of a 0/1-element array) instead
+    // of a Filter over a Project: predicate-pushdown would otherwise inline
+    // the DP kernel into both filter conjuncts plus the projection and
+    // evaluate it three times per candidate pair.
     val dist = levenshtein(col("_sa"), col("_sb"), math.max(maxDist, 1))
     joined
       .select((col("id_a") +: col("id_b") +: blockCols.map(left(_))) :+
-        dist.as("dist"): _*)
-      .where(col("dist").between(0, maxDist))
+        explode(when(dist.between(0, maxDist), array(dist))
+          .otherwise(array().cast("array<int>"))).as("dist"): _*)
   }
 
   /**
@@ -72,19 +97,32 @@ object Linkage {
   def fuzzyJoin(
       left: DataFrame, right: DataFrame, blockCols: Seq[String],
       leftStr: String, rightStr: String, leftId: String, rightId: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int, saltBuckets: Int = 1): DataFrame = {
     require(blockCols.nonEmpty,
       "blocking columns are required: an unblocked fuzzy join is a cartesian product")
     require(maxDist >= 0, "maxDist must be non-negative")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    // same kernel-parallelism shape as fuzzySelfJoin: explicit repartition
+    // so AQE cannot coalesce the pair-generating join onto few tasks, salt
+    // on the (unreplicated) left id, right replicated saltBuckets ways
+    val nPart = left.sparkSession.sessionState.conf.numShufflePartitions
+    val saltKeys = blockCols :+ "_salt"
     val l = left.select(
       (blockCols.map(col) :+ col(leftId).as("id_l") :+ col(leftStr).as("_sl")): _*)
+      .withColumn("_salt", pmod(xxhash64(col("id_l")), lit(saltBuckets.toLong)))
+      .repartition(nPart, saltKeys.map(col): _*)
     val r = right.select(
       (blockCols.map(col) :+ col(rightId).as("id_r") :+ col(rightStr).as("_sr")): _*)
+      .withColumn("_salt", explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+      .repartition(nPart, saltKeys.map(col): _*)
+    val dist0 = levenshtein(col("_sl"), col("_sr"), math.max(maxDist, 1))
     val joined = l.join(r,
-      blockCols.map(c => l(c) === r(c)).reduce(_ && _)
+      (blockCols.map(c => l(c) === r(c)) :+ (l("_salt") === r("_salt"))).reduce(_ && _)
         && abs(length(col("_sl")) - length(col("_sr"))) <= maxDist)
-      .withColumn("dist", levenshtein(col("_sl"), col("_sr"), math.max(maxDist, 1)))
-      .where(col("dist").between(0, maxDist))
+      // one generator evaluation of the DP kernel (see fuzzySelfJoin)
+      .select((col("id_l") +: col("id_r") +: blockCols.map(l(_))) :+
+        explode(when(dist0.between(0, maxDist), array(dist0))
+          .otherwise(array().cast("array<int>"))).as("dist"): _*)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_l")).orderBy(col("dist"), col("id_r"))
     joined

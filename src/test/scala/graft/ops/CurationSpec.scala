@@ -136,6 +136,21 @@ class CurationSpec extends AnyFunSuite {
     assert(got.forall { case (a, b, _) => (a < 100) == (b < 100) })
   }
 
+  test("fuzzySelfJoin: salted result identical for any saltBuckets") {
+    import spark.implicits._
+    val rows = for {
+      b <- Seq("x", "y"); i <- 0 until 15
+    } yield (b, (if (b == "x") 0 else 100) + i.toLong,
+      "name" + ("ab" * (i % 4)) + (i % 10).toString)
+    val df = rows.toDF("blk", "id", "s")
+    def run(s: Int) = Linkage.fuzzySelfJoin(df, Seq("blk"), "s", "id",
+        maxDist = 2, saltBuckets = s)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val base = run(1)
+    assert(base.nonEmpty && run(4) == base && run(32) == base)
+  }
+
   test("fuzzyJoin: match_rank 1 is the closest right, ties by right id") {
     import spark.implicits._
     val left = Seq(("k", 1L, "alpha")).toDF("blk", "lid", "ls")
