@@ -1739,6 +1739,38 @@ object SparkEntry {
         .map { case ((a, b), i) => (i + 1L, a, b) }
         .toDF("rank", "left", "right")
         .orderBy("rank")
+    }),
+    "q_interval_point" -> ((s, dir) => {
+      // point-in-interval join: signup events open a value-seconds service
+      // window, purchases landing inside any window are matched. Bucketed
+      // equi-join (no nested loop); the oracle is DuckDB's native range
+      // join over the identical micros arithmetic
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val iv = ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("i_id"), col("ts_us").as("i_start"),
+          (col("ts_us") + floor(col("value") * 1e6).cast("long")).as("i_end"))
+      val pt = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_us").as("p_ts"))
+      graft.ops.Interval.pointInInterval(iv, pt, "i_start", "i_end", "p_ts",
+          bucketWidth = 600L * 1000 * 1000)
+        .select(col("i_id"), col("p_id"),
+          (col("p_ts") - col("i_start")).as("offset_us"))
+        .orderBy("i_id", "p_id")
+    }),
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval-overlap join: signup windows vs error windows that share
+      // any instant, with the shared-segment length; each qualifying pair
+      // forms exactly once (overlap-start bucket rule), no distinct pass
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      def win(kind: String, p: String) = ev.filter(col("event_type") === kind)
+        .select(col("event_id").as(s"${p}_id"), col("ts_us").as(s"${p}_s"),
+          (col("ts_us") + floor(col("value") * 1e6).cast("long")).as(s"${p}_e"))
+      graft.ops.Interval.overlapJoin(win("signup", "a"), win("error", "b"),
+          "a_s", "a_e", "b_s", "b_e", bucketWidth = 600L * 1000 * 1000)
+        .select(col("a_id"), col("b_id"), col("overlap").as("overlap_us"))
+        .orderBy("a_id", "b_id")
     })
   )
 
@@ -2635,6 +2667,25 @@ object SparkEntry {
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_zorder" -> zorderOracle
+    "q_zorder" -> zorderOracle,
+    "q_interval_point" ->
+      """WITH iv AS (SELECT event_id AS i_id, epoch_us(ts) AS i_start,
+        |    epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS i_end
+        |  FROM events WHERE event_type = 'signup'),
+        |pt AS (SELECT event_id AS p_id, epoch_us(ts) AS p_ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT i.i_id, p.p_id, p.p_ts - i.i_start AS offset_us
+        |FROM iv i JOIN pt p ON p.p_ts BETWEEN i.i_start AND i.i_end
+        |ORDER BY i_id, p_id""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH a AS (SELECT event_id AS a_id, epoch_us(ts) AS a_s,
+        |    epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS a_e
+        |  FROM events WHERE event_type = 'signup'),
+        |b AS (SELECT event_id AS b_id, epoch_us(ts) AS b_s,
+        |    epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS b_e
+        |  FROM events WHERE event_type = 'error')
+        |SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
+        |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
+        |ORDER BY a_id, b_id""".stripMargin
   )
 }

@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Interval (range) joins — "which points fall inside which intervals" and
+ * "which intervals overlap" — as plain EQUI-joins Catalyst can shuffle.
+ *
+ * Spark has no native range-join operator: a raw `p BETWEEN s AND e` or
+ * `ls <= re AND rs <= le` predicate has no equality conjunct, so Catalyst
+ * can only plan BroadcastNestedLoopJoin (O(n·m) compute, one whole side
+ * broadcast) — the same failure mode the as-of join (AsOf.scala) and the
+ * fuzzy join (Linkage.scala) engineer around. The standard fix (used by
+ * every range-join implementation from Spark's own streaming interval
+ * join to DuckDB's IEJoin alternative) is BUCKETING: quantize the value
+ * axis into fixed-width buckets, explode each interval to the buckets it
+ * covers, and equi-join on the bucket id. The exact predicate then runs
+ * only on per-bucket candidates, and the join shuffles hash-partitioned
+ * like any other.
+ *
+ * De-duplication is by CONSTRUCTION, not a distinct shuffle: a point
+ * lives in exactly one bucket (pointInInterval), and an overlapping pair
+ * is counted only in the bucket containing the overlap's start
+ * (overlapJoin) — every qualifying pair emerges exactly once.
+ *
+ * Scale shape: blowup per interval row is ceil(span / bucketWidth) + 1,
+ * so `bucketWidth` should sit near the TYPICAL interval span (wider =
+ * fewer replicas but bigger buckets; narrower = the reverse). Hot
+ * moments — many intervals covering the same instant — are genuine data
+ * skew; AQE's skew-join split handles the bucket-key shuffle, and the
+ * per-bucket candidate check is a narrow codegen'd predicate.
+ *
+ * Columns must be pre-projected to disjoint names; bounds are inclusive
+ * on both ends ([start, end], the SQL BETWEEN convention). Axis values
+ * must stay within ±2^53 (double-exact range, year 2255 in epoch
+ * MICROS) because bucket ids come from a floored double division —
+ * epoch-NANOS axes must be pre-divided to micros (see q_events_window's
+ * `div 1000` note in SparkEntry).
+ */
+object Interval {
+
+  private def bucketOf(c: org.apache.spark.sql.Column, w: Long) =
+    floor(c / lit(w)).cast("long")
+
+  /**
+   * Each row of `points` paired with every row of `intervals` whose
+   * [startCol, endCol] contains pointCol (all integral — epoch micros,
+   * byte offsets, any totally ordered long axis). Output: interval
+   * columns ++ point columns, one row per qualifying (interval, point)
+   * pair, exactly once each.
+   */
+  def pointInInterval(
+      intervals: DataFrame, points: DataFrame,
+      startCol: String, endCol: String, pointCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(overlap.isEmpty,
+      s"column names must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    val iv = intervals.withColumn("_ib",
+      explode(sequence(bucketOf(col(startCol), bucketWidth),
+        bucketOf(col(endCol), bucketWidth))))
+    val pt = points.withColumn("_pb", bucketOf(col(pointCol), bucketWidth))
+    iv.join(pt, col("_ib") === col("_pb")
+        && col(pointCol).between(col(startCol), col(endCol)))
+      .drop("_ib", "_pb")
+  }
+
+  /**
+   * Every (left, right) interval pair that overlaps: ls <= re AND rs <= le
+   * (closed bounds). Output: left columns ++ right columns ++ `overlap`
+   * (the length of the shared segment, >= 0 — 0 means the intervals touch
+   * at a single shared point). Each pair appears exactly once: the join
+   * keeps it only in the bucket containing max(ls, rs), the overlap's
+   * start, which both sides necessarily cover.
+   */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"column names must be disjoint, both sides have: ${overlap.mkString(", ")}")
+    val lb = left.withColumn("_lb",
+      explode(sequence(bucketOf(col(lStart), bucketWidth),
+        bucketOf(col(lEnd), bucketWidth))))
+    val rb = right.withColumn("_rb",
+      explode(sequence(bucketOf(col(rStart), bucketWidth),
+        bucketOf(col(rEnd), bucketWidth))))
+    lb.join(rb, col("_lb") === col("_rb")
+        && col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd)
+        && col("_lb") === bucketOf(greatest(col(lStart), col(rStart)), bucketWidth))
+      .withColumn("overlap",
+        least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
+      .drop("_lb", "_rb")
+  }
+}
