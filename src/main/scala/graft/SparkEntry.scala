@@ -1740,6 +1740,23 @@ object SparkEntry {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     }),
+    "q_corpus_diff" -> ((s, dir) => {
+      // dataset-versioning diff: the new snapshot is a deterministic
+      // mutation of the old (drops, edits, additions constructed from the
+      // same expressions in both engines), so every status is exercised
+      val d = t(s, dir, "documents")
+      val oldv = d.select(col("doc_id"), col("text"))
+      val newv = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      graft.ops.Snapshot.diff(oldv, newv, "doc_id", Seq("text"))
+        .select(col("doc_id"), col("status"))
+        .orderBy("doc_id")
+    }),
     "q_interval_point" -> ((s, dir) => {
       // point-in-interval join: signup events open a value-seconds service
       // window, purchases landing inside any window are matched. Bucketed
@@ -2668,6 +2685,24 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "q_corpus_diff" ->
+      """WITH oldv AS (SELECT doc_id, text FROM documents),
+        |newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new doc ' || doc_id::VARCHAR
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |oh AS (SELECT doc_id, md5(text) AS old_hash FROM oldv),
+        |nh AS (SELECT doc_id, md5(text) AS new_hash FROM newv)
+        |SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+        |  CASE WHEN old_hash IS NULL THEN 'added'
+        |       WHEN new_hash IS NULL THEN 'removed'
+        |       WHEN old_hash = new_hash THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_interval_point" ->
       """WITH iv AS (SELECT event_id AS i_id, epoch_us(ts) AS i_start,
         |    epoch_us(ts) + CAST(floor(value * 1e6) AS BIGINT) AS i_end

@@ -110,6 +110,29 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq(2L)) // highest quality, NOT the min id
   }
 
+  // --------------------------------------------------------------- Snapshot
+
+  test("Snapshot.diff: all four statuses, null-content rule, multi-column") {
+    import spark.implicits._
+    val oldv = Seq(
+      (1L, Some("a"), "x"), // unchanged
+      (2L, Some("b"), "x"), // changed (second column moves)
+      (3L, Some("c"), "x"), // removed
+      (5L, None: Option[String], "x")) // null -> '' IS a change ("x" vs "|x")
+      .toDF("id", "t1", "t2")
+    val newv = Seq(
+      (1L, Some("a"), "x"),
+      (2L, Some("b"), "y"),
+      (4L, Some("d"), "x"), // added
+      (5L, Some(""), "x"))
+      .toDF("id", "t1", "t2")
+    val got = Snapshot.diff(oldv, newv, "id", Seq("t1", "t2"))
+      .select("id", "status").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed"))
+  }
+
   // ---------------------------------------------------------------- Linkage
 
   test("fuzzySelfJoin == unblocked brute force within blocks") {
