@@ -1740,6 +1740,16 @@ object SparkEntry {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     }),
+    "text_dsir" -> ((s, dir) => {
+      // DSIR data selection: score every document's resemblance to the
+      // English-language target slice via hashed-unigram importance
+      // weights; 256 buckets keeps the oracle's ratio table small while
+      // exercising real hash collisions
+      val d = t(s, dir, "documents")
+      graft.ops.TextMetrics.dsirWeights(d,
+          d.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
+        .orderBy("doc_id")
+    }),
     "q_corpus_diff" -> ((s, dir) => {
       // dataset-versioning diff: the new snapshot is a deterministic
       // mutation of the old (drops, edits, additions constructed from the
@@ -2685,6 +2695,25 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "text_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tk AS (SELECT doc_id, lang,
+        |    CAST('0x' || substring(md5(t), 1, 6) AS BIGINT) % 256 AS b
+        |  FROM tok WHERE t <> ''),
+        |rc AS (SELECT b, count(*)::DOUBLE AS cr FROM tk GROUP BY b),
+        |tc AS (SELECT b, count(*)::DOUBLE AS ctg FROM tk WHERE lang = 'en'
+        |  GROUP BY b),
+        |nr AS (SELECT count(*)::DOUBLE AS nr FROM tk),
+        |nt AS (SELECT count(*)::DOUBLE AS nt FROM tk WHERE lang = 'en'),
+        |r AS (SELECT rc.b,
+        |    ln((coalesce(ctg, 0) + 1) / (nt.nt + 256))
+        |      - ln((cr + 1) / (nr.nr + 256)) AS lr
+        |  FROM rc LEFT JOIN tc USING (b), nr, nt)
+        |SELECT tk.doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(sum(lr), 4) + 0.0 AS dsir_logw
+        |FROM tk JOIN r USING (b) GROUP BY tk.doc_id
+        |ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, text FROM documents),
         |newv AS (

@@ -682,6 +682,57 @@ object TextMetrics {
         round(avg(log(col("c") / col("total"))), 4).as("avg_logp"))
   }
 
+  /**
+   * DSIR importance weights (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): score every corpus
+   * document by how much more likely its tokens are under a TARGET
+   * distribution than under the raw-corpus distribution —
+   * logw(doc) = sum over token occurrences of ln(p_target(b) / p_raw(b))
+   * where b is the token's HASH BUCKET. Hashing is the paper's core
+   * scale idea: the model is `buckets` add-1-smoothed counts regardless
+   * of vocabulary size, so the ratio table is fixed-size and mergeable
+   * at any corpus scale. High-logw documents "look like" the target
+   * domain; selection is a deterministic top-k over logw (the paper's
+   * Gumbel resampling replaced by rank order so the result is exactly
+   * replayable).
+   *
+   * Scale shape: two bucket-count aggregations (map-side combined,
+   * state bounded by `buckets`), one B-row ratio join the optimizer is
+   * free to broadcast (it is provably <= buckets rows), totals as 1-row
+   * aggregate subtrees — no count() actions, no windows. The bucket id
+   * is the md5-prefix construction every portable hash in this library
+   * uses, so the oracle replays bit-for-bit.
+   */
+  def dsirWeights(corpus: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 65536): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def tok(df: DataFrame) = df
+      .select(col(idCol), explode(split(col(textCol), " ", -1)).as("t"))
+      .filter(col("t") =!= "")
+      .withColumn("b",
+        pmod(conv(substring(md5(col("t")), 1, 6), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+    val ct = tok(corpus)
+    val tt = tok(target)
+    val rawCnt = ct.groupBy("b").agg(count(lit(1)).cast("double").as("cr"))
+    val tgtCnt = tt.groupBy("b").agg(count(lit(1)).cast("double").as("ctg"))
+    val rawTot = ct.select(count(lit(1)).cast("double").as("nr"))
+    val tgtTot = tt.select(count(lit(1)).cast("double").as("nt"))
+    // every scored token has cr >= 1 by construction (the raw side IS the
+    // corpus); target-absent buckets smooth to (0 + 1) / (nt + buckets)
+    val ratio = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .crossJoin(rawTot).crossJoin(tgtTot)
+      .select(col("b"),
+        (log((coalesce(col("ctg"), lit(0.0)) + 1.0) / (col("nt") + buckets))
+          - log((col("cr") + 1.0) / (col("nr") + buckets))).as("lr"))
+    ct.join(ratio, "b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        // + 0.0 canonicalizes IEEE negative zero: a tiny negative sum can
+        // round to -0.0, which engines render differently from 0.0
+        (round(sum(col("lr")), 4) + lit(0.0)).as("dsir_logw"))
+  }
+
   /** URL pattern in the Java∩RE2 subset (no lookaround): scheme + host +
    * optional path. The host must END on an alphanumeric so sentence
    * punctuation after a bare-host URL ("visit http://ads.bad.org.") is

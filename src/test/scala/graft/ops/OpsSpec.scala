@@ -1248,6 +1248,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L)._2 == r4(math.log(0.25)))
   }
 
+  test("dsirWeights: closed-form at buckets=1, target separation, determinism") {
+    import spark.implicits._
+    // buckets=1 collapses every token to one bucket: logw(doc) =
+    // n_tokens * (ln((nt+1)/(nt+1)) - ln((nr+1)/(nr+1))) ... with the
+    // actual counts: ct=nt (every target token in bucket 0), cr=nr
+    val corpus = Seq((1L, "a a a"), (2L, "b b")).toDF("doc_id", "text")
+    val target = Seq((1L, "a a a")).toDF("doc_id", "text")
+    val got1 = TextMetrics.dsirWeights(corpus, target, "text", "doc_id", 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // cr=5, nr=5, ct=3, nt=3 -> lr = ln(4/4) - ln(6/6) = 0 exactly
+    assert(got1 == Map(1L -> ((3L, 0.0)), 2L -> ((2L, 0.0))))
+    // with real buckets, docs made of target-domain tokens outscore docs
+    // of target-absent tokens
+    val corpus2 = (Seq((1L, "alpha beta gamma"), (2L, "alpha beta beta")) ++
+      Seq((3L, "omega psi chi"), (4L, "psi psi omega"))).toDF("doc_id", "text")
+    val target2 = Seq((10L, "alpha beta gamma alpha")).toDF("doc_id", "text")
+    val w = TextMetrics.dsirWeights(corpus2, target2, "text", "doc_id", 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(Seq(1L, 2L).map(w).min > Seq(3L, 4L).map(w).max,
+      s"target-domain docs must outscore: $w")
+    // partitioning-independent
+    val again = TextMetrics.dsirWeights(corpus2.repartition(7), target2,
+        "text", "doc_id", 4096)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(again == w)
+  }
+
   test("extractUrls + domainProfile: extraction, counts, blocklist flag") {
     import spark.implicits._
     val d = Seq(
