@@ -1740,6 +1740,15 @@ object SparkEntry {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     }),
+    "text_bigram_lm" -> ((s, dir) => {
+      // order-1 stupid-backoff LM score: the model is the even-doc_id half
+      // of the corpus, so scoring the full corpus genuinely exercises the
+      // bigram hit, unigram backoff, and OOV floor branches
+      val d = t(s, dir, "documents")
+      graft.ops.TextMetrics.bigramLogProb(d, "text", "doc_id",
+          model = d.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
     "text_dsir" -> ((s, dir) => {
       // DSIR data selection: score every document's resemblance to the
       // English-language target slice via hashed-unigram importance
@@ -2695,6 +2704,31 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "text_bigram_lm" ->
+      """WITH raw AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) > 0),
+        |tok AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+        |  FROM raw),
+        |seq AS (SELECT doc_id, pos, t,
+        |    lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+        |c1 AS (SELECT t, count(*)::DOUBLE AS c FROM tok WHERE doc_id % 2 = 0
+        |  GROUP BY t),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM tok WHERE doc_id % 2 = 0),
+        |c2 AS (SELECT prev, t, count(*)::DOUBLE AS c FROM seq
+        |  WHERE prev IS NOT NULL AND doc_id % 2 = 0 GROUP BY prev, t),
+        |sc AS (SELECT s.doc_id,
+        |    CASE WHEN s.prev IS NULL THEN ln(coalesce(ct.c, 1.0) / n.total)
+        |         WHEN c2.c IS NOT NULL THEN ln(c2.c / cp.c)
+        |         ELSE ln(0.4 * coalesce(ct.c, 1.0) / n.total) END AS lp
+        |  FROM seq s
+        |  LEFT JOIN c1 ct ON ct.t = s.t
+        |  LEFT JOIN c1 cp ON cp.t = s.prev
+        |  LEFT JOIN c2 ON c2.prev = s.prev AND c2.t = s.t, n)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(lp), 4) + 0.0 AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
         |  FROM documents),

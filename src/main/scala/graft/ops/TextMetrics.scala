@@ -683,6 +683,67 @@ object TextMetrics {
   }
 
   /**
+   * Bigram language-model score with STUPID BACKOFF (Brants et al. 2007,
+   * "Large Language Models in Machine Translation") — the order-1 upgrade
+   * of [[unigramLogProb]]'s CCNet-style quality signal, still exactly
+   * SQL-replayable because stupid backoff is count arithmetic with no
+   * normalization pass:
+   *
+   *   score(t | prev) = c2(prev,t)/c1(prev)   if the bigram is in the model
+   *                   = alpha * c1(t)/N       else if the unigram is
+   *                   = alpha * 1/N           else (OOV floor)
+   *   score(first t)  = c1(t)/N, or 1/N when OOV
+   *
+   * `model` may be a different frame than `docs` (score a candidate crawl
+   * against a trusted reference corpus — then backoff and OOV genuinely
+   * fire); it defaults to scoring the corpus against itself.
+   *
+   * Scale shape: bigrams come from per-row ARRAY slicing (zip of the
+   * token list with its shift), never a positional self-join — token
+   * sequencing is zero-shuffle. Model tables are map-side-combined
+   * aggregations; N is a 1-row aggregate subtree; the token→model joins
+   * are NOT hint-broadcast (web-scale bigram tables dwarf memory — AQE
+   * decides, the unigramLogProb/topTfidfTerms rule).
+   */
+  def bigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame = null, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val m = Option(model).getOrElse(docs)
+    def seqOf(df: DataFrame) = {
+      val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
+      df.select(col(idCol), toks.as("l"))
+        .where(size(col("l")) > 0)
+        .select(col(idCol), explode(zip_with(col("l"),
+          concat(array(lit(null).cast("string")),
+            slice(col("l"), lit(1), size(col("l")) - 1)),
+          (t, p) => struct(t.as("t"), p.as("prev")))).as("z"))
+        .select(col(idCol), col("z.t").as("t"), col("z.prev").as("prev"))
+    }
+    val scored = seqOf(docs)
+    val mseq = seqOf(m)
+    val c1 = mseq.groupBy("t").agg(count(lit(1)).cast("double").as("c1"))
+    val c2 = mseq.where(col("prev").isNotNull)
+      .groupBy("prev", "t").agg(count(lit(1)).cast("double").as("c2"))
+    val nTot = mseq.select(count(lit(1)).cast("double").as("n_model"))
+    val cp = c1.select(col("t").as("prev"), col("c1").as("c1p"))
+    scored
+      .join(c1, Seq("t"), "left")
+      .join(cp, Seq("prev"), "left")
+      .join(c2, Seq("prev", "t"), "left")
+      .crossJoin(nTot)
+      .select(col(idCol),
+        when(col("prev").isNull,
+          log(coalesce(col("c1"), lit(1.0)) / col("n_model")))
+        .otherwise(
+          when(col("c2").isNotNull, log(col("c2") / col("c1p")))
+            .otherwise(log(lit(alpha) * coalesce(col("c1"), lit(1.0))
+              / col("n_model")))).as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(avg(col("lp")), 4) + lit(0.0)).as("avg_logp"))
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): score every corpus
    * document by how much more likely its tokens are under a TARGET

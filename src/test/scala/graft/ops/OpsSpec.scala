@@ -1248,6 +1248,35 @@ class OpsSpec extends AnyFunSuite {
     assert(out(2L)._2 == r4(math.log(0.25)))
   }
 
+  test("bigramLogProb: closed-form stupid backoff incl. backoff and OOV") {
+    import spark.implicits._
+    // model tokens: a b a -> N=3, c1(a)=2, c1(b)=1, c2(a,b)=1, c2(b,a)=1
+    val model = Seq((0L, "a b a")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b a"), (1L, "b b c"), (2L, ""), (3L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.bigramLogProb(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln = (x: Double) => math.log(x)
+    // doc 0: first ln(2/3), bigram hits ln(1/2) and ln(1/1)
+    assert(out(0L) == ((3L, r4((ln(2.0 / 3) + ln(0.5) + ln(1.0)) / 3))))
+    // doc 1: first ln(1/3), (b,b) unseen -> backoff ln(.4*1/3),
+    // c OOV -> floor ln(.4*1/3... with c1 missing: ln(.4/3))
+    assert(out(1L) == ((3L,
+      r4((ln(1.0 / 3) + ln(0.4 * 1 / 3) + ln(0.4 / 3)) / 3))))
+    // empty doc emits nothing; single-token doc is just the unigram term
+    assert(!out.contains(2L))
+    assert(out(3L) == ((1L, r4(ln(2.0 / 3)))))
+    // self-model default: every bigram is its own model's -> no backoff,
+    // deterministic under repartitioning
+    val self = TextMetrics.bigramLogProb(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val self2 = TextMetrics.bigramLogProb(docs.repartition(5), "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self == self2 && self.keySet == Set(0L, 1L, 3L))
+  }
+
   test("dsirWeights: closed-form at buckets=1, target separation, determinism") {
     import spark.implicits._
     // buckets=1 collapses every token to one bucket: logw(doc) =
