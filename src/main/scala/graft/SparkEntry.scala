@@ -1740,6 +1740,16 @@ object SparkEntry {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     }),
+    "dedup_semantic" -> ((s, dir) => {
+      // SemDeDup: deterministic k-means cells (k=8, 2 Lloyd rounds,
+      // first-k seeding) then within-cell cosine pairs at the SEMANTIC
+      // threshold (0.35 — far below the near-copy LSH gate's range)
+      graft.ops.Dedup.semanticPairs(t(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 8, iters = 2, minCosine = 0.35)
+        .select(col("cluster").cast("long").as("cluster"),
+          col("id_a"), col("id_b"), col("cosine"))
+        .orderBy("cluster", "id_a", "id_b")
+    }),
     "text_bigram_lm" -> ((s, dir) => {
       // order-1 stupid-backoff LM score: the model is the even-doc_id half
       // of the corpus, so scoring the full corpus genuinely exercises the
@@ -2704,6 +2714,34 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT s0.cid, e.i, e.x FROM e JOIN s0 USING (vec_id)),
+        |d1 AS (SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d
+        |  FROM e JOIN c0 c USING (i) GROUP BY e.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+        |c1 AS (SELECT a.cid, e.i, round(avg(e.x), 6) AS x
+        |  FROM e JOIN a1 a USING (vec_id) GROUP BY a.cid, e.i),
+        |d2 AS (SELECT e.vec_id, c.cid, sum((e.x - c.x) * (e.x - c.x)) AS d
+        |  FROM e JOIN c1 c USING (i) GROUP BY e.vec_id, c.cid),
+        |a2 AS (SELECT vec_id, cid FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+        |cand AS (SELECT a.cid, a.vec_id AS ia, b.vec_id AS ib
+        |  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |cs AS (SELECT c.cid, c.ia, c.ib,
+        |    sum(ea.x * eb.x)
+        |      / (sqrt(sum(ea.x * ea.x)) * sqrt(sum(eb.x * eb.x))) AS cosine
+        |  FROM cand c JOIN e ea ON ea.vec_id = c.ia
+        |  JOIN e eb ON eb.vec_id = c.ib AND eb.i = ea.i
+        |  GROUP BY c.cid, c.ia, c.ib)
+        |SELECT cid AS cluster, ia AS id_a, ib AS id_b,
+        |  round(cosine, 5) AS cosine FROM cs
+        |WHERE cosine >= 0.35
+        |ORDER BY cluster, id_a, id_b""".stripMargin,
     "text_bigram_lm" ->
       """WITH raw AS (SELECT doc_id,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS l

@@ -605,6 +605,45 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023):
+   * cluster the embedding space with deterministic k-means
+   * (Similarity.kmeansAssign), then compare pairs ONLY within a cluster
+   * and keep those with cosine >= minCosine. Where the LSH family
+   * ([[embeddingCosinePairs]]) targets near-copies (cosine ~0.95+),
+   * SemDeDup prunes SEMANTIC redundancy at much lower thresholds — the
+   * k-means cells make the O(n²) pair space tractable the same way LSH
+   * buckets do, but aligned to the data's own cluster structure.
+   *
+   * Scale shape: assignment is a zero-shuffle literal-argmin scan; the
+   * within-cluster self-join is an EQUI-join on the cluster id under an
+   * explicit repartition (AQE would coalesce the small input and
+   * serialize the cosine kernel — the Linkage lesson), and the kernel
+   * evaluates ONCE per pair through the generator keep-rule. Hot-cluster
+   * lever: raise k (cells shrink), or feed the flagged cluster through
+   * the banded LSH path. Output composes with connectedComponents +
+   * electRepresentativesByLabels for the keep/drop step.
+   */
+  def semanticPairs(
+      emb: DataFrame, vecCol: String, idCol: String,
+      k: Int = 256, iters: Int = 2, minCosine: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val nPart = emb.sparkSession.sessionState.conf.numShufflePartitions
+    val assigned = Similarity.kmeansAssign(emb, vecCol, idCol, k, iters)
+      .select(col("cluster"), col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    val a = assigned
+      .select(col("cluster"), col(idCol).as("id_a"), col("_v").as("_va"))
+      .repartition(nPart, col("cluster"))
+    val b = assigned
+      .select(col("cluster").as("_cb"), col(idCol).as("id_b"), col("_v").as("_vb"))
+      .repartition(nPart, col("_cb"))
+    val cos = Similarity.cosineNative(col("_va"), col("_vb"))
+    a.join(b, col("cluster") === col("_cb") && col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        explode(when(cos >= minCosine, array(round(cos, 5)))
+          .otherwise(array().cast("array<double>"))).as("cosine"))
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs via multi-band random-hyperplane
    * LSH (OR-amplification): `bands` independent bucket keys of
    * `bitsPerBand` sign bits each; a pair is a candidate when it collides in

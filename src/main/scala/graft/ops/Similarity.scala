@@ -161,6 +161,64 @@ object Similarity {
     def unpersist(): Unit = CacheScope.untrack(assigned)
   }
 
+  /**
+   * Deterministic distributed Lloyd k-means, exactly replayable in SQL:
+   * seeds are the k lowest-id vectors (first-k seeding), assignment is
+   * squared-Euclidean with ties to the lowest cluster id, and each
+   * round's centroids (`iters` assignment passes, a re-average between
+   * consecutive passes) are element-wise means ROUNDED to 6 decimals — the
+   * rounding pins the centroid values themselves, so the same clustering
+   * falls out of any engine or partitioning (raw distances stay
+   * unrounded: an ulp-level wobble only matters when two centroids are
+   * equidistant to ~1e-13, whereas rounding them would manufacture
+   * boundary flips). For quality-seeking clustering use [[fitIvfIndex]]'s
+   * MLlib KMeans (k-means|| seeding); THIS variant is the auditable one.
+   *
+   * Returns the input columns + `cluster`. Scale shape: assignment is a
+   * narrow ZERO-shuffle scan — centroids enter as k*dim literals inside
+   * one array_min((dist, cid) structs) argmin expression; each round's
+   * update is ONE (cluster, pos) aggregation producing k*dim cells.
+   * Centroid state between rounds is k*dim doubles on the driver (the
+   * EBW treeAggregate precedent — never O(corpus)). Empty clusters drop;
+   * null vectors are excluded.
+   */
+  def kmeansAssign(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1 (assignment passes)")
+    require(!emb.columns.contains("cluster"),
+      "input already has a `cluster` column; rename it first")
+    val v = col(vecCol).cast("array<double>")
+    val base = emb.where(v.isNotNull)
+    var cents: Seq[(Int, Seq[Double])] = base
+      .select(col(idCol), v.as("_v")).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // argmin as array_min over [dist, cid] pairs (lexicographic array
+    // comparison: distance first, ties to the LOWEST cluster id); cid as
+    // a double is exact for any realistic k
+    def assignExpr: Column = array_min(array(cents.map { case (cid, c) =>
+      array(
+        aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x),
+        lit(cid.toDouble))
+    }: _*)).getItem(1).cast("int")
+    // `iters` counts ASSIGNMENT passes; centroids re-average between
+    // consecutive passes (iters - 1 updates), so iters=1 is pure
+    // nearest-seed partitioning
+    for (_ <- 0 until iters - 1) {
+      val upd = base.select(assignExpr.as("cluster"), posexplode(v))
+        .groupBy("cluster", "pos").agg(round(avg(col("col")), 6).as("x"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }.toSeq.sortBy(_._1)
+      cents = upd
+    }
+    base.withColumn("cluster", assignExpr)
+  }
+
   /** Build an IVF index: MLlib KMeans into nlist cells, assignments
    * cached. The 100 TB shape writes `assigned` partitioned by cell. */
   def fitIvfIndex(

@@ -110,6 +110,81 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq(2L)) // highest quality, NOT the min id
   }
 
+  // ----------------------------------------------------- semantic (SemDeDup)
+
+  // deterministic pseudo-random doubles in [-0.5, 0.5)
+  private def prand(i: Int, j: Int): Double =
+    (((i * 2654435761L + j * 40503L + 17L) & 0xffffL).toDouble / 65536.0) - 0.5
+
+  test("kmeansAssign: planted blobs recovered, matches reference Lloyd") {
+    import spark.implicits._
+    // 3 well-separated blobs in 4 dims; ids interleave blobs so first-k
+    // seeding starts from 3 DIFFERENT blobs (ids 0,1,2)
+    val rows = (0 until 60).map { i =>
+      val blob = i % 3
+      val base = Array(10.0 * blob, -5.0 * blob, 3.0 * blob, 7.0 - blob)
+      (i.toLong, base.zipWithIndex.map { case (b, j) => b + prand(i, j) }.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(df, "embedding", "vec_id", 3, 3)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // blob membership == cluster membership, and seed i landed cluster i
+    assert((0 until 60).forall(i => got(i.toLong) == i % 3))
+    // reference Lloyd with the same rules (first-k seeds, ties by cid,
+    // 6-decimal centroid rounding, iters = assignment passes)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var cents = rows.sortBy(_._1).take(3).map(_._2.toArray).toArray
+    def assign(v: Seq[Double]): Int = cents.zipWithIndex.map { case (c, k) =>
+      (v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum, k)
+    }.min._2
+    for (_ <- 0 until 2) {
+      val groups = rows.groupBy { case (_, v) => assign(v) }
+      cents = groups.toSeq.sortBy(_._1).map { case (_, members) =>
+        (0 until 4).map(j => r6(members.map(_._2(j)).sum / members.size)).toArray
+      }.toArray
+    }
+    val want = rows.map { case (id, v) => id -> assign(v) }.toMap
+    assert(got == want)
+  }
+
+  test("semanticPairs: brute-force within-cluster pairs, single kernel eval") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j => prand(i, j) + (if (i % 2 == 0) 1.0 else -1.0)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val tau = 0.9
+    val assignMap = Similarity.kmeansAssign(df, "embedding", "vec_id", 2, 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na * nb > 0) d / (na * nb) else 0.0
+    }
+    def r5(x: Double) =
+      BigDecimal(x).setScale(5, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && assignMap(ia) == assignMap(ib) && cos(va, vb) >= tau
+    } yield (assignMap(ia), ia, ib, r5(cos(va, vb)))).toSet
+    assert(want.nonEmpty)
+    val got = Dedup.semanticPairs(df, "embedding", "vec_id", k = 2, iters = 2,
+        minCosine = tau)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == want)
+    // partitioning-independent
+    val again = Dedup.semanticPairs(df.repartition(7), "embedding", "vec_id",
+        k = 2, iters = 2, minCosine = tau)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(again == got)
+  }
+
   // --------------------------------------------------------------- Snapshot
 
   test("Snapshot.diff: all four statuses, null-content rule, multi-column") {
