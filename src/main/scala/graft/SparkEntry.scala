@@ -1740,6 +1740,15 @@ object SparkEntry {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     }),
+    "graph_pagerank" -> ((s, dir) => {
+      // host-level PageRank shape on a deterministic 997-node multigraph
+      // derived from orders keys; 5 damped power iterations with
+      // dangling-mass redistribution, exactly replayed by unrolled CTEs
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.pageRank(e, "src", "dst", iters = 5)
+        .orderBy("node")
+    }),
     "dedup_semantic" -> ((s, dir) => {
       // SemDeDup: deterministic k-means cells (k=8, 2 Lloyd rounds,
       // first-k seeding) then within-cell cosine pairs at the SEMANTIC
@@ -1856,7 +1865,38 @@ object SparkEntry {
        |FROM orders ORDER BY zval, o_orderkey""".stripMargin
   }
 
+  /** PageRank replay: the operator's fixed iteration count unrolls to a
+   * CTE chain — same damped update, dangling redistribution, and
+   * 10-decimal per-iteration rounding as Graph.pageRank. */
+  private def pageRankOracle(iters: Int): String = {
+    val pre =
+      """WITH edges AS (SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst
+        |  FROM orders),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |outdeg AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM edges
+        |  GROUP BY src),
+        |r0 AS (SELECT node, round(1.0 / nn.n, 10) AS rank FROM nodes, nn)"""
+        .stripMargin
+    val steps = (0 until iters).map { t =>
+      s""",
+         |c$t AS (SELECT e.dst AS node, sum(r.rank / od.deg) AS s
+         |  FROM edges e JOIN r$t r ON r.node = e.src
+         |  JOIN outdeg od ON od.node = e.src GROUP BY e.dst),
+         |dg$t AS (SELECT coalesce(sum(r.rank), 0) AS m FROM r$t r
+         |  LEFT JOIN outdeg od ON od.node = r.node WHERE od.node IS NULL),
+         |r${t + 1} AS (SELECT n.node,
+         |    round(0.15 / nn.n + 0.85 * (coalesce(c$t.s, 0) + dg$t.m / nn.n),
+         |      10) AS rank
+         |  FROM nodes n LEFT JOIN c$t ON c$t.node = n.node, nn, dg$t)"""
+        .stripMargin
+    }.mkString
+    pre + steps + s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle(5),
     "q_sql_scalar" -> sqlScalarText,
     "q_filter_agg" -> sqlFilterAggText,
     "q_not_in_null" -> sqlNotInText,

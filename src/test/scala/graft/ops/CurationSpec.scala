@@ -110,6 +110,36 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq(2L)) // highest quality, NOT the min id
   }
 
+  // --------------------------------------------------------------- PageRank
+
+  test("pageRank: hand-computed dangling redistribution, mass conservation") {
+    import spark.implicits._
+    // A -> B, B dangling, N = 2: after one iteration
+    //   r(A) = .15/2 + .85 * (0 + .5/2)       = 0.2875
+    //   r(B) = .15/2 + .85 * (.5 + .5/2)      = 0.7125
+    val e1 = Seq((("A"), ("B"))).toDF("src", "dst")
+    val one = Graph.pageRank(e1, "src", "dst", iters = 1)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(one == Map("A" -> 0.2875, "B" -> 0.7125))
+    // larger deterministic multigraph: mass ~1 after 5 iters, identical
+    // ranks under a different partitioning, checkpointing changes nothing
+    val e2 = (0 until 400)
+      .map(i => ((i * 7) % 53).toLong -> ((i * i + 3) % 53).toLong)
+      .toDF("src", "dst")
+    val r5 = Graph.pageRank(e2, "src", "dst", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(r5.values.sum - 1.0) < 1e-6)
+    val r5b = Graph.pageRank(e2.repartition(7), "src", "dst", iters = 5,
+        checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(r5b == r5)
+    // a symmetric 2-cycle splits rank evenly
+    val cyc = Graph.pageRank(Seq(1L -> 2L, 2L -> 1L).toDF("src", "dst"),
+        "src", "dst", iters = 10)
+      .collect().map(r => r.getDouble(1))
+    assert(cyc.toSet == Set(0.5))
+  }
+
   // ----------------------------------------------------- semantic (SemDeDup)
 
   // deterministic pseudo-random doubles in [-0.5, 0.5)
