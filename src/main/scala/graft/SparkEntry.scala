@@ -1740,6 +1740,38 @@ object SparkEntry {
         .toDF("rank", "left", "right")
         .orderBy("rank")
     }),
+    "ann_pq" -> ((s, dir) => {
+      // product-quantization ANN: 8 subspaces x 16 centroids compress each
+      // 64-float vector to 8 codes (32x), then ADC top-10 for query vec 0
+      // is pure table lookups — the memory-bound corpus path
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Similarity.pqTrain(emb, "embedding", "vec_id",
+        dim = 64, subspaces = 8, k = 16, iters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      val codes = graft.ops.Similarity.pqEncode(
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", 64, cb)
+      graft.ops.Similarity.pqTopK(codes, "vec_id", cb, q, 10)
+        .orderBy("adist", "vec_id")
+    }),
+    "ann_pq_rerank" -> ((s, dir) => {
+      // the production two-stage PQ search: ADC shortlist of 100 from the
+      // codes, exact L2 rerank on just those rows — quantization costs
+      // shortlist membership, never final precision
+      val emb = t(s, dir, "embeddings")
+      val cb = graft.ops.Similarity.pqTrain(emb, "embedding", "vec_id",
+        dim = 64, subspaces = 8, k = 16, iters = 2)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      val corpus = emb.filter(col("vec_id") =!= 0)
+      val codes = graft.ops.Similarity.pqEncode(
+        corpus, "embedding", "vec_id", 64, cb)
+      graft.ops.Similarity.pqTopKRerank(codes, corpus, "embedding", "vec_id",
+          cb, q, topK = 10, shortlist = 100)
+        .orderBy("dist", "vec_id")
+    }),
     "graph_pagerank" -> ((s, dir) => {
       // host-level PageRank shape on a deterministic 997-node multigraph
       // derived from orders keys; 5 damped power iterations with
@@ -1897,6 +1929,71 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
+    "ann_pq" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |sub AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS j, x FROM e),
+        |s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT sub.s, s0.cid, sub.j, sub.x FROM sub JOIN s0 USING (vec_id)),
+        |d1 AS (SELECT sub.vec_id, sub.s, c.cid,
+        |    sum((sub.x - c.x) * (sub.x - c.x)) AS d
+        |  FROM sub JOIN c0 c ON c.s = sub.s AND c.j = sub.j
+        |  GROUP BY sub.vec_id, sub.s, c.cid),
+        |a1 AS (SELECT vec_id, s, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1),
+        |c1 AS (SELECT sub.s, a.cid, sub.j, round(avg(sub.x), 6) AS x
+        |  FROM sub JOIN a1 a ON a.vec_id = sub.vec_id AND a.s = sub.s
+        |  GROUP BY sub.s, a.cid, sub.j),
+        |d2 AS (SELECT sub.vec_id, sub.s, c.cid,
+        |    sum((sub.x - c.x) * (sub.x - c.x)) AS d
+        |  FROM sub JOIN c1 c ON c.s = sub.s AND c.j = sub.j
+        |  GROUP BY sub.vec_id, sub.s, c.cid),
+        |a2 AS (SELECT vec_id, s, cid FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1),
+        |qd AS (SELECT c.s, c.cid, sum((qs.x - c.x) * (qs.x - c.x)) AS d
+        |  FROM c1 c JOIN sub qs ON qs.vec_id = 0 AND qs.s = c.s AND qs.j = c.j
+        |  GROUP BY c.s, c.cid),
+        |ad AS (SELECT a.vec_id, round(sum(qd.d), 6) AS adist
+        |  FROM a2 a JOIN qd ON qd.s = a.s AND qd.cid = a.cid
+        |  WHERE a.vec_id <> 0 GROUP BY a.vec_id)
+        |SELECT vec_id, adist FROM ad ORDER BY adist, vec_id
+        |LIMIT 10""".stripMargin,
+    "ann_pq_rerank" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |sub AS (SELECT vec_id, (i - 1) // 8 AS s, (i - 1) % 8 AS j, x FROM e),
+        |s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+        |c0 AS (SELECT sub.s, s0.cid, sub.j, sub.x FROM sub JOIN s0 USING (vec_id)),
+        |d1 AS (SELECT sub.vec_id, sub.s, c.cid,
+        |    sum((sub.x - c.x) * (sub.x - c.x)) AS d
+        |  FROM sub JOIN c0 c ON c.s = sub.s AND c.j = sub.j
+        |  GROUP BY sub.vec_id, sub.s, c.cid),
+        |a1 AS (SELECT vec_id, s, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1),
+        |c1 AS (SELECT sub.s, a.cid, sub.j, round(avg(sub.x), 6) AS x
+        |  FROM sub JOIN a1 a ON a.vec_id = sub.vec_id AND a.s = sub.s
+        |  GROUP BY sub.s, a.cid, sub.j),
+        |d2 AS (SELECT sub.vec_id, sub.s, c.cid,
+        |    sum((sub.x - c.x) * (sub.x - c.x)) AS d
+        |  FROM sub JOIN c1 c ON c.s = sub.s AND c.j = sub.j
+        |  GROUP BY sub.vec_id, sub.s, c.cid),
+        |a2 AS (SELECT vec_id, s, cid FROM d2
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, s ORDER BY d, cid) = 1),
+        |qd AS (SELECT c.s, c.cid, sum((qs.x - c.x) * (qs.x - c.x)) AS d
+        |  FROM c1 c JOIN sub qs ON qs.vec_id = 0 AND qs.s = c.s AND qs.j = c.j
+        |  GROUP BY c.s, c.cid),
+        |ad AS (SELECT a.vec_id, round(sum(qd.d), 6) AS adist
+        |  FROM a2 a JOIN qd ON qd.s = a.s AND qd.cid = a.cid
+        |  WHERE a.vec_id <> 0 GROUP BY a.vec_id),
+        |short AS (SELECT vec_id FROM ad ORDER BY adist, vec_id LIMIT 100),
+        |rr AS (SELECT v.vec_id, round(sum((v.x - qv.x) * (v.x - qv.x)), 6) AS dist
+        |  FROM e v JOIN e qv ON qv.vec_id = 0 AND qv.i = v.i
+        |  JOIN short ON short.vec_id = v.vec_id
+        |  GROUP BY v.vec_id)
+        |SELECT vec_id, dist FROM rr ORDER BY dist, vec_id
+        |LIMIT 10""".stripMargin,
     "q_sql_scalar" -> sqlScalarText,
     "q_filter_agg" -> sqlFilterAggText,
     "q_not_in_null" -> sqlNotInText,

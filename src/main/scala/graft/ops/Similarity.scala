@@ -219,6 +219,158 @@ object Similarity {
     base.withColumn("cluster", assignExpr)
   }
 
+  /**
+   * Product-quantization codebook (Jégou et al. 2011, "Product
+   * Quantization for Nearest Neighbor Search"): the vector space splits
+   * into `subspaces` contiguous slices and each slice gets its own
+   * deterministic k-means codebook (the [[kmeansAssign]] rules: first-k
+   * seeding, ties to the lowest centroid id, 6-decimal centroid
+   * rounding, `iters` assignment passes). A vector then compresses to
+   * `subspaces` small ints — 8 codes instead of 64 floats is a 32x
+   * memory cut, THE lever that fits a 100 TB corpus's ANN index in
+   * executor memory where raw vectors cannot.
+   *
+   * All subspaces train in the SAME jobs: assignment is one zero-shuffle
+   * scan (per-subspace argmin literals), each update round is ONE
+   * (subspace, centroid, pos) aggregation. Codebook state is
+   * subspaces*k*(dim/subspaces) = dim*k doubles on the driver.
+   * Returns (subspace, cid, centroid-slice) tuples.
+   */
+  def pqTrain(emb: DataFrame, vecCol: String, idCol: String, dim: Int,
+      subspaces: Int = 8, k: Int = 16, iters: Int = 2)
+      : Seq[(Int, Int, Seq[Double])] = {
+    require(subspaces >= 1 && dim % subspaces == 0,
+      s"dim $dim must divide evenly into $subspaces subspaces")
+    require(k >= 1 && iters >= 1, "k and iters must be >= 1")
+    val ds = dim / subspaces
+    val v = col(vecCol).cast("array<double>")
+    val base = emb.where(v.isNotNull)
+    def sub(s: Int): Column = slice(v, lit(s * ds + 1), lit(ds))
+    var cents: Map[Int, Seq[(Int, Seq[Double])]] = {
+      val seeds = base.select(col(idCol), v.as("_v"))
+        .orderBy(col(idCol)).limit(k).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+      (0 until subspaces).map { s =>
+        s -> seeds.map { case (cid, vec) =>
+          (cid, vec.slice(s * ds, (s + 1) * ds))
+        }.toSeq
+      }.toMap
+    }
+    def codeExpr(s: Int): Column = array_min(array(cents(s).map {
+      case (cid, c) => array(
+        aggregate(zip_with(sub(s), typedlit(c), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x),
+        lit(cid.toDouble))
+    }: _*)).getItem(1).cast("int")
+    for (_ <- 0 until iters - 1) {
+      // the cast names the struct fields: aliases inside struct() are not
+      // preserved when the members are complex expressions
+      val upd = base
+        .select(array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"), codeExpr(s).as("cid"), sub(s).as("sv"))): _*)
+          .cast("array<struct<s:int,cid:int,sv:array<double>>>")
+          .as("subs"))
+        .select(explode(col("subs")).as("z"))
+        .select(col("z.s").as("s"), col("z.cid").as("cid"),
+          posexplode(col("z.sv")))
+        .groupBy("s", "cid", "pos").agg(round(avg(col("col")), 6).as("x"))
+        .collect()
+      cents = upd.groupBy(_.getInt(0)).map { case (s, rows) =>
+        s -> rows.groupBy(_.getInt(1)).map { case (cid, cells) =>
+          (cid, cells.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }.toSeq.sortBy(_._1)
+      }
+    }
+    (0 until subspaces).flatMap(s =>
+      cents.getOrElse(s, Nil).map { case (cid, c) => (s, cid, c) })
+  }
+
+  /** Compress every vector to its PQ codes under `codebook` (from
+   * [[pqTrain]]): (input columns minus the vector) + `codes`
+   * (array of subspace centroid ids). One zero-shuffle scan. */
+  def pqEncode(emb: DataFrame, vecCol: String, idCol: String, dim: Int,
+      codebook: Seq[(Int, Int, Seq[Double])]): DataFrame = {
+    val bySub = codebook.groupBy(_._1)
+    val subspaces = bySub.size
+    require(subspaces >= 1 && dim % subspaces == 0,
+      s"dim $dim must divide evenly into $subspaces subspaces")
+    val ds = dim / subspaces
+    val v = col(vecCol).cast("array<double>")
+    def codeExpr(s: Int): Column = array_min(array(
+      bySub(s).sortBy(_._2).map { case (_, cid, c) => array(
+        aggregate(zip_with(slice(v, lit(s * ds + 1), lit(ds)), typedlit(c),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x),
+        lit(cid.toDouble))
+      }: _*)).getItem(1).cast("int")
+    emb.where(v.isNotNull)
+      .select(col(idCol),
+        array((0 until subspaces).map(codeExpr): _*).as("codes"))
+  }
+
+  /**
+   * Asymmetric-distance (ADC) top-k over a PQ-ENCODED frame: the query
+   * stays a raw vector, each corpus vector is its codes, and the
+   * approximate squared distance is a sum of `subspaces` precomputed
+   * query-to-centroid table lookups — no vector arithmetic per row at
+   * all, just element_at into literal tables. Returns the k closest
+   * (idCol, adist) by rounded distance, ties to the lowest id; one
+   * narrow scan + TakeOrdered, no shuffle.
+   */
+  def pqTopK(encoded: DataFrame, idCol: String,
+      codebook: Seq[(Int, Int, Seq[Double])], query: Seq[Double],
+      topK: Int): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val bySub = codebook.groupBy(_._1)
+    val subspaces = bySub.size
+    val ds = query.length / subspaces
+    require(query.length == subspaces * ds,
+      s"query dim ${query.length} must divide into $subspaces subspaces")
+    // per-subspace ADC table: distance from the query's slice to every
+    // centroid, indexed by cid (codebooks are dense 0..k-1 after train;
+    // a dropped centroid never appears in codes, its slot is a dummy)
+    val tables: Seq[Seq[Double]] = (0 until subspaces).map { s =>
+      val qs = query.slice(s * ds, (s + 1) * ds)
+      val byCid = bySub(s).map { case (_, cid, c) =>
+        cid -> qs.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+      }.toMap
+      (0 to byCid.keys.max).map(cid => byCid.getOrElse(cid, Double.MaxValue))
+    }
+    val adist = (0 until subspaces).map(s =>
+      element_at(typedlit(tables(s)), element_at(col("codes"), s + 1) + 1))
+      .reduce(_ + _)
+    encoded
+      .select(col(idCol), round(adist, 6).as("adist"))
+      .orderBy(col("adist"), col(idCol))
+      .limit(topK)
+  }
+
+  /**
+   * Two-stage PQ search — the production shape (Jégou et al.'s IVFADC +
+   * rerank): the ADC scan over codes picks a `shortlist` of candidates
+   * (memory-bound stage: 8-32 bytes per vector), then ONLY the shortlist
+   * joins back to its raw vectors for exact re-ranking. Quantization
+   * coarseness costs shortlist membership, not final precision — with a
+   * 10x shortlist the exact top-k is recovered almost always, while the
+   * full corpus is never touched in raw-vector form. The shortlist→raw
+   * join is k·shortlist rows against the corpus — broadcastable by
+   * construction.
+   */
+  def pqTopKRerank(encoded: DataFrame, raw: DataFrame, vecCol: String,
+      idCol: String, codebook: Seq[(Int, Int, Seq[Double])],
+      query: Seq[Double], topK: Int, shortlist: Int = 0): DataFrame = {
+    val sl = if (shortlist > 0) shortlist else topK * 10
+    require(sl >= topK, "shortlist must be >= topK")
+    val cand = pqTopK(encoded, idCol, codebook, query, sl).select(col(idCol))
+    val v = col(vecCol).cast("array<double>")
+    raw.join(org.apache.spark.sql.functions.broadcast(cand), idCol)
+      .select(col(idCol),
+        round(aggregate(zip_with(v, typedlit(query),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x), 6)
+          .as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(topK)
+  }
+
   /** Build an IVF index: MLlib KMeans into nlist cells, assignments
    * cached. The 100 TB shape writes `assigned` partitioned by cell. */
   def fitIvfIndex(

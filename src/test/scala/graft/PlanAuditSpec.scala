@@ -298,6 +298,26 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the mixture bound must enter as a 1-row broadcast subtree:\n$p")
   }
 
+  test("kmeansAssign: the assignment pass is a zero-Exchange narrow scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // iters=1 isolates the assignment itself (no update round): centroids
+    // are literals inside one argmin expression, so the plan must be a
+    // scan + project with NO shuffle
+    val p = graft.ops.Similarity.kmeansAssign(emb, "embedding", "vec_id", 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"k-means assignment must not shuffle:\n$p")
+  }
+
+  test("semanticPairs: equi-join on the cluster id, never a product") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Dedup.semanticPairs(emb, "embedding", "vec_id",
+        k = 4, iters = 1, minCosine = 0.3)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"semantic pair join planned as a product:\n$p")
+  }
+
   test("clusterByZ: range partitioning on the Morton key, no global sort") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet")

@@ -110,6 +110,71 @@ class CurationSpec extends AnyFunSuite {
     assert(kept == Seq(2L)) // highest quality, NOT the min id
   }
 
+  // ------------------------------------------------------ PQ (ann quartet)
+
+  test("pqTrain/pqEncode/pqTopK: closed-form codes and ADC distances") {
+    import spark.implicits._
+    // 4 dims, 2 subspaces; ids 0/1 seed DIFFERENT blobs per first-k rule
+    val rows = Seq(
+      (0L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (1L, Seq(8.0, 8.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.2, 10.2, 10.0)),
+      (3L, Seq(8.0, 8.2, 0.2, 0.0)))
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = Similarity.pqTrain(df, "embedding", "vec_id", dim = 4,
+      subspaces = 2, k = 2, iters = 2)
+    // centroids after one update: blob means, rounded 6dp
+    val cbMap = cb.map { case (s, cid, c) => (s, cid) -> c }.toMap
+    assert(cbMap((0, 0)) == Seq(0.0, 0.1) && cbMap((0, 1)) == Seq(8.0, 8.1))
+    assert(cbMap((1, 0)) == Seq(10.1, 10.0) && cbMap((1, 1)) == Seq(0.1, 0.0))
+    val codes = Similarity.pqEncode(df, "embedding", "vec_id", 4, cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes == Map(0L -> Seq(0, 0), 1L -> Seq(1, 1),
+      2L -> Seq(0, 0), 3L -> Seq(1, 1)))
+    // ADC for the query (0,0,10,10): dist to (c00,c10) = 0.01 + 0.01+0 =
+    // (0^2+0.1^2) + (0.1^2+0^2) = 0.02; top hit ties 0 before 2
+    val top = Similarity.pqTopK(
+        Similarity.pqEncode(df, "embedding", "vec_id", 4, cb), "vec_id",
+        cb, Seq(0.0, 0.0, 10.0, 10.0), 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top == Seq((0L, 0.02), (2L, 0.02)))
+  }
+
+  test("pq: recall against exact L2 on real embeddings, determinism") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb = Similarity.pqTrain(emb, "embedding", "vec_id", dim = 64,
+      subspaces = 8, k = 16, iters = 2)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect()(0)
+      .getSeq[Double](0)
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val encoded = Similarity.pqEncode(corpus, "embedding", "vec_id", 64, cb)
+    // exact L2 top-10 (brute force)
+    val exact = corpus.select(col("vec_id"),
+        aggregate(zip_with(col("embedding").cast("array<double>"), typedlit(q),
+          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x).as("d"))
+      .orderBy("d", "vec_id").limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // raw ADC at 8 bytes/vector is COARSE on unstructured vectors — it
+    // must still beat chance by a wide margin (10 random of 499 would
+    // overlap ~0.2 ids with the exact set)
+    val approx = Similarity.pqTopK(encoded, "vec_id", cb, q, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.intersect(exact).size >= 1,
+      s"ADC no better than chance: $approx vs $exact")
+    // the production path: ADC shortlist (100 of 499) + exact rerank
+    // recovers the true top-10 nearly perfectly
+    val rerank = Similarity.pqTopKRerank(encoded, corpus, "embedding",
+        "vec_id", cb, q, topK = 10, shortlist = 100)
+      .collect().map(_.getLong(0)).toSet
+    val recall = rerank.intersect(exact).size
+    assert(recall >= 9, s"rerank recall@10 too low: $recall/10 ($rerank vs $exact)")
+    // codebook is partitioning-independent
+    val cb2 = Similarity.pqTrain(emb.repartition(7), "embedding", "vec_id",
+      dim = 64, subspaces = 8, k = 16, iters = 2)
+    assert(cb2 == cb)
+  }
+
   // --------------------------------------------------------------- PageRank
 
   test("pageRank: hand-computed dangling redistribution, mass conservation") {
