@@ -514,6 +514,55 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the C4 rule set: the same spiked lines, the same
+   * shared line predicates ([[TextMetrics.c4PunctLine]]/[[TextMetrics.c4BadLine]]
+   * — LIKE and instr are dialect-common), list_filter for filter, and
+   * coalesce around array_to_string because DuckDB maps the empty list to
+   * NULL where Spark's array_join returns ''. */
+  private def c4Oracle: String = {
+    val punct = TextMetrics.c4PunctLine
+    val bad = TextMetrics.c4BadLine
+    s"""WITH sp AS (SELECT doc_id,
+       |  text || '.' || chr(10) ||
+       |  CASE WHEN doc_id % 4 = 0 THEN 'click here javascript required.'
+       |       WHEN doc_id % 4 = 1 THEN 'short line'
+       |       WHEN doc_id % 4 = 2
+       |         THEN 'read our privacy policy and terms of use.'
+       |       ELSE 'a perfectly fine second sentence with many words in it.'
+       |       END || chr(10) ||
+       |  CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor { sit amet'
+       |       ELSE 'and a third closing sentence follows right here today!'
+       |       END AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id, t, string_split(t, chr(10)) AS ln FROM sp),
+       |m AS (SELECT doc_id, t, ln,
+       |  list_filter(ln, x -> $punct
+       |    AND len(list_filter(string_split(x, ' '), w -> w != '')) >= 5
+       |    AND $bad) AS kept
+       |  FROM b),
+       |r AS (SELECT doc_id,
+       |  len(ln)::BIGINT AS n_lines,
+       |  len(kept)::BIGINT AS n_kept_lines,
+       |  round(len(list_filter(ln, x -> $punct)) * 1.0 / len(ln), 4)
+       |    AS punct_line_frac,
+       |  round(len(list_filter(ln, x -> len(x) < 30)) * 1.0 / len(ln), 4)
+       |    AS short_line_frac,
+       |  (CASE WHEN instr(lower(t), 'lorem ipsum') > 0 THEN 1 ELSE 0 END)
+       |    ::BIGINT AS has_lorem,
+       |  (CASE WHEN instr(t, '{') > 0 THEN 1 ELSE 0 END)::BIGINT AS has_curly,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+       |  FROM m),
+       |f AS (SELECT *,
+       |  (len(clean_text) - len(replace(replace(replace(clean_text,
+       |     '.', ''), '!', ''), '?', '')))::BIGINT AS n_sentences
+       |  FROM r)
+       |SELECT doc_id, n_lines, n_kept_lines, punct_line_frac,
+       |  short_line_frac, has_lorem, has_curly, clean_text, n_sentences,
+       |  (CASE WHEN has_lorem = 0 AND has_curly = 0 AND n_sentences >= 3
+       |        AND n_kept_lines >= 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of the exact BPE token count: the same rank-ordered
    * merge table ([[TextMetrics.bpeMerges]]) nested as the same replace
    * chain over the same double-space symbol representation — only the
@@ -1460,6 +1509,30 @@ object SparkEntry {
           expectedItems = 1000000)
         .orderBy("doc_id")
     }),
+    "text_c4_rules" -> ((s, dir) => {
+      // C4 line+page rule gate: the corpus is single-line prose, so a
+      // terminal '.' plus two deterministic extra lines are spiked
+      // identically in both engines — the second line cycles through the
+      // drop reasons (javascript, too short, policy boilerplate) and a
+      // kept sentence, the third line plants lorem-ipsum + '{' on a
+      // coprime cycle, so every rule fires and the keep verdict splits
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val spiked = docs.select(col("doc_id"),
+        concat(col("text"), lit(".\n"),
+          when(col("doc_id") % 4 === 0,
+              lit("click here javascript required."))
+            .when(col("doc_id") % 4 === 1, lit("short line"))
+            .when(col("doc_id") % 4 === 2,
+              lit("read our privacy policy and terms of use."))
+            .otherwise(
+              lit("a perfectly fine second sentence with many words in it.")),
+          lit("\n"),
+          when(col("doc_id") % 7 === 0, lit("Lorem Ipsum dolor { sit amet"))
+            .otherwise(
+              lit("and a third closing sentence follows right here today!")))
+          .as("text"))
+      TextMetrics.c4Rules(spiked, "text", "doc_id").orderBy("doc_id")
+    }),
     "text_gopher" -> ((s, dir) => {
       // Gopher quality-rule gate: the corpus is single-line prose, so
       // deterministic line structure (a leading bullet line, a tail line
@@ -2075,6 +2148,7 @@ object SparkEntry {
         |    AS days_since_95
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
+    "text_c4_rules" -> c4Oracle,
     "text_gopher" -> gopherOracle,
     "dedup_spans" ->
       """WITH corpus AS (

@@ -656,6 +656,66 @@ object TextMetrics {
           col("stop_hits") >= 2).cast("long"))
   }
 
+  /** Line predicates shared by the engine and the oracle generator: a C4
+   * "kept" line ends in terminal punctuation, carries >= 5 space words,
+   * and is not a javascript/policy boilerplate line. Expressed in the
+   * Spark∩DuckDB lambda dialect so both engines evaluate the same text. */
+  private[graft] val c4PunctLine =
+    """(x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')"""
+  private[graft] val c4BadLine =
+    "instr(lower(x), 'javascript') = 0 AND " +
+      "instr(lower(x), 'privacy policy') = 0 AND " +
+      "instr(lower(x), 'terms of use') = 0 AND " +
+      "instr(lower(x), 'cookie policy') = 0"
+
+  /**
+   * C4 cleaning rule set (Raffel et al. 2020 §2.2, the line-level filter
+   * family FineWeb/Dolma descend from), as a document transform + audit
+   * statistics. Line rules: keep only lines that end in a terminal
+   * punctuation mark, have >= 5 words, and are not javascript / privacy
+   * policy / terms of use / cookie policy boilerplate — `clean_text` is
+   * the kept lines rejoined, which is what C4 actually ships (the filter
+   * REWRITES pages, it doesn't just drop them). Page rules on the result:
+   * drop documents mentioning `lorem ipsum`, containing `{` (the code
+   * marker), or whose cleaned text has fewer than 3 sentence-ending
+   * marks. Extra FineWeb-style audit columns (terminal-punctuation line
+   * fraction, short-line fraction) quantify HOW boilerplate-shaped a page
+   * was, for threshold tuning.
+   *
+   * Scale shape: identical to [[gopherQuality]] — every statistic and the
+   * rewrite are per-row lambda built-ins over the line array, one narrow
+   * codegen'd scan, zero shuffle, output partitioning inherits the
+   * input's. Sentence counting is the nested-replace form (not
+   * `translate`) so the DuckDB oracle replays it verbatim.
+   */
+  def c4Rules(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol).as("t"),
+      split(col(textCol), "\n", -1).as("ln"))
+    val withKept = base.withColumn("kept", expr(
+      s"""filter(ln, x -> $c4PunctLine
+         | AND size(filter(split(x, ' '), w -> w != '')) >= 5
+         | AND $c4BadLine)""".stripMargin))
+    val nLines = size(col("ln")).cast("long")
+    val cleanText = array_join(col("kept"), "\n")
+    val nSentences = (length(col("clean_text")) -
+      length(replace(replace(replace(col("clean_text"), lit("."), lit("")),
+        lit("!"), lit("")), lit("?"), lit("")))).cast("long")
+    withKept.select(col(idCol),
+        nLines.as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept_lines"),
+        round(expr(s"size(filter(ln, x -> $c4PunctLine))") * lit(1.0) / nLines,
+          4).as("punct_line_frac"),
+        round(expr("size(filter(ln, x -> length(x) < 30))") * lit(1.0) / nLines,
+          4).as("short_line_frac"),
+        (instr(lower(col("t")), "lorem ipsum") > 0).cast("long").as("has_lorem"),
+        (instr(col("t"), "{") > 0).cast("long").as("has_curly"),
+        cleanText.as("clean_text"))
+      .withColumn("n_sentences", nSentences)
+      .withColumn("keep",
+        (col("has_lorem") === 0 && col("has_curly") === 0 &&
+          col("n_sentences") >= 3 && col("n_kept_lines") >= 1).cast("long"))
+  }
+
   /**
    * Corpus-derived unigram language-model score (the CCNet/KenLM-style
    * perplexity-proxy quality signal, reduced to its order-0 model so it is

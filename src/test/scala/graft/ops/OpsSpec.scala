@@ -1206,6 +1206,52 @@ class OpsSpec extends AnyFunSuite {
     assert(t2.getAs[Long]("stop_hits") == 3) // the, of, and
   }
 
+  test("c4Rules: every line and page rule against closed forms") {
+    import spark.implicits._
+    val good = "this first sentence carries plenty of words today.\n" +
+      "short one\n" + // < 5 words → dropped
+      "enable javascript to view this page content now.\n" + // js → dropped
+      "we updated our Privacy Policy terms for you today.\n" + // → dropped
+      "a trailing line with many words but no terminal mark\n" + // → dropped
+      "the second proper sentence also has enough words!\n" +
+      "is this a third question sentence with enough words?"
+    val out = TextMetrics.c4Rules(
+      Seq((1L, good)).toDF("doc_id", "text"), "text", "doc_id").collect()(0)
+    assert(out.getAs[Long]("n_lines") == 7)
+    assert(out.getAs[Long]("n_kept_lines") == 3)
+    // lines ending . ! ? or " : 1,3,4,6,7 → 5/7
+    assert(out.getAs[Double]("punct_line_frac") == 0.7143)
+    assert(out.getAs[Double]("short_line_frac") == 0.1429) // 'short one'
+    assert(out.getAs[String]("clean_text") ==
+      "this first sentence carries plenty of words today.\n" +
+        "the second proper sentence also has enough words!\n" +
+        "is this a third question sentence with enough words?")
+    assert(out.getAs[Long]("n_sentences") == 3)
+    assert(out.getAs[Long]("has_lorem") == 0 &&
+      out.getAs[Long]("has_curly") == 0)
+    assert(out.getAs[Long]("keep") == 1)
+
+    // page rules: lorem ipsum, curly brace, and < 3 sentences each kill
+    val keepOf = (s: String) => TextMetrics.c4Rules(
+      Seq((1L, s)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect()(0).getAs[Long]("keep")
+    val three = "one good sentence with the needed words here.\n" +
+      "two good sentences with the needed words here.\n" +
+      "three good sentences with the needed words here."
+    assert(keepOf(three) == 1L)
+    assert(keepOf(three + " Lorem ipsum") == 0L)
+    assert(keepOf(three + " {") == 0L)
+    assert(keepOf("only two sentences live in this document text.\n" +
+      "and the second one is also fully punctuated here.") == 0L)
+    // every line filtered away → empty clean_text, keep = 0, no NULLs
+    val allBad = TextMetrics.c4Rules(
+      Seq((1L, "short line\nno punct here")).toDF("doc_id", "text"),
+      "text", "doc_id").collect()(0)
+    assert(allBad.getAs[String]("clean_text") == "")
+    assert(allBad.getAs[Long]("n_sentences") == 0)
+    assert(allBad.getAs[Long]("keep") == 0)
+  }
+
   test("repetitionFull: every Table-A1 statistic against closed forms") {
     import spark.implicits._
     val d = Seq(
