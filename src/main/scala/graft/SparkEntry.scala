@@ -1873,6 +1873,16 @@ object SparkEntry {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_ccnet_buckets" -> ((s, dir) => {
+      // CCNet head/middle/tail partition: per-language ntile over the
+      // stupid-backoff LM score (model = the even-doc_id half, so all
+      // three scoring branches fire); doc_id breaks every ntile tie so
+      // both engines rank identically
+      val d = t(s, dir, "documents")
+      graft.ops.TextMetrics.ccnetBuckets(d, "text", "doc_id", "lang",
+          model = d.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
     "text_dsir" -> ((s, dir) => {
       // DSIR data selection: score every document's resemblance to the
       // English-language target slice via hashed-unigram importance
@@ -2978,6 +2988,39 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(avg(lp), 4) + 0.0 AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_ccnet_buckets" ->
+      """WITH raw AS (SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) > 0),
+        |tok AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+        |  FROM raw),
+        |seq AS (SELECT doc_id, pos, t,
+        |    lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM tok),
+        |c1 AS (SELECT t, count(*)::DOUBLE AS c FROM tok WHERE doc_id % 2 = 0
+        |  GROUP BY t),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM tok WHERE doc_id % 2 = 0),
+        |c2 AS (SELECT prev, t, count(*)::DOUBLE AS c FROM seq
+        |  WHERE prev IS NOT NULL AND doc_id % 2 = 0 GROUP BY prev, t),
+        |sc AS (SELECT s.doc_id,
+        |    CASE WHEN s.prev IS NULL THEN ln(coalesce(ct.c, 1.0) / n.total)
+        |         WHEN c2.c IS NOT NULL THEN ln(c2.c / cp.c)
+        |         ELSE ln(0.4 * coalesce(ct.c, 1.0) / n.total) END AS lp
+        |  FROM seq s
+        |  LEFT JOIN c1 ct ON ct.t = s.t
+        |  LEFT JOIN c1 cp ON cp.t = s.prev
+        |  LEFT JOIN c2 ON c2.prev = s.prev AND c2.t = s.t, n),
+        |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    round(avg(lp), 4) + 0.0 AS avg_logp
+        |  FROM sc GROUP BY doc_id),
+        |g AS (SELECT a.doc_id, d.lang, a.n_tokens, a.avg_logp,
+        |    ntile(3) OVER (PARTITION BY d.lang
+        |      ORDER BY a.avg_logp DESC, a.doc_id)::BIGINT AS bucket
+        |  FROM agg a JOIN documents d USING (doc_id))
+        |SELECT doc_id, lang, n_tokens, avg_logp, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+        |       ELSE 'middle' END AS ppl_bucket
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
         |  FROM documents),

@@ -804,6 +804,82 @@ object TextMetrics {
   }
 
   /**
+   * Cut a scored frame into per-group equal-population buckets: bucket 1
+   * holds each group's HIGHEST scores. Exact form — `ntile` over a
+   * (group, score desc, id) window, deterministic because the id breaks
+   * every tie. One Exchange on the group key, and a per-group sort: the
+   * honest cost of exact equal-population cuts. For groups too large to
+   * sort (a 100 TB monolingual crawl), use [[bucketByScoreApprox]].
+   */
+  def bucketByScore(scored: DataFrame, groupCol: String, scoreCol: String,
+      idCol: String, buckets: Int): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    scored.withColumn("bucket", ntile(buckets).over(w).cast("long"))
+  }
+
+  /**
+   * Sketch form of [[bucketByScore]]: per-group `percentile_approx`
+   * thresholds (one tiny mergeable sketch aggregation instead of a
+   * per-group sort), then bucket = 1 + #thresholds at-or-above the score
+   * as a per-row lambda against the broadcastable 1-row-per-group cut
+   * table. Bucket POPULATIONS are approximate where scores tie or the
+   * sketch rounds; bucket SEMANTICS (higher score → lower bucket) are
+   * exact. This is the shape that survives a group too big to sort.
+   */
+  def bucketByScoreApprox(scored: DataFrame, groupCol: String,
+      scoreCol: String, buckets: Int, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, "buckets must be >= 2")
+    val fracs = array((1 until buckets)
+      .map(i => lit(i.toDouble / buckets)): _*)
+    val cuts = scored.groupBy(col(groupCol))
+      .agg(percentile_approx(col(scoreCol), fracs, lit(accuracy)).as("cuts"))
+    scored.join(cuts, groupCol)
+      .withColumn("bucket",
+        (lit(1) + size(filter(col("cuts"),
+          c => col(scoreCol) <= c))).cast("long"))
+      .drop("cuts")
+  }
+
+  private def pplLabel(buckets: Int): Column =
+    when(col("bucket") === 1, lit("head"))
+      .when(col("bucket") === buckets, lit("tail"))
+      .otherwise(lit("middle"))
+
+  /**
+   * CCNet perplexity bucketing (Wenzek et al. 2020, "CCNet: Extracting
+   * High Quality Monolingual Datasets from Web Crawl Data"): rank every
+   * document by language-model score WITHIN its language (or domain)
+   * group and cut each group into equal-population head / middle / tail
+   * slices — the partition CCNet ships and LLaMA-lineage pipelines train
+   * from (head+middle kept, tail dropped or down-weighted). The LM is
+   * [[bigramLogProb]]'s stupid-backoff model (optionally trained on a
+   * separate trusted `model` corpus, as CCNet trains on Wikipedia);
+   * higher avg log-prob = lower perplexity = bucket 1.
+   *
+   * Zero-token documents have no LM score and are absent from the output
+   * (CCNet equally scores only non-empty paragraphs).
+   *
+   * Scale shape: the scoring joins are [[bigramLogProb]]'s; the cut adds
+   * ONE Exchange on the group key + a per-group sort (exact ntile).
+   * `approx = true` swaps the sort for per-group percentile sketches —
+   * the monolingual-web-crawl path where one group is most of the data.
+   */
+  def ccnetBuckets(docs: DataFrame, textCol: String, idCol: String,
+      groupCol: String, buckets: Int = 3, model: DataFrame = null,
+      alpha: Double = 0.4, approx: Boolean = false): DataFrame = {
+    val scored = docs.select(col(idCol), col(groupCol))
+      .join(bigramLogProb(docs, textCol, idCol, model, alpha), Seq(idCol))
+    val cut =
+      if (approx) bucketByScoreApprox(scored, groupCol, "avg_logp", buckets)
+      else bucketByScore(scored, groupCol, "avg_logp", idCol, buckets)
+    cut.select(col(idCol), col(groupCol), col("n_tokens"), col("avg_logp"),
+      col("bucket"), pplLabel(buckets).as("ppl_bucket"))
+  }
+
+  /**
    * DSIR importance weights (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling"): score every corpus
    * document by how much more likely its tokens are under a TARGET

@@ -1252,6 +1252,57 @@ class OpsSpec extends AnyFunSuite {
     assert(allBad.getAs[Long]("keep") == 0)
   }
 
+  test("bucketByScore exact and approx: closed-form terciles agree") {
+    import spark.implicits._
+    // two groups, 9 distinct scores each → exact terciles are forced
+    val scored = (for (g <- Seq("a", "b"); i <- 1 to 9)
+      yield (g, i.toLong, (if (g == "a") i else 10 - i).toDouble))
+      .toDF("grp", "id", "s")
+    val exact = TextMetrics.bucketByScore(scored, "grp", "s", "id", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("bucket"))
+      .toMap
+    // group a: scores 1..9 → ids 7,8,9 are head
+    assert(exact(("a", 9L)) == 1 && exact(("a", 6L)) == 2 && exact(("a", 1L)) == 3)
+    // group b: scores reversed → ids 1,2,3 are head
+    assert(exact(("b", 1L)) == 1 && exact(("b", 5L)) == 2 && exact(("b", 9L)) == 3)
+    // approx with exact-regime accuracy on 9 values reproduces the cuts
+    val approx = TextMetrics.bucketByScoreApprox(scored, "grp", "s", 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getAs[Long]("bucket"))
+      .toMap
+    assert(exact == approx)
+  }
+
+  test("ccnetBuckets: per-language terciles, head outscores tail") {
+    val out = TextMetrics.ccnetBuckets(docs, "text", "doc_id", "lang")
+    val rows = out.collect()
+    // zero-token docs aside, every doc is bucketed and labels match ids
+    assert(rows.forall { r =>
+      val b = r.getAs[Long]("bucket")
+      val l = r.getAs[String]("ppl_bucket")
+      (b == 1L) == (l == "head") && (b == 3L) == (l == "tail")
+    })
+    // within every language the min head score >= max tail score
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val head = rs.filter(_.getAs[Long]("bucket") == 1L)
+        .map(_.getAs[Double]("avg_logp"))
+      val tail = rs.filter(_.getAs[Long]("bucket") == 3L)
+        .map(_.getAs[Double]("avg_logp"))
+      assert(head.nonEmpty && tail.nonEmpty && head.min >= tail.max)
+      // equal-population cut: bucket sizes differ by at most 1
+      val sizes = rs.groupBy(_.getAs[Long]("bucket")).values.map(_.length)
+      assert(sizes.max - sizes.min <= 1)
+    }
+    // approx mode: same direction guarantee on the same corpus
+    val ap = TextMetrics.ccnetBuckets(docs, "text", "doc_id", "lang",
+      approx = true).collect()
+    ap.groupBy(_.getAs[String]("lang")).foreach { case (_, rs) =>
+      val byB = rs.groupBy(_.getAs[Long]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("avg_logp"))).toMap
+      for (b <- byB.keys; c <- byB.keys if b < c)
+        assert(byB(b).min >= byB(c).max)
+    }
+  }
+
   test("repetitionFull: every Table-A1 statistic against closed forms") {
     import spark.implicits._
     val d = Seq(
