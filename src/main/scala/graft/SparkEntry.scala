@@ -1873,6 +1873,21 @@ object SparkEntry {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_quality_model" -> ((s, dir) => {
+      // fastText-style learned quality score: train LR-over-hashed-TF on
+      // the even-doc_id half with weak labels (lang == 'en' stands in for
+      // "reference-like"), score the held-out odd half. Training floats
+      // are aggregation-order-dependent → rows-only gate; the spec
+      // asserts separation and held-out accuracy
+      val d = t(s, dir, "documents")
+      val weak = d.withColumn("lbl", (col("lang") === "en").cast("double"))
+      val m = graft.ops.QualityClassifier.train(
+        weak.filter(col("doc_id") % 2 === 0), "text", "lbl",
+        buckets = 1 << 16, maxIter = 20)
+      graft.ops.QualityClassifier.score(m,
+          d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "text_ccnet_buckets" -> ((s, dir) => {
       // CCNet head/middle/tail partition: per-language ntile over the
       // stupid-backoff LM score (model = the even-doc_id half, so all

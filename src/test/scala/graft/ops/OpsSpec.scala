@@ -1252,6 +1252,52 @@ class OpsSpec extends AnyFunSuite {
     assert(allBad.getAs[Long]("keep") == 0)
   }
 
+  test("QualityClassifier: separates held-out classes, prob orders them") {
+    import spark.implicits._
+    // deterministic synthetic corpora: "good" docs draw from an
+    // informative vocabulary, "bad" docs from boilerplate junk, with a
+    // shared filler word so the classes overlap lexically
+    val goodV = Vector("theory", "method", "result", "evidence", "study")
+    val badV = Vector("click", "buy", "cheap", "winner", "free")
+    def doc(i: Int, v: Vector[String]) =
+      (0 until 12).map(j => v((i * 7 + j * 3) % v.size)).mkString(" ") +
+        " filler filler"
+    val labeled = ((0 until 60).map(i => (i.toLong, doc(i, goodV), 1.0)) ++
+      (0 until 60).map(i => (i.toLong + 100, doc(i, badV), 0.0)))
+      .toDF("id", "text", "lbl")
+    val train = labeled.filter(col("id") % 2 === 0)
+    val test = labeled.filter(col("id") % 2 === 1)
+    val m = QualityClassifier.train(train, "text", "lbl",
+      buckets = 1 << 12, maxIter = 30)
+    val scored = QualityClassifier.score(m, test, "text", "id")
+      .join(test.select(col("id"), col("lbl")), "id").collect()
+    // held-out accuracy: hard labels match the weak labels
+    val acc = scored.count(r =>
+      r.getAs[Long]("quality_label").toDouble == r.getAs[Double]("lbl")) *
+      1.0 / scored.length
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+    // probability separation: every good doc outscores every bad doc
+    val gp = scored.filter(_.getAs[Double]("lbl") == 1.0)
+      .map(_.getAs[Double]("quality_prob"))
+    val bp = scored.filter(_.getAs[Double]("lbl") == 0.0)
+      .map(_.getAs[Double]("quality_prob"))
+    assert(gp.min > bp.max)
+
+    // real corpus: weak label = lang=='en'; train on evens, score odds —
+    // mean prob separates the held-out languages
+    val weak = docs.withColumn("lbl", (col("lang") === "en").cast("double"))
+    val m2 = QualityClassifier.train(weak.filter(col("doc_id") % 2 === 0),
+      "text", "lbl", buckets = 1 << 14, maxIter = 20)
+    val s2 = QualityClassifier.score(m2,
+        docs.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      .join(docs.select("doc_id", "lang"), "doc_id").collect()
+    val en = s2.filter(_.getAs[String]("lang") == "en")
+      .map(_.getAs[Double]("quality_prob"))
+    val other = s2.filter(_.getAs[String]("lang") != "en")
+      .map(_.getAs[Double]("quality_prob"))
+    assert(en.sum / en.length > other.sum / other.length)
+  }
+
   test("bucketByScore exact and approx: closed-form terciles agree") {
     import spark.implicits._
     // two groups, 9 distinct scores each → exact terciles are forced
