@@ -514,6 +514,47 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the trigram language model: the identical 6dp
+   * log-probability profiles ([[TextMetrics.langIdModelRows]]) as a
+   * VALUES table, the identical held-out-sentence spike, and the same
+   * round-before-rank rule so float noise cannot flip the argmax. */
+  private def langIdModelOracle: String = {
+    val model = TextMetrics.langIdModelRows
+      .map { case (l, tri, p) => s"('$l','${tri.replace("'", "''")}',$p)" }
+      .mkString(",\n    ")
+    val floors = TextMetrics.langIdFloorRows
+      .map { case (l, f) => s"('$l',$f)" }.mkString(", ")
+    val cases = TextMetrics.langIdHeldOut
+      .map { case (l, sent) => s"WHEN lang = '$l' THEN '$sent'" }
+      .mkString("\n       ")
+    s"""WITH model(lang, tri, logp) AS (VALUES
+       |    $model),
+       |floors(lang, flr) AS (VALUES $floors),
+       |sp AS (SELECT doc_id,
+       |  CASE $cases ELSE '' END AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(t), '[^a-z]+', ' ', 'g')) AS s
+       |  FROM sp),
+       |tr AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(len(s) - 2, 0) + 1),
+       |      i -> substring(s, i, 3)) AS tris
+       |  FROM b WHERE len(s) >= 3),
+       |dn AS (SELECT doc_id, len(tris)::BIGINT AS n_tri FROM tr),
+       |dt AS (SELECT doc_id, unnest(tris) AS tri FROM tr),
+       |mt AS (SELECT doc_id, lang, count(*)::BIGINT AS m, sum(logp) AS slp
+       |  FROM dt JOIN model USING (tri) GROUP BY 1, 2),
+       |al AS (SELECT dn.doc_id, f.lang, dn.n_tri,
+       |    round((coalesce(mt.slp, 0) +
+       |      (dn.n_tri - coalesce(mt.m, 0)) * f.flr) / dn.n_tri, 4) AS score
+       |  FROM dn CROSS JOIN floors f
+       |  LEFT JOIN mt ON mt.doc_id = dn.doc_id AND mt.lang = f.lang),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, lang) AS rn FROM al)
+       |SELECT doc_id, lang AS pred_lang, n_tri, score
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replay of the C4 rule set: the same spiked lines, the same
    * shared line predicates ([[TextMetrics.c4PunctLine]]/[[TextMetrics.c4BadLine]]
    * — LIKE and instr are dialect-common), list_filter for filter, and
@@ -1873,6 +1914,20 @@ object SparkEntry {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_langid_model" -> ((s, dir) => {
+      // trigram-model langid gate: each doc's text becomes the HELD-OUT
+      // sentence for its lang column (disjoint from the training seeds),
+      // so green requires cross-sentence generalization — the scorer
+      // never sees the lang column itself
+      val d = t(s, dir, "documents").select("doc_id", "lang")
+      val textExpr = TextMetrics.langIdHeldOut
+        .foldLeft(when(lit(false), lit("")): Column) {
+          case (acc, (l, sent)) => acc.when(col("lang") === l, lit(sent))
+        }.otherwise(lit(""))
+      TextMetrics.langIdModel(
+          d.select(col("doc_id"), textExpr.as("text")), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "text_quality_model" -> ((s, dir) => {
       // fastText-style learned quality score: train LR-over-hashed-TF on
       // the even-doc_id half with weak labels (lang == 'en' stands in for
@@ -2174,6 +2229,7 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey < 500
         |ORDER BY o_orderkey""".stripMargin,
     "text_c4_rules" -> c4Oracle,
+    "text_langid_model" -> langIdModelOracle,
     "text_gopher" -> gopherOracle,
     "dedup_spans" ->
       """WITH corpus AS (

@@ -843,6 +843,133 @@ object TextMetrics {
       .drop("cuts")
   }
 
+  /** Per-language seed corpora for the trigram language model — original
+   * sentences written for this library (ASCII-only so the letters-only
+   * normalization is dialect-safe; `zh` is romanized pinyin, which is the
+   * documented envelope of a Latin-alphabet trigram model). */
+  private[graft] val langIdSeeds: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog and runs through " +
+      "the green fields while children watch from the old wooden bridge " +
+      "near the river that flows quietly toward the sea every morning"),
+    "es" -> ("el rapido zorro marron salta sobre el perro perezoso y corre " +
+      "por los campos verdes mientras los ninos miran desde el viejo " +
+      "puente de madera cerca del rio que fluye hacia el mar cada manana"),
+    "de" -> ("der schnelle braune fuchs springt uber den faulen hund und " +
+      "lauft durch die grunen felder wahrend die kinder von der alten " +
+      "holzbrucke am fluss zusehen der jeden morgen leise zum meer fliesst"),
+    "fr" -> ("le renard brun rapide saute par dessus le chien paresseux et " +
+      "court dans les champs verts pendant que les enfants regardent " +
+      "depuis le vieux pont en bois pres de la riviere qui coule vers la " +
+      "mer chaque matin"),
+    "it" -> ("la volpe marrone veloce salta sopra il cane pigro e corre nei " +
+      "campi verdi mentre i bambini guardano dal vecchio ponte di legno " +
+      "vicino al fiume che scorre verso il mare ogni mattina"),
+    "zh" -> ("kuai su de zong se hu li tiao guo lan duo de gou bing chuan " +
+      "guo lu se de tian ye hai zi men zai he bian de mu qiao shang guan " +
+      "kan he shui mei tian zao chen jing jing de liu xiang da hai"))
+
+  /** Held-out sentences per language (same authorship, disjoint from the
+   * seeds) — the gate and specs classify THESE, so green means the model
+   * generalizes past its training text. */
+  private[graft] val langIdHeldOut: Seq[(String, String)] = Seq(
+    "en" -> ("a small boy carries fresh bread home while his mother waits " +
+      "beside the garden gate in the warm evening light"),
+    "es" -> ("un nino pequeno lleva pan fresco a casa mientras su madre " +
+      "espera junto a la puerta del jardin en la calida luz de la tarde"),
+    "de" -> ("ein kleiner junge tragt frisches brot nach hause wahrend " +
+      "seine mutter am gartentor im warmen abendlicht wartet"),
+    "fr" -> ("un petit garcon porte du pain frais a la maison pendant que " +
+      "sa mere attend pres de la porte du jardin dans la douce lumiere " +
+      "du soir"),
+    "it" -> ("un bambino piccolo porta pane fresco a casa mentre sua madre " +
+      "aspetta accanto al cancello del giardino nella calda luce della " +
+      "sera"),
+    "zh" -> ("yi ge xiao nan hai ba xin xian de mian bao dai hui jia ma ma " +
+      "zai hua yuan men kou deng zhe ta wan shang de yang guang hen wen " +
+      "nuan"))
+
+  private def charTrigrams(text: String): Seq[String] = {
+    val s = text.toLowerCase.replaceAll("[^a-z]+", " ").trim
+    if (s.length < 3) Seq.empty
+    else (0 to s.length - 3).map(i => s.substring(i, i + 3))
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Add-1-smoothed trigram log-probabilities per language, 6dp-rounded
+   * so the engine literals and the oracle VALUES table are bit-identical.
+   * V is the union trigram vocabulary across all seeds. */
+  private[graft] lazy val (langIdModelRows, langIdFloorRows):
+      (Seq[(String, String, Double)], Seq[(String, Double)]) = {
+    val counts = langIdSeeds.map { case (l, s) =>
+      l -> charTrigrams(s).groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val v = counts.flatMap(_._2.keys).distinct.size
+    val rows = counts.flatMap { case (l, c) =>
+      val t = c.values.sum
+      c.toSeq.sortBy(_._1).map { case (tri, n) =>
+        (l, tri, r6(math.log((n + 1.0) / (t + v)))) }
+    }
+    val floors = counts.map { case (l, c) =>
+      (l, r6(math.log(1.0 / (c.values.sum + v)))) }
+    (rows, floors)
+  }
+
+  /**
+   * Model-based language identification: a character-trigram naive-Bayes
+   * scorer in the Cavnar–Trenkle / langdetect lineage — per language, an
+   * embedded add-1-smoothed trigram log-probability profile (built from
+   * [[langIdSeeds]] at class load; a production deployment swaps in
+   * profiles trained on real per-language corpora through the same
+   * shape); per document, the mean trigram log-likelihood under each
+   * profile with a per-language OOV floor, argmax wins, ties break to the
+   * lexicographically first language. This is the learned upgrade of the
+   * marker-word [[langId]] heuristic: it scores EVERY trigram, so it
+   * generalizes to text sharing no whole word with the seeds.
+   *
+   * Documents whose normalized text has fewer than 3 letters have no
+   * trigrams and are absent from the output.
+   *
+   * Scale shape: the model is an embedded literal relation (provably
+   * tiny → broadcast hints are safe), trigram extraction is a per-row
+   * lambda, the per-(doc, lang) aggregation is map-side combined, and
+   * the argmax is one window over the doc key. Scores are rounded to 4dp
+   * BEFORE ranking so aggregation-order float noise cannot flip the
+   * argmax between engines or partitionings.
+   */
+  def langIdModel(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sess = docs.sparkSession
+    import sess.implicits._
+    val model = langIdModelRows.toDF("lang", "tri", "logp")
+    val floors = langIdFloorRows.toDF("lang", "floor")
+    val base = docs
+      .select(col(idCol),
+        trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")).as("s"))
+      .select(col(idCol), expr(
+        """CASE WHEN length(s) >= 3
+          | THEN transform(sequence(1, length(s) - 2),
+          |   i -> substring(s, i, 3))
+          | ELSE array() END""".stripMargin).as("tris"))
+      .where(size(col("tris")) > 0)
+    val docN = base.select(col(idCol), size(col("tris")).cast("long").as("n_tri"))
+    val matched = base.select(col(idCol), explode(col("tris")).as("tri"))
+      .join(broadcast(model), "tri")
+      .groupBy(col(idCol), col("lang"))
+      .agg(count(lit(1)).cast("long").as("m"), sum(col("logp")).as("slp"))
+    val all = docN.crossJoin(broadcast(floors))
+      .join(matched, Seq(idCol, "lang"), "left")
+      .select(col(idCol), col("lang"), col("n_tri"),
+        round((coalesce(col("slp"), lit(0.0)) +
+          (col("n_tri") - coalesce(col("m"), lit(0L))) * col("floor"))
+          / col("n_tri"), 4).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score").desc, col("lang").asc)
+    all.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col("lang").as("pred_lang"), col("n_tri"),
+        col("score"))
+  }
+
   private def pplLabel(buckets: Int): Column =
     when(col("bucket") === 1, lit("head"))
       .when(col("bucket") === buckets, lit("tail"))

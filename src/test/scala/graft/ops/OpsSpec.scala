@@ -1252,6 +1252,40 @@ class OpsSpec extends AnyFunSuite {
     assert(allBad.getAs[Long]("keep") == 0)
   }
 
+  test("langIdModel: held-out sentences classified, edge cases total") {
+    import spark.implicits._
+    // every held-out sentence (disjoint from the seeds) detects its
+    // language — the generalization property the gate relies on
+    val held = TextMetrics.langIdHeldOut.zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, l, s) }
+      .toDF("id", "true_lang", "text")
+    val out = TextMetrics.langIdModel(held, "text", "id")
+      .join(held.select("id", "true_lang"), "id").collect()
+    assert(out.length == TextMetrics.langIdHeldOut.size)
+    out.foreach(r => assert(
+      r.getAs[String]("pred_lang") == r.getAs[String]("true_lang"),
+      s"${r.getAs[String]("true_lang")} misread as ${r.getAs[String]("pred_lang")}"))
+    // the seeds themselves are a fortiori correct
+    val seeds = TextMetrics.langIdSeeds.zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, l, s) }.toDF("id", "true_lang", "text")
+    TextMetrics.langIdModel(seeds, "text", "id")
+      .join(seeds.select("id", "true_lang"), "id").collect()
+      .foreach(r => assert(
+        r.getAs[String]("pred_lang") == r.getAs[String]("true_lang")))
+    // < 3 letters → no trigrams → absent; OOV junk → floor-only scores,
+    // tie broken to the lexicographically first language, no crash
+    val edge = Seq((1L, "ab"), (2L, "zzz qqq xxx"), (3L, "")).toDF("id", "text")
+    val e = TextMetrics.langIdModel(edge, "text", "id").collect()
+    assert(e.map(_.getAs[Long]("id")).toSet == Set(2L))
+    // repartition invariance: round-before-rank pins the argmax
+    val big = held.repartition(7)
+    val a = TextMetrics.langIdModel(big, "text", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("pred_lang")).toMap
+    val b = TextMetrics.langIdModel(held.coalesce(1), "text", "id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("pred_lang")).toMap
+    assert(a == b)
+  }
+
   test("QualityClassifier: separates held-out classes, prob orders them") {
     import spark.implicits._
     // deterministic synthetic corpora: "good" docs draw from an
