@@ -931,18 +931,27 @@ object TextMetrics {
    * Documents whose normalized text has fewer than 3 letters have no
    * trigrams and are absent from the output.
    *
-   * Scale shape: the model is an embedded literal relation (provably
-   * tiny → broadcast hints are safe), trigram extraction is a per-row
-   * lambda, the per-(doc, lang) aggregation is map-side combined, and
-   * the argmax is one window over the doc key. Scores are rounded to 4dp
-   * BEFORE ranking so aggregation-order float noise cannot flip the
-   * argmax between engines or partitionings.
+   * Scale shape: the profiles join as ONE wide literal relation — a
+   * (trigram → per-language logp vector) matrix completed with each
+   * language's floor, so a single broadcast LEFT join annotates every
+   * trigram occurrence and a single map-side-combined per-document
+   * aggregation produces all language scores at once (OOV trigrams fall
+   * to the floors via coalesce). The argmax is a literal column fold —
+   * no window, no per-language join, ONE Exchange total (the document
+   * aggregation). Scores are rounded to 4dp BEFORE the argmax so
+   * aggregation-order float noise cannot flip it between engines or
+   * partitionings; ties break to the lexicographically first language.
    */
   def langIdModel(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sess = docs.sparkSession
     import sess.implicits._
-    val model = langIdModelRows.toDF("lang", "tri", "logp")
-    val floors = langIdFloorRows.toDF("lang", "floor")
+    val langs = langIdFloorRows.map(_._1).sorted
+    val floorOf = langIdFloorRows.toMap
+    val byLang = langIdModelRows.groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val wide = langIdModelRows.map(_._2).distinct.sorted
+      .map(tri => (tri, langs.map(l => byLang(l).getOrElse(tri, floorOf(l)))))
+      .toDF("tri", "lps")
     val base = docs
       .select(col(idCol),
         trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")).as("s"))
@@ -952,22 +961,22 @@ object TextMetrics {
           |   i -> substring(s, i, 3))
           | ELSE array() END""".stripMargin).as("tris"))
       .where(size(col("tris")) > 0)
-    val docN = base.select(col(idCol), size(col("tris")).cast("long").as("n_tri"))
-    val matched = base.select(col(idCol), explode(col("tris")).as("tri"))
-      .join(broadcast(model), "tri")
-      .groupBy(col(idCol), col("lang"))
-      .agg(count(lit(1)).cast("long").as("m"), sum(col("logp")).as("slp"))
-    val all = docN.crossJoin(broadcast(floors))
-      .join(matched, Seq(idCol, "lang"), "left")
-      .select(col(idCol), col("lang"), col("n_tri"),
-        round((coalesce(col("slp"), lit(0.0)) +
-          (col("n_tri") - coalesce(col("m"), lit(0L))) * col("floor"))
-          / col("n_tri"), 4).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("score").desc, col("lang").asc)
-    all.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col(idCol), col("lang").as("pred_lang"), col("n_tri"),
-        col("score"))
+    val agg = base.select(col(idCol), explode(col("tris")).as("tri"))
+      .join(broadcast(wide), Seq("tri"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_tri"),
+        langs.zipWithIndex.map { case (l, i) =>
+          sum(coalesce(element_at(col("lps"), i + 1), lit(floorOf(l))))
+            .as(s"s_$l") }: _*)
+    val scored = agg.select(col(idCol) +: col("n_tri") +:
+      langs.map(l => round(col(s"s_$l") / col("n_tri"), 4).as(s"s_$l")): _*)
+    val best = greatest(langs.map(l => col(s"s_$l")): _*)
+    val pred = langs.tail.foldLeft(
+        when(col(s"s_${langs.head}") === best, lit(langs.head))) {
+      case (acc, l) => acc.when(col(s"s_$l") === best, lit(l))
+    }
+    scored.select(col(idCol), pred.as("pred_lang"), col("n_tri"),
+      best.as("score"))
   }
 
   private def pplLabel(buckets: Int): Column =

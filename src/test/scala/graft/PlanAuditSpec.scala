@@ -318,6 +318,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"semantic pair join planned as a product:\n$p")
   }
 
+  test("c4Rules: line-rule family stays a zero-Exchange codegen'd scan") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.c4Rules(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"C4 rules must not shuffle:\n$p")
+    assert(p.contains("*(1)"), s"C4 rules fell out of codegen:\n$p")
+  }
+
+  test("langIdModel: one broadcast join, one aggregation, no window") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.langIdModel(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // the wide profile matrix is a tiny literal → broadcast left join;
+    // all language scores come out of ONE map-side-combined per-doc
+    // aggregation; the argmax is a column fold, never a window
+    assert(!p.contains("SortMergeJoin"),
+      s"profile join degenerated to a shuffle join:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a broadcast join against the literal profile matrix:\n$p")
+    assert(!p.contains("Window"), s"argmax must be a column fold:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"expected exactly 1 shuffle (the doc aggregation), found $shuffles:\n$p")
+  }
+
+  test("ccnetBuckets approx: sketch cut adds no per-group sort") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val exact = graft.ops.TextMetrics.ccnetBuckets(docs, "text", "doc_id",
+      "lang").queryExecution.executedPlan.toString
+    // exact ntile NEEDS the per-group sort — assert it is there and that
+    // the window partitions by the group, not SinglePartition
+    assert(exact.contains("Window"), s"exact cut lost its window:\n$exact")
+    // the ntile window must partition by the group key — a funnel would
+    // show windowspecdefinition with no partition columns. (The LM's
+    // 1-row corpus-total aggregate legitimately uses SinglePartition, so
+    // assert on the window's partitioning, not the whole plan.)
+    assert(exact.contains("hashpartitioning(lang"),
+      s"exact cut must partition by group, not funnel:\n$exact")
+    val approx = graft.ops.TextMetrics.ccnetBuckets(docs, "text", "doc_id",
+      "lang", approx = true).queryExecution.executedPlan.toString
+    assert(!approx.contains("Window"),
+      s"approx cut must not use a window:\n$approx")
+    assert(approx.contains("approx_percentile") ||
+      approx.contains("percentile_approx"),
+      s"approx cut must use the percentile sketch:\n$approx")
+  }
+
   test("clusterByZ: range partitioning on the Morton key, no global sort") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet")
