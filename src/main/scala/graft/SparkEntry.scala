@@ -1523,6 +1523,16 @@ object SparkEntry {
       // ratio to the mean key load (the salting decision input); totals
       // enter as a 1-row aggregate subtree, top-k is a TakeOrdered
       graft.ops.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", 10)),
+    "q_group_topk" -> ((s, dir) =>
+      // best-n-per-key: top-3 orders per priority by total price, the
+      // order key as the unique tiebreak; the rank filter plans as
+      // WindowGroupLimit with a partial (pre-shuffle) prune — audited
+      graft.ops.Profile.topKPerGroup(
+          t(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_orderpriority", "rk")),
     "text_top_terms" -> ((s, dir) => {
       // corpus heavy hitters: exact top-25 tokens by frequency, rank ties
       // broken by the token — groupBy + TakeOrdered, no global sort (the
@@ -2346,6 +2356,13 @@ object SparkEntry {
         |  round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
         |FROM lineitem
         |ORDER BY "column"""".stripMargin,
+    "q_group_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+        |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
     "q_key_skew" ->
       """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
         |  FROM lineitem GROUP BY 1),

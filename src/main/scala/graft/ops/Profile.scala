@@ -119,6 +119,31 @@ object Profile {
   }
 
   /**
+   * Top-k rows PER GROUP (the "best n per key" staple: top orders per
+   * segment, top documents per domain, top chunks per query): row_number
+   * over a (group, ordering) window, kept while rank <= k. The ordering
+   * exprs must totally order rows within a group (include a unique
+   * tiebreak) for a deterministic result.
+   *
+   * Scale shape: Spark's optimizer rewrites the rank-filter into
+   * WindowGroupLimit with a PARTIAL pass — every map task prunes to at
+   * most k rows per group BEFORE the shuffle (plan-audited), so the
+   * exchange moves O(groups·k) rows, not the input. That is what makes
+   * this safe on a 100 TB fact table: the full table is never sorted,
+   * and no group's whole history crosses the wire.
+   */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String],
+      ordering: Seq[org.apache.spark.sql.Column], k: Int): DataFrame = {
+    require(groupCols.nonEmpty, "topKPerGroup needs at least one group column")
+    require(ordering.nonEmpty, "topKPerGroup needs an ordering")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*).orderBy(ordering: _*)
+    df.withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+  }
+
+  /**
    * Sketch path for heavy hitters: a Count-Min Sketch over the column,
    * returning the CMS frequency ESTIMATE for each requested candidate
    * value. The sketch is a fixed-size (depth x width) counter grid built

@@ -366,6 +366,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"approx cut must use the percentile sketch:\n$approx")
   }
 
+  test("topKPerGroup: partial WindowGroupLimit prunes before the shuffle") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    val p = graft.ops.Profile.topKPerGroup(orders, Seq("o_orderpriority"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+      .queryExecution.executedPlan.toString
+    // the rank filter must rewrite to WindowGroupLimit, and the Partial
+    // instance must sit below the Exchange: map tasks ship at most k rows
+    // per group, never the whole table
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not rewrite to WindowGroupLimit:\n$p")
+    assert(p.contains("Partial"),
+      s"no partial (pre-shuffle) group-limit prune:\n$p")
+    assert(!p.contains("global=true"), s"global sort in top-k plan:\n$p")
+  }
+
   test("clusterByZ: range partitioning on the Morton key, no global sort") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet")

@@ -1252,6 +1252,22 @@ class OpsSpec extends AnyFunSuite {
     assert(allBad.getAs[Long]("keep") == 0)
   }
 
+  test("topKPerGroup: closed-form ranks, ties broken by the tiebreak col") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0),
+      ("a", 4L, 20.0), ("b", 5L, 5.0)).toDF("g", "id", "v")
+    val out = Profile.topKPerGroup(df, Seq("g"),
+        Seq(col("v").desc, col("id").asc), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("rk")))
+      .toSet
+    // tie at v=30 breaks to the lower id; k=2 cuts id=4; group b keeps
+    // its single row
+    assert(out == Set(("a", 2L, 1L), ("a", 3L, 2L), ("b", 5L, 1L)))
+    val e = intercept[IllegalArgumentException] {
+      Profile.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 0) }
+    assert(e.getMessage.contains("k must be >= 1"))
+  }
+
   test("langIdModel: held-out sentences classified, edge cases total") {
     import spark.implicits._
     // every held-out sentence (disjoint from the seeds) detects its

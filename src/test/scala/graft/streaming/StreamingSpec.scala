@@ -155,6 +155,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(sD == exact)
   }
 
+  test("streaming quality scoring: learned scorer maps a stream == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // QualityClassifier.score is a stateless narrow map (broadcast model,
+    // no aggregation), so the SAME trained model scores an append-mode
+    // stream with per-row results identical to the batch path
+    val labeled = Seq(
+      (1L, "theory method result evidence study result method", 1.0),
+      (2L, "click buy cheap winner free cheap click", 0.0),
+      (3L, "method study evidence theory result study", 1.0),
+      (4L, "free winner buy click cheap buy", 0.0)).toDF("id", "text", "lbl")
+    val m = graft.ops.QualityClassifier.train(labeled, "text", "lbl",
+      buckets = 1 << 10, maxIter = 20)
+    val incoming = Seq((10L, "study result theory evidence"),
+      (11L, "cheap click free winner"), (12L, "method evidence study"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(incoming: _*)
+    val q = graft.ops.QualityClassifier.score(
+        m, mem.toDF().toDF("id", "text"), "text", "id")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("qscore_out").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("qscore_out").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val batch = graft.ops.QualityClassifier.score(
+        m, incoming.toDF("id", "text"), "text", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(streamed == batch)
+    // and the scores separate the classes on sight
+    val byId = streamed.map(t => t._1 -> t._2).toMap
+    assert(byId(10L) > byId(11L) && byId(12L) > byId(11L))
+  }
+
   test("streaming heavy hitters: Complete-mode top-k == batch over all rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
