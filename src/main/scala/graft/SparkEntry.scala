@@ -514,6 +514,34 @@ object SparkEntry {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of BPE-budget chunking: the same per-word merge fold
+   * as [[bpeOracle]], a window cumsum per document, the same
+   * `(cum - c) div budget` chunk rule, and ORDER-BY-pos list aggregation
+   * for byte-identical chunk texts. */
+  private def chunkBpeOracle: String = {
+    val perWord = TextMetrics.bpeMerges.foldLeft(
+      "concat(' ', rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ')") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+    s"""WITH b AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |  FROM documents),
+       |wd AS (SELECT doc_id, unnest(tok) AS w,
+       |  generate_subscripts(tok, 1) AS pos FROM b),
+       |c AS (SELECT doc_id, pos, w,
+       |  len(string_split($perWord, '  '))::BIGINT AS c FROM wd),
+       |s AS (SELECT doc_id, pos, w, c,
+       |  (sum(c) OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT AS cum
+       |  FROM c),
+       |a AS (SELECT doc_id, ((cum - c) // 64)::BIGINT AS chunk_id, pos, w, c
+       |  FROM s)
+       |SELECT doc_id, chunk_id,
+       |  array_to_string(list(w ORDER BY pos), ' ') AS chunk_text,
+       |  sum(c)::BIGINT AS n_bpe_tokens
+       |FROM a GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
   /** DuckDB replay of the trigram language model: the identical 6dp
    * log-probability profiles ([[TextMetrics.langIdModelRows]]) as a
    * VALUES table, the identical held-out-sentence spike, and the same
@@ -1924,6 +1952,13 @@ object SparkEntry {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_chunk_bpe" -> ((s, dir) =>
+      // BPE-budgeted context-window chunking: budget 64 gives several
+      // chunks per document at this doc length; words never split, the
+      // crossing word overflows its chunk (the packBins rule)
+      graft.ops.TextMetrics.chunkByBudget(
+          t(s, dir, "documents"), "text", "doc_id", budget = 64)
+        .orderBy("doc_id", "chunk_id")),
     "text_langid_model" -> ((s, dir) => {
       // trigram-model langid gate: each doc's text becomes the HELD-OUT
       // sentence for its lang column (disjoint from the training seeds),
@@ -2240,6 +2275,7 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin,
     "text_c4_rules" -> c4Oracle,
     "text_langid_model" -> langIdModelOracle,
+    "text_chunk_bpe" -> chunkBpeOracle,
     "text_gopher" -> gopherOracle,
     "dedup_spans" ->
       """WITH corpus AS (

@@ -584,6 +584,56 @@ object TextMetrics {
         col("cum_tokens") - col("n_tokens") - col("bin") * budget)
   }
 
+  /**
+   * Split documents into consecutive chunks of ~`budget` BPE tokens —
+   * context-window chunking by the REAL token cost ([[bpeTokenCount]]'s
+   * exact merge fold), not characters: the step between cleaning and
+   * [[packBins]] when the training loader needs every sequence under the
+   * model's context length. Words are never split; a word lands in chunk
+   * `floor(tokens_before / budget)` (the [[packBins]] rule at word
+   * granularity), so chunks fill to >= budget with overflow bounded by
+   * the crossing word's cost, and one pathological word longer than a
+   * whole budget skips chunk ids rather than splitting.
+   *
+   * Scale shape: per-word costs are per-row lambda built-ins; the
+   * cumulative fold is ONE document-keyed window, and the reassembly
+   * aggregation groups by the SAME key, so the whole operator costs
+   * exactly one Exchange (plan-audited). Reassembly sorts each
+   * document's collected (chunk, pos, word) structs and emits chunk
+   * texts via per-chunk array_join — O(chunks · words) per document,
+   * bounded by words²/budget.
+   */
+  def chunkByBudget(docs: DataFrame, textCol: String, idCol: String,
+      budget: Int,
+      merges: Seq[(String, String)] = bpeMerges): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget >= 1, s"token budget must be >= 1, got $budget")
+    val words = docs
+      .select(col(idCol),
+        posexplode(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')")))
+      .toDF(idCol, "pos", "w")
+      .withColumn("c", bpeWordCount(col("w"), merges).cast("long"))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    words
+      .withColumn("cum", sum(col("c")).over(win))
+      .withColumn("cid", expr(s"(cum - c) div $budget"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col("pos"), col("w"), col("c")))).as("a"))
+      .select(col(idCol), explode(expr(
+        """transform(array_distinct(transform(a, x -> x.cid)),
+          |  cid -> struct(
+          |    cid AS chunk_id,
+          |    array_join(transform(filter(a, x -> x.cid = cid),
+          |      x -> x.w), ' ') AS chunk_text,
+          |    aggregate(filter(a, x -> x.cid = cid), 0L,
+          |      (s, x) -> s + x.c) AS n_bpe_tokens))""".stripMargin))
+        .as("ch"))
+      .select(col(idCol), col("ch.chunk_id"), col("ch.chunk_text"),
+        col("ch.n_bpe_tokens"))
+  }
+
   /** Gopher-rule stopword list (Rae et al. 2021 §A1.1): a document should
    * contain at least two of these to count as running English prose.
    * Shared with the oracle-SQL generator so both engines probe the exact

@@ -366,6 +366,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"approx cut must use the percentile sketch:\n$approx")
   }
 
+  test("chunkByBudget: one Exchange — reassembly reuses the window's key") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.chunkByBudget(docs, "text", "doc_id", 64)
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"expected 1 shuffle (doc window; aggregation reuses it), got $shuffles:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"chunking must never funnel to one partition:\n$p")
+  }
+
   test("topKPerGroup: partial WindowGroupLimit prunes before the shuffle") {
     import org.apache.spark.sql.functions._
     val orders = spark.read.parquet(s"$dir/orders.parquet")

@@ -1252,6 +1252,47 @@ class OpsSpec extends AnyFunSuite {
     assert(allBad.getAs[Long]("keep") == 0)
   }
 
+  test("chunkByBudget: words never split, text survives, budget bounds hold") {
+    import spark.implicits._
+    // 'aa' is 1 BPE token under the embedded merges? compute via the op
+    // itself on single words to stay closed-form-free of the merge table
+    val d = docs.limit(50)
+    val out = TextMetrics.chunkByBudget(d, "text", "doc_id", budget = 16)
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    val orig = d.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val sorted = chunks.sortBy(_.getAs[Long]("chunk_id"))
+      // reassembling the chunks in order restores the tokenized document
+      val joined = sorted.map(_.getAs[String]("chunk_text")).mkString(" ")
+      assert(joined == orig(id).trim.split("\\s+").filter(_.nonEmpty)
+        .mkString(" "))
+      // every chunk except the last reaches the budget window: its
+      // n_bpe_tokens plus the NEXT chunk's first-word cost must exceed
+      // the budget boundary — equivalently, cumulative starts align with
+      // chunk_id * budget windows. Check the weaker invariant directly:
+      // no two consecutive chunks could merge and stay under budget
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("n_bpe_tokens") +
+            b.getAs[Long]("n_bpe_tokens") > 16,
+            s"chunks ${a.getAs[Long]("chunk_id")}/${b.getAs[Long]("chunk_id")}" +
+              s" of doc $id could merge under budget")
+        case _ =>
+      }
+      // chunk ids ascend
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        sorted.map(_.getAs[Long]("chunk_id")).sorted.toSeq)
+    }
+    // a single word longer than the budget still forms one chunk
+    val big = Seq((1L, "abcdefghijklmnop qq")).toDF("doc_id", "text")
+    val bo = TextMetrics.chunkByBudget(big, "text", "doc_id", budget = 2)
+      .collect().sortBy(_.getAs[Long]("chunk_id"))
+    assert(bo.map(_.getAs[String]("chunk_text")).toSeq ==
+      Seq("abcdefghijklmnop", "qq"))
+  }
+
   test("topKPerGroup: closed-form ranks, ties broken by the tiebreak col") {
     import spark.implicits._
     val df = Seq(("a", 1L, 10.0), ("a", 2L, 30.0), ("a", 3L, 30.0),
