@@ -12,7 +12,10 @@ import graft.ops.{Dedup, Sampling, TextMetrics}
  *   0. per-source corpus profile (the CCNet-style "which crawl sources
  *      are garbage" report) — consulted BEFORE choosing filter thresholds,
  *      then a broadcast domain-blocklist filter on extracted URLs
- *   1. quality + repetition + Gopher shape rules + unigram-LM floor
+ *   1. quality + repetition + Gopher shape rules + unigram-LM floor +
+ *      C4 page rules; then the CCNet head/middle/tail cut (tail dropped)
+ *      and model-based audits (trigram language-ID consistency, learned
+ *      quality probe)
  *   2. exact dedup (content hash, keep lowest id)
  *   3. near-dedup (minhash banding pairs -> connected-components cluster
  *      election, keeping each cluster's minimum id)
@@ -81,17 +84,48 @@ object CurationPipelineExample {
         col("bullet_line_frac") < 0.9 && col("ellipsis_line_frac") < 0.3)
     val lm = TextMetrics.unigramLogProb(allowed, "text", "doc_id")
       .filter(col("avg_logp") >= -12.0)
+    // C4 page rules (lorem-ipsum / code markers): the synthetic corpus is
+    // unpunctuated single-line text, so the line rules are a structural
+    // no-op here and a real rewrite on crawl data — the page flags still
+    // apply, and the audit fractions feed threshold tuning
+    val c4 = TextMetrics.c4Rules(allowed, "text", "doc_id")
+      .filter(col("has_lorem") === 0 && col("has_curly") === 0)
     val ruled = allowed
       .join(quality.select("doc_id"), "doc_id")
       .join(repetition.select("doc_id"), "doc_id")
       .join(gopher.select("doc_id"), "doc_id")
       .join(lm.select("doc_id"), "doc_id")
+      .join(c4.select("doc_id"), "doc_id")
     val n1 = ruled.count()
 
+    // 1.5. CCNet perplexity partition: per-language head/middle/tail over
+    // the bigram LM score; the TAIL third is dropped (the published CCNet
+    // policy). On a real crawl the model trains on a trusted reference
+    // corpus — here the corpus models itself
+    val ccnet = TextMetrics.ccnetBuckets(ruled, "text", "doc_id", "lang")
+      .filter(col("bucket") <= 2).select("doc_id")
+    val ruledCc = ruled.join(ccnet, "doc_id")
+    val n1b = ruledCc.count()
+
+    // 1.6. model-based audits (report, not filter, on this synthetic
+    // corpus): trigram language-ID disagreement with the lang metadata —
+    // a real pipeline re-tags or drops mismatches — and a learned quality
+    // probe trained on weak labels (lang=='en' stands in for
+    // "reference-like")
+    val langMismatch = TextMetrics.langIdModel(ruledCc, "text", "doc_id")
+      .join(ruledCc.select("doc_id", "lang"), "doc_id")
+      .filter(col("pred_lang") =!= col("lang")).count()
+    val qm = graft.ops.QualityClassifier.train(
+      ruledCc.withColumn("lbl", (col("lang") === "en").cast("double")),
+      "text", "lbl", buckets = 1 << 14, maxIter = 10)
+    val meanProb = graft.ops.QualityClassifier
+      .score(qm, ruledCc, "text", "doc_id")
+      .agg(avg("quality_prob")).collect()(0).getDouble(0)
+
     // 2. exact dedup: keep each content hash's lowest doc_id
-    val keep = Dedup.exact(ruled, "text", "doc_id")
+    val keep = Dedup.exact(ruledCc, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val exactDeduped = ruled.join(keep, "doc_id")
+    val exactDeduped = ruledCc.join(keep, "doc_id")
     val n2 = exactDeduped.count()
 
     // 3. near-dedup: minhash banding candidates. Two standard election
@@ -165,17 +199,22 @@ object CurationPipelineExample {
       .persist()
     val nChunks = TextMetrics.chunk(scrubbed, "text", "doc_id",
       size = 2048, stride = 2048).count()
+    // BPE-budgeted variant: context-window chunks cut by REAL token cost
+    val nBpeChunks = TextMetrics.chunkByBudget(
+      scrubbed, "text", "doc_id", budget = 512).count()
     val nBins = TextMetrics.packBins(
         scrubbed.withColumn("shard", col("doc_id") % 16), "text", "doc_id",
         budget = 4096, shardCol = "shard")
       .select("shard", "bin").distinct().count()
     scrubbed.unpersist(false)
 
-    println(f"[curate] input=$n0 ruled=$n1 exact=$n2 near=$n3 " +
+    println(f"[curate] input=$n0 ruled=$n1 ccnet_kept=$n1b " +
+      f"langid_mismatch=$langMismatch mean_quality_prob=$meanProb%.3f " +
+      f"exact=$n2 near=$n3 " +
       f"(drop-larger-id would keep $nDropLarger) decontam=$n4 " +
       f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups " +
       f"merged_component_ids=$mergedComponents chunks=$nChunks " +
-      f"packed_bins=$nBins")
+      f"bpe_chunks=$nBpeChunks packed_bins=$nBins")
     spark.stop()
   }
 }
