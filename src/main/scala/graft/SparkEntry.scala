@@ -2025,6 +2025,24 @@ object SparkEntry {
         .select(col("doc_id"), col("status"))
         .orderBy("doc_id")
     }),
+    "q_corpus_upsert" -> ((s, dir) => {
+      // the versioning roundtrip law as a gate: reconstruct the new
+      // snapshot from old + diff + changes through the engine's
+      // diff→apply path; the oracle computes the new snapshot DIRECTLY,
+      // so a hash match proves applyChanges(old, diff(old,new), new)==new
+      val d = t(s, dir, "documents")
+      val oldv = d.select(col("doc_id"), col("text"))
+      val newv = d.filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      val df = graft.ops.Snapshot.diff(oldv, newv, "doc_id", Seq("text"))
+      graft.ops.Snapshot.applyChanges(oldv, df, newv, "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_interval_point" -> ((s, dir) => {
       // point-in-interval join: signup events open a value-seconds service
       // window, purchases landing inside any window are matched. Bucketed
@@ -3164,6 +3182,15 @@ object SparkEntry {
         |  round(sum(lr), 4) + 0.0 AS dsir_logw
         |FROM tk JOIN r USING (b) GROUP BY tk.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_corpus_upsert" ->
+      """WITH newv AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 'new doc ' || doc_id::VARCHAR
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT doc_id, text FROM newv ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, text FROM documents),
         |newv AS (

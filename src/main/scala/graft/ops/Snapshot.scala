@@ -49,4 +49,28 @@ object Snapshot {
           .otherwise(lit("changed")).as("status"),
         col("old_hash"), col("new_hash"))
   }
+
+  /**
+   * Apply a [[diff]] to reconstruct the next snapshot — the other half of
+   * the versioning loop: `applyChanges(old, diff(old, new), new) == new`
+   * row-for-row (the roundtrip law, spec-asserted and oracle-gated).
+   * `changes` supplies the full rows for `added` + `changed` ids (in
+   * practice the new crawl — extra ids in it are ignored); `removed` ids
+   * simply don't survive. This is what an incremental pipeline SHIPS: the
+   * reprocessed added/changed rows merged over the untouched majority,
+   * without rewriting (or even rereading the content of) unchanged rows.
+   *
+   * Shape at scale: two key-partitioned semi-joins against the narrow
+   * (id, status) diff — the wide content columns of each side shuffle
+   * only within their own join, and the union is a no-shuffle
+   * concatenation. No window, no collect.
+   */
+  def applyChanges(oldDf: DataFrame, diffDf: DataFrame, changes: DataFrame,
+      idCol: String): DataFrame = {
+    val keep = diffDf.filter(col("status") === "unchanged").select(col(idCol))
+    val upsert = diffDf.filter(col("status") === "added" ||
+      col("status") === "changed").select(col(idCol))
+    oldDf.join(keep, Seq(idCol), "leftsemi")
+      .unionByName(changes.join(upsert, Seq(idCol), "leftsemi"))
+  }
 }

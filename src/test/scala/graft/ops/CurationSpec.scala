@@ -303,6 +303,35 @@ class CurationSpec extends AnyFunSuite {
       4L -> "added", 5L -> "changed"))
   }
 
+  test("Snapshot.applyChanges: the roundtrip law and changeset hygiene") {
+    import spark.implicits._
+    val oldv = Seq((1L, "a"), (2L, "b"), (3L, "c"), (5L, "e"))
+      .toDF("id", "t")
+    val newv = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "t")
+    val d = Snapshot.diff(oldv, newv, "id", Seq("t"))
+    // roundtrip: old + diff + new-rows reconstructs the new snapshot
+    val got = Snapshot.applyChanges(oldv, d, newv, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (4L, "d")))
+    // extra ids in the changeset (not in the diff) are ignored
+    val fat = newv.unionByName(Seq((99L, "zz")).toDF("id", "t"))
+    val got2 = Snapshot.applyChanges(oldv, d, fat, "id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got2 == got)
+    // property on the real corpus: diff→apply == new, row for row
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val mutated = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")).as("text"))
+    val rebuilt = Snapshot.applyChanges(docs,
+      Snapshot.diff(docs, mutated, "doc_id", Seq("text")), mutated, "doc_id")
+    assert(rebuilt.unionByName(mutated).distinct().count() ==
+      mutated.count() && rebuilt.count() == mutated.count())
+  }
+
   // ---------------------------------------------------------------- Linkage
 
   test("fuzzySelfJoin == unblocked brute force within blocks") {
