@@ -432,6 +432,21 @@ object SparkEntry {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** LATERAL correlated-derived-table text, shared verbatim (the
+   * q_sql_exists pattern): the per-row subquery-in-FROM surface — Spark
+   * plans the correlation as a decorrelated aggregate + join, DuckDB as a
+   * lateral loop, and both must produce the identical per-customer
+   * aggregates over the customer's own orders. The customer subset keeps
+   * the gate bounded at every SF. */
+  private val sqlLateralText: String =
+    """SELECT c.c_custkey, o.mx, o.n
+      |FROM customer c,
+      |LATERAL (SELECT max(o_totalprice) AS mx, count(*) AS n
+      |         FROM orders
+      |         WHERE o_custkey = c.c_custkey) o
+      |WHERE c.c_custkey <= 200
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** GROUPING SETS text shared verbatim with the DuckDB oracle (the
    * q_sql_exists pattern): the explicit-sets general form that cube/rollup
    * are shorthands for — one of the three sets is a partial set, so
@@ -1011,6 +1026,11 @@ object SparkEntry {
       t(s, dir, "orders").createOrReplaceTempView("orders")
       t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
       s.sql(sqlExistsText)
+    }),
+    "q_sql_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlLateralText)
     }),
     "q_window_nav" -> ((s, dir) => {
       // window navigation family: lag/lead over the deterministic per-
@@ -2857,6 +2877,7 @@ object SparkEntry {
         |SELECT 'except' AS op, l_partkey FROM e
         |ORDER BY op, l_partkey""".stripMargin,
     "q_sql_exists" -> sqlExistsText,
+    "q_sql_lateral" -> sqlLateralText,
     "q_grouping_sets" -> sqlGroupingSetsText,
     "q_setops_all" ->
       """SELECT 'intersect_all' AS op, l_partkey FROM (
