@@ -2045,6 +2045,15 @@ object SparkEntry {
         .select(col("doc_id"), col("status"))
         .orderBy("doc_id")
     }),
+    "q_weighted_sample" -> ((s, dir) =>
+      // Efraimidis-Spirakis weighted sampling: 20 docs per language,
+      // inclusion biased by document length (n_chars as the weight) —
+      // exact-size, hash-deterministic, replayed key-for-key by the
+      // oracle's identical ln(u)/w arithmetic
+      graft.ops.Sampling.weightedSample(
+          t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "doc_id", "n_chars", n = 20)
+        .orderBy("lang", "doc_id")),
     "q_corpus_upsert" -> ((s, dir) => {
       // the versioning roundtrip law as a gate: reconstruct the new
       // snapshot from old + diff + changes through the engine's
@@ -3203,6 +3212,18 @@ object SparkEntry {
         |  round(sum(lr), 4) + 0.0 AS dsir_logw
         |FROM tk JOIN r USING (b) GROUP BY tk.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH k AS (SELECT doc_id, lang, n_chars,
+        |  round(ln((CAST('0x' || substring(md5('42|' || doc_id::VARCHAR),
+        |      1, 12) AS BIGINT) + 1) / 281474976710657.0) / n_chars, 10)
+        |    AS wkey
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, lang, n_chars,
+        |  row_number() OVER (PARTITION BY lang ORDER BY wkey DESC, doc_id)
+        |    AS rk
+        |  FROM k)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rk <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
     "q_corpus_upsert" ->
       """WITH newv AS (
         |  SELECT doc_id,

@@ -128,6 +128,57 @@ object Sampling {
   }
 
   /**
+   * Weighted sampling WITHOUT replacement (Efraimidis & Spirakis 2006,
+   * the A-Res scheme): per stratum keep the `n` rows with the highest
+   * key u^(1/w) — equivalently ln(u)/w, the form both engines evaluate —
+   * where u is a uniform derived from md5(seed|id). Inclusion
+   * probability scales with the weight (a quality score, a length, an
+   * importance weight: the DSIR/CCNet selection step made exact-size and
+   * deterministic), and because u is a hash, not an RNG draw, the sample
+   * is reproducible across runs, partitionings, and engines, and stable
+   * under appends of other strata.
+   *
+   * Keys are rounded to 10dp BEFORE ranking (the pageRank determinism
+   * contract) so libm last-ulp differences between engines cannot flip a
+   * near-tie; exact ties then break by id. Rows with NULL or
+   * non-positive weight are excluded (the published scheme requires
+   * w > 0).
+   *
+   * Scale shape: the same two-stage skew-proof election as
+   * [[stratifiedExact]] — a hot stratum prunes per (stratum, input
+   * partition) before the global per-stratum rank.
+   */
+  def weightedSample(
+      df: DataFrame, stratumCol: String, idCol: String, weightCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val internal = Seq("_wkey", "_part", "_lr", "_sample_rank")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with weightedSample internals; rename them first")
+    // u = (v + 1) / (16^12 + 1) in (0, 1]: v is the first 12 md5 hex
+    // chars — exact in a double (< 2^53), identical arithmetic in DuckDB
+    val v = conv(substring(md5(concat(lit(s"$seed|"),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("double")
+    val key = round(log((v + 1.0d) / 281474976710657.0d)
+      / col(weightCol).cast("double"), 10)
+    val wLocal = Window.partitionBy(col(stratumCol), col("_part"))
+      .orderBy(col("_wkey").desc, col(idCol))
+    val pruned = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_wkey", key)
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= n)
+      .drop("_lr", "_part")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(col("_wkey").desc, col(idCol))
+    pruned.withColumn("_sample_rank", row_number().over(w))
+      .filter(col("_sample_rank") <= n)
+      .drop("_sample_rank", "_wkey")
+  }
+
+  /**
    * Deterministic training-order shuffle: assign every row a shard and a
    * position within it, both pure functions of (seed, id) — the global
    * read order (shard asc, shard_pos asc) is a reproducible pseudo-random

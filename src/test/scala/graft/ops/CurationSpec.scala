@@ -57,6 +57,39 @@ class CurationSpec extends AnyFunSuite {
 
   // ----------------------------------------------------------- assignShards
 
+  test("weightedSample: exact size, weight bias, determinism, w<=0 dies") {
+    import spark.implicits._
+    // two strata; in 'x' ids 0-9 carry weight 100, ids 10-99 weight 1 —
+    // the heavy rows must dominate a size-10 sample far beyond their
+    // 10% population share
+    val rows = (0 until 100).map(i =>
+      ("x", i.toLong, if (i < 10) 100.0 else 1.0)) ++
+      (0 until 30).map(i => ("y", 1000L + i, 1.0)) :+
+      (("y", 2000L, -5.0)) :+ (("y", 2001L, 0.0))
+    val df = rows.toDF("g", "id", "w")
+    val out = Sampling.weightedSample(df, "g", "id", "w", 10)
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // exact sizes per stratum
+    assert(got.count(_._1 == "x") == 10 && got.count(_._1 == "y") == 10)
+    // nonpositive weights never sampled
+    assert(!got.contains(("y", 2000L)) && !got.contains(("y", 2001L)))
+    // weight bias: most of the 10 'x' picks are heavy rows (uniform
+    // sampling would give 1 in expectation; ~90·0.045 ≈ 4 lucky light
+    // rows typically edge in under A-Res, and the draw is deterministic,
+    // so this is a fixed property of seed 42, not a flaky bound)
+    assert(got.count { case (g, id) => g == "x" && id < 10 } >= 5)
+    // partitioning invariance
+    val again = Sampling.weightedSample(df.repartition(13), "g", "id", "w", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(again == got)
+    // append stability: adding stratum 'z' never changes x/y picks
+    val more = df.unionByName(
+      (0 until 50).map(i => ("z", 3000L + i, 2.0)).toDF("g", "id", "w"))
+    val withZ = Sampling.weightedSample(more, "g", "id", "w", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(withZ.filter(_._1 != "z") == got)
+  }
+
   test("assignShards: deterministic permutation, contiguous positions, balance") {
     import spark.implicits._
     val df = (0 until 1000).map(i => i.toLong).toDF("id")
