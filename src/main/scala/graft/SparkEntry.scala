@@ -2103,6 +2103,16 @@ object SparkEntry {
           "a_s", "a_e", "b_s", "b_e", bucketWidth = 600L * 1000 * 1000)
         .select(col("a_id"), col("b_id"), col("overlap").as("overlap_us"))
         .orderBy("a_id", "b_id")
+    }),
+    "q_resample_fill" -> ((s, dir) => {
+      // time-series downsample to an hourly grid per user with gap rows
+      // materialized and forward-filled — the tick→bar construction; gaps
+      // dominate (sparse per-user activity over the corpus span)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.ops.Interval.resampleFill(ev, "user_id", "ts_us", "value",
+          widthMicros = 3600L * 1000 * 1000)
+        .orderBy("user_id", "bucket")
     })
   )
 
@@ -3269,6 +3279,23 @@ object SparkEntry {
         |  FROM events WHERE event_type = 'error')
         |SELECT a_id, b_id, least(a_e, b_e) - greatest(a_s, b_s) AS overlap_us
         |FROM a JOIN b ON a_s <= b_e AND b_s <= a_e
-        |ORDER BY a_id, b_id""".stripMargin
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_resample_fill" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS us, value
+        |  FROM events),
+        |a AS (SELECT user_id, us // 3600000000 AS bucket,
+        |    count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value
+        |  FROM e GROUP BY 1, 2),
+        |sp AS (SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+        |  FROM a GROUP BY 1),
+        |g AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS bucket FROM sp),
+        |j AS (SELECT g.user_id, g.bucket, coalesce(a.n, 0)::BIGINT AS n,
+        |    a.avg_value
+        |  FROM g LEFT JOIN a USING (user_id, bucket))
+        |SELECT user_id, bucket, n, avg_value,
+        |  last_value(avg_value IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM j ORDER BY user_id, bucket""".stripMargin
   )
 }

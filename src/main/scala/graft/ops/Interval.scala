@@ -75,6 +75,47 @@ object Interval {
    * keeps it only in the bucket containing max(ls, rs), the overlap's
    * start, which both sides necessarily cover.
    */
+  /**
+   * Time-series resample + gap fill: bucket events to fixed windows per
+   * key, materialize EVERY bucket in each key's [min, max] span (the
+   * calendar grid real downsampling needs — a missing bucket is data,
+   * not absence of a row), and forward-fill values across the gaps
+   * (`last IGNORE NULLS`, the standard tick→bar construction). Gap rows
+   * carry n = 0, avg_value NULL, filled_value = the latest preceding
+   * observation (NULL only before a key's first observation).
+   *
+   * Timestamps are epoch-MICROS longs (the engine-portable arithmetic
+   * the as-of and interval joins already use); `widthMicros` is the
+   * bucket width. Averages round to 4dp so the DuckDB oracle replays
+   * them exactly.
+   *
+   * Scale shape: one (key, bucket) aggregation, a per-key span
+   * aggregation whose grid explode is bounded by span/width rows per
+   * key, one keyed left join, one per-key window for the fill — every
+   * shuffle is keyed, nothing global. A key observed over a huge span at
+   * tiny width inflates ITS grid only (the documented envelope: pick
+   * width near the reporting granularity, as with bucketWidth above).
+   */
+  def resampleFill(df: DataFrame, keyCol: String, tsMicrosCol: String,
+      valueCol: String, widthMicros: Long): DataFrame = {
+    require(widthMicros > 0, s"widthMicros must be > 0, got $widthMicros")
+    import org.apache.spark.sql.expressions.Window
+    val actual = df
+      .select(col(keyCol),
+        expr(s"$tsMicrosCol div $widthMicros").as("bucket"), col(valueCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col(valueCol)), 4).as("avg_value"))
+    val grid = actual.groupBy(col(keyCol))
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col(keyCol), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(actual, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        coalesce(col("n"), lit(0L)).as("n"), col("avg_value"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("filled_value"))
+  }
+
   def overlapJoin(
       left: DataFrame, right: DataFrame,
       lStart: String, lEnd: String, rStart: String, rEnd: String,

@@ -80,6 +80,48 @@ class IntervalSpec extends AnyFunSuite {
     }
   }
 
+  test("resampleFill == brute force: full grid, gap rows, forward fill") {
+    import spark.implicits._
+    // two keys with very different spans + a single-observation key;
+    // values chosen so per-bucket averages are exact at 4dp
+    val rows = Seq(
+      (1L, 100L, 2.0), (1L, 150L, 4.0),     // bucket 1: avg 3.0
+      (1L, 520L, 7.5),                       // bucket 5, gap 2..4
+      (2L, 10L, 1.25), (2L, 910L, 9.0),     // buckets 0 and 9, gap 1..8
+      (3L, 333L, 5.0))                       // single bucket 3
+    val df = rows.toDF("k", "ts", "v")
+    val got = Interval.resampleFill(df, "k", "ts", "v", widthMicros = 100L)
+      .orderBy("k", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))
+    // brute force: bucket per key, complete [min,max] grid, running last
+    val byKey = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val want = byKey.flatMap { case (k, rs) =>
+      val byB = rs.groupBy(_._2 / 100L)
+      val (b0, b1) = (byB.keys.min, byB.keys.max)
+      var lastAvg: Option[Double] = None
+      (b0 to b1).map { b =>
+        val avg = byB.get(b).map(xs =>
+          BigDecimal(xs.map(_._3).sum / xs.size)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        if (avg.isDefined) lastAvg = avg
+        (k, b, byB.get(b).map(_.size.toLong).getOrElse(0L), avg, lastAvg)
+      }
+    }
+    assert(got.toSeq == want, "resampleFill diverged from brute force")
+    assert(got.count(_._3 == 0L) == 3 + 8, "expected exactly the gap rows")
+  }
+
+  test("resampleFill plan: keyed shuffles only, no global exchange") {
+    import spark.implicits._
+    val df = Seq((1L, 100L, 2.0)).toDF("k", "ts", "v")
+    val plan = Interval.resampleFill(df, "k", "ts", "v", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition") && !plan.contains("CartesianProduct"),
+      s"resampleFill planned a global or product stage:\n$plan")
+  }
+
   test("disjoint-name and width preconditions are enforced") {
     import spark.implicits._
     val a = Seq((1L, 2L, 3L)).toDF("id", "s", "e")
