@@ -2113,6 +2113,25 @@ object SparkEntry {
       graft.ops.Interval.resampleFill(ev, "user_id", "ts_us", "value",
           widthMicros = 3600L * 1000 * 1000)
         .orderBy("user_id", "bucket")
+    }),
+    "q_funnel" -> ((s, dir) => {
+      // view→click→purchase conversion within 24h of funnel entry, greedy
+      // earliest-entry matching; the oracle derives the same counts via
+      // the INDEPENDENT sequential-min formulation (cross-derivation)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.ops.Behavior.funnel(ev, "user_id", "ts_us", "event_type",
+          Seq("view", "click", "purchase"), windowMicros = 86400L * 1000 * 1000)
+        .orderBy("step")
+    }),
+    "q_cohort_retention" -> ((s, dir) => {
+      // weekly cohorts by first event, activity per week offset; absent
+      // (cohort, offset) rows mean zero active — not gap-filled
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.ops.Behavior.cohortRetention(ev, "user_id", "ts_us",
+          widthMicros = 7L * 86400 * 1000 * 1000)
+        .orderBy("cohort", "offset")
     })
   )
 
@@ -3296,6 +3315,37 @@ object SparkEntry {
         |  last_value(avg_value IGNORE NULLS) OVER (PARTITION BY user_id
         |    ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_value
-        |FROM j ORDER BY user_id, bucket""".stripMargin
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS ts,
+        |    event_type AS et FROM events),
+        |t1 AS (SELECT u, min(ts) AS t FROM e WHERE et = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.u, min(e.ts) AS t FROM e JOIN t1 ON e.u = t1.u
+        |  WHERE e.et = 'click' AND e.ts > t1.t
+        |    AND e.ts <= t1.t + 86400000000 GROUP BY 1),
+        |t3 AS (SELECT e.u, min(e.ts) AS t FROM e
+        |  JOIN t2 ON e.u = t2.u JOIN t1 ON e.u = t1.u
+        |  WHERE e.et = 'purchase' AND e.ts > t2.t
+        |    AND e.ts <= t1.t + 86400000000 GROUP BY 1),
+        |n AS (SELECT (SELECT count(*) FROM t1)::BIGINT AS n1,
+        |             (SELECT count(*) FROM t2)::BIGINT AS n2,
+        |             (SELECT count(*) FROM t3)::BIGINT AS n3)
+        |SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+        |  round(n1 / n1::DOUBLE, 4) AS conv_rate FROM n
+        |UNION ALL SELECT 2, 'click', n2, round(n2 / n1::DOUBLE, 4) FROM n
+        |UNION ALL SELECT 3, 'purchase', n3, round(n3 / n1::DOUBLE, 4) FROM n
+        |ORDER BY step""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts)::BIGINT // 604800000000 AS wk FROM events),
+        |f AS (SELECT u, min(wk) AS cohort FROM e GROUP BY 1),
+        |a AS (SELECT f.cohort, e.wk - f.cohort AS "offset",
+        |    count(*)::BIGINT AS n_active
+        |  FROM e JOIN f ON e.u = f.u GROUP BY 1, 2),
+        |s AS (SELECT cohort, count(*)::BIGINT AS n_cohort FROM f GROUP BY 1)
+        |SELECT a.cohort, a."offset", a.n_active,
+        |  round(a.n_active / s.n_cohort::DOUBLE, 4) AS retention
+        |FROM a JOIN s ON a.cohort = s.cohort
+        |ORDER BY a.cohort, a."offset"""".stripMargin
   )
 }

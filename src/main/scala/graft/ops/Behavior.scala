@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * User-behavior analytics: ordered-step funnel conversion and cohort
+ * retention — the two staple session/lifecycle reports every event
+ * warehouse runs, expressed as keyed aggregations Catalyst can shuffle
+ * like any other (no iterative per-step passes over the table).
+ *
+ * Both take epoch-MICROS long timestamps (the engine-portable arithmetic
+ * shared with AsOf/Interval) and produce exact, engine-independent
+ * numbers: counts are longs, rates round to 4dp.
+ */
+object Behavior {
+
+  private def esc(s: String) = s.replace("'", "''")
+
+  /**
+   * Per-user funnel step times under greedy earliest-entry matching (the
+   * semantics every funnel tool ships): the user's first `steps(0)` event
+   * opens the funnel; step j completes at the first `steps(j)` event
+   * STRICTLY after step j-1 and within `windowMicros` of the funnel
+   * entry. Output: one row per user who entered, `step_ts[j]` = step j's
+   * completion time or NULL.
+   *
+   * Shape: filter to step types (pushed to the scan), ONE user-keyed
+   * shuffle collecting each user's step events sorted by time, then a
+   * per-row linear `aggregate` fold over that array — k never multiplies
+   * passes over the table, unlike the textbook k-chained-min-join plan
+   * which shuffles k times. The fold is a native Catalyst higher-order
+   * function: no UDF, no driver state. Envelope: a user's STEP-TYPE
+   * events must fit one array (funnel steps are a filtered slice of
+   * activity; a bot with millions of step events inflates its own row
+   * only).
+   *
+   * Greedy-earliest equivalence to the sequential-min form (which the
+   * DuckDB oracle replays independently): step j's fold completion is
+   * exactly min(ts | type=steps(j), ts > t_{j-1}, ts <= t_0 + W), since
+   * the sorted scan meets candidates in time order and never revisits.
+   */
+  def funnelTimes(df: DataFrame, userCol: String, tsMicrosCol: String,
+      typeCol: String, steps: Seq[String], windowMicros: Long): DataFrame = {
+    require(steps.nonEmpty, "steps must be non-empty")
+    require(steps.distinct.size == steps.size, s"steps must be distinct: $steps")
+    require(windowMicros > 0, s"windowMicros must be > 0, got $windowMicros")
+    val k = steps.size
+    val evs = df.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("u"), col(tsMicrosCol).cast("long").as("ts"),
+        col(typeCol).as("et"))
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("ts"), col("et")))).as("evs"))
+    val init = s"array(${Seq.fill(k)("CAST(NULL AS BIGINT)").mkString(", ")})"
+    def accWith(j: Int) = (0 until k).map {
+      case i if i < j  => s"acc[$i]"
+      case i if i == j => "e.ts"
+      case _           => "CAST(NULL AS BIGINT)"
+    }.mkString("array(", ", ", ")")
+    val whens = (
+      s"WHEN acc[${k - 1}] IS NOT NULL THEN acc" +:
+      s"WHEN acc[0] IS NULL THEN IF(e.et = '${esc(steps(0))}', ${accWith(0)}, acc)" +:
+      (1 until k).map(j =>
+        s"WHEN acc[$j] IS NULL THEN IF(e.et = '${esc(steps(j))}' " +
+        s"AND e.ts > acc[${j - 1}] AND e.ts <= acc[0] + ${windowMicros}L, " +
+        s"${accWith(j)}, acc)")
+    ).mkString(" ")
+    evs.select(col("u").as(userCol),
+        expr(s"aggregate(evs, $init, (acc, e) -> CASE $whens ELSE acc END)")
+          .as("step_ts"))
+      .filter(col("step_ts")(0).isNotNull)
+  }
+
+  /**
+   * Funnel summary: one row per step with the users reaching it and the
+   * conversion rate from funnel entry (4dp). Built on [[funnelTimes]];
+   * the reduction past the per-user frame is one k-column count
+   * aggregate (a 1-row reduction, like the EBW moment pass) exploded to
+   * step rows.
+   */
+  def funnel(df: DataFrame, userCol: String, tsMicrosCol: String,
+      typeCol: String, steps: Seq[String], windowMicros: Long): DataFrame = {
+    val k = steps.size
+    val times = funnelTimes(df, userCol, tsMicrosCol, typeCol, steps, windowMicros)
+    val counts = times.agg(
+      count(col("step_ts")(0)).as("n0"),
+      (1 until k).map(j => count(col("step_ts")(j)).as(s"n$j")): _*)
+    counts.select(explode(array((0 until k).map(j =>
+        struct(lit(j + 1).as("step"), lit(steps(j)).as("event_type"),
+          col(s"n$j").as("n_users"),
+          round(col(s"n$j") / col("n0"), 4).as("conv_rate"))): _*)).as("r"))
+      .select("r.*")
+  }
+
+  /**
+   * Cohort retention: users cohorted by the fixed-width period of their
+   * first event; for each (cohort, period offset) the count of cohort
+   * members active in that period and the retention rate vs cohort size
+   * (4dp). The activity grid is NOT gap-filled — an absent (cohort,
+   * offset) row means zero members were active ([[Interval.resampleFill]]
+   * is the gap-materializing primitive when a dense grid is wanted).
+   *
+   * Shape: distinct (user, period) → first-period per user → one keyed
+   * join + two keyed aggregations; cohort sizes join back on the cohort
+   * key. Every shuffle is keyed on user or cohort, nothing global.
+   */
+  def cohortRetention(df: DataFrame, userCol: String, tsMicrosCol: String,
+      widthMicros: Long): DataFrame = {
+    require(widthMicros > 0, s"widthMicros must be > 0, got $widthMicros")
+    val e = df.select(col(userCol).as("u"),
+      expr(s"$tsMicrosCol div $widthMicros").as("wk")).distinct()
+    val first = e.groupBy("u").agg(min("wk").as("cohort"))
+    val act = e.join(first, "u")
+      .groupBy(col("cohort"), (col("wk") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = first.groupBy("cohort").agg(count(lit(1)).as("n_cohort"))
+    act.join(sizes, "cohort")
+      .select(col("cohort"), col("offset"), col("n_active"),
+        round(col("n_active") / col("n_cohort"), 4).as("retention"))
+  }
+}

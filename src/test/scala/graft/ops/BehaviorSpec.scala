@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Funnel + cohort retention: closed-form fixtures, the greedy-fold ==
+  * sequential-min equivalence the oracle's cross-derivation rests on, and
+  * plan shape. */
+class BehaviorSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("behavior-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val steps = Seq("A", "B", "C")
+
+  // hand-computed fixture: ordering, strictness, window boundary, non-entry
+  private val fixture = Seq(
+    (1L, 10L, "A"), (1L, 20L, "B"), (1L, 30L, "C"),          // full path
+    (2L, 10L, "A"), (2L, 15L, "C"), (2L, 20L, "B"), (2L, 25L, "C"), // C before B ignored
+    (3L, 5L, "B"), (3L, 10L, "A"), (3L, 10L, "B"), (3L, 50L, "C"), // B at ts==entry not strict
+    (4L, 10L, "A"), (4L, 120L, "B"),                          // B outside window
+    (5L, 10L, "B"), (5L, 20L, "C"),                           // never entered
+    (6L, 10L, "A"), (6L, 110L, "B"), (6L, 111L, "C"))         // boundary in, next out
+
+  test("funnelTimes: hand-computed step times incl. edges") {
+    import spark.implicits._
+    val df = fixture.toDF("u", "ts", "et")
+    val got = Behavior.funnelTimes(df, "u", "ts", "et", steps, windowMicros = 100L)
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map(Option(_)).toList))
+    val want = Seq(
+      (1L, List(Some(10L), Some(20L), Some(30L))),
+      (2L, List(Some(10L), Some(20L), Some(25L))),
+      (3L, List(Some(10L), None, None)),
+      (4L, List(Some(10L), None, None)),
+      (6L, List(Some(10L), Some(110L), None)))
+    assert(got.toSeq == want)
+  }
+
+  test("funnel summary: counts and 4dp conversion rates") {
+    import spark.implicits._
+    val df = fixture.toDF("u", "ts", "et")
+    val got = Behavior.funnel(df, "u", "ts", "et", steps, 100L)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1, "A", 5L, 1.0), (2, "B", 3L, 0.6), (3, "C", 2L, 0.4)))
+  }
+
+  test("greedy fold == sequential-min on pseudo-random event streams") {
+    import spark.implicits._
+    // deterministic streams over a 5-type alphabet, colliding timestamps
+    val types = Vector("A", "X", "B", "Y", "C")
+    val events = for {
+      u <- 0L until 40L
+      i <- 0 until 25
+      h = (u * 31 + i) * 2654435761L & 0x7fffffffL
+    } yield (u, h % 200L, types((h / 200L % 5L).toInt))
+    val W = 90L
+    val got = Behavior.funnelTimes(events.toDF("u", "ts", "et"),
+        "u", "ts", "et", steps, W)
+      .orderBy("u").collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1).map(Option(_).map(_.asInstanceOf[Long])).toList))
+    // independent sequential-min reference (the oracle's formulation)
+    val want = events.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (u, es) =>
+      val t0 = es.filter(_._3 == "A").map(_._2).minOption
+      t0.map { e0 =>
+        val t1 = es.filter(x => x._3 == "B" && x._2 > e0 && x._2 <= e0 + W)
+          .map(_._2).minOption
+        val t2 = t1.flatMap(p => es.filter(x =>
+          x._3 == "C" && x._2 > p && x._2 <= e0 + W).map(_._2).minOption)
+        (u, List(Some(e0), t1, t2))
+      }
+    }
+    assert(got.nonEmpty && got.toSeq == want)
+  }
+
+  test("cohortRetention: hand-computed weekly grid") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 5L), (1L, 25L),              // cohort 0, offsets 0 and 2
+      (2L, 12L),                        // cohort 1, offset 0
+      (3L, 3L), (3L, 13L), (3L, 23L))   // cohort 0, offsets 0,1,2
+      .toDF("u", "ts")
+    val got = Behavior.cohortRetention(df, "u", "ts", widthMicros = 10L)
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 2L, 1.0), (0L, 1L, 1L, 0.5), (0L, 2L, 2L, 1.0),
+      (1L, 0L, 1L, 1.0)))
+  }
+
+  test("plan shape: one user-keyed exchange for funnelTimes, no products") {
+    import spark.implicits._
+    val df = fixture.toDF("u", "ts", "et")
+    val fp = Behavior.funnelTimes(df, "u", "ts", "et", steps, 100L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(fp).size == 1,
+      s"funnelTimes should shuffle exactly once:\n$fp")
+    assert(!fp.contains("CartesianProduct") && !fp.contains("BroadcastNestedLoopJoin"))
+    val cp = Behavior.cohortRetention(df.select($"u", $"ts"), "u", "ts", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!cp.contains("SinglePartition") && !cp.contains("CartesianProduct"),
+      s"cohortRetention planned a global stage:\n$cp")
+  }
+
+  test("preconditions: empty/dup steps and nonpositive width rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "A")).toDF("u", "ts", "et")
+    intercept[IllegalArgumentException] {
+      Behavior.funnelTimes(df, "u", "ts", "et", Seq.empty, 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.funnelTimes(df, "u", "ts", "et", Seq("A", "A"), 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Behavior.cohortRetention(df, "u", "ts", 0L)
+    }
+  }
+}
