@@ -2132,6 +2132,33 @@ object SparkEntry {
       graft.ops.Behavior.cohortRetention(ev, "user_id", "ts_us",
           widthMicros = 7L * 86400 * 1000 * 1000)
         .orderBy("cohort", "offset")
+    }),
+    "q_cooccur" -> ((s, dir) => {
+      // brands bought together within an order: the association-mining
+      // support count; pair forms once by construction (item_a < item_b)
+      val bi = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      graft.ops.Profile.coOccurrence(bi, "l_orderkey", "p_brand",
+          minSupport = 40L)
+        .orderBy("item_a", "item_b")
+    }),
+    "q_assoc_rules" -> ((s, dir) => {
+      // directed brand rules with confidence and lift over the same
+      // baskets; N enters as a 1-row aggregate subtree, never an action
+      val bi = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      graft.ops.Profile.associationRules(bi, "l_orderkey", "p_brand",
+          minSupport = 40L)
+        .orderBy("antecedent", "consequent")
+    }),
+    "q_transitions" -> ((s, dir) => {
+      // per-user first-order event transition matrix, (ts, type) ordered
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      graft.ops.Profile.transitionMatrix(ev, "user_id", "ts_us", "event_type")
+        .orderBy("from_state", "to_state")
     })
   )
 
@@ -3346,6 +3373,53 @@ object SparkEntry {
         |SELECT a.cohort, a."offset", a.n_active,
         |  round(a.n_active / s.n_cohort::DOUBLE, 4) AS retention
         |FROM a JOIN s ON a.cohort = s.cohort
-        |ORDER BY a.cohort, a."offset"""".stripMargin
+        |ORDER BY a.cohort, a."offset"""".stripMargin,
+    "q_cooccur" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket,
+        |    p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  count(*)::BIGINT AS n_baskets
+        |FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 40
+        |ORDER BY 1, 2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket,
+        |    p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*)::BIGINT AS n_baskets
+        |  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 40),
+        |directed AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, n_baskets
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_baskets FROM pairs),
+        |items AS (SELECT item, count(*)::BIGINT AS n_item FROM bi GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT basket)::DOUBLE AS n_tot FROM bi)
+        |SELECT d.antecedent, d.consequent, d.n_baskets,
+        |  round(d.n_baskets / ia.n_item::DOUBLE, 4) AS confidence,
+        |  round(d.n_baskets * t.n_tot / (ia.n_item * ic.n_item), 4) AS lift
+        |FROM directed d
+        |JOIN items ia ON d.antecedent = ia.item
+        |JOIN items ic ON d.consequent = ic.item
+        |CROSS JOIN tot t
+        |ORDER BY d.antecedent, d.consequent""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS ts,
+        |    event_type AS from_state FROM events),
+        |seq AS (SELECT from_state,
+        |    lead(from_state) OVER (PARTITION BY u ORDER BY ts, from_state)
+        |      AS to_state
+        |  FROM e),
+        |pairs AS (SELECT from_state, to_state, count(*)::BIGINT AS n
+        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(n)::BIGINT AS n_from
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.from_state, p.to_state, p.n,
+        |  round(p.n / t.n_from::DOUBLE, 4) AS p
+        |FROM pairs p JOIN tot t ON p.from_state = t.from_state
+        |ORDER BY p.from_state, p.to_state""".stripMargin
   )
 }

@@ -144,6 +144,103 @@ object Profile {
   }
 
   /**
+   * Market-basket co-occurrence: for every unordered item pair, the
+   * number of baskets containing both, kept at `minSupport` — the
+   * support-counting pass of association mining, and the pair statistic
+   * behind "frequently bought/linked/cited together" reports.
+   *
+   * Shape: distinct (basket, item) — one keyed shuffle — then a
+   * basket-keyed self-join under an EXPLICIT repartition on the basket
+   * key (the Linkage kernel-parallelism lesson: both sides share the
+   * partitioning, so the join adds no exchange), `item_a < item_b` so
+   * each pair forms exactly once BY CONSTRUCTION (no distinct pass),
+   * then one pair-keyed count. Blowup per basket is C(width, 2) —
+   * quadratic in basket WIDTH, never corpus size; pathologically wide
+   * baskets are the documented envelope (cap upstream with
+   * [[topKPerGroup]] when a basket can hold thousands of items).
+   */
+  def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, nPart: Int = 0): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val parts =
+      if (nPart > 0) bi.repartition(nPart, col("basket"))
+      else bi.repartition(col("basket"))
+    parts.select(col("basket"), col("item").as("item_a"))
+      .join(parts.select(col("basket"), col("item").as("item_b")), Seq("basket"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("n_baskets"))
+      .where(col("n_baskets") >= minSupport)
+  }
+
+  /**
+   * Association rules from [[coOccurrence]] pairs: each supported pair
+   * emits BOTH directed rules a→b and b→a with
+   * confidence = n_both / n_antecedent and
+   * lift = n_both · N / (n_antecedent · n_consequent), 4dp — the
+   * classic "bought X also bought Y" strength measures (lift > 1 means
+   * positive association beyond item popularity).
+   *
+   * Shape: the coOccurrence pass + one item-count aggregation joined
+   * twice on the item key; the basket total N enters as a 1-row
+   * aggregate subtree (crossJoin, the pageRank pattern — no count()
+   * action, no driver state).
+   */
+  def associationRules(df: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long, nPart: Int = 0): DataFrame = {
+    val bi = df.select(col(basketCol).as("basket"), col(itemCol).as("item"))
+      .distinct()
+    val itemN = bi.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val nTot = bi.select(countDistinct("basket").cast("double").as("n_tot"))
+    val pairs = coOccurrence(df, basketCol, itemCol, minSupport, nPart)
+    val directed = pairs
+      .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+        col("n_baskets"))
+      .unionByName(pairs.select(col("item_b").as("antecedent"),
+        col("item_a").as("consequent"), col("n_baskets")))
+    directed
+      .join(itemN.select(col("item").as("antecedent"), col("n_item").as("n_ante")),
+        Seq("antecedent"))
+      .join(itemN.select(col("item").as("consequent"), col("n_item").as("n_cons")),
+        Seq("consequent"))
+      .crossJoin(nTot)
+      .select(col("antecedent"), col("consequent"), col("n_baskets"),
+        round(col("n_baskets") / col("n_ante"), 4).as("confidence"),
+        round(col("n_baskets") * col("n_tot") / (col("n_ante") * col("n_cons")), 4)
+          .as("lift"))
+  }
+
+  /**
+   * First-order (Markov) transition matrix over per-key event sequences:
+   * each key's events ordered by (time, type — the deterministic
+   * tiebreak), consecutive pairs counted, and each from-state row
+   * normalized to a 4dp transition probability. The session-modeling
+   * staple: "after a view, what happens next, how often".
+   *
+   * Shape: one keyed window (lead) + one pair aggregation + a from-state
+   * total joined back on the from key — every shuffle keyed, the state
+   * alphabet (not the corpus) sizes the output.
+   */
+  def transitionMatrix(df: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col("from_state"))
+    val pairs = df
+      .select(col(keyCol), col(tsCol), col(typeCol).as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .where(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(totals, Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        round(col("n") / col("n_from"), 4).as("p"))
+  }
+
+  /**
    * Sketch path for heavy hitters: a Count-Min Sketch over the column,
    * returning the CMS frequency ESTIMATE for each requested candidate
    * value. The sketch is a fixed-size (depth x width) counter grid built

@@ -1309,6 +1309,55 @@ class OpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("k must be >= 1"))
   }
 
+  test("coOccurrence: brute-force pairs, dup items collapse, support cuts") {
+    import spark.implicits._
+    // basket 1 holds x twice (must collapse), baskets overlap pairwise
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (3L, "y"), (3L, "z"), (4L, "x")).toDF("b", "i")
+    val all = Profile.coOccurrence(df, "b", "i", minSupport = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(all == Set(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 2L)))
+    val cut = Profile.coOccurrence(df, "b", "i", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(cut == Set(("x", "y", 2L), ("y", "z", 2L)))
+    val plan = Profile.coOccurrence(df, "b", "i", 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"co-occurrence planned a product:\n$plan")
+    intercept[IllegalArgumentException] { Profile.coOccurrence(df, "b", "i", 0) }
+  }
+
+  test("associationRules: hand-computed confidence and lift, both directions") {
+    import spark.implicits._
+    // N=4 baskets; n_x=3, n_y=3, n_z=2; pairs (x,y,2) (x,z,1) (y,z,2)
+    val df = Seq((1L, "x"), (1L, "y"), (1L, "z"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "z"), (4L, "x")).toDF("b", "i")
+    val got = Profile.associationRules(df, "b", "i", minSupport = 1)
+      .select("antecedent", "consequent", "n_baskets", "confidence", "lift")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(got == Set(
+      ("x", "y", 2L, 0.6667, 0.8889), ("y", "x", 2L, 0.6667, 0.8889),
+      ("x", "z", 1L, 0.3333, 0.6667), ("z", "x", 1L, 0.5, 0.6667),
+      ("y", "z", 2L, 0.6667, 1.3333), ("z", "y", 2L, 1.0, 1.3333)),
+      s"rules diverged:\n$got")
+  }
+
+  test("transitionMatrix: hand-computed counts, row-normalized, ts ties by type") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "A"), (1L, 4L, "C"),
+      (2L, 1L, "B"), (2L, 2L, "B"), (2L, 3L, "A"),
+      (3L, 5L, "X"), (3L, 5L, "A"))  // equal ts: type tiebreak => A then X
+      .toDF("u", "ts", "et")
+    val got = Profile.transitionMatrix(df, "u", "ts", "et")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == Set(
+      ("A", "B", 1L, 0.3333), ("A", "C", 1L, 0.3333), ("A", "X", 1L, 0.3333),
+      ("B", "A", 2L, 0.6667), ("B", "B", 1L, 0.3333)))
+  }
+
   test("langIdModel: held-out sentences classified, edge cases total") {
     import spark.implicits._
     // every held-out sentence (disjoint from the seeds) detects its
