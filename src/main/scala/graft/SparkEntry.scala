@@ -2159,6 +2159,15 @@ object SparkEntry {
       val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
       graft.ops.Profile.transitionMatrix(ev, "user_id", "ts_us", "event_type")
         .orderBy("from_state", "to_state")
+    }),
+    "graph_triangles" -> ((s, dir) => {
+      // triangle counts + clustering coefficient on the same 997-node
+      // multigraph as graph_pagerank; engine runs the degree-ordered
+      // orientation, the oracle the independent a<b<c triple join
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.triangleCounts(e, "src", "dst")
+        .orderBy("node")
     })
   )
 
@@ -3420,6 +3429,29 @@ object SparkEntry {
         |SELECT p.from_state, p.to_state, p.n,
         |  round(p.n / t.n_from::DOUBLE, 4) AS p
         |FROM pairs p JOIN tot t ON p.from_state = t.from_state
-        |ORDER BY p.from_state, p.to_state""".stripMargin
+        |ORDER BY p.from_state, p.to_state""".stripMargin,
+    "graph_triangles" ->
+      """WITH raw AS (SELECT o_custkey % 997 AS u, o_orderkey % 997 AS v
+        |  FROM orders),
+        |e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM raw WHERE u <> v),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT node, count(*)::BIGINT AS n_tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri)
+        |  GROUP BY 1)
+        |SELECT d.node, d.deg,
+        |  coalesce(pn.n_tri, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    round(2.0 * coalesce(pn.n_tri, 0) / (d.deg * (d.deg - 1)), 4)
+        |  END AS clustering
+        |FROM deg d LEFT JOIN pn ON d.node = pn.node
+        |ORDER BY d.node""".stripMargin
   )
 }

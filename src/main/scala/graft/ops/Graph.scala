@@ -75,4 +75,65 @@ object Graph {
     }
     ranks
   }
+
+  /**
+   * Per-node triangle counts + local clustering coefficient over the
+   * UNDIRECTED SIMPLE graph induced by `edges` (self-loops dropped,
+   * direction and multi-edges collapsed) — the link-farm / citation-ring
+   * detector: tightly clustered neighborhoods score near 1, trees and
+   * stars score 0.
+   *
+   * The naive wedge join explodes on hubs (a degree-10^6 host yields
+   * 10^12 wedges). Standard fix — DEGREE-ORDERED ORIENTATION (Schank &
+   * Wagner; the Suri–Vassilvitskii MapReduce bound): direct every edge
+   * from its (degree, id)-smaller endpoint to the larger; every node's
+   * forward degree is O(sqrt(m)) amortized, so the wedge join does
+   * O(m^1.5) TOTAL work regardless of skew. Each triangle has exactly
+   * one vertex with two forward edges (its orientation minimum), and
+   * wedge legs are ordered by the same key, so each triangle forms
+   * EXACTLY once by construction — no distinct pass, the Interval/
+   * coOccurrence contract.
+   *
+   * Output: (node, deg, n_triangles, clustering) for every node, where
+   * clustering = 2·T / (deg·(deg−1)) at 4dp, NULL when deg < 2.
+   */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient a–b toward the (deg, id)-larger endpoint; a<b breaks ties
+    val fwd = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+             (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t"), col("db").as("dt")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"),
+            col("da").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+    val wedges = fwd.select(col("s"), col("t").as("t1"), col("dt").as("dt1"))
+      .join(fwd.select(col("s"), col("t").as("t2"), col("dt").as("dt2")),
+        Seq("s"))
+      .where(col("dt1") < col("dt2") ||
+        (col("dt1") === col("dt2") && col("t1") < col("t2")))
+    val tris = wedges
+      .join(fwd.select(col("s").as("t1"), col("t").as("t2")), Seq("t1", "t2"))
+      .select(col("s"), col("t1"), col("t2"))
+    val perNode = tris
+      .select(explode(array(col("s"), col("t1"), col("t2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_triangles"),
+        when(col("deg") >= 2,
+          round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1)), 4)).as("clustering"))
+  }
 }

@@ -537,4 +537,51 @@ class CurationSpec extends AnyFunSuite {
     val out = TextMetrics.trainBpe(Seq("ab cd ef").toDF("text"), "text", 50)
     assert(out.isEmpty) // every adjacent pair occurs once: nothing merges
   }
+
+  test("triangleCounts: hand fixture — triangle, pendant, square, dup edges") {
+    import spark.implicits._
+    // triangle 1-2-3; pendant 4 on 1; square 5-6-7-8 (no diagonals);
+    // duplicate/reversed edges and a self-loop must collapse/drop
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (1L, 4L), (4L, 4L),
+      (5L, 6L), (6L, 7L), (7L, 8L), (8L, 5L)).toDF("s", "d")
+    val got = Graph.triangleCounts(e, "s", "d").orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 1L, Some(0.3333)), (2L, 2L, 1L, Some(1.0)),
+      (3L, 2L, 1L, Some(1.0)), (4L, 1L, 0L, None),
+      (5L, 2L, 0L, Some(0.0)), (6L, 2L, 0L, Some(0.0)),
+      (7L, 2L, 0L, Some(0.0)), (8L, 2L, 0L, Some(0.0))))
+  }
+
+  test("triangleCounts == brute force on a pseudo-random graph; no products") {
+    import spark.implicits._
+    val edges = (0 until 300).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (h % 60L, (h / 60L) % 60L)
+    }
+    val simple = edges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val adj = simple.toSet
+    val nodes = simple.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    val wantTri = nodes.map { n =>
+      n -> (for {
+        (a, b) <- simple; c <- nodes
+        if c > b && adj.contains((a, c)) && adj.contains((b, c)) &&
+          (n == a || n == b || n == c)
+      } yield 1).size.toLong
+    }.toMap
+    val out = Graph.triangleCounts(edges.toDF("s", "d"), "s", "d")
+    val got = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && wantTri.values.sum > 0,
+      "fixture must actually contain triangles")
+    got.foreach { case (n, d, t) =>
+      assert(t == wantTri(n), s"node $n: got $t triangles, want ${wantTri(n)}")
+      assert(d == simple.count { case (a, b) => a == n || b == n }.toLong)
+    }
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"triangle counting planned a product:\n$plan")
+  }
 }
