@@ -2168,6 +2168,39 @@ object SparkEntry {
         (col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
       graft.ops.Graph.triangleCounts(e, "src", "dst")
         .orderBy("node")
+    }),
+    "text_bm25" -> ((s, dir) => {
+      // lexical BM25 top-20 for a 3-term query (one rare discriminative
+      // term); contributions add in query order — the oracle replays the
+      // identical fold as explicit left-to-right arithmetic
+      graft.ops.TextMetrics.bm25Scores(t(s, dir, "documents"), "text",
+          "doc_id", Seq("query", "dup", "spark"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    }),
+    "text_inverted_index" -> ((s, dir) => {
+      // the retrieval-side artifact: per-term df/cf + doc-ordered
+      // "doc:tf" postings rendered AFTER the struct sort
+      graft.ops.TextMetrics.invertedIndex(t(s, dir, "documents"), "text",
+          "doc_id")
+        .orderBy("term")
+    }),
+    "q_rrf_fuse" -> ((s, dir) => {
+      // hybrid-retrieval fusion: BM25 shortlist ⊕ length-ranked
+      // shortlist via reciprocal-rank fusion; the rank windows run on
+      // 50-row LIMITed frames (tiny by construction, not a global sort)
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val bm = graft.ops.TextMetrics.bm25Scores(d, "text", "doc_id",
+          Seq("query", "dup", "spark"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(50)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("bm25"), col("doc_id"))).cast("long"))
+      val ln = d.select(col("doc_id"), length(col("text")).as("len"))
+        .orderBy(desc("len"), col("doc_id")).limit(50)
+        .withColumn("rank", row_number()
+          .over(Window.orderBy(desc("len"), col("doc_id"))).cast("long"))
+      graft.ops.Similarity.rrfFuse(bm, ln, "doc_id")
+        .orderBy(desc("rrf"), col("doc_id"))
     })
   )
 
@@ -2177,6 +2210,41 @@ object SparkEntry {
    * quota_d = floor(w_d * min_e(n_e / w_e)) — the identical double
    * expression the operator folds into its plan — then the md5 election
    * within each source. */
+  /** Shared BM25 CTE chain (ends at `bm(doc_id, bm25)`, no trailing
+   * comma): the identical formulation the engine folds — per-term tf via
+   * list_filter on the same single-space split, df/N/avgdl from one
+   * stats row, contributions added LEFT-TO-RIGHT in query order
+   * (query/dup/spark), 4dp round. Appended by `text_bm25` (direct
+   * SELECT) and `q_rrf_fuse` (further CTEs). */
+  private val bm25Cte: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    list_filter(str_split(text, ' '), x -> x <> '') AS tok
+      |  FROM documents),
+      |st AS (SELECT count(*)::DOUBLE AS n,
+      |    avg(len(tok))::DOUBLE AS avgdl FROM d),
+      |tfx AS (SELECT doc_id, len(tok)::DOUBLE AS dl,
+      |    len(list_filter(tok, x -> x = 'query'))::DOUBLE AS tf1,
+      |    len(list_filter(tok, x -> x = 'dup'))::DOUBLE AS tf2,
+      |    len(list_filter(tok, x -> x = 'spark'))::DOUBLE AS tf3
+      |  FROM d),
+      |dfx AS (SELECT
+      |    (count(*) FILTER (tf1 > 0))::DOUBLE AS df1,
+      |    (count(*) FILTER (tf2 > 0))::DOUBLE AS df2,
+      |    (count(*) FILTER (tf3 > 0))::DOUBLE AS df3 FROM tfx),
+      |bm AS (SELECT doc_id, round(
+      |    (CASE WHEN df1 > 0 AND tf1 > 0
+      |      THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+      |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)
+      |  + (CASE WHEN df2 > 0 AND tf2 > 0
+      |      THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+      |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)
+      |  + (CASE WHEN df3 > 0 AND tf3 > 0
+      |      THEN ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+      |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END), 4)
+      |  AS bm25
+      |  FROM tfx CROSS JOIN dfx CROSS JOIN st)
+      |""".stripMargin
+
   private def mixtureSampleOracle: String = {
     val wvals = (0 until 20)
       .map(i => s"('src$i', ${1.0 + i % 4})").mkString(", ")
@@ -3452,6 +3520,29 @@ object SparkEntry {
         |    round(2.0 * coalesce(pn.n_tri, 0) / (d.deg * (d.deg - 1)), 4)
         |  END AS clustering
         |FROM deg d LEFT JOIN pn ON d.node = pn.node
-        |ORDER BY d.node""".stripMargin
+        |ORDER BY d.node""".stripMargin,
+    "text_bm25" -> (bm25Cte +
+      """SELECT doc_id, bm25 FROM bm
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin),
+    "text_inverted_index" ->
+      """WITH tok AS (SELECT doc_id AS doc,
+        |    unnest(str_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc, count(*)::BIGINT AS tf FROM tok
+        |  WHERE term <> '' GROUP BY 1, 2)
+        |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
+        |  list(doc::VARCHAR || ':' || tf::VARCHAR ORDER BY doc) AS postings
+        |FROM tf GROUP BY term ORDER BY term""".stripMargin,
+    "q_rrf_fuse" -> (bm25Cte +
+      """, ra AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_a
+        |  FROM bm QUALIFY rank_a <= 50),
+        |rb AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY length(text) DESC, doc_id) AS rank_b
+        |  FROM documents QUALIFY rank_b <= 50)
+        |SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        |  round(coalesce(1.0 / (60 + rank_a), 0)
+        |      + coalesce(1.0 / (60 + rank_b), 0), 6) AS rrf
+        |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+        |ORDER BY rrf DESC, doc_id""".stripMargin)
   )
 }

@@ -527,4 +527,31 @@ object Similarity {
       .orderBy(desc("cosine"), col(idCol))
       .limit(k)
   }
+
+  /**
+   * Reciprocal-rank fusion (Cormack et al. 2009) — THE standard hybrid-
+   * retrieval combiner (lexical BM25 list ⊕ ANN list): each input frame
+   * carries (id, rank) with rank 1-based; the fused score is
+   * Σ 1/(k + rank) over the lists the id appears in, rounded 6dp
+   * (1/(k+r) steps are ~1e-4 at shortlist depths, so 6dp preserves
+   * order while pinning cross-engine determinism). Items missing from a
+   * list contribute 0 from it — the published convention.
+   *
+   * Shape: one full-outer keyed join + narrow arithmetic; inputs are
+   * SHORTLISTS (top-k from their scorers), so this is a tiny-frame
+   * combine — ranking the fused result is the caller's TakeOrdered on
+   * (rrf desc, id).
+   */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+      k: Int = 60): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fa = a.select(col(idCol), col("rank").as("rank_a"))
+    val fb = b.select(col(idCol), col("rank").as("rank_b"))
+    fa.join(fb, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          coalesce(lit(1.0) / (lit(k) + col("rank_a")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)),
+          6).as("rrf"))
+  }
 }

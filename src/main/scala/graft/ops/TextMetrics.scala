@@ -1193,4 +1193,78 @@ object TextMetrics {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tfidf"), col("rank"))
   }
+
+  /**
+   * BM25 relevance scores (Robertson et al.; the Lucene-default
+   * formulation): per document,
+   *
+   *   score = Σ_{t ∈ query}  idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+   *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+   *
+   * rounded 4dp — the lexical side of hybrid retrieval (fuse with an
+   * ANN ranking via [[Similarity.rrfFuse]]). Terms absent from the
+   * query's corpus slice (df = 0) or the document (tf = 0) contribute
+   * exactly 0; contributions add in QUERY ORDER, the exact fold the
+   * oracle replays, so scores are bit-stable across engines.
+   *
+   * Shape: per-row token arrays (zero shuffle), corpus stats (N, avgdl,
+   * per-term df) in ONE 1-row aggregation crossJoined back (no actions,
+   * the pageRank pattern), per-term tf as per-row lambda counts. The
+   * query is a literal — |query| terms cost |query| per-row counts,
+   * never a vocabulary join; ranking/limiting is the caller's TakeOrdered.
+   */
+  def bm25Scores(docs: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "query must be non-empty")
+    require(query.distinct.size == query.size, s"query terms must be distinct: $query")
+    require(k1 > 0 && b >= 0 && b <= 1, s"need k1 > 0, b in [0,1]; got $k1, $b")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val toks = docs.select(col(idCol),
+      expr(s"filter(split($textCol, ' ', -1), x -> x != '')").as("tok"))
+    val statAggs =
+      query.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(col("tok"), t), 1.0).otherwise(0.0)).as(s"df$i")
+      } ++ Seq(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("tok")).cast("double")).as("avgdl"))
+    val stats = toks.agg(statAggs.head, statAggs.tail: _*)
+    val dl = size(col("tok")).cast("double")
+    val contribs = query.zipWithIndex.map { case (t, i) =>
+      val tf = expr(s"cast(size(filter(tok, x -> x = '${esc(t)}')) as double)")
+      when(col(s"df$i") > 0 && tf > 0,
+        log(lit(1.0) + (col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5))
+          * tf * (k1 + 1.0)
+          / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / col("avgdl"))))
+        .otherwise(lit(0.0))
+    }
+    toks.crossJoin(stats)
+      .select(col(idCol), round(contribs.reduce(_ + _), 4).as("bm25"))
+  }
+
+  /**
+   * Inverted index: per term, the document frequency, collection
+   * frequency, and the postings list as sorted "doc:tf" strings — the
+   * retrieval-side artifact a lexical search serves from, built as two
+   * keyed aggregations (term-doc tf, then term). Postings sort by
+   * (doc, tf) struct order BEFORE string rendering, so the list is
+   * numerically doc-ordered and engine-stable. `minDf` drops hapax
+   * noise at write time. A term's postings list must fit one row (the
+   * collect_list envelope) — at web scale, shard stopword-grade terms
+   * upstream or raise `minDf`; df/cf here tell you exactly which terms
+   * those are.
+   */
+  def invertedIndex(docs: DataFrame, textCol: String, idCol: String,
+      minDf: Long = 1L): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+    tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        transform(sort_array(collect_list(struct(col("doc"), col("tf")))),
+          s => concat(s("doc").cast("string"), lit(":"),
+            s("tf").cast("string"))).as("postings"))
+      .where(col("df") >= minDf)
+  }
 }

@@ -1358,6 +1358,47 @@ class OpsSpec extends AnyFunSuite {
       ("B", "A", 2L, 0.6667), ("B", "B", 1L, 0.3333)))
   }
 
+  test("bm25Scores: hand-computed scores; absent terms contribute zero") {
+    import spark.implicits._
+    // N=3, avgdl=2; df(a)=2, df(z)=0 (z must contribute 0 everywhere)
+    val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a")).toDF("id", "text")
+    val got = TextMetrics.bm25Scores(docs, "text", "id", Seq("a", "z"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // idf(a) = ln(1.6); d1: tf 2, dl 3 -> idf*4.4/3.65; d3: tf 1, dl 1
+    // -> idf*2.2/1.75
+    assert(got.toSeq == Seq((1L, 0.5666), (2L, 0.0), (3L, 0.5909)))
+    intercept[IllegalArgumentException] {
+      TextMetrics.bm25Scores(docs, "text", "id", Seq.empty) }
+    intercept[IllegalArgumentException] {
+      TextMetrics.bm25Scores(docs, "text", "id", Seq("a", "a")) }
+  }
+
+  test("invertedIndex: doc-ordered postings, df/cf, minDf cut") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("id", "text")
+    val got = TextMetrics.invertedIndex(docs, "text", "id")
+      .orderBy("term").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getSeq[String](3).toList))
+    assert(got.toSeq == Seq(
+      ("a", 1L, 2L, List("1:2")),
+      ("b", 2L, 2L, List("1:1", "2:1")),
+      ("c", 1L, 1L, List("2:1"))))
+    val cut = TextMetrics.invertedIndex(docs, "text", "id", minDf = 2)
+      .collect().map(_.getString(0))
+    assert(cut.toSeq == Seq("b"))
+  }
+
+  test("rrfFuse: hand-computed fusion incl. one-list-only items") {
+    import spark.implicits._
+    val a = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val b = Seq((2L, 1L), (3L, 2L)).toDF("id", "rank")
+    val got = Similarity.rrfFuse(a, b, "id")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // 1/61 = .016393…; 1/62 + 1/61 = .032522…; 1/62 = .016129
+    assert(got.toSeq == Seq((1L, 0.016393), (2L, 0.032522), (3L, 0.016129)))
+  }
+
   test("langIdModel: held-out sentences classified, edge cases total") {
     import spark.implicits._
     // every held-out sentence (disjoint from the seeds) detects its
