@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -136,5 +137,49 @@ object Interval {
       .withColumn("overlap",
         least(col(lEnd), col(rEnd)) - greatest(col(lStart), col(rStart)))
       .drop("_lb", "_rb")
+  }
+
+  /**
+   * Interval coalescing (the gaps-and-islands staple): merge each key's
+   * overlapping-or-touching [start, end] intervals into maximal disjoint
+   * "islands". Two intervals belong to one island when the later one
+   * starts within `gap` of the running maximum end seen so far (gap = 0
+   * merges only overlap/touch; a positive gap additionally bridges holes
+   * up to that length — the session/maintenance-window semantics).
+   * Output: key, island_start, island_end, n_merged, one row per island.
+   *
+   * This is the distributed form of the sweep: per key, order by
+   * (start, end), carry max(end) so far, flag rows that start a new
+   * island, and prefix-sum the flags into island ids — grouping by
+   * (key, island) then closes each island in one aggregation. Both
+   * windows and the aggregation partition by the SAME key, so the whole
+   * thing is ONE Exchange; islands build inside their key's partition
+   * and key count drives parallelism. Equal-(start, end) ties need no
+   * tiebreak: the running max and the flags are order-invariant there.
+   *
+   * The coverage-merge inside Dedup.maskRepeatedSpans is this same sweep
+   * as a per-row array fold; this operator is the table-level form, for
+   * interval FRAMES (validity windows, outage spans, span coverage)
+   * rather than per-document position arrays.
+   */
+  def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String, gap: Long = 0L): DataFrame = {
+    require(gap >= 0, "gap must be non-negative")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(startCol), col(endCol))
+    val carried = df
+      .withColumn("_maxe",
+        max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val flagged = carried.withColumn("_new",
+      when(col("_maxe").isNull || col(startCol) > col("_maxe") + lit(gap), 1L)
+        .otherwise(0L))
+    flagged
+      .withColumn("_island", sum(col("_new")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col(keyCol), col("_island"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_merged"))
+      .drop("_island")
   }
 }

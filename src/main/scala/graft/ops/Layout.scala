@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -72,5 +73,44 @@ object Layout {
       .repartitionByRange(numFiles, col("_zv"))
       .sortWithinPartitions("_zv")
       .drop("_zv")
+  }
+
+  /**
+   * Small-file compaction plan — the OPTIMIZE/bin-packing step every
+   * 100 TB table eventually needs: a crawl lands thousands of small
+   * parquet files per partition, and scan cost is dominated by file
+   * count, not bytes. Given a file inventory (partition key, file name,
+   * size in bytes), group each partition's files into consecutive
+   * output bins of ~`targetBytes`: files are laid end-to-end in
+   * (partition, name) order and a bin boundary falls every time the
+   * running total crosses the target — bin = floor(cumulative-before /
+   * target) — so every bin except a partition's last holds >= target
+   * bytes once its crossing file lands, no bin splits a file, and the
+   * assignment is a pure deterministic function of the inventory
+   * (re-running the planner mid-compaction re-derives the same plan —
+   * idempotent retries). Files >= targetBytes land alone in their own
+   * bin by the same rule. Output: partition, file, size, bin,
+   * bin_offset (bytes before this file within its bin).
+   *
+   * This is sequence packing (TextMetrics.packBins) re-aimed at file
+   * inventories: per-PARTITION running sums — one keyed window, ONE
+   * Exchange, never a global cumulative sum through a single task. The
+   * inventory is metadata (one row per FILE), so even a million-file
+   * table is a trivial frame; the expensive part — the rewrite itself —
+   * is the caller's `read.where(partition).write`, embarrassingly
+   * parallel per bin.
+   */
+  def compactionPlan(files: DataFrame, partCol: String, fileCol: String,
+      sizeCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val w = Window.partitionBy(col(partCol))
+      .orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    files
+      .withColumn("_before", coalesce(sum(col(sizeCol)).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_before") / lit(targetBytes)))
+      .withColumn("bin_offset",
+        col("_before") - col("bin") * lit(targetBytes))
+      .drop("_before")
   }
 }

@@ -335,4 +335,149 @@ object Profile {
         round(col("v").cast("double"), 4).as("value"),
         col("n"))
   }
+
+  /**
+   * Fixed-width histogram, optionally per group — the distribution
+   * profile behind threshold tuning (where do I cut quality scores?
+   * how skewed are document lengths per source?). Bins span each
+   * group's [min, max] split into `bins` equal widths; EVERY bin is
+   * materialized (an empty bin is data — a gap in the distribution —
+   * not absence of a row, the resampleFill convention). NULL values are
+   * excluded; a degenerate group (min == max) lands wholly in bin 0.
+   * Output: groupCols…, bucket, lo_edge, hi_edge (6dp), n.
+   *
+   * Shape at scale: one keyed min/max aggregation, one keyed
+   * (group, bucket) count aggregation, the stats frame joined back to
+   * the scan (group-keyed — AQE broadcasts it when the group count is
+   * small) and a bins-per-group grid exploded from the STATS frame
+   * (G·bins rows, never data-sized). No window, no global sort, no
+   * action; parallelism follows the data partitioning.
+   */
+  def histogram(df: DataFrame, valueCol: String, bins: Int,
+      groupCols: Seq[String] = Nil): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val v = col(valueCol).cast("double")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+ v.as("_v"): _*)
+    val stats = (if (groupCols.isEmpty) vals.groupBy()
+      else vals.groupBy(groupCols.map(col): _*))
+      .agg(min(col("_v")).as("_lo"), max(col("_v")).as("_hi"))
+      .withColumn("_w", when(col("_hi") > col("_lo"),
+        (col("_hi") - col("_lo")) / bins).otherwise(lit(1.0)))
+    val joined = if (groupCols.isEmpty) vals.crossJoin(stats)
+      else vals.join(stats, groupCols)
+    val counts = joined
+      .withColumn("bucket", when(col("_hi") > col("_lo"),
+        least(floor((col("_v") - col("_lo")) / col("_w")),
+          lit((bins - 1).toLong))).otherwise(lit(0L)))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("_n"))
+    val grid = stats.select(groupCols.map(col) ++ Seq(
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bucket"),
+      col("_lo"), col("_w")): _*)
+    grid.join(counts, groupCols :+ "bucket", "left")
+      .select(groupCols.map(col) ++ Seq(col("bucket"),
+        round(col("_lo") + col("bucket") * col("_w"), 6).as("lo_edge"),
+        round(col("_lo") + (col("bucket") + 1) * col("_w"), 6).as("hi_edge"),
+        coalesce(col("_n"), lit(0L)).as("n")): _*)
+  }
+
+  /**
+   * Robust per-group outlier flagging (median/MAD, the Iglewicz–Hoaglin
+   * rule): |x − median| / MAD > k flags values a heavy-tailed
+   * distribution's mean/stddev would hide (each outlier inflates the
+   * stddev that is supposed to catch it; the median and MAD are
+   * 50%-breakdown estimators, immune to the tail they measure). The
+   * quality-score and length-distribution curation cut.
+   * Output: flagged rows only — groupCol, idCol, value, group median,
+   * MAD, robust_z (4dp).
+   *
+   * Two exact keyed percentile aggregations (value, then |x − med|)
+   * with the group stats joined back group-keyed (AQE broadcasts small
+   * group counts) — the exact form; at sketch precision swap
+   * percentile for approx_percentile (groupQuantilesApprox) for the
+   * fixed-state 100 TB/streaming path. Groups with MAD = 0 (over half
+   * the mass on one value) flag every deviating row — the rule's
+   * documented degenerate case; callers wanting a floor can pre-clamp.
+   */
+  /**
+   * Distribution-drift report between two corpus versions — the
+   * Population Stability Index over a fixed binning, the retraining/
+   * alerting trigger every production data pipeline ends up needing
+   * (did document lengths / quality scores / language mix shift since
+   * the reference snapshot?). Bin edges come from the REFERENCE side's
+   * [min, max] (the convention: the baseline defines the grid; new
+   * values outside it clamp into the edge bins), each side's bin shares
+   * are Laplace-floored at eps to keep empty bins finite, and
+   *   PSI = Σ_b (p_new_b − p_ref_b) · ln(p_new_b / p_ref_b).
+   * Rule of thumb: < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major.
+   * Output: one row per bin (bucket, lo/hi edge 6dp, n_ref, n_new,
+   * p_ref, p_new, contrib 6dp) — sum `contrib` for the index, keep the
+   * rows for WHERE the shift lives.
+   *
+   * Shape at scale: one min/max/count aggregation on the reference, one
+   * bucket-count aggregation per side (map-side combined, bins-sized
+   * shuffles), the 1-row stats frame entering as a crossJoin subtree —
+   * no action, no window, no data-sized join.
+   */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int, eps: Double = 1e-4): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(eps > 0, "eps must be positive")
+    val v = col(valueCol).cast("double")
+    val stats = ref.filter(col(valueCol).isNotNull)
+      .agg(min(v).as("_lo"), max(v).as("_hi"))
+      .withColumn("_w", when(col("_hi") > col("_lo"),
+        (col("_hi") - col("_lo")) / bins).otherwise(lit(1.0)))
+    def sideCounts(df: DataFrame, as: String) =
+      df.filter(col(valueCol).isNotNull).crossJoin(stats)
+        .withColumn("bucket",
+          greatest(least(floor((v - col("_lo")) / col("_w")),
+            lit((bins - 1).toLong)), lit(0L)))
+        .groupBy("bucket").agg(count(lit(1)).as(as))
+    val grid = stats.select(
+      explode(sequence(lit(0L), lit((bins - 1).toLong))).as("bucket"),
+      col("_lo"), col("_w"))
+    val joined = grid
+      .join(sideCounts(ref, "n_ref"), Seq("bucket"), "left")
+      .join(sideCounts(cur, "n_new"), Seq("bucket"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val tot = joined.groupBy().agg(
+      sum("n_ref").cast("double").as("_tr"),
+      sum("n_new").cast("double").as("_tn"))
+    joined.crossJoin(tot)
+      .withColumn("p_ref", greatest(col("n_ref") / col("_tr"), lit(eps)))
+      .withColumn("p_new", greatest(col("n_new") / col("_tn"), lit(eps)))
+      .select(col("bucket"),
+        round(col("_lo") + col("bucket") * col("_w"), 6).as("lo_edge"),
+        round(col("_lo") + (col("bucket") + 1) * col("_w"), 6).as("hi_edge"),
+        col("n_ref"), col("n_new"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_new"), 6).as("p_new"),
+        round((col("p_new") - col("p_ref")) *
+          log(col("p_new") / col("p_ref")), 6).as("contrib"))
+  }
+
+  def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, k: Double = 3.5): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), v.as("_v"))
+    val med = base.groupBy(col(groupCol))
+      .agg(percentile(col("_v"), lit(0.5)).as("_med"))
+    val dev = base.join(med, Seq(groupCol))
+      .withColumn("_ad", abs(col("_v") - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
+    dev.join(mad, Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("_mad") > 0, round(col("_ad") / col("_mad"), 4))
+          .otherwise(when(col("_ad") > 0, lit(Double.PositiveInfinity))
+            .otherwise(lit(0.0))))
+      .filter(col("robust_z") > k)
+      .select(col(groupCol), col(idCol), col("_v").as("value"),
+        round(col("_med"), 4).as("group_median"),
+        round(col("_mad"), 4).as("group_mad"), col("robust_z"))
+  }
 }

@@ -554,4 +554,58 @@ object Similarity {
             + coalesce(lit(1.0) / (lit(k) + col("rank_b")), lit(0.0)),
           6).as("rrf"))
   }
+
+  /**
+   * Per-label embedding centroids — the mean vector of each labeled
+   * slice (domain, cluster, language), rounded to 6dp per coordinate so
+   * any engine/partitioning reproduces the same centroid (the
+   * kmeansAssign determinism contract). Output: label, centroid
+   * (array<double>), n (member count).
+   *
+   * Shape at scale: one posexplode → (label, pos) average (map-side
+   * combined — the shuffle carries labels × dim rows, never the
+   * corpus), centroids reassembled by a position-sorted collect within
+   * each label. No window over the data, no collect to the driver.
+   */
+  def groupCentroids(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val exploded = emb
+      .select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+    val perPos = exploded.groupBy("label", "pos")
+      .agg(round(avg(col("x")), 6).as("m"), count(lit(1)).as("n"))
+    perPos.groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+          s => s("m")).as("centroid"),
+        max(col("n")).as("n"))
+  }
+
+  /**
+   * Centroid-distance outliers — the embedding-space label-noise /
+   * off-topic detector: each member's cosine to its OWN label centroid,
+   * keeping the `bottomK` least-similar members per label (cosine asc —
+   * the rows that least belong where they are filed; SemDeDup's dual:
+   * semanticPairs finds rows too close together, this finds rows too far
+   * from home). Output: label, id, cosine (5dp), rank.
+   *
+   * Shape: [[groupCentroids]] (labels × dim rows) joined back on the
+   * label — AQE broadcasts it at any sane label count — then one narrow
+   * cosine scan and the topKPerGroup WindowGroupLimit shape for the
+   * per-label bottom-k (map-side pruned to k before the exchange).
+   */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, bottomK: Int): DataFrame = {
+    require(bottomK >= 1, s"bottomK must be >= 1, got $bottomK")
+    val cents = groupCentroids(emb, vecCol, labelCol)
+      .select(col("label").as(labelCol), col("centroid"))
+    val scored = emb.join(cents, labelCol)
+      .select(col(labelCol), col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"), col("centroid")), 5)
+          .as("cosine"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(labelCol))
+      .orderBy(col("cosine"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= bottomK)
+  }
 }

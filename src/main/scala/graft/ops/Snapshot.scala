@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -73,4 +74,60 @@ object Snapshot {
     oldDf.join(keep, Seq(idCol), "leftsemi")
       .unionByName(changes.join(upsert, Seq(idCol), "leftsemi"))
   }
+
+  /**
+   * SCD Type 2 history construction — the third leg of the versioning
+   * family ([[diff]] compares two snapshots, [[applyChanges]] ships one;
+   * this builds the FULL effective-dated history from an append-only
+   * change log). Given per-entity observations (id, ts, attrs…), emit one
+   * row per DISTINCT consecutive version with `effective_from` /
+   * `effective_to` validity bounds ([from, to) half-open, `to` NULL on
+   * the current version), a 1-based `version` ordinal, and `is_current`.
+   *
+   * No-op observations — a row whose content hash equals the entity's
+   * previous observation — are suppressed (the standard "don't close and
+   * reopen an identical version" SCD2 rule), so the history length is the
+   * number of actual state CHANGES, not the number of log rows.
+   *
+   * Determinism: rows are ordered per entity by (tsCol, tieCols…); pass
+   * tie columns whenever tsCol alone is not unique per id (equal-ts
+   * duplicates would otherwise make lag/lead order nondeterministic).
+   *
+   * Shape at scale: both windows (the dedup lag and the validity lead)
+   * partition by the SAME entity key, so Catalyst plans exactly ONE
+   * Exchange and one sort — the history of each entity builds inside its
+   * own partition, and entity count (not log length) drives parallelism.
+   * No collect, no global sort.
+   */
+  def scd2(df: DataFrame, idCol: String, tsCol: String,
+      contentCols: Seq[String], tieCols: Seq[String] = Nil): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    val ord = (col(tsCol) +: tieCols.map(col)): Seq[Column]
+    val w = Window.partitionBy(col(idCol)).orderBy(ord: _*)
+    val hashed = df
+      .select((Seq(idCol, tsCol) ++ contentCols ++ tieCols).distinct.map(col): _*)
+      .withColumn("_vh",
+        md5(concat_ws("|", contentCols.map(c => col(c).cast("string")): _*)))
+    val changesOnly = hashed
+      .withColumn("_ph", lag(col("_vh"), 1).over(w))
+      .filter(col("_ph").isNull || col("_ph") =!= col("_vh"))
+    changesOnly
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .drop("_vh", "_ph", tsCol)
+  }
+
+  /**
+   * Point-in-time lookup over a [[scd2]] history: the rows valid AT
+   * `ts` — effective_from <= ts < effective_to (current versions have
+   * NULL effective_to and match any ts >= from). A narrow filter over
+   * the history scan: with the history stored partitioned/z-ordered on
+   * effective_from this is the partition-prunable "what did the corpus
+   * look like on date D" audit query.
+   */
+  def asOf(history: DataFrame, ts: Column): DataFrame =
+    history.filter(col("effective_from") <= ts &&
+      (col("effective_to").isNull || ts < col("effective_to")))
 }

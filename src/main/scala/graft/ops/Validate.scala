@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Declarative data-quality expectations — the ingest contract check that
+ * runs between landing a crawl/extract and admitting it to the pipeline
+ * (the Great-Expectations / dbt-test / Deequ niche, expressed as plain
+ * Catalyst aggregations). Every check emits the same report row —
+ * (rule, n_violations, n_rows, violation_frac, passed) — so a suite of
+ * heterogeneous checks unions into one audit frame a scheduler can gate
+ * on (`passed = false` blocks the load).
+ *
+ * Scale shapes, per check kind:
+ *  - row rules: ALL rules evaluate in ONE full-scan aggregation — k
+ *    rules cost one pass and a k-value partial-agg shuffle, never k
+ *    scans. The 1-row result unpivots to report rows (the
+ *    describeNumeric pattern, Profile.scala).
+ *  - unique key: one key-partitioned aggregation (map-side combined) +
+ *    a 1-row rollup; surplus rows (n - distinct groups) are the
+ *    violation count, so NULL-keyed rows group and count like any key.
+ *  - foreign key: one LEFT ANTI join (broadcast when the parent's key
+ *    projection is small, AQE decides) + a 1-row count; NULL child keys
+ *    pass (the SQL MATCH SIMPLE convention).
+ * Nothing collects; every check is a plan fragment until the report
+ * frame itself is acted on.
+ */
+object Validate {
+
+  private def reportRow(rule: String, viol: Column, total: Column): Column =
+    struct(lit(rule).as("rule"), viol.cast("long").as("n_violations"),
+      total.cast("long").as("n_rows"),
+      round(viol.cast("double") / total.cast("double"), 4)
+        .as("violation_frac"),
+      (viol === 0L).as("passed"))
+
+  private def unpack(df: DataFrame, rows: Column): DataFrame =
+    df.select(explode(rows).as("_r")).select(
+      col("_r.rule").as("rule"), col("_r.n_violations").as("n_violations"),
+      col("_r.n_rows").as("n_rows"),
+      col("_r.violation_frac").as("violation_frac"),
+      col("_r.passed").as("passed"))
+
+  /**
+   * Row-level rules, each a (name, violation predicate) pair — a row
+   * VIOLATES the rule when the predicate is true (NULL predicate = no
+   * violation, so write explicit isNull rules for presence checks).
+   * All rules evaluate in one aggregation over one scan.
+   */
+  def rowRules(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "rules must be non-empty")
+    require(rules.map(_._1).distinct.size == rules.size,
+      "rule names must be unique")
+    val aggs = count(lit(1)).as("_n") +: rules.zipWithIndex.map {
+      case ((_, p), i) =>
+        coalesce(sum(when(p, 1L).otherwise(0L)), lit(0L)).as(s"_v$i")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    unpack(one, array(rules.zipWithIndex.map { case ((nm, _), i) =>
+      reportRow(nm, col(s"_v$i"), col("_n"))
+    }: _*))
+  }
+
+  /**
+   * Key-uniqueness check: `n_violations` = surplus rows (total minus
+   * distinct key groups) — 0 iff `keyCols` is a candidate key. NULL keys
+   * participate as ordinary group values (two all-NULL keys ARE a
+   * duplicate, the GROUP BY convention, identical in DuckDB).
+   */
+  def uniqueKey(df: DataFrame, keyCols: Seq[String],
+      rule: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val grouped = df.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_c"))
+    val one = grouped.agg(
+      coalesce(sum(col("_c")), lit(0L)).as("_n"),
+      coalesce(sum(col("_c") - 1L), lit(0L)).as("_v"))
+    unpack(one, array(reportRow(rule, col("_v"), col("_n"))))
+  }
+
+  /**
+   * Referential-integrity check: child rows whose non-NULL `childCol`
+   * value has no match in `parent(parentCol)` are violations; NULL
+   * child keys pass (SQL MATCH SIMPLE). The orphan count comes from a
+   * LEFT ANTI join against the parent's key projection.
+   */
+  def foreignKey(child: DataFrame, childCol: String, parent: DataFrame,
+      parentCol: String, rule: String): DataFrame = {
+    val orphans = child.filter(col(childCol).isNotNull)
+      .join(parent.select(col(parentCol)),
+        col(childCol) === col(parentCol), "left_anti")
+      .agg(count(lit(1)).as("_v"))
+    val total = child.agg(count(lit(1)).as("_n"))
+    unpack(orphans.crossJoin(total),
+      array(reportRow(rule, col("_v"), col("_n"))))
+  }
+
+  /** Union heterogeneous checks into one audit frame. */
+  def report(checks: DataFrame*): DataFrame = {
+    require(checks.nonEmpty, "at least one check required")
+    checks.reduce(_.unionByName(_))
+  }
+}

@@ -365,6 +365,78 @@ class CurationSpec extends AnyFunSuite {
       mutated.count() && rebuilt.count() == mutated.count())
   }
 
+  test("Snapshot.scd2: no-op suppression, validity bounds, asOf lookup") {
+    import spark.implicits._
+    val log = Seq(
+      (1L, 10L, 100L, "a"),
+      (1L, 20L, 101L, "a"), // no-op re-observation — suppressed
+      (1L, 30L, 102L, "b"),
+      (1L, 30L, 103L, "c"), // equal-ts tie: eid orders it after the 'b'
+      (1L, 40L, 104L, "b"), // back to 'b' — a NEW version, not a merge
+      (2L, 15L, 200L, "z"))
+      .toDF("id", "ts", "eid", "st")
+    val h = Snapshot.scd2(log, "id", "ts", Seq("st"), tieCols = Seq("eid"))
+      .select("id", "st", "effective_from", "effective_to", "version",
+        "is_current")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4),
+        r.getBoolean(5))).toSet
+    assert(h == Set(
+      (1L, "a", 10L, 30L, 1, false),
+      (1L, "b", 30L, 30L, 2, false), // zero-length: superseded same instant
+      (1L, "c", 30L, 40L, 3, false),
+      (1L, "b", 40L, -1L, 4, true),
+      (2L, "z", 15L, -1L, 1, true)))
+    val hist = Snapshot.scd2(log, "id", "ts", Seq("st"), Seq("eid"))
+    val at35 = Snapshot.asOf(hist, lit(35L))
+      .select("id", "st").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(at35.toSet == Set((1L, "c"), (2L, "z")))
+    assert(Snapshot.asOf(hist, lit(12L)).select("id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L))
+    // real corpus: a point-in-time lookup yields AT MOST one version per
+    // entity (the [from, to) bounds partition each entity's timeline)
+    val ev2 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts_us", unix_micros(col("ts").cast("timestamp")))
+    val bigHist = Snapshot.scd2(ev2, "user_id", "ts_us", Seq("event_type"),
+      Seq("event_id"))
+    val maxPerUser = Snapshot.asOf(bigHist, lit(1705363200000000L))
+      .groupBy("user_id").count().agg(max("count")).head().getLong(0)
+    assert(maxPerUser == 1L)
+  }
+
+  test("Validate: one-pass row rules, unique-key surplus, FK orphans") {
+    import spark.implicits._
+    val df = Seq((1L, Some("a"), 5.0), (2L, Some("b"), -1.0),
+      (2L, None: Option[String], 3.0), (3L, Some("a"), 99.0))
+      .toDF("id", "name", "v")
+    val rr = Validate.rowRules(df, Seq(
+      "v_nonneg" -> (col("v") < 0), "name_present" -> col("name").isNull))
+    val m = rr.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(m("v_nonneg") == ((1L, 4L, false)))
+    assert(m("name_present") == ((1L, 4L, false)))
+    val uk = Validate.uniqueKey(df, Seq("id"), "id_unique").collect().head
+    assert(uk.getLong(1) == 1L && uk.getLong(2) == 4L && !uk.getBoolean(4))
+    val parent = Seq(1L, 3L).toDF("pid")
+    val fk = Validate.foreignKey(df, "id", parent, "pid", "fk")
+      .collect().head
+    assert(fk.getLong(1) == 2L && !fk.getBoolean(4)) // both id=2 rows orphan
+    // NULL child keys pass (MATCH SIMPLE)
+    val fk2 = Validate.foreignKey(Seq(Some(1L), None: Option[Long])
+        .toDF("id"), "id", parent, "pid", "fk2").collect().head
+    assert(fk2.getLong(1) == 0L && fk2.getBoolean(4) && fk2.getLong(2) == 2L)
+    assert(Validate.report(rr,
+      Validate.uniqueKey(df, Seq("id"), "u")).count() == 3)
+    // k row rules = ONE scan, not k: the whole suite reads the file once
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = Validate.rowRules(docs, Seq(
+      "text_present" -> col("text").isNull,
+      "lang_known" -> col("lang").isNull,
+      "chars_consistent" -> (length(col("text")) =!= col("n_chars"))))
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   // ---------------------------------------------------------------- Linkage
 
   test("fuzzySelfJoin == unblocked brute force within blocks") {

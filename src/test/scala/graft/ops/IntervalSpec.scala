@@ -133,4 +133,36 @@ class IntervalSpec extends AnyFunSuite {
       Interval.pointInInterval(a, b.toDF("p_id", "v"), "s", "e", "v", 0L)
     }
   }
+
+  test("coalesceIntervals == brute-force sweep; gap bridging; one Exchange") {
+    import spark.implicits._
+    // per key: brute-force merge on the driver, compare islands exactly
+    val rows = for {
+      k <- Seq("a", "b", "c"); (_, s, e) <- mkIntervals(80, k.hashCode & 127)
+    } yield (k, s, e)
+    def brute(gap: Long): Set[(String, Long, Long, Long)] =
+      rows.groupBy(_._1).flatMap { case (k, rs) =>
+        val sorted = rs.map(r => (r._2, r._3)).sorted
+        val islands = sorted.tail.foldLeft(
+          List((sorted.head._1, sorted.head._2, 1L))) {
+          case ((is, ie, n) :: rest, (s, e)) =>
+            if (s > ie + gap) (s, e, 1L) :: (is, ie, n) :: rest
+            else (is, math.max(ie, e), n + 1) :: rest
+          case (Nil, _) => Nil
+        }
+        islands.map { case (s, e, n) => (k, s, e, n) }
+      }.toSet
+    val df = rows.toDF("k", "s", "e")
+    for (gap <- Seq(0L, 25L, 10000000L)) {
+      val got = Interval.coalesceIntervals(df, "k", "s", "e", gap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(got == brute(gap), s"gap $gap diverged from brute force")
+    }
+    // the whole sweep is ONE key-partitioned Exchange, nothing global
+    val plan = Interval.coalesceIntervals(df, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

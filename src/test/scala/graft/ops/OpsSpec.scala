@@ -1901,4 +1901,132 @@ class OpsSpec extends AnyFunSuite {
     // ...only the dedicated handle does
     Dedup.releaseBloomFilters(spark)
   }
+
+  test("histogram: closed-form bins, empty bins materialized, degenerate group") {
+    import spark.implicits._
+    // group a: values 0..10 → lo=0, hi=10, width=2.5 over 4 bins;
+    // 10 lands in the LAST bin (least-clamp), 5.0 in bin 2 (5/2.5)
+    // group b: all equal (degenerate) → everything in bin 0
+    // group c: one bin empty (no values in [2.5, 5))
+    val df = (Seq(0.0, 2.4, 2.5, 5.0, 9.9, 10.0).map(("a", _)) ++
+      Seq(7.0, 7.0, 7.0).map(("b", _)) ++
+      Seq(0.0, 1.0, 6.0, 10.0).map(("c", _))).toDF("g", "v")
+    val got = Profile.histogram(df, "v", 4, Seq("g")).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got.size == 12) // 3 groups x 4 bins, empties included
+    assert(got(("a", 0L)) == ((0.0, 2.5, 2L)))
+    assert(got(("a", 1L)) == ((2.5, 5.0, 1L)))
+    assert(got(("a", 2L)) == ((5.0, 7.5, 1L)))
+    assert(got(("a", 3L)) == ((7.5, 10.0, 2L))) // hi lands in last bin
+    assert(got(("b", 0L))._3 == 3L && got(("b", 1L))._3 == 0L)
+    assert(got(("c", 1L))._3 == 0L) // the gap bin exists with n=0
+    // ungrouped form: one global histogram, total count preserved
+    val all = Profile.histogram(df, "v", 5)
+    assert(all.agg(sum("n")).head().getLong(0) == 13L)
+    assert(all.count() == 5)
+  }
+
+  test("robustOutliers: median/MAD closed form, outlier flagged, ties safe") {
+    import spark.implicits._
+    // group g: median 10, MAD = median(|x-10|) = 1 → 99 has z = 89
+    val df = (Seq(8.0, 9.0, 10.0, 11.0, 12.0, 99.0).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }).toDF("g", "id", "v")
+    val got = Profile.robustOutliers(df, "g", "id", "v", k = 3.5).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(1) == 5L && r.getDouble(2) == 99.0)
+    assert(r.getDouble(3) == 10.5 && r.getDouble(4) == 1.5) // median, MAD
+    assert(math.abs(r.getDouble(5) - 59.0) < 1e-9)
+    // no outliers in a tight group
+    assert(Profile.robustOutliers(
+      Seq(("h", 1L, 5.0), ("h", 2L, 6.0), ("h", 3L, 7.0))
+        .toDF("g", "id", "v"), "g", "id", "v", k = 3.5).count() == 0)
+  }
+
+  test("distinctiveTerms: planted group vocabulary wins, prior tames rarity") {
+    import spark.implicits._
+    // 'alpha' dominates group A, 'beta' group B, shared filler elsewhere
+    val a = (0 until 30).map(i => ("A", s"alpha filler$i common common"))
+    val b = (0 until 30).map(i => ("B", s"beta filler$i common common"))
+    val df = (a ++ b).toDF("src", "text")
+    val got = TextMetrics.distinctiveTerms(df, "text", "src", k = 2,
+      minCount = 5L)
+    val top = got.filter(col("rank") === 1).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(top == Map("A" -> "alpha", "B" -> "beta"))
+    // the shared term never outranks the planted one anywhere
+    assert(got.filter(col("term") === "common" && col("rank") === 1)
+      .count() == 0)
+  }
+
+  test("psiDrift: closed-form two-bin index, clamping, null drift is ~zero") {
+    import spark.implicits._
+    val ref = (0 until 10).map(i => Tuple1(i.toDouble)).toDF("v")
+    val cur = (0 until 10).map(_ => Tuple1(9.0)).toDF("v")
+    val rows = Profile.psiDrift(ref, cur, "v", bins = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+        r.getDouble(7)))).toMap
+    // ref splits 5/5 at the 4.5 midpoint; cur is all in bin 1
+    assert(rows(0L)._1 == 5L && rows(1L)._1 == 5L)
+    assert(rows(0L)._2 == 0L && rows(1L)._2 == 10L)
+    val eps = 1e-4
+    val c0 = (eps - 0.5) * math.log(eps / 0.5)
+    val c1 = (1.0 - 0.5) * math.log(1.0 / 0.5)
+    assert(math.abs(rows(0L)._3 - c0) < 1e-6)
+    assert(math.abs(rows(1L)._3 - c1) < 1e-6)
+    // values beyond the reference grid clamp into the edge bins
+    val wild = Seq(Tuple1(-100.0), Tuple1(500.0)).toDF("v")
+    val clamped = Profile.psiDrift(ref, wild, "v", bins = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(clamped == Map(0L -> 1L, 1L -> 1L))
+    // same distribution against itself: every contribution is ~0
+    val self = Profile.psiDrift(ref, ref, "v", bins = 4)
+      .agg(max(abs(col("contrib")))).head().getDouble(0)
+    assert(self < 1e-12)
+  }
+
+  test("compactionPlan: bins fill to target, crossing file overflows, " +
+    "big files isolate, plan is idempotent") {
+    import spark.implicits._
+    val inv = Seq(
+      ("p1", "a", 400L), ("p1", "b", 400L), ("p1", "c", 400L), // c crosses
+      ("p1", "d", 5000L), // oversized: alone in its own bin
+      ("p1", "e", 100L),
+      ("p2", "a", 50L)).toDF("part", "file", "bytes")
+    val got = Layout.compactionPlan(inv, "part", "file", "bytes", 1000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // cumulative-before: a=0 b=400 c=800 d=1200 e=6200
+    assert(got(("p1", "a")) == ((0L, 0L)))
+    assert(got(("p1", "b")) == ((0L, 400L)))
+    assert(got(("p1", "c")) == ((0L, 800L))) // crossing file stays in bin 0
+    assert(got(("p1", "d")) == ((1L, 200L)))
+    assert(got(("p1", "e")) == ((6L, 200L))) // after the giant, new bin
+    assert(got(("p2", "a")) == ((0L, 0L)))  // partitions are independent
+    // one keyed Exchange, no SinglePartition funnel
+    val plan = Layout.compactionPlan(inv, "part", "file", "bytes", 1000L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("groupCentroids + centroidOutliers: planted off-topic vector flags") {
+    import spark.implicits._
+    // label 0 clusters near e1; vec 99 points the opposite way
+    val base = (0 until 20).map(i =>
+      (i.toLong, 0, Array(1.0f, 0.01f * i, 0.0f)))
+    val off = Seq((99L, 0, Array(-1.0f, 0.2f, 0.0f)))
+    val other = (100 until 110).map(i => (i.toLong, 1, Array(0.0f, 1.0f, 0.05f * (i - 100))))
+    val df = (base ++ off ++ other).toDF("vec_id", "label", "embedding")
+    val cents = Similarity.groupCentroids(df, "embedding", "label")
+    assert(cents.count() == 2)
+    val c0 = cents.filter(col("label") === 0).select("centroid")
+      .head().getSeq[Double](0)
+    assert(c0.head > 0.8, s"centroid should stay near e1: $c0")
+    val out = Similarity.centroidOutliers(df, "vec_id", "embedding",
+      "label", bottomK = 1).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out(0) == 99L) // the planted off-topic vector is the outlier
+  }
 }
