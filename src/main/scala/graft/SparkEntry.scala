@@ -18,6 +18,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /**
+   * `events` with `ts_us` = exact epoch MICROS, whatever physical type
+   * the generator shipped: parquet TIMESTAMP(NANOS) reads as long nanos
+   * under the legacy conf (`div 1000` — integral: epoch-nanos exceed
+   * double's 2^53 exact range, so `/ 1000` could be off by ±1 µs), and
+   * TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ whose UTC-session cast to
+   * TIMESTAMP makes unix_micros exact — both equal DuckDB's
+   * epoch_us(ts), so every oracle stays engine-portable.
+   */
+  private def eventsTsUs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    val tsUs = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    ev.withColumn("ts_us", tsUs)
+  }
+
   /** Corpus band-key indexes the dedup_minhash_incr gate has already
    * persisted this process, keyed by sf dir (see that gate's comment). */
   private val minhashIdxPaths =
@@ -1104,9 +1125,8 @@ object SparkEntry {
       // session extends while the next event starts within 30 min of the
       // last, and ends at last_event + gap. The DuckDB oracle derives
       // identical sessions from first principles (lag + running break sum)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      eventsTsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
         .select(col("user_id"),
@@ -1228,13 +1248,10 @@ object SparkEntry {
         .orderBy("s_name")
     }),
     "q_events_window" -> ((s, dir) => {
-      // events.ts is parquet TIMESTAMP(NANOS): read as long nanos, truncate
-      // to micros exactly as DuckDB does. `div` (integral division) is
-      // mandatory here: `/` on longs is double division, and epoch-nanos
-      // exceed double's 2^53 exact range, so `/ 1000` can be off by ±1 µs
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.ts normalizes to exact epoch micros whatever physical
+      // parquet type shipped (see eventsTsUs), == DuckDB's epoch_us
+      eventsTsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
         .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bucket_start"),
@@ -1244,9 +1261,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => {
       // attribution: each click matched to the user's latest at-or-before
       // view (backward as-of join; union-window plan, no inequality join)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = eventsTsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts"))
       val views = ev.filter(col("event_type") === "view")
@@ -1262,9 +1278,8 @@ object SparkEntry {
       // skew-hardened as-of: same attribution semantics under a 30-minute
       // tolerance, window split into (user, 1-hour bucket) partitions so a
       // hot user never funnels through one task. Times stay integral
-      // epoch-micros on both engines (ts div 1000 == DuckDB's epoch_us).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("us", expr("ts div 1000"))
+      // epoch-micros on both engines (== DuckDB's epoch_us).
+      val ev = eventsTsUs(s, dir).withColumnRenamed("ts_us", "us")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("us"))
       val views = ev.filter(col("event_type") === "view")
@@ -2077,8 +2092,7 @@ object SparkEntry {
       // window, purchases landing inside any window are matched. Bucketed
       // equi-join (no nested loop); the oracle is DuckDB's native range
       // join over the identical micros arithmetic
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsTsUs(s, dir)
       val iv = ev.filter(col("event_type") === "signup")
         .select(col("event_id").as("i_id"), col("ts_us").as("i_start"),
           (col("ts_us") + floor(col("value") * 1e6).cast("long")).as("i_end"))
@@ -2094,8 +2108,7 @@ object SparkEntry {
       // interval-overlap join: signup windows vs error windows that share
       // any instant, with the shared-segment length; each qualifying pair
       // forms exactly once (overlap-start bucket rule), no distinct pass
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsTsUs(s, dir)
       def win(kind: String, p: String) = ev.filter(col("event_type") === kind)
         .select(col("event_id").as(s"${p}_id"), col("ts_us").as(s"${p}_s"),
           (col("ts_us") + floor(col("value") * 1e6).cast("long")).as(s"${p}_e"))
@@ -2108,8 +2121,7 @@ object SparkEntry {
       // time-series downsample to an hourly grid per user with gap rows
       // materialized and forward-filled — the tick→bar construction; gaps
       // dominate (sparse per-user activity over the corpus span)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsTsUs(s, dir)
       graft.ops.Interval.resampleFill(ev, "user_id", "ts_us", "value",
           widthMicros = 3600L * 1000 * 1000)
         .orderBy("user_id", "bucket")
@@ -2118,8 +2130,7 @@ object SparkEntry {
       // view→click→purchase conversion within 24h of funnel entry, greedy
       // earliest-entry matching; the oracle derives the same counts via
       // the INDEPENDENT sequential-min formulation (cross-derivation)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsTsUs(s, dir)
       graft.ops.Behavior.funnel(ev, "user_id", "ts_us", "event_type",
           Seq("view", "click", "purchase"), windowMicros = 86400L * 1000 * 1000)
         .orderBy("step")
@@ -2127,8 +2138,7 @@ object SparkEntry {
     "q_cohort_retention" -> ((s, dir) => {
       // weekly cohorts by first event, activity per week offset; absent
       // (cohort, offset) rows mean zero active — not gap-filled
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsTsUs(s, dir)
       graft.ops.Behavior.cohortRetention(ev, "user_id", "ts_us",
           widthMicros = 7L * 86400 * 1000 * 1000)
         .orderBy("cohort", "offset")
@@ -2155,8 +2165,7 @@ object SparkEntry {
     }),
     "q_transitions" -> ((s, dir) => {
       // per-user first-order event transition matrix, (ts, type) ordered
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = t(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+      val ev = eventsTsUs(s, dir)
       graft.ops.Profile.transitionMatrix(ev, "user_id", "ts_us", "event_type")
         .orderBy("from_state", "to_state")
     }),
@@ -2201,6 +2210,126 @@ object SparkEntry {
           .over(Window.orderBy(desc("len"), col("doc_id"))).cast("long"))
       graft.ops.Similarity.rrfFuse(bm, ln, "doc_id")
         .orderBy(desc("rrf"), col("doc_id"))
+    }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD Type 2 history of each user's event-type state: consecutive
+      // identical states suppressed, [from, to) validity bounds, NULL
+      // `to` on the current version; event_id breaks equal-ts ties
+      val ev = eventsTsUs(s, dir)
+      graft.ops.Snapshot.scd2(ev, "user_id", "ts_us", Seq("event_type"),
+          tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_type"), col("effective_from"),
+          col("effective_to"), col("version"), col("is_current"))
+        .orderBy("user_id", "version")
+    }),
+    "q_scd2_asof" -> ((s, dir) => {
+      // point-in-time lookup over the same history: each user's state
+      // mid-corpus (2024-01-16) — one valid version per user active then
+      val ev = eventsTsUs(s, dir)
+      val hist = graft.ops.Snapshot.scd2(ev, "user_id", "ts_us",
+        Seq("event_type"), tieCols = Seq("event_id"))
+      graft.ops.Snapshot.asOf(hist, lit(1705363200000000L))
+        .select(col("user_id"), col("event_type"), col("effective_from"),
+          col("effective_to"), col("version"))
+        .orderBy("user_id")
+    }),
+    "q_islands" -> ((s, dir) => {
+      // gaps-and-islands: merge each event type's value-minute activity
+      // windows into maximal disjoint spans (the outage/coverage merge);
+      // one keyed Exchange, islands build inside their key's partition
+      val ev = eventsTsUs(s, dir)
+      val iv = ev.select(col("event_type"), col("ts_us").as("s_us"),
+        (col("ts_us") + floor(col("value") * 60e6).cast("long")).as("e_us"))
+      graft.ops.Interval.coalesceIntervals(iv, "event_type", "s_us", "e_us")
+        .orderBy("event_type", "island_start")
+    }),
+    "q_validate" -> ((s, dir) => {
+      // data-quality expectation suite as one audit frame: 4 row rules
+      // in ONE scan aggregation, two key-uniqueness checks, two FK
+      // checks; rules chosen so both verdicts appear (qty/discount and
+      // the orders-per-customer "unique" check genuinely fail)
+      import graft.ops.Validate
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      Validate.report(
+        Validate.rowRules(li, Seq(
+          "li_qty_le_45" -> (col("l_quantity") > 45),
+          "li_price_positive" -> (col("l_extendedprice") <= 0),
+          "li_discount_cap" -> (col("l_discount") > 0.08),
+          "li_shipdate_present" -> col("l_shipdate").isNull)),
+        Validate.uniqueKey(li, Seq("l_orderkey", "l_linenumber"),
+          "li_pk_unique"),
+        Validate.uniqueKey(ord, Seq("o_custkey"), "orders_custkey_unique"),
+        Validate.foreignKey(li, "l_orderkey", ord, "o_orderkey",
+          "li_fk_orders"),
+        Validate.foreignKey(ord, "o_custkey", t(s, dir, "customer"),
+          "c_custkey", "orders_fk_customer"))
+        .orderBy("rule")
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // 20-bin fixed-width price histogram per return flag, empty bins
+      // materialized; two keyed aggs + a G·bins grid, nothing global
+      graft.ops.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+          20, Seq("l_returnflag"))
+        .orderBy("l_returnflag", "bucket")
+    }),
+    "q_outliers_mad" -> ((s, dir) => {
+      // robust median/MAD length outliers per source (Iglewicz–Hoaglin
+      // z > 2.5) — the heavy-tail-immune curation cut; two exact keyed
+      // percentile aggs, stats joined back group-keyed
+      graft.ops.Profile.robustOutliers(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars", k = 2.5)
+        .orderBy("source", "doc_id")
+    }),
+    "text_distinctive" -> ((s, dir) => {
+      // per-source distinctive vocabulary: Monroe et al. log-odds with
+      // the corpus as Dirichlet prior, variance-normalized, top-5 per
+      // source — one explode+count shuffle, vocab joins AQE-decided
+      graft.ops.TextMetrics.distinctiveTerms(t(s, dir, "documents"),
+          "text", "source", k = 5, minCount = 5L)
+        .orderBy("source", "rank")
+    }),
+    "ann_centroid_outliers" -> ((s, dir) => {
+      // least-central members per embedding label (cosine to own-label
+      // centroid, bottom-10) — the label-noise/off-topic detector;
+      // centroids are labels×dim rows, joined back broadcast-sized
+      graft.ops.Similarity.centroidOutliers(t(s, dir, "embeddings"),
+          "vec_id", "embedding", "label", bottomK = 10)
+        .orderBy("label", "rank")
+    }),
+    "q_hopping" -> ((s, dir) => {
+      // hopping (sliding) windows: 30-minute aggregates every 10
+      // minutes via Spark's native window(size, slide) generator —
+      // each event replicates into exactly 3 overlapping buckets; the
+      // oracle materializes the identical 3 start offsets arithmetically
+      val ev = eventsTsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+      ev.groupBy(window(col("ts"), "30 minutes", "10 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+        .select(unix_micros(col("w.start")).as("w_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start_us", "event_type")
+    }),
+    "q_psi_drift" -> ((s, dir) => {
+      // distribution drift: English doc lengths as the reference grid,
+      // non-English as the "new" snapshot — per-bin PSI contributions;
+      // reference min/max defines the bins, outside values clamp in
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.psiDrift(d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "n_chars", bins = 10)
+        .orderBy("bucket")
+    }),
+    "q_compaction_plan" -> ((s, dir) => {
+      // small-file compaction plan over a synthetic inventory (priority
+      // = table partition, order = file, totalprice = bytes): per-
+      // partition cumulative binning, deterministic and idempotent
+      val inv = t(s, dir, "orders").select(
+        col("o_orderpriority").as("part"),
+        concat(lit("f"), col("o_orderkey").cast("string")).as("file"),
+        (floor(col("o_totalprice")) + lit(1L)).as("bytes"))
+      graft.ops.Layout.compactionPlan(inv, "part", "file", "bytes",
+          targetBytes = 1000000L)
+        .orderBy("part", "file")
     })
   )
 
@@ -3543,6 +3672,229 @@ object SparkEntry {
         |  round(coalesce(1.0 / (60 + rank_a), 0)
         |      + coalesce(1.0 / (60 + rank_b), 0), 6) AS rrf
         |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
-        |ORDER BY rrf DESC, doc_id""".stripMargin)
+        |ORDER BY rrf DESC, doc_id""".stripMargin),
+    "q_scd2" -> (scd2Cte +
+      """SELECT user_id, event_type, effective_from, effective_to, version,
+        |  effective_to IS NULL AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin),
+    "q_scd2_asof" -> (scd2Cte +
+      """SELECT user_id, event_type, effective_from, effective_to, version
+        |FROM v
+        |WHERE effective_from <= 1705363200000000
+        |  AND (effective_to IS NULL OR 1705363200000000 < effective_to)
+        |ORDER BY user_id""".stripMargin),
+    "q_islands" ->
+      """WITH iv AS (SELECT event_type, epoch_us(ts)::BIGINT AS s,
+        |    epoch_us(ts)::BIGINT + floor(value * 60000000.0)::BIGINT AS e
+        |  FROM events),
+        |c AS (SELECT *, max(e) OVER (PARTITION BY event_type
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS maxe FROM iv),
+        |f AS (SELECT *, CASE WHEN maxe IS NULL OR s > maxe
+        |    THEN 1 ELSE 0 END AS nw FROM c),
+        |g AS (SELECT *, sum(nw) OVER (PARTITION BY event_type
+        |    ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island FROM f)
+        |SELECT event_type, min(s) AS island_start, max(e) AS island_end,
+        |  count(*)::BIGINT AS n_merged
+        |FROM g GROUP BY event_type, island
+        |ORDER BY event_type, island_start""".stripMargin,
+    "q_validate" ->
+      """WITH rr AS (SELECT count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE l_quantity > 45)::BIGINT AS v1,
+        |    count(*) FILTER (WHERE l_extendedprice <= 0)::BIGINT AS v2,
+        |    count(*) FILTER (WHERE l_discount > 0.08)::BIGINT AS v3,
+        |    count(*) FILTER (WHERE l_shipdate IS NULL)::BIGINT AS v4
+        |  FROM lineitem),
+        |u1 AS (SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n,
+        |    ((SELECT count(*) FROM lineitem) - (SELECT count(*) FROM
+        |      (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)))
+        |      ::BIGINT AS v),
+        |u2 AS (SELECT (SELECT count(*) FROM orders)::BIGINT AS n,
+        |    ((SELECT count(*) FROM orders) - (SELECT count(*) FROM
+        |      (SELECT DISTINCT o_custkey FROM orders)))::BIGINT AS v),
+        |f1 AS (SELECT (SELECT count(*) FROM lineitem)::BIGINT AS n,
+        |    (SELECT count(*) FROM lineitem l
+        |      WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS
+        |        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+        |      ::BIGINT AS v),
+        |f2 AS (SELECT (SELECT count(*) FROM orders)::BIGINT AS n,
+        |    (SELECT count(*) FROM orders o
+        |      WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+        |        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |      ::BIGINT AS v),
+        |rows_ AS (
+        |  SELECT 'li_qty_le_45' AS rule, v1 AS n_violations, n AS n_rows
+        |    FROM rr
+        |  UNION ALL SELECT 'li_price_positive', v2, n FROM rr
+        |  UNION ALL SELECT 'li_discount_cap', v3, n FROM rr
+        |  UNION ALL SELECT 'li_shipdate_present', v4, n FROM rr
+        |  UNION ALL SELECT 'li_pk_unique', v, n FROM u1
+        |  UNION ALL SELECT 'orders_custkey_unique', v, n FROM u2
+        |  UNION ALL SELECT 'li_fk_orders', v, n FROM f1
+        |  UNION ALL SELECT 'orders_fk_customer', v, n FROM f2)
+        |SELECT rule, n_violations, n_rows,
+        |  round(n_violations / n_rows::DOUBLE, 4) AS violation_frac,
+        |  n_violations = 0 AS passed
+        |FROM rows_ ORDER BY rule""".stripMargin,
+    "q_histogram" ->
+      """WITH k AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT g, min(v) AS lo, max(v) AS hi FROM k GROUP BY g),
+        |w AS (SELECT g, lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 20
+        |    ELSE 1.0 END AS width FROM s),
+        |b AS (SELECT k.g, CASE WHEN w.hi > w.lo
+        |    THEN least(floor((k.v - w.lo) / w.width), 19)
+        |    ELSE 0 END::BIGINT AS bucket
+        |  FROM k JOIN w ON k.g = w.g),
+        |c AS (SELECT g, bucket, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT g, unnest(range(0, 20))::BIGINT AS bucket, lo, width
+        |  FROM w)
+        |SELECT grid.g AS l_returnflag, grid.bucket AS bucket,
+        |  round(lo + grid.bucket * width, 6) AS lo_edge,
+        |  round(lo + (grid.bucket + 1) * width, 6) AS hi_edge,
+        |  coalesce(c.n, 0)::BIGINT AS n
+        |FROM grid LEFT JOIN c ON grid.g = c.g AND grid.bucket = c.bucket
+        |ORDER BY 1, 2""".stripMargin,
+    "q_outliers_mad" ->
+      """WITH b AS (SELECT source, doc_id, n_chars::DOUBLE AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m AS (SELECT source, quantile_cont(v, 0.5) AS med FROM b
+        |  GROUP BY source),
+        |d AS (SELECT b.source, b.doc_id, b.v, m.med, abs(b.v - m.med) AS ad
+        |  FROM b JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(ad, 0.5) AS mad FROM d
+        |  GROUP BY source)
+        |SELECT d.source, d.doc_id, d.v AS value,
+        |  round(d.med, 4) AS group_median, round(md.mad, 4) AS group_mad,
+        |  round(d.ad / md.mad, 4) AS robust_z
+        |FROM d JOIN md USING (source)
+        |WHERE md.mad > 0 AND round(d.ad / md.mad, 4) > 2.5
+        |ORDER BY source, doc_id""".stripMargin,
+    "text_distinctive" ->
+      """WITH tok AS (SELECT source AS grp,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |gt AS (SELECT grp, term, count(*)::BIGINT AS y_iw
+        |  FROM tok GROUP BY 1, 2),
+        |tt AS (SELECT term, sum(y_iw)::BIGINT AS c_w FROM gt GROUP BY 1),
+        |gr AS (SELECT grp, sum(y_iw)::BIGINT AS n_i FROM gt GROUP BY 1),
+        |nn AS (SELECT sum(c_w)::DOUBLE AS n_total FROM tt),
+        |sc AS (SELECT gt.grp, gt.term, gt.y_iw,
+        |    1.0 * tt.c_w / nn.n_total AS a_w,
+        |    (tt.c_w - gt.y_iw)::DOUBLE AS y_jw,
+        |    nn.n_total - gr.n_i AS n_j, gr.n_i AS n_i
+        |  FROM gt JOIN tt USING (term) JOIN gr USING (grp), nn
+        |  WHERE gt.y_iw >= 5),
+        |dd AS (SELECT grp, term, y_iw,
+        |    ln((y_iw + a_w) / (n_i + 1.0 - y_iw - a_w))
+        |      - ln((y_jw + a_w) / (n_j + 1.0 - y_jw - a_w)) AS delta,
+        |    round((ln((y_iw + a_w) / (n_i + 1.0 - y_iw - a_w))
+        |      - ln((y_jw + a_w) / (n_j + 1.0 - y_jw - a_w)))
+        |      / sqrt(1.0 / (y_iw + a_w) + 1.0 / (y_jw + a_w)), 4) AS z
+        |  FROM sc),
+        |rk AS (SELECT grp AS source, term, y_iw AS n_group_term,
+        |    round(delta, 4) AS delta, z,
+        |    row_number() OVER (PARTITION BY grp ORDER BY z DESC, term)
+        |      ::BIGINT AS rank
+        |  FROM dd)
+        |SELECT source, term, n_group_term, delta, z, rank FROM rk
+        |WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "ann_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |c AS (SELECT label, i, round(avg(x), 6) AS m FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.label, sum(e.x * c.m) AS dp,
+        |    sqrt(sum(e.x * e.x)) AS nv, sqrt(sum(c.m * c.m)) AS nc
+        |  FROM e JOIN c ON e.label = c.label AND e.i = c.i
+        |  GROUP BY e.vec_id, e.label),
+        |r AS (SELECT label, vec_id,
+        |    round(CASE WHEN nv * nc > 0 THEN dp / (nv * nc)
+        |      ELSE 0.0 END, 5) AS cosine
+        |  FROM d),
+        |rk AS (SELECT label, vec_id, cosine,
+        |    row_number() OVER (PARTITION BY label ORDER BY cosine, vec_id)
+        |      ::BIGINT AS rank
+        |  FROM r)
+        |SELECT label, vec_id, cosine, rank FROM rk WHERE rank <= 10
+        |ORDER BY label, rank""".stripMargin,
+    "q_hopping" ->
+      """WITH e AS (SELECT epoch_us(ts)::BIGINT AS us, event_type, value
+        |  FROM events),
+        |x AS (SELECT ((us // 600000000) - i) * 600000000 AS w_start_us,
+        |    event_type, value
+        |  FROM e CROSS JOIN range(0, 3) t(i))
+        |SELECT w_start_us, event_type, count(*)::BIGINT AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2
+        |ORDER BY w_start_us, event_type""".stripMargin,
+    "q_psi_drift" ->
+      """WITH r AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |c AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |s AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |w AS (SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 10
+        |    ELSE 1.0 END AS wd FROM s),
+        |br AS (SELECT greatest(least(floor((r.v - w.lo) / w.wd), 9), 0)
+        |    ::BIGINT AS bucket, count(*)::BIGINT AS n_ref
+        |  FROM r, w GROUP BY 1),
+        |bc AS (SELECT greatest(least(floor((c.v - w.lo) / w.wd), 9), 0)
+        |    ::BIGINT AS bucket, count(*)::BIGINT AS n_new
+        |  FROM c, w GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 10))::BIGINT AS bucket, lo, wd
+        |  FROM w),
+        |j AS (SELECT grid.bucket, grid.lo, grid.wd,
+        |    coalesce(br.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(bc.n_new, 0)::BIGINT AS n_new
+        |  FROM grid LEFT JOIN br ON grid.bucket = br.bucket
+        |    LEFT JOIN bc ON grid.bucket = bc.bucket),
+        |t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_new)::DOUBLE AS tn
+        |  FROM j),
+        |p AS (SELECT j.*, greatest(j.n_ref / t.tr, 0.0001) AS p_ref,
+        |    greatest(j.n_new / t.tn, 0.0001) AS p_new
+        |  FROM j, t)
+        |SELECT bucket, round(lo + bucket * wd, 6) AS lo_edge,
+        |  round(lo + (bucket + 1) * wd, 6) AS hi_edge, n_ref, n_new,
+        |  round(p_ref, 6) AS p_ref, round(p_new, 6) AS p_new,
+        |  round((p_new - p_ref) * ln(p_new / p_ref), 6) AS contrib
+        |FROM p ORDER BY bucket""".stripMargin,
+    "q_compaction_plan" ->
+      """WITH inv AS (SELECT o_orderpriority AS part,
+        |    'f' || o_orderkey::VARCHAR AS file,
+        |    (floor(o_totalprice) + 1)::BIGINT AS bytes FROM orders),
+        |c AS (SELECT part, file, bytes,
+        |    coalesce(sum(bytes) OVER (PARTITION BY part ORDER BY file
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM inv)
+        |SELECT part, file, bytes, (before // 1000000)::BIGINT AS bin,
+        |  (before - (before // 1000000) * 1000000)::BIGINT AS bin_offset
+        |FROM c ORDER BY part, file""".stripMargin
   )
+
+  /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,
+   * effective_from, effective_to, version)`): the identical
+   * construction [[graft.ops.Snapshot.scd2]] folds — per-user
+   * (ts, event_id)-ordered lag dedup of the content hash, then lead
+   * validity bounds and a row_number version ordinal over the
+   * change rows only. */
+  private val scd2Cte: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
+      |    event_type,
+      |    md5(concat_ws('|', CAST(event_type AS VARCHAR))) AS vh
+      |  FROM events),
+      |c AS (SELECT *, lag(vh) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS ph FROM e),
+      |f AS (SELECT user_id, ts_us, event_id, event_type FROM c
+      |  WHERE ph IS NULL OR ph <> vh),
+      |v AS (SELECT user_id, event_type, ts_us AS effective_from,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS effective_to,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id)::INT AS version
+      |  FROM f)
+      |""".stripMargin
 }
