@@ -2330,6 +2330,27 @@ object SparkEntry {
       graft.ops.Layout.compactionPlan(inv, "part", "file", "bytes",
           targetBytes = 1000000L)
         .orderBy("part", "file")
+    }),
+    "q_jaro_linkage" -> ((s, dir) => {
+      // name-similarity linkage over brand blocks scored by the native
+      // graft_jaro codegen kernel — exact DuckDB jaro_winkler_similarity
+      // semantics (3000-pair randomized cross-check), JW length-cap
+      // prune provably lossless, 4dp round-before-cut
+      graft.ops.Linkage.jaroSelfJoin(
+          t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+            col("p_name")),
+          Seq("p_brand"), "p_name", "p_partkey", minSim = 0.9)
+        .orderBy("id_a", "id_b")
+    }),
+    "text_oov_rate" -> ((s, dir) => {
+      // tokenizer vocab-coverage audit: OOV share per doc against the
+      // df>=5 corpus vocabulary; explode → AQE-decided vocab join →
+      // one doc-keyed aggregation, empty docs stay in the report
+      val d = t(s, dir, "documents")
+      val vocab = graft.ops.TextMetrics.invertedIndex(d, "text", "doc_id",
+        minDf = 5L).select(col("term"))
+      graft.ops.TextMetrics.oovRate(d, "text", "doc_id", vocab, "term")
+        .orderBy("doc_id")
     })
   )
 
@@ -3872,7 +3893,34 @@ object SparkEntry {
         |  FROM inv)
         |SELECT part, file, bytes, (before // 1000000)::BIGINT AS bin,
         |  (before - (before // 1000000) * 1000000)::BIGINT AS bin_offset
-        |FROM c ORDER BY part, file""".stripMargin
+        |FROM c ORDER BY part, file""".stripMargin,
+    "q_jaro_linkage" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
+    "text_oov_rate" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |voc AS (SELECT term FROM (SELECT term,
+        |      count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+        |  WHERE df >= 5),
+        |j AS (SELECT t.doc_id, t.term, v.term IS NOT NULL AS inv
+        |  FROM tok t LEFT JOIN voc v USING (term)),
+        |a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |    count(*) FILTER (WHERE NOT inv)::BIGINT AS n_oov
+        |  FROM j GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(a.n_oov, 0)::BIGINT AS n_oov,
+        |  CASE WHEN coalesce(a.n_tokens, 0) > 0
+        |    THEN round(coalesce(a.n_oov, 0) / a.n_tokens::DOUBLE, 4)
+        |    ELSE 0.0 END AS oov_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 
   /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,

@@ -82,6 +82,8 @@ object GraftFunctions {
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_ratio", ratioBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_jaro", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -97,5 +99,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_ratio"),
       new ExpressionInfo(classOf[ClippedExpRatio].getName, "graft_ratio"),
       (exprs: Seq[Expression]) => GraftFunctions.ratioBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_jaro"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro"),
+      (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
   }
 }

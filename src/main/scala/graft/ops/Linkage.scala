@@ -130,4 +130,56 @@ object Linkage {
       .select((col("id_l") +: col("id_r") +: blockCols.map(l(_))) ++
         Seq(col("dist"), col("match_rank")): _*)
   }
+
+  /**
+   * Jaro–Winkler self-linkage: the name-matching variant — same blocked
+   * equi-join shape as [[fuzzySelfJoin]], scored by the native
+   * `graft_jaro` kernel (graft.functions.JaroWinkler; codegen'd, exact
+   * DuckDB-`jaro_winkler_similarity` semantics) and kept at
+   * `sim >= minSim` (4dp-rounded before the cut, so near-threshold libm
+   * noise can't flip membership between engines). Emits (id_a, id_b,
+   * blocks…, sim) with id_a < id_b.
+   *
+   * The length prune here is the JW bound, provably lossless: with
+   * la <= lb every character of the shorter side matching still caps
+   * jaro at (2 + la/lb)/3, and the Winkler boost at its l=4 maximum
+   * lifts that to at most 0.6·jaro + 0.4 — pairs whose length ratio
+   * cannot reach `minSim` never run the kernel. (For minSim <= 0.4 the
+   * bound prunes nothing and the blocks carry the full cost — JW is a
+   * HIGH-threshold matcher; pair it with tight blocks.)
+   */
+  def jaroSelfJoin(
+      df: DataFrame, blockCols: Seq[String], strCol: String, idCol: String,
+      minSim: Double, saltBuckets: Int = 1): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blocking columns are required: an unblocked fuzzy join is a cartesian product")
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val saltKeys = blockCols :+ "_salt"
+    val left = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id_a") :+ col(strCol).as("_sa")): _*)
+      .withColumn("_salt", pmod(xxhash64(col("id_a")), lit(saltBuckets.toLong)))
+      .repartition(nPart, saltKeys.map(col): _*)
+    val right = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id_b") :+ col(strCol).as("_sb")): _*)
+      .withColumn("_salt", explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+      .repartition(nPart, saltKeys.map(col): _*)
+    val la = length(col("_sa")).cast("double")
+    val lb = length(col("_sb")).cast("double")
+    val jaroCap = (lit(2.0) + least(la, lb) / greatest(la, lb)) / 3.0
+    val simCap = jaroCap + lit(0.4) * (lit(1.0) - jaroCap)
+    val joined = left.join(right,
+      (blockCols.map(c => left(c) === right(c)) :+ (left("_salt") === right("_salt")))
+        .reduce(_ && _)
+        && col("id_a") < col("id_b")
+        && simCap >= minSim)
+    // one generator evaluation of the kernel (the fuzzySelfJoin rule)
+    val sim = round(call_function("graft_jaro", col("_sa"), col("_sb")), 4)
+    joined
+      .select((col("id_a") +: col("id_b") +: blockCols.map(left(_))) :+
+        explode(when(sim >= minSim, array(sim))
+          .otherwise(array().cast("array<double>"))).as("sim"): _*)
+  }
 }

@@ -1269,6 +1269,36 @@ object TextMetrics {
   }
 
   /**
+   * Vocabulary coverage / OOV-rate audit — the tokenizer-drift check a
+   * training pipeline runs before committing a corpus to a fixed vocab:
+   * per document, how many tokens fall outside `vocab`? A rising OOV
+   * share on fresh crawls is the signal to retrain the tokenizer or
+   * re-curate the source. Output: id, n_tokens, n_oov, oov_frac (4dp,
+   * 0.0 for empty documents).
+   *
+   * Shape at scale: one explode → vocab LEFT join (vocab projected to
+   * distinct terms; AQE broadcasts a tokenizer-sized vocab, and a
+   * degenerate corpus-sized one still shuffles as a plain equi-join) →
+   * one doc-keyed aggregation. explode_outer keeps zero-token documents
+   * in the report (absence from an audit is not a pass).
+   */
+  def oovRate(docs: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, termCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode_outer(filter(split(col(textCol), " ", -1),
+        x => x =!= "")).as("term"))
+    val v = vocab.select(col(termCol).as("term")).distinct()
+      .withColumn("_in", lit(1L))
+    toks.join(v, Seq("term"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("term")).as("n_tokens"),
+        coalesce(sum(when(col("term").isNotNull && col("_in").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_oov"))
+      .withColumn("oov_frac", when(col("n_tokens") > 0,
+        round(col("n_oov") / col("n_tokens"), 4)).otherwise(lit(0.0)))
+  }
+
+  /**
    * Distinctive terms per group — the log-odds-ratio with informative
    * Dirichlet prior of Monroe et al. 2008 ("Fightin' Words"), the
    * statistically honest version of c-TF-IDF: which vocabulary

@@ -408,4 +408,37 @@ class PlanAuditSpec extends AnyFunSuite {
     // the sort must be within partitions (Sort ... global=false), never global
     assert(!p.contains("global=true"), s"global sort in layout plan:\n$p")
   }
+
+  test("distinctiveTerms: WindowGroupLimit top-k, no global sort, no action") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.distinctiveTerms(docs, "text", "source",
+        k = 5, minCount = 5L)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group top-k did not rewrite to WindowGroupLimit:\n$p")
+    assert(!p.contains("global=true"), s"global sort in plan:\n$p")
+  }
+
+  test("histogram: two keyed aggregations, no window, no SinglePartition") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = graft.ops.Profile.histogram(li, "l_extendedprice", 20,
+        Seq("l_returnflag"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"unexpected window in histogram plan:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"histogram funnels through one partition:\n$p")
+  }
+
+  test("centroidOutliers: bottom-k is WindowGroupLimit, no global sort") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.centroidOutliers(emb, "vec_id",
+        "embedding", "label", bottomK = 5)
+      .queryExecution.executedPlan.toString
+    // the centroid frame is labels x dim — AQE broadcasts it at runtime;
+    // the static audit pins the bottom-k shape and the absence of any
+    // global sort (the join strategy is a runtime size decision)
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k did not rewrite to WindowGroupLimit:\n$p")
+    assert(!p.contains("global=true"), s"global sort in plan:\n$p")
+  }
 }

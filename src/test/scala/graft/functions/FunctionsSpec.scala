@@ -87,4 +87,36 @@ class FunctionsSpec extends AnyFunSuite {
       l.contains("graft_dot") && l.trim.startsWith("*(")),
       s"graft_dot not inside a codegen stage:\n$plan")
   }
+
+  test("graft_jaro: textbook fixtures, DuckDB edge conventions, codegen") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // classic published values + the DuckDB empty-string convention
+    // (either side empty scores 0, including both empty)
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("jellyfish", "smellyfish", 0.8962962962962964),
+      ("CRATES", "TRACES", 0.7777777777777778), // jaro <= 0.7: no boost
+      ("abc", "abc", 1.0),
+      ("ab", "ba", 0.0), // m = 0 at window 0
+      ("", "", 0.0), ("a", "", 0.0), ("", "a", 0.0))
+    val got = cases.toDF("a", "b", "want")
+      .selectExpr("graft_jaro(a, b) AS got", "want").collect()
+    got.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12, r.toString))
+    // interpreted eval agrees with the codegen'd path
+    val e = graft.functions.JaroWinklerKernel.simStr("dixon", "dicksonx")
+    assert(math.abs(e - 0.8133333333333332) < 1e-12)
+    // kernel sits inside a WholeStageCodegen stage
+    val plan = spark.range(10).toDF("i")
+      .selectExpr("cast(i as string) AS s")
+      .selectExpr("graft_jaro(s, 'x') AS j")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_jaro") && l.trim.startsWith("*(")),
+      s"graft_jaro not inside a codegen stage:\n$plan")
+    // supplementary code points count as ONE character
+    assert(graft.functions.JaroWinklerKernel.simStr("😀", "😀") == 1.0)
+  }
 }

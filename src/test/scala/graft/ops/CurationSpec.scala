@@ -439,6 +439,39 @@ class CurationSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------------- Linkage
 
+  test("jaroSelfJoin == brute force within blocks; length cap is lossless") {
+    import spark.implicits._
+    // names engineered around the 0.9 threshold: near-identical pairs,
+    // transposed pairs, and length-ratio pairs the cap must NOT misprune
+    val rows = (for {
+      b <- Seq("x", "y"); i <- 0 until 12
+    } yield (b, i.toLong + (if (b == "y") 100L else 0L),
+      Seq("martha", "marhta", "marthas", "dixon", "dicksonx", "ab",
+        "abcdefgh", "abcdefghijklmnop", "m", "marth", "martha jones",
+        "zzzzz")(i))).toDF("blk", "id", "nm")
+    val got = Linkage.jaroSelfJoin(rows, Seq("blk"), "nm", "id",
+        minSim = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    val data = rows.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2)))
+    val want = (for {
+      (ba, ia, sa) <- data; (bb, ib, sb) <- data
+      if ba == bb && ia < ib
+      s = BigDecimal(graft.functions.JaroWinklerKernel.simStr(sa, sb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if s >= 0.85
+    } yield (ia, ib, s)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture should produce real matches")
+    // salting changes nothing
+    val salted = Linkage.jaroSelfJoin(rows, Seq("blk"), "nm", "id",
+        minSim = 0.85, saltBuckets = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    assert(salted == want)
+  }
+
   test("fuzzySelfJoin == unblocked brute force within blocks") {
     import spark.implicits._
     // strings engineered so some pairs sit exactly ON the threshold and

@@ -1960,6 +1960,20 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("oovRate: closed-form coverage incl. empty doc and all-OOV doc") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a c"), (2L, ""), (3L, "x y"), (4L, "a x"))
+      .toDF("id", "text")
+    val vocab = Seq("a", "b", "b").toDF("term") // dup vocab rows collapse
+    val got = TextMetrics.oovRate(d, "text", "id", vocab, "term").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((4L, 1L, 0.25))) // only 'c' is OOV
+    assert(got(2L) == ((0L, 0L, 0.0))) // empty doc stays in the report
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(4L) == ((2L, 1L, 0.5)))
+  }
+
   test("psiDrift: closed-form two-bin index, clamping, null drift is ~zero") {
     import spark.implicits._
     val ref = (0 until 10).map(i => Tuple1(i.toDouble)).toDF("v")

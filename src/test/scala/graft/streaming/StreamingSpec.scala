@@ -47,6 +47,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq == batch.toSeq) // one code path, two engines
   }
 
+  test("hopping windows on a stream: Complete-mode == batch, 3x replication") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, round, sum, window}
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts(0), "click", 1.0), Event(2, ts(1), "click", 2.0),
+      Event(1, ts(2), "view", 3.0), Event(3, ts(6), "click", 4.0),
+      Event(2, ts(7), "view", 5.0), Event(1, ts(11), "click", 6.0))
+    mem.addData(events: _*)
+    def hop(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "6 minutes", "2 minutes").as("w"),
+        col("event_type"))
+      .agg(count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        round(sum("value"), 2).as("sv"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
+    val q = hop(mem.toDF()).writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("hop_out").start()
+    q.processAllAvailable(); q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("ws", "event_type").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    val streamed = norm(spark.table("hop_out"))
+    val batch = norm(hop(events.toDF()))
+    assert(streamed == batch)
+    // every event sits in exactly size/slide = 3 windows
+    assert(batch.map(_._3).sum == events.size * 3)
+  }
+
   test("stateless text operators run unchanged on streams: scrub, chunk, strip") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
