@@ -2351,6 +2351,50 @@ object SparkEntry {
         minDf = 5L).select(col("term"))
       graft.ops.TextMetrics.oovRate(d, "text", "doc_id", vocab, "term")
         .orderBy("doc_id")
+    }),
+    "q_entropy" -> ((s, dir) => {
+      // per-column Shannon entropy profile (block-key/partition-key
+      // quality signal): all columns in ONE scan via an in-project
+      // unpivot, (col, value) counts map-side combined
+      graft.ops.Profile.entropyProfile(t(s, dir, "documents"),
+          Seq("lang", "source"))
+        .orderBy("col_name")
+    }),
+    "q_mutual_info" -> ((s, dir) => {
+      // mutual information between return flag and line status — the
+      // feature-redundancy/leakage probe; joint counts once, marginals
+      // derived from them, total as a 1-row subtree
+      graft.ops.Profile.mutualInfo(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")
+    }),
+    "graph_kcore" -> ((s, dir) => {
+      // k-core peel on the 997-node orders multigraph (k=21 → 908
+      // survivors after a real multi-round cascade); the iterative
+      // fixpoint has no single-query SQL form → rows-only gate, with
+      // the brute-force-peel equality spec as the semantic anchor
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"),
+        (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.kCore(e, "src", "dst", k = 21)
+        .orderBy("node")
+    }),
+    "q_winsorize" -> ((s, dir) => {
+      // per-source doc-length winsorization at the exact [5%, 95%]
+      // band — robustOutliers flags the tail, this reins it in
+      graft.ops.Profile.winsorize(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars", pLo = 0.05, pHi = 0.95)
+        .orderBy("source", "doc_id")
+    }),
+    "q_cusum" -> ((s, dir) => {
+      // CUSUM drift alarm over each event type's daily-mean series;
+      // daily means 4dp-rounded so the series itself is engine-
+      // identical before the sequential fold; oracle replays the
+      // recurrence as a recursive CTE
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.cusum(daily, "event_type", "day", "x")
+        .orderBy("event_type", "ts")
     })
   )
 
@@ -3920,7 +3964,76 @@ object SparkEntry {
         |    THEN round(coalesce(a.n_oov, 0) / a.n_tokens::DOUBLE, 4)
         |    ELSE 0.0 END AS oov_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_entropy" ->
+      """WITH pairs AS (
+        |  SELECT 'lang' AS col_name, lang::VARCHAR AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source::VARCHAR FROM documents),
+        |c AS (SELECT col_name, v, count(*)::BIGINT AS c FROM pairs
+        |  GROUP BY 1, 2),
+        |a AS (SELECT col_name, sum(c)::BIGINT AS n,
+        |    coalesce(sum(c) FILTER (WHERE v IS NULL), 0)::BIGINT
+        |      AS n_nulls,
+        |    count(*) FILTER (WHERE v IS NOT NULL)::BIGINT AS n_distinct,
+        |    (sum(c) FILTER (WHERE v IS NOT NULL))::DOUBLE AS nn,
+        |    sum(c * ln(c)) FILTER (WHERE v IS NOT NULL) AS clogc
+        |  FROM c GROUP BY 1)
+        |SELECT col_name, n, n_nulls, n_distinct,
+        |  round(CASE WHEN nn > 0 THEN ln(nn) - clogc / nn
+        |    ELSE 0.0 END, 4) AS entropy,
+        |  round(CASE WHEN n_distinct > 1
+        |    THEN (ln(nn) - clogc / nn) / ln(n_distinct::DOUBLE)
+        |    ELSE 0.0 END, 4) AS norm_entropy
+        |FROM a ORDER BY col_name""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT l_returnflag::VARCHAR AS a,
+        |    l_linestatus::VARCHAR AS b, count(*)::BIGINT AS c_ab
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM j GROUP BY 1),
+        |mb AS (SELECT b, sum(c_ab)::BIGINT AS c_b FROM j GROUP BY 1),
+        |t AS (SELECT sum(c_ab)::DOUBLE AS n FROM j)
+        |SELECT max(t.n)::BIGINT AS n,
+        |  count(DISTINCT j.a)::BIGINT AS n_distinct_a,
+        |  count(DISTINCT j.b)::BIGINT AS n_distinct_b,
+        |  round(coalesce(sum((j.c_ab / t.n)
+        |    * ln(t.n * j.c_ab / (ma.c_a * mb.c_b))), 0.0), 4) AS mi
+        |FROM j JOIN ma USING (a) JOIN mb USING (b), t""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT source, doc_id, n_chars::DOUBLE AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT source, quantile_cont(v, 0.05) AS lo,
+        |    quantile_cont(v, 0.95) AS hi FROM b GROUP BY source)
+        |SELECT b.source, b.doc_id, b.v AS value,
+        |  round(greatest(least(b.v, c.hi), c.lo), 4) AS clipped,
+        |  (b.v > c.hi OR b.v < c.lo) AS was_clipped
+        |FROM b JOIN c USING (source) ORDER BY source, doc_id""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |st AS (SELECT k, avg(x) AS mu, coalesce(stddev_samp(x), 0.0) AS sd
+        |  FROM daily GROUP BY 1),
+        |seq AS (SELECT daily.k, d, x, mu, sd,
+        |    row_number() OVER (PARTITION BY daily.k ORDER BY d) AS rn
+        |  FROM daily JOIN st ON daily.k = st.k),
+        |r AS (
+        |  SELECT k, rn, d, x, mu, sd,
+        |    greatest(0.0, x - mu - 0.5 * sd) AS hi,
+        |    greatest(0.0, mu - x - 0.5 * sd) AS lo
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x, s.mu, s.sd,
+        |    greatest(0.0, r.hi + (s.x - s.mu - 0.5 * s.sd)),
+        |    greatest(0.0, r.lo + (s.mu - s.x - 0.5 * s.sd))
+        |  FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS event_type, d AS ts, x, round(hi, 4) AS cusum_hi,
+        |  round(lo, 4) AS cusum_lo,
+        |  (hi > 4.0 * sd OR lo > 4.0 * sd) AS alarm
+        |FROM r ORDER BY event_type, ts""".stripMargin
   )
 
   /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,

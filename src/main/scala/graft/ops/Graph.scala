@@ -136,4 +136,58 @@ object Graph {
           round(lit(2.0) * coalesce(col("n_tri"), lit(0L))
             / (col("deg") * (col("deg") - 1)), 4)).as("clustering"))
   }
+
+  /**
+   * k-core of the undirected simple graph — the densely-knit subgraph
+   * left after repeatedly peeling every node of degree < k (Seidman
+   * 1983). The spam/link-farm core detector that survives where raw
+   * degree fails: a star hub has huge degree but dies in the 2-core
+   * peel the moment its leaves do, while a ring of mutually-linking
+   * domains survives any k ≤ ring degree. Output: the surviving
+   * (node, core_deg) rows — core_deg is the node's degree WITHIN the
+   * k-core (≥ k by definition).
+   *
+   * Peeling is inherently iterative (a removal can drop a neighbor
+   * below k — the fixpoint is the classic chip-away): each round is one
+   * degree aggregation + one semi-join edge filter, both keyed on node
+   * ids, nothing global. Rounds are bounded by `maxRounds` as a safety
+   * rail — the fixpoint is detected with ONE count() action per round
+   * (the loop-control exception to the no-actions rule, same as the
+   * connectedComponents convergence check), and lineage truncates via
+   * localCheckpoint each round so plan depth stays bounded. Worst case
+   * (a path graph peeling one end per round) is O(n) rounds — real link
+   * graphs converge in tens; the peel count monotonically shrinks so
+   * every round is cheaper than the last.
+   */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    // undirected simple: collapse direction + multi-edges, drop loops
+    val und = edges
+      .select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    var e = und.localCheckpoint()
+    var round = 0
+    var done = false
+    while (round < maxRounds && !done) {
+      val deg = e.select(col("a").as("node"))
+        .unionAll(e.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select("node")
+      val e2 = e
+        .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .localCheckpoint()
+      done = e2.count() == e.count() // fixpoint: nothing peeled this round
+      e = e2
+      round += 1
+    }
+    e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("core_deg"))
+      .filter(col("core_deg") >= k)
+  }
 }

@@ -401,6 +401,164 @@ object Profile {
    * documented degenerate case; callers wanting a floor can pre-clamp.
    */
   /**
+   * Per-group winsorization — clip values into their group's
+   * [pLo, pHi] exact-percentile band, the standard outlier-taming
+   * transform before averaging quality scores or fitting anything
+   * moment-based (robustOutliers FLAGS the tail; this REINS IT IN
+   * without dropping rows). Output: original columns intent —
+   * groupCol, idCol, value, clipped (4dp), was_clipped.
+   *
+   * One exact keyed percentile aggregation joined back group-keyed
+   * (AQE broadcasts small group counts); swap approx_percentile for
+   * the fixed-state sketch path at 100 TB.
+   */
+  def winsorize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, pLo: Double = 0.01, pHi: Double = 0.99): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi,
+      s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    val v = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), v.as("_v"))
+    val cuts = base.groupBy(col(groupCol))
+      .agg(percentile(col("_v"), lit(pLo)).as("_lo"),
+        percentile(col("_v"), lit(pHi)).as("_hi"))
+    base.join(cuts, Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("_v").as("value"),
+        round(greatest(least(col("_v"), col("_hi")), col("_lo")), 4)
+          .as("clipped"),
+        (col("_v") > col("_hi") || col("_v") < col("_lo"))
+          .as("was_clipped"))
+  }
+
+  /**
+   * CUSUM change-point flagging per key (Page 1954): the metric-drift
+   * alarm for per-source/per-day pipeline health series. Against a
+   * reference mean μ and slack s·σ, the one-sided cumulative sums
+   *   hi_t = max(0, hi_{t−1} + (x_t − μ − slack))
+   *   lo_t = max(0, lo_{t−1} + (μ − x_t − slack))
+   * flag when either exceeds h·σ — small persistent shifts accumulate
+   * where a fixed threshold only sees single spikes. μ and σ come from
+   * the series itself (each key self-baselines; pass a pre-joined μ/σ
+   * frame upstream when an external baseline exists).
+   *
+   * The recurrence is inherently sequential PER KEY: it runs as one
+   * key-partitioned window collecting the ordered (ts, x) pairs and ONE
+   * per-row `aggregate` fold over them (the funnel/maskRepeatedSpans
+   * pattern — k passes never multiply, no UDF). State per key is its
+   * own series — the per-key-series-fits-in-memory envelope every
+   * per-key sequential statistic shares (transitionMatrix, funnel);
+   * beyond it, pre-bucket the series to coarser periods first
+   * (resampleFill is the materializing primitive).
+   * Output: key, ts, x, cusum_hi, cusum_lo (4dp), alarm.
+   */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      slack: Double = 0.5, h: Double = 4.0): DataFrame = {
+    require(slack >= 0 && h > 0, s"need slack >= 0, h > 0; got ($slack, $h)")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(valueCol).cast("double").as("_x"))
+    val stats = base.groupBy(col(keyCol))
+      .agg(avg(col("_x")).as("_mu"),
+        coalesce(stddev_samp(col("_x")), lit(0.0)).as("_sd"))
+    val series = base.join(stats, Seq(keyCol))
+      .groupBy(col(keyCol), col("_mu"), col("_sd"))
+      .agg(sort_array(collect_list(struct(col("_t"), col("_x"))))
+        .as("_pts"))
+    // one left-to-right fold carrying (hi, lo); emits a row per point
+    val folded = series.withColumn("_steps", expr(
+      s"""aggregate(
+        |  _pts,
+        |  struct(
+        |    cast(0.0 as double) AS hi, cast(0.0 as double) AS lo,
+        |    cast(array() as array<struct<t:bigint,x:double,hi:double,lo:double>>) AS out),
+        |  (acc, p) -> struct(
+        |    greatest(cast(0.0 as double), acc.hi + (p._x - _mu - $slack * _sd)) AS hi,
+        |    greatest(cast(0.0 as double), acc.lo + (_mu - p._x - $slack * _sd)) AS lo,
+        |    concat(acc.out, array(struct(p._t AS t, p._x AS x,
+        |      greatest(cast(0.0 as double), acc.hi + (p._x - _mu - $slack * _sd)) AS hi,
+        |      greatest(cast(0.0 as double), acc.lo + (_mu - p._x - $slack * _sd)) AS lo))) AS out),
+        |  acc -> acc.out)""".stripMargin))
+    folded
+      .select(col(keyCol), col("_sd"), explode(col("_steps")).as("s"))
+      .select(col(keyCol), col("s.t").as("ts"), col("s.x").as("x"),
+        round(col("s.hi"), 4).as("cusum_hi"),
+        round(col("s.lo"), 4).as("cusum_lo"),
+        (col("s.hi") > lit(h) * col("_sd") ||
+          col("s.lo") > lit(h) * col("_sd")).as("alarm"))
+  }
+
+  /**
+   * Per-column Shannon entropy profile — the "is this column worth
+   * grouping/blocking/salting on" signal: near-zero entropy means the
+   * column is basically constant (useless block key, harmless to prune);
+   * entropy near ln(n_distinct) means uniform spread (a good partition
+   * key, a bad compression target). All k columns profile in ONE scan:
+   * values unpivot to (column, value-as-string) pairs inside the
+   * project, aggregate map-side to (column, value) counts, then one
+   * tiny per-column rollup computes H = −Σ p·ln p over NON-NULL values
+   * (nulls reported separately, never a probability mass). Output:
+   * col_name, n, n_nulls, n_distinct, entropy (4dp), norm_entropy
+   * (H / ln(n_distinct), 4dp; 0 when n_distinct <= 1).
+   *
+   * The explode is a k× row blowup in CPU only — the shuffle carries
+   * the (column, value) partial counts, already combined per map task.
+   */
+  def entropyProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "entropyProfile needs at least one column")
+    val pairs = df.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+      .as("p")).select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+    val counts = pairs.groupBy("col_name", "v")
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy("col_name").agg(
+      sum(col("c")).as("n"),
+      coalesce(sum(when(col("v").isNull, col("c"))), lit(0L)).as("n_nulls"),
+      count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+      sum(when(col("v").isNotNull, col("c"))).as("_nn"),
+      sum(when(col("v").isNotNull,
+        col("c") * log(col("c")))).as("_clogc"))
+      .select(col("col_name"), col("n"), col("n_nulls"), col("n_distinct"),
+        round(when(col("_nn") > 0,
+          log(col("_nn")) - col("_clogc") / col("_nn"))
+          .otherwise(lit(0.0)), 4).as("entropy"),
+        round(when(col("n_distinct") > 1,
+          (log(col("_nn")) - col("_clogc") / col("_nn")) /
+            log(col("n_distinct").cast("double")))
+          .otherwise(lit(0.0)), 4).as("norm_entropy"))
+  }
+
+  /**
+   * Mutual information between two categorical columns — the feature-
+   * redundancy / leakage probe (MI ≈ 0: independent; MI ≈ min(H_a, H_b):
+   * one determines the other; a label-leaking feature shows high MI
+   * with the target). Computed over rows where BOTH sides are non-NULL:
+   * MI = Σ_ab p_ab · ln(p_ab / (p_a · p_b)), with the numerically
+   * stable count form Σ c_ab/n · ln(n·c_ab/(c_a·c_b)). One joint
+   * (a, b) aggregation (map-side combined) + two marginal rollups
+   * DERIVED from it + a 1-row total — no second scan, no action.
+   * Output: 1 row — n, n_distinct_a, n_distinct_b, mi (4dp).
+   */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ma = joint.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val mb = joint.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val tot = joint.agg(sum("c_ab").cast("double").as("n"),
+      count(lit(1)).as("_cells"))
+    joint.join(ma, "a").join(mb, "b").crossJoin(tot)
+      .agg(
+        max(col("n")).cast("long").as("n"),
+        countDistinct(col("a")).as("n_distinct_a"),
+        countDistinct(col("b")).as("n_distinct_b"),
+        round(coalesce(sum((col("c_ab") / col("n")) *
+          log(col("n") * col("c_ab") / (col("c_a") * col("c_b")))),
+          lit(0.0)), 4).as("mi"))
+  }
+
+  /**
    * Distribution-drift report between two corpus versions — the
    * Population Stability Index over a fixed binning, the retraining/
    * alerting trigger every production data pipeline ends up needing

@@ -689,4 +689,45 @@ class CurationSpec extends AnyFunSuite {
       !plan.contains("BroadcastNestedLoopJoin"),
       s"triangle counting planned a product:\n$plan")
   }
+
+  test("kCore: ring survives, star and chain die, == brute-force peel") {
+    import spark.implicits._
+    // ring 0..5 (deg 2 each) + star center 10 with leaves 11..15 +
+    // chain 20-21-22; the 2-core is exactly the ring: the star dies
+    // WITH its center (leaves peel -> center degree drops to 0), the
+    // chain unravels end-in — the cascade raw degree filtering misses
+    val ring = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong))
+    val star = (11 to 15).map(l => (10L, l.toLong))
+    val chain = Seq((20L, 21L), (21L, 22L))
+    val got = Graph.kCore((ring ++ star ++ chain).toDF("s", "d"),
+        "s", "d", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 6).map(i => i.toLong -> 2L).toMap)
+    // brute-force peel equality on a pseudo-random graph
+    val edges = (0 until 400).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (h % 50L, (h / 50L) % 50L)
+    }
+    val simple = edges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    def peel(k: Int): Map[Long, Int] = {
+      var adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+      var changed = true
+      while (changed) {
+        changed = false
+        adj.find(_._2.size < k).foreach { case (n, _) =>
+          adj = (adj - n).map { case (m, vs) => m -> (vs - n) }
+          changed = true
+        }
+      }
+      adj.map { case (n, vs) => n -> vs.size }
+    }
+    for (k <- Seq(2, 4, 6)) {
+      val want = peel(k).map { case (n, d) => n -> d.toLong }
+      val core = Graph.kCore(edges.toDF("s", "d"), "s", "d", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(core == want, s"k=$k diverged from brute-force peel")
+    }
+  }
 }

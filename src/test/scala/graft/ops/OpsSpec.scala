@@ -1960,6 +1960,78 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("winsorize: exact-percentile clipping, flags, group independence") {
+    import spark.implicits._
+    val df = ((1 to 10).map(i => ("g", i.toLong, i.toDouble)) ++
+      Seq(("h", 50L, 1000.0), ("h", 51L, 0.0), ("h", 52L, 500.0)))
+      .toDF("grp", "id", "v")
+    val got = Profile.winsorize(df, "grp", "id", "v",
+        pLo = 0.1, pHi = 0.9).collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // group g: p10 = 1.9, p90 = 9.1 (quantile_cont interpolation)
+    assert(got(1L) == ((1.9, true)) && got(10L) == ((9.1, true)))
+    assert(got(5L) == ((5.0, false)))
+    // group h clips independently of g
+    assert(got(50L)._2 && !got(52L)._2)
+  }
+
+  test("cusum: reference-fold equality, drift alarms, constant series silent") {
+    import spark.implicits._
+    // a planted level shift: quiet stretch then a sustained +10 step
+    val xs = Seq.fill(8)(0.0) ++ Seq.fill(8)(10.0)
+    val df = xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) }
+      .toDF("key", "t", "x")
+    val out = Profile.cusum(df, "key", "t", "x", slack = 0.5, h = 1.0)
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5))).sortBy(_._1)
+    // reference fold in plain Scala, 4dp-rounded like the operator
+    val mu = xs.sum / xs.size
+    val sd = math.sqrt(xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1))
+    var hi = 0.0; var lo = 0.0
+    val want = xs.zipWithIndex.map { case (x, i) =>
+      hi = math.max(0.0, hi + (x - mu - 0.5 * sd))
+      lo = math.max(0.0, lo + (mu - x - 0.5 * sd))
+      (i.toLong, hi, lo, hi > 1.0 * sd || lo > 1.0 * sd)
+    }
+    out.zip(want).foreach { case ((t, gh, gl, ga), (wt, wh, wl, wa)) =>
+      assert(t == wt && math.abs(gh - wh) < 1e-4 && math.abs(gl - wl) < 1e-4
+        && ga == wa, s"t=$t: got ($gh,$gl,$ga) want ($wh,$wl,$wa)")
+    }
+    assert(want.exists(_._4), "the planted shift must raise an alarm")
+    // constant series: everything 0, no alarm
+    val flat = (0 until 6).map(i => ("c", i.toLong, 7.0)).toDF("key", "t", "x")
+    val fr = Profile.cusum(flat, "key", "t", "x").collect()
+    assert(fr.forall(r => r.getDouble(3) == 0.0 && !r.getBoolean(5)))
+  }
+
+  test("entropyProfile + mutualInfo: closed forms, nulls out of the mass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("a"), Some(1)),
+      (Some("b"), Some(2)), (Some("b"), None))
+      .toDF("x", "y")
+    val e = Profile.entropyProfile(df, Seq("x", "y")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // x: 2/2 split -> H = ln 2, norm 1; y: counts 2,1 over 3 non-null
+    assert(e("x") == ((4L, 0L, 2L, 0.6931, 1.0)))
+    val hy = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(e("y")._1 == 4L && e("y")._2 == 1L && e("y")._3 == 2L)
+    assert(math.abs(e("y")._4 - hy) < 1e-4)
+    // single-valued column: entropy and norm both 0
+    val e1 = Profile.entropyProfile(df.select(lit("k").as("z")), Seq("z"))
+      .collect().head
+    assert(e1.getDouble(4) == 0.0 && e1.getDouble(5) == 0.0)
+    // perfectly dependent pair: MI = ln 2; independent pair: MI = 0
+    val dep = Seq(("a", 1), ("a", 1), ("b", 2), ("b", 2)).toDF("p", "q")
+    val mi1 = Profile.mutualInfo(dep, "p", "q").collect().head
+    assert(math.abs(mi1.getDouble(3) - 0.6931) < 1e-9)
+    assert(mi1.getLong(0) == 4L && mi1.getLong(1) == 2L)
+    val ind = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 2)).toDF("p", "q")
+    assert(Profile.mutualInfo(ind, "p", "q").collect().head.getDouble(3)
+      == 0.0)
+  }
+
   test("oovRate: closed-form coverage incl. empty doc and all-OOV doc") {
     import spark.implicits._
     val d = Seq((1L, "a b a c"), (2L, ""), (3L, "x y"), (4L, "a x"))
