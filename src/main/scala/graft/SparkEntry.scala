@@ -2395,6 +2395,26 @@ object SparkEntry {
         .agg(round(avg("value"), 4).as("x"))
       graft.ops.Profile.cusum(daily, "event_type", "day", "x")
         .orderBy("event_type", "ts")
+    }),
+    "q_top_paths" -> ((s, dir) => {
+      // top user journeys: the 15 most common 3-step opening event
+      // paths — per-user ordered prefix collect, one path aggregation,
+      // TakeOrdered top-k (no global sort)
+      val ev = eventsTsUs(s, dir)
+      graft.ops.Behavior.topPaths(ev, "user_id", "ts_us", "event_type",
+          maxSteps = 3, k = 15)
+        .orderBy("rank")
+    }),
+    "graph_hits" -> ((s, dir) => {
+      // HITS hubs/authorities on the directed orders graph (8 rounds,
+      // L2-normalized, 10dp per-round rounding); iterative mutual
+      // recursion has no single-query SQL form → rows-only gate, with
+      // the reference-loop equality spec as the semantic anchor
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"),
+        (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.hits(e, "src", "dst", iters = 8)
+        .orderBy("node")
     })
   )
 
@@ -4033,7 +4053,20 @@ object SparkEntry {
         |SELECT k AS event_type, d AS ts, x, round(hi, 4) AS cusum_hi,
         |  round(lo, 4) AS cusum_lo,
         |  (hi > 4.0 * sd OR lo > 4.0 * sd) AS alarm
-        |FROM r ORDER BY event_type, ts""".stripMargin
+        |FROM r ORDER BY event_type, ts""".stripMargin,
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
+        |    event_type AS et FROM events),
+        |p AS (SELECT u, array_to_string(
+        |    (list(et ORDER BY t, et))[1:3], '>') AS path
+        |  FROM e GROUP BY u),
+        |c AS (SELECT path, count(*)::BIGINT AS n_users FROM p GROUP BY 1),
+        |tt AS (SELECT sum(n_users)::DOUBLE AS tot FROM c),
+        |r AS (SELECT path, n_users, round(n_users / tt.tot, 4) AS share,
+        |    row_number() OVER (ORDER BY n_users DESC, path)::BIGINT AS rank
+        |  FROM c, tt)
+        |SELECT path, n_users, share, rank FROM r WHERE rank <= 15
+        |ORDER BY rank""".stripMargin
   )
 
   /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,

@@ -118,4 +118,44 @@ object Behavior {
       .select(col("cohort"), col("offset"), col("n_active"),
         round(col("n_active") / col("n_cohort"), 4).as("retention"))
   }
+
+  /**
+   * Top user journeys — the k most common opening event paths: each
+   * key's first `maxSteps` event types in (ts, type) order joined with
+   * '>' (the "view>click>purchase" strings every product-analytics tool
+   * leads with), counted across keys. Output: path, n_users, share
+   * (4dp), rank — top-k by (n desc, path).
+   *
+   * One key-partitioned shuffle collecting each key's step-prefix
+   * (sort_array slice — per-key state is maxSteps structs, NOT the
+   * key's full history… the collect is the full event list pre-slice,
+   * so the per-key-series envelope of funnel/cusum applies; pre-filter
+   * event types or time ranges upstream for keys with pathological
+   * volumes), one path aggregation (map-side combined), top-k by
+   * TakeOrdered — never a global sort.
+   */
+  def topPaths(df: DataFrame, keyCol: String, tsMicrosCol: String,
+      typeCol: String, maxSteps: Int, k: Int): DataFrame = {
+    require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val paths = df
+      .select(col(keyCol).as("u"), col(tsMicrosCol).cast("long").as("ts"),
+        col(typeCol).cast("string").as("et"))
+      .groupBy("u")
+      .agg(sort_array(collect_list(struct(col("ts"), col("et"))))
+        .as("evs"))
+      .select(array_join(
+        transform(slice(col("evs"), 1, maxSteps), e => e("et")), ">")
+        .as("path"))
+    val counts = paths.groupBy("path").agg(count(lit(1)).as("n_users"))
+    val total = counts.agg(sum("n_users").cast("double").as("_tot"))
+    counts.crossJoin(total)
+      .select(col("path"), col("n_users"),
+        round(col("n_users") / col("_tot"), 4).as("share"))
+      .orderBy(desc("n_users"), col("path"))
+      .limit(k)
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .orderBy(desc("n_users"), col("path"))).cast("long"))
+  }
 }

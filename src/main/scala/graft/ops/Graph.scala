@@ -138,6 +138,58 @@ object Graph {
   }
 
   /**
+   * HITS hubs and authorities (Kleinberg 1999) — PageRank's directed
+   * dual for curation: an AUTHORITY is linked by good hubs (the pages
+   * worth keeping), a HUB links to good authorities (the directories /
+   * link lists worth crawling from — and the link farms worth
+   * investigating when hub score decouples from authority). The mutual
+   * recursion a = E'h, h = Ea runs `iters` rounds with L2
+   * normalization; scores round to 10 decimals per iteration (the
+   * pageRank determinism-by-rounding contract) and 6dp on output.
+   * Multi-edges count multiplicity, matching pageRank.
+   *
+   * Per round: one edges⋈scores join + one aggregation per direction,
+   * norms as 1-row aggregate subtrees (no actions), localCheckpoint
+   * lineage truncation. Output: (node, hub, authority) for every node.
+   */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var scores = nodes.select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
+    for (t <- 0 until iters) {
+      val aRaw = nodes.join(
+        e.join(scores.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("ar")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("ar"), lit(0.0)).as("ar"))
+      val aNorm = aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("an"))
+      val aDf = aRaw.crossJoin(aNorm)
+        .select(col("node"),
+          round(when(col("an") > 0, col("ar") / col("an"))
+            .otherwise(lit(0.0)), 10).as("a"))
+      val hRaw = nodes.join(
+        e.join(aDf.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("a").as("hr")),
+        Seq("node"), "left")
+        .select(col("node"), coalesce(col("hr"), lit(0.0)).as("hr"))
+      val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("hn"))
+      val hDf = hRaw.crossJoin(hNorm)
+        .select(col("node"),
+          round(when(col("hn") > 0, col("hr") / col("hn"))
+            .otherwise(lit(0.0)), 10).as("h"))
+      scores = hDf.join(aDf, "node")
+      if ((t + 1) % checkpointEvery == 0 && t + 1 < iters)
+        scores = scores.localCheckpoint()
+    }
+    scores.select(col("node"), round(col("h"), 6).as("hub"),
+      round(col("a"), 6).as("authority"))
+  }
+
+  /**
    * k-core of the undirected simple graph — the densely-knit subgraph
    * left after repeatedly peeling every node of degree < k (Seidman
    * 1983). The spam/link-farm core detector that survives where raw

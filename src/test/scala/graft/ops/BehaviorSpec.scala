@@ -122,4 +122,27 @@ class BehaviorSpec extends AnyFunSuite {
       Behavior.cohortRetention(df, "u", "ts", 0L)
     }
   }
+
+  test("topPaths: ordered prefixes, short histories, tie ranks, shares") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "buy"),
+      (1L, 40L, "view"), // 4th event never enters a 3-step path
+      (2L, 5L, "view"), (2L, 6L, "click"), (2L, 7L, "buy"),
+      (3L, 1L, "view"), (3L, 2L, "view"),  // short history: 2-step path
+      (4L, 9L, "click"),                   // single event path
+      (5L, 3L, "b"), (5L, 3L, "a"))        // equal ts: type breaks the tie
+      .toDF("u", "ts", "et")
+    val got = Behavior.topPaths(ev, "u", "ts", "et", maxSteps = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    val byPath = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byPath("view>click>buy") == ((2L, 0.4)))
+    assert(byPath("view>view") == ((1L, 0.2)))
+    assert(byPath("click") == ((1L, 0.2)))
+    assert(byPath("a>b") == ((1L, 0.2))) // ts tie ordered by type
+    // rank 1 is the modal path; ranks are dense over the returned rows
+    assert(got.find(_._4 == 1L).get._1 == "view>click>buy")
+    assert(got.map(_._4).sorted.toSeq == (1L to got.length).toSeq)
+  }
 }

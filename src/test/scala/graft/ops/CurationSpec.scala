@@ -690,6 +690,41 @@ class CurationSpec extends AnyFunSuite {
       s"triangle counting planned a product:\n$plan")
   }
 
+  test("hits == reference power loop; hubs and authorities separate") {
+    import spark.implicits._
+    // bipartite-ish fixture: 0,1 are pure hubs pointing at 10,11,12;
+    // 20 is an isolated-ish node with one outlink to a weak target
+    val edges = Seq((0L, 10L), (0L, 11L), (0L, 12L), (1L, 10L), (1L, 11L),
+      (20L, 30L))
+    val got = Graph.hits(edges.toDF("s", "d"), "s", "d", iters = 6)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // reference loop (same 10dp per-round rounding)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var h = nodes.map(_ -> 1.0).toMap
+    var a = nodes.map(_ -> 1.0).toMap
+    def r10(x: Double) =
+      BigDecimal(x).setScale(10, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (_ <- 0 until 6) {
+      val ar = nodes.map(n =>
+        n -> edges.filter(_._2 == n).map(e => h(e._1)).sum).toMap
+      val an = math.sqrt(ar.values.map(x => x * x).sum)
+      a = ar.map { case (n, x) => n -> r10(if (an > 0) x / an else 0.0) }
+      val hr = nodes.map(n =>
+        n -> edges.filter(_._1 == n).map(e => a(e._2)).sum).toMap
+      val hn = math.sqrt(hr.values.map(x => x * x).sum)
+      h = hr.map { case (n, x) => n -> r10(if (hn > 0) x / hn else 0.0) }
+    }
+    nodes.foreach { n =>
+      assert(math.abs(got(n)._1 - h(n)) < 1e-6, s"hub($n)")
+      assert(math.abs(got(n)._2 - a(n)) < 1e-6, s"authority($n)")
+    }
+    // structure: 0 out-hubs 1 (3 targets vs 2); 10,11 out-rank 12; pure
+    // hubs have zero authority and pure authorities zero hub score
+    assert(got(0L)._1 > got(1L)._1 && got(10L)._2 > got(12L)._2)
+    assert(got(10L)._1 == 0.0 && got(0L)._2 == 0.0)
+  }
+
   test("kCore: ring survives, star and chain die, == brute-force peel") {
     import spark.implicits._
     // ring 0..5 (deg 2 each) + star center 10 with leaves 11..15 +
