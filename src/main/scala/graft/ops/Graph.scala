@@ -149,18 +149,26 @@ object Graph {
    * Multi-edges count multiplicity, matching pageRank.
    *
    * Per round: one edges⋈scores join + one aggregation per direction,
-   * norms as 1-row aggregate subtrees (no actions), localCheckpoint
-   * lineage truncation. Output: (node, hub, authority) for every node.
+   * norms as 1-row aggregate subtrees, then ONE localCheckpoint of the
+   * round's (node, h, a) frame. The checkpoint each round is
+   * load-bearing, not hygiene: the norm crossJoins and the h←a
+   * dependency re-reference the round's frames up to ~8×, so an
+   * UN-truncated recursion multiplies its predecessor's lineage every
+   * round — exponential re-execution by round 8 (measured: 100 s on a
+   * 997-node graph from exactly this; 5 s with the per-round cut).
+   * Within a round the ≤8× re-evaluation of a shallow nodes-sized join
+   * is cheaper than extra materialization jobs would be.
+   * Output: (node, hub, authority) for every node.
    */
-  def hits(edges: DataFrame, srcCol: String, dstCol: String, iters: Int,
-      checkpointEvery: Int = 4): DataFrame = {
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct()
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
     var scores = nodes.select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
-    for (t <- 0 until iters) {
+    for (_ <- 0 until iters) {
       val aRaw = nodes.join(
         e.join(scores.select(col("node").as("src"), col("h")), "src")
           .groupBy(col("dst").as("node")).agg(sum("h").as("ar")),
@@ -181,9 +189,7 @@ object Graph {
         .select(col("node"),
           round(when(col("hn") > 0, col("hr") / col("hn"))
             .otherwise(lit(0.0)), 10).as("h"))
-      scores = hDf.join(aDf, "node")
-      if ((t + 1) % checkpointEvery == 0 && t + 1 < iters)
-        scores = scores.localCheckpoint()
+      scores = hDf.join(aDf, "node").localCheckpoint()
     }
     scores.select(col("node"), round(col("h"), 6).as("hub"),
       round(col("a"), 6).as("authority"))
