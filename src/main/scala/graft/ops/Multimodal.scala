@@ -350,6 +350,134 @@ object Multimodal {
       }
   }
 
+  /**
+   * 64-bit difference hash (dHash, the Krawetz perceptual hash): the
+   * REAL decoded pixels area-average to a 9×8 grayscale grid and bit
+   * (r, c) is set when cell (r, c) is brighter than its right
+   * neighbor. Resilient to rescaling, recompression, and brightness
+   * shifts — the things that defeat byte-level dedup on crawled
+   * images — while near-duplicates differ in a few bits of Hamming
+   * distance. None when ImageIO cannot decode.
+   */
+  private[ops] def dHash(payload: Array[Byte]): Option[Long] = {
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val gw = 9
+        val gh = 8
+        val cells = new Array[Double](gw * gh)
+        var r = 0
+        while (r < gh) {
+          val y0 = (r.toLong * h / gh).toInt
+          val y1 = math.max(y0 + 1, ((r + 1).toLong * h / gh).toInt)
+          var c = 0
+          while (c < gw) {
+            val x0 = (c.toLong * w / gw).toInt
+            val x1 = math.max(x0 + 1, ((c + 1).toLong * w / gw).toInt)
+            var s = 0.0
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val argb = img.getRGB(x, y)
+                s += 0.299 * ((argb >>> 16) & 0xff) +
+                  0.587 * ((argb >>> 8) & 0xff) + 0.114 * (argb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            cells(r * gw + c) = s / ((y1 - y0).toLong * (x1 - x0))
+            c += 1
+          }
+          r += 1
+        }
+        var bits = 0L
+        var i = 0
+        r = 0
+        while (r < gh) {
+          var c = 0
+          while (c < gw - 1) {
+            if (cells(r * gw + c) > cells(r * gw + c + 1)) bits |= (1L << i)
+            i += 1
+            c += 1
+          }
+          r += 1
+        }
+        Some(bits)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  case class MediaHash(id: Long, n_bytes: Long, format: String,
+      real_decode: Boolean, dhash: Long)
+
+  /** Perceptual dHash over a binary image column — REAL ImageIO decode;
+   * undecodable payloads fall back to a deterministic byte-hash (flagged
+   * `real_decode = false`) so the pipeline stays total. One narrow
+   * mapPartitions pass, no shuffle. */
+  def imageHashes(df: DataFrame, idCol: String,
+      binaryCol: String): Dataset[MediaHash] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(it => it.map { r =>
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        val fmt = sniffMeta(payload)._1
+        dHash(payload) match {
+          case Some(bits) =>
+            MediaHash(r.id, payload.length.toLong, fmt, real_decode = true, bits)
+          case None =>
+            val f = stubFeatures(payload, 4)
+            val bits = f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+              acc | ((java.lang.Float.floatToIntBits(v).toLong & 0xffffL) << (16 * i))
+            }
+            MediaHash(r.id, payload.length.toLong, fmt, real_decode = false, bits)
+        }
+      })
+  }
+
+  /**
+   * Image near-duplicate pairs by perceptual hash: [[imageHashes]] then
+   * the SimHash pigeonhole — split the 64-bit hash into `bands` equal
+   * bit-bands and equi-join on (band index, band value): any pair
+   * within `maxHamming` < bands Hamming bits MUST agree on at least
+   * one whole band (pigeonhole — the candidate set provably contains
+   * every true pair), then the exact `bit_count(xor)` verify keeps
+   * pairs at distance <= maxHamming, each once (id_a < id_b). The same
+   * banded shape as Dedup.simhashPairs: candidate generation is an
+   * equi-join shuffle, never an all-pairs product.
+   */
+  def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole needs maxHamming < bands, got $maxHamming vs $bands")
+    val width = 64 / bands
+    val hashes = imageHashes(df, idCol, binaryCol).toDF()
+      .filter(col("real_decode")) // stub hashes are identity-only, not perceptual
+      .select(col("id"), col("dhash"))
+    val banded = hashes.select(col("id"), col("dhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("dhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("id_a"),
+      col("dhash").as("ha"))
+    val b = banded.select(col("band"), col("key"), col("id").as("id_b"),
+      col("dhash").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long").as("hamming"))
+      .distinct() // a close pair can agree on several bands
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sampling plumbing for "video": split a payload into fixed-size
    * chunks (stand-in for frames), explode to one row per sampled frame. */
   def sampleFrames(

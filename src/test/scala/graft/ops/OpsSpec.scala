@@ -1073,6 +1073,49 @@ class OpsSpec extends AnyFunSuite {
     assert(frames.columns.toSeq == Seq("doc_id", "frame_idx", "frame_payload"))
   }
 
+  test("dHash: scale-invariant, locally perturbed images stay close, " +
+    "distinct images far; banded pairs == exact hamming") {
+    import spark.implicits._
+    def pattern(x: Int, y: Int): Int = {
+      val v = ((x * 13 + y * 31) ^ (x * y / 7)) & 0xff
+      (v << 16) | (((x + y) & 0xff) << 8) | ((x * 3) & 0xff)
+    }
+    val base = encodeImage("png", 120, 90, pattern)
+    // the SAME scene at a different resolution
+    val scaled = encodeImage("png", 60, 45, (x, y) => pattern(x * 2, y * 2))
+    // a light local perturbation (one corner patch recolored)
+    val perturbed = encodeImage("png", 120, 90, (x, y) =>
+      if (x < 10 && y < 8) 0xffffff else pattern(x, y))
+    // a genuinely different scene
+    val other = encodeImage("png", 120, 90, (x, y) =>
+      (((x * x + y * y) & 0xff) << 16) | 0x4040)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val Some(hb) = Multimodal.dHash(base)
+    val Some(hs) = Multimodal.dHash(scaled)
+    val Some(hp) = Multimodal.dHash(perturbed)
+    val Some(ho) = Multimodal.dHash(other)
+    assert(ham(hb, hs) <= 3, s"rescale moved ${ham(hb, hs)} bits")
+    assert(ham(hb, hp) <= 3, s"local patch moved ${ham(hb, hp)} bits")
+    assert(ham(hb, ho) > 10, s"distinct scenes only ${ham(hb, ho)} bits apart")
+    // distributed banded pairs == exact all-pairs hamming at the cut
+    val rows = Seq((1L, base), (2L, scaled), (3L, perturbed), (4L, other),
+      (5L, Array[Byte](1, 2, 3))) // undecodable: excluded, never a pair
+    val df = rows.toDF("id", "payload")
+    val got = Multimodal.imageNearDupPairs(df, "id", "payload",
+        maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs4 = Map(1L -> hb, 2L -> hs, 3L -> hp, 4L -> ho)
+    val want = (for {
+      (ia, ha) <- hs4; (ib, hb2) <- hs4
+      if ia < ib && ham(ha, hb2) <= 3
+    } yield (ia, ib, ham(ha, hb2).toLong)).toSet
+    assert(got == want)
+    assert(want.nonEmpty, "fixture must contain perceptual near-dups")
+    // hashes frame reports the stub fallback honestly
+    val hf = Multimodal.imageHashes(df, "id", "payload").collect()
+    assert(hf.count(_.real_decode) == 4 && hf.count(!_.real_decode) == 1)
+  }
+
   /** Encode a solid-color or gradient image with the JDK's own writers so
    * the decode test exercises REAL codec bytes, not handcrafted headers. */
   private def encodeImage(fmt: String, w: Int, h: Int,
