@@ -2415,6 +2415,27 @@ object SparkEntry {
         (col("o_orderkey") % 997).as("dst"))
       graft.ops.Graph.hits(e, "src", "dst", iters = 8)
         .orderBy("node")
+    }),
+    "q_retrieval_eval" -> ((s, dir) => {
+      // retrieval evaluation: a deliberately imperfect length-ranked
+      // retriever scored against tf-graded judgments for 3 query terms
+      // — recall/precision@10, MRR, graded nDCG per query
+      import org.apache.spark.sql.expressions.Window
+      val d = t(s, dir, "documents")
+      val tf = d.select(col("doc_id"),
+          explode(split(col("text"), " ", -1)).as("w"))
+        .filter(col("w").isin("query", "dup", "spark"))
+        .groupBy(col("w").as("qid"), col("doc_id").as("doc"))
+        .agg(count(lit(1)).as("tf"))
+      val results = tf
+        .join(d.select(col("doc_id").as("doc"), col("n_chars")), "doc")
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("n_chars"), col("doc"))))
+        .filter(col("rank") <= 10).select("qid", "doc", "rank")
+      val qrels = tf.select(col("qid"), col("doc"),
+        least(col("tf"), lit(3L)).as("grade"))
+      graft.ops.Similarity.retrievalMetrics(results, qrels, k = 10)
+        .orderBy("qid")
     })
   )
 
@@ -4066,7 +4087,48 @@ object SparkEntry {
         |    row_number() OVER (ORDER BY n_users DESC, path)::BIGINT AS rank
         |  FROM c, tt)
         |SELECT path, n_users, share, rank FROM r WHERE rank <= 15
-        |ORDER BY rank""".stripMargin
+        |ORDER BY rank""".stripMargin,
+    "q_retrieval_eval" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS w FROM documents),
+        |tf AS (SELECT w AS qid, doc_id AS doc, count(*)::BIGINT AS tf
+        |  FROM tok WHERE w IN ('query', 'dup', 'spark') GROUP BY 1, 2),
+        |res AS (SELECT tf.qid, tf.doc, row_number() OVER (
+        |      PARTITION BY tf.qid ORDER BY d.n_chars DESC, tf.doc)
+        |      ::BIGINT AS rank
+        |  FROM tf JOIN documents d ON d.doc_id = tf.doc
+        |  QUALIFY rank <= 10),
+        |qr AS (SELECT qid, doc, least(tf, 3)::DOUBLE AS grade FROM tf),
+        |nrel AS (SELECT qid,
+        |    count(*) FILTER (WHERE grade > 0)::BIGINT AS n_rel
+        |  FROM qr GROUP BY 1),
+        |j AS (SELECT r.qid, r.doc, r.rank, coalesce(q.grade, 0.0) AS grade
+        |  FROM res r LEFT JOIN qr q ON q.qid = r.qid AND q.doc = r.doc),
+        |h AS (SELECT qid,
+        |    count(*) FILTER (WHERE grade > 0)::BIGINT AS n_hit,
+        |    min(rank) FILTER (WHERE grade > 0) AS first_rel,
+        |    sum((pow(2.0, grade) - 1.0) / (ln(rank + 1.0) / ln(2.0)))
+        |      AS dcg
+        |  FROM j GROUP BY 1),
+        |ideal AS (SELECT qid, grade, row_number() OVER (
+        |      PARTITION BY qid ORDER BY grade DESC, doc)::BIGINT AS irank
+        |  FROM qr WHERE grade > 0 QUALIFY irank <= 10),
+        |i AS (SELECT qid,
+        |    sum((pow(2.0, grade) - 1.0) / (ln(irank + 1.0) / ln(2.0)))
+        |      AS idcg
+        |  FROM ideal GROUP BY 1)
+        |SELECT n.qid, n.n_rel,
+        |  round(CASE WHEN n.n_rel > 0
+        |    THEN coalesce(h.n_hit, 0) / n.n_rel::DOUBLE
+        |    ELSE 0.0 END, 4) AS recall_k,
+        |  round(coalesce(h.n_hit, 0) / 10.0, 4) AS precision_k,
+        |  round(coalesce(1.0 / h.first_rel, 0.0), 4) AS mrr_k,
+        |  round(CASE WHEN i.idcg > 0
+        |    THEN coalesce(h.dcg, 0.0) / i.idcg
+        |    ELSE 0.0 END, 4) AS ndcg_k
+        |FROM nrel n LEFT JOIN h USING (qid) LEFT JOIN i USING (qid)
+        |ORDER BY qid""".stripMargin
   )
 
   /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,

@@ -351,6 +351,68 @@ object Multimodal {
   }
 
   /**
+   * 64-bit audio fingerprint — the energy-envelope dHash: the decoded
+   * PCM stream (the decodeWav RIFF walk, same strictness rules) splits
+   * into 65 equal time windows, RMS energy per window, bit i set when
+   * window i is louder than window i+1. Duration-normalized by
+   * construction (windows are fractions of the clip), amplitude-scale
+   * invariant (uniform gain preserves every energy comparison), robust
+   * to resampling — the cheap pre-filter before any expensive acoustic
+   * match. None for non-PCM / malformed payloads.
+   */
+  private[ops] def audioHash(p: Array[Byte]): Option[Long] = {
+    @inline def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def ascii(i: Int, n: Int): String =
+      if (i + n <= p.length) new String(p, i, n, "US-ASCII") else ""
+    try {
+      if (p.length < 44 || ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE")
+        return None
+      var fmtTag = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      var i = 12
+      var stop = false
+      while (!stop && i + 8 <= p.length) {
+        val id = ascii(i, 4)
+        val sz = le32(i + 4)
+        if (sz < 0) stop = true
+        else {
+          if (id == "fmt " && i + 24 <= p.length) {
+            fmtTag = le16(i + 8); bits = le16(i + 22)
+          } else if (id == "data") {
+            if (i + 8L + sz <= p.length) { dataOff = i + 8; dataLen = sz }
+            else stop = true
+          }
+          i += 8 + sz + (sz & 1)
+        }
+      }
+      if (fmtTag != 1 || dataOff < 0 || dataLen <= 0 ||
+          (bits != 8 && bits != 16)) return None
+      val bytesPer = bits / 8
+      val nVals = dataLen / bytesPer
+      if (nVals < 65) return None // too short for a 65-window envelope
+      val windows = 65
+      val energy = new Array[Double](windows)
+      var k = 0
+      while (k < nVals) {
+        val v =
+          if (bits == 8) (u8(dataOff + k) - 128) / 128.0
+          else le16(dataOff + 2 * k).toShort / 32768.0
+        energy(((k.toLong * windows) / nVals).toInt) += v * v
+        k += 1
+      }
+      var hash = 0L
+      var w = 0
+      while (w < windows - 1) {
+        if (energy(w) > energy(w + 1)) hash |= (1L << w)
+        w += 1
+      }
+      Some(hash)
+    } catch { case _: IndexOutOfBoundsException => None }
+  }
+
+  /**
    * 64-bit difference hash (dHash, the Krawetz perceptual hash): the
    * REAL decoded pixels area-average to a 9×8 grayscale grid and bit
    * (r, c) is set when cell (r, c) is brighter than its right
@@ -429,12 +491,7 @@ object Multimodal {
         dHash(payload) match {
           case Some(bits) =>
             MediaHash(r.id, payload.length.toLong, fmt, real_decode = true, bits)
-          case None =>
-            val f = stubFeatures(payload, 4)
-            val bits = f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
-              acc | ((java.lang.Float.floatToIntBits(v).toLong & 0xffffL) << (16 * i))
-            }
-            MediaHash(r.id, payload.length.toLong, fmt, real_decode = false, bits)
+          case None => stubHash(r.id, payload, fmt)
         }
       })
   }
@@ -451,14 +508,55 @@ object Multimodal {
    * equi-join shuffle, never an all-pairs product.
    */
   def imageNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
-      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingPairs(imageHashes(df, idCol, binaryCol).toDF(), maxHamming, bands)
+
+  /** Audio sibling of [[imageNearDupPairs]]: [[audioHash]] envelope
+   * fingerprints under the same pigeonhole banding + exact verify. */
+  def audioNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    hammingPairs(audioHashes(df, idCol, binaryCol).toDF(), maxHamming, bands)
+
+  /** Envelope fingerprints over a binary WAV column; non-PCM payloads
+   * fall back to the byte-hash stub flagged `real_decode = false`. */
+  def audioHashes(df: DataFrame, idCol: String,
+      binaryCol: String): Dataset[MediaHash] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(it => it.map { r =>
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        val fmt = sniffMeta(payload)._1
+        audioHash(payload) match {
+          case Some(bits) =>
+            MediaHash(r.id, payload.length.toLong, fmt, real_decode = true, bits)
+          case None => stubHash(r.id, payload, fmt)
+        }
+      })
+  }
+
+  private def stubHash(id: Long, payload: Array[Byte], fmt: String): MediaHash = {
+    val f = stubFeatures(payload, 4)
+    val bits = f.zipWithIndex.foldLeft(0L) { case (acc, (v, i)) =>
+      acc | ((java.lang.Float.floatToIntBits(v).toLong & 0xffffL) << (16 * i))
+    }
+    MediaHash(id, payload.length.toLong, fmt, real_decode = false, bits)
+  }
+
+  /** Shared banded Hamming pair join over a (id, dhash, real_decode)
+   * hash frame — the SimHash pigeonhole: maxHamming < bands guarantees
+   * a matching whole band, so candidates provably contain every true
+   * pair; exact bit_count(xor) verifies. Equi-join shuffle, never an
+   * all-pairs product; stub hashes (identity-only, not perceptual) are
+   * excluded. */
+  private def hammingPairs(hashFrame: DataFrame, maxHamming: Int,
+      bands: Int): DataFrame = {
     require(bands >= 1 && 64 % bands == 0,
       s"bands must divide 64, got $bands")
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole needs maxHamming < bands, got $maxHamming vs $bands")
     val width = 64 / bands
-    val hashes = imageHashes(df, idCol, binaryCol).toDF()
-      .filter(col("real_decode")) // stub hashes are identity-only, not perceptual
+    val hashes = hashFrame.filter(col("real_decode"))
       .select(col("id"), col("dhash"))
     val banded = hashes.select(col("id"), col("dhash"),
       explode(array((0 until bands).map(b =>

@@ -556,6 +556,64 @@ object Similarity {
   }
 
   /**
+   * Retrieval evaluation metrics — the harness that says whether the
+   * ANN/BM25/hybrid tier is any good: per query, recall@k,
+   * precision@k, MRR@k, and nDCG@k of a ranked `results` frame
+   * (qid, doc, rank) against a `qrels` frame (qid, doc, grade; grade
+   * > 0 = relevant, graded levels feed nDCG). Missing judgments score
+   * grade 0 (the TREC convention). nDCG uses the standard exponential
+   * gain (2^grade − 1) with the ln(r+1)/ln 2 discount — written as the
+   * ln quotient on BOTH engines so the oracle is bit-identical; IDCG
+   * ranks each query's judgments by (grade desc, doc) so ties are
+   * deterministic. Queries with no relevant documents score 0 across
+   * the board (not NULL — an unanswerable query is a 0, not a gap).
+   * Output: qid, n_rel, recall_k, precision_k, mrr_k, ndcg_k (4dp).
+   *
+   * Shape at scale: every join and window partitions by qid — per-query
+   * result lists are k-bounded by construction and judgment lists are
+   * evaluation-sized, so state per key is tiny and query count drives
+   * parallelism. No global sort, no collect.
+   */
+  def retrievalMetrics(results: DataFrame, qrels: DataFrame, k: Int,
+      qidCol: String = "qid", docCol: String = "doc",
+      rankCol: String = "rank", gradeCol: String = "grade"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val res = results.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+      col(rankCol).cast("long").as("rank")).filter(col("rank") <= k)
+    val rel = qrels.select(col(qidCol).as("qid"), col(docCol).as("doc"),
+      col(gradeCol).cast("double").as("grade"))
+    val perQ = rel.groupBy("qid").agg(
+      sum(when(col("grade") > 0, 1L).otherwise(0L)).as("n_rel"))
+    val joined = res.join(rel, Seq("qid", "doc"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0.0)))
+    val hits = joined.groupBy("qid").agg(
+      sum(when(col("grade") > 0, 1L).otherwise(0L)).as("n_hit"),
+      min(when(col("grade") > 0, col("rank"))).as("first_rel"),
+      sum((pow(lit(2.0), col("grade")) - 1.0) /
+        (log(col("rank") + 1.0) / log(lit(2.0)))).as("dcg"))
+    val iw = Window.partitionBy("qid").orderBy(desc("grade"), col("doc"))
+    val idcg = rel.filter(col("grade") > 0)
+      .withColumn("irank", row_number().over(iw))
+      .filter(col("irank") <= k)
+      .groupBy("qid").agg(
+        sum((pow(lit(2.0), col("grade")) - 1.0) /
+          (log(col("irank") + 1.0) / log(lit(2.0)))).as("idcg"))
+    perQ.join(hits, Seq("qid"), "left").join(idcg, Seq("qid"), "left")
+      .select(col("qid"), col("n_rel"),
+        round(when(col("n_rel") > 0,
+          coalesce(col("n_hit"), lit(0L)) / col("n_rel").cast("double"))
+          .otherwise(lit(0.0)), 4).as("recall_k"),
+        round(coalesce(col("n_hit"), lit(0L)) / lit(k.toDouble), 4)
+          .as("precision_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 4)
+          .as("mrr_k"),
+        round(when(col("idcg").isNotNull && col("idcg") > 0,
+          coalesce(col("dcg"), lit(0.0)) / col("idcg"))
+          .otherwise(lit(0.0)), 4).as("ndcg_k"))
+  }
+
+  /**
    * Per-label embedding centroids — the mean vector of each labeled
    * slice (domain, cluster, language), rounded to 6dp per coordinate so
    * any engine/partitioning reproduces the same centroid (the

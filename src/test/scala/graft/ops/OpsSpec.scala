@@ -1116,6 +1116,42 @@ class OpsSpec extends AnyFunSuite {
     assert(hf.count(_.real_decode) == 4 && hf.count(!_.real_decode) == 1)
   }
 
+  test("audioHash: gain-invariant, resample-robust, distinct envelopes " +
+    "far; banded pairs == exact hamming") {
+    import spark.implicits._
+    def wave(n: Int, f: Int => Double): Array[Short] =
+      (0 until n).map(i => (f(i) * 32000).toShort).toArray
+    def env1(i: Int): Double =
+      math.sin(i * 0.05) * (0.15 + 0.85 * math.abs(math.sin(i * 0.0011)))
+    val base = encodeWav16(8000, 1, wave(8000, env1))
+    val half = encodeWav16(8000, 1, wave(8000, i => env1(i) * 0.5))
+    val resamp = encodeWav16(4000, 1, wave(4000, i => env1(i * 2)))
+    val other = encodeWav16(8000, 1, wave(8000, i =>
+      math.sin(i * 0.11) * (0.15 + 0.85 * math.abs(math.cos(i * 0.0023)))))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val Some(hb) = Multimodal.audioHash(base)
+    val Some(hh) = Multimodal.audioHash(half)
+    val Some(hr) = Multimodal.audioHash(resamp)
+    val Some(ho) = Multimodal.audioHash(other)
+    assert(ham(hb, hh) <= 2, s"uniform gain moved ${ham(hb, hh)} bits")
+    assert(ham(hb, hr) <= 4, s"2x resample moved ${ham(hb, hr)} bits")
+    assert(ham(hb, ho) > 10, s"distinct envelopes ${ham(hb, ho)} bits apart")
+    val rows = Seq((1L, base), (2L, half), (3L, resamp), (4L, other),
+      (5L, Array[Byte](9, 9, 9))) // not a WAV: stub, excluded from pairs
+    val got = Multimodal.audioNearDupPairs(rows.toDF("id", "payload"),
+        "id", "payload", maxHamming = 4, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hs4 = Map(1L -> hb, 2L -> hh, 3L -> hr, 4L -> ho)
+    val want = (for {
+      (ia, ha) <- hs4; (ib, hb2) <- hs4
+      if ia < ib && ham(ha, hb2) <= 4
+    } yield (ia, ib, ham(ha, hb2).toLong)).toSet
+    assert(got == want && want.nonEmpty)
+    val hf = Multimodal.audioHashes(rows.toDF("id", "payload"),
+      "id", "payload").collect()
+    assert(hf.count(_.real_decode) == 4 && hf.count(!_.real_decode) == 1)
+  }
+
   /** Encode a solid-color or gradient image with the JDK's own writers so
    * the decode test exercises REAL codec bytes, not handcrafted headers. */
   private def encodeImage(fmt: String, w: Int, h: Int,
@@ -2001,6 +2037,35 @@ class OpsSpec extends AnyFunSuite {
     // the shared term never outranks the planted one anywhere
     assert(got.filter(col("term") === "common" && col("rank") === 1)
       .count() == 0)
+  }
+
+  test("retrievalMetrics: closed-form graded nDCG, MRR, unanswerable query") {
+    import spark.implicits._
+    val results = Seq(
+      ("A", "d1", 1L), ("A", "d4", 2L), ("A", "d3", 3L), // d4 unjudged
+      ("B", "d9", 1L),                                   // no relevant at all
+      ("C", "d7", 1L))                                   // relevant exists, missed
+      .toDF("qid", "doc", "rank")
+    val qrels = Seq(
+      ("A", "d1", 3.0), ("A", "d2", 1.0), ("A", "d3", 2.0),
+      ("B", "d9", 0.0),                   // judged irrelevant
+      ("C", "d8", 2.0))
+      .toDF("qid", "doc", "grade")
+    val got = Similarity.retrievalMetrics(results, qrels, k = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val dcgA = (math.pow(2, 3) - 1) / lg2(2) + 0.0 +
+      (math.pow(2, 2) - 1) / lg2(4)
+    val idcgA = (math.pow(2, 3) - 1) / lg2(2) +
+      (math.pow(2, 2) - 1) / lg2(3) + (math.pow(2, 1) - 1) / lg2(4)
+    val wantA = BigDecimal(dcgA / idcgA)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("A")._1 == 3L)
+    assert(got("A")._2 == 0.6667 && got("A")._3 == 0.6667) // 2 of 3 rel hit
+    assert(got("A")._4 == 1.0 && got("A")._5 == wantA)
+    assert(got("B") == ((0L, 0.0, 0.0, 0.0, 0.0))) // unanswerable → zeros
+    assert(got("C") == ((1L, 0.0, 0.0, 0.0, 0.0))) // missed everything
   }
 
   test("winsorize: exact-percentile clipping, flags, group independence") {
