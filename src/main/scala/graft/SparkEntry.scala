@@ -2436,8 +2436,39 @@ object SparkEntry {
         least(col("tf"), lit(3L)).as("grade"))
       graft.ops.Similarity.retrievalMetrics(results, qrels, k = 10)
         .orderBy("qid")
+    }),
+    "q_classifier_metrics" -> ((s, dir) => {
+      // confusion metrics at a threshold for a deterministic (and
+      // honestly near-random on this synthetic corpus) stopword-density
+      // scorer vs the lang=en label; one full-scan aggregation
+      graft.ops.Profile.classifierMetrics(classifierEvalFrame(s, dir),
+        "score", "label", threshold = 0.03)
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // per-bin calibration decomposition (confidence vs observed
+      // positive rate), empty bins materialized
+      graft.ops.Profile.calibration(classifierEvalFrame(s, dir),
+          "score", "label", bins = 10)
+        .orderBy("bucket")
+    }),
+    "q_roc_auc" -> ((s, dir) => {
+      // exact rank-sum AUC with tie half-credit; scores 4dp-rounded so
+      // the distinct-score walk is bounded (the documented envelope)
+      graft.ops.Profile.rocAuc(classifierEvalFrame(s, dir),
+        "score", "label")
     })
   )
+
+  /** Shared eval frame for the classifier-metrics gates: score =
+   * {the,and,of}-token density (4dp), label = lang == 'en'. Both sides
+   * of the oracle build the identical frame. */
+  private def classifierEvalFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      expr("round(size(filter(split(text, ' ', -1), " +
+        "x -> x IN ('the','and','of'))) / " +
+        "nullif(cast(size(filter(split(text, ' ', -1), x -> x != '')) " +
+        "as double), 0.0), 4)").as("score"),
+      (col("lang") === "en").as("label"))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -4128,8 +4159,68 @@ object SparkEntry {
         |    THEN coalesce(h.dcg, 0.0) / i.idcg
         |    ELSE 0.0 END, 4) AS ndcg_k
         |FROM nrel n LEFT JOIN h USING (qid) LEFT JOIN i USING (qid)
-        |ORDER BY qid""".stripMargin
+        |ORDER BY qid""".stripMargin,
+    "q_classifier_metrics" -> (classifierEvalCte +
+      """m AS (SELECT count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE score >= 0.03 AND label)::BIGINT AS tp,
+        |    count(*) FILTER (WHERE score >= 0.03 AND NOT label)::BIGINT
+        |      AS fp,
+        |    count(*) FILTER (WHERE score < 0.03 AND NOT label)::BIGINT
+        |      AS tn,
+        |    count(*) FILTER (WHERE score < 0.03 AND label)::BIGINT AS fn
+        |  FROM sc WHERE score IS NOT NULL)
+        |SELECT n, tp, fp, tn, fn,
+        |  round((tp + tn) / n::DOUBLE, 4) AS accuracy,
+        |  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE
+        |    ELSE 0.0 END, 4) AS precision,
+        |  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE
+        |    ELSE 0.0 END, 4) AS recall,
+        |  round(CASE WHEN 2 * tp + fp + fn > 0
+        |    THEN 2.0 * tp / (2 * tp + fp + fn)::DOUBLE
+        |    ELSE 0.0 END, 4) AS f1
+        |FROM m""".stripMargin),
+    "q_calibration" -> (classifierEvalCte +
+      """b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n, avg(score) AS conf,
+        |    avg(label::INT::DOUBLE) AS acc
+        |  FROM sc WHERE score IS NOT NULL AND score >= 0.0
+        |    AND score <= 1.0
+        |  GROUP BY 1)
+        |SELECT g.bucket, coalesce(b.n, 0)::BIGINT AS n,
+        |  round(b.conf, 4) AS mean_score, round(b.acc, 4) AS frac_pos,
+        |  round(b.acc - b.conf, 4) AS gap
+        |FROM (SELECT unnest(range(0, 10))::BIGINT AS bucket) g
+        |LEFT JOIN b ON g.bucket = b.bucket
+        |ORDER BY g.bucket""".stripMargin),
+    "q_roc_auc" -> (classifierEvalCte +
+      """ps AS (SELECT score,
+        |    count(*) FILTER (WHERE label)::BIGINT AS np,
+        |    count(*) FILTER (WHERE NOT label)::BIGINT AS nn
+        |  FROM sc WHERE score IS NOT NULL GROUP BY score),
+        |c AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS below FROM ps)
+        |SELECT sum(np + nn)::BIGINT AS n, sum(np)::BIGINT AS n_pos,
+        |  sum(nn)::BIGINT AS n_neg,
+        |  round(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+        |    THEN sum(np * (below + nn / 2.0))
+        |      / (sum(np) * sum(nn))::DOUBLE
+        |    ELSE 0.0 END, 4) AS auc
+        |FROM c""".stripMargin)
   )
+
+  /** Shared classifier-eval CTE (`sc(doc_id, score, label)`): the exact
+   * frame [[classifierEvalFrame]] builds — {the,and,of}-token density
+   * 4dp over the nonempty-token count, label = lang = 'en'. */
+  private val classifierEvalCte: String =
+    """WITH sc AS (SELECT doc_id,
+      |    round(len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'and', 'of')))
+      |      / nullif(len(list_filter(string_split(text, ' '),
+      |        x -> x <> '')), 0)::DOUBLE, 4) AS score,
+      |    (lang = 'en') AS label
+      |  FROM documents),
+      |""".stripMargin
 
   /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,
    * effective_from, effective_to, version)`): the identical

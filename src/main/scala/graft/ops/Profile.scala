@@ -401,6 +401,110 @@ object Profile {
    * documented degenerate case; callers wanting a floor can pre-clamp.
    */
   /**
+   * Binary-classifier confusion metrics at a threshold — the offline
+   * eval for the learned quality/safety filters (QualityClassifier &
+   * co.): one row of tp/fp/tn/fn plus accuracy, precision, recall, F1
+   * (4dp; 0 where the denominator is empty, not NULL). ONE full-scan
+   * aggregation; rows with NULL score or label are excluded (count
+   * them with Validate.rowRules if absence matters).
+   */
+  def classifierMetrics(df: DataFrame, scoreCol: String, labelCol: String,
+      threshold: Double): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val pred = s >= threshold
+    df.filter(s.isNotNull && y.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(pred && y, 1L).otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(pred && !y, 1L).otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(!pred && !y, 1L).otherwise(0L)), lit(0L)).as("tn"),
+        coalesce(sum(when(!pred && y, 1L).otherwise(0L)), lit(0L)).as("fn"))
+      .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")) / col("n").cast("double"), 4)
+          .as("accuracy"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp") / (col("tp") + col("fp")).cast("double"))
+          .otherwise(lit(0.0)), 4).as("precision"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp") / (col("tp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)), 4).as("recall"),
+        round(when(lit(2L) * col("tp") + col("fp") + col("fn") > 0,
+          lit(2.0) * col("tp") /
+            (lit(2L) * col("tp") + col("fp") + col("fn")).cast("double"))
+          .otherwise(lit(0.0)), 4).as("f1"))
+  }
+
+  /**
+   * Calibration report over probability scores in [0, 1] — does "0.9"
+   * mean 90%? Scores bucket into `bins` equal widths (score 1.0 lands
+   * in the last bin), each bin reports its count, mean predicted score
+   * (confidence), observed positive rate, and the signed gap — the
+   * per-bin decomposition of expected calibration error (weight
+   * `abs(gap)` by `n` for the scalar ECE). Empty bins are materialized
+   * (resampleFill convention: a bin nothing lands in is information).
+   * One bucket aggregation + a bins-sized grid; scores outside [0, 1]
+   * are rejected rows, excluded like NULLs.
+   */
+  def calibration(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val counts = df
+      .filter(s.isNotNull && y.isNotNull && s >= 0.0 && s <= 1.0)
+      .withColumn("bucket",
+        least(floor(s * bins), lit((bins - 1).toLong)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), avg(s).as("_conf"),
+        avg(y.cast("double")).as("_acc"))
+    val grid = df.sparkSession.range(0, bins).select(col("id").as("bucket"))
+    grid.join(counts, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
+        round(col("_conf"), 4).as("mean_score"),
+        round(col("_acc"), 4).as("frac_pos"),
+        round(col("_acc") - col("_conf"), 4).as("gap"))
+  }
+
+  /**
+   * Exact ROC-AUC by the rank-sum (Mann–Whitney) identity with the
+   * standard half-credit for score ties — the threshold-free companion
+   * of [[classifierMetrics]]. Computed from the per-DISTINCT-SCORE
+   * (n_pos, n_neg) aggregation: walking scores ascending,
+   * AUC = Σ_s n_pos(s) · (cumNeg(<s) + n_neg(s)/2) / (P·N).
+   * Output: 1 row — n, n_pos, n_neg, auc (4dp; degenerate single-class
+   * inputs score 0).
+   *
+   * Scale shape: the data-sized pass is ONE map-side-combined groupBy
+   * on the score; the cumulative walk is a window over the
+   * DISTINCT-SCORE frame — unavoidably single-partition, and
+   * deliberately bounded: round scores upstream (4dp ⇒ ≤ 10⁴ distinct
+   * probabilities) and the ordered frame is thousands of rows whatever
+   * the corpus size. The documented envelope, same family as cusum's
+   * per-key series.
+   */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val perScore = df.filter(s.isNotNull && y.isNotNull)
+      .groupBy(s.as("score"))
+      .agg(coalesce(sum(when(y, 1L).otherwise(0L)), lit(0L)).as("np"),
+        coalesce(sum(when(!y, 1L).otherwise(0L)), lit(0L)).as("nn"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perScore
+      .withColumn("_cumNegBelow", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .agg(sum(col("np") + col("nn")).as("n"),
+        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (col("_cumNegBelow") + col("nn") / lit(2.0)))
+          .as("_u"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        round(when(col("n_pos") > 0 && col("n_neg") > 0,
+          col("_u") / (col("n_pos") * col("n_neg")).cast("double"))
+          .otherwise(lit(0.0)), 4).as("auc"))
+  }
+
+  /**
    * Per-group winsorization — clip values into their group's
    * [pLo, pHi] exact-percentile band, the standard outlier-taming
    * transform before averaging quality scores or fitting anything

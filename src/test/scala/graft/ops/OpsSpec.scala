@@ -2039,6 +2039,44 @@ class OpsSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("classifierMetrics / calibration / rocAuc: closed forms incl. ties") {
+    import spark.implicits._
+    val df = Seq((0.9, true), (0.8, true), (0.7, false), (0.6, true),
+      (0.4, false), (0.3, false), (0.2, true), (0.1, false))
+      .toDF("score", "label")
+    val m = Profile.classifierMetrics(df, "score", "label", 0.5)
+      .collect().head
+    assert((m.getLong(1), m.getLong(2), m.getLong(3), m.getLong(4))
+      == ((3L, 1L, 3L, 1L)))
+    assert(m.getDouble(5) == 0.75 && m.getDouble(6) == 0.75 &&
+      m.getDouble(7) == 0.75 && m.getDouble(8) == 0.75)
+    // AUC without ties: U = 12 of 16 discordant-free pairs
+    assert(Profile.rocAuc(df, "score", "label").collect().head
+      .getDouble(3) == 0.75)
+    // tie at 0.5 across classes earns half credit: U = 18.5 / 25
+    val tied = df.unionAll(Seq((0.5, true), (0.5, false))
+      .toDF("score", "label"))
+    val a = Profile.rocAuc(tied, "score", "label").collect().head
+    assert(a.getLong(1) == 5L && a.getLong(2) == 5L &&
+      a.getDouble(3) == 0.74)
+    // degenerate single-class input scores 0, not NaN
+    assert(Profile.rocAuc(df.filter(col("label")), "score", "label")
+      .collect().head.getDouble(3) == 0.0)
+    // calibration: bucket means/rates + empty bins materialized
+    val cal = Profile.calibration(df, "score", "label", bins = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_ => r.getDouble(2)),
+          Option(r.get(3)).map(_ => r.getDouble(3))))).toMap
+    assert(cal.size == 5)
+    assert(cal(4L) == ((2L, Some(0.85), Some(1.0)))) // .9 & .8, both pos
+    assert(cal(1L)._1 == 2L && cal(1L)._3 == Some(0.5)) // .3 & .2
+    assert(cal(0L)._1 == 1L) // only .1
+    // score exactly 1.0 clamps into the last bin
+    val one = Profile.calibration(Seq((1.0, true)).toDF("score", "label"),
+      "score", "label", bins = 5).filter(col("bucket") === 4)
+    assert(one.collect().head.getLong(1) == 1L)
+  }
+
   test("retrievalMetrics: closed-form graded nDCG, MRR, unanswerable query") {
     import spark.implicits._
     val results = Seq(
