@@ -2188,9 +2188,14 @@ object SparkEntry {
     }),
     "text_inverted_index" -> ((s, dir) => {
       // the retrieval-side artifact: per-term df/cf + doc-ordered
-      // "doc:tf" postings rendered AFTER the struct sort
+      // "doc:tf" postings rendered AFTER the struct sort. Postings are
+      // flattened to ONE comma-joined string for the gate: the driver
+      // harness hashes scalar columns only (a LIST column crashes its
+      // pandas sort), and the flattening loses nothing — element order
+      // is already deterministic doc order on both engines.
       graft.ops.TextMetrics.invertedIndex(t(s, dir, "documents"), "text",
           "doc_id")
+        .withColumn("postings", array_join(col("postings"), ","))
         .orderBy("term")
     }),
     "q_rrf_fuse" -> ((s, dir) => {
@@ -2369,9 +2374,9 @@ object SparkEntry {
     }),
     "graph_kcore" -> ((s, dir) => {
       // k-core peel on the 997-node orders multigraph (k=21 → 908
-      // survivors after a real multi-round cascade); the iterative
-      // fixpoint has no single-query SQL form → rows-only gate, with
-      // the brute-force-peel equality spec as the semantic anchor
+      // survivors after a real multi-round cascade); the oracle unrolls
+      // the peel to a fixed-round CTE chain (idempotent past fixpoint,
+      // so the unroll count only needs to be an upper bound)
       val e = t(s, dir, "orders").select(
         (col("o_custkey") % 997).as("src"),
         (col("o_orderkey") % 997).as("dst"))
@@ -2407,9 +2412,9 @@ object SparkEntry {
     }),
     "graph_hits" -> ((s, dir) => {
       // HITS hubs/authorities on the directed orders graph (8 rounds,
-      // L2-normalized, 10dp per-round rounding); iterative mutual
-      // recursion has no single-query SQL form → rows-only gate, with
-      // the reference-loop equality spec as the semantic anchor
+      // L2-normalized, 10dp per-round rounding); the oracle unrolls the
+      // mutual recursion to 8 CTE rounds with the identical norm order
+      // and rounding (the pageRankOracle construction)
       val e = t(s, dir, "orders").select(
         (col("o_custkey") % 997).as("src"),
         (col("o_orderkey") % 997).as("dst"))
@@ -2571,8 +2576,87 @@ object SparkEntry {
     pre + steps + s"\nSELECT node, rank FROM r$iters ORDER BY node"
   }
 
+  /** HITS replay: the fixed iteration count unrolls to a CTE chain —
+   * same per-round order (authority from prev h, then hub from the
+   * CURRENT round's a), L2 norms, zero-norm guard, and 10-decimal
+   * per-round rounding as Graph.hits. */
+  private def hitsOracle(iters: Int): String = {
+    // AS MATERIALIZED is load-bearing, not a hint: DuckDB inlines plain
+    // CTEs, and an unrolled recursion whose round references its
+    // predecessor 2-4x would expand to O(4^rounds) copies of the base
+    // scan (observed: fd exhaustion at 8 rounds). Materializing each
+    // round keeps the replay linear in rounds, like the engine's.
+    val pre =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst
+        |  FROM orders),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS h FROM nodes)"""
+        .stripMargin
+    val steps = (1 to iters).map { t =>
+      s""",
+         |ar$t AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0) AS ar
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(h.h) AS v
+         |    FROM edges e JOIN h${t - 1} h ON h.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node),
+         |an$t AS MATERIALIZED (SELECT sqrt(sum(ar * ar)) AS v FROM ar$t),
+         |a$t AS MATERIALIZED (SELECT node, round(CASE WHEN an$t.v > 0
+         |    THEN ar / an$t.v ELSE 0 END, 10) AS a FROM ar$t, an$t),
+         |hr$t AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0) AS hr
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS node, sum(a.a) AS v
+         |    FROM edges e JOIN a$t a ON a.node = e.dst
+         |    GROUP BY e.src) s ON s.node = n.node),
+         |hn$t AS MATERIALIZED (SELECT sqrt(sum(hr * hr)) AS v FROM hr$t),
+         |h$t AS MATERIALIZED (SELECT node, round(CASE WHEN hn$t.v > 0
+         |    THEN hr / hn$t.v ELSE 0 END, 10) AS h FROM hr$t, hn$t)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT h$iters.node, round(h$iters.h, 6) AS hub,
+         |  round(a$iters.a, 6) AS authority
+         |FROM h$iters JOIN a$iters ON a$iters.node = h$iters.node
+         |ORDER BY 1""".stripMargin
+  }
+
+  /** k-core replay: the peel loop unrolls to `rounds` CTE rounds (each:
+   * degree agg → keep-set → both-endpoint semi-join). Peeling is
+   * idempotent at the fixpoint, so unrolling MORE rounds than the data
+   * needs (6 at the gate SF) is still exact — `rounds` just has to be
+   * an upper bound, and extra rounds cost nothing on the empty delta. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: see hitsOracle — each round references its
+    // predecessor 3x, so inlined CTEs would expand to 3^rounds scans.
+    val pre =
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         |    least(o_custkey % 997, o_orderkey % 997) AS a,
+         |    greatest(o_custkey % 997, o_orderkey % 997) AS b
+         |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997)"""
+        .stripMargin
+    val steps = (0 until rounds).map { t =>
+      s""",
+         |d$t AS MATERIALIZED (SELECT node, count(*) AS d FROM
+         |    (SELECT a AS node FROM e$t UNION ALL SELECT b FROM e$t)
+         |  GROUP BY node),
+         |k$t AS MATERIALIZED (SELECT node FROM d$t WHERE d >= $k),
+         |e${t + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$t e
+         |  JOIN k$t ka ON ka.node = e.a JOIN k$t kb ON kb.node = e.b)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT node, count(*)::BIGINT AS core_deg FROM
+         |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
+    "graph_hits" -> hitsOracle(8),
+    "graph_kcore" -> kcoreOracle(21, 14),
     "ann_pq" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    unnest(embedding)::DOUBLE AS x FROM embeddings),
@@ -3796,7 +3880,8 @@ object SparkEntry {
         |tf AS (SELECT term, doc, count(*)::BIGINT AS tf FROM tok
         |  WHERE term <> '' GROUP BY 1, 2)
         |SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf,
-        |  list(doc::VARCHAR || ':' || tf::VARCHAR ORDER BY doc) AS postings
+        |  string_agg(doc::VARCHAR || ':' || tf::VARCHAR, ',' ORDER BY doc)
+        |    AS postings
         |FROM tf GROUP BY term ORDER BY term""".stripMargin,
     "q_rrf_fuse" -> (bm25Cte +
       """, ra AS (SELECT doc_id,
