@@ -1916,9 +1916,10 @@ object SparkEntry {
         .orderBy("zval", "o_orderkey")),
     "text_bpe_train" -> ((s, dir) => {
       // distributed BPE training over the corpus: the learned merge table
-      // itself is the result (rank-ordered). Iterative argmax has no
-      // single-query SQL form — the gate records the rows-only check; the
-      // spec pins the algorithm against a textbook reference implementation
+      // itself is the result (rank-ordered). The oracle unrolls the 12
+      // merge rounds as CTEs over the same double-spaced word dictionary
+      // — same pair count, (n desc, l, r) tie-break, min-count-2 stop,
+      // and leftmost-non-overlapping string replace per round
       val merges = graft.ops.TextMetrics.trainBpe(
         t(s, dir, "documents"), "text", numMerges = 12)
       import s.implicits._
@@ -2653,10 +2654,52 @@ object SparkEntry {
          |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
   }
 
+  /** BPE-training replay: `numMerges` rounds unroll to CTEs over the
+   * same state TextMetrics.trainBpe iterates — the double-spaced word
+   * dictionary — with the identical pair-count aggregation, (n desc, l,
+   * r) tie-break, minPairCount=2 stop (an empty m-round empties every
+   * later round, reproducing early stop), and leftmost-non-overlapping
+   * replace (both engines' string replace scans left to right).
+   * AS MATERIALIZED: see hitsOracle. */
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val pre =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '
+        |      AS sym,
+        |    count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val steps = (1 to numMerges).map { t =>
+      s""",
+         |p$t AS MATERIALIZED (
+         |  SELECT l, r, sum(cnt) AS n FROM (
+         |    SELECT cnt,
+         |      unnest(list_slice(ss, 1, len(ss) - 1)) AS l,
+         |      unnest(list_slice(ss, 2, len(ss))) AS r
+         |    FROM (SELECT cnt, list_filter(list_transform(
+         |            string_split(sym, '  '), x -> trim(x)),
+         |          x -> x <> '') AS ss FROM w${t - 1})
+         |    WHERE len(ss) >= 2)
+         |  GROUP BY l, r),
+         |m$t AS MATERIALIZED (SELECT l, r FROM p$t WHERE n >= 2
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+         |                      ' ' || m.l || m.r || ' ') AS sym, cnt
+         |  FROM w${t - 1}, m$t m)""".stripMargin
+    }.mkString
+    val branches = (1 to numMerges).map { t =>
+      s"""SELECT $t::BIGINT AS rank, l AS "left", r AS "right" FROM m$t"""
+    }.mkString("\nUNION ALL ")
+    pre + steps + "\nSELECT * FROM (" + branches + ") ORDER BY rank"
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
     "graph_hits" -> hitsOracle(8),
     "graph_kcore" -> kcoreOracle(21, 14),
+    "text_bpe_train" -> bpeTrainOracle(12),
     "ann_pq" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    unnest(embedding)::DOUBLE AS x FROM embeddings),
