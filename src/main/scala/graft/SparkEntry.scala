@@ -2280,8 +2280,9 @@ object SparkEntry {
     }),
     "q_outliers_mad" -> ((s, dir) => {
       // robust median/MAD length outliers per source (Iglewicz–Hoaglin
-      // z > 2.5) — the heavy-tail-immune curation cut; two exact keyed
-      // percentile aggs, stats joined back group-keyed
+      // modified z-score 0.6745·|x−med|/MAD > 2.5) — the heavy-tail-
+      // immune curation cut; two exact keyed percentile aggs, stats
+      // joined back group-keyed
       graft.ops.Profile.robustOutliers(t(s, dir, "documents"), "source",
           "doc_id", "n_chars", k = 2.5)
         .orderBy("source", "doc_id")
@@ -4029,12 +4030,16 @@ object SparkEntry {
         |d AS (SELECT b.source, b.doc_id, b.v, m.med, abs(b.v - m.med) AS ad
         |  FROM b JOIN m USING (source)),
         |md AS (SELECT source, quantile_cont(ad, 0.5) AS mad FROM d
-        |  GROUP BY source)
-        |SELECT d.source, d.doc_id, d.v AS value,
-        |  round(d.med, 4) AS group_median, round(md.mad, 4) AS group_mad,
-        |  round(d.ad / md.mad, 4) AS robust_z
-        |FROM d JOIN md USING (source)
-        |WHERE md.mad > 0 AND round(d.ad / md.mad, 4) > 2.5
+        |  GROUP BY source),
+        |z AS (SELECT d.source, d.doc_id, d.v, d.med, md.mad,
+        |    CASE WHEN md.mad > 0 THEN round(0.6745 * d.ad / md.mad, 4)
+        |         WHEN d.ad > 0 THEN 'infinity'::DOUBLE ELSE 0.0 END
+        |      AS robust_z
+        |  FROM d JOIN md USING (source))
+        |SELECT source, doc_id, v AS value,
+        |  round(med, 4) AS group_median, round(mad, 4) AS group_mad,
+        |  robust_z
+        |FROM z WHERE robust_z > 2.5
         |ORDER BY source, doc_id""".stripMargin,
     "text_distinctive" ->
       """WITH tok AS (SELECT source AS grp,
@@ -4296,9 +4301,10 @@ object SparkEntry {
         |    count(*) FILTER (WHERE score < 0.03 AND NOT label)::BIGINT
         |      AS tn,
         |    count(*) FILTER (WHERE score < 0.03 AND label)::BIGINT AS fn
-        |  FROM sc WHERE score IS NOT NULL)
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL)
         |SELECT n, tp, fp, tn, fn,
-        |  round((tp + tn) / n::DOUBLE, 4) AS accuracy,
+        |  round(CASE WHEN n > 0 THEN (tp + tn) / n::DOUBLE
+        |    ELSE 0.0 END, 4) AS accuracy,
         |  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE
         |    ELSE 0.0 END, 4) AS precision,
         |  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE
@@ -4311,8 +4317,8 @@ object SparkEntry {
       """b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bucket,
         |    count(*)::BIGINT AS n, avg(score) AS conf,
         |    avg(label::INT::DOUBLE) AS acc
-        |  FROM sc WHERE score IS NOT NULL AND score >= 0.0
-        |    AND score <= 1.0
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND score >= 0.0 AND score <= 1.0
         |  GROUP BY 1)
         |SELECT g.bucket, coalesce(b.n, 0)::BIGINT AS n,
         |  round(b.conf, 4) AS mean_score, round(b.acc, 4) AS frac_pos,
@@ -4324,7 +4330,8 @@ object SparkEntry {
       """ps AS (SELECT score,
         |    count(*) FILTER (WHERE label)::BIGINT AS np,
         |    count(*) FILTER (WHERE NOT label)::BIGINT AS nn
-        |  FROM sc WHERE score IS NOT NULL GROUP BY score),
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |  GROUP BY score),
         |c AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY score
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS below FROM ps)

@@ -244,6 +244,14 @@ object Graph {
       e = e2
       round += 1
     }
+    // a truncated peel is NOT a k-core (retained edges of sub-k nodes
+    // inflate surviving neighbors' core_deg) and the caller could not
+    // tell converged from cut-off output — surface it loudly
+    if (!done)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"kCore(k=$k): maxRounds=$maxRounds exhausted BEFORE the peel " +
+        "fixpoint - result is a superset of the k-core, not the k-core; " +
+        "raise maxRounds (worst case O(n) rounds on path-like graphs)")
     e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)

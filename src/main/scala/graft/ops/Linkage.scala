@@ -170,11 +170,17 @@ object Linkage {
     val lb = length(col("_sb")).cast("double")
     val jaroCap = (lit(2.0) + least(la, lb) / greatest(la, lb)) / 3.0
     val simCap = jaroCap + lit(0.4) * (lit(1.0) - jaroCap)
+    // the prune must be lossless w.r.t. the ROUNDED membership cut
+    // (round(sim,4) >= minSim admits true sims down to minSim - 5e-5),
+    // so the bound compares against the half-ulp-relaxed threshold —
+    // without it, a pair whose unrounded cap sits just under minSim
+    // (attainable when one string is a >=4-char prefix of the other)
+    // would be pruned although the rounded cut keeps it
     val joined = left.join(right,
       (blockCols.map(c => left(c) === right(c)) :+ (left("_salt") === right("_salt")))
         .reduce(_ && _)
         && col("id_a") < col("id_b")
-        && simCap >= minSim)
+        && simCap >= minSim - 0.00005)
     // one generator evaluation of the kernel (the fuzzySelfJoin rule)
     val sim = round(call_function("graft_jaro", col("_sa"), col("_sb")), 4)
     joined

@@ -384,10 +384,12 @@ object Profile {
 
   /**
    * Robust per-group outlier flagging (median/MAD, the Iglewicz–Hoaglin
-   * rule): |x − median| / MAD > k flags values a heavy-tailed
-   * distribution's mean/stddev would hide (each outlier inflates the
-   * stddev that is supposed to catch it; the median and MAD are
-   * 50%-breakdown estimators, immune to the tail they measure). The
+   * modified z-score): M = 0.6745·|x − median| / MAD > k flags values a
+   * heavy-tailed distribution's mean/stddev would hide (each outlier
+   * inflates the stddev that is supposed to catch it; the median and
+   * MAD are 50%-breakdown estimators, immune to the tail they measure).
+   * The 0.6745 factor (Φ⁻¹(0.75)) rescales MAD to a stddev-consistent
+   * unit so the published k = 3.5 cutoff means what the rule says. The
    * quality-score and length-distribution curation cut.
    * Output: flagged rows only — groupCol, idCol, value, group median,
    * MAD, robust_z (4dp).
@@ -397,8 +399,9 @@ object Profile {
    * group counts) — the exact form; at sketch precision swap
    * percentile for approx_percentile (groupQuantilesApprox) for the
    * fixed-state 100 TB/streaming path. Groups with MAD = 0 (over half
-   * the mass on one value) flag every deviating row — the rule's
-   * documented degenerate case; callers wanting a floor can pre-clamp.
+   * the mass on one value) flag every deviating row with robust_z = ∞ —
+   * the rule's documented degenerate case; callers wanting a floor can
+   * pre-clamp.
    */
   /**
    * Binary-classifier confusion metrics at a threshold — the offline
@@ -420,8 +423,9 @@ object Profile {
         coalesce(sum(when(!pred && !y, 1L).otherwise(0L)), lit(0L)).as("tn"),
         coalesce(sum(when(!pred && y, 1L).otherwise(0L)), lit(0L)).as("fn"))
       .select(col("n"), col("tp"), col("fp"), col("tn"), col("fn"),
-        round((col("tp") + col("tn")) / col("n").cast("double"), 4)
-          .as("accuracy"),
+        round(when(col("n") > 0,
+          (col("tp") + col("tn")) / col("n").cast("double"))
+          .otherwise(lit(0.0)), 4).as("accuracy"),
         round(when(col("tp") + col("fp") > 0,
           col("tp") / (col("tp") + col("fp")).cast("double"))
           .otherwise(lit(0.0)), 4).as("precision"),
@@ -734,7 +738,8 @@ object Profile {
       .agg(percentile(col("_ad"), lit(0.5)).as("_mad"))
     dev.join(mad, Seq(groupCol))
       .withColumn("robust_z",
-        when(col("_mad") > 0, round(col("_ad") / col("_mad"), 4))
+        when(col("_mad") > 0,
+          round(lit(0.6745) * col("_ad") / col("_mad"), 4))
           .otherwise(when(col("_ad") > 0, lit(Double.PositiveInfinity))
             .otherwise(lit(0.0))))
       .filter(col("robust_z") > k)

@@ -31,8 +31,10 @@ object Validate {
   private def reportRow(rule: String, viol: Column, total: Column): Column =
     struct(lit(rule).as("rule"), viol.cast("long").as("n_violations"),
       total.cast("long").as("n_rows"),
-      round(viol.cast("double") / total.cast("double"), 4)
-        .as("violation_frac"),
+      // 0/0 on an empty frame reports 0.0, not NULL: an empty input has
+      // no violations, and a NULL frac would read as "unknown" downstream
+      round(coalesce(viol.cast("double") / total.cast("double"), lit(0.0)),
+        4).as("violation_frac"),
       (viol === 0L).as("passed"))
 
   private def unpack(df: DataFrame, rows: Column): DataFrame =

@@ -2008,7 +2008,8 @@ class OpsSpec extends AnyFunSuite {
 
   test("robustOutliers: median/MAD closed form, outlier flagged, ties safe") {
     import spark.implicits._
-    // group g: median 10, MAD = median(|x-10|) = 1 → 99 has z = 89
+    // group g: median 10.5, MAD = 1.5 → 99 has modified z-score
+    // 0.6745 * |99 - 10.5| / 1.5 = 0.6745 * 59 = 39.7955
     val df = (Seq(8.0, 9.0, 10.0, 11.0, 12.0, 99.0).zipWithIndex
       .map { case (v, i) => ("g", i.toLong, v) }).toDF("g", "id", "v")
     val got = Profile.robustOutliers(df, "g", "id", "v", k = 3.5).collect()
@@ -2016,7 +2017,7 @@ class OpsSpec extends AnyFunSuite {
     val r = got.head
     assert(r.getLong(1) == 5L && r.getDouble(2) == 99.0)
     assert(r.getDouble(3) == 10.5 && r.getDouble(4) == 1.5) // median, MAD
-    assert(math.abs(r.getDouble(5) - 59.0) < 1e-9)
+    assert(math.abs(r.getDouble(5) - 39.7955) < 1e-9)
     // no outliers in a tight group
     assert(Profile.robustOutliers(
       Seq(("h", 1L, 5.0), ("h", 2L, 6.0), ("h", 3L, 7.0))
