@@ -618,18 +618,30 @@ object Dedup {
    * within-cluster self-join is an EQUI-join on the cluster id under an
    * explicit repartition (AQE would coalesce the small input and
    * serialize the cosine kernel — the Linkage lesson), and the kernel
-   * evaluates ONCE per pair through the generator keep-rule. Hot-cluster
-   * lever: raise k (cells shrink), or feed the flagged cluster through
-   * the banded LSH path. Output composes with connectedComponents +
-   * electRepresentativesByLabels for the keep/drop step.
+   * evaluates ONCE per pair through the generator keep-rule. Clusters
+   * larger than `maxClusterSize` are DROPPED with the same observe-and-
+   * warn cap the banding paths use (a degenerate clustering — bad k,
+   * collapsed embeddings — must not silently go quadratic); the logged
+   * cluster ids are the candidates to re-cluster with larger k or feed
+   * through the banded LSH path. Output composes with
+   * connectedComponents + electRepresentativesByLabels for the
+   * keep/drop step.
    */
   def semanticPairs(
       emb: DataFrame, vecCol: String, idCol: String,
-      k: Int = 256, iters: Int = 2, minCosine: Double = 0.8): DataFrame = {
+      k: Int = 256, iters: Int = 2, minCosine: Double = 0.8,
+      maxClusterSize: Int = 100000): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val nPart = emb.sparkSession.sessionState.conf.numShufflePartitions
-    val assigned = Similarity.kmeansAssign(emb, vecCol, idCol, k, iters)
+    val assigned0 = Similarity.kmeansAssign(emb, vecCol, idCol, k, iters)
       .select(col("cluster"), col(idCol), col(vecCol).cast("array<double>").as("_v"))
+    // reuse the banded paths' hot-bucket cap (band is a dummy constant:
+    // the cap key is just the cluster id)
+    val assigned =
+      if (maxClusterSize == Int.MaxValue) assigned0
+      else capBuckets(
+        assigned0.withColumn("band", lit(0)).withColumn("key", col("cluster")),
+        maxClusterSize, "semanticPairs").drop("band", "key")
     val a = assigned
       .select(col("cluster"), col(idCol).as("id_a"), col("_v").as("_va"))
       .repartition(nPart, col("cluster"))

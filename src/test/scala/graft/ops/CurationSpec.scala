@@ -313,6 +313,24 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("semanticPairs: a degenerate one-cluster clustering is capped, not quadratic") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j => prand(i, j) + (if (i % 2 == 0) 1.0 else -1.0)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // k = 1 collapses everything into one 40-row cluster: over the cap,
+    // the whole cluster is dropped (zero pairs — the quadratic envelope
+    // never opens), exactly like the banding paths' hot-bucket rule
+    val capped = Dedup.semanticPairs(df, "embedding", "vec_id", k = 1,
+      iters = 1, minCosine = -1.0, maxClusterSize = 39)
+    assert(capped.count() == 0L)
+    // at or under the cap the same clustering yields all C(40,2) pairs
+    val full = Dedup.semanticPairs(df, "embedding", "vec_id", k = 1,
+      iters = 1, minCosine = -1.0, maxClusterSize = 40)
+    assert(full.count() == 40L * 39 / 2)
+  }
+
   // --------------------------------------------------------------- Snapshot
 
   test("Snapshot.diff: all four statuses, null-content rule, multi-column") {
