@@ -2423,6 +2423,50 @@ object SparkEntry {
       graft.ops.Graph.hits(e, "src", "dst", iters = 8)
         .orderBy("node")
     }),
+    "mm_image_dedup" -> ((s, dir) => {
+      // perceptual image dedup end-to-end on the deterministic PNG
+      // corpus (one image per doc_id; variant 1 of each 3-id group is
+      // the SAME scene at half resolution — the planted near-dup that
+      // byte-level dedup can never see). dHash over real ImageIO
+      // decodes, pigeonhole-banded hamming pairs. Pixel decode has no
+      // SQL form → rows-only gate; the decode/pairing semantics are
+      // spec-anchored (dHash + imageNearDupPairs specs)
+      val imgs = graft.ops.MediaFixture.images(s,
+        t(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.imageNearDupPairs(imgs, "id", "payload",
+          maxHamming = 3, bands = 4)
+        .orderBy("id_a", "id_b")
+    }),
+    "mm_audio_dedup" -> ((s, dir) => {
+      // perceptual audio dedup on the deterministic WAV corpus (variant
+      // 1 = same envelope at half gain — invisible to byte hashing);
+      // envelope fingerprints over real PCM decodes, banded hamming.
+      // rows-only gate, spec-anchored like mm_image_dedup
+      val clips = graft.ops.MediaFixture.audio(s,
+        t(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.audioNearDupPairs(clips, "id", "payload",
+          maxHamming = 4, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
+    "mm_media_meta" -> ((s, dir) => {
+      // container-header metadata profile over a mixed PNG/WAV corpus:
+      // per-format counts + dimension/rate aggregates from the real
+      // header parse (the lakehouse media-catalog audit). rows-only
+      // gate (header parsing has no SQL form; sniffMeta is spec-anchored)
+      val mixed = graft.ops.MediaFixture.mixed(s,
+        t(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.extractMetadata(mixed, "id", "payload").toDF()
+        .groupBy("format")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(when(col("width") > 0, col("width"))), 4)
+            .as("avg_width"),
+          round(avg(when(col("height") > 0, col("height"))), 4)
+            .as("avg_height"),
+          round(avg(when(col("sample_rate") > 0, col("sample_rate"))), 4)
+            .as("avg_rate"))
+        .orderBy("format")
+    }),
     "q_retrieval_eval" -> ((s, dir) => {
       // retrieval evaluation: a deliberately imperfect length-ranked
       // retriever scored against tf-graded judgments for 3 query terms
