@@ -69,7 +69,32 @@ object PairScaling {
       // "measurement" is an empty shell (the bench gate has the same
       // guard)
       "spans_mask" -> (d => Dedup.maskRepeatedSpans(d, "text", "doc_id")
-        .filter(col("n_tokens_removed") >= 0)))
+        .filter(col("n_tokens_removed") >= 0)),
+      // BPE-budgeted chunking: per-document linear explode — the guard
+      // filter pins the chunk computation into the count plan (the
+      // spans_mask rule)
+      "chunk_bpe" -> (d => graft.ops.TextMetrics.chunkByBudget(
+        d, "text", "doc_id", budget = 64)
+        .filter(col("chunk_id") >= 0)))
+
+    // Embedding corpus for the semantic tier: copy c remaps vec_ids into
+    // a disjoint range and applies a per-copy deterministic coordinate
+    // SIGN pattern — an isometry (within-copy cosines, hence within-copy
+    // pair structure, are exactly preserved) that decorrelates copies
+    // (cross-copy cosines of 64-dim vectors under independent sign flips
+    // concentrate near 0, far under the 0.35 cut), so the m-fold corpus
+    // is m disjoint pair spaces — the same shape contract as the text
+    // corpus bijection above.
+    val embBase = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    def embCorpus(m: Int): DataFrame =
+      (0 until m).map { c =>
+        embBase.select(
+          (col("vec_id") + lit(c.toLong * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(pmod(hash(lit(c) * 131 + i), lit(2)) === 0, x)
+              .otherwise(-x)).as("embedding"))
+      }.reduce(_.unionAll(_))
 
     val results = multiples.flatMap { m =>
       // one corpus + count per multiple — shared by all the ops (the
@@ -90,10 +115,34 @@ object PairScaling {
         println(f"""{"op":"$name","multiple":$m,"docs":$nDocs,"pairs":$pairs,"sec":$med%.3f}""")
         (name, m, nDocs, pairs, med)
       }
+    } ++ multiples.map { m =>
+      // SemDeDup scaling tier. Total cost is Θ(n·k) assignment +
+      // Θ(n²/k) within-cell pairs, minimized by k ∝ √n — so the sweep
+      // scales k with √m and the EXPECTED log2-slope is ~1.5, the
+      // operator's honest n^1.5 law (a fixed k would read ~2.0 and
+      // measure the documented raise-k-with-corpus lever being ignored;
+      // output pairs stay ~linear either way by the isometry contract).
+      val d = embCorpus(m)
+      val nVecs = d.count()
+      val k = 8 * math.ceil(math.sqrt(m.toDouble)).toInt
+      var pairs = 0L
+      val times = (0 until reps).map { _ =>
+        val t0 = System.nanoTime()
+        pairs = Dedup.semanticPairs(d, "embedding", "vec_id",
+          k = k, iters = 2, minCosine = 0.35).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Dedup.unpersistAll(spark)
+        spark.catalog.clearCache()
+        dt
+      }
+      val med = median(times)
+      println(f"""{"op":"semantic_pairs","multiple":$m,"docs":$nVecs,"pairs":$pairs,"sec":$med%.3f}""")
+      ("semantic_pairs", m, nVecs, pairs, med)
     }
     // fitted slope of log2(time) per log2(size) across the doubling chain;
-    // ~1.0 = linear banding cost, 2.0 would be the all-pairs blow-up
-    val summary = ops.map(_._1).map { name =>
+    // ~1.0 = linear banding cost (~1.5 for the semantic n^1.5 law),
+    // 2.0 would be the all-pairs blow-up
+    val summary = (ops.map(_._1) :+ "semantic_pairs").map { name =>
       val rs = results.filter(_._1 == name).sortBy(_._2)
       val slopes = rs.sliding(2).map { case Seq(a, b) =>
         math.log(b._5 / a._5) / math.log(b._2.toDouble / a._2)

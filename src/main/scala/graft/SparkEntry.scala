@@ -2403,6 +2403,58 @@ object SparkEntry {
       graft.ops.Profile.cusum(daily, "event_type", "day", "x")
         .orderBy("event_type", "ts")
     }),
+    "q_ewma" -> ((s, dir) => {
+      // EWMA smoothing of the same daily series cusum alarms on (α=0.3);
+      // the oracle replays the recurrence as a recursive CTE — the
+      // denoised level a drift dashboard plots
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.ewma(daily, "event_type", "day", "x", alpha = 0.3)
+        .orderBy("event_type", "ts")
+    }),
+    "q_rolling_z" -> ((s, dir) => {
+      // rolling z-score spike flags over the daily series: each point
+      // scored against its trailing-7 history (never itself); pure
+      // window aggregation, one Exchange on the key
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.rollingZ(daily, "event_type", "day", "x",
+          window = 7, tau = 2.5, minPts = 3)
+        .orderBy("event_type", "ts")
+    }),
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit audit of extended prices: arithmetic leading
+      // digit (never string rendering), 9-row grid with chi-square terms
+      graft.ops.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")),
+    "q_concentration" -> ((s, dir) =>
+      // revenue-concentration audit: Gini + HHI + top-share of customer
+      // order totals — one keyed agg then a KEY-level ranked pass
+      graft.ops.Profile.concentration(t(s, dir, "orders"), "o_custkey",
+        "o_totalprice")),
+    "q_cohen_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between two length-derived labelers
+      // (char-bucket vs token-bucket) — the annotation-QA scan shape;
+      // thresholds deliberately disagree on a real slice of docs
+      val d = t(s, dir, "documents")
+      val labeled = d.select(
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 800, "mid").otherwise("long").as("by_chars"),
+        when(size(filter(split(col("text"), " ", -1), x => x =!= "")) < 40,
+            "short")
+          .when(size(filter(split(col("text"), " ", -1), x => x =!= "")) < 160,
+            "mid")
+          .otherwise("long").as("by_tokens"))
+      graft.ops.Profile.cohenKappa(labeled, "by_chars", "by_tokens")
+    }),
+    "q_split_train" -> ((s, dir) =>
+      // deterministic 90/5/5 train/val/test hash split: a pure function
+      // of doc_id (append-stable, re-read-stable), one narrow scan
+      graft.ops.Sampling.splitAssign(
+          t(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")),
     "q_top_paths" -> ((s, dir) => {
       // top user journeys: the 15 most common 3-step opening event
       // paths — per-user ordered prefix collect, one path aggregation,
@@ -4283,6 +4335,100 @@ object SparkEntry {
         |  round(lo, 4) AS cusum_lo,
         |  (hi > 4.0 * sd OR lo > 4.0 * sd) AS alarm
         |FROM r ORDER BY event_type, ts""".stripMargin,
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |seq AS (SELECT k, d, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT k, rn, d, x, x AS ew FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x, 0.3 * s.x + 0.7 * r.ew
+        |  FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS event_type, d AS ts, x, round(ew, 4) AS ewma
+        |FROM r ORDER BY event_type, ts""".stripMargin,
+    "q_rolling_z" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |w AS (SELECT k, d, x,
+        |    count(x) OVER win AS nh,
+        |    avg(x) OVER win AS m,
+        |    stddev_samp(x) OVER win AS sd
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY k ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT k, d, x, nh, m,
+        |    CASE WHEN nh >= 3 AND sd > 0 THEN round((x - m) / sd, 4)
+        |    END AS z
+        |  FROM w)
+        |SELECT k AS event_type, d AS ts, x, nh::BIGINT AS n_hist,
+        |  round(m, 4) AS mean_hist, z,
+        |  coalesce(abs(z) > 2.5, false) AS anomaly
+        |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_benford" ->
+      """WITH v AS (SELECT abs(l_extendedprice::DOUBLE) AS a
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0),
+        |c AS (SELECT floor(a / pow(10, floor(log10(a))))::BIGINT AS digit,
+        |    count(*)::BIGINT AS n FROM v GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+        |SELECT g.digit, coalesce(c.n, 0)::BIGINT AS n,
+        |  round(coalesce(c.n, 0) / t.tot, 6) AS p_obs,
+        |  round(log10(1 + 1.0 / g.digit), 6) AS p_benford,
+        |  round(pow(coalesce(c.n, 0) - t.tot * log10(1 + 1.0 / g.digit), 2)
+        |    / (t.tot * log10(1 + 1.0 / g.digit)), 4) AS chi2_term
+        |FROM (SELECT unnest(range(1, 10))::BIGINT AS digit) g
+        |LEFT JOIN c USING (digit), t ORDER BY g.digit""".stripMargin,
+    "q_concentration" ->
+      """WITH t AS (SELECT o_custkey AS k, sum(o_totalprice::DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x,
+        |    row_number() OVER (ORDER BY x, k)::DOUBLE AS i FROM t)
+        |SELECT count(*)::BIGINT AS n_keys, round(sum(x), 4) AS total,
+        |  round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |    - (count(*) + 1.0) / count(*), 4) AS gini,
+        |  round(sum(x * x) / pow(sum(x), 2), 4) AS hhi,
+        |  round(max(x) / sum(x), 4) AS top_share
+        |FROM r""".stripMargin,
+    "q_cohen_kappa" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |         WHEN n_chars < 800 THEN 'mid' ELSE 'long' END AS a,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 40 THEN 'short'
+        |      WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 160 THEN 'mid'
+        |      ELSE 'long' END AS b
+        |  FROM documents),
+        |j AS (SELECT a, b, count(*)::BIGINT AS c FROM lab GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY 1),
+        |mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY 1),
+        |tt AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |pe AS (SELECT coalesce(sum(ma.ca * mb.cb), 0)::DOUBLE AS pen
+        |  FROM ma JOIN mb ON ma.a = mb.b),
+        |ag AS (SELECT coalesce(sum(c), 0)::DOUBLE AS agree FROM j
+        |  WHERE a = b),
+        |p AS (SELECT tt.n, round(ag.agree / tt.n, 4) AS p_o,
+        |    round(pe.pen / (tt.n * tt.n), 4) AS p_e FROM tt, pe, ag)
+        |SELECT n::BIGINT AS n, p_o, p_e,
+        |  CASE WHEN p_e < 1.0
+        |    THEN round((p_o - p_e) / (1.0 - p_e), 4) ELSE 1.0 END AS kappa
+        |FROM p""".stripMargin,
+    "q_split_train" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(concat('42|', doc_id::VARCHAR)) AS hh FROM documents),
+        |u AS (SELECT doc_id,
+        |    round(CAST(('0x' || substring(hh, 1, 8)) AS BIGINT)
+        |      / 4294967296.0, 6) AS u FROM h)
+        |SELECT doc_id, u,
+        |  CASE WHEN u < 0.9 THEN 'train'
+        |       WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_top_paths" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
         |    event_type AS et FROM events),

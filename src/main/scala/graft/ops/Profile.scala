@@ -596,6 +596,186 @@ object Profile {
   }
 
   /**
+   * Exponentially weighted moving average per key series — the smoothing
+   * companion to [[cusum]] (drift monitoring wants both: CUSUM alarms on
+   * sustained shifts, EWMA is the denoised level a dashboard plots and a
+   * forecast baselines against): e_1 = x_1, e_t = α·x_t + (1−α)·e_{t−1}.
+   * Same shape contract as cusum — one keyed aggregation collecting the
+   * (ts, x) series, one left-to-right `aggregate` fold per key, a row
+   * per point; the per-key-series-fits-in-memory envelope, pre-bucket
+   * past it. Output: key, ts, x, ewma (4dp).
+   */
+  def ewma(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(valueCol).cast("double").as("_x"))
+    val series = base.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("_t"), col("_x"))))
+        .as("_pts"))
+    val folded = series.withColumn("_steps", expr(
+      s"""aggregate(
+        |  _pts,
+        |  struct(
+        |    cast(null as double) AS e,
+        |    cast(array() as array<struct<t:bigint,x:double,e:double>>) AS out),
+        |  (acc, p) -> struct(
+        |    CASE WHEN acc.e IS NULL THEN p._x
+        |         ELSE $alpha * p._x + ${1.0 - alpha} * acc.e END AS e,
+        |    concat(acc.out, array(struct(p._t AS t, p._x AS x,
+        |      CASE WHEN acc.e IS NULL THEN p._x
+        |           ELSE $alpha * p._x + ${1.0 - alpha} * acc.e END AS e)))
+        |      AS out),
+        |  acc -> acc.out)""".stripMargin))
+    folded
+      .select(col(keyCol), explode(col("_steps")).as("s"))
+      .select(col(keyCol), col("s.t").as("ts"), col("s.x").as("x"),
+        round(col("s.e"), 4).as("ewma"))
+  }
+
+  /**
+   * Rolling z-score anomaly flags per key series — the pointwise spike
+   * detector next to [[cusum]]'s sustained-shift alarm: each point is
+   * scored against the mean/stddev of its TRAILING `window` points
+   * (never itself — no self-contamination), z = (x − μ_hist)/σ_hist,
+   * flagged when |z| > tau. Points with under `minPts` history or a
+   * degenerate σ = 0 get NULL z and are never flagged (insufficient
+   * evidence is not an anomaly). Pure window aggregation — one Exchange
+   * on the key, codegen'd frame scan, no fold, no action; the exact
+   * shape that runs unchanged on a billion-key corpus.
+   * Output: key, ts, x, n_hist, mean_hist (4dp), z (4dp), anomaly.
+   */
+  def rollingZ(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, window: Int = 7, tau: Double = 3.0,
+      minPts: Int = 3): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    require(minPts >= 2 && minPts <= window,
+      s"need 2 <= minPts <= window: ($minPts, $window)")
+    require(tau > 0, s"tau must be positive: $tau")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"))
+      .rowsBetween(-window, -1)
+    val x = col(valueCol).cast("double")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"), x.as("_x"))
+    base
+      .withColumn("_n", count(col("_x")).over(w))
+      .withColumn("_m", avg(col("_x")).over(w))
+      .withColumn("_sd", stddev_samp(col("_x")).over(w))
+      .select(col(keyCol), col("_t").as("ts"), col("_x").as("x"),
+        col("_n").as("n_hist"),
+        round(col("_m"), 4).as("mean_hist"),
+        when(col("_n") >= minPts && col("_sd") > 0,
+          round((col("_x") - col("_m")) / col("_sd"), 4)).as("z"))
+      .withColumn("anomaly",
+        coalesce(abs(col("z")) > tau, lit(false)))
+  }
+
+  /**
+   * Benford first-digit audit — the fabricated-numbers screen for
+   * ingested numeric feeds (naturally occurring multi-magnitude
+   * quantities follow P(d) = log10(1 + 1/d); invented or truncated ones
+   * usually don't): per digit 1–9, observed count and share vs the
+   * Benford expectation, with the per-digit χ² contribution
+   * (O−E)²/E — Σ it against the χ²(8) critical value of your chosen
+   * confidence. First significant digit is computed ARITHMETICALLY
+   * (floor(|x| / 10^floor(log10|x|))) — never via string rendering,
+   * whose scientific-notation cutoffs differ across engines. Zero/NULL
+   * values carry no leading digit and are excluded. ONE scan + a 9-row
+   * grid (empty digits materialize with n = 0, the histogram rule).
+   * Output: digit, n, p_obs (6dp), p_benford (6dp), chi2_term (4dp).
+   */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val v = abs(col(valueCol).cast("double"))
+    val counts = df
+      .filter(col(valueCol).isNotNull && v > 0)
+      .select(floor(v / pow(lit(10.0), floor(log10(v)))).cast("long")
+        .as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val grid = df.sparkSession.range(1, 10).select(col("id").as("digit"))
+    val tot = counts.agg(sum("n").cast("double").as("_tot"))
+    grid.join(counts, Seq("digit"), "left").crossJoin(tot)
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("_pb", log(10.0, lit(1.0) + lit(1.0) / col("digit")))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("_tot"), 6).as("p_obs"),
+        round(col("_pb"), 6).as("p_benford"),
+        round(pow(col("n") - col("_tot") * col("_pb"), 2)
+          / (col("_tot") * col("_pb")), 4).as("chi2_term"))
+  }
+
+  /**
+   * Concentration profile of a key's mass — the "is this corpus one
+   * giant domain" audit (domain mix, revenue concentration, shard
+   * balance): Gini coefficient over per-key totals (0 = perfectly even,
+   * →1 = one key holds everything) plus the Herfindahl–Hirschman index
+   * Σ share² and the top-1 share. Gini by the rank identity
+   * G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over ascending-sorted totals
+   * (tie-safe: Σ i·xᵢ over a block of EQUAL x spanning consecutive
+   * ranks is invariant to their order). One keyed aggregation, then a
+   * KEY-level (not row-level) global rank — the single ordered pass is
+   * over n_keys rows (domains, customers), orders of magnitude below
+   * row count; for key cardinalities that themselves need a cluster,
+   * bucket keys first. Output: 1 row — n_keys, total, gini (4dp),
+   * hhi (4dp), top_share (4dp).
+   */
+  def concentration(df: DataFrame, keyCol: String,
+      weightCol: String = null): DataFrame = {
+    val wexpr =
+      if (weightCol == null) count(lit(1)).cast("double")
+      else sum(col(weightCol).cast("double"))
+    val totals = df.groupBy(col(keyCol).as("_k")).agg(wexpr.as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_x").asc, col("_k").asc)
+    totals
+      .withColumn("_i", row_number().over(w).cast("double"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum(col("_x")), 4).as("total"),
+        round(lit(2.0) * sum(col("_i") * col("_x"))
+            / (count(lit(1)) * sum(col("_x")))
+          - (count(lit(1)) + lit(1.0)) / count(lit(1)), 4).as("gini"),
+        round(sum(col("_x") * col("_x")) / pow(sum(col("_x")), 2), 4)
+          .as("hhi"),
+        round(max(col("_x")) / sum(col("_x")), 4).as("top_share"))
+  }
+
+  /**
+   * Cohen's kappa between two categorical columns over the same rows —
+   * the chance-corrected agreement score for annotation pipelines (two
+   * labelers, or a model vs the shipped metadata): κ = (p_o − p_e) /
+   * (1 − p_e) with p_o the observed agreement rate and p_e the expected
+   * rate under independent marginals. κ = 1 when p_e = 1 (both raters
+   * constant and equal — perfect if degenerate agreement); rows where
+   * either side is NULL are excluded. ONE joint (a, b) aggregation
+   * (map-side combined), marginals derived from it, a 1-row result —
+   * the mutualInfo scan shape.
+   * Output: 1 row — n, p_o (4dp), p_e (4dp), kappa (4dp).
+   */
+  def cohenKappa(df: DataFrame, raterA: String, raterB: String): DataFrame = {
+    val joint = df
+      .filter(col(raterA).isNotNull && col(raterB).isNotNull)
+      .groupBy(col(raterA).cast("string").as("a"),
+        col(raterB).cast("string").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ma = joint.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val mb = joint.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val tot = joint.agg(sum("c_ab").cast("double").as("n"))
+    val cells = ma.join(mb, col("a") === col("b"))
+      .agg(coalesce(sum(col("c_a") * col("c_b")), lit(0.0)).as("_pe_num"))
+    val agree = joint.filter(col("a") === col("b"))
+      .agg(coalesce(sum("c_ab"), lit(0L)).cast("double").as("_agree"))
+    tot.crossJoin(agree).crossJoin(cells)
+      .select(col("n").cast("long").as("n"),
+        round(col("_agree") / col("n"), 4).as("p_o"),
+        round(col("_pe_num") / (col("n") * col("n")), 4).as("p_e"))
+      .withColumn("kappa",
+        when(col("p_e") < 1.0,
+          round((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e")), 4))
+          .otherwise(lit(1.0)))
+  }
+
+  /**
    * Per-column Shannon entropy profile — the "is this column worth
    * grouping/blocking/salting on" signal: near-zero entropy means the
    * column is basically constant (useless block key, harmless to prune);

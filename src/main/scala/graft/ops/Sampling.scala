@@ -210,4 +210,42 @@ object Sampling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
       .drop("_hrank")
   }
+
+  /**
+   * Deterministic train/validation/test split — the holdout assignment
+   * that must NEVER move when the corpus is re-read, appended to, or
+   * re-partitioned (a drifting split leaks eval rows into training):
+   * u = first-8-hex-chars of md5(seed || '|' || id) / 2³², a uniform
+   * [0, 1) draw that is a pure function of the id, and the row lands in
+   * the first split whose cumulative fraction exceeds u. Appending new
+   * rows re-draws nothing; changing `fractions` only reassigns rows
+   * whose u crosses a moved boundary (the standard hash-split stability
+   * property). Fractions must sum to ~1 (±1e-9). Pure narrow projection
+   * — no shuffle, no state; the split of 100 TB costs one scan.
+   * Output: input columns + u (6dp) + split.
+   */
+  def splitAssign(df: DataFrame,
+      idCol: String,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 > 0),
+      "fractions must be positive")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${fractions.map(_._2).sum}")
+    val clash = Seq("u", "split").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with splitAssign outputs; rename them first")
+    val h = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val u = conv(substring(h, 1, 8), 16, 10).cast("double") / lit(4294967296.0)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // the last branch is an unconditional otherwise: cumulative float
+    // rounding must not leave u = 0.999999... unassigned
+    val split = fractions.init.zip(cum.init)
+      .foldRight(lit(fractions.last._1): org.apache.spark.sql.Column) {
+        case (((name, _), bound), rest) => when(col("u") < bound, name).otherwise(rest)
+      }
+    df.withColumn("u", round(u, 6))
+      .withColumn("split", split)
+  }
 }

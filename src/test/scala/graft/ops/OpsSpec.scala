@@ -2151,6 +2151,132 @@ class OpsSpec extends AnyFunSuite {
     assert(fr.forall(r => r.getDouble(3) == 0.0 && !r.getBoolean(5)))
   }
 
+  test("ewma: closed-form recurrence, first point seeds, keys independent") {
+    import spark.implicits._
+    // alpha=0.3 on [0, 10, 10]: e = 0, 3, 5.1 — e1 = x1, then the fold
+    val df = Seq(("k", 0L, 0.0), ("k", 1L, 10.0), ("k", 2L, 10.0),
+      ("j", 5L, 4.0)).toDF("key", "t", "x")
+    val got = Profile.ewma(df, "key", "t", "x", alpha = 0.3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("k", 0L, 0.0), ("k", 1L, 3.0), ("k", 2L, 5.1),
+      ("j", 5L, 4.0)))
+    // order of input rows is irrelevant: the fold sorts by ts
+    val shuffled = Seq(("k", 2L, 10.0), ("k", 0L, 0.0), ("k", 1L, 10.0))
+      .toDF("key", "t", "x")
+    val got2 = Profile.ewma(shuffled, "key", "t", "x", alpha = 0.3)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).toSet
+    assert(got2 == Set((0L, 0.0), (1L, 3.0), (2L, 5.1)))
+  }
+
+  test("rollingZ: trailing-window closed form, thin history and flat " +
+    "history never flag") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 10.0).zipWithIndex
+      .map { case (x, i) => ("k", i.toLong, x) }.toDF("key", "t", "x")
+    val got = Profile.rollingZ(df, "key", "t", "x", window = 3, tau = 2.0,
+        minPts = 2)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(3), Option(r.get(5)).map(_.asInstanceOf[Double]),
+          r.getBoolean(6)))).toMap
+    assert(got(0L) == ((0L, None, false))) // no history
+    assert(got(1L) == ((1L, None, false))) // under minPts
+    // hist [1,2]: mean 1.5, sd .7071 -> z = (3-1.5)/.7071 = 2.1213
+    assert(got(2L)._1 == 2L && got(2L)._3)
+    assert(math.abs(got(2L)._2.get - 2.1213) < 1e-9)
+    // hist [1,2,3]: mean 2, sd 1 -> z = 8
+    assert(got(3L) == ((3L, Some(8.0), true)))
+    // constant history: sd = 0 -> NULL z, never an anomaly
+    val flat = (0 until 5).map(i => ("c", i.toLong, 7.0))
+      .toDF("key", "t", "x")
+    val fr = Profile.rollingZ(flat, "key", "t", "x", window = 3,
+      tau = 1.0, minPts = 2).collect()
+    assert(fr.forall(r => r.isNullAt(5) && !r.getBoolean(6)))
+  }
+
+  test("benford: arithmetic leading digit, empty digits materialize, " +
+    "chi2 of a missing digit is its expectation") {
+    import spark.implicits._
+    val df = Seq(1.5, 15.0, 0.19, 2.0, -3000.0).toDF("v")
+    val got = Profile.benford(df, "v").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 9)
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert((4L to 9L).forall(got(_)._1 == 0L))
+    assert(got(1L)._2 == 0.6)
+    assert(math.abs(got(1L)._3 - math.log10(2.0)) < 1e-6)
+    // digit 9 absent: chi2 term = (0 - E)^2 / E = E = n * log10(1+1/9)
+    val e9 = 5.0 * math.log10(1.0 + 1.0 / 9)
+    assert(math.abs(got(9L)._4 - e9) < 1e-4)
+    // zero and NULL carry no leading digit
+    val z = Profile.benford(Seq(Some(0.0), None, Some(1.0)).toDF("v"), "v")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(z == 1L)
+  }
+
+  test("concentration: hand Gini/HHI, uniform is 0, degenerate is max") {
+    import spark.implicits._
+    // counts a:1 b:1 c:2 -> sorted [1,1,2]: G = 2*9/(3*4) - 4/3 = 1/6
+    val df = Seq("a", "b", "c", "c").toDF("k")
+    val r = Profile.concentration(df, "k").collect().head
+    assert(r.getLong(0) == 3L && r.getDouble(1) == 4.0)
+    assert(math.abs(r.getDouble(2) - 1.0 / 6) < 1e-4)
+    assert(r.getDouble(3) == 0.375) // (1+1+4)/16
+    assert(r.getDouble(4) == 0.5)
+    // weighted form reproduces the same numbers from a weight column
+    val wdf = Seq(("a", 1.0), ("b", 1.0), ("c", 2.0)).toDF("k", "w")
+    val rw = Profile.concentration(wdf, "k", "w").collect().head
+    assert(rw.getDouble(2) == r.getDouble(2) && rw.getDouble(3) == r.getDouble(3))
+    // perfectly even mass -> gini 0; all mass on one key -> (n-1)/n
+    val even = Seq("a", "b", "c", "d").toDF("k")
+    assert(Profile.concentration(even, "k").collect().head.getDouble(2) == 0.0)
+  }
+
+  test("cohenKappa: the textbook 2x2 table, chance-only agreement is 0, " +
+    "degenerate constant raters are 1") {
+    import spark.implicits._
+    // confusion [[20 yy, 5 yn], [10 ny, 15 nn]]: po=.7, pe=.5, kappa=.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val r = Profile.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    assert(r.getLong(0) == 50L && r.getDouble(1) == 0.7 &&
+      r.getDouble(2) == 0.5 && r.getDouble(3) == 0.4)
+    // NULLs excluded from the mass
+    val withNull = rows ++ Seq((null, "y"), ("y", null))
+    val rn = Profile.cohenKappa(withNull.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(rn.getLong(0) == 50L && rn.getDouble(3) == 0.4)
+    // both raters constant and equal: pe = 1 -> kappa 1 by convention
+    val const = Seq.fill(4)(("y", "y")).toDF("a", "b")
+    assert(Profile.cohenKappa(const, "a", "b").collect().head.getDouble(3) == 1.0)
+  }
+
+  test("splitAssign: pure function of id (append/partitioning stable), " +
+    "fractions honored, guards") {
+    import spark.implicits._
+    val big = spark.range(0, 2000).select(col("id"))
+    val s1 = Sampling.splitAssign(big, "id").collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // shares near 90/5/5 on 2000 uniform hash draws
+    val shares = s1.values.groupBy(identity).view.mapValues(_.size / 2000.0)
+    assert(math.abs(shares("train") - 0.9) < 0.03, shares.toMap.toString)
+    assert(math.abs(shares("val") - 0.05) < 0.02)
+    assert(math.abs(shares("test") - 0.05) < 0.02)
+    // a 10-row subset, repartitioned, assigns identically (no re-draws)
+    val sub = Sampling.splitAssign(
+        spark.range(0, 10).select(col("id")).repartition(7), "id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(sub.forall { case (id, sp) => s1(id) == sp })
+    // guards: fractions must sum to 1 and be positive
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(big, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.splitAssign(big, "id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+  }
+
   test("entropyProfile + mutualInfo: closed forms, nulls out of the mass") {
     import spark.implicits._
     val df = Seq(
