@@ -1988,6 +1988,34 @@ object SparkEntry {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_trigram_lm" -> ((s, dir) => {
+      // order-2 stupid-backoff rung: same even-half model as the bigram
+      // gate, so trigram hits, both backoff rungs, and the OOV floor
+      // all genuinely fire on the odd half
+      val d = t(s, dir, "documents")
+      graft.ops.TextMetrics.trigramLogProb(d, "text", "doc_id",
+          model = d.filter(col("doc_id") % 2 === 0))
+        .orderBy("doc_id")
+    }),
+    "text_readability" -> ((s, dir) =>
+      // Flesch reading ease with the public vowel-group syllable proxy;
+      // one narrow regexp projection, no shuffle
+      graft.ops.TextMetrics.readability(t(s, dir, "documents"), "text",
+          "doc_id")
+        .orderBy("doc_id")),
+    "text_script" -> ((s, dir) =>
+      // character-class profile of the JSON props column — the field
+      // where letters, digits, punctuation and whitespace all carry
+      // real mass (documents.text is letters-only by construction)
+      graft.ops.TextMetrics.scriptProfile(t(s, dir, "events"), "props",
+          "event_id")
+        .orderBy("event_id")),
+    "text_char_entropy" -> ((s, dir) =>
+      // per-document character entropy + alphabet-normalized form;
+      // (id, char) counts map-side combined, one id rollup
+      graft.ops.TextMetrics.charEntropy(t(s, dir, "documents"), "text",
+          "doc_id")
+        .orderBy("doc_id")),
     "text_chunk_bpe" -> ((s, dir) =>
       // BPE-budgeted context-window chunking: budget 64 gives several
       // chunks per document at this doc length; words never split, the
@@ -3783,6 +3811,108 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(avg(lp), 4) + 0.0 AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_trigram_lm" ->
+      """WITH raw AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) > 0),
+        |tok AS (SELECT doc_id, unnest(l) AS t, generate_subscripts(l, 1) AS pos
+        |  FROM raw),
+        |seq AS (SELECT doc_id, pos, t,
+        |    lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+        |    lag(t, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS prev2
+        |  FROM tok),
+        |c1 AS (SELECT t, count(*)::DOUBLE AS c FROM tok WHERE doc_id % 2 = 0
+        |  GROUP BY t),
+        |n AS (SELECT count(*)::DOUBLE AS total FROM tok WHERE doc_id % 2 = 0),
+        |c2 AS (SELECT prev, t, count(*)::DOUBLE AS c FROM seq
+        |  WHERE prev IS NOT NULL AND doc_id % 2 = 0 GROUP BY prev, t),
+        |c3 AS (SELECT prev2, prev, t, count(*)::DOUBLE AS c FROM seq
+        |  WHERE prev2 IS NOT NULL AND doc_id % 2 = 0
+        |  GROUP BY prev2, prev, t),
+        |sc AS (SELECT s.doc_id,
+        |    CASE WHEN s.prev IS NULL
+        |           THEN ln(coalesce(ct.c, 1.0) / n.total)
+        |         WHEN s.prev2 IS NULL THEN
+        |           CASE WHEN c2.c IS NOT NULL THEN ln(c2.c / cp.c)
+        |                ELSE ln(0.4) + ln(coalesce(ct.c, 1.0) / n.total)
+        |           END
+        |         ELSE
+        |           CASE WHEN c3.c IS NOT NULL THEN ln(c3.c / c2d.c)
+        |                WHEN c2.c IS NOT NULL
+        |                  THEN ln(0.4) + ln(c2.c / cp.c)
+        |                ELSE ln(0.4::DOUBLE * 0.4::DOUBLE)
+        |                  + ln(coalesce(ct.c, 1.0) / n.total)
+        |           END
+        |    END AS lp
+        |  FROM seq s
+        |  LEFT JOIN c1 ct ON ct.t = s.t
+        |  LEFT JOIN c1 cp ON cp.t = s.prev
+        |  LEFT JOIN c2 ON c2.prev = s.prev AND c2.t = s.t
+        |  LEFT JOIN c2 c2d ON c2d.prev = s.prev2 AND c2d.t = s.prev
+        |  LEFT JOIN c3 ON c3.prev2 = s.prev2 AND c3.prev = s.prev
+        |    AND c3.t = s.t, n)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  round(avg(lp), 4) + 0.0 AS avg_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_readability" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+        |    AS n_words,
+        |  greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::BIGINT
+        |    AS n_sentences,
+        |  (len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |    + len(list_filter(string_split(text, ' '), x -> x <> ''))
+        |    - len(list_filter(string_split(lower(text), ' '),
+        |        x -> regexp_matches(x, '[aeiouy]'))))::BIGINT AS n_syllables,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(206.835 - 1.015 * n_words / n_sentences
+        |      - 84.6 * n_syllables / n_words, 4)
+        |  END AS flesch
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_script" ->
+      """SELECT event_id, length(props)::BIGINT AS n_chars,
+        |  (length(props) - length(regexp_replace(props, '[A-Za-z]', '', 'g')))
+        |    ::BIGINT AS n_letter,
+        |  (length(props) - length(regexp_replace(props, '[0-9]', '', 'g')))
+        |    ::BIGINT AS n_digit,
+        |  (length(props) - length(regexp_replace(props, '[ \t\n\r]', '', 'g')))
+        |    ::BIGINT AS n_space,
+        |  (length(props)
+        |    - length(regexp_replace(props, '[!-/:-@\[-`{-~]', '', 'g')))
+        |    ::BIGINT AS n_punct,
+        |  (n_chars - n_letter - n_digit - n_space - n_punct)::BIGINT
+        |    AS n_other,
+        |  CASE
+        |    WHEN n_letter >= n_digit AND n_letter >= n_punct
+        |      AND n_letter >= n_space AND n_letter >= n_other THEN 'letter'
+        |    WHEN n_digit >= n_punct AND n_digit >= n_space
+        |      AND n_digit >= n_other THEN 'digit'
+        |    WHEN n_punct >= n_space AND n_punct >= n_other THEN 'punct'
+        |    WHEN n_space >= n_other THEN 'space'
+        |    ELSE 'other' END AS dominant
+        |FROM events ORDER BY event_id""".stripMargin,
+    "text_char_entropy" ->
+      """WITH ch AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c
+        |  FROM documents),
+        |cc AS (SELECT doc_id, c, count(*)::BIGINT AS n FROM ch
+        |  GROUP BY 1, 2),
+        |pd AS (SELECT doc_id, sum(n)::BIGINT AS n_chars,
+        |    count(*)::BIGINT AS n_distinct, sum(n * ln(n)) AS snln
+        |  FROM cc GROUP BY 1),
+        |ids AS (SELECT DISTINCT doc_id FROM documents),
+        |e AS (SELECT ids.doc_id,
+        |    coalesce(pd.n_chars, 0)::BIGINT AS n_chars,
+        |    coalesce(pd.n_distinct, 0)::BIGINT AS n_distinct,
+        |    round(coalesce(ln(pd.n_chars) - pd.snln / pd.n_chars, 0.0), 4)
+        |      AS entropy
+        |  FROM ids LEFT JOIN pd USING (doc_id))
+        |SELECT doc_id, n_chars, n_distinct, entropy,
+        |  CASE WHEN n_distinct > 1
+        |    THEN round(entropy / ln(n_distinct), 4) ELSE 0.0 END
+        |    AS norm_entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
     "text_ccnet_buckets" ->
       """WITH raw AS (SELECT doc_id, lang,
         |    list_filter(string_split(text, ' '), x -> x <> '') AS l

@@ -854,6 +854,201 @@ object TextMetrics {
   }
 
   /**
+   * Trigram stupid-backoff LM score — the order-2 rung of the
+   * [[unigramLogProb]] → [[bigramLogProb]] ladder (Brants et al. 2007;
+   * each order catches fluency the lower one scores as noise, and
+   * stupid backoff stays pure count arithmetic — no discounting
+   * renormalization — so it remains exactly SQL-replayable):
+   *
+   *   score(t | p2, p1) = c3(p2,p1,t)/c2(p2,p1)        trigram hit
+   *                     = α · c2(p1,t)/c1(p1)          bigram backoff
+   *                     = α² · c1(t)/N                 unigram backoff
+   *                     = α² · 1/N                     OOV floor
+   *   position 2 starts at the bigram rung (α·… on its backoffs),
+   *   position 1 at the unigram rung — each position scores from the
+   *   highest order its history supports.
+   *
+   * Same scale shape as bigramLogProb: history comes from per-row array
+   * shifts (zero-shuffle sequencing), model tables are map-side-combined
+   * counts, N is a 1-row subtree, token→model joins AQE-decided (a
+   * web-scale trigram table dwarfs memory — never hint-broadcast).
+   */
+  def trigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame = null, alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val m = Option(model).getOrElse(docs)
+    def seqOf(df: DataFrame) = {
+      val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
+      df.select(col(idCol), toks.as("l"))
+        .where(size(col("l")) > 0)
+        .select(col(idCol), explode(zip_with(
+          zip_with(col("l"),
+            concat(array(lit(null).cast("string")),
+              slice(col("l"), lit(1), size(col("l")) - 1)),
+            (t, p) => struct(t.as("t"), p.as("prev"))),
+          // sliced to the token count: zip_with pads to the LONGER side,
+          // and the 2-null prefix would add a phantom row to 1-token docs
+          slice(concat(
+            array(lit(null).cast("string"), lit(null).cast("string")),
+            slice(col("l"), lit(1), greatest(size(col("l")) - 2, lit(0)))),
+            lit(1), size(col("l"))),
+          (tp, p2) => struct(tp("t").as("t"), tp("prev").as("prev"),
+            p2.as("prev2")))).as("z"))
+        .select(col(idCol), col("z.t").as("t"), col("z.prev").as("prev"),
+          col("z.prev2").as("prev2"))
+    }
+    val scored = seqOf(docs)
+    val mseq = seqOf(m)
+    val c1 = mseq.groupBy("t").agg(count(lit(1)).cast("double").as("c1"))
+    val c2 = mseq.where(col("prev").isNotNull)
+      .groupBy("prev", "t").agg(count(lit(1)).cast("double").as("c2"))
+    val c3 = mseq.where(col("prev2").isNotNull)
+      .groupBy("prev2", "prev", "t")
+      .agg(count(lit(1)).cast("double").as("c3"))
+    val nTot = mseq.select(count(lit(1)).cast("double").as("n_model"))
+    val cp = c1.select(col("t").as("prev"), col("c1").as("c1p"))
+    // trigram denominator: the (prev2, prev) bigram count, i.e. c2
+    // re-keyed one position back
+    val c2d = c2.select(col("prev").as("prev2"), col("t").as("prev"),
+      col("c2").as("c2d"))
+    val uni = log(coalesce(col("c1"), lit(1.0)) / col("n_model"))
+    scored
+      .join(c1, Seq("t"), "left")
+      .join(cp, Seq("prev"), "left")
+      .join(c2, Seq("prev", "t"), "left")
+      .join(c2d, Seq("prev2", "prev"), "left")
+      .join(c3, Seq("prev2", "prev", "t"), "left")
+      .crossJoin(nTot)
+      .select(col(idCol),
+        when(col("prev").isNull, uni)
+          .otherwise(when(col("prev2").isNull,
+            when(col("c2").isNotNull, log(col("c2") / col("c1p")))
+              .otherwise(log(lit(alpha)) + uni))
+          .otherwise(
+            when(col("c3").isNotNull, log(col("c3") / col("c2d")))
+              .otherwise(when(col("c2").isNotNull,
+                log(lit(alpha)) + log(col("c2") / col("c1p")))
+                .otherwise(log(lit(alpha * alpha)) + uni))))
+          .as("lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        (round(avg(col("lp")), 4) + lit(0.0)).as("avg_logp"))
+  }
+
+  /**
+   * Flesch reading-ease score — the classic readability signal a
+   * curation stack runs next to the Gopher/C4 rules (a near-zero or
+   * negative Flesch on prose flags run-on machine text; ~100 flags
+   * trivial fragments): 206.835 − 1.015·(W/S) − 84.6·(Syl/W), with a
+   * dictionary-free syllable PROXY — vowel groups ([aeiouy]+) per word,
+   * floored at 1 per word — and sentences counted as [.!?]+ runs,
+   * floored at 1 (fragments are one sentence, not zero). The proxy is
+   * the standard public approximation; both sides of the gate replay it
+   * identically, so the score is engine-exact even where the proxy
+   * deviates from dictionary syllabification. Zero-word documents get a
+   * NULL score (no readability evidence, reported not invented).
+   * One narrow projection — counts come from regexp extraction, no
+   * explode, no shuffle. Output: id, n_words, n_sentences,
+   * n_syllables, flesch (4dp).
+   */
+  def readability(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, " ", -1), x => x =!= "")
+    val vowelGroups = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+    val wordsWithVowel = size(filter(split(lower(t), " ", -1),
+      x => x.rlike("[aeiouy]")))
+    val sentences = greatest(
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))), lit(1))
+    docs.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        sentences.cast("long").as("n_sentences"),
+        // floor-at-1: words without any vowel group still carry one
+        // spoken syllable (acronyms, numbers)
+        (vowelGroups + (size(words) - wordsWithVowel)).cast("long")
+          .as("n_syllables"))
+      .withColumn("flesch", when(col("n_words") > 0,
+        round(lit(206.835)
+          - lit(1.015) * col("n_words") / col("n_sentences")
+          - lit(84.6) * col("n_syllables") / col("n_words"), 4)))
+  }
+
+  /**
+   * Character-class profile — the mojibake / binary-spill / wrong-field
+   * detector (a "text" column that is 40% punctuation is JSON or markup;
+   * one with non-ASCII mass in an ASCII-declared corpus is encoding
+   * damage): per document, counts of letters, digits, whitespace, ASCII
+   * punctuation, and everything else (incl. non-ASCII), plus the
+   * dominant class under a fixed letter ≻ digit ≻ punct ≻ space ≻ other
+   * tie precedence. Counts are length-difference arithmetic
+   * (len(text) − len(text with the class removed)) — one narrow
+   * projection, no explode, no shuffle.
+   * Output: id, n_chars, n_letter, n_digit, n_space, n_punct, n_other,
+   * dominant.
+   */
+  def scriptProfile(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String) =
+      (length(t) - length(regexp_replace(t, pattern, ""))).cast("long")
+    val letters = cnt("[A-Za-z]")
+    val digits = cnt("[0-9]")
+    val spaces = cnt("[ \\t\\n\\r]")
+    val punct = cnt("[!-/:-@\\[-`{-~]")
+    docs.select(col(idCol), length(t).cast("long").as("n_chars"),
+        letters.as("n_letter"), digits.as("n_digit"),
+        spaces.as("n_space"), punct.as("n_punct"))
+      .withColumn("n_other", col("n_chars") - col("n_letter")
+        - col("n_digit") - col("n_space") - col("n_punct"))
+      .withColumn("dominant",
+        when(col("n_letter") >= col("n_digit") &&
+          col("n_letter") >= col("n_punct") &&
+          col("n_letter") >= col("n_space") &&
+          col("n_letter") >= col("n_other"), "letter")
+        .when(col("n_digit") >= col("n_punct") &&
+          col("n_digit") >= col("n_space") &&
+          col("n_digit") >= col("n_other"), "digit")
+        .when(col("n_punct") >= col("n_space") &&
+          col("n_punct") >= col("n_other"), "punct")
+        .when(col("n_space") >= col("n_other"), "space")
+        .otherwise("other"))
+  }
+
+  /**
+   * Character-level Shannon entropy per document — the compression-side
+   * quality signal (near-zero entropy = padding/repeated filler;
+   * anomalously high = base64/binary spill masquerading as text) that
+   * needs no dictionary, tokenizer, or model: H = −Σ p(c)·ln p(c) over
+   * the document's characters, plus H/ln(n_distinct) normalized to
+   * [0, 1] (0 when n_distinct ≤ 1). One explode to (id, char) counts
+   * (map-side combined) + one id rollup — the entropyProfile shape at
+   * document grain. Empty documents report 0 entropy.
+   * Output: id, n_chars, n_distinct, entropy (4dp), norm_entropy (4dp).
+   */
+  def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val chars = docs.select(col(idCol),
+        explode(filter(split(col(textCol), "", -1), x => x =!= ""))
+          .as("c"))
+      .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
+    val perDoc = chars.groupBy(col(idCol))
+      .agg(sum("n").as("n_chars"), count(lit(1)).as("n_distinct"),
+        sum(col("n") * log(col("n"))).as("_snln"))
+    val ids = docs.select(col(idCol)).distinct()
+    ids.join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        // H = ln n_total - (1/n) Σ n_c ln n_c  (count form, no division
+        // inside the aggregation)
+        round(coalesce(log(col("n_chars"))
+          - col("_snln") / col("n_chars"), lit(0.0)), 4).as("entropy"))
+      // normalized from the ROUNDED entropy (engine-identity over
+      // mathematical purity, the kappa rule), 0 on degenerate alphabets
+      .withColumn("norm_entropy",
+        when(col("n_distinct") > 1,
+          round(col("entropy") / log(col("n_distinct").cast("double")), 4))
+          .otherwise(lit(0.0)))
+  }
+
+  /**
    * Cut a scored frame into per-group equal-population buckets: bucket 1
    * holds each group's HIGHEST scores. Exact form — `ntile` over a
    * (group, score desc, id) window, deterministic because the id breaks

@@ -1680,6 +1680,76 @@ class OpsSpec extends AnyFunSuite {
     assert(self == self2 && self.keySet == Set(0L, 1L, 3L))
   }
 
+  test("trigramLogProb: closed forms for every rung — trigram hit, both " +
+    "backoffs, OOV floor, position rules") {
+    import spark.implicits._
+    // model [a b c a b c]: N=6, c1 all 2; c2 (a,b)=2 (b,c)=2 (c,a)=1;
+    // c3 (a,b,c)=2 (b,c,a)=1 (c,a,b)=1
+    val model = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq((0L, "a b c a"), (1L, "b c b"), (2L, "z"), (3L, "c c"))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.trigramLogProb(docs, "text", "doc_id", model)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ln = (x: Double) => math.log(x)
+    // doc 0: uni ln(2/6); pos2 bigram ln(2/2); tri ln(2/2); tri ln(1/2)
+    assert(out(0L) == ((4L, r4((ln(1.0 / 3) + 0 + 0 + ln(0.5)) / 4))))
+    // doc 1: uni; pos2 bigram hit; pos3 (b,c)->b: no c3, no c2(c,b) ->
+    // alpha^2 unigram
+    assert(out(1L) == ((3L,
+      r4((ln(1.0 / 3) + 0 + (ln(0.4 * 0.4) + ln(1.0 / 3))) / 3))))
+    // OOV floor at position 1
+    assert(out(2L) == ((1L, r4(ln(1.0 / 6)))))
+    // position 2 starts at the bigram rung: (c,c) unseen -> ONE alpha
+    assert(out(3L) == ((2L, r4((ln(1.0 / 3) + ln(0.4) + ln(1.0 / 3)) / 2))))
+  }
+
+  test("readability: closed-form Flesch, vowel-free words floor at one " +
+    "syllable, empty doc scores NULL") {
+    import spark.implicits._
+    val df = Seq((1L, "The cat. It ran!"), (2L, "bcd 123"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextMetrics.readability(df, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Double])))).toMap
+    // 4 words, 2 sentences, 4 vowel groups:
+    // 206.835 - 1.015*2 - 84.6*1 = 120.205
+    assert(out(1L) == ((4L, 2L, 4L, Some(120.205))))
+    // no vowels anywhere: 2 words floor to 2 syllables, 1 sentence floor
+    assert(out(2L) == ((2L, 1L, 2L, Some(120.205))))
+    assert(out(3L) == ((0L, 1L, 0L, None)))
+  }
+
+  test("scriptProfile: per-class counts on a JSON-ish string, tie " +
+    "precedence letter > digit > punct") {
+    import spark.implicits._
+    val df = Seq((1L, "{\"k\": 69}"), (2L, "a1"), (3L, "é!"))
+      .toDF("id", "s")
+    val out = TextMetrics.scriptProfile(df, "s", "id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // {"k": 69} -> 9 chars: 1 letter, 2 digits, 1 space, 5 punct
+    assert(out(1L) == ((9L, 1L, 2L, 1L, 5L, 0L, "punct")))
+    // tie 1-1 between letter and digit: letter precedence
+    assert(out(2L) == ((2L, 1L, 1L, 0L, 0L, 0L, "letter")))
+    // non-ASCII is 'other'; tie 1-1 punct vs other: punct precedence
+    assert(out(3L) == ((2L, 0L, 0L, 0L, 1L, 1L, "punct")))
+  }
+
+  test("charEntropy: closed form, degenerate and empty alphabets are 0") {
+    import spark.implicits._
+    val df = Seq((1L, "aab"), (2L, "aaa"), (3L, "")).toDF("id", "s")
+    val out = TextMetrics.charEntropy(df, "s", "id").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    // H(aab) = ln3 - (2 ln2)/3 = 0.6365; norm = 0.6365/ln2 = 0.9183
+    assert(out(1L) == ((3L, 2L, 0.6365, 0.9183)))
+    assert(out(2L) == ((3L, 1L, 0.0, 0.0)))
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0)))
+  }
+
   test("dsirWeights: closed-form at buckets=1, target separation, determinism") {
     import spark.implicits._
     // buckets=1 collapses every token to one bucket: logw(doc) =
