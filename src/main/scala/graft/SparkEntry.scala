@@ -1914,6 +1914,34 @@ object SparkEntry {
             Seq(pmod(col("o_custkey"), lit(256L)),
               pmod(col("o_orderkey"), lit(256L))), 8).as("zval"))
         .orderBy("zval", "o_orderkey")),
+    "q_hilbert" -> ((s, dir) =>
+      // Hilbert sort key over the same two projections as q_zorder —
+      // the adjacency-preserving curve clusterByHilbert lays files by;
+      // the oracle replays the 8-level rotate/reflect fold as
+      // MATERIALIZED CTE rounds (same linearization as the engine's
+      // named-column fold)
+      graft.ops.Layout.withHilbert(
+          t(s, dir, "orders").select(col("o_orderkey"),
+            pmod(col("o_custkey"), lit(256L)).as("_qx"),
+            pmod(col("o_orderkey"), lit(256L)).as("_qy")),
+          col("_qx"), col("_qy"), bits = 8)
+        .select(col("o_orderkey"), col("hval"))
+        .orderBy("hval", "o_orderkey")),
+    "q_lsh_tune" -> ((s, dir) =>
+      // banding-parameter tuner for a 128-hash signature at threshold
+      // 0.8: per divisor split, integrated FP/FN area of the S-curve,
+      // rank 1 = the split minhashCandidatePairs should run with.
+      // Data-independent arithmetic — the only gate query that reads
+      // no table, because the operator's input IS the parameter space
+      graft.ops.Dedup.lshTune(s, signatureLen = 128, threshold = 0.8)
+        .orderBy("rank")),
+    "ann_int8" -> ((s, dir) =>
+      // symmetric int8 embedding quantization: scale, codes (rendered
+      // to one string — the harness hashes scalars), reconstruction
+      // mse; one narrow projection, the 4x-memory rerank-copy path
+      graft.ops.Similarity.quantizeInt8(t(s, dir, "embeddings"),
+          "embedding", "vec_id")
+        .orderBy("vec_id")),
     "text_bpe_train" -> ((s, dir) => {
       // distributed BPE training over the corpus: the learned merge table
       // itself is the result (rank-ordered). The oracle unrolls the 12
@@ -2670,6 +2698,36 @@ object SparkEntry {
     s"""SELECT o_orderkey,
        |  (${terms.mkString(" | ")})::BIGINT AS zval
        |FROM orders ORDER BY zval, o_orderkey""".stripMargin
+  }
+
+  /** Hilbert replay: the bit-level rotate/reflect fold unrolls to one
+   * MATERIALIZED CTE per level (plain-CTE inlining would grow 4^bits —
+   * the hitsOracle lesson), qualifying every reference to the previous
+   * round's table so DuckDB's lateral aliases can never shadow. */
+  private def hilbertOracle(bits: Int): String = {
+    val pre =
+      """WITH h0 AS MATERIALIZED (SELECT o_orderkey,
+        |  (o_custkey % 256)::BIGINT AS x, (o_orderkey % 256)::BIGINT AS y,
+        |  0::BIGINT AS d FROM orders)""".stripMargin
+    val steps = (0 until bits).map { r =>
+      val s = 1L << (bits - 1 - r)
+      s""",
+         |h${r + 1} AS MATERIALIZED (SELECT t.o_orderkey,
+         |  CASE WHEN (t.y & $s) = 0 THEN
+         |    CASE WHEN (t.x & $s) > 0 THEN ${s - 1} - t.y ELSE t.y END
+         |  ELSE t.x END AS x,
+         |  CASE WHEN (t.y & $s) = 0 THEN
+         |    CASE WHEN (t.x & $s) > 0 THEN ${s - 1} - t.x ELSE t.x END
+         |  ELSE t.y END AS y,
+         |  t.d + ${s * s} * xor(
+         |    CASE WHEN (t.x & $s) > 0 THEN 3 ELSE 0 END,
+         |    CASE WHEN (t.y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |FROM h$r t)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT o_orderkey, d AS hval FROM h$bits
+         |ORDER BY hval, o_orderkey""".stripMargin
   }
 
   /** PageRank replay: the operator's fixed iteration count unrolls to a
@@ -3758,6 +3816,42 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "q_hilbert" -> hilbertOracle(8),
+    "q_lsh_tune" ->
+      """WITH d AS (SELECT b::BIGINT AS b, (128 // b)::BIGINT AS r
+        |  FROM (SELECT unnest(range(1, 129)) AS b) WHERE 128 % b = 0),
+        |g AS (SELECT (unnest(range(0, 200)) + 0.5) / 200.0 AS s),
+        |x AS (SELECT b, r, s, 1 - pow(1 - pow(s, r), b) AS p FROM d, g),
+        |a AS (SELECT b, r,
+        |    round(sum(CASE WHEN s < 0.8 THEN p ELSE 0.0 END) / 200, 6)
+        |      AS fp_area,
+        |    round(sum(CASE WHEN s >= 0.8 THEN 1.0 - p ELSE 0.0 END) / 200,
+        |      6) AS fn_area
+        |  FROM x GROUP BY 1, 2),
+        |t2 AS (SELECT b, r, fp_area, fn_area,
+        |    round(fp_area + fn_area, 6) AS total_err FROM a)
+        |SELECT b AS bands, r AS rows_per_band, fp_area, fn_area,
+        |  total_err,
+        |  row_number() OVER (ORDER BY total_err, b)::BIGINT AS rank
+        |FROM t2 ORDER BY rank""".stripMargin,
+    "ann_int8" ->
+      """WITH v AS (SELECT vec_id,
+        |    list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS sc FROM v),
+        |c AS (SELECT vec_id, v, sc,
+        |    list_transform(v, x -> CASE WHEN sc <> 0
+        |      THEN greatest(-127, least(127, round(x / sc, 0)::BIGINT))
+        |      ELSE 0 END) AS codes
+        |  FROM m)
+        |SELECT vec_id, len(v)::INT AS dim, round(sc, 8) AS scale,
+        |  array_to_string(list_transform(codes, e -> e::VARCHAR), ',')
+        |    AS codes,
+        |  round(list_sum(list_transform(list_zip(v, codes),
+        |    p -> pow(p[1] - p[2] * sc, 2))) / len(v), 10)
+        |    AS mse
+        |FROM c ORDER BY vec_id""".stripMargin,
     "dedup_semantic" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    unnest(embedding)::DOUBLE AS x FROM embeddings),

@@ -1158,4 +1158,48 @@ object Dedup {
       maxBucketSize = maxBucketSize)
     keepRepresentativesByLabels(exactKept, connectedComponents(pairs), idCol)
   }
+
+  /**
+   * LSH banding parameter tuner — the design-time calculator behind
+   * every (bands, rowsPerBand) choice in this file: for each divisor
+   * split b·r = `signatureLen`, the S-curve P(match | s) = 1−(1−s^r)^b
+   * is integrated (midpoint rule, `gridPoints` cells) into a
+   * false-positive area below `threshold` (∫₀ᵗ P ds — pairs the curve
+   * admits that the threshold says are non-dups) and a false-negative
+   * area above it (∫ᵗ¹ (1−P) ds); rank 1 is the split minimizing their
+   * sum. This is data-independent arithmetic — run it BEFORE touching
+   * the corpus, then hand the winning (b, r) to minhashCandidatePairs.
+   * Shape: a divisors × grid crossJoin of literals-range frames (a few
+   * thousand rows of pure codegen arithmetic), one keyed aggregation.
+   * Output per split: bands, rows_per_band, fp_area, fn_area (6dp),
+   * total_err (6dp), rank.
+   */
+  def lshTune(spark: org.apache.spark.sql.SparkSession, signatureLen: Int,
+      threshold: Double, gridPoints: Int = 200): DataFrame = {
+    require(signatureLen >= 1, "signatureLen must be >= 1")
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    require(gridPoints >= 10, "gridPoints must be >= 10")
+    import spark.implicits._
+    // the divisor list is O(sqrt(n)) arithmetic on a PARAMETER, not data
+    val splits = (1 to signatureLen).filter(signatureLen % _ == 0)
+      .map(b => (b.toLong, (signatureLen / b).toLong))
+    val grid = spark.range(0, gridPoints)
+      .select(((col("id") + lit(0.5)) / lit(gridPoints.toDouble)).as("s"))
+    val p = lit(1.0) - pow(lit(1.0) - pow(col("s"), col("r")), col("b"))
+    splits.toDF("b", "r").crossJoin(grid)
+      .select(col("b"), col("r"),
+        when(col("s") < threshold, p).otherwise(lit(0.0)).as("fp"),
+        when(col("s") >= threshold, lit(1.0) - p).otherwise(lit(0.0))
+          .as("fn"))
+      .groupBy("b", "r")
+      .agg(round(sum("fp") / gridPoints, 6).as("fp_area"),
+        round(sum("fn") / gridPoints, 6).as("fn_area"))
+      .withColumn("total_err",
+        round(col("fp_area") + col("fn_area"), 6))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_err"), col("b"))).cast("long"))
+      .select(col("b").as("bands"), col("r").as("rows_per_band"),
+        col("fp_area"), col("fn_area"), col("total_err"), col("rank"))
+  }
 }

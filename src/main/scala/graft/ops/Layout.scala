@@ -76,6 +76,76 @@ object Layout {
   }
 
   /**
+   * Hilbert-curve sort key over two quantized dimensions — the
+   * locality upgrade of [[zValue]] (Delta OPTIMIZE grew the same
+   * option): consecutive Hilbert positions are ALWAYS adjacent cells,
+   * so every contiguous file of a Hilbert-sorted table covers one
+   * connected rectangle-ish region, where the Morton curve's quadrant
+   * jumps hand some files two far-apart strips and cost extra reads on
+   * selective 2-D filters. The classic bit-level fold (Warren,
+   * Hacker's Delight §16; the public xy2d form): per bit level s from
+   * high to low, the quadrant pair (rx, ry) contributes s²·((3·rx)⊕ry)
+   * and the lower bits rotate/reflect into the quadrant's frame.
+   *
+   * The fold is built as one NAMED intermediate column per level —
+   * never nested Column expressions: each level references (x, y) of
+   * the previous level TWICE, so inline nesting would grow the
+   * expression tree ~4^bits (the same exponential the unrolled-CTE
+   * oracles dodge with AS MATERIALIZED); named projections keep plan
+   * and codegen linear in `bits` (CollapseProject declines to inline
+   * non-cheap doubly-referenced expressions). All helper columns are
+   * dropped; output adds only `out`.
+   */
+  def withHilbert(df: DataFrame, xCol: Column, yCol: Column, bits: Int,
+      out: String = "hval"): DataFrame = {
+    require(bits > 0 && 2 * bits <= 62, s"2 * $bits bits must fit a long")
+    val clash = (0 to bits).flatMap(i => Seq(s"_hx$i", s"_hy$i", s"_hd$i"))
+      .filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with withHilbert internals; rename them first")
+    var cur = df.withColumn("_hx0", xCol.cast("long"))
+      .withColumn("_hy0", yCol.cast("long"))
+      .withColumn("_hd0", lit(0L))
+    for ((i, r) <- ((bits - 1) to 0 by -1).zipWithIndex) {
+      val s = 1L << i
+      val x = col(s"_hx$r"); val y = col(s"_hy$r")
+      val rx = when(x.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      val ry = when(y.bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L))
+      cur = cur
+        .withColumn(s"_hd${r + 1}",
+          col(s"_hd$r") + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry))
+        .withColumn(s"_hx${r + 1}",
+          when(ry === 0, when(rx === 1, lit(s - 1) - y).otherwise(y))
+            .otherwise(x))
+        .withColumn(s"_hy${r + 1}",
+          when(ry === 0, when(rx === 1, lit(s - 1) - x).otherwise(x))
+            .otherwise(y))
+    }
+    cur.withColumn(out, col(s"_hd$bits"))
+      .drop((0 to bits).flatMap(i => Seq(s"_hx$i", s"_hy$i", s"_hd$i")): _*)
+  }
+
+  /**
+   * Hilbert-cluster a frame for writing — [[clusterByZ]] with the
+   * better curve: quantize both dims, range-partition by the Hilbert
+   * key, sort within partitions. Same single range Exchange.
+   */
+  def clusterByHilbert(
+      df: DataFrame, dimX: (String, Double, Double),
+      dimY: (String, Double, Double), bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles > 0, "numFiles must be positive")
+    require(!df.columns.contains("_hv"),
+      "input column _hv collides with clusterByHilbert's sort key; rename it first")
+    val (cx, lox, hix) = dimX
+    val (cy, loy, hiy) = dimY
+    withHilbert(df, quantize(col(cx), lox, hix, bits),
+        quantize(col(cy), loy, hiy, bits), bits, "_hv")
+      .repartitionByRange(numFiles, col("_hv"))
+      .sortWithinPartitions("_hv")
+      .drop("_hv")
+  }
+
+  /**
    * Small-file compaction plan — the OPTIMIZE/bin-packing step every
    * 100 TB table eventually needs: a crawl lands thousands of small
    * parquet files per partition, and scan cost is dominated by file

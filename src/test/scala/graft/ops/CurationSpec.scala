@@ -546,6 +546,97 @@ class CurationSpec extends AnyFunSuite {
 
   // ----------------------------------------------------------------- Layout
 
+  test("withHilbert == reference xy2d; bijection on the grid; every " +
+    "consecutive pair of positions is an adjacent cell") {
+    import spark.implicits._
+    // textbook xy2d (Wikipedia/Hacker's Delight public form)
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+    val bits = 4
+    val n = 1 << bits
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val got = Layout.withHilbert(grid, col("x"), col("y"), bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size == n * n)
+    got.foreach { case ((x, y), d) => assert(d == xy2d(bits, x, y)) }
+    // bijection onto [0, n^2)
+    assert(got.values.toSet == (0L until n.toLong * n).toSet)
+    // the Hilbert property Z-order lacks: |dx| + |dy| = 1 between every
+    // pair of consecutive curve positions
+    val byD = got.map(_.swap)
+    (1L until n.toLong * n).foreach { d =>
+      val (x1, y1) = byD(d - 1); val (x2, y2) = byD(d)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
+  test("lshTune: reference midpoint integration, rank ordering, the " +
+    "degenerate splits lose") {
+    val got = Dedup.lshTune(spark, signatureLen = 16, threshold = 0.5,
+        gridPoints = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5)))
+    assert(got.map(_._1).toSet == Set(1L, 2L, 4L, 8L, 16L))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // reference arithmetic for every split
+    got.foreach { case (b, r, fp, fn, tot, _) =>
+      val ss = (0 until 100).map(i => (i + 0.5) / 100.0)
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+      val wantFp = r6(ss.filter(_ < 0.5).map(p).sum / 100)
+      val wantFn = r6(ss.filter(_ >= 0.5).map(s => 1.0 - p(s)).sum / 100)
+      assert(math.abs(fp - wantFp) < 2e-6 && math.abs(fn - wantFn) < 2e-6,
+        s"split ($b,$r): got ($fp,$fn) want ($wantFp,$wantFn)")
+      assert(tot == r6(fp + fn))
+    }
+    // rank 1 is the argmin; the all-in-one-band and one-row-per-band
+    // degenerate splits never win at an interior threshold
+    val byRank = got.sortBy(_._6)
+    assert(byRank.head._5 == got.map(_._5).min)
+    assert(byRank.head._1 != 1L && byRank.head._2 != 1L)
+  }
+
+  test("quantizeInt8: closed-form codes, clamp, zero vector, " +
+    "reconstruction error") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(2.54f, -1.27f, 0.0f, 1.27f)),
+      (2L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding", "vec_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getString(3), r.getDouble(4)))).toMap
+    // scale = 2.54/127 = 0.02, codes = [127, -64, 0, 64] (the .5s round
+    // away from zero)
+    val (d1, s1, c1, m1) = got(1L)
+    assert(d1 == 4 && math.abs(s1 - 0.02) < 1e-8)
+    assert(c1 == "127,-64,0,64")
+    // reconstruction error small but nonzero (the rounded-up .5 coords)
+    assert(m1 > 0 && m1 < 1e-3)
+    // the all-zero vector: scale 0, zero codes, zero error
+    assert(got(2L) == ((2, 0.0, "0,0", 0.0)))
+    // codes never exceed +/-127 on any input
+    val wild = Seq((3L, Seq(1e30f, -1e30f, 1f))).toDF("vec_id", "embedding")
+    val c3 = Similarity.quantizeInt8(wild, "embedding", "vec_id")
+      .collect().head.getString(3)
+    assert(c3.split(",").map(_.toLong).forall(c => c >= -127 && c <= 127))
+  }
+
   test("zValue matches a reference interleave; quantize clamps") {
     import spark.implicits._
     def ref(x: Long, y: Long, bits: Int): Long = {
