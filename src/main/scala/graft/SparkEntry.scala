@@ -1935,6 +1935,26 @@ object SparkEntry {
       // no table, because the operator's input IS the parameter space
       graft.ops.Dedup.lshTune(s, signatureLen = 128, threshold = 0.8)
         .orderBy("rank")),
+    "ann_mmr" -> ((s, dir) => {
+      // MMR diversity re-rank of the brute-force top-20 shortlist
+      // (k=5, lambda=0.7): the dedup pass between retrieval and a
+      // context window; greedy picks argmax'd on 6dp-rounded scores so
+      // the oracle's unrolled 5-round replay selects identically
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect()(0)
+        .getSeq[Double](0)
+      graft.functions.GraftFunctions.register(s)
+      val v = col("embedding").cast("array<double>")
+      val shortlist = emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("embedding"),
+          round(graft.ops.Similarity.cosineNative(v, typedlit(q)), 5)
+            .as("rel"))
+        .orderBy(desc("rel"), col("vec_id")).limit(20)
+      graft.ops.Similarity.mmrRerank(shortlist, "vec_id", "embedding",
+          "rel", k = 5, lambda = 0.7)
+        .orderBy("rank")
+    }),
     "ann_int8" -> ((s, dir) =>
       // symmetric int8 embedding quantization: scale, codes (rendered
       // to one string — the harness hashes scalars), reconstruction
@@ -2728,6 +2748,69 @@ object SparkEntry {
       s"""
          |SELECT o_orderkey, d AS hval FROM h$bits
          |ORDER BY hval, o_orderkey""".stripMargin
+  }
+
+  /** MMR replay: the greedy pick loop unrolls to one CTE round per pick
+   * — same 5dp pairwise-cosine and 6dp score rounding, (score desc, id)
+   * argmax, and the IEEE (1.0 - lambda) complement the engine computes
+   * (a decimal 0.3 literal would differ from Java's 0.7-complement in
+   * the last ulp). AS MATERIALIZED per hitsOracle. */
+  private def mmrOracle(k: Int, lambda: Double): String = {
+    val pre =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS ev
+         |  FROM embeddings WHERE vec_id <> 0),
+         |d AS MATERIALIZED (
+         |  SELECT e.vec_id, sum(e.ev * q.qv) AS dp,
+         |    sqrt(sum(e.ev * e.ev)) AS na
+         |  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+         |nq AS MATERIALIZED (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+         |s0 AS MATERIALIZED (
+         |  SELECT d.vec_id, round(CASE WHEN d.na * nq.nq > 0
+         |      THEN d.dp / (d.na * nq.nq) ELSE 0.0 END, 5) AS rel
+         |  FROM d, nq ORDER BY rel DESC, d.vec_id LIMIT 20),
+         |pc AS MATERIALIZED (
+         |  SELECT dot.va, dot.vb,
+         |    round(CASE WHEN da.na * db.na > 0
+         |      THEN dot.dp2 / (da.na * db.na) ELSE 0.0 END, 5) AS cos
+         |  FROM (SELECT ea.vec_id AS va, eb.vec_id AS vb,
+         |        sum(ea.ev * eb.ev) AS dp2
+         |      FROM e ea JOIN e eb ON ea.i = eb.i
+         |      WHERE ea.vec_id IN (SELECT vec_id FROM s0)
+         |        AND eb.vec_id IN (SELECT vec_id FROM s0)
+         |      GROUP BY ea.vec_id, eb.vec_id) dot
+         |  JOIN d da ON da.vec_id = dot.va
+         |  JOIN d db ON db.vec_id = dot.vb),
+         |p1 AS MATERIALIZED (
+         |  SELECT vec_id, rel, round($lambda * rel, 6) AS score,
+         |    1::BIGINT AS rank
+         |  FROM s0 ORDER BY round($lambda * rel, 6) DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM p1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s""",
+         |p$t AS MATERIALIZED (
+         |  SELECT s.vec_id, s.rel,
+         |    round($lambda * s.rel
+         |      - (1.0::DOUBLE - $lambda::DOUBLE) * ms.m, 6) AS score,
+         |    $t::BIGINT AS rank
+         |  FROM s0 s JOIN (SELECT pc.va AS vec_id, max(pc.cos) AS m
+         |      FROM pc JOIN sel${t - 1} sl ON pc.vb = sl.vec_id
+         |      GROUP BY pc.va) ms ON ms.vec_id = s.vec_id
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY score DESC, s.vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT rank, vec_id, rel, score FROM sel$k ORDER BY rank"""
+        .stripMargin
   }
 
   /** PageRank replay: the operator's fixed iteration count unrolls to a
@@ -3817,6 +3900,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_hilbert" -> hilbertOracle(8),
+    "ann_mmr" -> mmrOracle(5, 0.7),
     "q_lsh_tune" ->
       """WITH d AS (SELECT b::BIGINT AS b, (128 // b)::BIGINT AS r
         |  FROM (SELECT unnest(range(1, 129)) AS b) WHERE 128 % b = 0),

@@ -668,6 +668,72 @@ object Similarity {
   }
 
   /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+   * — the diversity pass between retrieval and a context window: pick
+   * k results greedily by score = λ·relevance − (1−λ)·max-cosine-to-
+   * already-picked, so near-duplicate hits don't crowd out coverage
+   * (the RAG failure mode where all 5 chunks say the same thing).
+   *
+   * Greedy selection is inherently sequential in k: each round scores
+   * the REMAINING candidates against the current pick set (pick
+   * vectors enter as literals — k-sized driver state, the codebook/
+   * centroid convention) and takes ONE argmax row (the loop-control
+   * action exception). Run it on a SHORTLIST from any ANN tier —
+   * k tiny jobs over tens of rows — never on the corpus; the corpus
+   * stage is the ANN scan that produced the shortlist. Pairwise sims
+   * round at 5dp and scores at 6dp before every argmax (ties then by
+   * id), so selection is engine-exactly replayable.
+   * Output: rank (1-based pick order), id, rel, score (at pick time).
+   */
+  def mmrRerank(shortlist: DataFrame, idCol: String, vecCol: String,
+      relCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1]: $lambda")
+    graft.functions.GraftFunctions.register(shortlist.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val base = shortlist.select(col(idCol), v.as("_v"),
+      col(relCol).cast("double").as("_rel"))
+    // the shortlist is tens of rows by contract; cache so the k argmax
+    // jobs don't rescan the ANN stage that produced it
+    val cached = CacheScope.track(base)
+    val picked = scala.collection.mutable.ArrayBuffer
+      .empty[(Any, Double, Double, Seq[Double])]
+    var done = false
+    while (picked.size < k && !done) {
+      val remaining = picked.foldLeft(cached) { case (df, (id, _, _, _)) =>
+        df.filter(col(idCol) =!= lit(id))
+      }
+      val sims = picked.toSeq.map { case (_, _, _, vec) =>
+        round(cosineNative(col("_v"), typedlit(vec)), 5)
+      }
+      val maxSim = sims match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one // greatest() requires >= 2 args
+        case many => greatest(many: _*)
+      }
+      val scored = remaining.withColumn("_score",
+        round(lit(lambda) * col("_rel") - lit(1.0 - lambda) * maxSim, 6))
+      val top = scored.orderBy(desc("_score"), col(idCol)).limit(1)
+        .select(col(idCol), col("_rel"), col("_score"), col("_v"))
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        picked += ((r.get(0), r.getDouble(1), r.getDouble(2),
+          r.getSeq[Double](3)))
+      }
+    }
+    import shortlist.sparkSession.implicits._
+    val rows = picked.toSeq.zipWithIndex.map { case ((id, rel, score, _), i) =>
+      (i + 1L, id.toString, rel, score)
+    }
+    val idType = shortlist.schema(idCol).dataType
+    rows.toDF("rank", "_id", "rel", "score")
+      .select(col("rank"), col("_id").cast(idType).as(idCol), col("rel"),
+        col("score"))
+  }
+
+  /**
    * Symmetric int8 embedding quantization — the 4× memory lever BELOW
    * PQ's 32× (PQ approximates, int8 keeps per-coordinate fidelity; at
    * 100 TB the int8 copy is what brute-force rerank scans after a

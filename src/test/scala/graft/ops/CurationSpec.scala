@@ -611,6 +611,57 @@ class CurationSpec extends AnyFunSuite {
     assert(byRank.head._1 != 1L && byRank.head._2 != 1L)
   }
 
+  test("mmrRerank == plain-Scala greedy reference; diversity actually " +
+    "reorders; k > candidates stops early") {
+    import spark.implicits._
+    // two tight clusters + one outlier: pure relevance would pick the
+    // whole first cluster; MMR must interleave
+    val vecs = Map(
+      1L -> Seq(1.0, 0.0, 0.0), 2L -> Seq(0.99, 0.14, 0.0),
+      3L -> Seq(0.98, 0.199, 0.0), 4L -> Seq(0.0, 1.0, 0.0),
+      5L -> Seq(0.0, 0.0, 1.0))
+    val rels = Map(1L -> 0.95, 2L -> 0.94, 3L -> 0.93, 4L -> 0.5,
+      5L -> 0.4)
+    val df = vecs.toSeq.map { case (id, v) => (id, v, rels(id)) }
+      .toDF("id", "vec", "rel")
+    val lam = 0.6
+    def r5(x: Double) = BigDecimal(x).setScale(5,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val n = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      if (n > 0) d / n else 0.0
+    }
+    // reference greedy with the operator's exact rounding discipline
+    var sel = List.empty[Long]
+    val want = (1 to 4).map { rank =>
+      val cands = vecs.keys.filterNot(sel.contains).toSeq
+      val scored = cands.map { id =>
+        val ms = if (sel.isEmpty) 0.0
+          else sel.map(s => r5(cos(vecs(id), vecs(s)))).max
+        id -> r6(lam * rels(id) - (1.0 - lam) * ms)
+      }
+      val (bestId, bestScore) = scored.minBy { case (id, sc) => (-sc, id) }
+      sel = sel :+ bestId
+      (rank.toLong, bestId, bestScore)
+    }
+    val got = Similarity.mmrRerank(df, "id", "vec", "rel", k = 4,
+        lambda = lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      .toSeq.sortBy(_._1)
+    assert(got == want, s"got $got want $want")
+    // the diversity effect is real: cluster-mates 2,3 cannot BOTH sit in
+    // the top-3 even though they hold ranks 2-3 by raw relevance
+    val top3 = got.take(3).map(_._2).toSet
+    assert(!(top3.contains(2L) && top3.contains(3L)))
+    // k beyond the candidate count stops early, no phantom rows
+    assert(Similarity.mmrRerank(df, "id", "vec", "rel", k = 9,
+      lambda = lam).count() == 5)
+    graft.ops.CacheScope.unpersistAll(spark)
+  }
+
   test("quantizeInt8: closed-form codes, clamp, zero vector, " +
     "reconstruction error") {
     import spark.implicits._
