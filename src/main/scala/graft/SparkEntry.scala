@@ -1935,6 +1935,24 @@ object SparkEntry {
       // no table, because the operator's input IS the parameter space
       graft.ops.Dedup.lshTune(s, signatureLen = 128, threshold = 0.8)
         .orderBy("rank")),
+    "q_geo_join" -> ((s, dir) => {
+      // spatial within-150km join on deterministic key-derived
+      // coordinates (lat in [-60,60), lon in [-180,180)): 3-degree
+      // cells, left side exploded to its 3x3 neighborhood, equi-join on
+      // the cell key — the oracle brute-forces the cross join, proving
+      // the blocking lossless at gate scale
+      val cust = t(s, dir, "customer").select(col("c_custkey"),
+        (pmod(col("c_custkey") * 37, lit(1200)) / 10.0 - 60.0).as("lat"),
+        (pmod(col("c_custkey") * 73, lit(3600)) / 10.0 - 180.0).as("lon"))
+      val supp = t(s, dir, "supplier").select(col("s_suppkey"),
+        (pmod(col("s_suppkey") * 41, lit(1200)) / 10.0 - 60.0).as("lat"),
+        (pmod(col("s_suppkey") * 97, lit(3600)) / 10.0 - 180.0).as("lon"))
+      graft.ops.Geo.withinDistanceJoin(
+          supp, "s_suppkey", "lat", "lon",
+          cust, "c_custkey", "lat", "lon",
+          maxKm = 150.0, cellDeg = 3.0, maxAbsLat = 60.0)
+        .orderBy("s_suppkey", "c_custkey")
+    }),
     "ann_mmr" -> ((s, dir) => {
       // MMR diversity re-rank of the brute-force top-20 shortlist
       // (k=5, lambda=0.7): the dedup pass between retrieval and a
@@ -3901,6 +3919,25 @@ object SparkEntry {
     "q_zorder" -> zorderOracle,
     "q_hilbert" -> hilbertOracle(8),
     "ann_mmr" -> mmrOracle(5, 0.7),
+    "q_geo_join" ->
+      """WITH c AS (SELECT c_custkey,
+        |    ((c_custkey * 37) % 1200)::DOUBLE / 10.0 - 60.0 AS lat,
+        |    ((c_custkey * 73) % 3600)::DOUBLE / 10.0 - 180.0 AS lon
+        |  FROM customer),
+        |s AS (SELECT s_suppkey,
+        |    ((s_suppkey * 41) % 1200)::DOUBLE / 10.0 - 60.0 AS lat,
+        |    ((s_suppkey * 97) % 3600)::DOUBLE / 10.0 - 180.0 AS lon
+        |  FROM supplier),
+        |p AS (SELECT s.s_suppkey, c.c_custkey,
+        |    2 * 6371.0088 * asin(sqrt(
+        |      sin(radians(c.lat - s.lat) / 2)
+        |        * sin(radians(c.lat - s.lat) / 2)
+        |      + cos(radians(s.lat)) * cos(radians(c.lat))
+        |        * sin(radians(c.lon - s.lon) / 2)
+        |        * sin(radians(c.lon - s.lon) / 2))) AS d
+        |  FROM s, c)
+        |SELECT s_suppkey, c_custkey, round(d, 3) AS dist_km
+        |FROM p WHERE d <= 150.0 ORDER BY 1, 2""".stripMargin,
     "q_lsh_tune" ->
       """WITH d AS (SELECT b::BIGINT AS b, (128 // b)::BIGINT AS r
         |  FROM (SELECT unnest(range(1, 129)) AS b) WHERE 128 % b = 0),

@@ -544,6 +544,56 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((12L, 0, 1), (10L, 1, 2), (11L, 1, 3)))
   }
 
+  // -------------------------------------------------------------------- Geo
+
+  test("withinDistanceJoin == brute-force haversine; cell precondition " +
+    "guards the lossy configuration") {
+    import spark.implicits._
+    // deterministic pseudo-random points over lat [-20, 20), lon
+    // [-40, 40) — hash-scattered (a multiplicative lattice keeps even
+    // and odd ids ~700 km apart and the join is vacuously empty), dense
+    // enough for real pairs at 200 km; cells (2 deg ~ 209 km of
+    // longitude at lat 20) straddle pair spans
+    def mix(z0: Long): Long = {
+      var z = z0 + -7046029254386353131L
+      z = (z ^ (z >>> 30)) * -4658895280553007687L
+      z = (z ^ (z >>> 27)) * -7723592293110705685L
+      (z ^ (z >>> 31)) & Long.MaxValue
+    }
+    val pts = (0 until 300).map { i =>
+      val h = mix(i.toLong)
+      val lat = (h % 400) / 10.0 - 20.0
+      val lon = ((h >> 16) % 800) / 10.0 - 40.0
+      (i.toLong, lat, lon)
+    }
+    val a = pts.filter(_._1 % 2 == 0).toDF("id", "lat", "lon")
+    val b = pts.filter(_._1 % 2 == 1).toDF("id", "lat", "lon")
+    val got = Geo.withinDistanceJoin(a, "id", "lat", "lon",
+        b.withColumnRenamed("id", "rid"), "rid", "lat", "lon",
+        maxKm = 200.0, cellDeg = 2.0, maxAbsLat = 20.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hav(p: (Long, Double, Double), q: (Long, Double, Double)): Double = {
+      val dLat = math.toRadians(q._2 - p._2) / 2
+      val dLon = math.toRadians(q._3 - p._3) / 2
+      val h = math.sin(dLat) * math.sin(dLat) +
+        math.cos(math.toRadians(p._2)) * math.cos(math.toRadians(q._2)) *
+          math.sin(dLon) * math.sin(dLon)
+      2 * 6371.0088 * math.asin(math.sqrt(h))
+    }
+    val want = (for {
+      p <- pts if p._1 % 2 == 0
+      q <- pts if q._1 % 2 == 1
+      if hav(p, q) <= 200.0
+    } yield (p._1, q._1)).toSet
+    assert(got == want && want.nonEmpty, s"${got.size} vs ${want.size}")
+    // a cell too narrow for the radius at the worst latitude must refuse
+    intercept[IllegalArgumentException] {
+      Geo.withinDistanceJoin(a, "id", "lat", "lon",
+        b.withColumnRenamed("id", "rid"), "rid", "lat", "lon",
+        maxKm = 500.0, cellDeg = 2.0, maxAbsLat = 20.0)
+    }
+  }
+
   // ----------------------------------------------------------------- Layout
 
   test("withHilbert == reference xy2d; bijection on the grid; every " +
