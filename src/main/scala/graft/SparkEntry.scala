@@ -1935,6 +1935,31 @@ object SparkEntry {
       // no table, because the operator's input IS the parameter space
       graft.ops.Dedup.lshTune(s, signatureLen = 128, threshold = 0.8)
         .orderBy("rank")),
+    "dedup_containment" -> ((s, dir) =>
+      // asymmetric quote/subsumption pairs: |A∩B|/min(|A|,|B|) over
+      // 3-gram shingles, candidates from the rare-shingle inverted
+      // index (df <= 100), exact intersection over ALL shingles
+      graft.ops.Dedup.containmentPairs(t(s, dir, "documents"), "text",
+          "doc_id", minContainment = 0.8, maxShingleDf = 100)
+        .orderBy("id_a", "id_b")),
+    "q_adoption" -> ((s, dir) => {
+      // adoption curve per event type: daily events/actives/new users +
+      // cumulative uniques WITHOUT a cumulative distinct (first-day
+      // marking + per-group running sum)
+      val ev = eventsTsUs(s, dir)
+        .withColumn("day", expr("ts_us div 86400000000"))
+      graft.ops.Behavior.adoption(ev, "event_type", "user_id", "day")
+        .orderBy("event_type", "day")
+    }),
+    "q_rfm" -> ((s, dir) =>
+      // RFM quintile segmentation of customers from their orders:
+      // key-level ntile windows (n_keys rows, the concentration
+      // contract), ties broken by the key on both engines
+      graft.ops.Behavior.rfm(
+          t(s, dir, "orders").withColumn("o_ts",
+            expr("unix_micros(cast(o_orderdate as timestamp)) div 1000000")),
+          "o_custkey", "o_ts", "o_totalprice")
+        .orderBy("o_custkey")),
     "q_geo_join" -> ((s, dir) => {
       // spatial within-150km join on deterministic key-derived
       // coordinates (lat in [-60,60), lon in [-180,180)): 3-degree
@@ -3919,6 +3944,60 @@ object SparkEntry {
     "q_zorder" -> zorderOracle,
     "q_hilbert" -> hilbertOracle(8),
     "ann_mmr" -> mmrOracle(5, 0.7),
+    "dedup_containment" ->
+      """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tk
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id AS sid,
+        |    array_to_string(tk[i:i+2], ' ') AS s
+        |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+        |sz AS (SELECT sid, count(*)::BIGINT AS nsh FROM sh GROUP BY sid),
+        |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+        |rare AS (SELECT sh.sid, sh.s FROM sh JOIN df USING (s)
+        |  WHERE df.df <= 100),
+        |cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.sid < b.sid),
+        |i AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
+        |  FROM cand c JOIN sh sa ON sa.sid = c.id_a
+        |  JOIN sh sb ON sb.sid = c.id_b AND sb.s = sa.s
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT i.id_a, i.id_b, za.nsh AS nsh_a, zb.nsh AS nsh_b, i.inter,
+        |  round(i.inter * 1.0 / least(za.nsh, zb.nsh), 4) AS containment
+        |FROM i JOIN sz za ON za.sid = i.id_a JOIN sz zb ON zb.sid = i.id_b
+        |WHERE i.inter * 1.0 / least(za.nsh, zb.nsh) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_adoption" ->
+      """WITH e AS (SELECT event_type AS g, user_id AS u,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS day FROM events),
+        |fd AS (SELECT g, u, min(day) AS first_day FROM e GROUP BY 1, 2),
+        |np AS (SELECT g, first_day AS day, count(*)::BIGINT AS n_new_users
+        |  FROM fd GROUP BY 1, 2),
+        |daily AS (SELECT g, day, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT u)::BIGINT AS n_active_users
+        |  FROM e GROUP BY 1, 2)
+        |SELECT daily.g AS event_type, daily.day AS day, daily.n_events,
+        |  daily.n_active_users,
+        |  coalesce(np.n_new_users, 0)::BIGINT AS n_new_users,
+        |  sum(coalesce(np.n_new_users, 0)) OVER (PARTITION BY daily.g
+        |    ORDER BY daily.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW)::BIGINT AS cum_users
+        |FROM daily LEFT JOIN np ON np.g = daily.g AND np.day = daily.day
+        |ORDER BY 1, 2""".stripMargin,
+    "q_rfm" ->
+      """WITH a AS (SELECT o_custkey,
+        |    max(epoch(o_orderdate))::BIGINT AS last_ts,
+        |    count(*)::BIGINT AS n_orders,
+        |    round(sum(o_totalprice::DOUBLE), 4) AS total_value
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey, last_ts, n_orders, total_value,
+        |  ntile(5) OVER (ORDER BY last_ts, o_custkey)::BIGINT AS r_score,
+        |  ntile(5) OVER (ORDER BY n_orders, o_custkey)::BIGINT AS f_score,
+        |  ntile(5) OVER (ORDER BY total_value, o_custkey)::BIGINT
+        |    AS m_score,
+        |  (ntile(5) OVER (ORDER BY last_ts, o_custkey))::VARCHAR
+        |    || (ntile(5) OVER (ORDER BY n_orders, o_custkey))::VARCHAR
+        |    || (ntile(5) OVER (ORDER BY total_value, o_custkey))::VARCHAR
+        |    AS segment
+        |FROM a ORDER BY o_custkey""".stripMargin,
     "q_geo_join" ->
       """WITH c AS (SELECT c_custkey,
         |    ((c_custkey * 37) % 1200)::DOUBLE / 10.0 - 60.0 AS lat,

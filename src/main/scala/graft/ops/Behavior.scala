@@ -134,6 +134,74 @@ object Behavior {
    * volumes), one path aggregation (map-side combined), top-k by
    * TakeOrdered — never a global sort.
    */
+  /**
+   * Adoption / cumulative-uniques curve per group — the growth report
+   * behind every "users over time" chart, computed WITHOUT a cumulative
+   * distinct (which no engine can decompose): a user's FIRST day in the
+   * group marks them new, daily new counts running-sum into the
+   * cumulative uniques. Per (group, day): events, active distinct
+   * users, new users, cumulative users. Two keyed aggregations (first
+   * day per (group, user); daily rollup) + one per-group ordered
+   * running sum — everything group/user-keyed, the running sum's
+   * partition is the group key (never a single global window).
+   * Days carry whatever unit `dayCol` already encodes.
+   */
+  def adoption(df: DataFrame, groupCol: String, userCol: String,
+      dayCol: String): DataFrame = {
+    val base = df.select(col(groupCol), col(userCol),
+      col(dayCol).cast("long").as("_day"))
+    val firstDay = base.groupBy(col(groupCol), col(userCol))
+      .agg(min(col("_day")).as("_first"))
+    val newPerDay = firstDay.groupBy(col(groupCol), col("_first").as("_day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    val daily = base.groupBy(col(groupCol), col("_day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col(userCol)).as("n_active_users"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("_day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    daily.join(newPerDay, Seq(groupCol, "_day"), "left")
+      .withColumn("n_new_users", coalesce(col("n_new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("n_new_users")).over(w))
+      .withColumnRenamed("_day", "day")
+  }
+
+  /**
+   * RFM segmentation (recency / frequency / monetary quintiles) — the
+   * classic customer-value partition, reused verbatim for data sources
+   * (recency of last crawl, document count, total bytes): per key, R =
+   * most recent activity, F = activity count, M = value sum; each
+   * scored 1–5 by `ntile(5)` with 5 = best (most recent / most
+   * frequent / highest value), ties broken by the key so every engine
+   * cuts identically. Output adds the composite `segment` string
+   * ("555" = best-everything).
+   *
+   * Shape: one keyed aggregation to n_keys rows, then three KEY-level
+   * ntile windows — ordered passes over keys, not rows (the
+   * concentration contract); at key cardinalities beyond a sort, swap
+   * ntile for approx-percentile cuts (bucketByScoreApprox precedent).
+   */
+  def rfm(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // 4dp-rounded value total: both the output AND the m-quantile
+    // ordering read the rounded number, so parallel-sum ulp wobble can
+    // neither flip a cut nor desynchronize engines (the cusum rule)
+    val agg = df.groupBy(col(keyCol))
+      .agg(max(col(tsCol).cast("long")).as("last_ts"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col(valueCol).cast("double")), 4).as("total_value"))
+    val r = ntile(5).over(Window.orderBy(col("last_ts").asc, col(keyCol)))
+    val f = ntile(5).over(Window.orderBy(col("n_orders").asc, col(keyCol)))
+    val m = ntile(5).over(Window.orderBy(col("total_value").asc, col(keyCol)))
+    agg
+      .withColumn("r_score", r.cast("long"))
+      .withColumn("f_score", f.cast("long"))
+      .withColumn("m_score", m.cast("long"))
+      .withColumn("segment", concat(col("r_score"), col("f_score"),
+        col("m_score")))
+  }
+
   def topPaths(df: DataFrame, keyCol: String, tsMicrosCol: String,
       typeCol: String, maxSteps: Int, k: Int): DataFrame = {
     require(maxSteps >= 1, s"maxSteps must be >= 1, got $maxSteps")

@@ -1160,6 +1160,56 @@ object Dedup {
   }
 
   /**
+   * Asymmetric CONTAINMENT near-dup pairs — the quote/subsumption
+   * detector Jaccard structurally misses: a short document fully quoted
+   * inside a long one has Jaccard ≈ |A|/|B| (union-dominated, arbitrarily
+   * small) but containment |A∩B|/min(|A|,|B|) ≈ 1. MinHash bands are the
+   * wrong candidate generator here for the same reason (collision
+   * probability tracks Jaccard), so candidates come from the
+   * plagiarism-detection shape: an inverted shingle index self-join
+   * restricted to shingles with document frequency ≤ `maxShingleDf` —
+   * the stopword-shingle guard that bounds candidate cost at Σ df² over
+   * RARE shingles (raise the cap for recall, lower it for cost; a pair
+   * sharing only ultra-common shingles is noise, not quotation). The
+   * exact intersection then counts over ALL shingles of candidate pairs
+   * (the jaccardVerify exploded-intersection shape — pair rows never
+   * carry shingle arrays through a shuffle).
+   * Output: id_a, id_b, nsh_a, nsh_b, inter, containment (4dp).
+   */
+  def containmentPairs(
+      docs: DataFrame, textCol: String, idCol: String,
+      minContainment: Double = 0.9, maxShingleDf: Int = 100): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment must be in (0,1]: $minContainment")
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1: $maxShingleDf")
+    val shingles = CacheScope.track(ngramShingles(docs, textCol, idCol))
+    val exploded = CacheScope.track(
+      shingles.select(col("sid"), explode(col("sh")).as("s")))
+    val rare = exploded.join(
+      exploded.groupBy("s").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") <= maxShingleDf).select("s"),
+      Seq("s"))
+    val cand = rare.select(col("sid").as("id_a"), col("s"))
+      .join(rare.select(col("sid").as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sizes = shingles.select(col("sid"),
+      size(col("sh")).cast("long").as("nsh"))
+    val inter = cand
+      .join(exploded.select(col("sid").as("id_a"), col("s")), "id_a")
+      .join(exploded.select(col("sid").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("sid").as("id_a"), col("nsh").as("nsh_a")), "id_a")
+      .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nsh_b")), "id_b")
+      .withColumn("containment",
+        col("inter") * lit(1.0) / least(col("nsh_a"), col("nsh_b")))
+      .filter(col("containment") >= minContainment)
+      .select(col("id_a"), col("id_b"), col("nsh_a"), col("nsh_b"),
+        col("inter"), round(col("containment"), 4).as("containment"))
+  }
+
+  /**
    * LSH banding parameter tuner — the design-time calculator behind
    * every (bands, rowsPerBand) choice in this file: for each divisor
    * split b·r = `signatureLen`, the S-curve P(match | s) = 1−(1−s^r)^b

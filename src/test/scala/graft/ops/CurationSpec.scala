@@ -544,6 +544,73 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq((12L, 0, 1), (10L, 1, 2), (11L, 1, 3)))
   }
 
+  test("containmentPairs: a fully-quoted short doc scores 1.0 where " +
+    "Jaccard stays low; common-shingle-only pairs generate no candidate") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (0 until 40).map(i => s"filler$i").mkString(" ")
+    // two docs sharing ONLY a ubiquitous shingle (present in every doc)
+    val common = "the same tail"
+    val df = Seq(
+      (1L, short), (2L, long),
+      (3L, s"one unrelated text $common"),
+      (4L, s"another unrelated body $common"),
+      (5L, s"third unrelated thing $common"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id",
+        minContainment = 0.9, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair's Jaccard is union-dominated and tiny: 3 shared
+    // shingles over ~44 union shingles
+    val j = Dedup.ngramJaccardPairs(df, "text", "doc_id", minJaccard = 0.0)
+      .filter(col("id_a") === 1 && col("id_b") === 2).collect()
+    assert(j.isEmpty || j.head.getDouble(2) < 0.15)
+    // docs 3/4/5 share only the "same tail"-family shingles, which have
+    // df=3 > maxShingleDf=2: guarded out of candidate generation
+    assert(!got.exists(p => p._1 >= 3L))
+    Dedup.unpersistAll(spark)
+  }
+
+  test("Behavior.adoption: first-day marking, cumulative uniques, " +
+    "returning users are active but never re-new") {
+    import spark.implicits._
+    val ev = Seq(
+      ("a", 10L, 1L), ("a", 20L, 1L), // day 1: u10, u20 arrive
+      ("a", 10L, 2L), ("a", 10L, 2L), // day 2: u10 returns twice...
+      ("a", 30L, 2L), //               ...and u30 arrives
+      ("a", 10L, 5L), // day 5: all returning
+      ("b", 99L, 7L)) // independent group
+      .toDF("g", "u", "day")
+    val got = Behavior.adoption(ev, "g", "u", "day").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", 1L)) == ((2L, 2L, 2L, 2L))) // 2 events, 2 users, both new
+    assert(got(("a", 2L)) == ((3L, 2L, 1L, 3L))) // 3 events, u30 new, cum 3
+    assert(got(("a", 5L)) == ((1L, 1L, 0L, 3L))) // returning only
+    assert(got(("b", 7L)) == ((1L, 1L, 1L, 1L)))
+  }
+
+  test("Behavior.rfm: deterministic quintiles on a hand fixture, " +
+    "5 = best on every axis") {
+    import spark.implicits._
+    // 10 customers, metrics aligned so customer i is i-th best on all
+    // three axes: scores must be ntile(5) over ascending = (i/2)+1
+    val rows = (0 until 10).flatMap { i =>
+      (0 to i).map(j => (i.toLong, (100L + i), 10.0 * (i + 1) / (i + 1)))
+    } // customer i: i+1 orders, last_ts 100+i, total 10*(i+1)... value per order 10.0
+    val df = rows.map { case (k, ts, v) => (k, ts, 10.0) }
+      .toDF("cust", "ts", "value")
+    val got = Behavior.rfm(df, "cust", "ts", "value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getString(7)))).toMap
+    (0 until 10).foreach { i =>
+      val want = (i / 2 + 1).toLong
+      assert(got(i.toLong) == ((want, want, want, s"$want$want$want")),
+        s"cust $i: ${got(i.toLong)}")
+    }
+  }
+
   // -------------------------------------------------------------------- Geo
 
   test("withinDistanceJoin == brute-force haversine; cell precondition " +
