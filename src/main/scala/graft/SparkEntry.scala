@@ -1935,6 +1935,46 @@ object SparkEntry {
       // no table, because the operator's input IS the parameter space
       graft.ops.Dedup.lshTune(s, signatureLen = 128, threshold = 0.8)
         .orderBy("rank")),
+    "dedup_golden" -> ((s, dir) => {
+      // survivorship AFTER clustering: per synthetic 50-doc cluster,
+      // most-frequent non-NULL value per field (ties by value) — lang
+      // carries planted NULLs so the non-NULL rule genuinely fires
+      val d = t(s, dir, "documents").select(
+        (col("doc_id") % 50).as("cluster"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("source"))
+      graft.ops.Dedup.goldenRecord(d, "cluster", Seq("lang", "source"))
+        .orderBy("cluster")
+    }),
+    "q_impute" -> ((s, dir) => {
+      // per-type median imputation of planted gaps, provenance kept;
+      // two exact percentile aggs joined back group-keyed
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      graft.ops.Profile.imputeMedian(ev, "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "q_pop" -> ((s, dir) => {
+      // period-over-period revenue report: daily totals with 1-period
+      // and 7-period percent changes (lag windows over the day-keyed
+      // rollup — n_days rows, not order rows)
+      import org.apache.spark.sql.expressions.Window
+      val daily = t(s, dir, "orders")
+        .groupBy(expr(
+          "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+          .as("day"))
+        .agg(round(sum("o_totalprice"), 4).as("revenue"))
+      val w = Window.orderBy("day")
+      daily
+        .withColumn("pct_1d", round((col("revenue") - lag("revenue", 1).over(w))
+          / lag("revenue", 1).over(w), 6))
+        .withColumn("pct_7d", round((col("revenue") - lag("revenue", 7).over(w))
+          / lag("revenue", 7).over(w), 6))
+        .orderBy("day")
+    }),
     "dedup_containment" -> ((s, dir) =>
       // asymmetric quote/subsumption pairs: |A∩B|/min(|A|,|B|) over
       // 3-gram shingles, candidates from the rare-shingle inverted
@@ -3944,6 +3984,54 @@ object SparkEntry {
     "q_zorder" -> zorderOracle,
     "q_hilbert" -> hilbertOracle(8),
     "ann_mmr" -> mmrOracle(5, 0.7),
+    "dedup_golden" ->
+      """WITH d AS (SELECT doc_id % 50 AS cl,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |    source
+        |  FROM documents),
+        |wl AS (SELECT cl, lang FROM (
+        |    SELECT cl, lang, count(*) AS n,
+        |      row_number() OVER (PARTITION BY cl
+        |        ORDER BY count(*) DESC, lang) AS r
+        |    FROM d WHERE lang IS NOT NULL GROUP BY cl, lang)
+        |  WHERE r = 1),
+        |ws AS (SELECT cl, source FROM (
+        |    SELECT cl, source, count(*) AS n,
+        |      row_number() OVER (PARTITION BY cl
+        |        ORDER BY count(*) DESC, source) AS r
+        |    FROM d WHERE source IS NOT NULL GROUP BY cl, source)
+        |  WHERE r = 1),
+        |cs AS (SELECT DISTINCT cl FROM d)
+        |SELECT cs.cl AS cluster, wl.lang, ws.source
+        |FROM cs LEFT JOIN wl USING (cl) LEFT JOIN ws USING (cl)
+        |ORDER BY cluster""".stripMargin,
+    "q_impute" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |gm AS (SELECT event_type, quantile_cont(value, 0.5) AS gmed
+        |  FROM e WHERE value IS NOT NULL GROUP BY 1),
+        |gg AS (SELECT quantile_cont(value, 0.5) AS gmed_all FROM e
+        |  WHERE value IS NOT NULL)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(coalesce(e.value, gm.gmed, gg.gmed_all), 4)
+        |    AS value_imputed,
+        |  (e.value IS NULL
+        |    AND coalesce(e.value, gm.gmed, gg.gmed_all) IS NOT NULL)
+        |    AS was_imputed
+        |FROM e LEFT JOIN gm USING (event_type), gg
+        |ORDER BY event_id""".stripMargin,
+    "q_pop" ->
+      """WITH daily AS (SELECT
+        |    epoch_us(o_orderdate)::BIGINT // 86400000000 AS day,
+        |    round(sum(o_totalprice), 4) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT day, revenue,
+        |  round((revenue - lag(revenue, 1) OVER (ORDER BY day))
+        |    / lag(revenue, 1) OVER (ORDER BY day), 6) AS pct_1d,
+        |  round((revenue - lag(revenue, 7) OVER (ORDER BY day))
+        |    / lag(revenue, 7) OVER (ORDER BY day), 6) AS pct_7d
+        |FROM daily ORDER BY day""".stripMargin,
     "dedup_containment" ->
       """WITH tok AS (SELECT doc_id, str_split(text, ' ') AS tk
         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),

@@ -1210,6 +1210,42 @@ object Dedup {
   }
 
   /**
+   * Golden-record construction — the survivorship step AFTER clustering
+   * (connectedComponents → electRepresentatives picks one ROW; this
+   * merges the best FIELDS): per cluster and per column, the most
+   * frequent non-NULL value wins, ties by value ascending — so a
+   * cluster of near-dup records with complementary nulls and typos
+   * collapses to one maximally-filled row, deterministically. A column
+   * where every member is NULL stays NULL (absence is reported, not
+   * invented).
+   *
+   * Shape: one (cluster, value) count aggregation + one cluster-keyed
+   * rank window PER COLUMN (the column list is schema, not data — k
+   * small by construction), then k-1 cluster-keyed joins assemble the
+   * golden row. Everything cluster-keyed; no global state.
+   * Output: clusterCol + one column per requested field (original
+   * names, original types).
+   */
+  def goldenRecord(df: DataFrame, clusterCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "goldenRecord needs at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val clusters = df.select(col(clusterCol)).distinct()
+    cols.foldLeft(clusters) { (acc, c) =>
+      val counts = df.filter(col(c).isNotNull)
+        .groupBy(col(clusterCol), col(c))
+        .agg(count(lit(1)).as("_n"))
+      val w = Window.partitionBy(col(clusterCol))
+        .orderBy(col("_n").desc, col(c).asc)
+      val winner = counts
+        .withColumn("_r", row_number().over(w))
+        .filter(col("_r") === 1)
+        .select(col(clusterCol), col(c))
+      acc.join(winner, Seq(clusterCol), "left")
+    }
+  }
+
+  /**
    * LSH banding parameter tuner — the design-time calculator behind
    * every (bands, rowsPerBand) choice in this file: for each divisor
    * split b·r = `signatureLen`, the S-curve P(match | s) = 1−(1−s^r)^b

@@ -596,6 +596,33 @@ object Profile {
   }
 
   /**
+   * Per-group median imputation — the principled gap-fill before
+   * training-feature export: NULLs take their GROUP's exact median
+   * (robust to the tail, unlike mean imputation), a group with no
+   * signal falls back to the global median, and a frame with no signal
+   * at all leaves NULL (nothing to impute from). `was_imputed` keeps
+   * the provenance — downstream must be able to tell measured from
+   * filled. Two percentile aggregations (group + 1-row global) joined
+   * back group-keyed; swap percentile for approx_percentile at sketch
+   * precision (the winsorize/outliers contract).
+   * Output: input columns + value_imputed (4dp) + was_imputed.
+   */
+  def imputeMedian(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val gm = df.filter(v.isNotNull).groupBy(col(groupCol))
+      .agg(percentile(v, lit(0.5)).as("_gmed"))
+    val gg = df.filter(v.isNotNull)
+      .agg(percentile(v, lit(0.5)).as("_global"))
+    df.join(gm, Seq(groupCol), "left")
+      .crossJoin(gg)
+      .withColumn("value_imputed",
+        round(coalesce(v, col("_gmed"), col("_global")), 4))
+      .withColumn("was_imputed", v.isNull && col("value_imputed").isNotNull)
+      .drop("_gmed", "_global")
+  }
+
+  /**
    * Exponentially weighted moving average per key series — the smoothing
    * companion to [[cusum]] (drift monitoring wants both: CUSUM alarms on
    * sustained shifts, EWMA is the denoised level a dashboard plots and a

@@ -572,6 +572,44 @@ class CurationSpec extends AnyFunSuite {
     Dedup.unpersistAll(spark)
   }
 
+  test("goldenRecord: mode-per-field survivorship, NULLs lose, ties by " +
+    "value, all-NULL fields stay NULL") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("en"), Some("web")), (1L, Some("en"), None),
+      (1L, Some("de"), Some("api")), // en wins 2-1; web/api tie -> api
+      (2L, None: Option[String], Some("x")), // all-null lang stays NULL
+      (3L, Some("fr"), Some("y")))
+      .toDF("cluster", "lang", "source")
+    val got = Dedup.goldenRecord(df, "cluster", Seq("lang", "source"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), Option(r.getString(2))))).toMap
+    assert(got(1L) == ((Some("en"), Some("api"))))
+    assert(got(2L) == ((None, Some("x"))))
+    assert(got(3L) == ((Some("fr"), Some("y"))))
+  }
+
+  test("imputeMedian: group median fills, empty group falls back to " +
+    "global, nothing-to-impute-from stays NULL") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, Some(1.0)), ("a", 2L, Some(3.0)), ("a", 3L, None),
+      ("b", 4L, None), // group b has no signal -> global median 3.0
+      ("a", 5L, Some(5.0)))
+      .toDF("g", "id", "v")
+    val got = Profile.imputeMedian(df, "g", "v").collect()
+      .map(r => r.getLong(1) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]), r.getBoolean(4))))
+      .toMap
+    assert(got(3L) == ((Some(3.0), true))) // group a median
+    assert(got(4L) == ((Some(3.0), true))) // global fallback
+    assert(got(1L) == ((Some(1.0), false)))
+    // a frame with zero signal leaves NULL and flags nothing
+    val empty = Seq(("a", 1L, None: Option[Double])).toDF("g", "id", "v")
+    val er = Profile.imputeMedian(empty, "g", "v").collect().head
+    assert(er.isNullAt(3) && !er.getBoolean(4))
+  }
+
   test("Behavior.adoption: first-day marking, cumulative uniques, " +
     "returning users are active but never re-new") {
     import spark.implicits._
