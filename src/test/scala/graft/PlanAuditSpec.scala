@@ -441,4 +441,70 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bottom-k did not rewrite to WindowGroupLimit:\n$p")
     assert(!p.contains("global=true"), s"global sort in plan:\n$p")
   }
+
+  test("geo withinDistanceJoin: equi-join on the cell key, never a " +
+    "cartesian/nested-loop product") {
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"),
+        (pmod(col("c_custkey") * 37, lit(1200)) / 10.0 - 60.0).as("lat"),
+        (pmod(col("c_custkey") * 73, lit(3600)) / 10.0 - 180.0).as("lon"))
+    val supp = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"),
+        (pmod(col("s_suppkey") * 41, lit(1200)) / 10.0 - 60.0).as("lat"),
+        (pmod(col("s_suppkey") * 97, lit(3600)) / 10.0 - 180.0).as("lon"))
+    val p = graft.ops.Geo.withinDistanceJoin(supp, "s_suppkey", "lat",
+        "lon", cust, "c_custkey", "lat", "lon", 150.0, 3.0, 60.0)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"radius join planned as a product:\n$p")
+  }
+
+  test("splitAssign and quantizeInt8: pure narrow projections, zero " +
+    "Exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ps = graft.ops.Sampling.splitAssign(docs.select("doc_id"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!ps.contains("Exchange"), s"splitAssign shuffles:\n$ps")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val pq = graft.ops.Similarity.quantizeInt8(emb, "embedding", "vec_id")
+      .queryExecution.executedPlan.toString
+    assert(!pq.contains("Exchange"), s"quantizeInt8 shuffles:\n$pq")
+  }
+
+  test("withHilbert: linear plan in bits — no exponential expression " +
+    "blow-up from the per-level fold") {
+    import org.apache.spark.sql.functions._
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(256L)).as("x"),
+        pmod(col("o_orderkey"), lit(256L)).as("y"))
+    val p8 = graft.ops.Layout.withHilbert(orders, col("x"), col("y"), 8)
+      .queryExecution.executedPlan.toString
+    val p16 = graft.ops.Layout.withHilbert(orders, col("x"), col("y"), 16)
+      .queryExecution.executedPlan.toString
+    // doubling bits must grow the plan ~linearly; an inlined fold would
+    // square-or-worse the plan text between 8 and 16 levels
+    assert(p16.length < p8.length * 4,
+      s"plan grows superlinearly: ${p8.length} -> ${p16.length}")
+    assert(!p8.contains("Exchange"), s"withHilbert shuffles:\n$p8")
+  }
+
+  test("rollingZ and adoption: one hash Exchange on the key, never " +
+    "SinglePartition") {
+    import spark.implicits._
+    val ev = (0 until 100).map(i => (s"t${i % 3}", i.toLong, i * 1.0))
+      .toDF("k", "ts", "x")
+    val pz = graft.ops.Profile.rollingZ(ev, "k", "ts", "x")
+      .queryExecution.executedPlan.toString
+    assert(!pz.contains("SinglePartition"),
+      s"rollingZ funnels through one partition:\n$pz")
+    val ad = (0 until 100).map(i => (s"g${i % 3}", i.toLong % 7, i.toLong % 5))
+      .toDF("g", "u", "day")
+    val pa = graft.ops.Behavior.adoption(ad, "g", "u", "day")
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("SinglePartition"),
+      s"adoption funnels through one partition:\n$pa")
+  }
 }
