@@ -2141,6 +2141,13 @@ object SparkEntry {
       graft.ops.TextMetrics.scriptProfile(t(s, dir, "events"), "props",
           "event_id")
         .orderBy("event_id")),
+    "text_length_buckets" -> ((s, dir) =>
+      // padded-batching policy input: power-of-two length ladder capped
+      // at 256, per-rung padding waste — the report that says where to
+      // add rungs or switch to packing
+      graft.ops.TextMetrics.lengthBucketPlan(t(s, dir, "documents"),
+          "text", maxSeqLen = 256)
+        .orderBy("bucket_len")),
     "text_char_entropy" -> ((s, dir) =>
       // per-document character entropy + alphabet-normalized form;
       // (id, char) counts map-side combined, one id rollup
@@ -4274,6 +4281,28 @@ object SparkEntry {
         |    WHEN n_space >= n_other THEN 'space'
         |    ELSE 'other' END AS dominant
         |FROM events ORDER BY event_id""".stripMargin,
+    "text_length_buckets" ->
+      """WITH n AS (SELECT len(list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT
+        |    AS n
+        |  FROM documents),
+        |b AS (SELECT n,
+        |    (CASE WHEN least(n, 256) <= 1 THEN 1
+        |          WHEN least(n, 256) <= 2 THEN 2
+        |          WHEN least(n, 256) <= 4 THEN 4
+        |          WHEN least(n, 256) <= 8 THEN 8
+        |          WHEN least(n, 256) <= 16 THEN 16
+        |          WHEN least(n, 256) <= 32 THEN 32
+        |          WHEN least(n, 256) <= 64 THEN 64
+        |          WHEN least(n, 256) <= 128 THEN 128
+        |          ELSE 256 END)::BIGINT AS bucket_len
+        |  FROM n WHERE n > 0)
+        |SELECT bucket_len, count(*)::BIGINT AS n_docs,
+        |  sum(least(n, 256))::BIGINT AS total_tokens,
+        |  (count(*) * bucket_len)::BIGINT AS capacity,
+        |  round(1.0 - sum(least(n, 256))
+        |    / (count(*) * bucket_len)::DOUBLE, 4) AS padding_frac
+        |FROM b GROUP BY bucket_len ORDER BY bucket_len""".stripMargin,
     "text_char_entropy" ->
       """WITH ch AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ''), x -> x <> '')) AS c

@@ -1049,6 +1049,45 @@ object TextMetrics {
   }
 
   /**
+   * Length-bucket padding report — the batching-policy input for padded
+   * training: documents bucket to the next power-of-two token length
+   * (capped at `maxSeqLen`, the standard bucketing ladder), and each
+   * bucket reports how much of its padded capacity is real tokens.
+   * High padding_frac in a bucket = wasted FLOPs; the fix is more
+   * ladder rungs there or packing ([[packBins]]) instead of padding —
+   * this report says which, per rung, before committing a corpus to a
+   * batch shape. Zero-token documents carry no sequence and are
+   * excluded. One narrow projection + one bucket-keyed aggregation.
+   * Output: bucket_len, n_docs, total_tokens, capacity,
+   * padding_frac (4dp), ordered small→large.
+   */
+  def lengthBucketPlan(docs: DataFrame, textCol: String,
+      maxSeqLen: Int): DataFrame = {
+    require(maxSeqLen >= 1, s"maxSeqLen must be >= 1: $maxSeqLen")
+    val n = size(filter(split(col(textCol), "\\s+"), x => x =!= ""))
+    // next power of two >= min(n, maxSeqLen) as an INTEGER comparison
+    // ladder — float log2 lands on 3.0000000000000004 at exact powers
+    // on some libms, and a ceil there would silently skip a rung
+    val rungs = Iterator.iterate(1L)(_ * 2)
+      .takeWhile(r => r < maxSeqLen).toSeq :+ maxSeqLen.toLong
+    val clamped = least(col("_n"), lit(maxSeqLen.toLong))
+    val bucket = rungs.init.foldRight(lit(rungs.last): Column) {
+      (r, rest) => when(clamped <= r, lit(r)).otherwise(rest)
+    }
+    docs
+      .select(n.cast("long").as("_n"))
+      .filter(col("_n") > 0)
+      .select(col("_n"), bucket.as("bucket_len"))
+      .groupBy("bucket_len")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(least(col("_n"), lit(maxSeqLen.toLong))).as("total_tokens"))
+      .withColumn("capacity", col("n_docs") * col("bucket_len"))
+      .withColumn("padding_frac",
+        round(lit(1.0) - col("total_tokens") / col("capacity").cast("double"),
+          4))
+  }
+
+  /**
    * Cut a scored frame into per-group equal-population buckets: bucket 1
    * holds each group's HIGHEST scores. Exact form — `ntile` over a
    * (group, score desc, id) window, deterministic because the id breaks

@@ -1750,6 +1750,26 @@ class OpsSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0.0, 0.0)))
   }
 
+  test("lengthBucketPlan: power-of-two ladder closed form, cap rung " +
+    "absorbs the tail, empty docs excluded") {
+    import spark.implicits._
+    def words(n: Int) = (0 until n).map(i => s"w$i").mkString(" ")
+    val df = Seq(words(1), words(2), words(3), words(8), words(9),
+      words(100), "").toDF("text")
+    val got = TextMetrics.lengthBucketPlan(df, "text", maxSeqLen = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got(1L) == ((1L, 1L, 1L, 0.0))) // n=1: zero waste
+    assert(got(2L) == ((1L, 2L, 2L, 0.0)))
+    assert(got(4L) == ((1L, 3L, 4L, 0.25))) // n=3 in the 4-rung
+    // n=8 exact fit and n=9 share the ladder boundary correctly
+    assert(got(8L) == ((1L, 8L, 8L, 0.0)))
+    // n=9 and the capped n=100 both land in the 16 cap rung; tokens
+    // clamp at the cap (the truncation a fixed context imposes)
+    assert(got(16L) == ((2L, 9L + 16L, 32L, 0.2188)))
+    assert(!got.contains(0L)) // the empty doc carries no sequence
+  }
+
   test("dsirWeights: closed-form at buckets=1, target separation, determinism") {
     import spark.implicits._
     // buckets=1 collapses every token to one bucket: logw(doc) =
