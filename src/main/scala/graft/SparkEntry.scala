@@ -4049,12 +4049,20 @@ object SparkEntry {
         |df AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
         |rare AS (SELECT sh.sid, sh.s FROM sh JOIN df USING (s)
         |  WHERE df.df <= 100),
-        |cand AS (SELECT DISTINCT a.sid AS id_a, b.sid AS id_b
-        |  FROM rare a JOIN rare b ON a.s = b.s AND a.sid < b.sid),
-        |i AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS inter
-        |  FROM cand c JOIN sh sa ON sa.sid = c.id_a
-        |  JOIN sh sb ON sb.sid = c.id_b AND sb.s = sa.s
-        |  GROUP BY c.id_a, c.id_b)
+        |dense AS (SELECT sh.sid, sh.s FROM sh JOIN df USING (s)
+        |  WHERE df.df > 100),
+        |rp AS (SELECT a.sid AS id_a, b.sid AS id_b,
+        |    count(*)::BIGINT AS shared_rare
+        |  FROM rare a JOIN rare b ON a.s = b.s AND a.sid < b.sid
+        |  GROUP BY 1, 2),
+        |dp AS (SELECT c.id_a, c.id_b, count(*)::BIGINT AS shared_dense
+        |  FROM (SELECT id_a, id_b FROM rp) c
+        |  JOIN dense da ON da.sid = c.id_a
+        |  JOIN dense db ON db.sid = c.id_b AND db.s = da.s
+        |  GROUP BY c.id_a, c.id_b),
+        |i AS (SELECT rp.id_a, rp.id_b,
+        |    rp.shared_rare + coalesce(dp.shared_dense, 0) AS inter
+        |  FROM rp LEFT JOIN dp USING (id_a, id_b))
         |SELECT i.id_a, i.id_b, za.nsh AS nsh_a, zb.nsh AS nsh_b, i.inter,
         |  round(i.inter * 1.0 / least(za.nsh, zb.nsh), 4) AS containment
         |FROM i JOIN sz za ON za.sid = i.id_a JOIN sz zb ON zb.sid = i.id_b

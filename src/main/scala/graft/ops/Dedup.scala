@@ -1171,9 +1171,14 @@ object Dedup {
    * the stopword-shingle guard that bounds candidate cost at Σ df² over
    * RARE shingles (raise the cap for recall, lower it for cost; a pair
    * sharing only ultra-common shingles is noise, not quotation). The
-   * exact intersection then counts over ALL shingles of candidate pairs
-   * (the jaccardVerify exploded-intersection shape — pair rows never
-   * carry shingle arrays through a shuffle).
+   * the exact intersection decomposes as shared-RARE (read off the
+   * candidate join itself — a pair's rare-shingle co-occurrences ARE
+   * its candidate rows, so counting replaces distinct-then-rejoin) plus
+   * shared-DENSE, counted by joining only each doc's FEW dense shingles
+   * onto the candidate pairs (per-doc dense shingles are bounded by the
+   * number of distinct over-cap shingles — joining candidates to the
+   * FULL shingle lists, the first-cut shape, re-exploded every
+   * candidate ~130x and was 10% of the whole bench).
    * Output: id_a, id_b, nsh_a, nsh_b, inter, containment (4dp).
    */
   def containmentPairs(
@@ -1183,22 +1188,27 @@ object Dedup {
       s"minContainment must be in (0,1]: $minContainment")
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1: $maxShingleDf")
     val shingles = CacheScope.track(ngramShingles(docs, textCol, idCol))
-    val exploded = CacheScope.track(
-      shingles.select(col("sid"), explode(col("sh")).as("s")))
-    val rare = exploded.join(
-      exploded.groupBy("s").agg(count(lit(1)).as("_df"))
-        .filter(col("_df") <= maxShingleDf).select("s"),
-      Seq("s"))
-    val cand = rare.select(col("sid").as("id_a"), col("s"))
+    val withDf = CacheScope.track(
+      shingles.select(col("sid"), explode(col("sh")).as("s"))
+        .withColumn("_df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("s")))))
+    val rare = withDf.filter(col("_df") <= maxShingleDf)
+    val dense = withDf.filter(col("_df") > maxShingleDf)
+    val sharedRare = rare.select(col("sid").as("id_a"), col("s"))
       .join(rare.select(col("sid").as("id_b"), col("s")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_shared_rare"))
+    val sharedDense = sharedRare.select("id_a", "id_b")
+      .join(dense.select(col("sid").as("id_a"), col("s")), "id_a")
+      .join(dense.select(col("sid").as("id_b"), col("s")), Seq("id_b", "s"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("_shared_dense"))
     val sizes = shingles.select(col("sid"),
       size(col("sh")).cast("long").as("nsh"))
-    val inter = cand
-      .join(exploded.select(col("sid").as("id_a"), col("s")), "id_a")
-      .join(exploded.select(col("sid").as("id_b"), col("s")), Seq("id_b", "s"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    val inter = sharedRare
+      .join(sharedDense, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        (col("_shared_rare") + coalesce(col("_shared_dense"), lit(0L)))
+          .as("inter"))
     inter
       .join(sizes.select(col("sid").as("id_a"), col("nsh").as("nsh_a")), "id_a")
       .join(sizes.select(col("sid").as("id_b"), col("nsh").as("nsh_b")), "id_b")
