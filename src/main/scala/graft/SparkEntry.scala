@@ -2038,6 +2038,19 @@ object SparkEntry {
           "rel", k = 5, lambda = 0.7)
         .orderBy("rank")
     }),
+    "ann_ivf_append" -> ((s, dir) => {
+      // the append-only cell-index path: cells fit ONCE on the even
+      // half (deterministic Lloyd, k=8, 2 passes), the odd half then
+      // indexes against the PERSISTED centroids without refit — one
+      // zero-shuffle literal-argmin scan per crawl batch
+      val emb = t(s, dir, "embeddings")
+      val cents = graft.ops.Similarity.kmeansCentroids(
+        emb.filter(col("vec_id") % 2 === 0), "embedding", "vec_id",
+        k = 8, iters = 2)
+      graft.ops.Similarity.assignToCentroids(
+          emb.filter(col("vec_id") % 2 === 1), "embedding", "vec_id", cents)
+        .orderBy("vec_id")
+    }),
     "ann_int8" -> ((s, dir) =>
       // symmetric int8 embedding quantization: scale, codes (rendered
       // to one string — the harness hashes scalars), reconstruction
@@ -4137,6 +4150,27 @@ object SparkEntry {
         |  total_err,
         |  row_number() OVER (ORDER BY total_err, b)::BIGINT AS rank
         |FROM t2 ORDER BY rank""".stripMargin,
+    "ann_ivf_append" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |em AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+        |eo AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+        |s0 AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |  FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 0
+        |        ORDER BY vec_id LIMIT 8)),
+        |c0 AS (SELECT s0.cid, em.i, em.x FROM em JOIN s0 USING (vec_id)),
+        |d1 AS (SELECT em.vec_id, c.cid, sum((em.x - c.x) * (em.x - c.x)) AS d
+        |  FROM em JOIN c0 c USING (i) GROUP BY em.vec_id, c.cid),
+        |a1 AS (SELECT vec_id, cid FROM d1
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+        |c1 AS (SELECT a.cid, em.i, round(avg(em.x), 6) AS x
+        |  FROM em JOIN a1 a USING (vec_id) GROUP BY a.cid, em.i),
+        |da AS (SELECT eo.vec_id, c.cid, sum((eo.x - c.x) * (eo.x - c.x)) AS d
+        |  FROM eo JOIN c1 c USING (i) GROUP BY eo.vec_id, c.cid)
+        |SELECT vec_id, cid::INT AS cell, round(sqrt(d), 6) AS dist
+        |FROM da
+        |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+        |ORDER BY vec_id""".stripMargin,
     "ann_int8" ->
       """WITH v AS (SELECT vec_id,
         |    list_transform(embedding, x -> x::DOUBLE) AS v

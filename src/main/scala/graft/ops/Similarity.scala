@@ -184,30 +184,42 @@ object Similarity {
    */
   def kmeansAssign(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, iters: Int): DataFrame = {
-    require(k >= 1, "k must be >= 1")
-    require(iters >= 1, "iters must be >= 1 (assignment passes)")
     require(!emb.columns.contains("cluster"),
       "input already has a `cluster` column; rename it first")
     val v = col(vecCol).cast("array<double>")
     val base = emb.where(v.isNotNull)
-    var cents: Seq[(Int, Seq[Double])] = base
-      .select(col(idCol), v.as("_v")).orderBy(col(idCol)).limit(k)
-      .collect().zipWithIndex
-      .map { case (r, i) => (i, r.getSeq[Double](1)) }
-    // argmin as array_min over [dist, cid] pairs (lexicographic array
-    // comparison: distance first, ties to the LOWEST cluster id); cid as
-    // a double is exact for any realistic k
-    def assignExpr: Column = array_min(array(cents.map { case (cid, c) =>
+    val cents = lloydCentroids(base, v, idCol, k, iters)
+    base.withColumn("cluster",
+      minDistPair(v, cents).getItem(1).cast("int"))
+  }
+
+  /** argmin as array_min over [dist², cid] pairs (lexicographic array
+   * comparison: distance first, ties to the LOWEST cluster id); cid as
+   * a double is exact for any realistic k. Item 0 is the winning
+   * squared distance, item 1 the cid. */
+  private def minDistPair(v: Column,
+      cents: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cents.map { case (cid, c) =>
       array(
         aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x),
         lit(cid.toDouble))
-    }: _*)).getItem(1).cast("int")
+    }: _*))
+
+  private def lloydCentroids(base: DataFrame, v: Column, idCol: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 1, "iters must be >= 1 (assignment passes)")
+    var cents: Seq[(Int, Seq[Double])] = base
+      .select(col(idCol), v.as("_v")).orderBy(col(idCol)).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
     // `iters` counts ASSIGNMENT passes; centroids re-average between
     // consecutive passes (iters - 1 updates), so iters=1 is pure
     // nearest-seed partitioning
     for (_ <- 0 until iters - 1) {
-      val upd = base.select(assignExpr.as("cluster"), posexplode(v))
+      val assign = minDistPair(v, cents).getItem(1).cast("int")
+      val upd = base.select(assign.as("cluster"), posexplode(v))
         .groupBy("cluster", "pos").agg(round(avg(col("col")), 6).as("x"))
         .collect()
         .groupBy(_.getInt(0))
@@ -216,7 +228,37 @@ object Similarity {
         }.toSeq.sortBy(_._1)
       cents = upd
     }
-    base.withColumn("cluster", assignExpr)
+    cents
+  }
+
+  /** The deterministic Lloyd cell table itself — (cid, centroid) after
+   * `iters` assignment passes, exactly the centroids [[kmeansAssign]]
+   * would assign against (same first-k seeding, 6dp per-round rounding).
+   * This is the PERSISTABLE half of an append-only cell index: write it
+   * once, then [[assignToCentroids]] indexes every new crawl batch
+   * without refitting. */
+  def kmeansCentroids(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
+    val v = col(vecCol).cast("array<double>")
+    lloydCentroids(emb.where(v.isNotNull), v, idCol, k, iters)
+  }
+
+  /**
+   * Incremental cell assignment — the crawl-append path of a cell/IVF
+   * index: new vectors take their nearest PERSISTED centroid (cells
+   * stay fixed; periodic refits are a separate batch decision, exactly
+   * as production IVF deployments operate). Zero-shuffle literal-argmin
+   * narrow scan, the kmeansAssign assignment kernel verbatim.
+   * Output: id, cell, dist (root of the winning squared distance, 6dp).
+   */
+  def assignToCentroids(emb: DataFrame, vecCol: String, idCol: String,
+      centers: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centers.nonEmpty, "centers must be non-empty")
+    val v = col(vecCol).cast("array<double>")
+    val pair = minDistPair(v, centers)
+    emb.where(v.isNotNull)
+      .select(col(idCol), pair.getItem(1).cast("int").as("cell"),
+        round(sqrt(pair.getItem(0)), 6).as("dist"))
   }
 
   /**

@@ -313,6 +313,34 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("kmeansCentroids + assignToCentroids: append assignment == the " +
+    "fit's own assignment; closed-form nearest cell and distance") {
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (i.toLong, (0 until 6).map(j => prand(i, j) + (if (i % 2 == 0) 1.0 else -1.0)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    // the exported centroids reproduce kmeansAssign's own clustering
+    val cents = Similarity.kmeansCentroids(df, "embedding", "vec_id",
+      k = 2, iters = 2)
+    val fromFit = Similarity.kmeansAssign(df, "embedding", "vec_id", 2, 2)
+      .select("vec_id", "cluster").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val appended = Similarity.assignToCentroids(df, "embedding", "vec_id",
+      cents).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(appended == fromFit)
+    // closed form: hand centroids, hand points
+    val hand = Seq((1L, Seq(0.0, 0.0)), (2L, Seq(10.0, 10.0)),
+      (3L, Seq(4.0, 4.0))).toDF("id", "v")
+    val got = Similarity.assignToCentroids(hand, "v", "id",
+        Seq(0 -> Seq(0.0, 0.0), 1 -> Seq(10.0, 10.0)))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(got(1L) == ((0, 0.0)) && got(2L) == ((1, 0.0)))
+    // (4,4): d0 = sqrt(32) = 5.656854, d1 = sqrt(72) -> cell 0
+    assert(got(3L)._1 == 0 && math.abs(got(3L)._2 - 5.656854) < 1e-6)
+  }
+
   test("semanticPairs: a degenerate one-cluster clustering is capped, not quadratic") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>
