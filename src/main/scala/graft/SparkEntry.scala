@@ -1301,6 +1301,23 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
+    "q_balanced_sample" -> ((s, dir) => {
+      // class-balanced downsample: every language keeps exactly the
+      // smallest language's row count, md5-ranked; the target is a
+      // 1-row aggregate subtree, never a driver collect
+      val d = t(s, dir, "documents")
+      graft.ops.Sampling.balancedSample(d, "lang", "doc_id")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+    "q_dwell" -> ((s, dir) => {
+      // dwell-time profile: per-event-type gap-to-next-action stats
+      // (censored last events drop); one user-keyed lead window + one
+      // type aggregation with exact percentiles
+      val ev = eventsTsUs(s, dir)
+      graft.ops.Behavior.dwellTimes(ev, "user_id", "ts_us", "event_type")
+        .orderBy("event_type")
+    }),
     // §2a — EBW
     "ebw_poststrat" -> ((s, dir) => ebwPoststrat(s, dir)),
     "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
@@ -2141,6 +2158,18 @@ object SparkEntry {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_collocations" -> ((s, dir) =>
+      // PMI bigram collocations with the Church–Hanks hapax guard:
+      // zip-shift bigrams (zero-shuffle sequencing), AQE-decided
+      // unigram joins, TakeOrdered top-k on 4dp-rounded PMI
+      graft.ops.TextMetrics.collocations(t(s, dir, "documents"), "text",
+        minCount = 5L, topK = 50)),
+    "text_zipf" -> ((s, dir) =>
+      // Zipf rank-frequency OLS over the top-500 terms: the corpus-
+      // health number (natural text ~ slope -1); ranked pass over the
+      // vocabulary, fit via the shared regr_* moment definitions
+      graft.ops.TextMetrics.zipfFit(t(s, dir, "documents"), "text",
+        topN = 500)),
     "text_readability" -> ((s, dir) =>
       // Flesch reading ease with the public vowel-group syllable proxy;
       // one narrow regexp projection, no shuffle
@@ -2564,6 +2593,17 @@ object SparkEntry {
       graft.ops.Graph.kCore(e, "src", "dst", k = 21)
         .orderBy("node")
     }),
+    "graph_lpa" -> ((s, dir) => {
+      // label-propagation communities on the 997-node orders graph:
+      // 4 synchronous rounds, ties to the smallest label — the whole
+      // run is a pure function of the edge set, and the oracle unrolls
+      // the identical rounds as CTEs (the pagerank/hits construction)
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"),
+        (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.labelProp(e, "src", "dst", iters = 4)
+        .orderBy("node")
+    }),
     "q_winsorize" -> ((s, dir) => {
       // per-source doc-length winsorization at the exact [5%, 95%]
       // band — robustOutliers flags the tail, this reins it in
@@ -2601,6 +2641,29 @@ object SparkEntry {
         .agg(round(avg("value"), 4).as("x"))
       graft.ops.Profile.rollingZ(daily, "event_type", "day", "x",
           window = 7, tau = 2.5, minPts = 3)
+        .orderBy("event_type", "ts")
+    }),
+    "q_acf" -> ((s, dir) => {
+      // autocorrelation of each event type's daily series at lags 1..7:
+      // the seasonality probe — ONE keyed window pass builds all lag
+      // columns, one aggregation computes every corr; the oracle IS the
+      // definition (corr + lag windows)
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.acf(daily, "event_type", "day", "x", maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+    "q_holt" -> ((s, dir) => {
+      // Holt double-exponential smoothing of the daily series (α=0.3,
+      // β=0.2): trend-aware level + one-step forecast; the oracle
+      // replays the recurrence as a recursive CTE with identical
+      // literal coefficients
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.holt(daily, "event_type", "day", "x",
+          alpha = 0.3, beta = 0.2)
         .orderBy("event_type", "ts")
     }),
     "q_benford" -> ((s, dir) =>
@@ -3064,10 +3127,37 @@ object SparkEntry {
     pre + steps + "\nSELECT * FROM (" + branches + ") ORDER BY rank"
   }
 
+  private def lpaOracle(iters: Int): String = {
+    // AS MATERIALIZED: each round references its predecessor once per
+    // count join; materialization keeps the unroll linear (hitsOracle).
+    val pre =
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         |    least(o_custkey % 997, o_orderkey % 997) AS a,
+         |    greatest(o_custkey % 997, o_orderkey % 997) AS b
+         |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997),
+         |nb AS MATERIALIZED (SELECT a, b FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label
+         |  FROM nb)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s""",
+         |l${t + 1} AS MATERIALIZED (SELECT a AS node, label FROM (
+         |    SELECT nb.a, l.label,
+         |      row_number() OVER (PARTITION BY nb.a
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM nb JOIN l$t l ON l.node = nb.b
+         |    GROUP BY nb.a, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
     "graph_hits" -> hitsOracle(8),
     "graph_kcore" -> kcoreOracle(21, 14),
+    "graph_lpa" -> lpaOracle(4),
     "text_bpe_train" -> bpeTrainOracle(12),
     "ann_pq" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -4286,6 +4376,38 @@ object SparkEntry {
         |SELECT doc_id, count(*)::BIGINT AS n_tokens,
         |  round(avg(lp), 4) + 0.0 AS avg_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_collocations" ->
+      """WITH raw AS (SELECT list_filter(string_split(text, ' '),
+        |    x -> x <> '') AS l FROM documents
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0),
+        |tok AS (SELECT unnest(l) AS t FROM raw),
+        |uni AS (SELECT t, count(*)::DOUBLE AS c FROM tok GROUP BY t),
+        |n AS (SELECT sum(c) AS n_total FROM uni),
+        |seq AS (SELECT unnest(l) AS b,
+        |    unnest(list_prepend(NULL::VARCHAR,
+        |      l[1:len(l) - 1])) AS a FROM raw),
+        |p AS (SELECT a, b, count(*)::BIGINT AS n_pair FROM seq
+        |  WHERE a IS NOT NULL GROUP BY a, b
+        |  HAVING count(*) >= 5)
+        |SELECT p.a AS term_a, p.b AS term_b, p.n_pair,
+        |  round(ln(p.n_pair * n.n_total / (ua.c * ub.c)), 4) + 0.0 AS pmi
+        |FROM p JOIN uni ua ON ua.t = p.a JOIN uni ub ON ub.t = p.b, n
+        |ORDER BY pmi DESC, term_a, term_b LIMIT 50""".stripMargin,
+    "text_zipf" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split(text, ' '),
+        |    x -> x <> '')) AS t FROM documents),
+        |c AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY t),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rank
+        |  FROM c),
+        |s AS (SELECT count(*)::BIGINT AS n_terms, sum(c)::BIGINT AS n_tokens
+        |  FROM c),
+        |f AS (SELECT regr_slope(ln(c::DOUBLE), ln(rank::DOUBLE)) AS sl,
+        |    regr_intercept(ln(c::DOUBLE), ln(rank::DOUBLE)) AS ic,
+        |    regr_r2(ln(c::DOUBLE), ln(rank::DOUBLE)) AS r2
+        |  FROM r WHERE rank <= 500)
+        |SELECT s.n_terms, s.n_tokens, round(f.sl, 4) + 0.0 AS slope,
+        |  round(f.ic, 4) + 0.0 AS intercept, round(f.r2, 4) + 0.0 AS r2
+        |FROM f, s""".stripMargin,
     "text_readability" ->
       """SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
@@ -4953,6 +5075,55 @@ object SparkEntry {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_acf" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |lagged AS (SELECT k, x,
+        |    lag(x, 1) OVER win AS l1, lag(x, 2) OVER win AS l2,
+        |    lag(x, 3) OVER win AS l3, lag(x, 4) OVER win AS l4,
+        |    lag(x, 5) OVER win AS l5, lag(x, 6) OVER win AS l6,
+        |    lag(x, 7) OVER win AS l7
+        |  FROM daily WINDOW win AS (PARTITION BY k ORDER BY d)),
+        |per AS (SELECT k,
+        |    count(l1)::BIGINT AS n1, corr(x, l1) AS r1,
+        |    count(l2)::BIGINT AS n2, corr(x, l2) AS r2,
+        |    count(l3)::BIGINT AS n3, corr(x, l3) AS r3,
+        |    count(l4)::BIGINT AS n4, corr(x, l4) AS r4,
+        |    count(l5)::BIGINT AS n5, corr(x, l5) AS r5,
+        |    count(l6)::BIGINT AS n6, corr(x, l6) AS r6,
+        |    count(l7)::BIGINT AS n7, corr(x, l7) AS r7
+        |  FROM lagged GROUP BY k),
+        |u AS (
+        |  SELECT k, 1 AS lag, n1 AS n_pairs, r1 AS r FROM per UNION ALL
+        |  SELECT k, 2, n2, r2 FROM per UNION ALL
+        |  SELECT k, 3, n3, r3 FROM per UNION ALL
+        |  SELECT k, 4, n4, r4 FROM per UNION ALL
+        |  SELECT k, 5, n5, r5 FROM per UNION ALL
+        |  SELECT k, 6, n6, r6 FROM per UNION ALL
+        |  SELECT k, 7, n7, r7 FROM per)
+        |SELECT k AS event_type, lag::INTEGER AS lag, n_pairs,
+        |  round(r, 4) AS acf
+        |FROM u ORDER BY event_type, lag""".stripMargin,
+    "q_holt" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |seq AS (SELECT k, d, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT k, rn, d, x, x AS l, 0.0::DOUBLE AS b FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x,
+        |    0.3 * s.x + 0.7 * (r.l + r.b),
+        |    0.2 * ((0.3 * s.x + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b
+        |  FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS event_type, d AS ts, x, round(l, 4) AS level,
+        |  round(b, 4) AS trend, round(l + b, 4) AS forecast_next
+        |FROM r ORDER BY event_type, ts""".stripMargin,
     "q_benford" ->
       """WITH v AS (SELECT abs(l_extendedprice::DOUBLE) AS a
         |  FROM lineitem
@@ -5025,6 +5196,28 @@ object SparkEntry {
         |  FROM c, tt)
         |SELECT path, n_users, share, rank FROM r WHERE rank <= 15
         |ORDER BY rank""".stripMargin,
+    "q_balanced_sample" ->
+      """WITH n AS (SELECT min(c) AS target FROM (
+        |    SELECT count(*)::BIGINT AS c FROM documents GROUP BY lang)),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat('42|', doc_id::VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r, n WHERE rn <= n.target
+        |ORDER BY doc_id""".stripMargin,
+    "q_dwell" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
+        |    event_type AS et FROM events),
+        |w AS (SELECT et,
+        |    (lead(t) OVER (PARTITION BY u ORDER BY t, et) - t) / 1e6
+        |      AS gap FROM e),
+        |g AS (SELECT et, gap FROM w WHERE gap IS NOT NULL)
+        |SELECT et AS event_type, count(*)::BIGINT AS n_gaps,
+        |  round(avg(gap), 3) AS avg_s,
+        |  round(quantile_cont(gap, 0.5), 3) AS p50_s,
+        |  round(quantile_cont(gap, 0.9), 3) AS p90_s,
+        |  round(max(gap), 3) AS max_s
+        |FROM g GROUP BY et ORDER BY event_type""".stripMargin,
     "q_retrieval_eval" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -226,4 +226,39 @@ object Behavior {
         .over(org.apache.spark.sql.expressions.Window
           .orderBy(desc("n_users"), col("path"))).cast("long"))
   }
+
+  /**
+   * Dwell-time profile — how long users sit on each step before the
+   * NEXT action (the engagement signal session counts miss: a funnel
+   * can convert identically while users hesitate 10× longer on one
+   * step): per user, the gap from each event to the user's next event
+   * (any type — dwell ends when the user does anything else); the last
+   * event of a user has no successor and drops out (an open-ended gap
+   * is censored data, not a zero). Per event type: gap count, mean,
+   * exact median and p90, and max, in seconds at 3dp.
+   *
+   * Shape at scale: one user-keyed lead window (a single Exchange — the
+   * transitionMatrix shape), then one event-type aggregation with exact
+   * percentiles (swap percentile → approx_percentile at sketch
+   * precision for beyond-memory type cardinalities, the winsorize
+   * contract). No fold, no action.
+   * Output: event_type, n_gaps, avg_s, p50_s, p90_s, max_s.
+   */
+  def dwellTimes(df: DataFrame, userCol: String, tsMicrosCol: String,
+      typeCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("ts"), col("et"))
+    df
+      .select(col(userCol).as("u"), col(tsMicrosCol).cast("long").as("ts"),
+        col(typeCol).cast("string").as("et"))
+      .withColumn("_next", lead(col("ts"), 1).over(w))
+      .filter(col("_next").isNotNull)
+      .withColumn("_gap", (col("_next") - col("ts")) / lit(1e6))
+      .groupBy(col("et").as("event_type"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg("_gap"), 3).as("avg_s"),
+        round(percentile(col("_gap"), lit(0.5)), 3).as("p50_s"),
+        round(percentile(col("_gap"), lit(0.9)), 3).as("p90_s"),
+        round(max("_gap"), 3).as("max_s"))
+  }
 }

@@ -256,4 +256,63 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("core_deg"))
       .filter(col("core_deg") >= k)
   }
+
+  /**
+   * Label-propagation communities (Raghavan et al. 2007) — the
+   * near-linear community detector that groups what PageRank only
+   * ranks (duplicate mirror-site clusters, topic silos, link farms
+   * show up as communities; [[kCore]] finds THE dense core, LPA
+   * partitions everything): every node starts labeled with itself, and
+   * each SYNCHRONOUS round relabels every node with the most frequent
+   * label among its neighbors.
+   *
+   * Determinism contract: classic LPA breaks count ties randomly and
+   * updates asynchronously — neither replays. Here ties break to the
+   * SMALLEST label (count desc, label asc) and all nodes update
+   * together for exactly `iters` rounds, which makes the whole run a
+   * pure function of the edge set — the oracle unrolls the identical
+   * rounds as CTEs (the pageRank/hits construction). The cost of
+   * synchronous updates is the known bipartite two-coloring
+   * oscillation; fixed `iters` makes that a defined output, and
+   * callers wanting a stable partition run connectedComponents on the
+   * (node, label) agreement graph or just use even `iters`.
+   *
+   * Scale shape: undirected simple normalization (the kCore rule),
+   * then per round ONE neighbor⋈labels join (shuffle on the edge
+   * endpoint) + one (node, label) count + one max_by argmax
+   * aggregation — node-keyed throughout, no windows, no actions;
+   * lineage truncates via localCheckpoint every `checkpointEvery`
+   * rounds. Isolated nodes never appear (an edge frame has none).
+   * Output: (node, label) — label is the community's min founding id
+   * under convergence, an arbitrary-but-deterministic id otherwise.
+   */
+  def labelProp(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    // both directions: neighbor lists are symmetric
+    val nbrs = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    var labels = nbrs.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (t <- 0 until iters) {
+      labels = nbrs
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("a").as("node"))
+        .agg(max_by(col("label"), struct(col("c"), negate(col("label"))))
+          .as("label"))
+      if ((t + 1) % checkpointEvery == 0 && t + 1 < iters)
+        labels = labels.localCheckpoint()
+    }
+    labels
+  }
 }

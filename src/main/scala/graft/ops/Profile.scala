@@ -700,6 +700,114 @@ object Profile {
   }
 
   /**
+   * Autocorrelation function per key series — the seasonality /
+   * memory probe next to [[rollingZ]]'s spike flags (a daily series
+   * with a weekly cycle shows r_7 spiking; a white-noise feed shows
+   * every lag near 0 — the difference decides whether a drift alarm
+   * needs seasonal adjustment): for each lag 1..maxLag, the sample
+   * Pearson correlation between the series and its lag-shifted self
+   * over the pairs where both exist (the cross-correlation form;
+   * identical to what `corr` + a lag window computes in any engine —
+   * deliberately, that IS the oracle). Degenerate lags (< 2 pairs or
+   * zero variance) report NULL acf, never 0 — no evidence is not
+   * independence. ONE keyed window pass materializes all maxLag
+   * shifted columns (a single Exchange + sort, lags never multiply
+   * passes), one aggregation computes every corr map-side-combined,
+   * and an in-project stack unpivots to (key, lag) rows — maxLag
+   * scales the projection width, not the pass count.
+   * Output: key, lag, n_pairs, acf (4dp).
+   */
+  def acf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, s"need 1 <= maxLag <= 64: $maxLag")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"))
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(valueCol).cast("double").as("_x"))
+    val lagged = (1 to maxLag).foldLeft(base) { (acc, l) =>
+      acc.withColumn(s"_l$l", lag(col("_x"), l).over(w))
+    }
+    // Pearson from guarded moments over the PAIRED subset (x masked to
+    // rows where the lag exists — covar/stddev ignore NULLs, so these
+    // are exactly corr's pairwise statistics) instead of corr() itself:
+    // a zero-variance series must report NULL, not an ANSI
+    // divide-by-zero (corr's internal ck/sqrt(mk) division).
+    val aggs = (1 to maxLag).flatMap { l =>
+      val xm = when(col(s"_l$l").isNotNull, col("_x"))
+      Seq(count(when(col(s"_l$l").isNotNull, 1)).as(s"_n$l"),
+        covar_samp(xm, col(s"_l$l")).as(s"_c$l"),
+        stddev_samp(xm).as(s"_sx$l"),
+        stddev_samp(col(s"_l$l")).as(s"_sy$l"))
+    }
+    val perKey = lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = (1 to maxLag)
+      .map(l => s"$l, _n$l, " +
+        s"CASE WHEN _sx$l > 0 AND _sy$l > 0 THEN _c$l / (_sx$l * _sy$l) END")
+      .mkString(", ")
+    perKey
+      .select(col(keyCol),
+        expr(s"stack($maxLag, $stackArgs) AS (lag, n_pairs, _r)"))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        round(col("_r"), 4).as("acf"))
+  }
+
+  /**
+   * Holt double-exponential smoothing per key series — the
+   * trend-aware upgrade of [[ewma]] (a simple EWMA lags a trending
+   * series forever; Holt carries an explicit trend term so the level
+   * tracks and the one-step forecast leads): l_1 = x_1, b_1 = 0,
+   * then l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}) and
+   * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}; each row also emits
+   * forecast_next = l_t + b_t, the value the model expects at the
+   * next tick — the baseline a drift monitor compares the next
+   * observation against. Same shape contract as ewma/cusum: one keyed
+   * aggregation collecting the sorted (ts, x) series, ONE
+   * left-to-right `aggregate` fold per key (sequential recurrences
+   * never become windows), a row per point; per-key-series envelope,
+   * pre-bucket past it. The recurrence is replayed by the oracle as a
+   * recursive CTE with the identical literal coefficients — both
+   * engines run the same double arithmetic left to right.
+   * Output: key, ts, x, level (4dp), trend (4dp), forecast_next (4dp).
+   */
+  def holt(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
+      alpha: Double, beta: Double): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    require(beta >= 0.0 && beta <= 1.0, s"beta must be in [0,1]: $beta")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(valueCol).cast("double").as("_x"))
+    val series = base.groupBy(col(keyCol))
+      .agg(sort_array(collect_list(struct(col("_t"), col("_x"))))
+        .as("_pts"))
+    val folded = series.withColumn("_steps", expr(
+      s"""aggregate(
+        |  _pts,
+        |  struct(
+        |    cast(null as double) AS l, cast(null as double) AS b,
+        |    cast(array() as array<struct<t:bigint,x:double,l:double,b:double>>) AS out),
+        |  (acc, p) -> CASE WHEN acc.l IS NULL THEN struct(
+        |      p._x AS l, cast(0.0 as double) AS b,
+        |      concat(acc.out, array(struct(p._t AS t, p._x AS x,
+        |        p._x AS l, cast(0.0 as double) AS b))) AS out)
+        |    ELSE struct(
+        |      $alpha * p._x + ${1.0 - alpha} * (acc.l + acc.b) AS l,
+        |      $beta * (($alpha * p._x + ${1.0 - alpha} * (acc.l + acc.b)) - acc.l)
+        |        + ${1.0 - beta} * acc.b AS b,
+        |      concat(acc.out, array(struct(p._t AS t, p._x AS x,
+        |        $alpha * p._x + ${1.0 - alpha} * (acc.l + acc.b) AS l,
+        |        $beta * (($alpha * p._x + ${1.0 - alpha} * (acc.l + acc.b)) - acc.l)
+        |          + ${1.0 - beta} * acc.b AS b))) AS out) END,
+        |  acc -> acc.out)""".stripMargin))
+    folded
+      .select(col(keyCol), explode(col("_steps")).as("s"))
+      .select(col(keyCol), col("s.t").as("ts"), col("s.x").as("x"),
+        round(col("s.l"), 4).as("level"),
+        round(col("s.b"), 4).as("trend"),
+        round(col("s.l") + col("s.b"), 4).as("forecast_next"))
+  }
+
+  /**
    * Benford first-digit audit — the fabricated-numbers screen for
    * ingested numeric feeds (naturally occurring multi-magnitude
    * quantities follow P(d) = log10(1 + 1/d); invented or truncated ones

@@ -248,4 +248,51 @@ object Sampling {
     df.withColumn("u", round(u, 6))
       .withColumn("split", split)
   }
+
+  /**
+   * Class-balanced downsample — the imbalance fix before training a
+   * classifier on skewed labels (a 10:1 language mix trains a model
+   * that answers "en" to everything; [[mixtureSample]] hits TARGET
+   * shares, this one equalizes): every class keeps exactly
+   * min(smallest class size, cap) rows, chosen as the lowest
+   * md5(seed || '|' || id) within the class with id tiebreak — the
+   * deterministic-rank contract of the whole sampling family
+   * (reproducible across runs/layouts, stable under reordering,
+   * replayable in any engine with md5).
+   *
+   * The target size is DATA-dependent (the min class count) and stays
+   * distributed: a 1-row aggregate subtree joined in (AQE broadcasts),
+   * never a driver collect. Same two-stage skew-proof take as
+   * [[stratifiedExact]] — the local prune uses `cap` (a static upper
+   * bound on the final target), so a hot class never funnels through
+   * one window task.
+   * Output: input columns, up to target rows per class.
+   */
+  def balancedSample(df: DataFrame, classCol: String, idCol: String,
+      cap: Int = Int.MaxValue, seed: Long = 42L): DataFrame = {
+    require(cap > 0, s"cap must be positive: $cap")
+    val internal = Seq("_hrank", "_part", "_lr", "_rank", "_target")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with balancedSample internals; rename them first")
+    val target = df.groupBy(col(classCol)).agg(count(lit(1)).as("_n"))
+      .agg(least(min("_n"), lit(cap.toLong)).as("_target"))
+    val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val wLocal = Window.partitionBy(col(classCol), col("_part"))
+      .orderBy(col("_hrank"), col(idCol))
+    val pruned =
+      (if (cap == Int.MaxValue) df.withColumn("_hrank", rank)
+       else df.withColumn("_hrank", rank)
+         .withColumn("_part", spark_partition_id())
+         .withColumn("_lr", row_number().over(wLocal))
+         .filter(col("_lr") <= cap)
+         .drop("_lr", "_part"))
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(col("_hrank"), col(idCol))
+    pruned
+      .withColumn("_rank", row_number().over(w))
+      .crossJoin(target)
+      .filter(col("_rank") <= col("_target"))
+      .drop("_rank", "_hrank", "_target")
+  }
 }

@@ -1593,4 +1593,98 @@ object TextMetrics {
         col("y_iw").as("n_group_term"), round(col("delta"), 4).as("delta"),
         col("z"), col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * PMI bigram collocations — the multiword-expression miner
+   * ("new york", "machine learning") that raw bigram counts miss
+   * (frequent-word pairs dominate counts; PMI normalizes by how often
+   * the parts occur alone): for each adjacent token pair,
+   * pmi = ln(c_ab · N / (c_a · c_b)) with c_a/c_b unigram counts and N
+   * the corpus token total — positive when the pair co-occurs more than
+   * independence predicts. `minCount` floors the pair count first (PMI's
+   * known pathology is maximal scores on hapax pairs — a count floor is
+   * the standard Church–Hanks guard), then top-k by (4dp pmi desc,
+   * term_a, term_b) so selection replays across engines.
+   *
+   * Shape at scale: bigrams come from the per-row zip-with-shift (token
+   * sequencing is ZERO-shuffle — never a positional self-join); one
+   * (a,b) pair count + one unigram count, both map-side combined; the
+   * two unigram joins are AQE-decided (vocabulary-sized); N is a 1-row
+   * aggregate subtree; top-k is TakeOrdered, never a global sort.
+   * Output: term_a, term_b, n_pair, pmi (4dp).
+   */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+      topK: Int = 50): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
+    val base = docs.select(toks.as("l")).where(size(col("l")) > 0)
+    val uni = base.select(explode(col("l")).as("t"))
+      .groupBy("t").agg(count(lit(1)).cast("double").as("c"))
+    val nTot = uni.agg(sum("c").as("n_total"))
+    val pairs = base
+      .select(explode(zip_with(col("l"),
+        concat(array(lit(null).cast("string")),
+          slice(col("l"), lit(1), size(col("l")) - 1)),
+        (t, p) => struct(p.as("a"), t.as("b")))).as("z"))
+      .select(col("z.a").as("a"), col("z.b").as("b"))
+      .where(col("a").isNotNull)
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    pairs
+      .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(nTot)
+      .select(col("a").as("term_a"), col("b").as("term_b"), col("n_pair"),
+        (round(log(col("n_pair") * col("n_total") /
+          (col("c_a") * col("c_b"))), 4) + lit(0.0)).as("pmi"))
+      .orderBy(desc("pmi"), col("term_a"), col("term_b"))
+      .limit(topK)
+  }
+
+  /**
+   * Zipf rank–frequency fit — the one-number corpus-health check
+   * (natural language lands near slope −1 on log f vs log rank;
+   * template spam, boilerplate floods, and synthetic text bend the
+   * curve): OLS of ln(freq) on ln(rank) over the `topN` most frequent
+   * terms, reporting slope, intercept, and R². Ranks are assigned by
+   * (freq desc, term) — the deterministic tiebreak that makes the fit
+   * replay on any engine; the fit uses the standard regression moments
+   * (regr_slope / regr_intercept / regr_r2 — identical definitions in
+   * Spark and DuckDB, deliberately: that IS the oracle).
+   *
+   * Shape at scale: one explode → term count (map-side combined, the
+   * only data-sized shuffle); the ranked pass runs over the VOCABULARY
+   * (n_terms rows, the concentration contract — never corpus rows), and
+   * the fit itself is one aggregation over topN rows.
+   * Output: 1 row — n_terms, n_tokens, slope (4dp), intercept (4dp),
+   * r2 (4dp).
+   */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 1000)
+      : DataFrame = {
+    require(topN >= 2, s"topN must be >= 2, got $topN")
+    val counts = docs
+      .select(explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    import org.apache.spark.sql.expressions.Window
+    // vocabulary-level ranked pass (n_terms rows, not corpus rows)
+    val ranked = counts
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("c"), col("term"))))
+      .filter(col("rank") <= topN)
+    val stats = counts.agg(count(lit(1)).as("n_terms"),
+      sum("c").as("n_tokens"))
+    ranked
+      .select(log(col("rank").cast("double")).as("lx"),
+        log(col("c").cast("double")).as("ly"))
+      .agg(expr("regr_slope(ly, lx)").as("_s"),
+        expr("regr_intercept(ly, lx)").as("_i"),
+        expr("regr_r2(ly, lx)").as("_r"))
+      .crossJoin(stats)
+      .select(col("n_terms"), col("n_tokens"),
+        (round(col("_s"), 4) + lit(0.0)).as("slope"),
+        (round(col("_i"), 4) + lit(0.0)).as("intercept"),
+        (round(col("_r"), 4) + lit(0.0)).as("r2"))
+  }
 }

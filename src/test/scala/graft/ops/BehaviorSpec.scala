@@ -145,4 +145,25 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.find(_._4 == 1L).get._1 == "view>click>buy")
     assert(got.map(_._4).sorted.toSeq == (1L to got.length).toSeq)
   }
+
+  test("dwellTimes: gap-to-next-any-action, censored last events drop, " +
+    "exact percentiles") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // user 1: view(0s) -> click(2s) -> buy(12s): view gap 2, click gap 10
+    // user 2: view(0s) -> view(4s): one view gap of 4; the final event of
+    // each user is censored and must NOT appear as a gap
+    val ev = Seq(
+      (1L, 0L, "view"), (1L, 2000000L, "click"), (1L, 12000000L, "buy"),
+      (2L, 0L, "view"), (2L, 4000000L, "view"))
+      .toDF("u", "ts", "et")
+    val got = Behavior.dwellTimes(ev, "u", "ts", "et")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(5))))
+      .toMap
+    // view gaps: 2, 4 -> n=3? no: user1 view gap 2, user2 first view gap 4
+    assert(got("view") == ((2L, 3.0, 3.0, 4.0)))
+    assert(got("click") == ((1L, 10.0, 10.0, 10.0)))
+    assert(!got.contains("buy"), "final events are censored, not zero-gap")
+  }
 }

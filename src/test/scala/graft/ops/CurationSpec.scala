@@ -1108,4 +1108,41 @@ class CurationSpec extends AnyFunSuite {
       assert(core == want, s"k=$k diverged from brute-force peel")
     }
   }
+
+  test("labelProp: two planted cliques converge to their min ids, " +
+    "== reference sync loop on a pseudo-random graph") {
+    import spark.implicits._
+    // two 4-cliques bridged by one edge: each community converges to
+    // its smallest member's id; the bridge does not merge them
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ ((3L, 10L))).toDF("s", "d")
+    val got = Graph.labelProp(edges, "s", "d", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to 3L).forall(got(_) == 0L), s"left clique: $got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L),
+      s"right clique: $got")
+    // reference synchronous loop with the same (count desc, label asc)
+    // tie rule on a pseudo-random graph — 3 rounds, exactly
+    val redges = (0 until 300).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (h % 40L, (h / 40L) % 40L)
+    }
+    val simple = redges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2) }
+    var lbl: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 0 until 3) {
+      lbl = adj.map { case (n, vs) =>
+        val counts = vs.map(lbl).groupBy(identity)
+          .map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val got2 = Graph.labelProp(redges.toDF("s", "d"), "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == lbl, "diverged from the reference synchronous loop")
+  }
 }

@@ -2114,6 +2114,55 @@ class OpsSpec extends AnyFunSuite {
         .toDF("g", "id", "v"), "g", "id", "v", k = 3.5).count() == 0)
   }
 
+  test("collocations: planted pair tops PMI, hapax guard drops rare pairs") {
+    import spark.implicits._
+    // "new york" always adjacent; "the" frequent everywhere; a one-off
+    // "rare gem" pair must be floored out by minCount
+    val docs = ((0 until 10).map(i => s"new york the filler$i the") :+
+      "rare gem the the").toDF("text")
+    val got = TextMetrics.collocations(docs, "text", minCount = 5L,
+      topK = 10).collect()
+    val pairs = got.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("rare", "gem")), "hapax pair must be floored")
+    val top = got.head
+    assert((top.getString(0), top.getString(1)) == (("new", "york")))
+    // closed form: c_ny=10, c_new=10, c_york=10, N = 52 tokens
+    val n = docs.collect().map(_.getString(0).split(" ").length).sum
+    val want = math.log(10.0 * n / (10.0 * 10.0))
+    assert(math.abs(top.getDouble(3) - want) < 1e-3)
+    // PMI of (the, the): c=2... under minCount=5? "the the" occurs once
+    // per trailer doc -> 1 + 1 adjacency in "the filler the"? none; keep
+    // the deterministic order contract instead: sorted by pmi desc
+    val ps = got.map(_.getDouble(3))
+    assert(ps.sameElements(ps.sorted(Ordering[Double].reverse)))
+  }
+
+  test("zipfFit: exact power law recovers its slope; tie ranks " +
+    "deterministic") {
+    import spark.implicits._
+    // frequencies 64,32,16,8,4,2,1 for terms a..g: ln f = ln 64 - ln2 * ...
+    // slope vs ln(rank) is NOT exactly -1 (ranks 1..7 aren't geometric),
+    // so assert the regression moments instead via a reference fit
+    val words = Seq("a" -> 64, "b" -> 32, "c" -> 16, "d" -> 8, "e" -> 4,
+      "f" -> 2, "g" -> 1)
+    val text = words.flatMap { case (w, n) => Seq.fill(n)(w) }
+      .mkString(" ")
+    val got = TextMetrics.zipfFit(Seq(text).toDF("text"), "text",
+      topN = 7).collect().head
+    assert(got.getLong(0) == 7 && got.getLong(1) == 127)
+    val pts = words.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.size.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    assert(math.abs(got.getDouble(2) - slope) < 1e-3, s"slope ${got.get(2)}")
+    assert(math.abs(got.getDouble(3) - icept) < 1e-3)
+    assert(got.getDouble(4) > 0.9 && got.getDouble(4) <= 1.0)
+  }
+
   test("distinctiveTerms: planted group vocabulary wins, prior tames rarity") {
     import spark.implicits._
     // 'alpha' dominates group A, 'beta' group B, shared filler elsewhere
@@ -2284,6 +2333,58 @@ class OpsSpec extends AnyFunSuite {
     assert(fr.forall(r => r.isNullAt(5) && !r.getBoolean(6)))
   }
 
+  test("acf: perfect alternation, thin lags and flat series go NULL") {
+    import spark.implicits._
+    // alternating series: r_1 = -1, r_2 = +1 exactly
+    val df = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0).zipWithIndex
+      .map { case (x, i) => ("k", i.toLong, x) }.toDF("key", "t", "x")
+    val got = Profile.acf(df, "key", "t", "x", maxLag = 5)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got(1) == ((5L, Some(-1.0))))
+    assert(got(2) == ((4L, Some(1.0))))
+    // lag 5 has exactly 1 pair: corr undefined -> NULL
+    assert(got(5) == ((1L, None)))
+    // constant series: zero variance, every lag NULL but pairs counted
+    val flat = (0 until 4).map(i => ("c", i.toLong, 7.0))
+      .toDF("key", "t", "x")
+    val fr = Profile.acf(flat, "key", "t", "x", maxLag = 2).collect()
+    assert(fr.length == 2 && fr.forall(_.isNullAt(3)))
+  }
+
+  test("holt: reference-fold equality, first point seeds, input order " +
+    "irrelevant, keys independent") {
+    import spark.implicits._
+    val xs = Seq(10.0, 12.0, 15.0, 11.0, 18.0)
+    val df = (xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) } :+
+      (("j", 0L, 4.0))).toDF("key", "t", "x")
+    val got = Profile.holt(df, "key", "t", "x", alpha = 0.3, beta = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // reference fold in plain Scala, 4dp-rounded like the operator
+    var l = xs.head; var b = 0.0
+    xs.zipWithIndex.foreach { case (x, i) =>
+      if (i > 0) {
+        val l2 = 0.3 * x + 0.7 * (l + b)
+        b = 0.2 * (l2 - l) + 0.8 * b; l = l2
+      }
+      val (gl, gb, gf) = got(("k", i.toLong))
+      assert(math.abs(gl - l) < 1e-4 && math.abs(gb - b) < 1e-4
+        && math.abs(gf - (l + b)) < 5e-4, s"i=$i: got ($gl,$gb,$gf)")
+    }
+    // single-point key: level = x, trend = 0, forecast = x
+    assert(got(("j", 0L)) == ((4.0, 0.0, 4.0)))
+    // the fold sorts by ts: shuffled input, identical output
+    val shuffled = scala.util.Random.shuffle(
+      xs.zipWithIndex.map { case (x, i) => ("k", i.toLong, x) })
+      .toDF("key", "t", "x")
+    val got2 = Profile.holt(shuffled, "key", "t", "x",
+        alpha = 0.3, beta = 0.2)
+      .collect().map(r => r.getLong(1) -> r.getDouble(3)).toMap
+    assert(got2 == got.collect { case (("k", t), (lv, _, _)) => t -> lv })
+  }
+
   test("benford: arithmetic leading digit, empty digits materialize, " +
     "chi2 of a missing digit is its expectation") {
     import spark.implicits._
@@ -2340,6 +2441,33 @@ class OpsSpec extends AnyFunSuite {
     // both raters constant and equal: pe = 1 -> kappa 1 by convention
     val const = Seq.fill(4)(("y", "y")).toDF("a", "b")
     assert(Profile.cohenKappa(const, "a", "b").collect().head.getDouble(3) == 1.0)
+  }
+
+  test("balancedSample: every class lands exactly min-class-size rows, " +
+    "cap tightens, selection is md5-deterministic") {
+    import spark.implicits._
+    val df = ((0 until 40).map(i => (i.toLong, "big")) ++
+      (100 until 107).map(i => (i.toLong, "small")))
+      .toDF("id", "cls")
+    val got = Sampling.balancedSample(df, "cls", "id")
+    val sizes = got.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 7L, "small" -> 7L))
+    // deterministic: same input (any row order) -> same ids
+    val ids1 = got.collect().map(_.getLong(0)).sorted.toSeq
+    val ids2 = Sampling.balancedSample(df.orderBy(desc("id")), "cls", "id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids1 == ids2)
+    // small class fully kept (it IS the minimum)
+    assert(ids1.count(_ >= 100) == 7)
+    // cap below the min class size binds every class
+    val capped = Sampling.balancedSample(df, "cls", "id", cap = 3)
+      .groupBy("cls").count().collect().map(_.getLong(1))
+    assert(capped.forall(_ == 3L))
+    // reserved-column collision rejected
+    intercept[IllegalArgumentException] {
+      Sampling.balancedSample(df.withColumn("_rank", lit(1)), "cls", "id")
+    }
   }
 
   test("splitAssign: pure function of id (append/partitioning stable), " +
