@@ -1944,6 +1944,35 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_zone_map" -> ((s, dir) => {
+      // zone-map pruning report over the q_zorder layout: 16 equal-
+      // width z-value files, per-file min/max zones on the y dimension,
+      // and the skip verdict for a y <= 15 reader — the measured
+      // pruning rate the layout specs only assert qualitatively
+      val o = t(s, dir, "orders").select(
+        pmod(col("o_custkey"), lit(256L)).cast("double").as("cx"),
+        pmod(col("o_orderkey"), lit(256L)).cast("double").as("cy"))
+      graft.ops.Layout.zoneMapReport(o,
+          Seq(("cx", 0.0, 256.0), ("cy", 0.0, 256.0)), bits = 8,
+          numFiles = 16, auditCol = "cx", predLo = 0.0, predHi = 15.0)
+        .orderBy("file_id")
+    }),
+    "q_stats_drift" -> ((s, dir) => {
+      // column-stats drift between corpus versions: the new side drops
+      // every 10th doc, nulls lang on 7-multiples, and shifts n_chars
+      // by +37 — null_frac, distinct, and mean deltas all genuinely
+      // move; one unpivot scan per side, k-row join
+      val d = t(s, dir, "documents")
+      val oldV = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("source"))
+      val newV = d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        (col("n_chars") + lit(37L)).as("n_chars"), col("source"))
+      graft.ops.Profile.statsDrift(oldV, newV,
+          Seq("doc_id", "lang", "n_chars", "source"))
+        .orderBy("col_name")
+    }),
     "q_lsh_tune" -> ((s, dir) =>
       // banding-parameter tuner for a 128-hash signature at threshold
       // 0.8: per divisor split, integrated FP/FN area of the S-curve,
@@ -2877,6 +2906,22 @@ object SparkEntry {
   /** Morton interleave replay as plain integer arithmetic: bit i of the
    * first dimension lands at 2i+1, of the second at 2i — disjoint
    * positions, so the OR chain is exact in any engine with shifts. */
+  private def zoneMapOracle: String = {
+    // same interleave terms as zorderOracle; file binning is exact
+    // integer division so no float boundary can disagree with Spark
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
+      s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})"))
+    s"""WITH z AS (SELECT (${terms.mkString(" | ")})::BIGINT AS zv,
+       |    (o_custkey % 256)::DOUBLE AS a FROM orders),
+       |s AS (SELECT min(zv) AS zmin, max(zv) AS zmax FROM z)
+       |SELECT ((zv - zmin) * 16) // (zmax - zmin + 1) AS file_id,
+       |  count(*)::BIGINT AS n_rows,
+       |  round(min(a), 4) AS cmin, round(max(a), 4) AS cmax,
+       |  (max(a) < 0.0 OR min(a) > 15.0) AS skipped
+       |FROM z, s GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
   private def zorderOracle: String = {
     val terms = (0 until 8).flatMap(i => Seq(
       s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
@@ -4092,6 +4137,64 @@ object SparkEntry {
         |WHERE levenshtein(a.c_name, b.c_name) <= 2
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
+    "q_zone_map" -> zoneMapOracle,
+    "q_stats_drift" ->
+      """WITH o AS (SELECT doc_id, lang, n_chars, source FROM documents),
+        |nw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |    n_chars + 37 AS n_chars, source FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |po AS (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_old,
+        |    round(count(*) FILTER (WHERE doc_id IS NULL)
+        |      / count(*)::DOUBLE, 4) AS null_frac_old,
+        |    count(DISTINCT doc_id)::BIGINT AS distinct_old,
+        |    round(avg(try_cast(doc_id::VARCHAR AS DOUBLE)), 4) AS mean_old
+        |  FROM o UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE lang IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT lang)::BIGINT,
+        |    round(avg(try_cast(lang AS DOUBLE)), 4) FROM o UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE n_chars IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    round(avg(try_cast(n_chars::VARCHAR AS DOUBLE)), 4) FROM o
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE source IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT source)::BIGINT,
+        |    round(avg(try_cast(source AS DOUBLE)), 4) FROM o),
+        |pn AS (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_new,
+        |    round(count(*) FILTER (WHERE doc_id IS NULL)
+        |      / count(*)::DOUBLE, 4) AS null_frac_new,
+        |    count(DISTINCT doc_id)::BIGINT AS distinct_new,
+        |    round(avg(try_cast(doc_id::VARCHAR AS DOUBLE)), 4) AS mean_new
+        |  FROM nw UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE lang IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT lang)::BIGINT,
+        |    round(avg(try_cast(lang AS DOUBLE)), 4) FROM nw UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE n_chars IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    round(avg(try_cast(n_chars::VARCHAR AS DOUBLE)), 4) FROM nw
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE source IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT source)::BIGINT,
+        |    round(avg(try_cast(source AS DOUBLE)), 4) FROM nw)
+        |SELECT po.col_name, n_old, n_new, null_frac_old, null_frac_new,
+        |  round(null_frac_new - null_frac_old, 4) + 0.0 AS null_frac_delta,
+        |  distinct_old, distinct_new, mean_old, mean_new,
+        |  round(mean_new - mean_old, 4) + 0.0 AS mean_delta
+        |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin,
     "q_hilbert" -> hilbertOracle(8),
     "ann_mmr" -> mmrOracle(5, 0.7),
     "dedup_golden" ->

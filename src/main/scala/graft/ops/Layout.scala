@@ -183,4 +183,48 @@ object Layout {
         col("_before") - col("bin") * lit(targetBytes))
       .drop("_before")
   }
+
+  /**
+   * Zone-map pruning report — the measurement that says whether a
+   * layout actually earns its keep (clusterByZ/clusterByHilbert claim
+   * a selective filter skips most files; this computes the skip, per
+   * file, from the same min/max stats a parquet reader prunes on):
+   * rows are binned into `numFiles` equal-width Z-VALUE ranges (the
+   * deterministic, SQL-replayable model of what repartitionByRange
+   * approximates by sampling), each file reports its row count and the
+   * audited column's min/max zone, and `skipped` says whether a reader
+   * filtering `predLo <= auditCol <= predHi` would skip the file
+   * entirely (zone disjoint from the predicate). Σ n_rows over skipped
+   * files / total is the layout's measured pruning rate for that
+   * predicate.
+   *
+   * Shape at scale: one projection computes the interleave (codegen'd
+   * bit ops), the z-span enters as a 1-row aggregate subtree (AQE
+   * broadcasts), file binning is pure long arithmetic (exact integer
+   * division — no float boundary wobble between engines), and the
+   * report is ONE numFiles-row aggregation. No windows, no actions.
+   * Output: file_id, n_rows, cmin (4dp), cmax (4dp), skipped.
+   */
+  def zoneMapReport(df: DataFrame, dims: Seq[(String, Double, Double)],
+      bits: Int, numFiles: Int, auditCol: String,
+      predLo: Double, predHi: Double): DataFrame = {
+    require(dims.nonEmpty, "zoneMapReport needs at least one z dimension")
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    require(dims.size * bits <= 31,
+      s"dims*bits must fit 31 bits for exact long binning: ${dims.size}*$bits")
+    require(predLo <= predHi, s"need predLo <= predHi: ($predLo, $predHi)")
+    val z = zValue(dims.map { case (c, lo, hi) =>
+      quantize(col(c), lo, hi, bits) }, bits)
+    val base = df.select(z.as("_zv"),
+      col(auditCol).cast("double").as("_a"))
+    val span = base.agg(min("_zv").as("_zmin"), max("_zv").as("_zmax"))
+    base.crossJoin(span)
+      .select(expr(s"((_zv - _zmin) * $numFiles) div (_zmax - _zmin + 1)")
+        .as("file_id"), col("_a"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        round(min("_a"), 4).as("cmin"),
+        round(max("_a"), 4).as("cmax"),
+        (max("_a") < lit(predLo) || min("_a") > lit(predHi)).as("skipped"))
+  }
 }

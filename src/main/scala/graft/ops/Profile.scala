@@ -951,6 +951,52 @@ object Profile {
   }
 
   /**
+   * Column-stats drift between two corpus versions — the schema-level
+   * companion to [[psiDrift]]'s distribution test (PSI needs a bin
+   * grid per column; this is the cheap first pass that says WHICH
+   * columns moved): for each audited column, both sides report row
+   * count, null fraction, distinct count, and mean (of the
+   * numeric-parseable values — try_cast, never an ANSI error), plus
+   * the deltas a drift monitor alarms on. A column whose null_frac
+   * jumps or whose distinct count collapses between crawls is the
+   * first sign of an upstream extraction break.
+   *
+   * Shape at scale: ONE scan per side via the [[entropyProfile]]
+   * in-project unpivot → (column, value) counts (map-side combined) →
+   * k-row rollup; the two k-row profiles join on column name. Distinct
+   * counts and means are computed over the stringified values — the
+   * string render of numerics round-trips, so cardinality and mean
+   * match the typed column exactly.
+   * Output: col_name, n_old, n_new, null_frac_old/new/delta (4dp),
+   * distinct_old/new, mean_old/new/delta (4dp).
+   */
+  def statsDrift(oldDf: DataFrame, newDf: DataFrame,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "statsDrift needs at least one column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val pairs = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("p"))
+        .select(col("p.col_name").as("col_name"), col("p.v").as("v"))
+      pairs.groupBy("col_name", "v").agg(count(lit(1)).as("c"))
+        .withColumn("_d", expr("try_cast(v as double)"))
+        .groupBy("col_name")
+        .agg(sum("c").as(s"n_$tag"),
+          round(coalesce(sum(when(col("v").isNull, col("c"))), lit(0L))
+            / sum("c"), 4).as(s"null_frac_$tag"),
+          count(when(col("v").isNotNull, lit(1))).as(s"distinct_$tag"),
+          round(sum(col("_d") * col("c"))
+            / sum(when(col("_d").isNotNull, col("c"))), 4)
+            .as(s"mean_$tag"))
+    }
+    side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"))
+      .withColumn("null_frac_delta",
+        round(col("null_frac_new") - col("null_frac_old"), 4) + lit(0.0))
+      .withColumn("mean_delta",
+        round(col("mean_new") - col("mean_old"), 4) + lit(0.0))
+  }
+
+  /**
    * Mutual information between two categorical columns — the feature-
    * redundancy / leakage probe (MI ≈ 0: independent; MI ≈ min(H_a, H_b):
    * one determines the other; a label-leaking feature shows high MI

@@ -895,6 +895,48 @@ class CurationSpec extends AnyFunSuite {
     assert(q == Seq(0L, 0L, 7L, 15L, 15L, 15L))
   }
 
+  test("zoneMapReport: quad zones on the 4x4 grid, x<=1 skips exactly " +
+    "the two high-x files") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 4; y <- 0 until 4)
+      yield (x.toDouble, y.toDouble)).toDF("x", "y")
+    val got = Layout.zoneMapReport(grid,
+        Seq(("x", 0.0, 4.0), ("y", 0.0, 4.0)), bits = 2, numFiles = 4,
+        auditCol = "x", predLo = 0.0, predHi = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    // z-quads: files 0/1 are the x in {0,1} half, 2/3 the x in {2,3} half
+    assert(got(0L) == ((4L, 0.0, 1.0, false)))
+    assert(got(1L) == ((4L, 0.0, 1.0, false)))
+    assert(got(2L) == ((4L, 2.0, 3.0, true)))
+    assert(got(3L) == ((4L, 2.0, 3.0, true)))
+  }
+
+  test("statsDrift: null/distinct/mean deltas move as planted; text " +
+    "columns carry NULL means") {
+    import spark.implicits._
+    val oldV = Seq((1L, "en", 10L), (2L, "de", 20L), (3L, "en", 30L),
+      (4L, "fr", 40L)).toDF("id", "lang", "n")
+    val newV = Seq((1L, "en", 20L), (2L, null.asInstanceOf[String], 30L),
+      (3L, "en", 40L)).toDF("id", "lang", "n")
+    val got = Profile.statsDrift(oldV, newV, Seq("id", "lang", "n"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val lang = got("lang")
+    assert(lang.getAs[Long]("n_old") == 4 && lang.getAs[Long]("n_new") == 3)
+    assert(lang.getAs[Double]("null_frac_old") == 0.0)
+    assert(lang.getAs[Double]("null_frac_new") == 0.3333)
+    assert(lang.getAs[Double]("null_frac_delta") == 0.3333)
+    assert(lang.getAs[Long]("distinct_old") == 3
+      && lang.getAs[Long]("distinct_new") == 1)
+    assert(lang.isNullAt(lang.fieldIndex("mean_old")),
+      "text column mean must be NULL, never an error")
+    val n = got("n")
+    assert(n.getAs[Double]("mean_old") == 25.0
+      && n.getAs[Double]("mean_new") == 30.0
+      && n.getAs[Double]("mean_delta") == 5.0)
+  }
+
   test("clusterByZ: a y-only filter touches fewer files than an x-sorted layout") {
     import spark.implicits._
     val grid = (for (x <- 0 until 64; y <- 0 until 64)
