@@ -1944,6 +1944,45 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_weight_diag" -> ((s, dir) =>
+      // survey-weight diagnostics per order priority (weights scaled
+      // 1e-5 so 4dp-rounded sums are parallel-sum-proof): Kish ESS,
+      // design effect, weight CV, extremes — one keyed aggregation
+      graft.ops.Profile.weightDiagnostics(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            (col("o_totalprice") / lit(100000.0)).as("w")),
+          "o_orderpriority", "w")
+        .orderBy("o_orderpriority")),
+    "q_max_concurrent" -> ((s, dir) => {
+      // peak concurrency per event type over [ts, ts + value) windows:
+      // boundary sweep with ends-before-starts at the same instant,
+      // one keyed running-sum window + key-level argmax
+      val ev = eventsTsUs(s, dir)
+      val iv = ev.select(col("event_type"), col("ts_us").as("s"),
+        (col("ts_us") + floor(col("value") * 1e6).cast("long")).as("e"))
+      graft.ops.Interval.maxConcurrent(iv, "event_type", "s", "e")
+        .orderBy("event_type")
+    }),
+    "ann_centroid_sim" -> ((s, dir) =>
+      // domain-similarity map: pairwise cosine between label centroids
+      // — the labels-sized self-join, never the corpus
+      graft.ops.Similarity.centroidSimMatrix(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy("label_a", "label_b")),
+    "q_approx_quantiles" -> ((s, dir) =>
+      // the sketch path the winsorize/quantile docs promise as the
+      // beyond-sort swap, gated honestly: approx_percentile in its
+      // exact regime (n <= accuracy) must equal DuckDB quantile_disc —
+      // at 100 TB the same code runs with bounded accuracy and the
+      // documented rank-error envelope
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_extendedprice, " +
+          "array(0.25D, 0.5D, 0.75D, 0.9D), 1000000)").as("_q"))
+        .select(col("l_returnflag"),
+          col("_q")(0).as("p25"), col("_q")(1).as("p50"),
+          col("_q")(2).as("p75"), col("_q")(3).as("p90"))
+        .orderBy("l_returnflag")),
     "q_zone_map" -> ((s, dir) => {
       // zone-map pruning report over the q_zorder layout: 16 equal-
       // width z-value files, per-file min/max zones on the y dimension,
@@ -4138,6 +4177,60 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_zone_map" -> zoneMapOracle,
+    "q_weight_diag" ->
+      """WITH w AS (SELECT o_orderpriority AS g,
+        |    o_totalprice::DOUBLE / 100000.0 AS w FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+        |SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
+        |  round(sum(w), 4) AS sum_w,
+        |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+        |  round(count(*) * sum(w * w) / (sum(w) * sum(w)), 4)
+        |    AS design_effect,
+        |  round(sqrt(greatest(0.0, sum(w * w) / count(*)
+        |    - pow(sum(w) / count(*), 2))) / (sum(w) / count(*)), 4)
+        |    AS cv_w,
+        |  min(w) AS min_w, max(w) AS max_w,
+        |  round(max(w) / min(w), 4) AS w_ratio
+        |FROM w GROUP BY g ORDER BY o_orderpriority""".stripMargin,
+    "q_max_concurrent" ->
+      """WITH iv AS (SELECT event_type AS k, epoch_us(ts)::BIGINT AS s,
+        |    epoch_us(ts)::BIGINT + floor(value * 1e6)::BIGINT AS e
+        |  FROM events),
+        |b AS (SELECT k, s AS t, 1 AS d FROM iv
+        |  UNION ALL SELECT k, e, -1 FROM iv),
+        |l AS (SELECT k, t, sum(d) OVER (PARTITION BY k ORDER BY t, d
+        |    ROWS UNBOUNDED PRECEDING) AS lvl FROM b),
+        |m AS (SELECT k, max(lvl) AS mc FROM l GROUP BY k)
+        |SELECT l.k AS event_type, m.mc::BIGINT AS max_concurrent,
+        |  min(l.t) AS peak_ts
+        |FROM l JOIN m USING (k) WHERE l.lvl = m.mc
+        |GROUP BY l.k, m.mc ORDER BY event_type""".stripMargin,
+    "ann_centroid_sim" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+        |c AS (SELECT label, i, round(avg(x), 6) AS m,
+        |    count(*)::BIGINT AS n FROM e GROUP BY 1, 2),
+        |g AS (SELECT label, max(n) AS n FROM c GROUP BY label),
+        |p AS (SELECT a.label AS label_a, b.label AS label_b,
+        |    sum(a.m * b.m) AS dot, sqrt(sum(a.m * a.m)) AS na,
+        |    sqrt(sum(b.m * b.m)) AS nb
+        |  FROM c a JOIN c b ON a.i = b.i AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT p.label_a, p.label_b, ga.n AS n_a, gb.n AS n_b,
+        |  CASE WHEN na > 0 AND nb > 0 THEN round(dot / (na * nb), 4)
+        |  END AS cos
+        |FROM p JOIN g ga ON ga.label = p.label_a
+        |JOIN g gb ON gb.label = p.label_b
+        |ORDER BY label_a, label_b""".stripMargin,
+    "q_approx_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.25) AS p25,
+        |  quantile_disc(l_extendedprice, 0.50) AS p50,
+        |  quantile_disc(l_extendedprice, 0.75) AS p75,
+        |  quantile_disc(l_extendedprice, 0.90) AS p90
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_stats_drift" ->
       """WITH o AS (SELECT doc_id, lang, n_chars, source FROM documents),
         |nw AS (SELECT doc_id,

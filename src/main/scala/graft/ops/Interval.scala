@@ -162,6 +162,45 @@ object Interval {
    * interval FRAMES (validity windows, outage spans, span coverage)
    * rather than per-document position arrays.
    */
+  /**
+   * Maximum concurrency per key — the peak-load question every
+   * interval table eventually gets asked (max simultaneous sessions,
+   * in-transit shipments, open connections): sweep the boundaries
+   * (+1 at start, −1 at end) in time order and report each key's
+   * highest running level and the EARLIEST instant it is reached.
+   * Half-open [start, end) semantics: an interval ending exactly when
+   * another starts never overlaps it — ends sort before starts at the
+   * same instant (the −1 delta orders first), the convention that
+   * keeps back-to-back sessions at level 1.
+   *
+   * Shape at scale: one explode to 2 boundary rows per interval, ONE
+   * key-ordered running-sum window (a single Exchange on the key —
+   * never a global sort), then a key-level max_by aggregation; peak
+   * selection replays exactly because the (level desc, ts asc) argmax
+   * is deterministic. Zero-length/inverted intervals are rejected rows
+   * upstream concerns — here end <= start simply contributes its −1
+   * at or before its +1 and never lifts the level.
+   * Output: key, max_concurrent, peak_ts.
+   */
+  def maxConcurrent(df: DataFrame, keyCol: String, startCol: String,
+      endCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df
+      .select(col(keyCol).as("k"), col(startCol).cast("long").as("s"),
+        col(endCol).cast("long").as("e"))
+      .select(col("k"), explode(array(
+        struct(col("s").as("t"), lit(1).as("d")),
+        struct(col("e").as("t"), lit(-1).as("d")))).as("b"))
+      .select(col("k"), col("b.t").as("t"), col("b.d").as("d"))
+      .withColumn("_lvl", sum(col("d")).over(w))
+      .groupBy(col("k").as(keyCol))
+      .agg(max(col("_lvl")).as("max_concurrent"),
+        max_by(col("t"), struct(col("_lvl"), negate(col("t"))))
+          .as("peak_ts"))
+  }
+
   def coalesceIntervals(df: DataFrame, keyCol: String, startCol: String,
       endCol: String, gap: Long = 0L): DataFrame = {
     require(gap >= 0, "gap must be non-negative")

@@ -808,6 +808,47 @@ object Profile {
   }
 
   /**
+   * Survey-weight diagnostics — the health check every calibration
+   * (EBW included: run it on `new_weights`) should publish next to its
+   * estimates: per group, Kish's effective sample size
+   * ESS = (Σw)²/Σw² (the n an unweighted sample would need for the
+   * same variance), the design effect n·Σw²/(Σw)² (variance inflation
+   * from unequal weights; 1 = no cost), the weight coefficient of
+   * variation (deff = 1 + cv² identity, population σ), and the
+   * min/max/ratio extremes a bounds check reads directly. A
+   * calibration that nails its moments while ESS collapses has traded
+   * bias for variance — this is the number that says so (Kish 1965).
+   *
+   * Rows with NULL or non-positive weight are excluded (they carry no
+   * estimation mass; a validator should flag them upstream). ONE
+   * keyed aggregation — every statistic derives from the Σw/Σw²
+   * moments in a single pass, no window, no action.
+   * Output: group, n, sum_w (4dp), ess (4dp), design_effect (4dp),
+   * cv_w (4dp), min_w, max_w, w_ratio (4dp).
+   */
+  def weightDiagnostics(df: DataFrame, groupCol: String,
+      weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("double")
+    df.filter(w.isNotNull && w > 0)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(w).as("_s1"), sum(w * w).as("_s2"),
+        min(w).as("min_w"), max(w).as("max_w"))
+      .select(col(groupCol), col("n"),
+        round(col("_s1"), 4).as("sum_w"),
+        round(col("_s1") * col("_s1") / col("_s2"), 4).as("ess"),
+        round(col("n") * col("_s2") / (col("_s1") * col("_s1")), 4)
+          .as("design_effect"),
+        // greatest(0, ·): constant weights can land the variance a float
+        // ulp below zero, which must read cv = 0, never NaN
+        round(sqrt(greatest(lit(0.0), col("_s2") / col("n")
+          - pow(col("_s1") / col("n"), 2))) / (col("_s1") / col("n")), 4)
+          .as("cv_w"),
+        col("min_w"), col("max_w"),
+        round(col("max_w") / col("min_w"), 4).as("w_ratio"))
+  }
+
+  /**
    * Benford first-digit audit — the fabricated-numbers screen for
    * ingested numeric feeds (naturally occurring multi-magnitude
    * quantities follow P(d) = log10(1 + 1/d); invented or truncated ones

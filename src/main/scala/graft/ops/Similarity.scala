@@ -693,6 +693,42 @@ object Similarity {
    * cosine scan and the topKPerGroup WindowGroupLimit shape for the
    * per-label bottom-k (map-side pruned to k before the exchange).
    */
+  /**
+   * Centroid similarity matrix — the domain-similarity map over a
+   * labeled embedding corpus (which sources/languages/topics live
+   * close in embedding space — the input to mixture design and to
+   * "these two domains are near-duplicates at the distribution level"
+   * calls; [[centroidOutliers]] scores members against their OWN
+   * centroid, this scores centroids against EACH OTHER): pairwise
+   * cosine between [[groupCentroids]] vectors, each unordered pair
+   * once (label_a < label_b), 4dp.
+   *
+   * Shape at scale: the labels×dim centroid aggregation is the only
+   * data-sized pass (inherited from groupCentroids, 6dp-rounded
+   * coordinates — the determinism contract); the pair join runs on
+   * the LABELS-sized frame (a self-join of k rows, k = distinct
+   * labels, never the corpus). Zero-norm centroids report NULL cosine.
+   * Output: label_a, label_b, n_a, n_b, cos (4dp).
+   */
+  def centroidSimMatrix(emb: DataFrame, vecCol: String,
+      labelCol: String): DataFrame = {
+    val cents = groupCentroids(emb, vecCol, labelCol)
+    val a = cents.select(col("label").as("label_a"),
+      col("centroid").as("_ca"), col("n").as("n_a"))
+    val b = cents.select(col("label").as("label_b"),
+      col("centroid").as("_cb"), col("n").as("n_b"))
+    a.join(b, col("label_a") < col("label_b"))
+      .withColumn("_dot", expr(
+        "aggregate(zip_with(_ca, _cb, (x, y) -> x * y), 0D, (s, v) -> s + v)"))
+      .withColumn("_na", expr(
+        "sqrt(aggregate(_ca, 0D, (s, v) -> s + v * v))"))
+      .withColumn("_nb", expr(
+        "sqrt(aggregate(_cb, 0D, (s, v) -> s + v * v))"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        when(col("_na") > 0 && col("_nb") > 0,
+          round(col("_dot") / (col("_na") * col("_nb")), 4)).as("cos"))
+  }
+
   def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, bottomK: Int): DataFrame = {
     require(bottomK >= 1, s"bottomK must be >= 1, got $bottomK")

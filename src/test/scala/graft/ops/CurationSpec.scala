@@ -895,6 +895,27 @@ class CurationSpec extends AnyFunSuite {
     assert(q == Seq(0L, 0L, 7L, 15L, 15L, 15L))
   }
 
+  test("centroidSimMatrix: orthogonal/identical/opposite label pairs, " +
+    "each unordered pair once, zero-norm goes NULL") {
+    import spark.implicits._
+    val emb = Seq(
+      ("ax", Array(1.0f, 0.0f)), ("ax", Array(1.0f, 0.0f)),
+      ("ay", Array(0.0f, 1.0f)),
+      ("bneg", Array(-1.0f, 0.0f)),
+      ("zero", Array(0.0f, 0.0f))).toDF("label", "embedding")
+    val got = Similarity.centroidSimMatrix(emb, "embedding", "label")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(got.size == 6, s"4 labels -> 6 unordered pairs: ${got.keys}")
+    assert(got(("ax", "ay")) == Some(0.0))
+    assert(got(("ax", "bneg")) == Some(-1.0))
+    assert(got(("ay", "zero")) == None, "zero-norm centroid must be NULL")
+    // member counts ride along
+    val counts = Similarity.centroidSimMatrix(emb, "embedding", "label")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(counts("ax") == 2L)
+  }
+
   test("zoneMapReport: quad zones on the 4x4 grid, x<=1 skips exactly " +
     "the two high-x files") {
     import spark.implicits._

@@ -165,4 +165,44 @@ class IntervalSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("maxConcurrent: stacked peak, half-open back-to-back stays 1, " +
+    "earliest peak instant wins, keyed shuffle only") {
+    import spark.implicits._
+    // key a: [0,10) [5,15) [8,12) -> level 3 on [8,10), peak at 8;
+    //        a second level-3 stretch would NOT move peak_ts back
+    // key b: [0,5) [5,10) back-to-back -> never concurrent (half-open)
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 15L), ("a", 8L, 12L),
+      ("b", 0L, 5L), ("b", 5L, 10L)).toDF("k", "s", "e")
+    val got = Interval.maxConcurrent(df, "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((3L, 8L)))
+    assert(got("b") == ((1L, 0L)))
+    // == brute-force sweep on a pseudo-random interval set
+    val ivs = (0 until 200).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      val s = h % 100L
+      (s"k${h % 3}", s, s + 1 + (h / 100) % 20L)
+    }
+    val want = ivs.groupBy(_._1).map { case (k, xs) =>
+      val pts = xs.flatMap(x => Seq((x._2, 1), (x._3, -1)))
+        .sortBy(p => (p._1, p._2))
+      var lvl = 0; var best = 0; var bestT = Long.MaxValue
+      pts.foreach { case (t, d) =>
+        lvl += d
+        if (lvl > best) { best = lvl; bestT = t }
+      }
+      k -> ((best.toLong, bestT))
+    }
+    val got2 = Interval.maxConcurrent(ivs.toDF("k", "s", "e"), "k", "s", "e")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got2 == want)
+    // one keyed Exchange, no SinglePartition window
+    val plan = Interval.maxConcurrent(df, "k", "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
 }

@@ -2385,6 +2385,29 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == got.collect { case (("k", t), (lv, _, _)) => t -> lv })
   }
 
+  test("weightDiagnostics: constant weights are free, planted skew " +
+    "matches closed form, deff = 1 + cv^2, nonpositive excluded") {
+    import spark.implicits._
+    // constant weights: ESS = n, deff = 1, cv = 0 (ulp guard, not NaN)
+    val const = Seq.fill(5)(("g", 2.5)).toDF("grp", "w")
+    val c = Profile.weightDiagnostics(const, "grp", "w").collect().head
+    assert(c.getLong(1) == 5 && c.getDouble(3) == 5.0
+      && c.getDouble(4) == 1.0 && c.getDouble(5) == 0.0)
+    // planted skew: w = [1,1,1,1,4] -> s1=8, s2=20, ESS=3.2, deff=1.5625
+    val skew = (Seq.fill(4)(1.0) :+ 4.0).map(("s", _)).toDF("grp", "w")
+    val s = Profile.weightDiagnostics(skew, "grp", "w").collect().head
+    assert(s.getDouble(3) == 3.2 && s.getDouble(4) == 1.5625)
+    // Kish identity: deff == 1 + cv^2 (population cv)
+    assert(math.abs(s.getDouble(4) - (1 + math.pow(s.getDouble(5), 2)))
+      < 1e-3)
+    assert(s.getDouble(8) == 4.0) // w_ratio
+    // NULL / nonpositive weights carry no estimation mass
+    val dirty = Seq(("d", Some(1.0)), ("d", Some(-3.0)), ("d", None),
+      ("d", Some(1.0))).toDF("grp", "w")
+    val d = Profile.weightDiagnostics(dirty, "grp", "w").collect().head
+    assert(d.getLong(1) == 2 && d.getDouble(2) == 2.0)
+  }
+
   test("benford: arithmetic leading digit, empty digits materialize, " +
     "chi2 of a missing digit is its expectation") {
     import spark.implicits._
