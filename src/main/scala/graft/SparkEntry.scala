@@ -2614,6 +2614,45 @@ object SparkEntry {
           targetBytes = 1000000L)
         .orderBy("part", "file")
     }),
+    "q_soundex_block" -> ((s, dir) => {
+      // phonetic block-key profile over part first words: the Soundex
+      // chain is the SAME function composition on both engines (the
+      // run collapse is seven per-digit passes — RE2 oracles have no
+      // backreferences)
+      val w = t(s, dir, "part").select(
+        regexp_extract(lower(col("p_name")), "^[a-z]+", 0).as("w"))
+        .filter(col("w") =!= "")
+      w.select(col("w"), graft.ops.Linkage.soundex(col("w")).as("code"))
+        .groupBy("code")
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("w")).as("n_words"),
+          min("w").as("sample_word"))
+        .orderBy("code")
+    }),
+    "q_phonetic_pairs" -> ((s, dir) => {
+      // sound-alike pairs: soundex blocks + exact JW verify inside —
+      // the complementary recall pass next to q_jaro_linkage's lexical
+      // blocking (multi-pass blocking, Christen Ch. 4). The part
+      // vocabulary is sound-alike-free by construction, so the classic
+      // linkage fixture names ride along (the q_retrieval_eval literal
+      // convention): smith/smyth, ashcraft/ashcroft, robert/rupert and
+      // jonathan/jonothan survive; mayer/meier blocks together but the
+      // verify rejects it (0.76 < 0.78); catherine/kathryn never meets
+      // — soundex is first-letter-blind, the documented recall gap the
+      // lexical pass covers
+      import s.implicits._
+      val names = Seq("smith", "smyth", "ashcraft", "ashcroft", "robert",
+        "rupert", "catherine", "kathryn", "jonathan", "jonothan",
+        "claire", "clare", "mayer", "meier").toDF("w")
+      val words = t(s, dir, "part").select(
+        regexp_extract(lower(col("p_name")), "^[a-z]+", 0).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .unionAll(names)
+      graft.ops.Linkage.phoneticSelfJoin(
+          words.select(col("w").as("wid"), col("w")),
+          "wid", "w", minSim = 0.78)
+        .orderBy("id_a", "id_b")
+    }),
     "q_jaro_linkage" -> ((s, dir) => {
       // name-similarity linkage over brand blocks scored by the native
       // graft_jaro codegen kernel — exact DuckDB jaro_winkler_similarity
@@ -5140,6 +5179,47 @@ object SparkEntry {
         |SELECT part, file, bytes, (before // 1000000)::BIGINT AS bin,
         |  (before - (before // 1000000) * 1000000)::BIGINT AS bin_offset
         |FROM c ORDER BY part, file""".stripMargin,
+    "q_soundex_block" ->
+      """WITH f AS (SELECT regexp_extract(lower(p_name), '^[a-z]+') AS w
+        |  FROM part WHERE regexp_extract(lower(p_name), '^[a-z]+') <> ''),
+        |t0 AS (SELECT w, translate(translate(w, 'hw', ''),
+        |    'abcdefgijklmnopqrstuvxyz', '012301202245501262301202') AS t
+        |  FROM f),
+        |t1 AS (SELECT w, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    t, '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+        |    '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+        |    '6+', '6', 'g') AS t FROM t0),
+        |c AS (SELECT w, upper(substr(w, 1, 1)) || rpad(substr(
+        |    regexp_replace(regexp_replace(t, '^.', ''), '0', '', 'g'),
+        |    1, 3), 3, '0') AS code FROM t1)
+        |SELECT code, count(*)::BIGINT AS n_parts,
+        |  count(DISTINCT w)::BIGINT AS n_words, min(w) AS sample_word
+        |FROM c GROUP BY code ORDER BY code""".stripMargin,
+    "q_phonetic_pairs" ->
+      """WITH f AS (SELECT DISTINCT
+        |    regexp_extract(lower(p_name), '^[a-z]+') AS w
+        |  FROM part WHERE regexp_extract(lower(p_name), '^[a-z]+') <> ''
+        |  UNION ALL SELECT * FROM (VALUES ('smith'), ('smyth'),
+        |    ('ashcraft'), ('ashcroft'), ('robert'), ('rupert'),
+        |    ('catherine'), ('kathryn'), ('jonathan'), ('jonothan'),
+        |    ('claire'), ('clare'), ('mayer'), ('meier')) v(w)),
+        |t0 AS (SELECT w, translate(translate(w, 'hw', ''),
+        |    'abcdefgijklmnopqrstuvxyz', '012301202245501262301202') AS t
+        |  FROM f),
+        |t1 AS (SELECT w, regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    t, '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+        |    '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+        |    '6+', '6', 'g') AS t FROM t0),
+        |c AS (SELECT w, upper(substr(w, 1, 1)) || rpad(substr(
+        |    regexp_replace(regexp_replace(t, '^.', ''), '0', '', 'g'),
+        |    1, 3), 3, '0') AS code FROM t1)
+        |SELECT a.w AS id_a, b.w AS id_b, a.code AS soundex,
+        |  round(jaro_winkler_similarity(a.w, b.w), 4) AS sim
+        |FROM c a JOIN c b ON a.code = b.code AND a.w < b.w
+        |WHERE round(jaro_winkler_similarity(a.w, b.w), 4) >= 0.78
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_jaro_linkage" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b, a.p_brand,
         |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS sim

@@ -188,4 +188,57 @@ object Linkage {
         explode(when(sim >= minSim, array(sim))
           .otherwise(array().cast("array<double>"))).as("sim"): _*)
   }
+
+  /**
+   * Portable American Soundex — the phonetic BLOCK KEY for name
+   * linkage (length caps and JW bounds prune lexically; Soundex blocks
+   * by how a name SOUNDS, catching Smith/Smyth, Ashcraft/Ashcroft —
+   * the misspelling families edit-bounds still compare): first letter
+   * + three digits, h/w transparent (same codes across h/w collapse:
+   * Ashcraft → A261), vowels separate (Tymczak → T522), leading
+   * same-code run absorbed (Pfister → P236), Lloyd → L300.
+   *
+   * Expressed as a pure function-chain (lower → strip → h/w drop →
+   * translate to codes → per-digit run collapse → drop lead → strip
+   * zeros → pad) so the SAME construction runs codegen'd in Spark and
+   * replays verbatim in any SQL engine: the run collapse is seven
+   * per-digit `regexp_replace(d+, d)` passes, NOT a `(.)\1+`
+   * backreference — RE2-based engines (DuckDB among them) don't
+   * support backreferences, and an oracle that cannot replay the key
+   * is no oracle. Non-Latin letters strip; an empty residue is NULL
+   * (no phonetic signal is not a block).
+   */
+  def soundex(c: Column): Column = {
+    val letters = regexp_replace(lower(c), "[^a-z]", "")
+    val hw = translate(letters, "hw", "")
+    val codes = translate(hw, "abcdefgijklmnopqrstuvxyz",
+      "012301202245501262301202")
+    val collapsed = (0 to 6).foldLeft(codes) { (s, d) =>
+      regexp_replace(s, s"$d+", s"$d")
+    }
+    val body = regexp_replace(regexp_replace(collapsed, "^.", ""), "0", "")
+    when(length(letters) > 0,
+      concat(upper(substring(letters, 1, 1)),
+        rpad(substring(body, 1, 3), 3, "0")))
+  }
+
+  /**
+   * Phonetic-blocked self-linkage: [[jaroSelfJoin]] with [[soundex]]
+   * as the block key — candidates share a sound class instead of a
+   * length/prefix class, then the exact Jaro–Winkler kernel verifies
+   * inside blocks (same rounded cut, same salt levers). The two
+   * blockings are complementary recall strategies; production linkage
+   * runs both and unions (Christen Ch. 4's multi-pass blocking).
+   * NULL-soundex rows (no letters) never enter a block.
+   * Output: id_a, id_b, block code, sim (4dp).
+   */
+  def phoneticSelfJoin(df: DataFrame, idCol: String, strCol: String,
+      minSim: Double, saltBuckets: Int = 1): DataFrame = {
+    require(!df.columns.contains("soundex"),
+      "input column soundex collides with phoneticSelfJoin's block key")
+    jaroSelfJoin(
+      df.withColumn("soundex", soundex(col(strCol)))
+        .filter(col("soundex").isNotNull),
+      Seq("soundex"), strCol, idCol, minSim, saltBuckets)
+  }
 }

@@ -518,6 +518,41 @@ class CurationSpec extends AnyFunSuite {
     assert(salted == want)
   }
 
+  test("soundex: the NARA textbook codes, transparency and collapse " +
+    "rules, non-letters strip, empty goes NULL") {
+    import spark.implicits._
+    val want = Map(
+      "Robert" -> "R163", "Rupert" -> "R163",     // classic equal pair
+      "Ashcraft" -> "A261",                       // h-transparency
+      "Tymczak" -> "T522",                        // vowel separation kept
+      "Pfister" -> "P236",                        // leading same-code run
+      "Lloyd" -> "L300",                          // double first letter
+      "Honeyman" -> "H555", "Washington" -> "W252",
+      "Hurwitz" -> "H632",                        // h/w first letters
+      "smith" -> "S530", "smyth" -> "S530",
+      "O'Brien-2nd" -> "O165")                    // punctuation strips
+    val got = want.keys.toSeq.toDF("s")
+      .select(col("s"), Linkage.soundex(col("s")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    want.foreach { case (s, c) =>
+      assert(got(s) == c, s"$s: got ${got(s)}, want $c") }
+    val nulls = Seq("", "123", "!!").toDF("s")
+      .select(Linkage.soundex(col("s"))).collect()
+    assert(nulls.forall(_.isNullAt(0)), "no letters -> NULL, not a block")
+  }
+
+  test("phoneticSelfJoin: sound-alikes pair inside blocks, verify " +
+    "rejects weak matches, first-letter blindness is real") {
+    import spark.implicits._
+    val df = Seq("smith", "smyth", "mayer", "meier", "catherine",
+      "kathryn").map(w => (w, w)).toDF("wid", "w")
+    val got = Linkage.phoneticSelfJoin(df, "wid", "w", minSim = 0.78)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("smith", "smyth")),
+      s"mayer/meier blocks but fails verify (0.76); " +
+      s"catherine/kathryn never blocks (C vs K): $got")
+  }
+
   test("fuzzySelfJoin == unblocked brute force within blocks") {
     import spark.implicits._
     // strings engineered so some pairs sit exactly ON the threshold and
