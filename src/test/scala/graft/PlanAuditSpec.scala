@@ -507,4 +507,70 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pa.contains("SinglePartition"),
       s"adoption funnels through one partition:\n$pa")
   }
+
+  test("acf, holt, dwellTimes, maxConcurrent: keyed windows/folds only, " +
+    "never SinglePartition") {
+    import spark.implicits._
+    val ev = (0 until 120).map(i => (s"t${i % 3}", i.toLong, i * 1.0))
+      .toDF("k", "ts", "x")
+    for ((nm, df) <- Seq(
+      "acf" -> graft.ops.Profile.acf(ev, "k", "ts", "x", maxLag = 5),
+      "holt" -> graft.ops.Profile.holt(ev, "k", "ts", "x", 0.3, 0.2),
+      "dwellTimes" -> graft.ops.Behavior.dwellTimes(
+        ev.select($"k".as("u"), ($"ts" * 1000000L).as("t"), $"k".as("et")),
+        "u", "t", "et"),
+      "maxConcurrent" -> graft.ops.Interval.maxConcurrent(
+        ev.select($"k", $"ts".as("s"), ($"ts" + 5L).as("e")), "k", "s", "e"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("SinglePartition"),
+        s"$nm funnels through one partition:\n$p")
+    }
+    // acf: lags scale projection width, not pass count — ONE window sort
+    val pacf = graft.ops.Profile.acf(ev, "k", "ts", "x", maxLag = 7)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(pacf).length <= 2,
+      s"acf runs one window pass regardless of maxLag:\n$pacf")
+  }
+
+  test("collocations and soundex blocking: equi-joins and TakeOrdered, " +
+    "never a product or global sort") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pc = graft.ops.TextMetrics.collocations(docs, "text", 2L, 10)
+      .queryExecution.executedPlan.toString
+    // the unigram joins must be hash equi-joins; the only allowed
+    // nested-loop is the 1-row n_total subtree (the pageRank pattern)
+    assert(!pc.contains("CartesianProduct"),
+      s"collocations plans a product:\n$pc")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(pc).length <= 1,
+      s"more than the 1-row total crossJoin is nested-loop:\n$pc")
+    assert("BroadcastHashJoin|SortMergeJoin".r.findAllIn(pc).length >= 2,
+      s"unigram joins are not hash equi-joins:\n$pc")
+    assert(pc.contains("TakeOrderedAndProject"),
+      s"collocations top-k is not TakeOrdered:\n$pc")
+    import spark.implicits._
+    val names = Seq("smith", "smyth", "mayer", "meier").map(w => (w, w))
+      .toDF("wid", "w")
+    val pp = graft.ops.Linkage.phoneticSelfJoin(names, "wid", "w", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!pp.contains("NestedLoop") && !pp.contains("CartesianProduct"),
+      s"phonetic join plans a product:\n$pp")
+  }
+
+  test("zoneMapReport and statsDrift: span/profile subtrees broadcast, " +
+    "no window, no action") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    import org.apache.spark.sql.functions._
+    val o = orders.select(
+      pmod(col("o_custkey"), lit(256L)).cast("double").as("cx"),
+      pmod(col("o_orderkey"), lit(256L)).cast("double").as("cy"))
+    val pz = graft.ops.Layout.zoneMapReport(o,
+        Seq(("cx", 0.0, 256.0), ("cy", 0.0, 256.0)), 8, 16, "cx", 0, 15)
+      .queryExecution.executedPlan.toString
+    assert(!pz.contains("Window"), s"zoneMapReport uses a window:\n$pz")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pd = graft.ops.Profile.statsDrift(docs, docs,
+        Seq("lang", "n_chars")).queryExecution.executedPlan.toString
+    assert(!pd.contains("Window") && !pd.contains("SinglePartition"),
+      s"statsDrift plan shape:\n$pd")
+  }
 }
