@@ -1944,6 +1944,21 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // per-source mean doc length with Poisson-bootstrap 95% CI —
+      // the distributed bootstrap (each row draws its own multiplicity
+      // from the md5-uniform ladder; no global-n coordination)
+      graft.ops.Profile.bootstrapCI(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars", b = 32)
+        .orderBy("source")),
+    "q_dedup_stats" -> ((s, dir) =>
+      // one-row dedup run report over exact-hash clusters: corpus
+      // size, duplicate fraction, largest cluster — the dashboard
+      // number a silent 40%-drop pipeline owes its operators
+      graft.ops.Dedup.clusterStats(
+        t(s, dir, "documents").select(col("doc_id"),
+          md5(col("text")).as("cluster")),
+        "doc_id", "cluster")),
     "q_weight_diag" -> ((s, dir) =>
       // survey-weight diagnostics per order priority (weights scaled
       // 1e-5 so 4dp-rounded sums are parallel-sum-proof): Kish ESS,
@@ -4216,6 +4231,39 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_zone_map" -> zoneMapOracle,
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT source AS g, doc_id::VARCHAR AS id,
+        |    n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL),
+        |rep AS (SELECT g, id, x, unnest(range(0, 32)) AS r FROM base),
+        |uu AS (SELECT g, r, x,
+        |    CAST(('0x' || substring(md5(concat('42|', id, '|',
+        |      r::VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |  FROM rep),
+        |mm AS (SELECT g, r, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3 ELSE 4 END AS m
+        |  FROM uu),
+        |rm AS (SELECT g, r, CASE WHEN sum(m) > 0
+        |    THEN round(sum(m * x) / sum(m), 6) END AS rm
+        |  FROM mm GROUP BY g, r),
+        |pt AS (SELECT g, round(avg(x), 4) AS mean FROM base GROUP BY g)
+        |SELECT pt.g AS source, pt.mean,
+        |  round(quantile_cont(rm, 0.025), 4) AS ci_lo,
+        |  round(quantile_cont(rm, 0.975), 4) AS ci_hi,
+        |  count(rm)::BIGINT AS b_effective
+        |FROM rm JOIN pt USING (g) GROUP BY pt.g, pt.mean
+        |ORDER BY source""".stripMargin,
+    "q_dedup_stats" ->
+      """WITH sizes AS (SELECT md5(text) AS c, count(doc_id)::BIGINT AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_clusters,
+        |  sum(n - 1)::BIGINT AS n_dups,
+        |  round((sum(n) - count(*)) / sum(n)::DOUBLE, 4) AS dup_frac,
+        |  count(*) FILTER (WHERE n = 1)::BIGINT AS n_singletons,
+        |  max(n)::BIGINT AS max_cluster_size
+        |FROM sizes""".stripMargin,
     "q_weight_diag" ->
       """WITH w AS (SELECT o_orderpriority AS g,
         |    o_totalprice::DOUBLE / 100000.0 AS w FROM orders

@@ -1298,4 +1298,31 @@ object Dedup {
       .select(col("b").as("bands"), col("r").as("rows_per_band"),
         col("fp_area"), col("fn_area"), col("total_err"), col("rank"))
   }
+
+  /**
+   * Dedup run report — the one-row summary every dedup pass should
+   * publish (a pipeline that silently drops 40% of a crawl needs that
+   * number ON the dashboard, not in a log): from any (id, cluster)
+   * assignment — exact-hash groups, [[connectedComponents]] output,
+   * URL keys — the corpus size, cluster count, duplicate count (rows
+   * beyond each cluster's first), duplicate fraction, singleton count,
+   * and the largest cluster (the "one template swallowed the crawl"
+   * tell). Two aggregations: cluster-keyed sizes, then a 1-row rollup
+   * — the report never touches content columns.
+   * Output: n_docs, n_clusters, n_dups, dup_frac (4dp), n_singletons,
+   * max_cluster_size.
+   */
+  def clusterStats(assign: DataFrame, idCol: String,
+      clusterCol: String): DataFrame = {
+    val sizes = assign.groupBy(col(clusterCol))
+      .agg(count(col(idCol)).as("_n"))
+    sizes.agg(
+      sum(col("_n")).as("n_docs"),
+      count(lit(1)).as("n_clusters"),
+      sum(col("_n") - 1).as("n_dups"),
+      round((sum(col("_n")) - count(lit(1))) / sum(col("_n")), 4)
+        .as("dup_frac"),
+      count(when(col("_n") === 1, lit(1))).as("n_singletons"),
+      max(col("_n")).as("max_cluster_size"))
+  }
 }

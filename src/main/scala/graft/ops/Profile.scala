@@ -849,6 +849,69 @@ object Profile {
   }
 
   /**
+   * Poisson-bootstrap confidence intervals per group — the error bar
+   * for any per-group mean a curation report publishes, computed the
+   * way bootstrap actually distributes (Chamandy et al., "Estimating
+   * Uncertainty for Massive Data Streams"): classic bootstrap draws n
+   * rows WITH replacement per resample — undistributable, the sampler
+   * needs global n — but each row's multiplicity in a size-n resample
+   * is asymptotically Poisson(1), so every row independently draws its
+   * own multiplicity and a resample never needs coordination. Each of
+   * the `b` resamples uses m ~ inverse-Poisson(1) CDF of the md5
+   * uniform of (seed, id, rep) — the sampling family's
+   * determinism-by-hash contract, replayable in any engine — with the
+   * ladder capped at 4 (cumulative mass 0.9963; the residual tail
+   * lands on 4, documented, identical on both engines). CI bounds are
+   * exact percentiles of the 6dp-rounded resample means (rounding pins
+   * the order statistics across engines); degenerate resamples (all
+   * multiplicities 0) drop out and `b_effective` reports how many
+   * survived.
+   *
+   * Shape at scale: one b-way explode (the documented b× row envelope
+   * — b is 32-ish, never data-sized), one (group, rep) aggregation
+   * (map-side combined), one groups×b percentile rollup. No windows,
+   * no actions, no driver-side randomness.
+   * Output: group, mean (4dp), ci_lo (4dp), ci_hi (4dp), b_effective.
+   */
+  def bootstrapCI(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, b: Int = 32, level: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    require(b >= 2 && b <= 1024, s"b must be in [2, 1024]: $b")
+    require(level > 0 && level < 1, s"level must be in (0,1): $level")
+    val x = col(valueCol).cast("double")
+    val base = df.filter(x.isNotNull)
+      .select(col(groupCol), col(idCol).cast("string").as("_id"),
+        x.as("_x"))
+    val point = base.groupBy(col(groupCol))
+      .agg(round(avg(col("_x")), 4).as("mean"))
+    val u = conv(substring(md5(concat(lit(s"$seed|"), col("_id"),
+      lit("|"), col("_rep").cast("string"))), 1, 8), 16, 10)
+      .cast("double") / lit(4294967296.0)
+    // inverse Poisson(1) CDF ladder, capped at 4 (cum mass .9963)
+    val m = when(col("_u") < 0.36787944117144233, 0)
+      .when(col("_u") < 0.7357588823428847, 1)
+      .when(col("_u") < 0.9196986029286058, 2)
+      .when(col("_u") < 0.9810118431238462, 3)
+      .otherwise(4)
+    val rmeans = base
+      .withColumn("_rep", explode(array((0 until b).map(lit): _*)))
+      .withColumn("_u", u)
+      .withColumn("_m", m.cast("long"))
+      .groupBy(col(groupCol), col("_rep"))
+      .agg(sum(col("_m")).as("_n"), sum(col("_m") * col("_x")).as("_s"))
+      .select(col(groupCol),
+        when(col("_n") > 0, round(col("_s") / col("_n"), 6)).as("_rm"))
+    val lo = (1.0 - level) / 2.0
+    rmeans.groupBy(col(groupCol))
+      .agg(round(percentile(col("_rm"), lit(lo)), 4).as("ci_lo"),
+        round(percentile(col("_rm"), lit(1.0 - lo)), 4).as("ci_hi"),
+        count(col("_rm")).as("b_effective"))
+      .join(point, Seq(groupCol))
+      .select(col(groupCol), col("mean"), col("ci_lo"), col("ci_hi"),
+        col("b_effective"))
+  }
+
+  /**
    * Benford first-digit audit — the fabricated-numbers screen for
    * ingested numeric feeds (naturally occurring multi-magnitude
    * quantities follow P(d) = log10(1 + 1/d); invented or truncated ones

@@ -2385,6 +2385,46 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == got.collect { case (("k", t), (lv, _, _)) => t -> lv })
   }
 
+  test("bootstrapCI: constant series collapses the CI, single row is " +
+    "its own bound, deterministic across runs, CI brackets the mean") {
+    import spark.implicits._
+    // constant values: every surviving resample mean == the constant
+    val const = (0 until 40).map(i => ("c", i.toLong, 7.0))
+      .toDF("g", "id", "x")
+    val c = Profile.bootstrapCI(const, "g", "id", "x", b = 16)
+      .collect().head
+    assert(c.getDouble(1) == 7.0 && c.getDouble(2) == 7.0
+      && c.getDouble(3) == 7.0)
+    assert(c.getLong(4) <= 16)
+    // single-row group: resample mean is x whenever m > 0
+    val one = Seq(("s", 1L, 3.5)).toDF("g", "id", "x")
+    val o = Profile.bootstrapCI(one, "g", "id", "x", b = 16).collect().head
+    assert(o.getDouble(2) == 3.5 && o.getDouble(3) == 3.5)
+    // deterministic hash draws: identical output on a rerun; CI brackets
+    val df = (0 until 60).map(i => ("g", i.toLong, (i % 13).toDouble))
+      .toDF("g", "id", "x")
+    val r1 = Profile.bootstrapCI(df, "g", "id", "x").collect().head
+    val r2 = Profile.bootstrapCI(df, "g", "id", "x").collect().head
+    assert(r1 == r2)
+    assert(r1.getDouble(2) <= r1.getDouble(1)
+      && r1.getDouble(1) <= r1.getDouble(3),
+      s"CI [${r1.getDouble(2)}, ${r1.getDouble(3)}] " +
+      s"must bracket mean ${r1.getDouble(1)}")
+    intercept[IllegalArgumentException] {
+      Profile.bootstrapCI(df, "g", "id", "x", b = 1)
+    }
+  }
+
+  test("clusterStats: hand fixture sizes [3,1,1]") {
+    import spark.implicits._
+    val assign = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "c")).toDF("id", "cl")
+    val r = Dedup.clusterStats(assign, "id", "cl").collect().head
+    assert(r.getLong(0) == 5 && r.getLong(1) == 3 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 0.4)
+    assert(r.getLong(4) == 2 && r.getLong(5) == 3)
+  }
+
   test("weightDiagnostics: constant weights are free, planted skew " +
     "matches closed form, deff = 1 + cv^2, nonpositive excluded") {
     import spark.implicits._
