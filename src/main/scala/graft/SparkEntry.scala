@@ -1944,6 +1944,20 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson over the lineitem numeric block in ONE scan —
+      // guarded moments per pair (the acf rule), k scales expression
+      // count, never passes
+      graft.ops.Profile.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+    "text_rake" -> ((s, dir) =>
+      // RAKE key phrases per doc ('the'/'a' delimit candidates in the
+      // synthetic vocabulary): per-row segmentation fold, doc-keyed
+      // freq/degree scoring, WindowGroupLimit top-3
+      graft.ops.TextMetrics.rakeKeywords(t(s, dir, "documents"), "text",
+          "doc_id", stopwords = Seq("the", "a"), k = 3)
+        .orderBy("doc_id", "rank")),
     "q_bootstrap_ci" -> ((s, dir) =>
       // per-source mean doc length with Poisson-bootstrap 95% CI —
       // the distributed bootstrap (each row draws its own multiplicity
@@ -4231,6 +4245,54 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_zone_map" -> zoneMapOracle,
+    "q_corr_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    count(*)::BIGINT AS n_pairs,
+        |    round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr
+        |  FROM lineitem UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', count(*)::BIGINT,
+        |    round(corr(l_quantity, l_discount), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', count(*)::BIGINT,
+        |    round(corr(l_quantity, l_tax), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', count(*)::BIGINT,
+        |    round(corr(l_extendedprice, l_discount), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', count(*)::BIGINT,
+        |    round(corr(l_extendedprice, l_tax), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', count(*)::BIGINT,
+        |    round(corr(l_discount, l_tax), 4) + 0.0 FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "text_rake" ->
+      """WITH raw AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS l
+        |  FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS t,
+        |    generate_subscripts(l, 1) AS pos FROM raw),
+        |fl AS (SELECT doc_id, pos, t, t IN ('the', 'a') AS stop FROM tok),
+        |grp AS (SELECT doc_id, pos, t, stop,
+        |    count(*) FILTER (WHERE stop) OVER (PARTITION BY doc_id
+        |      ORDER BY pos) AS g FROM fl),
+        |ph AS (SELECT doc_id, g, string_agg(t, ' ' ORDER BY pos) AS phrase,
+        |    count(*)::BIGINT AS n_words
+        |  FROM grp WHERE NOT stop GROUP BY doc_id, g),
+        |wo AS (SELECT doc_id, phrase, n_words,
+        |    unnest(string_split(phrase, ' ')) AS word FROM ph),
+        |ws AS (SELECT doc_id, word, count(*)::DOUBLE AS freq,
+        |    sum(n_words)::DOUBLE AS deg FROM wo GROUP BY 1, 2),
+        |dw AS (SELECT DISTINCT doc_id, phrase, n_words, word FROM wo),
+        |sc AS (SELECT dw.doc_id, dw.phrase, dw.n_words,
+        |    round(sum(deg / freq), 4) AS score
+        |  FROM dw JOIN ws ON ws.doc_id = dw.doc_id AND ws.word = dw.word
+        |  GROUP BY 1, 2, 3),
+        |rk AS (SELECT doc_id, phrase, n_words, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, phrase)::BIGINT AS rank FROM sc)
+        |SELECT doc_id, phrase, n_words, score, rank FROM rk
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_bootstrap_ci" ->
       """WITH base AS (SELECT source AS g, doc_id::VARCHAR AS id,
         |    n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL),

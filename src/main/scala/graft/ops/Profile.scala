@@ -849,6 +849,46 @@ object Profile {
   }
 
   /**
+   * Pairwise correlation matrix — the feature-redundancy screen over k
+   * numeric columns ([[mutualInfo]] covers two categoricals; this
+   * covers the numeric block) in ONE scan: every unordered pair
+   * reports its pairwise-complete-observation Pearson r, computed from
+   * guarded moments over the paired subset (the [[acf]] rule: each
+   * side masked to rows where the other is present — exactly what
+   * `corr`'s pairwise deletion computes, without corr's ANSI
+   * divide-by-zero on a constant column; degenerate pairs report NULL,
+   * never an error). k scales the aggregation's expression count
+   * (k(k−1)/2 moment sets), never the pass count.
+   * Output: col_a, col_b, n_pairs, corr (4dp) — one row per unordered
+   * pair, ordered by the caller's column-list positions.
+   */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrMatrix needs >= 2 columns: $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns: $cols")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), ix) =>
+      val xa = col(a).cast("double"); val xb = col(b).cast("double")
+      val am = when(xb.isNotNull, xa); val bm = when(xa.isNotNull, xb)
+      Seq(count(when(xa.isNotNull && xb.isNotNull, 1)).as(s"_n$ix"),
+        covar_samp(am, bm).as(s"_c$ix"),
+        stddev_samp(am).as(s"_sa$ix"),
+        stddev_samp(bm).as(s"_sb$ix"))
+    }
+    val agged = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs.zipWithIndex.map { case ((a, b), ix) =>
+      s"'$a', '$b', _n$ix, " +
+        s"CASE WHEN _sa$ix > 0 AND _sb$ix > 0 THEN _c$ix / (_sa$ix * _sb$ix) END"
+    }.mkString(", ")
+    agged
+      .select(expr(
+        s"stack(${pairs.size}, $stackArgs) AS (col_a, col_b, n_pairs, _r)"))
+      .select(col("col_a"), col("col_b"), col("n_pairs"),
+        (round(col("_r"), 4) + lit(0.0)).as("corr"))
+  }
+
+  /**
    * Poisson-bootstrap confidence intervals per group — the error bar
    * for any per-group mean a curation report publishes, computed the
    * way bootstrap actually distributes (Chamandy et al., "Estimating

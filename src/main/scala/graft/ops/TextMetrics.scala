@@ -1643,6 +1643,79 @@ object TextMetrics {
   }
 
   /**
+   * RAKE keyword extraction (Rose et al. 2010) — per-document key
+   * phrases without a model: candidate phrases are the maximal token
+   * runs BETWEEN stopwords (stopwords delimit, never appear inside),
+   * each word scores degree/frequency over the document's own
+   * candidates (degree = Σ length of candidates containing the word —
+   * words that travel in long phrases beat loners), and a phrase
+   * scores the sum of its word scores; top-k per document by
+   * (4dp score desc, phrase). The classic single-document statistic —
+   * deliberately per-doc, so the operator has no corpus-level model
+   * state and sharding is trivial.
+   *
+   * Shape at scale: phrase segmentation is a per-row `aggregate` fold
+   * over the token array (ZERO-shuffle — never a positional window),
+   * then one (doc, word) aggregation for freq/degree, one join back on
+   * (doc, word) — doc-keyed throughout — and the per-doc top-k is the
+   * topKPerGroup WindowGroupLimit shape.
+   * Output: id, phrase, n_words, score (4dp), rank.
+   */
+  def rakeKeywords(docs: DataFrame, textCol: String, idCol: String,
+      stopwords: Seq[String], k: Int = 5): DataFrame = {
+    require(stopwords.nonEmpty, "RAKE needs a stopword list — without " +
+      "delimiters every document is one phrase")
+    require(k >= 1, s"k must be >= 1: $k")
+    require(stopwords.forall(s => s.nonEmpty && !s.contains("'")),
+      "stopwords must be non-empty and quote-free")
+    val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
+    val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
+    // per-row segmentation fold: stopword closes the current run
+    val phrases = docs
+      .select(col(idCol).as("id"), toks.as("_l"))
+      .where(size(col("_l")) > 0)
+      .select(col("id"), expr(
+        s"""aggregate(
+          |  _l,
+          |  struct(cast(array() as array<string>) AS cur,
+          |    cast(array() as array<string>) AS out),
+          |  (acc, t) -> CASE
+          |    WHEN array_contains($stopArr, t) THEN struct(
+          |      cast(array() as array<string>) AS cur,
+          |      CASE WHEN size(acc.cur) > 0
+          |        THEN concat(acc.out, array(array_join(acc.cur, ' ')))
+          |        ELSE acc.out END AS out)
+          |    ELSE struct(concat(acc.cur, array(t)) AS cur, acc.out AS out)
+          |    END,
+          |  acc -> CASE WHEN size(acc.cur) > 0
+          |    THEN concat(acc.out, array(array_join(acc.cur, ' ')))
+          |    ELSE acc.out END)""".stripMargin).as("_ps"))
+      .select(col("id"), explode(col("_ps")).as("phrase"))
+    val words = phrases
+      .withColumn("_ws", split(col("phrase"), " ", -1))
+      .withColumn("n_words", size(col("_ws")).cast("long"))
+      .select(col("id"), col("phrase"), col("n_words"),
+        explode(col("_ws")).as("word"))
+    // word stats count EVERY candidate occurrence (the RAKE statistic);
+    // a phrase is then scored ONCE — repeat occurrences change word
+    // freq/degree, not how many times the phrase's score is summed
+    val wordStats = words.groupBy("id", "word")
+      .agg(count(lit(1)).cast("double").as("_freq"),
+        sum(col("n_words")).cast("double").as("_deg"))
+    val scored = words.distinct()
+      .join(wordStats, Seq("id", "word"))
+      .groupBy(col("id"), col("phrase"), col("n_words"))
+      .agg(round(sum(col("_deg") / col("_freq")), 4).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("id"))
+      .orderBy(desc("score"), col("phrase"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .withColumnRenamed("id", idCol)
+  }
+
+  /**
    * Zipf rank–frequency fit — the one-number corpus-health check
    * (natural language lands near slope −1 on log f vs log rank;
    * template spam, boilerplate floods, and synthetic text bend the

@@ -2385,6 +2385,51 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == got.collect { case (("k", t), (lv, _, _)) => t -> lv })
   }
 
+  test("corrMatrix: perfect/anti correlation, constant column NULL, " +
+    "pairwise-complete counting") {
+    import spark.implicits._
+    val df = Seq((1.0, 2.0, -1.0, 5.0, Some(1.0)),
+      (2.0, 4.0, -2.0, 5.0, None.asInstanceOf[Option[Double]]),
+      (3.0, 6.0, -3.0, 5.0, Some(3.0)))
+      .toDF("x", "y2", "neg", "const", "holey")
+    val got = Profile.corrMatrix(df, Seq("x", "y2", "neg", "const", "holey"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(got.size == 10)
+    assert(got(("x", "y2")) == ((3L, Some(1.0))))
+    assert(got(("x", "neg")) == ((3L, Some(-1.0))))
+    assert(got(("x", "const")) == ((3L, None)), "zero variance -> NULL")
+    // pairwise-complete: holey has 2 obs; x vs holey over rows 1,3 only
+    assert(got(("x", "holey")) == ((2L, Some(1.0))))
+  }
+
+  test("rakeKeywords: textbook degree/frequency scores, stopwords " +
+    "delimit and never appear, top-k deterministic") {
+    import spark.implicits._
+    // candidates: "deep learning" | "deep model" | "model"
+    // freq: deep 2, learning 1, model 2; deg: deep 4, learning 2, model 3
+    // scores: deep 2, learning 2, model 1.5
+    val df = Seq((1L, "deep learning the deep model a model"))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.rakeKeywords(df, "text", "doc_id",
+        stopwords = Seq("the", "a"), k = 5)
+      .collect().map(r => r.getString(1) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(got == Map(
+      "deep learning" -> ((2L, 4.0, 1L)),
+      "deep model" -> ((2L, 3.5, 2L)),
+      "model" -> ((1L, 1.5, 3L))))
+    // a doc of only stopwords yields no candidates
+    val empty = TextMetrics.rakeKeywords(
+      Seq((2L, "the a the")).toDF("doc_id", "text"),
+      "text", "doc_id", Seq("the", "a"))
+    assert(empty.count() == 0)
+    intercept[IllegalArgumentException] {
+      TextMetrics.rakeKeywords(df, "text", "doc_id", Seq.empty)
+    }
+  }
+
   test("bootstrapCI: constant series collapses the CI, single row is " +
     "its own bound, deterministic across runs, CI brackets the mean") {
     import spark.implicits._
