@@ -274,6 +274,37 @@ object SparkEntry {
        |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
        |  WHERE bn.c <= $ngramMaxBucket)""".stripMargin
 
+  /** LSH accuracy harness oracle: shared banding CTEs for candidates,
+   * distinct-shingle inverted-index join for exact-Jaccard truth, and
+   * the per-pair S-curve prediction 1-(1-j^2)^4 (bandSize 2, 4 bands). */
+  private def lshEvalOracle: String =
+    s"""$minhashBandingCtes,
+       |sh2 AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS n
+       |  FROM sh2 x JOIN sh2 y ON y.s = x.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |tr AS (SELECT i.ia, i.ib, i.n * 1.0 / (sa.c + sb.c - i.n) AS j
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.ia
+       |  JOIN sizes sb ON sb.doc_id = i.ib
+       |  WHERE i.n * 1.0 / (sa.c + sb.c - i.n) >= 0.5),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |t AS (SELECT count(*)::BIGINT AS n_truth,
+       |    sum(1 - pow(1 - pow(j, 2), 4)) AS psum FROM tr),
+       |c AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+       |h AS (SELECT count(*)::BIGINT AS n_hits
+       |  FROM cand JOIN tr USING (ia, ib))
+       |SELECT n_truth, n_candidates, n_hits,
+       |  round(CASE WHEN n_candidates > 0
+       |    THEN n_hits::DOUBLE / n_candidates ELSE 0.0 END, 4) AS precision,
+       |  round(CASE WHEN n_truth > 0
+       |    THEN n_hits::DOUBLE / n_truth ELSE 0.0 END, 4) AS recall,
+       |  round(CASE WHEN n_truth > 0
+       |    THEN psum / n_truth ELSE 0.0 END, 4) AS predicted_recall
+       |FROM t, c, h""".stripMargin
+
   private def minhashPairsOracle: String =
     s"""$minhashBandingCtes
        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1491,6 +1522,17 @@ object SparkEntry {
       Dedup.minhashCandidatePairs(docs.unionAll(mutated), "text", "doc_id",
           maxBucketSize = ngramMaxBucket)
         .orderBy("id_a", "id_b")
+    }),
+    "dedup_lsh_eval" -> ((s, dir) => {
+      // measured LSH accuracy on the same docs-plus-near-dups union:
+      // exact-Jaccard truth via the shingle inverted index, minhash
+      // banding candidates, and the S-curve's own prediction averaged
+      // over the true pairs — closing the loop lshTune opens
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"))
+      Dedup.lshEval(docs.unionAll(mutated), "text", "doc_id",
+        minJaccard = 0.5, maxBucketSize = ngramMaxBucket)
     }),
     "dedup_paragraph" -> ((s, dir) => {
       // paragraph-level dedup gate: separators injected every 10 tokens
@@ -3932,6 +3974,7 @@ object SparkEntry {
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
     "dedup_minhash_pairs" -> minhashPairsOracle,
+    "dedup_lsh_eval" -> lshEvalOracle,
     "dedup_minhash_incr" -> minhashIncrOracle,
     "dedup_paragraph" ->
       """WITH base AS (

@@ -1300,6 +1300,73 @@ object Dedup {
   }
 
   /**
+   * LSH accuracy harness — the MEASURED recall/precision of a minhash
+   * banding config against exact Jaccard ground truth, closing the
+   * loop [[lshTune]] opens: the tuner integrates the S-curve over a
+   * UNIFORM similarity grid (design-time, data-independent); this
+   * measures the same config on the DATA's similarity distribution and
+   * also reports the S-curve's own prediction averaged over the true
+   * pairs (predicted_recall = mean over truth of 1 − (1 − J^r)^b), so
+   * a gap between predicted and measured recall indicts the banding
+   * implementation, not the theory. Run it on a SAMPLE before
+   * committing a config to a corpus pass — that is the harness's job.
+   *
+   * Ground truth is exact Jaccard over the SAME 3-word shingles the
+   * signatures hash, generated by the shingle inverted-index join
+   * (pairs sharing ≥ 1 shingle — complete for any threshold > 0, never
+   * an all-pairs product). Honest envelope: a shingle shared by m docs
+   * contributes m² join rows and there is deliberately NO cap here —
+   * capping truth would bias measured recall upward, the one thing an
+   * eval harness must not do. Sample-scale is the intended regime.
+   * Output: 1 row — n_truth, n_candidates, n_hits, precision (4dp),
+   * recall (4dp), predicted_recall (4dp).
+   */
+  def lshEval(docs: DataFrame, textCol: String, idCol: String,
+      minJaccard: Double = 0.5, numHashes: Int = 8, bandSize: Int = 2,
+      maxBucketSize: Int = 100000): DataFrame = {
+    require(minJaccard > 0 && minJaccard <= 1,
+      s"minJaccard must be in (0,1]: $minJaccard")
+    require(numHashes % bandSize == 0,
+      s"bandSize $bandSize must divide numHashes $numHashes")
+    val bands = numHashes / bandSize
+    val sh = CacheScope.track(
+      ngramShingles(docs, textCol, idCol))
+    val sizes = sh.select(col("sid"), size(col("sh")).as("c"))
+    val ex = sh.select(col("sid"), explode(col("sh")).as("s"))
+    val truth = ex.as("x")
+      .join(ex.as("y"),
+        col("x.s") === col("y.s") && col("x.sid") < col("y.sid"))
+      .groupBy(col("x.sid").as("ia"), col("y.sid").as("ib"))
+      .agg(count(lit(1)).as("n"))
+      .join(sizes.select(col("sid").as("ia"), col("c").as("ca")), "ia")
+      .join(sizes.select(col("sid").as("ib"), col("c").as("cb")), "ib")
+      .withColumn("j", col("n") / (col("ca") + col("cb") - col("n")))
+      .filter(col("j") >= minJaccard)
+      .select(col("ia"), col("ib"),
+        (lit(1.0) - pow(lit(1.0) - pow(col("j"), bandSize), bands))
+          .as("p_hit"))
+    val cand = minhashCandidatePairs(docs, textCol, idCol, numHashes,
+      bandSize, maxBucketSize)
+      .select(col("id_a").as("ia"), col("id_b").as("ib"))
+    val tAgg = truth.agg(count(lit(1)).as("n_truth"),
+      sum(col("p_hit")).as("_psum"))
+    val cAgg = cand.agg(count(lit(1)).as("n_candidates"))
+    val hAgg = cand.join(truth, Seq("ia", "ib"), "left_semi")
+      .agg(count(lit(1)).as("n_hits"))
+    tAgg.crossJoin(cAgg).crossJoin(hAgg)
+      .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+        round(when(col("n_candidates") > 0,
+          col("n_hits") / col("n_candidates")).otherwise(lit(0.0)), 4)
+          .as("precision"),
+        round(when(col("n_truth") > 0,
+          col("n_hits") / col("n_truth")).otherwise(lit(0.0)), 4)
+          .as("recall"),
+        round(when(col("n_truth") > 0,
+          col("_psum") / col("n_truth")).otherwise(lit(0.0)), 4)
+          .as("predicted_recall"))
+  }
+
+  /**
    * Dedup run report — the one-row summary every dedup pass should
    * publish (a pipeline that silently drops 40% of a crawl needs that
    * number ON the dashboard, not in a log): from any (id, cluster)

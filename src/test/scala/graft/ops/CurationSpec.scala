@@ -803,6 +803,31 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("lshEval: identical clones are certain hits, disjoint docs are " +
+    "no truth, counts close over the planted corpus") {
+    import spark.implicits._
+    // A and its exact clone: J = 1, p_hit = 1, always a candidate.
+    // B/C disjoint vocabularies: no shared shingle, never truth.
+    val a = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((1L, a), (2L, a),
+      (3L, "one two three four five six"),
+      (4L, "seven eight nine ten eleven twelve")).toDF("doc_id", "text")
+    val r = Dedup.lshEval(docs, "text", "doc_id", minJaccard = 0.5)
+      .collect().head
+    assert(r.getLong(0) == 1 && r.getLong(2) == 1,
+      s"truth must be exactly the clone pair: $r")
+    assert(r.getDouble(4) == 1.0 && r.getDouble(5) == 1.0,
+      s"J=1 pair: recall and predicted recall are certain: $r")
+    assert(r.getLong(1) >= 1 && r.getDouble(3) > 0.0)
+    // guards
+    intercept[IllegalArgumentException] {
+      Dedup.lshEval(docs, "text", "doc_id", minJaccard = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.lshEval(docs, "text", "doc_id", bandSize = 3)
+    }
+  }
+
   test("lshTune: reference midpoint integration, rank ordering, the " +
     "degenerate splits lose") {
     val got = Dedup.lshTune(spark, signatureLen = 16, threshold = 0.5,
