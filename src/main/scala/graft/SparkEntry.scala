@@ -1986,6 +1986,17 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_ab_welch" -> ((s, dir) =>
+      // Welch two-sample t-test: does src1's doc length beat src8's
+      // beyond sampling noise? one filtered scan aggregation
+      graft.ops.Profile.welchTTest(t(s, dir, "documents"), "source",
+        "n_chars", "src1", "src8")),
+    "q_gains_table" -> ((s, dir) =>
+      // decile gains/lift over the shared classifier-eval frame: bins
+      // by EXACT percentile cuts (1-row subtree), never a corpus ntile
+      graft.ops.Profile.gainsTable(classifierEvalFrame(s, dir),
+          "score", "label")
+        .orderBy("decile")),
     "q_corr_matrix" -> ((s, dir) =>
       // pairwise Pearson over the lineitem numeric block in ONE scan —
       // guarded moments per pair (the acf rule), k scales expression
@@ -4288,6 +4299,53 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_zone_map" -> zoneMapOracle,
+    "q_ab_welch" ->
+      """WITH x AS (SELECT source, n_chars::DOUBLE AS x FROM documents
+        |  WHERE source IN ('src1', 'src8') AND n_chars IS NOT NULL),
+        |a AS (SELECT count(*)::BIGINT AS n_a, avg(x) AS ma,
+        |    var_samp(x) AS va FROM x WHERE source = 'src1'),
+        |b AS (SELECT count(*)::BIGINT AS n_b, avg(x) AS mb,
+        |    var_samp(x) AS vb FROM x WHERE source = 'src8')
+        |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round(ma - mb, 4) + 0.0 AS diff,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+        |    THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) + 0.0
+        |  END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+        |    THEN round(pow(va / n_a + vb / n_b, 2)
+        |      / (pow(va / n_a, 2) / (n_a - 1)
+        |        + pow(vb / n_b, 2) / (n_b - 1)), 2)
+        |  END AS df,
+        |  coalesce(CASE WHEN n_a >= 2 AND n_b >= 2
+        |      AND (va / n_a + vb / n_b) > 0
+        |    THEN abs((ma - mb) / sqrt(va / n_a + vb / n_b)) > 1.96
+        |  END, false) AS significant
+        |FROM a, b""".stripMargin,
+    "q_gains_table" -> (classifierEvalCte +
+      """base AS (SELECT score AS s, label AS y FROM sc
+        |  WHERE score IS NOT NULL),
+        |cuts AS (SELECT [quantile_cont(s, 0.1), quantile_cont(s, 0.2),
+        |    quantile_cont(s, 0.3), quantile_cont(s, 0.4),
+        |    quantile_cont(s, 0.5), quantile_cont(s, 0.6),
+        |    quantile_cont(s, 0.7), quantile_cont(s, 0.8),
+        |    quantile_cont(s, 0.9)] AS cs FROM base),
+        |binned AS (SELECT 1 + len(list_filter(cs, c -> c >= s)) AS decile,
+        |    y FROM base, cuts),
+        |pb AS (SELECT decile, count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE y)::BIGINT AS n_pos
+        |  FROM binned GROUP BY decile),
+        |tt AS (SELECT sum(n)::DOUBLE AS tn, sum(n_pos)::DOUBLE AS tp
+        |  FROM pb),
+        |cum AS (SELECT decile, n, n_pos,
+        |    sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS cp FROM pb)
+        |SELECT decile::BIGINT AS decile, n, n_pos,
+        |  round(n_pos / n::DOUBLE, 4) AS pos_rate,
+        |  round(CASE WHEN tp > 0 THEN cp / tp ELSE 0.0 END, 4) AS cum_gain,
+        |  round(CASE WHEN tp > 0 THEN (cp / tp) / (cn / tn)
+        |    ELSE 0.0 END, 4) AS lift
+        |FROM cum, tt ORDER BY decile""".stripMargin),
     "q_corr_matrix" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,

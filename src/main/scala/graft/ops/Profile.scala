@@ -849,6 +849,98 @@ object Profile {
   }
 
   /**
+   * Welch two-sample t-test — the experiment readout (did treatment
+   * move the metric?) and the drift significance check ([[statsDrift]]
+   * reports THAT a mean moved; this says whether the move clears
+   * sampling noise): t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b) with the
+   * Welch–Satterthwaite degrees of freedom — the unequal-variance form,
+   * because equal-variance pooling is never safe on observational
+   * group splits. `significant` applies the z-approximation cut
+   * |t| > 1.96 (95%, two-sided) — the exact t quantile needs an
+   * inverse CDF no SQL engine ships, and at the n where Welch matters
+   * the z cut is what every dashboard uses (documented approximation;
+   * at n < ~30 read t_stat against a table instead).
+   * ONE filtered scan aggregation; groups with n < 2 or zero variance
+   * on both sides yield NULL t (no evidence is not significance).
+   * Output: 1 row — n_a, n_b, mean_a, mean_b, diff (4dp), t_stat
+   * (4dp), df (2dp), significant.
+   */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    require(groupA != groupB, "the two samples must be distinct groups")
+    val x = col(valueCol).cast("double")
+    val inA = col(groupCol) === groupA
+    val inB = col(groupCol) === groupB
+    val agged = df.filter((inA || inB) && x.isNotNull)
+      .agg(count(when(inA, 1)).as("n_a"), count(when(inB, 1)).as("n_b"),
+        avg(when(inA, x)).as("_ma"), avg(when(inB, x)).as("_mb"),
+        variance(when(inA, x)).as("_va"), variance(when(inB, x)).as("_vb"))
+    val sa = col("_va") / col("n_a")
+    val sb = col("_vb") / col("n_b")
+    val t = (col("_ma") - col("_mb")) / sqrt(sa + sb)
+    val dfree = pow(sa + sb, 2) /
+      (pow(sa, 2) / (col("n_a") - 1) + pow(sb, 2) / (col("n_b") - 1))
+    agged.select(col("n_a"), col("n_b"),
+      round(col("_ma"), 4).as("mean_a"), round(col("_mb"), 4).as("mean_b"),
+      (round(col("_ma") - col("_mb"), 4) + lit(0.0)).as("diff"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && (sa + sb) > 0,
+        round(t, 4) + lit(0.0)).as("t_stat"),
+      when(col("n_a") >= 2 && col("n_b") >= 2 && (sa + sb) > 0,
+        round(dfree, 2)).as("df"),
+      coalesce(
+        when(col("n_a") >= 2 && col("n_b") >= 2 && (sa + sb) > 0,
+          abs(t) > 1.96), lit(false)).as("significant"))
+  }
+
+  /**
+   * Decile gains table — the model-eval staple next to [[rocAuc]]'s
+   * one-number summary (AUC says the ranking is good; the gains table
+   * says WHERE: "the top decile captures 34% of positives, lift 3.4" is
+   * the sentence a triage budget is set with): rows bin into 10
+   * score-deciles by comparing against the EXACT decile cuts — a
+   * 1-row percentile subtree, NOT a global ntile window (an ntile over
+   * the corpus is a SinglePartition sort; cut-comparison is one narrow
+   * scan, and tied scores landing together in a bin is standard
+   * score-binned-gains behavior, deciles then being unequal-sized by
+   * exactly the tie mass). Per decile: size, positives, positive rate,
+   * cumulative gain (share of ALL positives captured so far) and
+   * cumulative lift (gain / share of rows examined). The cumulative
+   * window runs over the 10-row decile frame, never the corpus.
+   * Output: decile (1 = highest scores), n, n_pos, pos_rate (4dp),
+   * cum_gain (4dp), lift (4dp).
+   */
+  def gainsTable(df: DataFrame, scoreCol: String,
+      labelCol: String): DataFrame = {
+    val sc = col(scoreCol).cast("double")
+    val base = df.filter(sc.isNotNull)
+      .select(sc.as("_s"), col(labelCol).cast("boolean").as("_y"))
+    val cuts = base.agg(
+      percentile(col("_s"),
+        typedLit((1 to 9).map(_ / 10.0))).as("_cuts"))
+    val binned = base.crossJoin(cuts)
+      .select((lit(1) + expr(
+        "size(filter(_cuts, c -> c >= _s))")).as("decile"), col("_y"))
+    val perBin = binned.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        count(when(col("_y"), 1)).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("decile"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = perBin.agg(sum("n").as("_tn"), sum("n_pos").as("_tp"))
+    perBin.crossJoin(tot)
+      .withColumn("_cn", sum(col("n")).over(w))
+      .withColumn("_cp", sum(col("n_pos")).over(w))
+      .select(col("decile").cast("long").as("decile"), col("n"),
+        col("n_pos"),
+        round(col("n_pos") / col("n"), 4).as("pos_rate"),
+        round(when(col("_tp") > 0, col("_cp") / col("_tp"))
+          .otherwise(lit(0.0)), 4).as("cum_gain"),
+        round(when(col("_tp") > 0,
+          (col("_cp") / col("_tp")) / (col("_cn") / col("_tn")))
+          .otherwise(lit(0.0)), 4).as("lift"))
+  }
+
+  /**
    * Pairwise correlation matrix — the feature-redundancy screen over k
    * numeric columns ([[mutualInfo]] covers two categoricals; this
    * covers the numeric block) in ONE scan: every unordered pair

@@ -2385,6 +2385,70 @@ class OpsSpec extends AnyFunSuite {
     assert(got2 == got.collect { case (("k", t), (lv, _, _)) => t -> lv })
   }
 
+  test("weightDiagnostics on a real EBW solve: ESS <= n, deff >= 1, " +
+    "calibration pays measurable variance for its moment shift") {
+    import spark.implicits._
+    import graft.ebw.{EntropyBalance, EbwOptions}
+    // 60 rows, one feature; target the mean of the upper half -> the
+    // solver must upweight large-x rows, so weights spread and ESS drops
+    val xs = (0 until 60).map(i => 1.0 + (i % 10))
+    val df = xs.map(x => (Seq(x), 1.0)).toDF("feat", "w0")
+    val target = Array(xs.sorted.drop(30).sum / 30.0)
+    val res = EntropyBalance.entropyBalance(df, "feat", "w0", target,
+      options = EbwOptions(optimalityTol = 1e-9, maxSteps = 80))
+    assert(res.converged, res.errorMessage)
+    val diag = Profile.weightDiagnostics(
+      res.weighted.withColumn("g", lit("all")), "g", "weight_new")
+      .collect().head
+    val n = diag.getLong(1)
+    assert(n == 60)
+    val ess = diag.getDouble(3); val deff = diag.getDouble(4)
+    assert(ess <= n + 1e-9, s"Kish ESS can never exceed n: $ess")
+    assert(deff > 1.0, s"a real moment shift must cost variance: $deff")
+    assert(ess < n, s"upweighting must spread weights: ess=$ess")
+    // Kish identity holds on solver output too
+    assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
+  }
+
+  test("welchTTest: textbook unequal-variance example, constant groups " +
+    "give NULL t, never significant") {
+    import spark.implicits._
+    val df = (Seq(1.0, 2.0, 3.0, 4.0).map(("a", _)) ++
+      Seq(2.0, 4.0, 6.0, 8.0).map(("b", _))).toDF("g", "x")
+    val r = Profile.welchTTest(df, "g", "x", "a", "b").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 4)
+    assert(r.getDouble(2) == 2.5 && r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == -2.5)
+    assert(math.abs(r.getDouble(5) - -1.7321) < 1e-4)
+    assert(math.abs(r.getDouble(6) - 4.41) < 1e-9)
+    assert(!r.getBoolean(7), "t = -1.73 is not significant at z-95%")
+    // constant equal groups: zero pooled variance -> NULL t, false flag
+    val const = (Seq.fill(3)(("a", 5.0)) ++ Seq.fill(3)(("b", 5.0)))
+      .toDF("g", "x")
+    val c = Profile.welchTTest(const, "g", "x", "a", "b").collect().head
+    assert(c.isNullAt(5) && !c.getBoolean(7))
+    intercept[IllegalArgumentException] {
+      Profile.welchTTest(df, "g", "x", "a", "a")
+    }
+  }
+
+  test("gainsTable: perfect ranking concentrates gain in the top " +
+    "deciles, lift closed form") {
+    import spark.implicits._
+    // scores 10..1, positives at the top two: a perfect ranker
+    val df = (1 to 10).map(i => (i.toDouble, i >= 9)).toDF("score", "label")
+    val got = Profile.gainsTable(df, "score", "label")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 0.5, 5.0)),
+      s"top decile: half the positives at 10% of rows = lift 5: $got")
+    assert(got(2L) == ((1L, 1L, 1.0, 5.0)))
+    // all positives captured by decile 2; tail deciles stay at gain 1
+    assert(got(10L)._3 == 1.0 && got(10L)._4 == 1.0)
+    assert(got.values.map(_._1).sum == 10L)
+  }
+
   test("corrMatrix: perfect/anti correlation, constant column NULL, " +
     "pairwise-complete counting") {
     import spark.implicits._
