@@ -1986,6 +1986,32 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent view/click/signup within 2h — one user-keyed window,
+      // unattributed conversions stay as NULL-channel rows
+      val ev = eventsTsUs(s, dir)
+      graft.ops.Behavior.lastTouchAttribution(ev, "user_id", "ts_us",
+          "event_type", "event_id", conversionType = "purchase",
+          channelTypes = Seq("view", "click", "signup"),
+          lookbackMicros = 2L * 3600 * 1000000)
+        .orderBy("event_id")
+    }),
+    "q_reconcile" -> ((s, dir) => {
+      // bucket-checksum reconciliation: the b side drops every 97th
+      // order and perturbs every 101st price — mismatched buckets
+      // localize both corruptions in O(buckets) output
+      val a = t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val b = a.filter(col("o_orderkey") % 97 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 101 === 0, col("o_totalprice") + 1)
+            .otherwise(col("o_totalprice")))
+      graft.ops.Validate.reconcile(a, b, "o_orderkey",
+          Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
+          buckets = 32)
+        .orderBy("bucket")
+    }),
     "q_ab_welch" -> ((s, dir) =>
       // Welch two-sample t-test: does src1's doc length beat src8's
       // beyond sampling noise? one filtered scan aggregation
@@ -4299,6 +4325,52 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_zone_map" -> zoneMapOracle,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
+        |    event_id AS eid, event_type AS ty FROM events
+        |  WHERE event_type IN ('purchase', 'view', 'click', 'signup')),
+        |k AS (SELECT u, t, eid,
+        |    CASE WHEN ty = 'purchase' THEN 1 ELSE 0 END AS kind,
+        |    CASE WHEN ty <> 'purchase' THEN ty END AS ch FROM e),
+        |wv AS (SELECT *, last_value(ch IGNORE NULLS) OVER win AS lc,
+        |    last_value(CASE WHEN ch IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER win AS lt
+        |  FROM k WINDOW win AS (PARTITION BY u ORDER BY t, kind, eid
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT eid AS event_id, u AS user_id, t AS conv_ts,
+        |  CASE WHEN t - lt <= 7200000000 THEN lc END AS channel,
+        |  CASE WHEN t - lt <= 7200000000 THEN lt END AS channel_ts,
+        |  CASE WHEN t - lt <= 7200000000 THEN t - lt END AS gap_us
+        |FROM wv WHERE kind = 1 ORDER BY event_id""".stripMargin,
+    "q_reconcile" ->
+      """WITH a0 AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders),
+        |b0 AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 101 = 0 THEN o_totalprice + 1
+        |    ELSE o_totalprice END AS o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey % 97 <> 0),
+        |ha AS (SELECT
+        |    CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4))
+        |      AS BIGINT) % 32 AS bucket,
+        |    CAST(('0x' || substring(md5(concat_ws('|',
+        |      o_orderkey::VARCHAR, o_totalprice::VARCHAR,
+        |      o_orderstatus)), 1, 8)) AS BIGINT) AS h FROM a0),
+        |hb AS (SELECT
+        |    CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4))
+        |      AS BIGINT) % 32 AS bucket,
+        |    CAST(('0x' || substring(md5(concat_ws('|',
+        |      o_orderkey::VARCHAR, o_totalprice::VARCHAR,
+        |      o_orderstatus)), 1, 8)) AS BIGINT) AS h FROM b0),
+        |ga AS (SELECT bucket, count(*)::BIGINT AS n_a,
+        |    sum(h)::BIGINT AS sum_a FROM ha GROUP BY bucket),
+        |gb AS (SELECT bucket, count(*)::BIGINT AS n_b,
+        |    sum(h)::BIGINT AS sum_b FROM hb GROUP BY bucket)
+        |SELECT bucket, coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+        |  coalesce(sum_a, 0) AS sum_a, coalesce(sum_b, 0) AS sum_b,
+        |  coalesce(n_a, 0) = coalesce(n_b, 0)
+        |    AND coalesce(sum_a, 0) = coalesce(sum_b, 0) AS matches
+        |FROM ga FULL OUTER JOIN gb USING (bucket)
+        |ORDER BY bucket""".stripMargin,
     "q_ab_welch" ->
       """WITH x AS (SELECT source, n_chars::DOUBLE AS x FROM documents
         |  WHERE source IN ('src1', 'src8') AND n_chars IS NOT NULL),

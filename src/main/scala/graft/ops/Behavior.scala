@@ -244,6 +244,60 @@ object Behavior {
    * contract). No fold, no action.
    * Output: event_type, n_gaps, avg_s, p50_s, p90_s, max_s.
    */
+  /**
+   * Last-touch conversion attribution — which channel gets credit for
+   * each conversion (the funnel says users convert; attribution says
+   * what they touched LAST before doing so): for every conversion
+   * event, the most recent channel event of the same user at or before
+   * the conversion instant, NULL when none lands inside `lookback`
+   * (an unattributed conversion is a finding — organic or tracking
+   * gap — never a dropped row). Equal-timestamp ties process channels
+   * before conversions (a click logged at the purchase instant
+   * attributes; deterministic via the (ts, kind, id) sort).
+   *
+   * ONE user-keyed window pass over the union of both event kinds —
+   * `last(channel) IGNORE NULLS` over rows-before-current does the
+   * backward search without an as-of join (same user, same frame; the
+   * as-of kernel is for CROSS-frame alignment). Shape: one Exchange on
+   * the user key, no fold, no action.
+   * Output: conversion id, user, conv_ts, channel (nullable),
+   * channel_ts (nullable), gap_us (nullable).
+   */
+  def lastTouchAttribution(df: DataFrame, userCol: String,
+      tsMicrosCol: String, typeCol: String, idCol: String,
+      conversionType: String, channelTypes: Seq[String],
+      lookbackMicros: Long): DataFrame = {
+    require(channelTypes.nonEmpty, "attribution needs channel types")
+    require(!channelTypes.contains(conversionType),
+      "the conversion type cannot also be a channel")
+    require(lookbackMicros > 0, "lookback must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u"))
+      .orderBy(col("ts"), col("kind"), col("eid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val base = df
+      .filter(col(typeCol) === conversionType ||
+        col(typeCol).isin(channelTypes: _*))
+      .select(col(userCol).as("u"), col(tsMicrosCol).cast("long").as("ts"),
+        col(idCol).as("eid"),
+        when(col(typeCol) === conversionType, 1).otherwise(0).as("kind"),
+        when(col(typeCol) =!= conversionType, col(typeCol)).as("ch"))
+    base
+      .withColumn("_lc", last(col("ch"), ignoreNulls = true).over(w))
+      .withColumn("_lt",
+        last(when(col("ch").isNotNull, col("ts")), ignoreNulls = true)
+          .over(w))
+      .filter(col("kind") === 1)
+      .select(col("eid").as(idCol), col("u").as(userCol),
+        col("ts").as("conv_ts"),
+        when(col("ts") - col("_lt") <= lookbackMicros, col("_lc"))
+          .as("channel"),
+        when(col("ts") - col("_lt") <= lookbackMicros, col("_lt"))
+          .as("channel_ts"),
+        when(col("ts") - col("_lt") <= lookbackMicros,
+          col("ts") - col("_lt")).as("gap_us"))
+  }
+
   def dwellTimes(df: DataFrame, userCol: String, tsMicrosCol: String,
       typeCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -98,6 +98,54 @@ object Validate {
   }
 
   /** Union heterogeneous checks into one audit frame. */
+  /**
+   * Bucket-checksum reconciliation — the migration acceptance test at
+   * the scale a row-level diff can't run ([[graft.ops.Snapshot.diff]]
+   * classifies every row; this answers "are these two copies of a
+   * 100 TB table identical, and if not WHERE" in O(buckets) output):
+   * each side hashes every row's chosen-column rendering to a 32-bit
+   * md5 prefix, rows bucket by an md5 prefix of the KEY (content-based
+   * — survives repartitioning, file order, engine), and each bucket
+   * compares (row count, Σ row-hash). A mismatched bucket localizes
+   * the damage to keyspace-bucket granularity; re-run with more
+   * buckets (or Snapshot.diff on the one bucket's key range) to drill
+   * down. Σ of 32-bit hashes over any realistic bucket fits a long
+   * with no overflow; collisions need two DIFFERENT corruptions in one
+   * bucket summing to the same delta — not the failure mode acceptance
+   * tests chase. Missing buckets coalesce to (0, 0): an empty side is
+   * a mismatch, not an absent row.
+   *
+   * One scan + one bucket-keyed aggregation PER SIDE (map-side
+   * combined to ≤ buckets rows), then a buckets-sized full-outer join.
+   * Output: bucket, n_a, n_b, sum_a, sum_b, matches — one row per
+   * OCCUPIED bucket, ordered by bucket.
+   */
+  def reconcile(a: DataFrame, b: DataFrame, keyCol: String,
+      cols: Seq[String], buckets: Int = 64): DataFrame = {
+    require(buckets >= 1 && buckets <= (1 << 20),
+      s"buckets must be in [1, 2^20]: $buckets")
+    require(cols.nonEmpty, "reconcile needs at least one content column")
+    def side(df: DataFrame, nc: String, sc: String): DataFrame = {
+      val key = col(keyCol).cast("string")
+      val row = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+      df.select(
+          pmod(conv(substring(md5(key), 1, 4), 16, 10).cast("long"),
+            lit(buckets.toLong)).as("bucket"),
+          conv(substring(md5(row), 1, 8), 16, 10).cast("long").as("_h"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(nc), sum(col("_h")).as(sc))
+    }
+    side(a, "n_a", "sum_a")
+      .join(side(b, "n_b", "sum_b"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"))
+      .withColumn("matches",
+        col("n_a") === col("n_b") && col("sum_a") === col("sum_b"))
+  }
+
   def report(checks: DataFrame*): DataFrame = {
     require(checks.nonEmpty, "at least one check required")
     checks.reduce(_.unionByName(_))

@@ -146,6 +146,35 @@ class BehaviorSpec extends AnyFunSuite {
     assert(got.map(_._4).sorted.toSeq == (1L to got.length).toSeq)
   }
 
+  test("lastTouchAttribution: last channel wins, lookback cuts, same-" +
+    "instant channel attributes, organic conversions stay NULL") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: view then click then purchase -> click (the LAST touch)
+      (1L, 0L, "view", 10L), (1L, 5000000L, "click", 11L),
+      (1L, 9000000L, "purchase", 12L),
+      // user 2: click far outside the 10s lookback -> NULL
+      (2L, 0L, "click", 20L), (2L, 60000000L, "purchase", 21L),
+      // user 3: channel at the exact purchase instant -> attributes
+      (3L, 7L, "signup", 30L), (3L, 7L, "purchase", 31L),
+      // user 4: no channel at all -> NULL
+      (4L, 3L, "purchase", 40L),
+      // an 'error' event type is neither channel nor conversion
+      (1L, 8000000L, "error", 13L))
+      .toDF("u", "ts", "et", "eid")
+    val got = Behavior.lastTouchAttribution(ev, "u", "ts", "et", "eid",
+        "purchase", Seq("view", "click", "signup"), 10000000L)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getAs[String]("channel")),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(got(12L) == ((Some("click"), Some(5000000L))))
+    assert(got(21L) == ((None, None)), "outside lookback is organic")
+    assert(got(31L) == ((Some("signup"), Some(7L))),
+      "same-instant channel attributes (channels sort before conversions)")
+    assert(got(40L) == ((None, None)))
+    assert(got.size == 4)
+  }
+
   test("dwellTimes: gap-to-next-any-action, censored last events drop, " +
     "exact percentiles") {
     import spark.implicits._

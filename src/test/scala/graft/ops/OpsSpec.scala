@@ -2410,6 +2410,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("reconcile: identical copies all match; one dropped row and one " +
+    "perturbed value each flag exactly their bucket") {
+    import spark.implicits._
+    val a = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val same = Validate.reconcile(a, a, "k", Seq("k", "v"), buckets = 16)
+      .collect()
+    assert(same.forall(_.getBoolean(5)), "identical sides must match")
+    // drop one row: exactly one bucket shows n_a = n_b + 1
+    val dropped = a.filter(col("k") =!= 42L)
+    val d = Validate.reconcile(a, dropped, "k", Seq("k", "v"), 16)
+      .collect().filter(!_.getBoolean(5))
+    assert(d.length == 1 && d.head.getLong(1) == d.head.getLong(2) + 1,
+      s"one dropped row flags one bucket: ${d.toSeq}")
+    // perturb one value: counts equal, exactly one checksum differs
+    val perturbed = a.withColumn("v",
+      when(col("k") === 7L, lit("changed")).otherwise(col("v")))
+    val p = Validate.reconcile(a, perturbed, "k", Seq("k", "v"), 16)
+      .collect().filter(!_.getBoolean(5))
+    assert(p.length == 1 && p.head.getLong(1) == p.head.getLong(2)
+      && p.head.getLong(3) != p.head.getLong(4),
+      s"one perturbed value flags one bucket by checksum: ${p.toSeq}")
+  }
+
   test("welchTTest: textbook unequal-variance example, constant groups " +
     "give NULL t, never significant") {
     import spark.implicits._
