@@ -1986,6 +1986,29 @@ object SparkEntry {
           col("_qx"), col("_qy"), bits = 8)
         .select(col("o_orderkey"), col("hval"))
         .orderBy("hval", "o_orderkey")),
+    "q_asof_forward" -> ((s, dir) => {
+      // the mirror as-of direction: each click matched to the user's
+      // EARLIEST at-or-after view (next-event semantics; same union-
+      // window plan, forward frame, smallest-id ties)
+      val ev = eventsTsUs(s, dir)
+        .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.ops.AsOf.joinForward(clicks, views, "user_id", "ts", "ts",
+          "event_id", Seq("value"))
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("asof_event_id").as("view_id"),
+          round(col("asof_value"), 2).as("view_value"))
+        .orderBy("click_id")
+    }),
+    "q_chi_square" -> ((s, dir) =>
+      // is language independent of source? chi-square + Cramér's V
+      // from ONE joint aggregation, empty grid cells folded in via
+      // the n - sum(e_observed) identity (the grid never materializes)
+      graft.ops.Profile.chiSquare(t(s, dir, "documents"),
+        "lang", "source")),
     "q_attribution" -> ((s, dir) => {
       // last-touch attribution: each purchase credits the user's most
       // recent view/click/signup within 2h — one user-keyed window,
@@ -4325,6 +4348,41 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_zorder" -> zorderOracle,
     "q_zone_map" -> zoneMapOracle,
+    "q_asof_forward" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'click'),
+        |v AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.event_id AS click_id, c.user_id,
+        |    v.event_id AS view_id, v.value,
+        |    row_number() OVER (PARTITION BY c.event_id
+        |      ORDER BY v.ts ASC, v.event_id ASC) AS rn
+        |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
+        |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
+        |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_chi_square" ->
+      """WITH j AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b,
+        |    count(*)::BIGINT AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c)::DOUBLE AS ca FROM j GROUP BY a),
+        |mb AS (SELECT b, sum(c)::DOUBLE AS cb FROM j GROUP BY b),
+        |t AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |agg AS (SELECT max(t.n)::BIGINT AS n,
+        |    count(DISTINCT j.a)::BIGINT AS n_a,
+        |    count(DISTINCT j.b)::BIGINT AS n_b,
+        |    sum(pow(j.c - ma.ca * mb.cb / t.n, 2)
+        |      / (ma.ca * mb.cb / t.n) - ma.ca * mb.cb / t.n)
+        |      + max(t.n) AS chi2
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b), t)
+        |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN chi2 ELSE 0.0 END, 4)
+        |    AS chi2,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1
+        |    THEN sqrt(greatest(0.0, chi2)
+        |      / (n * least(n_a - 1, n_b - 1)))
+        |    ELSE 0.0 END, 4) AS cramers_v
+        |FROM agg""".stripMargin,
     "q_attribution" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
         |    event_id AS eid, event_type AS ty FROM events

@@ -89,6 +89,65 @@ object AsOf {
   }
 
   /**
+   * Forward as-of join — the mirror direction: for each left row, the
+   * EARLIEST right row with `rightTime >= leftTime` on the same key
+   * (next quote after the order, next maintenance slot after the
+   * failure, next deploy after the alert). Same union-window plan as
+   * [[joinBackward]] — one shuffle, linear, never an inequality join —
+   * with the frame looking FORWARD (`first(ignoreNulls)` over
+   * current→unbounded): at equal time, left rows sort BEFORE right
+   * rows (tag 0 < 1), so a right row at the exact left instant matches
+   * (forward inclusive); ties among right rows at one (key, time)
+   * resolve to the SMALLEST id — the deterministic mirror of
+   * backward's largest-id rule. Same hot-key envelope as joinBackward.
+   *
+   * @param tolerance optional max allowed rightTime - leftTime;
+   *                  matches farther ahead are dropped
+   */
+  def joinForward(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTimeCol: String, rightTimeCol: String, rightIdCol: String,
+      rightValueCols: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val leftClean = left.filter(col(keyCol).isNotNull && col(leftTimeCol).isNotNull)
+    val rightClean = right.filter(col(keyCol).isNotNull && col(rightTimeCol).isNotNull)
+    val rPayload = struct(
+      (col(rightIdCol).as("_rid") +: col(rightTimeCol).as("_rt") +:
+        rightValueCols.map(c => col(c).as(c))): _*)
+    val rTagged = rightClean.select(
+      col(keyCol).as("_k"), col(rightTimeCol).as("_t"), lit(1).as("_tag"),
+      col(rightIdCol).as("_rord"), rPayload.as("_rp"),
+      lit(null).cast(structType(left)).as("_lp"))
+    val lPayload = struct(leftCols.map(c => col(c).as(c)): _*)
+    val lTagged = leftClean.select(
+      col(keyCol).as("_k"), col(leftTimeCol).as("_t"), lit(0).as("_tag"),
+      lit(null).cast(right.select(col(rightIdCol)).schema.fields(0).dataType)
+        .as("_rord"),
+      lit(null).cast(rTagged.schema("_rp").dataType).as("_rp"),
+      lPayload.as("_lp"))
+    // left rows sort BEFORE right rows at equal time (tag 0 < 1):
+    // forward inclusive; right ties resolve to the smallest id (asc
+    // order makes it the FIRST the forward frame sees)
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t"), col("_tag"), col("_rord").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = rTagged.unionByName(lTagged)
+      .withColumn("_m", first(col("_rp"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 0 && col("_m").isNotNull)
+    val withinTol = tolerance match {
+      case Some(tol) => matched.filter(col("_m._rt").cast("double") -
+        col("_t").cast("double") <= tol.cast("double"))
+      case None => matched
+    }
+    withinTol.select(
+      (leftCols.map(c => col(s"_lp.$c").as(c)) :+
+        col("_m._rid").as("asof_" + rightIdCol) :+
+        col("_m._rt").as("asof_time")) ++
+        rightValueCols.map(c => col(s"_m.$c").as("asof_" + c)): _*)
+  }
+
+  /**
    * Skew-hardened backward as-of join for integral (epoch) time columns.
    *
    * `joinBackward` partitions its window by key alone, so one hot key (a

@@ -849,6 +849,48 @@ object Profile {
   }
 
   /**
+   * Chi-square test of independence + Cramér's V — the categorical
+   * dual of [[welchTTest]] (is lang independent of source? is the
+   * label leaking through a metadata column?) from the SAME single
+   * joint aggregation [[mutualInfo]] runs: χ² = Σ (o−e)²/e over ALL
+   * grid cells, computed WITHOUT materializing the grid via the
+   * identity Σ_unobserved e = n − Σ_observed e, so
+   * χ² = Σ_obs[(o−e)²/e − e] + n — empty cells contribute exactly
+   * their expectation, and the plan never explodes |A|×|B| rows.
+   * Cramér's V = √(χ²/(n·min(r−1, c−1))) is the [0,1] effect size the
+   * raw statistic (which grows with n) can't give you; read χ²
+   * against the χ²(dof) table for significance — no SQL engine ships
+   * the inverse CDF (the welchTTest convention).
+   * Output: 1 row — n, n_a, n_b, dof, chi2 (4dp), cramers_v (4dp).
+   */
+  def chiSquare(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val joint = df
+      .filter(col(colA).isNotNull && col(colB).isNotNull)
+      .groupBy(col(colA).cast("string").as("a"),
+        col(colB).cast("string").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+    val ma = joint.groupBy("a").agg(sum("c_ab").as("c_a"))
+    val mb = joint.groupBy("b").agg(sum("c_ab").as("c_b"))
+    val tot = joint.agg(sum("c_ab").cast("double").as("n"))
+    val e = col("c_a") * col("c_b") / col("n")
+    joint.join(ma, "a").join(mb, "b").crossJoin(tot)
+      .agg(
+        max(col("n")).cast("long").as("n"),
+        countDistinct(col("a")).as("n_a"),
+        countDistinct(col("b")).as("n_b"),
+        (sum(pow(col("c_ab") - e, 2) / e - e) + max(col("n")))
+          .as("_chi2"))
+      .select(col("n"), col("n_a"), col("n_b"),
+        ((col("n_a") - 1) * (col("n_b") - 1)).as("dof"),
+        round(when(col("n_a") > 1 && col("n_b") > 1, col("_chi2"))
+          .otherwise(lit(0.0)), 4).as("chi2"),
+        round(when(col("n_a") > 1 && col("n_b") > 1,
+          sqrt(greatest(lit(0.0), col("_chi2")) / (col("n") *
+            least(col("n_a") - 1, col("n_b") - 1))))
+          .otherwise(lit(0.0)), 4).as("cramers_v"))
+  }
+
+  /**
    * Welch two-sample t-test — the experiment readout (did treatment
    * move the metric?) and the drift significance check ([[statsDrift]]
    * reports THAT a mean moved; this says whether the move clears

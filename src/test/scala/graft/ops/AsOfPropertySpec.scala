@@ -57,6 +57,38 @@ class AsOfPropertySpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("forward as-of matches the brute-force reference: earliest " +
+    "at-or-after, smallest-id ties, tolerance cuts") {
+    import spark.implicits._
+    val prop = Prop.forAll(caseGen) { case (lefts, rights) =>
+      val lDf = lefts.toDF("event_id", "user_id", "ts")
+      val rDf = rights.toDF("event_id", "user_id", "ts", "value")
+      val got = AsOf.joinForward(lDf, rDf, "user_id", "ts", "ts",
+          "event_id", Seq("value"))
+        .select("event_id", "asof_event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expect = lefts.flatMap { case (lid, k, lt) =>
+        val cands = rights.filter(r => r._2 == k && r._3 >= lt)
+        if (cands.isEmpty) None
+        else Some(lid -> cands.minBy(r => (r._3, r._1))._1)
+      }.toMap
+      // and with a tolerance of 2 time units
+      val gotTol = AsOf.joinForward(lDf, rDf, "user_id", "ts", "ts",
+          "event_id", Seq("value"),
+          tolerance = Some(org.apache.spark.sql.functions.lit(2.0)))
+        .select("event_id", "asof_event_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expectTol = lefts.flatMap { case (lid, k, lt) =>
+        val cands = rights.filter(r => r._2 == k && r._3 >= lt && r._3 - lt <= 2)
+        if (cands.isEmpty) None
+        else Some(lid -> cands.minBy(r => (r._3, r._1))._1)
+      }.toMap
+      got == expect && gotTol == expectTol
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("bucketed as-of equals plain as-of with tolerance on random data") {
     import org.apache.spark.sql.functions.lit
     import spark.implicits._

@@ -2410,6 +2410,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("chiSquare: textbook 2x2, independence reads ~0, empty cells " +
+    "contribute their expectation without a grid") {
+    import spark.implicits._
+    // classic 2x2: [[20,10],[10,20]] -> chi2 = 60*(20*20-10*10)^2/(30^4)
+    val rows = Seq.fill(20)(("x", "p")) ++ Seq.fill(10)(("x", "q")) ++
+      Seq.fill(10)(("y", "p")) ++ Seq.fill(20)(("y", "q"))
+    val r = Profile.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(r.getLong(0) == 60 && r.getLong(3) == 1)
+    val want = 60.0 * math.pow(20 * 20 - 10 * 10, 2) / (30.0 * 30 * 30 * 30)
+    assert(math.abs(r.getDouble(4) - want) < 1e-3, s"chi2 ${r.get(4)}")
+    assert(math.abs(r.getDouble(5) - math.sqrt(want / 60)) < 1e-3)
+    // perfect independence: chi2 ~ 0 (product structure)
+    val ind = (for (a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 5)
+      yield (a, b)).toDF("a", "b")
+    assert(Profile.chiSquare(ind, "a", "b").collect().head.getDouble(4)
+      == 0.0)
+    // an unobserved cell: x only with p, y with both -> grid cell (x,q)
+    // is empty; the identity must still price it at its expectation
+    val holey = (Seq.fill(6)(("x", "p")) ++ Seq.fill(3)(("y", "p")) ++
+      Seq.fill(3)(("y", "q"))).toDF("a", "b")
+    val h = Profile.chiSquare(holey, "a", "b").collect().head
+    // closed form: o = [[6,0],[3,3]], e = [[4.5,1.5],[4.5,1.5]]
+    val wantH = math.pow(6 - 4.5, 2) / 4.5 + math.pow(0 - 1.5, 2) / 1.5 +
+      math.pow(3 - 4.5, 2) / 4.5 + math.pow(3 - 1.5, 2) / 1.5
+    assert(math.abs(h.getDouble(4) - wantH) < 1e-3, s"got ${h.get(4)}")
+  }
+
   test("reconcile: identical copies all match; one dropped row and one " +
     "perturbed value each flag exactly their bucket") {
     import spark.implicits._
