@@ -1244,6 +1244,16 @@ object SparkEntry {
           col("n"), col("qty"))
         .orderBy("rf", "ls")
     }),
+    "ann_hard_negatives" -> ((s, dir) =>
+      // contrastive hard negatives: per anchor, the 5 most similar
+      // vectors with a DIFFERENT label — batchTopK's two-stage top-k
+      // with the mismatch predicate before the prune
+      Similarity.hardNegatives(t(s, dir, "embeddings"), "embedding",
+          "vec_id", "label", k = 5,
+          anchors = Some(t(s, dir, "embeddings")
+            .filter(col("vec_id") < 10)),
+          roundDigits = Some(5))
+        .orderBy("anchor", "rank")),
     "ann_batch" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.filter(col("vec_id") >= 5)
@@ -3805,6 +3815,31 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
+    "ann_hard_negatives" ->
+      """WITH a AS (SELECT vec_id AS anchor, label AS albl,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS av
+        |  FROM embeddings WHERE vec_id < 10),
+        |e AS (SELECT vec_id, label AS nlbl,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS ev FROM embeddings),
+        |d AS (SELECT a.anchor, a.albl, e.vec_id, e.nlbl,
+        |    sum(e.ev * a.av) AS dp, sqrt(sum(e.ev * e.ev)) AS na
+        |  FROM e JOIN a ON e.i = a.i GROUP BY 1, 2, 3, 4),
+        |q AS (SELECT anchor, sqrt(sum(av * av)) AS nan FROM a
+        |  GROUP BY anchor),
+        |r AS (SELECT d.anchor, d.albl AS anchor_label,
+        |    d.vec_id AS negative, d.nlbl AS negative_label,
+        |    round(CASE WHEN d.na * q.nan > 0
+        |      THEN d.dp / (d.na * q.nan) ELSE 0.0 END, 5) AS cosine
+        |  FROM d JOIN q USING (anchor)
+        |  WHERE d.nlbl <> d.albl AND d.vec_id <> d.anchor),
+        |rk AS (SELECT anchor, anchor_label, negative, negative_label,
+        |    cosine, row_number() OVER (PARTITION BY anchor
+        |      ORDER BY cosine DESC, negative)::BIGINT AS rank FROM r)
+        |SELECT anchor, anchor_label, negative, negative_label, cosine,
+        |  rank
+        |FROM rk WHERE rank <= 5 ORDER BY anchor, rank""".stripMargin,
     "ann_batch" ->
       """WITH q AS (
         |  SELECT vec_id AS qid, generate_subscripts(embedding, 1) AS i,

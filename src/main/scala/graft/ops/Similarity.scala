@@ -694,6 +694,56 @@ object Similarity {
    * per-label bottom-k (map-side pruned to k before the exchange).
    */
   /**
+   * Hard-negative mining — the contrastive-training staple (a model
+   * learns nothing from easy negatives; the pairs that teach are the
+   * most similar vectors with a DIFFERENT label): for each anchor, the
+   * top-k highest-cosine corpus vectors whose label differs — exactly
+   * [[batchTopK]]'s two-stage exact top-k with the label-mismatch (and
+   * self-exclusion) predicate applied BEFORE the per-partition prune,
+   * so the partial top-ks remain provably complete for the filtered
+   * relation. Anchors broadcast (the batchTopK contract: mine a
+   * BATCH-sized anchor set per pass at corpus scale — anchors default
+   * to the corpus itself only at sample/gate scale); swap the corpus
+   * side for the LSH/IVF/PQ quartet when exact scan cost dominates.
+   * Output: anchor, negative, anchor_label, negative_label, cosine,
+   * rank.
+   */
+  def hardNegatives(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, k: Int,
+      anchors: Option[DataFrame] = None,
+      roundDigits: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1: $k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val a = broadcast(anchors.getOrElse(corpus)
+      .select(col(idCol).as("anchor"), v.as("avec"),
+        col(labelCol).as("anchor_label")))
+    val rawCos = cosineNative(col("cvec"), col("avec"))
+    val cosExpr = roundDigits.map(d => round(rawCos, d)).getOrElse(rawCos)
+    val scored = corpus
+      .select(col(idCol).as("negative"), v.as("cvec"),
+        col(labelCol).as("negative_label"))
+      .withColumn("part", spark_partition_id())
+      .crossJoin(a)
+      .filter(col("negative_label") =!= col("anchor_label") &&
+        col("negative") =!= col("anchor"))
+      .select(col("anchor"), col("anchor_label"), col("negative"),
+        col("negative_label"), col("part"), cosExpr.as("cosine"))
+    val wPart = Window.partitionBy("anchor", "part")
+      .orderBy(desc("cosine"), col("negative"))
+    val pruned = scored
+      .withColumn("prank", row_number().over(wPart))
+      .filter(col("prank") <= k)
+      .drop("prank", "part")
+    val w = Window.partitionBy("anchor")
+      .orderBy(desc("cosine"), col("negative"))
+    pruned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /**
    * Centroid similarity matrix — the domain-similarity map over a
    * labeled embedding corpus (which sources/languages/topics live
    * close in embedding space — the input to mixture design and to

@@ -955,6 +955,29 @@ class CurationSpec extends AnyFunSuite {
     assert(q == Seq(0L, 0L, 7L, 15L, 15L, 15L))
   }
 
+  test("hardNegatives: nearest cross-label wins, own label and self " +
+    "excluded, k bounds per anchor") {
+    import spark.implicits._
+    // anchor (1,0) label A; same-label twin (1,0); cross-label near
+    // (0.9, 0.1-ish) and far (0,1) — the near one must rank 1
+    val emb = Seq(
+      (1L, "A", Array(1.0f, 0.0f)),
+      (2L, "A", Array(1.0f, 0.0f)),   // same label: never a negative
+      (3L, "B", Array(0.9f, 0.1f)),   // hard negative
+      (4L, "B", Array(0.0f, 1.0f)),   // easy negative
+      (5L, "C", Array(0.7f, 0.3f)))
+      .toDF("vec_id", "label", "embedding")
+    val got = Similarity.hardNegatives(emb, "embedding", "vec_id",
+        "label", k = 2,
+        anchors = Some(emb.where($"vec_id" === 1L)),
+        roundDigits = Some(5))
+      .collect()
+      .map(r => r.getAs[Long]("rank") -> r.getAs[Long]("negative"))
+      .toMap
+    assert(got == Map(1L -> 3L, 2L -> 5L),
+      s"hardest cross-label first, same-label excluded: $got")
+  }
+
   test("centroidSimMatrix: orthogonal/identical/opposite label pairs, " +
     "each unordered pair once, zero-norm goes NULL") {
     import spark.implicits._
