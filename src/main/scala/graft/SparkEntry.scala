@@ -2013,6 +2013,26 @@ object SparkEntry {
           round(col("asof_value"), 2).as("view_value"))
         .orderBy("click_id")
     }),
+    "q_survival" -> ((s, dir) => {
+      // Kaplan-Meier time-to-first-purchase by user cohort: users who
+      // never purchase are CENSORED at their last observed event, not
+      // dropped — per-cohort cumulative-product windows over the
+      // distinct-day frame
+      val ev = eventsTsUs(s, dir)
+      val per = ev.groupBy("user_id").agg(
+        min(col("ts_us")).as("_first"),
+        max(col("ts_us")).as("_last"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("_fp"))
+      val subjects = per.select(
+        (col("user_id") % 3).as("cohort"),
+        expr("(coalesce(_fp, _last) - _first) div 86400000000")
+          .as("duration_days"),
+        col("_fp").isNotNull.as("event"))
+      graft.ops.Profile.kaplanMeier(subjects, "cohort", "duration_days",
+          "event")
+        .orderBy("cohort", "t")
+    }),
     "q_chi_square" -> ((s, dir) =>
       // is language independent of source? chi-square + Cramér's V
       // from ONE joint aggregation, empty grid cells folded in via
@@ -4396,6 +4416,39 @@ object SparkEntry {
         |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_survival" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
+        |    event_type AS ty FROM events),
+        |per AS (SELECT u, min(t) AS f, max(t) AS l,
+        |    min(CASE WHEN ty = 'purchase' THEN t END) AS fp
+        |  FROM e GROUP BY u),
+        |subj AS (SELECT u % 3 AS cohort,
+        |    (coalesce(fp, l) - f) // 86400000000 AS t,
+        |    fp IS NOT NULL AS ev FROM per),
+        |at AS (SELECT cohort, t::DOUBLE AS t,
+        |    count(*) FILTER (WHERE ev)::BIGINT AS d,
+        |    count(*) FILTER (WHERE NOT ev)::BIGINT AS c
+        |  FROM subj GROUP BY 1, 2),
+        |tot AS (SELECT cohort, count(*)::BIGINT AS n FROM subj
+        |  GROUP BY cohort),
+        |risk AS (SELECT at.cohort, at.t, at.d, at.c,
+        |    tot.n - coalesce(sum(at.d + at.c) OVER (PARTITION BY at.cohort
+        |      ORDER BY at.t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM at JOIN tot USING (cohort)),
+        |km AS (SELECT cohort, t, n_at_risk, d, c,
+        |    max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER win AS dead,
+        |    sum(CASE WHEN d > 0 AND d < n_at_risk
+        |      THEN ln(1 - d / n_at_risk::DOUBLE)
+        |      ELSE 0.0 END) OVER win AS lsum
+        |  FROM risk WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, t, n_at_risk::BIGINT AS n_at_risk,
+        |  d AS d_events, c AS c_censored,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 4) END
+        |    AS survival
+        |FROM km ORDER BY cohort, t""".stripMargin,
     "q_chi_square" ->
       """WITH j AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b,
         |    count(*)::BIGINT AS c FROM documents

@@ -849,6 +849,65 @@ object Profile {
   }
 
   /**
+   * Kaplan–Meier survival curves per group — the statistically honest
+   * time-to-event readout (naive "average days to purchase" silently
+   * drops everyone who hasn't purchased YET; KM keeps them at risk
+   * until their observation ends — censoring is information, not
+   * missing data): subjects arrive as (group, duration, event) with
+   * event=false meaning censored at `duration`; at each distinct
+   * duration, n_at_risk = subjects not yet departed,
+   * S(t) = Π_{t' ≤ t} (1 − d_{t'}/n_{t'}) over the event times.
+   * The product is computed as exp(Σ ln(1 − d/n)) under a cumulative
+   * window, with the d = n terminal point short-circuited to exactly 0
+   * by a flag — Spark's `log` yields NULL at 0 (never −∞), so the
+   * naive form would silently NULL the whole tail.
+   *
+   * Shape at scale: one (group, duration) aggregation, then per-GROUP
+   * cumulative windows over the distinct-duration frame (n_durations
+   * rows per group, never subjects — the concentration contract;
+   * coarsen durations to days/weeks to bound it, which is also the
+   * right statistics). Output: group, t, n_at_risk, d_events,
+   * c_censored, survival (4dp).
+   */
+  def kaplanMeier(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0)
+      .select(col(groupCol).as("g"),
+        col(durationCol).cast("double").as("t"),
+        col(eventCol).cast("boolean").as("e"))
+    val at = base.groupBy("g", "t")
+      .agg(count(when(col("e"), 1)).as("d_events"),
+        count(when(!col("e"), 1)).as("c_censored"))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("_n"))
+    val wPrev = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    at.join(tot, "g")
+      .withColumn("n_at_risk",
+        col("_n") - coalesce(
+          sum(col("d_events") + col("c_censored")).over(wPrev), lit(0L)))
+      .withColumn("_dead",
+        max(when(col("d_events") === col("n_at_risk"), 1).otherwise(0))
+          .over(wCum))
+      .withColumn("survival",
+        when(col("_dead") === 1, lit(0.0)).otherwise(
+          round(exp(sum(
+            // d = n is the terminal point: its factor is 0, the _dead
+            // flag pins survival there — the log term must be SKIPPED
+            // explicitly (Spark log(0) is NULL, DuckDB ln(0) errors;
+            // neither is the -inf the algebra wants)
+            when(col("d_events") > 0 &&
+                col("d_events") < col("n_at_risk"),
+              log(lit(1.0) - col("d_events") / col("n_at_risk")))
+              .otherwise(lit(0.0))).over(wCum)), 4)))
+      .select(col("g").as(groupCol), col("t"), col("n_at_risk"),
+        col("d_events"), col("c_censored"), col("survival"))
+  }
+
+  /**
    * Chi-square test of independence + Cramér's V — the categorical
    * dual of [[welchTTest]] (is lang independent of source? is the
    * label leaking through a metadata column?) from the SAME single

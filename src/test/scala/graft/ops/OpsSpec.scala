@@ -2410,6 +2410,34 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("kaplanMeier: textbook curve with censoring, terminal point " +
+    "hits exact zero, censored subjects stay at risk") {
+    import spark.implicits._
+    // classic 5-subject fixture: events at 1,3,5; censored at 2,4
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false),
+      (5.0, true)).map { case (t, e) => ("g", t, e) }
+      .toDF("grp", "t", "e")
+    val got = Profile.kaplanMeier(df, "grp", "t", "e")
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got(1.0) == ((5L, 1L, 0L, 0.8)))
+    assert(got(2.0) == ((4L, 0L, 1L, 0.8)), "censoring moves no mass")
+    assert(got(3.0) == ((3L, 1L, 0L, 0.5333)))
+    assert(got(4.0) == ((2L, 0L, 1L, 0.5333)))
+    assert(got(5.0) == ((1L, 1L, 0L, 0.0)),
+      "d = n terminal point must be EXACT zero, not exp(NULL-sum)")
+    // dropping the censored subjects (the naive mistake) changes the
+    // curve: with only events 1,3,5, S(3) = (2/3)*(1/2)? no: n=3 ->
+    // S(1)=2/3, S(3)=1/3, S(5)=0 — different from 0.5333 above
+    val naive = Profile.kaplanMeier(
+      df.filter(col("e")), "grp", "t", "e").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(5)).toMap
+    assert(math.abs(naive(3.0) - 0.3333) < 1e-9 &&
+      naive(3.0) != got(3.0)._4,
+      "censoring is information: the naive curve must differ")
+  }
+
   test("chiSquare: textbook 2x2, independence reads ~0, empty cells " +
     "contribute their expectation without a grid") {
     import spark.implicits._
