@@ -1342,6 +1342,16 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"))
         .orderBy("o_orderkey")
     }),
+    "q_temperature_sample" -> ((s, dir) => {
+      // T=2 temperature mixing over languages: quotas proportional to
+      // sqrt(n_d), smallest domain taken in full — between the natural
+      // mix and full balance
+      val d = t(s, dir, "documents")
+      graft.ops.Sampling.temperatureSample(d, "lang", "doc_id",
+          temperature = 2.0)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
     "q_balanced_sample" -> ((s, dir) => {
       // class-balanced downsample: every language keeps exactly the
       // smallest language's row count, md5-ranked; the target is a
@@ -5901,6 +5911,18 @@ object SparkEntry {
         |  FROM c, tt)
         |SELECT path, n_users, share, rank FROM r WHERE rank <= 15
         |ORDER BY rank""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents
+        |  GROUP BY lang),
+        |p AS (SELECT lang, n, pow(n, 0.5) AS w FROM c),
+        |m AS (SELECT min(n / w) AS rmin FROM p),
+        |q AS (SELECT lang, floor(w * rmin)::BIGINT AS quota FROM p, m),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(concat('42|', doc_id::VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r JOIN q USING (lang)
+        |WHERE rn <= quota ORDER BY doc_id""".stripMargin,
     "q_balanced_sample" ->
       """WITH n AS (SELECT min(c) AS target FROM (
         |    SELECT count(*)::BIGINT AS c FROM documents GROUP BY lang)),

@@ -250,6 +250,56 @@ object Sampling {
   }
 
   /**
+   * Temperature-scaled domain sampling — the Pile/mT5 mixing rule
+   * between [[mixtureSample]]'s explicit targets and
+   * [[balancedSample]]'s full equalization: keep domain d in
+   * proportion to n_d^(1/T). T = 1 reproduces the natural mix, T → ∞
+   * approaches balanced, T ∈ (1, 5] is the published range that stops
+   * a dominant crawl from drowning minority languages without
+   * flattening real frequency signal. Quotas are derived FROM the
+   * data (quota_d = floor(w_d · min_e(n_e / w_e)) with
+   * w_d = n_d^(1/T) — the mixtureSample feasibility rule, so the
+   * largest-quota domain is taken in full and nothing needs
+   * replacement), rows elected by the family's md5(seed|id) rank.
+   * Same shapes throughout: #domains-row quota frame broadcast,
+   * 1-row min subtree, two-stage skew-proof take.
+   * Output: input columns, quota_d rows per domain.
+   */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+      temperature: Double, seed: Long = 42L): DataFrame = {
+    require(temperature >= 1.0 && temperature <= 100.0,
+      s"temperature must be in [1, 100]: $temperature")
+    val internal = Seq("_w", "_n", "_r", "_quota", "_hrank", "_part",
+      "_lr", "_rank")
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with temperatureSample internals; rename them first")
+    val counts = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("_n"))
+    val perDomain = counts
+      .withColumn("_w", pow(col("_n"), lit(1.0 / temperature)))
+      .withColumn("_r", col("_n") / col("_w"))
+    val rmin = perDomain.agg(min(col("_r")).as("_rmin"))
+    val quotas = perDomain.crossJoin(rmin)
+      .select(col(domainCol),
+        floor(col("_w") * col("_rmin")).cast("long").as("_quota"))
+    val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val wLocal = Window.partitionBy(col(domainCol), col("_part"))
+      .orderBy(col("_hrank"), col(idCol))
+    val pruned = df.join(broadcast(quotas), domainCol)
+      .withColumn("_hrank", rank)
+      .withColumn("_part", spark_partition_id())
+      .withColumn("_lr", row_number().over(wLocal))
+      .filter(col("_lr") <= col("_quota"))
+      .drop("_lr", "_part")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("_hrank"), col(idCol))
+    pruned.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= col("_quota"))
+      .select(df.columns.map(col): _*) // restore the caller's column order
+  }
+
+  /**
    * Class-balanced downsample — the imbalance fix before training a
    * classifier on skewed labels (a 10:1 language mix trains a model
    * that answers "en" to everything; [[mixtureSample]] hits TARGET

@@ -2694,6 +2694,30 @@ class OpsSpec extends AnyFunSuite {
     assert(Profile.cohenKappa(const, "a", "b").collect().head.getDouble(3) == 1.0)
   }
 
+  test("temperatureSample: closed-form sqrt quotas at T=2, T=1 is the " +
+    "identity, smallest domain survives whole") {
+    import spark.implicits._
+    // counts [100, 25, 4] at T=2: w = [10, 5, 2], rmin = 2,
+    // quotas = [20, 10, 4] — the 4-row domain keeps everything
+    val df = ((0 until 100).map(i => (i.toLong, "big")) ++
+      (200 until 225).map(i => (i.toLong, "mid")) ++
+      (300 until 304).map(i => (i.toLong, "tiny")))
+      .toDF("id", "dom")
+    val sizes = Sampling.temperatureSample(df, "dom", "id", 2.0)
+      .groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes == Map("big" -> 20L, "mid" -> 10L, "tiny" -> 4L))
+    // T = 1: w_d = n_d, every ratio is 1, every quota is n_d — identity
+    assert(Sampling.temperatureSample(df, "dom", "id", 1.0).count()
+      == 129)
+    // deterministic across input order
+    val a = Sampling.temperatureSample(df, "dom", "id", 2.0)
+      .collect().map(_.getAs[Long]("id")).sorted.toSeq
+    val b = Sampling.temperatureSample(df.orderBy(desc("id")), "dom",
+      "id", 2.0).collect().map(_.getAs[Long]("id")).sorted.toSeq
+    assert(a == b)
+  }
+
   test("balancedSample: every class lands exactly min-class-size rows, " +
     "cap tightens, selection is md5-deterministic") {
     import spark.implicits._
