@@ -3170,7 +3170,7 @@ object SparkEntry {
        |c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
        |q AS (SELECT c.source, wt, n / wt AS r FROM c JOIN w USING (source)),
        |k AS (SELECT source,
-       |    CAST(floor(wt * (SELECT min(r) FROM q)) AS BIGINT) AS quota
+       |    CAST(floor(wt * (SELECT min(r) FROM q) + 1e-9) AS BIGINT) AS quota
        |  FROM q),
        |ranked AS (
        |  SELECT d.source, d.doc_id,
@@ -5945,7 +5945,7 @@ object SparkEntry {
         |  GROUP BY lang),
         |p AS (SELECT lang, n, pow(n, 0.5) AS w FROM c),
         |m AS (SELECT min(n / w) AS rmin FROM p),
-        |q AS (SELECT lang, floor(w * rmin)::BIGINT AS quota FROM p, m),
+        |q AS (SELECT lang, floor(w * rmin + 1e-9)::BIGINT AS quota FROM p, m),
         |r AS (SELECT doc_id, lang,
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(concat('42|', doc_id::VARCHAR)), doc_id) AS rn

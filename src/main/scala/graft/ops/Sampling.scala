@@ -105,9 +105,13 @@ object Sampling {
     val perDomain = counts.join(broadcast(wdf), domainCol)
       .withColumn("_r", col("_n") / col("_w"))
     val rmin = perDomain.agg(min(col("_r")).as("_rmin"))
+    // +1e-9 before floor: the temperatureSample epsilon — the argmin
+    // domain's w·(n/w) is exactly n in algebra but not in floats, and
+    // an ulp-under floor would drop that domain's last row
     val quotas = perDomain.crossJoin(rmin)
       .select(col(domainCol),
-        floor(col("_w") * col("_rmin")).cast("long").as("_quota"))
+        floor(col("_w") * col("_rmin") + lit(1e-9)).cast("long")
+          .as("_quota"))
     val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
     // same two-stage exact top-n as stratifiedExact, with the per-domain
     // quota joined on (broadcast — #domains rows): stage 1 prunes each
@@ -280,9 +284,16 @@ object Sampling {
       .withColumn("_w", pow(col("_n"), lit(1.0 / temperature)))
       .withColumn("_r", col("_n") / col("_w"))
     val rmin = perDomain.agg(min(col("_r")).as("_rmin"))
+    // +1e-9 before floor: the argmin domain's quota is w·(n/w) = n
+    // EXACTLY in algebra, but float division can land it a few ulps
+    // under the integer and floor would silently drop that domain's
+    // last row (found by the kept-whole invariant; sqrt(7)·(7/sqrt(7))
+    // computes to 6.999...). The epsilon restores exact-integer
+    // products; genuinely fractional quotas move only within 1e-9.
     val quotas = perDomain.crossJoin(rmin)
       .select(col(domainCol),
-        floor(col("_w") * col("_rmin")).cast("long").as("_quota"))
+        floor(col("_w") * col("_rmin") + lit(1e-9)).cast("long")
+          .as("_quota"))
     val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
     val wLocal = Window.partitionBy(col(domainCol), col("_part"))
       .orderBy(col("_hrank"), col(idCol))

@@ -556,6 +556,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"phonetic join plans a product:\n$pp")
   }
 
+  test("reconcile, bootstrapCI, temperatureSample, kaplanMeier: " +
+    "keyed-only shapes, quota/cut subtrees broadcast, no corpus window") {
+    import spark.implicits._
+    val a = (0 until 200).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    val pr = graft.ops.Validate.reconcile(a, a, "k", Seq("k", "v"), 16)
+      .queryExecution.executedPlan.toString
+    assert(!pr.contains("Window") && !pr.contains("CartesianProduct"),
+      s"reconcile plan shape:\n$pr")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pb = graft.ops.Profile.bootstrapCI(docs, "source", "doc_id",
+      "n_chars", b = 8).queryExecution.executedPlan.toString
+    assert(!pb.contains("Window") && !pb.contains("SinglePartition"),
+      s"bootstrapCI must be pure keyed aggregation:\n$pb")
+    val pt = graft.ops.Sampling.temperatureSample(docs, "lang",
+      "doc_id", 2.0).queryExecution.executedPlan.toString
+    assert(!pt.contains("SinglePartition"),
+      s"temperatureSample funnels through one partition:\n$pt")
+    val subj = (0 until 50).map(i => (s"g${i % 2}", (i % 7).toDouble,
+      i % 3 == 0)).toDF("g", "t", "e")
+    val pk = graft.ops.Profile.kaplanMeier(subj, "g", "t", "e")
+      .queryExecution.executedPlan.toString
+    assert(!pk.contains("SinglePartition"),
+      s"kaplanMeier windows must stay cohort-keyed:\n$pk")
+  }
+
   test("zoneMapReport and statsDrift: span/profile subtrees broadcast, " +
     "no window, no action") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
