@@ -2900,6 +2900,26 @@ object SparkEntry {
       graft.ops.Graph.kCore(e, "src", "dst", k = 21)
         .orderBy("node")
     }),
+    "graph_link_pred" -> ((s, dir) => {
+      // link prediction on the 997-node orders graph: non-adjacent
+      // pairs with >= 15 common neighbors, scored by the classic trio
+      // (cn / Jaccard / Adamic-Adar) via the wedge join
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"),
+        (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.linkPrediction(e, "src", "dst")
+        .orderBy(desc("common_neighbors"), col("id_a"), col("id_b"))
+        .limit(100)
+    }),
+    "q_twap" -> ((s, dir) => {
+      // time-weighted average event value per type: each observation
+      // weighted by how long it stayed current (censored last obs),
+      // published next to the unweighted mean — the burstiness gap
+      val ev = eventsTsUs(s, dir)
+      graft.ops.Interval.timeWeightedAvg(ev, "event_type", "ts_us",
+          "value")
+        .orderBy("event_type")
+    }),
     "graph_lpa" -> ((s, dir) => {
       // label-propagation communities on the 997-node orders graph:
       // 4 synchronous rounds, ties to the smallest label — the whole
@@ -3481,6 +3501,43 @@ object SparkEntry {
     "graph_hits" -> hitsOracle(8),
     "graph_kcore" -> kcoreOracle(21, 14),
     "graph_lpa" -> lpaOracle(4),
+    "graph_link_pred" ->
+      """WITH e0 AS MATERIALIZED (SELECT DISTINCT
+        |    least(o_custkey % 997, o_orderkey % 997) AS a,
+        |    greatest(o_custkey % 997, o_orderkey % 997) AS b
+        |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997),
+        |nb AS (SELECT a AS ctr, b AS n FROM e0
+        |  UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT ctr AS node, count(*)::BIGINT AS deg FROM nb
+        |  GROUP BY 1),
+        |c AS (SELECT nb.ctr, nb.n, deg.deg FROM nb
+        |  JOIN deg ON deg.node = nb.ctr WHERE deg.deg <= 10000),
+        |p AS (SELECT x.n AS a, y.n AS b, count(*)::BIGINT AS cn,
+        |    sum(1.0 / ln(x.deg)) AS aa
+        |  FROM c x JOIN c y ON x.ctr = y.ctr AND x.n < y.n
+        |  GROUP BY 1, 2),
+        |ne AS (SELECT p.* FROM p LEFT JOIN e0
+        |    ON e0.a = p.a AND e0.b = p.b
+        |  WHERE e0.a IS NULL)
+        |SELECT ne.a AS id_a, ne.b AS id_b, cn AS common_neighbors,
+        |  round(cn / (da.deg + db.deg - cn)::DOUBLE, 4) AS jaccard,
+        |  round(aa, 4) AS adamic_adar
+        |FROM ne JOIN deg da ON da.node = ne.a
+        |JOIN deg db ON db.node = ne.b
+        |ORDER BY common_neighbors DESC, id_a, id_b
+        |LIMIT 100""".stripMargin,
+    "q_twap" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts)::BIGINT AS t,
+        |    value AS v FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT k, v,
+        |    lead(t) OVER (PARTITION BY k ORDER BY t, v) - t AS dur
+        |  FROM e)
+        |SELECT k AS event_type, count(*)::BIGINT AS n_obs,
+        |  coalesce(sum(dur), 0)::BIGINT AS span,
+        |  round(CASE WHEN sum(dur) > 0
+        |    THEN sum(v * dur) / sum(dur) END, 4) AS twa,
+        |  round(avg(v), 4) AS mean_unweighted
+        |FROM w GROUP BY k ORDER BY event_type""".stripMargin,
     "text_bpe_train" -> bpeTrainOracle(12),
     "ann_pq" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,

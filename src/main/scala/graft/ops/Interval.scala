@@ -163,6 +163,43 @@ object Interval {
    * rather than per-document position arrays.
    */
   /**
+   * Time-weighted average per key — the TWAP/TWA construction for
+   * irregular observations (a plain mean over ticks overweights busy
+   * periods; weighting each observation by how long it REMAINED the
+   * current value until the next tick is the standard fix for prices,
+   * gauge metrics, feature staleness): each observation holds from its
+   * timestamp to the next observation's; the LAST observation carries
+   * no duration (its holding period is unobserved — censored, the
+   * dwellTimes convention, never a fabricated horizon). Keys with one
+   * observation have zero observed span and report NULL twa — no
+   * evidence is not an average.
+   *
+   * One key-ordered lead window + one keyed aggregation; same shapes
+   * as dwellTimes. Output: key, n_obs, span (time units), twa (4dp),
+   * mean_unweighted (4dp) — publish both; their gap is the burstiness
+   * signal.
+   */
+  def timeWeightedAvg(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    // (t, v) ordering: ties at one instant must split the zero-length
+    // and the held duration DETERMINISTICALLY or engines disagree on
+    // which value carries the interval
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("t"), col("v"))
+    df
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), col(tsCol).cast("long").as("t"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("_dur", lead(col("t"), 1).over(w) - col("t"))
+      .groupBy(col("k").as(keyCol))
+      .agg(count(lit(1)).as("n_obs"),
+        coalesce(sum(col("_dur")), lit(0L)).as("span"),
+        round(when(sum(col("_dur")) > 0,
+          sum(col("v") * col("_dur")) / sum(col("_dur"))), 4).as("twa"),
+        round(avg(col("v")), 4).as("mean_unweighted"))
+  }
+
+  /**
    * Maximum concurrency per key — the peak-load question every
    * interval table eventually gets asked (max simultaneous sessions,
    * in-transit shipments, open connections): sweep the boundaries

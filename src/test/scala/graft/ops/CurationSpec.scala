@@ -1255,6 +1255,46 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("linkPrediction: wedge/square closed forms, existing edges " +
+    "excluded, == brute force on a pseudo-random graph") {
+    import spark.implicits._
+    // path 1-2-3: (1,3) cn=1, jac 1/(1+1-1)=1, aa = 1/ln 2
+    // square 4-5-6-7: (4,6) and (5,7) each cn=2, jac 1, aa = 2/ln 2
+    // triangle 8-9-10: every pair adjacent -> nothing scored
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 4L), (8L, 9L), (9L, 10L), (8L, 10L)).toDF("s", "d")
+    val got = Graph.linkPrediction(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val aa1 = BigDecimal(1.0 / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aa2 = BigDecimal(2.0 / math.log(2))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      (1L, 3L) -> ((1L, 1.0, aa1)),
+      (4L, 6L) -> ((2L, 1.0, aa2)),
+      (5L, 7L) -> ((2L, 1.0, aa2))), s"got $got")
+    // brute force on a pseudo-random graph
+    val redges = (0 until 250).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (h % 30L, (h / 30L) % 30L)
+    }
+    val simple = redges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val adj = simple.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).toSet }
+    val want = (for {
+      a <- adj.keys; b <- adj.keys if a < b
+      if !adj(a).contains(b)
+      common = adj(a) & adj(b)
+      if common.nonEmpty
+    } yield (a, b) -> common.size.toLong).toMap
+    val got2 = Graph.linkPrediction(redges.toDF("s", "d"), "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got2 == want, "diverged from brute-force common neighbors")
+  }
+
   test("labelProp: two planted cliques converge to their min ids, " +
     "== reference sync loop on a pseudo-random graph") {
     import spark.implicits._

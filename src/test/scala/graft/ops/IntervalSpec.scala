@@ -166,6 +166,30 @@ class IntervalSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("timeWeightedAvg: holding durations weight values, censored " +
+    "last obs, single-obs key NULL, tied instants deterministic") {
+    import spark.implicits._
+    // k: v=10 holds 1s, v=20 holds 3s, v=30 censored
+    // -> twa = (10*1 + 20*3)/4 = 17.5; mean = 20
+    val df = Seq(("k", 0L, 10.0), ("k", 1L, 20.0), ("k", 4L, 30.0),
+      ("solo", 7L, 99.0)).toDF("key", "t", "v")
+    val got = Interval.timeWeightedAvg(df, "key", "t", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)), r.getDouble(4))))
+      .toMap
+    assert(got("k") == ((3L, 4L, Some(17.5), 20.0)))
+    assert(got("solo") == ((1L, 0L, None, 99.0)),
+      "zero observed span must be NULL, not a fabricated average")
+    // tied instants: (t, v) ordering pins which value holds the gap —
+    // smaller v gets the zero-length slot, larger v holds to the next t
+    val tied = Seq(("x", 0L, 5.0), ("x", 0L, 1.0), ("x", 2L, 9.0))
+      .toDF("key", "t", "v")
+    val tw = Interval.timeWeightedAvg(tied, "key", "t", "v")
+      .collect().head
+    // order: (0,1.0) dur 0; (0,5.0) dur 2; (2,9.0) censored -> twa 5.0
+    assert(tw.getDouble(3) == 5.0)
+  }
+
   test("maxConcurrent: stacked peak, half-open back-to-back stays 1, " +
     "earliest peak instant wins, keyed shuffle only") {
     import spark.implicits._
