@@ -2052,6 +2052,18 @@ object SparkEntry {
           round(col("asof_value"), 2).as("view_value"))
         .orderBy("click_id")
     }),
+    "text_compress" -> ((s, dir) =>
+      // compressibility quality signal over real JDK deflate — the
+      // rows-only gate by declared design: no SQL engine replays
+      // deflate, and a fake portable oracle would gate nothing
+      graft.ops.TextMetrics.compressionRatio(t(s, dir, "documents"),
+          "text", "doc_id")
+        .orderBy("doc_id")),
+    "q_pareto_tail" -> ((s, dir) =>
+      // Hill tail exponent of order totals above 300k: can this column
+      // be averaged, or does it need medians? one scan aggregation
+      graft.ops.Profile.hillTail(t(s, dir, "orders"), "o_totalprice",
+        xmin = 300000.0)),
     "q_survival" -> ((s, dir) => {
       // Kaplan-Meier time-to-first-purchase by user cohort: users who
       // never purchase are CENSORED at their last observed event, not
@@ -4512,6 +4524,31 @@ object SparkEntry {
         |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_pareto_tail" ->
+      """SELECT 300000.0 AS xmin,
+        |  count(*) FILTER (WHERE o_totalprice >= 300000.0)::BIGINT
+        |    AS n_tail,
+        |  count(*)::BIGINT AS n_total,
+        |  round(count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |    / count(*)::DOUBLE, 4) AS tail_frac,
+        |  CASE WHEN count(*) FILTER (WHERE o_totalprice >= 300000.0) >= 2
+        |      AND sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END) > 0
+        |    THEN round(1.0
+        |      + count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |      / sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END), 4)
+        |  END AS alpha,
+        |  CASE WHEN count(*) FILTER (WHERE o_totalprice >= 300000.0) >= 2
+        |      AND sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END) > 0
+        |    THEN round(count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |      / sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END)
+        |      / sqrt(count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |        ::DOUBLE), 4)
+        |  END AS se
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
     "q_survival" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
         |    event_type AS ty FROM events),

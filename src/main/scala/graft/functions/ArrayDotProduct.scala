@@ -84,6 +84,8 @@ object GraftFunctions {
       "graft_ratio", ratioBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_jaro", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_deflate_len", exprs => DeflateLength(exprs(0)), "built-in")
   }
 }
 
@@ -103,5 +105,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_jaro"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_deflate_len"),
+      new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
+      (exprs: Seq[Expression]) => DeflateLength(exprs(0))))
   }
 }

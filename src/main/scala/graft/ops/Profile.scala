@@ -849,6 +849,37 @@ object Profile {
   }
 
   /**
+   * Hill tail-index estimator — the heavy-tail diagnostic next to
+   * [[benford]]'s digit screen and the Zipf fit (does this value
+   * distribution have a power-law tail, and how heavy?): for the
+   * observations above `xmin`, the continuous-MLE tail exponent
+   * α = 1 + n / Σ ln(x/xmin) (Hill 1975; Clauset et al. 2009 form)
+   * with its asymptotic standard error (α−1)/√n. α ≤ 2 means infinite
+   * variance — means and CIs on that column are lies; α ≤ 1 means
+   * infinite MEAN. The one-number answer to "can I average this, or
+   * do I need medians/winsorization" — which is exactly what
+   * [[winsorize]]/[[robustOutliers]] are for when the answer is no.
+   * ONE filtered scan aggregation; a thin tail (n < 2) reports NULL α.
+   * Output: 1 row — xmin, n_tail, n_total, tail_frac (4dp),
+   * alpha (4dp), se (4dp).
+   */
+  def hillTail(df: DataFrame, valueCol: String, xmin: Double): DataFrame = {
+    require(xmin > 0, s"xmin must be positive: $xmin")
+    val x = col(valueCol).cast("double")
+    df.filter(x.isNotNull)
+      .agg(count(lit(1)).as("n_total"),
+        count(when(x >= xmin, 1)).as("n_tail"),
+        sum(when(x >= xmin, log(x / lit(xmin)))).as("_lsum"))
+      .select(lit(xmin).as("xmin"), col("n_tail"), col("n_total"),
+        round(col("n_tail") / col("n_total"), 4).as("tail_frac"),
+        when(col("n_tail") >= 2 && col("_lsum") > 0,
+          round(lit(1.0) + col("n_tail") / col("_lsum"), 4)).as("alpha"),
+        when(col("n_tail") >= 2 && col("_lsum") > 0,
+          round(col("n_tail") / col("_lsum") /
+            sqrt(col("n_tail").cast("double")), 4)).as("se"))
+  }
+
+  /**
    * Kaplan–Meier survival curves per group — the statistically honest
    * time-to-event readout (naive "average days to purchase" silently
    * drops everyone who hasn't purchased YET; KM keeps them at risk

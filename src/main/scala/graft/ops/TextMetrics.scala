@@ -1643,6 +1643,35 @@ object TextMetrics {
   }
 
   /**
+   * Compression-ratio quality filter (the Gopher/RefinedWeb
+   * compressibility signal): deflated/raw byte ratio per document —
+   * machine-generated boilerplate and template floods compress FAR
+   * better than natural prose, catching long-range repetition the
+   * n-gram rules miss; near-random byte soup compresses WORSE (ratio
+   * ≈ 1), the binary-spill tell. Ratios land roughly: template spam
+   * < 0.3, natural text 0.4–0.8, random > 0.9 — calibrate thresholds
+   * per deployment (deflate lengths are JVM-deterministic, not an
+   * engine-portable contract — the rows-only-gate honesty note lives
+   * on [[graft.functions.DeflateKernel]]).
+   * One narrow codegen'd projection (`graft_deflate_len` native
+   * expression), zero shuffles. Empty docs report NULL ratio.
+   * Output: id, n_bytes, n_deflate, ratio (4dp), too_repetitive.
+   */
+  def compressionRatio(docs: DataFrame, textCol: String, idCol: String,
+      minRatio: Double = 0.25): DataFrame = {
+    require(minRatio > 0 && minRatio < 1, s"minRatio in (0,1): $minRatio")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col(idCol),
+        octet_length(col(textCol)).as("n_bytes"),
+        call_function("graft_deflate_len", col(textCol)).as("n_deflate"))
+      .withColumn("ratio",
+        when(col("n_bytes") > 0,
+          round(col("n_deflate") / col("n_bytes"), 4)))
+      .withColumn("too_repetitive",
+        coalesce(col("ratio") < minRatio, lit(false)))
+  }
+
+  /**
    * RAKE keyword extraction (Rose et al. 2010) — per-document key
    * phrases without a model: candidate phrases are the maximal token
    * runs BETWEEN stopwords (stopwords delimit, never appear inside),

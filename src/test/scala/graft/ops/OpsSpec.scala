@@ -2410,6 +2410,53 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("compressionRatio: templates compress far below prose, random " +
+    "soup barely compresses, empty NULL, deterministic") {
+    import spark.implicits._
+    val template = Seq.fill(200)("click here to win now").mkString(" ")
+    val prose = "the quick brown fox jumps over a lazy dog while " +
+      "seventeen implausible pelicans argue about parquet metadata " +
+      "and a modest kangaroo files a formal complaint in triplicate"
+    // a SEEDED rng: multiplicative-hash chars are a linear sequence
+    // deflate models at ratio 0.17 — "looks arbitrary" is not entropy
+    val rng = new scala.util.Random(42)
+    val soup = Array.fill(600)((rng.nextInt(94) + 33).toChar).mkString
+    val df = Seq((1L, template), (2L, prose), (3L, soup), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextMetrics.compressionRatio(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4)))).toMap
+    val (Some(rt), flagT) = got(1L)
+    val (Some(rp), _) = got(2L)
+    val (Some(rs), flagS) = got(3L)
+    assert(rt < 0.1 && flagT, s"template must flag as repetitive: $rt")
+    assert(rp > rt && rp < 0.9, s"prose in the middle band: $rp")
+    assert(rs > rp && !flagS, s"random soup barely compresses: $rs")
+    assert(got(4L) == ((None, false)), "empty doc: NULL ratio, no flag")
+    // deterministic within a JVM
+    val again = TextMetrics.compressionRatio(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.get(2)).toMap
+    assert(again(1L) != null && again ==
+      TextMetrics.compressionRatio(df, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.get(2)).toMap)
+  }
+
+  test("hillTail: exact-exponent fixture, below-xmin excluded, thin " +
+    "tail NULL") {
+    import spark.implicits._
+    // x = xmin * e for 4 tail points: sum ln = 4 -> alpha = 1 + 4/4 = 2
+    val xmin = 10.0
+    val xs = Seq.fill(4)(xmin * math.E) ++ Seq(1.0, 2.0, 5.0)
+    val r = Profile.hillTail(xs.toDF("v"), "v", xmin).collect().head
+    assert(r.getLong(1) == 4 && r.getLong(2) == 7)
+    assert(math.abs(r.getDouble(4) - 2.0) < 1e-4, s"alpha ${r.get(4)}")
+    assert(math.abs(r.getDouble(5) - 0.5) < 1e-4, s"se ${r.get(5)}")
+    // a single tail point carries no slope information
+    val thin = Seq(100.0, 1.0).toDF("v")
+    assert(Profile.hillTail(thin, "v", 50.0).collect().head.isNullAt(4))
+  }
+
   test("kaplanMeier: textbook curve with censoring, terminal point " +
     "hits exact zero, censored subjects stay at risk") {
     import spark.implicits._
