@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.Dedup
+import graft.ops.{Dedup, Graph}
 
 /**
  * Scaling evidence for the banding-pair dedup operators (SURVEY §6): wall
@@ -151,12 +151,70 @@ object PairScaling {
       println(f"""{"op":"semantic_pairs","multiple":$m,"docs":$nVecs,"pairs":$pairs,"sec":$med%.3f}""")
       ("semantic_pairs", m, nVecs, pairs, med)
     })
+    // Link-prediction scaling tiers. Two sweeps, two claims:
+    //  - link_pred_nodes: m DISJOINT copies of the graph (node ids
+    //    offset per copy) — node count grows, degrees constant, so the
+    //    wedge join's Σ deg² cost grows LINEARLY: the scale-out claim.
+    //  - link_pred (density): EDGES m× on the SAME 997 nodes via the
+    //    (2c+1) residue bijection (997 prime: any nonzero multiplier
+    //    is a bijection). The documented envelope is Σ deg² ∝ m², but
+    //    a 997-node graph SATURATES (candidate pairs cap at C(997,2)),
+    //    so the measured slope lands between 1 and 2 — recorded as-is:
+    //    density sweeps on a small fixed node set hit completeness
+    //    before they exhibit the clean quadratic, which is itself the
+    //    honest reading. (A first cut also pinned maxWedgeDegree at
+    //    the base graph's own max degree: at 2× density EVERY center
+    //    exceeded it and candidates went to exactly 0 — the hub guard
+    //    is a hard gate sized to EXPECTED degree, not a soft degrade;
+    //    kept as a doc note, not a misleading 0-row series.)
+    // Base thinned 10x so the density 8x point stays seconds.
+    val linkResults = if (!wanted("link_pred") && !wanted("link_pred_nodes"))
+      Seq.empty
+    else {
+      val ordersDf = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_custkey"), col("o_orderkey"))
+      def densityCorpus(m: Int): DataFrame =
+        (0 until m).map { c =>
+          val mult = lit((2 * c + 1).toLong)
+          ordersDf.select(
+            pmod(col("o_custkey") * mult, lit(997L)).as("src"),
+            pmod(col("o_orderkey") * mult, lit(997L)).as("dst"))
+        }.reduce(_.unionAll(_))
+      def nodesCorpus(m: Int): DataFrame =
+        (0 until m).map { c =>
+          val off = lit(c.toLong * 10000L)
+          ordersDf.select(
+            (pmod(col("o_custkey"), lit(997L)) + off).as("src"),
+            (pmod(col("o_orderkey"), lit(997L)) + off).as("dst"))
+        }.reduce(_.unionAll(_))
+      Seq(1, 2, 4, 8).flatMap { m =>
+        Seq(("link_pred", densityCorpus _), ("link_pred_nodes", nodesCorpus _))
+          .filter { case (nm, _) => wanted(nm) }
+          .map { case (nm, mk) =>
+            val e = mk(m)
+            var pairs = 0L
+            val times = (0 until reps).map { _ =>
+              val t0 = System.nanoTime()
+              pairs = Graph.linkPrediction(e, "src", "dst").count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            val med = median(times)
+            println(f"""{"op":"$nm","multiple":$m,"docs":${997L * m},"pairs":$pairs,"sec":$med%.3f}""")
+            (nm, m, 997L * m, pairs, med)
+          }
+      }
+    }
+    val allResults = results ++ linkResults
+
     // fitted slope of log2(time) per log2(size) across the doubling chain;
     // ~1.0 = linear banding cost (~1.5 for the semantic n^1.5 law),
     // 2.0 would be the all-pairs blow-up
-    val summary = (ops.map(_._1) :+ "semantic_pairs")
-      .filter(wanted).map { name =>
-      val rs = results.filter(_._1 == name).sortBy(_._2)
+    val summary = (ops.map(_._1) ++
+      Seq("semantic_pairs", "link_pred", "link_pred_nodes"))
+      .filter(wanted)
+      .filter(name => allResults.exists(_._1 == name)).map { name =>
+      val rs = allResults.filter(_._1 == name).sortBy(_._2)
       val slopes = rs.sliding(2).map { case Seq(a, b) =>
         math.log(b._5 / a._5) / math.log(b._2.toDouble / a._2)
       }.toSeq
