@@ -2912,6 +2912,21 @@ object SparkEntry {
       graft.ops.Graph.kCore(e, "src", "dst", k = 21)
         .orderBy("node")
     }),
+    "graph_assort" -> ((s, dir) => {
+      // degree assortativity of the orders graph: hubs-to-hubs or
+      // hubs-to-leaves? guarded-moment Pearson over edge-end degrees
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"),
+        (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.assortativity(e, "src", "dst")
+    }),
+    "text_heaps" -> ((s, dir) =>
+      // Heaps'-law vocabulary growth at 10 doc-id quantile prefixes:
+      // ONE scan via first-occurrence ids (k cumulative distincts
+      // decompose into k conditional counts), beta via regr_slope
+      graft.ops.TextMetrics.heapsLaw(t(s, dir, "documents"), "text",
+          "doc_id", checkpoints = 10)
+        .orderBy("checkpoint")),
     "graph_link_pred" -> ((s, dir) => {
       // link prediction on the 997-node orders graph: non-adjacent
       // pairs with >= 15 common neighbors, scored by the classic trio
@@ -3513,6 +3528,45 @@ object SparkEntry {
     "graph_hits" -> hitsOracle(8),
     "graph_kcore" -> kcoreOracle(21, 14),
     "graph_lpa" -> lpaOracle(4),
+    "graph_assort" ->
+      """WITH e0 AS (SELECT DISTINCT
+        |    least(o_custkey % 997, o_orderkey % 997) AS a,
+        |    greatest(o_custkey % 997, o_orderkey % 997) AS b
+        |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997),
+        |nb AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM nb
+        |  GROUP BY 1),
+        |en AS (SELECT da.deg::DOUBLE AS x, db.deg::DOUBLE AS y
+        |  FROM nb JOIN deg da ON da.node = nb.a
+        |  JOIN deg db ON db.node = nb.b)
+        |SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+        |  (count(*) // 2)::BIGINT AS n_edges,
+        |  round(corr(x, y), 4) AS assortativity
+        |FROM en""".stripMargin,
+    "text_heaps" ->
+      """WITH tok AS (SELECT doc_id AS id,
+        |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        |      AS term FROM documents),
+        |fs AS (SELECT term, min(id) AS f FROM tok GROUP BY term),
+        |pd AS (SELECT id, count(*)::BIGINT AS nt FROM tok GROUP BY id),
+        |cu AS (SELECT [quantile_cont(id, 0.1), quantile_cont(id, 0.2),
+        |    quantile_cont(id, 0.3), quantile_cont(id, 0.4),
+        |    quantile_cont(id, 0.5), quantile_cont(id, 0.6),
+        |    quantile_cont(id, 0.7), quantile_cont(id, 0.8),
+        |    quantile_cont(id, 0.9), quantile_cont(id, 1.0)] AS cs
+        |  FROM pd),
+        |g AS (SELECT p AS checkpoint, cs[p] AS id_threshold,
+        |    (SELECT sum(nt) FROM pd WHERE pd.id <= cs[p])::BIGINT
+        |      AS n_tokens,
+        |    (SELECT count(*) FROM fs WHERE fs.f <= cs[p])::BIGINT
+        |      AS vocab
+        |  FROM cu, unnest(generate_series(1, 10)) AS u(p)),
+        |b AS (SELECT regr_slope(ln(vocab::DOUBLE), ln(n_tokens::DOUBLE))
+        |    AS bb FROM g WHERE n_tokens > 0 AND vocab > 0)
+        |SELECT g.checkpoint::INTEGER AS checkpoint,
+        |  round(g.id_threshold, 4) AS id_threshold, g.n_tokens, g.vocab,
+        |  round(b.bb, 4) + 0.0 AS beta
+        |FROM g, b ORDER BY checkpoint""".stripMargin,
     "graph_link_pred" ->
       """WITH e0 AS MATERIALIZED (SELECT DISTINCT
         |    least(o_custkey % 997, o_orderkey % 997) AS a,

@@ -258,6 +258,46 @@ object Graph {
   }
 
   /**
+   * Degree assortativity (Newman 2002) — the one-number wiring health
+   * check: Pearson correlation of endpoint degrees over the edge list
+   * (both orientations — the symmetric definition). Social graphs run
+   * positive (hubs befriend hubs), link farms and star spam run
+   * NEGATIVE (hubs pointing at throwaway leaves), r ≈ 0 is random
+   * wiring — a crawl-graph fingerprint next to [[pageRank]]'s ranking
+   * and [[triangleCounts]]' clustering. Computed from guarded moments
+   * (the acf rule — a regular graph has zero degree variance and must
+   * report NULL, not an ANSI divide error). One degree aggregation +
+   * two node-keyed joins + one 1-row moment rollup.
+   * Output: 1 row — n_nodes, n_edges, assortativity (4dp).
+   */
+  def assortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("long").as("a"),
+        col(dstCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    val nb = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = nb.groupBy(col("a").as("node"))
+      .agg(count(lit(1)).as("deg"))
+    val ends = nb
+      .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
+      .select(col("_da").cast("double").as("x"),
+        col("_db").cast("double").as("y"))
+    ends.agg(count(lit(1)).as("_n2"),
+        covar_samp(col("x"), col("y")).as("_c"),
+        stddev_samp(col("x")).as("_sx"), stddev_samp(col("y")).as("_sy"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .select(col("n_nodes"), expr("_n2 div 2").as("n_edges"),
+        when(col("_sx") > 0 && col("_sy") > 0,
+          round(col("_c") / (col("_sx") * col("_sy")), 4))
+          .as("assortativity"))
+  }
+
+  /**
    * Link prediction scores (Liben-Nowell & Kleinberg 2003) — the
    * classic trio over an undirected graph: for every NON-adjacent pair
    * with at least one common neighbor, the common-neighbor count,

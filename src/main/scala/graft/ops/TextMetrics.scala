@@ -1643,6 +1643,62 @@ object TextMetrics {
   }
 
   /**
+   * Heaps'-law vocabulary growth (Heaps 1978) — the third corpus-
+   * health number next to [[zipfFit]] and the compression ratio: how
+   * fast does vocabulary grow as the corpus grows? Natural text runs
+   * V ∝ N^β with β ≈ 0.5–0.7; a template flood's curve goes FLAT
+   * (same words forever), synthetic id-soup runs β ≈ 1 (every token
+   * new). Checkpoints are doc-id quantile prefixes; the trick that
+   * makes k checkpoints cost ONE scan instead of k distinct-counts:
+   * a term is in prefix p's vocabulary iff its FIRST-occurrence doc id
+   * ≤ p's threshold — so one term-level min(doc_id) aggregation + k
+   * conditional counts replaces k cumulative distincts (which no
+   * engine can decompose; the adoption lesson). β is the regr_slope
+   * of ln V on ln N over the checkpoints — shared moment definitions,
+   * the zipfFit contract.
+   * Output: one row per checkpoint — checkpoint, id_threshold,
+   * n_tokens, vocab, beta (4dp; identical on every row — the fit is a
+   * 1-row subtree).
+   */
+  def heapsLaw(docs: DataFrame, textCol: String, idCol: String,
+      checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 2 && checkpoints <= 64,
+      s"checkpoints must be in [2, 64]: $checkpoints")
+    val tok = docs.select(col(idCol).cast("long").as("id"),
+        explode(split(col(textCol), " ", -1)).as("term"))
+      .filter(col("term") =!= "")
+    val firstSeen = tok.groupBy("term").agg(min("id").as("_first"))
+    val perDoc = tok.groupBy("id").agg(count(lit(1)).as("_nt"))
+    val cuts = perDoc.agg(percentile(col("id"),
+      typedLit((1 to checkpoints).map(_ / checkpoints.toDouble)))
+      .as("_cuts"))
+    val vAggs = (1 to checkpoints).flatMap(p => Seq(
+      count(when(col("_first") <= col(s"_c$p"), 1)).as(s"_v$p")))
+    val nAggs = (1 to checkpoints).flatMap(p => Seq(
+      sum(when(col("id") <= col(s"_c$p"), col("_nt"))).as(s"_n$p")))
+    def withCuts(df: DataFrame): DataFrame =
+      (1 to checkpoints).foldLeft(df.crossJoin(cuts)) { (d, p) =>
+        d.withColumn(s"_c$p", element_at(col("_cuts"), p))
+      }
+    val vRow = withCuts(firstSeen).agg(vAggs.head, vAggs.tail: _*)
+    val nRow = withCuts(perDoc).agg(nAggs.head, nAggs.tail: _*)
+    val grid = vRow.crossJoin(nRow).crossJoin(cuts)
+      .select(expr(s"stack($checkpoints, " +
+        (1 to checkpoints).map(p =>
+          s"$p, element_at(_cuts, $p), _n$p, _v$p").mkString(", ") +
+        ") AS (checkpoint, id_threshold, n_tokens, vocab)"))
+    val beta = grid
+      .filter(col("n_tokens") > 0 && col("vocab") > 0)
+      .agg(expr("regr_slope(ln(cast(vocab as double)), " +
+        "ln(cast(n_tokens as double)))").as("_b"))
+    grid.crossJoin(beta)
+      .select(col("checkpoint"), round(col("id_threshold"), 4)
+          .as("id_threshold"),
+        col("n_tokens"), col("vocab"),
+        (round(col("_b"), 4) + lit(0.0)).as("beta"))
+  }
+
+  /**
    * Compression-ratio quality filter (the Gopher/RefinedWeb
    * compressibility signal): deflated/raw byte ratio per document —
    * machine-generated boilerplate and template floods compress FAR

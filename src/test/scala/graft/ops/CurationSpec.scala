@@ -1255,6 +1255,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("assortativity: star is perfectly disassortative, regular ring " +
+    "NULL, == reference Pearson on a pseudo-random graph") {
+    import spark.implicits._
+    // star: every edge joins the deg-4 hub to a deg-1 leaf -> r = -1
+    val star = (1L to 4L).map(l => (0L, l)).toDF("s", "d")
+    val rs = Graph.assortativity(star, "s", "d").collect().head
+    assert(rs.getLong(0) == 5 && rs.getLong(1) == 4)
+    assert(rs.getDouble(2) == -1.0)
+    // ring: every degree 2 -> zero variance -> NULL, never an error
+    val ring = (0L until 6L).map(i => (i, (i + 1) % 6)).toDF("s", "d")
+    assert(Graph.assortativity(ring, "s", "d").collect().head.isNullAt(2))
+    // reference Pearson over doubled edge ends on a pseudo-random graph
+    val redges = (0 until 200).map { i =>
+      val h = (i * 2654435761L) & 0x7fffffffL
+      (h % 25L, (h / 25L) % 25L)
+    }
+    val simple = redges.filter { case (u, v) => u != v }
+      .map { case (u, v) => (math.min(u, v), math.max(u, v)) }.distinct
+    val deg = simple.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (n, xs) => n -> xs.size }
+    val ends = simple.flatMap { case (a, b) =>
+      Seq((deg(a).toDouble, deg(b).toDouble),
+        (deg(b).toDouble, deg(a).toDouble)) }
+    val n = ends.size
+    val mx = ends.map(_._1).sum / n; val my = ends.map(_._2).sum / n
+    val cov = ends.map(p => (p._1 - mx) * (p._2 - my)).sum / (n - 1)
+    val sx = math.sqrt(ends.map(p => math.pow(p._1 - mx, 2)).sum / (n - 1))
+    val sy = math.sqrt(ends.map(p => math.pow(p._2 - my, 2)).sum / (n - 1))
+    val want = cov / (sx * sy)
+    val got = Graph.assortativity(redges.toDF("s", "d"), "s", "d")
+      .collect().head.getDouble(2)
+    assert(math.abs(got - want) < 1e-3, s"got $got want $want")
+  }
+
   test("linkPrediction: wedge/square closed forms, existing edges " +
     "excluded, == brute force on a pseudo-random graph") {
     import spark.implicits._

@@ -2410,6 +2410,30 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("heapsLaw: growing corpora grow vocabulary with 0 < beta <= 1, " +
+    "template floods go flat, curves are monotone and close") {
+    import spark.implicits._
+    // each doc introduces two fresh terms plus a shared filler
+    val growing = (0 until 60).map(i =>
+      (i.toLong, s"w${2 * i} w${2 * i + 1} common common"))
+      .toDF("doc_id", "text")
+    val g = TextMetrics.heapsLaw(growing, "text", "doc_id",
+      checkpoints = 5).collect().sortBy(_.getInt(0))
+    val vocab = g.map(_.getLong(3)); val toks = g.map(_.getLong(2))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => b >= a })
+    assert(toks.zip(toks.tail).forall { case (a, b) => b > a })
+    assert(vocab.last == 121, "60 docs x 2 fresh + common = 121 terms")
+    assert(toks.last == 240)
+    val beta = g.head.getDouble(4)
+    assert(beta > 0.5 && beta <= 1.0, s"near-linear vocab growth: $beta")
+    // template flood: vocabulary saturates immediately -> beta ~ 0
+    val flood = (0 until 60).map(i => (i.toLong, "spam ham spam ham"))
+      .toDF("doc_id", "text")
+    val fb = TextMetrics.heapsLaw(flood, "text", "doc_id",
+      checkpoints = 5).collect().head.getDouble(4)
+    assert(math.abs(fb) < 0.01, s"flat vocab must read beta ~ 0: $fb")
+  }
+
   test("compressionRatio: templates compress far below prose, random " +
     "soup barely compresses, empty NULL, deterministic") {
     import spark.implicits._
