@@ -2059,6 +2059,16 @@ object SparkEntry {
       graft.ops.TextMetrics.compressionRatio(t(s, dir, "documents"),
           "text", "doc_id")
         .orderBy("doc_id")),
+    "q_qq_compare" -> ((s, dir) => {
+      // Q-Q deciles of doc length: en vs the rest — the drift view
+      // that shows WHERE in the distribution a shift lives; two 1-row
+      // percentile subtrees, no sample join
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.qqCompare(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "n_chars")
+        .orderBy("p")
+    }),
     "q_pareto_tail" -> ((s, dir) =>
       // Hill tail exponent of order totals above 300k: can this column
       // be averaged, or does it need medians? one scan aggregation
@@ -4578,6 +4588,26 @@ object SparkEntry {
         |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_qq_compare" ->
+      """WITH a AS (SELECT n_chars::DOUBLE AS x FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |b AS (SELECT n_chars::DOUBLE AS x FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |qa AS (SELECT [quantile_cont(x, 0.1), quantile_cont(x, 0.2),
+        |    quantile_cont(x, 0.3), quantile_cont(x, 0.4),
+        |    quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+        |    quantile_cont(x, 0.7), quantile_cont(x, 0.8),
+        |    quantile_cont(x, 0.9)] AS cs FROM a),
+        |qb AS (SELECT [quantile_cont(x, 0.1), quantile_cont(x, 0.2),
+        |    quantile_cont(x, 0.3), quantile_cont(x, 0.4),
+        |    quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+        |    quantile_cont(x, 0.7), quantile_cont(x, 0.8),
+        |    quantile_cont(x, 0.9)] AS cs FROM b)
+        |SELECT round(p / 10.0, 4) AS p, round(qa.cs[p], 4) AS q_a,
+        |  round(qb.cs[p], 4) AS q_b,
+        |  round(qb.cs[p] - qa.cs[p], 4) + 0.0 AS gap
+        |FROM unnest(generate_series(1, 9)) AS u(p), qa, qb
+        |ORDER BY p""".stripMargin,
     "q_pareto_tail" ->
       """SELECT 300000.0 AS xmin,
         |  count(*) FILTER (WHERE o_totalprice >= 300000.0)::BIGINT

@@ -849,6 +849,39 @@ object Profile {
   }
 
   /**
+   * Quantile–quantile comparison — the third leg of the drift family
+   * ([[statsDrift]] says which MOMENTS moved, [[psiDrift]] tests
+   * binned mass, this compares the DISTRIBUTIONS point for point):
+   * exact quantiles of two samples side by side at k probability
+   * points, with per-point gaps — where in the distribution the shift
+   * lives (a tail-only drift is invisible to means and smeared by wide
+   * bins; the q90 row shows it directly). Two 1-row exact-percentile
+   * subtrees (one scan each, the winsorize approx swap applies) +
+   * a k-row grid stack — no join of the samples, no window.
+   * Output: p (4dp), q_a (4dp), q_b (4dp), gap (4dp).
+   */
+  def qqCompare(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      points: Int = 9): DataFrame = {
+    require(points >= 1 && points <= 99, s"points in [1, 99]: $points")
+    val x = col(valueCol).cast("double")
+    val ps = (1 to points).map(_ / (points + 1.0))
+    def side(df: DataFrame, nm: String): DataFrame =
+      df.filter(x.isNotNull)
+        .agg(percentile(x, typedLit(ps)).as(nm))
+    // CAST: a bare 0.1 literal parses as DECIMAL(1,1) in Spark SQL —
+    // the Holt-anchor lesson, this time on the engine side
+    val stackArgs = (1 to points).map(i =>
+      s"cast(${ps(i - 1)} as double), " +
+        s"element_at(_qa, $i), element_at(_qb, $i)")
+      .mkString(", ")
+    side(dfA, "_qa").crossJoin(side(dfB, "_qb"))
+      .select(expr(s"stack($points, $stackArgs) AS (p, qa, qb)"))
+      .select(round(col("p"), 4).as("p"),
+        round(col("qa"), 4).as("q_a"), round(col("qb"), 4).as("q_b"),
+        (round(col("qb") - col("qa"), 4) + lit(0.0)).as("gap"))
+  }
+
+  /**
    * Hill tail-index estimator — the heavy-tail diagnostic next to
    * [[benford]]'s digit screen and the Zipf fit (does this value
    * distribution have a power-law tail, and how heavy?): for the

@@ -2410,6 +2410,23 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("qqCompare: identical samples gap 0, planted shift appears at " +
+    "exactly the shifted quantiles") {
+    import spark.implicits._
+    val a = (1 to 100).map(_.toDouble).toDF("v")
+    val same = Profile.qqCompare(a, a, "v").collect()
+    assert(same.length == 9 && same.forall(_.getDouble(3) == 0.0))
+    // shift ONLY the top half: low quantiles agree, high ones gap
+    val b = (1 to 100).map(i => if (i > 50) i + 1000.0 else i.toDouble)
+      .toDF("v")
+    val sh = Profile.qqCompare(a, b, "v").collect()
+      .map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    assert(sh(0.1) == 0.0 && sh(0.3) == 0.0,
+      "the untouched lower tail must agree")
+    assert(sh(0.7) == 1000.0 && sh(0.9) == 1000.0,
+      s"the shifted upper tail must show the full gap: $sh")
+  }
+
   test("heapsLaw: growing corpora grow vocabulary with 0 < beta <= 1, " +
     "template floods go flat, curves are monotone and close") {
     import spark.implicits._
