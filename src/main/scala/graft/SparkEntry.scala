@@ -2938,12 +2938,15 @@ object SparkEntry {
           "doc_id", checkpoints = 10)
         .orderBy("checkpoint")),
     "graph_link_pred" -> ((s, dir) => {
-      // link prediction on the 997-node orders graph: non-adjacent
-      // pairs with >= 15 common neighbors, scored by the classic trio
-      // (cn / Jaccard / Adamic-Adar) via the wedge join
-      val e = t(s, dir, "orders").select(
-        (col("o_custkey") % 997).as("src"),
-        (col("o_orderkey") % 997).as("dst"))
+      // link prediction on a 1/3-density slice of the 997-node orders
+      // graph (the full sf0.1 graph has deg ~250 — wedge cost tracks
+      // Σ deg², the documented envelope, and the gate models the
+      // realistic-density regime); deterministic top-100 by the
+      // classic trio (cn / Jaccard / Adamic-Adar)
+      val e = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 3 === 0)
+        .select((col("o_custkey") % 997).as("src"),
+          (col("o_orderkey") % 997).as("dst"))
       graft.ops.Graph.linkPrediction(e, "src", "dst")
         .orderBy(desc("common_neighbors"), col("id_a"), col("id_b"))
         .limit(100)
@@ -3581,7 +3584,8 @@ object SparkEntry {
       """WITH e0 AS MATERIALIZED (SELECT DISTINCT
         |    least(o_custkey % 997, o_orderkey % 997) AS a,
         |    greatest(o_custkey % 997, o_orderkey % 997) AS b
-        |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997),
+        |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997
+        |    AND o_orderkey % 3 = 0),
         |nb AS (SELECT a AS ctr, b AS n FROM e0
         |  UNION ALL SELECT b, a FROM e0),
         |deg AS (SELECT ctr AS node, count(*)::BIGINT AS deg FROM nb
@@ -3770,7 +3774,7 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 3000000, 'clone marker ' || doc_id || ' ' || text
-        |  FROM documents WHERE doc_id % 10 = 0),
+        |  FROM documents WHERE doc_id % 5 = 0),
         |tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus
         |  WHERE len(string_split(text, ' ')) >= 10),
         |s AS (SELECT doc_id,
@@ -3789,7 +3793,7 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 3000000, 'clone marker ' || doc_id || ' ' || text
-        |  FROM documents WHERE doc_id % 10 = 0),
+        |  FROM documents WHERE doc_id % 5 = 0),
         |tokd AS (SELECT doc_id, string_split(text, ' ') AS tok FROM corpus),
         |s AS (SELECT doc_id,
         |  unnest(range(1, len(tok) - 8))::BIGINT AS pos,
@@ -3842,7 +3846,7 @@ object SparkEntry {
         |        WHEN doc_id % 4 = 2 THEN 'https://'
         |        ELSE 'http://www.' END) ||
         |  'd' || (doc_id % 50) || '.example.com/page/' || (doc_id % 100) ||
-        |  (CASE WHEN doc_id % 10 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
         |  (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed' ELSE '' END) ||
         |  (CASE WHEN doc_id % 3 = 0 THEN '#section' ELSE '' END) AS url
         |  FROM documents),
@@ -5440,7 +5444,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 <> 0
         |  UNION ALL
         |  SELECT doc_id + 100000, 'new doc ' || doc_id::VARCHAR
-        |  FROM documents WHERE doc_id % 10 = 0)
+        |  FROM documents WHERE doc_id % 5 = 0)
         |SELECT doc_id, text FROM newv ORDER BY doc_id""".stripMargin,
     "q_corpus_diff" ->
       """WITH oldv AS (SELECT doc_id, text FROM documents),
@@ -5450,7 +5454,7 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 10 <> 0
         |  UNION ALL
         |  SELECT doc_id + 100000, 'new doc ' || doc_id::VARCHAR
-        |  FROM documents WHERE doc_id % 10 = 0),
+        |  FROM documents WHERE doc_id % 5 = 0),
         |oh AS (SELECT doc_id, md5(text) AS old_hash FROM oldv),
         |nh AS (SELECT doc_id, md5(text) AS new_hash FROM newv)
         |SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,

@@ -569,10 +569,15 @@ class PlanAuditSpec extends AnyFunSuite {
       "n_chars", b = 8).queryExecution.executedPlan.toString
     assert(!pb.contains("Window") && !pb.contains("SinglePartition"),
       s"bootstrapCI must be pure keyed aggregation:\n$pb")
+    // temperatureSample's rmin is a 1-row aggregate subtree — ONE
+    // SinglePartition exchange is the documented pageRank-N pattern,
+    // not a funnel; the ranking window itself must stay domain-keyed
     val pt = graft.ops.Sampling.temperatureSample(docs, "lang",
       "doc_id", 2.0).queryExecution.executedPlan.toString
-    assert(!pt.contains("SinglePartition"),
-      s"temperatureSample funnels through one partition:\n$pt")
+    assert("Exchange SinglePartition".r.findAllIn(pt).length <= 1,
+      s"more than the 1-row min subtree funnels:\n$pt")
+    assert(pt.contains("windowspecdefinition(lang"),
+      s"temperatureSample ranking window must partition by domain:\n$pt")
     val subj = (0 until 50).map(i => (s"g${i % 2}", (i % 7).toDouble,
       i % 3 == 0)).toDF("g", "t", "e")
     val pk = graft.ops.Profile.kaplanMeier(subj, "g", "t", "e")
