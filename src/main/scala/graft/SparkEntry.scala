@@ -2059,6 +2059,14 @@ object SparkEntry {
       graft.ops.TextMetrics.compressionRatio(t(s, dir, "documents"),
           "text", "doc_id")
         .orderBy("doc_id")),
+    "q_ks_test" -> ((s, dir) => {
+      // two-sample KS on the same en-vs-rest split as q_qq_compare:
+      // D, where the curves pull apart, and the asymptotic 95% cut
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.ksTest(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "n_chars")
+    }),
     "q_qq_compare" -> ((s, dir) => {
       // Q-Q deciles of doc length: en vs the rest — the drift view
       // that shows WHERE in the distribution a shift lives; two 1-row
@@ -4592,6 +4600,33 @@ object SparkEntry {
         |  FROM c JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts)
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
+    "q_ks_test" ->
+      """WITH a AS (SELECT round(n_chars::DOUBLE, 4) AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |b AS (SELECT round(n_chars::DOUBLE, 4) AS v FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, count(*)::BIGINT AS c FROM a GROUP BY v),
+        |cb AS (SELECT v, count(*)::BIGINT AS c FROM b GROUP BY v),
+        |m AS (SELECT v, coalesce(ca.c, 0) AS cca,
+        |    coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL OUTER JOIN cb USING (v)),
+        |t AS (SELECT sum(cca)::BIGINT AS na, sum(ccb)::BIGINT AS nb
+        |  FROM m),
+        |wlk AS (SELECT v, round(abs(
+        |    sum(cca) OVER win / t.na::DOUBLE
+        |      - sum(ccb) OVER win / t.nb::DOUBLE), 6) AS d
+        |  FROM m, t WINDOW win AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mx AS (SELECT max(d) AS md FROM wlk)
+        |SELECT t.na AS n_a, t.nb AS n_b, round(mx.md, 4) AS d_stat,
+        |  round((SELECT min(v) FROM wlk WHERE wlk.d = mx.md), 4)
+        |    AS d_at,
+        |  round(1.358 * sqrt((t.na + t.nb) / (t.na * t.nb)::DOUBLE), 4)
+        |    AS d_crit95,
+        |  round(mx.md, 4)
+        |    > round(1.358 * sqrt((t.na + t.nb)
+        |      / (t.na * t.nb)::DOUBLE), 4) AS significant
+        |FROM t, mx""".stripMargin,
     "q_qq_compare" ->
       """WITH a AS (SELECT n_chars::DOUBLE AS x FROM documents
         |  WHERE lang = 'en' AND n_chars IS NOT NULL),

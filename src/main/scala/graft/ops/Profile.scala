@@ -849,6 +849,51 @@ object Profile {
   }
 
   /**
+   * Two-sample Kolmogorov–Smirnov test — the drift family's TEST
+   * statistic ([[qqCompare]] shows where distributions differ; KS says
+   * whether the whole-curve gap clears noise): D = max |F_a − F_b|
+   * over the pooled values, with the classic large-sample 95% critical
+   * value 1.358·√((n_a+n_b)/(n_a·n_b)) (Smirnov; the two-sided
+   * asymptotic form — exact small-n tables are out of scope and at
+   * drift-monitoring n the asymptotic IS the test). `d_at` reports the
+   * SMALLEST value achieving the max — where the curves pull apart.
+   *
+   * Determinism/envelope: values round to 4dp before the CDFs (ties
+   * then group identically on any engine) and the cumulative walk runs
+   * over the DISTINCT-value frame — the rocAuc contract: a
+   * single-partition window deliberately bounded by the rounding, not
+   * a corpus-sized sort. One aggregation per side + one pooled walk.
+   * Output: 1 row — n_a, n_b, d_stat (4dp), d_at (4dp),
+   * d_crit95 (4dp), significant.
+   */
+  def ksTest(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = round(col(valueCol).cast("double"), 4)
+    def side(df: DataFrame, nm: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .groupBy(x.as("v")).agg(count(lit(1)).as(nm))
+    val merged = side(dfA, "_ca").join(side(dfB, "_cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val tot = merged.agg(sum("_ca").as("_na"), sum("_cb").as("_nb"))
+    // the deliberate single-partition walk over DISTINCT values
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    merged.crossJoin(tot)
+      .withColumn("_d", round(abs(
+        sum(col("_ca")).over(w) / col("_na") -
+          sum(col("_cb")).over(w) / col("_nb")), 6))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        round(max(col("_d")), 4).as("d_stat"),
+        round(max_by(col("v"), struct(col("_d"), negate(col("v")))), 4)
+          .as("d_at"),
+        round(lit(1.358) * sqrt((max(col("_na")) + max(col("_nb")))
+          / (max(col("_na")) * max(col("_nb"))).cast("double")), 4)
+          .as("d_crit95"))
+      .withColumn("significant", col("d_stat") > col("d_crit95"))
+  }
+
+  /**
    * Quantile–quantile comparison — the third leg of the drift family
    * ([[statsDrift]] says which MOMENTS moved, [[psiDrift]] tests
    * binned mass, this compares the DISTRIBUTIONS point for point):

@@ -2410,6 +2410,25 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(deff - (1 + math.pow(diag.getDouble(5), 2))) < 1e-3)
   }
 
+  test("ksTest: hand CDF walk, identical samples D=0, disjoint " +
+    "samples D=1 and significant at size") {
+    import spark.implicits._
+    // A=[1,2], B=[2,3]: F_a=.5,1,1 F_b=0,.5,1 -> D=.5 first at v=1
+    val a2 = Seq(1.0, 2.0).toDF("v"); val b2 = Seq(2.0, 3.0).toDF("v")
+    val r = Profile.ksTest(a2, b2, "v").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.5 && r.getDouble(3) == 1.0)
+    assert(!r.getBoolean(5), "n=2 cannot clear the asymptotic cut")
+    // identical samples: D exactly 0
+    val same = Profile.ksTest(a2, a2, "v").collect().head
+    assert(same.getDouble(2) == 0.0 && !same.getBoolean(5))
+    // disjoint big samples: D = 1, significant
+    val lo = (1 to 200).map(_.toDouble).toDF("v")
+    val hi = (1001 to 1200).map(_.toDouble).toDF("v")
+    val d = Profile.ksTest(lo, hi, "v").collect().head
+    assert(d.getDouble(2) == 1.0 && d.getBoolean(5))
+  }
+
   test("qqCompare: identical samples gap 0, planted shift appears at " +
     "exactly the shifted quantiles") {
     import spark.implicits._
