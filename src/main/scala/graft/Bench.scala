@@ -18,6 +18,18 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** 1-minute load average from /proc/loadavg (-1.0 where unreadable).
+    * Stamped at bench start and end so a record inflated by host
+    * contention is machine-detectable: on a 32-vCPU box an idle-run
+    * load sits near the bench's own parallelism, while a contended
+    * window shows load far above it — the recurring failure mode where
+    * the archived number ran 40% over the idle truth on identical
+    * code. */
+  private def loadAvg1m(): Double =
+    try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+      .split("\\s+")(0).toDouble
+    catch { case e: Throwable if scala.util.control.NonFatal(e) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -41,6 +53,7 @@ object Bench {
     // unset (the driver's mode) runs everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val loadStart = loadAvg1m()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -104,10 +117,16 @@ object Bench {
     }.mkString("{", ",", "}")
     val nFailed = results.count(_._3 != null)
     val total = results.map(r => median(r._2)).sum
+    val loadEnd = loadAvg1m()
+    // load_start/load_end: 1-min /proc/loadavg at the bench window's
+    // edges — a run whose load sits well above the bench's own
+    // parallelism was contended, and its total should be discounted
+    // against the committed idle record rather than trusted.
+    val loads = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)}"""
     val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$nFailed}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.length},"sf":"$sfDir","reps":$reps,"failed":$nFailed,"detail":"bench_headline.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.length},"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":"bench_headline.json"}"""
     println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs}""")
     println(headline)
     println(compact)

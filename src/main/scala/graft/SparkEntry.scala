@@ -2550,6 +2550,20 @@ object SparkEntry {
           d.filter(col("lang") === "en"), "text", "doc_id", buckets = 256)
         .orderBy("doc_id")
     }),
+    "text_quality_score" -> ((s, dir) => {
+      // portable linear quality scoring under a FIXED literal model:
+      // training floats are order-dependent (text_quality_model stays
+      // rows-only for that reason), but scoring is pure arithmetic —
+      // md5-bucket hashed TF · weights + sigmoid — so a deterministic
+      // coefficient table w(b) = (b mod 7 − 3)/10 over 64 buckets makes
+      // the whole deployment path hash-gateable in DuckDB
+      val coeffs = s.range(64).select(col("id").as("b"),
+        (((col("id") % 7) - 3) / lit(10.0)).as("w"))
+      graft.ops.QualityClassifier.scoreLinear(
+          t(s, dir, "documents"), coeffs, intercept = -0.5,
+          buckets = 64, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "q_corpus_diff" -> ((s, dir) => {
       // dataset-versioning diff: the new snapshot is a deterministic
       // mutation of the old (drops, edits, additions constructed from the
@@ -3099,7 +3113,15 @@ object SparkEntry {
       // byte-level dedup can never see). dHash over real ImageIO
       // decodes, pigeonhole-banded hamming pairs. Pixel decode has no
       // SQL form → rows-only gate; the decode/pairing semantics are
-      // spec-anchored (dHash + imageNearDupPairs specs)
+      // spec-anchored (dHash + imageNearDupPairs specs). FIXTURE-TRUTH
+      // ORACLE: the planted truth is closed-form on doc_ids — pair
+      // (3g, 3g+1) whenever both ids exist, at EXACTLY hamming 0 (the
+      // half-res variant area-averages to bit-identical dHash cells:
+      // constant gray per grid cell makes both resolutions' cell means
+      // the same FP value) — so DuckDB replays the full expected output
+      // from the documents table alone. Valid while max doc_id <
+      // 3·100000 (the variant-2 scene offset; past it a v2 scene
+      // collides with a later group's v0 — sf0.01/sf0.1 are far under)
       val imgs = graft.ops.MediaFixture.images(s,
         t(s, dir, "documents").select("doc_id"))
       graft.ops.Multimodal.imageNearDupPairs(imgs, "id", "payload",
@@ -3110,28 +3132,42 @@ object SparkEntry {
       // perceptual audio dedup on the deterministic WAV corpus (variant
       // 1 = same envelope at half gain — invisible to byte hashing);
       // envelope fingerprints over real PCM decodes, banded hamming.
-      // rows-only gate, spec-anchored like mm_image_dedup
+      // FIXTURE-TRUTH ORACLE on the pair STRUCTURE: (3g, 3g+1)
+      // whenever both ids exist — closed-form on doc_ids like
+      // mm_image_dedup. The hamming VALUE is projected away: 16-bit
+      // PCM quantization means the half-gain variant's RMS envelope is
+      // not bit-exactly half, so a near-tied adjacent block pair could
+      // legitimately flip a comparison (0 < hamming <= 4) — pair
+      // membership is construction-guaranteed, the exact distance is
+      // not, and an oracle must only assert what construction pins
       val clips = graft.ops.MediaFixture.audio(s,
         t(s, dir, "documents").select("doc_id"))
       graft.ops.Multimodal.audioNearDupPairs(clips, "id", "payload",
           maxHamming = 4, bands = 8)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
     "mm_media_meta" -> ((s, dir) => {
       // container-header metadata profile over a mixed PNG/WAV corpus:
-      // per-format counts + dimension/rate aggregates from the real
-      // header parse (the lakehouse media-catalog audit). rows-only
-      // gate (header parsing has no SQL form; sniffMeta is spec-anchored)
+      // per-format counts + dimension/channel/rate aggregates from the
+      // real header parse (the lakehouse media-catalog audit).
+      // FIXTURE-TRUTH ORACLE: every aggregated field is construction-
+      // determined (even ids are 72x48 or 36x24 RGB PNGs, odd ids are
+      // mono 8 kHz WAVs), so DuckDB replays the expected profile from
+      // doc_ids alone. Encoded byte totals are deliberately NOT in the
+      // gate (PNG length is deflate-dependent — no SQL form; payload
+      // sizing stays spec-anchored)
       val mixed = graft.ops.MediaFixture.mixed(s,
         t(s, dir, "documents").select("doc_id"))
       graft.ops.Multimodal.extractMetadata(mixed, "id", "payload").toDF()
         .groupBy("format")
         .agg(count(lit(1)).as("n"),
-          sum(col("n_bytes")).as("total_bytes"),
           round(avg(when(col("width") > 0, col("width"))), 4)
             .as("avg_width"),
           round(avg(when(col("height") > 0, col("height"))), 4)
             .as("avg_height"),
+          round(avg(when(col("channels") > 0, col("channels"))), 4)
+            .as("avg_channels"),
           round(avg(when(col("sample_rate") > 0, col("sample_rate"))), 4)
             .as("avg_rate"))
         .orderBy("format")
@@ -3545,6 +3581,39 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    // mm_* fixture-truth oracles: the media corpus is a pure function
+    // of doc_id (MediaFixture scaladoc), so the EXPECTED engine output
+    // is closed-form on the documents table — the planted (3g, 3g+1)
+    // near-dup pair per group, and the per-format header profile.
+    // These gate real decode + banding end-to-end: a wrong PCM/pixel
+    // decode, a lossy band join, or a header mis-parse all diverge
+    // from the construction truth.
+    "mm_image_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 3 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+    "mm_audio_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 3 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+    "mm_media_meta" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN doc_id % 3 = 1 THEN 36 ELSE 72 END END AS width,
+        |    CASE WHEN doc_id % 2 = 0 THEN
+        |      CASE WHEN doc_id % 3 = 1 THEN 24 ELSE 48 END END AS height,
+        |    CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 1 END AS channels,
+        |    CASE WHEN doc_id % 2 = 1 THEN 8000 END AS rate
+        |  FROM documents)
+        |SELECT format, count(*)::BIGINT AS n,
+        |  round(avg(width), 4) AS avg_width,
+        |  round(avg(height), 4) AS avg_height,
+        |  round(avg(channels), 4) AS avg_channels,
+        |  round(avg(rate), 4) AS avg_rate
+        |FROM m GROUP BY format ORDER BY format""".stripMargin,
     "graph_pagerank" -> pageRankOracle(5),
     "graph_hits" -> hitsOracle(8),
     "graph_kcore" -> kcoreOracle(21, 14),
@@ -4755,14 +4824,24 @@ object SparkEntry {
         |    CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4))
         |      AS BIGINT) % 32 AS bucket,
         |    CAST(('0x' || substring(md5(concat_ws('|',
-        |      o_orderkey::VARCHAR, o_totalprice::VARCHAR,
-        |      o_orderstatus)), 1, 8)) AS BIGINT) AS h FROM a0),
+        |      CASE WHEN o_orderkey IS NULL THEN 'n'
+        |        ELSE 'v' || o_orderkey::VARCHAR END,
+        |      CASE WHEN o_totalprice IS NULL THEN 'n'
+        |        ELSE 'v' || o_totalprice::VARCHAR END,
+        |      CASE WHEN o_orderstatus IS NULL THEN 'n'
+        |        ELSE 'v' || o_orderstatus END)), 1, 8))
+        |      AS BIGINT) AS h FROM a0),
         |hb AS (SELECT
         |    CAST(('0x' || substring(md5(o_orderkey::VARCHAR), 1, 4))
         |      AS BIGINT) % 32 AS bucket,
         |    CAST(('0x' || substring(md5(concat_ws('|',
-        |      o_orderkey::VARCHAR, o_totalprice::VARCHAR,
-        |      o_orderstatus)), 1, 8)) AS BIGINT) AS h FROM b0),
+        |      CASE WHEN o_orderkey IS NULL THEN 'n'
+        |        ELSE 'v' || o_orderkey::VARCHAR END,
+        |      CASE WHEN o_totalprice IS NULL THEN 'n'
+        |        ELSE 'v' || o_totalprice::VARCHAR END,
+        |      CASE WHEN o_orderstatus IS NULL THEN 'n'
+        |        ELSE 'v' || o_orderstatus END)), 1, 8))
+        |      AS BIGINT) AS h FROM b0),
         |ga AS (SELECT bucket, count(*)::BIGINT AS n_a,
         |    sum(h)::BIGINT AS sum_a FROM ha GROUP BY bucket),
         |gb AS (SELECT bucket, count(*)::BIGINT AS n_b,
@@ -5460,6 +5539,25 @@ object SparkEntry {
         |  round(sum(lr), 4) + 0.0 AS dsir_logw
         |FROM tk JOIN r USING (b) GROUP BY tk.doc_id
         |ORDER BY doc_id""".stripMargin,
+    "text_quality_score" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS t FROM documents),
+        |tk AS (SELECT doc_id,
+        |    CAST('0x' || substring(md5(t), 1, 6) AS BIGINT) % 64 AS b
+        |  FROM tok WHERE t <> ''),
+        |tf AS (SELECT doc_id, b, count(*)::DOUBLE AS tf FROM tk
+        |  GROUP BY 1, 2),
+        |co AS (SELECT range AS b, ((range % 7) - 3) / 10.0 AS w
+        |  FROM range(64)),
+        |z AS (SELECT doc_id, sum(tf)::BIGINT AS n_tokens,
+        |    sum(tf * coalesce(w, 0)) AS z
+        |  FROM tf LEFT JOIN co USING (b) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_tokens, 0)::BIGINT AS n_tokens,
+        |  round(1.0 / (1.0 + exp(-(-0.5 + coalesce(z, 0)))), 4)
+        |    AS quality_prob
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN z USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH k AS (SELECT doc_id, lang, n_chars,
         |  round(ln((CAST('0x' || substring(md5('42|' || doc_id::VARCHAR),
@@ -5867,8 +5965,11 @@ object SparkEntry {
     "q_soundex_block" ->
       """WITH f AS (SELECT regexp_extract(lower(p_name), '^[a-z]+') AS w
         |  FROM part WHERE regexp_extract(lower(p_name), '^[a-z]+') <> ''),
-        |t0 AS (SELECT w, translate(translate(w, 'hw', ''),
-        |    'abcdefgijklmnopqrstuvxyz', '012301202245501262301202') AS t
+        |t0 AS (SELECT w, translate(substr(w, 1, 1),
+        |      'abcdefgijklmnopqrstuvxyz', '012301202245501262301202')
+        |    || translate(translate(regexp_replace(w, '^.', ''),
+        |      'hw', ''), 'abcdefgijklmnopqrstuvxyz',
+        |      '012301202245501262301202') AS t
         |  FROM f),
         |t1 AS (SELECT w, regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -5889,8 +5990,11 @@ object SparkEntry {
         |    ('ashcraft'), ('ashcroft'), ('robert'), ('rupert'),
         |    ('catherine'), ('kathryn'), ('jonathan'), ('jonothan'),
         |    ('claire'), ('clare'), ('mayer'), ('meier')) v(w)),
-        |t0 AS (SELECT w, translate(translate(w, 'hw', ''),
-        |    'abcdefgijklmnopqrstuvxyz', '012301202245501262301202') AS t
+        |t0 AS (SELECT w, translate(substr(w, 1, 1),
+        |      'abcdefgijklmnopqrstuvxyz', '012301202245501262301202')
+        |    || translate(translate(regexp_replace(w, '^.', ''),
+        |      'hw', ''), 'abcdefgijklmnopqrstuvxyz',
+        |      '012301202245501262301202') AS t
         |  FROM f),
         |t1 AS (SELECT w, regexp_replace(regexp_replace(regexp_replace(
         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
@@ -6046,7 +6150,7 @@ object SparkEntry {
         |    lag(x, 3) OVER win AS l3, lag(x, 4) OVER win AS l4,
         |    lag(x, 5) OVER win AS l5, lag(x, 6) OVER win AS l6,
         |    lag(x, 7) OVER win AS l7
-        |  FROM daily WINDOW win AS (PARTITION BY k ORDER BY d)),
+        |  FROM daily WINDOW win AS (PARTITION BY k ORDER BY d, x)),
         |per AS (SELECT k,
         |    count(l1)::BIGINT AS n1, corr(x, l1) AS r1,
         |    count(l2)::BIGINT AS n2, corr(x, l2) AS r2,

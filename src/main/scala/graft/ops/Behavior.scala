@@ -228,23 +228,6 @@ object Behavior {
   }
 
   /**
-   * Dwell-time profile — how long users sit on each step before the
-   * NEXT action (the engagement signal session counts miss: a funnel
-   * can convert identically while users hesitate 10× longer on one
-   * step): per user, the gap from each event to the user's next event
-   * (any type — dwell ends when the user does anything else); the last
-   * event of a user has no successor and drops out (an open-ended gap
-   * is censored data, not a zero). Per event type: gap count, mean,
-   * exact median and p90, and max, in seconds at 3dp.
-   *
-   * Shape at scale: one user-keyed lead window (a single Exchange — the
-   * transitionMatrix shape), then one event-type aggregation with exact
-   * percentiles (swap percentile → approx_percentile at sketch
-   * precision for beyond-memory type cardinalities, the winsorize
-   * contract). No fold, no action.
-   * Output: event_type, n_gaps, avg_s, p50_s, p90_s, max_s.
-   */
-  /**
    * Last-touch conversion attribution — which channel gets credit for
    * each conversion (the funnel says users convert; attribution says
    * what they touched LAST before doing so): for every conversion
@@ -298,6 +281,23 @@ object Behavior {
           col("ts") - col("_lt")).as("gap_us"))
   }
 
+  /**
+   * Dwell-time profile — how long users sit on each step before the
+   * NEXT action (the engagement signal session counts miss: a funnel
+   * can convert identically while users hesitate 10× longer on one
+   * step): per user, the gap from each event to the user's next event
+   * (any type — dwell ends when the user does anything else); the last
+   * event of a user has no successor and drops out (an open-ended gap
+   * is censored data, not a zero). Per event type: gap count, mean,
+   * exact median and p90, and max, in seconds at 3dp.
+   *
+   * Shape at scale: one user-keyed lead window (a single Exchange — the
+   * transitionMatrix shape), then one event-type aggregation with exact
+   * percentiles (swap percentile → approx_percentile at sketch
+   * precision for beyond-memory type cardinalities, the winsorize
+   * contract). No fold, no action.
+   * Output: event_type, n_gaps, avg_s, p50_s, p90_s, max_s.
+   */
   def dwellTimes(df: DataFrame, userCol: String, tsMicrosCol: String,
       typeCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

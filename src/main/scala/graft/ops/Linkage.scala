@@ -198,21 +198,34 @@ object Linkage {
    * Ashcraft → A261), vowels separate (Tymczak → T522), leading
    * same-code run absorbed (Pfister → P236), Lloyd → L300.
    *
-   * Expressed as a pure function-chain (lower → strip → h/w drop →
-   * translate to codes → per-digit run collapse → drop lead → strip
-   * zeros → pad) so the SAME construction runs codegen'd in Spark and
-   * replays verbatim in any SQL engine: the run collapse is seven
-   * per-digit `regexp_replace(d+, d)` passes, NOT a `(.)\1+`
+   * Expressed as a pure function-chain (lower → strip → first-letter
+   * code ++ h/w-stripped-rest codes → per-digit run collapse → drop
+   * lead → strip zeros → pad) so the SAME construction runs codegen'd
+   * in Spark and replays verbatim in any SQL engine: the run collapse
+   * is seven per-digit `regexp_replace(d+, d)` passes, NOT a `(.)\1+`
    * backreference — RE2-based engines (DuckDB among them) don't
    * support backreferences, and an oracle that cannot replay the key
    * is no oracle. Non-Latin letters strip; an empty residue is NULL
    * (no phonetic signal is not a block).
+   *
+   * The first letter is coded SEPARATELY from the remainder: h/w are
+   * transparent only in positions 2+. A leading 'h'/'w' has no digit
+   * code, so it survives `translate` as itself and the lead-drop
+   * removes it — never the following consonant's code (Wright → W623,
+   * Hron → H650, the class an all-positions h/w strip mis-codes).
+   * Leading same-code absorption still works because the first
+   * letter's own code heads the run (Pfister → P236), including
+   * across an h/w gap (first-letter code abuts the rest's codes).
    */
   def soundex(c: Column): Column = {
     val letters = regexp_replace(lower(c), "[^a-z]", "")
-    val hw = translate(letters, "hw", "")
-    val codes = translate(hw, "abcdefgijklmnopqrstuvxyz",
-      "012301202245501262301202")
+    val rest = regexp_replace(letters, "^.", "")
+    val table = "012301202245501262301202"
+    val codes = concat(
+      translate(substring(letters, 1, 1), "abcdefgijklmnopqrstuvxyz",
+        table),
+      translate(translate(rest, "hw", ""), "abcdefgijklmnopqrstuvxyz",
+        table))
     val collapsed = (0 to 6).foldLeft(codes) { (s, d) =>
       regexp_replace(s, s"$d+", s"$d")
     }

@@ -565,13 +565,15 @@ object Profile {
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol), col(tsCol).cast("long").as("_t"),
         col(valueCol).cast("double").as("_x"))
-    val stats = base.groupBy(col(keyCol))
-      .agg(avg(col("_x")).as("_mu"),
-        coalesce(stddev_samp(col("_x")), lit(0.0)).as("_sd"))
-    val series = base.join(stats, Seq(keyCol))
-      .groupBy(col(keyCol), col("_mu"), col("_sd"))
+    // mu/sd ride the SAME keyed aggregation that collects the series —
+    // one scan, one Exchange, no stats join (the two-pass join form
+    // this replaces read the input twice and was the family's one
+    // idle-bench outlier: same rows, half the plan)
+    val series = base.groupBy(col(keyCol))
       .agg(sort_array(collect_list(struct(col("_t"), col("_x"))))
-        .as("_pts"))
+          .as("_pts"),
+        avg(col("_x")).as("_mu"),
+        coalesce(stddev_samp(col("_x")), lit(0.0)).as("_sd"))
     // one left-to-right fold carrying (hi, lo); emits a row per point
     val folded = series.withColumn("_steps", expr(
       s"""aggregate(
@@ -720,8 +722,11 @@ object Profile {
   def acf(df: DataFrame, keyCol: String, tsCol: String, valueCol: String,
       maxLag: Int = 7): DataFrame = {
     require(maxLag >= 1 && maxLag <= 64, s"need 1 <= maxLag <= 64: $maxLag")
+    // (_t, _x) ordering, not _t alone: duplicate (key, ts) rows must
+    // resolve the lag pairing identically across runs/partitionings —
+    // the same determinism contract timeWeightedAvg/dwellTimes keep.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(keyCol)).orderBy(col("_t"))
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col("_x"))
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(keyCol), col(tsCol).cast("long").as("_t"),
         col(valueCol).cast("double").as("_x"))

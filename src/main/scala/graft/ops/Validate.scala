@@ -113,7 +113,13 @@ object Validate {
    * with no overflow; collisions need two DIFFERENT corruptions in one
    * bucket summing to the same delta — not the failure mode acceptance
    * tests chase. Missing buckets coalesce to (0, 0): an empty side is
-   * a mismatch, not an absent row.
+   * a mismatch, not an absent row. Each column renders with an inline
+   * null flag ('n' for NULL, 'v' ++ value otherwise) BEFORE the
+   * `concat_ws` join — a bare `concat_ws` silently drops NULL elements
+   * plus their separator, so (a, NULL, b) and (a, b, NULL) would hash
+   * identically: a single-row corruption class the checksum must
+   * catch, not mask (the same caveat [[graft.ops.Snapshot]]
+   * documents).
    *
    * One scan + one bucket-keyed aggregation PER SIDE (map-side
    * combined to ≤ buckets rows), then a buckets-sized full-outer join.
@@ -127,7 +133,11 @@ object Validate {
     require(cols.nonEmpty, "reconcile needs at least one content column")
     def side(df: DataFrame, nc: String, sc: String): DataFrame = {
       val key = col(keyCol).cast("string")
-      val row = concat_ws("|", cols.map(c => col(c).cast("string")): _*)
+      val row = concat_ws("|", cols.map { c =>
+        val s = col(c).cast("string")
+        concat(when(s.isNull, lit("n")).otherwise(lit("v")),
+          coalesce(s, lit("")))
+      }: _*)
       df.select(
           pmod(conv(substring(md5(key), 1, 4), 16, 10).cast("long"),
             lit(buckets.toLong)).as("bucket"),

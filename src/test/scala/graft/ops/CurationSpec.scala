@@ -529,6 +529,10 @@ class CurationSpec extends AnyFunSuite {
       "Lloyd" -> "L300",                          // double first letter
       "Honeyman" -> "H555", "Washington" -> "W252",
       "Hurwitz" -> "H632",                        // h/w first letters
+      "Wright" -> "W623", "Hron" -> "H650",       // h/w-initial followed
+                                                  // by a CODED consonant
+                                                  // (the all-positions
+                                                  // strip miscoded these)
       "smith" -> "S530", "smyth" -> "S530",
       "O'Brien-2nd" -> "O165")                    // punctuation strips
     val got = want.keys.toSeq.toDF("s")

@@ -1558,6 +1558,56 @@ class OpsSpec extends AnyFunSuite {
     assert(en.sum / en.length > other.sum / other.length)
   }
 
+  test("QualityClassifier.scoreLinear: closed-form sigmoid on a " +
+    "hand-built model, empty doc scores the intercept, zero-weight " +
+    "buckets contribute nothing") {
+    import spark.implicits._
+    // single-token docs: the bucket of each token is computable here
+    // with the same md5 chain the operator uses
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = Seq((1L, "alpha alpha beta"), (2L, ""), (3L, "gamma"))
+      .toDF("id", "text")
+    val w = Map(bucket("alpha") -> 0.3, bucket("beta") -> -0.2)
+    val coeffs = w.toSeq.toDF("b", "w")
+    val got = QualityClassifier.scoreLinear(docs, coeffs,
+        intercept = 0.1, buckets = 64, "text", "id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    def sig(z: Double) = BigDecimal(1.0 / (1.0 + math.exp(-z)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((3L, sig(0.1 + 2 * 0.3 - 0.2))), s"${got(1L)}")
+    assert(got(2L) == ((0L, sig(0.1))), "empty doc = sigmoid(intercept)")
+    // gamma's bucket carries no weight -> only the intercept counts
+    assert(got(3L) == ((1L, sig(0.1))), s"${got(3L)}")
+  }
+
+  test("QualityClassifier.trainPortable -> scoreLinear: one hash space " +
+    "from fit to deployment separates the classes") {
+    import spark.implicits._
+    val goodV = Vector("theory", "method", "result", "evidence", "study")
+    val badV = Vector("click", "buy", "cheap", "winner", "free")
+    def doc(i: Int, v: Vector[String]) =
+      (0 until 12).map(j => v((i * 7 + j * 3) % v.size)).mkString(" ") +
+        " filler filler"
+    val labeled = ((0 until 60).map(i => (s"g$i", doc(i, goodV), 1.0)) ++
+      (0 until 60).map(i => (s"b$i", doc(i, badV), 0.0)))
+      .toDF("id", "text", "lbl")
+    val (coeffs, b0) = QualityClassifier.trainPortable(labeled, "text",
+      "lbl", "id", buckets = 4096, maxIter = 30)
+    val scored = QualityClassifier.scoreLinear(labeled, coeffs, b0,
+        4096, "text", "id")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val gp = (0 until 60).map(i => scored(s"g$i"))
+    val bp = (0 until 60).map(i => scored(s"b$i"))
+    assert(gp.min > bp.max,
+      s"portable train->score must separate: ${gp.min} vs ${bp.max}")
+  }
+
   test("bucketByScore exact and approx: closed-form terciles agree") {
     import spark.implicits._
     // two groups, 9 distinct scores each → exact terciles are forced
@@ -2353,6 +2403,25 @@ class OpsSpec extends AnyFunSuite {
     assert(fr.length == 2 && fr.forall(_.isNullAt(3)))
   }
 
+  test("acf: tied timestamps resolve deterministically by (t, x) — " +
+    "input order and partitioning never change the lag pairing") {
+    import spark.implicits._
+    // two rows share t=2; the (t, x) tiebreak pins 3.0 before 9.0
+    val rows = Seq(("k", 0L, 1.0), ("k", 1L, 5.0), ("k", 2L, 9.0),
+      ("k", 2L, 3.0), ("k", 3L, 7.0))
+    val want = Profile.acf(rows.toDF("key", "t", "x"), "key", "t", "x",
+        maxLag = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+    Seq(rows.reverse, scala.util.Random.shuffle(rows)).foreach { p =>
+      val got = Profile.acf(p.toDF("key", "t", "x").repartition(7),
+          "key", "t", "x", maxLag = 2)
+        .collect().map(r => (r.getInt(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      assert(got == want, s"tie resolution drifted: $got vs $want")
+    }
+  }
+
   test("holt: reference-fold equality, first point seeds, input order " +
     "irrelevant, keys independent") {
     import spark.implicits._
@@ -2594,6 +2663,28 @@ class OpsSpec extends AnyFunSuite {
     assert(p.length == 1 && p.head.getLong(1) == p.head.getLong(2)
       && p.head.getLong(3) != p.head.getLong(4),
       s"one perturbed value flags one bucket by checksum: ${p.toSeq}")
+  }
+
+  test("reconcile: rows differing only in WHICH column is NULL " +
+    "mismatch (the concat_ws separator-drop collision class)") {
+    import spark.implicits._
+    // (x, NULL) vs (NULL, x): a bare concat_ws renders both as 'x',
+    // the single-row corruption the null-flag rendering must catch
+    val a = Seq((1L, Option("x"), Option.empty[String]),
+      (2L, Option("y"), Option("z"))).toDF("k", "c1", "c2")
+    val b = Seq((1L, Option.empty[String], Option("x")),
+      (2L, Option("y"), Option("z"))).toDF("k", "c1", "c2")
+    val r = Validate.reconcile(a, b, "k", Seq("c1", "c2"), buckets = 4)
+      .collect()
+    assert(r.exists(!_.getBoolean(5)),
+      s"null-position swap must flag a bucket: ${r.toSeq}")
+    // and a value that literally equals the null sentinel still
+    // distinguishes from an actual NULL ('vn' vs 'n' renderings)
+    val c = Seq((1L, Option("n"))).toDF("k", "c1")
+    val d = Seq((1L, Option.empty[String])).toDF("k", "c1")
+    val r2 = Validate.reconcile(c, d, "k", Seq("c1"), buckets = 1)
+      .collect()
+    assert(r2.exists(!_.getBoolean(5)), "literal 'n' is not NULL")
   }
 
   test("welchTTest: textbook unequal-variance example, constant groups " +
