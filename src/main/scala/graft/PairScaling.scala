@@ -130,7 +130,10 @@ object PairScaling {
       // output pairs stay ~linear either way by the isometry contract).
       val d = embCorpus(m)
       val nVecs = d.count()
-      val k = 8 * math.ceil(math.sqrt(m.toDouble)).toInt
+      // k OMITTED since round 10: the auto default (ceil(sqrt(n)),
+      // Dedup.autoSemanticK) IS the k ∝ √n schedule this sweep used to
+      // set by hand — the tier now measures that a caller touching no
+      // knobs gets the minimized exponent, not just that one exists
       var pairs = 0L
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
@@ -141,7 +144,7 @@ object PairScaling {
         // result growth, not operator cost. Above the measured cross-
         // copy maximum the disjointness contract actually holds.
         pairs = Dedup.semanticPairs(d, "embedding", "vec_id",
-          k = k, iters = 2, minCosine = 0.6).count()
+          iters = 2, minCosine = 0.6).count()
         val dt = (System.nanoTime() - t0) / 1e9
         Dedup.unpersistAll(spark)
         spark.catalog.clearCache()

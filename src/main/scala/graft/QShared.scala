@@ -1,0 +1,1288 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance, GroupedEntropyBalance}
+import graft.ops.{Dedup, Similarity, Skew, TextMetrics}
+
+/** Shared plumbing for the per-family gate files (Queries*): table
+ * readers, shared eval frames, oracle CTE/text builders, and the
+ * operator constants both a query and its oracle must agree on.
+ * Package-private — the public driver contract stays SparkEntry. */
+private[graft] object QShared {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * `events` with `ts_us` = exact epoch MICROS, whatever physical type
+   * the generator shipped: parquet TIMESTAMP(NANOS) reads as long nanos
+   * under the legacy conf (`div 1000` — integral: epoch-nanos exceed
+   * double's 2^53 exact range, so `/ 1000` could be off by ±1 µs), and
+   * TIMESTAMP(MICROS) reads as TIMESTAMP_NTZ whose UTC-session cast to
+   * TIMESTAMP makes unix_micros exact — both equal DuckDB's
+   * epoch_us(ts), so every oracle stays engine-portable.
+   */
+  def eventsTsUs(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    val tsUs = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case TimestampNTZType => unix_micros(col("ts").cast("timestamp"))
+      case _ => unix_micros(col("ts"))
+    }
+    ev.withColumn("ts_us", tsUs)
+  }
+
+  /** Corpus band-key indexes the dedup_minhash_incr gate has already
+   * persisted this process, keyed by sf dir (see that gate's comment). */
+  val minhashIdxPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+
+  // ------------------------------------------------------------- EBW helpers
+
+  def ebwPoststrat(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders").withColumn("w0", lit(1.0))
+    val (dfv, labels) = DesignMatrix.oneHot(orders, "o_orderpriority", "feat")
+    val k = labels.length
+    val res = EntropyBalance.entropyBalance(dfv, "feat", "w0",
+      Array.fill(k)(1.0 / k), options = EbwOptions(optimalityTol = 1e-11))
+    res.weighted
+      .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Solve on customer with a mixed continuous+dummy design targeting the
+   * c_custkey%3==0 subpopulation means; emit the achieved weighted means
+   * (which must equal the SQL-computed targets when converged). */
+  def ebwMomentsMatch(
+      s: SparkSession, dir: String, bounds: Option[(Double, Option[Double])]): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .withColumn("bal_k", col("c_acctbal") / 1000.0)
+      .withColumn("lownation", when(col("c_nationkey") < 13, 1.0).otherwise(0.0))
+      .withColumn("w0", lit(1.0))
+      .withColumn("feat", array(col("bal_k"), col("lownation")))
+    val sub = cust.filter(col("c_custkey") % 3 === 0)
+    val mrow = sub.agg(avg("bal_k"), avg("lownation")).collect()(0)
+    val m = Array(mrow.getDouble(0), mrow.getDouble(1))
+    val res = EntropyBalance.entropyBalance(cust, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-10, bounds = bounds))
+    val wtot = res.weighted
+      .agg(sum("w0").as("w"),
+        sum(col("bal_k") * col("weight_new")).as("s0"),
+        sum(col("lownation") * col("weight_new")).as("s1"))
+      .collect()(0)
+    import s.implicits._
+    Seq(("m0_bal_k", wtot.getDouble(1) / wtot.getDouble(0)),
+      ("m1_lownation", wtot.getDouble(2) / wtot.getDouble(0)))
+      .toDF("moment", "value")
+      .select(col("moment"), round(col("value"), 4).as("value"))
+      .orderBy("moment")
+  }
+
+  val ebwMomentsOracle: String =
+    """SELECT 'm0_bal_k' AS moment, round(avg(c_acctbal/1000.0), 4) AS value
+      |FROM customer WHERE c_custkey % 3 = 0
+      |UNION ALL
+      |SELECT 'm1_lownation' AS moment,
+      |  round(avg(CASE WHEN c_nationkey < 13 THEN 1.0 ELSE 0.0 END), 4) AS value
+      |FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY moment""".stripMargin
+
+  // --------------------------------------------- shared gate parameters
+  // (the Spark query and its DuckDB oracle must agree on these exactly)
+
+  val ngramMaxBucket = 2000
+  // 4 bands x 8 bits = 256 buckets/band suits the 500-5000-vector test
+  // corpus (bitsPerBand scales as ~log2(N) in production; the operator's
+  // own defaults are 4 x 16); the oracle replays the identical banding.
+  val embCosMinCosine = 0.25
+  val embCosBands = 4
+  val embCosBits = 8
+  val embCosMaxBucket = 1000
+  val embDim = 64 // testdata embeddings dimension
+
+  // --------------------------------------------- generated oracle SQL
+
+  /** Portable simhash: bit b of a token is bit (b mod 4) of hex nibble
+   * (b div 4) of md5(token); per-doc bit b of the fingerprint is the sign
+   * of sum(+1/-1) over tokens. Emitted as a 16-char hex string, most
+   * significant nibble first (mirrors Spark's lpad(hex(long))). */
+  def simhashOracle: String = {
+    val bitSums = (0 until 64).map { b =>
+      val j = b / 4
+      val c = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) // $c) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val nibbleChars = (15 to 0 by -1).map { j =>
+      val terms = (0 until 4)
+        .map(i => s"(CASE WHEN b${4 * j + i} > 0 THEN ${1 << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"substr('0123456789abcdef', ($terms) + 1, 1)"
+    }.mkString(" ||\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t) AS hx FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents)
+       |  WHERE t <> ''),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id,
+       |    $nibbleChars AS simhash_hex
+       |FROM bits ORDER BY doc_id""".stripMargin
+  }
+
+  /** SimHash candidate-pair oracle: the portable fingerprint's 64 sign
+   * sums feed integer band keys (pigeonhole bands, maxHamming+1 of them),
+   * hot buckets are capped, and pairs verify with an exact 64-term
+   * hamming sum — the whole pipeline in SQL arithmetic. */
+  def simhashPairsOracle: String = {
+    val maxHamming = 8
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val bitSums = (0 until 64).map { b =>
+      val j = b / 4
+      val c = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) // $c) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val bandSelects = (0 until nBands).map { bi =>
+      val lo = bi * bandBits
+      val width = if (bi == nBands - 1) 64 - lo else bandBits
+      val key = (0 until width)
+        .map(j => s"(CASE WHEN b${lo + j} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"SELECT doc_id, $bi AS band, ($key)::BIGINT AS key FROM bits"
+    }.mkString("\n  UNION ALL\n  ")
+    val hamming = (0 until 64)
+      .map(b => s"(CASE WHEN (x.b$b > 0) <> (y.b$b > 0) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, md5(t) AS hx FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs2)
+       |  WHERE t <> ''),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id),
+       |bk AS (
+       |  $bandSelects),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.ia, c.ib, ($hamming)::BIGINT AS hamming
+       |  FROM cand c
+       |  JOIN bits x ON x.doc_id = c.ia
+       |  JOIN bits y ON y.doc_id = c.ib)
+       |SELECT ia AS id_a, ib AS id_b, hamming FROM ham
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Full-pipeline ngram-Jaccard oracle: replays the md5 minhash
+   * signatures, 2-hash banding, hot-bucket cap, candidate join, and exact
+   * within-bucket Jaccard of Dedup.ngramJaccardPairs on the same
+   * docs-plus-mutated-copies union the gate query builds. */
+  def ngramJaccardOracle: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tk FROM docs2
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |sh0 AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+       |hh AS (
+       |  SELECT doc_id, j,
+       |    min(substr(md5(concat((j // 4)::VARCHAR, '|', s)), (j % 4) * 8 + 1, 8)) AS mh
+       |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+       |  GROUP BY doc_id, j),
+       |bk AS (
+       |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS key
+       |  FROM hh GROUP BY doc_id, j // 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS c FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT c.ia, c.ib, count(*) AS n
+       |  FROM cand c
+       |  JOIN sh x ON x.doc_id = c.ia
+       |  JOIN sh y ON y.doc_id = c.ib AND y.s = x.s
+       |  GROUP BY c.ia, c.ib)
+       |SELECT i.ia AS id_a, i.ib AS id_b,
+       |  round(i.n * 1.0 / (sa.c + sb.c - i.n), 4) AS jaccard
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.ia
+       |JOIN sizes sb ON sb.doc_id = i.ib
+       |WHERE i.n * 1.0 / (sa.c + sb.c - i.n) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash banding pairs oracle: per-family md5 signatures (the
+   * minhashSignatures hashing), 2-hash bands, hot-bucket cap, distinct
+   * within-bucket pairs — the full candidate-generation pipeline in SQL. */
+  /** Shared banding CTEs (docs ∪ mutated clones → capped band keys) for
+   * both minhash pair oracles — one definition so the self-join and
+   * incremental gates can never desynchronize. */
+  def minhashBandingCtes: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tk FROM docs2
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+       |hh AS (
+       |  SELECT doc_id, j, min(md5(concat(j::VARCHAR, '|', s))) AS mh
+       |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+       |  GROUP BY doc_id, j),
+       |bk AS (
+       |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS key
+       |  FROM hh GROUP BY doc_id, j // 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket)""".stripMargin
+
+  /** LSH accuracy harness oracle: the minhashBandingCtes construction on
+   * the gate's 1/10 sample (the harness's documented regime — truth is
+   * uncapped, so the EVAL samples instead), distinct-shingle
+   * inverted-index truth, and the per-pair S-curve prediction
+   * 1-(1-j^2)^4 (bandSize 2, 4 bands). */
+  def lshEvalOracle: String =
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents
+       |  WHERE doc_id % 10 = 0),
+       |tok AS (
+       |  SELECT doc_id, str_split(text, ' ') AS tk FROM docs2
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+       |hh AS (
+       |  SELECT doc_id, j, min(md5(concat(j::VARCHAR, '|', s))) AS mh
+       |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+       |  GROUP BY doc_id, j),
+       |bk AS (
+       |  SELECT doc_id, j // 2 AS band, string_agg(mh, '|' ORDER BY j) AS key
+       |  FROM hh GROUP BY doc_id, j // 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket),
+       |sh2 AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sizes AS (SELECT doc_id, count(*) AS c FROM sh2 GROUP BY 1),
+       |inter AS (SELECT x.doc_id AS ia, y.doc_id AS ib, count(*) AS n
+       |  FROM sh2 x JOIN sh2 y ON y.s = x.s AND x.doc_id < y.doc_id
+       |  GROUP BY 1, 2),
+       |tr AS (SELECT i.ia, i.ib, i.n * 1.0 / (sa.c + sb.c - i.n) AS j
+       |  FROM inter i JOIN sizes sa ON sa.doc_id = i.ia
+       |  JOIN sizes sb ON sb.doc_id = i.ib
+       |  WHERE i.n * 1.0 / (sa.c + sb.c - i.n) >= 0.5),
+       |cand AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |t AS (SELECT count(*)::BIGINT AS n_truth,
+       |    sum(1 - pow(1 - pow(j, 2), 4)) AS psum FROM tr),
+       |c AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+       |h AS (SELECT count(*)::BIGINT AS n_hits
+       |  FROM cand JOIN tr USING (ia, ib))
+       |SELECT n_truth, n_candidates, n_hits,
+       |  round(CASE WHEN n_candidates > 0
+       |    THEN n_hits::DOUBLE / n_candidates ELSE 0.0 END, 4) AS precision,
+       |  round(CASE WHEN n_truth > 0
+       |    THEN n_hits::DOUBLE / n_truth ELSE 0.0 END, 4) AS recall,
+       |  round(CASE WHEN n_truth > 0
+       |    THEN psum / n_truth ELSE 0.0 END, 4) AS predicted_recall
+       |FROM t, c, h""".stripMargin
+
+  def minhashPairsOracle: String =
+    s"""$minhashBandingCtes
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bk2 a JOIN bk2 b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Incremental gate: new docs (ids >= 1000000) paired against the
+   * corpus index + themselves; corpus-corpus pairs excluded by
+   * construction, exactly like minhashCandidatePairsIncremental. */
+  def minhashIncrOracle: String =
+    s"""$minhashBandingCtes
+       |SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_match,
+       |  b.doc_id < 1000000 AS from_corpus
+       |FROM bk2 a JOIN bk2 b
+       |  ON a.band = b.band AND a.key = b.key
+       |WHERE a.doc_id >= 1000000
+       |  AND (b.doc_id < 1000000 OR a.doc_id < b.doc_id)
+       |ORDER BY id_new, id_match""".stripMargin
+
+  /** Multi-band hyperplane-LSH near-dup oracle: the exact plane literals
+   * from Similarity.hyperplane are inlined, so DuckDB reproduces the same
+   * buckets, the same hot-bucket cap, and the same within-bucket cosine
+   * threshold as Dedup.embeddingCosinePairs. */
+  def embedCosineOracle: String = {
+    val planeRows = (for {
+      band <- 0 until embCosBands
+      bit <- 0 until embCosBits
+    } yield {
+      val vals = Similarity.hyperplane(band * embCosBits + bit, embDim)
+        .map(_.toString).mkString(", ")
+      s"($band, $bit, [$vals])"
+    }).mkString(",\n    ")
+    s"""WITH pl(band, bit, vec) AS (VALUES
+       |    $planeRows),
+       |pc AS (SELECT band, bit, generate_subscripts(vec, 1) AS i,
+       |    unnest(vec) AS c FROM pl),
+       |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |sgn AS (SELECT e.vec_id, pc.band, pc.bit,
+       |    CASE WHEN sum(e.x * pc.c) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM e JOIN pc ON e.i = pc.i GROUP BY 1, 2, 3),
+       |bk AS (SELECT vec_id, band, sum(b * (1 << bit)) AS key
+       |  FROM sgn GROUP BY 1, 2),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $embCosMaxBucket),
+       |cand AS (SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id),
+       |d AS (SELECT c.ia, c.ib, sum(ea.x * eb.x) AS dp,
+       |    sqrt(sum(ea.x * ea.x)) AS na, sqrt(sum(eb.x * eb.x)) AS nb
+       |  FROM cand c
+       |  JOIN e ea ON ea.vec_id = c.ia
+       |  JOIN e eb ON eb.vec_id = c.ib AND eb.i = ea.i
+       |  GROUP BY c.ia, c.ib),
+       |cs AS (SELECT ia, ib,
+       |    CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END AS cosine
+       |  FROM d)
+       |SELECT ia AS id_a, ib AS id_b, round(cosine, 5) AS cosine FROM cs
+       |WHERE cosine >= $embCosMinCosine
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Stopword-marker langid oracle: counts each marker via replace()
+   * (non-overlapping left-to-right in both engines), argmax with the same
+   * tie order (alphabetical) as the Spark fold, 'und' when zero hits. */
+  def langidOracle: String = {
+    val perLang = TextMetrics.langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val terms = ws.map(w =>
+        s"(length(p) - length(replace(p, '$w', ''))) / ${w.length}").mkString(" + ")
+      s"SELECT doc_id, '$l' AS lang, $terms AS hits FROM d"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH d AS (SELECT doc_id, ' ' || text || ' ' AS p FROM documents),
+       |s AS (
+       |  $perLang),
+       |r AS (SELECT doc_id, lang, hits,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) AS rn
+       |  FROM s)
+       |SELECT doc_id,
+       |  CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** LSH-bucketed ANN oracle: the 3 hyperplanes are inlined; DuckDB
+   * recomputes every vector's bucket (including the query's), filters to
+   * the query's bucket, and ranks by the rounded cosine. */
+  def annLshOracle: String = {
+    val bits = 3
+    val planeRows = (0 until bits).map { p =>
+      val vals = Similarity.hyperplane(p, embDim).map(_.toString).mkString(", ")
+      s"($p, [$vals])"
+    }.mkString(",\n    ")
+    s"""WITH pl(p, vec) AS (VALUES
+       |    $planeRows),
+       |pc AS (SELECT p, generate_subscripts(vec, 1) AS i, unnest(vec) AS c FROM pl),
+       |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS x FROM embeddings),
+       |sgn AS (SELECT e.vec_id, pc.p,
+       |    CASE WHEN sum(e.x * pc.c) >= 0 THEN 1 ELSE 0 END AS b
+       |  FROM e JOIN pc ON e.i = pc.i GROUP BY e.vec_id, pc.p),
+       |bk AS (SELECT vec_id, sum(b * (1 << p)) AS bucket FROM sgn GROUP BY vec_id),
+       |qb AS (SELECT bucket FROM bk WHERE vec_id = 0),
+       |cand AS (SELECT bk.vec_id FROM bk, qb
+       |  WHERE bk.bucket = qb.bucket AND bk.vec_id <> 0),
+       |q AS (SELECT generate_subscripts(embedding, 1) AS i,
+       |    unnest(embedding)::DOUBLE AS qv FROM embeddings WHERE vec_id = 0),
+       |ec AS (SELECT e.vec_id, e.i, e.x FROM e JOIN cand USING (vec_id)),
+       |d AS (SELECT ec.vec_id, sum(ec.x * q.qv) AS dp,
+       |    sqrt(sum(ec.x * ec.x)) AS na
+       |  FROM ec JOIN q ON ec.i = q.i GROUP BY ec.vec_id),
+       |nq AS (SELECT sqrt(sum(qv * qv)) AS nqn FROM q)
+       |SELECT d.vec_id,
+       |  round(CASE WHEN d.na * nq.nqn > 0
+       |        THEN d.dp / (d.na * nq.nqn) ELSE 0.0 END, 5) AS cosine
+       |FROM d, nq
+       |ORDER BY cosine DESC, d.vec_id
+       |LIMIT 10""".stripMargin
+  }
+
+  /** Penalty-mode oracle. For a disjoint one-hot design the penalty fixed
+   * point z = P(A'r(z) - b), r = exp(-x.z) decouples into one scalar
+   * equation per group: z = p(c*exp(-z) - b) with c the group count and
+   * b = N/k the aggregate target. The oracle solves it with 10 scalar
+   * Newton steps in SQL (monotone convergence to machine precision) and
+   * emits the closed-form weights exp(-z). */
+  def ebwPenaltyOracle: String = {
+    val newtonSteps = (1 to 10).map { i =>
+      s"t$i AS (SELECT o_orderpriority, c, b, " +
+        s"z - (z - 2.0*(c*exp(-z) - b)) / (1.0 + 2.0*c*exp(-z)) AS z FROM t${i - 1})"
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT o_orderpriority, count(*)::DOUBLE AS c
+       |  FROM orders GROUP BY 1),
+       |nk AS (SELECT count(*)::DOUBLE AS n,
+       |    count(DISTINCT o_orderpriority)::DOUBLE AS k FROM orders),
+       |t0 AS (SELECT g.o_orderpriority, g.c, nk.n / nk.k AS b, 0.0 AS z
+       |  FROM g, nk),
+       |$newtonSteps
+       |SELECT o.o_orderkey, round(exp(-t.z), 6) AS new_weight
+       |FROM orders o JOIN t10 t ON o.o_orderpriority = t.o_orderpriority
+       |ORDER BY o.o_orderkey""".stripMargin
+  }
+
+  /** Grouped-penalty oracle: the per-(status, priority) cell fixed point
+   * z = p(c*exp(-z) - b) with c the cell count and b = N_status / k —
+   * solved by the same 10 scalar Newton steps as ebwPenaltyOracle. */
+  def ebwGroupedPenaltyOracle: String = {
+    val newtonSteps = (1 to 10).map { i =>
+      s"t$i AS (SELECT o_orderstatus, o_orderpriority, c, b, " +
+        s"z - (z - 2.0*(c*exp(-z) - b)) / (1.0 + 2.0*c*exp(-z)) AS z FROM t${i - 1})"
+    }.mkString(",\n")
+    s"""WITH g AS (SELECT o_orderstatus, o_orderpriority, count(*)::DOUBLE AS c
+       |  FROM orders GROUP BY 1, 2),
+       |ns AS (SELECT o_orderstatus, count(*)::DOUBLE AS n
+       |  FROM orders GROUP BY 1),
+       |kk AS (SELECT count(DISTINCT o_orderpriority)::DOUBLE AS k FROM orders),
+       |t0 AS (SELECT g.o_orderstatus, g.o_orderpriority, g.c,
+       |    ns.n / kk.k AS b, 0.0 AS z
+       |  FROM g JOIN ns USING (o_orderstatus), kk),
+       |$newtonSteps
+       |SELECT o.o_orderkey, round(exp(-t.z), 6) AS new_weight
+       |FROM orders o JOIN t10 t
+       |  ON o.o_orderstatus = t.o_orderstatus
+       | AND o.o_orderpriority = t.o_orderpriority
+       |ORDER BY o.o_orderkey""".stripMargin
+  }
+
+  /** One SQL text, two engines: the `q_sql_exists` gate feeds this EXACT
+   * string to `spark.sql` over temp views AND to DuckDB as its oracle —
+   * the SQL front door is gated on dialect-portable text by construction. */
+  val sqlExistsText: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** LATERAL correlated-derived-table text, shared verbatim (the
+   * q_sql_exists pattern): the per-row subquery-in-FROM surface — Spark
+   * plans the correlation as a decorrelated aggregate + join, DuckDB as a
+   * lateral loop, and both must produce the identical per-customer
+   * aggregates over the customer's own orders. The customer subset keeps
+   * the gate bounded at every SF. */
+  val sqlLateralText: String =
+    """SELECT c.c_custkey, o.mx, o.n
+      |FROM customer c,
+      |LATERAL (SELECT max(o_totalprice) AS mx, count(*) AS n
+      |         FROM orders
+      |         WHERE o_custkey = c.c_custkey) o
+      |WHERE c.c_custkey <= 200
+      |ORDER BY c.c_custkey""".stripMargin
+
+  /** GROUPING SETS text shared verbatim with the DuckDB oracle (the
+   * q_sql_exists pattern): the explicit-sets general form that cube/rollup
+   * are shorthands for — one of the three sets is a partial set, so
+   * neither CUBE nor ROLLUP could express the same result. */
+  val sqlGroupingSetsText: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |  (l_returnflag, l_linestatus))
+      |ORDER BY rf, ls""".stripMargin
+
+  /** Correlated scalar subquery, shared text (the q_sql_exists pattern):
+   * the subquery is correlated on the outer customer key and must produce
+   * exactly one value per outer row — Catalyst rewrites it to an outer
+   * aggregate join; DuckDB runs the identical text as the oracle. */
+  val sqlScalarText: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  coalesce((SELECT round(sum(o.o_totalprice), 2) FROM orders o
+      |            WHERE o.o_custkey = c.c_custkey), 0.0) AS spend,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_orderpriority = '1-URGENT') AS n_urgent
+      |FROM customer c
+      |WHERE c.c_custkey < 500
+      |ORDER BY c_custkey""".stripMargin
+
+  /** DuckDB replay of the Gopher quality rules: identical spiking,
+   * whitespace-class tokenization with empties dropped, token/line
+   * lambdas for the array statistics, the shared stopword list probed on
+   * the lowercased letters-only projection (regexp_replace needs the 'g'
+   * flag — DuckDB replaces first-match-only by default, Spark replaces
+   * all), and the keep verdict recomputed from the ROUNDED statistics
+   * exactly as the operator does. */
+  def gopherOracle: String = {
+    val stops = TextMetrics.gopherStopwords
+      .map(w => "(CASE WHEN instr(' ' || " +
+        s"regexp_replace(lower(t), '[^a-z]', ' ', 'g') || ' ', ' $w ') > 0 " +
+        "THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""WITH sp AS (SELECT doc_id,
+       |  '- bullet intro' || chr(10) || text ||
+       |  CASE WHEN doc_id % 3 = 0
+       |    THEN chr(10) || '• dotted line' || chr(10) || 'to be continued...'
+       |    ELSE chr(10) || 'plain # tail line' END AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id, t,
+       |  list_filter(regexp_split_to_array(t, '\\s+'), x -> x != '') AS tok,
+       |  string_split(t, chr(10)) AS ln
+       |  FROM sp),
+       |m AS (SELECT doc_id,
+       |  len(tok)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(tok, x -> len(x))), 0)::BIGINT
+       |    AS word_chars,
+       |  len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+       |    AS n_alpha,
+       |  (len(t) - len(replace(t, '#', '')))::BIGINT AS n_hash,
+       |  ((len(t) - len(replace(t, '...', ''))) / 3)::BIGINT AS n_ell,
+       |  len(ln)::BIGINT AS n_lines,
+       |  len(list_filter(ln, x -> x LIKE '- %' OR x LIKE '• %'))::BIGINT
+       |    AS n_bullet,
+       |  len(list_filter(ln, x -> x LIKE '%...'))::BIGINT AS n_endell,
+       |  ($stops)::BIGINT AS stop_hits
+       |  FROM b),
+       |r AS (SELECT doc_id, n_words,
+       |  round(word_chars * 1.0 / n_words, 4) AS mean_word_len,
+       |  round(n_alpha * 1.0 / n_words, 4) AS alpha_word_frac,
+       |  round((n_hash + n_ell) * 1.0 / n_words, 4) AS symbol_word_ratio,
+       |  n_lines,
+       |  round(n_bullet * 1.0 / n_lines, 4) AS bullet_line_frac,
+       |  round(n_endell * 1.0 / n_lines, 4) AS ellipsis_line_frac,
+       |  stop_hits FROM m)
+       |SELECT *,
+       |  (CASE WHEN n_words >= 50 AND n_words <= 100000
+       |     AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |     AND symbol_word_ratio < 0.1 AND alpha_word_frac >= 0.8
+       |     AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+       |     AND stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of BPE-budget chunking: the same per-word merge fold
+   * as [[bpeOracle]], a window cumsum per document, the same
+   * `(cum - c) div budget` chunk rule, and ORDER-BY-pos list aggregation
+   * for byte-identical chunk texts. */
+  def chunkBpeOracle: String = {
+    val perWord = TextMetrics.bpeMerges.foldLeft(
+      "concat(' ', rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ')") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+    s"""WITH b AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |  FROM documents),
+       |wd AS (SELECT doc_id, unnest(tok) AS w,
+       |  generate_subscripts(tok, 1) AS pos FROM b),
+       |c AS (SELECT doc_id, pos, w,
+       |  len(string_split($perWord, '  '))::BIGINT AS c FROM wd),
+       |s AS (SELECT doc_id, pos, w, c,
+       |  (sum(c) OVER (PARTITION BY doc_id ORDER BY pos))::BIGINT AS cum
+       |  FROM c),
+       |a AS (SELECT doc_id, ((cum - c) // 64)::BIGINT AS chunk_id, pos, w, c
+       |  FROM s)
+       |SELECT doc_id, chunk_id,
+       |  array_to_string(list(w ORDER BY pos), ' ') AS chunk_text,
+       |  sum(c)::BIGINT AS n_bpe_tokens
+       |FROM a GROUP BY doc_id, chunk_id
+       |ORDER BY doc_id, chunk_id""".stripMargin
+  }
+
+  /** DuckDB replay of the trigram language model: the identical 6dp
+   * log-probability profiles ([[TextMetrics.langIdModelRows]]) as a
+   * VALUES table, the identical held-out-sentence spike, and the same
+   * round-before-rank rule so float noise cannot flip the argmax. */
+  def langIdModelOracle: String = {
+    val model = TextMetrics.langIdModelRows
+      .map { case (l, tri, p) => s"('$l','${tri.replace("'", "''")}',$p)" }
+      .mkString(",\n    ")
+    val floors = TextMetrics.langIdFloorRows
+      .map { case (l, f) => s"('$l',$f)" }.mkString(", ")
+    val cases = TextMetrics.langIdHeldOut
+      .map { case (l, sent) => s"WHEN lang = '$l' THEN '$sent'" }
+      .mkString("\n       ")
+    s"""WITH model(lang, tri, logp) AS (VALUES
+       |    $model),
+       |floors(lang, flr) AS (VALUES $floors),
+       |sp AS (SELECT doc_id,
+       |  CASE $cases ELSE '' END AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(t), '[^a-z]+', ' ', 'g')) AS s
+       |  FROM sp),
+       |tr AS (SELECT doc_id,
+       |    list_transform(range(1, greatest(len(s) - 2, 0) + 1),
+       |      i -> substring(s, i, 3)) AS tris
+       |  FROM b WHERE len(s) >= 3),
+       |dn AS (SELECT doc_id, len(tris)::BIGINT AS n_tri FROM tr),
+       |dt AS (SELECT doc_id, unnest(tris) AS tri FROM tr),
+       |mt AS (SELECT doc_id, lang, count(*)::BIGINT AS m, sum(logp) AS slp
+       |  FROM dt JOIN model USING (tri) GROUP BY 1, 2),
+       |al AS (SELECT dn.doc_id, f.lang, dn.n_tri,
+       |    round((coalesce(mt.slp, 0) +
+       |      (dn.n_tri - coalesce(mt.m, 0)) * f.flr) / dn.n_tri, 4) AS score
+       |  FROM dn CROSS JOIN floors f
+       |  LEFT JOIN mt ON mt.doc_id = dn.doc_id AND mt.lang = f.lang),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, lang) AS rn FROM al)
+       |SELECT doc_id, lang AS pred_lang, n_tri, score
+       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of the C4 rule set: the same spiked lines, the same
+   * shared line predicates ([[TextMetrics.c4PunctLine]]/[[TextMetrics.c4BadLine]]
+   * — LIKE and instr are dialect-common), list_filter for filter, and
+   * coalesce around array_to_string because DuckDB maps the empty list to
+   * NULL where Spark's array_join returns ''. */
+  def c4Oracle: String = {
+    val punct = TextMetrics.c4PunctLine
+    val bad = TextMetrics.c4BadLine
+    s"""WITH sp AS (SELECT doc_id,
+       |  text || '.' || chr(10) ||
+       |  CASE WHEN doc_id % 4 = 0 THEN 'click here javascript required.'
+       |       WHEN doc_id % 4 = 1 THEN 'short line'
+       |       WHEN doc_id % 4 = 2
+       |         THEN 'read our privacy policy and terms of use.'
+       |       ELSE 'a perfectly fine second sentence with many words in it.'
+       |       END || chr(10) ||
+       |  CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor { sit amet'
+       |       ELSE 'and a third closing sentence follows right here today!'
+       |       END AS t
+       |  FROM documents),
+       |b AS (SELECT doc_id, t, string_split(t, chr(10)) AS ln FROM sp),
+       |m AS (SELECT doc_id, t, ln,
+       |  list_filter(ln, x -> $punct
+       |    AND len(list_filter(string_split(x, ' '), w -> w != '')) >= 5
+       |    AND $bad) AS kept
+       |  FROM b),
+       |r AS (SELECT doc_id,
+       |  len(ln)::BIGINT AS n_lines,
+       |  len(kept)::BIGINT AS n_kept_lines,
+       |  round(len(list_filter(ln, x -> $punct)) * 1.0 / len(ln), 4)
+       |    AS punct_line_frac,
+       |  round(len(list_filter(ln, x -> len(x) < 30)) * 1.0 / len(ln), 4)
+       |    AS short_line_frac,
+       |  (CASE WHEN instr(lower(t), 'lorem ipsum') > 0 THEN 1 ELSE 0 END)
+       |    ::BIGINT AS has_lorem,
+       |  (CASE WHEN instr(t, '{') > 0 THEN 1 ELSE 0 END)::BIGINT AS has_curly,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
+       |  FROM m),
+       |f AS (SELECT *,
+       |  (len(clean_text) - len(replace(replace(replace(clean_text,
+       |     '.', ''), '!', ''), '?', '')))::BIGINT AS n_sentences
+       |  FROM r)
+       |SELECT doc_id, n_lines, n_kept_lines, punct_line_frac,
+       |  short_line_frac, has_lorem, has_curly, clean_text, n_sentences,
+       |  (CASE WHEN has_lorem = 0 AND has_curly = 0 AND n_sentences >= 3
+       |        AND n_kept_lines >= 1 THEN 1 ELSE 0 END)::BIGINT AS keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
+
+  /** DuckDB replay of the exact BPE token count: the same rank-ordered
+   * merge table ([[TextMetrics.bpeMerges]]) nested as the same replace
+   * chain over the same double-space symbol representation — only the
+   * char-split prep differs by dialect (`\\1`+`'g'` vs `$1`; DuckDB
+   * replaces first-match-only without the flag). list_sum returns
+   * HUGEINT, so both sums cast to BIGINT before the compare hashes
+   * dtypes. */
+  def bpeOracle: String = {
+    val perWord = TextMetrics.bpeMerges.foldLeft(
+      "concat(' ', rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ')") {
+        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+      }
+    s"""WITH b AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |  FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(tok)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(tok, w ->
+       |    len(string_split($perWord, '  ')))), 0)::BIGINT AS n_bpe_tokens,
+       |  coalesce(list_sum(list_transform(tok, w -> len(w))), 0)::BIGINT AS wc
+       |  FROM b)
+       |SELECT doc_id, n_words, n_bpe_tokens,
+       |  round(wc * 1.0 / greatest(n_bpe_tokens, 1), 4) AS chars_per_token
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** 8-word phrase the repetition-family gate repeats twice in a third
+   * of the spiked docs — guarantees non-degenerate dup 5..8-gram
+   * coverage in both engines. */
+  val repPhrase =
+    "redwood canyon mist falcon ember quartz harbor lantern"
+
+  /** DuckDB replay of the full Gopher repetition family — deliberately a
+   * DIFFERENT formulation from the Spark operator's per-row lambdas:
+   * n-grams unnest to rows, duplication comes from a COUNT window,
+   * interval union from the classic gaps-and-islands running-max, and
+   * covered characters from 1-based list slices — so the gate
+   * cross-checks two independent derivations of the same statistics. */
+  def repetitionFullOracle: String = {
+    val spike =
+      s"""sp AS (SELECT doc_id,
+         |  text || chr(10) || 'grey line repeats' ||
+         |    chr(10) || 'grey line repeats' ||
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN chr(10)||chr(10)||'para dup'||chr(10)||chr(10)||'para dup'
+         |    ELSE chr(10)||chr(10)||'solo para' END ||
+         |  CASE WHEN doc_id % 3 = 0
+         |    THEN chr(10) || '$repPhrase $repPhrase' ELSE '' END AS text
+         |  FROM documents)""".stripMargin
+    val tops = Seq(2, 3, 4).map { k =>
+      s"""t$k AS (SELECT doc_id, max(cnt * glen) AS top$k FROM (
+         |  SELECT doc_id, g, count(*) AS cnt, len(g) AS glen FROM (
+         |    SELECT doc_id, array_to_string(tok[i:i+${k - 1}], ' ') AS g
+         |    FROM d, unnest(generate_series(1, len(tok)-${k - 1})) AS u(i))
+         |  GROUP BY doc_id, g, glen) GROUP BY doc_id)""".stripMargin
+    }
+    val dups = (5 to 10).map { n =>
+      s"""g$n AS (SELECT doc_id, i AS p,
+         |    array_to_string(tok[i:i+${n - 1}], ' ') AS g
+         |  FROM d, unnest(generate_series(1, len(tok)-${n - 1})) AS u(i)),
+         |dp$n AS (SELECT doc_id, p FROM (
+         |  SELECT doc_id, p, count(*) OVER (PARTITION BY doc_id, g) AS c
+         |  FROM g$n) WHERE c >= 2),
+         |is$n AS (SELECT doc_id, p,
+         |  CASE WHEN p > coalesce(max(p + ${n - 1}) OVER (
+         |      PARTITION BY doc_id ORDER BY p
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+         |    THEN 1 ELSE 0 END AS ni FROM dp$n),
+         |iv$n AS (SELECT doc_id, min(p) AS s, max(p) + ${n - 1} AS e FROM (
+         |  SELECT doc_id, p, sum(ni) OVER (PARTITION BY doc_id ORDER BY p)
+         |    AS isl FROM is$n) GROUP BY doc_id, isl),
+         |c$n AS (SELECT iv$n.doc_id,
+         |  sum(len(array_to_string(d.tok[iv$n.s:iv$n.e], ' '))) AS cov
+         |  FROM iv$n JOIN d USING (doc_id) GROUP BY iv$n.doc_id)"""
+        .stripMargin
+    }
+    val selT = Seq(2, 3, 4).map(k =>
+      s"round(coalesce(t$k.top$k, 0) * 1.0 / greatest(d.doc_len, 1), 4)" +
+        s" AS top_${k}gram_char_frac").mkString(",\n  ")
+    val selD = (5 to 10).map(n =>
+      s"round(coalesce(c$n.cov, 0) * 1.0 / greatest(d.doc_len, 1), 4)" +
+        s" AS dup_${n}gram_char_frac").mkString(",\n  ")
+    val joins = (Seq(2, 3, 4).map(k => s"LEFT JOIN t$k USING (doc_id)") ++
+      (5 to 10).map(n => s"LEFT JOIN c$n USING (doc_id)")).mkString(" ")
+    s"""WITH $spike,
+       |d AS (SELECT doc_id, len(text)::BIGINT AS doc_len,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+       |      AS tok,
+       |    string_split(text, chr(10)) AS ln,
+       |    string_split(text, chr(10)||chr(10)) AS para
+       |  FROM sp),
+       |${tops.mkString(",\n")},
+       |${dups.mkString(",\n")}
+       |SELECT d.doc_id,
+       |  round((len(ln) - len(list_distinct(ln))) * 1.0 / len(ln), 4)
+       |    AS dup_line_frac,
+       |  round((coalesce(list_sum(list_transform(ln, x -> len(x))), 0) -
+       |      coalesce(list_sum(list_transform(list_distinct(ln),
+       |        x -> len(x))), 0)) * 1.0 / greatest(d.doc_len, 1), 4)
+       |    AS dup_line_char_frac,
+       |  round((len(para) - len(list_distinct(para))) * 1.0 / len(para), 4)
+       |    AS dup_para_frac,
+       |  round((coalesce(list_sum(list_transform(para, x -> len(x))), 0) -
+       |      coalesce(list_sum(list_transform(list_distinct(para),
+       |        x -> len(x))), 0)) * 1.0 / greatest(d.doc_len, 1), 4)
+       |    AS dup_para_char_frac,
+       |  $selT,
+       |  $selD
+       |FROM d $joins
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** NOT IN vs NOT EXISTS under ANSI three-valued logic, shared text:
+   * the classic dialect trap — a NULL in the NOT IN subquery makes the
+   * predicate UNKNOWN for every row (zero rows survive), while NOT
+   * EXISTS keeps its two-valued behavior. Both branches gated from one
+   * text so the engines must agree on the full 3VL semantics. */
+  val sqlNotInText: String =
+    """SELECT 'not_in_clean' AS variant, count(*) AS n
+      |FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem
+      |                        WHERE l_quantity >= 49)
+      |UNION ALL
+      |SELECT 'not_in_with_null', count(*)
+      |FROM part
+      |WHERE p_partkey NOT IN (SELECT CASE WHEN l_quantity >= 49
+      |                          THEN l_partkey END
+      |                        FROM lineitem)
+      |UNION ALL
+      |SELECT 'not_exists', count(*)
+      |FROM part p
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 49)
+      |ORDER BY variant""".stripMargin
+
+  /** first/last/nth_value window functions, shared text. The frame is
+   * EXPLICIT (unbounded both ways): the ANSI default frame ends at
+   * CURRENT ROW, which silently turns last_value into "this row" — the
+   * classic window gotcha; pinning the frame in shared text makes both
+   * engines answer the intended question. */
+  val sqlWindowFrameText: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  first_value(l_quantity) OVER w AS first_qty,
+      |  last_value(l_quantity) OVER w AS last_qty,
+      |  nth_value(l_quantity, 3) OVER w AS third_qty
+      |FROM lineitem
+      |WHERE l_suppkey < 10
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** FILTER-clause aggregates, shared text (the q_sql_exists pattern):
+   * per-group conditional aggregation without CASE WHEN rewrites. */
+  val sqlFilterAggText: String =
+    """SELECT l_returnflag,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE l_quantity >= 25) AS n_heavy,
+      |  round(sum(l_extendedprice) FILTER (WHERE l_discount <= 0.02), 2)
+      |    AS rev_lowdisc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ----------------------------------------------------------------- queries
+
+
+  /** Shared eval frame for the classifier-metrics gates: score =
+   * {the,and,of}-token density (4dp), label = lang == 'en'. Both sides
+   * of the oracle build the identical frame. */
+  def classifierEvalFrame(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id"),
+      expr("round(size(filter(split(text, ' ', -1), " +
+        "x -> x IN ('the','and','of'))) / " +
+        "nullif(cast(size(filter(split(text, ' ', -1), x -> x != '')) " +
+        "as double), 0.0), 4)").as("score"),
+      (col("lang") === "en").as("label"))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** Mixture-sample replay: the same weight table as a VALUES literal,
+   * quota_d = floor(w_d * min_e(n_e / w_e)) — the identical double
+   * expression the operator folds into its plan — then the md5 election
+   * within each source. */
+  /** Shared BM25 CTE chain (ends at `bm(doc_id, bm25)`, no trailing
+   * comma): the identical formulation the engine folds — per-term tf via
+   * list_filter on the same single-space split, df/N/avgdl from one
+   * stats row, contributions added LEFT-TO-RIGHT in query order
+   * (query/dup/spark), 4dp round. Appended by `text_bm25` (direct
+   * SELECT) and `q_rrf_fuse` (further CTEs). */
+  val bm25Cte: String =
+    """WITH d AS (SELECT doc_id, text,
+      |    list_filter(str_split(text, ' '), x -> x <> '') AS tok
+      |  FROM documents),
+      |st AS (SELECT count(*)::DOUBLE AS n,
+      |    avg(len(tok))::DOUBLE AS avgdl FROM d),
+      |tfx AS (SELECT doc_id, len(tok)::DOUBLE AS dl,
+      |    len(list_filter(tok, x -> x = 'query'))::DOUBLE AS tf1,
+      |    len(list_filter(tok, x -> x = 'dup'))::DOUBLE AS tf2,
+      |    len(list_filter(tok, x -> x = 'spark'))::DOUBLE AS tf3
+      |  FROM d),
+      |dfx AS (SELECT
+      |    (count(*) FILTER (tf1 > 0))::DOUBLE AS df1,
+      |    (count(*) FILTER (tf2 > 0))::DOUBLE AS df2,
+      |    (count(*) FILTER (tf3 > 0))::DOUBLE AS df3 FROM tfx),
+      |bm AS (SELECT doc_id, round(
+      |    (CASE WHEN df1 > 0 AND tf1 > 0
+      |      THEN ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * 2.2
+      |        / (tf1 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)
+      |  + (CASE WHEN df2 > 0 AND tf2 > 0
+      |      THEN ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * 2.2
+      |        / (tf2 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END)
+      |  + (CASE WHEN df3 > 0 AND tf3 > 0
+      |      THEN ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * tf3 * 2.2
+      |        / (tf3 + 1.2 * (0.25 + 0.75 * dl / avgdl)) ELSE 0 END), 4)
+      |  AS bm25
+      |  FROM tfx CROSS JOIN dfx CROSS JOIN st)
+      |""".stripMargin
+
+  def mixtureSampleOracle: String = {
+    val wvals = (0 until 20)
+      .map(i => s"('src$i', ${1.0 + i % 4})").mkString(", ")
+    s"""WITH w(source, wt) AS (VALUES $wvals),
+       |c AS (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+       |q AS (SELECT c.source, wt, n / wt AS r FROM c JOIN w USING (source)),
+       |k AS (SELECT source,
+       |    CAST(floor(wt * (SELECT min(r) FROM q) + 1e-9) AS BIGINT) AS quota
+       |  FROM q),
+       |ranked AS (
+       |  SELECT d.source, d.doc_id,
+       |    row_number() OVER (PARTITION BY d.source
+       |      ORDER BY md5(concat('42|', d.doc_id::VARCHAR)), d.doc_id) AS rn
+       |  FROM documents d JOIN w USING (source))
+       |SELECT r.source, r.doc_id FROM ranked r JOIN k USING (source)
+       |WHERE rn <= quota ORDER BY source, doc_id""".stripMargin
+  }
+
+  /** Morton interleave replay as plain integer arithmetic: bit i of the
+   * first dimension lands at 2i+1, of the second at 2i — disjoint
+   * positions, so the OR chain is exact in any engine with shifts. */
+  def zoneMapOracle: String = {
+    // same interleave terms as zorderOracle; file binning is exact
+    // integer division so no float boundary can disagree with Spark
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
+      s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})"))
+    s"""WITH z AS (SELECT (${terms.mkString(" | ")})::BIGINT AS zv,
+       |    (o_custkey % 256)::DOUBLE AS a FROM orders),
+       |s AS (SELECT min(zv) AS zmin, max(zv) AS zmax FROM z)
+       |SELECT ((zv - zmin) * 16) // (zmax - zmin + 1) AS file_id,
+       |  count(*)::BIGINT AS n_rows,
+       |  round(min(a), 4) AS cmin, round(max(a), 4) AS cmax,
+       |  (max(a) < 0.0 OR min(a) > 15.0) AS skipped
+       |FROM z, s GROUP BY 1 ORDER BY file_id""".stripMargin
+  }
+
+  def zorderOracle: String = {
+    val terms = (0 until 8).flatMap(i => Seq(
+      s"((((o_custkey % 256) >> $i) & 1) << ${2 * i + 1})",
+      s"((((o_orderkey % 256) >> $i) & 1) << ${2 * i})"))
+    s"""SELECT o_orderkey,
+       |  (${terms.mkString(" | ")})::BIGINT AS zval
+       |FROM orders ORDER BY zval, o_orderkey""".stripMargin
+  }
+
+  /** Hilbert replay: the bit-level rotate/reflect fold unrolls to one
+   * MATERIALIZED CTE per level (plain-CTE inlining would grow 4^bits —
+   * the hitsOracle lesson), qualifying every reference to the previous
+   * round's table so DuckDB's lateral aliases can never shadow. */
+  def hilbertOracle(bits: Int): String = {
+    val pre =
+      """WITH h0 AS MATERIALIZED (SELECT o_orderkey,
+        |  (o_custkey % 256)::BIGINT AS x, (o_orderkey % 256)::BIGINT AS y,
+        |  0::BIGINT AS d FROM orders)""".stripMargin
+    val steps = (0 until bits).map { r =>
+      val s = 1L << (bits - 1 - r)
+      s""",
+         |h${r + 1} AS MATERIALIZED (SELECT t.o_orderkey,
+         |  CASE WHEN (t.y & $s) = 0 THEN
+         |    CASE WHEN (t.x & $s) > 0 THEN ${s - 1} - t.y ELSE t.y END
+         |  ELSE t.x END AS x,
+         |  CASE WHEN (t.y & $s) = 0 THEN
+         |    CASE WHEN (t.x & $s) > 0 THEN ${s - 1} - t.x ELSE t.x END
+         |  ELSE t.y END AS y,
+         |  t.d + ${s * s} * xor(
+         |    CASE WHEN (t.x & $s) > 0 THEN 3 ELSE 0 END,
+         |    CASE WHEN (t.y & $s) > 0 THEN 1 ELSE 0 END) AS d
+         |FROM h$r t)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT o_orderkey, d AS hval FROM h$bits
+         |ORDER BY hval, o_orderkey""".stripMargin
+  }
+
+  /** MMR replay: the greedy pick loop unrolls to one CTE round per pick
+   * — same 5dp pairwise-cosine and 6dp score rounding, (score desc, id)
+   * argmax, and the IEEE (1.0 - lambda) complement the engine computes
+   * (a decimal 0.3 literal would differ from Java's 0.7-complement in
+   * the last ulp). AS MATERIALIZED per hitsOracle. */
+  def mmrOracle(k: Int, lambda: Double): String = {
+    val pre =
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |e AS MATERIALIZED (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    unnest(embedding)::DOUBLE AS ev
+         |  FROM embeddings WHERE vec_id <> 0),
+         |d AS MATERIALIZED (
+         |  SELECT e.vec_id, sum(e.ev * q.qv) AS dp,
+         |    sqrt(sum(e.ev * e.ev)) AS na
+         |  FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id),
+         |nq AS MATERIALIZED (SELECT sqrt(sum(qv * qv)) AS nq FROM q),
+         |s0 AS MATERIALIZED (
+         |  SELECT d.vec_id, round(CASE WHEN d.na * nq.nq > 0
+         |      THEN d.dp / (d.na * nq.nq) ELSE 0.0 END, 5) AS rel
+         |  FROM d, nq ORDER BY rel DESC, d.vec_id LIMIT 20),
+         |pc AS MATERIALIZED (
+         |  SELECT dot.va, dot.vb,
+         |    round(CASE WHEN da.na * db.na > 0
+         |      THEN dot.dp2 / (da.na * db.na) ELSE 0.0 END, 5) AS cos
+         |  FROM (SELECT ea.vec_id AS va, eb.vec_id AS vb,
+         |        sum(ea.ev * eb.ev) AS dp2
+         |      FROM e ea JOIN e eb ON ea.i = eb.i
+         |      WHERE ea.vec_id IN (SELECT vec_id FROM s0)
+         |        AND eb.vec_id IN (SELECT vec_id FROM s0)
+         |      GROUP BY ea.vec_id, eb.vec_id) dot
+         |  JOIN d da ON da.vec_id = dot.va
+         |  JOIN d db ON db.vec_id = dot.vb),
+         |p1 AS MATERIALIZED (
+         |  SELECT vec_id, rel, round($lambda * rel, 6) AS score,
+         |    1::BIGINT AS rank
+         |  FROM s0 ORDER BY round($lambda * rel, 6) DESC, vec_id LIMIT 1),
+         |sel1 AS MATERIALIZED (SELECT * FROM p1)""".stripMargin
+    val steps = (2 to k).map { t =>
+      s""",
+         |p$t AS MATERIALIZED (
+         |  SELECT s.vec_id, s.rel,
+         |    round($lambda * s.rel
+         |      - (1.0::DOUBLE - $lambda::DOUBLE) * ms.m, 6) AS score,
+         |    $t::BIGINT AS rank
+         |  FROM s0 s JOIN (SELECT pc.va AS vec_id, max(pc.cos) AS m
+         |      FROM pc JOIN sel${t - 1} sl ON pc.vb = sl.vec_id
+         |      GROUP BY pc.va) ms ON ms.vec_id = s.vec_id
+         |  WHERE s.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  ORDER BY score DESC, s.vec_id LIMIT 1),
+         |sel$t AS MATERIALIZED (
+         |  SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT rank, vec_id, rel, score FROM sel$k ORDER BY rank"""
+        .stripMargin
+  }
+
+  /** PageRank replay: the operator's fixed iteration count unrolls to a
+   * CTE chain — same damped update, dangling redistribution, and
+   * 10-decimal per-iteration rounding as Graph.pageRank. */
+  def pageRankOracle(iters: Int): String = {
+    val pre =
+      """WITH edges AS (SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst
+        |  FROM orders),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+        |outdeg AS (SELECT src AS node, count(*)::DOUBLE AS deg FROM edges
+        |  GROUP BY src),
+        |r0 AS (SELECT node, round(1.0 / nn.n, 10) AS rank FROM nodes, nn)"""
+        .stripMargin
+    val steps = (0 until iters).map { t =>
+      s""",
+         |c$t AS (SELECT e.dst AS node, sum(r.rank / od.deg) AS s
+         |  FROM edges e JOIN r$t r ON r.node = e.src
+         |  JOIN outdeg od ON od.node = e.src GROUP BY e.dst),
+         |dg$t AS (SELECT coalesce(sum(r.rank), 0) AS m FROM r$t r
+         |  LEFT JOIN outdeg od ON od.node = r.node WHERE od.node IS NULL),
+         |r${t + 1} AS (SELECT n.node,
+         |    round(0.15 / nn.n + 0.85 * (coalesce(c$t.s, 0) + dg$t.m / nn.n),
+         |      10) AS rank
+         |  FROM nodes n LEFT JOIN c$t ON c$t.node = n.node, nn, dg$t)"""
+        .stripMargin
+    }.mkString
+    pre + steps + s"\nSELECT node, rank FROM r$iters ORDER BY node"
+  }
+
+  /** HITS replay: the fixed iteration count unrolls to a CTE chain —
+   * same per-round order (authority from prev h, then hub from the
+   * CURRENT round's a), L2 norms, zero-norm guard, and 10-decimal
+   * per-round rounding as Graph.hits. */
+  def hitsOracle(iters: Int): String = {
+    // AS MATERIALIZED is load-bearing, not a hint: DuckDB inlines plain
+    // CTEs, and an unrolled recursion whose round references its
+    // predecessor 2-4x would expand to O(4^rounds) copies of the base
+    // scan (observed: fd exhaustion at 8 rounds). Materializing each
+    // round keeps the replay linear in rounds, like the engine's.
+    val pre =
+      """WITH edges AS MATERIALIZED (
+        |  SELECT o_custkey % 997 AS src, o_orderkey % 997 AS dst
+        |  FROM orders),
+        |nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges
+        |  UNION SELECT DISTINCT dst FROM edges),
+        |h0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE AS h FROM nodes)"""
+        .stripMargin
+    val steps = (1 to iters).map { t =>
+      s""",
+         |ar$t AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0) AS ar
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.dst AS node, sum(h.h) AS v
+         |    FROM edges e JOIN h${t - 1} h ON h.node = e.src
+         |    GROUP BY e.dst) s ON s.node = n.node),
+         |an$t AS MATERIALIZED (SELECT sqrt(sum(ar * ar)) AS v FROM ar$t),
+         |a$t AS MATERIALIZED (SELECT node, round(CASE WHEN an$t.v > 0
+         |    THEN ar / an$t.v ELSE 0 END, 10) AS a FROM ar$t, an$t),
+         |hr$t AS MATERIALIZED (SELECT n.node, coalesce(s.v, 0) AS hr
+         |  FROM nodes n
+         |  LEFT JOIN (SELECT e.src AS node, sum(a.a) AS v
+         |    FROM edges e JOIN a$t a ON a.node = e.dst
+         |    GROUP BY e.src) s ON s.node = n.node),
+         |hn$t AS MATERIALIZED (SELECT sqrt(sum(hr * hr)) AS v FROM hr$t),
+         |h$t AS MATERIALIZED (SELECT node, round(CASE WHEN hn$t.v > 0
+         |    THEN hr / hn$t.v ELSE 0 END, 10) AS h FROM hr$t, hn$t)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT h$iters.node, round(h$iters.h, 6) AS hub,
+         |  round(a$iters.a, 6) AS authority
+         |FROM h$iters JOIN a$iters ON a$iters.node = h$iters.node
+         |ORDER BY 1""".stripMargin
+  }
+
+  /** k-core replay: the peel loop unrolls to `rounds` CTE rounds (each:
+   * degree agg → keep-set → both-endpoint semi-join). Peeling is
+   * idempotent at the fixpoint, so unrolling MORE rounds than the data
+   * needs (6 at the gate SF) is still exact — `rounds` just has to be
+   * an upper bound, and extra rounds cost nothing on the empty delta. */
+  def kcoreOracle(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: see hitsOracle — each round references its
+    // predecessor 3x, so inlined CTEs would expand to 3^rounds scans.
+    val pre =
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         |    least(o_custkey % 997, o_orderkey % 997) AS a,
+         |    greatest(o_custkey % 997, o_orderkey % 997) AS b
+         |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997)"""
+        .stripMargin
+    val steps = (0 until rounds).map { t =>
+      s""",
+         |d$t AS MATERIALIZED (SELECT node, count(*) AS d FROM
+         |    (SELECT a AS node FROM e$t UNION ALL SELECT b FROM e$t)
+         |  GROUP BY node),
+         |k$t AS MATERIALIZED (SELECT node FROM d$t WHERE d >= $k),
+         |e${t + 1} AS MATERIALIZED (SELECT e.a, e.b FROM e$t e
+         |  JOIN k$t ka ON ka.node = e.a JOIN k$t kb ON kb.node = e.b)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT node, count(*)::BIGINT AS core_deg FROM
+         |  (SELECT a AS node FROM e$rounds UNION ALL SELECT b FROM e$rounds)
+         |GROUP BY node HAVING count(*) >= $k ORDER BY node""".stripMargin
+  }
+
+  /** BPE-training replay: `numMerges` rounds unroll to CTEs over the
+   * same state TextMetrics.trainBpe iterates — the double-spaced word
+   * dictionary — with the identical pair-count aggregation, (n desc, l,
+   * r) tie-break, minPairCount=2 stop (an empty m-round empties every
+   * later round, reproducing early stop), and leftmost-non-overlapping
+   * replace (both engines' string replace scans left to right).
+   * AS MATERIALIZED: see hitsOracle. */
+  def bpeTrainOracle(numMerges: Int): String = {
+    val pre =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT ' ' || rtrim(regexp_replace(w, '(.)', '\1  ', 'g')) || ' '
+        |      AS sym,
+        |    count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(regexp_split_to_array(text, '\s+')) AS w
+        |        FROM documents)
+        |  WHERE w <> '' GROUP BY 1)""".stripMargin
+    val steps = (1 to numMerges).map { t =>
+      s""",
+         |p$t AS MATERIALIZED (
+         |  SELECT l, r, sum(cnt) AS n FROM (
+         |    SELECT cnt,
+         |      unnest(list_slice(ss, 1, len(ss) - 1)) AS l,
+         |      unnest(list_slice(ss, 2, len(ss))) AS r
+         |    FROM (SELECT cnt, list_filter(list_transform(
+         |            string_split(sym, '  '), x -> trim(x)),
+         |          x -> x <> '') AS ss FROM w${t - 1})
+         |    WHERE len(ss) >= 2)
+         |  GROUP BY l, r),
+         |m$t AS MATERIALIZED (SELECT l, r FROM p$t WHERE n >= 2
+         |  ORDER BY n DESC, l, r LIMIT 1),
+         |w$t AS MATERIALIZED (
+         |  SELECT replace(sym, ' ' || m.l || '  ' || m.r || ' ',
+         |                      ' ' || m.l || m.r || ' ') AS sym, cnt
+         |  FROM w${t - 1}, m$t m)""".stripMargin
+    }.mkString
+    val branches = (1 to numMerges).map { t =>
+      s"""SELECT $t::BIGINT AS rank, l AS "left", r AS "right" FROM m$t"""
+    }.mkString("\nUNION ALL ")
+    pre + steps + "\nSELECT * FROM (" + branches + ") ORDER BY rank"
+  }
+
+  def lpaOracle(iters: Int): String = {
+    // AS MATERIALIZED: each round references its predecessor once per
+    // count join; materialization keeps the unroll linear (hitsOracle).
+    val pre =
+      s"""WITH e0 AS MATERIALIZED (SELECT DISTINCT
+         |    least(o_custkey % 997, o_orderkey % 997) AS a,
+         |    greatest(o_custkey % 997, o_orderkey % 997) AS b
+         |  FROM orders WHERE o_custkey % 997 <> o_orderkey % 997),
+         |nb AS MATERIALIZED (SELECT a, b FROM e0
+         |  UNION ALL SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label
+         |  FROM nb)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s""",
+         |l${t + 1} AS MATERIALIZED (SELECT a AS node, label FROM (
+         |    SELECT nb.a, l.label,
+         |      row_number() OVER (PARTITION BY nb.a
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM nb JOIN l$t l ON l.node = nb.b
+         |    GROUP BY nb.a, l.label) WHERE rn = 1)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT node, label FROM l$iters ORDER BY node""".stripMargin
+  }
+
+
+  /** Shared classifier-eval CTE (`sc(doc_id, score, label)`): the exact
+   * frame [[classifierEvalFrame]] builds — {the,and,of}-token density
+   * 4dp over the nonempty-token count, label = lang = 'en'. */
+  val classifierEvalCte: String =
+    """WITH sc AS (SELECT doc_id,
+      |    round(len(list_filter(string_split(text, ' '),
+      |        x -> x IN ('the', 'and', 'of')))
+      |      / nullif(len(list_filter(string_split(text, ' '),
+      |        x -> x <> '')), 0)::DOUBLE, 4) AS score,
+      |    (lang = 'en') AS label
+      |  FROM documents),
+      |""".stripMargin
+
+  /** Shared SCD2 CTE chain (ends at `v(user_id, event_type,
+   * effective_from, effective_to, version)`): the identical
+   * construction [[graft.ops.Snapshot.scd2]] folds — per-user
+   * (ts, event_id)-ordered lag dedup of the content hash, then lead
+   * validity bounds and a row_number version ordinal over the
+   * change rows only. */
+  val scd2Cte: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS ts_us, event_id,
+      |    event_type,
+      |    md5(concat_ws('|', CAST(event_type AS VARCHAR))) AS vh
+      |  FROM events),
+      |c AS (SELECT *, lag(vh) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS ph FROM e),
+      |f AS (SELECT user_id, ts_us, event_id, event_type FROM c
+      |  WHERE ph IS NULL OR ph <> vh),
+      |v AS (SELECT user_id, event_type, ts_us AS effective_from,
+      |    lead(ts_us) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id) AS effective_to,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id)::INT AS version
+      |  FROM f)
+      |""".stripMargin
+}

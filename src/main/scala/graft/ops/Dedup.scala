@@ -626,14 +626,29 @@ object Dedup {
    * through the banded LSH path. Output composes with
    * connectedComponents + electRepresentativesByLabels for the
    * keep/drop step.
+   *
+   * `k = 0` (the default) derives the cell count from the corpus:
+   * k = ⌈√n⌉ clamped to [16, 4096] ([[autoSemanticK]]). Total cost is
+   * Θ(n·k) assignment + Θ(n²/k) within-cell pairing, minimized at
+   * k ∝ √n — the measured ≤0.85 scaling slope (SURVEY §6) holds only
+   * on that schedule, so a caller who never reads the tuning note gets
+   * the right exponent by default; a FIXED k reads ~2.0 at scale. The
+   * derivation is ONE count() of the non-null-vector corpus —
+   * loop-control driver state like the k-means centroids themselves
+   * (kmeansAssign collects k seed rows either way); pass explicit k to
+   * stay fully lazy or to pin a cell width.
    */
   def semanticPairs(
       emb: DataFrame, vecCol: String, idCol: String,
-      k: Int = 256, iters: Int = 2, minCosine: Double = 0.8,
+      k: Int = 0, iters: Int = 2, minCosine: Double = 0.8,
       maxClusterSize: Int = 100000): DataFrame = {
+    require(k >= 0, s"k must be >= 0 (0 = auto ~ sqrt(n)): $k")
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val nPart = emb.sparkSession.sessionState.conf.numShufflePartitions
-    val assigned0 = Similarity.kmeansAssign(emb, vecCol, idCol, k, iters)
+    val kUse =
+      if (k > 0) k
+      else autoSemanticK(emb.where(col(vecCol).isNotNull).count())
+    val assigned0 = Similarity.kmeansAssign(emb, vecCol, idCol, kUse, iters)
       .select(col("cluster"), col(idCol), col(vecCol).cast("array<double>").as("_v"))
     // reuse the banded paths' hot-bucket cap (band is a dummy constant:
     // the cap key is just the cluster id)
@@ -654,6 +669,18 @@ object Dedup {
         explode(when(cos >= minCosine, array(round(cos, 5)))
           .otherwise(array().cast("array<double>"))).as("cosine"))
   }
+
+  /** [[semanticPairs]]'s auto cell count: ⌈√n⌉ clamped to [16, 4096] —
+   * the Θ(n·k + n²/k) cost minimizer (k ∝ √n), floored so tiny corpora
+   * still get real cells and capped where the literal-argmin assignment
+   * expression (k unrolled array elements) would outgrow codegen. The
+   * cap binds above n ≈ 16.7M vectors per job — past that, cluster with
+   * [[Similarity.kmeansCentroids]] + `assignToCentroids` (the persisted
+   * cell index) and feed assignments in per cell instead. */
+  private[ops] def autoSemanticK(n: Long): Int =
+    math.min(4096L,
+      math.max(16L, math.ceil(math.sqrt(math.max(0L, n).toDouble)).toLong))
+      .toInt
 
   /**
    * Embedding-cosine near-duplicate pairs via multi-band random-hyperplane

@@ -1537,6 +1537,74 @@ object Profile {
           log(col("p_new") / col("p_ref")), 6).as("contrib"))
   }
 
+  /**
+   * Per-bin value counts against a FIXED literal bin grid — the
+   * streaming-mergeable half of [[psiDrift]]. PSI's state is bounded
+   * the moment the grid is frozen: each row maps to one of `bins`
+   * buckets by pure arithmetic (narrow — no reference scan, the edges
+   * are literals), and the per-bucket counts are classic mergeable
+   * aggregation state, so this runs UNCHANGED on a streaming frame in
+   * Complete mode (the domainProfile pattern). The production loop:
+   * freeze (lo, hi) from the reference snapshot once, stream current
+   * data through this, and assemble the O(bins) index per trigger with
+   * [[psiFromCounts]] — the assembly is bins-sized driver work, not
+   * stream state. (The two-sample KS test has NO such split: D needs
+   * every distinct value's CDF position, unbounded state on an
+   * unbounded stream — [[ksTest]] is batch-only by design, not by
+   * omission.) Values outside [lo, hi) clamp into the edge bins, the
+   * psiDrift convention. Output: bucket, n.
+   */
+  def psiBucketCounts(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val w = if (hi > lo) (hi - lo) / bins else 1.0
+    val v = col(valueCol).cast("double")
+    df.filter(v.isNotNull)
+      .withColumn("bucket",
+        greatest(least(floor((v - lit(lo)) / lit(w)),
+          lit((bins - 1).toLong)), lit(0L)))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Assemble the [[psiDrift]] report from two [[psiBucketCounts]]
+   * frames and the same frozen grid — bins-sized arithmetic, the
+   * per-trigger tail of the streaming loop. With (lo, hi) taken from
+   * the reference's min/max, `psiFromCounts(counts(ref), counts(cur))`
+   * is row-identical to `psiDrift(ref, cur)` (the law the spec pins).
+   * Output: the psiDrift schema (bucket, lo/hi edge, n_ref, n_new,
+   * p_ref, p_new, contrib).
+   */
+  def psiFromCounts(refCounts: DataFrame, curCounts: DataFrame,
+      lo: Double, hi: Double, bins: Int, eps: Double = 1e-4): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(eps > 0, "eps must be positive")
+    val w = if (hi > lo) (hi - lo) / bins else 1.0
+    val spark = refCounts.sparkSession
+    val grid = spark.range(bins).select(col("id").as("bucket"))
+    val joined = grid
+      .join(refCounts.select(col("bucket"), col("n").as("n_ref")),
+        Seq("bucket"), "left")
+      .join(curCounts.select(col("bucket"), col("n").as("n_new")),
+        Seq("bucket"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+    val tot = joined.groupBy().agg(
+      sum("n_ref").cast("double").as("_tr"),
+      sum("n_new").cast("double").as("_tn"))
+    joined.crossJoin(tot)
+      .withColumn("p_ref", greatest(col("n_ref") / col("_tr"), lit(eps)))
+      .withColumn("p_new", greatest(col("n_new") / col("_tn"), lit(eps)))
+      .select(col("bucket"),
+        round(lit(lo) + col("bucket") * lit(w), 6).as("lo_edge"),
+        round(lit(lo) + (col("bucket") + 1) * lit(w), 6).as("hi_edge"),
+        col("n_ref"), col("n_new"),
+        round(col("p_ref"), 6).as("p_ref"),
+        round(col("p_new"), 6).as("p_new"),
+        round((col("p_new") - col("p_ref")) *
+          log(col("p_new") / col("p_ref")), 6).as("contrib"))
+  }
+
   def robustOutliers(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, k: Double = 3.5): DataFrame = {
     val v = col(valueCol).cast("double")

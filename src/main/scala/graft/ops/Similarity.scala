@@ -196,15 +196,67 @@ object Similarity {
   /** argmin as array_min over [dist², cid] pairs (lexicographic array
    * comparison: distance first, ties to the LOWEST cluster id); cid as
    * a double is exact for any realistic k. Item 0 is the winning
-   * squared distance, item 1 the cid. */
+   * squared distance, item 1 the cid.
+   *
+   * Two implementations behind one contract, switched on k: up to
+   * [[exprArgminMaxK]] centroids the literal expression form runs —
+   * codegen'd, and the form the small-k DuckDB oracles replay — but
+   * its cost shape is wrong in k: k unrolled zip_with branches mean k
+   * INTERMEDIATE ARRAYS PER ROW (at k=283/d=64 that is ~1 TB of
+   * allocations over an 80k-row corpus; measured as a multi-minute
+   * stall when auto-k first raised k past ~100). Above the cutover the
+   * same argmin runs as a broadcast-centroid compiled kernel — one
+   * flat k·d loop per row, zero per-candidate allocation, the standard
+   * Lloyd shape. Identical results by construction: same left-to-right
+   * Σ(a−b)² order per centroid (IEEE-identical to the zip_with fold),
+   * same ties-to-lowest-cid rule (ascending scan with strict <), and
+   * the equality is additionally spec-pinned across the cutover. */
   private def minDistPair(v: Column,
       cents: Seq[(Int, Seq[Double])]): Column =
-    array_min(array(cents.map { case (cid, c) =>
-      array(
-        aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x),
-        lit(cid.toDouble))
-    }: _*))
+    if (cents.size <= exprArgminMaxK)
+      array_min(array(cents.map { case (cid, c) =>
+        array(
+          aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x),
+          lit(cid.toDouble))
+      }: _*))
+    else {
+      val sorted = cents.sortBy(_._1)
+      val ids = sorted.map(_._1.toDouble).toArray
+      val cs = sorted.map(_._2.toArray).toArray
+      val f = udf((xs: Seq[Double]) => {
+        if (xs == null) null
+        else {
+          val n = xs.length
+          val x = new Array[Double](n)
+          var i = 0
+          while (i < n) { x(i) = xs(i); i += 1 }
+          var best = Double.PositiveInfinity
+          var bid = 0.0
+          var c = 0
+          while (c < cs.length) {
+            val cv = cs(c)
+            var d = 0.0
+            var j = 0
+            val lim = math.min(n, cv.length)
+            while (j < lim) { val t = x(j) - cv(j); d += t * t; j += 1 }
+            if (d < best) { best = d; bid = ids(c) }
+            c += 1
+          }
+          Array(best, bid)
+        }
+      })
+      f(v)
+    }
+
+  /** k cutover between [[minDistPair]]'s literal-expression argmin and
+   * its broadcast compiled kernel. 16 keeps every oracle-replayed gate
+   * (k ≤ 16 everywhere) on the expression path and nothing else: each
+   * distinct centroid SET is a distinct literal expression, so Lloyd
+   * recompiles the generated code every update round — measured 47-70 s
+   * per semantic-pairs run at k=45-64 (codegen compile + per-row
+   * allocation) vs 3.7 s through the kernel on TWICE the data. */
+  private val exprArgminMaxK = 16
 
   private def lloydCentroids(base: DataFrame, v: Column, idCol: String,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] = {

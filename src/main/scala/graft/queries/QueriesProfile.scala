@@ -1,0 +1,1058 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ebw.{DesignMatrix, EbwOptions, EntropyBalance, GroupedEntropyBalance}
+import graft.ops.{Dedup, Similarity, Skew, TextMetrics}
+import graft.QShared._
+
+/** profiling/statistics gates (graft.ops.Profile surface) — one `queries` entry per gate with its DuckDB oracle in
+ * `oracles` (same names, same column aliases, same rounding; the
+ * SparkEntry contract). Split out of the SparkEntry monolith so an
+ * edit to one family can never touch another family's oracle text. */
+private[graft] object QueriesProfile {
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_describe" -> ((s, dir) =>
+      // DESCRIBE-style numeric profile: all three columns' statistics in
+      // ONE aggregation over one scan, unpivoted from the 1-row result
+      graft.ops.Profile.describeNumeric(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")),
+    "q_key_skew" -> ((s, dir) =>
+      // join-key skew diagnosis: heaviest 10 keys with row share and
+      // ratio to the mean key load (the salting decision input); totals
+      // enter as a 1-row aggregate subtree, top-k is a TakeOrdered
+      graft.ops.Profile.keySkew(t(s, dir, "lineitem"), "l_suppkey", 10)),
+    "q_group_topk" -> ((s, dir) =>
+      // best-n-per-key: top-3 orders per priority by total price, the
+      // order key as the unique tiebreak; the rank filter plans as
+      // WindowGroupLimit with a partial (pre-shuffle) prune — audited
+      graft.ops.Profile.topKPerGroup(
+          t(s, dir, "orders")
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+          Seq("o_orderpriority"),
+          Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)
+        .orderBy("o_orderpriority", "rk")),
+    "q_group_quantiles" -> ((s, dir) =>
+      graft.ops.Profile.groupQuantiles(t(s, dir, "orders"),
+          "o_orderpriority", "o_totalprice", Seq(0.25, 0.5, 0.75, 0.95))
+        .orderBy("grp", "q")),
+    "q_group_distinct" -> ((s, dir) =>
+      graft.ops.Profile.groupDistinct(t(s, dir, "orders"),
+          "o_orderpriority", "o_custkey")
+        .orderBy("grp")),
+    "q_ks_test" -> ((s, dir) => {
+      // two-sample KS on the same en-vs-rest split as q_qq_compare:
+      // D, where the curves pull apart, and the asymptotic 95% cut
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.ksTest(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "n_chars")
+    }),
+    "q_qq_compare" -> ((s, dir) => {
+      // Q-Q deciles of doc length: en vs the rest — the drift view
+      // that shows WHERE in the distribution a shift lives; two 1-row
+      // percentile subtrees, no sample join
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.qqCompare(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "n_chars")
+        .orderBy("p")
+    }),
+    "q_pareto_tail" -> ((s, dir) =>
+      // Hill tail exponent of order totals above 300k: can this column
+      // be averaged, or does it need medians? one scan aggregation
+      graft.ops.Profile.hillTail(t(s, dir, "orders"), "o_totalprice",
+        xmin = 300000.0)),
+    "q_survival" -> ((s, dir) => {
+      // Kaplan-Meier time-to-first-purchase by user cohort: users who
+      // never purchase are CENSORED at their last observed event, not
+      // dropped — per-cohort cumulative-product windows over the
+      // distinct-day frame
+      val ev = eventsTsUs(s, dir)
+      val per = ev.groupBy("user_id").agg(
+        min(col("ts_us")).as("_first"),
+        max(col("ts_us")).as("_last"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("_fp"))
+      val subjects = per.select(
+        (col("user_id") % 3).as("cohort"),
+        expr("(coalesce(_fp, _last) - _first) div 86400000000")
+          .as("duration_days"),
+        col("_fp").isNotNull.as("event"))
+      graft.ops.Profile.kaplanMeier(subjects, "cohort", "duration_days",
+          "event")
+        .orderBy("cohort", "t")
+    }),
+    "q_chi_square" -> ((s, dir) =>
+      // is language independent of source? chi-square + Cramér's V
+      // from ONE joint aggregation, empty grid cells folded in via
+      // the n - sum(e_observed) identity (the grid never materializes)
+      graft.ops.Profile.chiSquare(t(s, dir, "documents"),
+        "lang", "source")),
+    "q_ab_welch" -> ((s, dir) =>
+      // Welch two-sample t-test: does src1's doc length beat src8's
+      // beyond sampling noise? one filtered scan aggregation
+      graft.ops.Profile.welchTTest(t(s, dir, "documents"), "source",
+        "n_chars", "src1", "src8")),
+    "q_gains_table" -> ((s, dir) =>
+      // decile gains/lift over the shared classifier-eval frame: bins
+      // by EXACT percentile cuts (1-row subtree), never a corpus ntile
+      graft.ops.Profile.gainsTable(classifierEvalFrame(s, dir),
+          "score", "label")
+        .orderBy("decile")),
+    "q_corr_matrix" -> ((s, dir) =>
+      // pairwise Pearson over the lineitem numeric block in ONE scan —
+      // guarded moments per pair (the acf rule), k scales expression
+      // count, never passes
+      graft.ops.Profile.corrMatrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_a", "col_b")),
+    "q_bootstrap_ci" -> ((s, dir) =>
+      // per-source mean doc length with Poisson-bootstrap 95% CI —
+      // the distributed bootstrap (each row draws its own multiplicity
+      // from the md5-uniform ladder; no global-n coordination)
+      graft.ops.Profile.bootstrapCI(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars", b = 32)
+        .orderBy("source")),
+    "q_weight_diag" -> ((s, dir) =>
+      // survey-weight diagnostics per order priority (weights scaled
+      // 1e-5 so 4dp-rounded sums are parallel-sum-proof): Kish ESS,
+      // design effect, weight CV, extremes — one keyed aggregation
+      graft.ops.Profile.weightDiagnostics(
+          t(s, dir, "orders").select(col("o_orderpriority"),
+            (col("o_totalprice") / lit(100000.0)).as("w")),
+          "o_orderpriority", "w")
+        .orderBy("o_orderpriority")),
+    "q_stats_drift" -> ((s, dir) => {
+      // column-stats drift between corpus versions: the new side drops
+      // every 10th doc, nulls lang on 7-multiples, and shifts n_chars
+      // by +37 — null_frac, distinct, and mean deltas all genuinely
+      // move; one unpivot scan per side, k-row join
+      val d = t(s, dir, "documents")
+      val oldV = d.select(col("doc_id"), col("lang"), col("n_chars"),
+        col("source"))
+      val newV = d.filter(col("doc_id") % 10 =!= 0).select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        (col("n_chars") + lit(37L)).as("n_chars"), col("source"))
+      graft.ops.Profile.statsDrift(oldV, newV,
+          Seq("doc_id", "lang", "n_chars", "source"))
+        .orderBy("col_name")
+    }),
+    "q_impute" -> ((s, dir) => {
+      // per-type median imputation of planted gaps, provenance kept;
+      // two exact percentile aggs joined back group-keyed
+      val ev = t(s, dir, "events").select(col("event_id"),
+        col("event_type"),
+        when(col("event_id") % 7 === 0, lit(null).cast("double"))
+          .otherwise(col("value")).as("value"))
+      graft.ops.Profile.imputeMedian(ev, "event_type", "value")
+        .orderBy("event_id")
+    }),
+    "q_cooccur" -> ((s, dir) => {
+      // brands bought together within an order: the association-mining
+      // support count; pair forms once by construction (item_a < item_b)
+      val bi = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      graft.ops.Profile.coOccurrence(bi, "l_orderkey", "p_brand",
+          minSupport = 40L)
+        .orderBy("item_a", "item_b")
+    }),
+    "q_assoc_rules" -> ((s, dir) => {
+      // directed brand rules with confidence and lift over the same
+      // baskets; N enters as a 1-row aggregate subtree, never an action
+      val bi = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+      graft.ops.Profile.associationRules(bi, "l_orderkey", "p_brand",
+          minSupport = 40L)
+        .orderBy("antecedent", "consequent")
+    }),
+    "q_transitions" -> ((s, dir) => {
+      // per-user first-order event transition matrix, (ts, type) ordered
+      val ev = eventsTsUs(s, dir)
+      graft.ops.Profile.transitionMatrix(ev, "user_id", "ts_us", "event_type")
+        .orderBy("from_state", "to_state")
+    }),
+    "q_histogram" -> ((s, dir) => {
+      // 20-bin fixed-width price histogram per return flag, empty bins
+      // materialized; two keyed aggs + a G·bins grid, nothing global
+      graft.ops.Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice",
+          20, Seq("l_returnflag"))
+        .orderBy("l_returnflag", "bucket")
+    }),
+    "q_outliers_mad" -> ((s, dir) => {
+      // robust median/MAD length outliers per source (Iglewicz–Hoaglin
+      // modified z-score 0.6745·|x−med|/MAD > 2.5) — the heavy-tail-
+      // immune curation cut; two exact keyed percentile aggs, stats
+      // joined back group-keyed
+      graft.ops.Profile.robustOutliers(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars", k = 2.5)
+        .orderBy("source", "doc_id")
+    }),
+    "q_psi_drift" -> ((s, dir) => {
+      // distribution drift: English doc lengths as the reference grid,
+      // non-English as the "new" snapshot — per-bin PSI contributions;
+      // reference min/max defines the bins, outside values clamp in
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.psiDrift(d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "n_chars", bins = 10)
+        .orderBy("bucket")
+    }),
+    "q_entropy" -> ((s, dir) => {
+      // per-column Shannon entropy profile (block-key/partition-key
+      // quality signal): all columns in ONE scan via an in-project
+      // unpivot, (col, value) counts map-side combined
+      graft.ops.Profile.entropyProfile(t(s, dir, "documents"),
+          Seq("lang", "source"))
+        .orderBy("col_name")
+    }),
+    "q_mutual_info" -> ((s, dir) => {
+      // mutual information between return flag and line status — the
+      // feature-redundancy/leakage probe; joint counts once, marginals
+      // derived from them, total as a 1-row subtree
+      graft.ops.Profile.mutualInfo(t(s, dir, "lineitem"),
+        "l_returnflag", "l_linestatus")
+    }),
+    "q_winsorize" -> ((s, dir) => {
+      // per-source doc-length winsorization at the exact [5%, 95%]
+      // band — robustOutliers flags the tail, this reins it in
+      graft.ops.Profile.winsorize(t(s, dir, "documents"), "source",
+          "doc_id", "n_chars", pLo = 0.05, pHi = 0.95)
+        .orderBy("source", "doc_id")
+    }),
+    "q_cusum" -> ((s, dir) => {
+      // CUSUM drift alarm over each event type's daily-mean series;
+      // daily means 4dp-rounded so the series itself is engine-
+      // identical before the sequential fold; oracle replays the
+      // recurrence as a recursive CTE
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.cusum(daily, "event_type", "day", "x")
+        .orderBy("event_type", "ts")
+    }),
+    "q_ewma" -> ((s, dir) => {
+      // EWMA smoothing of the same daily series cusum alarms on (α=0.3);
+      // the oracle replays the recurrence as a recursive CTE — the
+      // denoised level a drift dashboard plots
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.ewma(daily, "event_type", "day", "x", alpha = 0.3)
+        .orderBy("event_type", "ts")
+    }),
+    "q_rolling_z" -> ((s, dir) => {
+      // rolling z-score spike flags over the daily series: each point
+      // scored against its trailing-7 history (never itself); pure
+      // window aggregation, one Exchange on the key
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.rollingZ(daily, "event_type", "day", "x",
+          window = 7, tau = 2.5, minPts = 3)
+        .orderBy("event_type", "ts")
+    }),
+    "q_acf" -> ((s, dir) => {
+      // autocorrelation of each event type's daily series at lags 1..7:
+      // the seasonality probe — ONE keyed window pass builds all lag
+      // columns, one aggregation computes every corr; the oracle IS the
+      // definition (corr + lag windows)
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.acf(daily, "event_type", "day", "x", maxLag = 7)
+        .orderBy("event_type", "lag")
+    }),
+    "q_holt" -> ((s, dir) => {
+      // Holt double-exponential smoothing of the daily series (α=0.3,
+      // β=0.2): trend-aware level + one-step forecast; the oracle
+      // replays the recurrence as a recursive CTE with identical
+      // literal coefficients
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.holt(daily, "event_type", "day", "x",
+          alpha = 0.3, beta = 0.2)
+        .orderBy("event_type", "ts")
+    }),
+    "q_benford" -> ((s, dir) =>
+      // Benford first-digit audit of extended prices: arithmetic leading
+      // digit (never string rendering), 9-row grid with chi-square terms
+      graft.ops.Profile.benford(t(s, dir, "lineitem"), "l_extendedprice")
+        .orderBy("digit")),
+    "q_concentration" -> ((s, dir) =>
+      // revenue-concentration audit: Gini + HHI + top-share of customer
+      // order totals — one keyed agg then a KEY-level ranked pass
+      graft.ops.Profile.concentration(t(s, dir, "orders"), "o_custkey",
+        "o_totalprice")),
+    "q_cohen_kappa" -> ((s, dir) => {
+      // chance-corrected agreement between two length-derived labelers
+      // (char-bucket vs token-bucket) — the annotation-QA scan shape;
+      // thresholds deliberately disagree on a real slice of docs
+      val d = t(s, dir, "documents")
+      val labeled = d.select(
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 800, "mid").otherwise("long").as("by_chars"),
+        when(size(filter(split(col("text"), " ", -1), x => x =!= "")) < 40,
+            "short")
+          .when(size(filter(split(col("text"), " ", -1), x => x =!= "")) < 160,
+            "mid")
+          .otherwise("long").as("by_tokens"))
+      graft.ops.Profile.cohenKappa(labeled, "by_chars", "by_tokens")
+    }),
+    "q_classifier_metrics" -> ((s, dir) => {
+      // confusion metrics at a threshold for a deterministic (and
+      // honestly near-random on this synthetic corpus) stopword-density
+      // scorer vs the lang=en label; one full-scan aggregation
+      graft.ops.Profile.classifierMetrics(classifierEvalFrame(s, dir),
+        "score", "label", threshold = 0.03)
+    }),
+    "q_calibration" -> ((s, dir) => {
+      // per-bin calibration decomposition (confidence vs observed
+      // positive rate), empty bins materialized
+      graft.ops.Profile.calibration(classifierEvalFrame(s, dir),
+          "score", "label", bins = 10)
+        .orderBy("bucket")
+    }),
+    "q_roc_auc" -> ((s, dir) => {
+      // exact rank-sum AUC with tie half-credit; scores 4dp-rounded so
+      // the distinct-score walk is bounded (the documented envelope)
+      graft.ops.Profile.rocAuc(classifierEvalFrame(s, dir),
+        "score", "label")
+    }),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_describe" ->
+      """SELECT 'l_quantity' AS "column", count(l_quantity) AS n,
+        |  (count(*) - count(l_quantity)) AS n_nulls,
+        |  round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v,
+        |  round(avg(l_quantity), 4) AS mean_v,
+        |  round(stddev_samp(l_quantity), 4) AS sd_v
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', count(l_extendedprice),
+        |  count(*) - count(l_extendedprice),
+        |  round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |  round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+        |  round(min(l_discount), 4), round(max(l_discount), 4),
+        |  round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
+        |FROM lineitem
+        |ORDER BY "column"""".stripMargin,
+    "q_group_topk" ->
+      """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey)::BIGINT AS rk
+        |  FROM orders)
+        |SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+        |FROM r WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT l_suppkey AS key, count(*) AS n
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS total, count(*)::DOUBLE AS n_keys
+        |  FROM c)
+        |SELECT key, n, round(n / t.total, 6) AS share,
+        |  round(n * t.n_keys / t.total, 4) AS ratio_to_avg
+        |FROM c, t
+        |ORDER BY n DESC, key
+        |LIMIT 10""".stripMargin,
+    "q_group_distinct" ->
+      """SELECT o_orderpriority AS grp,
+        |  count(DISTINCT o_custkey) AS n_distinct,
+        |  count(o_custkey) AS n_values,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY o_orderpriority ORDER BY grp""".stripMargin,
+    "q_group_quantiles" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority AS grp,
+        |    quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.95]) AS vs,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT grp, CAST(([0.25, 0.5, 0.75, 0.95])[i] AS DOUBLE) AS q,
+        |  round(vs[i], 4) AS value, n
+        |FROM a, unnest(generate_series(1, 4)) AS u(i)
+        |ORDER BY grp, q""".stripMargin,
+    "q_ks_test" ->
+      """WITH a AS (SELECT round(n_chars::DOUBLE, 4) AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |b AS (SELECT round(n_chars::DOUBLE, 4) AS v FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |ca AS (SELECT v, count(*)::BIGINT AS c FROM a GROUP BY v),
+        |cb AS (SELECT v, count(*)::BIGINT AS c FROM b GROUP BY v),
+        |m AS (SELECT v, coalesce(ca.c, 0) AS cca,
+        |    coalesce(cb.c, 0) AS ccb
+        |  FROM ca FULL OUTER JOIN cb USING (v)),
+        |t AS (SELECT sum(cca)::BIGINT AS na, sum(ccb)::BIGINT AS nb
+        |  FROM m),
+        |wlk AS (SELECT v, round(abs(
+        |    sum(cca) OVER win / t.na::DOUBLE
+        |      - sum(ccb) OVER win / t.nb::DOUBLE), 6) AS d
+        |  FROM m, t WINDOW win AS (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mx AS (SELECT max(d) AS md FROM wlk)
+        |SELECT t.na AS n_a, t.nb AS n_b, round(mx.md, 4) AS d_stat,
+        |  round((SELECT min(v) FROM wlk WHERE wlk.d = mx.md), 4)
+        |    AS d_at,
+        |  round(1.358 * sqrt((t.na + t.nb) / (t.na * t.nb)::DOUBLE), 4)
+        |    AS d_crit95,
+        |  round(mx.md, 4)
+        |    > round(1.358 * sqrt((t.na + t.nb)
+        |      / (t.na * t.nb)::DOUBLE), 4) AS significant
+        |FROM t, mx""".stripMargin,
+    "q_qq_compare" ->
+      """WITH a AS (SELECT n_chars::DOUBLE AS x FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |b AS (SELECT n_chars::DOUBLE AS x FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |qa AS (SELECT [quantile_cont(x, 0.1), quantile_cont(x, 0.2),
+        |    quantile_cont(x, 0.3), quantile_cont(x, 0.4),
+        |    quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+        |    quantile_cont(x, 0.7), quantile_cont(x, 0.8),
+        |    quantile_cont(x, 0.9)] AS cs FROM a),
+        |qb AS (SELECT [quantile_cont(x, 0.1), quantile_cont(x, 0.2),
+        |    quantile_cont(x, 0.3), quantile_cont(x, 0.4),
+        |    quantile_cont(x, 0.5), quantile_cont(x, 0.6),
+        |    quantile_cont(x, 0.7), quantile_cont(x, 0.8),
+        |    quantile_cont(x, 0.9)] AS cs FROM b)
+        |SELECT round(p / 10.0, 4) AS p, round(qa.cs[p], 4) AS q_a,
+        |  round(qb.cs[p], 4) AS q_b,
+        |  round(qb.cs[p] - qa.cs[p], 4) + 0.0 AS gap
+        |FROM unnest(generate_series(1, 9)) AS u(p), qa, qb
+        |ORDER BY p""".stripMargin,
+    "q_pareto_tail" ->
+      """SELECT 300000.0 AS xmin,
+        |  count(*) FILTER (WHERE o_totalprice >= 300000.0)::BIGINT
+        |    AS n_tail,
+        |  count(*)::BIGINT AS n_total,
+        |  round(count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |    / count(*)::DOUBLE, 4) AS tail_frac,
+        |  CASE WHEN count(*) FILTER (WHERE o_totalprice >= 300000.0) >= 2
+        |      AND sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END) > 0
+        |    THEN round(1.0
+        |      + count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |      / sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END), 4)
+        |  END AS alpha,
+        |  CASE WHEN count(*) FILTER (WHERE o_totalprice >= 300000.0) >= 2
+        |      AND sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END) > 0
+        |    THEN round(count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |      / sum(CASE WHEN o_totalprice >= 300000.0
+        |        THEN ln(o_totalprice::DOUBLE / 300000.0) END)
+        |      / sqrt(count(*) FILTER (WHERE o_totalprice >= 300000.0)
+        |        ::DOUBLE), 4)
+        |  END AS se
+        |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
+    "q_survival" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
+        |    event_type AS ty FROM events),
+        |per AS (SELECT u, min(t) AS f, max(t) AS l,
+        |    min(CASE WHEN ty = 'purchase' THEN t END) AS fp
+        |  FROM e GROUP BY u),
+        |subj AS (SELECT u % 3 AS cohort,
+        |    (coalesce(fp, l) - f) // 86400000000 AS t,
+        |    fp IS NOT NULL AS ev FROM per),
+        |at AS (SELECT cohort, t::DOUBLE AS t,
+        |    count(*) FILTER (WHERE ev)::BIGINT AS d,
+        |    count(*) FILTER (WHERE NOT ev)::BIGINT AS c
+        |  FROM subj GROUP BY 1, 2),
+        |tot AS (SELECT cohort, count(*)::BIGINT AS n FROM subj
+        |  GROUP BY cohort),
+        |risk AS (SELECT at.cohort, at.t, at.d, at.c,
+        |    tot.n - coalesce(sum(at.d + at.c) OVER (PARTITION BY at.cohort
+        |      ORDER BY at.t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM at JOIN tot USING (cohort)),
+        |km AS (SELECT cohort, t, n_at_risk, d, c,
+        |    max(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END)
+        |      OVER win AS dead,
+        |    sum(CASE WHEN d > 0 AND d < n_at_risk
+        |      THEN ln(1 - d / n_at_risk::DOUBLE)
+        |      ELSE 0.0 END) OVER win AS lsum
+        |  FROM risk WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, t, n_at_risk::BIGINT AS n_at_risk,
+        |  d AS d_events, c AS c_censored,
+        |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(lsum), 4) END
+        |    AS survival
+        |FROM km ORDER BY cohort, t""".stripMargin,
+    "q_chi_square" ->
+      """WITH j AS (SELECT lang::VARCHAR AS a, source::VARCHAR AS b,
+        |    count(*)::BIGINT AS c FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c)::DOUBLE AS ca FROM j GROUP BY a),
+        |mb AS (SELECT b, sum(c)::DOUBLE AS cb FROM j GROUP BY b),
+        |t AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |agg AS (SELECT max(t.n)::BIGINT AS n,
+        |    count(DISTINCT j.a)::BIGINT AS n_a,
+        |    count(DISTINCT j.b)::BIGINT AS n_b,
+        |    sum(pow(j.c - ma.ca * mb.cb / t.n, 2)
+        |      / (ma.ca * mb.cb / t.n) - ma.ca * mb.cb / t.n)
+        |      + max(t.n) AS chi2
+        |  FROM j JOIN ma USING (a) JOIN mb USING (b), t)
+        |SELECT n, n_a, n_b, (n_a - 1) * (n_b - 1) AS dof,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1 THEN chi2 ELSE 0.0 END, 4)
+        |    AS chi2,
+        |  round(CASE WHEN n_a > 1 AND n_b > 1
+        |    THEN sqrt(greatest(0.0, chi2)
+        |      / (n * least(n_a - 1, n_b - 1)))
+        |    ELSE 0.0 END, 4) AS cramers_v
+        |FROM agg""".stripMargin,
+    "q_ab_welch" ->
+      """WITH x AS (SELECT source, n_chars::DOUBLE AS x FROM documents
+        |  WHERE source IN ('src1', 'src8') AND n_chars IS NOT NULL),
+        |a AS (SELECT count(*)::BIGINT AS n_a, avg(x) AS ma,
+        |    var_samp(x) AS va FROM x WHERE source = 'src1'),
+        |b AS (SELECT count(*)::BIGINT AS n_b, avg(x) AS mb,
+        |    var_samp(x) AS vb FROM x WHERE source = 'src8')
+        |SELECT n_a, n_b, round(ma, 4) AS mean_a, round(mb, 4) AS mean_b,
+        |  round(ma - mb, 4) + 0.0 AS diff,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+        |    THEN round((ma - mb) / sqrt(va / n_a + vb / n_b), 4) + 0.0
+        |  END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND (va / n_a + vb / n_b) > 0
+        |    THEN round(pow(va / n_a + vb / n_b, 2)
+        |      / (pow(va / n_a, 2) / (n_a - 1)
+        |        + pow(vb / n_b, 2) / (n_b - 1)), 2)
+        |  END AS df,
+        |  coalesce(CASE WHEN n_a >= 2 AND n_b >= 2
+        |      AND (va / n_a + vb / n_b) > 0
+        |    THEN abs((ma - mb) / sqrt(va / n_a + vb / n_b)) > 1.96
+        |  END, false) AS significant
+        |FROM a, b""".stripMargin,
+    "q_gains_table" -> (classifierEvalCte +
+      """base AS (SELECT score AS s, label AS y FROM sc
+        |  WHERE score IS NOT NULL),
+        |cuts AS (SELECT [quantile_cont(s, 0.1), quantile_cont(s, 0.2),
+        |    quantile_cont(s, 0.3), quantile_cont(s, 0.4),
+        |    quantile_cont(s, 0.5), quantile_cont(s, 0.6),
+        |    quantile_cont(s, 0.7), quantile_cont(s, 0.8),
+        |    quantile_cont(s, 0.9)] AS cs FROM base),
+        |binned AS (SELECT 1 + len(list_filter(cs, c -> c >= s)) AS decile,
+        |    y FROM base, cuts),
+        |pb AS (SELECT decile, count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE y)::BIGINT AS n_pos
+        |  FROM binned GROUP BY decile),
+        |tt AS (SELECT sum(n)::DOUBLE AS tn, sum(n_pos)::DOUBLE AS tp
+        |  FROM pb),
+        |cum AS (SELECT decile, n, n_pos,
+        |    sum(n) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS cn,
+        |    sum(n_pos) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |      AS cp FROM pb)
+        |SELECT decile::BIGINT AS decile, n, n_pos,
+        |  round(n_pos / n::DOUBLE, 4) AS pos_rate,
+        |  round(CASE WHEN tp > 0 THEN cp / tp ELSE 0.0 END, 4) AS cum_gain,
+        |  round(CASE WHEN tp > 0 THEN (cp / tp) / (cn / tn)
+        |    ELSE 0.0 END, 4) AS lift
+        |FROM cum, tt ORDER BY decile""".stripMargin),
+    "q_corr_matrix" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    count(*)::BIGINT AS n_pairs,
+        |    round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr
+        |  FROM lineitem UNION ALL
+        |  SELECT 'l_quantity', 'l_discount', count(*)::BIGINT,
+        |    round(corr(l_quantity, l_discount), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', 'l_tax', count(*)::BIGINT,
+        |    round(corr(l_quantity, l_tax), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_discount', count(*)::BIGINT,
+        |    round(corr(l_extendedprice, l_discount), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', 'l_tax', count(*)::BIGINT,
+        |    round(corr(l_extendedprice, l_tax), 4) + 0.0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', 'l_tax', count(*)::BIGINT,
+        |    round(corr(l_discount, l_tax), 4) + 0.0 FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT source AS g, doc_id::VARCHAR AS id,
+        |    n_chars::DOUBLE AS x FROM documents WHERE n_chars IS NOT NULL),
+        |rep AS (SELECT g, id, x, unnest(range(0, 32)) AS r FROM base),
+        |uu AS (SELECT g, r, x,
+        |    CAST(('0x' || substring(md5(concat('42|', id, '|',
+        |      r::VARCHAR)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |  FROM rep),
+        |mm AS (SELECT g, r, x,
+        |    CASE WHEN u < 0.36787944117144233 THEN 0
+        |         WHEN u < 0.7357588823428847 THEN 1
+        |         WHEN u < 0.9196986029286058 THEN 2
+        |         WHEN u < 0.9810118431238462 THEN 3 ELSE 4 END AS m
+        |  FROM uu),
+        |rm AS (SELECT g, r, CASE WHEN sum(m) > 0
+        |    THEN round(sum(m * x) / sum(m), 6) END AS rm
+        |  FROM mm GROUP BY g, r),
+        |pt AS (SELECT g, round(avg(x), 4) AS mean FROM base GROUP BY g)
+        |SELECT pt.g AS source, pt.mean,
+        |  round(quantile_cont(rm, 0.025), 4) AS ci_lo,
+        |  round(quantile_cont(rm, 0.975), 4) AS ci_hi,
+        |  count(rm)::BIGINT AS b_effective
+        |FROM rm JOIN pt USING (g) GROUP BY pt.g, pt.mean
+        |ORDER BY source""".stripMargin,
+    "q_weight_diag" ->
+      """WITH w AS (SELECT o_orderpriority AS g,
+        |    o_totalprice::DOUBLE / 100000.0 AS w FROM orders
+        |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0)
+        |SELECT g AS o_orderpriority, count(*)::BIGINT AS n,
+        |  round(sum(w), 4) AS sum_w,
+        |  round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+        |  round(count(*) * sum(w * w) / (sum(w) * sum(w)), 4)
+        |    AS design_effect,
+        |  round(sqrt(greatest(0.0, sum(w * w) / count(*)
+        |    - pow(sum(w) / count(*), 2))) / (sum(w) / count(*)), 4)
+        |    AS cv_w,
+        |  min(w) AS min_w, max(w) AS max_w,
+        |  round(max(w) / min(w), 4) AS w_ratio
+        |FROM w GROUP BY g ORDER BY o_orderpriority""".stripMargin,
+    "q_stats_drift" ->
+      """WITH o AS (SELECT doc_id, lang, n_chars, source FROM documents),
+        |nw AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+        |    n_chars + 37 AS n_chars, source FROM documents
+        |  WHERE doc_id % 10 <> 0),
+        |po AS (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_old,
+        |    round(count(*) FILTER (WHERE doc_id IS NULL)
+        |      / count(*)::DOUBLE, 4) AS null_frac_old,
+        |    count(DISTINCT doc_id)::BIGINT AS distinct_old,
+        |    round(avg(try_cast(doc_id::VARCHAR AS DOUBLE)), 4) AS mean_old
+        |  FROM o UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE lang IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT lang)::BIGINT,
+        |    round(avg(try_cast(lang AS DOUBLE)), 4) FROM o UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE n_chars IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    round(avg(try_cast(n_chars::VARCHAR AS DOUBLE)), 4) FROM o
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE source IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT source)::BIGINT,
+        |    round(avg(try_cast(source AS DOUBLE)), 4) FROM o),
+        |pn AS (
+        |  SELECT 'doc_id' AS col_name, count(*)::BIGINT AS n_new,
+        |    round(count(*) FILTER (WHERE doc_id IS NULL)
+        |      / count(*)::DOUBLE, 4) AS null_frac_new,
+        |    count(DISTINCT doc_id)::BIGINT AS distinct_new,
+        |    round(avg(try_cast(doc_id::VARCHAR AS DOUBLE)), 4) AS mean_new
+        |  FROM nw UNION ALL
+        |  SELECT 'lang', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE lang IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT lang)::BIGINT,
+        |    round(avg(try_cast(lang AS DOUBLE)), 4) FROM nw UNION ALL
+        |  SELECT 'n_chars', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE n_chars IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT n_chars)::BIGINT,
+        |    round(avg(try_cast(n_chars::VARCHAR AS DOUBLE)), 4) FROM nw
+        |  UNION ALL
+        |  SELECT 'source', count(*)::BIGINT,
+        |    round(count(*) FILTER (WHERE source IS NULL)
+        |      / count(*)::DOUBLE, 4),
+        |    count(DISTINCT source)::BIGINT,
+        |    round(avg(try_cast(source AS DOUBLE)), 4) FROM nw)
+        |SELECT po.col_name, n_old, n_new, null_frac_old, null_frac_new,
+        |  round(null_frac_new - null_frac_old, 4) + 0.0 AS null_frac_delta,
+        |  distinct_old, distinct_new, mean_old, mean_new,
+        |  round(mean_new - mean_old, 4) + 0.0 AS mean_delta
+        |FROM po JOIN pn USING (col_name) ORDER BY col_name""".stripMargin,
+    "q_impute" ->
+      """WITH e AS (SELECT event_id, event_type,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value
+        |  FROM events),
+        |gm AS (SELECT event_type, quantile_cont(value, 0.5) AS gmed
+        |  FROM e WHERE value IS NOT NULL GROUP BY 1),
+        |gg AS (SELECT quantile_cont(value, 0.5) AS gmed_all FROM e
+        |  WHERE value IS NOT NULL)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round(coalesce(e.value, gm.gmed, gg.gmed_all), 4)
+        |    AS value_imputed,
+        |  (e.value IS NULL
+        |    AND coalesce(e.value, gm.gmed, gg.gmed_all) IS NOT NULL)
+        |    AS was_imputed
+        |FROM e LEFT JOIN gm USING (event_type), gg
+        |ORDER BY event_id""".stripMargin,
+    "q_cooccur" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket,
+        |    p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  count(*)::BIGINT AS n_baskets
+        |FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(*) >= 40
+        |ORDER BY 1, 2""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH bi AS (SELECT DISTINCT l.l_orderkey AS basket,
+        |    p.p_brand AS item
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+        |    count(*)::BIGINT AS n_baskets
+        |  FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING count(*) >= 40),
+        |directed AS (
+        |  SELECT item_a AS antecedent, item_b AS consequent, n_baskets
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT item_b, item_a, n_baskets FROM pairs),
+        |items AS (SELECT item, count(*)::BIGINT AS n_item FROM bi GROUP BY 1),
+        |tot AS (SELECT count(DISTINCT basket)::DOUBLE AS n_tot FROM bi)
+        |SELECT d.antecedent, d.consequent, d.n_baskets,
+        |  round(d.n_baskets / ia.n_item::DOUBLE, 4) AS confidence,
+        |  round(d.n_baskets * t.n_tot / (ia.n_item * ic.n_item), 4) AS lift
+        |FROM directed d
+        |JOIN items ia ON d.antecedent = ia.item
+        |JOIN items ic ON d.consequent = ic.item
+        |CROSS JOIN tot t
+        |ORDER BY d.antecedent, d.consequent""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS ts,
+        |    event_type AS from_state FROM events),
+        |seq AS (SELECT from_state,
+        |    lead(from_state) OVER (PARTITION BY u ORDER BY ts, from_state)
+        |      AS to_state
+        |  FROM e),
+        |pairs AS (SELECT from_state, to_state, count(*)::BIGINT AS n
+        |  FROM seq WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_state, sum(n)::BIGINT AS n_from
+        |  FROM pairs GROUP BY 1)
+        |SELECT p.from_state, p.to_state, p.n,
+        |  round(p.n / t.n_from::DOUBLE, 4) AS p
+        |FROM pairs p JOIN tot t ON p.from_state = t.from_state
+        |ORDER BY p.from_state, p.to_state""".stripMargin,
+    "q_histogram" ->
+      """WITH k AS (SELECT l_returnflag AS g, l_extendedprice::DOUBLE AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |s AS (SELECT g, min(v) AS lo, max(v) AS hi FROM k GROUP BY g),
+        |w AS (SELECT g, lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 20
+        |    ELSE 1.0 END AS width FROM s),
+        |b AS (SELECT k.g, CASE WHEN w.hi > w.lo
+        |    THEN least(floor((k.v - w.lo) / w.width), 19)
+        |    ELSE 0 END::BIGINT AS bucket
+        |  FROM k JOIN w ON k.g = w.g),
+        |c AS (SELECT g, bucket, count(*)::BIGINT AS n FROM b GROUP BY 1, 2),
+        |grid AS (SELECT g, unnest(range(0, 20))::BIGINT AS bucket, lo, width
+        |  FROM w)
+        |SELECT grid.g AS l_returnflag, grid.bucket AS bucket,
+        |  round(lo + grid.bucket * width, 6) AS lo_edge,
+        |  round(lo + (grid.bucket + 1) * width, 6) AS hi_edge,
+        |  coalesce(c.n, 0)::BIGINT AS n
+        |FROM grid LEFT JOIN c ON grid.g = c.g AND grid.bucket = c.bucket
+        |ORDER BY 1, 2""".stripMargin,
+    "q_outliers_mad" ->
+      """WITH b AS (SELECT source, doc_id, n_chars::DOUBLE AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |m AS (SELECT source, quantile_cont(v, 0.5) AS med FROM b
+        |  GROUP BY source),
+        |d AS (SELECT b.source, b.doc_id, b.v, m.med, abs(b.v - m.med) AS ad
+        |  FROM b JOIN m USING (source)),
+        |md AS (SELECT source, quantile_cont(ad, 0.5) AS mad FROM d
+        |  GROUP BY source),
+        |z AS (SELECT d.source, d.doc_id, d.v, d.med, md.mad,
+        |    CASE WHEN md.mad > 0 THEN round(0.6745 * d.ad / md.mad, 4)
+        |         WHEN d.ad > 0 THEN 'infinity'::DOUBLE ELSE 0.0 END
+        |      AS robust_z
+        |  FROM d JOIN md USING (source))
+        |SELECT source, doc_id, v AS value,
+        |  round(med, 4) AS group_median, round(mad, 4) AS group_mad,
+        |  robust_z
+        |FROM z WHERE robust_z > 2.5
+        |ORDER BY source, doc_id""".stripMargin,
+    "q_psi_drift" ->
+      """WITH r AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE lang = 'en' AND n_chars IS NOT NULL),
+        |c AS (SELECT n_chars::DOUBLE AS v FROM documents
+        |  WHERE lang <> 'en' AND n_chars IS NOT NULL),
+        |s AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |w AS (SELECT lo, hi, CASE WHEN hi > lo THEN (hi - lo) / 10
+        |    ELSE 1.0 END AS wd FROM s),
+        |br AS (SELECT greatest(least(floor((r.v - w.lo) / w.wd), 9), 0)
+        |    ::BIGINT AS bucket, count(*)::BIGINT AS n_ref
+        |  FROM r, w GROUP BY 1),
+        |bc AS (SELECT greatest(least(floor((c.v - w.lo) / w.wd), 9), 0)
+        |    ::BIGINT AS bucket, count(*)::BIGINT AS n_new
+        |  FROM c, w GROUP BY 1),
+        |grid AS (SELECT unnest(range(0, 10))::BIGINT AS bucket, lo, wd
+        |  FROM w),
+        |j AS (SELECT grid.bucket, grid.lo, grid.wd,
+        |    coalesce(br.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(bc.n_new, 0)::BIGINT AS n_new
+        |  FROM grid LEFT JOIN br ON grid.bucket = br.bucket
+        |    LEFT JOIN bc ON grid.bucket = bc.bucket),
+        |t AS (SELECT sum(n_ref)::DOUBLE AS tr, sum(n_new)::DOUBLE AS tn
+        |  FROM j),
+        |p AS (SELECT j.*, greatest(j.n_ref / t.tr, 0.0001) AS p_ref,
+        |    greatest(j.n_new / t.tn, 0.0001) AS p_new
+        |  FROM j, t)
+        |SELECT bucket, round(lo + bucket * wd, 6) AS lo_edge,
+        |  round(lo + (bucket + 1) * wd, 6) AS hi_edge, n_ref, n_new,
+        |  round(p_ref, 6) AS p_ref, round(p_new, 6) AS p_new,
+        |  round((p_new - p_ref) * ln(p_new / p_ref), 6) AS contrib
+        |FROM p ORDER BY bucket""".stripMargin,
+    "q_entropy" ->
+      """WITH pairs AS (
+        |  SELECT 'lang' AS col_name, lang::VARCHAR AS v FROM documents
+        |  UNION ALL
+        |  SELECT 'source', source::VARCHAR FROM documents),
+        |c AS (SELECT col_name, v, count(*)::BIGINT AS c FROM pairs
+        |  GROUP BY 1, 2),
+        |a AS (SELECT col_name, sum(c)::BIGINT AS n,
+        |    coalesce(sum(c) FILTER (WHERE v IS NULL), 0)::BIGINT
+        |      AS n_nulls,
+        |    count(*) FILTER (WHERE v IS NOT NULL)::BIGINT AS n_distinct,
+        |    (sum(c) FILTER (WHERE v IS NOT NULL))::DOUBLE AS nn,
+        |    sum(c * ln(c)) FILTER (WHERE v IS NOT NULL) AS clogc
+        |  FROM c GROUP BY 1)
+        |SELECT col_name, n, n_nulls, n_distinct,
+        |  round(CASE WHEN nn > 0 THEN ln(nn) - clogc / nn
+        |    ELSE 0.0 END, 4) AS entropy,
+        |  round(CASE WHEN n_distinct > 1
+        |    THEN (ln(nn) - clogc / nn) / ln(n_distinct::DOUBLE)
+        |    ELSE 0.0 END, 4) AS norm_entropy
+        |FROM a ORDER BY col_name""".stripMargin,
+    "q_mutual_info" ->
+      """WITH j AS (SELECT l_returnflag::VARCHAR AS a,
+        |    l_linestatus::VARCHAR AS b, count(*)::BIGINT AS c_ab
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c_ab)::BIGINT AS c_a FROM j GROUP BY 1),
+        |mb AS (SELECT b, sum(c_ab)::BIGINT AS c_b FROM j GROUP BY 1),
+        |t AS (SELECT sum(c_ab)::DOUBLE AS n FROM j)
+        |SELECT max(t.n)::BIGINT AS n,
+        |  count(DISTINCT j.a)::BIGINT AS n_distinct_a,
+        |  count(DISTINCT j.b)::BIGINT AS n_distinct_b,
+        |  round(coalesce(sum((j.c_ab / t.n)
+        |    * ln(t.n * j.c_ab / (ma.c_a * mb.c_b))), 0.0), 4) AS mi
+        |FROM j JOIN ma USING (a) JOIN mb USING (b), t""".stripMargin,
+    "q_winsorize" ->
+      """WITH b AS (SELECT source, doc_id, n_chars::DOUBLE AS v
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |c AS (SELECT source, quantile_cont(v, 0.05) AS lo,
+        |    quantile_cont(v, 0.95) AS hi FROM b GROUP BY source)
+        |SELECT b.source, b.doc_id, b.v AS value,
+        |  round(greatest(least(b.v, c.hi), c.lo), 4) AS clipped,
+        |  (b.v > c.hi OR b.v < c.lo) AS was_clipped
+        |FROM b JOIN c USING (source) ORDER BY source, doc_id""".stripMargin,
+    "q_cusum" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |st AS (SELECT k, avg(x) AS mu, coalesce(stddev_samp(x), 0.0) AS sd
+        |  FROM daily GROUP BY 1),
+        |seq AS (SELECT daily.k, d, x, mu, sd,
+        |    row_number() OVER (PARTITION BY daily.k ORDER BY d) AS rn
+        |  FROM daily JOIN st ON daily.k = st.k),
+        |r AS (
+        |  SELECT k, rn, d, x, mu, sd,
+        |    greatest(0.0, x - mu - 0.5 * sd) AS hi,
+        |    greatest(0.0, mu - x - 0.5 * sd) AS lo
+        |  FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x, s.mu, s.sd,
+        |    greatest(0.0, r.hi + (s.x - s.mu - 0.5 * s.sd)),
+        |    greatest(0.0, r.lo + (s.mu - s.x - 0.5 * s.sd))
+        |  FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS event_type, d AS ts, x, round(hi, 4) AS cusum_hi,
+        |  round(lo, 4) AS cusum_lo,
+        |  (hi > 4.0 * sd OR lo > 4.0 * sd) AS alarm
+        |FROM r ORDER BY event_type, ts""".stripMargin,
+    "q_ewma" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |seq AS (SELECT k, d, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT k, rn, d, x, x AS ew FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x, 0.3 * s.x + 0.7 * r.ew
+        |  FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS event_type, d AS ts, x, round(ew, 4) AS ewma
+        |FROM r ORDER BY event_type, ts""".stripMargin,
+    "q_rolling_z" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |w AS (SELECT k, d, x,
+        |    count(x) OVER win AS nh,
+        |    avg(x) OVER win AS m,
+        |    stddev_samp(x) OVER win AS sd
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY k ORDER BY d
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (SELECT k, d, x, nh, m,
+        |    CASE WHEN nh >= 3 AND sd > 0 THEN round((x - m) / sd, 4)
+        |    END AS z
+        |  FROM w)
+        |SELECT k AS event_type, d AS ts, x, nh::BIGINT AS n_hist,
+        |  round(m, 4) AS mean_hist, z,
+        |  coalesce(abs(z) > 2.5, false) AS anomaly
+        |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_acf" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |lagged AS (SELECT k, x,
+        |    lag(x, 1) OVER win AS l1, lag(x, 2) OVER win AS l2,
+        |    lag(x, 3) OVER win AS l3, lag(x, 4) OVER win AS l4,
+        |    lag(x, 5) OVER win AS l5, lag(x, 6) OVER win AS l6,
+        |    lag(x, 7) OVER win AS l7
+        |  FROM daily WINDOW win AS (PARTITION BY k ORDER BY d, x)),
+        |per AS (SELECT k,
+        |    count(l1)::BIGINT AS n1, corr(x, l1) AS r1,
+        |    count(l2)::BIGINT AS n2, corr(x, l2) AS r2,
+        |    count(l3)::BIGINT AS n3, corr(x, l3) AS r3,
+        |    count(l4)::BIGINT AS n4, corr(x, l4) AS r4,
+        |    count(l5)::BIGINT AS n5, corr(x, l5) AS r5,
+        |    count(l6)::BIGINT AS n6, corr(x, l6) AS r6,
+        |    count(l7)::BIGINT AS n7, corr(x, l7) AS r7
+        |  FROM lagged GROUP BY k),
+        |u AS (
+        |  SELECT k, 1 AS lag, n1 AS n_pairs, r1 AS r FROM per UNION ALL
+        |  SELECT k, 2, n2, r2 FROM per UNION ALL
+        |  SELECT k, 3, n3, r3 FROM per UNION ALL
+        |  SELECT k, 4, n4, r4 FROM per UNION ALL
+        |  SELECT k, 5, n5, r5 FROM per UNION ALL
+        |  SELECT k, 6, n6, r6 FROM per UNION ALL
+        |  SELECT k, 7, n7, r7 FROM per)
+        |SELECT k AS event_type, lag::INTEGER AS lag, n_pairs,
+        |  round(r, 4) AS acf
+        |FROM u ORDER BY event_type, lag""".stripMargin,
+    "q_holt" ->
+      """WITH RECURSIVE e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |seq AS (SELECT k, d, x,
+        |    row_number() OVER (PARTITION BY k ORDER BY d) AS rn
+        |  FROM daily),
+        |r AS (
+        |  SELECT k, rn, d, x, x AS l, 0.0::DOUBLE AS b FROM seq WHERE rn = 1
+        |  UNION ALL
+        |  SELECT s.k, s.rn, s.d, s.x,
+        |    0.3 * s.x + 0.7 * (r.l + r.b),
+        |    0.2 * ((0.3 * s.x + 0.7 * (r.l + r.b)) - r.l) + 0.8 * r.b
+        |  FROM r JOIN seq s ON s.k = r.k AND s.rn = r.rn + 1)
+        |SELECT k AS event_type, d AS ts, x, round(l, 4) AS level,
+        |  round(b, 4) AS trend, round(l + b, 4) AS forecast_next
+        |FROM r ORDER BY event_type, ts""".stripMargin,
+    "q_benford" ->
+      """WITH v AS (SELECT abs(l_extendedprice::DOUBLE) AS a
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) > 0),
+        |c AS (SELECT floor(a / pow(10, floor(log10(a))))::BIGINT AS digit,
+        |    count(*)::BIGINT AS n FROM v GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS tot FROM c)
+        |SELECT g.digit, coalesce(c.n, 0)::BIGINT AS n,
+        |  round(coalesce(c.n, 0) / t.tot, 6) AS p_obs,
+        |  round(log10(1 + 1.0 / g.digit), 6) AS p_benford,
+        |  round(pow(coalesce(c.n, 0) - t.tot * log10(1 + 1.0 / g.digit), 2)
+        |    / (t.tot * log10(1 + 1.0 / g.digit)), 4) AS chi2_term
+        |FROM (SELECT unnest(range(1, 10))::BIGINT AS digit) g
+        |LEFT JOIN c USING (digit), t ORDER BY g.digit""".stripMargin,
+    "q_concentration" ->
+      """WITH t AS (SELECT o_custkey AS k, sum(o_totalprice::DOUBLE) AS x
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT x,
+        |    row_number() OVER (ORDER BY x, k)::DOUBLE AS i FROM t)
+        |SELECT count(*)::BIGINT AS n_keys, round(sum(x), 4) AS total,
+        |  round(2.0 * sum(i * x) / (count(*) * sum(x))
+        |    - (count(*) + 1.0) / count(*), 4) AS gini,
+        |  round(sum(x * x) / pow(sum(x), 2), 4) AS hhi,
+        |  round(max(x) / sum(x), 4) AS top_share
+        |FROM r""".stripMargin,
+    "q_cohen_kappa" ->
+      """WITH lab AS (SELECT
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |         WHEN n_chars < 800 THEN 'mid' ELSE 'long' END AS a,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 40 THEN 'short'
+        |      WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 160 THEN 'mid'
+        |      ELSE 'long' END AS b
+        |  FROM documents),
+        |j AS (SELECT a, b, count(*)::BIGINT AS c FROM lab GROUP BY 1, 2),
+        |ma AS (SELECT a, sum(c) AS ca FROM j GROUP BY 1),
+        |mb AS (SELECT b, sum(c) AS cb FROM j GROUP BY 1),
+        |tt AS (SELECT sum(c)::DOUBLE AS n FROM j),
+        |pe AS (SELECT coalesce(sum(ma.ca * mb.cb), 0)::DOUBLE AS pen
+        |  FROM ma JOIN mb ON ma.a = mb.b),
+        |ag AS (SELECT coalesce(sum(c), 0)::DOUBLE AS agree FROM j
+        |  WHERE a = b),
+        |p AS (SELECT tt.n, round(ag.agree / tt.n, 4) AS p_o,
+        |    round(pe.pen / (tt.n * tt.n), 4) AS p_e FROM tt, pe, ag)
+        |SELECT n::BIGINT AS n, p_o, p_e,
+        |  CASE WHEN p_e < 1.0
+        |    THEN round((p_o - p_e) / (1.0 - p_e), 4) ELSE 1.0 END AS kappa
+        |FROM p""".stripMargin,
+    "q_classifier_metrics" -> (classifierEvalCte +
+      """m AS (SELECT count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE score >= 0.03 AND label)::BIGINT AS tp,
+        |    count(*) FILTER (WHERE score >= 0.03 AND NOT label)::BIGINT
+        |      AS fp,
+        |    count(*) FILTER (WHERE score < 0.03 AND NOT label)::BIGINT
+        |      AS tn,
+        |    count(*) FILTER (WHERE score < 0.03 AND label)::BIGINT AS fn
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL)
+        |SELECT n, tp, fp, tn, fn,
+        |  round(CASE WHEN n > 0 THEN (tp + tn) / n::DOUBLE
+        |    ELSE 0.0 END, 4) AS accuracy,
+        |  round(CASE WHEN tp + fp > 0 THEN tp / (tp + fp)::DOUBLE
+        |    ELSE 0.0 END, 4) AS precision,
+        |  round(CASE WHEN tp + fn > 0 THEN tp / (tp + fn)::DOUBLE
+        |    ELSE 0.0 END, 4) AS recall,
+        |  round(CASE WHEN 2 * tp + fp + fn > 0
+        |    THEN 2.0 * tp / (2 * tp + fp + fn)::DOUBLE
+        |    ELSE 0.0 END, 4) AS f1
+        |FROM m""".stripMargin),
+    "q_calibration" -> (classifierEvalCte +
+      """b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n, avg(score) AS conf,
+        |    avg(label::INT::DOUBLE) AS acc
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND score >= 0.0 AND score <= 1.0
+        |  GROUP BY 1)
+        |SELECT g.bucket, coalesce(b.n, 0)::BIGINT AS n,
+        |  round(b.conf, 4) AS mean_score, round(b.acc, 4) AS frac_pos,
+        |  round(b.acc - b.conf, 4) AS gap
+        |FROM (SELECT unnest(range(0, 10))::BIGINT AS bucket) g
+        |LEFT JOIN b ON g.bucket = b.bucket
+        |ORDER BY g.bucket""".stripMargin),
+    "q_roc_auc" -> (classifierEvalCte +
+      """ps AS (SELECT score,
+        |    count(*) FILTER (WHERE label)::BIGINT AS np,
+        |    count(*) FILTER (WHERE NOT label)::BIGINT AS nn
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |  GROUP BY score),
+        |c AS (SELECT *, coalesce(sum(nn) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS below FROM ps)
+        |SELECT sum(np + nn)::BIGINT AS n, sum(np)::BIGINT AS n_pos,
+        |  sum(nn)::BIGINT AS n_neg,
+        |  round(CASE WHEN sum(np) > 0 AND sum(nn) > 0
+        |    THEN sum(np * (below + nn / 2.0))
+        |      / (sum(np) * sum(nn))::DOUBLE
+        |    ELSE 0.0 END, 4) AS auc
+        |FROM c""".stripMargin),
+  )
+}

@@ -283,6 +283,29 @@ class EbwSolverSpec extends AnyFunSuite {
     }
   }
 
+  test("k=10^4 sparse poststrat solve converges through the CG path " +
+    "(the reference's hundreds-of-thousands-of-constraints regime)") {
+    // the EbwScaling canary's problem family at spec scale: 4 one-hot
+    // blocks of 2500 cells (nnz/row = 4), targets = observed shares
+    // perturbed ±5% alternately and block-renormalized — interior and
+    // exactly feasible, so the solver has no excuse not to converge
+    val n = 200000L
+    val k = 10000
+    val df = graft.EbwScaling.design(spark, n, k, blocks = 4).cache()
+    try {
+      val m = graft.EbwScaling.targets(spark, n, k, blocks = 4, eps = 0.05)
+      assert(math.abs(m.sum - 4.0) < 1e-9, "block sums must be exactly 1")
+      val res = EntropyBalance.entropyBalance(df, "features", "w0", m)
+      assert(res.converged,
+        s"k=1e4 solve must converge: ${res.errorMessage}")
+      val viol = math.sqrt(res.constraintViolations.map(x => x * x).sum)
+      // violations are on the A'w - m*sumW scale; tol * ||b|| bounds them
+      assert(viol <= 1e-5 * n * 2.01,
+        s"violation norm $viol out of tolerance")
+      assert(res.nIterations <= 30, s"steps ${res.nIterations}")
+    } finally df.unpersist()
+  }
+
   test("bounded penalty respects bounds and tightens with penalty (ebw_penalty.py:252)") {
     val rng = new scala.util.Random(1252)
     val n = 1500

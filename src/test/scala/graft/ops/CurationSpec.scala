@@ -313,6 +313,33 @@ class CurationSpec extends AnyFunSuite {
     assert(again == got)
   }
 
+  test("semanticPairs auto-k: sqrt schedule with clamps, default == " +
+    "explicit sqrt(n) k") {
+    import spark.implicits._
+    // the heuristic itself: ceil(sqrt(n)) in [16, 4096]
+    assert(Dedup.autoSemanticK(0) == 16)
+    assert(Dedup.autoSemanticK(100) == 16)       // floor binds
+    assert(Dedup.autoSemanticK(256) == 16)
+    assert(Dedup.autoSemanticK(1000) == 32)      // ceil(31.6)
+    assert(Dedup.autoSemanticK(1000000) == 1000) // sqrt exact
+    assert(Dedup.autoSemanticK(100000000L) == 4096) // cap binds
+    // k = 0 (the default) resolves to autoSemanticK(n): same pairs as
+    // passing that k explicitly
+    val rows = (0 until 300).map { i =>
+      (i.toLong, (0 until 6).map(j => prand(i, j) + (if (i % 2 == 0) 1.0 else -1.0)))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val kAuto = Dedup.autoSemanticK(300)
+    assert(kAuto == 18)
+    val byDefault = Dedup.semanticPairs(df, "embedding", "vec_id",
+        iters = 2, minCosine = 0.9)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val byExplicit = Dedup.semanticPairs(df, "embedding", "vec_id",
+        k = kAuto, iters = 2, minCosine = 0.9)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(byDefault == byExplicit && byDefault.nonEmpty)
+  }
+
   test("kmeansCentroids + assignToCentroids: append assignment == the " +
     "fit's own assignment; closed-form nearest cell and distance") {
     import spark.implicits._
@@ -339,6 +366,39 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1L) == ((0, 0.0)) && got(2L) == ((1, 0.0)))
     // (4,4): d0 = sqrt(32) = 5.656854, d1 = sqrt(72) -> cell 0
     assert(got(3L)._1 == 0 && math.abs(got(3L)._2 - 5.656854) < 1e-6)
+  }
+
+  test("argmin kernel cutover: assignments and distances identical " +
+    "across the expression/compiled-kernel switch at k=16") {
+    import spark.implicits._
+    // 12 real centroids (expression path) vs the same 12 + 10 far-away
+    // dummies (22 -> compiled kernel path): every point's winner and
+    // distance must be bit-identical — same left-to-right sum order,
+    // same ties-to-lowest rule
+    val dim = 16
+    val pts = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map(j => prand(i, j) * 3.0))
+    }.toDF("id", "v")
+    val real = (0 until 12).map(c =>
+      c -> (0 until dim).map(j => prand(c + 1000, j) * 3.0))
+    val dummies = (12 until 22).map(c =>
+      c -> (0 until dim).map(_ => 1e6 + c.toDouble))
+    val viaExpr = Similarity.assignToCentroids(pts, "v", "id", real)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    val viaKernel = Similarity.assignToCentroids(pts, "v", "id",
+        real ++ dummies)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
+      .toMap
+    assert(viaExpr == viaKernel,
+      "kernel path must reproduce the expression path exactly")
+    // tie rule on the kernel path: two identical centroids -> lowest id
+    val tied = (0 until 22).map(c => c -> Seq(c.toDouble.min(1.0), 0.0))
+    // centroids 1..21 all collapse to (1.0, 0.0) except c=0 at (0,0)
+    val t = Similarity.assignToCentroids(
+        Seq((9L, Seq(1.0, 0.0))).toDF("id", "v"), "v", "id", tied)
+      .collect().head
+    assert(t.getInt(1) == 1, s"tie must go to the lowest cid: ${t.getInt(1)}")
   }
 
   test("semanticPairs: a degenerate one-cluster clustering is capped, not quadratic") {

@@ -185,6 +185,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(sD == exact)
   }
 
+  test("streaming PSI: fixed-grid bucket counts on a stream == batch, " +
+    "and the assembly law psiFromCounts == psiDrift holds") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the streaming-drift split: freeze the bin grid from the reference
+    // snapshot ONCE, stream current data through the mergeable
+    // per-bucket counts (Complete mode), assemble the O(bins) index per
+    // trigger. KS has no such split (unbounded distinct-value state) —
+    // batch-only by design.
+    val refRows = (0 until 200).map(i => (i % 50).toDouble)
+    val curRows = (0 until 300).map(i => (i % 60).toDouble + 5.0)
+    val ref = refRows.toDF("x")
+    val mm = ref.agg(org.apache.spark.sql.functions.min(col("x")),
+      org.apache.spark.sql.functions.max(col("x"))).head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    val mem = MemoryStream[Double]
+    mem.addData(curRows.take(100): _*)
+    val counts = graft.ops.Profile.psiBucketCounts(
+      mem.toDF().toDF("x"), "x", lo, hi, bins = 10)
+    val q = counts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("psi_counts_out").start()
+    q.processAllAvailable()
+    mem.addData(curRows.drop(100): _*) // second micro-batch merges state
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("psi_counts_out")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cur = curRows.toDF("x")
+    val batchCounts = graft.ops.Profile.psiBucketCounts(
+      cur, "x", lo, hi, bins = 10)
+    val batch = batchCounts
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch && batch.values.sum == 300L,
+      s"stream/batch count divergence: $streamed vs $batch")
+    // assembly law: counts -> psiFromCounts reproduces psiDrift row-for-row
+    val viaCounts = graft.ops.Profile.psiFromCounts(
+        graft.ops.Profile.psiBucketCounts(ref, "x", lo, hi, 10),
+        batchCounts, lo, hi, bins = 10)
+      .orderBy("bucket").collect().toSeq
+    val direct = graft.ops.Profile.psiDrift(ref, cur, "x", bins = 10)
+      .orderBy("bucket").collect().toSeq
+    assert(viaCounts == direct,
+      s"psiFromCounts must equal psiDrift:\n$viaCounts\n$direct")
+  }
+
   test("streaming quality scoring: learned scorer maps a stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
