@@ -236,6 +236,55 @@ object Linkage {
   }
 
   /**
+   * Edit-distance blocked self-linkage — the third verify kernel next
+   * to Jaro–Winkler ([[jaroSelfJoin]]) and phonetic blocking
+   * ([[phoneticSelfJoin]]): candidate pairs share a block, survive the
+   * LENGTH prune (||a|−|b|| > maxDist ⇒ dist > maxDist — inserting
+   * the length difference is already too many edits, so the prune is
+   * provably lossless), and verify by exact Levenshtein ≤ maxDist.
+   * Edit distance complements JW where transposition-heavy or
+   * suffix-divergent misspellings score poorly on prefix-weighted
+   * similarity but are 1-2 raw edits apart.
+   *
+   * The kernel is Spark's native `levenshtein(l, r, threshold)` —
+   * codegen'd BANDED DP: cost O(maxDist · min(|a|,|b|)) per pair, not
+   * O(|a|·|b|), the difference between a verify step and a blow-up
+   * when blocks hold long strings. DuckDB's `levenshtein` replays the
+   * cut exactly (the threshold form returns the true distance whenever
+   * it is ≤ threshold, −1 otherwise, and −1 rows are exactly the
+   * > maxDist rows the oracle's `<=` drops). Same salt levers and
+   * equi-join-only shape as jaroSelfJoin. Output: id_a, id_b, block
+   * cols, dist (long).
+   */
+  def editSelfJoin(df: DataFrame, blockCols: Seq[String], strCol: String,
+      idCol: String, maxDist: Int, saltBuckets: Int = 1): DataFrame = {
+    require(blockCols.nonEmpty,
+      "blocking columns are required: an unblocked fuzzy join is a cartesian product")
+    require(maxDist >= 0, s"maxDist must be >= 0: $maxDist")
+    require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val saltKeys = blockCols :+ "_salt"
+    val left = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id_a") :+ col(strCol).as("_sa")): _*)
+      .withColumn("_salt", pmod(xxhash64(col("id_a")), lit(saltBuckets.toLong)))
+      .repartition(nPart, saltKeys.map(col): _*)
+    val right = df.select(
+      (blockCols.map(col) :+ col(idCol).as("id_b") :+ col(strCol).as("_sb")): _*)
+      .withColumn("_salt", explode(array((0 until saltBuckets).map(s => lit(s.toLong)): _*)))
+      .repartition(nPart, saltKeys.map(col): _*)
+    val joined = left.join(right,
+      (blockCols.map(c => left(c) === right(c)) :+ (left("_salt") === right("_salt")))
+        .reduce(_ && _)
+        && col("id_a") < col("id_b")
+        && abs(length(col("_sa")) - length(col("_sb"))) <= maxDist)
+    val dist = levenshtein(col("_sa"), col("_sb"), maxDist)
+    joined
+      .select((col("id_a") +: col("id_b") +: blockCols.map(left(_))) :+
+        explode(when(dist >= 0, array(dist.cast("long")))
+          .otherwise(array().cast("array<long>"))).as("dist"): _*)
+  }
+
+  /**
    * Phonetic-blocked self-linkage: [[jaroSelfJoin]] with [[soundex]]
    * as the block key — candidates share a sound class instead of a
    * length/prefix class, then the exact Jaro–Winkler kernel verifies

@@ -383,6 +383,115 @@ object Profile {
   }
 
   /**
+   * Equi-DEPTH histogram — the quantile-cut companion to [[histogram]]'s
+   * equi-width bins (equi-width shows WHERE mass sits on the value
+   * axis; equi-depth shows where the VALUE AXIS must be cut so each
+   * bin holds ~n/k rows — the zone-map/partition-boundary question,
+   * and the one skewed data answers badly with fixed-width bins: one
+   * hot bin and k−1 empties). Cut points are EXACT percentiles at
+   * p = i/k (the [[winsorize]]/[[groupQuantiles]] convention —
+   * `percentile` matches DuckDB `quantile_cont`); a row lands in
+   * bucket Σ_i 1[v > cut_i] (ties at a cut stay in the LOWER bucket,
+   * so duplicate-heavy data shows its skew as uneven counts — the
+   * honest signal, not a forced n/k). Bin 0's lo edge is the min; the
+   * top edge the max.
+   *
+   * One exact percentile aggregation (1 row, k+1-wide array), the
+   * 1-row frame crossJoin'd back (broadcast subtree), bucket
+   * assignment as a codegen'd literal fold over the cut array, one
+   * bucket-keyed count. Swap percentile → approx_percentile at sketch
+   * precision for the fixed-state path (the winsorize contract).
+   * Output: bucket, lo_edge, hi_edge (6dp), n.
+   */
+  def histogramEquiDepth(df: DataFrame, valueCol: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val v = col(valueCol).cast("double")
+    val vals = df.filter(col(valueCol).isNotNull).select(v.as("_v"))
+    val ps = (0 to buckets).map(i => i.toDouble / buckets)
+    val cuts = vals.agg(
+      percentile(col("_v"), typedlit(ps)).as("_cuts"))
+    val inner = (1 until buckets)
+    val bucket = inner.map(i =>
+      when(col("_v") > element_at(col("_cuts"), i + 1), 1L).otherwise(0L))
+      .reduceOption(_ + _).getOrElse(lit(0L))
+    val counts = vals.crossJoin(cuts)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket").agg(count(lit(1)).as("_n"))
+    cuts
+      .select(explode(sequence(lit(0L), lit((buckets - 1).toLong)))
+        .as("bucket"), col("_cuts"))
+      .join(counts, Seq("bucket"), "left")
+      .select(col("bucket"),
+        round(element_at(col("_cuts"),
+          col("bucket").cast("int") + 1), 6).as("lo_edge"),
+        round(element_at(col("_cuts"),
+          col("bucket").cast("int") + 2), 6).as("hi_edge"),
+        coalesce(col("_n"), lit(0L)).as("n"))
+  }
+
+  /**
+   * Classical additive seasonal decomposition per key series —
+   * x_t = trend + seasonal + residual, the drift-triage step between
+   * [[acf]] (detects that a cycle exists) and alarms ([[cusum]],
+   * [[rollingZ]]) that false-fire on every weekend unless the seasonal
+   * component is removed first: trend is the centered `period`-point
+   * moving average (NULL until the window is complete — edges are
+   * censored, not zero-filled), seasonal is the per-season mean of the
+   * detrended series RE-CENTERED to sum ~0 over a cycle (season =
+   * ts mod period), residual is what alarms should watch.
+   *
+   * One keyed window pass for the trend (single Exchange), one
+   * (key, season) aggregation + one key-level mean for the seasonal
+   * indices, broadcast-sized joins back. All window/aggregation
+   * algebra — no fold, so unlike ewma/holt this one has NO
+   * per-key-series memory envelope. The oracle replays the identical
+   * windows. Output: key, ts, x, trend, seasonal, resid (4dp each;
+   * trend/resid NULL at censored edges).
+   */
+  def seasonalDecompose(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, period: Int): DataFrame = {
+    require(period >= 2 && period % 2 == 1,
+      s"period must be an odd integer >= 3 for a centered window: $period")
+    val half = period / 2
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(valueCol).cast("double").as("_x"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("_t"), col("_x"))
+      .rowsBetween(-half, half)
+    // the trend is 4dp-materialized BEFORE detrending (the family's
+    // engine-identical convention: downstream aggregates then work on
+    // values both engines agree on digit-for-digit), and the residual
+    // is the exact identity over the ROUNDED outputs — so
+    // x = trend + seasonal + resid holds on what the caller sees
+    val trended = base
+      .withColumn("_trend", round(
+        when(count(col("_x")).over(w) === period, avg(col("_x")).over(w)),
+        4))
+      .withColumn("_season", pmod(col("_t"), lit(period.toLong)))
+      .withColumn("_det", col("_x") - col("_trend"))
+    val seasonal = trended.filter(col("_det").isNotNull)
+      .groupBy(col(keyCol), col("_season"))
+      .agg(avg(col("_det")).as("_smean"))
+    val center = seasonal.groupBy(col(keyCol))
+      .agg(avg(col("_smean")).as("_scenter"))
+    trended
+      .join(seasonal, Seq(keyCol, "_season"), "left")
+      .join(center, Seq(keyCol), "left")
+      // a season with no detrended evidence (short series, censored
+      // edges only) reports NULL seasonal — no evidence is not 0, the
+      // acf convention
+      .withColumn("_seas",
+        round(when(col("_smean").isNotNull,
+          col("_smean") - col("_scenter")), 4))
+      .select(col(keyCol), col("_t").as("ts"), col("_x").as("x"),
+        col("_trend").as("trend"),
+        col("_seas").as("seasonal"),
+        round(col("_x") - col("_trend") - col("_seas"), 4).as("resid"))
+  }
+
+  /**
    * Robust per-group outlier flagging (median/MAD, the Iglewicz–Hoaglin
    * modified z-score): M = 0.6745·|x − median| / MAD > k flags values a
    * heavy-tailed distribution's mean/stddev would hide (each outlier

@@ -454,6 +454,25 @@ private[graft] object QueriesOps {
           min("w").as("sample_word"))
         .orderBy("code")
     }),
+    "q_edit_linkage" -> ((s, dir) => {
+      // edit-distance linkage: first-letter blocks + exact Levenshtein
+      // <= 2 verify (Spark's banded threshold kernel; DuckDB replays
+      // the same cut) — the transposition/suffix misspelling recall
+      // pass JW's prefix weighting underrates. The classic fixture
+      // names ride along (the q_phonetic_pairs convention)
+      import s.implicits._
+      val names = Seq("smith", "smyth", "smithe", "ashcraft", "ashcroft",
+        "robert", "roberta", "rupert", "jonathan", "jonothan").toDF("w")
+      val words = t(s, dir, "part").select(
+        regexp_extract(lower(col("p_name")), "^[a-z]+", 0).as("w"))
+        .filter(col("w") =!= "").distinct()
+        .unionAll(names)
+      graft.ops.Linkage.editSelfJoin(
+          words.select(col("w").as("wid"), col("w"),
+            substring(col("w"), 1, 1).as("blk")),
+          Seq("blk"), "w", "wid", maxDist = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "q_phonetic_pairs" -> ((s, dir) => {
       // sound-alike pairs: soundex blocks + exact JW verify inside —
       // the complementary recall pass next to q_jaro_linkage's lexical
@@ -982,6 +1001,20 @@ private[graft] object QueriesOps {
         |SELECT code, count(*)::BIGINT AS n_parts,
         |  count(DISTINCT w)::BIGINT AS n_words, min(w) AS sample_word
         |FROM c GROUP BY code ORDER BY code""".stripMargin,
+    "q_edit_linkage" ->
+      """WITH f AS (SELECT DISTINCT
+        |    regexp_extract(lower(p_name), '^[a-z]+') AS w
+        |  FROM part WHERE regexp_extract(lower(p_name), '^[a-z]+') <> ''
+        |  UNION ALL SELECT * FROM (VALUES ('smith'), ('smyth'),
+        |    ('smithe'), ('ashcraft'), ('ashcroft'), ('robert'),
+        |    ('roberta'), ('rupert'), ('jonathan'), ('jonothan')) v(w)),
+        |c AS (SELECT w, substr(w, 1, 1) AS blk FROM f)
+        |SELECT a.w AS id_a, b.w AS id_b, a.blk,
+        |  levenshtein(a.w, b.w)::BIGINT AS dist
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.w < b.w
+        |WHERE abs(length(a.w) - length(b.w)) <= 2
+        |  AND levenshtein(a.w, b.w) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_phonetic_pairs" ->
       """WITH f AS (SELECT DISTINCT
         |    regexp_extract(lower(p_name), '^[a-z]+') AS w

@@ -257,6 +257,28 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_histo_depth" -> ((s, dir) =>
+      // equi-DEPTH histogram over lineitem prices: exact percentile
+      // cuts at i/8 (percentile == quantile_cont), bucket = count of
+      // inner cuts strictly below the value — skew shows as uneven
+      // counts, the honest signal fixed-width bins flatten
+      graft.ops.Profile.histogramEquiDepth(
+          t(s, dir, "lineitem"), "l_extendedprice", buckets = 8)
+        .orderBy("bucket")),
+    "q_seasonal" -> ((s, dir) => {
+      // classical additive decomposition of the daily series, weekly
+      // period (7 — odd, so the centered window is symmetric): trend =
+      // centered 7-day mean (4dp-materialized, the engine-identical
+      // family convention), seasonal = recentered per-weekday mean of
+      // the detrended series, resid = the exact identity over the
+      // rounded outputs
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.seasonalDecompose(daily, "event_type", "day", "x",
+          period = 7)
+        .orderBy("event_type", "ts")
+    }),
     "q_acf" -> ((s, dir) => {
       // autocorrelation of each event type's daily series at lags 1..7:
       // the seasonality probe — ONE keyed window pass builds all lag
@@ -907,6 +929,53 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_histo_depth" ->
+      """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT quantile_cont(x, [0.0, 0.125, 0.25, 0.375, 0.5,
+        |    0.625, 0.75, 0.875, 1.0]) AS cuts FROM v),
+        |b AS (SELECT
+        |    (CASE WHEN x > cuts[2] THEN 1 ELSE 0 END
+        |    + CASE WHEN x > cuts[3] THEN 1 ELSE 0 END
+        |    + CASE WHEN x > cuts[4] THEN 1 ELSE 0 END
+        |    + CASE WHEN x > cuts[5] THEN 1 ELSE 0 END
+        |    + CASE WHEN x > cuts[6] THEN 1 ELSE 0 END
+        |    + CASE WHEN x > cuts[7] THEN 1 ELSE 0 END
+        |    + CASE WHEN x > cuts[8] THEN 1 ELSE 0 END)::BIGINT AS bucket
+        |  FROM v, c),
+        |n AS (SELECT bucket, count(*)::BIGINT AS n FROM b GROUP BY 1),
+        |g AS (SELECT unnest(range(8)) AS bucket),
+        |ge AS (SELECT g.bucket AS bucket,
+        |    round(cuts[g.bucket::INT + 1], 6) AS lo_edge,
+        |    round(cuts[g.bucket::INT + 2], 6) AS hi_edge
+        |  FROM g, c)
+        |SELECT ge.bucket AS bucket, lo_edge, hi_edge,
+        |  coalesce(n.n, 0)::BIGINT AS n
+        |FROM ge LEFT JOIN n ON n.bucket = ge.bucket
+        |ORDER BY ge.bucket""".stripMargin,
+    "q_seasonal" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |t AS (SELECT k, d, x,
+        |    round(CASE WHEN count(x) OVER win = 7
+        |      THEN avg(x) OVER win END, 4) AS trend
+        |  FROM daily WINDOW win AS (PARTITION BY k ORDER BY d, x
+        |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (SELECT k, d % 7 AS season, x - trend AS det FROM t
+        |  WHERE trend IS NOT NULL),
+        |sm AS (SELECT k, season, avg(det) AS smean FROM det
+        |  GROUP BY 1, 2),
+        |ctr AS (SELECT k, avg(smean) AS scenter FROM sm GROUP BY 1)
+        |SELECT t.k AS event_type, t.d AS ts, t.x AS x, trend,
+        |  round(CASE WHEN smean IS NOT NULL THEN smean - scenter END, 4)
+        |    AS seasonal,
+        |  round(x - trend - round(CASE WHEN smean IS NOT NULL
+        |    THEN smean - scenter END, 4), 4) AS resid
+        |FROM t LEFT JOIN sm ON sm.k = t.k AND sm.season = t.d % 7
+        |LEFT JOIN ctr ON ctr.k = t.k
+        |ORDER BY event_type, ts""".stripMargin,
     "q_acf" ->
       """WITH e AS (SELECT event_type AS k,
         |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),

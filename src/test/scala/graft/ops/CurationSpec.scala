@@ -605,6 +605,34 @@ class CurationSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)), "no letters -> NULL, not a block")
   }
 
+  test("editSelfJoin: exact Levenshtein cut, boundary kept, " +
+    "over-threshold dropped, length prune lossless, salt invariant") {
+    import spark.implicits._
+    // block 'a': dist(abcd, abef)=2 kept; dist(abcd, axyzw)=4 dropped
+    // (also length-pruned: |4-5|=1 <= 2 so the prune alone keeps it —
+    // the kernel must drop it); dist(abcd, abcdxyz)=3 length-pruned
+    val rows = Seq("abcd", "abef", "axyzw", "abcdxyz", "zebra")
+      .map(w => (w, w, w.substring(0, 1))).toDF("wid", "w", "blk")
+    val got = Linkage.editSelfJoin(rows, Seq("blk"), "w", "wid",
+        maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSet
+    assert(got == Set(("abcd", "abef", 2L)), s"got $got")
+    // zebra is alone in block 'z': no pair; block isolation held above
+    // salting changes nothing
+    val salted = Linkage.editSelfJoin(rows, Seq("blk"), "w", "wid",
+        maxDist = 2, saltBuckets = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+      .toSet
+    assert(salted == got)
+    // dist 0: exact duplicates under different ids still pair
+    val dup = Seq(("1", "same", "s"), ("2", "same", "s"))
+      .toDF("wid", "w", "blk")
+    val d0 = Linkage.editSelfJoin(dup, Seq("blk"), "w", "wid", 2)
+      .collect().map(_.getLong(3)).toSeq
+    assert(d0 == Seq(0L))
+  }
+
   test("phoneticSelfJoin: sound-alikes pair inside blocks, verify " +
     "rejects weak matches, first-letter blindness is real") {
     import spark.implicits._

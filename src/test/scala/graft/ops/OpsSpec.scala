@@ -2121,6 +2121,59 @@ class OpsSpec extends AnyFunSuite {
     Dedup.releaseBloomFilters(spark)
   }
 
+  test("histogramEquiDepth: even data gives n/k bins at interpolated " +
+    "cuts; constant data piles into bucket 0; ties stay low") {
+    import spark.implicits._
+    val df = (1 to 16).map(_.toDouble).toDF("x")
+    val got = Profile.histogramEquiDepth(df, "x", buckets = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    // quantile_cont cuts over 1..16: p=.25 -> 4.75, .5 -> 8.5, .75 -> 12.25
+    assert(got(0L) == ((1.0, 4.75, 4L)), s"${got(0L)}")
+    assert(got(1L) == ((4.75, 8.5, 4L)))
+    assert(got(2L) == ((8.5, 12.25, 4L)))
+    assert(got(3L) == ((12.25, 16.0, 4L)))
+    // constant column: every cut equal, all rows in bucket 0 (ties are
+    // never pushed up), empty buckets materialized with n = 0
+    val const = Seq.fill(10)(7.0).toDF("x")
+    val gc = Profile.histogramEquiDepth(const, "x", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(gc == Map(0L -> 10L, 1L -> 0L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("seasonalDecompose: planted trend+seasonal recovered exactly, " +
+    "edges censored, short series reports NULL seasonal") {
+    import spark.implicits._
+    // x_t = 10 + s(t mod 7), s sums to 0 -> trend = 10 exactly on the
+    // interior, seasonal = s, resid = 0
+    val s7 = Seq(3.0, -1.0, 0.0, 2.0, -2.0, 1.0, -3.0)
+    val df = (0 until 28).map(t => ("k", t.toLong, 10.0 + s7(t % 7)))
+      .toDF("key", "t", "x")
+    val got = Profile.seasonalDecompose(df, "key", "t", "x", period = 7)
+      .collect().map { r =>
+        r.getLong(1) -> ((Option(r.get(3)), Option(r.get(4)), Option(r.get(5))))
+      }.toMap
+    (3 until 25).foreach { t =>
+      val (tr, se, re) = got(t.toLong)
+      assert(tr == Some(10.0), s"t=$t trend $tr")
+      assert(se == Some(s7(t % 7)), s"t=$t seasonal $se")
+      assert(re == Some(0.0) || re == Some(-0.0), s"t=$t resid $re")
+    }
+    // censored edges: no trend, no resid; seasonal still known (every
+    // weekday has interior evidence)
+    (0 until 3).foreach { t =>
+      val (tr, se, re) = got(t.toLong)
+      assert(tr.isEmpty && re.isEmpty && se == Some(s7(t % 7)))
+    }
+    // series shorter than one period: nothing detrends, seasonal NULL
+    val short = (0 until 5).map(t => ("s", t.toLong, t * 1.0))
+      .toDF("key", "t", "x")
+    val gs = Profile.seasonalDecompose(short, "key", "t", "x", 7)
+      .collect()
+    assert(gs.length == 5 && gs.forall(r =>
+      r.isNullAt(3) && r.isNullAt(4) && r.isNullAt(5)))
+  }
+
   test("histogram: closed-form bins, empty bins materialized, degenerate group") {
     import spark.implicits._
     // group a: values 0..10 → lo=0, hi=10, width=2.5 over 4 bins;
