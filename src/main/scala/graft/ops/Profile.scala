@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -116,6 +116,64 @@ object Profile {
       .agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), col("value"))
       .limit(k)
+  }
+
+  /** The (row, bucket) pair columns of a count-min sketch: row i hashes
+   * a value by `pmod(md5("i|" ++ v) prefix, width)` — d INDEPENDENT
+   * md5-salted hash rows, the DSIR bucket chain widened, so the whole
+   * sketch replays verbatim in SQL. Shared by [[cmsSketch]] and
+   * [[cmsEstimate]]: the two sides MUST agree digit-for-digit or every
+   * estimate silently reads a stranger's bucket. */
+  private def cmsPairs(v: Column, depth: Int, width: Int): Column =
+    explode(array((0 until depth).map(i =>
+      struct(lit(i).as("row"),
+        pmod(conv(substring(md5(concat(lit(s"$i|"), v)), 1, 12), 16, 10)
+          .cast("long"), lit(width.toLong)).as("bucket"))): _*))
+
+  /**
+   * Count-min sketch construction (Cormode & Muthukrishnan 2005) — the
+   * BOUNDED-STATE frequency summary for value spaces too large to
+   * count exactly: d·w counters regardless of cardinality, mergeable
+   * (counts add), so it runs UNCHANGED on a streaming frame in
+   * Complete mode (the psiBucketCounts pattern — this is what the
+   * honest-envelope table means by "the CMS upgrade" for corpus-global
+   * frequencies on streams). Guarantee: estimates are ONE-SIDED —
+   * never under the true count, over by at most ~2n/w with probability
+   * 1 − (1/2)^d at the default shape. Output: row, bucket, n (≤ d·w
+   * rows — the persistable sketch).
+   */
+  def cmsSketch(df: DataFrame, valueCol: String, depth: Int = 4,
+      width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 1, s"width must be >= 1: $width")
+    val v = col(valueCol).cast("string")
+    df.filter(v.isNotNull)
+      .select(cmsPairs(v, depth, width).as("rb"))
+      .groupBy(col("rb.row").as("row"), col("rb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /**
+   * Point estimates from a [[cmsSketch]]: for each queried value, the
+   * MIN over the d rows of its bucket count (an absent bucket reads 0
+   * — a value the sketch never saw estimates 0, not NULL). The query
+   * side is a candidate list (top-k suspects, a watchlist, a join key
+   * sample) — k·d rows against the ≤ d·w sketch, broadcast-sized both
+   * sides; never corpus-scale. Output: value, n_est.
+   */
+  def cmsEstimate(sketch: DataFrame, queries: DataFrame, valueCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16]: $depth")
+    require(width >= 1, s"width must be >= 1: $width")
+    val v = col(valueCol).cast("string")
+    queries.filter(v.isNotNull).select(v.as("value")).distinct()
+      .select(col("value"), cmsPairs(col("value"), depth, width).as("rb"))
+      .select(col("value"), col("rb.row").as("row"),
+        col("rb.bucket").as("bucket"))
+      .join(sketch.select(col("row"), col("bucket"), col("n")),
+        Seq("row", "bucket"), "left")
+      .groupBy("value")
+      .agg(min(coalesce(col("n"), lit(0L))).as("n_est"))
   }
 
   /**

@@ -1350,6 +1350,64 @@ object TextMetrics {
         (round(sum(col("lr")), 4) + lit(0.0)).as("dsir_logw"))
   }
 
+  /**
+   * Corpus-level unigram drift — KL and Jensen–Shannon divergence
+   * between two corpora's token distributions over hashed buckets: the
+   * TEXT member of the drift family ([[graft.ops.Profile.psiDrift]]
+   * covers numeric columns; this answers "did the LANGUAGE of the feed
+   * shift since the reference snapshot" — new domains, new boilerplate,
+   * a scraper drifting into another language — before any downstream
+   * metric moves). Token space is the [[dsirWeights]] md5-bucket hash
+   * (fixed `buckets` width at any vocabulary — the state is bounded and
+   * the chain replays in SQL); each side's distribution is
+   * Laplace-smoothed p_b = (c_b + 1)/(n + buckets) so absent buckets
+   * stay finite; per bucket the output carries both counts, both
+   * probabilities, and the KL(cur‖ref) and JS contributions — sum the
+   * contrib columns for the indices, keep the rows for WHERE the shift
+   * lives (the psiDrift reporting convention). JS = ½KL(p‖m) + ½KL(q‖m)
+   * with m the mixture: bounded by ln 2, symmetric — the alarm
+   * threshold metric; raw KL is the sensitive directional probe.
+   *
+   * Shape: one token-explode + bucket count per side (map-side
+   * combined to ≤ buckets rows), a buckets-sized grid join, 1-row
+   * total subtrees — no data-sized join, no window, no action.
+   * Output: bucket, n_ref, n_cur, p_ref, p_cur (8dp), kl_contrib,
+   * js_contrib (8dp, −0.0 canonicalized).
+   */
+  def unigramDrift(ref: DataFrame, cur: DataFrame, textCol: String,
+      buckets: Int = 256): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    def tok(df: DataFrame) = df
+      .select(explode(split(col(textCol), " ", -1)).as("t"))
+      .filter(col("t") =!= "")
+      .select(pmod(conv(substring(md5(col("t")), 1, 6), 16, 10)
+        .cast("long"), lit(buckets.toLong)).as("b"))
+    def side(df: DataFrame, nc: String) =
+      tok(df).groupBy("b").agg(count(lit(1)).as(nc))
+    val spark = ref.sparkSession
+    val grid = spark.range(buckets).select(col("id").as("b"))
+    val joined = grid
+      .join(side(ref, "n_ref"), Seq("b"), "left")
+      .join(side(cur, "n_cur"), Seq("b"), "left")
+      .withColumn("n_ref", coalesce(col("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(col("n_cur"), lit(0L)))
+    val tot = joined.groupBy().agg(
+      sum("n_ref").cast("double").as("_tr"),
+      sum("n_cur").cast("double").as("_tc"))
+    joined.crossJoin(tot)
+      .withColumn("_p", (col("n_ref") + 1.0) / (col("_tr") + buckets))
+      .withColumn("_q", (col("n_cur") + 1.0) / (col("_tc") + buckets))
+      .withColumn("_m", (col("_p") + col("_q")) / 2.0)
+      .select(col("b").as("bucket"), col("n_ref"), col("n_cur"),
+        round(col("_p"), 8).as("p_ref"),
+        round(col("_q"), 8).as("p_cur"),
+        (round(col("_q") * log(col("_q") / col("_p")), 8) + lit(0.0))
+          .as("kl_contrib"),
+        (round(col("_q") * log(col("_q") / col("_m")) / 2.0 +
+          col("_p") * log(col("_p") / col("_m")) / 2.0, 8) + lit(0.0))
+          .as("js_contrib"))
+  }
+
   /** URL pattern in the Java∩RE2 subset (no lookaround): scheme + host +
    * optional path. The host must END on an alphanumeric so sentence
    * punctuation after a bare-host URL ("visit http://ads.bad.org.") is

@@ -257,6 +257,26 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_cms_topk" -> ((s, dir) => {
+      // count-min sketch audit: exact top-20 corpus terms vs their CMS
+      // estimates (d=4, w=1024 — real collisions at this vocabulary).
+      // The one-sided law (n_est >= n_exact, always) is visible in the
+      // overcount column; the md5-salted rows replay verbatim in SQL
+      val tok = t(s, dir, "documents")
+        .select(explode(split(col("text"), " ", -1)).as("term"))
+        .filter(col("term") =!= "")
+      val top = tok.groupBy("term").agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), col("term")).limit(20)
+      val sk = graft.ops.Profile.cmsSketch(tok, "term",
+        depth = 4, width = 1024)
+      graft.ops.Profile.cmsEstimate(sk, top.select(col("term")), "term",
+          depth = 4, width = 1024)
+        .withColumnRenamed("value", "term")
+        .join(top, "term")
+        .select(col("term"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy(desc("n_exact"), col("term"))
+    }),
     "q_histo_depth" -> ((s, dir) =>
       // equi-DEPTH histogram over lineitem prices: exact percentile
       // cuts at i/8 (percentile == quantile_cont), bucket = count of
@@ -929,6 +949,30 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_cms_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tk AS (SELECT term FROM tok WHERE term <> ''),
+        |ex AS (SELECT term, count(*)::BIGINT AS n_exact FROM tk
+        |  GROUP BY 1),
+        |top AS (SELECT term, n_exact FROM ex
+        |  ORDER BY n_exact DESC, term LIMIT 20),
+        |rws AS (SELECT unnest(range(4)) AS r),
+        |pairs AS (SELECT CAST('0x' || substring(md5(r::VARCHAR || '|'
+        |      || term), 1, 12) AS BIGINT) % 1024 AS bucket, r
+        |  FROM tk, rws),
+        |sk AS (SELECT r, bucket, count(*)::BIGINT AS n FROM pairs
+        |  GROUP BY 1, 2),
+        |qp AS (SELECT term, r, CAST('0x' || substring(md5(r::VARCHAR
+        |      || '|' || term), 1, 12) AS BIGINT) % 1024 AS bucket
+        |  FROM top, rws),
+        |est AS (SELECT qp.term, min(coalesce(sk.n, 0))::BIGINT AS n_est
+        |  FROM qp LEFT JOIN sk ON sk.r = qp.r AND sk.bucket = qp.bucket
+        |  GROUP BY 1)
+        |SELECT t.term, n_exact, n_est,
+        |  (n_est - n_exact)::BIGINT AS overcount
+        |FROM top t JOIN est ON est.term = t.term
+        |ORDER BY n_exact DESC, t.term""".stripMargin,
     "q_histo_depth" ->
       """WITH v AS (SELECT l_extendedprice::DOUBLE AS x FROM lineitem
         |  WHERE l_extendedprice IS NOT NULL),

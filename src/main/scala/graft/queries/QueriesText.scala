@@ -308,6 +308,17 @@ private[graft] object QueriesText {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_unigram_drift" -> ((s, dir) => {
+      // corpus-level language drift: KL + JS over hashed unigram
+      // distributions, English slice as the reference vs the full
+      // mixed-language corpus as current — a real shift, so both
+      // divergences are genuinely positive; 256 buckets exercises
+      // collisions (the DSIR convention)
+      val d = t(s, dir, "documents")
+      graft.ops.TextMetrics.unigramDrift(
+          d.filter(col("lang") === "en"), d, "text", buckets = 256)
+        .orderBy("bucket")
+    }),
     "text_dsir" -> ((s, dir) => {
       // DSIR data selection: score every document's resemblance to the
       // English-language target slice via hashed-unigram importance
@@ -841,6 +852,34 @@ private[graft] object QueriesText {
         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
         |       ELSE 'middle' END AS ppl_bucket
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_unigram_drift" ->
+      """WITH tokr AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |tr AS (SELECT CAST('0x' || substring(md5(t), 1, 6) AS BIGINT)
+        |    % 256 AS b FROM tokr WHERE t <> ''),
+        |tokc AS (SELECT unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tc AS (SELECT CAST('0x' || substring(md5(t), 1, 6) AS BIGINT)
+        |    % 256 AS b FROM tokc WHERE t <> ''),
+        |cr AS (SELECT b, count(*)::BIGINT AS n_ref FROM tr GROUP BY 1),
+        |cc AS (SELECT b, count(*)::BIGINT AS n_cur FROM tc GROUP BY 1),
+        |g AS (SELECT unnest(range(256)) AS b),
+        |j AS (SELECT g.b AS b, coalesce(n_ref, 0) AS n_ref,
+        |    coalesce(n_cur, 0) AS n_cur
+        |  FROM g LEFT JOIN cr ON cr.b = g.b LEFT JOIN cc ON cc.b = g.b),
+        |tt AS (SELECT sum(n_ref)::DOUBLE AS tr_, sum(n_cur)::DOUBLE AS tc_
+        |  FROM j),
+        |pq AS (SELECT b, n_ref, n_cur,
+        |    (n_ref + 1.0) / (tr_ + 256) AS p,
+        |    (n_cur + 1.0) / (tc_ + 256) AS q
+        |  FROM j, tt),
+        |pm AS (SELECT b, n_ref, n_cur, p, q, (p + q) / 2.0 AS m FROM pq)
+        |SELECT b AS bucket, n_ref, n_cur,
+        |  round(p, 8) AS p_ref, round(q, 8) AS p_cur,
+        |  round(q * ln(q / p), 8) + 0.0 AS kl_contrib,
+        |  round(q * ln(q / m) / 2.0 + p * ln(p / m) / 2.0, 8) + 0.0
+        |    AS js_contrib
+        |FROM pm ORDER BY bucket""".stripMargin,
     "text_dsir" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
         |  FROM documents),

@@ -1820,6 +1820,84 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("cmsSketch/cmsEstimate: one-sided for EVERY value, exact at " +
+    "collision-free width, unseen values estimate 0, merge = concat") {
+    import spark.implicits._
+    val vals = (0 until 500).map(i => s"v${i % 37}") // skewed counts
+    val df = vals.toDF("x")
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // narrow sketch: real collisions, but NEVER an undercount (the
+    // CMS theorem — min over rows only ever adds strangers' mass)
+    val skNarrow = Profile.cmsSketch(df, "x", depth = 3, width = 16)
+    val estN = Profile.cmsEstimate(skNarrow,
+        exact.keys.toSeq.toDF("x"), "x", depth = 3, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (v, n) =>
+      assert(estN(v) >= n, s"undercount at $v: ${estN(v)} < $n") }
+    // wide sketch: 37 values over 4096 buckets x 3 rows — exact unless
+    // all three rows collide somewhere (essentially impossible and
+    // deterministic: this corpus either passes forever or never)
+    val skWide = Profile.cmsSketch(df, "x", depth = 3, width = 4096)
+    val estW = Profile.cmsEstimate(skWide,
+        exact.keys.toSeq.toDF("x"), "x", depth = 3, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW == exact, "wide sketch must be exact on this corpus")
+    // a value the sketch never saw estimates 0, not NULL
+    val unseen = Profile.cmsEstimate(skWide, Seq("never").toDF("x"), "x",
+        depth = 3, width = 4096)
+      .collect().head
+    assert(unseen.getLong(1) == 0L)
+    // mergeability: sketch(A ++ B) == per-cell sum of the two sketches
+    val (a, b) = (vals.take(200), vals.drop(200))
+    val merged = Profile.cmsSketch(a.toDF("x"), "x", 3, 16)
+      .unionAll(Profile.cmsSketch(b.toDF("x"), "x", 3, 16))
+      .groupBy("row", "bucket")
+      .agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val whole = skNarrow.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "counts must merge cell-wise")
+  }
+
+  test("unigramDrift: identical corpora read zero, shifted corpora " +
+    "read positive, JS symmetric and within ln 2, closed-form bucket") {
+    import spark.implicits._
+    val a = Seq("alpha alpha beta", "beta gamma").toDF("text")
+    val b = Seq("alpha delta delta", "delta gamma gamma").toDF("text")
+    def sums(df: org.apache.spark.sql.DataFrame) = {
+      val rows = df.collect()
+      (rows.map(_.getDouble(5)).sum, rows.map(_.getDouble(6)).sum)
+    }
+    // same corpus on both sides: every bucket has p == q -> 0 exactly
+    val (kl0, js0) = sums(TextMetrics.unigramDrift(a, a, "text", 16))
+    assert(kl0 == 0.0 && js0 == 0.0)
+    // real shift: both positive, JS within its ln 2 bound and symmetric
+    val ab = TextMetrics.unigramDrift(a, b, "text", 16)
+    val (klAb, jsAb) = sums(ab)
+    assert(klAb > 0.0 && jsAb > 0.0 && jsAb <= math.log(2.0) + 1e-12)
+    val (_, jsBa) = sums(TextMetrics.unigramDrift(b, a, "text", 16))
+    assert(math.abs(jsAb - jsBa) < 1e-9, "JS must be symmetric")
+    // closed-form check of one bucket: 'alpha' appears 2x in ref (of 5
+    // tokens), 1x in cur (of 6); with Laplace over 16 buckets
+    def bucket(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 6)
+      java.lang.Long.parseLong(hex, 16) % 16
+    }
+    val distinctBuckets = Seq("alpha", "beta", "gamma", "delta")
+      .map(bucket).distinct
+    assume(distinctBuckets.size == 4, "fixture tokens must not collide")
+    val row = ab.filter(col("bucket") === bucket("alpha")).collect().head
+    val p = (2 + 1.0) / (5 + 16)
+    val q = (1 + 1.0) / (6 + 16)
+    def r8(x: Double) = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getLong(1) == 2L && row.getLong(2) == 1L)
+    assert(row.getDouble(5) == r8(q * math.log(q / p)), s"$row")
+  }
+
   test("dsirWeights: closed-form at buckets=1, target separation, determinism") {
     import spark.implicits._
     // buckets=1 collapses every token to one bucket: logw(doc) =

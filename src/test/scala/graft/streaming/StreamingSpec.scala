@@ -229,6 +229,30 @@ class StreamingSpec extends AnyFunSuite {
       s"psiFromCounts must equal psiDrift:\n$viaCounts\n$direct")
   }
 
+  test("streaming CMS sketch: Complete-mode cells == batch — the " +
+    "bounded-state frequency path for unbounded value spaces") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // exact corpus-global frequencies need unbounded distinct state on
+    // a stream; the CMS keeps d x w counters and merges per batch
+    val vals = (0 until 300).map(i => s"t${i % 23}")
+    val mem = MemoryStream[String]
+    mem.addData(vals.take(120): _*)
+    val q = graft.ops.Profile.cmsSketch(mem.toDF().toDF("x"), "x",
+        depth = 3, width = 32)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("cms_out").start()
+    q.processAllAvailable()
+    mem.addData(vals.drop(120): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("cms_out").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ops.Profile.cmsSketch(vals.toDF("x"), "x", 3, 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(streamed == batch, "stream cells must equal the batch sketch")
+  }
+
   test("streaming quality scoring: learned scorer maps a stream == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
