@@ -1285,4 +1285,43 @@ private[graft] object QShared {
       |      ORDER BY ts_us, event_id)::INT AS version
       |  FROM f)
       |""".stripMargin
+
+  /** Cell-level IPF replay for the ebw_ipf_raking gate: the identical
+   * alternating margin scalings, unrolled `iters` rounds (the solver
+   * runs tol = 0 in the gate so both sides execute EXACTLY this many),
+   * over the 15-cell status x priority contingency table with the same
+   * literal target shares. */
+  def ipfOracle(iters: Int): String = {
+    val pre =
+      """WITH c0 AS MATERIALIZED (SELECT o_orderstatus AS r,
+        |    o_orderpriority AS c, count(*)::DOUBLE AS w,
+        |    count(*)::BIGINT AS n FROM orders GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT sum(w) AS t FROM c0),
+        |tr AS MATERIALIZED (SELECT r, s * tot.t AS t
+        |  FROM (VALUES ('O', 0.5),
+        |    ('F', 0.3), ('P', 0.2)) tr0(r, s), tot),
+        |tc AS MATERIALIZED (SELECT c, s * tot.t AS t
+        |  FROM (VALUES ('1-URGENT', 0.3),
+        |    ('2-HIGH', 0.25), ('3-MEDIUM', 0.2),
+        |    ('4-NOT SPECIFIED', 0.15), ('5-LOW', 0.1)) tc0(c, s), tot),
+        |w0 AS MATERIALIZED (SELECT r, c, w, n FROM c0)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = if (i == 1) "w0" else s"w${i - 1}"
+      s""",
+         |mr$i AS MATERIALIZED (SELECT r, sum(w) AS m FROM $p GROUP BY r),
+         |a$i AS MATERIALIZED (SELECT p.r, p.c,
+         |    p.w * (tr.t / mr$i.m) AS w, p.n
+         |  FROM $p p JOIN tr ON tr.r = p.r JOIN mr$i ON mr$i.r = p.r),
+         |mc$i AS MATERIALIZED (SELECT c, sum(w) AS m FROM a$i GROUP BY c),
+         |w$i AS MATERIALIZED (SELECT a.r, a.c,
+         |    a.w * (tc.t / mc$i.m) AS w, a.n
+         |  FROM a$i a JOIN tc ON tc.c = a.c
+         |  JOIN mc$i ON mc$i.c = a.c)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT r AS o_orderstatus, c AS o_orderpriority, n,
+         |  round(w, 4) AS w_cell
+         |FROM w$iters ORDER BY r, c""".stripMargin
+  }
 }

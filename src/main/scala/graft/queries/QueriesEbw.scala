@@ -16,6 +16,22 @@ private[graft] object QueriesEbw {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2a — EBW
     "ebw_poststrat" -> ((s, dir) => ebwPoststrat(s, dir)),
+    "ebw_ipf_raking" -> ((s, dir) => {
+      // two-margin IPF raking of orders (status x priority) to literal
+      // interior target shares, EXACTLY 8 alternating rounds (tol = 0)
+      // so the oracle unrolls the identical arithmetic; cell-level
+      // report (the per-row weight is cell-constant x w0 = 1)
+      val o = t(s, dir, "orders").withColumn("w0", lit(1.0))
+      graft.ebw.Raking.ipf(o, "o_orderstatus", "o_orderpriority", "w0",
+          rowTargets = Map("O" -> 0.5, "F" -> 0.3, "P" -> 0.2),
+          colTargets = Map("1-URGENT" -> 0.3, "2-HIGH" -> 0.25,
+            "3-MEDIUM" -> 0.2, "4-NOT SPECIFIED" -> 0.15, "5-LOW" -> 0.1),
+          iters = 8, tol = 0.0)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          round(sum("weight_raked"), 4).as("w_cell"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    }),
     "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
     "ebw_bounded_feasible" -> ((s, dir) =>
       ebwMomentsMatch(s, dir, Some((0.05, Some(20.0))))),
@@ -147,6 +163,7 @@ private[graft] object QueriesEbw {
   )
 
   val oracles: Map[String, String] = Map(
+    "ebw_ipf_raking" -> ipfOracle(8),
     "ebw_poststrat" ->
       """SELECT o.o_orderkey,
         |  round(((SELECT count(*) FROM orders) * 1.0 /

@@ -283,6 +283,66 @@ class EbwSolverSpec extends AnyFunSuite {
     }
   }
 
+  test("IPF raking: margins hit targets; fixed point == entropy " +
+    "balancing on the two-margin problem (KL-projection equivalence)") {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    // skewed 2x3 contingency, w0 = 1
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 900).map { _ =>
+      val r = if (rng.nextDouble() < 0.7) "a" else "b"
+      val c = rng.nextDouble() match {
+        case x if x < 0.5 => "x"
+        case x if x < 0.8 => "y"
+        case _            => "z"
+      }
+      (r, c, 1.0)
+    }
+    val df = rows.toDF("r", "c", "w0")
+    val rowT = Map("a" -> 0.6, "b" -> 0.4)
+    val colT = Map("x" -> 0.2, "y" -> 0.5, "z" -> 0.3)
+    val raked = Raking.ipf(df, "r", "c", "w0", rowT, colT,
+      iters = 500, tol = 1e-14)
+    val got = raked.groupBy("r", "c").agg(sum("weight_raked").as("w"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    val total = rows.length.toDouble
+    rowT.foreach { case (r, t) =>
+      val m = got.collect { case ((rr, _), w) if rr == r => w }.sum
+      assert(math.abs(m - t * total) < 1e-6, s"row margin $r: $m") }
+    colT.foreach { case (c, t) =>
+      val m = got.collect { case ((_, cc), w) if cc == c => w }.sum
+      assert(math.abs(m - t * total) < 1e-6, s"col margin $c: $m") }
+    // EBW on the SAME margins as one-hot moment constraints: both
+    // minimize KL from w0 subject to the margins -> identical weights
+    val feat = df.map { r =>
+      val (rr, cc) = (r.getString(0), r.getString(1))
+      (rr, cc, Vectors.dense(
+        if (rr == "a") 1.0 else 0.0, if (rr == "b") 1.0 else 0.0,
+        if (cc == "x") 1.0 else 0.0, if (cc == "y") 1.0 else 0.0,
+        if (cc == "z") 1.0 else 0.0), 1.0)
+    }.toDF("r", "c", "feat", "w0")
+    val m = Array(0.6, 0.4, 0.2, 0.5, 0.3)
+    val res = EntropyBalance.entropyBalance(feat, "feat", "w0", m,
+      options = EbwOptions(optimalityTol = 1e-12))
+    assert(res.converged)
+    val ebwCells = res.weighted.groupBy("r", "c")
+      .agg(sum("weight_new").as("w"))
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getDouble(2))
+      .toMap
+    got.foreach { case (k, w) =>
+      assert(math.abs(ebwCells(k) - w) < 1e-5,
+        s"IPF and EBW disagree at $k: $w vs ${ebwCells(k)}") }
+    // driver fold determinism: cell input order must not matter
+    val (f1, _, _) = Raking.ipfFactors(
+      Seq(("a", "x", 10.0), ("a", "y", 5.0), ("b", "x", 7.0)),
+      Map("a" -> 0.6, "b" -> 0.4), Map("x" -> 0.5, "y" -> 0.5), 50, 0.0)
+    val (f2, _, _) = Raking.ipfFactors(
+      Seq(("b", "x", 7.0), ("a", "y", 5.0), ("a", "x", 10.0)),
+      Map("a" -> 0.6, "b" -> 0.4), Map("x" -> 0.5, "y" -> 0.5), 50, 0.0)
+    assert(f1 == f2, "factor fold must be input-order independent")
+  }
+
   test("k=10^4 sparse poststrat solve converges through the CG path " +
     "(the reference's hundreds-of-thousands-of-constraints regime)") {
     // the EbwScaling canary's problem family at spec scale: 4 one-hot
