@@ -236,6 +236,88 @@ object Linkage {
   }
 
   /**
+   * Sorted-neighborhood self-linkage (Hernández & Stolfo 1995; Christen
+   * Ch. 4's third blocking family next to lexical blocks and phonetic
+   * keys): sort all records by a key, compare each record with its
+   * `window` FOLLOWING neighbors in that order, verify with the exact
+   * Jaro–Winkler kernel. Where blocking partitions (and misses pairs
+   * straddling a block edge), the sliding window rides THROUGH
+   * adjacent sort positions — the recall profile is different, which
+   * is why production linkage runs both and unions.
+   *
+   * Distributed shape — the naive form is ONE global window (a
+   * single-partition sort, the anti-pattern): instead rows hash-free
+   * range-split by `bucketExpr` (a PREFIX of the sort order, e.g. the
+   * first letter — so (bucket, key, id) IS the global order), each
+   * bucket windows independently (bucket-keyed Exchange, w lead
+   * columns), and each bucket's LAST `window` rows are duplicated into
+   * the NEXT non-empty bucket so cross-boundary neighbors still meet;
+   * duplicate-duplicate pairs are dropped (they already formed in the
+   * home bucket — the overlap-join dedup rule). EXACTNESS CONTRACT:
+   * equal to the global-window semantics iff every bucket holds at
+   * least `window` rows — a thinner bucket could hide a pair spanning
+   * three buckets — so bucket occupancy is CHECKED (one k-sized count,
+   * loop-control state) and a violating bucketing throws with the
+   * "coarsen the buckets" remedy rather than silently losing recall.
+   * Output: id_a, id_b (a before b in sort order), sim (4dp).
+   */
+  def sortedNeighborPairs(df: DataFrame, sortCol: String, idCol: String,
+      strCol: String, window: Int, minSim: Double,
+      bucketExpr: Column): DataFrame = {
+    require(window >= 1 && window <= 64, s"window must be in [1,64]: $window")
+    require(minSim > 0.0 && minSim <= 1.0, s"minSim must be in (0,1]: $minSim")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val base = df.select(bucketExpr.cast("string").as("_bk"),
+      col(sortCol).as("_k"), col(idCol).as("_id"), col(strCol).as("_s"))
+    // bucket roster: k-sized, sorted — drives the next-bucket literal
+    // map and the occupancy contract
+    val roster = base.groupBy("_bk").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    require(roster.nonEmpty, "empty input")
+    val thin = roster.filter(_._2 < window)
+    require(thin.isEmpty,
+      s"buckets thinner than window=$window would lose cross-bucket " +
+      s"pairs: ${thin.take(5).mkString(", ")} — coarsen bucketExpr")
+    val nextOf = roster.map(_._1).sliding(2).collect {
+      case Array(a, b) => a -> b
+    }.toMap
+    val nextCol = nextOf.foldLeft(lit(null).cast("string")) {
+      case (acc, (b, nb)) => when(col("_bk") === b, lit(nb)).otherwise(acc)
+    }
+    val wHome = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bk")).orderBy(col("_k"), col("_id"))
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))
+    val marked = base
+      .withColumn("_rn", row_number().over(wHome))
+      .withColumn("_n", count(lit(1)).over(cnt))
+    val dups = marked
+      .filter(col("_rn") > col("_n") - window)
+      .withColumn("_bk", nextCol)
+      .filter(col("_bk").isNotNull)
+      .withColumn("_dup", lit(true))
+    val all = marked.select(col("_bk"), col("_k"), col("_id"), col("_s"))
+      .withColumn("_dup", lit(false))
+      .unionByName(dups.select(col("_bk"), col("_k"), col("_id"),
+        col("_s"), col("_dup")))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_bk")).orderBy(col("_k"), col("_id"))
+    val withLeads = (1 to window).foldLeft(all) { (acc, i) =>
+      acc.withColumn(s"_l$i",
+        lead(struct(col("_id"), col("_s"), col("_dup")), i).over(wAll))
+    }
+    val sim = round(call_function("graft_jaro", col("_s"), col("_nb._s")), 4)
+    withLeads
+      .select(col("_id"), col("_s"), col("_dup"),
+        explode(array((1 to window).map(i => col(s"_l$i")): _*)).as("_nb"))
+      .filter(col("_nb").isNotNull)
+      .filter(!(col("_dup") && col("_nb._dup")))
+      .select(col("_id").as("id_a"), col("_nb._id").as("id_b"),
+        explode(when(sim >= minSim, array(sim))
+          .otherwise(array().cast("array<double>"))).as("sim"))
+  }
+
+  /**
    * Edit-distance blocked self-linkage — the third verify kernel next
    * to Jaro–Winkler ([[jaroSelfJoin]]) and phonetic blocking
    * ([[phoneticSelfJoin]]): candidate pairs share a block, survive the

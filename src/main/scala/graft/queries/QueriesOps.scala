@@ -454,6 +454,18 @@ private[graft] object QueriesOps {
           min("w").as("sample_word"))
         .orderBy("code")
     }),
+    "q_sorted_neighbors" -> ((s, dir) => {
+      // sorted-neighborhood linkage over customer names (zero-padded,
+      // so lexicographic == numeric order): window 3, JW verify;
+      // buckets are 1000-key name-prefix ranges — a PREFIX of the sort
+      // order, so bucket boundaries genuinely exercise the tail
+      // duplication (999->1000 etc.) and the oracle replays the pure
+      // global-window semantics the construction must equal
+      graft.ops.Linkage.sortedNeighborPairs(t(s, dir, "customer"),
+          "c_name", "c_name", "c_name", window = 3, minSim = 0.9,
+          bucketExpr = substring(col("c_name"), 1, 15))
+        .orderBy("id_a", "id_b")
+    }),
     "q_edit_linkage" -> ((s, dir) => {
       // edit-distance linkage: first-letter blocks + exact Levenshtein
       // <= 2 verify (Spark's banded threshold kernel; DuckDB replays
@@ -1001,6 +1013,15 @@ private[graft] object QueriesOps {
         |SELECT code, count(*)::BIGINT AS n_parts,
         |  count(DISTINCT w)::BIGINT AS n_words, min(w) AS sample_word
         |FROM c GROUP BY code ORDER BY code""".stripMargin,
+    "q_sorted_neighbors" ->
+      """WITH r AS (SELECT c_name,
+        |    row_number() OVER (ORDER BY c_name) AS rn FROM customer)
+        |SELECT a.c_name AS id_a, b.c_name AS id_b,
+        |  round(jaro_winkler_similarity(a.c_name, b.c_name), 4) AS sim
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        |WHERE round(jaro_winkler_similarity(a.c_name, b.c_name), 4)
+        |  >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_edit_linkage" ->
       """WITH f AS (SELECT DISTINCT
         |    regexp_extract(lower(p_name), '^[a-z]+') AS w

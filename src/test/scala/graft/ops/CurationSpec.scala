@@ -605,6 +605,49 @@ class CurationSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)), "no letters -> NULL, not a block")
   }
 
+  test("sortedNeighborPairs == global-window brute force (boundary " +
+    "pairs included exactly once), thin buckets rejected") {
+    import spark.implicits._
+    // words across 3 first-letter buckets, each >= window; pairs that
+    // straddle bucket edges (e.g. last a-words vs first b-words) are
+    // the construction's hard case
+    val words = Seq("anna", "annb", "anng", "axel", "azzz",
+      "babb", "bacc", "bozo", "buzz",
+      "cabb", "cacc", "cozy", "cuzz").sorted
+    val df = words.map(w => (w, w, w)).toDF("wid", "w", "s")
+    val win = 4
+    val minSim = 0.5
+    def jw(a: String, b: String): Double = {
+      // reuse the engine's own kernel through a 1-row frame — the spec
+      // compares CONSTRUCTIONS, not kernels (kernels have their own spec)
+      graft.functions.GraftFunctions.register(spark)
+      Seq((a, b)).toDF("x", "y")
+        .select(org.apache.spark.sql.functions.round(
+          org.apache.spark.sql.functions.call_function("graft_jaro",
+            org.apache.spark.sql.functions.col("x"),
+            org.apache.spark.sql.functions.col("y")), 4))
+        .collect().head.getDouble(0)
+    }
+    val want = (for {
+      i <- words.indices; j <- (i + 1) until math.min(words.length, i + 1 + win)
+      s = jw(words(i), words(j)) if s >= minSim
+    } yield (words(i), words(j), s)).toSet
+    val got = Linkage.sortedNeighborPairs(df, "w", "wid", "s", win, minSim,
+        bucketExpr = substring(col("w"), 1, 1))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    assert(want.exists { case (a, b, _) =>
+      a.startsWith("a") && b.startsWith("b") },
+      "fixture must contain a cross-bucket pair for the test to bite")
+    // a bucket thinner than the window is an explicit contract error
+    val thin = intercept[IllegalArgumentException] {
+      Linkage.sortedNeighborPairs(df, "w", "wid", "s", window = 6,
+        minSim = 0.5, bucketExpr = substring(col("w"), 1, 1))
+    }
+    assert(thin.getMessage.contains("coarsen"))
+  }
+
   test("editSelfJoin: exact Levenshtein cut, boundary kept, " +
     "over-threshold dropped, length prune lossless, salt invariant") {
     import spark.implicits._
