@@ -733,6 +733,44 @@ object Similarity {
   }
 
   /**
+   * Embedding-centroid drift — the EMBEDDING member of the drift
+   * family ([[graft.ops.Profile.psiDrift]] covers numeric columns,
+   * [[graft.ops.TextMetrics.unigramDrift]] covers token text; this
+   * answers "did the embedding DISTRIBUTION move since the reference
+   * snapshot" — a re-encoded model, a new upstream corpus mix, a
+   * broken normalization — before retrieval quality quietly decays):
+   * per dimension, both snapshots' mean components (6dp — the
+   * groupCentroids convention) and the delta; sum |delta| or read the
+   * summary cosine between the two mean vectors from the same rows.
+   * Mean-vector drift is the cheap first-moment probe — it catches
+   * translations and re-scalings, not variance-only changes (pair it
+   * with per-dimension [[graft.ops.Profile.psiDrift]] when those
+   * matter; the doc states the blind spot rather than overclaiming).
+   *
+   * One posexplode + (side, pos) aggregation per snapshot (map-side
+   * combined to dim-sized frames), a dim-keyed join — no data-sized
+   * join, no window, no action. Output: pos, n_ref, n_cur, mean_ref,
+   * mean_cur (6dp), delta (6dp, −0.0 canonicalized).
+   */
+  def centroidDrift(ref: DataFrame, cur: DataFrame,
+      vecCol: String): DataFrame = {
+    def side(df: DataFrame, mc: String, nc: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol).cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(round(avg(col("x")), 6).as(mc), count(lit(1)).as(nc))
+    side(ref, "mean_ref", "n_ref")
+      .join(side(cur, "mean_cur", "n_cur"), Seq("pos"), "full_outer")
+      .select(col("pos").cast("long").as("pos"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        col("mean_ref"), col("mean_cur"),
+        (round(col("mean_cur") - col("mean_ref"), 6) + lit(0.0))
+          .as("delta"))
+  }
+
+  /**
    * Centroid-distance outliers — the embedding-space label-noise /
    * off-topic detector: each member's cosine to its OWN label centroid,
    * keeping the `bottomK` least-similar members per label (cosine asc —

@@ -59,6 +59,17 @@ private[graft] object QueriesAnn {
         .orderBy(desc("cosine"), col("vec_id"))
         .limit(10)
     }),
+    "ann_centroid_drift" -> ((s, dir) => {
+      // embedding-distribution drift: per-dimension mean shift between
+      // the even-id snapshot (reference) and the odd-id snapshot
+      // (current) — the embedding member of the drift family (PSI =
+      // numeric, KL/JS = text, this = vectors)
+      val e = t(s, dir, "embeddings")
+      graft.ops.Similarity.centroidDrift(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 =!= 0), "embedding")
+        .orderBy("pos")
+    }),
     "ann_centroid_sim" -> ((s, dir) =>
       // domain-similarity map: pairwise cosine between label centroids
       // — the labels-sized self-join, never the corpus
@@ -286,6 +297,22 @@ private[graft] object QueriesAnn {
         |ORDER BY cosine DESC, d.vec_id
         |LIMIT 10""".stripMargin,
     "ann_lsh" -> annLshOracle,
+    "ann_centroid_drift" ->
+      """WITH r AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings
+        |  WHERE vec_id % 2 = 0),
+        |c AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings
+        |  WHERE vec_id % 2 <> 0),
+        |mr AS (SELECT pos, round(avg(x), 6) AS mean_ref,
+        |    count(*)::BIGINT AS n_ref FROM r GROUP BY pos),
+        |mc AS (SELECT pos, round(avg(x), 6) AS mean_cur,
+        |    count(*)::BIGINT AS n_cur FROM c GROUP BY pos)
+        |SELECT pos, coalesce(n_ref, 0)::BIGINT AS n_ref,
+        |  coalesce(n_cur, 0)::BIGINT AS n_cur, mean_ref, mean_cur,
+        |  round(mean_cur - mean_ref, 6) + 0.0 AS delta
+        |FROM mr FULL OUTER JOIN mc USING (pos)
+        |ORDER BY pos""".stripMargin,
     "ann_centroid_sim" ->
       """WITH e AS (SELECT vec_id, label,
         |    generate_subscripts(embedding, 1) AS i,

@@ -298,6 +298,22 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the mixture bound must enter as a 1-row broadcast subtree:\n$p")
   }
 
+  test("sortedNeighborPairs: every window is bucket-partitioned — no " +
+    "single-partition global sort hides in the plan") {
+    import org.apache.spark.sql.functions.{col, substring}
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val p = graft.ops.Linkage.sortedNeighborPairs(c, "c_name", "c_name",
+        "c_name", window = 3, minSim = 0.9,
+        bucketExpr = substring(col("c_name"), 1, 15))
+      .queryExecution.executedPlan.toString
+    // a Window with an empty partition spec plans as Exchange
+    // SinglePartition feeding Window — the anti-pattern this
+    // construction exists to avoid
+    assert(!p.contains("SinglePartition"),
+      s"sorted-neighborhood must never single-partition:\n$p")
+    assert(p.contains("Window"), s"expected window operators:\n$p")
+  }
+
   test("kmeansAssign: the assignment pass is a zero-Exchange narrow scan") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     // iters=1 isolates the assignment itself (no update round): centroids

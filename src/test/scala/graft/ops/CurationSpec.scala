@@ -244,6 +244,33 @@ class CurationSpec extends AnyFunSuite {
   private def prand(i: Int, j: Int): Double =
     (((i * 2654435761L + j * 40503L + 17L) & 0xffffL).toDouble / 65536.0) - 0.5
 
+  test("centroidDrift: planted translation recovered per dimension, " +
+    "identical snapshots read zero delta everywhere") {
+    import spark.implicits._
+    val ref = (0 until 50).map(i =>
+      (i.toLong, Seq(prand(i, 0), prand(i, 1), prand(i, 2))))
+      .toDF("id", "v")
+    // current = reference shifted by a known vector per dimension
+    val shift = Seq(0.5, -0.25, 0.0)
+    val cur = (0 until 50).map(i =>
+      (i.toLong, Seq(prand(i, 0) + shift(0), prand(i, 1) + shift(1),
+        prand(i, 2) + shift(2))))
+      .toDF("id", "v")
+    val got = Similarity.centroidDrift(ref, cur, "v")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    shift.zipWithIndex.foreach { case (d, pos) =>
+      val (nr, nc, delta) = got(pos.toLong)
+      assert(nr == 50 && nc == 50)
+      // means are 6dp-rounded before differencing: within 2 ulp of 1e-6
+      assert(math.abs(delta - d) <= 2e-6, s"pos $pos: $delta vs $d")
+    }
+    // no drift: delta exactly 0.0 (and never -0.0) in every dimension
+    val zero = Similarity.centroidDrift(ref, ref, "v").collect()
+    assert(zero.forall(r => r.getDouble(5) == 0.0 &&
+      !(1.0 / r.getDouble(5) < 0)), "identical snapshots must read +0.0")
+  }
+
   test("kmeansAssign: planted blobs recovered, matches reference Lloyd") {
     import spark.implicits._
     // 3 well-separated blobs in 4 dims; ids interleave blobs so first-k
