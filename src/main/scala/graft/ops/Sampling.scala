@@ -356,4 +356,56 @@ object Sampling {
       .filter(col("_rank") <= col("_target"))
       .drop("_rank", "_hrank", "_target")
   }
+
+  /**
+   * Deterministic negative sampling — the contrastive-training prep
+   * step (retrieval / embedding training wants k "random" corpus items
+   * per (query, positive) pair that are NOT the positive): negatives
+   * are drawn by the family's md5 hash — slot j of query q picks the
+   * corpus item at dense rank md5(seed|q|j) mod N — so the draw is
+   * uniform over the corpus, reproducible across runs and cluster
+   * layouts, and replayable in SQL. A draw that lands ON the positive
+   * advances one rank (mod N) — deterministic rejection, never a
+   * dropped slot; duplicate negatives ACROSS slots are kept (uniform
+   * sampling with replacement — the standard in-batch-negatives
+   * regime; dedup downstream if a without-replacement set is wanted).
+   *
+   * Shape at scale: the corpus gets a dense rank by ONE distributed
+   * sort (`row_number` bounded inside range partitions via
+   * repartitionByRange — Spark plans a global Window here; the sort is
+   * the honest cost and runs ONCE, cacheable across epochs), pairs
+   * explode k slots (narrow), one join against the rank table on the
+   * drawn rank + one on the positive's id — both plain equi-joins.
+   * Output: query, positive, slot, negative.
+   */
+  def negativeSample(pairs: DataFrame, queryCol: String, posCol: String,
+      corpus: DataFrame, corpusIdCol: String, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1 && k <= 1024, s"k must be in [1,1024]: $k")
+    val ranked = corpus.select(col(corpusIdCol).cast("string").as("_cid"))
+      .distinct()
+      .withColumn("_rank",
+        row_number().over(Window.orderBy(col("_cid"))).cast("long") - 1)
+    val n = ranked.groupBy().agg(count(lit(1)).as("_n"))
+    val slots = pairs.select(col(queryCol).cast("string").as("query"),
+        col(posCol).cast("string").as("positive"))
+      .crossJoin(n)
+      .select(col("query"), col("positive"), col("_n"),
+        explode(array((0 until k).map(j => lit(j)): _*)).as("slot"))
+      .withColumn("_draw",
+        pmod(conv(substring(md5(concat(lit(s"$seed|"), col("query"),
+          lit("|"), col("slot").cast("string"))), 1, 12), 16, 10)
+          .cast("long"), col("_n")))
+    // the positive's own rank, to reject collisions deterministically
+    val withPos = slots.join(
+      ranked.select(col("_cid").as("positive"), col("_rank").as("_prank")),
+      Seq("positive"), "left")
+    val adjusted = withPos.withColumn("_pick",
+      when(col("_draw") === col("_prank"),
+        pmod(col("_draw") + 1, col("_n"))).otherwise(col("_draw")))
+    adjusted.join(ranked.select(col("_rank").as("_pick"),
+        col("_cid").as("negative")), Seq("_pick"))
+      .select(col("query"), col("positive"), col("slot").cast("long")
+        .as("slot"), col("negative"))
+  }
 }

@@ -529,6 +529,18 @@ private[graft] object QueriesOps {
           "value")
         .orderBy("event_type")
     }),
+    "q_negative_sample" -> ((s, dir) => {
+      // contrastive-training negatives: 4 deterministic corpus draws
+      // per (query doc, positive doc) pair, positive-collision advanced
+      // one rank — md5-ranked, so the oracle replays draw-for-draw.
+      // pairs = each even doc paired with its successor
+      val d = t(s, dir, "documents").select(col("doc_id"))
+      val pairs = d.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("q"), (col("doc_id") + 1).as("p"))
+      graft.ops.Sampling.negativeSample(pairs, "q", "p",
+          t(s, dir, "documents"), "doc_id", k = 4)
+        .orderBy(col("query").cast("long"), col("slot"))
+    }),
     "q_split_train" -> ((s, dir) =>
       // deterministic 90/5/5 train/val/test hash split: a pure function
       // of doc_id (append-stable, re-read-stable), one narrow scan
@@ -1070,6 +1082,28 @@ private[graft] object QueriesOps {
         |  AND a.p_partkey < b.p_partkey
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_negative_sample" ->
+      """WITH ranked AS (SELECT doc_id::VARCHAR AS cid,
+        |    row_number() OVER (ORDER BY doc_id::VARCHAR) - 1 AS rnk
+        |  FROM (SELECT DISTINCT doc_id FROM documents)),
+        |nn AS (SELECT count(*)::BIGINT AS n FROM ranked),
+        |pairs AS (SELECT doc_id::VARCHAR AS q, (doc_id + 1)::VARCHAR AS p
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |slots AS (SELECT q, p, s AS slot FROM pairs,
+        |  (SELECT unnest(range(4)) AS s) _s),
+        |draw AS (SELECT q, p, slot, nn.n AS n,
+        |    CAST('0x' || substring(md5('42|' || q || '|'
+        |      || slot::VARCHAR), 1, 12) AS BIGINT) % nn.n AS d
+        |  FROM slots, nn),
+        |wp AS (SELECT draw.*, r.rnk AS prank FROM draw
+        |  LEFT JOIN ranked r ON r.cid = draw.p),
+        |adj AS (SELECT q, p, slot,
+        |    CASE WHEN d = prank THEN (d + 1) % n ELSE d END AS pick
+        |  FROM wp)
+        |SELECT adj.q AS query, adj.p AS positive, slot::BIGINT AS slot,
+        |  r.cid AS negative
+        |FROM adj JOIN ranked r ON r.rnk = adj.pick
+        |ORDER BY query::BIGINT, slot""".stripMargin,
     "q_split_train" ->
       """WITH h AS (SELECT doc_id,
         |    md5(concat('42|', doc_id::VARCHAR)) AS hh FROM documents),

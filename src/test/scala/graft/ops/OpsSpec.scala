@@ -1820,6 +1820,46 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("negativeSample: closed-form md5 draws, positive-collision " +
+    "advances one rank, k rows per pair, partitioning-independent") {
+    import spark.implicits._
+    val corpus = (0 until 10).map(i => s"c$i").toDF("id")
+    val pairs = Seq(("q1", "c3"), ("q2", "c7"), ("q3", "c0"))
+      .toDF("q", "p")
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ranked = (0 until 10).map(i => s"c$i").sorted // string order
+    def expected(q: String, p: String, j: Int, seed: Long): String = {
+      val d = (java.lang.Long.parseLong(
+        md5hex(s"$seed|$q|$j").substring(0, 12), 16) % 10).toInt
+      val pr = ranked.indexOf(p)
+      ranked(if (d == pr) (d + 1) % 10 else d)
+    }
+    val got = Sampling.negativeSample(pairs, "q", "p", corpus, "id",
+        k = 6, seed = 42L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(1), r.getString(3)))).toMap
+    assert(got.size == 18, "3 pairs x 6 slots")
+    got.foreach { case ((q, j), (p, neg)) =>
+      assert(neg != p, s"negative equals positive at ($q, $j)")
+      assert(neg == expected(q, p, j.toInt, 42L),
+        s"($q, $j): $neg vs ${expected(q, p, j.toInt, 42L)}")
+    }
+    // partitioning must not change a single draw
+    val again = Sampling.negativeSample(pairs.repartition(5), "q", "p",
+        corpus.repartition(7), "id", k = 6, seed = 42L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getString(1), r.getString(3)))).toMap
+    assert(again == got)
+    // the collision-advance branch genuinely fires somewhere in a
+    // sweep of positives (every rank is someone's positive)
+    val sweep = (0 until 10).map(i => (s"s$i", s"c$i")).toDF("q", "p")
+    val sw = Sampling.negativeSample(sweep, "q", "p", corpus, "id",
+        k = 8, seed = 42L).collect()
+    assert(sw.forall(r => r.getString(3) != r.getString(1)))
+  }
+
   test("cmsSketch/cmsEstimate: one-sided for EVERY value, exact at " +
     "collision-free width, unseen values estimate 0, merge = concat") {
     import spark.implicits._
