@@ -441,6 +441,51 @@ object Profile {
   }
 
   /**
+   * Feature standardization for training export — each listed numeric
+   * column gains a scaled sibling: CLASSIC mode (x − mean)/stddev, or
+   * ROBUST mode (x − median)/IQR (Q3 − Q1) — the outlier-immune pair
+   * the winsorize/MAD family prefers on heavy-tailed features, where a
+   * single spike inflates the stddev that classic scaling divides by.
+   * Zero-spread columns (constant, or IQR 0 from >50% duplicates)
+   * scale to NULL, never a divide-by-zero or a fake 0 — no spread
+   * means no scale, the family's no-evidence convention. NULLs pass
+   * through as NULL. Scaling params come from ONE aggregation over all
+   * columns (a 1-row subtree entering as a broadcast crossJoin), the
+   * transform is one narrow codegen'd projection — k columns scale
+   * expression width, never pass count.
+   * Output: input columns + `<col>_scaled` (6dp) per listed column.
+   */
+  def standardize(df: DataFrame, cols: Seq[String],
+      robust: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "at least one column to standardize")
+    val clash = cols.map(_ + "_scaled").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"output columns ${clash.mkString(", ")} already exist; rename first")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      if (robust)
+        Seq(percentile(v, lit(0.5)).as(s"_med_$c"),
+          (percentile(v, lit(0.75)) - percentile(v, lit(0.25)))
+            .as(s"_iqr_$c"))
+      else
+        Seq(avg(v).as(s"_mu_$c"),
+          coalesce(stddev_samp(v), lit(0.0)).as(s"_sd_$c"))
+    }
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val out = cols.foldLeft(df.crossJoin(stats)) { (acc, c) =>
+      val v = col(c).cast("double")
+      val (center, spread) =
+        if (robust) (col(s"_med_$c"), col(s"_iqr_$c"))
+        else (col(s"_mu_$c"), col(s"_sd_$c"))
+      acc.withColumn(s"${c}_scaled",
+        round(when(spread > 0, (v - center) / spread), 6))
+    }
+    val drop = cols.flatMap(c =>
+      if (robust) Seq(s"_med_$c", s"_iqr_$c") else Seq(s"_mu_$c", s"_sd_$c"))
+    out.drop(drop: _*)
+  }
+
+  /**
    * Equi-DEPTH histogram — the quantile-cut companion to [[histogram]]'s
    * equi-width bins (equi-width shows WHERE mass sits on the value
    * axis; equi-depth shows where the VALUE AXIS must be cut so each

@@ -257,6 +257,17 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_standardize" -> ((s, dir) =>
+      // robust feature scaling ((x − median)/IQR — percentile ==
+      // quantile_cont, the exact-quantile convention) over two lineitem
+      // measures; deterministic 1% row slice keeps the gate output slim
+      // while the params come from the FULL table
+      graft.ops.Profile.standardize(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice"), robust = true)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity_scaled"), col("l_extendedprice_scaled"))
+        .orderBy("l_orderkey", "l_linenumber")),
     "q_cms_topk" -> ((s, dir) => {
       // count-min sketch audit: exact top-20 corpus terms vs their CMS
       // estimates (d=4, w=1024 — real collisions at this vocabulary).
@@ -949,6 +960,22 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_standardize" ->
+      """WITH s AS (SELECT
+        |    quantile_cont(l_quantity, 0.5) AS mq,
+        |    quantile_cont(l_quantity, 0.75)
+        |      - quantile_cont(l_quantity, 0.25) AS iq,
+        |    quantile_cont(l_extendedprice, 0.5) AS mp,
+        |    quantile_cont(l_extendedprice, 0.75)
+        |      - quantile_cont(l_extendedprice, 0.25) AS ip
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  round(CASE WHEN iq > 0 THEN (l_quantity - mq) / iq END, 6)
+        |    AS l_quantity_scaled,
+        |  round(CASE WHEN ip > 0 THEN (l_extendedprice - mp) / ip END, 6)
+        |    AS l_extendedprice_scaled
+        |FROM lineitem, s WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_cms_topk" ->
       """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
         |  FROM documents),

@@ -1820,6 +1820,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("standardize: closed-form robust and classic scaling, zero " +
+    "spread goes NULL, NULLs pass through") {
+    import spark.implicits._
+    val df = ((1 to 9).map(i => (Some(i.toDouble), Some(7.0))) :+
+      ((Option.empty[Double], Some(7.0)))).toDF("x", "c")
+    // robust: median 5, IQR = 7 - 3 = 4 on 1..9 (quantile_cont exact)
+    val rb = Profile.standardize(df, Seq("x", "c"), robust = true)
+      .collect()
+    val xs = rb.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+    assert(xs.length == 9 && rb.count(_.isNullAt(2)) == 1,
+      "NULL input must stay NULL")
+    assert(xs.contains(1.0) && xs.contains(-1.0),  // x=9 and x=1
+      s"robust closed form: $xs")
+    assert(rb.forall(_.isNullAt(3)), "constant column (IQR 0) -> NULL")
+    // classic: mean 5, stddev_samp over 1..9 = sqrt(60/8) = 2.738613
+    val cl = Profile.standardize(df, Seq("x"), robust = false).collect()
+    val top = cl.flatMap(r => Option(r.get(2)).map(_.asInstanceOf[Double]))
+      .max
+    assert(math.abs(top - 4.0 / 2.738613) < 1e-5, s"classic z: $top")
+  }
+
   test("negativeSample: closed-form md5 draws, positive-collision " +
     "advances one rank, k rows per pair, partitioning-independent") {
     import spark.implicits._
