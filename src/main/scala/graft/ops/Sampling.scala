@@ -358,6 +358,41 @@ object Sampling {
   }
 
   /**
+   * Crawl-budget quota allocation — largest-remainder apportionment
+   * (Hamilton's method) of a global `budget` across domains in
+   * proportion to their row counts: base_d = ⌊budget·n_d/N⌋, then the
+   * leftover units go one each to the largest fractional remainders
+   * (ties to the lexicographically first domain — deterministic), so
+   * **Σ quota_d == budget EXACTLY** — the invariant a proportional
+   * float-rounding allocation silently breaks and a crawl scheduler
+   * (or a mixture-sampling budget) cannot tolerate breaking. A quota
+   * may exceed n_d when budget > N (apportionment allocates BUDGET,
+   * not rows; cap downstream if fetching less than quota is
+   * meaningless). Shape: one domain count aggregation, 1-row total
+   * subtrees, a domains-sized window for the remainder ranking — never
+   * data-scale. Output: domain, n, quota.
+   */
+  def allocateQuota(df: DataFrame, domainCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val counts = df.groupBy(col(domainCol).cast("string").as("domain"))
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy().agg(sum("n").cast("double").as("_tot"))
+    val based = counts.crossJoin(tot)
+      .withColumn("_raw", lit(budget.toDouble) * col("n") / col("_tot"))
+      .withColumn("_base", floor(col("_raw")))
+      .withColumn("_rem", col("_raw") - col("_base"))
+    val leftover = based.groupBy()
+      .agg((lit(budget) - sum("_base")).as("_left"))
+    based.crossJoin(leftover)
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(desc("_rem"), col("domain"))).cast("long"))
+      .select(col("domain"), col("n"),
+        (col("_base") + when(col("_rk") <= col("_left"), 1L)
+          .otherwise(0L)).cast("long").as("quota"))
+  }
+
+  /**
    * Deterministic negative sampling — the contrastive-training prep
    * step (retrieval / embedding training wants k "random" corpus items
    * per (query, positive) pair that are NOT the positive): negatives

@@ -529,6 +529,13 @@ private[graft] object QueriesOps {
           "value")
         .orderBy("event_type")
     }),
+    "q_quota_alloc" -> ((s, dir) =>
+      // crawl-budget apportionment over document sources: 1000 units by
+      // largest remainder — sum of quotas is EXACTLY the budget, the
+      // invariant float rounding breaks
+      graft.ops.Sampling.allocateQuota(t(s, dir, "documents"),
+          "source", budget = 1000L)
+        .orderBy("domain")),
     "q_negative_sample" -> ((s, dir) => {
       // contrastive-training negatives: 4 deterministic corpus draws
       // per (query doc, positive doc) pair, positive-collision advanced
@@ -1082,6 +1089,19 @@ private[graft] object QueriesOps {
         |  AND a.p_partkey < b.p_partkey
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_quota_alloc" ->
+      """WITH c AS (SELECT source AS domain, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n)::DOUBLE AS tot FROM c),
+        |b AS (SELECT domain, n, 1000.0 * n / tot AS raw,
+        |    floor(1000.0 * n / tot) AS base FROM c, t),
+        |l AS (SELECT (1000 - sum(base))::BIGINT AS leftover FROM b),
+        |r AS (SELECT b.*, row_number()
+        |    OVER (ORDER BY raw - base DESC, domain) AS rk FROM b)
+        |SELECT domain, n,
+        |  (base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END)::BIGINT
+        |    AS quota
+        |FROM r, l ORDER BY domain""".stripMargin,
     "q_negative_sample" ->
       """WITH ranked AS (SELECT doc_id::VARCHAR AS cid,
         |    row_number() OVER (ORDER BY doc_id::VARCHAR) - 1 AS rnk

@@ -1820,6 +1820,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("allocateQuota: sums to the budget exactly, largest remainders " +
+    "win the leftovers, deterministic ties") {
+    import spark.implicits._
+    // counts 5/3/2 over budget 7: raw 3.5/2.1/1.4, bases 3/2/1 (sum 6),
+    // one leftover -> largest remainder .5 (domain a) takes it
+    val df = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(2)("c"))
+      .toDF("d")
+    val got = Sampling.allocateQuota(df, "d", budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 2L, "c" -> 1L), s"$got")
+    assert(got.values.sum == 7L)
+    // exactness holds across a budget sweep incl. budget > N
+    Seq(0L, 1L, 9L, 10L, 23L).foreach { b =>
+      val q = Sampling.allocateQuota(df, "d", b)
+        .collect().map(_.getLong(2)).sum
+      assert(q == b, s"budget $b allocated $q")
+    }
+    // tie on remainders: equal counts -> lexicographically first wins
+    val tie = (Seq.fill(2)("x") ++ Seq.fill(2)("y")).toDF("d")
+    val tq = Sampling.allocateQuota(tie, "d", 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tq == Map("x" -> 2L, "y" -> 1L), s"$tq")
+  }
+
   test("standardize: closed-form robust and classic scaling, zero " +
     "spread goes NULL, NULLs pass through") {
     import spark.implicits._
