@@ -258,4 +258,44 @@ object Interval {
         count(lit(1)).as("n_merged"))
       .drop("_island")
   }
+
+  /**
+   * Inter-arrival burstiness per key — the event-cadence health probe
+   * next to [[maxConcurrent]]'s load view and [[timeWeightedAvg]]'s
+   * value view: from consecutive-event gaps, the coefficient of
+   * variation cv = σ/μ and the Goh–Barabási burstiness
+   * B = (σ − μ)/(σ + μ) ∈ (−1, 1): −1 a metronome, 0 a Poisson
+   * process, → 1 bursty (long silences broken by spikes — the
+   * signature of a scraper hammering, a retry storm, or batched
+   * uploads pretending to be a stream). Keys with < 2 gaps report
+   * NULL cv/burstiness — no dispersion evidence, the family's NULL
+   * convention. Ties on the timestamp order deterministically by
+   * (ts, id) — the acf rule.
+   *
+   * One keyed lag window (single Exchange) + one aggregation; no
+   * fold, no envelope. Output: key, n_gaps, mean_gap (4dp),
+   * sd_gap (4dp), cv (4dp), burstiness (4dp).
+   */
+  def interArrivalStats(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_t"), col("_id"))
+    val gaps = df
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(idCol).as("_id"))
+      .withColumn("_gap", (col("_t") - lag(col("_t"), 1).over(w))
+        .cast("double"))
+      .filter(col("_gap").isNotNull)
+    gaps.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_gaps"),
+        avg(col("_gap")).as("_mu"),
+        stddev_samp(col("_gap")).as("_sd"))
+      .select(col(keyCol), col("n_gaps"),
+        round(col("_mu"), 4).as("mean_gap"),
+        (round(col("_sd"), 4) + lit(0.0)).as("sd_gap"),
+        round(when(col("_mu") > 0, col("_sd") / col("_mu")), 4).as("cv"),
+        round(when(col("_sd") + col("_mu") > 0,
+          (col("_sd") - col("_mu")) / (col("_sd") + col("_mu"))), 4)
+          .as("burstiness"))
+  }
 }

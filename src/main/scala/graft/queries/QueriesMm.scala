@@ -19,9 +19,9 @@ private[graft] object QueriesMm {
       // corpus (one image per doc_id; variant 1 of each 3-id group is
       // the SAME scene at half resolution — the planted near-dup that
       // byte-level dedup can never see). dHash over real ImageIO
-      // decodes, pigeonhole-banded hamming pairs. Pixel decode has no
-      // SQL form → rows-only gate; the decode/pairing semantics are
-      // spec-anchored (dHash + imageNearDupPairs specs). FIXTURE-TRUTH
+      // decodes, pigeonhole-banded hamming pairs; the decode/pairing
+      // semantics are spec-anchored (dHash + imageNearDupPairs specs).
+      // FIXTURE-TRUTH
       // ORACLE: the planted truth is closed-form on doc_ids — pair
       // (3g, 3g+1) whenever both ids exist, at EXACTLY hamming 0 (the
       // half-res variant area-averages to bit-identical dHash cells:

@@ -529,6 +529,13 @@ private[graft] object QueriesOps {
           "value")
         .orderBy("event_type")
     }),
+    "q_burstiness" -> ((s, dir) =>
+      // event-cadence health per type: inter-arrival cv and
+      // Goh–Barabási burstiness from lag gaps (ties by (ts, event_id)
+      // — the acf determinism rule)
+      graft.ops.Interval.interArrivalStats(eventsTsUs(s, dir),
+          "event_type", "ts_us", "event_id")
+        .orderBy("event_type")),
     "q_quota_alloc" -> ((s, dir) =>
       // crawl-budget apportionment over document sources: 1000 units by
       // largest remainder — sum of quotas is EXACTLY the budget, the
@@ -1089,6 +1096,20 @@ private[graft] object QueriesOps {
         |  AND a.p_partkey < b.p_partkey
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_burstiness" ->
+      """WITH e AS (SELECT event_type AS k, epoch_us(ts)::BIGINT AS t,
+        |    event_id FROM events),
+        |g AS (SELECT k, (t - lag(t) OVER (PARTITION BY k
+        |    ORDER BY t, event_id))::DOUBLE AS gap FROM e),
+        |a AS (SELECT k, count(gap)::BIGINT AS n_gaps, avg(gap) AS mu,
+        |    stddev_samp(gap) AS sd FROM g WHERE gap IS NOT NULL
+        |  GROUP BY k)
+        |SELECT k AS event_type, n_gaps, round(mu, 4) AS mean_gap,
+        |  round(sd, 4) + 0.0 AS sd_gap,
+        |  round(CASE WHEN mu > 0 THEN sd / mu END, 4) AS cv,
+        |  round(CASE WHEN sd + mu > 0 THEN (sd - mu) / (sd + mu) END, 4)
+        |    AS burstiness
+        |FROM a ORDER BY event_type""".stripMargin,
     "q_quota_alloc" ->
       """WITH c AS (SELECT source AS domain, count(*)::BIGINT AS n
         |  FROM documents GROUP BY 1),

@@ -229,4 +229,35 @@ class IntervalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan)
   }
+
+  test("interArrivalStats: metronome reads B = -1-ish, bursty beats " +
+    "poissonish, thin keys NULL, tie determinism") {
+    import spark.implicits._
+    // metronome: constant gaps -> sd = 0 -> cv = 0, B = (0-mu)/(0+mu) = -1
+    val metro = (0 until 20).map(i => ("m", i * 100L, i.toLong))
+    // bursty: 3 tight clusters far apart -> sd >> mu is false (sd ~ mu
+    // scale) but B well above the metronome and the near-poisson key
+    val bursty = (0 until 18).map { i =>
+      ("b", (i / 6) * 100000L + (i % 6) * 10L, 100L + i)
+    }
+    val thin = Seq(("t", 0L, 500L))  // no gaps at all -> no row
+    val two = Seq(("u", 0L, 600L), ("u", 7L, 601L)) // 1 gap: sd NULL
+    val df = (metro ++ bursty ++ thin ++ two).toDF("k", "t", "id")
+    val got = Interval.interArrivalStats(df, "k", "t", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!got.contains("t"), "a single event has no gaps")
+    assert(got("m").getDouble(5) == -1.0, s"metronome B: ${got("m")}")
+    assert(got("m").getDouble(4) == 0.0)
+    assert(got("b").getDouble(5) > 0.4, s"bursty B: ${got("b")}")
+    assert(got("u").isNullAt(3) && got("u").isNullAt(4) &&
+      got("u").isNullAt(5), "one gap has no sample stddev")
+    // equal timestamps resolve by id: shuffling input changes nothing
+    val tied = Seq(("z", 5L, 1L), ("z", 5L, 2L), ("z", 9L, 3L))
+    val a = Interval.interArrivalStats(tied.toDF("k", "t", "id"),
+      "k", "t", "id").collect().head
+    val b = Interval.interArrivalStats(
+      tied.reverse.toDF("k", "t", "id").repartition(3), "k", "t", "id")
+      .collect().head
+    assert(a == b)
+  }
 }
