@@ -1406,6 +1406,53 @@ object Dedup {
    * Output: n_docs, n_clusters, n_dups, dup_frac (4dp), n_singletons,
    * max_cluster_size.
    */
+  /**
+   * Corpus source-overlap matrix — the dedup PLANNING view before any
+   * pairwise run: pairwise shingle-set Jaccard between SOURCES (crawls,
+   * dumps, vendors), answering "which feeds duplicate each other and
+   * how much" at the aggregate level where the decision to dedup
+   * across feeds (or drop one wholesale) is actually made. Exact over
+   * distinct 3-word shingles per source ([[ngramShingles]]'s
+   * definition, so this view and the document-level dedup agree on
+   * what a shingle is); EVERY source pair appears, including
+   * zero-overlap ones (an empty intersection is the finding "these
+   * feeds are disjoint", not a missing row).
+   *
+   * Scale shape: the big frame is distinct (source, shingle) — one
+   * shuffle; the intersection join groups BY SHINGLE where fanout is
+   * ≤ C(#sources, 2) per shingle (#sources is small by definition of
+   * "source" — this is a feeds-level view, not a key-level one), so
+   * the join output is linear in distinct shingles; the final matrix
+   * is #sources² rows. Output: source_a < source_b, n_a, n_b, inter,
+   * jaccard (4dp; NULL when both sides are empty).
+   */
+  def sourceOverlap(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val gs = docs
+      .select(col(groupCol).cast("string").as("g"),
+        split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("g"), explode(expr(shingleExpr)).as("s"))
+      .distinct()
+    val sizes = docs.select(col(groupCol).cast("string").as("g")).distinct()
+      .join(gs.groupBy("g").agg(count(lit(1)).as("n")), Seq("g"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val inter = gs.select(col("g").as("source_a"), col("s"))
+      .join(gs.select(col("g").as("source_b"), col("s")), Seq("s"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("inter"))
+    sizes.select(col("g").as("source_a"), col("n").as("n_a"))
+      .join(sizes.select(col("g").as("source_b"), col("n").as("n_b")),
+        col("source_a") < col("source_b"))
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("inter"),
+        round(when(col("n_a") + col("n_b") - col("inter") > 0,
+          col("inter") / (col("n_a") + col("n_b") - col("inter"))), 4)
+          .as("jaccard"))
+  }
+
   def clusterStats(assign: DataFrame, idCol: String,
       clusterCol: String): DataFrame = {
     val sizes = assign.groupBy(col(clusterCol))

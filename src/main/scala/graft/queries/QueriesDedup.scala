@@ -14,6 +14,13 @@ import graft.QShared._
  * edit to one family can never touch another family's oracle text. */
 private[graft] object QueriesDedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_source_overlap" -> ((s, dir) =>
+      // feeds-level dedup planning: pairwise 3-shingle Jaccard between
+      // document sources, every pair materialized (0-overlap rows
+      // included — "these feeds are disjoint" is a finding)
+      graft.ops.Dedup.sourceOverlap(t(s, dir, "documents"), "text",
+          "source")
+        .orderBy("source_a", "source_b")),
     // §2c — LLM-data pipeline ops
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("content_hash")),
@@ -262,6 +269,28 @@ private[graft] object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    "dedup_source_overlap" ->
+      """WITH tok AS (SELECT source AS g, str_split(text, ' ') AS tk
+        |  FROM documents WHERE len(str_split(text, ' ')) >= 3),
+        |sh0 AS (SELECT g, array_to_string(tk[i:i+2], ' ') AS s
+        |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+        |gs AS (SELECT DISTINCT g, s FROM sh0),
+        |sz0 AS (SELECT g, count(*)::BIGINT AS n FROM gs GROUP BY g),
+        |allg AS (SELECT DISTINCT source AS g FROM documents),
+        |sz AS (SELECT allg.g, coalesce(n, 0)::BIGINT AS n FROM allg
+        |  LEFT JOIN sz0 ON sz0.g = allg.g),
+        |iv AS (SELECT a.g AS source_a, b.g AS source_b,
+        |    count(*)::BIGINT AS inter
+        |  FROM gs a JOIN gs b ON a.s = b.s AND a.g < b.g
+        |  GROUP BY 1, 2)
+        |SELECT sa.g AS source_a, sb.g AS source_b, sa.n AS n_a,
+        |  sb.n AS n_b, coalesce(iv.inter, 0)::BIGINT AS inter,
+        |  round(CASE WHEN sa.n + sb.n - coalesce(iv.inter, 0) > 0
+        |    THEN coalesce(iv.inter, 0)
+        |      / (sa.n + sb.n - coalesce(iv.inter, 0)) END, 4) AS jaccard
+        |FROM sz sa JOIN sz sb ON sa.g < sb.g
+        |LEFT JOIN iv ON iv.source_a = sa.g AND iv.source_b = sb.g
+        |ORDER BY source_a, source_b""".stripMargin,
     "dedup_spans" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

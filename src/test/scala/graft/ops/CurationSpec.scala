@@ -632,6 +632,32 @@ class CurationSpec extends AnyFunSuite {
     assert(nulls.forall(_.isNullAt(0)), "no letters -> NULL, not a block")
   }
 
+  test("sourceOverlap: closed-form pairwise Jaccard, zero-overlap and " +
+    "empty sources materialized with NULL-safe jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b c d"),        // shingles: "a b c", "b c d"
+      ("A", "a b c"),          // duplicate shingle within source -> distinct
+      ("B", "b c d e"),        // "b c d", "c d e" -> inter(A,B) = 1
+      ("C", "x y z"),          // disjoint from A and B
+      ("D", "xx")              // too short: zero shingles
+    ).toDF("source", "text")
+    val got = Dedup.sourceOverlap(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double])))).toMap
+    assert(got.size == 6, s"C(4,2) pairs expected: ${got.keys}")
+    assert(got(("A", "B")) == ((2L, 2L, 1L, Some(1.0 / 3))
+      .copy(_4 = Some(BigDecimal(1.0 / 3).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble))), s"${got(("A", "B"))}")
+    assert(got(("A", "C")) == ((2L, 1L, 0L, Some(0.0))))
+    assert(got(("A", "D")) == ((2L, 0L, 0L, Some(0.0))))
+    // two empty sources: denominator 0 -> NULL, not NaN
+    val empty = Seq(("E", "x"), ("F", "y")).toDF("source", "text")
+    val ge = Dedup.sourceOverlap(empty, "text", "source").collect().head
+    assert(ge.isNullAt(5))
+  }
+
   test("sortedNeighborPairs == global-window brute force (boundary " +
     "pairs included exactly once), thin buckets rejected") {
     import spark.implicits._
