@@ -1533,6 +1533,56 @@ object TextMetrics {
   }
 
   /**
+   * Pseudo-relevance-feedback query expansion (Rocchio's positive
+   * term-selection half; the PRF stage that completes the lexical
+   * retrieval stack next to [[bm25Scores]], [[invertedIndex]],
+   * [[graft.ops.Similarity.rrfFuse]] and `retrievalMetrics`): run the
+   * query, take the top-`kDocs` BM25 documents as implicit relevance
+   * feedback, score every term those documents contain by
+   * tf_feedback · ln((N+1)/(df+1)) (feedback mass × corpus rarity —
+   * the smoothed-idf convention the TF-IDF tier uses), drop the
+   * original query terms, and return the top-`kTerms` expansion
+   * candidates. Feedback selection is deterministic: (bm25 desc, id
+   * asc) over 4dp-rounded scores, zero-score documents never feed
+   * back (no signal is not relevance).
+   *
+   * Shape: one BM25 scan (1-row stats subtree), a TakeOrdered
+   * top-kDocs (never a global sort), the feedback tf aggregation over
+   * ≤ kDocs documents' tokens joined against the corpus df frame
+   * (term-keyed), and a kTerms-sized final TakeOrdered. Output: term,
+   * df, score (4dp), rank.
+   */
+  def prfExpansionTerms(docs: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], kDocs: Int = 10, kTerms: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kDocs >= 1 && kTerms >= 1, "kDocs and kTerms must be >= 1")
+    val fb = bm25Scores(docs, textCol, idCol, query, k1, b)
+      .filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), col(idCol))
+      .limit(kDocs)
+      .select(col(idCol))
+    val toks = docs.select(col(idCol),
+      explode(expr(s"filter(split($textCol, ' ', -1), x -> x != '')"))
+        .as("term"))
+    val dfAll = toks.distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("score"), col("term"))
+    toks.join(fb, Seq(idCol))
+      .groupBy("term").agg(count(lit(1)).cast("double").as("_tf"))
+      .filter(!col("term").isin(query: _*))
+      .join(dfAll, Seq("term"))
+      .crossJoin(n)
+      .withColumn("score",
+        round(col("_tf") * log((col("_n") + 1.0) / (col("df") + 1.0)), 4))
+      .orderBy(desc("score"), col("term"))
+      .limit(kTerms)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("term"), col("df"), col("score"), col("rank"))
+  }
+
+  /**
    * Inverted index: per term, the document frequency, collection
    * frequency, and the postings list as sorted "doc:tf" strings — the
    * retrieval-side artifact a lexical search serves from, built as two

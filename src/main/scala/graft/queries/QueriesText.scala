@@ -308,6 +308,13 @@ private[graft] object QueriesText {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_prf_expand" -> ((s, dir) =>
+      // PRF query expansion for the shared BM25 query: top-10 feedback
+      // docs -> top-10 expansion terms by feedback-tf x smoothed idf
+      // (the oracle reuses the text_bm25 replay CTE verbatim)
+      graft.ops.TextMetrics.prfExpansionTerms(t(s, dir, "documents"),
+          "text", "doc_id", query = Seq("query", "dup", "spark"),
+          kDocs = 10, kTerms = 10)),
     "text_unigram_drift" -> ((s, dir) => {
       // corpus-level language drift: KL + JS over hashed unigram
       // distributions, English slice as the reference vs the full
@@ -852,6 +859,25 @@ private[graft] object QueriesText {
         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
         |       ELSE 'middle' END AS ppl_bucket
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_prf_expand" -> (bm25Cte.stripSuffix("\n") + ",\n" +
+      """fb AS (SELECT doc_id FROM bm WHERE bm25 > 0
+        |  ORDER BY bm25 DESC, doc_id LIMIT 10),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(str_split(text, ' '), x -> x <> ''))
+        |      AS term
+        |  FROM documents),
+        |dfa AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+        |  FROM tok GROUP BY 1),
+        |nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |ft AS (SELECT term, count(*)::DOUBLE AS tf FROM tok
+        |  JOIN fb USING (doc_id) GROUP BY 1),
+        |sc AS (SELECT ft.term, df,
+        |    round(tf * ln((n + 1) / (df + 1)), 4) AS score
+        |  FROM ft JOIN dfa ON dfa.term = ft.term, nn
+        |  WHERE ft.term NOT IN ('query', 'dup', 'spark'))
+        |SELECT term, df, score,
+        |  row_number() OVER (ORDER BY score DESC, term)::BIGINT AS rank
+        |FROM sc ORDER BY score DESC, term LIMIT 10""".stripMargin),
     "text_unigram_drift" ->
       """WITH tokr AS (SELECT unnest(string_split(text, ' ')) AS t
         |  FROM documents WHERE lang = 'en'),

@@ -1820,6 +1820,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("prfExpansionTerms: feedback comes from top-BM25 docs only, " +
+    "query terms excluded, closed-form scores, zero-score docs opt out") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "query alpha alpha beta"),   // matches: feedback
+      (2L, "query alpha gamma"),        // matches: feedback
+      (3L, "delta delta delta"),        // no query term: never feedback
+      (4L, "beta epsilon")              // no query term
+    ).toDF("doc_id", "text")
+    val got = TextMetrics.prfExpansionTerms(docs, "text", "doc_id",
+        query = Seq("query"), kDocs = 2, kTerms = 5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // feedback = docs 1, 2; candidate terms alpha (tf 3), beta (1), gamma (1)
+    assert(got.keySet == Set("alpha", "beta", "gamma"),
+      s"delta (non-feedback) and 'query' must be absent: ${got.keySet}")
+    def s(tf: Double, df: Long) = BigDecimal(tf * math.log(5.0 / (df + 1)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("alpha") == ((2L, s(3, 2), 1L)), s"${got("alpha")}")
+    assert(got("gamma") == ((1L, s(1, 1), 2L)), s"${got("gamma")}")
+    // beta: tf 1, df 2 (docs 1 and 4) -> lower idf than gamma
+    assert(got("beta") == ((2L, s(1, 2), 3L)), s"${got("beta")}")
+  }
+
   test("allocateQuota: sums to the budget exactly, largest remainders " +
     "win the leftovers, deterministic ties") {
     import spark.implicits._
