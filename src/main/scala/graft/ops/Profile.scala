@@ -441,6 +441,54 @@ object Profile {
   }
 
   /**
+   * Robust monotone-trend test per key series — Mann–Kendall S and
+   * Kendall's τ plus the Theil–Sen slope estimate, the
+   * outlier-immune answer to "is this metric drifting, and how fast"
+   * that a least-squares slope gets wrong on the exact spiky series
+   * drift monitoring cares about (one spike swings OLS; it moves ONE
+   * pairwise comparison here): over all time-ordered point pairs
+   * i < j, S = Σ sign(v_j − v_i), τ = S / (n(n−1)/2) ∈ [−1, 1], and
+   * slope = the exact MEDIAN of pairwise slopes (dv/dt over distinct
+   * instants — `percentile`, the quantile_cont convention).
+   * Significance: under H₀, S is ~normal with var n(n−1)(2n+5)/18
+   * (no-ties form) — the z-test is left to the caller because the
+   * tie-corrected variance needs the tie spectrum; the no-ties formula
+   * is stated here so the caller knows exactly what they'd be
+   * computing. Keys with < 2 points report no row (no pairs, no
+   * trend evidence).
+   *
+   * Shape: a per-key SELF-JOIN on time order — Θ(n_k²) pairs per key,
+   * the documented envelope of the drift family's per-key series (a
+   * daily series is hundreds of points → tens of thousands of pairs;
+   * pre-bucket coarser series past that), then one keyed aggregation.
+   * Output: key, n, n_pairs, s, tau (4dp), slope (6dp).
+   */
+  def trendTest(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tsCol).cast("long").as("_t"),
+        col(valueCol).cast("double").as("_x"))
+    val a = base.select(col(keyCol), col("_t").as("_ta"),
+      col("_x").as("_xa"))
+    val b = base.select(col(keyCol), col("_t").as("_tb"),
+      col("_x").as("_xb"))
+    val pairs = a.join(b, Seq(keyCol))
+      .filter(col("_ta") < col("_tb"))
+      .withColumn("_sgn", signum(col("_xb") - col("_xa")))
+      .withColumn("_slope",
+        (col("_xb") - col("_xa")) / (col("_tb") - col("_ta")))
+    val counts = base.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    pairs.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_sgn")).cast("long").as("s"),
+        percentile(col("_slope"), lit(0.5)).as("_ts"))
+      .join(counts, Seq(keyCol))
+      .select(col(keyCol), col("n"), col("n_pairs"), col("s"),
+        (round(col("s") / col("n_pairs"), 4) + lit(0.0)).as("tau"),
+        (round(col("_ts"), 6) + lit(0.0)).as("slope"))
+  }
+
+  /**
    * Feature standardization for training export — each listed numeric
    * column gains a scaled sibling: CLASSIC mode (x − mean)/stddev, or
    * ROBUST mode (x − median)/IQR (Q3 − Q1) — the outlier-immune pair

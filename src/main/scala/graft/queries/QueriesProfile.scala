@@ -257,6 +257,16 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_trend_test" -> ((s, dir) => {
+      // robust drift trend over the daily series: Mann-Kendall S/tau +
+      // exact Theil-Sen median slope per event type (pairwise
+      // comparisons — one spike moves one comparison, not the slope)
+      val daily = eventsTsUs(s, dir)
+        .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+        .agg(round(avg("value"), 4).as("x"))
+      graft.ops.Profile.trendTest(daily, "event_type", "day", "x")
+        .orderBy("event_type")
+    }),
     "q_standardize" -> ((s, dir) =>
       // robust feature scaling ((x − median)/IQR — percentile ==
       // quantile_cont, the exact-quantile convention) over two lineitem
@@ -960,6 +970,23 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_trend_test" ->
+      """WITH e AS (SELECT event_type AS k,
+        |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),
+        |daily AS (SELECT k, d, round(avg(value), 4) AS x FROM e
+        |  GROUP BY 1, 2),
+        |p AS (SELECT a.k, sign(b.x - a.x) AS sgn,
+        |    (b.x - a.x) / (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b ON a.k = b.k AND a.d < b.d),
+        |c AS (SELECT k, count(*)::BIGINT AS n FROM daily GROUP BY k),
+        |g AS (SELECT k, count(*)::BIGINT AS n_pairs,
+        |    sum(sgn)::BIGINT AS s, quantile_cont(slope, 0.5) AS ts
+        |  FROM p GROUP BY k)
+        |SELECT g.k AS event_type, c.n, n_pairs, s,
+        |  round(s / n_pairs, 4) + 0.0 AS tau,
+        |  round(ts, 6) + 0.0 AS slope
+        |FROM g JOIN c ON c.k = g.k
+        |ORDER BY event_type""".stripMargin,
     "q_standardize" ->
       """WITH s AS (SELECT
         |    quantile_cont(l_quantity, 0.5) AS mq,

@@ -1820,6 +1820,31 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("trendTest: perfect trend reads tau = 1 with the exact slope, " +
+    "a spike barely moves Theil-Sen, flat series reads tau = 0") {
+    import spark.implicits._
+    // strictly increasing x = 3 + 2t: every pair sign +1
+    val up = (0 until 10).map(t => ("up", t.toLong, 3.0 + 2.0 * t))
+    // same trend with one huge spike at t=5 (the OLS breaker)
+    val sp = (0 until 10).map(t =>
+      ("sp", t.toLong, 3.0 + 2.0 * t + (if (t == 5) 1000.0 else 0.0)))
+    val flat = (0 until 6).map(t => ("fl", t.toLong, 7.0))
+    val df = (up ++ sp ++ flat).toDF("k", "t", "x")
+    val got = Profile.trendTest(df, "k", "t", "x")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    assert(got("up") == ((10L, 45L, 45L, 1.0, 2.0)), s"${got("up")}")
+    // spike: 9 of 45 pairs touch t=5; the median pairwise slope is
+    // still the underlying 2.0
+    val (n, np, s, tau, slope) = got("sp")
+    assert(n == 10 && np == 45L && slope == 2.0, s"${got("sp")}")
+    assert(tau > 0.5, s"spiked series keeps a strong positive tau: $tau")
+    // constant series: every sign 0
+    assert(got("fl")._3 == 0L && got("fl")._4 == 0.0 &&
+      got("fl")._5 == 0.0, s"${got("fl")}")
+  }
+
   test("prfExpansionTerms: feedback comes from top-BM25 docs only, " +
     "query terms excluded, closed-form scores, zero-score docs opt out") {
     import spark.implicits._
