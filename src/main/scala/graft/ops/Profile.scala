@@ -441,6 +441,65 @@ object Profile {
   }
 
   /**
+   * Weighted summary statistics with Kish-effective-sample inference —
+   * the analysis step that CONSUMES calibrated weights (an
+   * entropy-balanced / raked frame is only useful if downstream
+   * estimates use the weights AND report uncertainty that honors
+   * them): per column, the weighted mean μ_w = Σwx/Σw, the weighted
+   * variance Σw(x−μ)²/Σw (POPULATION convention — stated, because the
+   * n−1 analogue for weights is ambiguous), the Kish effective sample
+   * size ESS = (Σw)²/Σw², and SE(μ_w) ≈ σ_w/√ESS with its normal 95%
+   * interval — the Kish approximation (exact under equal weights,
+   * conservative-ish under calibration weights; a design-based
+   * linearization would need strata/PSU structure this frame doesn't
+   * carry, and the doc says so instead of pretending). Rows with NULL
+   * value or NULL/≤0 weight are excluded per column.
+   *
+   * ONE aggregation computes every column's moments (map-side
+   * combined, 1-row result), an in-project stack unpivots — k columns
+   * widen expressions, never passes. Output: column, n, sum_w, ess
+   * (2dp), w_mean, w_sd, se, ci_lo, ci_hi (4dp — the rounding step
+   * must dominate both engines' sum-order ulp drift at realistic
+   * column magnitudes, which 6dp would not at means ~1e4 over 1e5
+   * rows).
+   */
+  def weightedStats(df: DataFrame, weightCol: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val w0 = col(weightCol).cast("double")
+    val aggs = cols.flatMap { c =>
+      val v = col(c).cast("double")
+      val ok = v.isNotNull && w0.isNotNull && (w0 > 0)
+      val w = when(ok, w0)
+      Seq(count(when(ok, 1)).as(s"_n_$c"),
+        sum(w).as(s"_sw_$c"),
+        sum(w * w).as(s"_sw2_$c"),
+        sum(w * v).as(s"_swx_$c"),
+        sum(w * v * v).as(s"_swx2_$c"))
+    }
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map { c =>
+      s"'$c', _n_$c, _sw_$c, _sw2_$c, _swx_$c, _swx2_$c"
+    }.mkString(", ")
+    m.select(expr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(column, n, _sw, _sw2, _swx, _swx2)"))
+      .withColumn("_mu", col("_swx") / col("_sw"))
+      .withColumn("_var",
+        greatest(col("_swx2") / col("_sw") - col("_mu") * col("_mu"),
+          lit(0.0)))
+      .withColumn("_ess", col("_sw") * col("_sw") / col("_sw2"))
+      .withColumn("_se", sqrt(col("_var") / col("_ess")))
+      .select(col("column"), col("n"),
+        round(col("_sw"), 4).as("sum_w"),
+        round(col("_ess"), 2).as("ess"),
+        round(col("_mu"), 4).as("w_mean"),
+        round(sqrt(col("_var")), 4).as("w_sd"),
+        round(col("_se"), 4).as("se"),
+        round(col("_mu") - lit(1.96) * col("_se"), 4).as("ci_lo"),
+        round(col("_mu") + lit(1.96) * col("_se"), 4).as("ci_hi"))
+  }
+
+  /**
    * Robust monotone-trend test per key series — Mann–Kendall S and
    * Kendall's τ plus the Theil–Sen slope estimate, the
    * outlier-immune answer to "is this metric drifting, and how fast"

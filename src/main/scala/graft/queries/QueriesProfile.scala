@@ -257,6 +257,15 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_weighted_stats" -> ((s, dir) =>
+      // weighted means with Kish-ESS intervals under deterministic
+      // calibration-style weights (1 + (orderkey mod 5)/2) — the
+      // analysis step that consumes reweighted frames
+      graft.ops.Profile.weightedStats(
+          t(s, dir, "lineitem").withColumn("w",
+            lit(1.0) + (col("l_orderkey") % 5) * 0.5),
+          "w", Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("column")),
     "q_trend_test" -> ((s, dir) => {
       // robust drift trend over the daily series: Mann-Kendall S/tau +
       // exact Theil-Sen median slope per event type (pairwise
@@ -970,6 +979,30 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_weighted_stats" ->
+      """WITH b AS (SELECT l_quantity::DOUBLE AS q,
+        |    l_extendedprice::DOUBLE AS p, l_discount::DOUBLE AS di,
+        |    1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem),
+        |m AS (
+        |  SELECT 'l_quantity' AS col, count(*)::BIGINT AS n, sum(w) AS sw,
+        |    sum(w * w) AS sw2, sum(w * q) AS swx, sum(w * q * q) AS swx2
+        |  FROM b WHERE q IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*)::BIGINT, sum(w), sum(w * w),
+        |    sum(w * p), sum(w * p * p) FROM b WHERE p IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*)::BIGINT, sum(w), sum(w * w),
+        |    sum(w * di), sum(w * di * di) FROM b WHERE di IS NOT NULL),
+        |x AS (SELECT col, n, sw, sw2, swx / sw AS mu,
+        |    greatest(swx2 / sw - (swx / sw) * (swx / sw), 0.0) AS v,
+        |    sw * sw / sw2 AS ess FROM m)
+        |SELECT col AS "column", n, round(sw, 4) AS sum_w,
+        |  round(ess, 2) AS ess, round(mu, 4) AS w_mean,
+        |  round(sqrt(v), 4) AS w_sd,
+        |  round(sqrt(v / ess), 4) AS se,
+        |  round(mu - 1.96 * sqrt(v / ess), 4) AS ci_lo,
+        |  round(mu + 1.96 * sqrt(v / ess), 4) AS ci_hi
+        |FROM x ORDER BY col""".stripMargin,
     "q_trend_test" ->
       """WITH e AS (SELECT event_type AS k,
         |    epoch_us(ts)::BIGINT // 86400000000 AS d, value FROM events),

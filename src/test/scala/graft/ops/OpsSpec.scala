@@ -1820,6 +1820,29 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("weightedStats: hand-computed weighted moments and Kish ESS, " +
+    "equal weights reduce to population stats, bad weights excluded") {
+    import spark.implicits._
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 2.0),
+      (99.0, 0.0), (99.0, -1.0))  // zero/negative weights: excluded
+      .toDF("x", "w")
+    val r = Profile.weightedStats(df, "w", Seq("x")).collect().head
+    // sw=4, mu=2.25, var=5.75-5.0625=.6875, ess=16/6
+    assert(r.getLong(1) == 3 && r.getDouble(2) == 4.0)
+    assert(r.getDouble(3) == 2.67)                      // ESS 2dp
+    assert(r.getDouble(4) == 2.25)
+    assert(math.abs(r.getDouble(5) - math.sqrt(0.6875)) < 5e-5)
+    val se = math.sqrt(0.6875 / (16.0 / 6.0))
+    assert(math.abs(r.getDouble(6) - se) < 5e-5)
+    assert(math.abs(r.getDouble(7) - (2.25 - 1.96 * se)) < 5e-5)
+    // equal weights: mean/sd match the unweighted population stats
+    val eq = Seq(1.0, 2.0, 3.0, 4.0).map((_, 1.0)).toDF("x", "w")
+    val re = Profile.weightedStats(eq, "w", Seq("x")).collect().head
+    assert(re.getDouble(4) == 2.5 &&
+      math.abs(re.getDouble(5) - math.sqrt(1.25)) < 5e-5)
+    assert(re.getDouble(3) == 4.0, "equal weights: ESS == n")
+  }
+
   test("trendTest: perfect trend reads tau = 1 with the exact slope, " +
     "a spike barely moves Theil-Sen, flat series reads tau = 0") {
     import spark.implicits._
