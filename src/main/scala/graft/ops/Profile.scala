@@ -441,6 +441,49 @@ object Profile {
   }
 
   /**
+   * Weighted quantiles per group — the distributional half of the
+   * weighted-analysis pair ([[weightedStats]] gives moments; medians
+   * and tails of a CALIBRATED frame need the weights too, or the
+   * reweighting silently vanishes from every percentile report):
+   * quantile_p = min x with F(x) ≥ p where F is the weighted CDF
+   * Σ_{xᵢ≤x} wᵢ / W — the left-continuous inverse (equal-weight case
+   * reduces to the lower-value convention, NOT quantile_cont's
+   * interpolation; stated so nobody expects interpolated values).
+   * NULL values and NULL/≤0 weights are excluded.
+   *
+   * Shape: ONE group-keyed value-ordered window builds the running
+   * weight (the exact-ntile/ccnet per-group sort envelope — a group's
+   * rows sort within their partitions; pre-bucket a group that is
+   * most of the corpus or use the sketch path), then one aggregation
+   * per group takes every requested p — p count widens expressions,
+   * never passes. Output: group, p (4dp), value.
+   */
+  def weightedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      s"probabilities must be in (0,1]: $ps")
+    val v = col(valueCol).cast("double")
+    val w0 = col(weightCol).cast("double")
+    val base = df.filter(v.isNotNull && w0.isNotNull && (w0 > 0))
+      .select(col(groupCol).as("_g"), v.as("_v"), w0.as("_w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("_g"))
+    val cum = base
+      .withColumn("_cw", sum(col("_w")).over(win))
+      .withColumn("_tw", sum(col("_w")).over(tot))
+    val aggs = ps.map(p =>
+      min(when(col("_cw") >= lit(p) * col("_tw"), col("_v"))).as(f"_q$p%s"))
+    val stackArgs = ps.map(p => s"${p}D, `_q$p`").mkString(", ")
+    cum.groupBy(col("_g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("_g").as(groupCol),
+        expr(s"stack(${ps.size}, $stackArgs) AS (_p, value)"))
+      .select(col(groupCol), round(col("_p"), 4).as("p"), col("value"))
+  }
+
+  /**
    * Weighted summary statistics with Kish-effective-sample inference —
    * the analysis step that CONSUMES calibrated weights (an
    * entropy-balanced / raked frame is only useful if downstream

@@ -257,6 +257,15 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_weighted_quantiles" -> ((s, dir) =>
+      // weighted CDF inverse per return flag under the same
+      // calibration-style weights as q_weighted_stats — reweighting
+      // must reach percentile reports, not just means
+      graft.ops.Profile.weightedQuantiles(
+          t(s, dir, "lineitem").withColumn("w",
+            lit(1.0) + (col("l_orderkey") % 5) * 0.5),
+          "l_returnflag", "l_quantity", "w", ps = Seq(0.25, 0.5, 0.9))
+        .orderBy("l_returnflag", "p")),
     "q_weighted_stats" -> ((s, dir) =>
       // weighted means with Kish-ESS intervals under deterministic
       // calibration-style weights (1 + (orderkey mod 5)/2) — the
@@ -979,6 +988,24 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_weighted_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v,
+        |    1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |c AS (SELECT g, v,
+        |    sum(w) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    sum(w) OVER (PARTITION BY g) AS tw FROM b),
+        |q AS (SELECT g,
+        |    min(CASE WHEN cw >= 0.25 * tw THEN v END) AS q1,
+        |    min(CASE WHEN cw >= 0.5 * tw THEN v END) AS q2,
+        |    min(CASE WHEN cw >= 0.9 * tw THEN v END) AS q3
+        |  FROM c GROUP BY g)
+        |SELECT l_returnflag, p, value FROM (
+        |  SELECT g AS l_returnflag, 0.25::DOUBLE AS p, q1 AS value FROM q
+        |  UNION ALL SELECT g, 0.5::DOUBLE, q2 FROM q
+        |  UNION ALL SELECT g, 0.9::DOUBLE, q3 FROM q)
+        |ORDER BY l_returnflag, p""".stripMargin,
     "q_weighted_stats" ->
       """WITH b AS (SELECT l_quantity::DOUBLE AS q,
         |    l_extendedprice::DOUBLE AS p, l_discount::DOUBLE AS di,

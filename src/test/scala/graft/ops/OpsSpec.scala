@@ -1820,6 +1820,27 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("weightedQuantiles: weighted CDF inverse closed form, equal " +
+    "weights reduce to the lower-value convention, weight shifts the " +
+    "median, bad weights excluded") {
+    import spark.implicits._
+    // values 1..4, weight 10 on value 4: F(1)=1/13, F(2)=2/13,
+    // F(3)=3/13, F(4)=1 -> median = 4 (weight drags it up)
+    val df = Seq((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 10.0),
+      (99.0, 0.0)).map { case (v, w) => ("g", v, w) }.toDF("g", "v", "w")
+    val got = Profile.weightedQuantiles(df, "g", "v", "w",
+        ps = Seq(0.1, 0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got == Map(0.1 -> 2.0, 0.25 -> 4.0, 0.5 -> 4.0, 1.0 -> 4.0),
+      s"$got")  // F(1)=.0769 < .1 -> q(.1)=2
+    // equal weights: min x with rank/n >= p (lower-value convention)
+    val eq = (1 to 4).map(i => ("e", i.toDouble, 1.0)).toDF("g", "v", "w")
+    val ge = Profile.weightedQuantiles(eq, "g", "v", "w",
+        ps = Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(ge == Map(0.25 -> 1.0, 0.5 -> 2.0, 0.75 -> 3.0), s"$ge")
+  }
+
   test("weightedStats: hand-computed weighted moments and Kish ESS, " +
     "equal weights reduce to population stats, bad weights excluded") {
     import spark.implicits._
