@@ -1324,4 +1324,39 @@ private[graft] object QShared {
          |  round(w, 4) AS w_cell
          |FROM w$iters ORDER BY r, c""".stripMargin
   }
+
+  /** Per-chunk marker-vote replay for the text_lang_mix gate: the
+   * langidOracle arithmetic over fixed 50-token windows, then the
+   * per-document majority profile. */
+  def langMixOracle(chunkTokens: Int): String = {
+    val perLang = TextMetrics.langMarkers.toSeq.sortBy(_._1).map { case (l, ws) =>
+      val terms = ws.map(w =>
+        s"(length(p) - length(replace(p, '$w', ''))) / ${w.length}").mkString(" + ")
+      s"SELECT doc_id, ci, '$l' AS lang, $terms AS hits FROM ch"
+    }.mkString("\n  UNION ALL\n  ")
+    val W = chunkTokens
+    s"""WITH d AS (SELECT doc_id, str_split(text, ' ') AS tk FROM documents),
+       |ch AS (SELECT doc_id, i AS ci,
+       |    ' ' || array_to_string(tk[i*$W+1 : i*$W+$W], ' ') || ' ' AS p
+       |  FROM d, unnest(generate_series(0, (len(tk) - 1) // $W)) AS g(i)),
+       |s AS (
+       |  $perLang),
+       |r AS (SELECT doc_id, ci, lang, hits, row_number()
+       |    OVER (PARTITION BY doc_id, ci ORDER BY hits DESC, lang) AS rn
+       |  FROM s),
+       |cl AS (SELECT doc_id,
+       |    CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang
+       |  FROM r WHERE rn = 1),
+       |pl AS (SELECT doc_id, lang, count(*)::BIGINT AS c FROM cl
+       |  GROUP BY 1, 2),
+       |tt AS (SELECT doc_id, sum(c)::BIGINT AS n,
+       |    count(*)::BIGINT AS n_langs FROM pl GROUP BY 1),
+       |mj AS (SELECT pl.doc_id, pl.lang, pl.c, row_number()
+       |    OVER (PARTITION BY pl.doc_id ORDER BY c DESC, lang) AS rn
+       |  FROM pl)
+       |SELECT mj.doc_id AS doc_id, tt.n AS n_chunks, tt.n_langs,
+       |  mj.lang AS majority_lang, round(mj.c / tt.n, 4) AS consistency
+       |FROM mj JOIN tt ON tt.doc_id = mj.doc_id WHERE rn = 1
+       |ORDER BY mj.doc_id""".stripMargin
+  }
 }

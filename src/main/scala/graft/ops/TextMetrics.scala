@@ -208,19 +208,73 @@ object TextMetrics {
     "fr" -> Seq(" le ", " et ", " les "),
     "es" -> Seq(" el ", " y ", " los "))
 
-  /** Heuristic language ID from stopword hits (the container has no langid
-   * model; this is the standard n-gram/stopword heuristic). */
-  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val markers = langMarkers
-    val padded = concat(lit(" "), col(textCol), lit(" "))
+  /** The marker-vote winner for an already-padded text column — ties to
+   * the alphabetically first language, zero hits to "und". ONE
+   * definition shared by [[langId]] (whole documents) and [[langMix]]
+   * (per-chunk), so the two views can never disagree on a
+   * classification. */
+  private def bestLang(padded: Column): Column = {
     def hits(words: Seq[String]): Column =
       words.map(w => (length(padded) - length(regexp_replace(padded, lit(w), lit("")))) /
         lit(w.length)).reduce(_ + _)
-    val scored = markers.toSeq.sortBy(_._1).map { case (l, ws) => (l, hits(ws)) }
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (l, ws) => (l, hits(ws)) }
     val best = scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
       case ((bs, bl), (l, s)) => (greatest(bs, s), when(s > bs, lit(l)).otherwise(bl))
     }
-    docs.select(col(idCol), when(best._1 > 0, best._2).otherwise(lit("und")).as("lang_pred"))
+    when(best._1 > 0, best._2).otherwise(lit("und"))
+  }
+
+  /** Heuristic language ID from stopword hits (the container has no langid
+   * model; this is the standard n-gram/stopword heuristic). */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol),
+      bestLang(concat(lit(" "), col(textCol), lit(" "))).as("lang_pred"))
+
+  /**
+   * Language-consistency profile — the code-switching / mixed-language
+   * detector document-level langid is blind to (a half-English
+   * half-German page classifies as SOMETHING and quietly pollutes that
+   * language's training slice): the document splits into fixed
+   * `chunkTokens`-token windows, each window classifies independently
+   * (the [[langId]] marker vote — ONE shared definition), and the
+   * profile reports how unanimous the windows are. consistency = the
+   * majority language's chunk share; the curation cut is typically
+   * "keep iff consistency ≥ τ OR n_chunks == 1". Majority ties break
+   * alphabetically (deterministic); "und" windows count — a document
+   * of marker-free noise is honestly und-majority, not silently
+   * dropped from its own denominator.
+   *
+   * Narrow chunk explode (sequence + slice — no shuffle), the marker
+   * arithmetic per chunk (codegen'd), one (doc, lang) aggregation +
+   * doc-keyed majority window. Output: idCol, n_chunks, n_langs,
+   * majority_lang, consistency (4dp).
+   */
+  def langMix(docs: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int = 50): DataFrame = {
+    require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
+    val chunks = docs
+      .select(col(idCol), split(col(textCol), " ", -1).as("_tok"))
+      .select(col(idCol),
+        explode(sequence(lit(0),
+          expr(s"(size(_tok) - 1) div $chunkTokens"))).as("_ci"),
+        col("_tok"))
+      .select(col(idCol),
+        concat(lit(" "), concat_ws(" ",
+          slice(col("_tok"), col("_ci") * chunkTokens + 1,
+            lit(chunkTokens))), lit(" ")).as("_p"))
+    val cl = chunks.select(col(idCol), bestLang(col("_p")).as("_lang"))
+    val perLang = cl.groupBy(col(idCol), col("_lang"))
+      .agg(count(lit(1)).as("_c"))
+    val tot = perLang.groupBy(col(idCol))
+      .agg(sum("_c").as("_n"), countDistinct(col("_lang")).as("n_langs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("_c"), col("_lang"))
+    perLang.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(tot, Seq(idCol))
+      .select(col(idCol), col("_n").as("n_chunks"), col("n_langs"),
+        col("_lang").as("majority_lang"),
+        round(col("_c") / col("_n"), 4).as("consistency"))
   }
 
   /** Within-document repetition stats — the published "fraction of

@@ -308,6 +308,13 @@ private[graft] object QueriesText {
           model = d.filter(col("doc_id") % 2 === 0))
         .orderBy("doc_id")
     }),
+    "text_lang_mix" -> ((s, dir) =>
+      // code-switching profile: 50-token windows classified by the
+      // shared marker vote, per-doc majority share — the consistency
+      // cut document-level langid cannot make
+      graft.ops.TextMetrics.langMix(t(s, dir, "documents"), "text",
+          "doc_id", chunkTokens = 50)
+        .orderBy("doc_id")),
     "text_prf_expand" -> ((s, dir) =>
       // PRF query expansion for the shared BM25 query: top-10 feedback
       // docs -> top-10 expansion terms by feedback-tf x smoothed idf
@@ -859,6 +866,7 @@ private[graft] object QueriesText {
         |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
         |       ELSE 'middle' END AS ppl_bucket
         |FROM g ORDER BY doc_id""".stripMargin,
+    "text_lang_mix" -> langMixOracle(50),
     "text_prf_expand" -> (bm25Cte.stripSuffix("\n") + ",\n" +
       """fb AS (SELECT doc_id FROM bm WHERE bm25 > 0
         |  ORDER BY bm25 DESC, doc_id LIMIT 10),

@@ -1820,6 +1820,32 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("langMix: pure doc unanimous, half-and-half splits 50/50, " +
+    "marker-free text reads und, majority ties break alphabetically") {
+    import spark.implicits._
+    def run(rows: Seq[(Long, String)], w: Int) =
+      TextMetrics.langMix(rows.toDF("doc_id", "text"), "text", "doc_id", w)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4))))
+        .toMap
+    val en = Seq.fill(12)("word the and of x").mkString(" ")   // 60 tokens
+    val de = Seq.fill(12)("wort der und die y").mkString(" ")
+    val got = run(Seq(
+      (1L, en),                        // 60 en tokens -> 2 chunks, pure
+      (2L, en + " " + de),             // 121 tokens: en, en/de?, de
+      (3L, "zz qq ww")), w = 30)
+    assert(got(1L) == ((2L, 1L, "en", 1.0)), s"${got(1L)}")
+    assert(got(3L) == ((1L, 1L, "und", 1.0)), s"${got(3L)}")
+    val (nc, nl, mj, cons) = got(2L)
+    assert(nc == 4 && nl == 2 && cons < 1.0,
+      s"mixed doc must show its mix: ${got(2L)}")
+    // tie: equal chunk counts for two languages -> alphabetically first
+    val tied = run(Seq((9L, en.split(" ").take(30).mkString(" ") + " " +
+      de.split(" ").take(30).mkString(" "))), w = 30)
+    assert(tied(9L)._1 == 2 && tied(9L)._3 == "de" && tied(9L)._4 == 0.5,
+      s"${tied(9L)}")
+  }
+
   test("weightedQuantiles: weighted CDF inverse closed form, equal " +
     "weights reduce to the lower-value convention, weight shifts the " +
     "median, bad weights excluded") {
