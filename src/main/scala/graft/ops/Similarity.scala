@@ -733,6 +733,46 @@ object Similarity {
   }
 
   /**
+   * Embedding-norm diagnostics — the sanity scan BEFORE any cosine
+   * math ([[centroidDrift]] catches distribution shift; this catches
+   * the plumbing failures that precede it: an un-normalized batch, a
+   * zeroed column, NaN/Inf from an overflowed encoder — each of which
+   * silently corrupts every cosine downstream because a zero or
+   * non-finite norm poisons the denominator): one row per corpus with
+   * counts of NULL vectors, zero-norm vectors, non-finite-component
+   * vectors, the dimension spread (a ragged corpus is a bug), and
+   * exact norm quantiles (p01/p50/p99 — a normalized corpus reads
+   * ~1/1/1; a mixed batch shows the spread instantly).
+   * One narrow per-row norm projection + one aggregation; percentile
+   * exact (swap approx at the winsorize contract).
+   * Output: n, n_null, n_zero, n_nonfinite, dim_min, dim_max,
+   * norm_p01, norm_p50, norm_p99 (6dp).
+   */
+  def normProfile(emb: DataFrame, vecCol: String): DataFrame = {
+    val norm2 = aggregate(col("_v"), lit(0.0), (acc, x) => acc + x * x)
+    val finite = forall(col("_v"),
+      x => !isnan(x) && x > Double.NegativeInfinity
+        && x < Double.PositiveInfinity)
+    val base = emb.select(col(vecCol).cast("array<double>").as("_v"))
+      .withColumn("_null", col("_v").isNull)
+      .withColumn("_dim", when(!col("_null"), size(col("_v"))))
+      .withColumn("_fin", when(!col("_null"), finite))
+      .withColumn("_norm",
+        when(!col("_null") && col("_fin"), sqrt(norm2)))
+    base.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_null"), 1L).otherwise(0L)).as("n_null"),
+      sum(when(col("_norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(col("_fin") === false, 1L).otherwise(0L))
+        .as("n_nonfinite"),
+      min(col("_dim")).cast("long").as("dim_min"),
+      max(col("_dim")).cast("long").as("dim_max"),
+      round(percentile(col("_norm"), lit(0.01)), 6).as("norm_p01"),
+      round(percentile(col("_norm"), lit(0.5)), 6).as("norm_p50"),
+      round(percentile(col("_norm"), lit(0.99)), 6).as("norm_p99"))
+  }
+
+  /**
    * Embedding-centroid drift — the EMBEDDING member of the drift
    * family ([[graft.ops.Profile.psiDrift]] covers numeric columns,
    * [[graft.ops.TextMetrics.unigramDrift]] covers token text; this

@@ -59,6 +59,12 @@ private[graft] object QueriesAnn {
         .orderBy(desc("cosine"), col("vec_id"))
         .limit(10)
     }),
+    "ann_norm_profile" -> ((s, dir) =>
+      // embedding plumbing sanity: null/zero/non-finite counts, dim
+      // spread, exact norm quantiles — the check that runs BEFORE any
+      // cosine math trusts the corpus
+      graft.ops.Similarity.normProfile(t(s, dir, "embeddings"),
+        "embedding")),
     "ann_centroid_drift" -> ((s, dir) => {
       // embedding-distribution drift: per-dimension mean shift between
       // the even-id snapshot (reference) and the odd-id snapshot
@@ -297,6 +303,28 @@ private[graft] object QueriesAnn {
         |ORDER BY cosine DESC, d.vec_id
         |LIMIT 10""".stripMargin,
     "ann_lsh" -> annLshOracle,
+    "ann_norm_profile" ->
+      """WITH m AS (SELECT embedding IS NULL AS isn,
+        |    CASE WHEN embedding IS NOT NULL
+        |      THEN len(embedding) END AS dim,
+        |    CASE WHEN embedding IS NOT NULL THEN list_aggregate(
+        |      list_transform(embedding, x -> isfinite(x)), 'bool_and')
+        |      END AS fin,
+        |    CASE WHEN embedding IS NOT NULL AND list_aggregate(
+        |        list_transform(embedding, x -> isfinite(x)), 'bool_and')
+        |      THEN sqrt(list_sum(list_transform(embedding,
+        |        x -> x * x))) END AS nrm
+        |  FROM embeddings)
+        |SELECT count(*)::BIGINT AS n,
+        |  sum(CASE WHEN isn THEN 1 ELSE 0 END)::BIGINT AS n_null,
+        |  sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |  sum(CASE WHEN fin = false THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_nonfinite,
+        |  min(dim) AS dim_min, max(dim) AS dim_max,
+        |  round(quantile_cont(nrm, 0.01), 6) AS norm_p01,
+        |  round(quantile_cont(nrm, 0.5), 6) AS norm_p50,
+        |  round(quantile_cont(nrm, 0.99), 6) AS norm_p99
+        |FROM m""".stripMargin,
     "ann_centroid_drift" ->
       """WITH r AS (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
         |    unnest(embedding)::DOUBLE AS x FROM embeddings

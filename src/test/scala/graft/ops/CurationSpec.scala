@@ -244,6 +244,24 @@ class CurationSpec extends AnyFunSuite {
   private def prand(i: Int, j: Int): Double =
     (((i * 2654435761L + j * 40503L + 17L) & 0xffffL).toDouble / 65536.0) - 0.5
 
+  test("normProfile: nulls/zeros/NaNs counted, dim spread flagged, " +
+    "unit corpus reads ~1 quantiles") {
+    import spark.implicits._
+    val rows: Seq[Option[Seq[Double]]] = Seq(
+      Some(Seq(1.0, 0.0)), Some(Seq(0.0, 1.0)),   // unit norms
+      Some(Seq(0.0, 0.0)),                         // zero norm
+      Some(Seq(Double.NaN, 1.0)),                  // non-finite
+      None,                                        // null vector
+      Some(Seq(3.0, 4.0, 0.0)))                    // ragged dim, norm 5
+    val r = Similarity.normProfile(rows.toDF("embedding"), "embedding")
+      .collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 1 &&
+      r.getLong(2) == 1 && r.getLong(3) == 1, s"$r")
+    assert(r.getLong(4) == 2L && r.getLong(5) == 3L, "dim spread 2..3")
+    // norms present: 1, 1, 0, 5 -> p50 = 1.0
+    assert(r.getDouble(7) == 1.0, s"median norm: $r")
+  }
+
   test("centroidDrift: planted translation recovered per dimension, " +
     "identical snapshots read zero delta everywhere") {
     import spark.implicits._
