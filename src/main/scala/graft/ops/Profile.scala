@@ -326,6 +326,52 @@ object Profile {
    * is k structs, never data rows). At 100 TB this is one pass and one
    * k·6-value shuffle, regardless of how many columns are profiled.
    */
+  /**
+   * String-column completeness profile — the categorical sibling of
+   * [[describeNumeric]] (min/max/mean say nothing about an id or
+   * category column; what matters there is null share, BLANK share —
+   * the '' that count(col) silently treats as present — distinct
+   * cardinality, length spread, and how dominated the column is by its
+   * top value): per column — n, nulls, blanks (empty or
+   * whitespace-only), n_distinct (exact; swap approx_count_distinct at
+   * the sketch contract), len_min/len_max, top_value, top_share (4dp).
+   * top_value ties break lexicographically. One aggregation computes
+   * every column's counters; each column's top value is one extra
+   * value-keyed aggregation + 1-row argmax (k columns scale pass count
+   * by k here — the honest cost of exact mode; cap with a sampled or
+   * sketched top-k when k is large).
+   * Output: column, n, nulls, blanks, n_distinct, len_min, len_max,
+   * top_value, top_share.
+   */
+  def describeStrings(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "describeStrings needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val frames = cols.map { c =>
+      val v = col(c).cast("string")
+      val base = df.select(v.as("_v"))
+      val stats = base.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_v").isNull, 1L).otherwise(0L)).as("nulls"),
+        sum(when(col("_v").isNotNull && trim(col("_v")) === "", 1L)
+          .otherwise(0L)).as("blanks"),
+        countDistinct(col("_v")).as("n_distinct"),
+        min(length(col("_v"))).cast("long").as("len_min"),
+        max(length(col("_v"))).cast("long").as("len_max"))
+      val top = base.filter(col("_v").isNotNull)
+        .groupBy("_v").agg(count(lit(1)).as("_c"))
+        .orderBy(desc("_c"), col("_v")).limit(1)
+        .select(col("_v").as("top_value"), col("_c").as("_topc"))
+      Seq(c).toDF("column").crossJoin(stats).crossJoin(top)
+        .select(col("column"), col("n"), col("nulls"), col("blanks"),
+          col("n_distinct"), col("len_min"), col("len_max"),
+          col("top_value"),
+          round(col("_topc") / (col("n") - col("nulls")), 4)
+            .as("top_share"))
+    }
+    frames.reduce(_.unionByName(_))
+  }
+
   def describeNumeric(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "describeNumeric needs at least one column")
     val aggs = cols.flatMap { c =>

@@ -257,6 +257,14 @@ private[graft] object QueriesProfile {
           window = 7, tau = 2.5, minPts = 3)
         .orderBy("event_type", "ts")
     }),
+    "q_describe_strings" -> ((s, dir) =>
+      // categorical completeness audit over three orders columns:
+      // null/blank shares, exact cardinality, length spread, dominant
+      // value — the id-and-category health check describeNumeric
+      // cannot give
+      graft.ops.Profile.describeStrings(t(s, dir, "orders"),
+          Seq("o_orderstatus", "o_orderpriority", "o_orderdate"))
+        .orderBy("column")),
     "q_weighted_quantiles" -> ((s, dir) =>
       // weighted CDF inverse per return flag under the same
       // calibration-style weights as q_weighted_stats — reweighting
@@ -988,6 +996,28 @@ private[graft] object QueriesProfile {
         |  round(m, 4) AS mean_hist, z,
         |  coalesce(abs(z) > 2.5, false) AS anomaly
         |FROM z ORDER BY event_type, ts""".stripMargin,
+    "q_describe_strings" ->
+      """WITH s1 AS (
+        |  SELECT 'o_orderdate' AS col, o_orderdate::VARCHAR AS v
+        |  FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders),
+        |st AS (SELECT col, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+        |    sum(CASE WHEN v IS NOT NULL AND trim(v) = '' THEN 1
+        |      ELSE 0 END)::BIGINT AS blanks,
+        |    count(DISTINCT v)::BIGINT AS n_distinct,
+        |    min(length(v))::BIGINT AS len_min,
+        |    max(length(v))::BIGINT AS len_max
+        |  FROM s1 GROUP BY col),
+        |tp AS (SELECT col, v AS top_value, c FROM (
+        |    SELECT col, v, count(*)::BIGINT AS c, row_number()
+        |      OVER (PARTITION BY col ORDER BY count(*) DESC, v) AS rn
+        |    FROM s1 WHERE v IS NOT NULL GROUP BY col, v) WHERE rn = 1)
+        |SELECT st.col AS "column", n, nulls, blanks, n_distinct,
+        |  len_min, len_max, top_value,
+        |  round(c / (n - nulls), 4) AS top_share
+        |FROM st JOIN tp ON tp.col = st.col ORDER BY st.col""".stripMargin,
     "q_weighted_quantiles" ->
       """WITH b AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v,
         |    1.0 + (l_orderkey % 5) * 0.5 AS w FROM lineitem

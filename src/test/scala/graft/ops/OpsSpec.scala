@@ -1820,6 +1820,25 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("describeStrings: nulls vs blanks distinguished, exact " +
+    "cardinality, dominant value with lexicographic ties") {
+    import spark.implicits._
+    val df = Seq(Some("a"), Some("a"), Some("b"), Some(""), Some("  "),
+      None).toDF("c")
+    val r = Profile.describeStrings(df, Seq("c")).collect().head
+    assert(r.getString(0) == "c" && r.getLong(1) == 6)
+    assert(r.getLong(2) == 1, "one null")
+    assert(r.getLong(3) == 2, "'' and whitespace-only are blanks")
+    assert(r.getLong(4) == 4, "distinct over non-null: a, b, '', '  '")
+    assert(r.getLong(5) == 0 && r.getLong(6) == 2, "length spread")
+    assert(r.getString(7) == "a" && r.getDouble(8) == 0.4,
+      s"top a with share 2/5: $r")
+    // tie on top counts: lexicographically first value wins
+    val t = Profile.describeStrings(
+      Seq("x", "y").toDF("c"), Seq("c")).collect().head
+    assert(t.getString(7) == "x")
+  }
+
   test("langMix: pure doc unanimous, half-and-half splits 50/50, " +
     "marker-free text reads und, majority ties break alphabetically") {
     import spark.implicits._
