@@ -1359,4 +1359,31 @@ private[graft] object QShared {
        |FROM mj JOIN tt ON tt.doc_id = mj.doc_id WHERE rn = 1
        |ORDER BY mj.doc_id""".stripMargin
   }
+
+  /** Unrolled BFS relaxation replay for graph_hops: dist_{t+1}(u) =
+   * min(dist_t(u), min over edges v->u of dist_t(v) + 1), MATERIALIZED
+   * per round (plain CTEs re-inline the whole frontier history
+   * exponentially — the IPF/bpe lesson). */
+  def hopDistanceOracle(maxHops: Int, nSeeds: Int): String = {
+    val pre =
+      s"""WITH e0 AS MATERIALIZED (SELECT o_custkey % 997 AS src,
+         |    o_orderkey % 997 AS dst FROM orders),
+         |d0 AS MATERIALIZED (SELECT unnest(range($nSeeds)) AS node,
+         |    0::BIGINT AS dist)""".stripMargin
+    val steps = (0 until maxHops).map { t =>
+      s""",
+         |r${t + 1} AS MATERIALIZED (SELECT e.dst AS node,
+         |    (min(d.dist) + 1)::BIGINT AS nd
+         |  FROM e0 e JOIN d$t d ON d.node = e.src GROUP BY e.dst),
+         |d${t + 1} AS MATERIALIZED (SELECT
+         |    coalesce(d.node, r.node) AS node,
+         |    least(coalesce(d.dist, r.nd), coalesce(r.nd, d.dist))
+         |      AS dist
+         |  FROM d$t d FULL OUTER JOIN r${t + 1} r ON r.node = d.node)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
+  }
 }

@@ -413,4 +413,40 @@ object Graph {
     }
     labels
   }
+
+  /**
+   * BFS hop distance from a seed set — the crawl-frontier / lineage
+   * depth question ("how many link hops from the seed list is this
+   * host", "which records are within k joins of a trusted root"):
+   * dist(seed) = 0, then `maxHops` rounds of frontier relaxation
+   * dist(u) = min(dist(u), min over edges v->u of dist(v) + 1) along
+   * EDGE DIRECTION (pass a symmetrized edge list for the undirected
+   * reading). Only REACHED nodes appear — unreachable-within-maxHops
+   * is absence, not a sentinel distance. Rounds are synchronous keyed
+   * join+min aggregations (the pageRank loop shape, localCheckpoint
+   * to bound lineage); maxHops scales round count, never pair space.
+   * Output: node, dist (long).
+   */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int,
+      checkpointEvery: Int = 8): DataFrame = {
+    require(maxHops >= 0 && maxHops <= 64, s"maxHops in [0,64]: $maxHops")
+    require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .withColumn("dist", lit(0L))
+    for (t <- 0 until maxHops) {
+      val relaxed = e
+        .join(dist.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg((min(col("dist")) + 1L).as("_d"))
+      dist = dist.join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("_d")),
+            coalesce(col("_d"), col("dist"))).as("dist"))
+      if ((t + 1) % checkpointEvery == 0 && t + 1 < maxHops)
+        dist = dist.localCheckpoint()
+    }
+    dist
+  }
 }

@@ -14,6 +14,16 @@ import graft.QShared._
  * edit to one family can never touch another family's oracle text. */
 private[graft] object QueriesGraph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hops" -> ((s, dir) => {
+      // crawl-frontier depth: BFS hop distance from seed nodes 0..9
+      // along edge direction on the shared 997-node orders graph,
+      // 6 relaxation rounds, unrolled-MATERIALIZED oracle
+      val e = t(s, dir, "orders").select(
+        (col("o_custkey") % 997).as("src"), (col("o_orderkey") % 997).as("dst"))
+      graft.ops.Graph.hopDistance(e, "src", "dst",
+          s.range(10).select(col("id").as("seed")), "seed", maxHops = 6)
+        .orderBy("node")
+    }),
     "graph_pagerank" -> ((s, dir) => {
       // host-level PageRank shape on a deterministic 997-node multigraph
       // derived from orders keys; 5 damped power iterations with
@@ -90,6 +100,7 @@ private[graft] object QueriesGraph {
   )
 
   val oracles: Map[String, String] = Map(
+    "graph_hops" -> hopDistanceOracle(6, 10),
     "graph_pagerank" -> pageRankOracle(5),
     "graph_hits" -> hitsOracle(8),
     "graph_kcore" -> kcoreOracle(21, 14),

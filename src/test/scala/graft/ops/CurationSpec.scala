@@ -210,6 +210,30 @@ class CurationSpec extends AnyFunSuite {
 
   // --------------------------------------------------------------- PageRank
 
+  test("hopDistance: closed-form BFS depths, direction honored, " +
+    "unreached absent, maxHops truncates, checkpoint cadence inert") {
+    import spark.implicits._
+    // 0->1->2->3->4 chain plus a shortcut 0->3 and a back-edge 9->0
+    // (9 itself unreachable: nothing points INTO it)
+    val e = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 3L),
+      (9L, 0L)).toDF("src", "dst")
+    val seeds = Seq(0L).toDF("seed")
+    val got = Graph.hopDistance(e, "src", "dst", seeds, "seed",
+        maxHops = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 1L, 4L -> 2L),
+      s"shortcut must win (3 at dist 1, 4 at 2), 9 absent: $got")
+    // truncation: maxHops = 1 reaches only 0, 1, 3
+    val trunc = Graph.hopDistance(e, "src", "dst", seeds, "seed", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(trunc == Map(0L -> 0L, 1L -> 1L, 3L -> 1L), s"$trunc")
+    // checkpoint cadence must not change results
+    val ck = Graph.hopDistance(e.repartition(5), "src", "dst", seeds,
+        "seed", 6, checkpointEvery = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ck == got)
+  }
+
   test("pageRank: hand-computed dangling redistribution, mass conservation") {
     import spark.implicits._
     // A -> B, B dangling, N = 2: after one iteration
