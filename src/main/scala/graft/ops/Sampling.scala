@@ -358,6 +358,32 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe train/val/test split — [[splitAssign]] keyed by a
+   * LEAK KEY instead of the row id: every row sharing the key (a
+   * content hash, a near-dup cluster id, a user id) lands in the SAME
+   * split, closing the evaluation leak an id-keyed split silently
+   * opens (a test document whose duplicate sits in train is a
+   * memorized answer, not a held-out one — the cross-split
+   * contamination the decontamination tier checks for is PREVENTED
+   * here at split time). Same md5(seed|key) hash family, so the split
+   * is reproducible, append-stable, and SQL-replayable; fractions then
+   * hold over KEYS, not rows (a giant duplicate cluster pulls its
+   * whole mass to one side — that is the point, and the caller reads
+   * actual row shares from the output). Output: input columns + u
+   * (the key's uniform draw, 6dp) + split.
+   */
+  def leakageSafeSplit(df: DataFrame, leakKey: org.apache.spark.sql.Column,
+      fractions: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: Long = 42L): DataFrame = {
+    require(!df.columns.contains("_leak_key"),
+      "input column _leak_key collides; rename it first")
+    splitAssign(df.withColumn("_leak_key", leakKey.cast("string")),
+        "_leak_key", fractions, seed)
+      .drop("_leak_key")
+  }
+
+  /**
    * Crawl-budget quota allocation — largest-remainder apportionment
    * (Hamilton's method) of a global `budget` across domains in
    * proportion to their row counts: base_d = ⌊budget·n_d/N⌋, then the

@@ -529,6 +529,15 @@ private[graft] object QueriesOps {
           "value")
         .orderBy("event_type")
     }),
+    "q_split_leakage_safe" -> ((s, dir) =>
+      // dedup-aware split: keyed by the content hash, so exact
+      // duplicates can never straddle train/test — the leak an
+      // id-keyed split silently opens
+      graft.ops.Sampling.leakageSafeSplit(
+          t(s, dir, "documents").select("doc_id", "text"),
+          leakKey = md5(col("text")))
+        .select(col("doc_id"), col("u"), col("split"))
+        .orderBy("doc_id")),
     "q_burstiness" -> ((s, dir) =>
       // event-cadence health per type: inter-arrival cv and
       // Goh–Barabási burstiness from lag gaps (ties by (ts, event_id)
@@ -1096,6 +1105,16 @@ private[graft] object QueriesOps {
         |  AND a.p_partkey < b.p_partkey
         |WHERE round(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_split_leakage_safe" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(concat('42|', md5(text))) AS hh FROM documents),
+        |u AS (SELECT doc_id,
+        |    round(CAST(('0x' || substring(hh, 1, 8)) AS BIGINT)
+        |      / 4294967296.0, 6) AS u FROM h)
+        |SELECT doc_id, u,
+        |  CASE WHEN u < 0.9 THEN 'train'
+        |       WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
     "q_burstiness" ->
       """WITH e AS (SELECT event_type AS k, epoch_us(ts)::BIGINT AS t,
         |    event_id FROM events),

@@ -1820,6 +1820,30 @@ class OpsSpec extends AnyFunSuite {
     assert(!got.contains(0L)) // the empty doc carries no sequence
   }
 
+  test("leakageSafeSplit: identical content ALWAYS lands in one split, " +
+    "id-keyed split provably leaks on the same corpus") {
+    import spark.implicits._
+    // 200 docs over 40 distinct texts: each text has 5 duplicate ids
+    val docs = (0 until 200).map(i => (i.toLong, s"text-${i % 40}"))
+      .toDF("doc_id", "text")
+    val safe = Sampling.leakageSafeSplit(docs,
+        leakKey = org.apache.spark.sql.functions.md5(col("text")))
+      .select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val byText = safe.groupBy(_._1).values
+    assert(byText.forall(g => g.map(_._2).distinct.length == 1),
+      "every duplicate set must co-locate")
+    assert(safe.map(_._2).distinct.length > 1,
+      "fixture must actually split across classes")
+    // the id-keyed split leaks on this corpus: some text straddles
+    val leaky = Sampling.splitAssign(docs, "doc_id")
+      .select("text", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    assert(leaky.groupBy(_._1).values
+        .exists(g => g.map(_._2).distinct.length > 1),
+      "the control must demonstrate the leak the operator closes")
+  }
+
   test("describeStrings: nulls vs blanks distinguished, exact " +
     "cardinality, dominant value with lexicographic ties") {
     import spark.implicits._
