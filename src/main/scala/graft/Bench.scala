@@ -34,13 +34,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the same bench
+    // across a REAL executor boundary (separate JVMs, serialized task
+    // binaries, actual broadcast + shuffle transport) — the multi-JVM
+    // evidence pass; SPARK_GRAFT_JARS must then carry the packaged graft
+    // jar so executor JVMs can deserialize the closures.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup outside the timed region (standard bench practice);
     // a bad data dir must still produce a JSON line (with per-query errors),
@@ -96,6 +103,14 @@ object Bench {
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(median(ts)) }
       .mkString("{", ",", "}")
+    // per-query MIN alongside the median: both committed archives (r9
+    // 208.1 s, r10 208.7 s) were contention-inflated while identical code
+    // measured 130-135 s idle — the min is the closest observable to the
+    // uncontended floor, so a consumer (and the 2x perf criterion) can
+    // judge against it mechanically instead of re-running.
+    val qsMin = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(ts.min) }
+      .mkString("{", ",", "}")
+    val totalMin = results.map(_._2.min).sum
     // The LAST stdout line must survive the collector's ~1-2 KB stdout
     // tail. At 145+ queries the full per-query map is ~3.4 KB and the
     // collector's parse has truncated it every round since r04, so the
@@ -124,9 +139,9 @@ object Bench {
     // against the committed idle record rather than trusted.
     val loads = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)}"""
     val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"n_queries":${results.length},"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":"bench_headline.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qsShort,"n_queries":${results.length},"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":"bench_headline.json"}"""
     println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs}""")
     println(headline)
     println(compact)

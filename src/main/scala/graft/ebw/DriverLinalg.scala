@@ -227,6 +227,125 @@ private[ebw] object DriverLinalg {
     x
   }
 
+  /**
+   * Jacobi-preconditioned CG with DISTRIBUTED matvecs — the
+   * no-driver-ceiling companion of [[cgSolve]] for the regime where the
+   * merged sparse Gram exceeds the driver budget (EbwSizing decides).
+   * `gram` is the upper-tri Gram as an RDD of (i*k+j, value), i <= j
+   * (EbwAggregator.gramRdd, caller-persisted). Each CG iteration
+   * broadcasts the k-vector p and tree-aggregates the k-vector G·p:
+   * driver traffic is O(k) per iteration regardless of Gram size.
+   * `sign` scales the Gram (+1 normal; -1 for the penalty system whose
+   * aggregated dS/dz = -G). Masked (`free`) coordinates behave as
+   * identity rows, as in cgSolve.
+   *
+   * Math note: identical update sequence to cgSolve, but the partial-sum
+   * ORDER inside the distributed matvec differs from the driver loop, so
+   * results agree to fp-accumulation tolerance, not bit-exactly — the
+   * parity spec asserts 1e-8 relative agreement.
+   */
+  def cgSolveRdd(
+      gram: org.apache.spark.rdd.RDD[(Long, Double)],
+      k: Int,
+      diag: Array[Double],
+      rhs: Array[Double],
+      ridge: Double,
+      free: Array[Boolean],
+      sign: Double = 1.0,
+      maxIterOverride: Int = 0): Array[Double] = {
+    val sc = gram.sparkContext
+    @inline def isFree(i: Int): Boolean = free == null || free(i)
+    val kk = k
+    val sg = sign
+    // Jacobi preconditioner: Gram diagonal in ONE aggregation pass
+    val gdiag = gram.treeAggregate(new Array[Double](kk))(
+      seqOp = (buf, kv) => {
+        val i = (kv._1 / kk).toInt
+        if ((kv._1 % kk).toInt == i) buf(i) += sg * kv._2
+        buf
+      },
+      combOp = (a, b) => { var i = 0; while (i < kk) { a(i) += b(i); i += 1 }; a },
+      depth = 2)
+    val precond = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      precond(i) = gdiag(i) + diag(i) + ridge
+      if (precond(i) <= 0.0) precond(i) = math.max(ridge, 1e-12)
+      i += 1
+    }
+    val freeBc = if (free == null) null else sc.broadcast(free)
+
+    def mv(x: Array[Double]): Array[Double] = {
+      val xb = sc.broadcast(x)
+      try {
+        val gx = gram.treeAggregate(new Array[Double](kk))(
+          seqOp = (buf, kv) => {
+            val key = kv._1
+            val a = (key / kk).toInt
+            val b = (key % kk).toInt
+            val fa = if (freeBc == null) true else freeBc.value(a)
+            val fb = if (freeBc == null) true else freeBc.value(b)
+            if (fa && fb) {
+              val v = sg * kv._2
+              val xv = xb.value
+              buf(a) += v * xv(b)
+              if (a != b) buf(b) += v * xv(a)
+            }
+            buf
+          },
+          combOp = (a, b) => { var i = 0; while (i < kk) { a(i) += b(i); i += 1 }; a },
+          depth = 2)
+        var q = 0
+        while (q < kk) {
+          if (isFree(q)) gx(q) += (diag(q) + ridge) * x(q) else gx(q) = x(q)
+          q += 1
+        }
+        gx
+      } finally xb.destroy()
+    }
+
+    try {
+      val b = rhs.clone()
+      i = 0
+      while (i < k) { if (!isFree(i)) b(i) = 0.0; i += 1 }
+      val x = new Array[Double](k)
+      val r = b.clone()
+      val z = new Array[Double](k)
+      i = 0
+      while (i < k) { z(i) = r(i) / precond(i); i += 1 }
+      var p = z.clone()
+      var rz = dot(r, z)
+      val bnorm = math.max(norm2(b), 1e-300)
+      var iter = 0
+      // each iteration is a Spark job: converge to Newton-inner accuracy
+      // (1e-10 relative), not the driver loop's 1e-12 — the outer Newton
+      // line-search absorbs the difference
+      val maxIter =
+        if (maxIterOverride > 0) maxIterOverride
+        else math.min(2 * k + 20, 1000)
+      while (iter < maxIter && norm2(r) > 1e-10 * bnorm) {
+        val ap = mv(p)
+        val pap = dot(p, ap)
+        if (pap <= 0.0 || pap.isNaN) {
+          iter = maxIter
+        } else {
+          val alpha = rz / pap
+          var j = 0
+          while (j < k) { x(j) += alpha * p(j); r(j) -= alpha * ap(j); j += 1 }
+          j = 0
+          while (j < k) { z(j) = r(j) / precond(j); j += 1 }
+          val rzNew = dot(r, z)
+          val beta = rzNew / rz
+          rz = rzNew
+          j = 0
+          while (j < k) { p(j) = z(j) + beta * p(j); j += 1 }
+          iter += 1
+        }
+      }
+      x
+    } finally if (freeBc != null) freeBc.destroy()
+  }
+
   @inline def dot(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

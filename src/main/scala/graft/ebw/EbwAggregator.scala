@@ -122,7 +122,8 @@ private[ebw] object EbwAggregator {
    * proportional to the realized cross pattern. Paired with the driver-side
    * CG solve in DriverLinalg.
    */
-  def runSparse(rows: RDD[EbwRow], k: Int, theta: Array[Double], link: Link): Pass = {
+  def runSparse(rows: RDD[EbwRow], k: Int, theta: Array[Double], link: Link,
+      depth: Int = 2): Pass = {
     val th = theta
     val lk = link
     final case class Acc(
@@ -198,13 +199,137 @@ private[ebw] object EbwAggregator {
         a.fval += b.fval; a.wrsum += b.wrsum; a.count += b.count
         a
       },
-      depth = 2)
+      depth = depth)
     val n = out.gram.size
     val keys = new Array[Long](n)
     val vals = new Array[Double](n)
     var i = 0
     out.gram.foreachEntry { (key, v) => keys(i) = key; vals(i) = v; i += 1 }
     Pass(out.s, null, out.fval, out.wrsum, out.count, keys, vals)
+  }
+
+  /**
+   * Statistics-only pass: s, fval, wrsum, count — NO Gram. Θ(N·nnz)
+   * instead of Θ(N·nnz²). The distributed-Gram mode's line-search
+   * evaluation: Armijo trials only need the dual objective pieces, so the
+   * Gram (the expensive part) is built once per ACCEPTED iterate, not per
+   * trial.
+   */
+  def runStats(rows: RDD[EbwRow], k: Int, theta: Array[Double], link: Link): Pass = {
+    val th = theta
+    val lk = link
+    val size = k + 3
+    val out = rows.treeAggregate(new Array[Double](size))(
+      seqOp = (buf, row) => {
+        val vals = row.vals
+        val idx = row.idx
+        var t = 0.0
+        if (idx == null) {
+          var j = 0
+          while (j < k) { t += vals(j) * th(j); j += 1 }
+        } else {
+          var p = 0
+          while (p < idx.length) { t += vals(p) * th(idx(p)); p += 1 }
+        }
+        val (r, _) = lk.rAndSlope(t)
+        val w0 = row.w0
+        val wr = w0 * r
+        buf(k) += (if (r <= 0.0) w0 else w0 * (r * math.log(r) - r + 1.0))
+        buf(k + 1) += wr
+        buf(k + 2) += 1.0
+        if (idx == null) {
+          var i = 0
+          while (i < k) { buf(i) += wr * vals(i); i += 1 }
+        } else {
+          var p = 0
+          while (p < idx.length) { buf(idx(p)) += wr * vals(p); p += 1 }
+        }
+        buf
+      },
+      combOp = (a, b) => {
+        var i = 0
+        while (i < size) { a(i) += b(i); i += 1 }
+        a
+      },
+      depth = 2)
+    Pass(
+      s = java.util.Arrays.copyOfRange(out, 0, k),
+      gram = null,
+      fval = out(k),
+      wrsum = out(k + 1),
+      count = out(k + 2).toLong)
+  }
+
+  /**
+   * The Gram as a DISTRIBUTED dataset — the no-driver-ceiling mode for
+   * the large-N × large-k regime (EbwSizing decides): per-partition
+   * LongMap partials (the runSparse kernel) stream out as (key, value)
+   * pairs and a reduceByKey merges them ACROSS EXECUTORS; the merged Gram
+   * never lands on the driver. The Newton direction is then solved by CG
+   * with distributed matvecs (DriverLinalg.cgSolveRdd) — per-iteration
+   * driver traffic is O(k), not O(gram nnz), so the regime that OOMed the
+   * default 8 GB driver (N=1e7: ~50 M realized Gram entries) runs within
+   * default budgets. Caller persists/unpersists the returned RDD.
+   */
+  def gramRdd(rows: RDD[EbwRow], k: Int, theta: Array[Double], link: Link,
+      aggParts: Int): RDD[(Long, Double)] = {
+    val th = theta
+    val lk = link
+    rows.mapPartitions { it =>
+      val acc = new scala.collection.mutable.LongMap[Double]()
+      while (it.hasNext) {
+        val row = it.next()
+        val vals = row.vals
+        val idx = row.idx
+        var t = 0.0
+        if (idx == null) {
+          var j = 0
+          while (j < k) { t += vals(j) * th(j); j += 1 }
+        } else {
+          var p = 0
+          while (p < idx.length) { t += vals(p) * th(idx(p)); p += 1 }
+        }
+        val (_, rp) = lk.rAndSlope(t)
+        val wrp = row.w0 * rp
+        if (wrp != 0.0) {
+          if (idx == null) {
+            var i = 0
+            while (i < k) {
+              val vi = vals(i)
+              if (vi != 0.0) {
+                val wv = wrp * vi
+                var j = i
+                while (j < k) {
+                  val vj = vals(j)
+                  if (vj != 0.0) {
+                    val key = i.toLong * k + j
+                    acc.update(key, acc.getOrElse(key, 0.0) + wv * vj)
+                  }
+                  j += 1
+                }
+              }
+              i += 1
+            }
+          } else {
+            val nnz = idx.length
+            var p = 0
+            while (p < nnz) {
+              val vi = vals(p)
+              val wv = wrp * vi
+              val i = idx(p)
+              var q = p
+              while (q < nnz) {
+                val key = i.toLong * k + idx(q)
+                acc.update(key, acc.getOrElse(key, 0.0) + wv * vals(q))
+                q += 1
+              }
+              p += 1
+            }
+          }
+        }
+      }
+      acc.iterator
+    }.reduceByKey(_ + _, aggParts)
   }
 
   /**
@@ -272,12 +397,17 @@ private[ebw] object EbwAggregator {
       java.util.Arrays.copyOfRange(out, tri, size))
   }
 
-  /** Validation + sizing pass: returns (badRows, sumW, n). Mirrors
-   * inputs_are_invalid (/root/reference/entropy_balance_weighting/shared.py:105-133). */
-  def validate(rows: RDD[EbwRow], k: Int): (Long, Double, Long) = {
-    val out = rows.treeAggregate(new Array[Double](3))(
+  /** Validation + sizing pass: returns (badRows, sumW, n, sumPairs) where
+   * sumPairs = Σ_i nnz_i(nnz_i+1)/2 — the total Gram-entry contributions,
+   * the input to EbwSizing's partition/depth/mode heuristic (counted in
+   * the same scan that checks finiteness, so sizing costs nothing extra).
+   * Mirrors inputs_are_invalid
+   * (/root/reference/entropy_balance_weighting/shared.py:105-133). */
+  def validate(rows: RDD[EbwRow], k: Int): (Long, Double, Long, Long) = {
+    val out = rows.treeAggregate(new Array[Double](4))(
       seqOp = (buf, row) => {
         var bad = false
+        var nnz = 0
         if (row.w0.isNaN || row.w0.isInfinite || row.w0 <= 0.0) bad = true
         if (row.vals == null) bad = true
         else {
@@ -292,16 +422,21 @@ private[ebw] object EbwAggregator {
             while (p < row.vals.length && !bad) {
               val v = row.vals(p)
               if (v.isNaN || v.isInfinite) bad = true
+              else if (v != 0.0) nnz += 1
               p += 1
             }
           }
         }
-        if (bad) buf(0) += 1.0 else buf(1) += row.w0
+        if (bad) buf(0) += 1.0
+        else {
+          buf(1) += row.w0
+          buf(3) += nnz.toDouble * (nnz + 1) / 2
+        }
         buf(2) += 1.0
         buf
       },
-      combOp = (a, b) => { a(0) += b(0); a(1) += b(1); a(2) += b(2); a },
+      combOp = (a, b) => { a(0) += b(0); a(1) += b(1); a(2) += b(2); a(3) += b(3); a },
       depth = 2)
-    (out(0).toLong, out(1), out(2).toLong)
+    (out(0).toLong, out(1), out(2).toLong, out(3).toLong)
   }
 }

@@ -1,0 +1,113 @@
+package graft.ebw
+
+/**
+ * Pre-flight sizing for the large-k sparse-Gram path — turns the two
+ * documented N=1e7 operational cliffs (driver OOM merging per-partition
+ * sparse-Gram partials; `spark.driver.maxResultSize` trip — SURVEY §6)
+ * into solver BEHAVIOR, decided before the first aggregation pass from
+ * numbers the validation scan already produced:
+ *
+ *  - `partitions`: sized so one partition's LongMap partial stays near
+ *    `TargetPartialBytes` (a partial holds at most
+ *    min(realized-Gram, rows/partition · nnz(nnz+1)/2) entries).
+ *  - `depth`: treeAggregate depth minimizing the bytes the driver
+ *    collects (deeper trees merge more partials executor-side; the win
+ *    saturates once merged partials approach the realized Gram size).
+ *  - `mode`: when even the best depth cannot land the merged Gram within
+ *    the driver's `maxResultSize`/heap budget, the solve switches to the
+ *    DISTRIBUTED-Gram mode (EbwAggregator.gramRdd +
+ *    DriverLinalg.cgSolveRdd): the Gram lives as an RDD merged by
+ *    reduceByKey across executors, CG matvecs run distributed, and driver
+ *    traffic per CG iteration is O(k) — no driver-size ceiling at any N.
+ *
+ * All estimates are upper bounds (sumPairs counts every contribution as a
+ * distinct entry), so the driver path is only chosen when it is safe and
+ * the distributed path engages conservatively early — costing extra
+ * passes, never an OOM.
+ */
+private[ebw] object EbwSizing {
+
+  /** Per-partition serialized-partial target (java-serialized LongMap:
+   * two primitive arrays at ~2x load-factor headroom ≈ 32 B/entry). */
+  val TargetPartialBytes: Long = 64L << 20
+  val SerBytesPerEntry: Long = 32L
+  /** Driver-resident merged LongMap ≈ 48 B/entry, ×2 merge working set. */
+  val HeapBytesPerEntry: Long = 48L
+  val MaxPartitions: Int = 4096
+
+  final case class Plan(
+      partitions: Int,
+      depth: Int,
+      gramCapEntries: Long,
+      driverCollectBytes: Long,
+      driverHeapBytes: Long,
+      distributedGram: Boolean,
+      why: String)
+
+  private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+
+  /** Final partial count of RDD.treeAggregate at `depth` over `p`
+   * partitions (mirrors its scale/while-loop reduction schedule). */
+  private[ebw] def finalParts(p: Int, depth: Int): Int = {
+    if (p <= 1) return p
+    val scale = math.max(math.ceil(math.pow(p.toDouble, 1.0 / depth)).toInt, 2)
+    var cur = p
+    while (cur > scale + math.ceil(cur / scale.toDouble).toInt) {
+      cur = math.ceil(cur / scale.toDouble).toInt
+    }
+    cur
+  }
+
+  private def collectBytes(gramCap: Long, sumPairs: Long, p: Int, depth: Int): Long = {
+    val f = math.max(1, finalParts(p, depth))
+    f.toLong * math.min(gramCap, ceilDiv(sumPairs, f.toLong)) * SerBytesPerEntry
+  }
+
+  /**
+   * @param k            moment dimension
+   * @param sumPairs     Σ nnz_i(nnz_i+1)/2 from the validation pass
+   * @param currentParts partitions of the prepared row RDD
+   * @param maxResultSize `spark.driver.maxResultSize` in bytes (0 = unlimited)
+   * @param maxHeap      driver JVM max heap (Runtime.maxMemory)
+   */
+  def plan(k: Int, sumPairs: Long, currentParts: Int,
+      maxResultSize: Long, maxHeap: Long): Plan = {
+    val tri = k.toLong * (k + 1) / 2
+    val gramCap = math.max(1L, math.min(tri, sumPairs))
+    val pForPartial = ceilDiv(sumPairs * SerBytesPerEntry, TargetPartialBytes)
+    val partitions = math.max(currentParts,
+      math.min(MaxPartitions.toLong, pForPartial).toInt)
+    val depth = (2 to 4).minBy(d => collectBytes(gramCap, sumPairs, partitions, d))
+    val collect = collectBytes(gramCap, sumPairs, partitions, depth)
+    val heapNeed = 2L * gramCap * HeapBytesPerEntry
+    val overResult = maxResultSize > 0 && collect > (maxResultSize * 4) / 5
+    val overHeap = heapNeed > (maxHeap * 3) / 5
+    val why =
+      if (overResult && overHeap)
+        s"collect ~${collect >> 20} MiB > 80% of maxResultSize AND merged Gram ~${heapNeed >> 20} MiB > 60% of driver heap"
+      else if (overResult)
+        s"collect ~${collect >> 20} MiB exceeds 80% of maxResultSize (${maxResultSize >> 20} MiB)"
+      else if (overHeap)
+        s"merged Gram ~${heapNeed >> 20} MiB exceeds 60% of driver heap (${maxHeap >> 20} MiB)"
+      else
+        s"driver Gram fits: collect ~${collect >> 20} MiB, heap ~${heapNeed >> 20} MiB"
+    Plan(partitions, depth, gramCap, collect, heapNeed,
+      distributedGram = overResult || overHeap, why = why)
+  }
+
+  /** For a caller that FORCES the driver path (gramMode = "driver"):
+   * fail fast with a sized, actionable message instead of OOMing
+   * mid-solve. */
+  def requireDriverFits(plan: Plan, maxResultSize: Long, maxHeap: Long): Unit = {
+    if (!plan.distributedGram) return
+    val needResult = (plan.driverCollectBytes * 5 / 4) >> 20
+    val needHeap = (plan.driverHeapBytes * 5 / 3) >> 20
+    throw new IllegalStateException(
+      s"gramMode=driver cannot hold this problem's sparse Gram on the driver " +
+      s"(${plan.why}). Either raise spark.driver.maxResultSize to >= " +
+      s"${needResult} MiB and driver memory to >= ${needHeap} MiB " +
+      s"(SPARK_DRIVER_MEM under sbt), reduce the moment dimension / row " +
+      s"density, or use gramMode=auto|distributed (the no-driver-ceiling " +
+      s"path).")
+  }
+}

@@ -14,6 +14,20 @@ import org.apache.spark.sql.DataFrame
  *    the reference assumes inputs "scaled to have mean 1" and uses an
  *    absolute 1e-5; at 100 TB scale the aggregate moments are huge and an
  *    absolute tolerance is meaningless.
+ *
+ * Reference option-flag mapping (examples/simple_examples.py:23-31):
+ *  - `dual_only: True` — no Spark-side flag exists because the solver IS
+ *    dual-only by architecture: all state is the k-vector of equality
+ *    multipliers and every iteration is one aggregation pass; there is no
+ *    primal N-vector path to toggle off (the primal-dual elastic machinery
+ *    engages only under `bounds`, matching the reference's routing in
+ *    ebw_routines.py:166-172).
+ *  - `force_dense: False` — the dense/sparse switch here is
+ *    [[EbwOptions.denseGramMax]]: `k <= denseGramMax` aggregates the packed
+ *    dense Gram and Cholesky-solves (the reference's dense path);
+ *    `k > denseGramMax` aggregates the sparse Gram and CG-solves (the
+ *    reference's MKL+Pardiso sparse path). Set `denseGramMax = Int.MaxValue`
+ *    to force dense, `0` to force sparse.
  */
 final case class EbwOptions(
     maxSteps: Int = 30,
@@ -33,7 +47,19 @@ final case class EbwOptions(
     saveFailureData: Option[String] = None,
     /** Above this moment dimension the Gram is aggregated sparsely and the
      * Newton systems solved by preconditioned CG (see SURVEY.md §3). */
-    denseGramMax: Int = 512)
+    denseGramMax: Int = 512,
+    /** Sparse-path Gram placement (k > denseGramMax only):
+     *  - "auto": EbwSizing decides per problem from the measured row
+     *    density (validation pass) vs this driver's maxResultSize/heap
+     *    budget — driver-merged Gram when it fits, distributed otherwise.
+     *  - "driver": always merge the Gram on the driver (fastest per
+     *    Newton step); fails fast with a sized, actionable error when the
+     *    merged Gram cannot fit, instead of OOMing mid-solve.
+     *  - "distributed": Gram stays an RDD (reduceByKey across executors)
+     *    and Newton directions come from CG with distributed matvecs —
+     *    O(k) driver traffic per CG iteration, no driver ceiling at any
+     *    N·nnz². */
+    gramMode: String = "auto")
 
 /**
  * Result container, mirroring `EntropyBalanceResults`

@@ -179,11 +179,14 @@ private[graft] object QueriesText {
       TextMetrics.langId(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
     "text_compress" -> ((s, dir) =>
-      // compressibility quality signal over real JDK deflate — the
-      // rows-only gate by declared design: no SQL engine replays
-      // deflate, and a fake portable oracle would gate nothing
-      graft.ops.TextMetrics.compressionRatio(t(s, dir, "documents"),
-          "text", "doc_id")
+      // compressibility quality signal over real JDK deflate, gated the
+      // fixture-truth way (the mm_* move): documents planted as a pure
+      // function of doc_id in three deflate-separated classes, and the
+      // hash covers the keep/drop verdict + cross-class band ordering —
+      // closed-form facts any engine can state — while the deflate byte
+      // VALUES honestly stay JVM-only (DeflateKernel portability note)
+      graft.ops.TextFixture.compressVerdicts(
+          t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
     "text_rake" -> ((s, dir) =>
       // RAKE key phrases per doc ('the'/'a' delimit candidates in the
@@ -405,6 +408,15 @@ private[graft] object QueriesText {
   )
 
   val oracles: Map[String, String] = Map(
+    // the fixture corpus is a pure function of doc_id (TextFixture), so
+    // the expected verdict and band ordering are closed-form: class 0
+    // (template) is flagged and every class band sits wholly below the
+    // next class's band
+    "text_compress" ->
+      """SELECT doc_id, (doc_id % 3)::INTEGER AS doc_class,
+        |  (doc_id % 3 = 0) AS too_repetitive,
+        |  (doc_id % 3 < 2) AS separated_from_next
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "text_heaps" ->
       """WITH tok AS (SELECT doc_id AS id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))

@@ -619,4 +619,56 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!pd.contains("Window") && !pd.contains("SinglePartition"),
       s"statsDrift plan shape:\n$pd")
   }
+
+  test("AQE skew join: a planted hot key actually splits (OptimizeSkewedJoin)") {
+    // q_salted_join proves the MANUAL salting kernel; this proves the AQE
+    // half of the Skew scaladoc guidance: under adaptive execution a
+    // sort-merge join whose shuffle lands one oversized partition is
+    // re-planned with the hot partition split (SortMergeJoin(skew=true) /
+    // a skewed AQEShuffleRead in the FINAL adaptive plan). Thresholds are
+    // scaled down so a 4 MB local fixture exhibits what a 100 TB hot key
+    // would; the mechanism under test is identical.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit, lpad, when}
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // broadcast off on both the static and the AQE re-plan path: the
+      // skew rule only applies to shuffle (SMJ/SHJ) joins
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 90% of 40k left rows share key 0 (with a ~100-byte payload the hot
+      // shuffle partition is ~4 MB, far over the 64 KB cut); right side is
+      // 10 keys x 1 row
+      val left = spark.range(40000L).select(
+        when($"id" % 10 < 9, 0L).otherwise($"id" % 10).as("k"),
+        concat(lit("p"), lpad($"id".cast("string"), 96, "x")).as("payload"))
+      val right = (0L until 10L).map(i => (i, s"dim$i")).toDF("k", "name")
+      val joined = left.join(right, "k")
+      // execute THIS dataset's QueryExecution (count() would clone the
+      // plan and leave this one isFinalPlan=false)
+      val n = joined.collect().length
+      assert(n == 40000, s"join row count: $n")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"final adaptive plan shows no skew-split join:\n$p")
+    } finally saved.foreach { case (k, v) =>
+      v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
+    }
+  }
 }

@@ -2949,6 +2949,39 @@ class OpsSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.get(2)).toMap)
   }
 
+  test("TextFixture.compressVerdicts: class bands separated with margin, " +
+    "verdicts closed-form") {
+    import spark.implicits._
+    // the text_compress gate's fixture truth, margin-pinned: the gate
+    // hash only proves band ORDER; this spec pins the >5x separation
+    // margins so a band drifting toward a boundary fails CI before it
+    // ever flips the gate
+    val ids = (0L until 60L).toDF("doc_id")
+    val corpus = TextFixture.compressCorpus(ids, "doc_id")
+    val scored = TextMetrics.compressionRatio(corpus, "text", "doc_id",
+        minRatio = 0.10)
+      .join(corpus.select("doc_id", "doc_class"), "doc_id")
+      .groupBy("doc_class")
+      .agg(org.apache.spark.sql.functions.min("ratio").as("rmin"),
+        org.apache.spark.sql.functions.max("ratio").as("rmax"))
+      .collect().map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    val (tMin, tMax) = scored(0)
+    val (pMin, pMax) = scored(1)
+    val (nMin, nMax) = scored(2)
+    assert(tMax < 0.05, s"template band must sit far under the 0.10 cut: $tMax")
+    assert(pMin > 0.20 && pMax < 0.60, s"prose band drifted: [$pMin,$pMax]")
+    assert(nMin > 0.65, s"noise band must barely compress: $nMin")
+    val verdicts = TextFixture.compressVerdicts(ids, "doc_id").collect()
+    assert(verdicts.length == 60)
+    verdicts.foreach { r =>
+      val cls = r.getInt(1)
+      assert(r.getBoolean(2) == (cls == 0), s"verdict for class $cls")
+      assert(r.getBoolean(3) == (cls < 2), s"separation for class $cls")
+    }
+    assert(tMin >= 0.0, "ratio must be non-negative")
+  }
+
   test("hillTail: exact-exponent fixture, below-xmin excluded, thin " +
     "tail NULL") {
     import spark.implicits._
