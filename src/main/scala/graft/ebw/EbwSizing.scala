@@ -95,6 +95,13 @@ private[ebw] object EbwSizing {
       distributedGram = overResult || overHeap, why = why)
   }
 
+  /** Reduce-side partition count for the distributed Gram
+   * (EbwAggregator.gramRdd): merged entries spread so one partition's
+   * map stays near the partial target. */
+  def gramAggParts(plan: Plan): Int =
+    math.max(8, math.min(MaxPartitions.toLong,
+      ceilDiv(plan.gramCapEntries * HeapBytesPerEntry, TargetPartialBytes)).toInt)
+
   /** For a caller that FORCES the driver path (gramMode = "driver"):
    * fail fast with a sized, actionable message instead of OOMing
    * mid-solve. */

@@ -31,7 +31,7 @@ object EntropyBalance {
   private val log = LoggerFactory.getLogger(getClass)
 
   private[ebw] final case class Prepared(
-      rows: RDD[EbwRow], k: Int, sumW: Double, n: Long)
+      rows: RDD[EbwRow], k: Int, sumW: Double, n: Long, sumPairs: Long = 0L)
 
   /** Project the input down to (features, w0), convert to the compact row
    * form, cache it for the iteration loop, and fail fast on invalid inputs
@@ -49,13 +49,51 @@ object EntropyBalance {
       .map(r => toEbwRow(r.get(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     rows.setName(s"ebw-input-k$k")
-    val (bad, sumW, n) = EbwAggregator.validate(rows, k)
+    val (bad, sumW, n, sumPairs) = EbwAggregator.validate(rows, k)
     if (bad > 0 || n == 0) {
       rows.unpersist(false)
       throw new IllegalArgumentException(
         "Inputs include invalid values (NaNs, non-positive weights, etc)")
     }
-    Prepared(rows, k, sumW, n)
+    Prepared(rows, k, sumW, n, sumPairs)
+  }
+
+  /** Sparse-path pre-flight (k > denseGramMax): size partitions/tree
+   * depth from the measured row density and pick the Gram placement —
+   * driver-merged when this driver's maxResultSize/heap budget holds it,
+   * distributed otherwise (EbwSizing scaladoc). May replace the cached
+   * row RDD with a repartitioned copy so no partition's Gram partial
+   * outgrows the target. Returns (possibly-new Prepared, plan, dist). */
+  private[ebw] def sizeForSparse(
+      prep: Prepared, options: EbwOptions): (Prepared, Option[EbwSizing.Plan], Boolean) = {
+    if (prep.k <= options.denseGramMax) return (prep, None, false)
+    require(Set("auto", "driver", "distributed")(options.gramMode),
+      s"gramMode must be auto|driver|distributed: ${options.gramMode}")
+    val sc = prep.rows.sparkContext
+    val maxResult = sc.getConf.getSizeAsBytes("spark.driver.maxResultSize", "1g")
+    val maxHeap = Runtime.getRuntime.maxMemory
+    val plan = EbwSizing.plan(prep.k, prep.sumPairs,
+      prep.rows.getNumPartitions, maxResult, maxHeap)
+    val dist = options.gramMode match {
+      case "driver" =>
+        EbwSizing.requireDriverFits(plan, maxResult, maxHeap); false
+      case "distributed" => true
+      case _ => plan.distributedGram
+    }
+    EbwLog.info(s"sparse Gram sizing: sumPairs=${prep.sumPairs} " +
+      s"parts=${prep.rows.getNumPartitions}->${plan.partitions} " +
+      s"depth=${plan.depth} mode=${if (dist) "distributed" else "driver"} " +
+      s"(${plan.why})")
+    val prep2 =
+      if (plan.partitions > prep.rows.getNumPartitions) {
+        val r2 = prep.rows.repartition(plan.partitions)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        r2.setName(s"ebw-input-k${prep.k}-p${plan.partitions}")
+        r2.count()
+        prep.rows.unpersist(false)
+        prep.copy(rows = r2)
+      } else prep
+    (prep2, Some(plan), dist)
   }
 
   /** Decode one feature cell; null elements inside an array flag the row
@@ -196,14 +234,17 @@ object EntropyBalance {
       s"initialMultipliers has ${mu.length} entries, expected $k"))
     // validate BEFORE the warm-start pass so malformed inputs fail with
     // the documented error, not an index error inside ratioSeed
-    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    val prep0 = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    var live = prep0
     try {
       val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
+      val (prep, plan, dist) = sizeForSparse(prep0, opts)
+      live = prep
       val res = unboundedLoop(df, featuresCol, weightCol, outputCol, prep,
-        meanPopulationMoments, opts)
+        meanPopulationMoments, opts, plan, dist)
       maybeDump(df.sparkSession, prep, meanPopulationMoments, options, res)
       res
-    } finally prep.rows.unpersist(false)
+    } finally live.rows.unpersist(false)
   }
 
   /** save_problem_data / save_failure_data semantics
@@ -221,15 +262,28 @@ object EntropyBalance {
 
   private def unboundedLoop(
       df: DataFrame, featuresCol: String, weightCol: String, outputCol: String,
-      prep: Prepared, m: Array[Double], options: EbwOptions): EbwResult = {
+      prep: Prepared, m: Array[Double], options: EbwOptions,
+      plan: Option[EbwSizing.Plan] = None, distGram: Boolean = false): EbwResult = {
     val k = prep.k
     val b = m.map(_ * prep.sumW)
     val bscale = math.max(1.0, norm2(b))
     val link = Link.exp
     val sparseGram = k > options.denseGramMax
+    val gramDepth = plan.map(_.depth).getOrElse(2)
+    // distributed-Gram mode: line-search/gradient passes carry NO Gram
+    // (Θ(N·nnz), runStats); the Gram is built once per accepted iterate
+    // as an RDD and the Newton direction comes from distributed-matvec CG
     def agg(th: Array[Double]) =
-      if (sparseGram) EbwAggregator.runSparse(prep.rows, k, th, link)
-      else EbwAggregator.run(prep.rows, k, th, link)
+      if (!sparseGram) EbwAggregator.run(prep.rows, k, th, link)
+      else if (distGram) EbwAggregator.runStats(prep.rows, k, th, link)
+      else EbwAggregator.runSparse(prep.rows, k, th, link, gramDepth)
+    def distDir(th: Array[Double], negCe: Array[Double], ridge: Double): Array[Double] = {
+      val g = EbwAggregator.gramRdd(prep.rows, k, th, link,
+          EbwSizing.gramAggParts(plan.get))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      try DriverLinalg.cgSolveRdd(g, k, new Array[Double](k), negCe, ridge, null)
+      finally g.unpersist(false)
+    }
     var lambda = options.initialMultipliers
       .map(_.clone())
       .getOrElse(new Array[Double](k))
@@ -255,7 +309,8 @@ object EntropyBalance {
         val ridge = math.max(1e-8, 1e-5 * math.pow(viol / bscale, 0.55))
         val negCe = ce.map(-_)
         val d =
-          if (pass.isSparse)
+          if (distGram) distDir(lambda, negCe, ridge)
+          else if (pass.isSparse)
             DriverLinalg.cgSolve(k, pass.gramKeys, pass.gramVals,
               new Array[Double](k), negCe, ridge, null)
           else DriverLinalg.solveRidged(k, pass.gram, negCe, ridge)
@@ -325,19 +380,23 @@ object EntropyBalance {
     options.initialMultipliers.foreach(mu => require(mu.length == k,
       s"initialMultipliers has ${mu.length} entries, expected $k"))
     // validate first (see entropyBalance)
-    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    val prep0 = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    var live = prep0
     try {
       val opts = resolveWarmStart(df, featuresCol, weightCol, k, options)
+      val (prep, plan, dist) = sizeForSparse(prep0, opts)
+      live = prep
       val res = elasticLoop(df, featuresCol, weightCol, outputCol, prep,
-        meanPopulationMoments, opts)
+        meanPopulationMoments, opts, plan, dist)
       maybeDump(df.sparkSession, prep, meanPopulationMoments, options, res)
       res
-    } finally prep.rows.unpersist(false)
+    } finally live.rows.unpersist(false)
   }
 
   private def elasticLoop(
       df: DataFrame, featuresCol: String, weightCol: String, outputCol: String,
-      prep: Prepared, m: Array[Double], options: EbwOptions): EbwResult = {
+      prep: Prepared, m: Array[Double], options: EbwOptions,
+      plan: Option[EbwSizing.Plan] = None, distGram: Boolean = false): EbwResult = {
     val k = prep.k
     val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
     val lb = math.max(0.0, lbRaw) // reference clamps negative lb (L362)
@@ -353,9 +412,19 @@ object EntropyBalance {
       while (i < k) { lambda(i) = math.max(-1.0, math.min(1.0, mu(i) / eta)); i += 1 }
     }
     val sparseGram = k > options.denseGramMax
+    val gramDepth = plan.map(_.depth).getOrElse(2)
     def agg(th: Array[Double], lnk: Link) =
-      if (sparseGram) EbwAggregator.runSparse(prep.rows, k, th, lnk)
-      else EbwAggregator.run(prep.rows, k, th, lnk)
+      if (!sparseGram) EbwAggregator.run(prep.rows, k, th, lnk)
+      else if (distGram) EbwAggregator.runStats(prep.rows, k, th, lnk)
+      else EbwAggregator.runSparse(prep.rows, k, th, lnk, gramDepth)
+    def distDir(th: Array[Double], lnk: Link, pg: Array[Double],
+        ridge: Double, freeMask: Array[Boolean]): Array[Double] = {
+      val g = EbwAggregator.gramRdd(prep.rows, k, th, lnk,
+          EbwSizing.gramAggParts(plan.get))
+        .persist(StorageLevel.MEMORY_AND_DISK_SER)
+      try DriverLinalg.cgSolveRdd(g, k, new Array[Double](k), pg, ridge, freeMask)
+      finally g.unpersist(false)
+    }
     var pass = agg(lambda, Link.clip(eta, lb, ub))
     var ce = axpy(-1.0, b, pass.s)
     var totalSteps = 0
@@ -394,7 +463,8 @@ object EntropyBalance {
         } else {
           val ridge = math.max(1e-8, 1e-5 * math.pow(pgNorm / bscale, 0.55))
           val d =
-            if (pass.isSparse)
+            if (distGram) distDir(lambda, link, pg, ridge, pinned.map(!_))
+            else if (pass.isSparse)
               DriverLinalg.cgSolve(k, pass.gramKeys, pass.gramVals,
                 new Array[Double](k), pg, ridge, pinned.map(!_))
             else DriverLinalg.solveSubset(k, pass.gram, pg, free, ridge)
@@ -504,8 +574,11 @@ object EntropyBalance {
       throw new IllegalArgumentException("Penalties must be one per moment.")
     if (!pen.forall(_ > 0.0))
       throw new IllegalArgumentException("Penalty parameters must be strictly positive.")
-    val prep = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    val prep0 = prepare(df, featuresCol, weightCol, k, meanPopulationMoments)
+    var live = prep0
     try {
+      val (prep, plan, distGram) = sizeForSparse(prep0, options)
+      live = prep
       val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
       val lb = math.max(0.0, lbRaw)
       val ub = ubOpt.getOrElse(Double.PositiveInfinity)
@@ -517,9 +590,22 @@ object EntropyBalance {
       val b = m2agg(meanPopulationMoments, prep.sumW)
       val bscale = math.max(1.0, norm2(b))
       val sparseGram = k > options.denseGramMax
+      val gramDepth = plan.map(_.depth).getOrElse(2)
       def agg(th: Array[Double]) =
-        if (sparseGram) EbwAggregator.runSparse(prep.rows, k, th, link)
-        else EbwAggregator.run(prep.rows, k, th, link)
+        if (!sparseGram) EbwAggregator.run(prep.rows, k, th, link)
+        else if (distGram) EbwAggregator.runStats(prep.rows, k, th, link)
+        else EbwAggregator.runSparse(prep.rows, k, th, link, gramDepth)
+      // penalty system: (P^-1 + G) d = rhs with aggregated dS/dz = -G,
+      // hence sign = -1 on the distributed matvec (matches the driver
+      // paths' vals.map(-_) / gram.map(-_))
+      def distDir(th: Array[Double], invP: Array[Double], rhs: Array[Double],
+          ridge: Double): Array[Double] = {
+        val g = EbwAggregator.gramRdd(prep.rows, k, th, link,
+            EbwSizing.gramAggParts(plan.get))
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
+        try DriverLinalg.cgSolveRdd(g, k, invP, rhs, ridge, null, sign = -1.0)
+        finally g.unpersist(false)
+      }
       var z = new Array[Double](k)
       var pass = agg(z)
       var ce = axpy(-1.0, b, pass.s)
@@ -549,7 +635,8 @@ object EntropyBalance {
           while (i < k) { rhs(i) = -invP(i) * f(i); i += 1 }
           val ridge = math.max(1e-10, 1e-7 * fNorm / bscale)
           val d =
-            if (pass.isSparse)
+            if (distGram) distDir(z, invP, rhs, ridge)
+            else if (pass.isSparse)
               DriverLinalg.cgSolve(k, pass.gramKeys, pass.gramVals.map(-_),
                 invP, rhs, ridge, null)
             else DriverLinalg.solveWithDiag(k, pass.gram.map(-_), invP, rhs, ridge)
@@ -583,7 +670,7 @@ object EntropyBalance {
       results(df, featuresCol, weightCol, outputCol, z, link, converged,
         steps, ce, z.map(-_), None, pass.fval,
         if (converged) "" else "penalty solve did not converge")
-    } finally prep.rows.unpersist(false)
+    } finally live.rows.unpersist(false)
   }
 
   private def m2agg(m: Array[Double], sumW: Double): Array[Double] = m.map(_ * sumW)
