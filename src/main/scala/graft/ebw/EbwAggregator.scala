@@ -329,7 +329,20 @@ private[ebw] object EbwAggregator {
         }
       }
       acc.iterator
-    }.reduceByKey(_ + _, aggParts)
+    }.combineByKeyWithClassTag[Double](
+      createCombiner = (v: Double) => v,
+      mergeValue = (a: Double, b: Double) => a + b,
+      mergeCombiners = (a: Double, b: Double) => a + b,
+      partitioner = new org.apache.spark.HashPartitioner(aggParts),
+      // The LongMap partial above IS the map-side combine: within a
+      // partition every key is already unique, so reduceByKey's default
+      // map-side aggregation would build a SECOND full-partial-sized hash
+      // map per task purely to rediscover that uniqueness — measured as
+      // the executor heap OOM site (AppendOnlyMap.growTable) at
+      // N=1e7 × 32 concurrent tasks. Streaming pairs straight to the
+      // shuffle writers costs zero extra shuffle volume and caps task
+      // memory at the one partial.
+      mapSideCombine = false)
   }
 
   /**

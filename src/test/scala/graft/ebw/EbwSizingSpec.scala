@@ -59,6 +59,29 @@ class EbwSizingSpec extends AnyFunSuite {
     assert(p.depth >= 2 && p.depth <= 4)
   }
 
+  test("plan: a comfortably-fitting problem stays at depth 2 — deeper " +
+    "trees are a rescue lever, not a collect-bytes micro-optimization") {
+    // The regression shape: N=1e6 rows at nnz=4 (sumPairs=1e7), k=1e4.
+    // collectBytes ties at ~305 MiB for depths 2 and 3 (64-byte ceil
+    // rounding) and minBy-on-bytes picked 3, costing a full extra
+    // executor-side merge round (~1.8x per aggregation pass, measured).
+    val p = EbwSizing.plan(k = 10000, sumPairs = 10000000L, currentParts = 32,
+      maxResultSize = 1 * GiB, maxHeap = 8 * GiB)
+    assert(!p.distributedGram, p.why)
+    assert(p.depth == 2, s"fitting problem must use the shallowest tree: ${p.depth}")
+  }
+
+  test("plan: depth deepens only when it rescues the driver path from a " +
+    "tight maxResultSize") {
+    // k=1e3 Gram (~500k entries) over sumPairs=1e8: depth 2 collects
+    // 6 partials (~96 MB) — over an 80%-of-64MiB budget — while depth 3's
+    // 2 partials (~32 MB) fit, so the plan deepens and stays driver-mode.
+    val p = EbwSizing.plan(k = 1000, sumPairs = 100000000L, currentParts = 32,
+      maxResultSize = 64L << 20, maxHeap = 8 * GiB)
+    assert(!p.distributedGram, p.why)
+    assert(p.depth == 3, s"expected the rescue depth: ${p.depth} (${p.why})")
+  }
+
   test("requireDriverFits: forced driver mode fails fast with a sized, " +
     "actionable message") {
     val p = EbwSizing.plan(k = 10000, sumPairs = 100000000L,
