@@ -1,0 +1,162 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Model-evaluation aggregations over sampled generations and human
+ * ratings — the readout tier of a training-data pipeline (the reference's
+ * survey-calibration mindset applied to eval tables; no counterpart in
+ * /root/reference, which stops at the solver — this extends the engine the
+ * way classifierMetrics/rocAuc do).
+ *
+ * All three operators are single-scan groupBy aggregations with bounded
+ * output (one row per problem / per k / one corpus row) — no shuffle
+ * beyond the keyed aggregation itself, so they hold at any corpus size.
+ */
+object Eval {
+
+  /**
+   * Unbiased pass@k over sampled completions (Chen et al. 2021, "Evaluating
+   * Large Language Models Trained on Code", eq. 1): for a problem with n
+   * samples of which c are correct,
+   *   pass@k = 1 - C(n-c, k) / C(n, k) = 1 - Π_{i=0..k-1} (n-c-i)/(n-i),
+   * computed in the numerically-stable product form (never materializes a
+   * binomial), with pass@k = 1 exactly when n-c < k. Problems with fewer
+   * than k samples are dropped for that k (the estimator is undefined
+   * there), and the count dropped is reported so truncation is visible.
+   *
+   * One scan groups samples to (problem, n, c); each k row is then a
+   * k-sized arithmetic product over that bounded frame — the per-problem
+   * product runs through the codegen'd `aggregate` higher-order function,
+   * no UDF.
+   *
+   * @param df         one row per sampled completion
+   * @param problemCol problem / task identifier
+   * @param correctCol boolean (or 0/1) correctness of the sample
+   * @param ks         the k values to report
+   * @return one row per k: (k, n_problems, n_dropped, pass_at_k) where
+   *         pass_at_k is the mean estimator over qualifying problems,
+   *         rounded to 4dp
+   */
+  def passAtK(df: DataFrame, problemCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val perProblem = df
+      .filter(col(problemCol).isNotNull && col(correctCol).isNotNull)
+      .groupBy(col(problemCol).as("problem"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col(correctCol).cast("int")).cast("double").as("c"))
+    // ONE pass over the bounded per-problem frame computes every k:
+    // est_k is NULL where the problem has < k samples (dropped for that
+    // k), 1 exactly when n-c < k, else the stable product form. The per-k
+    // rows come from unpivoting the single 1-row aggregate — no repeated
+    // scans, no driver-side count action.
+    val aggCols = ks.distinct.sorted.flatMap { k =>
+      val est = when(col("n") < k, lit(null).cast("double"))
+        .when(col("n") - col("c") < k, lit(1.0))
+        .otherwise(lit(1.0) - aggregate(
+          sequence(lit(0), lit(k - 1)),
+          lit(1.0),
+          (acc: Column, i: Column) =>
+            acc * (col("n") - col("c") - i) / (col("n") - i)))
+      Seq(count(est).as(s"np_$k"), round(avg(est), 4).as(s"pk_$k"),
+        (count(lit(1)) - count(est)).as(s"nd_$k"))
+    }
+    val one = perProblem.agg(aggCols.head, aggCols.tail: _*)
+    val stacked = ks.distinct.sorted.map(k =>
+      s"CAST($k AS BIGINT), np_$k, nd_$k, pk_$k").mkString(", ")
+    one.selectExpr(s"stack(${ks.distinct.size}, $stacked) AS " +
+      "(k, n_problems, n_dropped, pass_at_k)")
+  }
+
+  /**
+   * Fleiss' kappa (Fleiss 1971): chance-corrected agreement among a FIXED
+   * number of raters per item — the multi-rater generalization of
+   * [[Profile.cohenKappa]], the preference/annotation-data QA readout.
+   * With n_ij ratings of item i in category j and n raters per item:
+   *   P_i = (Σ_j n_ij² − n) / (n(n−1)),   P̄ = mean_i P_i,
+   *   p_j = Σ_i n_ij / (N·n),             P̄_e = Σ_j p_j²,
+   *   κ = (P̄ − P̄_e) / (1 − P̄_e).
+   * Items whose rating count differs from the modal count are dropped
+   * (the statistic is undefined there) and reported in `n_dropped`.
+   *
+   * @param df       one row per (item, rating)
+   * @param itemCol  rated item identifier
+   * @param categoryCol the assigned category (any type; cast to string)
+   * @return one row: (n_items, n_dropped, n_raters, p_bar, p_e, kappa),
+   *         ratios rounded to 4dp
+   */
+  def fleissKappa(df: DataFrame, itemCol: String, categoryCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("item"),
+        col(categoryCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("n_ij"))
+    val perItem = cells.groupBy("item")
+      .agg(sum("n_ij").as("n_i"), sum(col("n_ij") * col("n_ij")).as("sq_i"))
+    // modal ratings-per-item = the intended rater count; ties broken to
+    // the larger n so a corrupt minority can't shrink the panel
+    val modal = perItem.groupBy("n_i").agg(count(lit(1)).as("items"))
+      .orderBy(col("items").desc, col("n_i").desc)
+      .limit(1).select(col("n_i").as("n"))
+    val kept = perItem.join(broadcast(modal), col("n_i") === col("n"))
+    val total = perItem.agg(count(lit(1)).as("n_rated_items"))
+    val stats = kept.agg(
+      count(lit(1)).as("n_items"),
+      first(col("n")).as("n_raters"),
+      avg((col("sq_i") - col("n")) / (col("n") * (col("n") - lit(1.0))))
+        .as("p_bar"),
+      sum(col("n")).cast("double").as("grand"))
+    val pj = cells.join(broadcast(kept.select("item", "n")), Seq("item"))
+      .groupBy("cat").agg(sum("n_ij").cast("double").as("votes"))
+    val pe = pj.crossJoin(broadcast(stats.select(col("grand"))))
+      .agg(coalesce(sum((col("votes") / col("grand")) *
+        (col("votes") / col("grand"))), lit(0.0)).as("p_e"))
+    stats.crossJoin(pe).crossJoin(total)
+      .select(
+        col("n_items"),
+        (col("n_rated_items") - col("n_items")).as("n_dropped"),
+        col("n_raters").cast("long").as("n_raters"),
+        round(col("p_bar"), 4).as("p_bar"),
+        round(col("p_e"), 4).as("p_e"),
+        when(col("p_e") < 1.0,
+          round((col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e")), 4))
+          .otherwise(lit(1.0)).as("kappa"))
+  }
+
+  /**
+   * Self-consistency majority vote (Wang et al. 2022, "Self-Consistency
+   * Improves Chain of Thought Reasoning"): per problem, the modal answer
+   * across sampled generations, with the margin over the runner-up.
+   * Deterministic tie-break: the lexicographically smallest answer —
+   * append-stable, so a re-run over the same samples elects the same
+   * answer. One keyed aggregation + a per-problem top-2 window (partitioned
+   * by problem, never global).
+   *
+   * @return one row per problem: (problem, answer, votes, total_votes,
+   *         vote_share 4dp, margin = votes − runner-up votes, 0 when
+   *         unanimous)
+   */
+  def majorityVote(df: DataFrame, problemCol: String, answerCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = df
+      .filter(col(problemCol).isNotNull && col(answerCol).isNotNull)
+      .groupBy(col(problemCol).as("problem"),
+        col(answerCol).cast("string").as("answer"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy("problem")
+      .orderBy(col("votes").desc, col("answer").asc)
+    counted
+      .withColumn("rk", row_number().over(w))
+      .withColumn("total_votes", sum("votes").over(Window.partitionBy("problem")))
+      .withColumn("runner_up",
+        coalesce(lead("votes", 1).over(w), lit(0L)))
+      .filter(col("rk") === 1)
+      .select(col("problem"), col("answer"), col("votes"),
+        col("total_votes"),
+        round(col("votes").cast("double") / col("total_votes"), 4)
+          .as("vote_share"),
+        (col("votes") - col("runner_up")).as("margin"))
+  }
+}

@@ -414,6 +414,46 @@ private[graft] object QueriesProfile {
       graft.ops.Profile.rocAuc(classifierEvalFrame(s, dir),
         "score", "label")
     }),
+    "q_pass_at_k" -> ((s, dir) => {
+      // unbiased pass@k (Chen et al. 2021 eq. 1) over a deterministic
+      // sampled-completion table: doc_id % 40 is the problem, an
+      // md5-derived 30% coin is per-sample correctness — the code-eval
+      // readout. One groupBy to (problem, n, c), one 1-row aggregate for
+      // every k, rows via stack
+      val d = t(s, dir, "documents")
+      val samples = d.select(
+        (col("doc_id") % 40).as("problem"),
+        (conv(substring(md5(concat(lit("pk|"), col("doc_id"))), 1, 4),
+          16, 10).cast("long") % 10 < 3).as("correct"))
+      graft.ops.Eval.passAtK(samples, "problem", "correct", Seq(1, 5, 10))
+        .orderBy("k")
+    }),
+    "q_fleiss_kappa" -> ((s, dir) => {
+      // multi-rater chance-corrected agreement: three deterministic
+      // length-derived labelers (char buckets, token buckets, shifted
+      // char buckets) rate every document; constant panel of 3 so the
+      // modal-count filter keeps everything — the annotation-QA readout
+      val d = t(s, dir, "documents")
+      val toks = size(filter(split(col("text"), " ", -1), x => x =!= ""))
+      val rated = d.select(col("doc_id"), explode(array(
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 800, "mid").otherwise("long"),
+        when(toks < 40, "short").when(toks < 160, "mid").otherwise("long"),
+        when(col("n_chars") < 300, "short")
+          .when(col("n_chars") < 700, "mid").otherwise("long"))).as("cat"))
+      graft.ops.Eval.fleissKappa(rated, "doc_id", "cat")
+    }),
+    "q_majority_vote" -> ((s, dir) => {
+      // self-consistency election (Wang et al. 2022): doc_id % 50 is the
+      // problem, lang is the sampled answer; modal answer per problem
+      // with deterministic lexicographic tie-break and margin over the
+      // runner-up. One keyed count + a per-problem top-2 window
+      val d = t(s, dir, "documents")
+      graft.ops.Eval.majorityVote(
+          d.select((col("doc_id") % 50).as("problem"), col("lang")),
+          "problem", "lang")
+        .orderBy("problem")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1311,5 +1351,76 @@ private[graft] object QueriesProfile {
         |      / (sum(np) * sum(nn))::DOUBLE
         |    ELSE 0.0 END, 4) AS auc
         |FROM c""".stripMargin),
+    "q_pass_at_k" ->
+      """WITH samples AS (SELECT doc_id % 40 AS problem,
+        |    (CAST(('0x' || substring(md5('pk|' || doc_id::VARCHAR), 1, 4))
+        |      AS BIGINT) % 10 < 3) AS correct
+        |  FROM documents),
+        |per AS (SELECT problem, count(*)::DOUBLE AS n,
+        |    sum(CASE WHEN correct THEN 1 ELSE 0 END)::DOUBLE AS c
+        |  FROM samples GROUP BY 1),
+        |est AS (SELECT k,
+        |    CASE WHEN n < k THEN NULL
+        |      WHEN n - c < k THEN 1.0
+        |      ELSE 1.0 - list_aggregate(list_transform(
+        |        generate_series(0, k - 1), i -> (n - c - i) / (n - i)),
+        |        'product') END AS e
+        |  FROM per CROSS JOIN (SELECT unnest([1, 5, 10]) AS k))
+        |SELECT k::BIGINT AS k, count(e)::BIGINT AS n_problems,
+        |  (count(*) - count(e))::BIGINT AS n_dropped,
+        |  round(avg(e), 4) AS pass_at_k
+        |FROM est GROUP BY k ORDER BY k""".stripMargin,
+    "q_fleiss_kappa" ->
+      """WITH lab AS (SELECT doc_id, unnest([
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |      WHEN n_chars < 800 THEN 'mid' ELSE 'long' END,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 40 THEN 'short'
+        |      WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 160 THEN 'mid' ELSE 'long' END,
+        |    CASE WHEN n_chars < 300 THEN 'short'
+        |      WHEN n_chars < 700 THEN 'mid' ELSE 'long' END]) AS cat
+        |  FROM documents),
+        |cells AS (SELECT doc_id, cat, count(*)::BIGINT AS n_ij
+        |  FROM lab GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(n_ij) AS n_i,
+        |    sum(n_ij * n_ij) AS sq_i FROM cells GROUP BY 1),
+        |modal AS (SELECT n_i AS n FROM (
+        |  SELECT n_i, count(*) AS items FROM per GROUP BY 1
+        |  ORDER BY items DESC, n_i DESC LIMIT 1)),
+        |kept AS (SELECT per.doc_id, per.sq_i, modal.n
+        |  FROM per, modal WHERE per.n_i = modal.n),
+        |stats AS (SELECT count(*)::BIGINT AS n_items,
+        |    any_value(n) AS nr,
+        |    avg((sq_i - n) / (n * (n - 1.0))) AS p_bar,
+        |    sum(n)::DOUBLE AS grand FROM kept),
+        |pj AS (SELECT cat, sum(n_ij)::DOUBLE AS votes
+        |  FROM cells JOIN kept USING (doc_id) GROUP BY 1),
+        |pe AS (SELECT coalesce(sum((votes / grand) * (votes / grand)), 0.0)
+        |    AS p_e FROM pj, stats),
+        |tot AS (SELECT count(*)::BIGINT AS t FROM per)
+        |SELECT n_items, (t - n_items)::BIGINT AS n_dropped,
+        |  nr::BIGINT AS n_raters, round(p_bar, 4) AS p_bar,
+        |  round(p_e, 4) AS p_e,
+        |  CASE WHEN p_e < 1.0
+        |    THEN round((p_bar - p_e) / (1.0 - p_e), 4)
+        |    ELSE 1.0 END AS kappa
+        |FROM stats, pe, tot""".stripMargin,
+    "q_majority_vote" ->
+      """WITH v AS (SELECT doc_id % 50 AS problem, lang AS answer
+        |  FROM documents),
+        |c AS (SELECT problem, answer, count(*)::BIGINT AS votes
+        |  FROM v GROUP BY 1, 2),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY problem
+        |      ORDER BY votes DESC, answer ASC) AS rk,
+        |    sum(votes) OVER (PARTITION BY problem) AS total_votes,
+        |    lead(votes, 1) OVER (PARTITION BY problem
+        |      ORDER BY votes DESC, answer ASC) AS ru
+        |  FROM c)
+        |SELECT problem, answer, votes, total_votes::BIGINT AS total_votes,
+        |  round(votes::DOUBLE / total_votes, 4) AS vote_share,
+        |  (votes - coalesce(ru, 0))::BIGINT AS margin
+        |FROM r WHERE rk = 1 ORDER BY problem""".stripMargin,
   )
 }

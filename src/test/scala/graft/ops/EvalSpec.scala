@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Eval-tier operators: pass@k against hand-computed combinatorics
+  * (incl. the all-pass shortcut and the <k drop rule), Fleiss' kappa on a
+  * worked 2-item example plus the modal-panel drop, and majority-vote
+  * election determinism under ties. */
+class EvalSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("eval-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("passAtK: unbiased estimator matches hand combinatorics") {
+    import spark.implicits._
+    // p1: n=5, c=2 -> pass@1 = 1 - C(3,1)/C(5,1) = 1 - 3/5 = 0.4
+    //                 pass@3 = 1 - C(3,3)/C(5,3) = 1 - 1/10 = 0.9
+    //                 pass@5: n-c=3 < 5 -> 1.0
+    // p2: n=3, c=0 -> pass@1 = 0, pass@3 = 0, dropped for k=5
+    val rows =
+      (1 to 5).map(i => ("p1", i <= 2)) ++ (1 to 3).map(_ => ("p2", false))
+    val out = Eval.passAtK(rows.toDF("problem", "correct"),
+      "problem", "correct", Seq(1, 3, 5))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    assert(out(0) == ((1L, 2L, 0L, 0.2)), s"k=1: ${out(0)}") // mean(0.4, 0)
+    assert(out(1) == ((3L, 2L, 0L, 0.45)), s"k=3: ${out(1)}") // mean(0.9, 0)
+    assert(out(2) == ((5L, 1L, 1L, 1.0)), s"k=5: ${out(2)}")
+  }
+
+  test("fleissKappa: worked example and the modal-panel drop rule") {
+    import spark.implicits._
+    // i1 rated (a,a,a): P=1; i2 rated (a,b,b): P=(5-3)/6=1/3 -> p_bar=2/3
+    // votes a=4, b=2 of 6 -> p_e=(4/6)^2+(2/6)^2=5/9
+    // kappa = (2/3 - 5/9)/(1 - 5/9) = (1/9)/(4/9) = 0.25
+    // i3 has only 2 ratings -> dropped by the modal(3) filter
+    val rows = Seq(("i1", "a"), ("i1", "a"), ("i1", "a"),
+      ("i2", "a"), ("i2", "b"), ("i2", "b"),
+      ("i3", "a"), ("i3", "a"))
+    val r = Eval.fleissKappa(rows.toDF("item", "cat"), "item", "cat")
+      .collect().head
+    assert(r.getLong(0) == 2L, s"n_items: $r")
+    assert(r.getLong(1) == 1L, s"n_dropped: $r")
+    assert(r.getLong(2) == 3L, s"n_raters: $r")
+    assert(math.abs(r.getDouble(3) - 0.6667) < 1e-9, s"p_bar: $r")
+    assert(math.abs(r.getDouble(4) - 0.5556) < 1e-9, s"p_e: $r")
+    assert(math.abs(r.getDouble(5) - 0.25) < 1e-9, s"kappa: $r")
+  }
+
+  test("majorityVote: election, margin, and deterministic tie-break") {
+    import spark.implicits._
+    val rows = Seq(("q1", "x"), ("q1", "x"), ("q1", "y"),    // x by 2:1
+      ("q2", "b"), ("q2", "a"),                              // tie -> 'a'
+      ("q3", "z"))                                           // unanimous
+    val out = Eval.majorityVote(rows.toDF("problem", "answer"),
+      "problem", "answer")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).sortBy(_._1)
+    assert(out(0) == (("q1", "x", 2L, 3L, 0.6667, 1L)), s"${out(0)}")
+    assert(out(1) == (("q2", "a", 1L, 2L, 0.5, 0L)), s"${out(1)}")
+    assert(out(2) == (("q3", "z", 1L, 1L, 1.0, 1L)), s"${out(2)}")
+  }
+}
