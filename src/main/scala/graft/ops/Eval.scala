@@ -159,4 +159,69 @@ object Eval {
           .as("vote_share"),
         (col("votes") - col("runner_up")).as("margin"))
   }
+
+  /**
+   * Bradley–Terry preference strengths (Bradley & Terry 1952) via
+   * Hunter's MM iteration (Hunter 2004) — the preference-data readout
+   * that turns pairwise win/loss rows (A beat B) into a per-item strength
+   * and ranking: P(i beats j) = π_i/(π_i + π_j), fitted by the fixed-point
+   *   π_i ← W_i / Σ_{j≠i} n_ij/(π_i + π_j),  then normalized to Σπ = 1,
+   * run a FIXED `iters` rounds from the uniform start (deterministic:
+   * same matches → same ratings, replayable in any engine as an unrolled
+   * iteration). The match matrix aggregates distributively in one
+   * scan; the MM loop runs driver-side on the k×k item matrix — k-sized
+   * driver state by design (items are models/systems/policies, bounded by
+   * the eval design, never data-scale — the IPF/codebook pattern).
+   * Zero-win items converge to rating 0 exactly. Items are iterated in
+   * sorted order so the arithmetic is reproducible.
+   * Output: one row per item — item, wins, losses, n_matches,
+   * rating (6dp, sums to 1), rank (dense by rating desc, ties by item).
+   */
+  def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
+      iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 1000, s"iters in [1,1000]: $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = df
+      .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
+        col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast("string").as("w"),
+        col(loserCol).cast("string").as("l"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = items.zipWithIndex.toMap
+    val k = items.length
+    val wins = Array.fill(k)(0L)
+    val losses = Array.fill(k)(0L)
+    val nMat = Array.fill(k, k)(0L)
+    pairs.foreach { case (w, l, n) =>
+      val (i, j) = (idx(w), idx(l))
+      wins(i) += n; losses(j) += n
+      nMat(i)(j) += n; nMat(j)(i) += n
+    }
+    var pi = Array.fill(k)(if (k > 0) 1.0 / k else 1.0)
+    for (_ <- 1 to iters) {
+      val next = Array.tabulate(k) { i =>
+        var denom = 0.0
+        var j = 0
+        while (j < k) {
+          if (j != i && nMat(i)(j) > 0) denom += nMat(i)(j) / (pi(i) + pi(j))
+          j += 1
+        }
+        if (denom > 0) wins(i) / denom else 0.0
+      }
+      val s = next.sum
+      pi = if (s > 0) next.map(_ / s) else next
+    }
+    // HALF_UP to match SQL round() semantics exactly (rint is banker's)
+    val rows = items.indices.map(i => (items(i), wins(i), losses(i),
+      wins(i) + losses(i),
+      BigDecimal(pi(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble))
+    val ranked = rows.toDF("item", "wins", "losses", "n_matches", "rating")
+    import org.apache.spark.sql.expressions.Window
+    ranked.withColumn("rank", dense_rank().over(
+      Window.orderBy(col("rating").desc)))
+  }
 }

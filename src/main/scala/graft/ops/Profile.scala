@@ -2035,4 +2035,125 @@ object Profile {
         round(col("_med"), 4).as("group_median"),
         round(col("_mad"), 4).as("group_mad"), col("robust_z"))
   }
+
+  /**
+   * Mann–Whitney U rank-sum test (Mann & Whitney 1947) — the
+   * distribution-free sibling of [[welchTTest]] for the experiment
+   * readout when the metric is skewed or ordinal (latency, scores,
+   * counts): U_a counts pairs where an A value exceeds a B value (ties
+   * half), so U_a/(n_a·n_b) IS the common-language effect size — the
+   * probability a random A beats a random B, the same quantity
+   * [[rocAuc]] reports for a classifier. Ranks come from ONE
+   * single-partition walk over the DISTINCT value cells (the [[ksTest]]
+   * shape — cardinality-bounded, never a data-scale sort): average rank
+   * of a tie group = rows-before + (t+1)/2, R_a = Σ c_a·avgrank,
+   * U_a = R_a − n_a(n_a+1)/2. The normal approximation carries the
+   * exact tie correction σ² = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)));
+   * |z| > 1.96 is the same documented 95% z-cut as [[welchTTest]].
+   * Degenerate samples (either side empty, or every value tied so
+   * σ = 0) yield NULL z and significant = false.
+   * Output: 1 row — n_a, n_b, u_a (1dp; .5 on tie mass), auc (4dp),
+   * z (4dp), significant.
+   */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      groupA: String, groupB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(groupA != groupB, "the two samples must be distinct groups")
+    val x = col(valueCol).cast("double")
+    val inA = col(groupCol) === groupA
+    val inB = col(groupCol) === groupB
+    val cells = df.filter((inA || inB) && x.isNotNull)
+      .groupBy(x.as("v"))
+      .agg(count(when(inA, 1)).as("ca"), count(when(inB, 1)).as("cb"))
+    // the deliberate single-partition walk over DISTINCT values
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = cells
+      .withColumn("tk", col("ca") + col("cb"))
+      .withColumn("avg_rank",
+        coalesce(sum(col("tk")).over(w), lit(0L)) + (col("tk") + 1) / 2.0)
+    val agged = ranked.agg(
+      sum("ca").as("n_a"), sum("cb").as("n_b"),
+      sum(col("ca") * col("avg_rank")).as("_ra"),
+      sum(col("tk") * col("tk") * col("tk") - col("tk")).as("_t3"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val n = na + nb
+    val ua = col("_ra") - na * (na + 1) / 2.0
+    val sigma = sqrt(na * nb / 12.0 *
+      ((n + 1) - col("_t3") / (n * (n - 1))))
+    val z = (ua - na * nb / 2.0) / sigma
+    agged.select(col("n_a"), col("n_b"),
+      round(ua, 1).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(ua / (na * nb), 4)).as("auc"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
+        round(z, 4) + lit(0.0)).as("z"),
+      coalesce(when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
+        abs(z) > 1.96), lit(false)).as("significant"))
+  }
+
+  /**
+   * Spearman rank correlation — monotone association between two
+   * numeric columns (does the learned quality score AGREE with
+   * readability? does doc length track token count?) where [[corrMatrix]]'s
+   * Pearson r would be dragged by outliers or bent by nonlinearity:
+   * ρ = Pearson correlation of the average-tie ranks. Ranks are computed
+   * per DISTINCT value (two cardinality-bounded single-partition walks,
+   * the [[ksTest]] shape) and joined back — never a data-scale global
+   * sort; the join is the only data-scale shuffle.
+   * Output: 1 row — n, rho (4dp; NULL when either column is constant).
+   */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fx = col(xCol).cast("double")
+    val fy = col(yCol).cast("double")
+    val d = df.filter(fx.isNotNull && fy.isNotNull)
+      .select(fx.as("x"), fy.as("y"))
+    def avgRanks(c: String): DataFrame = {
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
+        .withColumn(s"r$c",
+          coalesce(sum(col("k")).over(w), lit(0L)) + (col("k") + 1) / 2.0)
+        .select(col("v").as(c), col(s"r$c"))
+    }
+    d.join(avgRanks("x"), Seq("x"))
+      .join(avgRanks("y"), Seq("y"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("rx"), col("ry")), 4).as("rho"))
+  }
+
+  /**
+   * Benjamini–Hochberg FDR correction (Benjamini & Hochberg 1995) — the
+   * multiple-testing step-up every per-group test family here feeds
+   * (run [[welchTTest]]/[[chiSquare]]/[[mannWhitney]] per segment and
+   * 5% of segments are false positives by construction; BH caps the
+   * FALSE DISCOVERY RATE instead): sort the m p-values ascending,
+   * adjusted p(i) = min_{j ≥ i} (m·p(j)/j) clamped to 1 — the running
+   * min from the largest p downward, monotone by construction. The
+   * single-partition sort is over the TEST table (one row per test,
+   * bounded by the analysis design), never over data rows. Determinism:
+   * ties in p order by id.
+   * Output: one row per test — id, p, rank, p_adj (6dp),
+   * significant (p_adj ≤ alpha).
+   */
+  def bhAdjust(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    val p = col(pCol).cast("double")
+    val d = df.filter(p.isNotNull && p >= 0 && p <= 1)
+      .select(col(idCol).as("id"), p.as("p"))
+    val tot = d.agg(count(lit(1)).as("m"))
+    val wAsc = Window.orderBy(col("p").asc, col("id").asc)
+    val wDesc = Window.orderBy(col("p").desc, col("id").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.crossJoin(tot)
+      .withColumn("rank", row_number().over(wAsc))
+      .withColumn("p_adj", round(
+        least(lit(1.0), min(col("m") * col("p") / col("rank")).over(wDesc)),
+        6))
+      .select(col("id"), col("p"), col("rank"), col("p_adj"),
+        (col("p_adj") <= alpha).as("significant"))
+  }
 }

@@ -469,4 +469,31 @@ object Sampling {
       .select(col("query"), col("positive"), col("slot").cast("long")
         .as("slot"), col("negative"))
   }
+
+  /**
+   * 2-D Pareto front (skyline, Börzsönyi et al. 2001) — the
+   * multi-criteria data-selection cut (keep documents no other document
+   * beats on BOTH quality and brevity; pick the price/quantity frontier):
+   * a row survives iff no other row is ≥ on both columns and > on at
+   * least one (both maximized; negate a column to minimize it). Duplicate
+   * frontier points all survive (neither dominates the other).
+   * Shape: only the per-x maximum can be on the front, so ONE groupBy to
+   * the distinct-x frame, one cardinality-bounded single-partition walk
+   * (running max of y over strictly-greater x — the ksTest shape, never
+   * a data-scale sort), and a semi-join back on (x, y). Output: the
+   * surviving input rows, unchanged schema.
+   */
+  def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val fx = col(xCol).cast("double")
+    val fy = col(yCol).cast("double")
+    val perX = df.filter(fx.isNotNull && fy.isNotNull)
+      .groupBy(fx.as("_x")).agg(max(fy).as("_my"))
+    // running max over STRICTLY greater x: one row per distinct x
+    val w = Window.orderBy(col("_x").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val front = perX.withColumn("_gm", max(col("_my")).over(w))
+      .filter(col("_gm").isNull || col("_my") > col("_gm"))
+      .select(col("_x"), col("_my"))
+    df.join(front, fx === col("_x") && fy === col("_my"), "left_semi")
+  }
 }

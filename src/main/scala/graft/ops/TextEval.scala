@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Generation-quality scoring against references — the text half of the
+ * eval tier ([[Eval]] aggregates verdicts; this SCORES candidate text
+ * against reference text with the published n-gram overlap metrics), plus
+ * the corpus-coverage estimators a held-out eval set is sized with.
+ * No counterpart in /root/reference (which stops at the solver); extends
+ * the engine the way classifierMetrics/retrievalMetrics do.
+ *
+ * Tokenization is the whitespace family used across TextMetrics: lowercase,
+ * split on runs of whitespace, empty tokens dropped. All operators are
+ * banded equi-joins on (id, gram) or keyed aggregations — candidate×reference
+ * work is per-PAIR, never cross-corpus.
+ */
+object TextEval {
+
+  private def toks(c: Column): Column =
+    filter(split(lower(c), "\\s+"), w => w =!= "")
+
+  /** n-gram array of a token array: grams joined by single spaces; empty
+   * when the text has fewer than n tokens. */
+  private def grams(t: Column, n: Int): Column =
+    if (n == 1) t
+    else when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n),
+        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-(id, gram) candidate/reference counts with the CLIPPED overlap
+   * min(c_cand, c_ref) — the shared kernel of [[rougeN]] and [[bleu]]. */
+  private def clippedCounts(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      grams(toks(col(candCol)), n).as("cg"),
+      grams(toks(col(refCol)), n).as("rg"))
+    val cc = base.select(col("id"), explode(col("cg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("cc"))
+    val rc = base.select(col("id"), explode(col("rg")).as("g"))
+      .groupBy("id", "g").agg(count(lit(1)).as("rc"))
+    cc.join(rc, Seq("id", "g"), "full_outer")
+      .select(col("id"), col("g"),
+        coalesce(col("cc"), lit(0L)).as("cc"),
+        coalesce(col("rc"), lit(0L)).as("rc"),
+        least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L)))
+          .as("clip"))
+  }
+
+  /**
+   * ROUGE-n (Lin 2004): per (candidate, reference) pair, the clipped
+   * n-gram overlap — recall is what ROUGE reports (how much of the
+   * reference the candidate covers), precision and F1 complete the
+   * summarization-eval readout. Counts are CLIPPED (a gram repeated k×
+   * in the candidate credits at most its reference count), the published
+   * definition. Pairs shorter than n tokens on a side score 0 on that
+   * side's ratio; every input id survives to the output (a candidate
+   * that generates nothing is a 0, not a missing row).
+   * Output: one row per id — n_cand, n_ref (gram totals), overlap,
+   * precision, recall, f1 (4dp).
+   */
+  def rougeN(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val per = clippedCounts(df, idCol, candCol, refCol, n)
+      .groupBy("id")
+      .agg(sum("cc").as("n_cand"), sum("rc").as("n_ref"),
+        sum("clip").as("overlap"))
+    val prec = when(col("n_cand") > 0,
+      col("overlap") / col("n_cand").cast("double")).otherwise(lit(0.0))
+    val rec = when(col("n_ref") > 0,
+      col("overlap") / col("n_ref").cast("double")).otherwise(lit(0.0))
+    df.select(col(idCol).as("id")).distinct()
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"),
+        round(coalesce(prec, lit(0.0)), 4).as("precision"),
+        round(coalesce(rec, lit(0.0)), 4).as("recall"),
+        round(coalesce(when(prec + rec > 0,
+          lit(2.0) * prec * rec / (prec + rec)), lit(0.0)), 4).as("f1"))
+  }
+
+  /**
+   * Corpus BLEU (Papineni et al. 2002): the machine-translation /
+   * generation fidelity score — geometric mean of the clipped n-gram
+   * precisions p_1..p_maxN aggregated over the WHOLE corpus (clipping per
+   * pair, totals corpus-level — the published corpus form, not a mean of
+   * sentence BLEUs), times the brevity penalty BP = min(1, e^(1−r/c)).
+   * Any empty precision level zeroes BLEU (the standard convention;
+   * smoothed variants exist but this is the reference definition).
+   * One scan per n for the gram explosion, all joins banded on (id, gram).
+   * Output: 1 row — cand_len, ref_len, p1..p{maxN} (4dp), bp (4dp),
+   * bleu (4dp).
+   */
+  def bleu(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1,8]: $maxN")
+    val lens = df.select(
+      size(toks(col(candCol))).cast("long").as("cl"),
+      size(toks(col(refCol))).cast("long").as("rl"))
+      .agg(sum("cl").as("cand_len"), sum("rl").as("ref_len"))
+    val pns = (1 to maxN).map { n =>
+      clippedCounts(df, idCol, candCol, refCol, n)
+        .agg(sum("clip").cast("double").as(s"_clip$n"),
+          sum("cc").cast("double").as(s"_tot$n"))
+    }
+    val joined = pns.foldLeft(lens)(_ crossJoin _)
+    val ps = (1 to maxN).map(n =>
+      when(col(s"_tot$n") > 0, col(s"_clip$n") / col(s"_tot$n"))
+        .otherwise(lit(0.0)).as(s"_p$n"))
+    val withPs = joined.select(col("cand_len") +: col("ref_len") +: ps: _*)
+    val bp = when(col("cand_len") >= col("ref_len") || col("cand_len") === 0,
+      lit(1.0)).otherwise(
+      exp(lit(1.0) - col("ref_len").cast("double") / col("cand_len")))
+    val allPos = (1 to maxN).map(n => col(s"_p$n") > 0).reduce(_ && _)
+    val logMean = (1 to maxN).map(n => log(col(s"_p$n")))
+      .reduce(_ + _) / maxN.toDouble
+    withPs.select(
+      (col("cand_len") +: col("ref_len") +:
+        (1 to maxN).map(n => round(col(s"_p$n"), 4).as(s"p$n"))) ++ Seq(
+        round(bp, 4).as("bp"),
+        round(when(allPos, bp * exp(logMean)).otherwise(lit(0.0)), 4)
+          .as("bleu")): _*)
+  }
+
+  /**
+   * Vocabulary-coverage estimators — how much of the population
+   * vocabulary has this corpus actually seen (the eval-set sizing and
+   * crawl-frontier question): Chao1 richness (Chao 1984, bias-corrected
+   * form V + F1(F1−1)/(2(F2+1)), defined even at F2 = 0) estimates total
+   * species from the singleton/doubleton ratio, and Good–Turing
+   * (Good 1953) puts the probability mass of UNSEEN terms at F1/N —
+   * coverage = 1 − F1/N is the chance the next token is a known term.
+   * One token scan → term counts → three 1-row aggregates.
+   * Output: 1 row — n_tokens, vocab, f1, f2, chao1 (1dp),
+   * unseen_mass (6dp), coverage (6dp).
+   */
+  def vocabCoverage(df: DataFrame, textCol: String): DataFrame = {
+    val terms = df
+      .select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    terms.agg(
+      sum("c").as("n_tokens"),
+      count(lit(1)).as("vocab"),
+      count(when(col("c") === 1, 1)).as("f1"),
+      count(when(col("c") === 2, 1)).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        round(col("vocab") +
+          col("f1") * (col("f1") - 1) / ((col("f2") + 1) * 2.0), 1)
+          .as("chao1"),
+        round(col("f1") / col("n_tokens").cast("double"), 6)
+          .as("unseen_mass"),
+        round(lit(1.0) - col("f1") / col("n_tokens").cast("double"), 6)
+          .as("coverage"))
+  }
+}

@@ -454,6 +454,52 @@ private[graft] object QueriesProfile {
           "problem", "lang")
         .orderBy("problem")
     }),
+    "q_mann_whitney" -> ((s, dir) =>
+      // rank-sum test, open vs filled orders on total price: ranks from
+      // the distinct-value walk, exact tie correction, z cut — the
+      // skew-proof experiment readout next to q_ab_welch
+      graft.ops.Profile.mannWhitney(t(s, dir, "orders"),
+        "o_orderstatus", "o_totalprice", "O", "F")),
+    "q_spearman" -> ((s, dir) =>
+      // monotone association of quantity and extended price (price =
+      // qty × unit price, so rank agreement is high but not 1 — unit
+      // prices vary); average-tie ranks per DISTINCT value, joined back
+      graft.ops.Profile.spearman(t(s, dir, "lineitem"),
+        "l_quantity", "l_extendedprice")),
+    "q_bh_fdr" -> ((s, dir) => {
+      // Benjamini–Hochberg step-up over 25 deterministic per-nation
+      // p-values (md5-derived uniform, cubed so a few clear the cut) —
+      // the multiple-testing discipline for per-segment test families
+      val p = round(pow(
+        pmod(conv(substring(md5(concat(lit("bh|"),
+          col("n_nationkey").cast("string"))), 1, 6), 16, 10)
+          .cast("long"), lit(10000L)) / 10000.0, 3), 6)
+      graft.ops.Profile.bhAdjust(
+          t(s, dir, "nation").select(col("n_name"), p.as("p")),
+          "n_name", "p")
+        .orderBy("rank")
+    }),
+    "q_bradley_terry" -> ((s, dir) => {
+      // preference fit over language "systems": consecutive doc pairs
+      // (2i, 2i+1) are matches, the longer doc's language wins; 10 MM
+      // iterations on the aggregated win matrix, ratings sum to 1
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val a = d.filter(col("doc_id") % 2 === 0).select(
+        col("doc_id").as("ida"), col("lang").as("la"),
+        col("n_chars").as("ca"))
+      val b = d.select((col("doc_id") - 1).as("ida"),
+        col("lang").as("lb"), col("n_chars").as("cb"))
+      val m = a.join(b, Seq("ida"))
+        .filter(col("ca") =!= col("cb") && col("la") =!= col("lb"))
+        .select(
+          when(col("ca") > col("cb"), col("la")).otherwise(col("lb"))
+            .as("winner"),
+          when(col("ca") > col("cb"), col("lb")).otherwise(col("la"))
+            .as("loser"))
+      graft.ops.Eval.bradleyTerry(m, "winner", "loser", iters = 10)
+        .orderBy("rank", "item")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
