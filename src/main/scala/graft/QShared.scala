@@ -1386,4 +1386,70 @@ private[graft] object QShared {
       s"""
          |SELECT node, dist FROM d$maxHops ORDER BY node""".stripMargin
   }
+
+  /** Unrolled Bradley–Terry MM oracle (Hunter 2004) over the
+   * q_bradley_terry match derivation: consecutive (even, even+1) document
+   * pairs, the longer doc's language wins, same-lang/same-length pairs
+   * dropped. `iters` MM rounds from the uniform start, normalizing each
+   * round. Summation ORDER is pinned to the engine's (item-sorted index
+   * loop) via list_sum over ORDER BY lists, so the float recursion is
+   * bit-identical, not merely close. */
+  def bradleyTerryOracle(iters: Int): String = {
+    val pre =
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |m0 AS (
+        |  SELECT CASE WHEN a.n_chars > b.n_chars THEN a.lang
+        |           ELSE b.lang END AS w,
+        |         CASE WHEN a.n_chars > b.n_chars THEN b.lang
+        |           ELSE a.lang END AS l
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0 AND a.n_chars <> b.n_chars
+        |    AND a.lang <> b.lang),
+        |pairs AS MATERIALIZED (SELECT w, l, count(*)::BIGINT AS n
+        |  FROM m0 WHERE w IS NOT NULL AND l IS NOT NULL AND w <> l
+        |  GROUP BY 1, 2),
+        |wl AS MATERIALIZED (
+        |  SELECT i.i AS item, coalesce(wn.wins, 0)::BIGINT AS wins,
+        |    coalesce(lo.losses, 0)::BIGINT AS losses
+        |  FROM (SELECT w AS i FROM pairs UNION SELECT l FROM pairs) i
+        |  LEFT JOIN (SELECT w, sum(n)::BIGINT AS wins FROM pairs
+        |    GROUP BY 1) wn ON wn.w = i.i
+        |  LEFT JOIN (SELECT l, sum(n)::BIGINT AS losses FROM pairs
+        |    GROUP BY 1) lo ON lo.l = i.i),
+        |nmat AS MATERIALIZED (SELECT a, b, sum(n)::DOUBLE AS n FROM (
+        |    SELECT w AS a, l AS b, n FROM pairs
+        |    UNION ALL SELECT l, w, n FROM pairs)
+        |  GROUP BY 1, 2),
+        |p0 AS MATERIALIZED (SELECT item,
+        |    1.0::DOUBLE / (SELECT count(*) FROM wl) AS pi
+        |  FROM wl)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s""",
+         |den$t AS (SELECT nmat.a AS item,
+         |    list_sum(list(nmat.n / (pa.pi + pb.pi) ORDER BY nmat.b))
+         |      AS denom
+         |  FROM nmat
+         |  JOIN p${t - 1} pa ON pa.item = nmat.a
+         |  JOIN p${t - 1} pb ON pb.item = nmat.b
+         |  GROUP BY 1),
+         |raw$t AS MATERIALIZED (SELECT wl.item,
+         |    CASE WHEN coalesce(den$t.denom, 0) > 0
+         |      THEN wl.wins / den$t.denom ELSE 0.0 END AS raw
+         |  FROM wl LEFT JOIN den$t USING (item)),
+         |p$t AS MATERIALIZED (SELECT item,
+         |    CASE WHEN s.s > 0 THEN raw / s.s ELSE raw END AS pi
+         |  FROM raw$t,
+         |    (SELECT list_sum(list(raw ORDER BY item)) AS s FROM raw$t) s)"""
+        .stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT wl.item, wl.wins, wl.losses,
+         |  (wl.wins + wl.losses)::BIGINT AS n_matches,
+         |  round(p$iters.pi, 6) AS rating,
+         |  dense_rank() OVER (ORDER BY round(p$iters.pi, 6) DESC)::BIGINT
+         |    AS rank
+         |FROM wl JOIN p$iters USING (item)
+         |ORDER BY rank, item""".stripMargin
+  }
 }

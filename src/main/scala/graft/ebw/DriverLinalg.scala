@@ -342,6 +342,18 @@ private[ebw] object DriverLinalg {
           iter += 1
         }
       }
+      // A capped (or breakdown-truncated) exit returns a PARTIALLY
+      // converged Newton direction — legal (the outer line search
+      // absorbs it) but it must be diagnosable at N=1e7 scale, not
+      // silent: without this line the only symptom is slower/failed
+      // OUTER convergence with no pointer back here.
+      val rn = norm2(r)
+      if (rn > 1e-10 * bnorm) {
+        EbwLog.warn(f"cgSolveRdd stopped at iter=$iter/$maxIter with " +
+          f"relative residual ${rn / bnorm}%.3e > 1e-10 (k=$k): Newton " +
+          "direction partially converged; outer line search will absorb " +
+          "it, but persistent hits mean an ill-conditioned moment system")
+      }
       x
     } finally if (freeBc != null) freeBc.destroy()
   }

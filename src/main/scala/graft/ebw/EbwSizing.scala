@@ -47,13 +47,18 @@ private[ebw] object EbwSizing {
   private def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
 
   /** Final partial count of RDD.treeAggregate at `depth` over `p`
-   * partitions (mirrors its scale/while-loop reduction schedule). */
+   * partitions (mirrors its scale/while-loop reduction schedule exactly:
+   * the loop CONDITION uses ceil(cur/scale) but the loop BODY shrinks
+   * with INTEGER division, `numPartitions /= scale` in RDD.treeAggregate —
+   * modeling the body as ceil over-counts the final partials, e.g. 7
+   * instead of Spark's 6 at (48, depth 2), and the drift can trigger an
+   * extra division round that under-estimates driver collect bytes). */
   private[ebw] def finalParts(p: Int, depth: Int): Int = {
     if (p <= 1) return p
     val scale = math.max(math.ceil(math.pow(p.toDouble, 1.0 / depth)).toInt, 2)
     var cur = p
     while (cur > scale + math.ceil(cur / scale.toDouble).toInt) {
-      cur = math.ceil(cur / scale.toDouble).toInt
+      cur = cur / scale
     }
     cur
   }

@@ -89,7 +89,10 @@ object EntropyBalance {
         val r2 = prep.rows.repartition(plan.partitions)
           .persist(StorageLevel.MEMORY_AND_DISK)
         r2.setName(s"ebw-input-k${prep.k}-p${plan.partitions}")
-        r2.count()
+        // if materialization fails, the caller's finally still points at
+        // the OLD rows — unpersist r2 here or its partial blocks leak
+        try r2.count()
+        catch { case e: Throwable => r2.unpersist(false); throw e }
         prep.rows.unpersist(false)
         prep.copy(rows = r2)
       } else prep

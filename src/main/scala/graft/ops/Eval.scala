@@ -135,8 +135,9 @@ object Eval {
    * by problem, never global).
    *
    * @return one row per problem: (problem, answer, votes, total_votes,
-   *         vote_share 4dp, margin = votes − runner-up votes, 0 when
-   *         unanimous)
+   *         vote_share 4dp, margin = votes − runner-up votes; with no
+   *         runner-up (unanimous) the runner-up count coalesces to 0, so
+   *         margin = votes)
    */
   def majorityVote(df: DataFrame, problemCol: String, answerCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -171,23 +172,43 @@ object Eval {
    * iteration). The match matrix aggregates distributively in one
    * scan; the MM loop runs driver-side on the k×k item matrix — k-sized
    * driver state by design (items are models/systems/policies, bounded by
-   * the eval design, never data-scale — the IPF/codebook pattern).
+   * the eval design, never data-scale — the IPF/codebook pattern). That
+   * contract is ENFORCED, not assumed: `maxItems` (default 4096, a 128 MB
+   * dense matrix) bounds the distinct-item roster, and a violating input
+   * (someone passing doc-ids instead of system ids) throws with a sized,
+   * actionable message instead of silently OOMing the driver at ~50k
+   * items (the Linkage roster-contract pattern).
    * Zero-win items converge to rating 0 exactly. Items are iterated in
    * sorted order so the arithmetic is reproducible.
    * Output: one row per item — item, wins, losses, n_matches,
-   * rating (6dp, sums to 1), rank (dense by rating desc, ties by item).
+   * rating (6dp, sums to 1), rank (dense by rating desc, ties by item;
+   * BIGINT so the frame replays 1:1 in any SQL engine).
    */
   def bradleyTerry(df: DataFrame, winnerCol: String, loserCol: String,
-      iters: Int = 10): DataFrame = {
+      iters: Int = 10, maxItems: Int = 4096): DataFrame = {
     require(iters >= 1 && iters <= 1000, s"iters in [1,1000]: $iters")
+    require(maxItems >= 2, s"maxItems must be >= 2: $maxItems")
     val spark = df.sparkSession
     import spark.implicits._
-    val pairs = df
+    val pairsDf = df
       .filter(col(winnerCol).isNotNull && col(loserCol).isNotNull &&
         col(winnerCol) =!= col(loserCol))
       .groupBy(col(winnerCol).cast("string").as("w"),
         col(loserCol).cast("string").as("l"))
       .agg(count(lit(1)).as("n"))
+    // roster guard BEFORE any collect: the item count is one cheap
+    // aggregate over the already-grouped frame, and it gates both the
+    // k×k matrix and the pair collect (≤ k² rows once k is bounded)
+    val nItems = pairsDf
+      .select(explode(array(col("w"), col("l"))).as("i"))
+      .agg(count_distinct(col("i"))).head().getLong(0)
+    require(nItems <= maxItems,
+      s"bradleyTerry fits a dense $nItems x $nItems item matrix on the " +
+      s"driver (~${nItems * nItems * 8 / (1 << 20)} MB) but maxItems=" +
+      s"$maxItems: items must be systems/models (eval-design-bounded), " +
+      "not data-scale ids — aggregate to systems first, or raise " +
+      "maxItems deliberately if the panel really is this large")
+    val pairs = pairsDf
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val items = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
     val idx = items.zipWithIndex.toMap
@@ -222,6 +243,6 @@ object Eval {
     val ranked = rows.toDF("item", "wins", "losses", "n_matches", "rating")
     import org.apache.spark.sql.expressions.Window
     ranked.withColumn("rank", dense_rank().over(
-      Window.orderBy(col("rating").desc)))
+      Window.orderBy(col("rating").desc)).cast("long"))
   }
 }

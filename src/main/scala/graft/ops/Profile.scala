@@ -2134,8 +2134,8 @@ object Profile {
    * single-partition sort is over the TEST table (one row per test,
    * bounded by the analysis design), never over data rows. Determinism:
    * ties in p order by id.
-   * Output: one row per test — id, p, rank, p_adj (6dp),
-   * significant (p_adj ≤ alpha).
+   * Output: one row per test — id, p, rank (BIGINT so the frame replays
+   * 1:1 in any SQL engine), p_adj (6dp), significant (p_adj ≤ alpha).
    */
   def bhAdjust(df: DataFrame, idCol: String, pCol: String,
       alpha: Double = 0.05): DataFrame = {
@@ -2149,7 +2149,7 @@ object Profile {
     val wDesc = Window.orderBy(col("p").desc, col("id").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     d.crossJoin(tot)
-      .withColumn("rank", row_number().over(wAsc))
+      .withColumn("rank", row_number().over(wAsc).cast("long"))
       .withColumn("p_adj", round(
         least(lit(1.0), min(col("m") * col("p") / col("rank")).over(wDesc)),
         6))

@@ -1468,5 +1468,90 @@ private[graft] object QueriesProfile {
         |  round(votes::DOUBLE / total_votes, 4) AS vote_share,
         |  (votes - coalesce(ru, 0))::BIGINT AS margin
         |FROM r WHERE rk = 1 ORDER BY problem""".stripMargin,
+    // ranks from the distinct-value walk (exact per-cell avg ranks) are
+    // integer-or-half doubles, so R_a and the tie term are EXACT on both
+    // engines — the z replay is deterministic, not merely close
+    "q_mann_whitney" ->
+      """WITH cells AS (
+        |  SELECT o_totalprice::DOUBLE AS v,
+        |    count(*) FILTER (WHERE o_orderstatus = 'O')::BIGINT AS ca,
+        |    count(*) FILTER (WHERE o_orderstatus = 'F')::BIGINT AS cb
+        |  FROM orders
+        |  WHERE o_orderstatus IN ('O', 'F') AND o_totalprice IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT ca, cb, ca + cb AS tk,
+        |    coalesce(sum(ca + cb) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (ca + cb + 1) / 2.0 AS avg_rank
+        |  FROM cells),
+        |a AS (
+        |  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b,
+        |    sum(ca * avg_rank)::DOUBLE AS ra,
+        |    sum(tk * tk * tk - tk)::DOUBLE AS t3
+        |  FROM r),
+        |s AS (
+        |  SELECT n_a, n_b,
+        |    ra - n_a * (n_a + 1) / 2.0 AS ua,
+        |    sqrt(n_a * n_b / 12.0 * ((n_a + n_b + 1)
+        |      - t3 / ((n_a + n_b) * (n_a + n_b - 1.0)))) AS sigma
+        |  FROM a)
+        |SELECT n_a, n_b, round(ua, 1) AS u_a,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |    THEN round(ua / (n_a::DOUBLE * n_b), 4) END AS auc,
+        |  CASE WHEN n_a > 0 AND n_b > 0 AND sigma > 0
+        |    THEN round((ua - n_a::DOUBLE * n_b / 2.0) / sigma, 4) + 0.0
+        |    END AS z,
+        |  coalesce(CASE WHEN n_a > 0 AND n_b > 0 AND sigma > 0
+        |    THEN abs((ua - n_a::DOUBLE * n_b / 2.0) / sigma) > 1.96 END,
+        |    false) AS significant
+        |FROM s""".stripMargin,
+    // two distinct-value rank walks joined back; rho = Pearson of the
+    // (integer-or-half, hence exact) average ranks
+    "q_spearman" ->
+      """WITH d AS (
+        |  SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |cx AS (SELECT x AS v, count(*)::BIGINT AS k FROM d GROUP BY 1),
+        |rx AS (SELECT v,
+        |    coalesce(sum(k) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (k + 1) / 2.0 AS r
+        |  FROM cx),
+        |cy AS (SELECT y AS v, count(*)::BIGINT AS k FROM d GROUP BY 1),
+        |ry AS (SELECT v,
+        |    coalesce(sum(k) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + (k + 1) / 2.0 AS r
+        |  FROM cy),
+        |j AS (SELECT rx.r AS rkx, ry.r AS rky
+        |  FROM d JOIN rx ON d.x = rx.v JOIN ry ON d.y = ry.v)
+        |SELECT count(*)::BIGINT AS n, round(corr(rkx, rky), 4) AS rho
+        |FROM j""".stripMargin,
+    // the same md5-cubed p derivation, then the BH step-up as a
+    // running min over descending p — the window replay of the engine
+    "q_bh_fdr" ->
+      """WITH d AS (
+        |  SELECT n_name AS id,
+        |    round(pow((CAST(('0x' || substring(md5('bh|' ||
+        |        n_nationkey::VARCHAR), 1, 6)) AS BIGINT) % 10000)
+        |      / 10000.0, 3), 6) AS p
+        |  FROM nation),
+        |f AS (SELECT id, p FROM d
+        |  WHERE p IS NOT NULL AND p >= 0 AND p <= 1),
+        |r AS (SELECT id, p,
+        |    row_number() OVER (ORDER BY p, id)::BIGINT AS rank,
+        |    (SELECT count(*)::BIGINT FROM f) AS m
+        |  FROM f),
+        |adj AS (SELECT id, p, rank,
+        |    round(least(1.0, min(m * p / rank) OVER (
+        |      ORDER BY p DESC, id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS p_adj
+        |  FROM r)
+        |SELECT id, p, rank, p_adj, p_adj <= 0.05 AS significant
+        |FROM adj ORDER BY rank""".stripMargin,
+    "q_bradley_terry" -> bradleyTerryOracle(10),
   )
 }

@@ -50,7 +50,9 @@ class EbwSizingSpec extends AnyFunSuite {
   }
 
   test("plan: treeAggregate final-partial model and depth choice") {
-    assert(EbwSizing.finalParts(48, 2) == 7)
+    // scale = ceil(sqrt(48)) = 7; 48 > 7 + ceil(48/7) = 14 -> 48/7 = 6
+    // (INTEGER division, the RDD.treeAggregate body); 6 <= 7 + 1 stops.
+    assert(EbwSizing.finalParts(48, 2) == 6)
     assert(EbwSizing.finalParts(1, 2) == 1)
     assert(EbwSizing.finalParts(4096, 3) >= 2)
     // depth choice always lands in the searched range

@@ -66,4 +66,35 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1) == (("q2", "a", 1L, 2L, 0.5, 0L)), s"${out(1)}")
     assert(out(2) == (("q3", "z", 1L, 1L, 1.0, 1L)), s"${out(2)}")
   }
+
+  test("bradleyTerry: two-item fixed point, zero-win item, roster guard") {
+    import spark.implicits._
+    // A beats B 3x, B beats A 1x: the MM fixed point is reached in ONE
+    // round (denom_A = denom_B = 4/(pi_A+pi_B) = 4), so pi = (3/4, 1/4) —
+    // the analytic P(A beats B) = 0.75
+    val ab = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val out = Eval.bradleyTerry(ab, "winner", "loser", iters = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5))).sortBy(_._1)
+    assert(out(0) == (("A", 3L, 1L, 4L, 0.75, 1L)), s"A: ${out(0)}")
+    assert(out(1) == (("B", 1L, 3L, 4L, 0.25, 2L)), s"B: ${out(1)}")
+    // zero-win item: rating exactly 0 (wins/denom = 0 from round 1), the
+    // sole winner takes the whole normalized mass
+    val ac = Seq(("A", "C"), ("A", "C")).toDF("winner", "loser")
+    val zw = Eval.bradleyTerry(ac, "winner", "loser", iters = 10)
+      .collect().map(r => (r.getString(0), r.getDouble(4), r.getLong(5)))
+      .sortBy(_._1)
+    assert(zw(0) == (("A", 1.0, 1L)), s"A: ${zw(0)}")
+    assert(zw(1) == (("C", 0.0, 2L)), s"C: ${zw(1)}")
+    // roster guard: 3 distinct items against maxItems=2 throws with the
+    // sized, actionable message BEFORE any driver matrix is allocated
+    val big = Seq(("A", "B"), ("B", "C"), ("C", "A"))
+      .toDF("winner", "loser")
+    val e = intercept[IllegalArgumentException] {
+      Eval.bradleyTerry(big, "winner", "loser", iters = 10, maxItems = 2)
+    }
+    assert(e.getMessage.contains("maxItems=2"), e.getMessage)
+    assert(e.getMessage.contains("3 x 3"), e.getMessage)
+  }
 }

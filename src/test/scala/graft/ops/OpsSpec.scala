@@ -3490,4 +3490,83 @@ class OpsSpec extends AnyFunSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(out(0) == 99L) // the planted off-topic vector is the outlier
   }
+
+  test("mannWhitney: closed-form U with and without ties, degenerate " +
+    "all-tied gives NULL z") {
+    import spark.implicits._
+    // no ties: A={1,3,5}, B={2,4} -> ranks 1..5, R_a=9, U_a=9-6=3,
+    // auc=3/6=0.5, z=(3-3)/sqrt(3)=0
+    val df = (Seq(1.0, 3.0, 5.0).map(("a", _)) ++
+      Seq(2.0, 4.0).map(("b", _))).toDF("g", "x")
+    val r = Profile.mannWhitney(df, "g", "x", "a", "b").collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2, s"$r")
+    assert(r.getDouble(2) == 3.0, s"u_a: $r")
+    assert(r.getDouble(3) == 0.5, s"auc: $r")
+    assert(r.getDouble(4) == 0.0, s"z: $r")
+    assert(!r.getBoolean(5), s"z=0 is not significant: $r")
+    // ties: A={1,2}, B={2,3} -> avg ranks 1, 2.5, 2.5, 4; R_a=3.5,
+    // U_a=0.5, auc=0.125; tie term (2^3-2)=6 ->
+    // sigma^2 = (4/12)*((4+1) - 6/(4*3)) = 1.5, z = -1.5/sqrt(1.5)
+    val tied = (Seq(1.0, 2.0).map(("a", _)) ++
+      Seq(2.0, 3.0).map(("b", _))).toDF("g", "x")
+    val t = Profile.mannWhitney(tied, "g", "x", "a", "b").collect().head
+    assert(t.getDouble(2) == 0.5, s"u_a: $t")
+    assert(t.getDouble(3) == 0.125, s"auc: $t")
+    assert(math.abs(t.getDouble(4) - -1.2247) < 1e-9, s"z: $t")
+    // degenerate: every value tied across groups -> sigma 0 -> NULL z,
+    // never significant
+    val const = (Seq.fill(3)(("a", 7.0)) ++ Seq.fill(3)(("b", 7.0)))
+      .toDF("g", "x")
+    val c = Profile.mannWhitney(const, "g", "x", "a", "b").collect().head
+    assert(c.isNullAt(4) && !c.getBoolean(5), s"$c")
+    intercept[IllegalArgumentException] {
+      Profile.mannWhitney(df, "g", "x", "a", "a")
+    }
+  }
+
+  test("spearman: monotone is exactly 1, tie-averaged closed form, " +
+    "anti-monotone is -1") {
+    import spark.implicits._
+    // strictly monotone (nonlinear) -> rank-perfect rho = 1
+    val mono = Seq((1.0, 1.0), (2.0, 4.0), (3.0, 9.0), (4.0, 16.0))
+      .toDF("x", "y")
+    val m = Profile.spearman(mono, "x", "y").collect().head
+    assert(m.getLong(0) == 4 && m.getDouble(1) == 1.0, s"$m")
+    // ties: x=(1,1,2,3), y=(10,20,20,30) -> avg ranks
+    // rx=(1.5,1.5,3,4), ry=(1,2.5,2.5,4) -> Pearson = 3.75/4.5 = 0.8333
+    val tied = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0))
+      .toDF("x", "y")
+    val t = Profile.spearman(tied, "x", "y").collect().head
+    assert(t.getLong(0) == 4 && t.getDouble(1) == 0.8333, s"$t")
+    // anti-monotone -> -1
+    val anti = Seq((1.0, 9.0), (2.0, 4.0), (3.0, 1.0)).toDF("x", "y")
+    assert(Profile.spearman(anti, "x", "y").collect().head
+      .getDouble(1) == -1.0)
+  }
+
+  test("bhAdjust: step-up running min, clamp to 1, alpha cut") {
+    import spark.implicits._
+    // p = (.005, .011, .02, .8), m=4: adj(4)=.8; adj(3)=min(4*.02/3,.8)
+    // = .026667; adj(2)=min(4*.011/2, .026667)=.022; adj(1)=min(.02,.022)
+    // = .02 — the step-up makes adj(1) LARGER than 4*.005/1 would not be
+    // (monotone by construction)
+    val df = Seq(("t1", 0.005), ("t2", 0.011), ("t3", 0.02), ("t4", 0.8))
+      .toDF("id", "p")
+    val out = Profile.bhAdjust(df, "id", "p").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).sortBy(_._2)
+    assert(out(0) == (("t1", 1L, 0.02, true)), s"${out(0)}")
+    assert(out(1) == (("t2", 2L, 0.022, true)), s"${out(1)}")
+    assert(out(2) == (("t3", 3L, 0.026667, true)), s"${out(2)}")
+    assert(out(3) == (("t4", 4L, 0.8, false)), s"${out(3)}")
+    // the j=m term of the running min is p_max (m*p_m/m), so adj is
+    // always <= 1 for in-range p — the least(1,.) clamp is defensive;
+    // here every rank inherits p_max=0.95, and out-of-range p is dropped
+    val cl = Seq(("a", 0.9), ("b", 0.95), ("c", 1.5))
+      .toDF("id", "p")
+    val c = Profile.bhAdjust(cl, "id", "p").collect()
+    assert(c.length == 2, "p=1.5 filtered")
+    assert(c.forall(_.getDouble(3) == 0.95), c.mkString(";"))
+    assert(c.forall(!_.getBoolean(4)), c.mkString(";"))
+  }
 }
