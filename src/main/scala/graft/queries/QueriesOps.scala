@@ -570,6 +570,17 @@ private[graft] object QueriesOps {
       graft.ops.Sampling.splitAssign(
           t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")),
+    "q_pareto_front" -> ((s, dir) =>
+      // 2-D Pareto front (skyline): lineitem rows no other row beats on
+      // BOTH quantity and price — one groupBy to the 50-value distinct-x
+      // frame, a cardinality-bounded running-max walk, semi-join back;
+      // duplicate frontier points all survive
+      graft.ops.Sampling.paretoFront(
+          t(s, dir, "lineitem").select(col("l_orderkey"),
+            col("l_linenumber"), col("l_quantity"),
+            col("l_extendedprice")),
+          "l_quantity", "l_extendedprice")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")),
     "q_top_paths" -> ((s, dir) => {
       // top user journeys: the 15 most common 3-step opening event
       // paths — per-user ordered prefix collect, one path aggregation,
@@ -1174,6 +1185,23 @@ private[graft] object QueriesOps {
         |  CASE WHEN u < 0.9 THEN 'train'
         |       WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
         |FROM u ORDER BY doc_id""".stripMargin,
+    // skyline replay: per-x max, running max over strictly-greater x,
+    // then the (x, y) join back — duplicates on the front all survive
+    "q_pareto_front" ->
+      """WITH d AS (SELECT l_orderkey, l_linenumber, l_quantity,
+        |    l_extendedprice FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |perx AS (SELECT l_quantity AS x, max(l_extendedprice) AS my
+        |  FROM d GROUP BY 1),
+        |w AS (SELECT x, my, max(my) OVER (ORDER BY x DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS gm
+        |  FROM perx),
+        |front AS (SELECT x, my FROM w WHERE gm IS NULL OR my > gm)
+        |SELECT d.l_orderkey, d.l_linenumber, d.l_quantity,
+        |  d.l_extendedprice
+        |FROM d JOIN front ON d.l_quantity = front.x
+        |  AND d.l_extendedprice = front.my
+        |ORDER BY d.l_quantity, d.l_orderkey, d.l_linenumber""".stripMargin,
     "q_top_paths" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
         |    event_type AS et FROM events),

@@ -405,6 +405,35 @@ private[graft] object QueriesText {
       graft.ops.TextMetrics.heapsLaw(t(s, dir, "documents"), "text",
           "doc_id", checkpoints = 10)
         .orderBy("checkpoint")),
+    "text_rouge" -> ((s, dir) => {
+      // ROUGE-2 of consecutive document pairs (even doc = candidate,
+      // odd = reference — the deterministic pairing q_bradley_terry
+      // uses): clipped bigram overlap, every pair id survives to the
+      // output even when a side has < 2 tokens
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id"), col("text").as("cand"))
+        .filter(col("id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("id"),
+          col("text").as("ref")), Seq("id"))
+      graft.ops.TextEval.rougeN(pairs, "id", "cand", "ref", n = 2)
+        .orderBy("id")
+    }),
+    "text_bleu" -> ((s, dir) => {
+      // corpus BLEU (maxN=2) over the same consecutive-pair frame:
+      // clipping per pair, totals corpus-level, brevity penalty on the
+      // summed lengths — one row
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id"), col("text").as("cand"))
+        .filter(col("id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("id"),
+          col("text").as("ref")), Seq("id"))
+      graft.ops.TextEval.bleu(pairs, "id", "cand", "ref", maxN = 2)
+    }),
+    "text_vocab_coverage" -> ((s, dir) =>
+      // Chao1 richness + Good-Turing coverage of the whole corpus —
+      // the eval-set sizing readout; one token scan, three 1-row
+      // aggregates
+      graft.ops.TextEval.vocabCoverage(t(s, dir, "documents"), "text")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1026,5 +1055,118 @@ private[graft] object QueriesText {
         |    ELSE 0.0 END AS oov_frac
         |FROM documents d LEFT JOIN a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+    // clipped-bigram ROUGE over the consecutive-pair frame; counts are
+    // exact integers so only the final 4dp ratios touch floats
+    "text_rouge" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(a.text), '\s+'),
+        |      x -> x <> '') AS ct,
+        |    list_filter(regexp_split_to_array(lower(b.text), '\s+'),
+        |      x -> x <> '') AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |g AS (SELECT id,
+        |    CASE WHEN len(ct) >= 2 THEN list_transform(range(1, len(ct)),
+        |      i -> ct[i] || ' ' || ct[i + 1]) ELSE []::VARCHAR[] END AS cg,
+        |    CASE WHEN len(rt) >= 2 THEN list_transform(range(1, len(rt)),
+        |      i -> rt[i] || ' ' || rt[i + 1]) ELSE []::VARCHAR[] END AS rg
+        |  FROM pr),
+        |cc AS (SELECT id, g2 AS gr, count(*)::BIGINT AS c
+        |  FROM (SELECT id, unnest(cg) AS g2 FROM g) GROUP BY 1, 2),
+        |rc AS (SELECT id, g2 AS gr, count(*)::BIGINT AS c
+        |  FROM (SELECT id, unnest(rg) AS g2 FROM g) GROUP BY 1, 2),
+        |m AS (SELECT coalesce(cc.id, rc.id) AS id,
+        |    coalesce(cc.c, 0) AS ccnt, coalesce(rc.c, 0) AS rcnt,
+        |    least(coalesce(cc.c, 0), coalesce(rc.c, 0)) AS clip
+        |  FROM cc FULL OUTER JOIN rc
+        |    ON cc.id = rc.id AND cc.gr = rc.gr),
+        |per AS (SELECT id, sum(ccnt)::BIGINT AS n_cand,
+        |    sum(rcnt)::BIGINT AS n_ref, sum(clip)::BIGINT AS overlap
+        |  FROM m GROUP BY 1),
+        |pj AS (SELECT p0.id, coalesce(per.n_cand, 0)::BIGINT AS n_cand,
+        |    coalesce(per.n_ref, 0)::BIGINT AS n_ref,
+        |    coalesce(per.overlap, 0)::BIGINT AS overlap
+        |  FROM (SELECT DISTINCT id FROM pr) p0 LEFT JOIN per USING (id)),
+        |sc AS (SELECT id, n_cand, n_ref, overlap,
+        |    CASE WHEN n_cand > 0 THEN overlap / n_cand::DOUBLE
+        |      ELSE 0.0 END AS p,
+        |    CASE WHEN n_ref > 0 THEN overlap / n_ref::DOUBLE
+        |      ELSE 0.0 END AS r
+        |  FROM pj)
+        |SELECT id, n_cand, n_ref, overlap, round(p, 4) AS "precision",
+        |  round(r, 4) AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+        |    ELSE 0.0 END, 4) AS f1
+        |FROM sc ORDER BY id""".stripMargin,
+    // corpus BLEU (maxN=2): clipping per pair, totals corpus-level,
+    // brevity penalty on the summed lengths — the published corpus form
+    "text_bleu" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(a.text), '\s+'),
+        |      x -> x <> '') AS ct,
+        |    list_filter(regexp_split_to_array(lower(b.text), '\s+'),
+        |      x -> x <> '') AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |lens AS (SELECT sum(len(ct))::BIGINT AS cand_len,
+        |    sum(len(rt))::BIGINT AS ref_len FROM pr),
+        |c1 AS (SELECT id, g2 AS gr, count(*)::BIGINT AS c
+        |  FROM (SELECT id, unnest(ct) AS g2 FROM pr) GROUP BY 1, 2),
+        |r1 AS (SELECT id, g2 AS gr, count(*)::BIGINT AS c
+        |  FROM (SELECT id, unnest(rt) AS g2 FROM pr) GROUP BY 1, 2),
+        |t1 AS (SELECT
+        |    sum(least(coalesce(c1.c, 0), coalesce(r1.c, 0)))::DOUBLE
+        |      AS clip,
+        |    sum(coalesce(c1.c, 0))::DOUBLE AS tot
+        |  FROM c1 FULL OUTER JOIN r1
+        |    ON c1.id = r1.id AND c1.gr = r1.gr),
+        |g AS (SELECT id,
+        |    CASE WHEN len(ct) >= 2 THEN list_transform(range(1, len(ct)),
+        |      i -> ct[i] || ' ' || ct[i + 1]) ELSE []::VARCHAR[] END AS cg,
+        |    CASE WHEN len(rt) >= 2 THEN list_transform(range(1, len(rt)),
+        |      i -> rt[i] || ' ' || rt[i + 1]) ELSE []::VARCHAR[] END AS rg
+        |  FROM pr),
+        |c2 AS (SELECT id, g2 AS gr, count(*)::BIGINT AS c
+        |  FROM (SELECT id, unnest(cg) AS g2 FROM g) GROUP BY 1, 2),
+        |r2 AS (SELECT id, g2 AS gr, count(*)::BIGINT AS c
+        |  FROM (SELECT id, unnest(rg) AS g2 FROM g) GROUP BY 1, 2),
+        |t2 AS (SELECT
+        |    sum(least(coalesce(c2.c, 0), coalesce(r2.c, 0)))::DOUBLE
+        |      AS clip,
+        |    sum(coalesce(c2.c, 0))::DOUBLE AS tot
+        |  FROM c2 FULL OUTER JOIN r2
+        |    ON c2.id = r2.id AND c2.gr = r2.gr),
+        |ps AS (SELECT cand_len, ref_len,
+        |    CASE WHEN t1.tot > 0 THEN t1.clip / t1.tot ELSE 0.0 END AS p1,
+        |    CASE WHEN t2.tot > 0 THEN t2.clip / t2.tot ELSE 0.0 END AS p2,
+        |    CASE WHEN cand_len >= ref_len OR cand_len = 0 THEN 1.0
+        |      ELSE exp(1.0 - ref_len::DOUBLE / cand_len) END AS bpv
+        |  FROM lens, t1, t2)
+        |SELECT cand_len, ref_len, round(p1, 4) AS p1, round(p2, 4) AS p2,
+        |  round(bpv, 4) AS bp,
+        |  round(CASE WHEN p1 > 0 AND p2 > 0
+        |    THEN bpv * exp((ln(p1) + ln(p2)) / 2.0) ELSE 0.0 END, 4)
+        |    AS bleu
+        |FROM ps""".stripMargin,
+    // Chao1 + Good-Turing over the whole-corpus term counts — three
+    // 1-row aggregates on exact integer frequencies
+    "text_vocab_coverage" ->
+      """WITH tm AS (SELECT w, count(*)::BIGINT AS c FROM (
+        |    SELECT unnest(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))
+        |      AS w FROM documents) GROUP BY 1)
+        |SELECT sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS vocab,
+        |  (count(*) FILTER (WHERE c = 1))::BIGINT AS f1,
+        |  (count(*) FILTER (WHERE c = 2))::BIGINT AS f2,
+        |  round(count(*) + (count(*) FILTER (WHERE c = 1))
+        |    * ((count(*) FILTER (WHERE c = 1)) - 1)
+        |    / (((count(*) FILTER (WHERE c = 2)) + 1) * 2.0), 1) AS chao1,
+        |  round((count(*) FILTER (WHERE c = 1)) / sum(c)::DOUBLE, 6)
+        |    AS unseen_mass,
+        |  round(1.0 - (count(*) FILTER (WHERE c = 1)) / sum(c)::DOUBLE, 6)
+        |    AS coverage
+        |FROM tm""".stripMargin,
   )
 }

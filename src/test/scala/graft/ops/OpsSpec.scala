@@ -3491,6 +3491,23 @@ class OpsSpec extends AnyFunSuite {
     assert(out(0) == 99L) // the planted off-topic vector is the outlier
   }
 
+  test("paretoFront: staircase survivors, dominated and tied-y drops, " +
+    "duplicate frontier points all survive") {
+    import spark.implicits._
+    // perX maxima: 1->5, 2->7, 3->4; walking x desc: (3,4) keeps (no
+    // greater x), (2,7) keeps (7 > 4), (1,5) drops (5 < 7)
+    val df = Seq((1.0, 5.0, "a"), (2.0, 3.0, "b"), (2.0, 7.0, "c"),
+      (3.0, 4.0, "d"), (3.0, 4.0, "d2")).toDF("x", "y", "tag")
+    val out = Sampling.paretoFront(df, "x", "y").collect()
+      .map(_.getString(2)).sorted
+    assert(out.toSeq == Seq("c", "d", "d2"), out.mkString(","))
+    // equal y at greater x DOMINATES (>= both, > on x): (1,5) vs (2,5)
+    val eq = Seq((1.0, 5.0, "lo"), (2.0, 5.0, "hi")).toDF("x", "y", "tag")
+    val e = Sampling.paretoFront(eq, "x", "y").collect()
+      .map(_.getString(2))
+    assert(e.toSeq == Seq("hi"), e.mkString(","))
+  }
+
   test("mannWhitney: closed-form U with and without ties, degenerate " +
     "all-tied gives NULL z") {
     import spark.implicits._
