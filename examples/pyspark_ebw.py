@@ -98,5 +98,100 @@ try:
 except Exception as e:  # py4j wraps the JVM exception
     assert "Inputs include invalid values" in str(e), str(e)[:300]
 
+# ---- elastic bounds (the reference's bounded mode, feasible case) ----
+# setRatioBounds is the py4j-friendly setter (no scala.Option needed);
+# feasible targets => exact balance with every ratio inside [0.5, 2.5]
+best = (
+    gw.jvm.graft.pipeline.EntropyBalanceWeighter()
+    .setFeaturesCol("features")
+    .setWeightCol("w0")
+    .setOutputCol("weight_new")
+    .setTargetMoments(jtargets)
+    .setRatioBounds(0.5, 2.5)
+    .setOptimalityTol(1e-9)
+)
+bmodel = best.fit(df._jdf)
+assert bmodel.converged(), "bounded solver did not converge"
+bout = DataFrame(bmodel.transform(df._jdf), spark)
+ratios = bout.selectExpr("min(weight_new / w0)", "max(weight_new / w0)").collect()[0]
+assert ratios[0] >= 0.5 - 1e-9 and ratios[1] <= 2.5 + 1e-9, str(ratios)
+brows = (
+    bout.groupBy("g").agg({"weight_new": "sum"})
+    .withColumnRenamed("sum(weight_new)", "w").collect()
+)
+btotal = sum(r["w"] for r in brows)
+for j, t in enumerate(targets):
+    got = {r["g"]: r["w"] / btotal for r in brows}[j]
+    assert abs(got - t) < 1e-6, f"bounded group {j}: {got} vs {t}"
+
+# ---- quadratic penalty (entropy_balance_penalty semantics) ----
+# a large penalty approaches exact balance; a small one stays near w0.
+jpen = gw.new_array(gw.jvm.double, 1)
+jpen[0] = 1e6
+pest = (
+    gw.jvm.graft.pipeline.EntropyBalanceWeighter()
+    .setFeaturesCol("features")
+    .setWeightCol("w0")
+    .setOutputCol("weight_new")
+    .setTargetMoments(jtargets)
+    .setPenalty(jpen)
+)
+pmodel = pest.fit(df._jdf)
+assert pmodel.converged(), "penalty solver did not converge"
+pout = DataFrame(pmodel.transform(df._jdf), spark)
+prows = (
+    pout.groupBy("g").agg({"weight_new": "sum"})
+    .withColumnRenamed("sum(weight_new)", "w").collect()
+)
+ptotal = sum(r["w"] for r in prows)
+for j, t in enumerate(targets):
+    got = {r["g"]: r["w"] / ptotal for r in prows}[j]
+    assert abs(got - t) < 1e-3, f"penalty group {j}: {got} vs {t}"
+
+# ---- grouped mode (one independent problem per group value) ----
+# two strata, each balanced to ITS OWN 2-moment target; the java Map
+# setter is the py4j path (no scala.collection construction in Python)
+gdf = spark.range(N).selectExpr(
+    "case when id % 2 = 0 then 'even' else 'odd' end as stratum",
+    "array(cast(case when id % 4 < 2 then 1.0 else 0.0 end as double),"
+    " cast(case when id % 4 >= 2 then 1.0 else 0.0 end as double))"
+    " as features",
+    "cast(1.0 as double) as w0",
+)
+jmap = gw.jvm.java.util.HashMap()
+for name, tgt in (("even", [0.6, 0.4]), ("odd", [0.3, 0.7])):
+    arr = gw.new_array(gw.jvm.double, 2)
+    arr[0], arr[1] = tgt
+    jmap.put(name, arr)
+gest = (
+    gw.jvm.graft.pipeline.EntropyBalanceWeighter()
+    .setFeaturesCol("features")
+    .setWeightCol("w0")
+    .setOutputCol("weight_new")
+    .setGroupCol("stratum")
+    .setGroupTargetsJava(jmap)
+    .setOptimalityTol(1e-9)
+)
+gmodel = gest.fit(gdf._jdf)
+assert gmodel.converged(), "grouped solver did not converge"
+gout = DataFrame(gmodel.transform(gdf._jdf), spark)
+grows = (
+    gout.selectExpr(
+        "stratum",
+        "case when features[0] = 1.0 then 0 else 1 end as cell",
+        "weight_new",
+    )
+    .groupBy("stratum", "cell").agg({"weight_new": "sum"})
+    .withColumnRenamed("sum(weight_new)", "w").collect()
+)
+bys = {}
+for r in grows:
+    bys.setdefault(r["stratum"], {})[r["cell"]] = r["w"]
+for name, tgt in (("even", [0.6, 0.4]), ("odd", [0.3, 0.7])):
+    tot = sum(bys[name].values())
+    for c, t in enumerate(tgt):
+        got = bys[name][c] / tot
+        assert abs(got - t) < 1e-6, f"grouped {name}/{c}: {got} vs {t}"
+
 print("PYSPARK-EBW-SMOKE OK")
 spark.stop()

@@ -53,6 +53,10 @@ class EntropyBalanceWeighter(override val uid: String)
   final val groupTargets: Param[Map[String, Array[Double]]] =
     new Param[Map[String, Array[Double]]](this, "groupTargets",
       "per-group mean population moments (grouped mode)")
+  final val penalty: DoubleArrayParam =
+    new DoubleArrayParam(this, "penalty",
+      "quadratic penalty per moment (length 1 broadcasts to all k); " +
+      "when set, fit solves the penalty variant instead of exact balance")
 
   setDefault(outputCol -> "weight_new", maxSteps -> 30, optimalityTol -> 1e-5)
 
@@ -69,6 +73,23 @@ class EntropyBalanceWeighter(override val uid: String)
   def setOptimalityTol(v: Double): this.type = set(optimalityTol, v)
   def setGroupCol(v: String): this.type = set(groupCol, v)
   def setGroupTargets(v: Map[String, Array[Double]]): this.type = set(groupTargets, v)
+  def setPenalty(v: Array[Double]): this.type = set(penalty, v)
+
+  /** Java/py4j-friendly bounds setter (the Python façade can't build
+   * scala.Option): pass Double.PositiveInfinity for "no upper bound". */
+  def setRatioBounds(lb: Double, ub: Double): this.type = {
+    set(lowerBound, lb)
+    if (!ub.isInfinite) set(upperBound, ub)
+    this
+  }
+
+  /** Java/py4j-friendly grouped-targets setter (the Python façade can't
+   * build a scala.collection.immutable.Map). */
+  def setGroupTargetsJava(
+      v: java.util.Map[String, Array[Double]]): this.type = {
+    import scala.jdk.CollectionConverters._
+    set(groupTargets, v.asScala.toMap)
+  }
 
   override def fit(dataset: Dataset[_]): EntropyBalanceModel = {
     val bounds =
@@ -82,9 +103,14 @@ class EntropyBalanceWeighter(override val uid: String)
       if (isSet(groupCol)) {
         require(isSet(groupTargets),
           "grouped mode (groupCol set) requires groupTargets")
-        val res = GroupedEntropyBalance.entropyBalanceGrouped(
-          dataset.toDF(), $(groupCol), $(featuresCol), $(weightCol),
-          $(groupTargets), $(outputCol), options)
+        val res =
+          if (isSet(penalty))
+            GroupedEntropyBalance.entropyBalancePenaltyGrouped(
+              dataset.toDF(), $(groupCol), $(featuresCol), $(weightCol),
+              $(groupTargets), $(penalty), $(outputCol), options)
+          else GroupedEntropyBalance.entropyBalanceGrouped(
+            dataset.toDF(), $(groupCol), $(featuresCol), $(weightCol),
+            $(groupTargets), $(outputCol), options)
         val (lb, ub) = bounds match {
           case Some((l, u)) =>
             (math.max(0.0, l), u.getOrElse(Double.PositiveInfinity))
@@ -93,9 +119,13 @@ class EntropyBalanceWeighter(override val uid: String)
         new EntropyBalanceModel(uid, None,
           Some(GroupedWeighterState($(groupCol), res.groups, lb, ub)))
       } else {
-        val res = EntropyBalance.entropyBalance(
-          dataset.toDF(), $(featuresCol), $(weightCol), $(targetMoments),
-          $(outputCol), options)
+        val res =
+          if (isSet(penalty)) EntropyBalance.entropyBalancePenalty(
+            dataset.toDF(), $(featuresCol), $(weightCol), $(targetMoments),
+            $(penalty), $(outputCol), options)
+          else EntropyBalance.entropyBalance(
+            dataset.toDF(), $(featuresCol), $(weightCol), $(targetMoments),
+            $(outputCol), options)
         new EntropyBalanceModel(uid, Some(res), None)
       }
     copyValues(model.setParent(this))

@@ -104,6 +104,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rng.getDouble(0) >= 0.8 - 1e-9 && rng.getDouble(1) <= 1.2 + 1e-9)
   }
 
+  test("penalty weighter matches entropyBalancePenalty; setRatioBounds " +
+    "is the py4j-friendly bounds path") {
+    val df = cust
+    val m = targets(df)
+    // penalty mode: result equals the direct entropyBalancePenalty call
+    val pw = new EntropyBalanceWeighter()
+      .setFeaturesCol("feat").setWeightCol("w0").setOutputCol("w_new")
+      .setTargetMoments(m).setPenalty(Array(1e6))
+    val pm = pw.fit(df)
+    assert(pm.converged)
+    val direct = EntropyBalance.entropyBalancePenalty(
+      df, "feat", "w0", m, Array(1e6), "w_direct")
+    val cmp = pm.transform(direct.weighted)
+      .agg(max(abs(col("w_new") - col("w_direct")))).collect()(0)
+    assert(cmp.getDouble(0) < 1e-12, s"facade != direct: $cmp")
+    // setRatioBounds(lb, +inf) == setBounds(lb, None): ratios clipped
+    val bw = new EntropyBalanceWeighter()
+      .setFeaturesCol("feat").setWeightCol("w0").setOutputCol("w_new")
+      .setTargetMoments(Array(m(0) * 1.4, m(1)))
+      .setRatioBounds(0.8, Double.PositiveInfinity)
+    val bm = bw.fit(df)
+    val mn = bm.transform(df)
+      .agg(min(col("w_new") / col("w0"))).collect()(0).getDouble(0)
+    assert(mn >= 0.8 - 1e-9, s"lower bound violated: $mn")
+  }
+
   test("ProblemIO round-trips dense and sparse problems") {
     val df = cust
     val m = targets(df)
