@@ -61,8 +61,23 @@ object ScaleUp {
     wr(rd("region"), "region")
     wr(rd("nation"), "nation")
     val cust = rd("customer")
-    wr(copies(m)(c => cust.withColumn("c_custkey",
-      col("c_custkey") + lit(c * 1000000L))), "customer")
+    // per-copy DIGIT-ROTATION bijection on c_name (d -> (d+c) mod 10):
+    // a common substitution cipher preserves every within-copy edit
+    // distance EXACTLY, while any two copies differ at all ~9 digit
+    // positions (distance 9 >> the maxDist=2 gates), so name-blocked
+    // fuzzy linkage sees 10 independent rosters instead of a 10x-dense
+    // planted match set — the text-column vocabulary bijection applied
+    // to entity names. (The pre-bijection same-names deck remains the
+    // documented DENSITY stress regime, SURVEY §6.)
+    def rotDigits(c: Int, col0: org.apache.spark.sql.Column) = {
+      val r = c % 10
+      if (r == 0) col0
+      else translate(col0, "0123456789",
+        "0123456789".drop(r) + "0123456789".take(r))
+    }
+    wr(copies(m)(c => cust
+      .withColumn("c_custkey", col("c_custkey") + lit(c * 1000000L))
+      .withColumn("c_name", rotDigits(c, col("c_name")))), "customer")
     val supp = rd("supplier")
     wr(copies(m)(c => supp.withColumn("s_suppkey",
       col("s_suppkey") + lit(c * 1000000L))), "supplier")
