@@ -86,6 +86,8 @@ object GraftFunctions {
       "graft_jaro", exprs => JaroWinkler(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_deflate_len", exprs => DeflateLength(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_del_hashes", exprs => DeletionHashes(exprs(0), exprs(1)), "built-in")
   }
 }
 
@@ -109,5 +111,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_deflate_len"),
       new ExpressionInfo(classOf[DeflateLength].getName, "graft_deflate_len"),
       (exprs: Seq[Expression]) => DeflateLength(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("graft_del_hashes"),
+      new ExpressionInfo(classOf[DeletionHashes].getName, "graft_del_hashes"),
+      (exprs: Seq[Expression]) => DeletionHashes(exprs(0), exprs(1))))
   }
 }

@@ -106,11 +106,14 @@ private[graft] object QueriesOps {
     "q_fuzzy_join" -> ((s, dir) =>
       // blocked fuzzy record linkage: TPC-H customer names differ only in
       // their numeric suffix, so nation-blocked pairs within 2 edits are a
-      // dense, deterministic match set; the oracle verifies the length
-      // prefilter and the thresholded DP kernel change nothing
+      // dense, deterministic match set; the oracle (full block-square
+      // levenshtein) verifies the deletion-neighborhood candidate index
+      // and the thresholded DP kernel change nothing — the FastSS path
+      // is what keeps candidate enumeration linear when blocks grow with
+      // the corpus (sf1 evidence in SURVEY §6)
       graft.ops.Linkage.fuzzySelfJoin(t(s, dir, "customer"),
           Seq("c_nationkey"), "c_name", "c_custkey", maxDist = 2,
-          saltBuckets = 8)
+          method = "delete")
         .select(col("id_a"), col("id_b"), col("c_nationkey"),
           col("dist").cast("long").as("dist"))
         .orderBy("id_a", "id_b")),

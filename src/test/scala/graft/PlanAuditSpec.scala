@@ -273,6 +273,20 @@ class PlanAuditSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), s"no equi-join on the block key:\n$p")
   }
 
+  test("fuzzySelfJoin delete-mode: variant-key equi-join, never a " +
+    "nested loop") {
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val p = graft.ops.Linkage.fuzzySelfJoin(cust, Seq("c_nationkey"),
+        "c_name", "c_custkey", 2, method = "delete")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"delete-mode planned as a product:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join on the variant key:\n$p")
+    assert(p.contains("graft_del_hashes"),
+      s"candidate keys must come from the compiled kernel:\n$p")
+  }
+
   test("assignShards: exactly one Exchange (the per-shard window)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
     val p = graft.ops.Sampling.assignShards(orders, "o_orderkey", 8)

@@ -119,4 +119,36 @@ class FunctionsSpec extends AnyFunSuite {
     // supplementary code points count as ONE character
     assert(graft.functions.JaroWinklerKernel.simStr("😀", "😀") == 1.0)
   }
+
+  test("graft_del_hashes: neighborhood sizes, FastSS sharing law, " +
+    "disjointness, k bounds") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def hs(s: String, k: Int): Set[Long] =
+      DeletionHashKernel.hashes(UTF8String.fromString(s), k)
+        .toLongArray().toSet
+    // "abc" k=2: {abc, ab, ac, bc, a, b, c} = 7 distinct variants
+    assert(hs("abc", 2).size == 7)
+    assert(hs("abc", 1).size == 4) // {abc, ab, ac, bc}
+    assert(hs("abc", 0).size == 1)
+    // repeated chars collapse: "aaa" deletions are {aaa, aa, a} = 3
+    assert(hs("aaa", 2).size == 3)
+    // FastSS sharing law: ed <= k implies shared variant hash
+    assert((hs("abcdef", 2) & hs("abXdYf", 2)).nonEmpty)  // 2 substitutions
+    assert((hs("abcdef", 2) & hs("abdef", 2)).nonEmpty)   // 1 deletion
+    assert((hs("abcdef", 2) & hs("abZcdef", 2)).nonEmpty) // 1 insertion
+    assert((hs("abcdef", 1) & hs("aXcdeY", 1)).isEmpty)   // ed 2 > k=1
+    // digit-rotated names (the ScaleUp bijection) share nothing at k=2
+    assert((hs("Customer#000000007", 2) & hs("Customer#111111118", 2)).isEmpty)
+    // empty string: just itself
+    assert(hs("", 2).size == 1)
+    intercept[IllegalArgumentException] {
+      DeletionHashKernel.hashes(UTF8String.fromString("x"), 3)
+    }
+    // SQL registration + codegen participation
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("abc").toDF("s")
+      .selectExpr("size(graft_del_hashes(s, 2)) AS n")
+    assert(df.collect().head.getInt(0) == 7)
+  }
 }

@@ -805,6 +805,29 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
     // cross-block pairs never appear
     assert(got.forall { case (a, b, _) => (a < 100) == (b < 100) })
+    // the deletion-neighborhood candidate index is a lossless superset:
+    // method="delete" returns the IDENTICAL pair set (incl. the indel
+    // cases the length prefilter lets through)
+    val del = Linkage.fuzzySelfJoin(df, Seq("blk"), "s", "id", maxDist = 2,
+        method = "delete")
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(del == want, s"delete-mode mismatch: ${del.diff(want)} / ${want.diff(del)}")
+    // maxDist=1 and 0 exercise the smaller neighborhoods
+    for (k <- Seq(0, 1)) {
+      val dk = Linkage.fuzzySelfJoin(df, Seq("blk"), "s", "id", maxDist = k,
+          method = "delete")
+        .select("id_a", "id_b", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val wk = want.filter(_._3 <= k)
+      assert(dk == wk, s"k=$k: ${dk.diff(wk)} / ${wk.diff(dk)}")
+    }
+    // k=3 is outside the documented deletion-neighborhood envelope
+    val e = intercept[IllegalArgumentException] {
+      Linkage.fuzzySelfJoin(df, Seq("blk"), "s", "id", maxDist = 3,
+        method = "delete")
+    }
+    assert(e.getMessage.contains("maxDist <= 2"), e.getMessage)
   }
 
   test("fuzzySelfJoin: salted result identical for any saltBuckets") {
