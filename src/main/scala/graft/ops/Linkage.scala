@@ -177,11 +177,20 @@ object Linkage {
   def fuzzyJoin(
       left: DataFrame, right: DataFrame, blockCols: Seq[String],
       leftStr: String, rightStr: String, leftId: String, rightId: String,
-      maxDist: Int, saltBuckets: Int = 1): DataFrame = {
+      maxDist: Int, saltBuckets: Int = 1, method: String = "block"): DataFrame = {
     require(blockCols.nonEmpty,
       "blocking columns are required: an unblocked fuzzy join is a cartesian product")
     require(maxDist >= 0, "maxDist must be non-negative")
     require(saltBuckets >= 1, "saltBuckets must be >= 1")
+    require(method == "block" || method == "delete",
+      s"method must be 'block' or 'delete': $method")
+    if (method == "delete") {
+      require(maxDist <= 2,
+        s"deletion-neighborhood indexing supports maxDist <= 2 (keys per " +
+        s"row grow as C(len, maxDist)); got $maxDist — use method=\"block\"")
+      return fuzzyJoinDelete(left, right, blockCols, leftStr, rightStr,
+        leftId, rightId, maxDist)
+    }
     // same kernel-parallelism shape as fuzzySelfJoin: explicit repartition
     // so AQE cannot coalesce the pair-generating join onto few tasks, salt
     // on the (unreplicated) left id, right replicated saltBuckets ways
@@ -208,6 +217,47 @@ object Linkage {
     joined
       .withColumn("match_rank", row_number().over(w))
       .select((col("id_l") +: col("id_r") +: blockCols.map(l(_))) ++
+        Seq(col("dist"), col("match_rank")): _*)
+  }
+
+  /** Two-table FastSS candidates (the [[fuzzySelfJoinDelete]] shape
+   * without the canonical-order cut): variant-hash equi-join, ids-only
+   * dedup, strings re-joined for the verify, then the same best-match
+   * rank window as the block path. */
+  private def fuzzyJoinDelete(
+      left: DataFrame, right: DataFrame, blockCols: Seq[String],
+      leftStr: String, rightStr: String, leftId: String, rightId: String,
+      maxDist: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    val nPart = left.sparkSession.sessionState.conf.numShufflePartitions
+    def keyed(df: DataFrame, strC: String, idC: String, id: String,
+        ln: String) = df.select(
+      (blockCols.map(col) :+ col(idC).as(id) :+
+        length(col(strC)).as(ln) :+
+        explode(call_function("graft_del_hashes", col(strC),
+          lit(maxDist))).as("_v")): _*)
+    val l = keyed(left, leftStr, leftId, "id_l", "_ll")
+    val r = keyed(right, rightStr, rightId, "id_r", "_lr")
+    val cand = l.join(r,
+      (blockCols.map(c => l(c) === r(c)) :+ (l("_v") === r("_v")))
+        .reduce(_ && _)
+        && abs(col("_ll") - col("_lr")) <= maxDist)
+      .select((col("id_l") +: col("id_r") +: blockCols.map(l(_))): _*)
+      .distinct()
+      .repartition(nPart, col("id_l"))
+    val sl = left.select(col(leftId).as("id_l"), col(leftStr).as("_sl"))
+    val sr = right.select(col(rightId).as("id_r"), col(rightStr).as("_sr"))
+    val dist0 = levenshtein(col("_sl"), col("_sr"), math.max(maxDist, 1))
+    val verified = cand
+      .join(sl, Seq("id_l")).join(sr, Seq("id_r"))
+      .select((col("id_l") +: col("id_r") +: blockCols.map(col)) :+
+        explode(when(dist0.between(0, maxDist), array(dist0))
+          .otherwise(array().cast("array<int>"))).as("dist"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_l")).orderBy(col("dist"), col("id_r"))
+    verified
+      .withColumn("match_rank", row_number().over(w))
+      .select((col("id_l") +: col("id_r") +: blockCols.map(col)) ++
         Seq(col("dist"), col("match_rank")): _*)
   }
 

@@ -858,6 +858,13 @@ class CurationSpec extends AnyFunSuite {
       .select("id_r", "dist", "match_rank").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
     assert(out == Seq((12L, 0, 1), (10L, 1, 2), (11L, 1, 3)))
+    // deletion-neighborhood candidates return the identical ranked set
+    val del = Linkage.fuzzyJoin(left, right, Seq("blk"), "ls", "rs",
+        "lid", "rid", maxDist = 2, method = "delete")
+      .orderBy("match_rank")
+      .select("id_r", "dist", "match_rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(del == out, s"delete-mode mismatch: $del vs $out")
   }
 
   test("containmentPairs: a fully-quoted short doc scores 1.0 where " +
