@@ -38,7 +38,11 @@ object Bench {
     // across a REAL executor boundary (separate JVMs, serialized task
     // binaries, actual broadcast + shuffle transport) — the multi-JVM
     // evidence pass; SPARK_GRAFT_JARS must then carry the packaged graft
-    // jar so executor JVMs can deserialize the closures.
+    // jar so executor JVMs can deserialize the closures, and the
+    // environment needs SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13
+    // (ExecutorRunner builds the executor command through the launcher,
+    // which otherwise scans for source-build directories and dies with
+    // "Cannot find any build directories").
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
       .master(master)
