@@ -21,33 +21,54 @@ object TextEval {
   private def toks(c: Column): Column =
     filter(split(lower(c), "\\s+"), w => w =!= "")
 
-  /** n-gram array of a token array: grams joined by single spaces; empty
-   * when the text has fewer than n tokens. */
-  private def grams(t: Column, n: Int): Column =
-    if (n == 1) t
-    else when(size(t) >= n,
-      transform(sequence(lit(0), size(t) - n),
-        i => concat_ws(" ", slice(t, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-
-  /** Per-(id, gram) candidate/reference counts with the CLIPPED overlap
-   * min(c_cand, c_ref) — the shared kernel of [[rougeN]] and [[bleu]]. */
-  private def clippedCounts(df: DataFrame, idCol: String, candCol: String,
-      refCol: String, n: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"),
-      grams(toks(col(candCol)), n).as("cg"),
-      grams(toks(col(refCol)), n).as("rg"))
-    val cc = base.select(col("id"), explode(col("cg")).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("cc"))
-    val rc = base.select(col("id"), explode(col("rg")).as("g"))
-      .groupBy("id", "g").agg(count(lit(1)).as("rc"))
-    cc.join(rc, Seq("id", "g"), "full_outer")
-      .select(col("id"), col("g"),
-        coalesce(col("cc"), lit(0L)).as("cc"),
-        coalesce(col("rc"), lit(0L)).as("rc"),
-        least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L)))
-          .as("clip"))
+  /** Spread a narrow-partition input before a CPU-heavy per-row stage:
+   * interpreted higher-order gram construction costs far more per row
+   * than the rows' bytes, so a tiny single-split file would otherwise
+   * serialize the whole explode on one core (measured 8 s → sub-second
+   * at sf0.1). No-op when the plan already has enough splits — the
+   * 100 TB case, where the extra shuffle would be pure waste. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
   }
+
+  /** All (n, gram) pairs of a token array for n in [nFrom, nTo], each
+   * tagged with a side marker — grams joined by single spaces, none when
+   * the text has fewer than n tokens. One transform per n concatenated at
+   * PLAN time (n and side are literals), which measures ~2× faster per
+   * element than a nested runtime transform over sequence(nFrom, nTo). */
+  private def taggedGrams(t: Column, nFrom: Int, nTo: Int,
+      side: Int): Column = {
+    def entry(n: Int, g: Column): Column =
+      struct(lit(side).as("s"), lit(n).as("n"), g.as("g"))
+    concat((nFrom to nTo).map { n =>
+      if (n == 1) transform(t, w => entry(1, w))
+      else when(size(t) >= n,
+        transform(sequence(lit(0), size(t) - n),
+          i => entry(n, concat_ws(" ", slice(t, i + 1, lit(n))))))
+        .otherwise(array().cast("array<struct<s:int,n:int,g:string>>"))
+    }: _*)
+  }
+
+  /** Per-(n, id, gram) candidate/reference counts with the CLIPPED overlap
+   * min(c_cand, c_ref) for every n in [nFrom, nTo] — the shared kernel of
+   * [[rougeN]] and [[bleu]]. ONE scan of the pair frame and ONE shuffle:
+   * both sides explode side-tagged and cc/rc are conditional counts of
+   * the same aggregation — no per-side branch recomputing an uncached
+   * input (at corpus scale the input is typically a join), no full_outer
+   * join shuffle. */
+  private def clippedCounts(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, nFrom: Int, nTo: Int): DataFrame =
+    spread(df.select(col(idCol).as("id"),
+        col(candCol).as("_cand"), col(refCol).as("_ref")))
+      .select(col("id"),
+        explode(concat(
+          taggedGrams(toks(col("_cand")), nFrom, nTo, 0),
+          taggedGrams(toks(col("_ref")), nFrom, nTo, 1))).as("x"))
+      .groupBy(col("x.n").as("n"), col("id"), col("x.g").as("g"))
+      .agg(count(when(col("x.s") === 0, 1)).as("cc"),
+        count(when(col("x.s") === 1, 1)).as("rc"))
+      .withColumn("clip", least(col("cc"), col("rc")))
 
   /**
    * ROUGE-n (Lin 2004): per (candidate, reference) pair, the clipped
@@ -64,7 +85,7 @@ object TextEval {
   def rougeN(df: DataFrame, idCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
-    val per = clippedCounts(df, idCol, candCol, refCol, n)
+    val per = clippedCounts(df, idCol, candCol, refCol, n, n)
       .groupBy("id")
       .agg(sum("cc").as("n_cand"), sum("rc").as("n_ref"),
         sum("clip").as("overlap"))
@@ -92,23 +113,28 @@ object TextEval {
    * sentence BLEUs), times the brevity penalty BP = min(1, e^(1−r/c)).
    * Any empty precision level zeroes BLEU (the standard convention;
    * smoothed variants exist but this is the reference definition).
-   * One scan per n for the gram explosion, all joins banded on (id, gram).
+   * ONE scan of the pair frame covers every n-level AND the length
+   * totals (cand_len/ref_len are the unigram count sums), so the whole
+   * score is one shuffle plus a 1-row aggregate — no per-n re-read of
+   * what is typically an uncached join.
    * Output: 1 row — cand_len, ref_len, p1..p{maxN} (4dp), bp (4dp),
    * bleu (4dp).
    */
   def bleu(df: DataFrame, idCol: String, candCol: String,
       refCol: String, maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN in [1,8]: $maxN")
-    val lens = df.select(
-      size(toks(col(candCol))).cast("long").as("cl"),
-      size(toks(col(refCol))).cast("long").as("rl"))
-      .agg(sum("cl").as("cand_len"), sum("rl").as("ref_len"))
-    val pns = (1 to maxN).map { n =>
-      clippedCounts(df, idCol, candCol, refCol, n)
-        .agg(sum("clip").cast("double").as(s"_clip$n"),
-          sum("cc").cast("double").as(s"_tot$n"))
-    }
-    val joined = pns.foldLeft(lens)(_ crossJoin _)
+    val counts = clippedCounts(df, idCol, candCol, refCol, 1, maxN)
+    val aggs: Seq[Column] =
+      Seq(coalesce(sum(when(col("n") === 1, col("cc"))), lit(0L))
+            .cast("long").as("cand_len"),
+          coalesce(sum(when(col("n") === 1, col("rc"))), lit(0L))
+            .cast("long").as("ref_len")) ++
+      (1 to maxN).flatMap(n => Seq(
+        coalesce(sum(when(col("n") === n, col("clip"))), lit(0L))
+          .cast("double").as(s"_clip$n"),
+        coalesce(sum(when(col("n") === n, col("cc"))), lit(0L))
+          .cast("double").as(s"_tot$n")))
+    val joined = counts.agg(aggs.head, aggs.tail: _*)
     val ps = (1 to maxN).map(n =>
       when(col(s"_tot$n") > 0, col(s"_clip$n") / col(s"_tot$n"))
         .otherwise(lit(0.0)).as(s"_p$n"))
