@@ -1325,6 +1325,51 @@ private[graft] object QShared {
          |FROM w$iters ORDER BY r, c""".stripMargin
   }
 
+  /** Cell-level IPF replay for the ebw_token_mix gate: the same
+   * alternating margin scalings as [[ipfOracle]], but the contingency
+   * table is (lang × length bucket) over documents WEIGHTED BY TOKEN
+   * COUNT — the token-budget mixture-balancing form. Token counts are
+   * integers so every cell mass is exact in double and the unrolled
+   * arithmetic replays bit-for-bit at the gate's rounding. */
+  def tokenMixOracle(iters: Int): String = {
+    val pre =
+      """WITH base AS MATERIALIZED (SELECT lang AS r,
+        |    CASE WHEN n_chars < 250 THEN 'short'
+        |      WHEN n_chars < 350 THEN 'mid' ELSE 'long' END AS c,
+        |    len(list_filter(regexp_split_to_array(text, '\s+'),
+        |      x -> x <> ''))::DOUBLE AS tok
+        |  FROM documents),
+        |c0 AS MATERIALIZED (SELECT r, c, sum(tok) AS w,
+        |    count(*)::BIGINT AS n, sum(tok)::BIGINT AS tokens
+        |  FROM base GROUP BY 1, 2),
+        |tot AS MATERIALIZED (SELECT sum(w) AS t FROM c0),
+        |tr AS MATERIALIZED (SELECT r, s * tot.t AS t
+        |  FROM (VALUES ('en', 0.3), ('de', 0.175), ('es', 0.175),
+        |    ('fr', 0.175), ('zh', 0.175)) tr0(r, s), tot),
+        |tc AS MATERIALIZED (SELECT c, s * tot.t AS t
+        |  FROM (VALUES ('short', 0.3), ('mid', 0.4),
+        |    ('long', 0.3)) tc0(c, s), tot),
+        |w0 AS MATERIALIZED (SELECT r, c, w, n, tokens FROM c0)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val p = if (i == 1) "w0" else s"w${i - 1}"
+      s""",
+         |mr$i AS MATERIALIZED (SELECT r, sum(w) AS m FROM $p GROUP BY r),
+         |a$i AS MATERIALIZED (SELECT p.r, p.c,
+         |    p.w * (tr.t / mr$i.m) AS w, p.n, p.tokens
+         |  FROM $p p JOIN tr ON tr.r = p.r JOIN mr$i ON mr$i.r = p.r),
+         |mc$i AS MATERIALIZED (SELECT c, sum(w) AS m FROM a$i GROUP BY c),
+         |w$i AS MATERIALIZED (SELECT a.r, a.c,
+         |    a.w * (tc.t / mc$i.m) AS w, a.n, a.tokens
+         |  FROM a$i a JOIN tc ON tc.c = a.c
+         |  JOIN mc$i ON mc$i.c = a.c)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT r AS lang, c AS len_bucket, n, tokens,
+         |  round(w, 4) AS w_cell
+         |FROM w$iters ORDER BY lang, len_bucket""".stripMargin
+  }
+
   /** Per-chunk marker-vote replay for the text_lang_mix gate: the
    * langidOracle arithmetic over fixed 50-token windows, then the
    * per-document majority profile. */

@@ -245,4 +245,58 @@ object Eval {
     ranked.withColumn("rank", dense_rank().over(
       Window.orderBy(col("rating").desc)).cast("long"))
   }
+
+  /**
+   * Minimum-Bayes-Risk candidate selection (Kumar & Byrne 2004; the
+   * modern best-of-n decoding readout, e.g. Bertsch et al. 2023): per
+   * group (a prompt / problem), pick the candidate whose EXPECTED
+   * similarity to the other sampled candidates is highest — the sample
+   * that best represents the consensus, which beats picking by sequence
+   * probability when generations disagree. Utility here is token-SET
+   * Jaccard (lowercased whitespace tokens, duplicates dropped): cheap,
+   * symmetric, and exactly replayable in any engine; two empty token
+   * sets count as identical (similarity 1).
+   *
+   * Work is a group-keyed self-join: per group of k candidates the pair
+   * enumeration is k(k−1) — k is the SAMPLES-PER-PROMPT knob (4–64 in
+   * practice), set by the eval design, never data-scale, so the plan is
+   * linear in groups at any corpus size and the only shuffle is on the
+   * group key. A singleton group has no pairs: its candidate is still
+   * selected, with NULL mbr_score (avg over nothing), not dropped.
+   * Output: one row per group — group, selected id, mbr_score (4dp;
+   * NULL for singletons), n_cands. Ties break to the smallest id
+   * (deterministic re-runs).
+   */
+  def mbrSelect(df: DataFrame, groupCol: String, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = array_distinct(
+      filter(split(lower(col(textCol)), "\\s+"), w => w =!= ""))
+    val cands = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      toks.as("t"))
+    val a = cands.select(col("grp"), col("id"), col("t"))
+    val b = cands.select(col("grp"), col("id").as("id2"), col("t").as("t2"))
+    val inter = size(array_intersect(col("t"), col("t2")))
+    val uni = size(array_union(col("t"), col("t2")))
+    val sim = when(uni === 0, lit(1.0))
+      .otherwise(inter.cast("double") / uni.cast("double"))
+    val scored = a.join(b, Seq("grp"))
+      .filter(col("id") =!= col("id2"))
+      .groupBy("grp", "id")
+      .agg(avg(sim).as("mbr"))
+    val sizes = cands.groupBy("grp")
+      .agg(count(lit(1)).as("n_cands"))
+    import org.apache.spark.sql.expressions.Window
+    // rank on a 9dp-rounded score: the pairwise similarities are exact
+    // rationals but their average is summation-order-dependent in the
+    // last bits, and a cross-engine replay must agree on the argmax
+    val w = Window.partitionBy("grp")
+      .orderBy(round(col("mbr"), 9).desc_nulls_last, col("id").asc)
+    cands.select("grp", "id")
+      .join(scored, Seq("grp", "id"), "left")
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .join(sizes, Seq("grp"))
+      .select(col("grp"), col("id").as("selected"),
+        round(col("mbr"), 4).as("mbr_score"), col("n_cands"))
+  }
 }

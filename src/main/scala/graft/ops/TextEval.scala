@@ -154,6 +154,75 @@ object TextEval {
   }
 
   /**
+   * chrF (Popović 2015) — the character-level generation score that is
+   * robust to tokenization and morphology where word-level BLEU/ROUGE
+   * are brittle: F_β over character n-gram precision/recall, β = 2
+   * (recall-weighted, the published default). Text is lowercased and
+   * whitespace is REMOVED (the paper's convention); per n in 1..maxN the
+   * clipped char-n-gram counts aggregate corpus-level (clipping per
+   * pair, totals corpus-level — the same micro/macro split as [[bleu]]),
+   * chrP/chrR macro-average the per-n precisions/recalls, and n-levels
+   * where BOTH sides have zero grams (every pair shorter than n chars)
+   * are excluded from the average rather than polluting it with 0/0.
+   * Same one-scan/one-shuffle kernel shape as [[bleu]], with char-gram
+   * substrings instead of token slices.
+   * Output: 1 row — cand_chars, ref_chars, levels (n-levels averaged),
+   * chrp (4dp), chrr (4dp), chrf2 (4dp).
+   */
+  def chrF(df: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int = 6, beta: Double = 2.0): DataFrame = {
+    require(maxN >= 1 && maxN <= 10, s"maxN in [1,10]: $maxN")
+    require(beta > 0, s"beta must be positive: $beta")
+    def chars(c: Column): Column =
+      regexp_replace(lower(c), "\\s+", "")
+    def charGrams(sCol: Column, nFrom: Int, nTo: Int, side: Int): Column = {
+      def entry(n: Int, g: Column): Column =
+        struct(lit(side).as("s"), lit(n).as("n"), g.as("g"))
+      concat((nFrom to nTo).map { n =>
+        when(length(sCol) >= n,
+          transform(sequence(lit(1), length(sCol) - n + 1),
+            i => entry(n, substring(sCol, i, lit(n)))))
+          .otherwise(array().cast("array<struct<s:int,n:int,g:string>>"))
+      }: _*)
+    }
+    val counts = spread(df.select(col(idCol).as("id"),
+        col(candCol).as("_cand"), col(refCol).as("_ref")))
+      .select(col("id"),
+        explode(concat(
+          charGrams(chars(col("_cand")), 1, maxN, 0),
+          charGrams(chars(col("_ref")), 1, maxN, 1))).as("x"))
+      .groupBy(col("x.n").as("n"), col("id"), col("x.g").as("g"))
+      .agg(count(when(col("x.s") === 0, 1)).as("cc"),
+        count(when(col("x.s") === 1, 1)).as("rc"))
+      .withColumn("clip", least(col("cc"), col("rc")))
+    val perN = counts.groupBy("n")
+      .agg(sum("clip").cast("double").as("clip"),
+        sum("cc").cast("double").as("tot_c"),
+        sum("rc").cast("double").as("tot_r"))
+      .filter(col("tot_c") + col("tot_r") > 0)
+    val pN = when(col("tot_c") > 0, col("clip") / col("tot_c"))
+      .otherwise(lit(0.0))
+    val rN = when(col("tot_r") > 0, col("clip") / col("tot_r"))
+      .otherwise(lit(0.0))
+    val agg = perN.agg(
+      sum(when(col("n") === 1, col("tot_c"))).cast("long").as("cand_chars"),
+      sum(when(col("n") === 1, col("tot_r"))).cast("long").as("ref_chars"),
+      count(lit(1)).as("levels"),
+      avg(pN).as("_p"), avg(rN).as("_r"))
+    val b2 = beta * beta
+    val f = when(col("_p") + col("_r") > 0,
+      (lit(1.0 + b2) * col("_p") * col("_r")) /
+        (lit(b2) * col("_p") + col("_r"))).otherwise(lit(0.0))
+    agg.select(
+      coalesce(col("cand_chars"), lit(0L)).as("cand_chars"),
+      coalesce(col("ref_chars"), lit(0L)).as("ref_chars"),
+      col("levels"),
+      round(coalesce(col("_p"), lit(0.0)), 4).as("chrp"),
+      round(coalesce(col("_r"), lit(0.0)), 4).as("chrr"),
+      round(coalesce(f, lit(0.0)), 4).as("chrf2"))
+  }
+
+  /**
    * Vocabulary-coverage estimators — how much of the population
    * vocabulary has this corpus actually seen (the eval-set sizing and
    * crawl-frontier question): Chao1 richness (Chao 1984, bias-corrected

@@ -32,6 +32,30 @@ private[graft] object QueriesEbw {
           round(sum("weight_raked"), 4).as("w_cell"))
         .orderBy("o_orderstatus", "o_orderpriority")
     }),
+    "ebw_token_mix" -> ((s, dir) => {
+      // token-budget mixture balancing — the reference's raking applied
+      // to the LLM-pipeline question "sample so the TOKEN distribution,
+      // not the doc count, matches the target mix": rake the corpus's
+      // token mass over (lang × length bucket) to literal margin shares.
+      // w0 = whitespace token count; 8 alternating rounds, tol = 0, so
+      // the oracle unrolls the identical cell-level arithmetic
+      val d = t(s, dir, "documents")
+        .withColumn("tok",
+          size(filter(split(col("text"), "\\s+"), w => w =!= ""))
+            .cast("double"))
+        .withColumn("len_bucket", when(col("n_chars") < 250, "short")
+          .when(col("n_chars") < 350, "mid").otherwise("long"))
+      graft.ebw.Raking.ipf(d, "lang", "len_bucket", "tok",
+          rowTargets = Map("en" -> 0.3, "de" -> 0.175, "es" -> 0.175,
+            "fr" -> 0.175, "zh" -> 0.175),
+          colTargets = Map("short" -> 0.3, "mid" -> 0.4, "long" -> 0.3),
+          iters = 8, tol = 0.0)
+        .groupBy("lang", "len_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum("tok").cast("long").as("tokens"),
+          round(sum("weight_raked"), 4).as("w_cell"))
+        .orderBy("lang", "len_bucket")
+    }),
     "ebw_moments_match" -> ((s, dir) => ebwMomentsMatch(s, dir, None)),
     "ebw_bounded_feasible" -> ((s, dir) =>
       ebwMomentsMatch(s, dir, Some((0.05, Some(20.0))))),
@@ -164,6 +188,7 @@ private[graft] object QueriesEbw {
 
   val oracles: Map[String, String] = Map(
     "ebw_ipf_raking" -> ipfOracle(8),
+    "ebw_token_mix" -> tokenMixOracle(8),
     "ebw_poststrat" ->
       """SELECT o.o_orderkey,
         |  round(((SELECT count(*) FROM orders) * 1.0 /

@@ -414,6 +414,16 @@ private[graft] object QueriesProfile {
       graft.ops.Profile.rocAuc(classifierEvalFrame(s, dir),
         "score", "label")
     }),
+    "q_mbr_select" -> ((s, dir) => {
+      // Minimum-Bayes-Risk best-of-n selection: every 10 consecutive
+      // docs form a candidate group (the sampled-generations shape);
+      // the consensus candidate wins by mean pairwise token-set Jaccard
+      val d = t(s, dir, "documents")
+        .select(floor(col("doc_id") / 10).cast("long").as("grp"),
+          col("doc_id").as("cid"), col("text"))
+      graft.ops.Eval.mbrSelect(d, "grp", "cid", "text")
+        .orderBy("grp")
+    }),
     "q_pass_at_k" -> ((s, dir) => {
       // unbiased pass@k (Chen et al. 2021 eq. 1) over a deterministic
       // sampled-completion table: doc_id % 40 is the problem, an
@@ -1397,6 +1407,27 @@ private[graft] object QueriesProfile {
         |      / (sum(np) * sum(nn))::DOUBLE
         |    ELSE 0.0 END, 4) AS auc
         |FROM c""".stripMargin),
+    "q_mbr_select" ->
+      """WITH c AS (SELECT doc_id // 10 AS grp, doc_id AS id,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+        |  FROM documents),
+        |p AS (SELECT a.grp, a.id,
+        |    avg(CASE WHEN len(list_distinct(list_concat(a.t, b.t))) = 0
+        |      THEN 1.0
+        |      ELSE len(list_intersect(a.t, b.t))::DOUBLE /
+        |        len(list_distinct(list_concat(a.t, b.t)))::DOUBLE END) AS mbr
+        |  FROM c a JOIN c b ON b.grp = a.grp AND b.id <> a.id
+        |  GROUP BY 1, 2),
+        |nc AS (SELECT grp, count(*)::BIGINT AS n_cands FROM c GROUP BY 1),
+        |r AS (SELECT c.grp, c.id, p.mbr,
+        |    row_number() OVER (PARTITION BY c.grp
+        |      ORDER BY round(p.mbr, 9) DESC NULLS LAST, c.id) AS rn
+        |  FROM c LEFT JOIN p ON p.grp = c.grp AND p.id = c.id)
+        |SELECT r.grp, r.id AS selected, round(r.mbr, 4) AS mbr_score,
+        |  nc.n_cands
+        |FROM r JOIN nc ON nc.grp = r.grp WHERE rn = 1
+        |ORDER BY r.grp""".stripMargin,
     "q_pass_at_k" ->
       """WITH samples AS (SELECT doc_id % 40 AS problem,
         |    (CAST(('0x' || substring(md5('pk|' || doc_id::VARCHAR), 1, 4))

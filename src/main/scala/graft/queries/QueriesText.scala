@@ -429,6 +429,18 @@ private[graft] object QueriesText {
           col("text").as("ref")), Seq("id"))
       graft.ops.TextEval.bleu(pairs, "id", "cand", "ref", maxN = 2)
     }),
+    "text_chrf" -> ((s, dir) => {
+      // chrF2 (maxN=3) over the same consecutive-pair frame as
+      // text_rouge/text_bleu: the tokenization-robust char-level
+      // generation score — whitespace removed, corpus-level clipped
+      // totals per n, macro-average across levels, β = 2
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id"), col("text").as("cand"))
+        .filter(col("id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("id"),
+          col("text").as("ref")), Seq("id"))
+      graft.ops.TextEval.chrF(pairs, "id", "cand", "ref", maxN = 3)
+    }),
     "text_vocab_coverage" -> ((s, dir) =>
       // Chao1 richness + Good-Turing coverage of the whole corpus —
       // the eval-set sizing readout; one token scan, three 1-row
@@ -1151,6 +1163,46 @@ private[graft] object QueriesText {
         |    AS bleu
         |FROM ps""".stripMargin,
     // Chao1 + Good-Turing over the whole-corpus term counts — three
+    "text_chrf" ->
+      """WITH pr AS (
+        |  SELECT a.doc_id AS id,
+        |    regexp_replace(lower(a.text), '\s+', '', 'g') AS c,
+        |    regexp_replace(lower(b.text), '\s+', '', 'g') AS r
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |gr AS (
+        |  SELECT id, 1 AS n, 0 AS s,
+        |    unnest(list_transform(range(1, len(c) + 1), i -> c[i:i])) AS g
+        |  FROM pr
+        |  UNION ALL SELECT id, 1, 1,
+        |    unnest(list_transform(range(1, len(r) + 1), i -> r[i:i])) FROM pr
+        |  UNION ALL SELECT id, 2, 0,
+        |    unnest(list_transform(range(1, len(c)), i -> c[i:i+1])) FROM pr
+        |  UNION ALL SELECT id, 2, 1,
+        |    unnest(list_transform(range(1, len(r)), i -> r[i:i+1])) FROM pr
+        |  UNION ALL SELECT id, 3, 0,
+        |    unnest(list_transform(range(1, len(c) - 1), i -> c[i:i+2])) FROM pr
+        |  UNION ALL SELECT id, 3, 1,
+        |    unnest(list_transform(range(1, len(r) - 1), i -> r[i:i+2])) FROM pr),
+        |cnt AS (SELECT n, id, g,
+        |    count(*) FILTER (WHERE s = 0) AS cc,
+        |    count(*) FILTER (WHERE s = 1) AS rc
+        |  FROM gr GROUP BY 1, 2, 3),
+        |pn AS (SELECT n, sum(least(cc, rc))::DOUBLE AS clip,
+        |    sum(cc)::DOUBLE AS tc, sum(rc)::DOUBLE AS tr
+        |  FROM cnt GROUP BY 1 HAVING sum(cc) + sum(rc) > 0),
+        |fin AS (SELECT
+        |    sum(CASE WHEN n = 1 THEN tc END)::BIGINT AS cand_chars,
+        |    sum(CASE WHEN n = 1 THEN tr END)::BIGINT AS ref_chars,
+        |    count(*)::BIGINT AS levels,
+        |    avg(CASE WHEN tc > 0 THEN clip / tc ELSE 0 END) AS p,
+        |    avg(CASE WHEN tr > 0 THEN clip / tr ELSE 0 END) AS r
+        |  FROM pn)
+        |SELECT cand_chars, ref_chars, levels,
+        |  round(p, 4) AS chrp, round(r, 4) AS chrr,
+        |  round(CASE WHEN p + r > 0 THEN 5 * p * r / (4 * p + r)
+        |    ELSE 0 END, 4) AS chrf2
+        |FROM fin""".stripMargin,
     // 1-row aggregates on exact integer frequencies
     "text_vocab_coverage" ->
       """WITH tm AS (SELECT w, count(*)::BIGINT AS c FROM (

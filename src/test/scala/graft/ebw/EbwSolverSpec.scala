@@ -341,6 +341,27 @@ class EbwSolverSpec extends AnyFunSuite {
       Seq(("b", "x", 7.0), ("a", "y", 5.0), ("a", "x", 10.0)),
       Map("a" -> 0.6, "b" -> 0.4), Map("x" -> 0.5, "y" -> 0.5), 50, 0.0)
     assert(f1 == f2, "factor fold must be input-order independent")
+    // token-weighted raking (the ebw_token_mix form): w0 = a per-row
+    // mass, margins are MASS shares, not row counts — after raking the
+    // weighted margins hit the mass targets and each row's raked weight
+    // stays proportional to its mass within a cell
+    val wr = Seq(("a", "x", 10.0), ("a", "x", 30.0), ("a", "y", 20.0),
+      ("b", "x", 25.0), ("b", "y", 15.0)).toDF("r", "c", "w0")
+    val wRaked = Raking.ipf(wr, "r", "c", "w0",
+      Map("a" -> 0.5, "b" -> 0.5), Map("x" -> 0.6, "y" -> 0.4),
+      iters = 500, tol = 1e-14)
+    val tot = 100.0
+    val byR = wRaked.groupBy("r").agg(sum("weight_raked").as("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(byR("a") - 0.5 * tot) < 1e-6, s"mass row margin: $byR")
+    val byC = wRaked.groupBy("c").agg(sum("weight_raked").as("w"))
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(byC("x") - 0.6 * tot) < 1e-6, s"mass col margin: $byC")
+    val ax = wRaked.filter($"r" === "a" && $"c" === "x")
+      .select("w0", "weight_raked").collect()
+      .map(x => x.getDouble(1) / x.getDouble(0))
+    assert(math.abs(ax(0) - ax(1)) < 1e-12,
+      "within-cell raking factor must be mass-independent")
   }
 
   test("k=10^4 sparse poststrat solve converges through the CG path " +

@@ -97,4 +97,35 @@ class EvalSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxItems=2"), e.getMessage)
     assert(e.getMessage.contains("3 x 3"), e.getMessage)
   }
+
+  test("mbrSelect: consensus argmax, tie to smallest id, singleton and " +
+    "empty-text groups") {
+    import spark.implicits._
+    val df = Seq(
+      // g1: c1 and c2 agree ("a b"), c3 is the outlier
+      //   sim(c1,c2)=1, sim(c1,c3)=0, sim(c2,c3)=0
+      //   mbr: c1 = c2 = 0.5 (tie -> smallest id), c3 = 0
+      (1L, 1L, "a b"), (1L, 2L, "b a"), (1L, 3L, "x y"),
+      // g2: singleton -> selected with NULL score
+      (2L, 7L, "solo"),
+      // g3: two whitespace-only candidates -> identical empties, sim 1
+      (3L, 4L, " "), (3L, 5L, "")
+    ).toDF("grp", "cid", "text")
+    val r = Eval.mbrSelect(df, "grp", "cid", "text")
+      .orderBy("grp").collect()
+    assert(r.length == 3, r.mkString("; "))
+    assert(r(0).getLong(1) == 1L && r(0).getDouble(2) == 0.5 &&
+      r(0).getLong(3) == 3L, s"${r(0)}")
+    assert(r(1).getLong(1) == 7L && r(1).isNullAt(2) &&
+      r(1).getLong(3) == 1L, s"${r(1)}")
+    assert(r(2).getLong(1) == 4L && r(2).getDouble(2) == 1.0 &&
+      r(2).getLong(3) == 2L, s"${r(2)}")
+    // the outlier really does lose: partial overlap beats none
+    val d2 = Seq((9L, 1L, "p q r"), (9L, 2L, "p q z"), (9L, 3L, "m n o"))
+      .toDF("grp", "cid", "text")
+    val w = Eval.mbrSelect(d2, "grp", "cid", "text").collect().head
+    // sim(1,2) = 2/4 = 0.5, sim(1,3) = 0, sim(2,3) = 0
+    // mbr: c1 = c2 = 0.25 -> tie to id 1
+    assert(w.getLong(1) == 1L && w.getDouble(2) == 0.25, s"$w")
+  }
 }

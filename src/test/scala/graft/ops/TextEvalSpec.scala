@@ -80,4 +80,35 @@ class TextEvalSpec extends AnyFunSuite {
     assert(s1.getDouble(4) == 6.0, s"chao1: $s1") // 3 + 3*2/2
     assert(s1.getDouble(5) == 1.0 && s1.getDouble(6) == 0.0, s"$s1")
   }
+
+  test("chrF: perfect, clipped, whitespace removal, beta weighting, " +
+    "level exclusion") {
+    import spark.implicits._
+    def run(cand: String, ref: String, maxN: Int, beta: Double = 2.0) =
+      TextEval.chrF(Seq((1L, cand, ref)).toDF("id", "cand", "ref"),
+        "id", "cand", "ref", maxN, beta).collect().head
+    // identical: every level perfect
+    val p = run("abab", "abab", 2)
+    assert(p.getLong(0) == 4L && p.getLong(1) == 4L && p.getLong(2) == 2L,
+      s"$p")
+    assert(p.getDouble(3) == 1.0 && p.getDouble(4) == 1.0 &&
+      p.getDouble(5) == 1.0, s"$p")
+    // clipping: "aa" vs "ab" -> p1 = r1 = 1/2 (a clips to 1), p2 = 0
+    // -> chrp = chrr = 0.25, F2 = 5*.25*.25/(4*.25+.25) = 0.25
+    val c = run("aa", "ab", 2)
+    assert(c.getDouble(3) == 0.25 && c.getDouble(4) == 0.25 &&
+      c.getDouble(5) == 0.25, s"$c")
+    // whitespace is removed before gramming: "a b" == "ab"
+    val ws = run("a b", "ab", 2)
+    assert(ws.getDouble(5) == 1.0 && ws.getLong(0) == 2L, s"$ws")
+    // beta = 2 weights recall: p = 1, r = 1/2 -> 5*0.5/4.5 = 0.5556;
+    // beta = 1 gives the harmonic mean 0.6667
+    val b2 = run("ab", "abcd", 1)
+    assert(b2.getDouble(3) == 1.0 && b2.getDouble(4) == 0.5 &&
+      b2.getDouble(5) == 0.5556, s"$b2")
+    assert(run("ab", "abcd", 1, beta = 1.0).getDouble(5) == 0.6667)
+    // n-levels where both sides are too short are excluded, not zeroed
+    val lv = run("a", "b", 3)
+    assert(lv.getLong(2) == 1L && lv.getDouble(5) == 0.0, s"$lv")
+  }
 }
