@@ -193,70 +193,83 @@ object Similarity {
       minDistPair(v, cents).getItem(1).cast("int"))
   }
 
-  /** argmin as array_min over [dist², cid] pairs (lexicographic array
-   * comparison: distance first, ties to the LOWEST cluster id); cid as
-   * a double is exact for any realistic k. Item 0 is the winning
-   * squared distance, item 1 the cid.
+  /** argmin over centroids as [dist², cid] (ties to the LOWEST cluster
+   * id — ascending scan with strict <); cid as a double is exact for any
+   * realistic k. Item 0 is the winning squared distance, item 1 the cid.
    *
-   * Two implementations behind one contract, switched on k: up to
-   * [[exprArgminMaxK]] centroids the literal expression form runs —
-   * codegen'd, and the form the small-k DuckDB oracles replay — but
-   * its cost shape is wrong in k: k unrolled zip_with branches mean k
-   * INTERMEDIATE ARRAYS PER ROW (at k=283/d=64 that is ~1 TB of
-   * allocations over an 80k-row corpus; measured as a multi-minute
-   * stall when auto-k first raised k past ~100). Above the cutover the
-   * same argmin runs as a broadcast-centroid compiled kernel — one
-   * flat k·d loop per row, zero per-candidate allocation, the standard
-   * Lloyd shape. Identical results by construction: same left-to-right
-   * Σ(a−b)² order per centroid (IEEE-identical to the zip_with fold),
-   * same ties-to-lowest-cid rule (ascending scan with strict <), and
-   * the equality is additionally spec-pinned across the cutover. */
+   * Always the broadcast compiled kernel: one flat k·d while-loop per
+   * row, zero per-candidate allocation, the standard Lloyd shape. The
+   * literal zip_with/aggregate expression form this replaced ran in
+   * HOF INTERPRETED eval (higher-order functions never enter
+   * whole-stage codegen), with two measured cliffs: k unrolled branches
+   * allocate k intermediate arrays per row (a multi-minute stall when
+   * auto-k first passed ~100 at 80k rows), and even at the gates'
+   * k=8/d=64 the interpreted lambda walk cost ~5 s per assignment pass
+   * on a 2000-row corpus (round 12; the kernel runs the same pass in
+   * milliseconds). The arithmetic contract is unchanged — left-to-right
+   * Σ(a−b)² per centroid, ties to the lowest cid — spec-pinned against
+   * an independent reference implementation and replayed exactly by the
+   * DuckDB oracles. */
   private def minDistPair(v: Column,
-      cents: Seq[(Int, Seq[Double])]): Column =
-    if (cents.size <= exprArgminMaxK)
-      array_min(array(cents.map { case (cid, c) =>
-        array(
-          aggregate(zip_with(v, typedlit(c), (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x),
-          lit(cid.toDouble))
-      }: _*))
-    else {
-      val sorted = cents.sortBy(_._1)
-      val ids = sorted.map(_._1.toDouble).toArray
-      val cs = sorted.map(_._2.toArray).toArray
-      val f = udf((xs: Seq[Double]) => {
-        if (xs == null) null
-        else {
-          val n = xs.length
-          val x = new Array[Double](n)
-          var i = 0
-          while (i < n) { x(i) = xs(i); i += 1 }
-          var best = Double.PositiveInfinity
-          var bid = 0.0
-          var c = 0
-          while (c < cs.length) {
-            val cv = cs(c)
-            var d = 0.0
-            var j = 0
-            val lim = math.min(n, cv.length)
-            while (j < lim) { val t = x(j) - cv(j); d += t * t; j += 1 }
-            if (d < best) { best = d; bid = ids(c) }
-            c += 1
-          }
-          Array(best, bid)
+      cents: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val ids = sorted.map(_._1.toDouble).toArray
+    val cs = sorted.map(_._2.toArray).toArray
+    val f = udf((xs: Seq[Double]) => {
+      if (xs == null) null
+      else {
+        val n = xs.length
+        val x = new Array[Double](n)
+        var i = 0
+        while (i < n) { x(i) = xs(i); i += 1 }
+        var best = Double.PositiveInfinity
+        var bid = 0.0
+        var c = 0
+        while (c < cs.length) {
+          val cv = cs(c)
+          var d = 0.0
+          var j = 0
+          val lim = math.min(n, cv.length)
+          while (j < lim) { val t = x(j) - cv(j); d += t * t; j += 1 }
+          if (d < best) { best = d; bid = ids(c) }
+          c += 1
         }
-      })
-      f(v)
-    }
+        Array(best, bid)
+      }
+    })
+    f(v)
+  }
 
-  /** k cutover between [[minDistPair]]'s literal-expression argmin and
-   * its broadcast compiled kernel. 16 keeps every oracle-replayed gate
-   * (k ≤ 16 everywhere) on the expression path and nothing else: each
-   * distinct centroid SET is a distinct literal expression, so Lloyd
-   * recompiles the generated code every update round — measured 47-70 s
-   * per semantic-pairs run at k=45-64 (codegen compile + per-row
-   * allocation) vs 3.7 s through the kernel on TWICE the data. */
-  private val exprArgminMaxK = 16
+  /** Compiled per-subspace code-assignment kernel: argmin over the
+   * subspace's centroids read through an (offset, ds) window of the FULL
+   * vector — the [[minDistPair]] arithmetic contract (left-to-right
+   * Σ(a−b)², strict <, ascending cid) without materializing the slice.
+   * Replaces a per-centroid zip_with literal that ran HOF-interpreted
+   * (higher-order functions never enter codegen) and allocated k
+   * intermediate arrays per row per subspace. Callers filter null
+   * vectors before assignment, as [[pqTrain]]/[[pqEncode]] do. */
+  private def subCodeKernel(cents: Seq[(Int, Seq[Double])], off: Int,
+      ds: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val sorted = cents.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val cs = sorted.map(_._2.toArray).toArray
+    udf((xs: Seq[Double]) => {
+      var best = Double.PositiveInfinity
+      var bid = 0
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var d = 0.0
+        var j = 0
+        while (j < ds && j < cv.length && off + j < xs.length) {
+          val t = xs(off + j) - cv(j); d += t * t; j += 1
+        }
+        if (d < best) { best = d; bid = ids(c) }
+        c += 1
+      }
+      bid
+    })
+  }
 
   private def lloydCentroids(base: DataFrame, v: Column, idCol: String,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
@@ -350,12 +363,8 @@ object Similarity {
         }.toSeq
       }.toMap
     }
-    def codeExpr(s: Int): Column = array_min(array(cents(s).map {
-      case (cid, c) => array(
-        aggregate(zip_with(sub(s), typedlit(c), (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x),
-        lit(cid.toDouble))
-    }: _*)).getItem(1).cast("int")
+    def codeExpr(s: Int): Column =
+      subCodeKernel(cents(s), s * ds, ds)(v)
     for (_ <- 0 until iters - 1) {
       // the cast names the struct fields: aliases inside struct() are not
       // preserved when the members are complex expressions
@@ -390,12 +399,9 @@ object Similarity {
       s"dim $dim must divide evenly into $subspaces subspaces")
     val ds = dim / subspaces
     val v = col(vecCol).cast("array<double>")
-    def codeExpr(s: Int): Column = array_min(array(
-      bySub(s).sortBy(_._2).map { case (_, cid, c) => array(
-        aggregate(zip_with(slice(v, lit(s * ds + 1), lit(ds)), typedlit(c),
-          (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x),
-        lit(cid.toDouble))
-      }: _*)).getItem(1).cast("int")
+    def codeExpr(s: Int): Column =
+      subCodeKernel(bySub(s).map { case (_, cid, c) => (cid, c) },
+        s * ds, ds)(v)
     emb.where(v.isNotNull)
       .select(col(idCol),
         array((0 until subspaces).map(codeExpr): _*).as("codes"))

@@ -437,30 +437,52 @@ class CurationSpec extends AnyFunSuite {
     assert(got(3L)._1 == 0 && math.abs(got(3L)._2 - 5.656854) < 1e-6)
   }
 
-  test("argmin kernel cutover: assignments and distances identical " +
-    "across the expression/compiled-kernel switch at k=16") {
+  test("argmin kernel: assignments and distances bit-identical to an " +
+    "independent reference (left-to-right sum order, strict-< ties)") {
     import spark.implicits._
-    // 12 real centroids (expression path) vs the same 12 + 10 far-away
-    // dummies (22 -> compiled kernel path): every point's winner and
-    // distance must be bit-identical — same left-to-right sum order,
-    // same ties-to-lowest rule
+    // the compiled argmin kernel vs a test-local reference implementing
+    // the documented contract from scratch: every point's winner and
+    // rounded distance must agree exactly; far-away dummy centroids
+    // appended must change nothing (the old expression/kernel cutover
+    // invariance, kept as a regression pin)
     val dim = 16
-    val pts = (0 until 200).map { i =>
+    val ptRows = (0 until 200).map { i =>
       (i.toLong, (0 until dim).map(j => prand(i, j) * 3.0))
-    }.toDF("id", "v")
+    }
+    val pts = ptRows.toDF("id", "v")
     val real = (0 until 12).map(c =>
       c -> (0 until dim).map(j => prand(c + 1000, j) * 3.0))
     val dummies = (12 until 22).map(c =>
       c -> (0 until dim).map(_ => 1e6 + c.toDouble))
-    val viaExpr = Similarity.assignToCentroids(pts, "v", "id", real)
+    def reference(x: Seq[Double],
+        cents: Seq[(Int, Seq[Double])]): (Int, Double) = {
+      var best = Double.PositiveInfinity
+      var bid = 0
+      cents.sortBy(_._1).foreach { case (cid, cv) =>
+        var d = 0.0
+        var j = 0
+        while (j < math.min(x.length, cv.length)) {
+          val t = x(j) - cv(j); d += t * t; j += 1
+        }
+        if (d < best) { best = d; bid = cid }
+      }
+      (bid, BigDecimal(math.sqrt(best))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val expected = ptRows.map { case (id, x) =>
+      id -> reference(x, real)
+    }.toMap
+    val viaKernel = Similarity.assignToCentroids(pts, "v", "id", real)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
       .toMap
-    val viaKernel = Similarity.assignToCentroids(pts, "v", "id",
+    assert(viaKernel == expected,
+      "kernel must reproduce the reference contract exactly")
+    val withDummies = Similarity.assignToCentroids(pts, "v", "id",
         real ++ dummies)
       .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2))))
       .toMap
-    assert(viaExpr == viaKernel,
-      "kernel path must reproduce the expression path exactly")
+    assert(withDummies == viaKernel,
+      "far dummy centroids must not perturb any assignment")
     // tie rule on the kernel path: two identical centroids -> lowest id
     val tied = (0 until 22).map(c => c -> Seq(c.toDouble.min(1.0), 0.0))
     // centroids 1..21 all collapse to (1.0, 0.0) except c=0 at (0,0)
