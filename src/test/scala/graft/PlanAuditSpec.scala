@@ -339,6 +339,28 @@ class PlanAuditSpec extends AnyFunSuite {
       s"k-means assignment must not shuffle:\n$p")
   }
 
+  test("corpus BLEU: ONE data shuffle feeds every n-level (the tagged " +
+    "single-scan kernel), no per-n re-read of the pair join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions._
+    val pairs = docs.select(col("doc_id").as("id"), col("text").as("cand"))
+      .filter(col("id") % 2 === 0)
+      .join(docs.select((col("doc_id") - 1).as("id"),
+        col("text").as("ref")), Seq("id"))
+    val p = graft.ops.TextEval.bleu(pairs, "id", "cand", "ref", maxN = 4)
+      .queryExecution.executedPlan.toString
+    // the join reads documents twice (cand/ref sides) but the gram
+    // explode+count must appear ONCE for all four n-levels: one
+    // grouping exchange, one single-partition final-aggregate exchange,
+    // plus the guarded spread repartition of the (narrow) pair frame
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n <= 4, s"BLEU must not shuffle per n-level, found $n:\n$p")
+    val explodes = "Generate explode".r.findAllIn(p).length
+    assert(explodes == 1,
+      s"expected ONE tagged-gram explode for all n-levels, " +
+      s"found $explodes:\n$p")
+  }
+
   test("semanticPairs: equi-join on the cluster id, never a product") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Dedup.semanticPairs(emb, "embedding", "vec_id",
