@@ -515,4 +515,109 @@ object Linkage {
         .filter(col("soundex").isNotNull),
       Seq("soundex"), strCol, idCol, minSim, saltBuckets)
   }
+
+  /**
+   * Fellegi–Sunter field weights (Fellegi & Sunter 1969 — the
+   * probabilistic record-linkage framework the U.S. Census Bureau's
+   * matchers are built on): from a LABELED pair frame (each row a
+   * candidate pair with boolean per-field agreement indicators and a
+   * match label), estimate per field
+   *   m = P(agree | match),  u = P(agree | non-match),
+   * with add-half smoothing (m = (a_M + 0.5)/(n_M + 1)) so a field that
+   * never disagrees on matches still gets a finite log-ratio, and the
+   * estimates are defined even when one class is empty. The scoring
+   * weights are the log-likelihood ratios
+   *   w_agree = log2(m/u),  w_disagree = log2((1−m)/(1−u)):
+   * a scored pair sums w_agree over agreeing fields and w_disagree over
+   * the rest, and thresholds on the sum (the classic match/clerical/
+   * non-match bands). ONE aggregation scan estimates every field —
+   * fields unroll as conditional sums, so the plan is one Exchange
+   * regardless of field count; output is field-count-sized.
+   * NULL agreement indicators count as disagreement (the conservative
+   * Census convention); NULL labels are dropped.
+   * Output: one row per field — field, m (6dp), u (6dp),
+   * w_agree (4dp), w_disagree (4dp), in `agreeCols` order.
+   */
+  def fellegiSunter(pairs: DataFrame, matchCol: String,
+      agreeCols: Seq[String]): DataFrame = {
+    require(agreeCols.nonEmpty, "at least one agreement field")
+    val lbl = col(matchCol).isNotNull && col(matchCol) === true
+    val non = col(matchCol).isNotNull && col(matchCol) === false
+    val base = pairs.filter(col(matchCol).isNotNull)
+    val aggs: Seq[Column] =
+      Seq(sum(when(lbl, 1L).otherwise(0L)).as("_nm"),
+        sum(when(non, 1L).otherwise(0L)).as("_nu")) ++
+      agreeCols.zipWithIndex.flatMap { case (f, i) =>
+        val agree = coalesce(col(f), lit(false))
+        Seq(sum(when(lbl && agree, 1L).otherwise(0L)).as(s"_am$i"),
+          sum(when(non && agree, 1L).otherwise(0L)).as(s"_au$i"))
+      }
+    val tot = base.agg(aggs.head, aggs.tail: _*)
+    val rows = agreeCols.zipWithIndex.map { case (f, i) =>
+      val m = (col(s"_am$i") + 0.5) / (col("_nm") + 1.0)
+      val u = (col(s"_au$i") + 0.5) / (col("_nu") + 1.0)
+      struct(lit(f).as("field"),
+        round(m, 6).as("m"), round(u, 6).as("u"),
+        round(log2(m / u), 4).as("w_agree"),
+        round(log2((lit(1.0) - m) / (lit(1.0) - u)), 4).as("w_disagree"))
+    }
+    tot.select(explode(array(rows: _*)).as("x")).select("x.*")
+  }
+
+  /**
+   * Blocking-quality metrics (Christen, "Data Matching" Ch. 7): how good
+   * is a blocking scheme BEFORE paying for comparisons —
+   *   reduction ratio RR = 1 − candidate_pairs / total_pairs
+   * (how much of the n(n−1)/2 pair space the blocks prune), and
+   *   pairs completeness PC = truth pairs co-blocked / truth pairs
+   * (how much recall the pruning sacrifices). Computed WITHOUT
+   * enumerating a single candidate pair: candidate_pairs is
+   * Σ_b c_b(c_b−1)/2 over the block-size aggregation, and PC joins the
+   * truth pairs to the per-id block keys twice (two broadcast-friendly
+   * equi-joins on the id). Rows with a NULL in any block column never
+   * enter a block (they pair with nothing), matching the linkage
+   * operators' behavior.
+   * Output: 1 row — n_records, total_pairs, cand_pairs,
+   * reduction_ratio (6dp), n_truth, truth_coblocked,
+   * pairs_completeness (6dp).
+   */
+  def blockingQuality(base: DataFrame, idCol: String,
+      blockCols: Seq[String], truth: DataFrame, idACol: String,
+      idBCol: String): DataFrame = {
+    require(blockCols.nonEmpty, "at least one block column")
+    // unit separator so composite keys cannot alias ("a","bc" vs "ab","c")
+    val key = concat_ws("\u0001",
+      blockCols.map(c => col(c).cast("string")): _*)
+    val nonNull = blockCols.map(col(_).isNotNull).reduce(_ && _)
+    val keyed = base.filter(nonNull)
+      .select(col(idCol).as("_id"), key.as("_bk"))
+    val cnts = keyed.groupBy("_bk").agg(count(lit(1)).as("c"))
+    val candTotals = cnts.agg(
+      coalesce(sum(col("c")), lit(0L)).as("n_records"),
+      coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0L))
+        .cast("long").as("cand_pairs"))
+    val tr = truth.select(col(idACol).as("_ta"), col(idBCol).as("_tb"))
+    val co = tr
+      .join(keyed.select(col("_id").as("_ta"), col("_bk").as("_ka")),
+        Seq("_ta"), "left")
+      .join(keyed.select(col("_id").as("_tb"), col("_bk").as("_kb")),
+        Seq("_tb"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(when(col("_ka").isNotNull && col("_ka") === col("_kb"), 1L)
+          .otherwise(0L)).as("truth_coblocked"))
+    candTotals.crossJoin(co).select(
+      col("n_records"),
+      (col("n_records") * (col("n_records") - 1) / 2).cast("long")
+        .as("total_pairs"),
+      col("cand_pairs"),
+      round(when(col("n_records") >= 2,
+        lit(1.0) - col("cand_pairs") /
+          (col("n_records") * (col("n_records") - 1) / 2.0))
+        .otherwise(lit(0.0)), 6).as("reduction_ratio"),
+      col("n_truth"),
+      col("truth_coblocked"),
+      round(when(col("n_truth") > 0,
+        col("truth_coblocked") / col("n_truth").cast("double"))
+        .otherwise(lit(0.0)), 6).as("pairs_completeness"))
+  }
 }

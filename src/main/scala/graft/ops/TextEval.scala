@@ -223,6 +223,37 @@ object TextEval {
   }
 
   /**
+   * distinct-n generation diversity (Li et al. 2016, "A
+   * Diversity-Promoting Objective Function for Neural Conversation
+   * Models"): per group, the ratio of DISTINCT n-grams to total n-grams
+   * for n in 1..maxN — the standard mode-collapse readout (a sampler
+   * that repeats itself scores low distinct-2 long before eyeballing
+   * catches it). Same lowercase-whitespace tokens as the other scores;
+   * one tagged-gram scan (the [[bleu]] kernel's single-side form), one
+   * (group, n, gram) aggregation, one (group, n) rollup. Groups with no
+   * grams at a level produce no row for it (nothing to measure), and
+   * the ratio of an empty denominator never divides by zero.
+   * Output: one row per (group, n) — group, n, total_grams,
+   * distinct_grams, distinct_ratio (4dp).
+   */
+  def distinctN(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 2): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN in [1,8]: $maxN")
+    spread(df.select(col(groupCol).as("grp"), col(textCol).as("_t")))
+      .select(col("grp"),
+        explode(taggedGrams(toks(col("_t")), 1, maxN, 0)).as("x"))
+      .groupBy(col("grp"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("grp", "n")
+      .agg(sum("c").as("total_grams"),
+        count(lit(1)).as("distinct_grams"))
+      .select(col("grp"), col("n"), col("total_grams"),
+        col("distinct_grams"),
+        round(col("distinct_grams") / col("total_grams").cast("double"), 4)
+          .as("distinct_ratio"))
+  }
+
+  /**
    * Vocabulary-coverage estimators — how much of the population
    * vocabulary has this corpus actually seen (the eval-set sizing and
    * crawl-frontier question): Chao1 richness (Chao 1984, bias-corrected

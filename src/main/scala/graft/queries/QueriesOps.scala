@@ -103,6 +103,47 @@ private[graft] object QueriesOps {
           t(s, dir, "orders").select("o_orderkey"), "o_orderkey", nShards = 8)
         .select(col("shard"), col("shard_pos"), col("o_orderkey"))
         .orderBy("shard", "shard_pos")),
+    "q_fs_weights" -> ((s, dir) => {
+      // Fellegi–Sunter m/u estimation on a labeled pair deck:
+      // consecutive-custkey pairs, "match" = same nation (the planted
+      // truth), agreement fields = segment / acctbal 1k-band / balance
+      // sign — the probabilistic-linkage weight table the Census
+      // matchers threshold on
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("k"),
+        col("c_nationkey").as("na"), col("c_mktsegment").as("sa"),
+        floor(col("c_acctbal") / 1000).as("ba"),
+        (col("c_acctbal") >= 0).as("pa"))
+      val b = c.select((col("c_custkey") - 1).as("k"),
+        col("c_nationkey").as("nb"), col("c_mktsegment").as("sb"),
+        floor(col("c_acctbal") / 1000).as("bb"),
+        (col("c_acctbal") >= 0).as("pb"))
+      val pairs = a.join(b, Seq("k"))
+        .select((col("na") === col("nb")).as("is_match"),
+          (col("sa") === col("sb")).as("seg"),
+          (col("ba") === col("bb")).as("bal_band"),
+          (col("pa") === col("pb")).as("bal_sign"))
+      graft.ops.Linkage.fellegiSunter(pairs, "is_match",
+        Seq("seg", "bal_band", "bal_sign"))
+        .orderBy("field")
+    }),
+    "q_blocking_quality" -> ((s, dir) => {
+      // blocking-quality readout BEFORE paying for comparisons:
+      // (mktsegment × acctbal 1k-band) blocks over customers, truth =
+      // the q_fs_weights deck's same-nation consecutive pairs; RR and
+      // PC from aggregates only — no candidate pair is ever enumerated
+      val c = t(s, dir, "customer")
+        .withColumn("bal_band", floor(col("c_acctbal") / 1000))
+      val a = c.select(col("c_custkey").as("k"),
+        col("c_nationkey").as("na"))
+      val b = c.select((col("c_custkey") - 1).as("k"),
+        col("c_custkey").as("kb"), col("c_nationkey").as("nb"))
+      val truth = a.join(b, Seq("k"))
+        .filter(col("na") === col("nb"))
+        .select(col("k").as("id_a"), col("kb").as("id_b"))
+      graft.ops.Linkage.blockingQuality(c, "c_custkey",
+        Seq("c_mktsegment", "bal_band"), truth, "id_a", "id_b")
+    }),
     "q_fuzzy_join" -> ((s, dir) =>
       // blocked fuzzy record linkage: TPC-H customer names differ only in
       // their numeric suffix, so nation-blocked pairs within 2 edits are a
@@ -677,6 +718,69 @@ private[graft] object QueriesOps {
         |    ::BIGINT AS shard_pos,
         |  o_orderkey
         |FROM a ORDER BY shard, shard_pos""".stripMargin,
+    "q_fs_weights" ->
+      """WITH a AS (SELECT c_custkey AS k, c_nationkey AS na,
+        |    c_mktsegment AS sa, floor(c_acctbal / 1000) AS ba,
+        |    c_acctbal >= 0 AS pa FROM customer),
+        |b AS (SELECT c_custkey - 1 AS k, c_nationkey AS nb,
+        |    c_mktsegment AS sb, floor(c_acctbal / 1000) AS bb,
+        |    c_acctbal >= 0 AS pb FROM customer),
+        |p AS (SELECT na = nb AS m, sa = sb AS seg, ba = bb AS bal_band,
+        |    pa = pb AS bal_sign FROM a JOIN b USING (k)),
+        |t AS (SELECT
+        |    sum(CASE WHEN m THEN 1 ELSE 0 END)::DOUBLE AS nm,
+        |    sum(CASE WHEN NOT m THEN 1 ELSE 0 END)::DOUBLE AS nu,
+        |    sum(CASE WHEN m AND seg THEN 1 ELSE 0 END)::DOUBLE AS am0,
+        |    sum(CASE WHEN NOT m AND seg THEN 1 ELSE 0 END)::DOUBLE AS au0,
+        |    sum(CASE WHEN m AND bal_band THEN 1 ELSE 0 END)::DOUBLE AS am1,
+        |    sum(CASE WHEN NOT m AND bal_band THEN 1 ELSE 0 END)
+        |      ::DOUBLE AS au1,
+        |    sum(CASE WHEN m AND bal_sign THEN 1 ELSE 0 END)::DOUBLE AS am2,
+        |    sum(CASE WHEN NOT m AND bal_sign THEN 1 ELSE 0 END)
+        |      ::DOUBLE AS au2
+        |  FROM p),
+        |f AS (
+        |  SELECT 'seg' AS field, (am0 + 0.5) / (nm + 1) AS m,
+        |    (au0 + 0.5) / (nu + 1) AS u FROM t
+        |  UNION ALL SELECT 'bal_band', (am1 + 0.5) / (nm + 1),
+        |    (au1 + 0.5) / (nu + 1) FROM t
+        |  UNION ALL SELECT 'bal_sign', (am2 + 0.5) / (nm + 1),
+        |    (au2 + 0.5) / (nu + 1) FROM t)
+        |SELECT field, round(m, 6) AS m, round(u, 6) AS u,
+        |  round(log2(m / u), 4) AS w_agree,
+        |  round(log2((1 - m) / (1 - u)), 4) AS w_disagree
+        |FROM f ORDER BY field""".stripMargin,
+    "q_blocking_quality" ->
+      """WITH c AS (SELECT c_custkey, c_mktsegment,
+        |    floor(c_acctbal / 1000) AS bal_band, c_nationkey
+        |  FROM customer),
+        |keyed AS (SELECT c_custkey AS id, c_mktsegment AS s, bal_band AS bb
+        |  FROM c WHERE c_mktsegment IS NOT NULL AND bal_band IS NOT NULL),
+        |cnts AS (SELECT s, bb, count(*)::BIGINT AS cnt
+        |  FROM keyed GROUP BY 1, 2),
+        |ct AS (SELECT coalesce(sum(cnt), 0)::BIGINT AS n_records,
+        |    coalesce(sum(cnt * (cnt - 1) // 2), 0)::BIGINT AS cand_pairs
+        |  FROM cnts),
+        |tr AS (SELECT a.c_custkey AS ta, b.c_custkey AS tb
+        |  FROM c a JOIN c b ON b.c_custkey = a.c_custkey + 1
+        |    AND a.c_nationkey = b.c_nationkey),
+        |co AS (SELECT count(*)::BIGINT AS n_truth,
+        |    sum(CASE WHEN ka.s IS NOT NULL AND ka.s = kb.s
+        |      AND ka.bb = kb.bb THEN 1 ELSE 0 END)::BIGINT
+        |      AS truth_coblocked
+        |  FROM tr LEFT JOIN keyed ka ON ka.id = tr.ta
+        |  LEFT JOIN keyed kb ON kb.id = tr.tb)
+        |SELECT n_records,
+        |  (n_records * (n_records - 1) // 2)::BIGINT AS total_pairs,
+        |  cand_pairs,
+        |  round(CASE WHEN n_records >= 2 THEN
+        |      1.0 - cand_pairs / (n_records * (n_records - 1) / 2.0)
+        |    ELSE 0 END, 6) AS reduction_ratio,
+        |  n_truth, truth_coblocked,
+        |  round(CASE WHEN n_truth > 0
+        |      THEN truth_coblocked / n_truth::DOUBLE
+        |    ELSE 0 END, 6) AS pairs_completeness
+        |FROM ct, co""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  a.c_nationkey,

@@ -429,6 +429,13 @@ private[graft] object QueriesText {
           col("text").as("ref")), Seq("id"))
       graft.ops.TextEval.bleu(pairs, "id", "cand", "ref", maxN = 2)
     }),
+    "text_distinct_n" -> ((s, dir) =>
+      // distinct-1/distinct-2 generation diversity per language — the
+      // mode-collapse readout (Li et al. 2016) over the corpus grouped
+      // as if each lang were one sampler's generations
+      graft.ops.TextEval.distinctN(t(s, dir, "documents"), "lang",
+          "text", maxN = 2)
+        .orderBy("grp", "n")),
     "text_chrf" -> ((s, dir) => {
       // chrF2 (maxN=3) over the same consecutive-pair frame as
       // text_rouge/text_bleu: the tokenization-robust char-level
@@ -1163,6 +1170,23 @@ private[graft] object QueriesText {
         |    AS bleu
         |FROM ps""".stripMargin,
     // Chao1 + Good-Turing over the whole-corpus term counts — three
+    "text_distinct_n" ->
+      """WITH tk AS (SELECT lang AS grp,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT grp, 1 AS n, unnest(t) AS g FROM tk
+        |  UNION ALL
+        |  SELECT grp, 2, unnest(CASE WHEN len(t) >= 2 THEN
+        |      list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE []::VARCHAR[] END) FROM tk),
+        |c AS (SELECT grp, n, g, count(*)::BIGINT AS c
+        |  FROM g GROUP BY 1, 2, 3)
+        |SELECT grp, n, sum(c)::BIGINT AS total_grams,
+        |  count(*)::BIGINT AS distinct_grams,
+        |  round(count(*) / sum(c)::DOUBLE, 4) AS distinct_ratio
+        |FROM c GROUP BY 1, 2 ORDER BY grp, n""".stripMargin,
     "text_chrf" ->
       """WITH pr AS (
         |  SELECT a.doc_id AS id,

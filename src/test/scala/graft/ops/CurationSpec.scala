@@ -1647,4 +1647,76 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == lbl, "diverged from the reference synchronous loop")
   }
+
+  test("fellegiSunter: hand-computed m/u with add-half smoothing, " +
+    "NULL agreement counts as disagreement") {
+    import spark.implicits._
+    // 4 matches: field agrees on 3 of them; 6 non-matches: agrees on 1
+    // m = (3 + 0.5)/(4 + 1) = 0.7;  u = (1 + 0.5)/(6 + 1) = 3/14
+    // w_agree = log2(0.7 / (3/14)) = log2(49/15) = 1.7078
+    // w_disagree = log2(0.3 / (11/14)) = log2(21/55) = -1.3890
+    val pairs = Seq(
+      (true, Some(true)), (true, Some(true)), (true, Some(true)),
+      (true, Some(false)),
+      (false, Some(true)), (false, Some(false)), (false, Some(false)),
+      (false, Some(false)), (false, None), (false, Some(false))
+    ).toDF("is_match", "f")
+    val r = Linkage.fellegiSunter(pairs, "is_match", Seq("f"))
+      .collect().head
+    assert(r.getString(0) == "f")
+    assert(r.getDouble(1) == 0.7, s"m: $r")
+    assert(math.abs(r.getDouble(2) - 0.214286) < 1e-9, s"u: $r")
+    assert(r.getDouble(3) == 1.7078, s"w_agree: $r")
+    assert(r.getDouble(4) == -1.389, s"w_disagree: $r")
+    // NULL labels are dropped entirely: adding one must change nothing
+    val withNull = pairs.union(
+      Seq((Option.empty[Boolean], Some(true))).toDF("is_match", "f"))
+    val r2 = Linkage.fellegiSunter(withNull, "is_match", Seq("f"))
+      .collect().head
+    assert(r2 == r, "NULL-labeled pairs must not contribute")
+  }
+
+  test("blockingQuality: RR/PC closed forms without pair enumeration, " +
+    "NULL block keys pair with nothing") {
+    import spark.implicits._
+    // 6 records, blocks {a: 3, b: 2, null: 1}
+    // keyed n = 5, total = 10, candidates = 3 + 1 = 4, RR = 0.6
+    val base = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("a")),
+      (4L, Some("b")), (5L, Some("b")), (6L, Option.empty[String])
+    ).toDF("id", "blk")
+    // truth: (1,2) co-blocked, (3,4) split, (5,6) has a NULL side
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("ia", "ib")
+    val r = Linkage.blockingQuality(base, "id", Seq("blk"),
+      truth, "ia", "ib").collect().head
+    assert(r.getLong(0) == 5L, s"n_records counts only keyed rows: $r")
+    assert(r.getLong(1) == 10L && r.getLong(2) == 4L, s"pairs: $r")
+    assert(r.getDouble(3) == 0.6, s"rr: $r")
+    assert(r.getLong(4) == 3L && r.getLong(5) == 1L, s"truth: $r")
+    assert(math.abs(r.getDouble(6) - 0.333333) < 1e-9, s"pc: $r")
+  }
+
+  test("distinctN: per-group gram totals, distinct ratios, short-text " +
+    "level drop") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "a b a b"), ("g1", "a b"),
+      ("g2", "x")
+    ).toDF("grp", "text")
+    val r = TextEval.distinctN(df, "grp", "text", maxN = 2)
+      .orderBy("grp", "n").collect()
+    // g1 unigrams: 6 total {a,b} distinct 2 -> 0.3333
+    // g1 bigrams: "a b","b a","a b" + "a b" = 5 total? no:
+    //   doc1 "a b a b" -> 3 bigrams (a b, b a, a b); doc2 "a b" -> 1
+    //   total 4, distinct {a b, b a} = 2 -> 0.5
+    // g2: 1 unigram, no bigram row
+    assert(r.length == 3, r.mkString("; "))
+    assert(r(0).getString(0) == "g1" && r(0).getInt(1) == 1 &&
+      r(0).getLong(2) == 6L && r(0).getLong(3) == 2L &&
+      r(0).getDouble(4) == 0.3333, s"${r(0)}")
+    assert(r(1).getInt(1) == 2 && r(1).getLong(2) == 4L &&
+      r(1).getLong(3) == 2L && r(1).getDouble(4) == 0.5, s"${r(1)}")
+    assert(r(2).getString(0) == "g2" && r(2).getInt(1) == 1 &&
+      r(2).getLong(2) == 1L, s"${r(2)}")
+  }
 }
