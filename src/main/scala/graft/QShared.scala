@@ -1370,6 +1370,75 @@ private[graft] object QShared {
          |FROM w$iters ORDER BY lang, len_bucket""".stripMargin
   }
 
+  /** Unrolled EM replay for the q_fs_em gate (Winkler 1988): the same
+   * customer consecutive-pair deck as q_fs_weights but UNLABELED —
+   * agreement-pattern counts, then `iters` expectation/maximization
+   * rounds as MATERIALIZED CTEs over the 1-row (p, m_f, u_f) state,
+   * every multiplication left-associated exactly as the driver loop
+   * multiplies (the replay contract in Linkage.fellegiSunterEm). */
+  def fsEmOracle(iters: Int): String = {
+    val pre =
+      """WITH a AS (SELECT c_custkey AS k, c_mktsegment AS sa,
+        |    floor(c_acctbal / 1000) AS ba, c_acctbal >= 0 AS pa
+        |  FROM customer),
+        |b AS (SELECT c_custkey - 1 AS k, c_mktsegment AS sb,
+        |    floor(c_acctbal / 1000) AS bb, c_acctbal >= 0 AS pb
+        |  FROM customer),
+        |pt AS MATERIALIZED (SELECT sa = sb AS f0, ba = bb AS f1,
+        |    pa = pb AS f2, count(*)::DOUBLE AS n
+        |  FROM a JOIN b USING (k) GROUP BY 1, 2, 3),
+        |tot AS MATERIALIZED (SELECT sum(n) AS nt FROM pt),
+        |s0 AS MATERIALIZED (SELECT 0.1 AS p,
+        |  0.9 AS m0, 0.9 AS m1, 0.9 AS m2,
+        |  0.1 AS u0, 0.1 AS u1, 0.1 AS u2)""".stripMargin
+    def tm(s: String) =
+      s"""(((CASE WHEN pt.f0 THEN $s.m0 ELSE 1 - $s.m0 END)
+         |      * (CASE WHEN pt.f1 THEN $s.m1 ELSE 1 - $s.m1 END))
+         |      * (CASE WHEN pt.f2 THEN $s.m2 ELSE 1 - $s.m2 END))""".stripMargin
+    def tu(s: String) =
+      s"""(((CASE WHEN pt.f0 THEN $s.u0 ELSE 1 - $s.u0 END)
+         |      * (CASE WHEN pt.f1 THEN $s.u1 ELSE 1 - $s.u1 END))
+         |      * (CASE WHEN pt.f2 THEN $s.u2 ELSE 1 - $s.u2 END))""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val s = s"s${i - 1}"
+      s""",
+         |g$i AS MATERIALIZED (SELECT pt.f0, pt.f1, pt.f2, pt.n,
+         |    (($s.p * ${tm(s)}))
+         |    / ((($s.p * ${tm(s)}))
+         |      + (((1 - $s.p) * ${tu(s)}))) AS g
+         |  FROM pt, $s),
+         |s$i AS MATERIALIZED (SELECT sum(n * g) / tot.nt AS p,
+         |    sum(CASE WHEN f0 THEN n * g ELSE 0 END) / sum(n * g) AS m0,
+         |    sum(CASE WHEN f1 THEN n * g ELSE 0 END) / sum(n * g) AS m1,
+         |    sum(CASE WHEN f2 THEN n * g ELSE 0 END) / sum(n * g) AS m2,
+         |    sum(CASE WHEN f0 THEN n * (1 - g) ELSE 0 END)
+         |      / (tot.nt - sum(n * g)) AS u0,
+         |    sum(CASE WHEN f1 THEN n * (1 - g) ELSE 0 END)
+         |      / (tot.nt - sum(n * g)) AS u1,
+         |    sum(CASE WHEN f2 THEN n * (1 - g) ELSE 0 END)
+         |      / (tot.nt - sum(n * g)) AS u2
+         |  FROM g$i, tot GROUP BY tot.nt)""".stripMargin
+    }.mkString
+    pre + steps +
+      s"""
+         |SELECT * FROM (
+         |  SELECT 'seg' AS field, round(m0, 6) AS m, round(u0, 6) AS u,
+         |    round(ln(m0 / u0) / ln(2), 4) AS w_agree,
+         |    round(ln((1 - m0) / (1 - u0)) / ln(2), 4) AS w_disagree,
+         |    round(p, 6) AS p_match FROM s$iters
+         |  UNION ALL
+         |  SELECT 'bal_band', round(m1, 6), round(u1, 6),
+         |    round(ln(m1 / u1) / ln(2), 4),
+         |    round(ln((1 - m1) / (1 - u1)) / ln(2), 4),
+         |    round(p, 6) FROM s$iters
+         |  UNION ALL
+         |  SELECT 'bal_sign', round(m2, 6), round(u2, 6),
+         |    round(ln(m2 / u2) / ln(2), 4),
+         |    round(ln((1 - m2) / (1 - u2)) / ln(2), 4),
+         |    round(p, 6) FROM s$iters)
+         |ORDER BY field""".stripMargin
+  }
+
   /** Per-chunk marker-vote replay for the text_lang_mix gate: the
    * langidOracle arithmetic over fixed 50-token windows, then the
    * per-document majority profile. */

@@ -565,6 +565,109 @@ object Linkage {
   }
 
   /**
+   * Unsupervised Fellegi–Sunter via EM (Winkler 1988, "Using the EM
+   * algorithm for weight computation in the Fellegi–Sunter model") —
+   * the production form of [[fellegiSunter]]: real linkage decks have
+   * no labels, so m/u and the match prevalence p are fitted as a
+   * two-class mixture over the AGREEMENT PATTERNS. One scan aggregates
+   * the ≤2^k pattern counts (k-bounded driver state — the IPF/codebook
+   * contract, enforced); the EM loop then runs driver-side a FIXED
+   * `iters` rounds from the canonical deterministic start
+   * (p = 0.1, m = 0.9, u = 0.1), conditional independence across
+   * fields (the standard FS assumption):
+   *   E: g_j = p·Πm / (p·Πm + (1−p)·Πu)  per pattern j,
+   *   M: p = Σn_j·g_j/N,  m_f = Σ_{agree f} n_j·g_j / Σ n_j·g_j,
+   *      u_f analogous under (1−g).
+   * Every float operation is order-pinned (fields multiply in
+   * `agreeCols` order, patterns sum in sorted-pattern order) so the
+   * fit replays exactly in any engine as an unrolled iteration.
+   * NULL agreement indicators count as disagreement, as in the
+   * supervised estimator.
+   * Output: one row per field in `agreeCols` order — field, m (6dp),
+   * u (6dp), w_agree (4dp), w_disagree (4dp), p_match (6dp, the fitted
+   * prevalence, constant across rows).
+   */
+  def fellegiSunterEm(pairs: DataFrame, agreeCols: Seq[String],
+      iters: Int = 10): DataFrame = {
+    require(agreeCols.nonEmpty && agreeCols.size <= 16,
+      s"1..16 agreement fields (patterns are 2^k driver state): " +
+      s"${agreeCols.size}")
+    require(iters >= 1 && iters <= 1000, s"iters in [1,1000]: $iters")
+    val k = agreeCols.size
+    val patternCols = agreeCols.map(f => coalesce(col(f), lit(false)))
+    val counts = pairs
+      .groupBy(patternCols.zipWithIndex.map { case (c, i) =>
+        c.as(s"_f$i") }: _*)
+      .agg(count(lit(1)).as("_n"))
+      .collect()
+      .map { r =>
+        ((0 until k).map(i => r.getBoolean(i)).toVector,
+          r.getLong(k).toDouble)
+      }
+      .sortBy(_._1.map(b => if (b) '1' else '0').mkString)
+    val nTotal = counts.map(_._2).sum
+    require(nTotal > 0, "no pairs to fit")
+    var p = 0.1
+    var m = Array.fill(k)(0.9)
+    var u = Array.fill(k)(0.1)
+    for (_ <- 0 until iters) {
+      // E-step: responsibilities per pattern, field terms multiplied
+      // left-to-right in agreeCols order (the replay contract)
+      val g = counts.map { case (bits, _) =>
+        var tm = 1.0
+        var tu = 1.0
+        var f = 0
+        while (f < k) {
+          tm *= (if (bits(f)) m(f) else 1.0 - m(f))
+          tu *= (if (bits(f)) u(f) else 1.0 - u(f))
+          f += 1
+        }
+        val pm = p * tm
+        val pu = (1.0 - p) * tu
+        pm / (pm + pu)
+      }
+      // M-step: pattern sums in the sorted-pattern order of `counts`
+      var sg = 0.0
+      var i = 0
+      while (i < counts.length) { sg += counts(i)._2 * g(i); i += 1 }
+      val m2 = new Array[Double](k)
+      val u2 = new Array[Double](k)
+      var f = 0
+      while (f < k) {
+        var am = 0.0
+        var au = 0.0
+        i = 0
+        while (i < counts.length) {
+          val (bits, n) = counts(i)
+          if (bits(f)) { am += n * g(i); au += n * (1.0 - g(i)) }
+          i += 1
+        }
+        m2(f) = am / sg
+        u2(f) = au / (nTotal - sg)
+        f += 1
+      }
+      p = sg / nTotal
+      m = m2
+      u = u2
+    }
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    agreeCols.zipWithIndex.map { case (f, i) =>
+      (f,
+        BigDecimal(m(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(u(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble,
+        BigDecimal(math.log(m(i) / u(i)) / math.log(2.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(math.log((1.0 - m(i)) / (1.0 - u(i))) / math.log(2.0))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+    }.toDF("field", "m", "u", "w_agree", "w_disagree", "p_match")
+  }
+
+  /**
    * Blocking-quality metrics (Christen, "Data Matching" Ch. 7): how good
    * is a blocking scheme BEFORE paying for comparisons —
    *   reduction ratio RR = 1 − candidate_pairs / total_pairs

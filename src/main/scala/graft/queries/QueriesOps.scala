@@ -127,6 +127,29 @@ private[graft] object QueriesOps {
         Seq("seg", "bal_band", "bal_sign"))
         .orderBy("field")
     }),
+    "q_fs_em" -> ((s, dir) => {
+      // unsupervised Fellegi–Sunter: the q_fs_weights deck WITHOUT the
+      // label — EM fits (p, m_f, u_f) as a two-class mixture over the
+      // 2^3 agreement patterns, 10 deterministic rounds from the
+      // canonical (0.1, 0.9, 0.1) start; the oracle unrolls the
+      // identical arithmetic
+      val c = t(s, dir, "customer")
+      val a = c.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("sa"),
+        floor(col("c_acctbal") / 1000).as("ba"),
+        (col("c_acctbal") >= 0).as("pa"))
+      val b = c.select((col("c_custkey") - 1).as("k"),
+        col("c_mktsegment").as("sb"),
+        floor(col("c_acctbal") / 1000).as("bb"),
+        (col("c_acctbal") >= 0).as("pb"))
+      val pairs = a.join(b, Seq("k"))
+        .select((col("sa") === col("sb")).as("seg"),
+          (col("ba") === col("bb")).as("bal_band"),
+          (col("pa") === col("pb")).as("bal_sign"))
+      graft.ops.Linkage.fellegiSunterEm(pairs,
+          Seq("seg", "bal_band", "bal_sign"), iters = 10)
+        .orderBy("field")
+    }),
     "q_blocking_quality" -> ((s, dir) => {
       // blocking-quality readout BEFORE paying for comparisons:
       // (mktsegment × acctbal 1k-band) blocks over customers, truth =
@@ -750,6 +773,7 @@ private[graft] object QueriesOps {
         |  round(log2(m / u), 4) AS w_agree,
         |  round(log2((1 - m) / (1 - u)), 4) AS w_disagree
         |FROM f ORDER BY field""".stripMargin,
+    "q_fs_em" -> fsEmOracle(10),
     "q_blocking_quality" ->
       """WITH c AS (SELECT c_custkey, c_mktsegment,
         |    floor(c_acctbal / 1000) AS bal_band, c_nationkey

@@ -1719,4 +1719,44 @@ class CurationSpec extends AnyFunSuite {
     assert(r(2).getString(0) == "g2" && r(2).getInt(1) == 1 &&
       r(2).getLong(2) == 1L, s"${r(2)}")
   }
+
+  test("fellegiSunterEm: recovers a planted well-separated mixture, " +
+    "deterministic, agrees with the supervised estimator") {
+    import spark.implicits._
+    // planted deck: 25 duplicate pairs agree on both fields except a
+    // deterministic minority; 75 non-duplicates mostly disagree
+    val rows = (0 until 100).map { i =>
+      val isDup = i % 4 == 0
+      val fA = if (isDup) i != 0 else i == 1   // dup: 24/25 agree
+      val fB = if (isDup) i != 4 else i == 2   // non: 1/75 agree
+      (isDup, fA, fB)
+    }
+    val df = rows.toDF("is_match", "fa", "fb")
+    val em = Linkage.fellegiSunterEm(df.select("fa", "fb"),
+      Seq("fa", "fb"), iters = 25).collect()
+    assert(em.length == 2)
+    val p = em.head.getDouble(5)
+    assert(p > 0.1 && p < 0.45, s"prevalence off: $p")
+    em.foreach { r =>
+      assert(r.getDouble(1) > 0.6, s"m must be high: $r")
+      assert(r.getDouble(2) < 0.35, s"u must be low: $r")
+      assert(r.getDouble(3) > 0 && r.getDouble(4) < 0, s"weights: $r")
+    }
+    // deterministic: a second run is bit-identical
+    val em2 = Linkage.fellegiSunterEm(df.select("fa", "fb"),
+      Seq("fa", "fb"), iters = 25).collect()
+    assert(em.toSeq == em2.toSeq, "EM must be deterministic")
+    // the supervised estimator on the TRUE labels lands in the same
+    // place (well-separated mixture): m/u within 0.15
+    val sup = Linkage.fellegiSunter(df, "is_match", Seq("fa", "fb"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1),
+        r.getDouble(2)))).toMap
+    em.foreach { r =>
+      val (ms, us) = sup(r.getString(0))
+      assert(math.abs(r.getDouble(1) - ms) < 0.15,
+        s"EM m far from supervised: $r vs $ms")
+      assert(math.abs(r.getDouble(2) - us) < 0.15,
+        s"EM u far from supervised: $r vs $us")
+    }
+  }
 }
