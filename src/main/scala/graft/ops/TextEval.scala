@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
  * the engine the way classifierMetrics/retrievalMetrics do.
  *
  * Tokenization is the whitespace family used across TextMetrics: lowercase,
- * split on runs of whitespace, empty tokens dropped. All operators are
- * banded equi-joins on (id, gram) or keyed aggregations — candidate×reference
- * work is per-PAIR, never cross-corpus.
+ * split on runs of whitespace, empty tokens dropped. The pairwise scores
+ * (ROUGE/BLEU/chrF) run a compiled per-pair kernel — gram multisets never
+ * leave their row, so nothing gram-sized ever shuffles; the corpus-level
+ * estimators (coverage, distinct-n) are keyed aggregations. Candidate ×
+ * reference work is per-PAIR, never cross-corpus.
  */
 object TextEval {
 
@@ -50,25 +52,71 @@ object TextEval {
     }: _*)
   }
 
-  /** Per-(n, id, gram) candidate/reference counts with the CLIPPED overlap
-   * min(c_cand, c_ref) for every n in [nFrom, nTo] — the shared kernel of
-   * [[rougeN]] and [[bleu]]. ONE scan of the pair frame and ONE shuffle:
-   * both sides explode side-tagged and cc/rc are conditional counts of
-   * the same aggregation — no per-side branch recomputing an uncached
-   * input (at corpus scale the input is typically a join), no full_outer
-   * join shuffle. */
+  /** Per-pair clipped-count row: one entry per n-level. Field names are
+   * the downstream column contract (n, cc, rc, clip). */
+  case class GramCounts(n: Int, cc: Long, rc: Long, clip: Long)
+
+  /** The clipped-overlap core shared by every per-pair score: count the
+   * candidate grams into a multiset, then stream the reference grams,
+   * consuming matches — clip ends up Σ_g min(c_cand(g), c_ref(g)). */
+  private def clipCounts(n: Int, cand: Iterator[String],
+      ref: Iterator[String]): GramCounts = {
+    val cm = new java.util.HashMap[String, Long]()
+    var cc = 0L
+    while (cand.hasNext) {
+      cm.merge(cand.next(), 1L, _ + _); cc += 1L
+    }
+    var rc = 0L
+    var clip = 0L
+    while (ref.hasNext) {
+      val g = ref.next()
+      rc += 1L
+      val rem = cm.getOrDefault(g, 0L)
+      if (rem > 0L) { cm.put(g, rem - 1L); clip += 1L }
+    }
+    GramCounts(n, cc, rc, clip)
+  }
+
+  private def wordGrams(t: Seq[String], n: Int): Iterator[String] =
+    if (t == null || t.length < n) Iterator.empty
+    else if (n == 1) t.iterator
+    else (0 to t.length - n).iterator.map(i => t.slice(i, i + n).mkString(" "))
+
+  private def charGrams(s: String, n: Int): Iterator[String] =
+    if (s == null || s.length < n) Iterator.empty
+    else (0 to s.length - n).iterator.map(i => s.substring(i, i + n))
+
+  /** Per-PAIR clipped n-gram counts for every n in [nFrom, nTo], computed
+   * entirely inside ONE compiled kernel per row — clipping is a
+   * within-pair quantity, so shuffling (id, gram) rows across the
+   * cluster to reunite grams that were born in the same row is pure
+   * waste. The predecessor design did exactly that: at sf1 the chrF
+   * gate shuffled ~45M exploded gram structs (35 s, the round's one
+   * superlinear slope); this kernel's only cross-row traffic is the
+   * maxN-row-per-pair count frame. */
+  private def pairCounts(nFrom: Int, nTo: Int) =
+    udf((ct: Seq[String], rt: Seq[String]) =>
+      (nFrom to nTo).map(n =>
+        clipCounts(n, wordGrams(ct, n), wordGrams(rt, n))))
+
+  /** [[pairCounts]] over character n-grams (the chrF kernel). */
+  private def charPairCounts(nFrom: Int, nTo: Int) =
+    udf((c: String, r: String) =>
+      (nFrom to nTo).map(n =>
+        clipCounts(n, charGrams(c, n), charGrams(r, n))))
+
+  /** The exploded per-(pair, n) count frame both corpus scores aggregate:
+   * one scan, one Generate of the maxN-element kernel result, zero gram
+   * shuffles. */
   private def clippedCounts(df: DataFrame, idCol: String, candCol: String,
       refCol: String, nFrom: Int, nTo: Int): DataFrame =
     spread(df.select(col(idCol).as("id"),
         col(candCol).as("_cand"), col(refCol).as("_ref")))
       .select(col("id"),
-        explode(concat(
-          taggedGrams(toks(col("_cand")), nFrom, nTo, 0),
-          taggedGrams(toks(col("_ref")), nFrom, nTo, 1))).as("x"))
-      .groupBy(col("x.n").as("n"), col("id"), col("x.g").as("g"))
-      .agg(count(when(col("x.s") === 0, 1)).as("cc"),
-        count(when(col("x.s") === 1, 1)).as("rc"))
-      .withColumn("clip", least(col("cc"), col("rc")))
+        explode(pairCounts(nFrom, nTo)(
+          toks(col("_cand")), toks(col("_ref")))).as("x"))
+      .select(col("id"), col("x.n").as("n"), col("x.cc").as("cc"),
+        col("x.rc").as("rc"), col("x.clip").as("clip"))
 
   /**
    * ROUGE-n (Lin 2004): per (candidate, reference) pair, the clipped
@@ -85,6 +133,10 @@ object TextEval {
   def rougeN(df: DataFrame, idCol: String, candCol: String,
       refCol: String, n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1: $n")
+    // per-row kernel: every input pair yields its count row directly
+    // (an empty candidate is a 0 row, not a missing row), duplicate ids
+    // merge by sum — the only shuffle carries maxN narrow long rows per
+    // pair, never grams, and no join survives
     val per = clippedCounts(df, idCol, candCol, refCol, n, n)
       .groupBy("id")
       .agg(sum("cc").as("n_cand"), sum("rc").as("n_ref"),
@@ -93,16 +145,11 @@ object TextEval {
       col("overlap") / col("n_cand").cast("double")).otherwise(lit(0.0))
     val rec = when(col("n_ref") > 0,
       col("overlap") / col("n_ref").cast("double")).otherwise(lit(0.0))
-    df.select(col(idCol).as("id")).distinct()
-      .join(per, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
-        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-        coalesce(col("overlap"), lit(0L)).as("overlap"),
-        round(coalesce(prec, lit(0.0)), 4).as("precision"),
-        round(coalesce(rec, lit(0.0)), 4).as("recall"),
-        round(coalesce(when(prec + rec > 0,
-          lit(2.0) * prec * rec / (prec + rec)), lit(0.0)), 4).as("f1"))
+    per.select(col("id"), col("n_cand"), col("n_ref"), col("overlap"),
+      round(prec, 4).as("precision"),
+      round(rec, 4).as("recall"),
+      round(coalesce(when(prec + rec > 0,
+        lit(2.0) * prec * rec / (prec + rec)), lit(0.0)), 4).as("f1"))
   }
 
   /**
@@ -114,9 +161,10 @@ object TextEval {
    * Any empty precision level zeroes BLEU (the standard convention;
    * smoothed variants exist but this is the reference definition).
    * ONE scan of the pair frame covers every n-level AND the length
-   * totals (cand_len/ref_len are the unigram count sums), so the whole
-   * score is one shuffle plus a 1-row aggregate — no per-n re-read of
-   * what is typically an uncached join.
+   * totals (cand_len/ref_len are the unigram count sums) through the
+   * per-pair compiled kernel, so the whole score is a narrow scan plus
+   * a 1-row aggregate — zero gram shuffles, no per-n re-read of what is
+   * typically an uncached join.
    * Output: 1 row — cand_len, ref_len, p1..p{maxN} (4dp), bp (4dp),
    * bleu (4dp).
    */
@@ -164,8 +212,8 @@ object TextEval {
    * chrP/chrR macro-average the per-n precisions/recalls, and n-levels
    * where BOTH sides have zero grams (every pair shorter than n chars)
    * are excluded from the average rather than polluting it with 0/0.
-   * Same one-scan/one-shuffle kernel shape as [[bleu]], with char-gram
-   * substrings instead of token slices.
+   * Same per-pair-kernel shape as [[bleu]], with char-gram substrings
+   * instead of token grams.
    * Output: 1 row — cand_chars, ref_chars, levels (n-levels averaged),
    * chrp (4dp), chrr (4dp), chrf2 (4dp).
    */
@@ -175,26 +223,17 @@ object TextEval {
     require(beta > 0, s"beta must be positive: $beta")
     def chars(c: Column): Column =
       regexp_replace(lower(c), "\\s+", "")
-    def charGrams(sCol: Column, nFrom: Int, nTo: Int, side: Int): Column = {
-      def entry(n: Int, g: Column): Column =
-        struct(lit(side).as("s"), lit(n).as("n"), g.as("g"))
-      concat((nFrom to nTo).map { n =>
-        when(length(sCol) >= n,
-          transform(sequence(lit(1), length(sCol) - n + 1),
-            i => entry(n, substring(sCol, i, lit(n)))))
-          .otherwise(array().cast("array<struct<s:int,n:int,g:string>>"))
-      }: _*)
-    }
+    // per-pair compiled kernel (see clippedCounts): the gram multisets
+    // never leave their row; the only shuffled frame is maxN rows per
+    // pair of narrow longs. The exploded-struct predecessor shuffled
+    // ~45M char-gram structs at sf1 (35 s, superlinear).
     val counts = spread(df.select(col(idCol).as("id"),
         col(candCol).as("_cand"), col(refCol).as("_ref")))
       .select(col("id"),
-        explode(concat(
-          charGrams(chars(col("_cand")), 1, maxN, 0),
-          charGrams(chars(col("_ref")), 1, maxN, 1))).as("x"))
-      .groupBy(col("x.n").as("n"), col("id"), col("x.g").as("g"))
-      .agg(count(when(col("x.s") === 0, 1)).as("cc"),
-        count(when(col("x.s") === 1, 1)).as("rc"))
-      .withColumn("clip", least(col("cc"), col("rc")))
+        explode(charPairCounts(1, maxN)(
+          chars(col("_cand")), chars(col("_ref")))).as("x"))
+      .select(col("x.n").as("n"), col("x.cc").as("cc"),
+        col("x.rc").as("rc"), col("x.clip").as("clip"))
     val perN = counts.groupBy("n")
       .agg(sum("clip").cast("double").as("clip"),
         sum("cc").cast("double").as("tot_c"),
