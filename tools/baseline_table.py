@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Regenerate BASELINE.md's per-query floor table from the round's
+bench artifacts.
+
+Policy (BASELINE.md "RULES"):
+- floor = min(previous floor, this round's idle-run minimum); new
+  queries enter at their first idle-run minimum;
+- deliberate floor RAISES (algorithm changes) are NOT auto-applied —
+  they get a dated note in the "Floor updates" section and the floor
+  column takes the new value only when the old query key's floor is
+  listed in DELIBERATE below;
+- median / cluster / sf1 columns are this round's context readings.
+
+Usage: python3 tools/baseline_table.py [headline] [cluster] [sf1] [old_baseline]
+Prints the markdown table + totals to stdout.
+"""
+import json
+import re
+import sys
+
+headline = sys.argv[1] if len(sys.argv) > 1 else "bench_headline_r12.json"
+cluster = sys.argv[2] if len(sys.argv) > 2 else "bench_cluster_r12.json"
+sf1 = sys.argv[3] if len(sys.argv) > 3 else "bench_sf1_full_r12.json"
+old_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
+
+# queries whose floor moved by DELIBERATE algorithm change this round:
+# the old floor no longer describes the shipped plan
+DELIBERATE = {"q_fuzzy_join", "q_bradley_terry", "text_rouge"}
+
+h = json.load(open(headline))
+c = json.load(open(cluster))
+s = json.load(open(sf1))
+
+old = {}
+for line in open(old_md):
+    m = re.match(r"\| (\w+) \| ([\d.]+) \|", line)
+    if m:
+        old[m.group(1)] = float(m.group(2))
+
+rows = []
+for q in sorted(h["queries"]):
+    new_min = h["queries_min"][q]
+    if q in DELIBERATE or q not in old:
+        floor = new_min
+    else:
+        floor = min(old[q], new_min)
+    rows.append((q, floor, h["queries"][q], c["queries"].get(q),
+                 s["queries"].get(q)))
+
+print("| query | floor s (sf0.1 min) | median s | cluster s | sf1 s |")
+print("| --- | --- | --- | --- | --- |")
+for q, f, med, cl, s1 in rows:
+    cl_s = f"{cl:.3f}" if cl is not None else "—"
+    s1_s = f"{s1:.3f}" if s1 is not None else "—"
+    print(f"| {q} | {f:.3f} | {med:.3f} | {cl_s} | {s1_s} |")
+
+print()
+print(f"Totals: floor {sum(r[1] for r in rows):.1f} s over {len(rows)} "
+      f"queries (median total {h['value']:.1f} s, loads "
+      f"{h['load_start']}/{h['load_end']}); cluster single-shot "
+      f"{c['value']:.1f} s over {len(c['queries'])} queries; sf1 "
+      f"single-shot {s['value']:.1f} s over {len(s['queries'])} queries.")
