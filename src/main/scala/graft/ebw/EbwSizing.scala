@@ -68,20 +68,43 @@ private[ebw] object EbwSizing {
     f.toLong * math.min(gramCap, ceilDiv(sumPairs, f.toLong)) * SerBytesPerEntry
   }
 
+  /** In-heap bytes per LongMap entry while a partial is BUILDING
+   * (open-addressed primitive arrays at up to 2x growth headroom). */
+  val BuildBytesPerEntry: Long = 2L * HeapBytesPerEntry
+
+  /** Per-task in-flight partial budget: `cores` partials build AT ONCE
+   * in one executor JVM (local mode: the driver JVM itself), so the
+   * concurrent set — not one partial — is what must fit. A quarter of
+   * the heap across all concurrent tasks, floored at 8 MiB so tiny
+   * heaps still make progress. The round-12 OOM this encodes: at
+   * N=1e7/k=1e5 the no-collision Gram realizes the sumPairs upper
+   * bound, and 32 concurrent 64 MiB-target partials (~200 MiB in-heap
+   * each at build headroom) blew an 8 GiB heap that a single partial
+   * fit comfortably. */
+  def perTaskPartialBytes(maxHeap: Long, cores: Int): Long =
+    math.max(8L << 20, (maxHeap / 4) / math.max(1, cores))
+
   /**
    * @param k            moment dimension
    * @param sumPairs     Σ nnz_i(nnz_i+1)/2 from the validation pass
    * @param currentParts partitions of the prepared row RDD
    * @param maxResultSize `spark.driver.maxResultSize` in bytes (0 = unlimited)
    * @param maxHeap      driver JVM max heap (Runtime.maxMemory)
+   * @param cores        concurrent tasks per executor JVM (local mode:
+   *                     the session's parallelism); 1 = legacy single-
+   *                     partial sizing
    */
   def plan(k: Int, sumPairs: Long, currentParts: Int,
-      maxResultSize: Long, maxHeap: Long): Plan = {
+      maxResultSize: Long, maxHeap: Long, cores: Int = 1): Plan = {
     val tri = k.toLong * (k + 1) / 2
     val gramCap = math.max(1L, math.min(tri, sumPairs))
     val pForPartial = ceilDiv(sumPairs * SerBytesPerEntry, TargetPartialBytes)
+    val entriesPerPart = math.max(1L,
+      perTaskPartialBytes(maxHeap, cores) / BuildBytesPerEntry)
+    val pForHeap = ceilDiv(sumPairs, entriesPerPart)
     val partitions = math.max(currentParts,
-      math.min(MaxPartitions.toLong, pForPartial).toInt)
+      math.min(MaxPartitions.toLong,
+        math.max(pForPartial, pForHeap)).toInt)
     // Depth: the SMALLEST depth whose driver collect fits the budget.
     // Every extra tree level re-serializes near-Gram-sized partials
     // through another executor-side merge round — measured 1.8x per
@@ -112,10 +135,18 @@ private[ebw] object EbwSizing {
 
   /** Reduce-side partition count for the distributed Gram
    * (EbwAggregator.gramRdd): merged entries spread so one partition's
-   * map stays near the partial target. */
-  def gramAggParts(plan: Plan): Int =
+   * map stays near the partial target AND the concurrent reduce-task
+   * set stays inside the same heap budget as the map side. */
+  def gramAggParts(plan: Plan, maxHeap: Long = 0L, cores: Int = 1): Int = {
+    val pForTarget =
+      ceilDiv(plan.gramCapEntries * HeapBytesPerEntry, TargetPartialBytes)
+    val pForHeap =
+      if (maxHeap <= 0L) 1L
+      else ceilDiv(plan.gramCapEntries,
+        math.max(1L, perTaskPartialBytes(maxHeap, cores) / BuildBytesPerEntry))
     math.max(8, math.min(MaxPartitions.toLong,
-      ceilDiv(plan.gramCapEntries * HeapBytesPerEntry, TargetPartialBytes)).toInt)
+      math.max(pForTarget, pForHeap)).toInt)
+  }
 
   /** For a caller that FORCES the driver path (gramMode = "driver"):
    * fail fast with a sized, actionable message instead of OOMing

@@ -73,7 +73,8 @@ object EntropyBalance {
     val maxResult = sc.getConf.getSizeAsBytes("spark.driver.maxResultSize", "1g")
     val maxHeap = Runtime.getRuntime.maxMemory
     val plan = EbwSizing.plan(prep.k, prep.sumPairs,
-      prep.rows.getNumPartitions, maxResult, maxHeap)
+      prep.rows.getNumPartitions, maxResult, maxHeap,
+      cores = sc.defaultParallelism)
     val dist = options.gramMode match {
       case "driver" =>
         EbwSizing.requireDriverFits(plan, maxResult, maxHeap); false
@@ -282,7 +283,9 @@ object EntropyBalance {
       else EbwAggregator.runSparse(prep.rows, k, th, link, gramDepth)
     def distDir(th: Array[Double], negCe: Array[Double], ridge: Double): Array[Double] = {
       val g = EbwAggregator.gramRdd(prep.rows, k, th, link,
-          EbwSizing.gramAggParts(plan.get))
+          EbwSizing.gramAggParts(plan.get,
+            Runtime.getRuntime.maxMemory,
+            prep.rows.sparkContext.defaultParallelism))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try DriverLinalg.cgSolveRdd(g, k, new Array[Double](k), negCe, ridge, null)
       finally g.unpersist(false)
@@ -423,7 +426,9 @@ object EntropyBalance {
     def distDir(th: Array[Double], lnk: Link, pg: Array[Double],
         ridge: Double, freeMask: Array[Boolean]): Array[Double] = {
       val g = EbwAggregator.gramRdd(prep.rows, k, th, lnk,
-          EbwSizing.gramAggParts(plan.get))
+          EbwSizing.gramAggParts(plan.get,
+            Runtime.getRuntime.maxMemory,
+            prep.rows.sparkContext.defaultParallelism))
         .persist(StorageLevel.MEMORY_AND_DISK_SER)
       try DriverLinalg.cgSolveRdd(g, k, new Array[Double](k), pg, ridge, freeMask)
       finally g.unpersist(false)
@@ -604,7 +609,9 @@ object EntropyBalance {
       def distDir(th: Array[Double], invP: Array[Double], rhs: Array[Double],
           ridge: Double): Array[Double] = {
         val g = EbwAggregator.gramRdd(prep.rows, k, th, link,
-            EbwSizing.gramAggParts(plan.get))
+            EbwSizing.gramAggParts(plan.get,
+            Runtime.getRuntime.maxMemory,
+            prep.rows.sparkContext.defaultParallelism))
           .persist(StorageLevel.MEMORY_AND_DISK_SER)
         try DriverLinalg.cgSolveRdd(g, k, invP, rhs, ridge, null, sign = -1.0)
         finally g.unpersist(false)

@@ -23,6 +23,30 @@ class EbwSizingSpec extends AnyFunSuite {
 
   private val GiB = 1L << 30
 
+  test("plan: concurrency-aware partial sizing — 32 cores in one 8 GiB " +
+    "JVM shrink per-partition partials (the N=1e7/k=1e5 OOM shape)") {
+    // sumPairs = 1e8 with NO cell collisions (k=1e5 realizes the upper
+    // bound): cores=1 sizing picks 48 partitions (~2.1M entries each,
+    // ~200 MiB in-heap at build headroom) — fine alone, fatal 32-at-once.
+    val solo = EbwSizing.plan(k = 100000, sumPairs = 100000000L,
+      currentParts = 32, maxResultSize = 1 * GiB, maxHeap = 8 * GiB)
+    val packed = EbwSizing.plan(k = 100000, sumPairs = 100000000L,
+      currentParts = 32, maxResultSize = 1 * GiB, maxHeap = 8 * GiB,
+      cores = 32)
+    assert(solo.partitions == 48, s"legacy sizing: ${solo.partitions}")
+    assert(packed.partitions >= 143, s"concurrent partials must shrink " +
+      s"below heap/4/cores: ${packed.partitions}")
+    // the concurrent in-flight set stays inside a quarter of the heap
+    val perPart = 100000000L / packed.partitions *
+      EbwSizing.BuildBytesPerEntry
+    assert(perPart * 32 <= 2L * GiB + (64L << 20), s"in-flight $perPart x32")
+    assert(packed.distributedGram, packed.why)
+    // the reduce side honors the same budget
+    val agg = EbwSizing.gramAggParts(packed, 8 * GiB, 32)
+    assert(100000000L / agg * EbwSizing.BuildBytesPerEntry <=
+      EbwSizing.perTaskPartialBytes(8 * GiB, 32) + (1L << 20), s"agg=$agg")
+  }
+
   test("plan: the N=1e7 poststrat shape exceeds the default driver budget " +
     "and routes to the distributed Gram") {
     // N=1e7, nnz/row=4 -> sumPairs = 1e8; k=1e4 -> realized-Gram cap 5e7
