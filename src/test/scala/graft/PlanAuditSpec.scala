@@ -361,6 +361,54 @@ class PlanAuditSpec extends AnyFunSuite {
       s"found $explodes:\n$p")
   }
 
+  test("fellegiSunter: every field estimates from ONE aggregation scan " +
+    "(conditional sums), no per-field job") {
+    import org.apache.spark.sql.functions._
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    val pairs = c.select((col("c_custkey") % 2 === 0).as("is_match"),
+      (col("c_acctbal") >= 0).as("f1"),
+      (col("c_nationkey") % 2 === 0).as("f2"),
+      (col("c_mktsegment") === "BUILDING").as("f3"))
+    val p = graft.ops.Linkage.fellegiSunter(pairs, "is_match",
+      Seq("f1", "f2", "f3")).queryExecution.executedPlan.toString
+    val aggs = "HashAggregate".r.findAllIn(p).length
+    // one partial + one final aggregate pair for ALL fields
+    assert(aggs == 2, s"expected one aggregation pair, found $aggs:\n$p")
+    assert(!p.contains("Join"), s"no join in the estimator:\n$p")
+  }
+
+  test("blockingQuality: RR/PC without pair enumeration — no self-join " +
+    "of the base table, only block-size aggregates + id-keyed truth " +
+    "joins") {
+    import org.apache.spark.sql.functions._
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L)).toDF("ia", "ib")
+    val p = graft.ops.Linkage.blockingQuality(c, "c_custkey",
+        Seq("c_mktsegment"), truth, "ia", "ib")
+      .queryExecution.executedPlan.toString
+    // the base table must never join itself: the only joins key the
+    // 2-row truth frame to the per-id block keys (+ the final 1-row
+    // cross of two scalar aggregates)
+    val smj = "SortMergeJoin".r.findAllIn(p).length
+    assert(smj == 0, s"no sort-merge self-join allowed:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian pair space:\n$p")
+  }
+
+  test("mbrSelect: candidate pairing is an equi-join on the group key, " +
+    "never a product") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(floor(col("doc_id") / 10).cast("long").as("grp"),
+        col("doc_id").as("cid"), col("text"))
+    val p = graft.ops.Eval.mbrSelect(docs, "grp", "cid", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"pairing must stay group-keyed:\n$p")
+  }
+
   test("semanticPairs: equi-join on the cluster id, never a product") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Dedup.semanticPairs(emb, "embedding", "vec_id",
