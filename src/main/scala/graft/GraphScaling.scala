@@ -77,13 +77,20 @@ object GraphScaling {
 
     val results = scala.collection.mutable.Map[(String, Int), Double]()
     for ((name, run) <- ops if wanted(name); m <- multiples) {
-      val e = edges(m).persist()
+      var e = edges(m).persist()
       e.count() // materialize outside the timed region
       val times = (0 until reps).map { _ =>
         val t0 = System.nanoTime()
         run(e)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // release op-internal caches OUTSIDE the timer; clearCache also
+        // evicts the persisted edge input, so re-persist + count it back
+        // before the next rep — reps must all start from a materialized
+        // input, or reps 2..n silently re-time the m-way union build
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        e = edges(m).persist()
+        e.count()
+        sec
       }
       e.unpersist(false)
       val med = median(times)

@@ -10,19 +10,25 @@ import org.apache.spark.unsafe.types.UTF8String
 object DeletionHashKernel {
   /**
    * Distinct 64-bit hashes of every variant of `s` with up to `k`
-   * CHARACTER deletions (k in 0..2) — the FastSS deletion-neighborhood
-   * index key set (Bocek et al. 2007). Character-level (not byte-level)
-   * so the candidate rule aligns with Levenshtein's character edits.
-   * Each variant hashes with FNV-1a 64 over the surviving chars —
+   * CODE-POINT deletions (k in 0..2) — the FastSS deletion-neighborhood
+   * index key set (Bocek et al. 2007). Code-point-level (not UTF-16-unit
+   * or byte-level) so the candidate rule aligns with Levenshtein's
+   * code-point edits: a 1-edit pair differing in a supplementary
+   * character (emoji, non-BMP CJK) spans TWO UTF-16 units, and a
+   * unit-level neighborhood would miss it. BMP strings hash identically
+   * to the unit-level form (a BMP code point equals its char value), so
+   * persisted indexes over BMP text stay valid.
+   * Each variant hashes with FNV-1a 64 over the surviving code points —
    * variants never materialize as strings, so the whole neighborhood is
-   * O(n·C(n,k)) char reads with zero allocation beyond the output.
+   * O(n·C(n,k)) int reads with zero allocation beyond the output and the
+   * one code-point array.
    * Hash collisions only ADD candidates a downstream exact verify
    * rejects; they never lose a pair.
    */
   def hashes(s: UTF8String, k: Int): ArrayData = {
     require(k >= 0 && k <= 2, s"graft_del_hashes supports k in [0,2]: $k")
-    val str = s.toString
-    val n = str.length
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
     val cap = 1 + (if (k >= 1) n else 0) + (if (k >= 2) n * (n - 1) / 2 else 0)
     val seen = new java.util.HashSet[java.lang.Long](cap * 2)
     val out = new Array[Long](cap)
@@ -33,7 +39,7 @@ object DeletionHashKernel {
       var p = 0
       while (p < n) {
         if (p != i && p != j) {
-          h ^= (str.charAt(p) & 0xffffL)
+          h ^= (cps(p) & 0xffffffffL)
           h *= 0x100000001b3L
         }
         p += 1
@@ -60,7 +66,7 @@ object DeletionHashKernel {
 /**
  * Native Catalyst expression `graft_del_hashes(s, k)` → array<bigint>:
  * the deletion-neighborhood index keys of a string (distinct hashes of
- * all ≤k-character-deletion variants). The fifth compiled kernel (after
+ * all ≤k-code-point-deletion variants). The fifth compiled kernel (after
  * dot/ratio/jaro/deflate), and for the same measured reason: the
  * higher-order-function formulation (nested transform + substr + concat
  * + array_distinct) runs interpreted at ~1 ms/row, a 100×+ cliff over

@@ -582,7 +582,10 @@ object Linkage {
    * `agreeCols` order, patterns sum in sorted-pattern order) so the
    * fit replays exactly in any engine as an unrolled iteration.
    * NULL agreement indicators count as disagreement, as in the
-   * supervised estimator.
+   * supervised estimator. M-step divisions carry the standard EM
+   * safeguard (class masses clamped off 0/N, rates into (eps, 1−eps),
+   * eps = 1e-9) so a perfectly separated deck stays finite; the clamps
+   * are exact no-ops wherever the raw arithmetic was already finite.
    * Output: one row per field in `agreeCols` order — field, m (6dp),
    * u (6dp), w_agree (4dp), w_disagree (4dp), p_match (6dp, the fitted
    * prevalence, constant across rows).
@@ -630,6 +633,17 @@ object Linkage {
       var sg = 0.0
       var i = 0
       while (i < counts.length) { sg += counts(i)._2 * g(i); i += 1 }
+      // standard EM safeguard (Winkler): clamp the class masses away
+      // from 0 and N, and the fitted rates into (eps, 1-eps) — on a
+      // degenerate deck (perfectly separated, or responsibilities
+      // saturating to 1.0 in float) the raw divisions go 0/0 or x/0 and
+      // every later round is NaN/Inf garbage. Both clamps are exact
+      // no-ops on any non-degenerate deck (the replay contract holds:
+      // the unrolled arithmetic is unchanged wherever it was finite).
+      val eps = 1e-9
+      def clamp01(x: Double): Double =
+        if (x.isNaN) 0.5 else math.min(1.0 - eps, math.max(eps, x))
+      val sgC = math.min(nTotal - eps, math.max(eps, sg))
       val m2 = new Array[Double](k)
       val u2 = new Array[Double](k)
       var f = 0
@@ -642,11 +656,11 @@ object Linkage {
           if (bits(f)) { am += n * g(i); au += n * (1.0 - g(i)) }
           i += 1
         }
-        m2(f) = am / sg
-        u2(f) = au / (nTotal - sg)
+        m2(f) = clamp01(am / sgC)
+        u2(f) = clamp01(au / (nTotal - sgC))
         f += 1
       }
-      p = sg / nTotal
+      p = clamp01(sg / nTotal)
       m = m2
       u = u2
     }

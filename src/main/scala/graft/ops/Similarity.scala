@@ -210,18 +210,42 @@ object Similarity {
    * Σ(a−b)² per centroid, ties to the lowest cid — spec-pinned against
    * an independent reference implementation and replayed exactly by the
    * DuckDB oracles. */
+  /** Validate-and-copy of one vector row before a hot argmin loop: null
+   * elements and wrong dimensions fail FAST with a sized message (the
+   * null-VECTOR filter is the callers' documented contract; a null
+   * ELEMENT or a short vector would otherwise NPE inside the task or —
+   * worse — silently argmin over a partial distance). */
+  private def checkedVec(xs: Seq[java.lang.Double], expect: Int,
+      what: String): Array[Double] = {
+    require(xs.length == expect,
+      s"$what: vector has ${xs.length} elements, expected $expect " +
+        "(mixed-dimension corpus? filter or re-embed first)")
+    val x = new Array[Double](expect)
+    var i = 0
+    while (i < expect) {
+      val e = xs(i)
+      require(e != null,
+        s"$what: null element at position $i of a $expect-dim vector " +
+          "(null ELEMENTS are malformed input; the null-vector filter " +
+          "only drops whole-null vectors)")
+      x(i) = e.doubleValue
+      i += 1
+    }
+    x
+  }
+
   private def minDistPair(v: Column,
       cents: Seq[(Int, Seq[Double])]): Column = {
     val sorted = cents.sortBy(_._1)
     val ids = sorted.map(_._1.toDouble).toArray
     val cs = sorted.map(_._2.toArray).toArray
-    val f = udf((xs: Seq[Double]) => {
+    val dim = cs(0).length
+    require(cs.forall(_.length == dim),
+      s"centroid table is ragged: dims ${cs.map(_.length).distinct.toSeq}")
+    val f = udf((xs: Seq[java.lang.Double]) => {
       if (xs == null) null
       else {
-        val n = xs.length
-        val x = new Array[Double](n)
-        var i = 0
-        while (i < n) { x(i) = xs(i); i += 1 }
+        val x = checkedVec(xs, dim, "centroid argmin")
         var best = Double.PositiveInfinity
         var bid = 0.0
         var c = 0
@@ -229,8 +253,7 @@ object Similarity {
           val cv = cs(c)
           var d = 0.0
           var j = 0
-          val lim = math.min(n, cv.length)
-          while (j < lim) { val t = x(j) - cv(j); d += t * t; j += 1 }
+          while (j < dim) { val t = x(j) - cv(j); d += t * t; j += 1 }
           if (d < best) { best = d; bid = ids(c) }
           c += 1
         }
@@ -247,22 +270,41 @@ object Similarity {
    * Replaces a per-centroid zip_with literal that ran HOF-interpreted
    * (higher-order functions never enter codegen) and allocated k
    * intermediate arrays per row per subspace. Callers filter null
-   * vectors before assignment, as [[pqTrain]]/[[pqEncode]] do. */
+   * vectors before assignment, as [[pqTrain]]/[[pqEncode]] do; a null
+   * ELEMENT or a wrong-dimension vector fails fast with a sized message
+   * instead of NPE-ing mid-task or silently scoring a partial window. */
   private def subCodeKernel(cents: Seq[(Int, Seq[Double])], off: Int,
-      ds: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+      ds: Int, dim: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val sorted = cents.sortBy(_._1)
     val ids = sorted.map(_._1).toArray
     val cs = sorted.map(_._2.toArray).toArray
-    udf((xs: Seq[Double]) => {
+    require(cs.forall(_.length == ds),
+      s"subspace codebook is ragged: dims ${cs.map(_.length).distinct.toSeq}" +
+        s", expected $ds")
+    udf((xs: Seq[java.lang.Double]) => {
+      require(xs.length == dim,
+        s"PQ code assignment: vector has ${xs.length} elements, expected " +
+          s"$dim (mixed-dimension corpus? filter or re-embed first)")
+      val x = new Array[Double](ds)
+      var j = 0
+      while (j < ds) {
+        val e = xs(off + j)
+        require(e != null,
+          s"PQ code assignment: null element at position ${off + j} of a " +
+            s"$dim-dim vector (null ELEMENTS are malformed input)")
+        x(j) = e.doubleValue
+        j += 1
+      }
       var best = Double.PositiveInfinity
       var bid = 0
       var c = 0
       while (c < cs.length) {
         val cv = cs(c)
         var d = 0.0
-        var j = 0
-        while (j < ds && j < cv.length && off + j < xs.length) {
-          val t = xs(off + j) - cv(j); d += t * t; j += 1
+        j = 0
+        while (j < ds) {
+          val t = x(j) - cv(j); d += t * t; j += 1
         }
         if (d < best) { best = d; bid = ids(c) }
         c += 1
@@ -364,7 +406,7 @@ object Similarity {
       }.toMap
     }
     def codeExpr(s: Int): Column =
-      subCodeKernel(cents(s), s * ds, ds)(v)
+      subCodeKernel(cents(s), s * ds, ds, dim)(v)
     for (_ <- 0 until iters - 1) {
       // the cast names the struct fields: aliases inside struct() are not
       // preserved when the members are complex expressions
@@ -401,7 +443,7 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     def codeExpr(s: Int): Column =
       subCodeKernel(bySub(s).map { case (_, cid, c) => (cid, c) },
-        s * ds, ds)(v)
+        s * ds, ds, dim)(v)
     emb.where(v.isNotNull)
       .select(col(idCol),
         array((0 until subspaces).map(codeExpr): _*).as("codes"))

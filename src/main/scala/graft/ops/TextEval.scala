@@ -24,14 +24,21 @@ object TextEval {
     filter(split(lower(c), "\\s+"), w => w =!= "")
 
   /** Spread a narrow-partition input before a CPU-heavy per-row stage:
-   * interpreted higher-order gram construction costs far more per row
-   * than the rows' bytes, so a tiny single-split file would otherwise
-   * serialize the whole explode on one core (measured 8 s → sub-second
-   * at sf0.1). No-op when the plan already has enough splits — the
-   * 100 TB case, where the extra shuffle would be pure waste. */
+   * per-pair gram kernels cost far more per row than the rows' bytes, so
+   * a tiny single-split file would otherwise serialize the whole scan on
+   * one core (measured 8 s → sub-second at sf0.1). No-op when the input
+   * is big enough to already split — the 100 TB case, where the extra
+   * shuffle would be pure waste. The split decision reads the OPTIMIZED
+   * PLAN's size statistics, never the RDD: `df.rdd.getNumPartitions`
+   * under AQE finalizes the physical plan, materializing every upstream
+   * shuffle stage of a lineage that is then thrown away — the whole
+   * subtree would execute twice per score. */
   private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val target = df.sparkSession.sparkContext.defaultParallelism.toLong
+    val maxSplit =
+      df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(maxSplit) * target) df else df.repartition(target.toInt)
   }
 
   /** All (n, gram) pairs of a token array for n in [nFrom, nTo], each

@@ -141,6 +141,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert((hs("Customer#000000007", 2) & hs("Customer#111111118", 2)).isEmpty)
     // empty string: just itself
     assert(hs("", 2).size == 1)
+    // supplementary code points delete ATOMICALLY (one edit, not two
+    // UTF-16 units): "a😀c" vs "abc" is ONE substitution, so k=1
+    // neighborhoods must intersect (deleting the differing position)
+    assert(hs("a😀c", 1).size == 4) // 3 code points → 1+3 variants
+    assert((hs("a😀c", 1) & hs("abc", 1)).nonEmpty)
+    // and a pure supplementary 1-deletion pair shares at k=1
+    assert((hs("😀😁", 1) & hs("😀", 0)).nonEmpty)
     intercept[IllegalArgumentException] {
       DeletionHashKernel.hashes(UTF8String.fromString("x"), 3)
     }

@@ -346,6 +346,49 @@ class CurationSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("argmin kernels fail FAST on malformed vectors (null element, " +
+    "wrong dimension) instead of NPE or silent partial distance") {
+    import spark.implicits._
+    val good = (0 until 8).map(i =>
+      (i.toLong, Seq(i.toDouble, 1.0, 2.0, 3.0)))
+    val cents = Similarity.kmeansCentroids(
+      good.toDF("vec_id", "embedding"), "embedding", "vec_id", 2, 2)
+    def msgOf(df: org.apache.spark.sql.DataFrame): String = {
+      val e = intercept[Exception] {
+        Similarity.assignToCentroids(df, "embedding", "vec_id", cents)
+          .collect()
+      }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).filter(_ != null).mkString(" | ")
+    }
+    // null element inside a vector: sized, actionable error
+    val withNullElem = good.toDF("vec_id", "embedding").unionAll(
+      Seq((99L, Seq[java.lang.Double](1.0, null, 2.0, 3.0)))
+        .toDF("vec_id", "embedding"))
+    assert(msgOf(withNullElem).contains("null element"),
+      s"got: ${msgOf(withNullElem)}")
+    // wrong dimension: sized, actionable error (not a partial argmin)
+    val shortVec = good.toDF("vec_id", "embedding").unionAll(
+      Seq((98L, Seq(1.0, 2.0))).toDF("vec_id", "embedding"))
+    assert(msgOf(shortVec).contains("expected 4"),
+      s"got: ${msgOf(shortVec)}")
+    // PQ path: same contract through the subspace kernel
+    val cb = Similarity.pqTrain(good.toDF("vec_id", "embedding"),
+      "embedding", "vec_id", 4, subspaces = 2, k = 2, iters = 2)
+    val e2 = intercept[Exception] {
+      Similarity.pqEncode(shortVec, "embedding", "vec_id", 4, cb).collect()
+    }
+    val m2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).filter(_ != null)
+      .mkString(" | ")
+    assert(m2.contains("expected 4"), s"got: $m2")
+    // whole-null vectors still FILTER (the documented contract)
+    val withNullVec = good.toDF("vec_id", "embedding").unionAll(
+      Seq((97L, null: Seq[Double])).toDF("vec_id", "embedding"))
+    assert(Similarity.assignToCentroids(withNullVec, "embedding",
+      "vec_id", cents).count() == 8)
+  }
+
   test("semanticPairs: brute-force within-cluster pairs, single kernel eval") {
     import spark.implicits._
     val rows = (0 until 40).map { i =>
@@ -1758,5 +1801,29 @@ class CurationSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - us) < 0.15,
         s"EM u far from supervised: $r vs $us")
     }
+  }
+
+  test("fellegiSunterEm: degenerate decks stay finite (EM safeguard)") {
+    import spark.implicits._
+    // perfectly separated: every pair agrees on everything — one class
+    // absorbs all mass, the other's denominator goes to ~0; the raw
+    // M-step would emit NaN/Inf weights
+    def finite(df: org.apache.spark.sql.DataFrame): Unit =
+      Linkage.fellegiSunterEm(df, Seq("fa", "fb"), iters = 50)
+        .collect().foreach { r =>
+          (1 to 5).foreach { i =>
+            val x = r.getDouble(i)
+            assert(!x.isNaN && !x.isInfinite, s"non-finite at $i: $r")
+          }
+          // outputs are 6dp-rounded, so the (eps, 1-eps) clamp can
+          // legitimately print as 0.0/1.0 — range check inclusive
+          assert(r.getDouble(1) >= 0 && r.getDouble(1) <= 1, s"m range: $r")
+          assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1, s"u range: $r")
+        }
+    finite(Seq.fill(40)((true, true)).toDF("fa", "fb"))
+    finite(Seq.fill(40)((false, false)).toDF("fa", "fb"))
+    // saturating two-cluster deck: huge separation drives g to 1.0/0.0
+    finite(((0 until 1000).map(_ => (true, true)) ++
+      (0 until 1000).map(_ => (false, false))).toDF("fa", "fb"))
   }
 }
