@@ -77,6 +77,39 @@ object GraftFunctions {
     ClippedExpRatio(exprs(0), exprs(1),
       d(exprs(2), "eta"), d(exprs(3), "lb"), d(exprs(4), "ub"))
 
+  private def i(e: Expression, name: String): Int = {
+    require(e.foldable,
+      s"graft_clip_counts $name must be a literal int")
+    e.eval() match {
+      case n: java.lang.Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"graft_clip_counts $name must be an int literal, got $other")
+    }
+  }
+
+  private[functions] def clipBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 4 || exprs.length == 5,
+      s"graft_clip_counts(cand, ref, nFrom, nTo[, mode]): got " +
+        s"${exprs.length} args")
+    val tokenize = exprs.length == 5 && {
+      require(exprs(4).foldable,
+        "graft_clip_counts mode must be a literal string")
+      exprs(4).eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          s.toString match {
+            case "tokens" => true
+            case "chars" => false
+            case other => throw new IllegalArgumentException(
+              s"graft_clip_counts mode must be 'tokens' or 'chars': $other")
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft_clip_counts mode must be a literal string, got $other")
+      }
+    }
+    ClipCounts(exprs(0), exprs(1), i(exprs(2), "nFrom"), i(exprs(3), "nTo"),
+      tokenize)
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
@@ -88,6 +121,8 @@ object GraftFunctions {
       "graft_deflate_len", exprs => DeflateLength(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_del_hashes", exprs => DeletionHashes(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_clip_counts", clipBuilder, "built-in")
   }
 }
 
@@ -115,5 +150,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_del_hashes"),
       new ExpressionInfo(classOf[DeletionHashes].getName, "graft_del_hashes"),
       (exprs: Seq[Expression]) => DeletionHashes(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_clip_counts"),
+      new ExpressionInfo(classOf[ClipCounts].getName, "graft_clip_counts"),
+      (exprs: Seq[Expression]) => GraftFunctions.clipBuilder(exprs)))
   }
 }

@@ -59,71 +59,37 @@ object TextEval {
     }: _*)
   }
 
-  /** Per-pair clipped-count row: one entry per n-level. Field names are
-   * the downstream column contract (n, cc, rc, clip). */
-  case class GramCounts(n: Int, cc: Long, rc: Long, clip: Long)
-
-  /** The clipped-overlap core shared by every per-pair score: count the
-   * candidate grams into a multiset, then stream the reference grams,
-   * consuming matches — clip ends up Σ_g min(c_cand(g), c_ref(g)). */
-  private def clipCounts(n: Int, cand: Iterator[String],
-      ref: Iterator[String]): GramCounts = {
-    val cm = new java.util.HashMap[String, Long]()
-    var cc = 0L
-    while (cand.hasNext) {
-      cm.merge(cand.next(), 1L, _ + _); cc += 1L
-    }
-    var rc = 0L
-    var clip = 0L
-    while (ref.hasNext) {
-      val g = ref.next()
-      rc += 1L
-      val rem = cm.getOrDefault(g, 0L)
-      if (rem > 0L) { cm.put(g, rem - 1L); clip += 1L }
-    }
-    GramCounts(n, cc, rc, clip)
-  }
-
-  private def wordGrams(t: Seq[String], n: Int): Iterator[String] =
-    if (t == null || t.length < n) Iterator.empty
-    else if (n == 1) t.iterator
-    else (0 to t.length - n).iterator.map(i => t.slice(i, i + n).mkString(" "))
-
-  private def charGrams(s: String, n: Int): Iterator[String] =
-    if (s == null || s.length < n) Iterator.empty
-    else (0 to s.length - n).iterator.map(i => s.substring(i, i + n))
-
-  /** Per-PAIR clipped n-gram counts for every n in [nFrom, nTo], computed
-   * entirely inside ONE compiled kernel per row — clipping is a
-   * within-pair quantity, so shuffling (id, gram) rows across the
+  /** Per-PAIR clipped n-gram counts for every n in [nFrom, nTo] through
+   * the native `graft_clip_counts` expression (ClipCounts.scala) — ONE
+   * compiled kernel call per row inside whole-stage codegen. Clipping is
+   * a within-pair quantity, so shuffling (id, gram) rows across the
    * cluster to reunite grams that were born in the same row is pure
-   * waste. The predecessor design did exactly that: at sf1 the chrF
-   * gate shuffled ~45M exploded gram structs (35 s, the round's one
-   * superlinear slope); this kernel's only cross-row traffic is the
-   * maxN-row-per-pair count frame. */
-  private def pairCounts(nFrom: Int, nTo: Int) =
-    udf((ct: Seq[String], rt: Seq[String]) =>
-      (nFrom to nTo).map(n =>
-        clipCounts(n, wordGrams(ct, n), wordGrams(rt, n))))
-
-  /** [[pairCounts]] over character n-grams (the chrF kernel). */
-  private def charPairCounts(nFrom: Int, nTo: Int) =
-    udf((c: String, r: String) =>
-      (nFrom to nTo).map(n =>
-        clipCounts(n, charGrams(c, n), charGrams(r, n))))
-
-  /** The exploded per-(pair, n) count frame both corpus scores aggregate:
-   * one scan, one Generate of the maxN-element kernel result, zero gram
-   * shuffles. */
+   * waste. The first design did exactly that (at sf1 the chrF gate
+   * shuffled ~45M exploded gram structs — 35 s, the round's one
+   * superlinear slope); the round-12 Scala-UDF kernel fixed the shuffle
+   * but still paid Row↔JVM conversion per pair outside codegen. NULL
+   * text coalesces to empty (an absent candidate scores 0, it never
+   * drops its id). The only cross-row traffic is the
+   * (nTo−nFrom+1)-row-per-pair narrow count frame. */
   private def clippedCounts(df: DataFrame, idCol: String, candCol: String,
-      refCol: String, nFrom: Int, nTo: Int): DataFrame =
+      refCol: String, nFrom: Int, nTo: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // kernel in its own Project (whole-stage codegen'd), THEN the
+    // explode of the small per-pair result column: a generator with the
+    // kernel inline would run the whole expression tree in GenerateExec's
+    // interpreted eval path. Tokenization happens INSIDE the kernel
+    // ('tokens' mode) — the HOF form (filter(split(lower(...)))) never
+    // supports codegen and would demote the Project to interpreted eval
     spread(df.select(col(idCol).as("id"),
         col(candCol).as("_cand"), col(refCol).as("_ref")))
-      .select(col("id"),
-        explode(pairCounts(nFrom, nTo)(
-          toks(col("_cand")), toks(col("_ref")))).as("x"))
+      .select(col("id"), call_function("graft_clip_counts",
+        coalesce(col("_cand"), lit("")),
+        coalesce(col("_ref"), lit("")),
+        lit(nFrom), lit(nTo), lit("tokens")).as("_counts"))
+      .select(col("id"), explode(col("_counts")).as("x"))
       .select(col("id"), col("x.n").as("n"), col("x.cc").as("cc"),
         col("x.rc").as("rc"), col("x.clip").as("clip"))
+  }
 
   /**
    * ROUGE-n (Lin 2004): per (candidate, reference) pair, the clipped
@@ -229,16 +195,19 @@ object TextEval {
     require(maxN >= 1 && maxN <= 10, s"maxN in [1,10]: $maxN")
     require(beta > 0, s"beta must be positive: $beta")
     def chars(c: Column): Column =
-      regexp_replace(lower(c), "\\s+", "")
-    // per-pair compiled kernel (see clippedCounts): the gram multisets
-    // never leave their row; the only shuffled frame is maxN rows per
-    // pair of narrow longs. The exploded-struct predecessor shuffled
-    // ~45M char-gram structs at sf1 (35 s, superlinear).
+      regexp_replace(lower(coalesce(c, lit(""))), "\\s+", "")
+    // per-pair native kernel (see clippedCounts), char-gram form: the
+    // gram multisets never leave their row; the only shuffled frame is
+    // maxN rows per pair of narrow longs. The exploded-struct
+    // predecessor shuffled ~45M char-gram structs at sf1 (35 s,
+    // superlinear).
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val counts = spread(df.select(col(idCol).as("id"),
         col(candCol).as("_cand"), col(refCol).as("_ref")))
-      .select(col("id"),
-        explode(charPairCounts(1, maxN)(
-          chars(col("_cand")), chars(col("_ref")))).as("x"))
+      .select(call_function("graft_clip_counts",
+        chars(col("_cand")), chars(col("_ref")),
+        lit(1), lit(maxN)).as("_counts"))
+      .select(explode(col("_counts")).as("x"))
       .select(col("x.n").as("n"), col("x.cc").as("cc"),
         col("x.rc").as("rc"), col("x.clip").as("clip"))
     val perN = counts.groupBy("n")

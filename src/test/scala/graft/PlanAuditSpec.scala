@@ -287,6 +287,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"candidate keys must come from the compiled kernel:\n$p")
   }
 
+  test("text-eval scores: the clip-count kernel runs inside whole-stage " +
+    "codegen, and no gram-sized column ever shuffles") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "text AS cand",
+        "reverse(text) AS ref")
+    def audit(df: org.apache.spark.sql.DataFrame, what: String): Unit = {
+      df.collect() // finalize AQE so codegen stage markers are real
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.linesIterator.exists(l =>
+        l.contains("graft_clip_counts") && l.contains("*(")),
+        s"$what: clip-count kernel not inside a codegen stage:\n$p")
+      // the kernel's whole point: nothing gram-shaped crosses an
+      // Exchange — the only shuffled frame is the narrow count rows
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$what: interpreted UDF re-entered the hot path:\n$p")
+    }
+    audit(graft.ops.TextEval.rougeN(docs, "doc_id", "cand", "ref", 2),
+      "rougeN")
+    audit(graft.ops.TextEval.bleu(docs, "doc_id", "cand", "ref", 4),
+      "bleu")
+    audit(graft.ops.TextEval.chrF(docs, "doc_id", "cand", "ref"),
+      "chrF")
+  }
+
   test("assignShards: exactly one Exchange (the per-shard window)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
     val p = graft.ops.Sampling.assignShards(orders, "o_orderkey", 8)

@@ -158,4 +158,74 @@ class FunctionsSpec extends AnyFunSuite {
       .selectExpr("size(graft_del_hashes(s, 2)) AS n")
     assert(df.collect().head.getInt(0) == 7)
   }
+
+  test("graft_clip_counts: clipped overlap closed forms (word + char), " +
+    "null/empty sides, codegen participation, type checks") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    def word(c: String, r: String, nFrom: Int, nTo: Int) =
+      Seq((c, r)).toDF("c", "r")
+        .selectExpr("explode(graft_clip_counts(" +
+          s"filter(split(lower(c), '\\\\s+'), w -> w != ''), " +
+          s"filter(split(lower(r), '\\\\s+'), w -> w != ''), $nFrom, $nTo)) AS x")
+        .select("x.n", "x.cc", "x.rc", "x.clip")
+        .collect().map(r0 =>
+          r0.getInt(0) -> ((r0.getLong(1), r0.getLong(2), r0.getLong(3))))
+        .toMap
+    // the BLEU paper's clipping example: "the the the the the the the"
+    // vs "the cat is on the mat" — 7 candidate unigrams, clip = 2
+    val m1 = word("the the the the the the the", "the cat is on the mat", 1, 2)
+    assert(m1(1) == ((7L, 6L, 2L)), s"${m1(1)}")
+    assert(m1(2) == ((6L, 5L, 0L)), s"${m1(2)}") // ref has no "the the"
+    // repeated bigram credit caps at the reference count
+    val m2 = word("a b a b a b", "a b a b x", 2, 2)
+    assert(m2(2) == ((5L, 4L, 3L)), s"${m2(2)}") // ab×3,ba×2 vs ab×2,ba×1
+    // a side shorter than n yields zero counts on that side
+    val m3 = word("a", "a b c", 2, 2)
+    assert(m3(2) == ((0L, 2L, 0L)), s"${m3(2)}")
+    // empty sides: rows still emitted, all zeros at every level
+    val m4 = word("", "", 1, 3)
+    assert((1 to 3).forall(n => m4(n) == ((0L, 0L, 0L))), s"$m4")
+    // char form: "abab" vs "abac" — 2-grams ab,ba,ab vs ab,ba,ac → clip 2
+    val mc = Seq(("abab", "unused")).toDF("c", "r")
+      .selectExpr("explode(graft_clip_counts(c, 'abac', 2, 2)) AS x")
+      .select("x.cc", "x.rc", "x.clip").collect().head
+    assert(mc.getLong(0) == 3L && mc.getLong(1) == 3L && mc.getLong(2) == 2L,
+      s"$mc")
+    // 'tokens' mode == HOF tokenizer fed to the array form, for mixed
+    // case / messy whitespace / empty strings
+    for ((c, r) <- Seq(
+        ("The  quick\tBrown fox", "the quick brown FOX jumps"),
+        ("  ", "a b"), ("", ""), ("a\nb\r\nc", "A B C d"))) {
+      val viaTokens = Seq((c, r)).toDF("c", "r")
+        .selectExpr("graft_clip_counts(c, r, 1, 2, 'tokens') AS k")
+        .collect().head.toSeq
+      val viaArrays = Seq((c, r)).toDF("c", "r")
+        .selectExpr("graft_clip_counts(" +
+          "filter(split(lower(c), '\\\\s+'), w -> w != ''), " +
+          "filter(split(lower(r), '\\\\s+'), w -> w != ''), 1, 2) AS k")
+        .collect().head.toSeq
+      assert(viaTokens == viaArrays, s"'$c' vs '$r': $viaTokens / $viaArrays")
+    }
+    // kernel sits inside a WholeStageCodegen stage
+    val plan = spark.range(10).toDF("i")
+      .selectExpr("cast(i as string) AS s")
+      .selectExpr("graft_clip_counts(s, 'x', 1, 2) AS k")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_clip_counts") && l.trim.startsWith("*(")),
+      s"graft_clip_counts not inside a codegen stage:\n$plan")
+    // type errors are analysis-time, actionable
+    val err = intercept[Exception] {
+      Seq((1, 2)).toDF("a", "b")
+        .selectExpr("graft_clip_counts(a, b, 1, 2)").collect()
+    }
+    assert(err.getMessage.contains("graft_clip_counts"), err.getMessage)
+    // mismatched gram range rejected
+    val err2 = intercept[Exception] {
+      Seq(("a", "b")).toDF("a", "b")
+        .selectExpr("graft_clip_counts(a, b, 3, 2)").collect()
+    }
+    assert(err2.getMessage != null)
+  }
 }
