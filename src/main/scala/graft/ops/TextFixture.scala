@@ -104,6 +104,76 @@ object TextFixture {
     }.toDF(idCol, "doc_class", "text")
   }
 
+  /** Disjoint 16-word vocabularies for the planted quality corpus: every
+   * token is class-specific, so ANY sane linear classifier trained on
+   * one half predicts the other half's class with a wide margin — the
+   * held-out argmax verdict is an engine-invariant fact even though the
+   * trained float weights are aggregation-order-dependent. */
+  private val GoodVocab = Array(
+    "coherent", "reference", "article", "measured", "careful", "detailed",
+    "sourced", "citation", "archive", "edited", "reviewed", "paragraph",
+    "balanced", "thorough", "verified", "accurate")
+
+  private val JunkVocab = Array(
+    "zzwin", "xxfree", "qqcash", "jjclick", "kkbuy", "vvnow",
+    "ppdeal", "ggwow", "hhspin", "ttloot", "rrgift", "bbpromo",
+    "mmbonus", "nnclaim", "ddprize", "ssjackpot")
+
+  private[ops] def qualityText(id: Long, cls: Int): String = {
+    val v = if (cls == 1) GoodVocab else JunkVocab
+    val sb = new StringBuilder(48 * 11)
+    var i = 0
+    while (i < 48) {
+      val h = mix(id * 2862933555777941757L + i)
+      if (i > 0) sb.append(' ')
+      sb.append(v(((h >>> 7) & 15).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** (id, doc_class, text) — planted quality corpus: class from bit 1 of
+   * the id (`(id / 2) % 2`), ORTHOGONAL to the even/odd train/score
+   * split, so both halves carry both classes. */
+  def qualityCorpus(ids: DataFrame, idCol: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val cls = ((id >> 1) % 2).toInt
+      (id, cls, qualityText(id, cls))
+    }.toDF(idCol, "doc_class", "text")
+  }
+
+  /**
+   * The `text_quality_model` gate body — fixture-truth verdicts for the
+   * LEARNED quality classifier: plant the corpus, TRAIN the portable
+   * linear model ([[QualityClassifier.trainPortable]], real MLlib L-BFGS
+   * over md5-bucket hashed TF) on the even-id half with the planted
+   * class as the label, score the held-out odd half
+   * ([[QualityClassifier.scoreLinear]]), and emit the per-doc CLASS
+   * verdict. The disjoint vocabularies separate the classes by
+   * construction, so the held-out verdict equals the planted class —
+   * closed-form in any engine (`(id / 2) % 2`) — while the training
+   * floats honestly stay JVM-side. Argmax over a wide margin is immune
+   * to the aggregation-order float noise that keeps raw probabilities
+   * out of hash gates.
+   * Output: idCol (held-out ids only), doc_class, predicted_quality.
+   */
+  def qualityVerdicts(ids: DataFrame, idCol: String,
+      buckets: Int = 1 << 16): DataFrame = {
+    val corpus = qualityCorpus(ids, idCol)
+    val train = corpus.filter(col(idCol) % 2 === 0)
+      .select(col(idCol).cast("string").as("_qid"), col("text"),
+        col("doc_class").cast("double").as("_lbl"))
+    val (coeffs, b0) = QualityClassifier.trainPortable(train, "text",
+      "_lbl", "_qid", buckets = buckets, maxIter = 25)
+    val held = corpus.filter(col(idCol) % 2 === 1)
+    QualityClassifier.scoreLinear(held, coeffs, b0, buckets, "text", idCol)
+      .join(held.select(col(idCol), col("doc_class")), Seq(idCol))
+      .select(col(idCol), col("doc_class"),
+        (col("quality_prob") > 0.5).as("predicted_quality"))
+  }
+
   /**
    * The `text_compress` gate body: plant the corpus, score it with the
    * real deflate kernel ([[TextMetrics.compressionRatio]], minRatio 0.10),

@@ -287,18 +287,16 @@ private[graft] object QueriesText {
         .orderBy("doc_id")
     }),
     "text_quality_model" -> ((s, dir) => {
-      // fastText-style learned quality score: train LR-over-hashed-TF on
-      // the even-doc_id half with weak labels (lang == 'en' stands in for
-      // "reference-like"), score the held-out odd half. Training floats
-      // are aggregation-order-dependent → rows-only gate; the spec
-      // asserts separation and held-out accuracy
-      val d = t(s, dir, "documents")
-      val weak = d.withColumn("lbl", (col("lang") === "en").cast("double"))
-      val m = graft.ops.QualityClassifier.train(
-        weak.filter(col("doc_id") % 2 === 0), "text", "lbl",
-        buckets = 1 << 16, maxIter = 20)
-      graft.ops.QualityClassifier.score(m,
-          d.filter(col("doc_id") % 2 === 1), "text", "doc_id")
+      // learned-quality-classifier gate, fixture-truth form: REAL MLlib
+      // LR training (trainPortable, md5-bucket hashed TF) on the planted
+      // even-id half, held-out CLASS verdicts on the odd half. Disjoint
+      // per-class vocabularies make the argmax verdict equal the planted
+      // class closed-form ((doc_id/2) % 2) — hash-gateable even though
+      // the trained float weights are aggregation-order-dependent. The
+      // murmur3 HashingTF train/score pair stays spec-anchored (held-out
+      // accuracy + separation on the real corpus)
+      graft.ops.TextFixture.qualityVerdicts(
+          t(s, dir, "documents").select("doc_id"), "doc_id")
         .orderBy("doc_id")
     }),
     "text_ccnet_buckets" -> ((s, dir) => {
@@ -465,6 +463,14 @@ private[graft] object QueriesText {
         |  (doc_id % 3 = 0) AS too_repetitive,
         |  (doc_id % 3 < 2) AS separated_from_next
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // fixture-truth verdicts: the planted class is a pure function of
+    // doc_id and the disjoint-vocabulary margin forces any sane trained
+    // classifier to recover it on the held-out half — the trained
+    // weights stay JVM-side, the CLASS verdict is engine-invariant
+    "text_quality_model" ->
+      """SELECT doc_id, ((doc_id // 2) % 2)::INTEGER AS doc_class,
+        |  ((doc_id // 2) % 2 = 1) AS predicted_quality
+        |FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
     "text_heaps" ->
       """WITH tok AS (SELECT doc_id AS id,
         |    unnest(list_filter(string_split(text, ' '), x -> x <> ''))
