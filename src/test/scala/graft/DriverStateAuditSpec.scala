@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Driver-state meta-audit — the [[InventorySpec]] pattern applied to the
+ * other recurring scale risk: a `.collect()`-family call whose result
+ * grows with the DATA instead of with a bounded parameter (k, roster cap,
+ * 2^fields, 1-row aggregate) is the one anti-pattern that silently stops
+ * an operator from being distributed. Every such site in the library
+ * surface is enumerated below with its boundedness contract; adding a new
+ * site (or removing one) fails this spec until the table row — i.e. the
+ * justification — is updated with it.
+ *
+ * Out of scope, deliberately: the run harness mains (Bench/Verify/
+ * *Scaling/ScaleUp collect RESULT summaries by design) and test sources.
+ */
+class DriverStateAuditSpec extends AnyFunSuite {
+
+  private val pattern =
+    """\.collect\(\)|\.head\(\)|\.first\(\)|collectAsList|toLocalIterator""".r
+
+  /** file (relative to src/main/scala/graft) -> (site count, contract). */
+  private val contracts: Map[String, (Int, String)] = Map(
+    "ops/Similarity.scala" -> (7,
+      "k-means seeds/updates and PQ codebooks: k- or dim*k-bounded " +
+        "centroid tables; IVF index load: 1-row meta + k centroid rows"),
+    "ops/TextMetrics.scala" -> (1,
+      "BPE training argmax: limit(1).collect() per merge round (the " +
+        "documented loop-control exception; dictionary stays distributed)"),
+    "ops/Linkage.scala" -> (2,
+      "sorted-neighborhood bucket roster (guarded, sized error at " +
+        "Linkage.scala:404) and fellegiSunterEm pattern counts (<= 2^k, " +
+        "k <= 16 enforced)"),
+    "ops/Dedup.scala" -> (1,
+      "reconcile-style 1-row checksum aggregate (bit_xor over hashes)"),
+    "ops/Eval.scala" -> (2,
+      "bradleyTerry: 1-row distinct-item count + roster collect guarded " +
+        "at maxItems=4096 with a sized error (Eval.scala:205)"),
+    "ebw/DesignMatrix.scala" -> (4,
+      "distinct one-hot labels (vocabulary-bounded design width) and " +
+        "1-row weighted-total aggregates"),
+    "ebw/Raking.scala" -> (1,
+      "IPF margin cells: rows*cols-bounded cell table (the codebook " +
+        "contract)"),
+    "ebw/ProblemIO.scala" -> (2,
+      "reference-zip dump: documented single-node interop format with an " +
+        "explicit size guard (ProblemIO.scala:61); parquet meta: 1 row"),
+    "queries/QueriesAnn.scala" -> (5,
+      "single query-vector collect()(0) per gate (one embedding row)"),
+    "queries/QueriesEbw.scala" -> (5,
+      "one-hot label arrays (vocabulary-bounded) and 1-row moment " +
+        "aggregates"),
+    "QShared.scala" -> (2,
+      "1-row target-moment and achieved-moment aggregates"),
+    "examples/CurationPipelineExample.scala" -> (3,
+      "example driver: first() on a 1-row frame and two 1-row aggregates"))
+
+  private def sources(dir: java.io.File): Seq[java.io.File] = {
+    val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Nil)
+    kids.filter(_.isFile).filter(_.getName.endsWith(".scala")) ++
+      kids.filter(_.isDirectory).flatMap(sources)
+  }
+
+  private val harness = Set("Bench.scala", "Verify.scala", "ScaleUp.scala",
+    "EbwScaling.scala", "GraphScaling.scala", "PairScaling.scala")
+
+  test("every driver-materializing call site in the library surface is " +
+    "enumerated with a boundedness contract") {
+    val root = new java.io.File("src/main/scala/graft")
+    assert(root.isDirectory, s"run from the repo root: $root")
+    val found = sources(root)
+      .filterNot(f => harness.contains(f.getName))
+      .flatMap { f =>
+        val text = scala.io.Source.fromFile(f)("UTF-8").mkString
+        val n = pattern.findAllIn(text).length
+        val rel = root.toPath.relativize(f.toPath).toString
+          .replace('\\', '/')
+        if (n > 0) Some(rel -> n) else None
+      }.toMap
+    val unlisted = found.keySet -- contracts.keySet
+    assert(unlisted.isEmpty,
+      "NEW driver-materializing call sites with no boundedness contract " +
+        "— prove the result is parameter-bounded (k, roster cap, 1-row " +
+        "aggregate, limit(1)) and add a contract row to this spec: " +
+        unlisted.toSeq.sorted.map(k => s"$k (${found(k)})").mkString(", "))
+    val drifted = contracts.collect {
+      case (f, (n, _)) if found.getOrElse(f, 0) != n =>
+        s"$f: expected $n sites, found ${found.getOrElse(f, 0)}"
+    }
+    assert(drifted.isEmpty,
+      "driver-materializing site counts drifted — re-audit the file and " +
+        s"update its contract row: ${drifted.mkString("; ")}")
+  }
+}
