@@ -121,6 +121,36 @@ object MediaFixture {
     }
   }
 
+  /** Deterministic "video": 6 concatenated PNG frames, frame f of group
+   * g drawing scene g*31+f (adjacent frames are DISTINCT scenes — the
+   * sampler must not depend on inter-frame similarity). Variant 1
+   * re-encodes every frame at half resolution (the same-content
+   * re-encode byte hashing can never see); the piecewise-constant
+   * texture grid makes each frame's dHash bit-identical across
+   * resolutions (the [[rgbAt]] argument), so the majority-vote video
+   * signature matches at hamming 0 by construction. Variant 2 draws a
+   * disjoint scene range. */
+  private def videoPayload(id: Long): Array[Byte] = {
+    val group = id / 3
+    val (base, step) = (id % 3) match {
+      case 0 => (group * 31L, 1)
+      case 1 => (group * 31L, 2)
+      case _ => ((group + 100000L) * 31L, 1)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < 6) {
+      bos.write(encodePng(72 / step, 48 / step, base + f, step))
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** (id, payload) concatenated-PNG "video" corpus — one clip per
+   * input doc_id. */
+  def videos(spark: SparkSession, ids: DataFrame): DataFrame =
+    corpus(spark, ids, videoPayload)
+
   private def corpus(spark: SparkSession, ids: DataFrame,
       gen: Long => Array[Byte]): DataFrame = {
     import spark.implicits._

@@ -576,6 +576,95 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Byte offsets of every PNG signature (89 50 4E 47 0D 0A 1A 0A) in a
+   * concatenated-PNG frame stream — the pure-JVM stand-in for a video
+   * container (real mp4/h264 demux is not pure-JVM; the SPARK side —
+   * schema, narrow per-row split, per-frame decode, banded pair join —
+   * is identical either way and is what this tier exercises). */
+  private[ops] def pngFrameOffsets(p: Array[Byte]): Array[Int] = {
+    val sig = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a,
+      0x1a, 0x0a)
+    val out = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i <= p.length - sig.length) {
+      var j = 0
+      while (j < sig.length && p(i + j) == sig(j)) j += 1
+      if (j == sig.length) { out += i; i += sig.length } else i += 1
+    }
+    out.toArray
+  }
+
+  case class VideoHash(id: Long, n_bytes: Long, n_frames: Int,
+      n_sampled: Int, n_decoded: Int, real_decode: Boolean, dhash: Long)
+
+  /**
+   * Per-video perceptual fingerprint: split the concatenated-PNG stream
+   * into frames ([[pngFrameOffsets]]), SAMPLE every `everyNth` frame
+   * (the standard video-dedup economy — neighboring frames are
+   * near-identical, decoding all of them buys nothing), dHash each
+   * sampled frame with the REAL ImageIO decode, then majority-vote the
+   * 64 bit positions across frames into one video-level signature (the
+   * SimHash aggregation: bit b is set iff at least half the sampled
+   * frames set it — deterministic, order-free, robust to a minority of
+   * divergent frames). Videos where NO frame decodes fall back to the
+   * deterministic byte-hash stub flagged `real_decode = false`, which
+   * [[videoNearDupPairs]] excludes from pairing (identity-only, not
+   * perceptual). One narrow map per row — frames never shuffle; the
+   * only cross-row traffic downstream is the 64-bit signature frame.
+   */
+  def videoHashes(df: DataFrame, idCol: String, binaryCol: String,
+      everyNth: Int = 2): Dataset[VideoHash] = {
+    require(everyNth >= 1, s"everyNth must be >= 1: $everyNth")
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+      .as[MediaRecord]
+      .mapPartitions(it => it.map { r =>
+        val payload = if (r.payload == null) Array.empty[Byte] else r.payload
+        val offs = pngFrameOffsets(payload)
+        val sampled = offs.indices.by(everyNth).toArray
+        val counts = new Array[Int](64)
+        var decoded = 0
+        sampled.foreach { fi =>
+          val from = offs(fi)
+          val until = if (fi + 1 < offs.length) offs(fi + 1) else payload.length
+          dHash(java.util.Arrays.copyOfRange(payload, from, until)) match {
+            case Some(bits) =>
+              decoded += 1
+              var b = 0
+              while (b < 64) {
+                if (((bits >>> b) & 1L) == 1L) counts(b) += 1
+                b += 1
+              }
+            case None => ()
+          }
+        }
+        if (decoded == 0) {
+          val stub = stubHash(r.id, payload, "png-stream")
+          VideoHash(r.id, payload.length.toLong, offs.length, sampled.length,
+            0, real_decode = false, stub.dhash)
+        } else {
+          var bits = 0L
+          var b = 0
+          while (b < 64) {
+            if (2 * counts(b) >= decoded) bits |= (1L << b)
+            b += 1
+          }
+          VideoHash(r.id, payload.length.toLong, offs.length, sampled.length,
+            decoded, real_decode = true, bits)
+        }
+      })
+  }
+
+  /** Video sibling of [[imageNearDupPairs]]: majority-vote frame-dHash
+   * signatures ([[videoHashes]]) under the same pigeonhole banding +
+   * exact bit_count verify — candidates from an equi-join on
+   * (band, band-bits), never an all-pairs product. */
+  def videoNearDupPairs(df: DataFrame, idCol: String, binaryCol: String,
+      maxHamming: Int = 3, bands: Int = 4, everyNth: Int = 2): DataFrame =
+    hammingPairs(videoHashes(df, idCol, binaryCol, everyNth).toDF()
+      .select(col("id"), col("real_decode"), col("dhash")),
+      maxHamming, bands)
+
   /** Frame-sampling plumbing for "video": split a payload into fixed-size
    * chunks (stand-in for frames), explode to one row per sampled frame. */
   def sampleFrames(

@@ -55,6 +55,23 @@ private[graft] object QueriesMm {
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
+    "mm_video_dedup" -> ((s, dir) => {
+      // frame-sampled video near-dup end-to-end on the deterministic
+      // concatenated-PNG corpus (6 frames per doc_id; variant 1 of each
+      // 3-id group re-encodes every frame at half resolution — the
+      // same-content re-encode byte dedup can never see). REAL per-frame
+      // ImageIO decodes on a 1-in-2 frame sample, majority-vote 64-bit
+      // video signature, pigeonhole-banded hamming pairs. FIXTURE-TRUTH
+      // ORACLE: pair (3g, 3g+1) at EXACTLY hamming 0 — the fixture's
+      // piecewise-constant texture grid makes each frame's dHash
+      // bit-identical across resolutions, so the majority vote is too
+      // (same validity window as mm_image_dedup: max doc_id < 3e5)
+      val vids = graft.ops.MediaFixture.videos(s,
+        t(s, dir, "documents").select("doc_id"))
+      graft.ops.Multimodal.videoNearDupPairs(vids, "id", "payload",
+          maxHamming = 3, bands = 4, everyNth = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "mm_media_meta" -> ((s, dir) => {
       // container-header metadata profile over a mixed PNG/WAV corpus:
       // per-format counts + dimension/channel/rate aggregates from the
@@ -97,6 +114,11 @@ private[graft] object QueriesMm {
         |ORDER BY id_a, id_b""".stripMargin,
     "mm_audio_dedup" ->
       """SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |WHERE a.doc_id % 3 = 0
+        |ORDER BY id_a, id_b""".stripMargin,
+    "mm_video_dedup" ->
+      """SELECT a.doc_id AS id_a, b.doc_id AS id_b, 0::BIGINT AS hamming
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
         |WHERE a.doc_id % 3 = 0
         |ORDER BY id_a, id_b""".stripMargin,

@@ -1152,6 +1152,59 @@ class OpsSpec extends AnyFunSuite {
     assert(hf.count(_.real_decode) == 4 && hf.count(!_.real_decode) == 1)
   }
 
+  test("videoHashes: PNG-stream frame split, majority-vote signature, " +
+    "re-encode near-dup found, stub excluded from pairs") {
+    import spark.implicits._
+    // piecewise-constant gray texture aligned to the dHash 9x8 grid in
+    // 72x48 full-res space (8x6-px cells) — the MediaFixture argument:
+    // both resolutions area-average to identical cell values, so the
+    // re-encode is an EXACT perceptual dup while distinct scenes draw
+    // independent cells
+    def pat(s: Int)(x: Int, y: Int): Int = {
+      val h = (s * 8191) ^ ((x / 8) * 127) ^ ((y / 6) * 31)
+      val g = (h * 2654435761L >>> 24).toInt & 0xff
+      (g << 16) | (g << 8) | g
+    }
+    def video(scenes: Seq[Int], step: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      scenes.foreach(s => bos.write(
+        encodeImage("png", 72 / step, 48 / step,
+          (x, y) => pat(s)(x * step, y * step))))
+      bos.toByteArray
+    }
+    val base = video(Seq(1, 2, 3, 4, 5, 6), 1)
+    // the SAME six scenes re-encoded at half resolution
+    val rescaled = video(Seq(1, 2, 3, 4, 5, 6), 2)
+    // a different clip
+    val other = video(Seq(7, 8, 9, 10, 11, 12), 1)
+    // frame split finds every signature
+    assert(Multimodal.pngFrameOffsets(base).length == 6)
+    assert(Multimodal.pngFrameOffsets(Array[Byte](1, 2, 3)).isEmpty)
+    val rows = Seq((1L, base), (2L, rescaled), (3L, other),
+      (4L, Array[Byte](0, 1, 2))) // no PNG frames: stub, never a pair
+    val hf = Multimodal.videoHashes(rows.toDF("id", "payload"),
+      "id", "payload", everyNth = 2).collect().map(h => h.id -> h).toMap
+    assert(hf(1L).n_frames == 6 && hf(1L).n_sampled == 3 &&
+      hf(1L).n_decoded == 3 && hf(1L).real_decode)
+    assert(!hf(4L).real_decode && hf(4L).n_frames == 0)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hf(1L).dhash, hf(2L).dhash) <= 3,
+      s"re-encode moved ${ham(hf(1L).dhash, hf(2L).dhash)} bits")
+    assert(ham(hf(1L).dhash, hf(3L).dhash) > 10,
+      s"distinct clips ${ham(hf(1L).dhash, hf(3L).dhash)} bits apart")
+    val got = Multimodal.videoNearDupPairs(rows.toDF("id", "payload"),
+        "id", "payload", maxHamming = 3, bands = 4, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L)), s"$got")
+    // fixture-truth: MediaFixture videos pair (3g, 3g+1) at hamming 0
+    val vids = graft.ops.MediaFixture.videos(spark,
+      spark.range(9).toDF("doc_id"))
+    val fx = Multimodal.videoNearDupPairs(vids, "id", "payload",
+        maxHamming = 3, bands = 4, everyNth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(fx == Set((0L, 1L, 0L), (3L, 4L, 0L), (6L, 7L, 0L)), s"$fx")
+  }
+
   /** Encode a solid-color or gradient image with the JDK's own writers so
    * the decode test exercises REAL codec bytes, not handcrafted headers. */
   private def encodeImage(fmt: String, w: Int, h: Int,
