@@ -18,6 +18,21 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Per-query floors from BASELINE.md's committed table (`| query |
+    * floor | ... |` rows) — the 2x perf criterion's denominator. Reading
+    * it HERE makes a regression machine-visible in the round's own
+    * headline JSON (floor_ratio per query + a perf_weak list) instead of
+    * surfacing at judging. Missing file or unparsable rows degrade to an
+    * empty map — the bench must never fail on its own bookkeeping. */
+  private def baselineFloors(): Map[String, Double] =
+    try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md")
+      val row = """^\|\s*([A-Za-z0-9_]+)\s*\|\s*([0-9.]+)\s*\|.*""".r
+      scala.io.Source.fromFile(path)("UTF-8").getLines().collect {
+        case row(name, floor) if name != "query" => name -> floor.toDouble
+      }.toMap
+    } catch { case e: Throwable if scala.util.control.NonFatal(e) => Map.empty }
+
   /** 1-minute load average from /proc/loadavg (-1.0 where unreadable).
     * Stamped at bench start and end so a record inflated by host
     * contention is machine-detectable: on a 32-vCPU box an idle-run
@@ -138,16 +153,34 @@ object Bench {
     val nFailed = results.count(_._3 != null)
     val total = results.map(r => median(r._2)).sum
     val loadEnd = loadAvg1m()
+    // floor check (BASELINE.md RULES): ratio = this run's MIN vs the
+    // committed uncontended floor; > 2x = perf-weak the round it happens.
+    // Only meaningful when the bench ran at the floor table's scale
+    // (sf0.1) — other scales still print ratios, consumers discount them.
+    val floors = baselineFloors()
+    val ratios = results.flatMap { case (k, ts, _) =>
+      floors.get(k).filter(_ > 0).map(f => k -> ts.min / f)
+    }
+    val perfWeak = ratios.filter(_._2 > 2.0).map(_._1).sorted
+    val noFloor = results.map(_._1).filterNot(floors.contains).sorted
+    val worst = if (ratios.isEmpty) 0.0 else ratios.map(_._2).max
+    val ratioJson = ratios.sortBy(-_._2)
+      .map { case (k, r) => "\"" + k + "\":" + fmt(r) }
+      .mkString("{", ",", "}")
+    val floorBits =
+      s""""worst_floor_ratio":${fmt(worst)},"perf_weak":${
+        perfWeak.map("\"" + _ + "\"").mkString("[", ",", "]")},"no_floor":${
+        noFloor.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     // load_start/load_end: 1-min /proc/loadavg at the bench window's
     // edges — a run whose load sits well above the bench's own
     // parallelism was contended, and its total should be discounted
     // against the committed idle record rather than trusted.
     val loads = s""""load_start":${fmt(loadStart)},"load_end":${fmt(loadEnd)}"""
     val headline =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,$floorBits,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qsShort,"n_queries":${results.length},"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":"bench_headline.json"}"""
-    println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qsShort,"n_queries":${results.length},$floorBits,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":"bench_headline.json"}"""
+    println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs,"floor_ratios":$ratioJson}""")
     println(headline)
     println(compact)
     // Belt and suspenders for collectors that only see sbt-logged (or

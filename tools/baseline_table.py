@@ -60,3 +60,12 @@ print(f"Totals: floor {sum(r[1] for r in rows):.1f} s over {len(rows)} "
       f"{h['load_start']}/{h['load_end']}); cluster single-shot "
       f"{c['value']:.1f} s over {len(c['queries'])} queries; sf1 "
       f"single-shot {s['value']:.1f} s over {len(s['queries'])} queries.")
+
+# the bench's own floor check (round 13+): surface its verdict so a >2x
+# regression is visible in this regeneration step too, not only in the
+# headline JSON
+if "perf_weak" in h:
+    print()
+    print(f"Bench floor check (vs the PREVIOUS table): "
+          f"worst_floor_ratio {h.get('worst_floor_ratio')}, "
+          f"perf_weak {h.get('perf_weak')}, no_floor {h.get('no_floor')}.")
