@@ -36,7 +36,12 @@ object PairScaling {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
-    val multiples = Seq(1, 2, 4, 8, 16)
+    // doubling chain; SPARK_GRAFT_SCALING_MULTIPLES="1,2,4,8,16,32,64"
+    // extends the evidence to the sizes where fixed scheduling overhead
+    // stops dominating (SURVEY §6's 32x/64x extension)
+    val multiples = sys.env.get("SPARK_GRAFT_SCALING_MULTIPLES")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 4, 8, 16))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -80,7 +85,12 @@ object PairScaling {
       // spans_mask rule)
       "chunk_bpe" -> (d => graft.ops.TextMetrics.chunkByBudget(
         d, "text", "doc_id", budget = 64)
-        .filter(col("chunk_id") >= 0)))
+        .filter(col("chunk_id") >= 0)),
+      // asymmetric containment: candidates from the df-capped
+      // rare-shingle index — the vocabulary bijection keeps shingles
+      // disjoint across copies, so candidate streams grow linearly
+      "containment" -> ((d: DataFrame) =>
+        Dedup.containmentPairs(d, "text", "doc_id")))
 
     // Embedding corpus for the semantic tier: copy c remaps vec_ids into
     // a disjoint range and applies a per-copy deterministic coordinate
@@ -154,6 +164,47 @@ object PairScaling {
       println(f"""{"op":"semantic_pairs","multiple":$m,"docs":$nVecs,"pairs":$pairs,"sec":$med%.3f}""")
       ("semantic_pairs", m, nVecs, pairs, med)
     })
+    // FastSS delete-mode fuzzy linkage tier: copy c prefixes every name
+    // with a 6-char marker differing from every other copy's marker in
+    // >= 3 positions (two base-8 letter digits, each repeated 3x), so
+    // cross-copy edit distance is > 2 = maxDist and the m-fold corpus is
+    // m disjoint linkage decks — candidates (deletion-variant hash join)
+    // and verified pairs both grow linearly by construction. Blocks
+    // (c_nationkey) deliberately MIX copies: block size growing m-fold
+    // while work stays linear is exactly the delete-mode claim (the
+    // block-square method this replaced would go quadratic here).
+    val fuzzyResults = if (!wanted("fuzzy_delete")) Seq.empty
+    else {
+      val custBase = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select("c_custkey", "c_nationkey", "c_name")
+      def custCorpus(m: Int): DataFrame =
+        (0 until m).map { c =>
+          val m1 = ('a' + c / 8).toChar.toString
+          val m2 = ('a' + c % 8).toChar.toString
+          custBase.select(
+            (col("c_custkey") + lit(c.toLong * 10000000L)).as("c_custkey"),
+            col("c_nationkey"),
+            concat(lit(m1 * 3 + m2 * 3), col("c_name")).as("c_name"))
+        }.reduce(_.unionAll(_))
+      multiples.map { m =>
+        require(m <= 64, s"marker space covers 64 copies: $m")
+        val d = custCorpus(m)
+        val nRows = d.count()
+        var pairs = 0L
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          pairs = graft.ops.Linkage.fuzzySelfJoin(d, Seq("c_nationkey"),
+            "c_name", "c_custkey", maxDist = 2, method = "delete").count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        val med = median(times)
+        println(f"""{"op":"fuzzy_delete","multiple":$m,"docs":$nRows,"pairs":$pairs,"sec":$med%.3f}""")
+        ("fuzzy_delete", m, nRows, pairs, med)
+      }
+    }
+
     // Link-prediction scaling tiers. Two sweeps, two claims:
     //  - link_pred_nodes: m DISJOINT copies of the graph (node ids
     //    offset per copy) — node count grows, degrees constant, so the
@@ -208,13 +259,13 @@ object PairScaling {
           }
       }
     }
-    val allResults = results ++ linkResults
+    val allResults = results ++ fuzzyResults ++ linkResults
 
     // fitted slope of log2(time) per log2(size) across the doubling chain;
     // ~1.0 = linear banding cost (~1.5 for the semantic n^1.5 law),
     // 2.0 would be the all-pairs blow-up
     val summary = (ops.map(_._1) ++
-      Seq("semantic_pairs", "link_pred", "link_pred_nodes"))
+      Seq("semantic_pairs", "fuzzy_delete", "link_pred", "link_pred_nodes"))
       .filter(wanted)
       .filter(name => allResults.exists(_._1 == name)).map { name =>
       val rs = allResults.filter(_._1 == name).sortBy(_._2)
