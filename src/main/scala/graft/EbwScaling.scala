@@ -97,8 +97,14 @@ object EbwScaling {
         "1000000:1000,1000000:10000,1000000:100000,10000000:10000")
       .split(",").map(_.trim).filter(_.nonEmpty)
       .map { s => val Array(n, k) = s.split(":"); (n.toLong, k.toInt) }
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] replays the tiers
+    // across a REAL executor boundary (separate JVMs, serialized task
+    // closures, actual broadcast/shuffle transport) — multi-JVM exposes
+    // serialization bugs local[n] masks; SPARK_GRAFT_JARS must then
+    // carry the packaged graft jar (the Bench main's contract)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       // DELIBERATELY default driver budgets (1 GiB maxResultSize, the
       // sbt-forked heap): since round 11 the solver's EbwSizing pre-flight
@@ -107,7 +113,8 @@ object EbwScaling {
       // cannot land on this driver — the N=1e7 tier must converge HERE
       // with no hand-set levers (r10 verdict item #2)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val blocks = 4
     tiers.foreach { case (n, k) =>

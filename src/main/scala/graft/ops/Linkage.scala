@@ -409,12 +409,17 @@ object Linkage {
     require(thin.isEmpty,
       s"buckets thinner than window=$window would lose cross-bucket " +
       s"pairs: ${thin.take(5).mkString(", ")} — coarsen bucketExpr")
-    val nextOf = roster.map(_._1).sliding(2).collect {
-      case Array(a, b) => a -> b
-    }.toMap
-    val nextCol = nextOf.foldLeft(lit(null).cast("string")) {
-      case (acc, (b, nb)) => when(col("_bk") === b, lit(nb)).otherwise(acc)
-    }
+    // bucket -> next-bucket as a BROADCAST k-row frame, not a chained
+    // when() literal: the expression form is a roster-deep CaseWhen tree
+    // whose Catalyst analysis alone cost ~3 s of pure driver time at
+    // 1500 buckets (the r12 sf1 drift, 2.2 -> 5.9 s, was exactly this —
+    // bucket count grows with the corpus, so the "constant" plan cost
+    // scaled with the data)
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val nextDf = broadcast(roster.map(_._1).sliding(2).collect {
+      case Array(a, b) => (a, b)
+    }.toSeq.toDF("_bk", "_nbk"))
     val wHome = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_bk")).orderBy(col("_k"), col("_id"))
     val cnt = org.apache.spark.sql.expressions.Window.partitionBy(col("_bk"))
@@ -423,8 +428,9 @@ object Linkage {
       .withColumn("_n", count(lit(1)).over(cnt))
     val dups = marked
       .filter(col("_rn") > col("_n") - window)
-      .withColumn("_bk", nextCol)
-      .filter(col("_bk").isNotNull)
+      .join(nextDf, Seq("_bk")) // inner: the LAST bucket has no successor
+      .withColumn("_bk", col("_nbk"))
+      .drop("_nbk")
       .withColumn("_dup", lit(true))
     val all = marked.select(col("_bk"), col("_k"), col("_id"), col("_s"))
       .withColumn("_dup", lit(false))
