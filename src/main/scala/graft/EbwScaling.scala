@@ -114,6 +114,11 @@ object EbwScaling {
       // with no hand-set levers (r10 verdict item #2)
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    // local-cluster[n,c,MEM] sets WORKER capacity; the executor JVM heap
+    // still comes from spark.executor.memory (default 1g) — size it or
+    // every multi-JVM tier runs on 1 GiB executors
+    sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val blocks = 4

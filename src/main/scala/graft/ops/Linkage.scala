@@ -148,16 +148,18 @@ object Linkage {
     // length prefilter — all BEFORE the distinct so dead pairs never
     // shuffle; the repartition keeps the kernel spread after AQE sizes
     // the dedup from its (small) input.
-    // SHUFFLE_HASH hints throughout: Catalyst's Generate (explode) node
-    // keeps its CHILD's size estimate, so a variant frame that explodes
-    // to ~280 hash rows per record still LOOKS like the pruned base
+    // MERGE hints throughout: Catalyst's Generate (explode) node keeps
+    // its CHILD's size estimate, so a variant frame that explodes to
+    // ~280 hash rows per record still LOOKS like the pruned base
     // projection — small enough that the planner picks a broadcast
     // build of what is really a data-scale side (measured: a 1.6 GB
     // driver broadcast at 16x the gate corpus, an OOM crash at 32x).
-    // Forcing the shuffled hash join keeps every side distributed at
-    // any corpus size; the string re-join sides scale with the data
-    // too, so they get the same treatment.
-    val cand = l.hint("shuffle_hash").join(r.hint("shuffle_hash"),
+    // Sort-merge, not shuffled-hash: SHJ's per-partition build side
+    // must FIT in execution memory (measured OOM at 32x under 32
+    // shuffle partitions), while SMJ spills gracefully at any corpus
+    // size; the string re-join sides scale with the data too, so they
+    // get the same treatment.
+    val cand = l.hint("merge").join(r.hint("merge"),
       (blockCols.map(c => l(c) === r(c)) :+ (l("_v") === r("_v")))
         .reduce(_ && _)
         && col("id_a") < col("id_b")
@@ -169,8 +171,8 @@ object Linkage {
     val sb = base.select(col("_id").as("id_b"), col("_s").as("_sb"))
     val dist = levenshtein(col("_sa"), col("_sb"), math.max(maxDist, 1))
     cand
-      .join(sa.hint("shuffle_hash"), Seq("id_a"))
-      .join(sb.hint("shuffle_hash"), Seq("id_b"))
+      .join(sa.hint("merge"), Seq("id_a"))
+      .join(sb.hint("merge"), Seq("id_b"))
       .select((col("id_a") +: col("id_b") +: blockCols.map(col)) :+
         explode(when(dist.between(0, maxDist), array(dist))
           .otherwise(array().cast("array<int>"))).as("dist"): _*)
@@ -248,10 +250,11 @@ object Linkage {
           lit(maxDist))).as("_v")): _*)
     val l = keyed(left, leftStr, leftId, "id_l", "_ll")
     val r = keyed(right, rightStr, rightId, "id_r", "_lr")
-    // SHUFFLE_HASH hints for the fuzzySelfJoinDelete reason: Generate
-    // keeps its child's size estimate, so the exploded variant frames
-    // look broadcastable when they are really data-scale
-    val cand = l.hint("shuffle_hash").join(r.hint("shuffle_hash"),
+    // MERGE hints for the fuzzySelfJoinDelete reason: Generate keeps
+    // its child's size estimate, so the exploded variant frames look
+    // broadcastable when they are really data-scale (and SHJ's
+    // no-spill build side OOMs where sort-merge spills)
+    val cand = l.hint("merge").join(r.hint("merge"),
       (blockCols.map(c => l(c) === r(c)) :+ (l("_v") === r("_v")))
         .reduce(_ && _)
         && abs(col("_ll") - col("_lr")) <= maxDist)
@@ -262,8 +265,8 @@ object Linkage {
     val sr = right.select(col(rightId).as("id_r"), col(rightStr).as("_sr"))
     val dist0 = levenshtein(col("_sl"), col("_sr"), math.max(maxDist, 1))
     val verified = cand
-      .join(sl.hint("shuffle_hash"), Seq("id_l"))
-      .join(sr.hint("shuffle_hash"), Seq("id_r"))
+      .join(sl.hint("merge"), Seq("id_l"))
+      .join(sr.hint("merge"), Seq("id_r"))
       .select((col("id_l") +: col("id_r") +: blockCols.map(col)) :+
         explode(when(dist0.between(0, maxDist), array(dist0))
           .otherwise(array().cast("array<int>"))).as("dist"): _*)

@@ -25,7 +25,9 @@ old_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
 
 # queries whose floor moved by DELIBERATE algorithm change this round:
 # the old floor no longer describes the shipped plan
-DELIBERATE = {"q_fuzzy_join", "q_bradley_terry", "text_rouge"}
+# r13: text_quality_model's gate changed computation entirely (fixture-
+# truth trainPortable verdicts replaced the murmur3 train/score pair)
+DELIBERATE = {"text_quality_model"}
 
 h = json.load(open(headline))
 c = json.load(open(cluster))
