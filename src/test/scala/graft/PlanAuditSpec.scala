@@ -311,6 +311,79 @@ class PlanAuditSpec extends AnyFunSuite {
       "chrF")
   }
 
+  test("no STATIC broadcast of an unbounded-fanout Generate subtree in " +
+    "any pair operator (the phantom-broadcast audit)") {
+    // Catalyst's Generate keeps its CHILD's size estimate, so a frame
+    // that explodes data-dependently (split tokens, deletion variants,
+    // shingles) still looks scan-sized and the STATIC planner may pick a
+    // broadcast build of a data-scale side (measured round 13: 1.6 GB
+    // driver broadcast at 16x, OOM at 32x). AQE's runtime conversions
+    // are safe (real sizes); this audit runs with AQE OFF to see exactly
+    // the static decisions, and flags any BroadcastExchange whose build
+    // subtree reaches an unbounded-fanout Generate without crossing a
+    // shuffle or cached-relation boundary (both of which re-anchor stats
+    // to reality). Bounded explodes (literal arrays — band keys) are
+    // legitimate to broadcast and exempt.
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, CreateArray, Literal}
+    // bounded-in-BYTES generators: literal arrays (fixed fanout) and
+    // STORED array columns (their elements are already counted in the
+    // child's size estimate — exploding them is ~1x in bytes). What the
+    // audit hunts is explode of COMPUTED arrays (deletion neighborhoods,
+    // token splits, sequences) whose output bytes dwarf the scalar input
+    // the estimate was taken from.
+    def boundedFanout(g: GenerateExec): Boolean =
+      g.generator.children.forall {
+        case _: CreateArray => true
+        case _: Literal => true
+        case _: Attribute => true
+        case _ => false
+      }
+    def reachableGenerates(p: SparkPlan): Seq[GenerateExec] = p match {
+      case _: ShuffleExchangeExec => Nil // runtime-stat boundary
+      case s if s.nodeName.contains("InMemoryTableScan") => Nil // real stats
+      case g: GenerateExec if !boundedFanout(g) =>
+        g +: g.children.flatMap(reachableGenerates)
+      case other => other.children.flatMap(reachableGenerates)
+    }
+    def offenders(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.executedPlan.collect {
+        case b: BroadcastExchangeExec
+            if reachableGenerates(b.child).nonEmpty =>
+          b.child.verboseString(2).linesIterator.take(1).mkString
+      }
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    val docs = noAqe.read.parquet(s"$dir/documents.parquet")
+    val cust = noAqe.read.parquet(s"$dir/customer.parquet")
+    val cases: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "fuzzySelfJoin(delete)" -> (() => graft.ops.Linkage.fuzzySelfJoin(
+        cust, Seq("c_nationkey"), "c_name", "c_custkey", 2,
+        method = "delete")),
+      "fuzzyJoin(delete)" -> (() => graft.ops.Linkage.fuzzyJoin(
+        cust, cust.selectExpr("c_custkey AS k2", "c_nationkey",
+          "c_name AS n2"),
+        Seq("c_nationkey"), "c_name", "n2", "c_custkey", "k2", 2,
+        method = "delete")),
+      "minhashCandidatePairs" -> (() =>
+        graft.ops.Dedup.minhashCandidatePairs(docs, "text", "doc_id")),
+      "simhashCandidatePairs" -> (() =>
+        graft.ops.Dedup.simhashCandidatePairs(docs, "text", "doc_id")),
+      "ngramJaccardPairs" -> (() =>
+        graft.ops.Dedup.ngramJaccardPairs(docs, "text", "doc_id")),
+      "containmentPairs" -> (() =>
+        graft.ops.Dedup.containmentPairs(docs, "text", "doc_id")),
+      "crossDocSpans" -> (() =>
+        graft.ops.Dedup.crossDocSpans(docs, "text", "doc_id")))
+    val bad = cases.flatMap { case (name, mk) =>
+      val off = offenders(mk())
+      graft.ops.Dedup.unpersistAll(noAqe)
+      off.map(o => s"$name broadcasts an unbounded Generate subtree: $o")
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("assignShards: exactly one Exchange (the per-shard window)") {
     val orders = spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey")
     val p = graft.ops.Sampling.assignShards(orders, "o_orderkey", 8)
