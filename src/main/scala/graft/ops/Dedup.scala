@@ -232,6 +232,29 @@ object Dedup {
   }
 
   /**
+   * Homoglyph-aware exact dedup (Unicode TR#39 skeleton family): keep
+   * the globally-first occurrence of each CONFUSABLE SKELETON
+   * ([[TextMetrics.confusableSkeleton]] — Cyrillic/Greek lookalikes fold
+   * to Latin, fullwidth forms normalize, zero-width joiners vanish,
+   * then lowercase). The spam channel this closes walks straight
+   * through exact AND shingle dedup: one swapped Cyrillic о changes
+   * every hash while the rendered text is pixel-identical. One
+   * skeleton-keyed shuffle; the skeleton is two codegen'd built-ins
+   * (translate + lower), so the whole pass is engine-portable and the
+   * oracle replays it verbatim.
+   * Output: idCol, skeleton_hash (md5), keep (true = first occurrence,
+   * ties to the lowest id — the paragraph-dedup rule).
+   */
+  def homoglyphDedup(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol),
+      md5(TextMetrics.confusableSkeleton(col(textCol))).as("skeleton_hash"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("skeleton_hash"))
+    keyed.withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+  }
+
+  /**
    * Cross-document repeated-SPAN detection — the exact-substring dedup
    * family (Lee et al. 2021, "Deduplicating Training Data Makes Language
    * Models Better"): a span is `n` consecutive tokens; every span whose

@@ -468,6 +468,40 @@ object TextMetrics {
     else
       docs.select(col(idCol), xxhash64(col(textCol)).as("fingerprint"))
 
+  /** Confusable-character map (Unicode TR#39 skeleton, the high-traffic
+   * subset): Cyrillic and Greek letters that render identically to Latin
+   * — the homoglyph-spam channel that walks straight through exact AND
+   * shingle dedup (one swapped о changes every hash) — plus fullwidth
+   * Latin/digits and the invisible joiners/spaces (zero-width space,
+   * ZWNJ, ZWJ, BOM, soft hyphen; NBSP maps to a real space). One
+   * FROM/TO string pair consumed by `translate`: 1:1 positions map,
+   * the invisible tail (beyond TO's length) DELETES — semantics shared
+   * verbatim by Spark's and DuckDB's `translate`, so the whole skeleton
+   * is engine-portable. */
+  val confusablesFrom: String =
+    "\u0430\u0435\u043e\u0440\u0441\u0443\u0445\u0456\u0455\u0458" + // Cyrillic a e o p c y x i s j
+    "\u1d0f\u03bf\u03b1\u03b5\u03b9\u03ba\u03bd\u03c1\u03c4\u03c5" + // small-cap o; Greek o a e i k v p t u
+    "\u041c\u0410\u0412\u0415\u041a\u041d\u041e\u0420\u0421\u0422\u0425" + // Cyrillic M A B E K H O P C T X
+    ('\uff21' to '\uff3a').mkString + // fullwidth A-Z
+    ('\uff41' to '\uff5a').mkString + // fullwidth a-z
+    ('\uff10' to '\uff19').mkString + // fullwidth 0-9
+    "\u00a0" + // NBSP -> space
+    "\u200b\u200c\u200d\ufeff\u00ad" // ZWSP ZWNJ ZWJ BOM SHY: DELETED
+
+  val confusablesTo: String =
+    "aeopcyxisj" + // Cyrillic group
+    "ooaeikvptu" + // small-cap o + Greek group
+    "MABEKHOPCTX" + // Cyrillic capitals
+    ('A' to 'Z').mkString + ('a' to 'z').mkString +
+    ('0' to '9').mkString +
+    " "
+
+  /** The TR#39-style skeleton as a Column: confusables fold to their
+   * Latin target, invisibles vanish, then lowercase — two codegen'd
+   * built-ins, no UDF, replayable in any engine with `translate`. */
+  def confusableSkeleton(c: Column): Column =
+    lower(translate(c, confusablesFrom, confusablesTo))
+
   /** HTML entity decodings in application order. `&amp;` decodes LAST so
    * double-escaped entities survive literally (`&amp;lt;` → `&lt;`, not
    * `<`) — the standard single-pass decode order. */

@@ -24,6 +24,21 @@ private[graft] object QueriesDedup {
     // §2c — LLM-data pipeline ops
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("content_hash")),
+    "dedup_homoglyph" -> ((s, dir) => {
+      // homoglyph-spam dedup: odd ids carry the PRECEDING even doc's
+      // text with Latin aeopcxy swapped to Cyrillic lookalikes and a
+      // zero-width space planted up front — pixel-identical text that
+      // walks through exact/shingle dedup, caught by the TR#39
+      // confusable skeleton; the oracle replays the planting AND the
+      // skeleton verbatim (translate/lower/md5 are engine-shared)
+      val even = t(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 2 === 0)
+      val odd = even.select((col("doc_id") + 1).as("doc_id"),
+        concat(lit("\u200b"),
+          translate(col("text"), "aeopcxy", "аеорсху")).as("text"))
+      Dedup.homoglyphDedup(even.unionByName(odd), "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashSignatures(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
@@ -269,6 +284,29 @@ private[graft] object QueriesDedup {
   )
 
   val oracles: Map[String, String] = Map(
+    // the skeleton's confusable tables interpolate from the SAME
+    // constants the operator uses (TextMetrics.confusablesFrom/To), so
+    // the oracle can never drift from the shipped mapping; DuckDB's
+    // translate shares Spark's semantics exactly (1:1 positional map,
+    // surplus FROM characters delete)
+    "dedup_homoglyph" -> {
+      val from = graft.ops.TextMetrics.confusablesFrom.replace("'", "''")
+      val to = graft.ops.TextMetrics.confusablesTo.replace("'", "''")
+      s"""WITH even AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |corpus AS (
+        |  SELECT doc_id, text FROM even
+        |  UNION ALL
+        |  SELECT doc_id + 1,
+        |    chr(8203) || translate(text, 'aeopcxy', 'аеорсху')
+        |  FROM even),
+        |k AS (SELECT doc_id,
+        |    md5(lower(translate(text, '$from', '$to'))) AS skeleton_hash
+        |  FROM corpus)
+        |SELECT doc_id, skeleton_hash,
+        |  doc_id = min(doc_id) OVER (PARTITION BY skeleton_hash) AS keep
+        |FROM k ORDER BY doc_id""".stripMargin
+    },
     "dedup_source_overlap" ->
       """WITH tok AS (SELECT source AS g, str_split(text, ' ') AS tk
         |  FROM documents WHERE len(str_split(text, ' ')) >= 3),

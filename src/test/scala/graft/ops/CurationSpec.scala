@@ -1803,6 +1803,34 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("homoglyphDedup: confusables fold, invisibles delete, fullwidth " +
+    "normalizes, first occurrence keeps") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "free cash prizes"),                  // clean original
+      (2L, "free cаsh prizes"),             // Cyrillic а
+      (3L, "fr​ee cash prize‍s"),      // zero-width injections
+      (4L, "FREE CASH PRIZES"),                  // case only
+      (5L, "ｆｒｅｅ cash prizes"), // fullwidth "free"
+      (6L, "something else entirely"),
+      (7L, "free cash prizes!"))                 // NOT a dup (real char)
+    .toDF("doc_id", "text")
+    val got = Dedup.homoglyphDedup(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2))))
+      .toMap
+    // 1-5 share one skeleton; the lowest id keeps
+    val sk = got(1L)._1
+    assert((2L to 5L).forall(i => got(i)._1 == sk), s"$got")
+    assert(got(1L)._2 && (2L to 5L).forall(i => !got(i)._2), s"$got")
+    // distinct texts keep their own skeletons
+    assert(got(6L)._1 != sk && got(6L)._2)
+    assert(got(7L)._1 != sk && got(7L)._2)
+    // FROM/TO tables stay aligned (surplus FROM = the deleted tail)
+    assert(TextMetrics.confusablesFrom.length ==
+      TextMetrics.confusablesTo.length + 5,
+      "exactly the five invisibles delete")
+  }
+
   test("fellegiSunterEm: degenerate decks stay finite (EM safeguard)") {
     import spark.implicits._
     // perfectly separated: every pair agrees on everything — one class
