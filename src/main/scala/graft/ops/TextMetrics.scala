@@ -1505,6 +1505,44 @@ object TextMetrics {
   val urlPattern: String =
     "https?://[A-Za-z0-9.-]*[A-Za-z0-9](/[A-Za-z0-9/._-]*)?"
 
+  /** Two-label public suffixes — the compact high-traffic subset of the
+   * Public Suffix List (the PSL itself is a ~10k-line data file; this
+   * embeds the suffixes that carry the overwhelming share of crawl
+   * traffic, and the contract is DOCUMENTED: hosts under an uncovered
+   * multi-label suffix fall back to last-two-labels). Shared with the
+   * DuckDB oracle by interpolation so the mapping can never drift. */
+  val twoLabelSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.kr", "or.kr", "go.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "co.in", "net.in", "org.in", "gov.in",
+    "co.za", "org.za", "gov.za",
+    "com.tr", "gov.tr", "org.tr",
+    "com.ar", "com.sg", "com.hk", "com.tw", "co.il", "org.il",
+    "co.nz", "net.nz", "org.nz")
+
+  /** Registrable domain (eTLD+1) of a host — the SITE key crawl
+   * pipelines group, block, and dedupe by (naive last-two-labels wrongly
+   * fuses every .co.uk site into one "co.uk" key): one label past the
+   * public suffix, with [[twoLabelSuffixes]] covering the multi-label
+   * suffixes. Lowercased; single-label hosts pass through. Pure
+   * codegen'd built-ins (split + element_at + a fixed IN list), no UDF,
+   * engine-portable. */
+  def registrableDomain(host: Column): Column = {
+    val a = split(lower(host), "\\.")
+    val n = size(a)
+    val last1 = element_at(a, -1)
+    val last2 = concat_ws(".", element_at(a, -2), last1)
+    val last3 = concat_ws(".", element_at(a, -3), element_at(a, -2), last1)
+    when(n >= 3 && last2.isin(twoLabelSuffixes: _*), last3)
+      .when(n >= 2, last2)
+      .otherwise(lower(host))
+  }
+
   /** Extract every URL (with its registrable host) per document — the
    * first stage of crawl-curation domain filtering. One narrow codegen'd
    * regexp scan + explode; no shuffle. */

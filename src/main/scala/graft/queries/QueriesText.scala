@@ -122,6 +122,30 @@ private[graft] object QueriesText {
       // oracle replays the exact same model
       TextMetrics.unigramLogProb(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "text_etld" -> ((s, dir) => {
+      // registrable-domain (eTLD+1) site rollup: planted hosts cover the
+      // multi-label-suffix family (shopN.retail.co.uk must key as
+      // retail.co.uk, not co.uk), deep subdomains under a plain TLD
+      // (cdnN.mediaM.example.com -> example.com), and a single-label
+      // host (localhost passes through) — the site-level grouping crawl
+      // blocklists and per-site dedup run on
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val spiked = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit(" https://shop"), (col("doc_id") % 7).cast("string"),
+          lit(".retail.co.uk/p/"), col("doc_id").cast("string"),
+          lit(" http://cdn"), (col("doc_id") % 3).cast("string"),
+          lit(".media"), (col("doc_id") % 5).cast("string"),
+          lit(".example.com/x and https://localhost/admin")).as("text"))
+      graft.ops.TextMetrics.extractUrls(spiked, "text", "doc_id")
+        .withColumn("site",
+          graft.ops.TextMetrics.registrableDomain(col("domain")))
+        .groupBy("site")
+        .agg(countDistinct("domain").as("n_hosts"),
+          count(lit(1)).as("n_urls"),
+          countDistinct("doc_id").as("n_docs"))
+        .orderBy("site")
+    }),
     "text_urls" -> ((s, dir) => {
       // URL/domain curation gate: deterministic URLs (one allowed, one
       // blocklisted per doc, derived from doc_id) are spiked identically
@@ -539,6 +563,36 @@ private[graft] object QueriesText {
         |FROM tk JOIN v USING (t), n
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+    // the suffix list interpolates from the operator's OWN constant
+    // (TextMetrics.twoLabelSuffixes) so the mapping can never drift
+    "text_etld" -> {
+      val sufs = TextMetrics.twoLabelSuffixes
+        .map(x => s"'$x'").mkString(", ")
+      s"""WITH sp AS (SELECT doc_id,
+        |  text || ' https://shop' || (doc_id % 7) || '.retail.co.uk/p/' ||
+        |  doc_id || ' http://cdn' || (doc_id % 3) || '.media' ||
+        |  (doc_id % 5) ||
+        |  '.example.com/x and https://localhost/admin' AS text
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text,
+        |  '${TextMetrics.urlPattern}', 0)) AS url FROM sp),
+        |d AS (SELECT doc_id,
+        |  regexp_extract(url, '^https?://([A-Za-z0-9.-]+)', 1) AS domain
+        |  FROM u),
+        |e AS (SELECT doc_id, domain,
+        |    string_split(lower(domain), '.') AS a FROM d),
+        |r AS (SELECT doc_id, domain,
+        |    CASE
+        |      WHEN len(a) >= 3 AND a[-2] || '.' || a[-1] IN ($sufs)
+        |        THEN a[-3] || '.' || a[-2] || '.' || a[-1]
+        |      WHEN len(a) >= 2 THEN a[-2] || '.' || a[-1]
+        |      ELSE lower(domain) END AS site
+        |  FROM e)
+        |SELECT site, count(DISTINCT domain)::BIGINT AS n_hosts,
+        |  count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT doc_id)::BIGINT AS n_docs
+        |FROM r GROUP BY site ORDER BY site""".stripMargin
+    },
     "text_urls" ->
       s"""WITH sp AS (SELECT doc_id,
         |  text || ' see https://d' || (doc_id % 20) || '.example.com/p/' ||

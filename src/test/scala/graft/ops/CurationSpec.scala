@@ -1831,6 +1831,29 @@ class CurationSpec extends AnyFunSuite {
       "exactly the five invisibles delete")
   }
 
+  test("registrableDomain: eTLD+1 under two-label suffixes, plain TLDs, " +
+    "single labels, case folding") {
+    import spark.implicits._
+    val got = Seq(
+      "shop3.retail.co.uk", "retail.co.uk", "co.uk",
+      "a.b.c.example.com", "example.com", "localhost",
+      "WWW.Example.COM", "news.BBC.CO.UK", "x.com.au", "com.au")
+      .toDF("h")
+      .select(TextMetrics.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "retail.co.uk",  // suffix hit: one label past co.uk
+      "retail.co.uk",  // already registrable
+      "co.uk",         // a bare suffix has no registrable part: pass-through
+      "example.com",   // deep subdomain under a plain TLD
+      "example.com",
+      "localhost",     // single label passes through
+      "example.com",   // case folds
+      "bbc.co.uk",
+      "x.com.au",
+      "com.au"), s"$got")
+  }
+
   test("fellegiSunterEm: degenerate decks stay finite (EM safeguard)") {
     import spark.implicits._
     // perfectly separated: every pair agrees on everything — one class
