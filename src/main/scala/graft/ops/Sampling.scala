@@ -496,4 +496,46 @@ object Sampling {
       .select(col("_x"), col("_my"))
     df.join(front, fx === col("_x") && fy === col("_my"), "left_semi")
   }
+
+  /**
+   * Token-budget greedy corpus selection — the data-recipe cut "keep the
+   * best documents until the token budget is spent" (quality-classifier
+   * scores feed it; FineWeb-Edu's threshold sweep is this with a fixed
+   * budget): documents rank by (score DESC, id ASC) and are kept while
+   * the running cost total stays within `budget` — exact greedy, the
+   * LP-relaxation optimum of the knapsack when items are small relative
+   * to the budget.
+   *
+   * Distributed shape — the naive form is ONE global cumulative-sum
+   * window (a single-partition sort, the anti-pattern). Instead the
+   * [[graft.ops.Profile]] distinct-value-walk pattern: per-SCORE cost
+   * totals cumulate over the distinct-score frame (cardinality-bounded
+   * global window, the ksTest/mannWhitney precedent), which pins each
+   * score group's budget headroom; within a score group the tie-break
+   * cumsum windows PER GROUP (distributed, state = one partition's
+   * group). No data-scale single-partition stage anywhere.
+   * Output: every input row + cum_cost (its position's inclusive
+   * running total under the greedy order) + selected.
+   */
+  def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
+      costCol: String, budget: Double): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0: $budget")
+    val base = df.select(col(idCol), col(scoreCol).cast("double").as("_s"),
+      col(costCol).cast("double").as("_c"))
+    // distinct-score walk: cost mass strictly ABOVE each score
+    val perScore = base.groupBy("_s").agg(sum("_c").as("_cs"))
+    val wScores = Window.orderBy(desc("_s"))
+    val before = perScore
+      .withColumn("_above",
+        coalesce(sum("_cs").over(wScores.rowsBetween(
+          Window.unboundedPreceding, -1)), lit(0.0)))
+      .select(col("_s"), col("_above"))
+    // within-group tie-break cumsum: per-score partitions, id order
+    val wTie = Window.partitionBy(col("_s")).orderBy(col(idCol))
+    base.join(before, Seq("_s"))
+      .withColumn("_within", sum("_c").over(wTie))
+      .select(col(idCol), col("_s").as(scoreCol), col("_c").as(costCol),
+        (col("_above") + col("_within")).as("cum_cost"))
+      .withColumn("selected", col("cum_cost") <= budget)
+  }
 }

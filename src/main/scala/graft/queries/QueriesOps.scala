@@ -84,6 +84,19 @@ private[graft] object QueriesOps {
       graft.ops.Behavior.dwellTimes(ev, "user_id", "ts_us", "event_type")
         .orderBy("event_type")
     }),
+    "q_select_budget" -> ((s, dir) => {
+      // token-budget greedy selection: planted integer scores (heavy
+      // ties — the boundary group is what the distinct-walk + per-group
+      // cumsum construction exists for) and integral costs (so the
+      // two-phase float addition is bit-identical to the oracle's naive
+      // global window); budget 1000 cuts mid-corpus at every SF
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        (col("doc_id") % 7).cast("double").as("score"),
+        (lit(1) + col("doc_id") % 13).cast("double").as("cost"))
+      graft.ops.Sampling.selectByBudget(d, "doc_id", "score", "cost",
+          budget = 1000.0)
+        .orderBy("doc_id")
+    }),
     "q_mixture_sample" -> ((s, dir) => {
       // domain-mixture realization at max corpus usage: weights cycle 1..4
       // over the sources, so the heaviest-weighted present source pins
@@ -730,6 +743,19 @@ private[graft] object QueriesOps {
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "q_mixture_sample" -> mixtureSampleOracle,
+    // the oracle's NAIVE global window equals the operator's two-phase
+    // (distinct-score walk + per-group cumsum) construction exactly:
+    // both realize sum(cost) over (score DESC, id ASC) prefixes, and
+    // integral costs make the different addition orders bit-identical
+    "q_select_budget" ->
+      """WITH b AS (SELECT doc_id, (doc_id % 7)::DOUBLE AS score,
+        |    (1 + doc_id % 13)::DOUBLE AS cost FROM documents),
+        |c AS (SELECT doc_id, score, cost,
+        |    sum(cost) OVER (ORDER BY score DESC, doc_id) AS cum_cost
+        |  FROM b)
+        |SELECT doc_id, score, cost, cum_cost,
+        |  cum_cost <= 1000.0 AS selected
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_shard_assign" ->
       """WITH h AS (SELECT o_orderkey,
         |    md5(concat('42|', o_orderkey::VARCHAR)) AS hh FROM orders),

@@ -1831,6 +1831,29 @@ class CurationSpec extends AnyFunSuite {
       "exactly the five invisibles delete")
   }
 
+  test("selectByBudget: greedy by (score desc, id), boundary tie group " +
+    "splits by id, zero budget selects nothing, big budget everything") {
+    import spark.implicits._
+    // scores: 2.0 (ids 1,2), 1.0 (ids 3,4,5), 0.5 (id 6); cost 10 each
+    val d = Seq((1L, 2.0, 10.0), (2L, 2.0, 10.0), (3L, 1.0, 10.0),
+      (4L, 1.0, 10.0), (5L, 1.0, 10.0), (6L, 0.5, 10.0))
+      .toDF("id", "score", "cost")
+    def sel(b: Double): Map[Long, (Double, Boolean)] =
+      Sampling.selectByBudget(d, "id", "score", "cost", b)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getDouble(3), r.getBoolean(4)))).toMap
+    // budget 40: both score-2 docs + the first TWO of the score-1 tie
+    // group (id order) — the boundary split the construction exists for
+    val g40 = sel(40.0)
+    assert(g40.view.filterKeys(Seq(1L, 2L, 3L, 4L).contains)
+      .values.forall(_._2), s"$g40")
+    assert(!g40(5L)._2 && !g40(6L)._2, s"$g40")
+    // cum_cost is the exact greedy prefix: id 4 sits at 40
+    assert(g40(4L)._1 == 40.0 && g40(5L)._1 == 50.0, s"$g40")
+    assert(sel(0.0).values.forall(!_._2))
+    assert(sel(1e9).values.forall(_._2))
+  }
+
   test("registrableDomain: eTLD+1 under two-label suffixes, plain TLDs, " +
     "single labels, case folding") {
     import spark.implicits._
