@@ -255,6 +255,29 @@ object Dedup {
   }
 
   /**
+   * INCREMENTAL homoglyph dedup — the crawl-batch path of
+   * [[homoglyphDedup]]: a new batch checks its confusable SKELETONS
+   * against a persisted skeleton-hash index (the `skeleton_hash` column
+   * of a prior [[homoglyphDedup]] output, written once), through the
+   * same Bloom-prefilter + exact verify as [[exactIncrementalBloom]] —
+   * so homoglyph-spam variants of EXISTING corpus documents surface at
+   * O(new) join work, never O(corpus). Output: idCol, skeleton_hash,
+   * in_corpus (1 = the skeleton already exists in the corpus).
+   */
+  def homoglyphIncrementalBloom(
+      newBatch: DataFrame, textCol: String, idCol: String,
+      corpusSkeletonHashes: DataFrame, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame =
+    exactIncrementalBloom(
+      newBatch.select(col(idCol),
+        TextMetrics.confusableSkeleton(col(textCol)).as("_skeleton")),
+      "_skeleton", idCol,
+      corpusSkeletonHashes
+        .select(col("skeleton_hash").as("content_hash")),
+      expectedItems, fpp)
+      .withColumnRenamed("content_hash", "skeleton_hash")
+
+  /**
    * Cross-document repeated-SPAN detection — the exact-substring dedup
    * family (Lee et al. 2021, "Deduplicating Training Data Makes Language
    * Models Better"): a span is `n` consecutive tokens; every span whose

@@ -1854,6 +1854,32 @@ class CurationSpec extends AnyFunSuite {
     assert(sel(1e9).values.forall(_._2))
   }
 
+  test("homoglyphIncrementalBloom: batch homoglyph variants of corpus " +
+    "docs surface, fresh docs pass, raw-text variants would NOT match") {
+    import spark.implicits._
+    val corpus = Seq((1L, "win big money now"), (2L, "read the docs"))
+      .toDF("doc_id", "text")
+    val index = Dedup.homoglyphDedup(corpus, "text", "doc_id")
+      .select("skeleton_hash").distinct()
+    val batch = Seq(
+      (10L, "win big mоney nоw"),      // Cyrillic о twice: corpus dup
+      (11L, "Read​ The Docs"),    // ZWSP + case: corpus dup
+      (12L, "a genuinely new doc"))
+      .toDF("doc_id", "text")
+    val got = Dedup.homoglyphIncrementalBloom(batch, "text", "doc_id",
+        index, expectedItems = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 0L), s"$got")
+    // the raw-text incremental (no skeleton) would MISS both variants —
+    // the channel this operator exists for
+    val raw = Dedup.exactIncrementalBloom(batch, "text", "doc_id",
+        corpus.select(md5(col("text")).as("content_hash")),
+        expectedItems = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(raw.values.forall(_ == 0L), s"$raw")
+    Dedup.releaseBloomFilters(spark)
+  }
+
   test("registrableDomain: eTLD+1 under two-label suffixes, plain TLDs, " +
     "single labels, case folding") {
     import spark.implicits._
