@@ -122,10 +122,16 @@ object CurationPipelineExample {
       .score(qm, ruledCc, "text", "doc_id")
       .agg(avg("quality_prob")).collect()(0).getDouble(0)
 
-    // 2. exact dedup: keep each content hash's lowest doc_id
+    // 2. exact dedup: keep each content hash's lowest doc_id — then the
+    // homoglyph pass right behind it (the r13 channel: Cyrillic/zero-
+    // width spam variants are pixel-identical but hash differently, so
+    // EXACT dedup alone ships them)
     val keep = Dedup.exact(ruledCc, "text", "doc_id")
       .select(col("keep_id").as("doc_id"))
-    val exactDeduped = ruledCc.join(keep, "doc_id")
+    val exactDeduped0 = ruledCc.join(keep, "doc_id")
+    val exactDeduped = exactDeduped0.join(
+      Dedup.homoglyphDedup(exactDeduped0, "text", "doc_id")
+        .filter(col("keep")).select("doc_id"), "doc_id")
     val n2 = exactDeduped.count()
 
     // 3. near-dedup: minhash banding candidates. Two standard election
@@ -157,12 +163,24 @@ object CurationPipelineExample {
     val clean = nearDeduped.join(contaminated, Seq("doc_id"), "left_anti")
     val n4 = clean.count()
 
-    // 5. reproducible stratified sample: up to 100 docs per language
+    // 5. reproducible stratified sample (up to 100 docs per language),
+    // then the token-budget cut: best documents by the learned quality
+    // probe until the budget is spent — the data-recipe knapsack that
+    // turns "we can afford B tokens" into a reproducible corpus
     val sampled = Sampling.stratifiedExact(clean, "lang", "doc_id", 100)
     val n5 = sampled.count()
+    val scored = graft.ops.QualityClassifier
+      .score(qm, sampled, "text", "doc_id")
+      .join(TextMetrics.tokenCounts(sampled, "text", "doc_id")
+        .select(col("doc_id"), col("n_ws_tokens")), "doc_id")
+    val budgeted = Sampling.selectByBudget(scored, "doc_id",
+        "quality_prob", "n_ws_tokens", budget = 20000.0)
+      .filter(col("selected")).select("doc_id")
+    val sampledB = sampled.join(budgeted, "doc_id")
+    val n5b = sampledB.count()
 
     // 6. token accounting on the final corpus
-    val tokens = TextMetrics.tokenCounts(sampled, "text", "doc_id")
+    val tokens = TextMetrics.tokenCounts(sampledB, "text", "doc_id")
       .agg(coalesce(sum("n_ws_tokens"), lit(0L))).collect()(0).getLong(0)
 
     // 7. persist the curated corpus's dedup index AND the FULL component
@@ -210,7 +228,7 @@ object CurationPipelineExample {
 
     println(f"[curate] input=$n0 ruled=$n1 ccnet_kept=$n1b " +
       f"langid_mismatch=$langMismatch mean_quality_prob=$meanProb%.3f " +
-      f"exact=$n2 near=$n3 " +
+      f"exact=$n2 near=$n3 budgeted=$n5b " +
       f"(drop-larger-id would keep $nDropLarger) decontam=$n4 " +
       f"sampled=$n5 tokens=$tokens crawl_dups=$crawlDups " +
       f"merged_component_ids=$mergedComponents chunks=$nChunks " +
