@@ -375,7 +375,13 @@ class PlanAuditSpec extends AnyFunSuite {
       "containmentPairs" -> (() =>
         graft.ops.Dedup.containmentPairs(docs, "text", "doc_id")),
       "crossDocSpans" -> (() =>
-        graft.ops.Dedup.crossDocSpans(docs, "text", "doc_id")))
+        graft.ops.Dedup.crossDocSpans(docs, "text", "doc_id")),
+      "paragraphDedup" -> (() =>
+        graft.ops.Dedup.paragraphDedup(docs, "text", "doc_id", " ")),
+      "embeddingCosinePairs" -> (() =>
+        graft.ops.Dedup.embeddingCosinePairs(
+          noAqe.read.parquet(s"$dir/embeddings.parquet"),
+          "embedding", "vec_id", dim = Some(64))))
     val bad = cases.flatMap { case (name, mk) =>
       val off = offenders(mk())
       graft.ops.Dedup.unpersistAll(noAqe)
