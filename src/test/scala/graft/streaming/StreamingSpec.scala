@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, md5}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
@@ -380,6 +380,30 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     val rows = spark.table("dedup_out").collect()
     // one (1, click) and one (2, view) survive
+    assert(rows.length == 2, rows.mkString(","))
+  }
+
+  test("streaming homoglyph dedup: the confusable skeleton is a " +
+    "stateless column, so watermarked dedup keys on it unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val skeletonized = mem.toDF().toDF("ts", "text")
+      .withColumn("skeleton_hash",
+        md5(graft.ops.TextMetrics.confusableSkeleton(col("text"))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("skeleton_hash")
+    val q = skeletonized.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("homoglyph_out").start()
+    mem.addData(
+      (ts(0), "win big money now"),
+      (ts(1), "win big mоney nоw"),   // Cyrillic о twice: same skeleton
+      (ts(1), "a different doc"))
+    q.processAllAvailable()
+    mem.addData((ts(2), "WIN BIG​ MONEY NOW")) // case + ZWSP: still dup
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("homoglyph_out").collect()
     assert(rows.length == 2, rows.mkString(","))
   }
 
