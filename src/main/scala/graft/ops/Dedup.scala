@@ -242,6 +242,16 @@ object Dedup {
    * skeleton-keyed shuffle; the skeleton is two codegen'd built-ins
    * (translate + lower), so the whole pass is engine-portable and the
    * oracle replays it verbatim.
+   *
+   * Election is the [[exact]] shape — groupBy min-id (map-side combined,
+   * so a MILLION-copy spam skeleton costs one combiner row per input
+   * partition) with a skeleton-keyed join back for the per-row `keep`
+   * flag — never a window over the skeleton: WindowExec funnels each
+   * skeleton into ONE sorted task, and homoglyph spam is precisely the
+   * workload with million-copy skeletons. The join is hinted
+   * shuffle-hash with the one-row-per-skeleton winner table as the build
+   * side, so the hot key streams through the probe with no sort and no
+   * per-partition buffering.
    * Output: idCol, skeleton_hash (md5), keep (true = first occurrence,
    * ties to the lowest id — the paragraph-dedup rule).
    */
@@ -249,9 +259,11 @@ object Dedup {
       idCol: String): DataFrame = {
     val keyed = docs.select(col(idCol),
       md5(TextMetrics.confusableSkeleton(col(textCol))).as("skeleton_hash"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("skeleton_hash"))
-    keyed.withColumn("keep", col(idCol) === min(col(idCol)).over(w))
+    val winners = keyed.groupBy("skeleton_hash")
+      .agg(min(col(idCol)).as("_keep_id"))
+    keyed.join(winners.hint("shuffle_hash"), Seq("skeleton_hash"))
+      .select(col(idCol), col("skeleton_hash"),
+        (col(idCol) === col("_keep_id")).as("keep"))
   }
 
   /**

@@ -632,6 +632,25 @@ class PlanAuditSpec extends AnyFunSuite {
       s"histogram funnels through one partition:\n$p")
   }
 
+  test("homoglyphDedup: groupBy election + shuffle-hash join-back, no " +
+    "window keyed on the data-scale skeleton column") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.homoglyphDedup(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // homoglyph spam IS the million-copy-skeleton workload: a WindowExec
+    // keyed on skeleton_hash gives each skeleton to ONE sorted task; the
+    // election must stay a map-side-combined aggregate + keyed join-back
+    assert(!p.contains("Window"),
+      s"window keyed on the skeleton column:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"join-back must be shuffle-hash (one-row-per-skeleton build side," +
+        s" hot probe key streams with no sort):\n$p")
+    assert(p.contains("HashAggregate"),
+      s"min-id election is not a hash aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"sort-merge join-back re-sorts the hot skeleton partition:\n$p")
+  }
+
   test("centroidOutliers: bottom-k is WindowGroupLimit, no global sort") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Similarity.centroidOutliers(emb, "vec_id",

@@ -1831,6 +1831,36 @@ class CurationSpec extends AnyFunSuite {
       "exactly the five invisibles delete")
   }
 
+  test("homoglyphDedup: keep-semantics hold on a million-copy skeleton " +
+    "(the hot-key workload the groupBy election exists for)") {
+    import spark.implicits._
+    // one spam skeleton rendered through three homoglyph variants,
+    // replicated a million times — exactly the shape a windowed election
+    // would funnel into one sorted task — plus a handful of singletons
+    val variants = array(lit("free cash prizes"),
+      lit("free cаsh prizes"),           // Cyrillic а
+      lit("FREE CASH PRIZ​ES"))     // case + zero-width space
+    val hot = spark.range(0L, 1000000L)
+      .select(col("id").as("doc_id"),
+        element_at(variants, (col("id") % 3 + 1).cast("int")).as("text"))
+    val singles = Seq((2000000L, "unique doc one"),
+      (2000001L, "unique doc two")).toDF("doc_id", "text")
+    val got = Dedup.homoglyphDedup(hot.unionByName(singles), "text",
+      "doc_id")
+    val hotStats = got.filter(col("doc_id") < 1000000L)
+      .agg(countDistinct("skeleton_hash").as("nsk"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("nkeep"),
+        min(when(col("keep"), col("doc_id"))).as("kept_id"))
+      .collect()(0)
+    assert(hotStats.getLong(0) == 1L, s"variants split skeletons: $hotStats")
+    assert(hotStats.getLong(1) == 1L, s"more than one survivor: $hotStats")
+    assert(hotStats.getLong(2) == 0L, s"survivor is not min-id: $hotStats")
+    val singleKeeps = got.filter(col("doc_id") >= 2000000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(singleKeeps == Map(2000000L -> true, 2000001L -> true),
+      s"$singleKeeps")
+  }
+
   test("selectByBudget: greedy by (score desc, id), boundary tie group " +
     "splits by id, zero budget selects nothing, big budget everything") {
     import spark.implicits._
