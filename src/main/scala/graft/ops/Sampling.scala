@@ -507,35 +507,60 @@ object Sampling {
    * to the budget.
    *
    * Distributed shape — the naive form is ONE global cumulative-sum
-   * window (a single-partition sort, the anti-pattern). Instead the
-   * [[graft.ops.Profile]] distinct-value-walk pattern: per-SCORE cost
-   * totals cumulate over the distinct-score frame (cardinality-bounded
-   * global window, the ksTest/mannWhitney precedent), which pins each
-   * score group's budget headroom; within a score group the tie-break
-   * cumsum windows PER GROUP (distributed, state = one partition's
-   * group). No data-scale single-partition stage anywhere.
+   * window (a single-partition sort, the anti-pattern), and the earlier
+   * two-phase form (distinct-score walk + per-score tie window) was
+   * skew-proof only when scores were continuous AND ties were small:
+   * with the QUANTIZED scores real recipes use (FineWeb-Edu int 0–5)
+   * one score group IS the corpus — a single-task tie window — while
+   * continuous classifier scores make the distinct-score frame itself
+   * data-scale. This form has neither mode: the classic distributed
+   * prefix scan. Rows range-partition on the greedy order
+   * `(score DESC, id)` — the range partitioner keeps partition INDEX
+   * monotone in the sort key, so the order is global across buckets
+   * regardless of how scores tie — each bucket cumulates independently
+   * (balanced ~n/P rows, never a whole score group), and bucket totals
+   * prefix-merge over ONE carry row per bucket (a partition-count-
+   * bounded frame, the ksTest precedent) broadcast back as offsets.
+   * Bucket boundaries only decide WHICH bucket a row cumulates in —
+   * offset + within reconstructs the same global prefix for any split,
+   * so the sampled boundaries never touch the result.
    * Output: every input row + cum_cost (its position's inclusive
-   * running total under the greedy order) + selected.
+   * running total under the greedy order) + selected. Rows with a null
+   * score carry no greedy position and are dropped (the prior
+   * construction's join-on-score behavior, now explicit).
    */
   def selectByBudget(df: DataFrame, idCol: String, scoreCol: String,
       costCol: String, budget: Double): DataFrame = {
     require(budget >= 0, s"budget must be >= 0: $budget")
+    val internal = Seq("_s", "_c", "_p", "_run", "_pt", "_off")
+    require(!internal.contains(idCol),
+      s"id column $idCol collides with selectByBudget internals")
     val base = df.select(col(idCol), col(scoreCol).cast("double").as("_s"),
-      col(costCol).cast("double").as("_c"))
-    // distinct-score walk: cost mass strictly ABOVE each score
-    val perScore = base.groupBy("_s").agg(sum("_c").as("_cs"))
-    val wScores = Window.orderBy(desc("_s"))
-    val before = perScore
-      .withColumn("_above",
-        coalesce(sum("_cs").over(wScores.rowsBetween(
-          Window.unboundedPreceding, -1)), lit(0.0)))
-      .select(col("_s"), col("_above"))
-    // within-group tie-break cumsum: per-score partitions, id order
-    val wTie = Window.partitionBy(col("_s")).orderBy(col(idCol))
-    base.join(before, Seq("_s"))
-      .withColumn("_within", sum("_c").over(wTie))
+        col(costCol).cast("double").as("_c"))
+      .filter(col("_s").isNotNull)
+    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val order = Seq(col("_s").desc, col(idCol).asc)
+    val parted = base.repartitionByRange(nPart, order: _*)
+      .withColumn("_p", spark_partition_id())
+    // per-bucket inclusive running total (each bucket its own window
+    // partition — distributed, balanced by the range sampler)
+    val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry: one total row per bucket, prefix-summed in bucket order —
+    // at most `nPart` rows ever sit in this global window
+    val wOff = Window.orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // sums run over a zero-coalesced cost (a null cost adds nothing but
+    // must not null out a bucket whose rows are all null-cost); the
+    // echoed cost column stays raw
+    val c0 = coalesce(col("_c"), lit(0.0))
+    val offsets = parted.groupBy(col("_p")).agg(sum(c0).as("_pt"))
+      .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0.0)))
+      .select(col("_p"), col("_off"))
+    parted.withColumn("_run", sum(c0).over(wIn))
+      .join(broadcast(offsets), Seq("_p"))
       .select(col(idCol), col("_s").as(scoreCol), col("_c").as(costCol),
-        (col("_above") + col("_within")).as("cum_cost"))
+        (col("_off") + col("_run")).as("cum_cost"))
       .withColumn("selected", col("cum_cost") <= budget)
   }
 }

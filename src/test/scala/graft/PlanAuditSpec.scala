@@ -651,6 +651,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sort-merge join-back re-sorts the hot skeleton partition:\n$p")
   }
 
+  test("selectByBudget: range-partitioned prefix scan, no window keyed " +
+    "on the data-scale score column") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 3).cast("double").as("score"),
+        lit(1.0).as("cost"))
+    val p = graft.ops.Sampling.selectByBudget(d, "doc_id", "score", "cost",
+        1000.0)
+      .queryExecution.executedPlan.toString
+    // quantized scores make one score value most of the corpus: a window
+    // PARTITIONED on the score (windowspecdefinition leading with _s)
+    // would funnel it into one task — the scan must bucket on the range
+    // partition id instead, with only the nPart-row carry frame global
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"no range partitioning on the greedy order:\n$p")
+    assert(!p.contains("windowspecdefinition(_s"),
+      s"window partitioned on the raw score:\n$p")
+    assert(p.contains("windowspecdefinition(_p"),
+      s"per-bucket cumsum window missing:\n$p")
+  }
+
   test("centroidOutliers: bottom-k is WindowGroupLimit, no global sort") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Similarity.centroidOutliers(emb, "vec_id",

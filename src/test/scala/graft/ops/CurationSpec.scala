@@ -1884,6 +1884,58 @@ class CurationSpec extends AnyFunSuite {
     assert(sel(1e9).values.forall(_._2))
   }
 
+  test("selectByBudget: fuzz — the range-partitioned prefix scan equals " +
+    "the naive global cumsum on random quantized AND continuous decks") {
+    import spark.implicits._
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val deckGen = for {
+      n <- Gen.choose(1, 120)
+      quantized <- Gen.oneOf(true, false)
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (n, quantized, seed)
+    val prop = Prop.forAll(deckGen) { case (n, quantized, seed) =>
+      val rng = new scala.util.Random(seed)
+      // quantized decks are the FineWeb-Edu regime: 0-2 int scores, so
+      // one score value can own most of the corpus — the shape the old
+      // per-score tie window funneled into a single task
+      val rows = rng.shuffle((1L to n.toLong).toList).map { id =>
+        val s = if (quantized) rng.nextInt(3).toDouble else rng.nextDouble()
+        (id, s, (1 + rng.nextInt(9)).toDouble)
+      }
+      val budget = rng.nextInt(1 + 5 * n).toDouble
+      val got = Sampling.selectByBudget(
+          rows.toDF("id", "score", "cost").repartition(5),
+          "id", "score", "cost", budget)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4))))
+        .toMap
+      // driver-side naive greedy walk (integral costs: sums are exact
+      // in any order, so equality is exact, not approximate)
+      var cum = 0.0
+      val want = rows.sortBy { case (id, s, _) => (-s, id) }
+        .map { case (id, _, c) => cum += c; id -> ((cum, cum <= budget)) }
+        .toMap
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("selectByBudget: null scores drop; rows with null cost keep their " +
+    "position but add no cost") {
+    import spark.implicits._
+    val d = Seq((1L, Some(2.0), Some(10.0)), (2L, None, Some(10.0)),
+      (3L, Some(1.0), None), (4L, Some(1.0), Some(10.0)))
+      .toDF("id", "score", "cost")
+    val got = Sampling.selectByBudget(d, "id", "score", "cost", 15.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // id 2 (null score) gone; id 3's null cost adds nothing, id 4 lands
+    // at 10 + 10 = 20
+    assert(got.keySet == Set(1L, 3L, 4L), s"$got")
+    assert(got(1L) == 10.0 && got(3L) == 10.0 && got(4L) == 20.0, s"$got")
+  }
+
   test("homoglyphIncrementalBloom: batch homoglyph variants of corpus " +
     "docs surface, fresh docs pass, raw-text variants would NOT match") {
     import spark.implicits._
