@@ -78,12 +78,11 @@ object GraftFunctions {
       d(exprs(2), "eta"), d(exprs(3), "lb"), d(exprs(4), "ub"))
 
   private def i(e: Expression, name: String): Int = {
-    require(e.foldable,
-      s"graft_clip_counts $name must be a literal int")
+    require(e.foldable, s"$name must be a literal int")
     e.eval() match {
       case n: java.lang.Number => n.intValue
       case other => throw new IllegalArgumentException(
-        s"graft_clip_counts $name must be an int literal, got $other")
+        s"$name must be an int literal, got $other")
     }
   }
 
@@ -110,6 +109,34 @@ object GraftFunctions {
       tokenize)
   }
 
+  private[functions] def argminBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 7,
+      "graft_argmin_centroid(vec, flat, ids, off, ds, expectDim, " +
+        s"emitPair): got ${exprs.length} args")
+    def arr[T](e: Expression, name: String)(
+        get: org.apache.spark.sql.catalyst.util.ArrayData => T): T = {
+      require(e.foldable, s"graft_argmin_centroid $name must be a literal")
+      e.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData => get(a)
+        case other => throw new IllegalArgumentException(
+          s"graft_argmin_centroid $name must be an array literal, got $other")
+      }
+    }
+    def b(e: Expression): Boolean = {
+      require(e.foldable, "graft_argmin_centroid emitPair must be a literal")
+      e.eval() match {
+        case v: java.lang.Boolean => v.booleanValue
+        case other => throw new IllegalArgumentException(
+          s"graft_argmin_centroid emitPair must be a boolean literal: $other")
+      }
+    }
+    CentroidArgmin(exprs(0),
+      arr(exprs(2), "ids")(_.toIntArray()),
+      arr(exprs(1), "flat")(_.toDoubleArray()),
+      i(exprs(4), "ds"), i(exprs(3), "off"), i(exprs(5), "expectDim"),
+      b(exprs(6)))
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => ArrayDotProduct(exprs(0), exprs(1)), "built-in")
@@ -123,6 +150,8 @@ object GraftFunctions {
       "graft_del_hashes", exprs => DeletionHashes(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_clip_counts", clipBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_argmin_centroid", argminBuilder, "built-in")
   }
 }
 
@@ -154,5 +183,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_clip_counts"),
       new ExpressionInfo(classOf[ClipCounts].getName, "graft_clip_counts"),
       (exprs: Seq[Expression]) => GraftFunctions.clipBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_argmin_centroid"),
+      new ExpressionInfo(classOf[CentroidArgmin].getName,
+        "graft_argmin_centroid"),
+      (exprs: Seq[Expression]) => GraftFunctions.argminBuilder(exprs)))
   }
 }

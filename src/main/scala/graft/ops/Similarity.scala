@@ -197,120 +197,55 @@ object Similarity {
    * id — ascending scan with strict <); cid as a double is exact for any
    * realistic k. Item 0 is the winning squared distance, item 1 the cid.
    *
-   * Always the broadcast compiled kernel: one flat k·d while-loop per
-   * row, zero per-candidate allocation, the standard Lloyd shape. The
-   * literal zip_with/aggregate expression form this replaced ran in
-   * HOF INTERPRETED eval (higher-order functions never enter
-   * whole-stage codegen), with two measured cliffs: k unrolled branches
-   * allocate k intermediate arrays per row (a multi-minute stall when
-   * auto-k first passed ~100 at 80k rows), and even at the gates'
-   * k=8/d=64 the interpreted lambda walk cost ~5 s per assignment pass
-   * on a 2000-row corpus (round 12; the kernel runs the same pass in
-   * milliseconds). The arithmetic contract is unchanged — left-to-right
-   * Σ(a−b)² per centroid, ties to the lowest cid — spec-pinned against
-   * an independent reference implementation and replayed exactly by the
+   * Always the native [[graft.functions.CentroidArgmin]] kernel: one
+   * flat k·d primitive loop per row INSIDE whole-stage codegen. Two
+   * prior forms each hit a measured cliff: the zip_with/aggregate
+   * literal ran HOF-interpreted (~5 s per assignment pass on a 2000-row
+   * corpus at k=8/d=64, round 12), and the compiled Scala UDF that
+   * replaced it kept the loop fast but demoted the hosting Project out
+   * of whole-stage codegen — the graft_clip_counts lesson (round 13):
+   * the kernel's CALL SITE must be codegen-able, not just its body. The
+   * arithmetic contract is unchanged — left-to-right Σ(a−b)² per
+   * centroid, ties to the lowest cid — spec-pinned against an
+   * independent reference implementation and replayed exactly by the
    * DuckDB oracles. */
-  /** Validate-and-copy of one vector row before a hot argmin loop: null
-   * elements and wrong dimensions fail FAST with a sized message (the
-   * null-VECTOR filter is the callers' documented contract; a null
-   * ELEMENT or a short vector would otherwise NPE inside the task or —
-   * worse — silently argmin over a partial distance). */
-  private def checkedVec(xs: Seq[java.lang.Double], expect: Int,
-      what: String): Array[Double] = {
-    require(xs.length == expect,
-      s"$what: vector has ${xs.length} elements, expected $expect " +
-        "(mixed-dimension corpus? filter or re-embed first)")
-    val x = new Array[Double](expect)
-    var i = 0
-    while (i < expect) {
-      val e = xs(i)
-      require(e != null,
-        s"$what: null element at position $i of a $expect-dim vector " +
-          "(null ELEMENTS are malformed input; the null-vector filter " +
-          "only drops whole-null vectors)")
-      x(i) = e.doubleValue
-      i += 1
-    }
-    x
-  }
-
   private def minDistPair(v: Column,
       cents: Seq[(Int, Seq[Double])]): Column = {
     val sorted = cents.sortBy(_._1)
-    val ids = sorted.map(_._1.toDouble).toArray
+    val ids = sorted.map(_._1).toArray
     val cs = sorted.map(_._2.toArray).toArray
     val dim = cs(0).length
     require(cs.forall(_.length == dim),
       s"centroid table is ragged: dims ${cs.map(_.length).distinct.toSeq}")
-    val f = udf((xs: Seq[java.lang.Double]) => {
-      if (xs == null) null
-      else {
-        val x = checkedVec(xs, dim, "centroid argmin")
-        var best = Double.PositiveInfinity
-        var bid = 0.0
-        var c = 0
-        while (c < cs.length) {
-          val cv = cs(c)
-          var d = 0.0
-          var j = 0
-          while (j < dim) { val t = x(j) - cv(j); d += t * t; j += 1 }
-          if (d < best) { best = d; bid = ids(c) }
-          c += 1
-        }
-        Array(best, bid)
-      }
-    })
-    f(v)
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    call_function("graft_argmin_centroid", v, typedlit(cs.flatten),
+      typedlit(ids), lit(0), lit(dim), lit(dim), lit(true))
   }
 
-  /** Compiled per-subspace code-assignment kernel: argmin over the
-   * subspace's centroids read through an (offset, ds) window of the FULL
-   * vector — the [[minDistPair]] arithmetic contract (left-to-right
-   * Σ(a−b)², strict <, ascending cid) without materializing the slice.
-   * Replaces a per-centroid zip_with literal that ran HOF-interpreted
-   * (higher-order functions never enter codegen) and allocated k
-   * intermediate arrays per row per subspace. Callers filter null
-   * vectors before assignment, as [[pqTrain]]/[[pqEncode]] do; a null
-   * ELEMENT or a wrong-dimension vector fails fast with a sized message
-   * instead of NPE-ing mid-task or silently scoring a partial window. */
+  /** Per-subspace code-assignment kernel: argmin over the subspace's
+   * centroids read through an (offset, ds) window of the FULL vector —
+   * the [[minDistPair]] arithmetic contract (left-to-right Σ(a−b)²,
+   * strict <, ascending cid) without materializing the slice. The same
+   * native [[graft.functions.CentroidArgmin]] expression (int-code
+   * mode), so all `subspaces` argmins of a row run in ONE generated
+   * stage. Callers filter null vectors before assignment, as
+   * [[pqTrain]]/[[pqEncode]] do; a null ELEMENT or a wrong-dimension
+   * vector fails fast with a sized message instead of silently scoring
+   * a partial window. */
   private def subCodeKernel(cents: Seq[(Int, Seq[Double])], off: Int,
-      ds: Int, dim: Int)
-      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+      ds: Int, dim: Int): Column => Column = {
     val sorted = cents.sortBy(_._1)
     val ids = sorted.map(_._1).toArray
     val cs = sorted.map(_._2.toArray).toArray
     require(cs.forall(_.length == ds),
       s"subspace codebook is ragged: dims ${cs.map(_.length).distinct.toSeq}" +
         s", expected $ds")
-    udf((xs: Seq[java.lang.Double]) => {
-      require(xs.length == dim,
-        s"PQ code assignment: vector has ${xs.length} elements, expected " +
-          s"$dim (mixed-dimension corpus? filter or re-embed first)")
-      val x = new Array[Double](ds)
-      var j = 0
-      while (j < ds) {
-        val e = xs(off + j)
-        require(e != null,
-          s"PQ code assignment: null element at position ${off + j} of a " +
-            s"$dim-dim vector (null ELEMENTS are malformed input)")
-        x(j) = e.doubleValue
-        j += 1
-      }
-      var best = Double.PositiveInfinity
-      var bid = 0
-      var c = 0
-      while (c < cs.length) {
-        val cv = cs(c)
-        var d = 0.0
-        j = 0
-        while (j < ds) {
-          val t = x(j) - cv(j); d += t * t; j += 1
-        }
-        if (d < best) { best = d; bid = ids(c) }
-        c += 1
-      }
-      bid
-    })
+    graft.functions.GraftFunctions.register(
+      org.apache.spark.sql.SparkSession.active)
+    (v: Column) => call_function("graft_argmin_centroid", v,
+      typedlit(cs.flatten), typedlit(ids), lit(off), lit(ds), lit(dim),
+      lit(false))
   }
 
   private def lloydCentroids(base: DataFrame, v: Column, idCol: String,

@@ -442,6 +442,21 @@ class PlanAuditSpec extends AnyFunSuite {
       s"k-means assignment must not shuffle:\n$p")
   }
 
+  test("centroid/PQ argmin is the native expression: zero ScalaUDF in " +
+    "the ann_pq / dedup_semantic / ann_ivf_append scoring plans") {
+    // the graft_clip_counts lesson, applied to the seventh kernel: a
+    // compiled Scala UDF keeps its own loop fast but demotes the hosting
+    // Project out of whole-stage codegen — the argmin must be the native
+    // CentroidArgmin expression end-to-end
+    for (name <- Seq("ann_pq", "dedup_semantic", "ann_ivf_append")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"),
+        s"$name scoring plan hosts a ScalaUDF:\n$p")
+      assert(!p.contains("BatchEvalPython"),
+        s"$name scoring plan leaves the JVM:\n$p")
+    }
+  }
+
   test("corpus BLEU: ONE data shuffle feeds every n-level (the tagged " +
     "single-scan kernel), no per-n re-read of the pair join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -228,4 +228,94 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(err2.getMessage != null)
   }
+
+  test("graft_argmin_centroid: pair/code modes match a driver-side " +
+    "reference on real embeddings, ties go to the lowest id") {
+    GraftFunctions.register(spark)
+    val dim = 64
+    val rng = new scala.util.Random(7)
+    val cents = (0 until 5).map(c => (c * 3 + 1,
+      Seq.fill(dim)(rng.nextDouble() * 2 - 1)))
+    val flat = cents.flatMap(_._2).toArray
+    val ids = cents.map(_._1).toArray
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val got = emb.select(col("vec_id"),
+        call_function("graft_argmin_centroid", col("v"), typedlit(flat),
+          typedlit(ids), lit(0), lit(dim), lit(dim), lit(true)).as("pair"),
+        call_function("graft_argmin_centroid", col("v"), typedlit(
+            cents.flatMap(_._2.slice(16, 32)).toArray),
+          typedlit(ids), lit(16), lit(16), lit(dim), lit(false)).as("code"))
+      .collect()
+      .map { r =>
+        val s = r.getSeq[Double](1)
+        r.getLong(0) -> ((s(0), s(1), r.getInt(2)))
+      }.toMap
+    val ref = emb.collect().map { r =>
+      val x = r.getSeq[Double](1)
+      def argmin(off: Int, ds: Int): (Double, Int) =
+        cents.foldLeft((Double.PositiveInfinity, -1)) {
+          case ((b, bi), (cid, cv)) =>
+            var d = 0.0
+            for (j <- 0 until ds) {
+              val t = x(off + j) - cv(off + j); d += t * t
+            }
+            if (d < b) (d, cid) else (b, bi)
+        }
+      val (fd, fc) = argmin(0, dim)
+      val (_, wc) = argmin(16, 16)
+      r.getLong(0) -> ((fd, fc.toDouble, wc))
+    }.toMap
+    assert(got.keySet == ref.keySet)
+    for (k <- got.keys) {
+      assert(math.abs(got(k)._1 - ref(k)._1) < 1e-12, s"$k: $got vs $ref")
+      assert(got(k)._2 == ref(k)._2 && got(k)._3 == ref(k)._3,
+        s"$k: ${got(k)} vs ${ref(k)}")
+    }
+    // strict-< tie rule: two identical centroids -> the LOWER id wins
+    import spark.implicits._
+    val tied = Seq(Seq(1.0, 1.0)).toDF("v")
+      .select(call_function("graft_argmin_centroid", col("v"),
+        typedlit(Array(1.0, 1.0, 1.0, 1.0)), typedlit(Array(4, 9)),
+        lit(0), lit(2), lit(2), lit(false)))
+      .collect()(0).getInt(0)
+    assert(tied == 4, s"tie must resolve to the lowest id, got $tied")
+  }
+
+  test("graft_argmin_centroid: null vector -> null, sized errors on " +
+    "wrong dimension and null elements, codegen participation") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val args: Seq[org.apache.spark.sql.Column] = Seq(
+      typedlit(Array(0.0, 0.0)), typedlit(Array(0)), lit(0), lit(2),
+      lit(2), lit(true))
+    val nulls = Seq((1, Some(Seq(1.0, 2.0))), (2, None)).toDF("i", "v")
+      .select(col("i"),
+        call_function("graft_argmin_centroid", col("v") +: args: _*).as("p"))
+      .collect().map(r => r.getInt(0) -> r.isNullAt(1)).toMap
+    assert(nulls == Map(1 -> false, 2 -> true), s"$nulls")
+    val dimErr = intercept[Exception] {
+      Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+        .select(call_function("graft_argmin_centroid", col("v") +: args: _*))
+        .collect()
+    }
+    assert(dimErr.getMessage.contains("mixed-dimension corpus"),
+      dimErr.getMessage)
+    val nullErr = intercept[Exception] {
+      Seq(Seq(Some(1.0), None)).toDF("v")
+        .select(call_function("graft_argmin_centroid",
+          col("v").cast("array<double>") +: args: _*))
+        .collect()
+    }
+    assert(nullErr.getMessage.contains("null element at position"),
+      nullErr.getMessage)
+    val plan = spark.range(4)
+      .select(array(col("id").cast("double"),
+        col("id").cast("double")).as("v"))
+      .select(call_function("graft_argmin_centroid", col("v") +: args: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_argmin_centroid") && l.trim.startsWith("*(")),
+      s"graft_argmin_centroid not inside a codegen stage:\n$plan")
+  }
 }
