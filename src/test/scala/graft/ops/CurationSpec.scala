@@ -1985,6 +1985,45 @@ class CurationSpec extends AnyFunSuite {
       "com.au"), s"$got")
   }
 
+  test("registrableDomain: widened PSL registries key correctly — one " +
+    "case per new ccTLD family") {
+    import spark.implicits._
+    // the high-crawl registries a 44-suffix subset mis-keyed: each host
+    // must key as ONE label past its registry suffix, never as the
+    // suffix itself (which would fuse every site in the registry)
+    val cases = Seq(
+      ("news.punch.com.ng", "punch.com.ng"),       // Nigeria
+      ("m.detik.co.id", "detik.co.id"),            // Indonesia
+      ("www.thestar.com.my", "thestar.com.my"),    // Malaysia
+      ("vnexpress.com.vn", "vnexpress.com.vn"),    // Vietnam
+      ("shop.central.co.th", "central.co.th"),     // Thailand
+      ("www.ahram.com.eg", "ahram.com.eg"),        // Egypt
+      ("mci.gov.sa", "mci.gov.sa"),                // Saudi Arabia
+      ("www.nation.co.ke", "nation.co.ke"),        // Kenya
+      ("cdn.dawn.com.pk", "dawn.com.pk"),          // Pakistan
+      ("b.prothomalo.com.bd", "prothomalo.com.bd"), // Bangladesh
+      ("w.mwananchi.co.tz", "mwananchi.co.tz"),    // Tanzania
+      ("x.abc.com.py", "abc.com.py"),              // Paraguay
+      ("impots.gouv.fr", "impots.gouv.fr"),        // France gouv
+      ("sub.elpais.com.uy", "elpais.com.uy"),      // Uruguay
+      ("a.b.canada.gc.ca", "canada.gc.ca"),        // Canada federal
+      ("news.ltn.com.tw", "ltn.com.tw"),           // Taiwan
+      ("el.chosun.co.kr", "chosun.co.kr"),         // Korea (pre-existing)
+      ("r.uol.com.br", "uol.com.br"))              // Brazil (pre-existing)
+    val got = cases.map(_._1).toDF("h")
+      .select(TextMetrics.registrableDomain(col("h")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == cases.map(_._2), s"$got")
+    // the table itself stays well-formed: no duplicates, all two-label,
+    // all lowercase (isin is a set-membership test — a duplicate or a
+    // cased entry would silently never match)
+    val t = TextMetrics.twoLabelSuffixes
+    assert(t.distinct.size == t.size,
+      s"duplicate suffixes: ${t.diff(t.distinct).distinct}")
+    assert(t.forall(s => s.count(_ == '.') == 1 && s == s.toLowerCase),
+      s"malformed entries: ${t.filterNot(s => s.count(_ == '.') == 1)}")
+  }
+
   test("fellegiSunterEm: degenerate decks stay finite (EM safeguard)") {
     import spark.implicits._
     // perfectly separated: every pair agrees on everything — one class
