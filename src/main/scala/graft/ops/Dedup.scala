@@ -290,6 +290,29 @@ object Dedup {
       .withColumnRenamed("content_hash", "skeleton_hash")
 
   /**
+   * STREAMING homoglyph dedup — [[homoglyphDedup]]'s semantics on an
+   * unbounded stream: the TR#39 confusable skeleton is a STATELESS
+   * per-row column (translate + lower + md5), so it composes directly
+   * with watermark-bounded `dropDuplicatesWithinWatermark` keyed on the
+   * skeleton hash; state is bounded by the watermark horizon, the only
+   * safe shape for an unbounded stream. The survivor is the first
+   * occurrence to ARRIVE within the horizon (the streaming-dedup rule —
+   * first-processed, not min-id: a stream has no global id order). The
+   * same call works on a BATCH frame, where it degrades to exact
+   * first-arrival dedup per skeleton.
+   * Output: the input columns + skeleton_hash; duplicate rows within
+   * the horizon are dropped, not flagged (append-mode streams cannot
+   * retract a `keep` column).
+   */
+  def homoglyphStreaming(docs: DataFrame, textCol: String, tsCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("skeleton_hash",
+        md5(TextMetrics.confusableSkeleton(col(textCol))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("skeleton_hash")
+
+  /**
    * Cross-document repeated-SPAN detection — the exact-substring dedup
    * family (Lee et al. 2021, "Deduplicating Training Data Makes Language
    * Models Better"): a span is `n` consecutive tokens; every span whose

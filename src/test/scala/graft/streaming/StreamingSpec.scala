@@ -388,11 +388,11 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
-    val skeletonized = mem.toDF().toDF("ts", "text")
-      .withColumn("skeleton_hash",
-        md5(graft.ops.TextMetrics.confusableSkeleton(col("text"))))
-      .withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("skeleton_hash")
+    // the library entry point, not a hand-rolled composition — the
+    // curation-pipeline user gets the skeleton∘watermarked-dedup chain
+    // as one call
+    val skeletonized = graft.ops.Dedup.homoglyphStreaming(
+      mem.toDF().toDF("ts", "text"), "text", "ts", "10 minutes")
     val q = skeletonized.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("homoglyph_out").start()
     mem.addData(
