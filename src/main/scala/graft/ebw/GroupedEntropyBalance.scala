@@ -61,11 +61,15 @@ object GroupedEntropyBalance {
   }
 
   /** One pass: per-group sumW plus the same validation discipline as
-   * EbwAggregator.validate (fail fast, never AIOOBE in the solve loop). */
-  private def validateSumW(rows: RDD[GRow], nG: Int, k: Int): Array[Double] = {
-    val w0Stats = rows.treeAggregate(new Array[Double](nG + 1))(
+   * EbwAggregator.validate (fail fast, never AIOOBE in the solve loop),
+   * and the total Gram-entry contributions Σ nnz(nnz+1)/2 — the EbwSizing
+   * input, counted in the same scan so routing costs nothing extra. */
+  private def validateSumW(
+      rows: RDD[GRow], nG: Int, k: Int): (Array[Double], Long) = {
+    val w0Stats = rows.treeAggregate(new Array[Double](nG + 2))(
       (buf, r) => {
         var bad = r.w0.isNaN || r.w0.isInfinite || r.w0 <= 0.0 || r.vals == null
+        var nnz = 0
         if (!bad) {
           if (r.idx == null) {
             if (r.vals.length != k) bad = true
@@ -78,18 +82,25 @@ object GroupedEntropyBalance {
         if (!bad) {
           var p = 0
           while (p < r.vals.length && !bad) {
-            val v = r.vals(p); if (v.isNaN || v.isInfinite) bad = true; p += 1
+            val v = r.vals(p)
+            if (v.isNaN || v.isInfinite) bad = true
+            else if (v != 0.0) nnz += 1
+            p += 1
           }
         }
-        if (bad) buf(nG) += 1 else buf(r.g) += r.w0
+        if (bad) buf(nG) += 1
+        else {
+          buf(r.g) += r.w0
+          buf(nG + 1) += nnz.toDouble * (nnz + 1) / 2
+        }
         buf
       },
-      (a, b) => { var i = 0; while (i <= nG) { a(i) += b(i); i += 1 }; a },
+      (a, b) => { var i = 0; while (i <= nG + 1) { a(i) += b(i); i += 1 }; a },
       depth = 2)
     if (w0Stats(nG) > 0)
       throw new IllegalArgumentException(
         "Inputs include invalid values (NaNs, non-positive weights, etc)")
-    Array.tabulate(nG)(w0Stats)
+    (Array.tabulate(nG)(w0Stats), w0Stats(nG + 1).toLong)
   }
 
   /** Per-round aggregates with per-group accessors; dense layout is the
@@ -317,12 +328,69 @@ object GroupedEntropyBalance {
     weightedOutput(df, groupCol, featuresCol, weightCol, outputCol, names, mult, lb, ub)
   }
 
+  /** DISTRIBUTED-GRAM tier of the grouped solver: G simultaneous
+   * large-k problems would hold G sparse Grams in the shared round pass
+   * — the per-task LongMap and its driver merge scale with the SUM of
+   * the groups' realized cross patterns, so at the single-problem
+   * distributed-Gram regime (N=1e7 × k=1e5) a handful of groups exhausts
+   * the driver budget that one problem already saturates. Routing
+   * (decided by the same EbwSizing envelope as the single solver, from
+   * the TOTAL Σ nnz(nnz+1)/2 the validation pass measured): shard the
+   * groups across SEQUENTIAL single-problem solves — each group's rows
+   * filter to its own cached RDD and the single solver engages its own
+   * distributed-Gram CG (Gram lives as an RDD, O(k) driver traffic per
+   * CG iteration, no driver ceiling) — then stitch one GroupedResult.
+   * Costs G sequential solves instead of one shared pass per round; the
+   * envelope is the price of never OOMing the driver. Groups with no
+   * rows converge trivially (multipliers 0, ratio 1 — the shared-pass
+   * behavior). */
+  private def solveSharded(
+      df: DataFrame, groupCol: String, featuresCol: String,
+      weightCol: String, targets: Map[String, Array[Double]],
+      outputCol: String, options: EbwOptions, names: Array[String],
+      sumW: Array[Double], lb: Double, ub: Double): GroupedResult = {
+    val k = targets(names(0)).length
+    val results = names.zipWithIndex.map { case (name, g) =>
+      name -> (if (sumW(g) == 0.0)
+        GroupResult(converged = true, 0, new Array[Double](k),
+          new Array[Double](k))
+      else {
+        EbwLog.info(s"grouped distributed-Gram shard: group '$name' " +
+          s"(${g + 1}/${names.length}) via the single-problem solver")
+        val res = EntropyBalance.entropyBalance(
+          df.filter(col(groupCol) === name), featuresCol, weightCol,
+          targets(name), outputCol, options)
+        // effective multipliers (eta absorbed): the grouped output stage
+        // computes clip(exp(x . mult), lb, ub) with eta = 1
+        val eff =
+          if (res.link.mode == Link.CLIP) res.theta.map(_ * res.link.eta)
+          else res.theta
+        GroupResult(res.converged, res.nIterations, eff,
+          res.constraintViolations)
+      })
+    }.toMap
+    val mult = names.map(n => results(n).multipliers)
+    val weighted = weightedOutput(df, groupCol, featuresCol, weightCol,
+      outputCol, names, mult, lb, ub)
+    GroupedResult(weighted, results)
+  }
+
   /**
    * Solve one unbounded (or elastic-bounded) EBW problem per distinct value
    * of `groupCol`. `targets(g)` are mean population moments for group g;
    * every group uses the same feature dimension k. Returns the input with
    * `outputCol` (all groups' weights in one column) plus per-group
    * diagnostics.
+   *
+   * Large-k routing: below `options.denseGramMax` every round is one
+   * shared dense pass; above it the shared pass accumulates the G Grams
+   * sparsely, and when even that would exceed this driver's
+   * maxResultSize/heap envelope (EbwSizing, measured from the validation
+   * scan's total Σ nnz(nnz+1)/2 — or forced with gramMode =
+   * "distributed"), the groups auto-shard across sequential
+   * single-problem DISTRIBUTED-Gram solves ([[solveSharded]]).
+   * gramMode = "driver" keeps the shared pass and fails fast with the
+   * sized envelope error instead of OOMing mid-solve.
    */
   def entropyBalanceGrouped(
       df: DataFrame,
@@ -341,7 +409,7 @@ object GroupedEntropyBalance {
     val rows = prepGRows(df, groupCol, featuresCol, weightCol, gIdx, nG, k)
 
     try {
-      val sumW = validateSumW(rows, nG, k)
+      val (sumW, sumPairs) = validateSumW(rows, nG, k)
       val b = Array.tabulate(nG)(g => targets(names(g)).map(_ * sumW(g)))
       val bscale = Array.tabulate(nG)(g => math.max(1.0, norm2(b(g))))
 
@@ -353,6 +421,32 @@ object GroupedEntropyBalance {
       val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))
       val lb = math.max(0.0, lbRaw)
       val ub = ubOpt.getOrElse(Double.PositiveInfinity)
+
+      // distributed-Gram tier: the shared sparse pass merges the SUM of
+      // all groups' Gram patterns on the driver — route to sequential
+      // per-group distributed solves when that exceeds the envelope
+      if (k > options.denseGramMax) {
+        require(Set("auto", "driver", "distributed")(options.gramMode),
+          s"gramMode must be auto|driver|distributed: ${options.gramMode}")
+        val sc = rows.sparkContext
+        val maxResult =
+          sc.getConf.getSizeAsBytes("spark.driver.maxResultSize", "1g")
+        val maxHeap = Runtime.getRuntime.maxMemory
+        val plan = EbwSizing.plan(k, sumPairs, rows.getNumPartitions,
+          maxResult, maxHeap, cores = sc.defaultParallelism)
+        val dist = options.gramMode match {
+          case "driver" =>
+            EbwSizing.requireDriverFits(plan, maxResult, maxHeap); false
+          case "distributed" => true
+          case _ => plan.distributedGram
+        }
+        EbwLog.info(s"grouped sparse Gram sizing: nG=$nG " +
+          s"sumPairs=$sumPairs mode=${if (dist) "sharded-distributed"
+            else "shared-driver"} (${plan.why})")
+        if (dist)
+          return solveSharded(df, groupCol, featuresCol, weightCol,
+            targets, outputCol, options, names, sumW, lb, ub)
+      }
       val etaFixed = options.eta.isDefined
       val etas = Array.fill(nG)(if (bounded) options.eta.getOrElse(1.0) else 1.0)
 
@@ -475,7 +569,7 @@ object GroupedEntropyBalance {
     val rows = prepGRows(df, groupCol, featuresCol, weightCol, gIdx, nG, k)
 
     try {
-      val sumW = validateSumW(rows, nG, k)
+      val (sumW, _) = validateSumW(rows, nG, k)
       val b = Array.tabulate(nG)(g => targets(names(g)).map(_ * sumW(g)))
       val bscale = Array.tabulate(nG)(g => math.max(1.0, norm2(b(g))))
       val (lbRaw, ubOpt) = options.bounds.getOrElse((0.0, None: Option[Double]))

@@ -101,6 +101,50 @@ class GroupedSpec extends AnyFunSuite {
     assert(pathDiff < 1e-8, s"sparse vs dense grouped paths differ by $pathDiff")
   }
 
+  test("grouped distributed-Gram tier: gramMode=distributed shards groups " +
+    "across single-problem solves and matches the shared sparse pass") {
+    import spark.implicits._
+    // same one-hot construction as the sparse-pass test at 4 groups;
+    // gramMode=distributed forces the sharded tier (the auto route
+    // engages it only past the real driver envelope, which a unit test
+    // should not try to exhaust)
+    val nGroups = 4
+    val k = 550
+    val rows = for {
+      g <- 0 until nGroups
+      level <- 0 until k
+      rep <- 0 until (1 + (g + level) % 3)
+    } yield (s"g$g", level)
+    val df = rows.toDF("grp", "level")
+      .withColumn("w0", lit(1.0))
+      .repartition(4)
+    val (dfv, labels) = DesignMatrix.oneHot(df, "level", "feat")
+    assert(labels.length == k)
+    // one planted EMPTY group: the tier must converge it trivially
+    // (multipliers 0, ratio 1), never feed it to the single solver's
+    // empty-input validation error
+    val targets = ((0 until nGroups).map(g =>
+      s"g$g" -> Array.fill(k)(1.0 / k)) :+
+      ("g_empty" -> Array.fill(k)(1.0 / k))).toMap
+    val opts = EbwOptions(optimalityTol = 1e-10, maxSteps = 60)
+    val sharded = GroupedEntropyBalance.entropyBalanceGrouped(
+      dfv, "grp", "feat", "w0", targets,
+      options = opts.copy(gramMode = "distributed"))
+    assert(sharded.allConverged,
+      sharded.groups.map { case (g, r) => s"$g:${r.converged}" }.mkString(","))
+    assert(sharded.groups("g_empty").multipliers.forall(_ == 0.0))
+    val shared = GroupedEntropyBalance.entropyBalanceGrouped(
+      dfv, "grp", "feat", "w0", targets, options = opts)
+    val sW = sharded.weighted
+      .groupBy("grp", "level").agg(first("weight_new").as("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val gW = shared.weighted
+      .groupBy("grp", "level").agg(first("weight_new").as("w"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val diff = sW.map { case (key, w) => math.abs(w - gW(key)) }.max
+    assert(diff < 1e-6, s"sharded vs shared grouped paths differ by $diff")
+  }
+
   test("grouped damped Newton matches the line-searched single solver on extreme targets") {
     import spark.implicits._
     // targets 98.5% of the way to the feature maximum: weights concentrate
