@@ -32,6 +32,14 @@ object PairScaling {
     else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
   }
 
+  /** Emitted pairs per wall second — the per-tier number that separates
+   * banding COST from OUTPUT growth mechanically (a wall-time slope
+   * above 1.0 with flat pairs/sec is the output growing, not the
+   * operator degrading). -1 sentinel when a tier emits zero pairs. */
+  private def pairsPerSec(pairs: Long, sec: Double): String =
+    if (sec <= 0.0 || pairs <= 0L) "-1"
+    else f"${pairs / sec}%.1f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -128,7 +136,7 @@ object PairScaling {
           dt
         }
         val med = median(times)
-        println(f"""{"op":"$name","multiple":$m,"docs":$nDocs,"pairs":$pairs,"sec":$med%.3f}""")
+        println(f"""{"op":"$name","multiple":$m,"docs":$nDocs,"pairs":$pairs,"sec":$med%.3f,"pairs_per_sec":${pairsPerSec(pairs, med)}}""")
         (name, m, nDocs, pairs, med)
       }
     }) ++ (if (!wanted("semantic_pairs")) Seq.empty else multiples.map { m =>
@@ -161,7 +169,7 @@ object PairScaling {
         dt
       }
       val med = median(times)
-      println(f"""{"op":"semantic_pairs","multiple":$m,"docs":$nVecs,"pairs":$pairs,"sec":$med%.3f}""")
+      println(f"""{"op":"semantic_pairs","multiple":$m,"docs":$nVecs,"pairs":$pairs,"sec":$med%.3f,"pairs_per_sec":${pairsPerSec(pairs, med)}}""")
       ("semantic_pairs", m, nVecs, pairs, med)
     })
     // FastSS delete-mode fuzzy linkage tier: copy c prefixes every name
@@ -200,7 +208,7 @@ object PairScaling {
           dt
         }
         val med = median(times)
-        println(f"""{"op":"fuzzy_delete","multiple":$m,"docs":$nRows,"pairs":$pairs,"sec":$med%.3f}""")
+        println(f"""{"op":"fuzzy_delete","multiple":$m,"docs":$nRows,"pairs":$pairs,"sec":$med%.3f,"pairs_per_sec":${pairsPerSec(pairs, med)}}""")
         ("fuzzy_delete", m, nRows, pairs, med)
       }
     }
@@ -254,7 +262,7 @@ object PairScaling {
               (System.nanoTime() - t0) / 1e9
             }
             val med = median(times)
-            println(f"""{"op":"$nm","multiple":$m,"docs":${997L * m},"pairs":$pairs,"sec":$med%.3f}""")
+            println(f"""{"op":"$nm","multiple":$m,"docs":${997L * m},"pairs":$pairs,"sec":$med%.3f,"pairs_per_sec":${pairsPerSec(pairs, med)}}""")
             (nm, m, 997L * m, pairs, med)
           }
       }
@@ -278,7 +286,17 @@ object PairScaling {
       val linearProjection = rs.head._4.toDouble * rs.last._2 / rs.head._2
       val pairRatio =
         if (linearProjection == 0.0) -1.0 else rs.last._4 / linearProjection
-      f""""$name":{"slope":${median(slopes)}%.2f,"slope_last":${slopes.last}%.2f,"pair_ratio_vs_linear":$pairRatio%.3f}"""
+      // slope of (sec / emitted pair) per doubling, over tiers that emit
+      // pairs: ~0 = the per-pair cost is flat and any wall-time slope
+      // above 1.0 is output growth (the r13 simhash-1.26 adjudication,
+      // now mechanical); -99 sentinel when < 2 tiers emitted pairs
+      val costSlopes = rs.filter(_._4 > 0).sliding(2).collect {
+        case Seq(a, b) =>
+          math.log((b._5 / b._4) / (a._5 / a._4)) /
+            math.log(b._2.toDouble / a._2)
+      }.toSeq
+      val costSlope = if (costSlopes.isEmpty) -99.0 else median(costSlopes)
+      f""""$name":{"slope":${median(slopes)}%.2f,"slope_last":${slopes.last}%.2f,"pair_ratio_vs_linear":$pairRatio%.3f,"cost_per_pair_slope":$costSlope%.2f}"""
     }.mkString("{", ",", "}")
     println(s"""{"metric":"pair_scaling","reps":$reps,"sf":"$sfDir","exponents":$summary}""")
     spark.stop()
