@@ -1296,10 +1296,17 @@ object Dedup {
       s"minContainment must be in (0,1]: $minContainment")
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1: $maxShingleDf")
     val shingles = CacheScope.track(ngramShingles(docs, textCol, idCol))
+    // shingle document frequency by groupBy + shuffle-hash join-back,
+    // never a window keyed on the shingle: a boilerplate shingle with
+    // millions of occurrences would funnel into ONE sorted window task
+    // (the homoglyph-election lesson); the count aggregate map-side
+    // combines and the one-row-per-shingle df table streams against the
+    // hot probe key with no sort
+    val exploded = CacheScope.track(
+      shingles.select(col("sid"), explode(col("sh")).as("s")))
+    val dfs = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
     val withDf = CacheScope.track(
-      shingles.select(col("sid"), explode(col("sh")).as("s"))
-        .withColumn("_df", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("s")))))
+      exploded.join(dfs.hint("shuffle_hash"), Seq("s")))
     val rare = withDf.filter(col("_df") <= maxShingleDf)
     val dense = withDf.filter(col("_df") > maxShingleDf)
     val sharedRare = rare.select(col("sid").as("id_a"), col("s"))

@@ -687,6 +687,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-bucket cumsum window missing:\n$p")
   }
 
+  test("containmentPairs: shingle document frequency is a groupBy + " +
+    "join-back, no window keyed on the shingle") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.Dedup.containmentPairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    // a boilerplate shingle with millions of occurrences must never
+    // funnel into one sorted window task — same family as the homoglyph
+    // election audit
+    assert(!p.contains("Window"),
+      s"window keyed on the shingle column:\n$p")
+    graft.ops.Dedup.unpersistAll(spark)
+  }
+
   test("centroidOutliers: bottom-k is WindowGroupLimit, no global sort") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Similarity.centroidOutliers(emb, "vec_id",
