@@ -257,8 +257,14 @@ object Dedup {
    */
   def homoglyphDedup(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val keyed = docs.select(col(idCol),
-      md5(TextMetrics.confusableSkeleton(col(textCol))).as("skeleton_hash"))
+    // cached (session-tracked, released by unpersistAll): the skeleton
+    // projection is the expensive part of the pass (full-table translate
+    // + lower + md5) and feeds BOTH the election aggregate and the probe
+    // side of the join-back — uncached it would skeletonize the corpus
+    // twice per action (measured 3.7x the windowed floor; cached, the
+    // narrow (id, hash) frame costs one scan like the window did)
+    val keyed = CacheScope.track(docs.select(col(idCol),
+      md5(TextMetrics.confusableSkeleton(col(textCol))).as("skeleton_hash")))
     val winners = keyed.groupBy("skeleton_hash")
       .agg(min(col(idCol)).as("_keep_id"))
     keyed.join(winners.hint("shuffle_hash"), Seq("skeleton_hash"))
