@@ -73,6 +73,35 @@ private[graft] object QueriesEbw {
         .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
         .orderBy("o_orderkey")
     }),
+    "ebw_grouped_bigk" -> ((s, dir) => {
+      // the round-14 grouped DISTRIBUTED-GRAM tier under the oracle
+      // gate: two simultaneous poststratification problems at ~600
+      // one-hot cells with gramMode=distributed — each group routes
+      // through the single-problem RDD-Gram + CG solver (sequential
+      // shards) and the outputs stitch into one weighted frame. Cells
+      // are restricted to those present in BOTH groups so the
+      // equal-share target is feasible everywhere (the
+      // ebw_grouped_scale filter rule, here on the cell axis).
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          (col("o_custkey") % 2).cast("string").as("grp"),
+          (col("o_orderkey") % 600).cast("string").as("cell"))
+      val fullCells = orders.groupBy("cell")
+        .agg(countDistinct("grp").as("ng")).filter(col("ng") === 2)
+        .select("cell")
+      val base = orders.join(fullCells, Seq("cell"))
+        .withColumn("w0", lit(1.0))
+      val (dfv, labels) = DesignMatrix.oneHot(base, "cell", "feat")
+      val k = labels.length
+      val targets = Seq("0", "1").map(g => g -> Array.fill(k)(1.0 / k)).toMap
+      val res = GroupedEntropyBalance.entropyBalanceGrouped(
+        dfv, "grp", "feat", "w0", targets,
+        options = EbwOptions(optimalityTol = 1e-11, maxSteps = 60,
+          denseGramMax = 256, gramMode = "distributed"))
+      res.weighted
+        .select(col("o_orderkey"), round(col("weight_new"), 6).as("new_weight"))
+        .orderBy("o_orderkey")
+    }),
     "ebw_grouped_poststrat" -> ((s, dir) => {
       // many problems, one scan per Newton round: an independent
       // priority-poststratification per order status
@@ -215,6 +244,23 @@ private[graft] object QueriesEbw {
         |SELECT 'm2_discount' AS moment, round(avg(l_discount), 5) AS value
         |FROM lineitem WHERE l_orderkey % 5 = 0
         |ORDER BY moment""".stripMargin,
+    "ebw_grouped_bigk" ->
+      """WITH o AS (SELECT o_orderkey,
+        |    (o_custkey % 2)::VARCHAR AS grp,
+        |    (o_orderkey % 600)::VARCHAR AS cell
+        |  FROM orders),
+        |full_c AS (SELECT cell FROM o GROUP BY cell
+        |           HAVING count(DISTINCT grp) = 2),
+        |k0 AS (SELECT o.* FROM o JOIN full_c USING (cell)),
+        |kc AS (SELECT count(*) AS nk FROM full_c),
+        |s AS (SELECT grp, count(*) AS n FROM k0 GROUP BY grp),
+        |c AS (SELECT grp, cell, count(*) * 1.0 AS nc
+        |      FROM k0 GROUP BY grp, cell)
+        |SELECT k0.o_orderkey,
+        |  round((s.n * 1.0 / kc.nk) / c.nc, 6) AS new_weight
+        |FROM k0 JOIN s USING (grp)
+        |JOIN c ON k0.grp = c.grp AND k0.cell = c.cell, kc
+        |ORDER BY k0.o_orderkey""".stripMargin,
     "ebw_grouped_poststrat" ->
       """SELECT o.o_orderkey,
         |  round((s.cs * 1.0 /
