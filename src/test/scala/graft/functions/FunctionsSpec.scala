@@ -317,5 +317,17 @@ class FunctionsSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l =>
       l.contains("graft_argmin_centroid") && l.trim.startsWith("*(")),
       s"graft_argmin_centroid not inside a codegen stage:\n$plan")
+    // interpreted path (direct eval) agrees with the codegen'd result
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val e = CentroidArgmin(
+      Literal.create(Array(0.3, 0.9), ArrayType(DoubleType)),
+      ids = Array(2, 7), flat = Array(0.0, 0.0, 1.0, 1.0),
+      ds = 2, off = 0, expectDim = 2, emitPair = true)
+    val pair = e.eval().asInstanceOf[
+      org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    // nearest of [(0,0) id 2, (1,1) id 7] to (0.3, 0.9): d2=0.9 vs 0.5
+    assert(math.abs(pair(0) - 0.5) < 1e-15 && pair(1) == 7.0,
+      pair.toSeq.toString)
   }
 }
