@@ -176,14 +176,16 @@ object Behavior {
    * cuts identically. Output adds the composite `segment` string
    * ("555" = best-everything).
    *
-   * Shape: one keyed aggregation to n_keys rows, then three KEY-level
-   * ntile windows — ordered passes over keys, not rows (the
-   * concentration contract); at key cardinalities beyond a sort, swap
-   * ntile for approx-percentile cuts (bucketByScoreApprox precedent).
+   * Shape: one keyed aggregation to n_keys rows, then three
+   * [[DistScan]] rank scans with the closed-form ANSI ntile cut applied
+   * to the global rank — at 100M+ customers the older partition-less
+   * ntile windows were three single-task sorts over every key (the same
+   * latent hot-partition family as the distinct-value walks); the
+   * closed form (first n%5 buckets take one extra row) reproduces
+   * ntile(5) exactly, so any SQL engine still cuts identically.
    */
   def rfm(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // 4dp-rounded value total: both the output AND the m-quantile
     // ordering read the rounded number, so parallel-sum ulp wobble can
     // neither flip a cut nor desynchronize engines (the cusum rule)
@@ -191,15 +193,27 @@ object Behavior {
       .agg(max(col(tsCol).cast("long")).as("last_ts"),
         count(lit(1)).as("n_orders"),
         round(sum(col(valueCol).cast("double")), 4).as("total_value"))
-    val r = ntile(5).over(Window.orderBy(col("last_ts").asc, col(keyCol)))
-    val f = ntile(5).over(Window.orderBy(col("n_orders").asc, col(keyCol)))
-    val m = ntile(5).over(Window.orderBy(col("total_value").asc, col(keyCol)))
-    agg
-      .withColumn("r_score", r.cast("long"))
-      .withColumn("f_score", f.cast("long"))
-      .withColumn("m_score", m.cast("long"))
+    val n = agg.agg(count(lit(1)).as("_n"))
+    def score(order: Seq[Column], out: String)(d: DataFrame): DataFrame = {
+      val bs = floor(col("_n") / 5)
+      val rem = col("_n") - bs * 5
+      val thr = rem * (bs + 1)
+      DistScan.prefixRank(d, order, "_r")
+        .withColumn(out,
+          when(col("_r") <= thr, floor((col("_r") - 1) / (bs + 1)) + 1)
+            .otherwise(rem + floor((col("_r") - thr - 1) / bs) + 1)
+            .cast("long"))
+        .drop("_r")
+    }
+    score(Seq(col("last_ts").asc, col(keyCol)), "r_score")(
+      score(Seq(col("n_orders").asc, col(keyCol)), "f_score")(
+        score(Seq(col("total_value").asc, col(keyCol)), "m_score")(
+          agg.crossJoin(n))))
       .withColumn("segment", concat(col("r_score"), col("f_score"),
         col("m_score")))
+      .select(col(keyCol), col("last_ts"), col("n_orders"),
+        col("total_value"), col("r_score"), col("f_score"),
+        col("m_score"), col("segment"))
   }
 
   def topPaths(df: DataFrame, keyCol: String, tsMicrosCol: String,

@@ -887,12 +887,13 @@ object Profile {
    * inputs score 0).
    *
    * Scale shape: the data-sized pass is ONE map-side-combined groupBy
-   * on the score; the cumulative walk is a window over the
-   * DISTINCT-SCORE frame — unavoidably single-partition, and
-   * deliberately bounded: round scores upstream (4dp ⇒ ≤ 10⁴ distinct
-   * probabilities) and the ordered frame is thousands of rows whatever
-   * the corpus size. The documented envelope, same family as cusum's
-   * per-key series.
+   * on the score; the cumulative walk runs as a [[DistScan]] distributed
+   * prefix sum over the distinct-score frame — with CONTINUOUS
+   * classifier scores that frame IS the data, so the older
+   * single-partition window (tolerable only under upstream score
+   * rounding) was the quantized-tie latent hot partition in reverse.
+   * Long-count sums are order-insensitive: bit-identical to the naive
+   * walk at any partitioning.
    */
   def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val s = col(scoreCol).cast("double")
@@ -901,11 +902,8 @@ object Profile {
       .groupBy(s.as("score"))
       .agg(coalesce(sum(when(y, 1L).otherwise(0L)), lit(0L)).as("np"),
         coalesce(sum(when(!y, 1L).otherwise(0L)), lit(0L)).as("nn"))
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("score"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perScore
-      .withColumn("_cumNegBelow", coalesce(sum(col("nn")).over(w), lit(0L)))
+    DistScan.prefixSums(perScore, Seq(col("score")),
+        Seq((col("nn"), "_cumNegBelow")), inclusive = false)
       .agg(sum(col("np") + col("nn")).as("n"),
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (col("_cumNegBelow") + col("nn") / lit(2.0)))
@@ -1272,15 +1270,16 @@ object Profile {
    * SMALLEST value achieving the max — where the curves pull apart.
    *
    * Determinism/envelope: values round to 4dp before the CDFs (ties
-   * then group identically on any engine) and the cumulative walk runs
-   * over the DISTINCT-value frame — the rocAuc contract: a
-   * single-partition window deliberately bounded by the rounding, not
-   * a corpus-sized sort. One aggregation per side + one pooled walk.
+   * then group identically on any engine) and the pooled CDF walk runs
+   * as a [[DistScan]] distributed prefix sum over the distinct-value
+   * frame — 4dp rounding bounds nothing on an unbounded metric
+   * (latencies, lengths), so the older single-partition window was the
+   * continuous-value latent hot partition; both sides' counts cumulate
+   * in ONE scan. One aggregation per side + the scan.
    * Output: 1 row — n_a, n_b, d_stat (4dp), d_at (4dp),
    * d_crit95 (4dp), significant.
    */
   def ksTest(dfA: DataFrame, dfB: DataFrame, valueCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val x = round(col(valueCol).cast("double"), 4)
     def side(df: DataFrame, nm: String): DataFrame =
       df.filter(col(valueCol).isNotNull)
@@ -1289,13 +1288,13 @@ object Profile {
       .select(col("v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
         coalesce(col("_cb"), lit(0L)).as("_cb"))
     val tot = merged.agg(sum("_ca").as("_na"), sum("_cb").as("_nb"))
-    // the deliberate single-partition walk over DISTINCT values
-    val w = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, 0)
-    merged.crossJoin(tot)
+    // both CDFs cumulate in ONE distributed prefix scan (long counts:
+    // bit-identical to the naive global window at any partitioning)
+    DistScan.prefixSums(merged, Seq(col("v")),
+        Seq((col("_ca"), "_cca"), (col("_cb"), "_ccb")), inclusive = true)
+      .crossJoin(tot)
       .withColumn("_d", round(abs(
-        sum(col("_ca")).over(w) / col("_na") -
-          sum(col("_cb")).over(w) / col("_nb")), 6))
+        col("_cca") / col("_na") - col("_ccb") / col("_nb")), 6))
       .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
         round(max(col("_d")), 4).as("d_stat"),
         round(max_by(col("v"), struct(col("_d"), negate(col("v")))), 4)
@@ -2044,8 +2043,9 @@ object Profile {
    * half), so U_a/(n_a·n_b) IS the common-language effect size — the
    * probability a random A beats a random B, the same quantity
    * [[rocAuc]] reports for a classifier. Ranks come from ONE
-   * single-partition walk over the DISTINCT value cells (the [[ksTest]]
-   * shape — cardinality-bounded, never a data-scale sort): average rank
+   * [[DistScan]] distributed prefix sum over the distinct value cells
+   * (continuous metrics make that frame the data itself — never a
+   * single sorted task): average rank
    * of a tie group = rows-before + (t+1)/2, R_a = Σ c_a·avgrank,
    * U_a = R_a − n_a(n_a+1)/2. The normal approximation carries the
    * exact tie correction σ² = n_a·n_b/12·((n+1) − Σ(t³−t)/(n(n−1)));
@@ -2057,7 +2057,6 @@ object Profile {
    */
   def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
       groupA: String, groupB: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(groupA != groupB, "the two samples must be distinct groups")
     val x = col(valueCol).cast("double")
     val inA = col(groupCol) === groupA
@@ -2065,12 +2064,12 @@ object Profile {
     val cells = df.filter((inA || inB) && x.isNotNull)
       .groupBy(x.as("v"))
       .agg(count(when(inA, 1)).as("ca"), count(when(inB, 1)).as("cb"))
-    // the deliberate single-partition walk over DISTINCT values
-    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = cells
-      .withColumn("tk", col("ca") + col("cb"))
-      .withColumn("avg_rank",
-        coalesce(sum(col("tk")).over(w), lit(0L)) + (col("tk") + 1) / 2.0)
+    // rows-before each tie group via the distributed prefix scan (long
+    // counts: bit-identical to the naive global window)
+    val ranked = DistScan.prefixSums(
+        cells.withColumn("tk", col("ca") + col("cb")),
+        Seq(col("v")), Seq((col("tk"), "_below")), inclusive = false)
+      .withColumn("avg_rank", col("_below") + (col("tk") + 1) / 2.0)
     val agged = ranked.agg(
       sum("ca").as("n_a"), sum("cb").as("n_b"),
       sum(col("ca") * col("avg_rank")).as("_ra"),
@@ -2098,25 +2097,23 @@ object Profile {
    * readability? does doc length track token count?) where [[corrMatrix]]'s
    * Pearson r would be dragged by outliers or bent by nonlinearity:
    * ρ = Pearson correlation of the average-tie ranks. Ranks are computed
-   * per DISTINCT value (two cardinality-bounded single-partition walks,
-   * the [[ksTest]] shape) and joined back — never a data-scale global
-   * sort; the join is the only data-scale shuffle.
+   * per DISTINCT value (two [[DistScan]] distributed prefix sums — with
+   * continuous columns the distinct frame is the data, so the older
+   * single-partition walks were latent hot partitions) and joined back;
+   * the join is the only data-scale shuffle.
    * Output: 1 row — n, rho (4dp; NULL when either column is constant).
    */
   def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val fx = col(xCol).cast("double")
     val fy = col(yCol).cast("double")
     val d = df.filter(fx.isNotNull && fy.isNotNull)
       .select(fx.as("x"), fy.as("y"))
-    def avgRanks(c: String): DataFrame = {
-      val w = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.groupBy(col(c).as("v")).agg(count(lit(1)).as("k"))
-        .withColumn(s"r$c",
-          coalesce(sum(col("k")).over(w), lit(0L)) + (col("k") + 1) / 2.0)
+    def avgRanks(c: String): DataFrame =
+      DistScan.prefixSums(
+          d.groupBy(col(c).as("v")).agg(count(lit(1)).as("k")),
+          Seq(col("v")), Seq((col("k"), "_below")), inclusive = false)
+        .withColumn(s"r$c", col("_below") + (col("k") + 1) / 2.0)
         .select(col("v").as(c), col(s"r$c"))
-    }
     d.join(avgRanks("x"), Seq("x"))
       .join(avgRanks("y"), Seq("y"))
       .agg(count(lit(1)).as("n"),
@@ -2130,29 +2127,27 @@ object Profile {
    * 5% of segments are false positives by construction; BH caps the
    * FALSE DISCOVERY RATE instead): sort the m p-values ascending,
    * adjusted p(i) = min_{j ≥ i} (m·p(j)/j) clamped to 1 — the running
-   * min from the largest p downward, monotone by construction. The
-   * single-partition sort is over the TEST table (one row per test,
-   * bounded by the analysis design), never over data rows. Determinism:
-   * ties in p order by id.
+   * min from the largest p downward, monotone by construction. Ranks
+   * and the suffix minimum both run as [[DistScan]] distributed scans,
+   * so even a test table of millions of hypotheses (per-segment ×
+   * per-metric families) never funnels through one sorted task.
+   * Determinism: ties in p order by id.
    * Output: one row per test — id, p, rank (BIGINT so the frame replays
    * 1:1 in any SQL engine), p_adj (6dp), significant (p_adj ≤ alpha).
    */
   def bhAdjust(df: DataFrame, idCol: String, pCol: String,
       alpha: Double = 0.05): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
     val p = col(pCol).cast("double")
     val d = df.filter(p.isNotNull && p >= 0 && p <= 1)
       .select(col(idCol).as("id"), p.as("p"))
     val tot = d.agg(count(lit(1)).as("m"))
-    val wAsc = Window.orderBy(col("p").asc, col("id").asc)
-    val wDesc = Window.orderBy(col("p").desc, col("id").desc)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    d.crossJoin(tot)
-      .withColumn("rank", row_number().over(wAsc).cast("long"))
-      .withColumn("p_adj", round(
-        least(lit(1.0), min(col("m") * col("p") / col("rank")).over(wDesc)),
-        6))
+    val ranked = DistScan.prefixRank(d.crossJoin(tot),
+      Seq(col("p").asc, col("id").asc), "rank")
+    DistScan.prefixMin(ranked,
+        Seq(col("p").desc, col("id").desc),
+        col("m") * col("p") / col("rank"), "_sufmin")
+      .withColumn("p_adj", round(least(lit(1.0), col("_sufmin")), 6))
       .select(col("id"), col("p"), col("rank"), col("p_adj"),
         (col("p_adj") <= alpha).as("significant"))
   }

@@ -514,7 +514,9 @@ object Sampling {
    * one score group IS the corpus — a single-task tie window — while
    * continuous classifier scores make the distinct-score frame itself
    * data-scale. This form has neither mode: the classic distributed
-   * prefix scan. Rows range-partition on the greedy order
+   * prefix scan, shared as [[DistScan.prefixSums]] with the whole
+   * running-total family (ROC AUC, KS, Mann-Whitney, Spearman, BH-FDR,
+   * RFM). Rows range-partition on the greedy order
    * `(score DESC, id)` — the range partitioner keeps partition INDEX
    * monotone in the sort key, so the order is global across buckets
    * regardless of how scores tie — each bucket cumulates independently
@@ -538,29 +540,12 @@ object Sampling {
     val base = df.select(col(idCol), col(scoreCol).cast("double").as("_s"),
         col(costCol).cast("double").as("_c"))
       .filter(col("_s").isNotNull)
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    val order = Seq(col("_s").desc, col(idCol).asc)
-    val parted = base.repartitionByRange(nPart, order: _*)
-      .withColumn("_p", spark_partition_id())
-    // per-bucket inclusive running total (each bucket its own window
-    // partition — distributed, balanced by the range sampler)
-    val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // carry: one total row per bucket, prefix-summed in bucket order —
-    // at most `nPart` rows ever sit in this global window
-    val wOff = Window.orderBy(col("_p"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // sums run over a zero-coalesced cost (a null cost adds nothing but
-    // must not null out a bucket whose rows are all null-cost); the
-    // echoed cost column stays raw
-    val c0 = coalesce(col("_c"), lit(0.0))
-    val offsets = parted.groupBy(col("_p")).agg(sum(c0).as("_pt"))
-      .withColumn("_off", coalesce(sum(col("_pt")).over(wOff), lit(0.0)))
-      .select(col("_p"), col("_off"))
-    parted.withColumn("_run", sum(c0).over(wIn))
-      .join(broadcast(offsets), Seq("_p"))
+    // the shared DistScan skeleton (null costs add nothing — zero-
+    // coalesced inside the scan; the echoed cost column stays raw)
+    DistScan.prefixSums(base, Seq(col("_s").desc, col(idCol).asc),
+        Seq((col("_c"), "cum_cost")), inclusive = true)
       .select(col(idCol), col("_s").as(scoreCol), col("_c").as(costCol),
-        (col("_off") + col("_run")).as("cum_cost"))
+        col("cum_cost"))
       .withColumn("selected", col("cum_cost") <= budget)
   }
 }

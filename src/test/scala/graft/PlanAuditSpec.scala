@@ -700,6 +700,30 @@ class PlanAuditSpec extends AnyFunSuite {
     graft.ops.Dedup.unpersistAll(spark)
   }
 
+  test("running-total family (rocAuc / bhAdjust): no partition-less " +
+    "window over a data-scale frame — DistScan buckets instead") {
+    import org.apache.spark.sql.functions._
+    // continuous scores: the distinct-score frame IS the data, so any
+    // windowspecdefinition leading with the score/p column would be a
+    // single sorted task; the scans must window only on the bucket id
+    // (plus the nPart-row carry frame)
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select((col("l_extendedprice") / 100000.0).as("score"),
+        (col("l_orderkey") % 2 === 0).as("label"),
+        col("l_orderkey").as("id"))
+    val pRoc = graft.ops.Profile.rocAuc(li, "score", "label")
+      .queryExecution.executedPlan.toString
+    assert(!pRoc.contains("windowspecdefinition(score"),
+      s"rocAuc windows on the raw score:\n$pRoc")
+    val pBh = graft.ops.Profile.bhAdjust(li.select(col("id"),
+        (col("score") / 10.0).as("p")), "id", "p")
+      .queryExecution.executedPlan.toString
+    assert(!pBh.contains("windowspecdefinition(p#") &&
+      !pBh.contains("windowspecdefinition(p "),
+      s"bhAdjust windows on the raw p-values:\n$pBh")
+    graft.ops.Dedup.unpersistAll(spark)
+  }
+
   test("centroidOutliers: bottom-k is WindowGroupLimit, no global sort") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = graft.ops.Similarity.centroidOutliers(emb, "vec_id",

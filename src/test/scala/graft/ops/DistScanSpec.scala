@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The shared distributed prefix scan behind the running-total family
+  * (ROC AUC, KS, Mann-Whitney, Spearman, BH-FDR, RFM, selectByBudget):
+  * fuzzed against the naive partition-less windows it replaces, plus the
+  * run-to-run stability regression that caught the bucket-id race
+  * (spark_partition_id over a sampled range shuffle is nondeterministic
+  * across evaluations; the run and offsets branches must read ONE
+  * materialized bucketing). */
+class DistScanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("distscan-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def runProp(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("prefixSums/prefixRank/prefixMin equal the naive global windows " +
+    "on random frames (ties, skew, both frame bounds)") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      seed <- Gen.choose(0L, 1000000L)
+      inclusive <- Gen.oneOf(true, false)
+    } yield (n, seed, inclusive)
+    runProp(Prop.forAll(gen) { case (n, seed, inclusive) =>
+      val rng = new scala.util.Random(seed)
+      // duplicate keys force tie handling; values include a skewed head
+      val rows = (1 to n).map(i =>
+        (rng.nextInt(1 + n / 3).toDouble, i.toLong,
+          (1 + rng.nextInt(9)).toLong))
+      val df = rows.toDF("v", "id", "c").repartition(5)
+      val order = Seq(col("v").asc, col("id").asc)
+      val upper = if (inclusive) 0L else -1L
+      val w = Window.orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, upper)
+      val want = df
+        .withColumn("cum", coalesce(sum("c").over(w), lit(0L)))
+        .withColumn("rk", row_number().over(Window.orderBy(order: _*))
+          .cast("long"))
+        .withColumn("mn", min(col("c") * col("v")).over(
+          Window.orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+      val got = DistScan.prefixMin(
+          DistScan.prefixRank(
+            DistScan.prefixSums(df, order, Seq((col("c"), "cum")),
+              inclusive),
+            order, "rk"),
+          order, col("c") * col("v"), "mn")
+        .collect()
+        .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+      Dedup.unpersistAll(spark)
+      got == want
+    }, 20)
+  }
+
+  test("scan results are stable across repeated evaluations (the " +
+    "bucket-id race regression: Mann-Whitney U varied run to run)") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val outs = (1 to 5).map { _ =>
+      val r = Profile.mannWhitney(df, "o_orderstatus", "o_totalprice",
+        "O", "F").collect()(0).toString
+      Dedup.unpersistAll(spark)
+      r
+    }
+    assert(outs.distinct.size == 1, s"unstable across runs: $outs")
+  }
+}
