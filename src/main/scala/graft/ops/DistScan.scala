@@ -98,18 +98,32 @@ private[graft] object DistScan {
       out: String): DataFrame =
     prefixSums(df, order, Seq((lit(1L), out)), inclusive = true)
 
-  /** Adds `out` = MIN of `value` over the inclusive prefix of the global
-   * `order` (run a DESC order for a suffix minimum). Nulls are skipped
-   * (`least` semantics); rows before any non-null value get null. */
-  def prefixMin(df: DataFrame, order: Seq[Column], value: Column,
-      out: String): DataFrame = {
+  private def prefixExtreme(df: DataFrame, order: Seq[Column],
+      value: Column, out: String, inclusive: Boolean,
+      isMin: Boolean): DataFrame = {
     val p = parted(df, order)
+    val agg: Column => Column = if (isMin) min else max
+    val merge: (Column, Column) => Column =
+      if (isMin) least(_, _) else greatest(_, _)
+    val upper = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val off = offsets(p, Seq(min(value)), Seq((c: Column) => min(c)))
-    p.withColumn(out, min(value).over(wIn))
+      .rowsBetween(Window.unboundedPreceding, upper)
+    val off = offsets(p, Seq(agg(value)), Seq((c: Column) => agg(c)))
+    p.withColumn(out, agg(value).over(wIn))
       .join(broadcast(off), Seq("_p"))
-      .withColumn(out, least(col(out), col("_off0")))
+      .withColumn(out, merge(col(out), col("_off0")))
       .drop("_p", "_off0")
   }
+
+  /** Adds `out` = MIN of `value` over the prefix of the global `order`
+   * (run a DESC order for a suffix minimum). Nulls are skipped (`least`
+   * semantics); rows before any non-null value get null. */
+  def prefixMin(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, inclusive: Boolean = true): DataFrame =
+    prefixExtreme(df, order, value, out, inclusive, isMin = true)
+
+  /** [[prefixMin]]'s MAX twin (`greatest` merge, same null rules). */
+  def prefixMax(df: DataFrame, order: Seq[Column], value: Column,
+      out: String, inclusive: Boolean = true): DataFrame =
+    prefixExtreme(df, order, value, out, inclusive, isMin = false)
 }

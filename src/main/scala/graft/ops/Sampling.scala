@@ -443,10 +443,13 @@ object Sampling {
       corpus: DataFrame, corpusIdCol: String, k: Int,
       seed: Long = 42L): DataFrame = {
     require(k >= 1 && k <= 1024, s"k must be in [1,1024]: $k")
-    val ranked = corpus.select(col(corpusIdCol).cast("string").as("_cid"))
-      .distinct()
-      .withColumn("_rank",
-        row_number().over(Window.orderBy(col("_cid"))).cast("long") - 1)
+    // contiguous 0-based index over the DISTINCT corpus: a DistScan rank
+    // (the corpus is data-scale — a partition-less row_number would sort
+    // it in one task)
+    val ranked = DistScan.prefixRank(
+        corpus.select(col(corpusIdCol).cast("string").as("_cid")).distinct(),
+        Seq(col("_cid")), "_rank")
+      .withColumn("_rank", col("_rank") - 1)
     val n = ranked.groupBy().agg(count(lit(1)).as("_n"))
     val slots = pairs.select(col(queryCol).cast("string").as("query"),
         col(posCol).cast("string").as("positive"))
@@ -478,10 +481,11 @@ object Sampling {
    * least one (both maximized; negate a column to minimize it). Duplicate
    * frontier points all survive (neither dominates the other).
    * Shape: only the per-x maximum can be on the front, so ONE groupBy to
-   * the distinct-x frame, one cardinality-bounded single-partition walk
-   * (running max of y over strictly-greater x — the ksTest shape, never
-   * a data-scale sort), and a semi-join back on (x, y). Output: the
-   * surviving input rows, unchanged schema.
+   * the distinct-x frame, a [[DistScan]] distributed prefix max over it
+   * (running max of y over strictly-greater x — with continuous x the
+   * distinct frame is the data, so the older single-partition walk was
+   * the latent hot partition), and a semi-join back on (x, y). Output:
+   * the surviving input rows, unchanged schema.
    */
   def paretoFront(df: DataFrame, xCol: String, yCol: String): DataFrame = {
     val fx = col(xCol).cast("double")
@@ -489,9 +493,8 @@ object Sampling {
     val perX = df.filter(fx.isNotNull && fy.isNotNull)
       .groupBy(fx.as("_x")).agg(max(fy).as("_my"))
     // running max over STRICTLY greater x: one row per distinct x
-    val w = Window.orderBy(col("_x").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val front = perX.withColumn("_gm", max(col("_my")).over(w))
+    val front = DistScan.prefixMax(perX, Seq(col("_x").desc),
+        col("_my"), "_gm", inclusive = false)
       .filter(col("_gm").isNull || col("_my") > col("_gm"))
       .select(col("_x"), col("_my"))
     df.join(front, fx === col("_x") && fy === col("_my"), "left_semi")

@@ -55,18 +55,25 @@ class DistScanSpec extends AnyFunSuite {
         .withColumn("mn", min(col("c") * col("v")).over(
           Window.orderBy(order: _*)
             .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("mx", max(col("c") * col("v")).over(
+          Window.orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)))
         .collect()
         .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
-          r.getDouble(5)))).toMap
-      val got = DistScan.prefixMin(
-          DistScan.prefixRank(
-            DistScan.prefixSums(df, order, Seq((col("c"), "cum")),
-              inclusive),
-            order, "rk"),
-          order, col("c") * col("v"), "mn")
+          r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
+      val got = DistScan.prefixMax(
+          DistScan.prefixMin(
+            DistScan.prefixRank(
+              DistScan.prefixSums(df, order, Seq((col("c"), "cum")),
+                inclusive),
+              order, "rk"),
+            order, col("c") * col("v"), "mn"),
+          order, col("c") * col("v"), "mx", inclusive = false)
         .collect()
         .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
-          r.getDouble(5)))).toMap
+          r.getDouble(5),
+          if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
       Dedup.unpersistAll(spark)
       got == want
     }, 20)
