@@ -395,8 +395,9 @@ object Sampling {
    * may exceed n_d when budget > N (apportionment allocates BUDGET,
    * not rows; cap downstream if fetching less than quota is
    * meaningless). Shape: one domain count aggregation, 1-row total
-   * subtrees, a domains-sized window for the remainder ranking — never
-   * data-scale. Output: domain, n, quota.
+   * subtrees, and a [[DistScan]] rank over the remainders (web-crawl
+   * domain tables run to the millions — a partition-less row_number
+   * would sort them in one task). Output: domain, n, quota.
    */
   def allocateQuota(df: DataFrame, domainCol: String,
       budget: Long): DataFrame = {
@@ -410,9 +411,8 @@ object Sampling {
       .withColumn("_rem", col("_raw") - col("_base"))
     val leftover = based.groupBy()
       .agg((lit(budget) - sum("_base")).as("_left"))
-    based.crossJoin(leftover)
-      .withColumn("_rk", row_number().over(
-        Window.orderBy(desc("_rem"), col("domain"))).cast("long"))
+    DistScan.prefixRank(based.crossJoin(leftover),
+        Seq(col("_rem").desc, col("domain").asc), "_rk")
       .select(col("domain"), col("n"),
         (col("_base") + when(col("_rk") <= col("_left"), 1L)
           .otherwise(0L)).cast("long").as("quota"))
