@@ -152,6 +152,30 @@ object GraftFunctions {
       "graft_clip_counts", clipBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_argmin_centroid", argminBuilder, "built-in")
+    // Spark's own runtime-filter expressions, surfaced as callable
+    // functions: the filter is BUILT distributed (mergeable per-partition
+    // sketches inside a regular aggregate) and the probe stays in
+    // whole-stage codegen — the shapes Dedup.exactIncrementalBloom needs.
+    // Both classes ship in Spark 4.1 but are registry-internal (only the
+    // InjectRuntimeFilter rule constructs them), hence the graft_ aliases.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_bloom_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_might_contain", bloomProbeBuilder, "built-in")
+  }
+
+  private[functions] def bloomAggBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"graft_bloom_agg(value, estimatedItems, numBits): got ${exprs.length} args")
+    new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      exprs(0), exprs(1), exprs(2))
+  }
+
+  private[functions] def bloomProbeBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"graft_might_contain(bloom, xxhash64Value): got ${exprs.length} args")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      exprs(0), exprs(1))
   }
 }
 
@@ -188,5 +212,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CentroidArgmin].getName,
         "graft_argmin_centroid"),
       (exprs: Seq[Expression]) => GraftFunctions.argminBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) => GraftFunctions.bloomAggBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) => GraftFunctions.bloomProbeBuilder(exprs)))
   }
 }

@@ -27,11 +27,11 @@ private[ops] object CacheScope {
    * owning index object, never by `Dedup`/`Similarity.unpersistAll`. */
   val Index = "index"
 
-  /** Bloom-filter broadcasts ([[Dedup.exactIncrementalBloom]]); released
-   * only by `Dedup.releaseBloomFilters` — NOT by the Ops-scope
-   * `unpersistAll`, because a destroyed broadcast (unlike an unpersisted
-   * cache) never rebuilds: releasing it mid-pipeline would fail any
-   * not-yet-consumed result that references it at action time. */
+  /** LEGACY scope: Bloom-filter broadcasts, from when
+   * [[Dedup.exactIncrementalBloom]] pinned a session-lifetime broadcast.
+   * The filter now lives inside the result plan as a foldable literal
+   * (nothing to track), so this scope stays empty; kept so
+   * `Dedup.releaseBloomFilters` remains a safe no-op. */
   val Bloom = "bloom"
 
   private val registry =

@@ -126,15 +126,21 @@ object Dedup {
    * filter only sizes the work, never the answer (false negatives are
    * impossible by construction, so skipped rows are provably new).
    *
-   * Scale envelope: the filter costs ~1.2 bytes/key at fpp=0.01 — fine on
-   * the driver/executors up to ~1e9 corpus keys; beyond that, range-
-   * partition the hash space and run one filter per range. Building the
-   * filter triggers one Spark job (like fitIvfIndex — an index build, not
-   * part of the query plan). The membership probe is a Scala UDF by
-   * necessity: Spark's native bloom expressions (`BloomFilterMightContain`)
-   * are internal to runtime-filter injection, and the probe runs on the
-   * 32-char hash column, never on the document text, so the codegen break
-   * is confined to a narrow post-hash filter.
+   * Scale envelope (bits vs corpus cardinality, EbwSizing style): the
+   * filter costs ~1.2 bytes/key at fpp=0.01 — 120 MB at 1e8 keys, ~1.2 GB
+   * at 1e9. The BUILD is fully distributed (per-partition partial
+   * sketches merged inside a regular aggregate — Spark's own
+   * `BloomFilterAggregate`, surfaced as `graft_bloom_agg`); only the one
+   * merged binary transits the driver, embedded in the probe plan as a
+   * foldable literal (one task-binary broadcast per probe stage — the
+   * same wire cost a broadcast variable had, without the session-lifetime
+   * pin or destroy-before-consume hazard). Beyond ~1e9 corpus keys the
+   * literal itself is the bound: range-partition the hash space and run
+   * one filter per range. Building the filter triggers one Spark job
+   * (like fitIvfIndex — an index build, not part of the query plan). The
+   * probe is Spark's native `BloomFilterMightContain` (`graft_might_contain`
+   * over `xxhash64(hash)`), which codegens — the whole post-hash filter
+   * stage stays inside whole-stage codegen (plan-audited: no ScalaUDF).
    *
    * `corpusHashes` is one `content_hash` column (e.g. `exact()` output).
    * Output: every new-batch row with its hash and an exact `in_corpus`
@@ -144,12 +150,11 @@ object Dedup {
    * input row yields exactly one output row — though rows sharing an id
    * AND text are indistinguishable in the output (as in the input).
    *
-   * The broadcast Bloom filter is tracked in its own [[CacheScope.Bloom]]
-   * scope: the routine `Dedup.unpersistAll` between pipeline stages does
-   * NOT destroy it (a destroyed broadcast, unlike an unpersisted cache,
-   * never rebuilds — releasing it mid-pipeline would fail any unconsumed
-   * result at action time). Call [[releaseBloomFilters]] once every
-   * result of this operator has been consumed.
+   * Null text hashes to a null content_hash; `xxhash64` folds a null to
+   * its seed constant, so the probe may pass such rows (a false
+   * positive), but the exact verification semi-join can never match a
+   * null key — `in_corpus` is 0, same as before. fpp only sizes the
+   * verification work, never the answer.
    */
   def exactIncrementalBloom(
       newBatch: DataFrame, textCol: String, idCol: String,
@@ -157,22 +162,34 @@ object Dedup {
       fpp: Double = 0.01): DataFrame = {
     require(expectedItems >= 1, s"expectedItems must be >= 1")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
+    val spark = newBatch.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // n = ceil(-items * ln(fpp) / ln(2)^2), the standard optimal sizing
+    val numBits = math.max(64L, math.ceil(
+      -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps (items, bits) to the
+    // runtime-filter session caps; raise them monotonically so the
+    // requested envelope is honored rather than degraded.
+    raiseLongConf(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", expectedItems)
+    raiseLongConf(spark,
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", numBits)
     val hashed = newBatch.select(col(idCol), md5(col(textCol)).as("content_hash"))
-    val bf = corpusHashes.stat
-      .bloomFilter(col("content_hash"), expectedItems, fpp)
-    val bc = newBatch.sparkSession.sparkContext.broadcast(bf)
-    // tracked for release with releaseBloomFilters (after results are
-    // consumed); otherwise every call pins its filter on driver+executors
-    // for the application lifetime. Null-safe: a null text hashes to a
-    // null hash, which is never in the corpus filter (and
-    // mightContainString would NPE on it).
-    CacheScope.trackBroadcast(newBatch.sparkSession, bc, CacheScope.Bloom)
-    val mightContain =
-      udf((h: String) => h != null && bc.value.mightContainString(h))
+    // the index-build job: distributed partial filters, one merged binary
+    // back (null when the corpus is empty — no key can then be a member)
+    val filterBytes = corpusHashes
+      .select(call_function("graft_bloom_agg",
+        xxhash64(col("content_hash")), lit(expectedItems), lit(numBits))
+        .as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val prefilter: Column =
+      if (filterBytes == null) lit(false)
+      else call_function("graft_might_contain",
+        lit(filterBytes), xxhash64(col("content_hash")))
     // distinct on (id, hash): the flag join below then matches each input
     // row at most once, so duplicate ids cannot multiply output rows
     val verified = hashed
-      .filter(mightContain(col("content_hash")))
+      .filter(prefilter)
       .join(corpusHashes.select("content_hash"), Seq("content_hash"), "leftsemi")
       .select(col(idCol), col("content_hash")).distinct()
       .withColumn("in_corpus", lit(1L))
@@ -181,11 +198,19 @@ object Dedup {
         coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
   }
 
-  /** Destroy every Bloom-filter broadcast [[exactIncrementalBloom]] has
-   * created in this session. Call ONLY after all results that reference
-   * them are consumed — a destroyed broadcast never rebuilds. Kept
-   * separate from [[unpersistAll]] so routine cache hygiene between
-   * pipeline stages cannot break an unconsumed incremental-dedup result. */
+  /** Raise a long-valued session conf to at least `atLeast` (never
+   * lowers — concurrent operators may have asked for more). */
+  private def raiseLongConf(spark: org.apache.spark.sql.SparkSession,
+      key: String, atLeast: Long): Unit = {
+    val cur = spark.conf.getOption(key).map(_.toLong)
+    if (cur.forall(_ < atLeast)) spark.conf.set(key, atLeast.toString)
+  }
+
+  /** Historical release hook from when [[exactIncrementalBloom]] pinned a
+   * session-lifetime broadcast. The filter now lives inside the result's
+   * own plan as a literal (released by GC with the plan), so there is
+   * nothing to destroy; kept as a no-op for source compatibility, and it
+   * still drains any legacy entries in the Bloom scope. */
   def releaseBloomFilters(spark: org.apache.spark.sql.SparkSession): Unit =
     CacheScope.unpersistAll(spark, CacheScope.Bloom)
 

@@ -32,8 +32,12 @@ class DriverStateAuditSpec extends AnyFunSuite {
       "sorted-neighborhood bucket roster (guarded, sized error at " +
         "Linkage.scala:404) and fellegiSunterEm pattern counts (<= 2^k, " +
         "k <= 16 enforced)"),
-    "ops/Dedup.scala" -> (1,
-      "reconcile-style 1-row checksum aggregate (bit_xor over hashes)"),
+    "ops/Dedup.scala" -> (2,
+      "reconcile-style 1-row checksum aggregate (bit_xor over hashes); " +
+        "exactIncrementalBloom index build: 1-row aggregate returning ONE " +
+        "binary of ~1.2*expectedItems bytes at fpp=0.01 (documented " +
+        "bits-vs-cardinality envelope: ~1.2 GB at 1e9 keys — beyond that, " +
+        "range-partition the hash space, Dedup.scala docstring)"),
     "ops/Eval.scala" -> (2,
       "bradleyTerry: 1-row distinct-item count + roster collect guarded " +
         "at maxItems=4096 with a sized error (Eval.scala:205)"),

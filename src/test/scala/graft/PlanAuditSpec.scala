@@ -950,4 +950,39 @@ class PlanAuditSpec extends AnyFunSuite {
       v match { case Some(x) => conf.set(k, x); case None => conf.unset(k) }
     }
   }
+
+  test("exactIncrementalBloom: distributed-built filter probed by the " +
+    "native might_contain, zero ScalaUDF in the probe stage") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val corpus = graft.ops.Dedup.exact(docs, "text", "doc_id")
+      .select(org.apache.spark.sql.functions.col("content_hash"))
+    val out = graft.ops.Dedup.exactIncrementalBloom(
+      docs.limit(100), "text", "doc_id", corpus, expectedItems = 1000L)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"probe is not the native bloom expression:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"bloom probe demoted the filter stage to a ScalaUDF:\n$p")
+  }
+
+  test("inventory-wide ScalaUDF sweep: NO registered query plans an " +
+    "interpreted Scala UDF anywhere (empty allowlist)") {
+    // One blanket audit over the whole driver surface so a future kernel
+    // demotion (a udf() sneaking into a hot path — the ScalaUDF codegen
+    // demotion is a measured 2-4x cliff) fails CI instead of surfacing as
+    // a bench-floor regression. Multimodal decode is mapPartitions by
+    // construction (no ScalaUDF node), so the allowlist is EMPTY; adding
+    // a name here requires a written justification like the
+    // DriverStateAuditSpec contract rows.
+    val allow = Set.empty[String]
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allow)
+      .filter { name =>
+        SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString.contains("ScalaUDF")
+      }
+    assert(offenders.isEmpty,
+      s"queries hosting a ScalaUDF (promote to a native kernel or " +
+        s"allowlist with justification): ${offenders.mkString(", ")}")
+  }
 }
