@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,53 +15,112 @@ import org.apache.spark.sql.functions._
  * "distinct values of a metric", but distinct values of a CONTINUOUS
  * metric are the data itself: the same latent hot-partition family as a
  * window keyed on a quantized score (the round-14 selectByBudget
- * finding, generalized). This is the classic fix: range-partition on the
- * scan order (partition index stays monotone in the sort key), cumulate
- * per bucket, prefix-merge ONE carry row per bucket (a frame bounded by
- * the partition count, never the data) and broadcast the offsets back.
- * Bucket boundaries only decide WHICH bucket a row cumulates in —
- * offset + within reconstructs the same global prefix for any split, so
- * the range sampler never touches the result. Long/count sums and mins
- * are order-insensitive, so results are BIT-identical to the naive
- * window (the oracles prove it per operator).
+ * finding, generalized). This is the classic fix: bucket rows by a
+ * DETERMINISTIC range function of the leading sort key (bucket index
+ * monotone in the sort order), cumulate per bucket, prefix-merge ONE
+ * carry row per bucket (a frame bounded by the bucket count, never the
+ * data) and broadcast the offsets back. Bucket boundaries only decide
+ * WHICH bucket a row cumulates in — offset + within reconstructs the
+ * same global prefix for any split, so boundary quality affects balance
+ * only, never the result. Long/count sums and mins/maxes are
+ * order-insensitive, so results are BIT-identical to the naive window
+ * (the oracles prove it per operator); DOUBLE sums re-associate across
+ * buckets, so callers feeding doubles get ulp-scale reassociation vs the
+ * naive window — round before comparing (the repo's 4dp rule; see
+ * selectByBudget).
+ *
+ * Determinism: bucket CUT POINTS are sampled once at operator-construction
+ * time and folded into the plan as literals, and the per-bucket carry
+ * offsets are computed by one bounded aggregate job and joined back as a
+ * LOCAL broadcast frame — so `_p` is a pure function of the row and every
+ * evaluation of the result plan sees the same bucketing. (The previous
+ * shape derived `_p` from spark_partition_id over a sampled range
+ * shuffle — nondeterministic across plan branches — and leaned on a
+ * session-tracked cache to pin one materialization; that cache was both
+ * a correctness dependency a routine unpersistAll could break and real
+ * memory pressure at corpus scale. Gone: no caching here at all.)
+ *
+ * Cost shape: construction runs TWO bounded jobs — a cut-point sample
+ * (TakeOrdered of ~16 rows per bucket, one projected column) and the
+ * per-bucket totals aggregate (map-side combined, ≤ nBuckets carry rows
+ * collected) — then the returned plan evaluates its input exactly ONCE
+ * per action (window over hash(_p) + broadcast join of the local
+ * offsets). Like fitIvfIndex, the construction jobs are an index build,
+ * not part of the result plan; chained scans (BH-FDR, RFM) therefore
+ * cost O(depth) input evaluations, not O(2^depth) plan branches.
  */
 private[graft] object DistScan {
 
-  private val Internal = Seq("_p", "_pt", "_off", "_run")
+  /** Buckets per scan: a multiple of the shuffle parallelism so the hash
+   * exchange on `_p` spreads buckets ~evenly across partitions. */
+  private def nBuckets(df: DataFrame): Int =
+    4 * df.sparkSession.sessionState.conf.numShufflePartitions
 
-  private def parted(df: DataFrame, order: Seq[Column]): DataFrame = {
-    val clash = Internal.filter(df.columns.contains)
+  private def guard(df: DataFrame): Unit = {
+    // prefix-based: the generated internals are _p, _pt<i>, _off<i>
+    val clash = df.columns.filter(c =>
+      c == "_p" || c.startsWith("_pt") || c.startsWith("_off"))
     require(clash.isEmpty,
       s"input columns ${clash.mkString(", ")} collide with DistScan " +
         "internals; rename them first")
-    val nPart = df.sparkSession.sessionState.conf.numShufflePartitions
-    // CACHED (session-tracked), and load-bearing for CORRECTNESS, not
-    // just cost: `_p` is spark_partition_id() over a sampled range
-    // shuffle, so it is NONDETERMINISTIC across evaluations — the run
-    // branch and the offsets branch would otherwise each re-evaluate
-    // the shuffle and could see DIFFERENT bucket assignments (observed:
-    // Mann-Whitney U varying run to run before this cache). The block
-    // manager's read-through lock materializes each partition exactly
-    // once, so every consumer reads the SAME bucketing. (Lost cached
-    // blocks recompute — the Graph.localCheckpoint caveat class;
-    // single-action consumers re-materialize consistently.)
-    CacheScope.track(df.repartitionByRange(nPart, order: _*)
-      .withColumn("_p", spark_partition_id()))
   }
 
-  /** One carry row per bucket: `_off` = the combine of `perBucket` over
-   * all EARLIER buckets (null when none). The global window here holds
-   * at most numShufflePartitions rows — bounded by config, not data. */
+  /** Deterministic bucket id: cut points of the LEADING sort key are
+   * sampled once (one TakeOrdered job over the projected key) and folded
+   * in as literals; `_p` = how many cuts precede the row's key in the
+   * sort direction — a pure, monotone-in-the-order function of the row.
+   * Nulls follow Spark's sort defaults (first bucket when ascending,
+   * last when descending). Any cut set is CORRECT (monotone by
+   * construction); sampling only buys balance. */
+  private def bucketCol(df: DataFrame, order: Seq[Column]): Column = {
+    val (key, desc) = GraftSqlBridge.sortInfo(order.head)
+    val n = nBuckets(df)
+    val sampleSize = n * 16
+    // one job: uniform sample via rand + TakeOrdered, then a trivial
+    // sort of the <= sampleSize rows to read off equi-depth quantiles
+    val svals = df.select(key.as("_k")).filter(col("_k").isNotNull)
+      .withColumn("_r", rand(42)).orderBy(col("_r")).limit(sampleSize)
+      .orderBy(col("_k").asc).select(col("_k"))
+      .collect().map(_.get(0))
+    if (svals.isEmpty) return lit(0) // empty/all-null key: one bucket
+    val step = svals.length.toDouble / n
+    val cuts = (1 until n)
+      .map(i => svals(math.min(svals.length - 1, (i * step).toInt)))
+      .distinct
+    if (desc) {
+      // bucket grows as the key DESCENDS; nulls sort last under desc
+      val nonNull = cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(key < lit(c), 1).otherwise(0)
+      }
+      when(key.isNull, lit(cuts.length)).otherwise(nonNull)
+    } else
+      // null keys: every comparison is null -> otherwise(0) -> bucket 0,
+      // exactly Spark's nulls-first ascending default
+      cuts.foldLeft(lit(0)) { (acc, c) =>
+        acc + when(key > lit(c), 1).otherwise(0)
+      }
+  }
+
+  /** One carry row per bucket, as a LOCAL frame: the per-bucket combines
+   * are aggregated distributed (map-side combined), the ≤ nBuckets
+   * result rows collected (bounded by config, never data), and the
+   * prefix-combine window runs over the re-created local frame — so the
+   * result plan joins a broadcast-able literal table instead of
+   * re-evaluating the input. `_off<i>` = the combine of `perBucket(i)`
+   * over all EARLIER buckets (null when none). */
   private def offsets(p: DataFrame, perBucket: Seq[Column],
       combine: Seq[Column => Column]): DataFrame = {
-    val wOff = Window.orderBy(col("_p"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    val spark = p.sparkSession
     val totals = p.groupBy(col("_p"))
       .agg(perBucket.head.as("_pt0"),
         perBucket.tail.zipWithIndex.map { case (c, i) =>
           c.as(s"_pt${i + 1}")
         }: _*)
-    combine.zipWithIndex.foldLeft(totals) { case (acc, (f, i)) =>
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(totals.collect(): _*), totals.schema)
+    val wOff = Window.orderBy(col("_p"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    combine.zipWithIndex.foldLeft(local) { case (acc, (f, i)) =>
       acc.withColumn(s"_off$i", f(col(s"_pt$i")).over(wOff))
     }.select(col("_p") +: combine.indices.map(i => col(s"_off$i")): _*)
   }
@@ -73,7 +132,8 @@ private[graft] object DistScan {
   def prefixSums(df: DataFrame, order: Seq[Column],
       values: Seq[(Column, String)], inclusive: Boolean): DataFrame = {
     require(values.nonEmpty, "prefixSums needs at least one value column")
-    val p = parted(df, order)
+    guard(df)
+    val p = df.withColumn("_p", bucketCol(df, order))
     val upper = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, upper)
@@ -101,7 +161,8 @@ private[graft] object DistScan {
   private def prefixExtreme(df: DataFrame, order: Seq[Column],
       value: Column, out: String, inclusive: Boolean,
       isMin: Boolean): DataFrame = {
-    val p = parted(df, order)
+    guard(df)
+    val p = df.withColumn("_p", bucketCol(df, order))
     val agg: Column => Column = if (isMin) min else max
     val merge: (Column, Column) => Column =
       if (isMin) least(_, _) else greatest(_, _)

@@ -519,16 +519,20 @@ object Sampling {
    * data-scale. This form has neither mode: the classic distributed
    * prefix scan, shared as [[DistScan.prefixSums]] with the whole
    * running-total family (ROC AUC, KS, Mann-Whitney, Spearman, BH-FDR,
-   * RFM). Rows range-partition on the greedy order
-   * `(score DESC, id)` — the range partitioner keeps partition INDEX
-   * monotone in the sort key, so the order is global across buckets
-   * regardless of how scores tie — each bucket cumulates independently
-   * (balanced ~n/P rows, never a whole score group), and bucket totals
-   * prefix-merge over ONE carry row per bucket (a partition-count-
-   * bounded frame, the ksTest precedent) broadcast back as offsets.
-   * Bucket boundaries only decide WHICH bucket a row cumulates in —
-   * offset + within reconstructs the same global prefix for any split,
-   * so the sampled boundaries never touch the result.
+   * RFM). Rows bucket by a deterministic range function of the greedy
+   * order's leading key (bucket index monotone in `(score DESC, id)`),
+   * each bucket cumulates independently (balanced ~n/P rows, never a
+   * whole score group), and bucket totals prefix-merge over ONE carry
+   * row per bucket (a bucket-count-bounded frame, the ksTest precedent)
+   * broadcast back as offsets. Bucket boundaries only decide WHICH
+   * bucket a row cumulates in — offset + within reconstructs the same
+   * global prefix for any split. One honest envelope: costs are DOUBLES,
+   * and double addition re-associates across buckets, so cum_cost can
+   * wobble at ulp scale vs the naive single-window order; `selected`
+   * therefore compares the 4dp-ROUNDED running total against the budget
+   * (the repo's cusum rounding rule), so a boundary change can never
+   * flip a selection by reassociation alone. (Integral costs are exact
+   * at any split — the oracle gate replays bit-identical.)
    * Output: every input row + cum_cost (its position's inclusive
    * running total under the greedy order) + selected. Rows with a null
    * score carry no greedy position and are dropped (the prior
@@ -549,6 +553,6 @@ object Sampling {
         Seq((col("_c"), "cum_cost")), inclusive = true)
       .select(col(idCol), col("_s").as(scoreCol), col("_c").as(costCol),
         col("cum_cost"))
-      .withColumn("selected", col("cum_cost") <= budget)
+      .withColumn("selected", round(col("cum_cost"), 4) <= budget)
   }
 }

@@ -754,7 +754,7 @@ private[graft] object QueriesOps {
         |    sum(cost) OVER (ORDER BY score DESC, doc_id) AS cum_cost
         |  FROM b)
         |SELECT doc_id, score, cost, cum_cost,
-        |  cum_cost <= 1000.0 AS selected
+        |  round(cum_cost, 4) <= 1000.0 AS selected
         |FROM c ORDER BY doc_id""".stripMargin,
     "q_shard_assign" ->
       """WITH h AS (SELECT o_orderkey,

@@ -38,6 +38,10 @@ class DriverStateAuditSpec extends AnyFunSuite {
         "binary of ~1.2*expectedItems bytes at fpp=0.01 (documented " +
         "bits-vs-cardinality envelope: ~1.2 GB at 1e9 keys — beyond that, " +
         "range-partition the hash space, Dedup.scala docstring)"),
+    "ops/DistScan.scala" -> (2,
+      "cut-point sample: TakeOrdered limit(16*nBuckets) of ONE projected " +
+        "column; carry offsets: <= nBuckets rows (both bounded by " +
+        "4*numShufflePartitions config, never data)"),
     "ops/Eval.scala" -> (2,
       "bradleyTerry: 1-row distinct-item count + roster collect guarded " +
         "at maxItems=4096 with a sized error (Eval.scala:205)"),

@@ -666,8 +666,8 @@ class PlanAuditSpec extends AnyFunSuite {
       s"sort-merge join-back re-sorts the hot skeleton partition:\n$p")
   }
 
-  test("selectByBudget: range-partitioned prefix scan, no window keyed " +
-    "on the data-scale score column") {
+  test("selectByBudget: deterministic-bucket prefix scan, no window " +
+    "keyed on the data-scale score column") {
     import org.apache.spark.sql.functions._
     val d = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), (col("doc_id") % 3).cast("double").as("score"),
@@ -677,14 +677,20 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     // quantized scores make one score value most of the corpus: a window
     // PARTITIONED on the score (windowspecdefinition leading with _s)
-    // would funnel it into one task — the scan must bucket on the range
-    // partition id instead, with only the nPart-row carry frame global
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"no range partitioning on the greedy order:\n$p")
+    // would funnel it into one task — the scan must bucket on the
+    // literal-cut-point bucket id instead, with only the carry frame
+    // (a local relation, bounded by the bucket count) global
+    assert(p.contains("hashpartitioning(_p"),
+      s"no hash exchange on the deterministic bucket id:\n$p")
     assert(!p.contains("windowspecdefinition(_s"),
       s"window partitioned on the raw score:\n$p")
     assert(p.contains("windowspecdefinition(_p"),
       s"per-bucket cumsum window missing:\n$p")
+    // the carry offsets join back as a broadcast of a LOCAL frame — the
+    // result plan must not re-evaluate the input on an offsets branch
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
+    assert("LocalTableScan|LocalRelation".r.findFirstIn(p).nonEmpty,
+      s"offsets are not a collected local frame:\n$p")
   }
 
   test("containmentPairs: shingle document frequency is a groupBy + " +

@@ -8,11 +8,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The shared distributed prefix scan behind the running-total family
   * (ROC AUC, KS, Mann-Whitney, Spearman, BH-FDR, RFM, selectByBudget):
-  * fuzzed against the naive partition-less windows it replaces, plus the
-  * run-to-run stability regression that caught the bucket-id race
-  * (spark_partition_id over a sampled range shuffle is nondeterministic
-  * across evaluations; the run and offsets branches must read ONE
-  * materialized bucketing). */
+  * fuzzed against the naive partition-less windows it replaces — in BOTH
+  * sort directions (paretoFront/bhAdjust run desc-leading orders) — plus
+  * the run-to-run stability regression that caught the round-14 bucket-id
+  * race. Since round 15 the bucketing is a pure function of the leading
+  * sort key (literal cut points + local offsets), so stability is
+  * structural and NO cache is tracked — both pinned below. */
 class DistScanSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -30,21 +31,24 @@ class DistScanSpec extends AnyFunSuite {
   }
 
   test("prefixSums/prefixRank/prefixMin equal the naive global windows " +
-    "on random frames (ties, skew, both frame bounds)") {
+    "on random frames (ties, skew, both frame bounds, both directions)") {
     import spark.implicits._
     val gen = for {
       n <- Gen.choose(1, 150)
       seed <- Gen.choose(0L, 1000000L)
       inclusive <- Gen.oneOf(true, false)
-    } yield (n, seed, inclusive)
-    runProp(Prop.forAll(gen) { case (n, seed, inclusive) =>
+      desc <- Gen.oneOf(true, false)
+    } yield (n, seed, inclusive, desc)
+    runProp(Prop.forAll(gen) { case (n, seed, inclusive, desc) =>
       val rng = new scala.util.Random(seed)
       // duplicate keys force tie handling; values include a skewed head
       val rows = (1 to n).map(i =>
         (rng.nextInt(1 + n / 3).toDouble, i.toLong,
           (1 + rng.nextInt(9)).toLong))
       val df = rows.toDF("v", "id", "c").repartition(5)
-      val order = Seq(col("v").asc, col("id").asc)
+      val order =
+        if (desc) Seq(col("v").desc, col("id").desc)
+        else Seq(col("v").asc, col("id").asc)
       val upper = if (inclusive) 0L else -1L
       val w = Window.orderBy(order: _*)
         .rowsBetween(Window.unboundedPreceding, upper)
@@ -74,20 +78,41 @@ class DistScanSpec extends AnyFunSuite {
         .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4),
           r.getDouble(5),
           if (r.isNullAt(6)) None else Some(r.getDouble(6))))).toMap
-      Dedup.unpersistAll(spark)
       got == want
     }, 20)
   }
 
   test("scan results are stable across repeated evaluations (the " +
-    "bucket-id race regression: Mann-Whitney U varied run to run)") {
+    "bucket-id race regression: Mann-Whitney U varied run to run) " +
+    "WITHOUT any tracked cache") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val outs = (1 to 5).map { _ =>
-      val r = Profile.mannWhitney(df, "o_orderstatus", "o_totalprice",
+      Profile.mannWhitney(df, "o_orderstatus", "o_totalprice",
         "O", "F").collect()(0).toString
-      Dedup.unpersistAll(spark)
-      r
     }
     assert(outs.distinct.size == 1, s"unstable across runs: $outs")
+    // the round-14 shape leaned on a CacheScope-pinned frame that a
+    // routine Dedup.unpersistAll could silently release (reopening the
+    // race); the deterministic bucketing must track NOTHING
+    assert(CacheScope.trackedCount(spark) == 0,
+      "DistScan tracked a cache — bucketing must be cache-free")
+  }
+
+  test("a single scan result plan evaluates its input once: offsets come " +
+    "from a local broadcast, not a second input branch") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_totalprice").as("v"), col("o_orderkey").as("id"),
+        lit(1L).as("c"))
+    val out = DistScan.prefixSums(df, Seq(col("v").asc, col("id").asc),
+      Seq((col("c"), "cum")), inclusive = true)
+    val p = out.queryExecution.executedPlan.toString
+    assert("LocalTableScan|LocalRelation".r.findFirstIn(p).nonEmpty,
+      s"carry offsets are not a collected local frame:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"offsets must broadcast-join back:\n$p")
+    // exactly ONE scan of the input in the result plan: the offsets
+    // branch was collected at construction, not left as a plan branch
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"result plan re-reads the input $scans times:\n$p")
   }
 }
