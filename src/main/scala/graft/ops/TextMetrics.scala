@@ -2176,9 +2176,14 @@ object TextMetrics {
    * Spark and DuckDB, deliberately: that IS the oracle).
    *
    * Shape at scale: one explode → term count (map-side combined, the
-   * only data-sized shuffle); the ranked pass runs over the VOCABULARY
-   * (n_terms rows, the concentration contract — never corpus rows), and
-   * the fit itself is one aggregation over topN rows.
+   * only data-sized shuffle); the top-N cut is a TakeOrdered (bounded
+   * per-partition heaps — NOT a rank window filtered afterwards, which
+   * would sort the whole VOCABULARY in one task unless the optimizer's
+   * InferWindowGroupLimit happened to fire: a web-scale crawl's
+   * vocabulary is itself billions of terms, so boundedness here is
+   * structural, not an optimizer courtesy — plan-audited); ranks are
+   * then a window over the ≤ topN survivors (parameter-bounded, the
+   * rrf_fuse contract), and the fit is one aggregation over topN rows.
    * Output: 1 row — n_terms, n_tokens, slope (4dp), intercept (4dp),
    * r2 (4dp).
    */
@@ -2190,11 +2195,11 @@ object TextMetrics {
       .filter(col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("c"))
     import org.apache.spark.sql.expressions.Window
-    // vocabulary-level ranked pass (n_terms rows, not corpus rows)
+    // TakeOrdered over the vocabulary, THEN rank the bounded survivors
     val ranked = counts
+      .orderBy(desc("c"), col("term")).limit(topN)
       .withColumn("rank",
         row_number().over(Window.orderBy(desc("c"), col("term"))))
-      .filter(col("rank") <= topN)
     val stats = counts.agg(count(lit(1)).as("n_terms"),
       sum("c").as("n_tokens"))
     ranked

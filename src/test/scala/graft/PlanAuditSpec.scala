@@ -957,6 +957,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("zipfFit: the top-N vocabulary cut is a TakeOrdered, never a " +
+    "rank window over the full vocabulary") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.zipfFit(docs, "text", topN = 100)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary cut is not a bounded-heap TakeOrdered:\n$p")
+  }
+
   test("exactIncrementalBloom: distributed-built filter probed by the " +
     "native might_contain, zero ScalaUDF in the probe stage") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
