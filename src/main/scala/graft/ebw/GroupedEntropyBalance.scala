@@ -336,21 +336,28 @@ object GroupedEntropyBalance {
    * the driver budget that one problem already saturates. Routing
    * (decided by the same EbwSizing envelope as the single solver, from
    * the TOTAL Σ nnz(nnz+1)/2 the validation pass measured): shard the
-   * groups across SEQUENTIAL single-problem solves — each group's rows
-   * filter to its own cached RDD and the single solver engages its own
+   * groups across single-problem solves — each group's rows filter to
+   * its own cached RDD and the single solver engages its own
    * distributed-Gram CG (Gram lives as an RDD, O(k) driver traffic per
    * CG iteration, no driver ceiling) — then stitch one GroupedResult.
-   * Costs G sequential solves instead of one shared pass per round; the
-   * envelope is the price of never OOMing the driver. Groups with no
-   * rows converge trivially (multipliers 0, ratio 1 — the shared-pass
-   * behavior). */
+   * Shards CO-SCHEDULE on a bounded pool (`options.shardParallelism`
+   * concurrent solves; Spark's scheduler interleaves their jobs, so one
+   * solve's driver-side linalg gap is another's executor time — the
+   * 4-group canary spec pins wall << G sequential solves) at the price
+   * of multiplying the single-problem O(k) driver envelope by the
+   * bound; that envelope is why the groups sharded in the first place,
+   * so the bound stays small and configurable down to 1 (the sequential
+   * round-14 behavior). Groups with no rows converge trivially
+   * (multipliers 0, ratio 1 — the shared-pass behavior). */
   private def solveSharded(
       df: DataFrame, groupCol: String, featuresCol: String,
       weightCol: String, targets: Map[String, Array[Double]],
       outputCol: String, options: EbwOptions, names: Array[String],
       sumW: Array[Double], lb: Double, ub: Double): GroupedResult = {
+    require(options.shardParallelism >= 1,
+      s"shardParallelism must be >= 1: ${options.shardParallelism}")
     val k = targets(names(0)).length
-    val results = names.zipWithIndex.map { case (name, g) =>
+    def solveOne(name: String, g: Int): (String, GroupResult) =
       name -> (if (sumW(g) == 0.0)
         GroupResult(converged = true, 0, new Array[Double](k),
           new Array[Double](k))
@@ -368,7 +375,26 @@ object GroupedEntropyBalance {
         GroupResult(res.converged, res.nIterations, eff,
           res.constraintViolations)
       })
-    }.toMap
+    val par = math.max(1, math.min(options.shardParallelism, names.length))
+    val results: Map[String, GroupResult] =
+      if (par == 1)
+        names.zipWithIndex.map { case (n, g) => solveOne(n, g) }.toMap
+      else {
+        // bounded co-scheduling: each future is one independent solve
+        // (local vars only; EbwLog is synchronized; SparkContext actions
+        // are thread-safe and the scheduler interleaves their jobs)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(par)
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        try {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          Await.result(
+            Future.sequence(names.zipWithIndex.toSeq.map { case (n, g) =>
+              Future(solveOne(n, g))
+            }), Duration.Inf).toMap
+        } finally pool.shutdown()
+      }
     val mult = names.map(n => results(n).multipliers)
     val weighted = weightedOutput(df, groupCol, featuresCol, weightCol,
       outputCol, names, mult, lb, ub)
@@ -387,8 +413,9 @@ object GroupedEntropyBalance {
    * sparsely, and when even that would exceed this driver's
    * maxResultSize/heap envelope (EbwSizing, measured from the validation
    * scan's total Σ nnz(nnz+1)/2 — or forced with gramMode =
-   * "distributed"), the groups auto-shard across sequential
-   * single-problem DISTRIBUTED-Gram solves ([[solveSharded]]).
+   * "distributed"), the groups auto-shard across single-problem
+   * DISTRIBUTED-Gram solves co-scheduled `options.shardParallelism` at a
+   * time ([[solveSharded]]).
    * gramMode = "driver" keeps the shared pass and fails fast with the
    * sized envelope error instead of OOMing mid-solve.
    */

@@ -145,6 +145,41 @@ class GroupedSpec extends AnyFunSuite {
     assert(diff < 1e-6, s"sharded vs shared grouped paths differ by $diff")
   }
 
+  test("sharded tier co-schedules: 4 groups' wall is well under 4x one " +
+    "group's wall (the round-14 sequential-shards gap)") {
+    import spark.implicits._
+    val k = 550
+    def frame(nGroups: Int) = {
+      val rows = for {
+        g <- 0 until nGroups
+        level <- 0 until k
+        rep <- 0 until (1 + (g + level) % 3)
+      } yield (s"g$g", level)
+      DesignMatrix.oneHot(
+        rows.toDF("grp", "level").withColumn("w0", lit(1.0)).repartition(4),
+        "level", "feat")._1
+    }
+    val opts = EbwOptions(optimalityTol = 1e-10, maxSteps = 60,
+      gramMode = "distributed")
+    def wall(nGroups: Int): Double = {
+      val targets = (0 until nGroups)
+        .map(g => s"g$g" -> Array.fill(k)(1.0 / k)).toMap
+      val t0 = System.nanoTime
+      val res = GroupedEntropyBalance.entropyBalanceGrouped(
+        frame(nGroups), "grp", "feat", "w0", targets, options = opts)
+      assert(res.allConverged)
+      (System.nanoTime - t0) / 1e9
+    }
+    wall(1) // JIT/codegen warmup so t1 is not inflated in the solver's favor
+    val t1 = wall(1)
+    val t4 = wall(4)
+    // sequential shards would cost ~4x t1 (round-14 measured exactly
+    // that); co-scheduling must land clearly below — 3x leaves room for
+    // scheduler noise while still failing a sequential regression
+    assert(t4 < 3.0 * t1,
+      f"4-group sharded wall $t4%.1fs vs 1-group $t1%.1fs — shards look sequential")
+  }
+
   test("grouped damped Newton matches the line-searched single solver on extreme targets") {
     import spark.implicits._
     // targets 98.5% of the way to the feature maximum: weights concentrate
