@@ -49,6 +49,13 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // detail-file hygiene (round-14 finding: the unconditional fixed name
+    // meant "whatever ran last" clobbered the official sweep's copy):
+    // callers name the path with SPARK_GRAFT_BENCH_OUT; the default is
+    // run-stamped so ad-hoc runs never overwrite each other
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "bench_headline_" + new java.text.SimpleDateFormat("yyyyMMdd_HHmmss")
+        .format(new java.util.Date) + ".json")
     // SPARK_GRAFT_MASTER=local-cluster[2,16,4096] runs the same bench
     // across a REAL executor boundary (separate JVMs, serialized task
     // binaries, actual broadcast + shuffle transport) — the multi-JVM
@@ -229,7 +236,7 @@ object Bench {
     val headline =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qs,"queries_min":$qsMin,$floorBits,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads}"""
     val compact =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qsShort,"n_queries":${results.length},$floorBits,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":"bench_headline.json"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"queries":$qsShort,"n_queries":${results.length},$floorBits,"sf":"$sfDir","reps":$reps,"failed":$nFailed,$loads,"detail":${jstr(benchOut)}}"""
     println(s"""{"metric":"bench_detail","spread":$spread,"errors":$errs,"floor_ratios":$ratioJson}""")
     println(headline)
     println(compact)
@@ -238,7 +245,7 @@ object Bench {
     // next to the working directory, always a single bare JSON line.
     try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_headline.json")),
+        java.nio.file.Paths.get(benchOut),
         (headline + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Throwable if scala.util.control.NonFatal(e) => () }
     spark.stop()

@@ -420,11 +420,49 @@ object Multimodal {
    * shifts — the things that defeat byte-level dedup on crawled
    * images — while near-duplicates differ in a few bits of Hamming
    * distance. None when ImageIO cannot decode.
+   *
+   * Decode cost at crawl scale: the hash only ever reads a 9×8 grid, so
+   * decoding a megapixel image at full resolution buys nothing — the
+   * reader is asked to SOURCE-SUBSAMPLE down to ≥ 8 px per grid cell
+   * (`setSourceSubsampling`, honored inside the stock JDK codecs, so the
+   * full-res pixel buffer is never allocated and JPEG skips most of its
+   * IDCT work; a 4K frame decodes ~50× smaller). Images already at or
+   * below the 72×64 target (the fixture corpus) decode unsubsampled —
+   * bit-identical hashes to the ImageIO.read path. The stream is an
+   * explicit MemoryCacheImageInputStream: the ImageIO.read convenience
+   * path wraps byte streams in a FileCacheImageInputStream by default,
+   * which writes every payload to a temp file before decoding — a
+   * per-row disk round-trip the hot hash loop must never pay.
    */
   private[ops] def dHash(payload: Array[Byte]): Option[Long] = {
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, true, true)
+          val fullW = reader.getWidth(0)
+          val fullH = reader.getHeight(0)
+          if (fullW <= 0 || fullH <= 0) return None
+          // >= 8 px per 9x8 grid cell after subsampling
+          val sub = math.max(1, math.min(fullW / 72, fullH / 64))
+          val param = reader.getDefaultReadParam
+          if (sub > 1) param.setSourceSubsampling(sub, sub, 0, 0)
+          val img = reader.read(0, param)
+          if (img == null) None else gridBits(img)
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** The 9×8 area-average difference grid of a decoded image (the dHash
+   * bit pattern; split from the decode so the subsampled and plain
+   * paths share one definition). */
+  private def gridBits(img: java.awt.image.BufferedImage): Option[Long] = {
+    if (img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth
         val h = img.getHeight
@@ -470,7 +508,6 @@ object Multimodal {
         }
         Some(bits)
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   case class MediaHash(id: Long, n_bytes: Long, format: String,

@@ -1089,14 +1089,21 @@ class OpsSpec extends AnyFunSuite {
     // a genuinely different scene
     val other = encodeImage("png", 120, 90, (x, y) =>
       (((x * x + y * y) & 0xff) << 16) | 0x4040)
+    // the SAME scene far above the 72x64 subsampling threshold: the
+    // reader decodes every ~8th pixel (setSourceSubsampling) — the hash
+    // must still land next to the small-image full-decode hash
+    val big = encodeImage("png", 720, 540, (x, y) => pattern(x / 6, y / 6))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val Some(hb) = Multimodal.dHash(base)
     val Some(hs) = Multimodal.dHash(scaled)
     val Some(hp) = Multimodal.dHash(perturbed)
     val Some(ho) = Multimodal.dHash(other)
+    val Some(hbig) = Multimodal.dHash(big)
     assert(ham(hb, hs) <= 3, s"rescale moved ${ham(hb, hs)} bits")
     assert(ham(hb, hp) <= 3, s"local patch moved ${ham(hb, hp)} bits")
     assert(ham(hb, ho) > 10, s"distinct scenes only ${ham(hb, ho)} bits apart")
+    assert(ham(hb, hbig) <= 3,
+      s"subsampled megasize decode moved ${ham(hb, hbig)} bits")
     // distributed banded pairs == exact all-pairs hamming at the cut
     val rows = Seq((1L, base), (2L, scaled), (3L, perturbed), (4L, other),
       (5L, Array[Byte](1, 2, 3))) // undecodable: excluded, never a pair
