@@ -190,7 +190,7 @@ object Similarity {
     val base = emb.where(v.isNotNull)
     val cents = lloydCentroids(base, v, idCol, k, iters)
     base.withColumn("cluster",
-      minDistPair(v, cents).getItem(1).cast("int"))
+      minDistPair(emb.sparkSession, v, cents).getItem(1).cast("int"))
   }
 
   /** argmin over centroids as [dist², cid] (ties to the LOWEST cluster
@@ -209,16 +209,19 @@ object Similarity {
    * centroid, ties to the lowest cid — spec-pinned against an
    * independent reference implementation and replayed exactly by the
    * DuckDB oracles. */
-  private def minDistPair(v: Column,
-      cents: Seq[(Int, Seq[Double])]): Column = {
+  private def minDistPair(spark: org.apache.spark.sql.SparkSession,
+      v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
     val sorted = cents.sortBy(_._1)
     val ids = sorted.map(_._1).toArray
     val cs = sorted.map(_._2.toArray).toArray
     val dim = cs(0).length
     require(cs.forall(_.length == dim),
       s"centroid table is ragged: dims ${cs.map(_.length).distinct.toSeq}")
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    // register on the CALLER's session (threaded from the operand
+    // DataFrame), not SparkSession.active: in a multi-session app
+    // call_function resolves against the frame's own session, where the
+    // thread-active one may never have registered the kernel
+    graft.functions.GraftFunctions.register(spark)
     call_function("graft_argmin_centroid", v, typedlit(cs.flatten),
       typedlit(ids), lit(0), lit(dim), lit(dim), lit(true))
   }
@@ -233,7 +236,8 @@ object Similarity {
    * [[pqTrain]]/[[pqEncode]] do; a null ELEMENT or a wrong-dimension
    * vector fails fast with a sized message instead of silently scoring
    * a partial window. */
-  private def subCodeKernel(cents: Seq[(Int, Seq[Double])], off: Int,
+  private def subCodeKernel(spark: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])], off: Int,
       ds: Int, dim: Int): Column => Column = {
     val sorted = cents.sortBy(_._1)
     val ids = sorted.map(_._1).toArray
@@ -241,8 +245,8 @@ object Similarity {
     require(cs.forall(_.length == ds),
       s"subspace codebook is ragged: dims ${cs.map(_.length).distinct.toSeq}" +
         s", expected $ds")
-    graft.functions.GraftFunctions.register(
-      org.apache.spark.sql.SparkSession.active)
+    // same session-threading rule as [[minDistPair]]
+    graft.functions.GraftFunctions.register(spark)
     (v: Column) => call_function("graft_argmin_centroid", v,
       typedlit(cs.flatten), typedlit(ids), lit(off), lit(ds), lit(dim),
       lit(false))
@@ -260,7 +264,8 @@ object Similarity {
     // consecutive passes (iters - 1 updates), so iters=1 is pure
     // nearest-seed partitioning
     for (_ <- 0 until iters - 1) {
-      val assign = minDistPair(v, cents).getItem(1).cast("int")
+      val assign =
+        minDistPair(base.sparkSession, v, cents).getItem(1).cast("int")
       val upd = base.select(assign.as("cluster"), posexplode(v))
         .groupBy("cluster", "pos").agg(round(avg(col("col")), 6).as("x"))
         .collect()
@@ -297,7 +302,7 @@ object Similarity {
       centers: Seq[(Int, Seq[Double])]): DataFrame = {
     require(centers.nonEmpty, "centers must be non-empty")
     val v = col(vecCol).cast("array<double>")
-    val pair = minDistPair(v, centers)
+    val pair = minDistPair(emb.sparkSession, v, centers)
     emb.where(v.isNotNull)
       .select(col(idCol), pair.getItem(1).cast("int").as("cell"),
         round(sqrt(pair.getItem(0)), 6).as("dist"))
@@ -341,7 +346,7 @@ object Similarity {
       }.toMap
     }
     def codeExpr(s: Int): Column =
-      subCodeKernel(cents(s), s * ds, ds, dim)(v)
+      subCodeKernel(emb.sparkSession, cents(s), s * ds, ds, dim)(v)
     for (_ <- 0 until iters - 1) {
       // the cast names the struct fields: aliases inside struct() are not
       // preserved when the members are complex expressions
@@ -377,7 +382,8 @@ object Similarity {
     val ds = dim / subspaces
     val v = col(vecCol).cast("array<double>")
     def codeExpr(s: Int): Column =
-      subCodeKernel(bySub(s).map { case (_, cid, c) => (cid, c) },
+      subCodeKernel(emb.sparkSession,
+        bySub(s).map { case (_, cid, c) => (cid, c) },
         s * ds, ds, dim)(v)
     emb.where(v.isNotNull)
       .select(col(idCol),
