@@ -299,4 +299,57 @@ object Eval {
       .select(col("grp"), col("id").as("selected"),
         round(col("mbr"), 4).as("mbr_score"), col("n_cands"))
   }
+
+  /**
+   * Rank-biased overlap between two top-k rankings (Webber, Moffat &
+   * Zobel 2010, "A similarity measure for indefinite rankings") — the
+   * ranking-drift readout [[graft.ops.Similarity.rrfFuse]]'s consumers
+   * need: did the quantized index, the new scorer, or this week's
+   * corpus RE-ORDER what retrieval returns, weighted the way users
+   * read lists (top-heavy, persistence p)? This is the exactly-
+   * computable truncated form (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d
+   * over the two depth-d prefixes — the paper's RBO_min lower bound,
+   * no extrapolation silently applied — PREFIX-NORMALIZED by its own
+   * maximum 1−p^k so the score reads on [0, 1] exactly: 1 = identical
+   * prefixes, 0 = disjoint (the raw truncated form tops out at 1−p^k,
+   * a k-dependent ceiling nobody remembers when reading a dashboard).
+   *
+   * The depth sum never materializes: an item at ranks (ra, rb) is in
+   * both prefixes for every d ≥ max(ra, rb), so its total weight is
+   * wsum(max(ra, rb)) with wsum(m) = Σ_{d=m..k} p^{d−1}/d — a k-sized
+   * literal lookup folded into the plan. One equi-join of the two
+   * (bounded, per-group ≤ k rows) shortlists + one groups-sized
+   * aggregation; groups present in either input always report (0.0
+   * when the prefixes are disjoint). Sums reassociate across
+   * partitions at ~1e-17 on |terms| ≤ 1; rbo rounds 6dp.
+   * Output: one row per group — group columns, n_common (items shared
+   * by the two top-k prefixes), rbo (6dp).
+   */
+  def rbo(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+      idCol: String, rankCol: String, k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(p > 0.0 && p < 1.0, s"persistence p must be in (0,1), got $p")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    // wsum(m) = Σ_{d=m..k} p^{d-1}/d, 1-indexed suffix sums
+    val terms = (1 to k).map(d => math.pow(p, d - 1) / d)
+    val wsum = terms.scanRight(0.0)(_ + _).init.toArray
+    val g = groupCols.map(col)
+    def side(df: DataFrame, r: String) = df
+      .filter(col(rankCol) >= 1 && col(rankCol) <= k)
+      .select(g :+ col(idCol).as("_id") :+
+        col(rankCol).cast("int").as(r): _*)
+    val joined = side(a, "_ra").join(side(b, "_rb"),
+        groupCols :+ "_id")
+      .withColumn("_w", element_at(typedlit(wsum),
+        greatest(col("_ra"), col("_rb"))))
+    val groups = a.select(g: _*).union(b.select(g: _*)).distinct()
+    groups.join(
+        joined.groupBy(g: _*).agg(count(lit(1)).as("n_common"),
+          round(sum(col("_w")) * lit(1.0 - p)
+            / lit(1.0 - math.pow(p, k)), 6).as("rbo")),
+        groupCols, "left")
+      .select(g :+ coalesce(col("n_common"), lit(0L)).as("n_common") :+
+        coalesce(col("rbo"), lit(0.0)).as("rbo"): _*)
+  }
 }

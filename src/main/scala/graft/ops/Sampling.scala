@@ -384,6 +384,39 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe k-fold cross-validation assignment — the CV sibling of
+   * [[leakageSafeSplit]]: every row sharing `leakKey` (a content hash,
+   * a near-dup cluster id, a user id) lands in the SAME fold, so no
+   * fold's held-out set ever contains a duplicate of another fold's
+   * training data (duplicates straddling folds inflate every CV score
+   * the same way a leaky train/test split does). fold =
+   * least(⌊u·k⌋, k−1) over the same md5(seed|key) uniform the split
+   * family uses — a pure narrow function of the row: reproducible,
+   * append-stable (new rows never move old rows between folds), and
+   * SQL-replayable. The ⌊u·k⌋ clamp puts u = 0.999999… (u is the
+   * family's 6dp-rounded draw, so exactly 1.0 after rounding is
+   * possible) in the last fold instead of a phantom fold k. Folds are
+   * hash-balanced, not exact-count (exact-count would need a global
+   * rank — unbounded state, and append-instability — for a balance
+   * gain CV never needs). Output: input columns + u (6dp) + fold.
+   */
+  def kfoldAssign(df: DataFrame, leakKey: org.apache.spark.sql.Column,
+      k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 2, s"k must be >= 2 folds, got $k")
+    val clash = Seq("u", "fold", "_leak_key").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns ${clash.mkString(", ")} collide with kfoldAssign " +
+        "internals; rename them first")
+    val h = md5(concat(lit(s"$seed|"), leakKey.cast("string")))
+    val u = round(
+      conv(substring(h, 1, 8), 16, 10).cast("double") / lit(4294967296.0),
+      6)
+    df.withColumn("u", u)
+      .withColumn("fold",
+        least(floor(col("u") * k), lit(k - 1)).cast("int"))
+  }
+
+  /**
    * Crawl-budget quota allocation — largest-remainder apportionment
    * (Hamilton's method) of a global `budget` across domains in
    * proportion to their row counts: base_d = ⌊budget·n_d/N⌋, then the

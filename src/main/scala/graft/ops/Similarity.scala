@@ -722,6 +722,76 @@ object Similarity {
   }
 
   /**
+   * Simplified silhouette (Hruschka et al. 2004; Vendramin et al. 2010
+   * — the form MLlib's ClusteringEvaluator also reduces to): per point
+   * a = euclidean distance to its OWN cluster centroid, b = the nearest
+   * OTHER centroid's distance, s = (b−a)/max(a,b) ∈ [−1, 1]; reported
+   * per cluster as the member count, mean s and min s. THE
+   * choose-k / is-this-clustering-coherent readout before committing a
+   * SemDeDup prune or an IVF cell layout to a 100 TB corpus: mean s
+   * near 0 says the cells barely separate (pruning by them is noise),
+   * a negative min s names the cluster whose members sit closer to a
+   * neighbor's centroid than their own. Classic silhouette is O(n²)
+   * pairwise — infeasible at corpus scale by construction; the
+   * centroid form is the standard distributed reduction and states so
+   * rather than approximating silently.
+   *
+   * Shape: centroids come from one (cluster, pos) aggregation (6dp —
+   * the [[groupCentroids]]/kmeans determinism contract) collected as
+   * clusters-sized driver state (the [[kmeansAssign]] envelope — label
+   * tables, never the corpus); a and b are then ONE zero-shuffle
+   * narrow scan through the native argmin kernel (own cluster's
+   * 1-centroid table / the k−1 others, branch-selected per row), and
+   * the output aggregation is clusters-sized. Distances round 6dp
+   * before s (so any engine replays the division bit-for-bit), s
+   * rounds 6dp, means 4dp (reassociation-safe at |s| ≤ 1).
+   * Output: cluster, n, mean_s (4dp), min_s (6dp).
+   */
+  def silhouetteSimplified(emb: DataFrame, vecCol: String,
+      clusterCol: String): DataFrame = {
+    val spark = emb.sparkSession
+    val v = col(vecCol).cast("array<double>")
+    val base = emb.where(v.isNotNull && col(clusterCol).isNotNull)
+      .select(col(clusterCol).cast("int").as("_cl"), v.as("_v"))
+    // clusters-sized driver state, the groupCentroids aggregation shape
+    val cents: Seq[(Int, Seq[Double])] = base
+      .select(col("_cl"), posexplode(col("_v")).as(Seq("pos", "x")))
+      .groupBy("_cl", "pos").agg(round(avg(col("x")), 6).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+      }.toSeq.sortBy(_._1)
+    require(cents.size >= 2,
+      s"silhouette needs >= 2 clusters, got ${cents.size}")
+    // one narrow scan: per row, own-centroid distance and nearest-other
+    // distance through the codegen'd argmin kernel, branch-selected on
+    // the row's cluster id (k branches over a clusters-sized table)
+    val a2 = cents.tail.foldLeft(
+      minDistPair(spark, col("_v"), Seq(cents.head)).getItem(0)) {
+      case (acc, c) => when(col("_cl") === c._1,
+        minDistPair(spark, col("_v"), Seq(c)).getItem(0)).otherwise(acc)
+    }
+    val b2 = cents.tail.foldLeft(
+      minDistPair(spark, col("_v"),
+        cents.filterNot(_._1 == cents.head._1)).getItem(0)) {
+      case (acc, c) => when(col("_cl") === c._1,
+        minDistPair(spark, col("_v"),
+          cents.filterNot(_._1 == c._1)).getItem(0)).otherwise(acc)
+    }
+    base
+      .withColumn("_a", round(sqrt(a2), 6))
+      .withColumn("_b", round(sqrt(b2), 6))
+      .withColumn("_s", when(greatest(col("_a"), col("_b")) > 0,
+        round((col("_b") - col("_a")) / greatest(col("_a"), col("_b")), 6))
+        .otherwise(lit(0.0)))
+      .groupBy(col("_cl").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("_s")), 4).as("mean_s"),
+        (min(col("_s")) + lit(0.0)).as("min_s"))
+  }
+
+  /**
    * Embedding-norm diagnostics — the sanity scan BEFORE any cosine
    * math ([[centroidDrift]] catches distribution shift; this catches
    * the plumbing failures that precede it: an un-normalized batch, a

@@ -162,6 +162,15 @@ private[graft] object QueriesAnn {
           "vec_id", "embedding", "label", bottomK = 10)
         .orderBy("label", "rank")
     }),
+    "ann_silhouette" -> ((s, dir) =>
+      // simplified (centroid-form) silhouette over the label
+      // clustering: per cluster, mean/min of (b−a)/max(a,b) with a =
+      // own-centroid distance, b = nearest-other distance — the
+      // choose-k readout before a SemDeDup prune; one zero-shuffle
+      // argmin scan, clusters-sized output
+      graft.ops.Similarity.silhouetteSimplified(t(s, dir, "embeddings"),
+          "embedding", "label")
+        .orderBy("cluster")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,5 +427,28 @@ private[graft] object QueriesAnn {
         |  FROM r)
         |SELECT label, vec_id, cosine, rank FROM rk WHERE rank <= 10
         |ORDER BY label, rank""".stripMargin,
+    // simplified silhouette replay: 6dp centroids, per (point, centroid)
+    // squared euclidean, a = own / b = nearest-other (both 6dp after
+    // sqrt, so the s division replays bit-for-bit), mean 4dp
+    "ann_silhouette" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    generate_subscripts(embedding, 1) AS i,
+        |    unnest(embedding)::DOUBLE AS x FROM embeddings
+        |  WHERE embedding IS NOT NULL AND label IS NOT NULL),
+        |c AS (SELECT label AS cl, i, round(avg(x), 6) AS m
+        |  FROM e GROUP BY 1, 2),
+        |d AS (SELECT e.vec_id, e.label, c.cl,
+        |    sum((e.x - c.m) * (e.x - c.m)) AS d2
+        |  FROM e JOIN c ON e.i = c.i GROUP BY 1, 2, 3),
+        |ab AS (SELECT vec_id, label,
+        |    round(sqrt(min(CASE WHEN cl = label THEN d2 END)), 6) AS a,
+        |    round(sqrt(min(CASE WHEN cl <> label THEN d2 END)), 6) AS b
+        |  FROM d GROUP BY 1, 2),
+        |s AS (SELECT label, CASE WHEN greatest(a, b) > 0
+        |    THEN round((b - a) / greatest(a, b), 6) ELSE 0.0 END AS s
+        |  FROM ab)
+        |SELECT label AS cluster, count(*)::BIGINT AS n,
+        |  round(avg(s), 4) AS mean_s, min(s) + 0.0 AS min_s
+        |FROM s GROUP BY 1 ORDER BY cluster""".stripMargin,
   )
 }

@@ -618,6 +618,15 @@ private[graft] object QueriesOps {
           leakKey = md5(col("text")))
         .select(col("doc_id"), col("u"), col("split"))
         .orderBy("doc_id")),
+    "q_kfold" -> ((s, dir) =>
+      // leakage-safe 5-fold CV assignment keyed by the content hash:
+      // duplicates always share a fold, so no fold's held-out set
+      // contains another fold's training text; one narrow scan
+      graft.ops.Sampling.kfoldAssign(
+          t(s, dir, "documents").select("doc_id", "text"),
+          leakKey = md5(col("text")), k = 5)
+        .select(col("doc_id"), col("u"), col("fold"))
+        .orderBy("doc_id")),
     "q_burstiness" -> ((s, dir) =>
       // event-cadence health per type: inter-arrival cv and
       // Goh–Barabási burstiness from lag gaps (ties by (ts, event_id)
@@ -1282,6 +1291,14 @@ private[graft] object QueriesOps {
         |SELECT doc_id, u,
         |  CASE WHEN u < 0.9 THEN 'train'
         |       WHEN u < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q_kfold" ->
+      """WITH h AS (SELECT doc_id,
+        |    md5(concat('42|', md5(text))) AS hh FROM documents),
+        |u AS (SELECT doc_id,
+        |    round(CAST(('0x' || substring(hh, 1, 8)) AS BIGINT)
+        |      / 4294967296.0, 6) AS u FROM h)
+        |SELECT doc_id, u, least(floor(u * 5), 4)::INT AS fold
         |FROM u ORDER BY doc_id""".stripMargin,
     "q_burstiness" ->
       """WITH e AS (SELECT event_type AS k, epoch_us(ts)::BIGINT AS t,

@@ -438,6 +438,22 @@ private[graft] object QueriesProfile {
       graft.ops.Eval.passAtK(samples, "problem", "correct", Seq(1, 5, 10))
         .orderBy("k")
     }),
+    "q_rbo" -> ((s, dir) => {
+      // ranking drift read the way users read lists: per event_type,
+      // the top-20 users by event count in the even-event_id half vs
+      // the odd half; truncated RBO@20 (p=0.9) between the two
+      // rankings — shortlists built through the topKPerGroup prune,
+      // the RBO join then touches only 2·20 rows per group
+      val ev = t(s, dir, "events")
+      def ranked(par: Int) = graft.ops.Profile.topKPerGroup(
+        ev.filter(col("event_id") % 2 === par)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n")),
+        Seq("event_type"), Seq(col("n").desc, col("user_id").asc), 20)
+      graft.ops.Eval.rbo(ranked(0), ranked(1), Seq("event_type"),
+          "user_id", "rk", k = 20, p = 0.9)
+        .orderBy("event_type")
+    }),
     "q_fleiss_kappa" -> ((s, dir) => {
       // multi-rater chance-corrected agreement: three deterministic
       // length-derived labelers (char buckets, token buckets, shifted
@@ -1447,6 +1463,40 @@ private[graft] object QueriesProfile {
         |  (count(*) - count(e))::BIGINT AS n_dropped,
         |  round(avg(e), 4) AS pass_at_k
         |FROM est GROUP BY k ORDER BY k""".stripMargin,
+    // RBO replay: both half-rankings, the k-sized weight lookup
+    // wsum(m) = Σ_{d=m..k} p^(d-1)/d built by a descending running sum
+    // (the same association order as the operator's scanRight), groups
+    // from either side always report — 0.0 when the prefixes are
+    // disjoint. (1.0 - 0.9) spelled as the subtraction so both engines
+    // multiply by the identical binary double.
+    "q_rbo" ->
+      """WITH a AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1, 2),
+        |ra AS (SELECT event_type, user_id, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS r
+        |  FROM a),
+        |b AS (SELECT event_type, user_id, count(*) AS n
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1, 2),
+        |rb AS (SELECT event_type, user_id, row_number()
+        |    OVER (PARTITION BY event_type ORDER BY n DESC, user_id) AS r
+        |  FROM b),
+        |w AS (SELECT d, pow(0.9, d - 1) / d AS t
+        |  FROM generate_series(1, 20) g(d)),
+        |ws AS (SELECT d, sum(t) OVER (ORDER BY d DESC) AS wsum FROM w),
+        |j AS (SELECT ra.event_type, greatest(ra.r, rb.r) AS m
+        |  FROM ra JOIN rb ON ra.event_type = rb.event_type
+        |    AND ra.user_id = rb.user_id
+        |  WHERE ra.r <= 20 AND rb.r <= 20),
+        |agg AS (SELECT j.event_type, count(*)::BIGINT AS n_common,
+        |    round(sum(ws.wsum) * (1.0 - 0.9)
+        |      / (1.0 - pow(0.9, 20)), 6) AS rbo
+        |  FROM j JOIN ws ON ws.d = j.m GROUP BY 1),
+        |g AS (SELECT DISTINCT event_type FROM events)
+        |SELECT g.event_type,
+        |  coalesce(n_common, 0)::BIGINT AS n_common,
+        |  coalesce(rbo, 0.0) AS rbo
+        |FROM g LEFT JOIN agg USING (event_type)
+        |ORDER BY event_type""".stripMargin,
     "q_fleiss_kappa" ->
       """WITH lab AS (SELECT doc_id, unnest([
         |    CASE WHEN n_chars < 200 THEN 'short'

@@ -2047,4 +2047,43 @@ class CurationSpec extends AnyFunSuite {
     finite(((0 until 1000).map(_ => (true, true)) ++
       (0 until 1000).map(_ => (false, false))).toDF("fa", "fb"))
   }
+
+  test("silhouetteSimplified: hand-computed symmetric clusters, the " +
+    "coincident-centroid zero rule, misassignment goes negative, " +
+    "guards") {
+    import spark.implicits._
+    // cluster 0: (0,0),(0,2) -> centroid (0,1); cluster 1: (10,0),(10,2)
+    // -> centroid (10,1). Every point: a = 1, b = round(sqrt(101), 6)
+    // = 10.049876 -> s = round((b-a)/b, 6) = 0.900496, mean 4dp 0.9005
+    val df = Seq(
+      (0L, Seq(0.0, 0.0), 0), (1L, Seq(0.0, 2.0), 0),
+      (2L, Seq(10.0, 0.0), 1), (3L, Seq(10.0, 2.0), 1)
+    ).toDF("id", "v", "cl")
+    val out = Similarity.silhouetteSimplified(df, "v", "cl")
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((0, 2L, 0.9005, 0.900496),
+      (1, 2L, 0.9005, 0.900496)), out.mkString("; "))
+    // a point sitting ON the other centroid scores negative (it is
+    // closer to the neighbor than to its own centroid)
+    val bad = Seq(
+      (0L, Seq(0.0, 0.0), 0), (1L, Seq(0.0, 2.0), 0),
+      (2L, Seq(0.0, 1.0), 1), // labeled 1, sits at cluster 0's centroid
+      (3L, Seq(10.0, 0.0), 1), (4L, Seq(10.0, 2.0), 1)
+    ).toDF("id", "v", "cl")
+    val s1 = Similarity.silhouetteSimplified(bad, "v", "cl")
+      .filter(col("cluster") === 1).collect().head
+    assert(s1.getDouble(3) < 0, s"planted misassignment: $s1")
+    // coincident point and centroids: a = b = 0 -> s = 0, not NaN
+    val co = Seq((0L, Seq(5.0, 5.0), 0), (1L, Seq(5.0, 5.0), 1))
+      .toDF("id", "v", "cl")
+    val z = Similarity.silhouetteSimplified(co, "v", "cl")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(z == Seq(0.0, 0.0), z.mkString(", "))
+    // fewer than 2 clusters is a contract error, not a silent 1-row
+    intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(
+        Seq((0L, Seq(1.0), 0)).toDF("id", "v", "cl"), "v", "cl")
+    }
+  }
 }

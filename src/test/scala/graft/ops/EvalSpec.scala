@@ -128,4 +128,40 @@ class EvalSpec extends AnyFunSuite {
     // mbr: c1 = c2 = 0.25 -> tie to id 1
     assert(w.getLong(1) == 1L && w.getDouble(2) == 0.25, s"$w")
   }
+
+  test("rbo: identical prefixes score exactly 1, a swap matches hand " +
+      "arithmetic, disjoint and one-sided groups report 0") {
+    import spark.implicits._
+    // g1: identical top-2 -> normalized truncated RBO = 1 exactly
+    // g2: A=[x,y] B=[y,x], k=2 p=0.5:
+    //   raw = (1-p)(p^0*0/1 + p^1*2/2) = 0.25; / (1-p^2) = 1/3
+    // g3: disjoint prefixes -> 0, group still present
+    // g4: only in A -> present with n_common=0, rbo=0
+    val a = Seq(("g1", "x", 1), ("g1", "y", 2),
+      ("g2", "x", 1), ("g2", "y", 2),
+      ("g3", "u", 1), ("g3", "v", 2),
+      ("g4", "x", 1)).toDF("grp", "item", "r")
+    val b = Seq(("g1", "x", 1), ("g1", "y", 2),
+      ("g2", "y", 1), ("g2", "x", 2),
+      ("g3", "w", 1), ("g3", "z", 2)).toDF("grp", "item", "r")
+    val out = Eval.rbo(a, b, Seq("grp"), "item", "r", k = 2, p = 0.5)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out(0) == (("g1", 2L, 1.0)), s"identical: ${out(0)}")
+    assert(out(1) == (("g2", 2L, 0.333333)), s"swap: ${out(1)}")
+    assert(out(2) == (("g3", 0L, 0.0)), s"disjoint: ${out(2)}")
+    assert(out(3) == (("g4", 0L, 0.0)), s"one-sided: ${out(3)}")
+    // ranks beyond k are ignored, not an error
+    val a2 = Seq(("g", "x", 1), ("g", "deep", 9)).toDF("grp", "item", "r")
+    val b2 = Seq(("g", "x", 1), ("g", "deep", 9)).toDF("grp", "item", "r")
+    val r2 = Eval.rbo(a2, b2, Seq("grp"), "item", "r", k = 2, p = 0.5)
+      .collect().head
+    assert(r2.getLong(1) == 1L, s"depth filter: $r2")
+    intercept[IllegalArgumentException] {
+      Eval.rbo(a, b, Seq("grp"), "item", "r", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Eval.rbo(a, b, Seq("grp"), "item", "r", k = 2, p = 1.0)
+    }
+  }
 }

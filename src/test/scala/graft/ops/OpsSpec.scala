@@ -3439,6 +3439,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kfoldAssign: leak key pins duplicates to ONE fold, folds " +
+    "hash-balanced, assignment append-stable, guards") {
+    import spark.implicits._
+    // duplicated content across distinct ids: every copy shares a fold
+    val docs = spark.range(0, 300)
+      .select(col("id"), concat(lit("text-"), col("id") % 40).as("text"))
+    val f = Sampling.kfoldAssign(docs, md5(col("text")), k = 5).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3)))
+    val byText = f.groupBy(_._2).view.mapValues(_.map(_._3).distinct)
+    assert(byText.values.forall(_.size == 1),
+      "a leak key straddled folds: " +
+        byText.filter(_._2.size > 1).keys.mkString(", "))
+    // every fold in [0, 5) is populated on 40 uniform keys
+    val folds = f.map(_._3).distinct.sorted
+    assert(folds.forall(fd => fd >= 0 && fd < 5), folds.mkString(","))
+    assert(folds.length >= 4, s"degenerate balance: ${folds.mkString(",")}")
+    // append-stable: a subset assigns identically after repartitioning
+    val sub = Sampling.kfoldAssign(docs.limit(10).repartition(7),
+        md5(col("text")), k = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    val full = f.map(r => r._1 -> r._3).toMap
+    assert(sub.forall { case (id, fd) => full(id) == fd })
+    intercept[IllegalArgumentException] {
+      Sampling.kfoldAssign(docs, md5(col("text")), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.kfoldAssign(docs.withColumn("fold", lit(1)),
+        md5(col("text")), k = 5)
+    }
+  }
+
   test("entropyProfile + mutualInfo: closed forms, nulls out of the mass") {
     import spark.implicits._
     val df = Seq(
