@@ -36,18 +36,26 @@ import org.apache.spark.sql.functions._
  * evaluation of the result plan sees the same bucketing. (The previous
  * shape derived `_p` from spark_partition_id over a sampled range
  * shuffle — nondeterministic across plan branches — and leaned on a
- * session-tracked cache to pin one materialization; that cache was both
- * a correctness dependency a routine unpersistAll could break and real
- * memory pressure at corpus scale. Gone: no caching here at all.)
+ * session-tracked cache to pin one materialization; that cache was a
+ * CORRECTNESS dependency a routine unpersistAll could break.)
  *
- * Cost shape: construction runs TWO bounded jobs — a cut-point sample
- * (TakeOrdered of ~16 rows per bucket, one projected column) and the
- * per-bucket totals aggregate (map-side combined, ≤ nBuckets carry rows
- * collected) — then the returned plan evaluates its input exactly ONCE
- * per action (window over hash(_p) + broadcast join of the local
- * offsets). Like fitIvfIndex, the construction jobs are an index build,
- * not part of the result plan; chained scans (BH-FDR, RFM) therefore
- * cost O(depth) input evaluations, not O(2^depth) plan branches.
+ * Cost shape: the input frame is pinned in the [[CacheScope.Ops]] scope
+ * and evaluated ONCE — the cut-point sample job fills the cache, the
+ * per-bucket totals aggregate and the returned result plan read it.
+ * Unlike the pre-round-15 cache this pin is an OPTIMIZATION, not a
+ * correctness dependency: `_p` is a literal function of the row, so an
+ * evicted block, an early `unpersistAll`, or a lost executor recomputes
+ * the IDENTICAL bucketing (measured without the pin: every scan paid
+ * ~3 input evaluations — sample, totals, result — tripling the
+ * family's floors; with it, r14's cost shape is restored at r15's
+ * determinism). Lifecycle: callers release via Dedup/Similarity
+ * `.unpersistAll` once the consuming action ran — a terminal 1-row
+ * statistic (rocAuc, ksTest) otherwise keeps one data-scale cached
+ * frame alive until then (MEMORY_AND_DISK, evictable under pressure,
+ * so the cost of NOT releasing is spill space, never wrong answers).
+ * Like fitIvfIndex, the construction jobs are an index build, not part
+ * of the result plan; chained scans (BH-FDR, RFM, Spearman) pin per
+ * level, so depth-d chains cost O(d) evaluations, not O(2^d).
  */
 private[graft] object DistScan {
 
@@ -133,7 +141,10 @@ private[graft] object DistScan {
       values: Seq[(Column, String)], inclusive: Boolean): DataFrame = {
     require(values.nonEmpty, "prefixSums needs at least one value column")
     guard(df)
-    val p = df.withColumn("_p", bucketCol(df, order))
+    // optimization-only pin (see the object doc): the sample job fills
+    // it, totals + the result plan read it; recompute is identical
+    val pinned = CacheScope.track(df)
+    val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val upper = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, upper)
@@ -162,7 +173,8 @@ private[graft] object DistScan {
       value: Column, out: String, inclusive: Boolean,
       isMin: Boolean): DataFrame = {
     guard(df)
-    val p = df.withColumn("_p", bucketCol(df, order))
+    val pinned = CacheScope.track(df) // optimization-only (object doc)
+    val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val agg: Column => Column = if (isMin) min else max
     val merge: (Column, Column) => Column =
       if (isMin) least(_, _) else greatest(_, _)

@@ -22,9 +22,10 @@ class DriverStateAuditSpec extends AnyFunSuite {
 
   /** file (relative to src/main/scala/graft) -> (site count, contract). */
   private val contracts: Map[String, (Int, String)] = Map(
-    "ops/Similarity.scala" -> (7,
+    "ops/Similarity.scala" -> (8,
       "k-means seeds/updates and PQ codebooks: k- or dim*k-bounded " +
-        "centroid tables; IVF index load: 1-row meta + k centroid rows"),
+        "centroid tables; IVF index load: 1-row meta + k centroid rows; " +
+        "silhouette centroids: clusters x dim rows (the kmeans envelope)"),
     "ops/TextMetrics.scala" -> (1,
       "BPE training argmax: limit(1).collect() per merge round (the " +
         "documented loop-control exception; dictionary stays distributed)"),

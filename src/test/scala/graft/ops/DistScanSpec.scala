@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * the run-to-run stability regression that caught the round-14 bucket-id
   * race. Since round 15 the bucketing is a pure function of the leading
   * sort key (literal cut points + local offsets), so stability is
-  * structural and NO cache is tracked — both pinned below. */
+  * STRUCTURAL: the Ops-scope pin the scan keeps is an optimization only,
+  * and the stability test below releases it mid-flight to prove results
+  * cannot depend on it (the exact failure an early unpersistAll used to
+  * cause under the round-14 spark_partition_id bucketing). */
 class DistScanSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -82,20 +85,27 @@ class DistScanSpec extends AnyFunSuite {
     }, 20)
   }
 
-  test("scan results are stable across repeated evaluations (the " +
-    "bucket-id race regression: Mann-Whitney U varied run to run) " +
-    "WITHOUT any tracked cache") {
+  test("scan results are stable across repeated evaluations AND across " +
+    "cache release (the bucket-id race regression: Mann-Whitney U " +
+    "varied run to run; an early unpersistAll used to reopen it)") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val outs = (1 to 5).map { _ =>
-      Profile.mannWhitney(df, "o_orderstatus", "o_totalprice",
+      val r = Profile.mannWhitney(df, "o_orderstatus", "o_totalprice",
         "O", "F").collect()(0).toString
+      // releasing the optimization pin between runs must change nothing
+      CacheScope.unpersistAll(spark, CacheScope.Ops)
+      r
     }
     assert(outs.distinct.size == 1, s"unstable across runs: $outs")
-    // the round-14 shape leaned on a CacheScope-pinned frame that a
-    // routine Dedup.unpersistAll could silently release (reopening the
-    // race); the deterministic bucketing must track NOTHING
-    assert(CacheScope.trackedCount(spark) == 0,
-      "DistScan tracked a cache — bucketing must be cache-free")
+    // the ADVICE-r14 failure scenario verbatim: compose the statistic,
+    // release the Ops scope BEFORE the action, then run it — the
+    // deterministic bucketing must recompute the identical answer
+    val composed = Profile.mannWhitney(df, "o_orderstatus",
+      "o_totalprice", "O", "F")
+    CacheScope.unpersistAll(spark, CacheScope.Ops)
+    assert(composed.collect()(0).toString == outs.head,
+      "result changed after an early cache release")
+    CacheScope.unpersistAll(spark, CacheScope.Ops)
   }
 
   test("a single scan result plan evaluates its input once: offsets come " +
@@ -111,8 +121,12 @@ class DistScanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"offsets must broadcast-join back:\n$p")
     // exactly ONE scan of the input in the result plan: the offsets
-    // branch was collected at construction, not left as a plan branch
-    val scans = "FileScan parquet".r.findAllIn(p).length
+    // branch was collected at construction, not left as a plan branch.
+    // With the Ops-scope pin the input reads as exactly one
+    // InMemoryTableScan (the FileScan string inside the cached
+    // relation's description is rendering, not an execution branch)
+    val scans = "InMemoryTableScan".r.findAllIn(p).length
     assert(scans == 1, s"result plan re-reads the input $scans times:\n$p")
+    CacheScope.unpersistAll(spark, CacheScope.Ops)
   }
 }

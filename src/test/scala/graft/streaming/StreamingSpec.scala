@@ -148,6 +148,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(sU == bU && sU.size == 2) // docs 1 and 2 carry one URL each
   }
 
+  test("kfoldAssign runs unchanged on streams: arriving rows take the " +
+    "same fold the batch run assigns") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // fold = pure hash of the leak key — zero state, Append mode; a
+    // crawl batch streaming in gets fold assignments identical to a
+    // batch re-run (append-stability IS the operator's contract)
+    val docs = Seq((1L, "alpha text"), (2L, "beta text"),
+      (3L, "alpha text"), (4L, "gamma text"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(docs: _*)
+    val in = mem.toDF().toDF("doc_id", "text")
+    val q = graft.ops.Sampling.kfoldAssign(in,
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")), k = 5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("kfold_out").start()
+    q.processAllAvailable(); q.stop()
+    val sF = spark.table("kfold_out").orderBy("doc_id").collect().toSeq
+    val bF = graft.ops.Sampling.kfoldAssign(docs.toDF("doc_id", "text"),
+        org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("text")), k = 5)
+      .orderBy("doc_id").collect().toSeq
+    assert(sF == bF && sF.size == 4)
+    // the duplicate pair (docs 1 and 3) shares one fold on the stream too
+    val folds = sF.map(r => r.getString(1) -> r.getInt(3)).toMap
+    assert(sF.filter(_.getString(1) == "alpha text")
+      .map(_.getInt(3)).distinct.size == 1, folds.toString)
+  }
+
   test("streaming domain profile: Complete-mode aggregation == batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
