@@ -27,17 +27,27 @@ old_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
 # the old floor no longer describes the shipped plan
 # r13: text_quality_model's gate changed computation entirely (fixture-
 # truth trainPortable verdicts replaced the murmur3 train/score pair)
-DELIBERATE = {"text_quality_model"}
+# r15: the DistScan family re-planned onto DETERMINISTIC literal-cut
+# bucketing (correctness no longer leans on a releasable cache); each
+# scan pays two bounded construction jobs (cut-point sample + carry
+# totals) the cached spark_partition_id shape did not — gate-scale
+# fixed cost, data-scale cost unchanged (sf1 slopes stay sublinear)
+DELIBERATE = {"q_spearman", "q_rfm", "q_mann_whitney", "q_roc_auc",
+              "q_ks_test", "q_pareto_front", "q_negative_sample",
+              "q_quota_alloc", "q_select_budget"}
 
 h = json.load(open(headline))
 c = json.load(open(cluster))
 s = json.load(open(sf1))
 
 old = {}
+old_ctx = {}
 for line in open(old_md):
-    m = re.match(r"\| (\w+) \| ([\d.]+) \|", line)
+    m = re.match(r"\| (\w+) \| ([\d.]+) \| [\d.]+ \| ([^|]+) \| ([^|]+) \|",
+                 line)
     if m:
         old[m.group(1)] = float(m.group(2))
+        old_ctx[m.group(1)] = (m.group(3).strip(), m.group(4).strip())
 
 rows = []
 for q in sorted(h["queries"]):
@@ -52,8 +62,12 @@ for q in sorted(h["queries"]):
 print("| query | floor s (sf0.1 min) | median s | cluster s | sf1 s |")
 print("| --- | --- | --- | --- | --- |")
 for q, f, med, cl, s1 in rows:
-    cl_s = f"{cl:.3f}" if cl is not None else "—"
-    s1_s = f"{s1:.3f}" if s1 is not None else "—"
+    # context columns: fresh reading when this round measured the query
+    # (cluster replays only the changed surface), else the prior value
+    # carries forward verbatim (incl. any * pre-change marker)
+    cl_s = f"{cl:.3f}" if cl is not None else old_ctx.get(q, ("—",))[0]
+    s1_s = (f"{s1:.3f}" if s1 is not None
+            else old_ctx.get(q, ("—", "—"))[1])
     print(f"| {q} | {f:.3f} | {med:.3f} | {cl_s} | {s1_s} |")
 
 print()
