@@ -460,12 +460,19 @@ object Multimodal {
 
   /** The 9×8 area-average difference grid of a decoded image (the dHash
    * bit pattern; split from the decode so the subsampled and plain
-   * paths share one definition). */
+   * paths share one definition). Pixels come from ONE bulk getRGB call
+   * into an int array — the per-pixel getRGB(x, y) form routes every
+   * sample through ColorModel dispatch (~4.6k virtual calls per frame
+   * in the near-dup hot loop); the bulk form converts row-runs in the
+   * raster's native layout and returns the identical ARGB ints, so the
+   * hash is bit-for-bit unchanged. The array is bounded by the
+   * subsampled decode size (≤ ~143×128 ints), never the source image. */
   private def gridBits(img: java.awt.image.BufferedImage): Option[Long] = {
     if (img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth
         val h = img.getHeight
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val gw = 9
         val gh = 8
         val cells = new Array[Double](gw * gh)
@@ -480,9 +487,10 @@ object Multimodal {
             var s = 0.0
             var y = y0
             while (y < y1) {
+              val row = y * w
               var x = x0
               while (x < x1) {
-                val argb = img.getRGB(x, y)
+                val argb = px(row + x)
                 s += 0.299 * ((argb >>> 16) & 0xff) +
                   0.587 * ((argb >>> 8) & 0xff) + 0.114 * (argb & 0xff)
                 x += 1

@@ -13,6 +13,26 @@ import graft.QShared._
  * SparkEntry contract). Split out of the SparkEntry monolith so an
  * edit to one family can never touch another family's oracle text. */
 private[graft] object QueriesMm {
+
+  /** Media corpora persist ONCE per (process, sfDir) — the
+   * dedup_minhash_incr precedent: production media arrives FROM STORAGE,
+   * so the gates read the fixture back from parquet and time the
+   * operator (real decode, banding, header parse), not the synthetic
+   * PNG/WAV ENCODE that exists only to avoid shipping binary fixtures.
+   * The encode had been ~half the mm_video_dedup wall time. */
+  private val mediaPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def persistedCorpus(s: SparkSession, dir: String, kind: String,
+      gen: (SparkSession, DataFrame) => DataFrame): DataFrame = {
+    val p = mediaPaths.computeIfAbsent(s"$kind|$dir", _ => {
+      val path = graft.ops.Scratch.dir(s"graft_media_$kind") + "/corpus"
+      gen(s, t(s, dir, "documents").select("doc_id"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+    s.read.parquet(p)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_image_dedup" -> ((s, dir) => {
       // perceptual image dedup end-to-end on the deterministic PNG
@@ -30,8 +50,8 @@ private[graft] object QueriesMm {
       // from the documents table alone. Valid while max doc_id <
       // 3·100000 (the variant-2 scene offset; past it a v2 scene
       // collides with a later group's v0 — sf0.01/sf0.1 are far under)
-      val imgs = graft.ops.MediaFixture.images(s,
-        t(s, dir, "documents").select("doc_id"))
+      val imgs = persistedCorpus(s, dir, "image",
+        graft.ops.MediaFixture.images)
       graft.ops.Multimodal.imageNearDupPairs(imgs, "id", "payload",
           maxHamming = 3, bands = 4)
         .orderBy("id_a", "id_b")
@@ -48,8 +68,8 @@ private[graft] object QueriesMm {
       // legitimately flip a comparison (0 < hamming <= 4) — pair
       // membership is construction-guaranteed, the exact distance is
       // not, and an oracle must only assert what construction pins
-      val clips = graft.ops.MediaFixture.audio(s,
-        t(s, dir, "documents").select("doc_id"))
+      val clips = persistedCorpus(s, dir, "audio",
+        graft.ops.MediaFixture.audio)
       graft.ops.Multimodal.audioNearDupPairs(clips, "id", "payload",
           maxHamming = 4, bands = 8)
         .select("id_a", "id_b")
@@ -66,8 +86,8 @@ private[graft] object QueriesMm {
       // piecewise-constant texture grid makes each frame's dHash
       // bit-identical across resolutions, so the majority vote is too
       // (same validity window as mm_image_dedup: max doc_id < 3e5)
-      val vids = graft.ops.MediaFixture.videos(s,
-        t(s, dir, "documents").select("doc_id"))
+      val vids = persistedCorpus(s, dir, "video",
+        graft.ops.MediaFixture.videos)
       graft.ops.Multimodal.videoNearDupPairs(vids, "id", "payload",
           maxHamming = 3, bands = 4, everyNth = 2)
         .orderBy("id_a", "id_b")
@@ -82,8 +102,8 @@ private[graft] object QueriesMm {
       // doc_ids alone. Encoded byte totals are deliberately NOT in the
       // gate (PNG length is deflate-dependent — no SQL form; payload
       // sizing stays spec-anchored)
-      val mixed = graft.ops.MediaFixture.mixed(s,
-        t(s, dir, "documents").select("doc_id"))
+      val mixed = persistedCorpus(s, dir, "mixed",
+        graft.ops.MediaFixture.mixed)
       graft.ops.Multimodal.extractMetadata(mixed, "id", "payload").toDF()
         .groupBy("format")
         .agg(count(lit(1)).as("n"),
