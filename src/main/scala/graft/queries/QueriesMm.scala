@@ -26,7 +26,13 @@ private[graft] object QueriesMm {
       gen: (SparkSession, DataFrame) => DataFrame): DataFrame = {
     val p = mediaPaths.computeIfAbsent(s"$kind|$dir", _ => {
       val path = graft.ops.Scratch.dir(s"graft_media_$kind") + "/corpus"
+      // write well-partitioned (one file per core): the documents table
+      // is small enough to read as ONE split, and a 1-file corpus would
+      // hand the whole decode mapPartitions to a single task — a layout
+      // problem, not an operator one (production media tables arrive as
+      // many objects; parquet can't split a file below file level)
       gen(s, t(s, dir, "documents").select("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
         .write.mode("overwrite").parquet(path)
       path
     })
