@@ -39,6 +39,10 @@ DELIBERATE = {"q_spearman", "q_rfm", "q_mann_whitney", "q_roc_auc",
 h = json.load(open(headline))
 c = json.load(open(cluster))
 s = json.load(open(sf1))
+# context columns read MINIMA when the artifact has them (a multi-rep
+# sf1 sweep's median carries the first-rep fixture write)
+c["queries"] = c.get("queries_min") or c["queries"]
+s["queries"] = s.get("queries_min") or s["queries"]
 
 old = {}
 old_ctx = {}

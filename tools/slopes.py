@@ -12,8 +12,14 @@ import sys
 sf1_path = sys.argv[1] if len(sys.argv) > 1 else "bench_sf1_full_r12.json"
 base_path = sys.argv[2] if len(sys.argv) > 2 else "bench_headline.json"
 
-sf1 = json.load(open(sf1_path))["queries"]
-base = json.load(open(base_path))["queries"]
+# prefer per-query MINIMA on both sides (the BASELINE floor basis):
+# medians of a multi-rep sweep carry one-time costs (e.g. a first-rep
+# fixture write) and contention blips that minima exclude
+def best(path):
+    d = json.load(open(path))
+    return d.get("queries_min") or d["queries"]
+sf1 = best(sf1_path)
+base = best(base_path)
 
 rows = []
 for q in sorted(set(sf1) & set(base)):
