@@ -1000,4 +1000,37 @@ class PlanAuditSpec extends AnyFunSuite {
       s"queries hosting a ScalaUDF (promote to a native kernel or " +
         s"allowlist with justification): ${offenders.mkString(", ")}")
   }
+
+  test("silhouetteSimplified: one narrow argmin scan — no Window, no " +
+    "per-point join against a centroid table, one aggregation exchange") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.ops.Similarity.silhouetteSimplified(emb, "embedding",
+        "label")
+      .queryExecution.executedPlan.toString
+    // a and b are branch-selected literal-centroid kernels per row; the
+    // only join/window-free exchange is the clusters-sized final agg
+    assert(!p.contains("Window"), s"silhouette plans a window:\n$p")
+    assert(!p.contains("Join"), s"silhouette joins per point:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"more exchanges than the clusters-sized aggregation needs:\n$p")
+    assert(p.contains("graft_argmin_centroid"),
+      s"distances are not the native argmin kernel:\n$p")
+  }
+
+  test("rbo: bounded shortlist equi-join + weight lookup — no cartesian " +
+    "product, no window in the scoring path") {
+    import org.apache.spark.sql.functions._
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    def ranked(par: Int) = graft.ops.Profile.topKPerGroup(
+      ev.filter(col("event_id") % 2 === par)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n")),
+      Seq("event_type"), Seq(col("n").desc, col("user_id").asc), 20)
+    val p = graft.ops.Eval.rbo(ranked(0), ranked(1), Seq("event_type"),
+        "user_id", "rk", k = 20, p = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rbo joins without equi-keys:\n$p")
+  }
 }
