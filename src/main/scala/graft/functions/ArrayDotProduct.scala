@@ -112,7 +112,7 @@ object GraftFunctions {
   private[functions] def argminBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 7,
       "graft_argmin_centroid(vec, flat, ids, off, ds, expectDim, " +
-        s"emitPair): got ${exprs.length} args")
+        s"mode): got ${exprs.length} args")
     def arr[T](e: Expression, name: String)(
         get: org.apache.spark.sql.catalyst.util.ArrayData => T): T = {
       require(e.foldable, s"graft_argmin_centroid $name must be a literal")
@@ -122,19 +122,32 @@ object GraftFunctions {
           s"graft_argmin_centroid $name must be an array literal, got $other")
       }
     }
-    def b(e: Expression): Boolean = {
-      require(e.foldable, "graft_argmin_centroid emitPair must be a literal")
+    // arg 7: the emit mode — a boolean (legacy: true=pair, false=code)
+    // or a string name ("code"|"pair"|"top2"|"own")
+    def m(e: Expression): Int = {
+      require(e.foldable, "graft_argmin_centroid mode must be a literal")
       e.eval() match {
-        case v: java.lang.Boolean => v.booleanValue
+        case v: java.lang.Boolean =>
+          if (v.booleanValue) CentroidArgmin.ModePair
+          else CentroidArgmin.ModeCode
+        case s if s != null => s.toString match {
+          case "code" => CentroidArgmin.ModeCode
+          case "pair" => CentroidArgmin.ModePair
+          case "top2" => CentroidArgmin.ModeTop2
+          case "own" => CentroidArgmin.ModeOwn
+          case other => throw new IllegalArgumentException(
+            s"graft_argmin_centroid mode must be code|pair|top2|own " +
+              s"or a boolean (legacy pair flag): $other")
+        }
         case other => throw new IllegalArgumentException(
-          s"graft_argmin_centroid emitPair must be a boolean literal: $other")
+          s"graft_argmin_centroid mode must be a literal: $other")
       }
     }
     CentroidArgmin(exprs(0),
       arr(exprs(2), "ids")(_.toIntArray()),
       arr(exprs(1), "flat")(_.toDoubleArray()),
       i(exprs(4), "ds"), i(exprs(3), "off"), i(exprs(5), "expectDim"),
-      b(exprs(6)))
+      m(exprs(6)))
   }
 
   def register(spark: SparkSession): Unit = {

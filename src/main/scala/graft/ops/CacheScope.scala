@@ -23,6 +23,16 @@ private[ops] object CacheScope {
   /** Short-lived pair-operator caches (signatures, band keys, shingles). */
   val Ops = "ops"
 
+  /** [[DistScan]] input pins — optimization-only (an evicted or released
+   * pin recomputes the IDENTICAL bucketing; DistScanSpec proves it), so
+   * terminal 1-row statistics (rocAuc, ksTest, mannWhitney, spearman)
+   * release this WHOLE scope the moment their result is materialized
+   * ([[DistScan.sealTerminal]]) — a long session of drift dashboards
+   * never accumulates corpus-scale spill. Separate from [[Ops]] so that
+   * release can never touch a pair operator's in-flight signature
+   * cache. */
+  val Scan = "scan"
+
   /** Long-lived index caches (IVF cell assignments); released only by the
    * owning index object, never by `Dedup`/`Similarity.unpersistAll`. */
   val Index = "index"

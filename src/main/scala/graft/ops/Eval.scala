@@ -108,7 +108,11 @@ object Eval {
       avg((col("sq_i") - col("n")) / (col("n") * (col("n") - lit(1.0))))
         .as("p_bar"),
       sum(col("n")).cast("double").as("grand"))
-    val pj = cells.join(broadcast(kept.select("item", "n")), Seq("item"))
+    // NO broadcast hint on the kept-item side: items are data-scale for
+    // annotation tables (unlike bradleyTerry's maxItems-bounded systems),
+    // so a forced broadcast would collect the full item list onto the
+    // driver; AQE picks broadcast itself when the panel is actually small
+    val pj = cells.join(kept.select("item", "n"), Seq("item"))
       .groupBy("cat").agg(sum("n_ij").cast("double").as("votes"))
     val pe = pj.crossJoin(broadcast(stats.select(col("grand"))))
       .agg(coalesce(sum((col("votes") / col("grand")) *
@@ -244,6 +248,51 @@ object Eval {
     import org.apache.spark.sql.expressions.Window
     ranked.withColumn("rank", dense_rank().over(
       Window.orderBy(col("rating").desc)).cast("long"))
+  }
+
+  /**
+   * Pairwise win-rate matrix — the arena-style readout NEXT TO
+   * [[bradleyTerry]] (BT fits a latent strength; this reports the raw
+   * head-to-head record the fit summarizes, which is what preference-
+   * data dashboards actually display): one row per unordered model
+   * pair with win/loss/tie counts and the tie-splitting win rate
+   * (wins + ties/2) / n — the convention under which BT's
+   * P(a beats b) is directly comparable.
+   *
+   * Battles are canonicalized to (model_a < model_b) so (x,y) and
+   * (y,x) rows land in ONE cell; a winner equal to neither side (or
+   * null) counts as a tie — arena exports use 'tie'/'both_bad'
+   * markers, and any such value means "no winner". Self-battles and
+   * null-model rows are dropped. The whole operator is ONE map-side-
+   * combined groupBy on the pair key — no window, no join, no driver
+   * state; the output is models²-bounded (eval-design-scale), the
+   * input data-scale.
+   * Output: model_a, model_b, n_battles, wins_a, wins_b, ties,
+   * win_rate_a (4dp), win_rate_b (4dp).
+   */
+  def winRateMatrix(df: DataFrame, modelACol: String, modelBCol: String,
+      winnerCol: String): DataFrame = {
+    val a = col(modelACol).cast("string")
+    val b = col(modelBCol).cast("string")
+    val w = col(winnerCol).cast("string")
+    val base = df.filter(a.isNotNull && b.isNotNull && a =!= b)
+      .select(least(a, b).as("model_a"), greatest(a, b).as("model_b"),
+        when(w === least(a, b), "a").when(w === greatest(a, b), "b")
+          .otherwise("t").as("_o"))
+    base.groupBy("model_a", "model_b")
+      .agg(count(lit(1)).as("n_battles"),
+        coalesce(sum(when(col("_o") === "a", 1L).otherwise(0L)), lit(0L))
+          .as("wins_a"),
+        coalesce(sum(when(col("_o") === "b", 1L).otherwise(0L)), lit(0L))
+          .as("wins_b"),
+        coalesce(sum(when(col("_o") === "t", 1L).otherwise(0L)), lit(0L))
+          .as("ties"))
+      .select(col("model_a"), col("model_b"), col("n_battles"),
+        col("wins_a"), col("wins_b"), col("ties"),
+        round((col("wins_a") + col("ties") / 2.0) /
+          col("n_battles").cast("double"), 4).as("win_rate_a"),
+        round((col("wins_b") + col("ties") / 2.0) /
+          col("n_battles").cast("double"), 4).as("win_rate_b"))
   }
 
   /**

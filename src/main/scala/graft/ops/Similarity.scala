@@ -226,6 +226,47 @@ object Similarity {
       typedlit(ids), lit(0), lit(dim), lit(dim), lit(true))
   }
 
+  /** Best AND runner-up in one kernel pass, as
+   * `[best_dist², best_id, second_dist², second_id]` — the
+   * [[minDistPair]] arithmetic contract with the second slot tracked
+   * (ties: lowest id wins best, the other tied centroid is the
+   * runner-up). Nearest-OTHER-centroid readouts (silhouette b) select
+   * from this ONE call instead of folding k CaseWhen branches of
+   * (k−1)-centroid tables — O(k·dim) plan literals instead of
+   * O(k²·dim). */
+  private def minDistTop2(spark: org.apache.spark.sql.SparkSession,
+      v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val cs = sorted.map(_._2.toArray).toArray
+    val dim = cs(0).length
+    require(cs.forall(_.length == dim),
+      s"centroid table is ragged: dims ${cs.map(_.length).distinct.toSeq}")
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_argmin_centroid", v, typedlit(cs.flatten),
+      typedlit(ids), lit(0), lit(dim), lit(dim), lit("top2"))
+  }
+
+  /** dist² to the row's OWN centroid in one kernel call: the cluster id
+   * rides as element 0 of the scored array (`concat(array(cl), vec)`),
+   * the kernel's `own` mode looks it up in the table and scores only
+   * that centroid — O(dim) per row, no k-branch CaseWhen in the plan.
+   * Same per-centroid arithmetic as [[minDistPair]] over a 1-row
+   * table. */
+  private def ownDist(spark: org.apache.spark.sql.SparkSession,
+      cl: Column, v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    val ids = sorted.map(_._1).toArray
+    val cs = sorted.map(_._2.toArray).toArray
+    val dim = cs(0).length
+    require(cs.forall(_.length == dim),
+      s"centroid table is ragged: dims ${cs.map(_.length).distinct.toSeq}")
+    graft.functions.GraftFunctions.register(spark)
+    call_function("graft_argmin_centroid",
+      concat(array(cl.cast("double")), v), typedlit(cs.flatten),
+      typedlit(ids), lit(1), lit(dim), lit(dim + 1), lit("own"))
+  }
+
   /** Per-subspace code-assignment kernel: argmin over the subspace's
    * centroids read through an (offset, ds) window of the FULL vector —
    * the [[minDistPair]] arithmetic contract (left-to-right Σ(a−b)²,
@@ -739,21 +780,43 @@ object Similarity {
    * Shape: centroids come from one (cluster, pos) aggregation (6dp —
    * the [[groupCentroids]]/kmeans determinism contract) collected as
    * clusters-sized driver state (the [[kmeansAssign]] envelope — label
-   * tables, never the corpus); a and b are then ONE zero-shuffle
-   * narrow scan through the native argmin kernel (own cluster's
-   * 1-centroid table / the k−1 others, branch-selected per row), and
-   * the output aggregation is clusters-sized. Distances round 6dp
-   * before s (so any engine replays the division bit-for-bit), s
-   * rounds 6dp, means 4dp (reassociation-safe at |s| ≤ 1).
-   * Output: cluster, n, mean_s (4dp), min_s (6dp).
+   * tables, never the corpus, and ENFORCED by `maxClusters`: a
+   * data-scale label column fails fast with the sizing instead of
+   * silently building a k·dim-literal plan); a and b are then ONE
+   * zero-shuffle narrow scan of exactly TWO argmin-kernel calls per
+   * row — an own-centroid lookup (the kernel's `own` mode, id read
+   * from a prefixed element) and one top-2 pass over the full table
+   * (b = the runner-up when the winner IS the own cluster, else the
+   * winner — the identity that makes nearest-OTHER one call). Plan
+   * size is O(k·dim) literals; a k-branch CaseWhen form before round
+   * 16 embedded k·(k−1)·dim literals and hit the plan-compile cliff at
+   * IVF-scale k. The output aggregation is clusters-sized. Distances
+   * round 6dp before s (so any engine replays the division
+   * bit-for-bit), s rounds 6dp, means 4dp (reassociation-safe at
+   * |s| ≤ 1). Output: cluster, n, mean_s (4dp), min_s (6dp).
+   *
+   * @param maxClusters fail-fast bound on the centroid table (default
+   *   4096 ≈ 4 MB of plan literals at dim 128 — the bradleyTerry
+   *   maxItems pattern); raise deliberately for bigger IVF layouts.
    */
   def silhouetteSimplified(emb: DataFrame, vecCol: String,
-      clusterCol: String): DataFrame = {
+      clusterCol: String, maxClusters: Int = 4096): DataFrame = {
+    require(maxClusters >= 2, s"maxClusters must be >= 2: $maxClusters")
     val spark = emb.sparkSession
     val v = col(vecCol).cast("array<double>")
     val base = emb.where(v.isNotNull && col(clusterCol).isNotNull)
       .select(col(clusterCol).cast("int").as("_cl"), v.as("_v"))
-    // clusters-sized driver state, the groupCentroids aggregation shape
+    // clusters-sized driver state, the groupCentroids aggregation shape;
+    // bounded BEFORE the collect so a data-scale label column can cost
+    // at most maxClusters+1 rows here
+    val nClusters = base.select(col("_cl")).distinct()
+      .limit(maxClusters + 1).count()
+    require(nClusters <= maxClusters,
+      s"silhouette collects a clusters x dim centroid table on the " +
+        s"driver and embeds it in the plan, but the input has > " +
+        s"$maxClusters distinct cluster ids: cluster columns must be " +
+        "label-scale (IVF cells, kmeans labels), not data-scale; raise " +
+        "maxClusters deliberately if the layout really is this wide")
     val cents: Seq[(Int, Seq[Double])] = base
       .select(col("_cl"), posexplode(col("_v")).as(Seq("pos", "x")))
       .groupBy("_cl", "pos").agg(round(avg(col("x")), 6).as("m"))
@@ -764,22 +827,16 @@ object Similarity {
       }.toSeq.sortBy(_._1)
     require(cents.size >= 2,
       s"silhouette needs >= 2 clusters, got ${cents.size}")
-    // one narrow scan: per row, own-centroid distance and nearest-other
-    // distance through the codegen'd argmin kernel, branch-selected on
-    // the row's cluster id (k branches over a clusters-sized table)
-    val a2 = cents.tail.foldLeft(
-      minDistPair(spark, col("_v"), Seq(cents.head)).getItem(0)) {
-      case (acc, c) => when(col("_cl") === c._1,
-        minDistPair(spark, col("_v"), Seq(c)).getItem(0)).otherwise(acc)
-    }
-    val b2 = cents.tail.foldLeft(
-      minDistPair(spark, col("_v"),
-        cents.filterNot(_._1 == cents.head._1)).getItem(0)) {
-      case (acc, c) => when(col("_cl") === c._1,
-        minDistPair(spark, col("_v"),
-          cents.filterNot(_._1 == c._1)).getItem(0)).otherwise(acc)
-    }
-    base
+    // one narrow scan, two kernel calls per row: own-centroid distance
+    // (id prefixed as element 0 of the scored array) + top-2 over the
+    // full table; b = second-best iff the global winner is the own
+    // cluster. Identical arithmetic to a min over the k-1 others: the
+    // same left-to-right Σ(a−b)² per centroid, selection only.
+    val a2 = ownDist(spark, col("_cl"), col("_v"), cents)
+    val withT2 = base.withColumn("_t2", minDistTop2(spark, col("_v"), cents))
+    val b2 = when(col("_t2").getItem(1).cast("int") === col("_cl"),
+      col("_t2").getItem(2)).otherwise(col("_t2").getItem(0))
+    withT2
       .withColumn("_a", round(sqrt(a2), 6))
       .withColumn("_b", round(sqrt(b2), 6))
       .withColumn("_s", when(greatest(col("_a"), col("_b")) > 0,

@@ -526,6 +526,25 @@ private[graft] object QueriesProfile {
       graft.ops.Eval.bradleyTerry(m, "winner", "loser", iters = 10)
         .orderBy("rank", "item")
     }),
+    "q_winrate_matrix" -> ((s, dir) => {
+      // arena-style head-to-head record over the SAME battle pairing as
+      // q_bradley_terry, ties kept (equal-length battles get no winner):
+      // per unordered language pair, win/loss/tie counts + the
+      // tie-splitting win rate — one groupBy, no driver state
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val a = d.filter(col("doc_id") % 2 === 0).select(
+        col("doc_id").as("ida"), col("lang").as("la"),
+        col("n_chars").as("ca"))
+      val b = d.select((col("doc_id") - 1).as("ida"),
+        col("lang").as("lb"), col("n_chars").as("cb"))
+      val m = a.join(b, Seq("ida"))
+        .select(col("la").as("ma"), col("lb").as("mb"),
+          when(col("ca") > col("cb"), col("la"))
+            .when(col("cb") > col("ca"), col("lb")).as("win"))
+      graft.ops.Eval.winRateMatrix(m, "ma", "mb", "win")
+        .orderBy("model_a", "model_b")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1634,5 +1653,28 @@ private[graft] object QueriesProfile {
         |SELECT id, p, rank, p_adj, p_adj <= 0.05 AS significant
         |FROM adj ORDER BY rank""".stripMargin,
     "q_bradley_terry" -> bradleyTerryOracle(10),
+    // the same consecutive-doc battle pairing, ties kept; canonicalize
+    // to (least, greatest) and split ties in the rate — the engine's
+    // winRateMatrix contract replayed in one GROUP BY
+    "q_winrate_matrix" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+        |b AS (SELECT a.lang AS la, bb.lang AS lb,
+        |    CASE WHEN a.n_chars > bb.n_chars THEN a.lang
+        |      WHEN bb.n_chars > a.n_chars THEN bb.lang END AS win
+        |  FROM d a JOIN d bb ON bb.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |c AS (SELECT least(la, lb) AS model_a, greatest(la, lb) AS model_b,
+        |    CASE WHEN win = least(la, lb) THEN 'a'
+        |      WHEN win = greatest(la, lb) THEN 'b' ELSE 't' END AS o
+        |  FROM b WHERE la IS NOT NULL AND lb IS NOT NULL AND la <> lb),
+        |g AS (SELECT model_a, model_b, count(*)::BIGINT AS n_battles,
+        |    sum(CASE WHEN o = 'a' THEN 1 ELSE 0 END)::BIGINT AS wins_a,
+        |    sum(CASE WHEN o = 'b' THEN 1 ELSE 0 END)::BIGINT AS wins_b,
+        |    sum(CASE WHEN o = 't' THEN 1 ELSE 0 END)::BIGINT AS ties
+        |  FROM c GROUP BY 1, 2)
+        |SELECT model_a, model_b, n_battles, wins_a, wins_b, ties,
+        |  round((wins_a + ties / 2.0) / n_battles, 4) AS win_rate_a,
+        |  round((wins_b + ties / 2.0) / n_battles, 4) AS win_rate_b
+        |FROM g ORDER BY model_a, model_b""".stripMargin,
   )
 }

@@ -1007,14 +1007,18 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = graft.ops.Similarity.silhouetteSimplified(emb, "embedding",
         "label")
       .queryExecution.executedPlan.toString
-    // a and b are branch-selected literal-centroid kernels per row; the
-    // only join/window-free exchange is the clusters-sized final agg
+    // a and b are exactly TWO kernel calls per row (own-centroid lookup
+    // + one top-2 pass) — O(k·dim) plan literals, never the k-branch
+    // CaseWhen fold; the only join/window-free exchange is the
+    // clusters-sized final agg
     assert(!p.contains("Window"), s"silhouette plans a window:\n$p")
     assert(!p.contains("Join"), s"silhouette joins per point:\n$p")
     assert("Exchange".r.findAllIn(p).length <= 2,
       s"more exchanges than the clusters-sized aggregation needs:\n$p")
-    assert(p.contains("graft_argmin_centroid"),
-      s"distances are not the native argmin kernel:\n$p")
+    val kernelSites = "graft_argmin_centroid".r.findAllIn(p).length
+    assert(kernelSites == 2,
+      s"expected exactly 2 argmin kernel call sites (own + top2), got " +
+        s"$kernelSites:\n$p")
   }
 
   test("rbo: bounded shortlist equi-join + weight lookup — no cartesian " +

@@ -323,11 +323,107 @@ class FunctionsSpec extends AnyFunSuite {
     val e = CentroidArgmin(
       Literal.create(Array(0.3, 0.9), ArrayType(DoubleType)),
       ids = Array(2, 7), flat = Array(0.0, 0.0, 1.0, 1.0),
-      ds = 2, off = 0, expectDim = 2, emitPair = true)
+      ds = 2, off = 0, expectDim = 2, mode = CentroidArgmin.ModePair)
     val pair = e.eval().asInstanceOf[
       org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
     // nearest of [(0,0) id 2, (1,1) id 7] to (0.3, 0.9): d2=0.9 vs 0.5
     assert(math.abs(pair(0) - 0.5) < 1e-15 && pair(1) == 7.0,
       pair.toSeq.toString)
+  }
+
+  test("graft_argmin_centroid: top2/own modes match a driver-side " +
+    "reference, tie slots, sized own-id error, codegen + interpreted " +
+    "agreement") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(13)
+    val cents = (0 until 7).map(c => (c * 2,
+      Seq.fill(dim)(rng.nextDouble() * 2 - 1)))
+    val flat = cents.flatMap(_._2).toArray
+    val ids = cents.map(_._1).toArray
+    val rows = (0 until 50).map(i =>
+      (i.toLong, (i % 7) * 2, Seq.fill(dim)(rng.nextDouble() * 2 - 1)))
+    val df = rows.toDF("i", "cl", "v")
+    val got = df.select(col("i"),
+        call_function("graft_argmin_centroid", col("v"), typedlit(flat),
+          typedlit(ids), lit(0), lit(dim), lit(dim), lit("top2")).as("t2"),
+        call_function("graft_argmin_centroid",
+          concat(array(col("cl").cast("double")), col("v")),
+          typedlit(flat), typedlit(ids), lit(1), lit(dim), lit(dim + 1),
+          lit("own")).as("own"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getDouble(2))))
+      .toMap
+    def d2(x: Seq[Double], c: Seq[Double]): Double = {
+      var d = 0.0
+      for (j <- x.indices) { val t = x(j) - c(j); d += t * t }
+      d
+    }
+    for ((i, cl, x) <- rows) {
+      val ds = cents.map { case (cid, cv) => (d2(x, cv), cid) }
+      val sortedD = ds.sortBy(p => (p._1, p._2))
+      val (t2, own) = got(i)
+      assert(math.abs(t2(0) - sortedD(0)._1) < 1e-12 &&
+        t2(1) == sortedD(0)._2.toDouble &&
+        math.abs(t2(2) - sortedD(1)._1) < 1e-12 &&
+        t2(3) == sortedD(1)._2.toDouble,
+        s"row $i top2 ${t2.toSeq} vs ${sortedD.take(2)}")
+      val expOwn = d2(x, cents.find(_._1 == cl).get._2)
+      assert(math.abs(own - expOwn) < 1e-12, s"row $i own $own vs $expOwn")
+    }
+    // tied pair: identical centroids -> best = lower id, second = the
+    // OTHER tied id, equal distances (strict-< scan order)
+    val tied = Seq(Seq(1.0, 1.0)).toDF("v")
+      .select(call_function("graft_argmin_centroid", col("v"),
+        typedlit(Array(2.0, 2.0, 2.0, 2.0)), typedlit(Array(3, 8)),
+        lit(0), lit(2), lit(2), lit("top2")))
+      .collect()(0).getSeq[Double](0)
+    assert(tied == Seq(2.0, 3.0, 2.0, 8.0), tied.toString)
+    // own mode: an id absent from the table is corrupt data, sized error
+    val ownErr = intercept[Exception] {
+      Seq((99, Seq(1.0, 1.0))).toDF("cl", "v")
+        .select(call_function("graft_argmin_centroid",
+          concat(array(col("cl").cast("double")), col("v")),
+          typedlit(Array(0.0, 0.0)), typedlit(Array(0)), lit(1), lit(2),
+          lit(3), lit("own")))
+        .collect()
+    }
+    assert(ownErr.getMessage.contains("has no centroid"), ownErr.getMessage)
+    // both new modes stay inside whole-stage codegen (range source: a
+    // local relation would constant-fold to a LocalTableScan)
+    val plan = spark.range(4)
+      .select(array(col("id").cast("double"), col("id").cast("double"))
+          .as("v"),
+        pmod(col("id"), lit(2)).cast("int").as("cl"))
+      .select(call_function("graft_argmin_centroid", col("v"),
+          typedlit(Array(0.0, 0.0, 1.0, 1.0)), typedlit(Array(0, 1)),
+          lit(0), lit(2), lit(2), lit("top2")),
+        call_function("graft_argmin_centroid",
+          concat(array(col("cl").cast("double")), col("v")),
+          typedlit(Array(0.0, 0.0, 1.0, 1.0)), typedlit(Array(0, 1)),
+          lit(1), lit(2), lit(3), lit("own")))
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_argmin_centroid") && l.trim.startsWith("*(")),
+      s"top2/own not inside a codegen stage:\n$plan")
+    // interpreted eval (no codegen) agrees with the generated path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val t2i = CentroidArgmin(
+      Literal.create(Array(0.3, 0.9), ArrayType(DoubleType)),
+      ids = Array(2, 7), flat = Array(0.0, 0.0, 1.0, 1.0),
+      ds = 2, off = 0, expectDim = 2, mode = CentroidArgmin.ModeTop2)
+      .eval().asInstanceOf[
+        org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+    // d2 to (0,0)=0.9, to (1,1)=0.5: best (0.5, 7), second (0.9, 2)
+    assert(math.abs(t2i(0) - 0.5) < 1e-15 && t2i(1) == 7.0 &&
+      math.abs(t2i(2) - 0.9) < 1e-15 && t2i(3) == 2.0, t2i.toSeq.toString)
+    val owni = CentroidArgmin(
+      Literal.create(Array(2.0, 0.3, 0.9), ArrayType(DoubleType)),
+      ids = Array(2, 7), flat = Array(0.0, 0.0, 1.0, 1.0),
+      ds = 2, off = 1, expectDim = 3, mode = CentroidArgmin.ModeOwn)
+      .eval().asInstanceOf[Double]
+    assert(math.abs(owni - 0.9) < 1e-15, owni.toString)
   }
 }

@@ -2086,4 +2086,65 @@ class CurationSpec extends AnyFunSuite {
         Seq((0L, Seq(1.0), 0)).toDF("id", "v", "cl"), "v", "cl")
     }
   }
+
+  test("silhouetteSimplified at IVF-scale k (300 cells, dim 16): " +
+    "matches a naive driver reference and the maxClusters guard fails " +
+    "fast (the 2-kernel-call plan bound is pinned in PlanAuditSpec)") {
+    import spark.implicits._
+    // 300 clusters x 3 members — the IVF-cell-count regime where the
+    // pre-round-16 k-branch CaseWhen embedded k*(k-1)*dim literal
+    // doubles (~23 MB of plan here; hundreds of MB at dim 128) and hit
+    // the plan-compile cliff. The top2+own shape stays O(k*dim).
+    val k = 300
+    val dim = 16
+    val rng = new scala.util.Random(31)
+    val bases = Vector.fill(k)(Vector.fill(dim)(rng.nextDouble() * 20 - 10))
+    val rows = for (c <- 0 until k; m <- 0 until 3) yield
+      (c.toLong * 3 + m, c,
+        bases(c).zipWithIndex.map { case (b, j) =>
+          b + (rng.nextDouble() - 0.5) * 0.2 + (if (j == m) 0.1 else 0.0)
+        }.toSeq)
+    val df = rows.toDF("id", "cl", "v")
+    val got = Similarity.silhouetteSimplified(df, "v", "cl")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // naive reference: 6dp centroids, a/b 6dp, s 6dp, mean 4dp
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cents = rows.groupBy(_._2).map { case (c, rs) =>
+      c -> (0 until dim).map(j => r6(rs.map(_._3(j)).sum / rs.size))
+    }
+    def dist(x: Seq[Double], c: Seq[Double]) =
+      math.sqrt(x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum)
+    val ss = rows.map { case (_, c, x) =>
+      val a = r6(dist(x, cents(c)))
+      val b = r6(cents.filter(_._1 != c).map(e => dist(x, e._2)).min)
+      c -> (if (math.max(a, b) > 0) r6((b - a) / math.max(a, b)) else 0.0)
+    }
+    val exp = ss.groupBy(_._1).map { case (c, vs) =>
+      c -> ((vs.size.toLong, r4(vs.map(_._2).sum / vs.size), vs.map(_._2).min))
+    }
+    assert(got.keySet == exp.keySet)
+    for (c <- exp.keys) assert(got(c)._1 == exp(c)._1 &&
+      math.abs(got(c)._2 - exp(c)._2) < 1e-9 &&
+      math.abs(got(c)._3 - exp(c)._3) < 1e-9,
+      s"cluster $c: ${got(c)} vs ${exp(c)}")
+    // a data-scale cluster column fails fast with the sizing message
+    // BEFORE any driver-side collect (maxClusters, bradleyTerry pattern)
+    val wide = spark.range(5000)
+      .select(col("id").cast("int").as("cl"),
+        array(col("id").cast("double")).as("v"))
+    val err = intercept[IllegalArgumentException] {
+      Similarity.silhouetteSimplified(wide, "v", "cl")
+    }
+    assert(err.getMessage.contains("maxClusters"), err.getMessage)
+    // ... and raising the bound deliberately is honored
+    assert(Similarity.silhouetteSimplified(
+        Seq((0L, Seq(0.0), 0), (1L, Seq(5.0), 1), (2L, Seq(9.0), 2))
+          .toDF("id", "v", "cl"), "v", "cl", maxClusters = 3)
+      .count() == 3)
+  }
 }

@@ -53,6 +53,27 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - 0.25) < 1e-9, s"kappa: $r")
   }
 
+  test("fleissKappa at 1e6 items: closed-form kappa, no driver-side " +
+    "item collect (the kept-item join is unhinted — AQE decides)") {
+    import org.apache.spark.sql.functions._
+    // rater r rates item i as ((i + r) % 2): every item gets (2,1) votes
+    // split, P_i = 1/3, category mass is exactly 50/50 -> p_e = 0.5,
+    // kappa = (1/3 - 1/2) / (1/2) = -1/3. A forced broadcast of the
+    // kept-item list here would ship 1e6 rows through the driver.
+    val n = 1000000L
+    val rated = spark.range(n)
+      .select(col("id").as("item"),
+        explode(array((col("id") % 2), ((col("id") + 1) % 2),
+          ((col("id") + 2) % 2))).as("c"))
+      .select(col("item"), col("c").cast("string").as("cat"))
+    val r = Eval.fleissKappa(rated, "item", "cat").collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == 0L && r.getLong(2) == 3L,
+      s"$r")
+    assert(math.abs(r.getDouble(3) - 0.3333) < 1e-9, s"p_bar: $r")
+    assert(math.abs(r.getDouble(4) - 0.5) < 1e-9, s"p_e: $r")
+    assert(math.abs(r.getDouble(5) - (-0.3333)) < 1e-9, s"kappa: $r")
+  }
+
   test("majorityVote: election, margin, and deterministic tie-break") {
     import spark.implicits._
     val rows = Seq(("q1", "x"), ("q1", "x"), ("q1", "y"),    // x by 2:1
@@ -96,6 +117,28 @@ class EvalSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("maxItems=2"), e.getMessage)
     assert(e.getMessage.contains("3 x 3"), e.getMessage)
+  }
+
+  test("winRateMatrix: canonicalized pairs, tie-splitting rates, " +
+    "unknown winner counts as tie, self-battles dropped") {
+    import spark.implicits._
+    // A vs B: A wins 2 (one recorded as (B,A)), B wins 1, 1 tie (null
+    // winner) -> rate_A = (2 + 0.5)/4 = 0.625
+    // A vs C: 1 battle, winner 'both_bad' (matches neither) -> tie,
+    // rate 0.5/0.5; the (C,C) self-battle row is dropped entirely
+    val rows = Seq(
+      ("A", "B", "A"), ("B", "A", "A"), ("A", "B", "B"),
+      ("A", "B", null), ("A", "C", "both_bad"), ("C", "C", "C"))
+    val out = Eval.winRateMatrix(rows.toDF("ma", "mb", "win"),
+        "ma", "mb", "win")
+      .orderBy("model_a", "model_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6),
+        r.getDouble(7)))
+    assert(out.length == 2, out.mkString("; "))
+    assert(out(0) == (("A", "B", 4L, 2L, 1L, 1L, 0.625, 0.375)),
+      s"${out(0)}")
+    assert(out(1) == (("A", "C", 1L, 0L, 0L, 1L, 0.5, 0.5)), s"${out(1)}")
   }
 
   test("mbrSelect: consensus argmax, tie to smallest id, singleton and " +
