@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
  * transform scan on every subsequent query). Index caches release only
  * through their owner (e.g. `IvfIndex.unpersist()`).
  */
-private[ops] object CacheScope {
+private[graft] object CacheScope {
 
   /** Short-lived pair-operator caches (signatures, band keys, shingles). */
   val Ops = "ops"

@@ -38,9 +38,13 @@ object Dedup {
   private val log = LoggerFactory.getLogger(getClass)
 
   /** Release every frame the Dedup/Similarity operators cached in this
-   * session (see the caching contract above). */
-  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+   * session (see the caching contract above), plus any DistScan pins
+   * still alive from lazy Profile/Sampling scan statistics (their own
+   * terminal readouts self-release; this drains the rest). */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     CacheScope.unpersistAll(spark)
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
+  }
 
   /** Unique suffix for observed-metric names: CollectMetrics requires a
    * distinct name per node within one query plan. */

@@ -48,11 +48,19 @@ import org.apache.spark.sql.functions._
  * the IDENTICAL bucketing (measured without the pin: every scan paid
  * ~3 input evaluations — sample, totals, result — tripling the
  * family's floors; with it, r14's cost shape is restored at r15's
- * determinism). Lifecycle: callers release via Dedup/Similarity
- * `.unpersistAll` once the consuming action ran — a terminal 1-row
- * statistic (rocAuc, ksTest) otherwise keeps one data-scale cached
- * frame alive until then (MEMORY_AND_DISK, evictable under pressure,
- * so the cost of NOT releasing is spill space, never wrong answers).
+ * determinism). Lifecycle: pins live in their own [[CacheScope.Scan]]
+ * scope. Terminal 1-row statistics (rocAuc, ksTest, mannWhitney,
+ * spearman) SELF-RELEASE via [[sealTerminal]] — the result is
+ * materialized (bounded rows by construction) into a local frame and
+ * the whole Scan scope drops, so a long session of drift dashboards
+ * never accumulates corpus-scale spill or registry references.
+ * Operators returning data-scale lazy frames (bhAdjust, RFM, the
+ * Sampling scans) keep their pin until the caller releases — via
+ * `Profile.unpersistAll` / `Sampling.unpersistAll` (or the
+ * Dedup/Similarity ones, which drain Scan too). A seal DOES release
+ * sibling lazy scans' pins in the same session; they recompute
+ * identically (the pins are optimization-only), trading one re-scan
+ * for never leaking under interleaved use.
  * Like fitIvfIndex, the construction jobs are an index build, not part
  * of the result plan; chained scans (BH-FDR, RFM, Spearman) pin per
  * level, so depth-d chains cost O(d) evaluations, not O(2^d).
@@ -143,7 +151,7 @@ private[graft] object DistScan {
     guard(df)
     // optimization-only pin (see the object doc): the sample job fills
     // it, totals + the result plan read it; recompute is identical
-    val pinned = CacheScope.track(df)
+    val pinned = CacheScope.track(df, CacheScope.Scan)
     val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val upper = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
@@ -173,7 +181,8 @@ private[graft] object DistScan {
       value: Column, out: String, inclusive: Boolean,
       isMin: Boolean): DataFrame = {
     guard(df)
-    val pinned = CacheScope.track(df) // optimization-only (object doc)
+    // optimization-only (object doc)
+    val pinned = CacheScope.track(df, CacheScope.Scan)
     val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val agg: Column => Column = if (isMin) min else max
     val merge: (Column, Column) => Column =
@@ -199,4 +208,26 @@ private[graft] object DistScan {
   def prefixMax(df: DataFrame, order: Seq[Column], value: Column,
       out: String, inclusive: Boolean = true): DataFrame =
     prefixExtreme(df, order, value, out, inclusive, isMin = false)
+
+  /** Terminal-statistic seal: materialize `result` (statistics-sized by
+   * construction — a 1-row test readout, never data; `maxRows` fails
+   * fast if a caller mislabels a data-scale frame as terminal), release
+   * EVERY Scan-scope pin of the session, and hand back the rows as a
+   * local frame with the identical schema. The returned frame holds no
+   * reference to the scan plan, so the statistic's cost shape is one
+   * input evaluation total (sample fills the pin, totals + this collect
+   * read it) and the session's cache registry is empty afterwards —
+   * the self-release contract DriverStateAuditSpec pins. */
+  def sealTerminal(result: DataFrame, maxRows: Int = 1024): DataFrame = {
+    val spark = result.sparkSession
+    val rows = result.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"sealTerminal materializes the result on the driver but got > " +
+        s"$maxRows rows: only statistics-sized terminal readouts may " +
+        "seal — return the lazy frame and release via unpersistAll " +
+        "instead")
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
+  }
 }

@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
  */
 object Profile {
 
+  /** Release any DistScan input pins still alive from LAZY scan-backed
+   * results (bhAdjust; the terminal 1-row statistics self-release at
+   * construction and never need this). Pins are optimization-only —
+   * releasing mid-flight recomputes identical results. */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
+
   /**
    * Per-group EXACT quantiles (linear interpolation, the percentile/
    * quantile_cont definition shared by Spark and DuckDB) plus group
@@ -902,16 +909,19 @@ object Profile {
       .groupBy(s.as("score"))
       .agg(coalesce(sum(when(y, 1L).otherwise(0L)), lit(0L)).as("np"),
         coalesce(sum(when(!y, 1L).otherwise(0L)), lit(0L)).as("nn"))
-    DistScan.prefixSums(perScore, Seq(col("score")),
-        Seq((col("nn"), "_cumNegBelow")), inclusive = false)
-      .agg(sum(col("np") + col("nn")).as("n"),
-        sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-        sum(col("np") * (col("_cumNegBelow") + col("nn") / lit(2.0)))
-          .as("_u"))
-      .select(col("n"), col("n_pos"), col("n_neg"),
-        round(when(col("n_pos") > 0 && col("n_neg") > 0,
-          col("_u") / (col("n_pos") * col("n_neg")).cast("double"))
-          .otherwise(lit(0.0)), 4).as("auc"))
+    // terminal 1-row statistic: materialize + release the scan pin
+    // (DistScan.sealTerminal) so the readout leaves no cached state
+    DistScan.sealTerminal(
+      DistScan.prefixSums(perScore, Seq(col("score")),
+          Seq((col("nn"), "_cumNegBelow")), inclusive = false)
+        .agg(sum(col("np") + col("nn")).as("n"),
+          sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+          sum(col("np") * (col("_cumNegBelow") + col("nn") / lit(2.0)))
+            .as("_u"))
+        .select(col("n"), col("n_pos"), col("n_neg"),
+          round(when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("_u") / (col("n_pos") * col("n_neg")).cast("double"))
+            .otherwise(lit(0.0)), 4).as("auc")))
   }
 
   /**
@@ -1289,20 +1299,22 @@ object Profile {
         coalesce(col("_cb"), lit(0L)).as("_cb"))
     val tot = merged.agg(sum("_ca").as("_na"), sum("_cb").as("_nb"))
     // both CDFs cumulate in ONE distributed prefix scan (long counts:
-    // bit-identical to the naive global window at any partitioning)
-    DistScan.prefixSums(merged, Seq(col("v")),
-        Seq((col("_ca"), "_cca"), (col("_cb"), "_ccb")), inclusive = true)
-      .crossJoin(tot)
-      .withColumn("_d", round(abs(
-        col("_cca") / col("_na") - col("_ccb") / col("_nb")), 6))
-      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
-        round(max(col("_d")), 4).as("d_stat"),
-        round(max_by(col("v"), struct(col("_d"), negate(col("v")))), 4)
-          .as("d_at"),
-        round(lit(1.358) * sqrt((max(col("_na")) + max(col("_nb")))
-          / (max(col("_na")) * max(col("_nb"))).cast("double")), 4)
-          .as("d_crit95"))
-      .withColumn("significant", col("d_stat") > col("d_crit95"))
+    // bit-identical to the naive global window at any partitioning);
+    // terminal 1-row statistic: seal releases the scan pin on return
+    DistScan.sealTerminal(
+      DistScan.prefixSums(merged, Seq(col("v")),
+          Seq((col("_ca"), "_cca"), (col("_cb"), "_ccb")), inclusive = true)
+        .crossJoin(tot)
+        .withColumn("_d", round(abs(
+          col("_cca") / col("_na") - col("_ccb") / col("_nb")), 6))
+        .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+          round(max(col("_d")), 4).as("d_stat"),
+          round(max_by(col("v"), struct(col("_d"), negate(col("v")))), 4)
+            .as("d_at"),
+          round(lit(1.358) * sqrt((max(col("_na")) + max(col("_nb")))
+            / (max(col("_na")) * max(col("_nb"))).cast("double")), 4)
+            .as("d_crit95"))
+        .withColumn("significant", col("d_stat") > col("d_crit95")))
   }
 
   /**
@@ -2081,14 +2093,15 @@ object Profile {
     val sigma = sqrt(na * nb / 12.0 *
       ((n + 1) - col("_t3") / (n * (n - 1))))
     val z = (ua - na * nb / 2.0) / sigma
-    agged.select(col("n_a"), col("n_b"),
+    // terminal 1-row statistic: seal releases the scan pin on return
+    DistScan.sealTerminal(agged.select(col("n_a"), col("n_b"),
       round(ua, 1).as("u_a"),
       when(col("n_a") > 0 && col("n_b") > 0,
         round(ua / (na * nb), 4)).as("auc"),
       when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
         round(z, 4) + lit(0.0)).as("z"),
       coalesce(when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
-        abs(z) > 1.96), lit(false)).as("significant"))
+        abs(z) > 1.96), lit(false)).as("significant")))
   }
 
   /**
@@ -2114,10 +2127,12 @@ object Profile {
           Seq(col("v")), Seq((col("k"), "_below")), inclusive = false)
         .withColumn(s"r$c", col("_below") + (col("k") + 1) / 2.0)
         .select(col("v").as(c), col(s"r$c"))
-    d.join(avgRanks("x"), Seq("x"))
-      .join(avgRanks("y"), Seq("y"))
-      .agg(count(lit(1)).as("n"),
-        round(corr(col("rx"), col("ry")), 4).as("rho"))
+    // terminal 1-row statistic: seal releases BOTH rank-scan pins
+    DistScan.sealTerminal(
+      d.join(avgRanks("x"), Seq("x"))
+        .join(avgRanks("y"), Seq("y"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("rx"), col("ry")), 4).as("rho")))
   }
 
   /**

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
  */
 object Sampling {
 
+  /** Release any DistScan input pins still alive from lazy scan-backed
+   * sampling results (negativeSample, quotaAllocate, paretoFront,
+   * selectBudget chains) — the Profile.unpersistAll twin. */
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
+
   /**
    * Exact-size stratified sample: up to `n` rows per stratum, chosen as
    * the lowest md5(seed || '|' || id) within each stratum (ties broken by

@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Release every PAIR-OPERATOR frame the Similarity/Dedup operators
-   * cached in this session. Does NOT touch live index caches (IVF cell
-   * assignments live in a separate scope) — release those via
+   * cached in this session, plus any live DistScan pins (the Dedup
+   * contract). Does NOT touch live index caches (IVF cell assignments
+   * live in a separate scope) — release those via
    * `IvfIndex.unpersist()`. */
-  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit =
+  def unpersistAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     CacheScope.unpersistAll(spark)
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
+  }
 
   /** Built-in composition (portable, interpreted higher-order funcs). */
   def dot(a: Column, b: Column): Column =

@@ -40,10 +40,12 @@ class DriverStateAuditSpec extends AnyFunSuite {
         "binary of ~1.2*expectedItems bytes at fpp=0.01 (documented " +
         "bits-vs-cardinality envelope: ~1.2 GB at 1e9 keys — beyond that, " +
         "range-partition the hash space, Dedup.scala docstring)"),
-    "ops/DistScan.scala" -> (2,
+    "ops/DistScan.scala" -> (3,
       "cut-point sample: TakeOrdered limit(16*nBuckets) of ONE projected " +
         "column; carry offsets: <= nBuckets rows (both bounded by " +
-        "4*numShufflePartitions config, never data)"),
+        "4*numShufflePartitions config, never data); sealTerminal: " +
+        "limit(maxRows+1) with a sized require — statistics-sized " +
+        "terminal readouts only"),
     "ops/Eval.scala" -> (2,
       "bradleyTerry: 1-row distinct-item count + roster collect guarded " +
         "at maxItems=4096 with a sized error (Eval.scala:205)"),
@@ -101,5 +103,48 @@ class DriverStateAuditSpec extends AnyFunSuite {
     assert(drifted.isEmpty,
       "driver-materializing site counts drifted — re-audit the file and " +
         s"update its contract row: ${drifted.mkString("; ")}")
+  }
+
+  test("terminal scan statistics self-release: the Scan-scope cache " +
+    "registry is EMPTY the moment rocAuc/ksTest/mannWhitney/spearman " +
+    "return; lazy scan results keep their pin until " +
+    "Profile.unpersistAll") {
+    import org.apache.spark.sql.functions._
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    val scan = graft.ops.CacheScope.Scan
+    graft.ops.CacheScope.unpersistAll(spark, scan) // a clean slate
+    val orders = spark.read
+      .parquet("/root/testdata/sf0.001/orders.parquet")
+    def scanPins(): Int = graft.ops.CacheScope.trackedCount(spark, scan)
+    val auc = graft.ops.Profile.rocAuc(
+      orders.withColumn("y", col("o_orderkey") % 2 === 0),
+      "o_totalprice", "y")
+    assert(scanPins() == 0, "rocAuc returned with a live Scan pin")
+    assert(auc.count() == 1)
+    val ks = graft.ops.Profile.ksTest(
+      orders.filter(col("o_orderstatus") === "O"),
+      orders.filter(col("o_orderstatus") === "F"), "o_totalprice")
+    assert(scanPins() == 0, "ksTest returned with a live Scan pin")
+    assert(ks.count() == 1)
+    graft.ops.Profile.mannWhitney(orders, "o_orderstatus",
+      "o_totalprice", "O", "F")
+    assert(scanPins() == 0, "mannWhitney returned with a live Scan pin")
+    graft.ops.Profile.spearman(orders, "o_totalprice", "o_orderkey")
+    assert(scanPins() == 0, "spearman returned with a live Scan pin")
+    // a LAZY scan result (bhAdjust: per-test rows, not a 1-row readout)
+    // pins until the caller releases — the documented contract
+    val lazyScan = graft.ops.Profile.bhAdjust(
+      orders.limit(50).select(col("o_orderkey").as("id"),
+        (pmod(col("o_orderkey"), lit(100)) / 100.0).as("p")), "id", "p")
+    assert(scanPins() > 0, "bhAdjust should hold its optimization pin")
+    graft.ops.Profile.unpersistAll(spark)
+    assert(scanPins() == 0, "unpersistAll must drain the Scan scope")
+    assert(lazyScan.count() == 50,
+      "released pin must recompute, not fail")
   }
 }

@@ -92,20 +92,33 @@ class DistScanSpec extends AnyFunSuite {
     val outs = (1 to 5).map { _ =>
       val r = Profile.mannWhitney(df, "o_orderstatus", "o_totalprice",
         "O", "F").collect()(0).toString
-      // releasing the optimization pin between runs must change nothing
-      CacheScope.unpersistAll(spark, CacheScope.Ops)
+      // releasing any leftover pins between runs must change nothing
+      // (mannWhitney itself now seals — the release is a no-op guard)
+      CacheScope.unpersistAll(spark, CacheScope.Scan)
       r
     }
     assert(outs.distinct.size == 1, s"unstable across runs: $outs")
-    // the ADVICE-r14 failure scenario verbatim: compose the statistic,
-    // release the Ops scope BEFORE the action, then run it — the
+    // the ADVICE-r14 failure scenario verbatim, on a LAZY scan (the
+    // terminal statistics seal at construction, so the mid-flight
+    // release is exercised on a raw prefix sum): compose the scan,
+    // release the Scan scope BEFORE the action, then run it — the
     // deterministic bucketing must recompute the identical answer
-    val composed = Profile.mannWhitney(df, "o_orderstatus",
-      "o_totalprice", "O", "F")
-    CacheScope.unpersistAll(spark, CacheScope.Ops)
-    assert(composed.collect()(0).toString == outs.head,
+    val rawA = DistScan.prefixSums(
+      df.select(col("o_totalprice").as("v"), col("o_orderkey").as("id"),
+        lit(1L).as("c")),
+      Seq(col("v").asc, col("id").asc), Seq((col("c"), "cum")),
+      inclusive = true)
+    val before = rawA.orderBy(col("id")).limit(20).collect().map(_.toString)
+    val rawB = DistScan.prefixSums(
+      df.select(col("o_totalprice").as("v"), col("o_orderkey").as("id"),
+        lit(1L).as("c")),
+      Seq(col("v").asc, col("id").asc), Seq((col("c"), "cum")),
+      inclusive = true)
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
+    val after = rawB.orderBy(col("id")).limit(20).collect().map(_.toString)
+    assert(after.toSeq == before.toSeq,
       "result changed after an early cache release")
-    CacheScope.unpersistAll(spark, CacheScope.Ops)
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
   }
 
   test("a single scan result plan evaluates its input once: offsets come " +
@@ -127,6 +140,6 @@ class DistScanSpec extends AnyFunSuite {
     // relation's description is rendering, not an execution branch)
     val scans = "InMemoryTableScan".r.findAllIn(p).length
     assert(scans == 1, s"result plan re-reads the input $scans times:\n$p")
-    CacheScope.unpersistAll(spark, CacheScope.Ops)
+    CacheScope.unpersistAll(spark, CacheScope.Scan)
   }
 }
