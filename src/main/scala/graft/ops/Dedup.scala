@@ -163,7 +163,8 @@ object Dedup {
   def exactIncrementalBloom(
       newBatch: DataFrame, textCol: String, idCol: String,
       corpusHashes: DataFrame, expectedItems: Long,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      maxFilterBytes: Long = DefaultMaxFilterBytes): DataFrame = {
     require(expectedItems >= 1, s"expectedItems must be >= 1")
     require(fpp > 0.0 && fpp < 1.0, s"fpp must be in (0,1), got $fpp")
     val spark = newBatch.sparkSession
@@ -171,6 +172,22 @@ object Dedup {
     // n = ceil(-items * ln(fpp) / ln(2)^2), the standard optimal sizing
     val numBits = math.max(64L, math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // EbwSizing-style fail-fast on the documented envelope (object doc:
+    // the merged binary transits the driver and rides in every probe
+    // stage's task binary): sized error BEFORE the build job, with the
+    // scale-out path in the message, instead of an OOM mid-merge
+    val filterBytes8 = numBits / 8 + 1
+    require(filterBytes8 <= maxFilterBytes,
+      f"exactIncrementalBloom would build a ${filterBytes8 / (1 << 20)}%d MB" +
+        f" filter ($expectedItems%d items at fpp=$fpp%.4f -> $numBits%d " +
+        "bits), above the maxFilterBytes ceiling " +
+        f"${maxFilterBytes / (1 << 20)}%d MB (the measured single-filter " +
+        "envelope: the binary transits the driver once and rides in each " +
+        "probe stage's task binary — BASELINE.md 'bloom envelope'). " +
+        "Range-partition the hash space and run one filter per range " +
+        "(e.g. split on pmod(xxhash64(content_hash), R) for R ranges of " +
+        "<= 1e9 keys each), or raise maxFilterBytes deliberately if the " +
+        "cluster's task-binary budget allows")
     // BloomFilterAggregate silently clamps (items, bits) to the
     // runtime-filter session caps; raise them monotonically so the
     // requested envelope is honored rather than degraded.
@@ -201,6 +218,15 @@ object Dedup {
       .select(col(idCol), col("content_hash"),
         coalesce(col("in_corpus"), lit(0L)).as("in_corpus"))
   }
+
+  /** Default [[exactIncrementalBloom]] filter-size ceiling: ~1.2 GB, the
+   * optimal-sizing cost of ~1e9 keys at fpp=0.01 — the envelope the
+   * object doc commits to and BASELINE.md's 'bloom envelope' entry
+   * measures (build + probe wall at 120 MB / 1e8-key sizing, linear in
+   * bits). Past it the LITERAL is the bottleneck (driver transit + a
+   * copy in every probe stage's task binary), so the honest path is
+   * range-partitioning the hash space, not a bigger filter. */
+  val DefaultMaxFilterBytes: Long = 1_200_000_000L
 
   /** Raise a long-valued session conf to at least `atLeast` (never
    * lowers — concurrent operators may have asked for more). */

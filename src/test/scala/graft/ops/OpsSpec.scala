@@ -2504,6 +2504,21 @@ class OpsSpec extends AnyFunSuite {
     assert(out.count() == newBatch.count())
     // ...only the dedicated handle does
     Dedup.releaseBloomFilters(spark)
+
+    // envelope fail-fast: a sizing past the maxFilterBytes ceiling
+    // throws the sized, range-partition-advice error BEFORE any build
+    // job (2e9 items at fpp=0.01 -> ~2.4 GB > the 1.2 GB default)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.exactIncrementalBloom(newBatch, "text", "doc_id", hashes,
+        expectedItems = 2000000000L, fpp = 0.01)
+    }
+    assert(err.getMessage.contains("maxFilterBytes"), err.getMessage)
+    assert(err.getMessage.contains("Range-partition"), err.getMessage)
+    // ... and a deliberately raised ceiling is honored (tiny corpus,
+    // bits capped only by the raised bound)
+    assert(Dedup.exactIncrementalBloom(newBatch, "text", "doc_id",
+      hashes, expectedItems = 2000000L, fpp = 0.01,
+      maxFilterBytes = 4000000L).count() == newBatch.count())
   }
 
   test("histogramEquiDepth: even data gives n/k bins at interpolated " +
