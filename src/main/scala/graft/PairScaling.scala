@@ -172,6 +172,46 @@ object PairScaling {
       println(f"""{"op":"semantic_pairs","multiple":$m,"docs":$nVecs,"pairs":$pairs,"sec":$med%.3f,"pairs_per_sec":${pairsPerSec(pairs, med)}}""")
       ("semantic_pairs", m, nVecs, pairs, med)
     })
+    // Multimodal tier: image dHash decode + pigeonhole banding. Copy c
+    // offsets doc_ids by 630000 (a multiple of 3, so each copy keeps the
+    // fixture's 3-id group structure and planted (3g, 3g+1) near-dup
+    // density) = a per-copy SCENE offset of 210000 — above the variant-2
+    // scene shift (100000) plus both group ranges, so every copy's scene
+    // set is disjoint from every other's (no multiple of 210000 lands in
+    // the [100000±maxG] collision window while maxG < 105000; sf0.1 has
+    // maxG ~1700) and cross-copy dHashes decorrelate: the m-fold corpus
+    // is m disjoint pair spaces, the text-tier bijection contract. The
+    // corpus persists to scratch parquet per multiple (the QueriesMm
+    // rationale: production media arrives FROM STORAGE — the tier times
+    // decode + banding, not the synthetic PNG encode).
+    val mmResults = if (!wanted("mm_image_dhash")) Seq.empty
+    else {
+      val ids = base.select("doc_id")
+      multiples.map { m =>
+        val path = graft.ops.Scratch.dir(s"graft_scaling_image_$m") + "/corpus"
+        val corpus = (0 until m).map { c =>
+          ids.select((col("doc_id") + lit(c.toLong * 630000L)).as("doc_id"))
+        }.reduce(_.unionAll(_))
+        graft.ops.MediaFixture.images(spark, corpus)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .write.mode("overwrite").parquet(path)
+        val d = spark.read.parquet(path)
+        val nImgs = d.count()
+        var pairs = 0L
+        val times = (0 until reps).map { _ =>
+          val t0 = System.nanoTime()
+          pairs = graft.ops.Multimodal.imageNearDupPairs(
+            d, "id", "payload", maxHamming = 3, bands = 4).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          dt
+        }
+        val med = median(times)
+        println(f"""{"op":"mm_image_dhash","multiple":$m,"docs":$nImgs,"pairs":$pairs,"sec":$med%.3f,"pairs_per_sec":${pairsPerSec(pairs, med)}}""")
+        ("mm_image_dhash", m, nImgs, pairs, med)
+      }
+    }
+
     // FastSS delete-mode fuzzy linkage tier: copy c prefixes every name
     // with a 6-char marker differing from every other copy's marker in
     // >= 3 positions (two base-8 letter digits, each repeated 3x), so
@@ -267,13 +307,14 @@ object PairScaling {
           }
       }
     }
-    val allResults = results ++ fuzzyResults ++ linkResults
+    val allResults = results ++ mmResults ++ fuzzyResults ++ linkResults
 
     // fitted slope of log2(time) per log2(size) across the doubling chain;
     // ~1.0 = linear banding cost (~1.5 for the semantic n^1.5 law),
     // 2.0 would be the all-pairs blow-up
     val summary = (ops.map(_._1) ++
-      Seq("semantic_pairs", "fuzzy_delete", "link_pred", "link_pred_nodes"))
+      Seq("semantic_pairs", "mm_image_dhash", "fuzzy_delete", "link_pred",
+        "link_pred_nodes"))
       .filter(wanted)
       .filter(name => allResults.exists(_._1 == name)).map { name =>
       val rs = allResults.filter(_._1 == name).sortBy(_._2)
