@@ -460,21 +460,29 @@ object Multimodal {
 
   /** The 9×8 area-average difference grid of a decoded image (the dHash
    * bit pattern; split from the decode so the subsampled and plain
-   * paths share one definition). Pixels come from ONE bulk getRGB call
-   * into an int array — the per-pixel getRGB(x, y) form routes every
-   * sample through ColorModel dispatch (~4.6k virtual calls per frame
-   * in the near-dup hot loop); the bulk form converts row-runs in the
-   * raster's native layout and returns the identical ARGB ints, so the
-   * hash is bit-for-bit unchanged. The array is bounded by the
-   * subsampled decode size (≤ ~143×128 ints), never the source image. */
+   * paths share one definition). Pixels come from bulk getRGB — the
+   * per-pixel getRGB(x, y) form routes every sample through ColorModel
+   * dispatch (~4.6k virtual calls per frame in the near-dup hot loop);
+   * the bulk form converts row-runs in the raster's native layout and
+   * returns the identical ARGB ints, so the hash is bit-for-bit
+   * unchanged. Normally that is ONE whole-image call (the subsampled
+   * decode is ≤ ~143×128 ints), but the subsampling factor
+   * `min(W/72, H/64)` floors to 1 whenever EITHER source dimension is
+   * small (a 70×100000 strip decodes full size), so past a 64Ki-pixel
+   * decode the fetch switches to per-cell-row runs into a reused
+   * cell-width buffer — identical ints in identical order (hash
+   * unchanged, spec-pinned), scratch bounded by one cell row
+   * (≤ ~W/9 ints) instead of a second full-image copy. */
   private def gridBits(img: java.awt.image.BufferedImage): Option[Long] = {
     if (img.getWidth <= 0 || img.getHeight <= 0) None
       else {
         val w = img.getWidth
         val h = img.getHeight
-        val px = img.getRGB(0, 0, w, h, null, 0, w)
         val gw = 9
         val gh = 8
+        val oneCall = w.toLong * h <= 65536L
+        val px = if (oneCall) img.getRGB(0, 0, w, h, null, 0, w) else null
+        val rowBuf = if (oneCall) null else new Array[Int](w / gw + 2)
         val cells = new Array[Double](gw * gh)
         var r = 0
         while (r < gh) {
@@ -487,10 +495,13 @@ object Multimodal {
             var s = 0.0
             var y = y0
             while (y < y1) {
-              val row = y * w
+              val run =
+                if (oneCall) px
+                else img.getRGB(x0, y, x1 - x0, 1, rowBuf, 0, x1 - x0)
+              val rowBase = if (oneCall) y * w else -x0
               var x = x0
               while (x < x1) {
-                val argb = px(row + x)
+                val argb = run(rowBase + x)
                 s += 0.299 * ((argb >>> 16) & 0xff) +
                   0.587 * ((argb >>> 8) & 0xff) + 0.114 * (argb & 0xff)
                 x += 1

@@ -1123,6 +1123,29 @@ class OpsSpec extends AnyFunSuite {
     assert(hf.count(_.real_decode) == 4 && hf.count(!_.real_decode) == 1)
   }
 
+  test("dHash: narrow-but-long strip (subsampling floors to 1, decode " +
+    "past the one-call pixel cutoff) hashes identically to the small " +
+    "render of the same grid-aligned scene via the per-cell-row path") {
+    // piecewise-constant color per 9x8 grid cell: cell means are the
+    // same exact value at ANY resolution, so the hash is bit-identical
+    // across renders — the fixture rgbAt argument
+    def cellColor(cr: Int, cc: Int): Int = {
+      val v = ((cr * 37 + cc * 101) ^ (cr * cc * 7)) & 0xff
+      (v << 16) | (((cr + cc) * 29 & 0xff) << 8) | ((cc * 3) & 0xff)
+    }
+    def scene(w: Int, h: Int)(x: Int, y: Int): Int =
+      cellColor((y.toLong * 8 / h).toInt, (x.toLong * 9 / w).toInt)
+    // 63x56: 3.5k px -> whole-image bulk fetch; 63x2000: width < 72 so
+    // setSourceSubsampling floors to 1 and the FULL 126k-px decode
+    // exceeds the 64Ki one-call cutoff -> per-cell-row fetch path
+    val small = encodeImage("png", 63, 56, scene(63, 56))
+    val strip = encodeImage("png", 63, 2000, scene(63, 2000))
+    val Some(hSmall) = Multimodal.dHash(small)
+    val Some(hStrip) = Multimodal.dHash(strip)
+    assert(hSmall == hStrip,
+      f"per-cell-row fetch changed the hash: $hSmall%016x vs $hStrip%016x")
+  }
+
   test("audioHash: gain-invariant, resample-robust, distinct envelopes " +
     "far; banded pairs == exact hamming") {
     import spark.implicits._
