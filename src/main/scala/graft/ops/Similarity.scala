@@ -809,21 +809,35 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val base = emb.where(v.isNotNull && col(clusterCol).isNotNull)
       .select(col(clusterCol).cast("int").as("_cl"), v.as("_v"))
-    // clusters-sized driver state, the groupCentroids aggregation shape;
-    // bounded BEFORE the collect so a data-scale label column can cost
-    // at most maxClusters+1 rows here
-    val nClusters = base.select(col("_cl")).distinct()
-      .limit(maxClusters + 1).count()
-    require(nClusters <= maxClusters,
-      s"silhouette collects a clusters x dim centroid table on the " +
-        s"driver and embeds it in the plan, but the input has > " +
-        s"$maxClusters distinct cluster ids: cluster columns must be " +
-        "label-scale (IVF cells, kmeans labels), not data-scale; raise " +
-        "maxClusters deliberately if the layout really is this wide")
-    val cents: Seq[(Int, Seq[Double])] = base
+    // clusters-sized driver state, the groupCentroids aggregation shape,
+    // with the driver materialization BOUNDED at maxClusters x dim rows:
+    // the collect carries a limit of that many rows + 1, so a data-scale
+    // cluster column overshoots the cap and fails with the sizing
+    // message instead of OOMing the driver (the bradleyTerry maxItems
+    // pattern). dim comes from one head(1) narrow probe (the
+    // embeddingCosinePairs precedent — milliseconds, short-circuits on
+    // the first partition), so the guard adds no second corpus pass.
+    val dimRow = base.select(size(col("_v")).as("_d"))
+      .filter(col("_d") > 0).head(1)
+    require(dimRow.nonEmpty, "silhouette needs at least one non-empty vector")
+    val dim = dimRow(0).getInt(0)
+    val cap = maxClusters.toLong * dim
+    require(cap + 1 <= Int.MaxValue,
+      s"maxClusters x dim overflows a collect limit: $maxClusters x $dim")
+    val collected = base
       .select(col("_cl"), posexplode(col("_v")).as(Seq("pos", "x")))
       .groupBy("_cl", "pos").agg(round(avg(col("x")), 6).as("m"))
+      .limit(cap.toInt + 1)
       .collect()
+    require(collected.length <= cap,
+      s"silhouette collects a clusters x dim centroid table on the " +
+        s"driver and embeds it in the plan, but the input exceeds " +
+        s"maxClusters=$maxClusters clusters at dim $dim (> $cap centroid " +
+        "cells): cluster columns must be label-scale (IVF cells, kmeans " +
+        "labels), not data-scale — and a mixed-dimension corpus inflates " +
+        "the cell count the same way; raise maxClusters deliberately if " +
+        "the layout really is this wide")
+    val cents: Seq[(Int, Seq[Double])] = collected
       .groupBy(_.getInt(0))
       .map { case (cid, rows) =>
         (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)

@@ -25,8 +25,9 @@ class DriverStateAuditSpec extends AnyFunSuite {
     "ops/Similarity.scala" -> (8,
       "k-means seeds/updates and PQ codebooks: k- or dim*k-bounded " +
         "centroid tables; IVF index load: 1-row meta + k centroid rows; " +
-        "silhouette centroids: clusters x dim rows, maxClusters-guarded " +
-        "(default 4096) by a distinct-limit pre-count before the collect"),
+        "silhouette centroids: clusters x dim rows, the collect itself " +
+        "limit-bounded at maxClusters (default 4096) x dim + 1 rows " +
+        "with a sized overflow error"),
     "ops/TextMetrics.scala" -> (1,
       "BPE training argmax: limit(1).collect() per merge round (the " +
         "documented loop-control exception; dictionary stays distributed)"),
