@@ -34,13 +34,12 @@ old_md = sys.argv[4] if len(sys.argv) > 4 else "BASELINE.md"
 # recording the overshoot as deliberate.
 # (r13 text_quality_model and the r15 DistScan-family re-sets are
 # committed in BASELINE.md's table and their entries are pruned.)
-# r16: ann_silhouette re-planned from the O(k^2*dim) k-branch CaseWhen
-# fold (cheap only at toy k; unplannable at its IVF-cell design point)
-# to two kernel calls (own + top2) plus a maxClusters-guarded,
-# limit-bounded centroid collect with a head(1) dim probe — one extra
-# bounded action at gate scale (idle solo min 0.581 vs the old shape's
-# 0.297), O(k*dim) plan at any k. PRUNE after the r16 table commits.
-DELIBERATE: dict = {"ann_silhouette": 0.581}
+# (r13 text_quality_model, the r15 DistScan family, and r16
+# ann_silhouette are committed in BASELINE.md's table and pruned.)
+# NOTE the q_group_topk rule (BASELINE.md r14 correction): that query
+# ranges 0.29-0.60 across idle runs, so one-off minima are NOT
+# ratcheted — restore 0.341 manually if a regeneration lowers it.
+DELIBERATE: dict = {}  # e.g. {"ann_silhouette": 0.581}
 DELIBERATE_TOLERANCE = 1.25
 
 h = json.load(open(headline))
