@@ -130,6 +130,116 @@ object Eval {
   }
 
   /**
+   * Krippendorff's alpha, nominal data (Krippendorff 2004) — the
+   * agreement coefficient for REAL annotation tables, where
+   * [[fleissKappa]]'s fixed-panel assumption breaks: raters come and
+   * go, items carry 2 ratings here and 5 there, and Fleiss must drop
+   * every off-modal item. Alpha pairs ratings WITHIN each unit, so any
+   * unit with ≥ 2 ratings contributes:
+   *   D_o = Σ_i (n_i² − Σ_c n_ic²)/(n_i − 1) / n,
+   *   D_e = (n² − Σ_c n_c²)/(n(n−1)),   α = 1 − D_o/D_e,
+   * with n_ic the count of category c in unit i, n_i = Σ_c n_ic,
+   * n = Σ n_i over pairable units, n_c the pooled category totals.
+   * Single-rating units carry no pairable information and are dropped
+   * (reported in `n_dropped`); D_e = 0 (every rating one category)
+   * reads α = 1 by convention. α ≥ 0.8 is the customary
+   * publishable-annotation bar, 0.667 the tentative one.
+   *
+   * Shape: one (unit, category) count aggregation, a units-keyed
+   * rollup, and the pooled category totals via an UNHINTED join of the
+   * cells to the kept units (the fleissKappa rule: units are
+   * data-scale for annotation tables, AQE decides broadcast) — all
+   * map-side combined, output 1 row.
+   * Output: n_items, n_dropped, n_ratings, n_categories, d_o (6dp),
+   * d_e (6dp), alpha (4dp).
+   */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+      categoryCol: String): DataFrame = {
+    val cells = df
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("item"),
+        col(categoryCol).cast("string").as("cat"))
+      .agg(count(lit(1)).as("n_ic"))
+    val perItem = cells.groupBy("item")
+      .agg(sum("n_ic").as("n_i"),
+        sum(col("n_ic") * col("n_ic")).as("sq_i"))
+    val kept = perItem.filter(col("n_i") >= 2)
+    val total = perItem.agg(count(lit(1)).as("n_all"))
+    val doStats = kept.agg(
+      count(lit(1)).as("n_items"),
+      sum(col("n_i")).as("n_ratings"),
+      sum((col("n_i") * col("n_i") - col("sq_i"))
+        / (col("n_i") - lit(1.0))).as("_do_num"))
+    val nc = cells.join(kept.select("item"), Seq("item"))
+      .groupBy("cat").agg(sum("n_ic").as("n_c"))
+    val ncStats = nc.agg(
+      count(lit(1)).as("n_categories"),
+      coalesce(sum(col("n_c") * col("n_c")), lit(0L)).as("_sq_c"))
+    val n = col("n_ratings").cast("double")
+    val dO = col("_do_num") / n
+    val dE = (n * n - col("_sq_c")) / (n * (n - 1.0))
+    doStats.crossJoin(ncStats).crossJoin(total)
+      .select(
+        col("n_items"),
+        (col("n_all") - col("n_items")).as("n_dropped"),
+        col("n_ratings"),
+        col("n_categories"),
+        round(dO, 6).as("d_o"),
+        round(dE, 6).as("d_e"),
+        when(dE > 0, round(lit(1.0) - dO / dE, 4))
+          .otherwise(lit(1.0)).as("alpha"))
+  }
+
+  /**
+   * McNemar's test with continuity correction (McNemar 1947; Edwards
+   * 1948) — the paired-model comparison for "is model B actually
+   * better than model A on the SAME eval items": accuracy deltas on a
+   * shared set are correlated, so the unpaired tests (chiSquare,
+   * welchTTest) overstate significance; McNemar conditions on the
+   * DISCORDANT items only. With b = items only A got right and c =
+   * items only B got right:
+   *   χ² = (max(0, |b − c| − 1))² / (b + c),   1 df,
+   * the standard continuity-corrected form (clamped so b ≈ c can't
+   * manufacture χ² = 1 from nothing); χ² > 3.8415 is the same
+   * documented 95% cut as [[Profile.chiSquare]]. No discordant items
+   * (b + c = 0) → NULL chi2, significant = false: the models are
+   * indistinguishable on this set by construction.
+   * One aggregation over the item frame, output 1 row:
+   * n, both_right, both_wrong, only_a, only_b, acc_a (4dp),
+   * acc_b (4dp), chi2 (4dp), significant.
+   */
+  def mcnemar(df: DataFrame, itemCol: String, correctACol: String,
+      correctBCol: String): DataFrame = {
+    val a = col(correctACol).cast("boolean")
+    val b = col(correctBCol).cast("boolean")
+    val agged = df
+      .filter(col(itemCol).isNotNull && a.isNotNull && b.isNotNull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(a && b, 1L).otherwise(0L)), lit(0L))
+          .as("both_right"),
+        coalesce(sum(when(!a && !b, 1L).otherwise(0L)), lit(0L))
+          .as("both_wrong"),
+        coalesce(sum(when(a && !b, 1L).otherwise(0L)), lit(0L))
+          .as("only_a"),
+        coalesce(sum(when(!a && b, 1L).otherwise(0L)), lit(0L))
+          .as("only_b"))
+    val disc = (col("only_a") + col("only_b")).cast("double")
+    val chi2 = pow(greatest(abs(col("only_a") - col("only_b"))
+      .cast("double") - 1.0, lit(0.0)), 2) / disc
+    agged.select(col("n"), col("both_right"), col("both_wrong"),
+      col("only_a"), col("only_b"),
+      round(when(col("n") > 0,
+        (col("both_right") + col("only_a")) / col("n").cast("double")),
+        4).as("acc_a"),
+      round(when(col("n") > 0,
+        (col("both_right") + col("only_b")) / col("n").cast("double")),
+        4).as("acc_b"),
+      when(disc > 0, round(chi2, 4)).as("chi2"),
+      coalesce(when(disc > 0, chi2 > 3.8415), lit(false))
+        .as("significant"))
+  }
+
+  /**
    * Self-consistency majority vote (Wang et al. 2022, "Self-Consistency
    * Improves Chain of Thought Reasoning"): per problem, the modal answer
    * across sampled generations, with the margin over the runner-up.

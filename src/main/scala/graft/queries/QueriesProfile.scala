@@ -469,6 +469,39 @@ private[graft] object QueriesProfile {
           .when(col("n_chars") < 700, "mid").otherwise("long"))).as("cat"))
       graft.ops.Eval.fleissKappa(rated, "doc_id", "cat")
     }),
+    "q_krippendorff" -> ((s, dir) => {
+      // variable-panel agreement — the regime fleissKappa must drop:
+      // two full-panel deterministic labelers plus a third that rates
+      // only even doc_ids, so units carry 2 OR 3 ratings and every one
+      // still contributes pairable information
+      val d = t(s, dir, "documents")
+      val toks = size(filter(split(col("text"), " ", -1), x => x =!= ""))
+      val full = d.select(col("doc_id"), explode(array(
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 800, "mid").otherwise("long"),
+        when(toks < 40, "short").when(toks < 160, "mid")
+          .otherwise("long"))).as("cat"))
+      val third = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), when(col("n_chars") < 300, "short")
+          .when(col("n_chars") < 700, "mid").otherwise("long").as("cat"))
+      graft.ops.Eval.krippendorffAlpha(full.unionAll(third),
+        "doc_id", "cat")
+    }),
+    "q_mcnemar" -> ((s, dir) => {
+      // paired model comparison on the SAME docs (unpaired tests
+      // overstate significance on shared eval sets): truth = long doc
+      // (n_chars > 400); model A thresholds chars at 380, model B
+      // thresholds tokens at 80 — correctness flags per item, McNemar
+      // conditions on the discordant cells
+      val d = t(s, dir, "documents")
+      val toks = size(filter(split(col("text"), " ", -1), x => x =!= ""))
+      val truth = col("n_chars") > 400
+      graft.ops.Eval.mcnemar(
+        d.select(col("doc_id"),
+          ((col("n_chars") > 380) === truth).as("ca"),
+          ((toks > 80) === truth).as("cb")),
+        "doc_id", "ca", "cb")
+    }),
     "q_majority_vote" -> ((s, dir) => {
       // self-consistency election (Wang et al. 2022): doc_id % 50 is the
       // problem, lang is the sampled answer; modal answer per problem
@@ -1653,6 +1686,76 @@ private[graft] object QueriesProfile {
         |SELECT id, p, rank, p_adj, p_adj <= 0.05 AS significant
         |FROM adj ORDER BY rank""".stripMargin,
     "q_bradley_terry" -> bradleyTerryOracle(10),
+    // the same three deterministic labelers (third on even ids only);
+    // every per-unit disagreement term is an integer over 1 or 2, so
+    // the D_o sum is exact in FP and order-independent on any engine
+    "q_krippendorff" ->
+      """WITH lab AS (
+        |  SELECT doc_id, unnest([
+        |    CASE WHEN n_chars < 200 THEN 'short'
+        |      WHEN n_chars < 800 THEN 'mid' ELSE 'long' END,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 40 THEN 'short'
+        |      WHEN len(list_filter(string_split(text, ' '),
+        |        x -> x <> '')) < 160 THEN 'mid' ELSE 'long' END]) AS cat
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN n_chars < 300 THEN 'short'
+        |      WHEN n_chars < 700 THEN 'mid' ELSE 'long' END AS cat
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |cells AS (SELECT doc_id, cat, count(*)::BIGINT AS n_ic
+        |  FROM lab GROUP BY 1, 2),
+        |per AS (SELECT doc_id, sum(n_ic) AS n_i,
+        |    sum(n_ic * n_ic) AS sq_i FROM cells GROUP BY 1),
+        |kept AS (SELECT * FROM per WHERE n_i >= 2),
+        |tot AS (SELECT count(*)::BIGINT AS n_all FROM per),
+        |dos AS (SELECT count(*)::BIGINT AS n_items,
+        |    sum(n_i)::BIGINT AS n_ratings,
+        |    sum((n_i * n_i - sq_i) / (n_i - 1.0)) AS do_num FROM kept),
+        |nc AS (SELECT cat, sum(n_ic) AS n_c
+        |  FROM cells JOIN kept USING (doc_id) GROUP BY 1),
+        |ncs AS (SELECT count(*)::BIGINT AS n_categories,
+        |    coalesce(sum(n_c * n_c), 0) AS sq_c FROM nc)
+        |SELECT n_items, (n_all - n_items)::BIGINT AS n_dropped,
+        |  n_ratings, n_categories,
+        |  round(do_num / n_ratings, 6) AS d_o,
+        |  round((n_ratings::DOUBLE * n_ratings - sq_c)
+        |    / (n_ratings::DOUBLE * (n_ratings - 1)), 6) AS d_e,
+        |  CASE WHEN (n_ratings::DOUBLE * n_ratings - sq_c) > 0
+        |    THEN round(1.0 - (do_num / n_ratings)
+        |      / ((n_ratings::DOUBLE * n_ratings - sq_c)
+        |        / (n_ratings::DOUBLE * (n_ratings - 1))), 4)
+        |    ELSE 1.0 END AS alpha
+        |FROM dos, ncs, tot""".stripMargin,
+    // same truth/model predicates; the continuity-corrected statistic
+    // is integer-derived so the replay is exact
+    "q_mcnemar" ->
+      """WITH d AS (SELECT doc_id,
+        |    ((n_chars > 380) = (n_chars > 400)) AS ca,
+        |    ((len(list_filter(string_split(text, ' '),
+        |      x -> x <> '')) > 80) = (n_chars > 400)) AS cb
+        |  FROM documents),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_right,
+        |    sum(CASE WHEN NOT ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT
+        |      AS both_wrong,
+        |    sum(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END)::BIGINT
+        |      AS only_a,
+        |    sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)::BIGINT
+        |      AS only_b
+        |  FROM d)
+        |SELECT n, both_right, both_wrong, only_a, only_b,
+        |  round((both_right + only_a) / n::DOUBLE, 4) AS acc_a,
+        |  round((both_right + only_b) / n::DOUBLE, 4) AS acc_b,
+        |  CASE WHEN only_a + only_b > 0
+        |    THEN round(pow(greatest(abs(only_a - only_b) - 1.0, 0.0), 2)
+        |      / (only_a + only_b), 4) END AS chi2,
+        |  coalesce(CASE WHEN only_a + only_b > 0
+        |    THEN pow(greatest(abs(only_a - only_b) - 1.0, 0.0), 2)
+        |      / (only_a + only_b) > 3.8415 END, false) AS significant
+        |FROM g""".stripMargin,
     // the same consecutive-doc battle pairing, ties kept; canonicalize
     // to (least, greatest) and split ties in the rate — the engine's
     // winRateMatrix contract replayed in one GROUP BY

@@ -74,6 +74,69 @@ class EvalSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(5) - (-0.3333)) < 1e-9, s"kappa: $r")
   }
 
+  test("krippendorffAlpha: worked variable-panel example, single-rating " +
+    "drop, perfect-agreement and one-category conventions") {
+    import spark.implicits._
+    // i1 (a,a): pairable disagreement 0; i2 (a,b): (4-2)/1 = 2;
+    // i3 (b,b,b): 0; i4 single rating -> dropped.
+    // n = 7, D_o = 2/7; pooled a=3, b=4 -> D_e = (49-25)/42 = 4/7;
+    // alpha = 1 - (2/7)/(4/7) = 0.5
+    val rows = Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "b"),
+      ("i3", "b"), ("i3", "b"), ("i3", "b"), ("i4", "c"))
+    val r = Eval.krippendorffAlpha(rows.toDF("item", "cat"), "item", "cat")
+      .collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 1L && r.getLong(2) == 7L
+      && r.getLong(3) == 2L, s"$r")
+    assert(math.abs(r.getDouble(4) - 0.285714) < 1e-9, s"d_o: $r")
+    assert(math.abs(r.getDouble(5) - 0.571429) < 1e-9, s"d_e: $r")
+    assert(math.abs(r.getDouble(6) - 0.5) < 1e-9, s"alpha: $r")
+    // perfect agreement across two categories: D_o = 0, alpha = 1
+    val perfect = Seq(("x", "a"), ("x", "a"), ("y", "b"), ("y", "b"))
+    val p = Eval.krippendorffAlpha(perfect.toDF("item", "cat"),
+      "item", "cat").collect().head
+    assert(p.getDouble(6) == 1.0, s"$p")
+    // one category everywhere: D_e = 0 -> alpha = 1 by convention
+    val one = Seq(("x", "a"), ("x", "a"), ("y", "a"), ("y", "a"))
+    val o = Eval.krippendorffAlpha(one.toDF("item", "cat"), "item", "cat")
+      .collect().head
+    assert(o.getDouble(5) == 0.0 && o.getDouble(6) == 1.0, s"$o")
+    // systematic disagreement goes negative (worse than chance)
+    val anti = Seq(("x", "a"), ("x", "b"), ("y", "a"), ("y", "b"))
+    val an = Eval.krippendorffAlpha(anti.toDF("item", "cat"), "item", "cat")
+      .collect().head
+    assert(an.getDouble(6) < 0, s"$an")
+  }
+
+  test("mcnemar: hand-computed discordant cells, continuity clamp, " +
+    "no-discordance NULL, significance cut") {
+    import spark.implicits._
+    // 30 items: both right 14, both wrong 4, only A 2, only B 10
+    // chi2 = (|2-10|-1)^2 / 12 = 49/12 = 4.0833 > 3.8415 -> significant
+    val rows = (1 to 14).map(i => (s"i$i", true, true)) ++
+      (1 to 4).map(i => (s"w$i", false, false)) ++
+      (1 to 2).map(i => (s"a$i", true, false)) ++
+      (1 to 10).map(i => (s"b$i", false, true))
+    val r = Eval.mcnemar(rows.toDF("item", "ca", "cb"), "item", "ca", "cb")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((30L, 14L, 4L, 2L, 10L)), s"$r")
+    assert(math.abs(r.getDouble(5) - 0.5333) < 1e-9, s"acc_a: $r")
+    assert(math.abs(r.getDouble(6) - 0.8) < 1e-9, s"acc_b: $r")
+    assert(math.abs(r.getDouble(7) - 4.0833) < 1e-9, s"chi2: $r")
+    assert(r.getBoolean(8), s"significant: $r")
+    // b == c: the clamp keeps chi2 at 0, not (0-1)^2/(b+c)
+    val tied = Seq(("1", true, false), ("2", false, true),
+      ("3", true, true))
+    val t2 = Eval.mcnemar(tied.toDF("item", "ca", "cb"), "item", "ca", "cb")
+      .collect().head
+    assert(t2.getDouble(7) == 0.0 && !t2.getBoolean(8), s"$t2")
+    // no discordant items: NULL chi2, never significant
+    val same = Seq(("1", true, true), ("2", false, false))
+    val s2 = Eval.mcnemar(same.toDF("item", "ca", "cb"), "item", "ca", "cb")
+      .collect().head
+    assert(s2.isNullAt(7) && !s2.getBoolean(8), s"$s2")
+  }
+
   test("majorityVote: election, margin, and deterministic tie-break") {
     import spark.implicits._
     val rows = Seq(("q1", "x"), ("q1", "x"), ("q1", "y"),    // x by 2:1
