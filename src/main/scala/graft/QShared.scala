@@ -724,11 +724,18 @@ private[graft] object QShared {
    * replaces first-match-only without the flag). list_sum returns
    * HUGEINT, so both sums cast to BIGINT before the compare hashes
    * dtypes. */
-  def bpeOracle: String = {
-    val perWord = TextMetrics.bpeMerges.foldLeft(
+  /** The DuckDB per-word BPE encode fold (the [[TextMetrics.bpeMerges]]
+   * replace chain over the double-space symbol representation) — shared
+   * by every oracle that counts BPE tokens ([[bpeOracle]], the fertility
+   * gate). `w` is the surrounding lambda's word variable. */
+  def bpePerWordSql: String =
+    TextMetrics.bpeMerges.foldLeft(
       "concat(' ', rtrim(regexp_replace(w, '(.)', '\\1  ', 'g')), ' ')") {
-        case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
-      }
+      case (acc, (a, b)) => s"replace($acc, ' $a  $b ', ' $a$b ')"
+    }
+
+  def bpeOracle: String = {
+    val perWord = bpePerWordSql
     s"""WITH b AS (SELECT doc_id,
        |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
        |  FROM documents),

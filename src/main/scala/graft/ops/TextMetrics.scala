@@ -22,6 +22,88 @@ object TextMetrics {
       reTokenCount(col(textCol)).as("n_re_tokens"))
 
   /**
+   * Per-language tokenizer fertility — the "which languages does this
+   * tokenizer under-serve" readout every multilingual pretraining mix
+   * needs BEFORE committing a token budget (Ács 2019; Rust et al. 2021):
+   * fertility = subword tokens per whitespace word. A language at
+   * fertility 1.2 buys ~3x more text per token than one at 3.5, so a
+   * token-denominated mix silently re-weights the corpus unless this
+   * table is consulted. Also reports bytes/token and chars/token (the
+   * compression view — what a byte-budgeted context window actually
+   * holds per language). Token counts come from the exact [[bpeMerges]]
+   * encode fold (swap in a learned table via the custom-merges
+   * [[bpeTokenCount]] upstream); words are whitespace tokens (empties
+   * dropped) — the same pre-tokenization the encoder uses.
+   *
+   * Shape: one narrow per-row projection (the BPE fold is per-row
+   * lambda built-ins) + ONE map-side-combined groupBy on the language
+   * key — languages-sized output, no window, no join.
+   * Output per language: lang, n_docs, n_words, n_bpe_tokens, n_chars,
+   * n_bytes, fertility (4dp), bytes_per_token (4dp),
+   * chars_per_token (4dp).
+   */
+  def tokenFertility(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String): DataFrame = {
+    val text = col(textCol)
+    val words = size(filter(split(text, "\\s+"), w => w =!= ""))
+      .cast("long")
+    docs
+      .filter(col(langCol).isNotNull && text.isNotNull)
+      .select(col(langCol).cast("string").as("lang"),
+        words.as("_w"), bpeTokenCount(text).as("_t"),
+        length(text).cast("long").as("_c"),
+        octet_length(text).cast("long").as("_b"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("_w").as("n_words"), sum("_t").as("n_bpe_tokens"),
+        sum("_c").as("n_chars"), sum("_b").as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"), col("n_bytes"),
+        round(col("n_bpe_tokens") / greatest(col("n_words"), lit(1L))
+          .cast("double"), 4).as("fertility"),
+        round(col("n_bytes") / greatest(col("n_bpe_tokens"), lit(1L))
+          .cast("double"), 4).as("bytes_per_token"),
+        round(col("n_chars") / greatest(col("n_bpe_tokens"), lit(1L))
+          .cast("double"), 4).as("chars_per_token"))
+  }
+
+  /**
+   * Corpus encoding audit — the crawl-hygiene scan for the damage that
+   * precedes every text statistic (a mojibake corpus poisons n-grams,
+   * language ID, dedup shingles, and the tokenizer itself): one row
+   * counting documents that contain (a) U+FFFD replacement characters
+   * (a decoder already gave up upstream), (b) C0 control characters
+   * other than tab/newline/CR (binary spill into text columns),
+   * (c) zero-width characters (ZWSP/ZWNJ/ZWJ/BOM — invisible dedup and
+   * tokenizer poison), (d) the classic UTF-8-read-as-Latin-1 mojibake
+   * signatures ("â€…", "Ã" + a Latin-1-range continuation byte).
+   * Flags count DOCUMENTS (a containment test per pattern — robust and
+   * cheap), not occurrences. One narrow scan + one 1-row aggregate.
+   * Output: n_docs, n_replacement, n_control, n_zero_width, n_mojibake,
+   * pct_clean (4dp — share of docs hitting none of the four).
+   */
+  def encodingAudit(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val text = col(textCol)
+    val repl = text.rlike("�")
+    val ctrl = text.rlike("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    val zw = text.rlike("[\\u200B\\u200C\\u200D\\uFEFF]")
+    val moji = text.rlike("(â€|Ã[\\x80-\\xBF])")
+    def cnt(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+    docs.filter(text.isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(repl).as("n_replacement"),
+        cnt(ctrl).as("n_control"),
+        cnt(zw).as("n_zero_width"),
+        cnt(moji).as("n_mojibake"),
+        cnt(!(repl || ctrl || zw || moji)).as("_clean"))
+      .select(col("n_docs"), col("n_replacement"), col("n_control"),
+        col("n_zero_width"), col("n_mojibake"),
+        round(col("_clean") / greatest(col("n_docs"), lit(1L))
+          .cast("double"), 4).as("pct_clean"))
+  }
+
+  /**
    * Byte-pair-encoding merge table, in RANK order — a small embedded
    * English merge list standing in for a production merges file (GPT-2's
    * `vocab.bpe` et al. load through the same fold; the container ships no

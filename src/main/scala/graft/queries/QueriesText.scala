@@ -23,6 +23,29 @@ private[graft] object QueriesText {
       // replays the identical 56-replace chain per word
       TextMetrics.bpeTokenCounts(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "text_fertility" -> ((s, dir) =>
+      // per-language tokenizer fertility under the shared exact BPE
+      // merge table — tokens/word, bytes/token, chars/token per lang:
+      // the token-budget fairness readout for a multilingual mix
+      TextMetrics.tokenFertility(t(s, dir, "documents"), "text",
+          "doc_id", "lang")
+        .orderBy("lang")),
+    "text_encoding" -> ((s, dir) => {
+      // corpus encoding audit over DETERMINISTICALLY corrupted docs
+      // (the synthetic corpus is clean, so each damage class is planted
+      // by doc_id residue — identical injection in both engines):
+      // U+FFFD, a BEL control char, a zero-width space, and the classic
+      // UTF-8-as-Latin-1 mojibake quote
+      val d = t(s, dir, "documents")
+      val injected = d.select(col("doc_id"),
+        when(col("doc_id") % 97 === 0, concat(col("text"), lit("\uFFFD")))
+          .when(col("doc_id") % 89 === 0, concat(lit("\u0007"), col("text")))
+          .when(col("doc_id") % 83 === 0, concat(lit("\u200B"), col("text")))
+          .when(col("doc_id") % 79 === 0, concat(lit("â€™"),
+            col("text")))
+          .otherwise(col("text")).as("text"))
+      TextMetrics.encodingAudit(injected, "text", "doc_id")
+    }),
     "text_quality" -> ((s, dir) =>
       TextMetrics.quality(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
@@ -615,6 +638,57 @@ private[graft] object QueriesText {
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_bpe" -> bpeOracle,
+    // per-language fertility under the SAME per-word BPE replace chain
+    // (bpePerWordSql); strlen = bytes, length = chars in DuckDB
+    "text_fertility" ->
+      s"""WITH b AS (SELECT lang,
+         |    list_filter(regexp_split_to_array(text, '\\s+'),
+         |      x -> x != '') AS tok,
+         |    length(text)::BIGINT AS c, strlen(text)::BIGINT AS byt
+         |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+         |m AS (SELECT lang, len(tok)::BIGINT AS w0,
+         |    coalesce(list_sum(list_transform(tok, w ->
+         |      len(string_split($bpePerWordSql, '  ')))), 0)::BIGINT AS t,
+         |    c, byt FROM b),
+         |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+         |    sum(w0)::BIGINT AS n_words, sum(t)::BIGINT AS n_bpe_tokens,
+         |    sum(c)::BIGINT AS n_chars, sum(byt)::BIGINT AS n_bytes
+         |  FROM m GROUP BY 1)
+         |SELECT lang, n_docs, n_words, n_bpe_tokens, n_chars, n_bytes,
+         |  round(n_bpe_tokens / greatest(n_words, 1)::DOUBLE, 4)
+         |    AS fertility,
+         |  round(n_bytes / greatest(n_bpe_tokens, 1)::DOUBLE, 4)
+         |    AS bytes_per_token,
+         |  round(n_chars / greatest(n_bpe_tokens, 1)::DOUBLE, 4)
+         |    AS chars_per_token
+         |FROM g ORDER BY lang""".stripMargin,
+    // the same doc_id-residue corruption injection, then the four
+    // containment tests (RE2 \x{...} == the Java code-point classes)
+    "text_encoding" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 97 = 0 THEN text || chr(65533)
+        |      WHEN doc_id % 89 = 0 THEN chr(7) || text
+        |      WHEN doc_id % 83 = 0 THEN chr(8203) || text
+        |      WHEN doc_id % 79 = 0 THEN 'â€™' || text
+        |      ELSE text END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |f AS (SELECT
+        |    regexp_matches(text, '\x{FFFD}') AS repl,
+        |    regexp_matches(text,
+        |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}]') AS ctrl,
+        |    regexp_matches(text,
+        |      '[\x{200B}\x{200C}\x{200D}\x{FEFF}]') AS zw,
+        |    regexp_matches(text, '(â€|Ã[\x{80}-\x{BF}])') AS moji
+        |  FROM d)
+        |SELECT count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN repl THEN 1 ELSE 0 END)::BIGINT AS n_replacement,
+        |  sum(CASE WHEN ctrl THEN 1 ELSE 0 END)::BIGINT AS n_control,
+        |  sum(CASE WHEN zw THEN 1 ELSE 0 END)::BIGINT AS n_zero_width,
+        |  sum(CASE WHEN moji THEN 1 ELSE 0 END)::BIGINT AS n_mojibake,
+        |  round(sum(CASE WHEN NOT (repl OR ctrl OR zw OR moji)
+        |      THEN 1 ELSE 0 END)
+        |    / greatest(count(*), 1)::DOUBLE, 4) AS pct_clean
+        |FROM f""".stripMargin,
     "text_tfidf" ->
       """WITH nn AS (SELECT count(*) AS n FROM documents),
         |tok AS (

@@ -400,6 +400,58 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenFertility: hand-computed per-language tokens/words/bytes, " +
+    "multi-byte text counts bytes not chars, null lang/text dropped") {
+    import spark.implicits._
+    // 'zz zz' has no table merges: each 2-char word encodes to 2 BPE
+    // symbols -> 4 tokens over 2 words = fertility 2.0; ASCII so
+    // bytes == chars = 5 -> bytes/token = 1.25
+    // 'héé' (lang fr): 3 chars, 5 UTF-8 bytes, 1 word, 3 BPE symbols
+    // (no merges) -> fertility 3.0, bytes/token 1.6667, chars/token 1.0
+    val rows = Seq(
+      (1L, Some("en"), Some("zz zz")),
+      (2L, Some("fr"), Some("héé")),
+      (3L, None: Option[String], Some("dropped")),
+      (4L, Some("xx"), None: Option[String]))
+    val got = graft.ops.TextMetrics.tokenFertility(
+        rows.toDF("doc_id", "lang", "text"), "text", "doc_id", "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    assert(got.length == 2, got.mkString("; "))
+    assert(got(0) == (("en", 1L, 2L, 4L, 5L, 5L, 2.0, 1.25, 1.25)),
+      s"${got(0)}")
+    assert(got(1)._1 == "fr" && got(1)._3 == 1L && got(1)._4 == 3L &&
+      got(1)._5 == 3L && got(1)._6 == 5L &&
+      math.abs(got(1)._7 - 3.0) < 1e-9 &&
+      math.abs(got(1)._8 - 1.6667) < 1e-9 &&
+      math.abs(got(1)._9 - 1.0) < 1e-9, s"${got(1)}")
+  }
+
+  test("encodingAudit: each damage class flags its own docs once, " +
+    "clean corpus reads 100% clean, tab/newline are NOT control hits") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "clean text with\ttab and\nnewline"),
+      (2L, "decoder gave up � here"),
+      (3L, "bell \u0007 rang"),
+      (4L, "zero\u200Bwidth"),
+      (5L, "itâ€™s mojibake"), // literal 'â€™'
+      (6L, "latin-1 read: Ã©"))     // 'Ã©' — the Ã signature
+    val r = graft.ops.TextMetrics.encodingAudit(
+        rows.toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((6L, 1L, 1L, 1L, 2L)), s"$r")
+    assert(math.abs(r.getDouble(5) - 0.1667) < 1e-9, s"pct_clean: $r")
+    val clean = graft.ops.TextMetrics.encodingAudit(
+        Seq((1L, "all good"), (2L, "fine")).toDF("doc_id", "text"),
+        "text", "doc_id")
+      .collect().head
+    assert(clean.getDouble(5) == 1.0, s"$clean")
+  }
+
   test("bpeTokenCounts: closed-form merges, overlap chaining, word boundaries") {
     import spark.implicits._
     val d = Seq(
