@@ -1037,4 +1037,75 @@ class PlanAuditSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"),
       s"rbo joins without equi-keys:\n$p")
   }
+
+  test("winRateMatrix: ONE map-side-combined aggregation — no window, " +
+    "no join, exactly one exchange") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang").as("ma"),
+        concat(col("lang"), lit("2")).as("mb"),
+        when(col("doc_id") % 3 === 0, col("lang")).as("win"))
+    val p = graft.ops.Eval.winRateMatrix(d, "ma", "mb", "win")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"winRateMatrix must be one groupBy:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one pair-key exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"aggregation is not map-side combined:\n$p")
+  }
+
+  test("krippendorffAlpha: cells/rollup aggregations + the UNHINTED " +
+    "kept-units join (AQE decides) — no window, no cartesian, 1-row " +
+    "crossJoins only") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(col("n_chars") < 400, "a").otherwise("b").as("cat"))
+    val p = graft.ops.Eval.krippendorffAlpha(d, "doc_id", "cat")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"krippendorff plans a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"non-1-row cartesian (BroadcastNestedLoop over 1-row aggregates " +
+        s"is the expected crossJoin shape):\n$p")
+  }
+
+  test("mcnemar: one aggregation over the item frame — no shuffle " +
+    "beyond the single global agg exchange, no join, no window") {
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), (col("doc_id") % 2 === 0).as("ca"),
+        (col("doc_id") % 3 === 0).as("cb"))
+    val p = graft.ops.Eval.mcnemar(d, "doc_id", "ca", "cb")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"mcnemar must be one aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"more exchanges than one global agg needs:\n$p")
+  }
+
+  test("tokenFertility: narrow per-row BPE encode + ONE lang-keyed " +
+    "map-side-combined aggregation — no window, no join") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.tokenFertility(d, "text", "doc_id",
+        "lang")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"tokenFertility must be one groupBy:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"expected exactly one lang exchange:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"aggregation is not map-side combined:\n$p")
+  }
+
+  test("encodingAudit: one narrow scan + one 1-row aggregate — no " +
+    "window, no join, at most one exchange") {
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val p = graft.ops.TextMetrics.encodingAudit(d, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"encodingAudit must be one aggregation:\n$p")
+    assert("Exchange".r.findAllIn(p).length <= 1,
+      s"more exchanges than one global agg needs:\n$p")
+  }
 }
