@@ -2166,4 +2166,36 @@ object Profile {
       .select(col("id"), col("p"), col("rank"), col("p_adj"),
         (col("p_adj") <= alpha).as("significant"))
   }
+
+  /**
+   * Holm–Bonferroni step-down (Holm 1979) — the FAMILY-WISE error
+   * control next to [[bhAdjust]]'s FDR: when even ONE false discovery
+   * is unacceptable (a release gate, a safety filter change), Holm
+   * dominates plain Bonferroni uniformly with the same guarantee.
+   * Walking p ascending, adjusted p(i) = max_{j ≤ i} min(1, (m−j+1)·p_j)
+   * — a running MAX over the ascending order, monotone by construction,
+   * and `p_adj ≤ alpha` reproduces the sequential step-down rejection
+   * set exactly (the running max stops rejections at the first
+   * failure). Rank and the prefix max both run as [[DistScan]]
+   * distributed scans — million-hypothesis families never funnel
+   * through one sorted task. Determinism: ties in p order by id.
+   * Output: one row per test — id, p, rank (BIGINT for 1:1 SQL
+   * replay), p_adj (6dp), significant (p_adj ≤ alpha).
+   */
+  def holmAdjust(df: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1): $alpha")
+    val p = col(pCol).cast("double")
+    val d = df.filter(p.isNotNull && p >= 0 && p <= 1)
+      .select(col(idCol).as("id"), p.as("p"))
+    val tot = d.agg(count(lit(1)).as("m"))
+    val ranked = DistScan.prefixRank(d.crossJoin(tot),
+      Seq(col("p").asc, col("id").asc), "rank")
+    DistScan.prefixMax(ranked,
+        Seq(col("p").asc, col("id").asc),
+        (col("m") - col("rank") + 1) * col("p"), "_premax")
+      .withColumn("p_adj", round(least(lit(1.0), col("_premax")), 6))
+      .select(col("id"), col("p"), col("rank"), col("p_adj"),
+        (col("p_adj") <= alpha).as("significant"))
+  }
 }

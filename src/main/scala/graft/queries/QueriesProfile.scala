@@ -538,6 +538,19 @@ private[graft] object QueriesProfile {
           "n_name", "p")
         .orderBy("rank")
     }),
+    "q_holm" -> ((s, dir) => {
+      // Holm step-down over the SAME 25 md5-derived per-nation p-values
+      // as q_bh_fdr — the FWER-control discipline beside BH's FDR; the
+      // running max replays as a window in the oracle, a DistScan here
+      val p = round(pow(
+        pmod(conv(substring(md5(concat(lit("bh|"),
+          col("n_nationkey").cast("string"))), 1, 6), 16, 10)
+          .cast("long"), lit(10000L)) / 10000.0, 3), 6)
+      graft.ops.Profile.holmAdjust(
+          t(s, dir, "nation").select(col("n_name"), p.as("p")),
+          "n_name", "p")
+        .orderBy("rank")
+    }),
     "q_bradley_terry" -> ((s, dir) => {
       // preference fit over language "systems": consecutive doc pairs
       // (2i, 2i+1) are matches, the longer doc's language wins; 10 MM
@@ -1680,6 +1693,29 @@ private[graft] object QueriesProfile {
         |adj AS (SELECT id, p, rank,
         |    round(least(1.0, min(m * p / rank) OVER (
         |      ORDER BY p DESC, id DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+        |      AS p_adj
+        |  FROM r)
+        |SELECT id, p, rank, p_adj, p_adj <= 0.05 AS significant
+        |FROM adj ORDER BY rank""".stripMargin,
+    // the q_bh_fdr p derivation, then Holm's step-down as a running max
+    // over ascending p — the window replay of the engine's prefix scan
+    "q_holm" ->
+      """WITH d AS (
+        |  SELECT n_name AS id,
+        |    round(pow((CAST(('0x' || substring(md5('bh|' ||
+        |        n_nationkey::VARCHAR), 1, 6)) AS BIGINT) % 10000)
+        |      / 10000.0, 3), 6) AS p
+        |  FROM nation),
+        |f AS (SELECT id, p FROM d
+        |  WHERE p IS NOT NULL AND p >= 0 AND p <= 1),
+        |r AS (SELECT id, p,
+        |    row_number() OVER (ORDER BY p, id)::BIGINT AS rank,
+        |    (SELECT count(*)::BIGINT FROM f) AS m
+        |  FROM f),
+        |adj AS (SELECT id, p, rank,
+        |    round(least(1.0, max((m - rank + 1) * p) OVER (
+        |      ORDER BY p, id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
         |      AS p_adj
         |  FROM r)

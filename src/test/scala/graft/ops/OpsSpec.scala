@@ -3767,4 +3767,30 @@ class OpsSpec extends AnyFunSuite {
     assert(c.forall(_.getDouble(3) == 0.95), c.mkString(";"))
     assert(c.forall(!_.getBoolean(4)), c.mkString(";"))
   }
+
+  test("holmAdjust: step-down running max reproduces the sequential " +
+    "rejection set, clamp to 1, rejections stop at the first failure") {
+    import spark.implicits._
+    // p = (.005, .01, .03, .04), m=4, walked ascending:
+    // adj(1) = 4*.005 = .02; adj(2) = max(.02, 3*.01) = .03;
+    // adj(3) = max(.03, 2*.03) = .06; adj(4) = max(.06, 1*.04) = .06
+    // alpha .05: reject ranks 1-2 only — rank 4's RAW (m-j+1)p = .04
+    // would pass alone, but the step-down stopped at rank 3 (the
+    // running max makes that mechanical)
+    val df = Seq(("t1", 0.01), ("t2", 0.04), ("t3", 0.03), ("t4", 0.005))
+      .toDF("id", "p")
+    val out = Profile.holmAdjust(df, "id", "p").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).sortBy(_._2)
+    assert(out(0) == (("t4", 1L, 0.02, true)), s"${out(0)}")
+    assert(out(1) == (("t1", 2L, 0.03, true)), s"${out(1)}")
+    assert(out(2) == (("t3", 3L, 0.06, false)), s"${out(2)}")
+    assert(out(3) == (("t2", 4L, 0.06, false)), s"${out(3)}")
+    // clamp: m*p can exceed 1; out-of-range p drops like bhAdjust
+    val cl = Seq(("a", 0.4), ("b", 0.9), ("c", -0.1)).toDF("id", "p")
+    val c2 = Profile.holmAdjust(cl, "id", "p").collect()
+      .map(r => (r.getString(0), r.getDouble(3))).sortBy(_._1)
+    assert(c2.length == 2, "p=-0.1 filtered")
+    assert(c2(0) == (("a", 0.8)) && c2(1) == (("b", 0.9)), c2.mkString(";"))
+  }
 }
