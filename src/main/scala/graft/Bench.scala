@@ -123,7 +123,7 @@ object Bench {
       (times, err)
     }
     val loadStart = loadAvg1m()
-    var results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val (times, err) = timeQuery(name, fn, reps, warmup)
@@ -132,23 +132,36 @@ object Bench {
     // floor check (BASELINE.md RULES): ratio = this run's MIN vs the
     // committed uncontended floor; > 2x = perf-weak the round it happens.
     // Only meaningful when the bench ran at the floor table's scale
-    // (sf0.1) — other scales still print ratios, consumers discount them.
+    // (sf0.1) — other scales still print ratios, consumers discount
+    // them, and the end-of-sweep rerun below does NOT fire (the r16 sf1
+    // artifact burned 60 extra sf1-scale reps on flags that floors can't
+    // adjudicate at that scale anyway).
     val floors = baselineFloors()
+    val atFloorScale = new java.io.File(sfDir).getName == "sf0.1" ||
+      sys.env.get("SPARK_GRAFT_FLOOR_SCALE").contains("1")
+    // rerun minima live in their OWN map: medians/total/spread keep the
+    // original per-rep basis (a flagged query must not silently report a
+    // 5-sample median where its neighbors report 3), while floor ratios
+    // and queries_min — minima by definition — fold the rerun in.
+    var rerunMin = Map.empty[String, Double]
+    def bestMin(k: String, ts: Seq[Double]): Double =
+      rerunMin.get(k).fold(ts.min)(m => math.min(m, ts.min))
     def floorRatios(rs: Seq[(String, Seq[Double], String)]) =
       rs.flatMap { case (k, ts, _) =>
-        floors.get(k).filter(_ > 0).map(f => k -> ts.min / f)
+        floors.get(k).filter(_ > 0).map(f => k -> bestMin(k, ts) / f)
       }
     // SELF-ADJUDICATION: a perf_weak list recorded during a loaded
     // window reflects the neighbor, not the code (r13 shipped five
     // provably-environmental flags at load_start 3.27; r15's one weak
-    // flag needed after-the-fact manual adjudication). Whenever the
-    // sweep ends with flags, the flagged set re-runs SOLO at
-    // end-of-sweep — after a short settle so the 1-min load average
-    // drains — and those minima fold into the SAME artifact (an extra
-    // rep can only LOWER a min, never manufacture a better record).
-    // The headline then carries an `idle_rerun` section whose
-    // `genuine_weak` list is the self-adjudicated verdict: flags that
-    // survived a solo re-measure on a drained box.
+    // flag needed after-the-fact manual adjudication; r16's rerun
+    // itself executed at load 2.40 and shipped five stale flags). The
+    // flagged set re-runs SOLO at end-of-sweep — but only once the
+    // 1-min load average has actually DRAINED below the contention
+    // threshold: the rerun polls load and waits (bounded by
+    // SPARK_GRAFT_IDLE_MAX_WAIT_SEC) before measuring, and the artifact
+    // records the measured load plus a `settled` bit so an unsettled
+    // verdict is machine-visibly advisory, never presented as the
+    // adjudicated truth.
     val loadThreshold =
       sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "1.5").toDouble
     val contended = loadStart > loadThreshold
@@ -157,18 +170,28 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_IDLE_REPS", "2").toInt)
     val settleSec =
       sys.env.getOrElse("SPARK_GRAFT_IDLE_SETTLE_SEC", "20").toInt
+    val maxWaitSec =
+      sys.env.getOrElse("SPARK_GRAFT_IDLE_MAX_WAIT_SEC", "300").toInt
     var loadRerun = -1.0
+    var settled = false
+    var rerunErrs = Map.empty[String, String]
     val retried: Seq[String] =
-      if (firstWeak.nonEmpty) {
+      if (firstWeak.nonEmpty && atFloorScale) {
+        val deadline = System.nanoTime() + maxWaitSec * 1000000000L
         if (settleSec > 0) Thread.sleep(settleSec * 1000L)
         loadRerun = loadAvg1m()
+        while (loadRerun > loadThreshold && loadRerun >= 0 &&
+            System.nanoTime() < deadline) {
+          Thread.sleep(15000L)
+          loadRerun = loadAvg1m()
+        }
+        settled = loadRerun >= 0 && loadRerun <= loadThreshold
         val byName = SparkEntry.queries
-        results = results.map {
-          case (name, ts, err) if firstWeak.contains(name) =>
-            val (more, err2) =
-              timeQuery(name, byName(name), idleReps, warm = false)
-            (name, ts ++ more, if (err != null) err else err2)
-          case r => r
+        firstWeak.foreach { name =>
+          val (more, err2) =
+            timeQuery(name, byName(name), idleReps, warm = false)
+          rerunMin += name -> more.min
+          if (err2 != null) rerunErrs += name -> err2
         }
         firstWeak
       } else Nil
@@ -197,9 +220,10 @@ object Bench {
     // uncontended floor, so a consumer (and the 2x perf criterion) can
     // judge against it mechanically instead of re-running. The committed
     // floor table lives in BASELINE.md (per-query minima + judging rules).
-    val qsMin = results.map { case (k, ts, _) => "\"" + k + "\":" + fmt(ts.min) }
-      .mkString("{", ",", "}")
-    val totalMin = results.map(_._2.min).sum
+    val qsMin = results.map { case (k, ts, _) =>
+      "\"" + k + "\":" + fmt(bestMin(k, ts))
+    }.mkString("{", ",", "}")
+    val totalMin = results.map { case (k, ts, _) => bestMin(k, ts) }.sum
     // The LAST stdout line must survive the collector's ~1-2 KB stdout
     // tail. At 145+ queries the full per-query map is ~3.4 KB and the
     // collector's parse has truncated it every round since r04, so the
@@ -217,9 +241,11 @@ object Bench {
       "\"" + k + "\":[" + ts.min + "," + ts.max + "]"
     }.mkString("{", ",", "}")
     val errs = results.map { case (k, _, err) =>
-      "\"" + k + "\":" + (if (err == null) "null" else jstr(err))
+      val e = if (err != null) err else rerunErrs.getOrElse(k, null)
+      "\"" + k + "\":" + (if (e == null) "null" else jstr(e))
     }.mkString("{", ",", "}")
-    val nFailed = results.count(_._3 != null)
+    val nFailed =
+      results.count(r => r._3 != null || rerunErrs.contains(r._1))
     val total = results.map(r => median(r._2)).sum
     val loadEnd = loadAvg1m()
     val ratios = floorRatios(results)
@@ -241,15 +267,18 @@ object Bench {
     // whose first-pass flag was re-measured solo at end-of-sweep, and
     // `idle_rerun` is the self-adjudicated verdict: its genuine_weak
     // carries only the flags that SURVIVED the solo re-measure (its
-    // minima are already folded into queries_min/floor ratios above).
+    // minima are already folded into queries_min/floor ratios above) —
+    // and only counts as a VERDICT when `settled` is true: the rerun
+    // waited until 1-min load drained below the threshold. An unsettled
+    // rerun (box never drained within the wait budget) is advisory.
     val idleRerun =
       if (retried.isEmpty) """{"ran":false}"""
       else {
-        val reruns = results.filter(r => retried.contains(r._1))
-          .map { case (k, ts, _) => "\"" + k + "\":" + fmt(ts.min) }
+        val reruns = retried
+          .map(k => "\"" + k + "\":" + fmt(rerunMin(k)))
           .mkString("{", ",", "}")
-        s"""{"ran":true,"load":${fmt(loadRerun)},"reps":$idleReps,""" +
-          s""""queries_min":$reruns,"genuine_weak":${
+        s"""{"ran":true,"load":${fmt(loadRerun)},"settled":$settled,""" +
+          s""""reps":$idleReps,"queries_min":$reruns,"genuine_weak":${
             perfWeak.map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
       }
     val loads = s""""load_start":${fmt(loadStart)},"load_end":${fmt(

@@ -24,13 +24,15 @@ private[graft] object CacheScope {
   val Ops = "ops"
 
   /** [[DistScan]] input pins — optimization-only (an evicted or released
-   * pin recomputes the IDENTICAL bucketing; DistScanSpec proves it), so
-   * terminal 1-row statistics (rocAuc, ksTest, mannWhitney, spearman)
-   * release this WHOLE scope the moment their result is materialized
-   * ([[DistScan.sealTerminal]]) — a long session of drift dashboards
-   * never accumulates corpus-scale spill. Separate from [[Ops]] so that
-   * release can never touch a pair operator's in-flight signature
-   * cache. */
+   * pin recomputes the IDENTICAL bucketing; DistScanSpec proves it).
+   * Terminal 1-row statistics (rocAuc, ksTest, mannWhitney, spearman)
+   * release exactly their OWN pins the moment their result is
+   * materialized ([[DistScan.sealTerminal]] untracks the pins recorded
+   * during that statistic's construction) — a long session of drift
+   * dashboards never accumulates corpus-scale spill, and a concurrent
+   * lazy scan's pin survives a sibling's seal. Separate from [[Ops]] so
+   * the owners' unpersistAll drains can never touch a pair operator's
+   * in-flight signature cache. */
   val Scan = "scan"
 
   /** Long-lived index caches (IVF cell assignments); released only by the

@@ -52,15 +52,18 @@ import org.apache.spark.sql.functions._
  * scope. Terminal 1-row statistics (rocAuc, ksTest, mannWhitney,
  * spearman) SELF-RELEASE via [[sealTerminal]] — the result is
  * materialized (bounded rows by construction) into a local frame and
- * the whole Scan scope drops, so a long session of drift dashboards
- * never accumulates corpus-scale spill or registry references.
- * Operators returning data-scale lazy frames (bhAdjust, RFM, the
- * Sampling scans) keep their pin until the caller releases — via
- * `Profile.unpersistAll` / `Sampling.unpersistAll` (or the
- * Dedup/Similarity ones, which drain Scan too). A seal DOES release
- * sibling lazy scans' pins in the same session; they recompute
- * identically (the pins are optimization-only), trading one re-scan
- * for never leaking under interleaved use.
+ * exactly the pins created during THAT statistic's construction drop
+ * (a thread-local recorder around the by-name result argument), so a
+ * long session of drift dashboards never accumulates corpus-scale
+ * spill or registry references — and a concurrent thread's in-flight
+ * lazy scan (bhAdjust, RFM, Sampling) KEEPS its pin: a seal releases
+ * only its own statistic's pins, never a sibling's (the r16 shape
+ * dropped the whole scope, which was correct — pins are
+ * optimization-only — but made depth-d lazy chains pay repeated
+ * re-evaluations under interleaved use). Operators returning
+ * data-scale lazy frames keep their pin until the caller releases —
+ * via `Profile.unpersistAll` / `Sampling.unpersistAll` (or the
+ * Dedup/Similarity ones, which drain Scan too).
  * Like fitIvfIndex, the construction jobs are an index build, not part
  * of the result plan; chained scans (BH-FDR, RFM, Spearman) pin per
  * level, so depth-d chains cost O(d) evaluations, not O(2^d).
@@ -71,6 +74,21 @@ private[graft] object DistScan {
    * exchange on `_p` spreads buckets ~evenly across partitions. */
   private def nBuckets(df: DataFrame): Int =
     4 * df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Per-statistic pin recorder: [[sealTerminal]] installs a buffer for
+   * the duration of its by-name result construction; every pin a prefix
+   * op creates on THIS thread lands in it, so the seal can release
+   * exactly its own statistic's pins and nothing else. Null (no seal in
+   * flight) for lazy-scan callers — their pins stay until the owner's
+   * unpersistAll. Thread-local by design: a concurrent thread's seal
+   * never sees (or releases) this thread's pins. */
+  private val localPins =
+    new ThreadLocal[scala.collection.mutable.Buffer[DataFrame]]
+
+  private def notePin(pinned: DataFrame): Unit = {
+    val buf = localPins.get()
+    if (buf != null) buf += pinned
+  }
 
   private def guard(df: DataFrame): Unit = {
     // prefix-based: the generated internals are _p, _pt<i>, _off<i>
@@ -152,6 +170,7 @@ private[graft] object DistScan {
     // optimization-only pin (see the object doc): the sample job fills
     // it, totals + the result plan read it; recompute is identical
     val pinned = CacheScope.track(df, CacheScope.Scan)
+    notePin(pinned)
     val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val upper = if (inclusive) 0L else -1L
     val wIn = Window.partitionBy(col("_p")).orderBy(order: _*)
@@ -183,6 +202,7 @@ private[graft] object DistScan {
     guard(df)
     // optimization-only (object doc)
     val pinned = CacheScope.track(df, CacheScope.Scan)
+    notePin(pinned)
     val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val agg: Column => Column = if (isMin) min else max
     val merge: (Column, Column) => Column =
@@ -209,25 +229,37 @@ private[graft] object DistScan {
       out: String, inclusive: Boolean = true): DataFrame =
     prefixExtreme(df, order, value, out, inclusive, isMin = false)
 
-  /** Terminal-statistic seal: materialize `result` (statistics-sized by
-   * construction — a 1-row test readout, never data; `maxRows` fails
-   * fast if a caller mislabels a data-scale frame as terminal), release
-   * EVERY Scan-scope pin of the session, and hand back the rows as a
-   * local frame with the identical schema. The returned frame holds no
-   * reference to the scan plan, so the statistic's cost shape is one
-   * input evaluation total (sample fills the pin, totals + this collect
-   * read it) and the session's cache registry is empty afterwards —
-   * the self-release contract DriverStateAuditSpec pins. */
-  def sealTerminal(result: DataFrame, maxRows: Int = 1024): DataFrame = {
-    val spark = result.sparkSession
-    val rows = result.limit(maxRows + 1).collect()
+  /** Terminal-statistic seal: CONSTRUCT `result` (by-name — every prefix
+   * op the construction runs records its pin in a thread-local buffer),
+   * materialize it (statistics-sized by construction — a 1-row test
+   * readout, never data; `maxRows` fails fast if a caller mislabels a
+   * data-scale frame as terminal), release exactly the pins THIS
+   * statistic created, and hand back the rows as a local frame with the
+   * identical schema. The returned frame holds no reference to the scan
+   * plan, so the statistic's cost shape is one input evaluation total
+   * (sample fills the pin, totals + this collect read it) and the
+   * statistic leaves the session's cache registry exactly as it found
+   * it — a sibling thread's in-flight lazy scan keeps its pin (the
+   * self-release contract DriverStateAuditSpec pins). NOTE: all
+   * pin-creating construction must happen INSIDE the argument
+   * expression — a prefix op run before the call records nowhere and
+   * its pin stays until unpersistAll. */
+  def sealTerminal(result: => DataFrame, maxRows: Int = 1024): DataFrame = {
+    val buf = scala.collection.mutable.Buffer.empty[DataFrame]
+    val prev = localPins.get()
+    localPins.set(buf)
+    val res =
+      try result
+      finally { if (prev == null) localPins.remove() else localPins.set(prev) }
+    val spark = res.sparkSession
+    val rows = res.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"sealTerminal materializes the result on the driver but got > " +
         s"$maxRows rows: only statistics-sized terminal readouts may " +
         "seal — return the lazy frame and release via unpersistAll " +
         "instead")
-    CacheScope.unpersistAll(spark, CacheScope.Scan)
+    buf.foreach(CacheScope.untrack)
     spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), result.schema)
+      java.util.Arrays.asList(rows: _*), res.schema)
   }
 }

@@ -469,10 +469,12 @@ object Multimodal {
    * decode is ≤ ~143×128 ints), but the subsampling factor
    * `min(W/72, H/64)` floors to 1 whenever EITHER source dimension is
    * small (a 70×100000 strip decodes full size), so past a 64Ki-pixel
-   * decode the fetch switches to per-cell-row runs into a reused
-   * cell-width buffer — identical ints in identical order (hash
-   * unchanged, spec-pinned), scratch bounded by one cell row
-   * (≤ ~W/9 ints) instead of a second full-image copy. */
+   * decode the fetch switches to ONE full scanline per y into a reused
+   * w-int buffer, and all 9 cells of the grid row index that line —
+   * identical ints, and per cell the identical pixel-addition order
+   * (y outer, x inner; hash bit-for-bit unchanged, spec-pinned),
+   * scratch bounded by one scanline (w ints) with one getRGB dispatch
+   * per y instead of 9. */
   private def gridBits(img: java.awt.image.BufferedImage): Option[Long] = {
     if (img.getWidth <= 0 || img.getHeight <= 0) None
       else {
@@ -482,33 +484,42 @@ object Multimodal {
         val gh = 8
         val oneCall = w.toLong * h <= 65536L
         val px = if (oneCall) img.getRGB(0, 0, w, h, null, 0, w) else null
-        val rowBuf = if (oneCall) null else new Array[Int](w / gw + 2)
+        val rowBuf = if (oneCall) null else new Array[Int](w)
         val cells = new Array[Double](gw * gh)
         var r = 0
         while (r < gh) {
           val y0 = (r.toLong * h / gh).toInt
           val y1 = math.max(y0 + 1, ((r + 1).toLong * h / gh).toInt)
+          // pixels accumulate straight into cells(idx) one at a time, so
+          // each cell's FP addition sequence is exactly the per-cell
+          // loop's (y outer, x inner) — the hash cannot move
+          var y = y0
+          while (y < y1) {
+            val run =
+              if (oneCall) px
+              else img.getRGB(0, y, w, 1, rowBuf, 0, w)
+            val rowBase = if (oneCall) y * w else 0
+            var c = 0
+            while (c < gw) {
+              val x0 = (c.toLong * w / gw).toInt
+              val x1 = math.max(x0 + 1, ((c + 1).toLong * w / gw).toInt)
+              val idx = r * gw + c
+              var x = x0
+              while (x < x1) {
+                val argb = run(rowBase + x)
+                cells(idx) += 0.299 * ((argb >>> 16) & 0xff) +
+                  0.587 * ((argb >>> 8) & 0xff) + 0.114 * (argb & 0xff)
+                x += 1
+              }
+              c += 1
+            }
+            y += 1
+          }
           var c = 0
           while (c < gw) {
             val x0 = (c.toLong * w / gw).toInt
             val x1 = math.max(x0 + 1, ((c + 1).toLong * w / gw).toInt)
-            var s = 0.0
-            var y = y0
-            while (y < y1) {
-              val run =
-                if (oneCall) px
-                else img.getRGB(x0, y, x1 - x0, 1, rowBuf, 0, x1 - x0)
-              val rowBase = if (oneCall) y * w else -x0
-              var x = x0
-              while (x < x1) {
-                val argb = run(rowBase + x)
-                s += 0.299 * ((argb >>> 16) & 0xff) +
-                  0.587 * ((argb >>> 8) & 0xff) + 0.114 * (argb & 0xff)
-                x += 1
-              }
-              y += 1
-            }
-            cells(r * gw + c) = s / ((y1 - y0).toLong * (x1 - x0))
+            cells(r * gw + c) /= ((y1 - y0).toLong * (x1 - x0))
             c += 1
           }
           r += 1

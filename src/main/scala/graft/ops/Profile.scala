@@ -2076,16 +2076,6 @@ object Profile {
     val cells = df.filter((inA || inB) && x.isNotNull)
       .groupBy(x.as("v"))
       .agg(count(when(inA, 1)).as("ca"), count(when(inB, 1)).as("cb"))
-    // rows-before each tie group via the distributed prefix scan (long
-    // counts: bit-identical to the naive global window)
-    val ranked = DistScan.prefixSums(
-        cells.withColumn("tk", col("ca") + col("cb")),
-        Seq(col("v")), Seq((col("tk"), "_below")), inclusive = false)
-      .withColumn("avg_rank", col("_below") + (col("tk") + 1) / 2.0)
-    val agged = ranked.agg(
-      sum("ca").as("n_a"), sum("cb").as("n_b"),
-      sum(col("ca") * col("avg_rank")).as("_ra"),
-      sum(col("tk") * col("tk") * col("tk") - col("tk")).as("_t3"))
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val n = na + nb
@@ -2093,15 +2083,28 @@ object Profile {
     val sigma = sqrt(na * nb / 12.0 *
       ((n + 1) - col("_t3") / (n * (n - 1))))
     val z = (ua - na * nb / 2.0) / sigma
-    // terminal 1-row statistic: seal releases the scan pin on return
-    DistScan.sealTerminal(agged.select(col("n_a"), col("n_b"),
+    // terminal 1-row statistic: the scan is CONSTRUCTED inside the seal
+    // (by-name) so the seal releases exactly this statistic's pin on
+    // return. Rows-before each tie group via the distributed prefix
+    // scan (long counts: bit-identical to the naive global window).
+    DistScan.sealTerminal({
+      val ranked = DistScan.prefixSums(
+          cells.withColumn("tk", col("ca") + col("cb")),
+          Seq(col("v")), Seq((col("tk"), "_below")), inclusive = false)
+        .withColumn("avg_rank", col("_below") + (col("tk") + 1) / 2.0)
+      val agged = ranked.agg(
+        sum("ca").as("n_a"), sum("cb").as("n_b"),
+        sum(col("ca") * col("avg_rank")).as("_ra"),
+        sum(col("tk") * col("tk") * col("tk") - col("tk")).as("_t3"))
+      agged.select(col("n_a"), col("n_b"),
       round(ua, 1).as("u_a"),
       when(col("n_a") > 0 && col("n_b") > 0,
         round(ua / (na * nb), 4)).as("auc"),
       when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
         round(z, 4) + lit(0.0)).as("z"),
       coalesce(when(col("n_a") > 0 && col("n_b") > 0 && sigma > 0,
-        abs(z) > 1.96), lit(false)).as("significant")))
+        abs(z) > 1.96), lit(false)).as("significant"))
+    })
   }
 
   /**

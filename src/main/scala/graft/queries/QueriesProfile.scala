@@ -1765,13 +1765,18 @@ private[graft] object QueriesProfile {
         |    ELSE 1.0 END AS alpha
         |FROM dos, ncs, tot""".stripMargin,
     // same truth/model predicates; the continuity-corrected statistic
-    // is integer-derived so the replay is exact
+    // is integer-derived so the replay is exact. The f CTE mirrors the
+    // engine's null-flag filter (Eval.mcnemar drops rows whose
+    // correctness flags are NULL from n) so the two sides stay aligned
+    // if the fixture ever grows null text/n_chars
     "q_mcnemar" ->
       """WITH d AS (SELECT doc_id,
         |    ((n_chars > 380) = (n_chars > 400)) AS ca,
         |    ((len(list_filter(string_split(text, ' '),
         |      x -> x <> '')) > 80) = (n_chars > 400)) AS cb
         |  FROM documents),
+        |f AS (SELECT * FROM d
+        |  WHERE doc_id IS NOT NULL AND ca IS NOT NULL AND cb IS NOT NULL),
         |g AS (SELECT count(*)::BIGINT AS n,
         |    sum(CASE WHEN ca AND cb THEN 1 ELSE 0 END)::BIGINT
         |      AS both_right,
@@ -1781,7 +1786,7 @@ private[graft] object QueriesProfile {
         |      AS only_a,
         |    sum(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END)::BIGINT
         |      AS only_b
-        |  FROM d)
+        |  FROM f)
         |SELECT n, both_right, both_wrong, only_a, only_b,
         |  round((both_right + only_a) / n::DOUBLE, 4) AS acc_a,
         |  round((both_right + only_b) / n::DOUBLE, 4) AS acc_b,

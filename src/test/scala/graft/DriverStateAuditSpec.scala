@@ -143,6 +143,16 @@ class DriverStateAuditSpec extends AnyFunSuite {
       orders.limit(50).select(col("o_orderkey").as("id"),
         (pmod(col("o_orderkey"), lit(100)) / 100.0).as("p")), "id", "p")
     assert(scanPins() > 0, "bhAdjust should hold its optimization pin")
+    // a seal releases ONLY its own statistic's pins: the in-flight lazy
+    // scan keeps its pin across a sibling terminal statistic (the r16
+    // shape dropped the whole scope, costing interleaved lazy chains
+    // repeated re-evaluations)
+    val pinsBeforeSeal = scanPins()
+    graft.ops.Profile.rocAuc(
+      orders.withColumn("y", col("o_orderkey") % 2 === 0),
+      "o_totalprice", "y")
+    assert(scanPins() == pinsBeforeSeal,
+      "a sibling seal must not release an in-flight lazy scan's pin")
     graft.ops.Profile.unpersistAll(spark)
     assert(scanPins() == 0, "unpersistAll must drain the Scan scope")
     assert(lazyScan.count() == 50,
