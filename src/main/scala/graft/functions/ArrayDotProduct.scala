@@ -164,6 +164,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_clip_counts", clipBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_lcs", exprs => LcsLength(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_argmin_centroid", argminBuilder, "built-in")
     // Spark's own runtime-filter expressions, surfaced as callable
     // functions: the filter is BUILT distributed (mergeable per-partition
@@ -220,6 +222,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_clip_counts"),
       new ExpressionInfo(classOf[ClipCounts].getName, "graft_clip_counts"),
       (exprs: Seq[Expression]) => GraftFunctions.clipBuilder(exprs)))
+    e.injectFunction((
+      FunctionIdentifier("graft_lcs"),
+      new ExpressionInfo(classOf[LcsLength].getName, "graft_lcs"),
+      (exprs: Seq[Expression]) => LcsLength(exprs(0), exprs(1))))
     e.injectFunction((
       FunctionIdentifier("graft_argmin_centroid"),
       new ExpressionInfo(classOf[CentroidArgmin].getName,

@@ -126,6 +126,47 @@ object TextEval {
   }
 
   /**
+   * ROUGE-L (Lin 2004 §3.1): per (candidate, reference) pair, the
+   * longest-common-subsequence overlap — the generation score that
+   * rewards in-ORDER coverage without requiring consecutive matches,
+   * where [[rougeN]]'s fixed-window grams punish any reordering
+   * equally. R_lcs = LCS/ref_len, P_lcs = LCS/cand_len, F1 harmonic
+   * (the β = 1 form the standard tooling reports). Same
+   * lowercase-whitespace tokens as the other scores, computed INSIDE
+   * the compiled `graft_lcs` kernel (LcsLength.scala): the token pair
+   * never leaves its row, the DP is O(m·n) time / O(min(m, n)) space
+   * per pair, and the only cross-row traffic is one 3-long struct per
+   * pair. Duplicate ids merge by summing lengths and LCS (the
+   * sentence-pair SUM form; Lin's union-LCS summary variant needs
+   * cross-sentence subsequence sets and is deliberately not this).
+   * Pairs with an empty side score 0 on that side's ratio; every input
+   * id survives to the output.
+   * Output: one row per id — cand_len, ref_len (token counts), lcs,
+   * precision, recall, f1 (4dp).
+   */
+  def rougeL(df: DataFrame, idCol: String, candCol: String,
+      refCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val per = spread(df.select(col(idCol).as("id"),
+        col(candCol).as("_cand"), col(refCol).as("_ref")))
+      .select(col("id"), call_function("graft_lcs",
+        coalesce(col("_cand"), lit("")),
+        coalesce(col("_ref"), lit(""))).as("_l"))
+      .groupBy("id")
+      .agg(sum("_l.cand_len").as("cand_len"),
+        sum("_l.ref_len").as("ref_len"), sum("_l.lcs").as("lcs"))
+    val prec = when(col("cand_len") > 0,
+      col("lcs") / col("cand_len").cast("double")).otherwise(lit(0.0))
+    val rec = when(col("ref_len") > 0,
+      col("lcs") / col("ref_len").cast("double")).otherwise(lit(0.0))
+    per.select(col("id"), col("cand_len"), col("ref_len"), col("lcs"),
+      round(prec, 4).as("precision"),
+      round(rec, 4).as("recall"),
+      round(coalesce(when(prec + rec > 0,
+        lit(2.0) * prec * rec / (prec + rec)), lit(0.0)), 4).as("f1"))
+  }
+
+  /**
    * Corpus BLEU (Papineni et al. 2002): the machine-translation /
    * generation fidelity score — geometric mean of the clipped n-gram
    * precisions p_1..p_maxN aggregated over the WHOLE corpus (clipping per

@@ -463,6 +463,18 @@ private[graft] object QueriesText {
       graft.ops.TextEval.rougeN(pairs, "id", "cand", "ref", n = 2)
         .orderBy("id")
     }),
+    "text_rouge_l" -> ((s, dir) => {
+      // ROUGE-L over the same consecutive-pair frame: token-level LCS
+      // via the compiled graft_lcs kernel — in-order coverage where
+      // ROUGE-2's fixed windows punish any reordering equally
+      val d = t(s, dir, "documents")
+      val pairs = d.select(col("doc_id").as("id"), col("text").as("cand"))
+        .filter(col("id") % 2 === 0)
+        .join(d.select((col("doc_id") - 1).as("id"),
+          col("text").as("ref")), Seq("id"))
+      graft.ops.TextEval.rougeL(pairs, "id", "cand", "ref")
+        .orderBy("id")
+    }),
     "text_bleu" -> ((s, dir) => {
       // corpus BLEU (maxN=2) over the same consecutive-pair frame:
       // clipping per pair, totals corpus-level, brevity penalty on the
@@ -1248,6 +1260,50 @@ private[graft] object QueriesText {
         |      ELSE 0.0 END AS r
         |  FROM pj)
         |SELECT id, n_cand, n_ref, overlap, round(p, 4) AS "precision",
+        |  round(r, 4) AS recall,
+        |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
+        |    ELSE 0.0 END, 4) AS f1
+        |FROM sc ORDER BY id""".stripMargin,
+    // ROUGE-L: the engine's O(m·n) LCS DP replayed as a recursive CTE
+    // over candidate tokens — each step derives DP row i from row i−1
+    // via new[j] = max(prev[j], runmax_{j'<=j}(prev[j'−1] + match_j')),
+    // the prefix-max identity that removes the within-row left-to-right
+    // dependency (DP rows are monotone in j, so max(prev[j], new[j−1])
+    // folds into the running max). Integer DP → exact replay.
+    "text_rouge_l" ->
+      """WITH RECURSIVE pr AS (
+        |  SELECT a.doc_id AS id,
+        |    list_filter(regexp_split_to_array(lower(a.text), '\s+'),
+        |      x -> x <> '') AS ct,
+        |    list_filter(regexp_split_to_array(lower(b.text), '\s+'),
+        |      x -> x <> '') AS rt
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 2 = 0),
+        |l AS (
+        |  SELECT id, 0 AS i, ct, rt,
+        |    list_transform(range(1, len(rt) + 1), x -> 0) AS dp
+        |  FROM pr
+        |  UNION ALL
+        |  SELECT id, i + 1, ct, rt,
+        |    list_transform(range(1, len(rt) + 1), j ->
+        |      greatest(dp[j], list_max(list_transform(range(1, j + 1),
+        |        j2 -> (CASE WHEN j2 = 1 THEN 0 ELSE dp[j2 - 1] END) +
+        |          (CASE WHEN rt[j2] = ct[i + 1] THEN 1 ELSE 0 END)))))
+        |      AS dp
+        |  FROM l WHERE i < len(ct)),
+        |fin AS (
+        |  SELECT id, len(ct)::BIGINT AS cand_len,
+        |    len(rt)::BIGINT AS ref_len,
+        |    coalesce(dp[len(rt)], 0)::BIGINT AS lcs
+        |  FROM l WHERE i = len(ct)),
+        |sc AS (
+        |  SELECT id, cand_len, ref_len, lcs,
+        |    CASE WHEN cand_len > 0 THEN lcs / cand_len::DOUBLE
+        |      ELSE 0.0 END AS p,
+        |    CASE WHEN ref_len > 0 THEN lcs / ref_len::DOUBLE
+        |      ELSE 0.0 END AS r
+        |  FROM fin)
+        |SELECT id, cand_len, ref_len, lcs, round(p, 4) AS "precision",
         |  round(r, 4) AS recall,
         |  round(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r)
         |    ELSE 0.0 END, 4) AS f1

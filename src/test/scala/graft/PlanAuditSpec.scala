@@ -309,6 +309,17 @@ class PlanAuditSpec extends AnyFunSuite {
       "bleu")
     audit(graft.ops.TextEval.chrF(docs, "doc_id", "cand", "ref"),
       "chrF")
+    // rougeL rides the LCS kernel instead of clip-counts — same
+    // contract: codegen'd kernel, no UDF, nothing sequence-shaped
+    // shuffles (the only cross-row traffic is one 3-long struct/pair)
+    val rl = graft.ops.TextEval.rougeL(docs, "doc_id", "cand", "ref")
+    rl.collect()
+    val prl = rl.queryExecution.executedPlan.toString
+    assert(prl.linesIterator.exists(l =>
+      l.contains("graft_lcs") && l.contains("*(")),
+      s"rougeL: LCS kernel not inside a codegen stage:\n$prl")
+    assert(!prl.contains("BatchEvalPython") && !prl.contains("ScalaUDF"),
+      s"rougeL: interpreted UDF re-entered the hot path:\n$prl")
   }
 
   test("no STATIC broadcast of an unbounded-fanout Generate subtree in " +

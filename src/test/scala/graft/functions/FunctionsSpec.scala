@@ -88,6 +88,60 @@ class FunctionsSpec extends AnyFunSuite {
       s"graft_dot not inside a codegen stage:\n$plan")
   }
 
+  test("graft_lcs: case-folded tokenization, symmetry, codegen stage, " +
+    "fuzz vs full-matrix reference DP") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // case folding + multi-whitespace runs are part of the kernel
+    val got = Seq(("A b C  b\td a B", "b d c a b a")).toDF("a", "b")
+      .selectExpr("graft_lcs(a, b) AS l")
+      .selectExpr("l.cand_len", "l.ref_len", "l.lcs").collect().head
+    assert(got.getLong(0) == 7L && got.getLong(1) == 6L &&
+      got.getLong(2) == 4L, s"$got")
+    // interpreted eval agrees with the codegen'd path
+    val row = LcsKernel.tokenLcs(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c"),
+      org.apache.spark.unsafe.types.UTF8String.fromString("b c d"))
+    assert(row.getLong(0) == 3L && row.getLong(1) == 3L &&
+      row.getLong(2) == 2L, s"$row")
+    // kernel sits inside a WholeStageCodegen stage
+    val plan = spark.range(10).toDF("i")
+      .selectExpr("cast(i as string) AS s")
+      .selectExpr("graft_lcs(s, 'x 1') AS l")
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_lcs") && l.trim.startsWith("*(")),
+      s"graft_lcs not inside a codegen stage:\n$plan")
+    // fuzz: the two-row min-side-inner DP vs the textbook full-matrix
+    // reference, random short sequences over a small alphabet (dense
+    // match structure), symmetry included
+    def refLcs(a: Array[String], b: Array[String]): Long = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        dp(i)(j) =
+          if (a(i - 1) == b(j - 1)) dp(i - 1)(j - 1) + 1
+          else math.max(dp(i - 1)(j), dp(i)(j - 1))
+      dp(a.length)(b.length).toLong
+    }
+    val rnd = new scala.util.Random(4217)
+    val alpha = Array("a", "b", "c", "d")
+    (1 to 300).foreach { k =>
+      val a = Array.fill(rnd.nextInt(13))(alpha(rnd.nextInt(4)))
+      val b = Array.fill(rnd.nextInt(13))(alpha(rnd.nextInt(4)))
+      val want = refLcs(a, b)
+      val gotRow = LcsKernel.tokenLcs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.mkString(" ")),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b.mkString(" ")))
+      assert(gotRow.getLong(2) == want,
+        s"case $k: ${a.mkString(" ")} | ${b.mkString(" ")}: " +
+          s"got ${gotRow.getLong(2)}, want $want")
+      val sym = LcsKernel.tokenLcs(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b.mkString(" ")),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.mkString(" ")))
+      assert(sym.getLong(2) == want, s"asymmetric LCS at case $k")
+    }
+  }
+
   test("graft_jaro: textbook fixtures, DuckDB edge conventions, codegen") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)

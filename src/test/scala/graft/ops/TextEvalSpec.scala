@@ -39,6 +39,32 @@ class TextEvalSpec extends AnyFunSuite {
       r2.getDouble(5) == 0.5 && r2.getDouble(6) == 0.5, s"$r2")
   }
 
+  test("rougeL: hand-computed LCS, reversal vs ROUGE-2 contrast, " +
+    "empty and identical edges") {
+    import spark.implicits._
+    val df = Seq(
+      // LCS("a b c b d a b", "b d c a b a") = 4 ("b d a b" / "b c b a"):
+      // P = 4/7, R = 4/6, F1 = 16/26
+      (1L, "a b c b d a b", "b d c a b a"),
+      (2L, "the cat sat", "the cat sat"), // identical: all ratios 1
+      (3L, "", "x y"),                    // empty candidate: zeros
+      (4L, "d c b a", "a b c d")          // full reversal: LCS = 1
+    ).toDF("id", "cand", "ref")
+    val r = TextEval.rougeL(df, "id", "cand", "ref").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5), x.getDouble(6)))
+      .sortBy(_._1)
+    assert(r(0) == ((1L, 7L, 6L, 4L, 0.5714, 0.6667, 0.6154)), s"${r(0)}")
+    assert(r(1) == ((2L, 3L, 3L, 3L, 1.0, 1.0, 1.0)), s"${r(1)}")
+    assert(r(2) == ((3L, 0L, 2L, 0L, 0.0, 0.0, 0.0)), s"${r(2)}")
+    assert(r(3) == ((4L, 4L, 4L, 1L, 0.25, 0.25, 0.25)), s"${r(3)}")
+    // the contrast ROUGE-L exists for: the reversed pair has ZERO
+    // bigram overlap (ROUGE-2 f1 = 0) but a nonzero in-order LCS credit
+    val r2 = TextEval.rougeN(df.filter($"id" === 4L), "id", "cand",
+      "ref", n = 2).collect().head
+    assert(r2.getDouble(6) == 0.0, s"$r2")
+  }
+
   test("bleu: perfect match, clipped unigram, zeroing p2, brevity penalty") {
     import spark.implicits._
     // identical pair: p1 = p2 = bp = bleu = 1
