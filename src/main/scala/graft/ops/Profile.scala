@@ -885,6 +885,98 @@ object Profile {
   }
 
   /**
+   * Isotonic calibration by pool-adjacent-violators (PAV; Ayer et al.
+   * 1955, Zadrozny & Elkan 2002) — the calibration map modern eval
+   * stacks fit where [[calibration]]'s fixed-bin readout
+   * under-resolves: the best MONOTONE fit of P(label | score), so a
+   * higher calibrated score always means a higher observed positive
+   * rate. Scores bucket exactly like [[calibration]] (floor(s·bins),
+   * top-inclusive); the per-bucket (positives, count) pairs then pool
+   * under the classic PAV stack: walk buckets ascending, merge a new
+   * bucket backwards while its pooled rate is BELOW its predecessor's.
+   * Pool rates are exact rationals (long positives / long count;
+   * violation tests cross-multiply in BigInt), so the fit is
+   * engine-replayable: the pooled value equals the minimax form
+   * max_{j≤i} min_{k≥i} mean(j..k), which a SQL replay computes from
+   * the same integer cumulatives — equal rationals divide to
+   * bit-identical doubles.
+   *
+   * Scale shape: ONE map-side-combined groupBy on the bucket id is the
+   * only data-scale pass; the PAV stack runs on the driver over the
+   * ≤ `bins` bucket rows (bins capped at 4096 — the bounded-collect
+   * contract silhouette/bradleyTerry use; the pooling recursion is
+   * inherently sequential and the frame is config-sized, never data).
+   * Output: one row per NON-EMPTY bucket — bucket, n, n_pos,
+   * mean_score (4dp), frac_pos (6dp), iso_frac (6dp; non-decreasing in
+   * bucket, the PAV fit).
+   */
+  def isotonicCalibration(df: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins > 0 && bins <= 4096,
+      s"bins must be in [1, 4096] (the bucket frame collects to the " +
+        s"driver for the sequential PAV fold): $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val counts = df
+      .filter(s.isNotNull && y.isNotNull && s >= 0.0 && s <= 1.0)
+      .withColumn("bucket",
+        least(floor(s * bins), lit((bins - 1).toLong)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(y, 1L).otherwise(0L)), lit(0L)).as("n_pos"),
+        avg(s).as("_conf"))
+      .orderBy("bucket")
+    // <= bins rows by construction (bucket ids live in [0, bins))
+    val rows = counts.collect()
+    // PAV stack: (pooled positives, pooled n, buckets in pool)
+    val pools = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Int)]
+    rows.foreach { r =>
+      var pos = r.getLong(2)
+      var n = r.getLong(1)
+      var span = 1
+      // violation iff prevRate > curRate, tested exactly:
+      // prevPos·curN > curPos·prevN in BigInt (immune to count overflow)
+      while (pools.nonEmpty && {
+        val (pp, pn, _) = pools.last
+        BigInt(pp) * n > BigInt(pos) * pn
+      }) {
+        val (pp, pn, ps) = pools.remove(pools.length - 1)
+        pos += pp; n += pn; span += ps
+      }
+      pools += ((pos, n, span))
+    }
+    val isoByIdx = pools.iterator.flatMap { case (pp, pn, ps) =>
+      Iterator.fill(ps)(pp.toDouble / pn.toDouble)
+    }.toArray
+    val spark = df.sparkSession
+    val out = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(2).toDouble / r.getLong(1),
+        isoByIdx(i))
+    }
+    spark.createDataFrame(
+        java.util.Arrays.asList(out: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bucket",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_pos",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_conf",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_frac",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_iso",
+            org.apache.spark.sql.types.DoubleType))))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("_conf"), 4).as("mean_score"),
+        round(col("_frac"), 6).as("frac_pos"),
+        round(col("_iso"), 6).as("iso_frac"))
+  }
+
+  /**
    * Exact ROC-AUC by the rank-sum (Mann–Whitney) identity with the
    * standard half-credit for score ties — the threshold-free companion
    * of [[classifierMetrics]]. Computed from the per-DISTINCT-SCORE

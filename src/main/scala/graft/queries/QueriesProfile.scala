@@ -408,6 +408,14 @@ private[graft] object QueriesProfile {
           "score", "label", bins = 10)
         .orderBy("bucket")
     }),
+    "q_isotonic" -> ((s, dir) =>
+      // PAV isotonic fit over the same classifier frame and bucket
+      // convention as q_calibration: the best monotone P(label|score),
+      // pooled rates as exact long rationals — the oracle replays the
+      // fit through the minimax identity over integer cumulatives
+      graft.ops.Profile.isotonicCalibration(classifierEvalFrame(s, dir),
+          "score", "label", bins = 10)
+        .orderBy("bucket")),
     "q_roc_auc" -> ((s, dir) => {
       // exact rank-sum AUC with tie half-credit; scores 4dp-rounded so
       // the distinct-score walk is bounded (the documented envelope)
@@ -1472,6 +1480,36 @@ private[graft] object QueriesProfile {
         |FROM (SELECT unnest(range(0, 10))::BIGINT AS bucket) g
         |LEFT JOIN b ON g.bucket = b.bucket
         |ORDER BY g.bucket""".stripMargin),
+    // PAV replay via the minimax identity iso(i) = max_{j<=i}
+    // min_{k>=i} mean(j..k): segment means from integer cumulatives,
+    // equal rationals divide to bit-identical doubles, bucket count is
+    // config-bounded so the j x k x i grid is statistics-sized
+    "q_isotonic" -> (classifierEvalCte +
+      """b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bucket,
+        |    count(*)::BIGINT AS n,
+        |    count(*) FILTER (WHERE label)::BIGINT AS n_pos,
+        |    avg(score) AS conf
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND score >= 0.0 AND score <= 1.0
+        |  GROUP BY 1),
+        |c AS (SELECT bucket, n, n_pos,
+        |    sum(n) OVER (ORDER BY bucket) AS cn,
+        |    sum(n_pos) OVER (ORDER BY bucket) AS cp
+        |  FROM b),
+        |seg AS (SELECT j.bucket AS bj, k.bucket AS bk,
+        |    (k.cp - j.cp + j.n_pos) AS segp,
+        |    (k.cn - j.cn + j.n) AS segn
+        |  FROM c j JOIN c k ON k.bucket >= j.bucket),
+        |tri AS (SELECT i.bucket AS bi, s.bj,
+        |    min(s.segp / s.segn::DOUBLE) AS mn
+        |  FROM c i JOIN seg s
+        |    ON s.bj <= i.bucket AND s.bk >= i.bucket
+        |  GROUP BY 1, 2),
+        |iso AS (SELECT bi AS bucket, max(mn) AS iso FROM tri GROUP BY 1)
+        |SELECT b.bucket, b.n, b.n_pos, round(b.conf, 4) AS mean_score,
+        |  round(b.n_pos / b.n::DOUBLE, 6) AS frac_pos,
+        |  round(iso.iso, 6) AS iso_frac
+        |FROM b JOIN iso USING (bucket) ORDER BY bucket""".stripMargin),
     "q_roc_auc" -> (classifierEvalCte +
       """ps AS (SELECT score,
         |    count(*) FILTER (WHERE label)::BIGINT AS np,

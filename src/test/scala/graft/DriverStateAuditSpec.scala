@@ -47,6 +47,11 @@ class DriverStateAuditSpec extends AnyFunSuite {
         "4*numShufflePartitions config, never data); sealTerminal: " +
         "limit(maxRows+1) with a sized require — statistics-sized " +
         "terminal readouts only"),
+    "ops/Profile.scala" -> (1,
+      "isotonicCalibration bucket frame: <= bins rows (bucket ids live " +
+        "in [0, bins)), bins capped at 4096 with a sized require — the " +
+        "PAV stack is sequential by nature and runs over a config-sized " +
+        "frame"),
     "ops/Eval.scala" -> (2,
       "bradleyTerry: 1-row distinct-item count + roster collect guarded " +
         "at maxItems=4096 with a sized error (Eval.scala:205)"),

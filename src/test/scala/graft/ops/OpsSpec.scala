@@ -2795,6 +2795,45 @@ class OpsSpec extends AnyFunSuite {
     assert(one.collect().head.getLong(1) == 1L)
   }
 
+  test("isotonicCalibration: PAV pooling closed form, monotone fit, " +
+    "mass preservation, bins guard") {
+    import spark.implicits._
+    // bins=5 buckets: b0 rate 1/2, b1 rate 2/2, b2 rate 0/2, b3 rate
+    // 2/2 — PAV pools the (1.0, 0.0) violation into 2/4 = 0.5, which
+    // TIES the preceding 0.5 pool (ties don't merge; same fit either
+    // way), and the trailing 1.0 stands
+    val df = Seq(
+      (0.1, true), (0.1, false),
+      (0.3, true), (0.3, true),
+      (0.5, false), (0.5, false),
+      (0.7, true), (0.7, true)).toDF("score", "label")
+    val r = Profile.isotonicCalibration(df, "score", "label", bins = 5)
+      .orderBy("bucket").collect()
+    assert(r.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L), r.toSeq)
+    assert(r.map(_.getDouble(4)).toSeq == Seq(0.5, 1.0, 0.0, 1.0),
+      s"raw rates: ${r.toSeq}")
+    assert(r.map(_.getDouble(5)).toSeq == Seq(0.5, 0.5, 0.5, 1.0),
+      s"PAV fit: ${r.toSeq}")
+    // a noisy hash-scored frame: the fit must be globally
+    // non-decreasing and preserve total positive mass (Σ n·iso = Σ pos,
+    // the PAV conservation law — 6dp rounding leaves ~1e-3 slack here)
+    val noisy = spark.range(0, 2000).select(
+      (pmod(col("id") * 2654435761L, lit(1000L)) / 1000.0).as("score"),
+      (pmod(col("id") * 40503L, lit(97L)).cast("double") <
+        pmod(col("id") * 2654435761L, lit(1000L)) / 11.0).as("label"))
+    val rn = Profile.isotonicCalibration(noisy, "score", "label",
+      bins = 20).orderBy("bucket").collect()
+    val iso = rn.map(_.getDouble(5))
+    assert(iso.zip(iso.tail).forall { case (a, b) => a <= b },
+      s"iso fit must be non-decreasing: ${iso.toSeq}")
+    val massIso = rn.map(x => x.getLong(1) * x.getDouble(5)).sum
+    val pos = rn.map(_.getLong(2)).sum.toDouble
+    assert(math.abs(massIso - pos) < 0.01,
+      s"PAV must preserve positive mass: $massIso vs $pos")
+    intercept[IllegalArgumentException](
+      Profile.isotonicCalibration(df, "score", "label", bins = 5000))
+  }
+
   test("retrievalMetrics: closed-form graded nDCG, MRR, unanswerable query") {
     import spark.implicits._
     val results = Seq(
