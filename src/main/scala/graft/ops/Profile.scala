@@ -1410,6 +1410,75 @@ object Profile {
   }
 
   /**
+   * 1-D Wasserstein (earth-mover) distance between two numeric samples
+   * — the drift readout that INTEGRATES the CDF gap where [[ksTest]]
+   * takes only its max and [[psiDrift]] needs bins:
+   * W₁ = ∫ |F_a(x) − F_b(x)| dx = Σ_i (v_{i+1} − v_i) · |F_a(v_i) −
+   * F_b(v_i)| over the merged distinct values, in the VALUE's own
+   * units (a pure location shift of δ scores exactly δ — the number a
+   * drift dashboard can threshold, which no p-value gives).
+   *
+   * Exactness across engines: values quantize to `scale` decimals as
+   * LONGS (v·10^scale, half-up — so gaps are integers), the per-cell
+   * term (gap · |cumA·n_b − cumB·n_a|) is an integer computed in
+   * DECIMAL(38,0), and the distributed sum of integers is
+   * order-insensitive — the one double division happens once at the
+   * end, so the result is bit-identical to a naive single-window
+   * replay at any partitioning. Envelope: |v|·10^scale must fit a
+   * long, and gap·cum·count must fit 38 digits (~1e38 — beyond any
+   * real frame).
+   *
+   * Scale shape: one map-side-combined groupBy per side on the
+   * quantized value, then the cumulative walk as ONE [[DistScan]]
+   * prefix sum over the merged cell frame (continuous metrics make
+   * that frame the data itself — never a single sorted task) plus one
+   * prefix-max pass for the neighbor gap; terminal 1-row statistic —
+   * the seal releases both scan pins on return.
+   * Output: 1 row — n_a, n_b, n_cells, w1 (6dp; NULL when either
+   * sample is empty).
+   */
+  def emdDrift(dfA: DataFrame, dfB: DataFrame, valueCol: String,
+      scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9, s"scale in [0, 9]: $scale")
+    val factor = math.pow(10.0, scale)
+    val x = col(valueCol).cast("double")
+    def side(df: DataFrame, nm: String): DataFrame =
+      df.filter(x.isNotNull)
+        .groupBy(round(x * factor).cast("long").as("v"))
+        .agg(count(lit(1)).as(nm))
+    val merged = side(dfA, "_ca")
+      .join(side(dfB, "_cb"), Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    val tot = merged.agg(
+      coalesce(sum("_ca"), lit(0L)).as("_na"),
+      coalesce(sum("_cb"), lit(0L)).as("_nb"))
+    val dec = "decimal(20,0)"
+    DistScan.sealTerminal({
+      // EXCLUSIVE cumulatives: the interval [v_{i-1}, v_i) carries the
+      // CDF evaluated at v_{i-1} = everything strictly before row i
+      val cum = DistScan.prefixSums(merged, Seq(col("v")),
+        Seq((col("_ca"), "_cca"), (col("_cb"), "_ccb")),
+        inclusive = false)
+      val withPrev = DistScan.prefixMax(cum, Seq(col("v")), col("v"),
+        "_pv", inclusive = false)
+      val gap = (col("v") - coalesce(col("_pv"), col("v")))
+        .cast("decimal(19,0)")
+      val diff = abs(col("_cca").cast(dec) * col("_nb").cast(dec) -
+        col("_ccb").cast(dec) * col("_na").cast(dec))
+      withPrev.crossJoin(tot)
+        .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+          count(lit(1)).as("n_cells"),
+          sum(gap * diff).as("_t"))
+        .select(col("n_a"), col("n_b"), col("n_cells"),
+          when(col("n_a") > 0 && col("n_b") > 0,
+            round(col("_t").cast("double") /
+              (col("n_a").cast("double") * col("n_b").cast("double") *
+                lit(factor)), 6)).as("w1"))
+    })
+  }
+
+  /**
    * Quantile–quantile comparison — the third leg of the drift family
    * ([[statsDrift]] says which MOMENTS moved, [[psiDrift]] tests
    * binned mass, this compares the DISTRIBUTIONS point for point):

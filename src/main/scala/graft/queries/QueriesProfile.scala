@@ -51,6 +51,17 @@ private[graft] object QueriesProfile {
         d.filter(col("lang") === "en"),
         d.filter(col("lang") =!= "en"), "n_chars")
     }),
+    "q_emd_drift" -> ((s, dir) => {
+      // 1-D Wasserstein on the same en-vs-rest doc-length split as
+      // q_ks_test: the integrated CDF gap in CHARACTERS (a location
+      // shift of δ chars scores exactly δ), completing the drift
+      // family — PSI bins, KS maxes, W1 integrates. n_chars is
+      // integral, so scale=0 keeps every term exact
+      val d = t(s, dir, "documents")
+      graft.ops.Profile.emdDrift(
+        d.filter(col("lang") === "en"),
+        d.filter(col("lang") =!= "en"), "n_chars", scale = 0)
+    }),
     "q_qq_compare" -> ((s, dir) => {
       // Q-Q deciles of doc length: en vs the rest — the drift view
       // that shows WHERE in the distribution a shift lives; two 1-row
@@ -681,6 +692,37 @@ private[graft] object QueriesProfile {
         |    > round(1.358 * sqrt((t.na + t.nb)
         |      / (t.na * t.nb)::DOUBLE), 4) AS significant
         |FROM t, mx""".stripMargin,
+    // W1 as the naive single-window replay of the engine's two
+    // distributed prefix scans: EXCLUSIVE cumulatives (the CDF on
+    // [v_{i-1}, v_i) is everything strictly before row i), integer
+    // gap x |cumA·nb - cumB·na| terms summed in HUGEINT (exact,
+    // order-free), one double division at the end — scale=0 because
+    // n_chars is integral
+    "q_emd_drift" ->
+      """WITH x AS (SELECT round(n_chars::DOUBLE)::BIGINT AS v,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+        |    CASE WHEN lang <> 'en' THEN 1 ELSE 0 END AS ib
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |cells AS (SELECT v, sum(ia)::BIGINT AS ca, sum(ib)::BIGINT AS cb
+        |  FROM x GROUP BY 1),
+        |t AS (SELECT sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+        |  FROM cells),
+        |c AS (SELECT v,
+        |    coalesce(sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cca,
+        |    coalesce(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::BIGINT AS ccb,
+        |    lag(v) OVER (ORDER BY v) AS pv
+        |  FROM cells),
+        |s AS (SELECT count(*)::BIGINT AS n_cells,
+        |    sum((v - coalesce(pv, v))::HUGEINT
+        |      * abs(cca::HUGEINT * t.nb - ccb::HUGEINT * t.na)) AS tt
+        |  FROM c, t)
+        |SELECT t.na AS n_a, t.nb AS n_b, s.n_cells,
+        |  CASE WHEN t.na > 0 AND t.nb > 0
+        |    THEN round(tt::DOUBLE
+        |      / (t.na::DOUBLE * t.nb::DOUBLE * 1.0), 6) END AS w1
+        |FROM s, t""".stripMargin,
     "q_qq_compare" ->
       """WITH a AS (SELECT n_chars::DOUBLE AS x FROM documents
         |  WHERE lang = 'en' AND n_chars IS NOT NULL),

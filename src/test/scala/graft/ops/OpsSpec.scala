@@ -3065,6 +3065,39 @@ class OpsSpec extends AnyFunSuite {
     assert(d.getDouble(2) == 1.0 && d.getBoolean(5))
   }
 
+  test("emdDrift: two-point closed form, pure shift scores the shift, " +
+    "identical samples 0, quantization scale, empty side NULL") {
+    import spark.implicits._
+    // A uniform on {0,1}, B all-mass at 1: |F_a - F_b| = 0.5 on [0,1)
+    // -> W1 = 0.5
+    val a = Seq(0.0, 1.0).toDF("v")
+    val b = Seq(1.0).toDF("v")
+    val r = Profile.emdDrift(a, b, "v").collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 1L &&
+      r.getLong(2) == 2L, s"$r")
+    assert(r.getDouble(3) == 0.5, s"$r")
+    // a pure location shift of singletons scores exactly the shift
+    val s1 = Profile.emdDrift(Seq(0.0).toDF("v"),
+      Seq(0.25).toDF("v"), "v").collect().head
+    assert(s1.getDouble(3) == 0.25, s"$s1")
+    // identical samples: exactly 0
+    val same = Profile.emdDrift(a, a, "v").collect().head
+    assert(same.getDouble(3) == 0.0, s"$same")
+    // shifting a whole 100-point sample by 7 scores 7 (units of v)
+    val base = (1 to 100).map(_.toDouble).toDF("v")
+    val moved = (1 to 100).map(_ + 7.0).toDF("v")
+    assert(Profile.emdDrift(base, moved, "v").collect().head
+      .getDouble(3) == 7.0)
+    // quantization: at scale=1 a 0.004 shift rounds onto one cell -> 0
+    val q = Profile.emdDrift(Seq(0.1).toDF("v"),
+      Seq(0.104).toDF("v"), "v", scale = 1).collect().head
+    assert(q.getDouble(3) == 0.0, s"$q")
+    // empty side: NULL w1, not NaN
+    val e = Profile.emdDrift(a, Seq.empty[Double].toDF("v"), "v")
+      .collect().head
+    assert(e.isNullAt(3), s"$e")
+  }
+
   test("qqCompare: identical samples gap 0, planted shift appears at " +
     "exactly the shifted quantiles") {
     import spark.implicits._
