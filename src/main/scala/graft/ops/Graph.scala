@@ -315,12 +315,35 @@ object Graph {
    * dropped centers still count toward degrees), replayed identically
    * by the oracle. Existing edges are anti-joined out. Everything is
    * equi-joins + one pair-keyed aggregation.
+   *
+   * Sampled mode (`sampleDegree` = s > 0): the hard hub gate becomes
+   * an UNBIASED estimator — a web host graph has many centers just
+   * under any cap, and the default cap still admits ~5·10⁷ wedges from
+   * one 10⁴-degree hub. Each over-degree center keeps the neighbors
+   * whose deterministic hash fraction falls below s/deg (Bernoulli
+   * thinning; expected s survivors, pure narrow filter — no per-center
+   * window, so a 10⁷-degree hub never pins a task), and every
+   * surviving wedge carries the RATIO weight deg·(deg−1)/(k·(k−1))
+   * with k = the center's realized survivor count — conditioning on k
+   * removes the binomial variance of the plain (deg/s)² weight, so
+   * each center's TOTAL wedge mass is reproduced exactly whenever
+   * k ≥ 2 (a k ≤ 1 draw loses that center; P ≈ (1+s)e^{−s}, nil for
+   * any real s). common_neighbors and adamic_adar become weight sums —
+   * unbiased estimates of the exact scores (DOUBLE, 4dp; exact mode
+   * keeps the LONG count), jaccard derives from the estimate; centers
+   * with deg ≤ s contribute exactly. maxWedgeDegree is not applied in
+   * sampled mode (sampling replaces the gate), and per-center work is
+   * O(s²) expected regardless of degree — Σ deg² becomes |V|·s².
+   * The spec pins small centers bit-exact and a 400-degree hub's total
+   * mass exact at s = 50.
    * Output: id_a, id_b, common_neighbors, jaccard (4dp),
    * adamic_adar (4dp).
    */
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      maxWedgeDegree: Int = 10000): DataFrame = {
+      maxWedgeDegree: Int = 10000, sampleDegree: Int = 0): DataFrame = {
     require(maxWedgeDegree >= 2, s"maxWedgeDegree must be >= 2: $maxWedgeDegree")
+    require(sampleDegree == 0 || sampleDegree >= 2,
+      s"sampleDegree must be 0 (exact) or >= 2: $sampleDegree")
     val und = edges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
@@ -332,18 +355,45 @@ object Graph {
       .select(col("a").as("ctr"), col("b").as("n"))
     val deg = nb.groupBy(col("ctr").as("node"))
       .agg(count(lit(1)).as("deg"))
-    val centers = nb
-      .join(deg.withColumnRenamed("node", "ctr"), "ctr")
-      .filter(col("deg") <= maxWedgeDegree)
-    val pairs = centers.as("x")
+    val withDeg = nb.join(deg.withColumnRenamed("node", "ctr"), "ctr")
+    val exact = sampleDegree == 0
+    val centers =
+      if (exact) withDeg.filter(col("deg") <= maxWedgeDegree)
+      else {
+        val s = sampleDegree.toDouble
+        // deterministic Bernoulli thinning at rate s/deg: hash fraction
+        // in [0, 1) from xxhash64 — a pure function of (ctr, n), so
+        // both wedge sides of a surviving neighbor agree
+        val frac = pmod(xxhash64(lit("lpwedge"), col("ctr"), col("n")),
+          lit(1000000007L)).cast("double") / 1000000007.0
+        val kept = withDeg.filter(col("deg") <= sampleDegree ||
+          frac < lit(s) / col("deg"))
+        // realized survivor count per center: the ratio-weight
+        // denominator (one keyed count + keyed join — never a window)
+        kept.join(kept.groupBy("ctr").agg(count(lit(1)).as("_k")), "ctr")
+      }
+    val w =
+      if (exact) lit(1.0)
+      else when(col("x.deg") <= sampleDegree, lit(1.0))
+        .otherwise(col("x.deg").cast("double") * (col("x.deg") - 1) /
+          (col("x._k").cast("double") * (col("x._k") - 1)))
+    val scored = centers.as("x")
       .join(centers.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.n") < col("y.n"))
       .select(col("x.n").as("a"), col("y.n").as("b"),
-        col("x.deg").as("_dw"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common_neighbors"),
-        sum(lit(1.0) / log(col("_dw"))).as("_aa"))
-      .join(und, Seq("a", "b"), "left_anti") // score NON-edges only
+        col("x.deg").as("_dw"), w.as("_w"))
+    val pairs = (
+      if (exact)
+        scored.groupBy("a", "b")
+          .agg(count(lit(1)).as("common_neighbors"),
+            sum(lit(1.0) / log(col("_dw"))).as("_aa"))
+      else
+        scored.groupBy("a", "b")
+          .agg(sum(col("_w")).as("_cnRaw"),
+            sum(col("_w") / log(col("_dw"))).as("_aa"))
+          .select(col("a"), col("b"),
+            round(col("_cnRaw"), 4).as("common_neighbors"), col("_aa"))
+      ).join(und, Seq("a", "b"), "left_anti") // score NON-edges only
     pairs
       .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")

@@ -1654,6 +1654,54 @@ class CurationSpec extends AnyFunSuite {
     assert(got2 == want, "diverged from brute-force common neighbors")
   }
 
+  test("linkPrediction sampled mode: small-degree centers exact, " +
+    "hub wedge mass estimated unbiased within tolerance, cost shrinks") {
+    import spark.implicits._
+    // hub 0 over 400 leaves (deg 400 > s = 50) + a 10-clique-free
+    // community block: a 12-node cycle with chords whose centers all
+    // have deg <= 4 — those wedges must come out EXACTLY in sampled
+    // mode (weight 1, no thinning)
+    val hub = (1L to 400L).map(v => (0L, v))
+    val ring = (0 until 12).map(i =>
+      (1000L + i, 1000L + (i + 1) % 12))
+    val chords = (0 until 12 by 3).map(i =>
+      (1000L + i, 1000L + (i + 6) % 12))
+    val edges = (hub ++ ring ++ chords).toDF("s", "d")
+    val exact = Graph.linkPrediction(edges, "s", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2).toDouble, r.getDouble(4)))).toMap
+    val sampled = Graph.linkPrediction(edges, "s", "d",
+        sampleDegree = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(4)))).toMap
+    // ring/chord pairs (both ids >= 1000): centers have deg <= 4 — the
+    // sampled scores are bit-identical to exact
+    val smallExact = exact.filter(_._1._1 >= 1000L)
+    val smallSampled = sampled.filter(_._1._1 >= 1000L)
+    assert(smallExact.keySet == smallSampled.keySet,
+      "sampling must not touch small-degree centers' pair set")
+    smallExact.foreach { case (k, (cn, aa)) =>
+      assert(smallSampled(k)._1 == cn && smallSampled(k)._2 == aa,
+        s"small-center pair $k changed under sampling")
+    }
+    // hub wedge mass: Σ cn over leaf pairs = C(400,2); the ratio
+    // estimator (weight d(d-1)/(k(k-1)) at the REALIZED survivor count
+    // k) reproduces each center's total mass exactly whenever k >= 2 —
+    // only the 4dp rounding of the per-pair weights leaves slack — and
+    // the surviving CANDIDATE count must be ~s²/2, the point of the
+    // mode
+    val exactHubMass = exact.collect {
+      case ((a, b), (cn, _)) if b <= 400L => cn }.sum
+    assert(exactHubMass == 400.0 * 399 / 2)
+    val hubPairs = sampled.collect {
+      case ((a, b), (cn, _)) if b <= 400L => cn }
+    val estMass = hubPairs.sum
+    assert(math.abs(estMass - exactHubMass) / exactHubMass < 1e-4,
+      s"hub mass estimate $estMass vs $exactHubMass")
+    assert(hubPairs.size < 3000,
+      s"sampled candidate count must be ~s²/2, got ${hubPairs.size}")
+  }
+
   test("labelProp: two planted cliques converge to their min ids, " +
     "== reference sync loop on a pseudo-random graph") {
     import spark.implicits._
