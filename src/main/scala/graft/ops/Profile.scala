@@ -400,6 +400,56 @@ object Profile {
   }
 
   /**
+   * Dataset-card summary — the one-artifact profile a dataset release
+   * ships with (the "dataset card" of Gebru et al. 2021's datasheets):
+   * [[describeNumeric]], [[describeStrings]] and [[entropyProfile]]
+   * folded into ONE long-format frame a report template can render
+   * directly, instead of three wide frames with three schemas. Sections:
+   * `table` (n_rows), `numeric` (n/n_nulls/min/max/mean/sd per numeric
+   * column), `string` (n/nulls/blanks/n_distinct/len_min/len_max/
+   * top_share per string column), `entropy` (n/n_nulls/n_distinct/
+   * entropy/norm_entropy per STRING column — entropy is a categorical
+   * readout; a continuous column's entropy is an artifact of its
+   * cardinality). Values are the underlying operators' numbers cast to
+   * double (long counts cast exactly; the string top VALUE is the one
+   * non-numeric stat and is deliberately not carried — [[describeStrings]]
+   * reports it). Cost = the component operators' scans, nothing new:
+   * one aggregation for the numeric section, per-string-column
+   * completeness aggs, one unpivoted count pass for entropy.
+   * Output: (section, column, metric, value), one row per statistic.
+   */
+  def datasetCard(df: DataFrame, numericCols: Seq[String],
+      stringCols: Seq[String]): DataFrame = {
+    require(numericCols.nonEmpty || stringCols.nonEmpty,
+      "datasetCard needs at least one column")
+    def melt(src: DataFrame, section: String, colCol: String,
+        metrics: Seq[String]): DataFrame =
+      src.select(lit(section).as("section"),
+          col(colCol).cast("string").as("column"),
+          explode(array(metrics.map(m => struct(lit(m).as("metric"),
+            col(m).cast("double").as("value"))): _*)).as("kv"))
+        .select(col("section"), col("column"),
+          col("kv.metric").as("metric"), col("kv.value").as("value"))
+    val table = df.agg(count(lit(1)).as("n_rows"))
+      .select(lit("table").as("section"), lit("*").as("column"),
+        lit("n_rows").as("metric"), col("n_rows").cast("double").as("value"))
+    val parts = Seq(table) ++
+      (if (numericCols.isEmpty) Nil
+       else Seq(melt(describeNumeric(df, numericCols), "numeric",
+         "column",
+         Seq("n", "n_nulls", "min_v", "max_v", "mean_v", "sd_v")))) ++
+      (if (stringCols.isEmpty) Nil
+       else Seq(
+         melt(describeStrings(df, stringCols), "string", "column",
+           Seq("n", "nulls", "blanks", "n_distinct", "len_min",
+             "len_max", "top_share")),
+         melt(entropyProfile(df, stringCols), "entropy", "col_name",
+           Seq("n", "n_nulls", "n_distinct", "entropy",
+             "norm_entropy"))))
+    parts.reduce(_.unionAll(_))
+  }
+
+  /**
    * Join-key skew report — the diagnosis a salting/AQE decision is based
    * on: the k heaviest keys with their row share and their ratio to the
    * MEAN key load (ratio >> 1 on a key that carries a meaningful share is

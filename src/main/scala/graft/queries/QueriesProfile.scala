@@ -20,6 +20,14 @@ private[graft] object QueriesProfile {
       graft.ops.Profile.describeNumeric(t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy("column")),
+    "q_dataset_card" -> ((s, dir) =>
+      // one-artifact dataset-card profile: describeNumeric +
+      // describeStrings + entropyProfile folded into a single
+      // long-format (section, column, metric, value) frame — the
+      // multi-operator integration gate the release template renders
+      graft.ops.Profile.datasetCard(t(s, dir, "documents"),
+          Seq("n_chars"), Seq("lang", "source"))
+        .orderBy("section", "column", "metric")),
     "q_key_skew" -> ((s, dir) =>
       // join-key skew diagnosis: heaviest 10 keys with row share and
       // ratio to the mean key load (the salting decision input); totals
@@ -632,6 +640,88 @@ private[graft] object QueriesProfile {
         |  round(avg(l_discount), 4), round(stddev_samp(l_discount), 4)
         |FROM lineitem
         |ORDER BY "column"""".stripMargin,
+    // the three component oracles (q_describe / q_describe_strings /
+    // q_entropy conventions) reshaped into the card's long format —
+    // each statistic cast to DOUBLE exactly as the engine does
+    "q_dataset_card" ->
+      """WITH nrows AS (SELECT count(*)::BIGINT AS c FROM documents),
+        |num AS (SELECT count(n_chars)::BIGINT AS n,
+        |    (count(*) - count(n_chars))::BIGINT AS n_nulls,
+        |    round(min(n_chars), 4) AS min_v,
+        |    round(max(n_chars), 4) AS max_v,
+        |    round(avg(n_chars), 4) AS mean_v,
+        |    round(stddev_samp(n_chars), 4) AS sd_v
+        |  FROM documents),
+        |s1 AS (SELECT 'lang' AS col, lang::VARCHAR AS v FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents),
+        |st AS (SELECT col, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)::BIGINT AS nulls,
+        |    sum(CASE WHEN v IS NOT NULL AND trim(v) = '' THEN 1
+        |      ELSE 0 END)::BIGINT AS blanks,
+        |    count(DISTINCT v)::BIGINT AS n_distinct,
+        |    min(length(v))::BIGINT AS len_min,
+        |    max(length(v))::BIGINT AS len_max
+        |  FROM s1 GROUP BY col),
+        |tp AS (SELECT col, c FROM (
+        |    SELECT col, v, count(*)::BIGINT AS c, row_number()
+        |      OVER (PARTITION BY col ORDER BY count(*) DESC, v) AS rn
+        |    FROM s1 WHERE v IS NOT NULL GROUP BY col, v) WHERE rn = 1),
+        |sm AS (SELECT st.col, n, nulls, blanks, n_distinct, len_min,
+        |    len_max, round(c / (n - nulls), 4) AS top_share
+        |  FROM st JOIN tp ON tp.col = st.col),
+        |ec AS (SELECT col, v, count(*)::BIGINT AS c FROM s1
+        |  GROUP BY 1, 2),
+        |ea AS (SELECT col, sum(c)::BIGINT AS n,
+        |    coalesce(sum(c) FILTER (WHERE v IS NULL), 0)::BIGINT
+        |      AS n_nulls,
+        |    count(*) FILTER (WHERE v IS NOT NULL)::BIGINT AS n_distinct,
+        |    (sum(c) FILTER (WHERE v IS NOT NULL))::DOUBLE AS nn,
+        |    sum(c * ln(c)) FILTER (WHERE v IS NOT NULL) AS clogc
+        |  FROM ec GROUP BY 1),
+        |em AS (SELECT col, n, n_nulls, n_distinct,
+        |    round(CASE WHEN nn > 0 THEN ln(nn) - clogc / nn
+        |      ELSE 0.0 END, 4) AS entropy,
+        |    round(CASE WHEN n_distinct > 1
+        |      THEN (ln(nn) - clogc / nn) / ln(n_distinct::DOUBLE)
+        |      ELSE 0.0 END, 4) AS norm_entropy
+        |  FROM ea),
+        |lng AS (
+        |  SELECT 'table' AS section, '*' AS "column",
+        |    'n_rows' AS metric, c::DOUBLE AS value FROM nrows
+        |  UNION ALL SELECT 'numeric', 'n_chars', 'n', n::DOUBLE FROM num
+        |  UNION ALL SELECT 'numeric', 'n_chars', 'n_nulls',
+        |    n_nulls::DOUBLE FROM num
+        |  UNION ALL SELECT 'numeric', 'n_chars', 'min_v',
+        |    min_v::DOUBLE FROM num
+        |  UNION ALL SELECT 'numeric', 'n_chars', 'max_v',
+        |    max_v::DOUBLE FROM num
+        |  UNION ALL SELECT 'numeric', 'n_chars', 'mean_v',
+        |    mean_v::DOUBLE FROM num
+        |  UNION ALL SELECT 'numeric', 'n_chars', 'sd_v',
+        |    sd_v::DOUBLE FROM num
+        |  UNION ALL SELECT 'string', col, 'n', n::DOUBLE FROM sm
+        |  UNION ALL SELECT 'string', col, 'nulls', nulls::DOUBLE FROM sm
+        |  UNION ALL SELECT 'string', col, 'blanks',
+        |    blanks::DOUBLE FROM sm
+        |  UNION ALL SELECT 'string', col, 'n_distinct',
+        |    n_distinct::DOUBLE FROM sm
+        |  UNION ALL SELECT 'string', col, 'len_min',
+        |    len_min::DOUBLE FROM sm
+        |  UNION ALL SELECT 'string', col, 'len_max',
+        |    len_max::DOUBLE FROM sm
+        |  UNION ALL SELECT 'string', col, 'top_share',
+        |    top_share::DOUBLE FROM sm
+        |  UNION ALL SELECT 'entropy', col, 'n', n::DOUBLE FROM em
+        |  UNION ALL SELECT 'entropy', col, 'n_nulls',
+        |    n_nulls::DOUBLE FROM em
+        |  UNION ALL SELECT 'entropy', col, 'n_distinct',
+        |    n_distinct::DOUBLE FROM em
+        |  UNION ALL SELECT 'entropy', col, 'entropy',
+        |    entropy::DOUBLE FROM em
+        |  UNION ALL SELECT 'entropy', col, 'norm_entropy',
+        |    norm_entropy::DOUBLE FROM em)
+        |SELECT section, "column", metric, value FROM lng
+        |ORDER BY section, "column", metric""".stripMargin,
     "q_group_topk" ->
       """WITH r AS (SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  row_number() OVER (PARTITION BY o_orderpriority

@@ -2528,6 +2528,38 @@ class OpsSpec extends AnyFunSuite {
     assert(b.getAs[Double]("mean_v") == 20.0)
   }
 
+  test("datasetCard: sections agree with the component operators, " +
+    "long format is complete, numeric-only and string-only degenerate") {
+    import spark.implicits._
+    val df = Seq((Some(1.0), Some("x")), (Some(2.0), None),
+      (Some(3.0), Some("x"))).toDF("a", "s")
+    val card = Profile.datasetCard(df, Seq("a"), Seq("s"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(3)).toMap
+    // table section
+    assert(card(("table", "*", "n_rows")) == 3.0)
+    // numeric section == describeNumeric, cast to double
+    assert(card(("numeric", "a", "n")) == 3.0 &&
+      card(("numeric", "a", "n_nulls")) == 0.0 &&
+      card(("numeric", "a", "mean_v")) == 2.0 &&
+      card(("numeric", "a", "sd_v")) == 1.0)
+    // string section == describeStrings (top_share over non-nulls)
+    assert(card(("string", "s", "n")) == 3.0 &&
+      card(("string", "s", "nulls")) == 1.0 &&
+      card(("string", "s", "n_distinct")) == 1.0 &&
+      card(("string", "s", "top_share")) == 1.0)
+    // entropy section: one value 'x' twice -> H = 0 exactly
+    assert(card(("entropy", "s", "entropy")) == 0.0 &&
+      card(("entropy", "s", "n_distinct")) == 1.0)
+    // every row carries the uniform 4-column schema; counts add up:
+    // 1 table + 6 numeric + 7 string + 5 entropy
+    assert(card.size == 19, s"${card.size}")
+    assert(Profile.datasetCard(df, Seq("a"), Nil).collect().length == 7)
+    assert(Profile.datasetCard(df, Nil, Seq("s")).collect().length == 13)
+    intercept[IllegalArgumentException](Profile.datasetCard(df, Nil, Nil))
+  }
+
   test("keySkew: hot key reports its share and ratio to the mean key load") {
     import spark.implicits._
     // key 1: 8 rows, keys 2..5: 2 rows each → total 16, 5 keys, avg 3.2
