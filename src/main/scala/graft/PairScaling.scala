@@ -75,6 +75,12 @@ object PairScaling {
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_pairs" -> (d => Dedup.minhashCandidatePairs(d, "text", "doc_id")),
       "simhash_pairs" -> (d => Dedup.simhashCandidatePairs(d, "text", "doc_id")),
+      // the multi-block scale path (Manku-style composite keys, d=2):
+      // IDENTICAL verified output (spec-pinned), ~10x fewer random band
+      // collisions at h=8 — the retune for the d=1 candidate explosion
+      // the 64x/128x doublings exposed (7-bit keys -> ~n²/2⁷ candidates)
+      "simhash_pairs_mb" -> (d => Dedup.simhashCandidatePairs(d, "text",
+        "doc_id", blocksPerKey = 2)),
       "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(d, "text", "doc_id")),
       // stride-1 span detection: O(tokens) span rows — the vocabulary
       // bijection keeps spans disjoint across copies, so flagged spans

@@ -974,18 +974,40 @@ object Dedup {
    * 64-bit fingerprint into maxHamming+1 bands — by pigeonhole, any pair
    * within hamming distance maxHamming agrees exactly on at least one
    * band — join per band (hot buckets capped), then verify with
-   * bit_count(xor). No all-pairs comparison ever happens. */
+   * bit_count(xor). No all-pairs comparison ever happens.
+   *
+   * `blocksPerKey` (d) is the SELECTIVITY knob for large corpora (the
+   * multi-block pigeonhole of Manku, Jain & Das Sarma 2007 §3, the
+   * Google simhash-dedup construction): split the fingerprint into
+   * maxHamming + d blocks and key on every d-block combination —
+   * ≤ maxHamming differing bits touch ≤ maxHamming blocks, so some d
+   * untouched blocks form an agreeing composite key (recall stays
+   * EXACT; the verified output is the identical pair set for any d,
+   * spec-pinned). At d = 1 (the default, and the gate/oracle replay)
+   * keys carry only ~64/(h+1) bits — at h = 8 that is a 7-bit key
+   * space, so candidate growth is ~n²/2⁷ and the 64x→128x wall slope
+   * read 1.45 (measured r17); d = 2 widens keys to ~2·64/(h+2) bits
+   * (~10× fewer random collisions at h = 8 for 5× the key rows),
+   * d = 3 ~13×. Composite keys are xxhash64 of the block values
+   * (hash collisions only ADD candidates, never lose one — exact
+   * verification filters them). */
   def simhashCandidatePairs(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = 100000,
-      portable: Boolean = false): DataFrame = {
+      portable: Boolean = false, blocksPerKey: Int = 1): DataFrame = {
+    require(blocksPerKey >= 1 && maxHamming + blocksPerKey <= 64,
+      s"blocksPerKey must be >= 1 with maxHamming + blocksPerKey <= 64: " +
+        s"$blocksPerKey (maxHamming $maxHamming)")
     val nBands = maxHamming + 1
+    val keyCols =
+      if (blocksPerKey == 1) simhashBandCols(nBands)
+      else simhashMultiBlockCols(maxHamming, blocksPerKey)
     // fingerprints cached (tracked, doc-count-sized): the bucket guard and
     // both pair-join sides reuse one computation of the 64-bit-sum agg
     val fp = CacheScope.track(simhash(docs, textCol, idCol, portable))
     val keyed = fp
       .select(col(idCol).as("id"), col("simhash"),
-        explode(simhashBandCols(nBands)).as("bk"))
+        explode(keyCols).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs")
     val a = kept.select(col("id").as("id_a"), col("simhash").as("h_a"),
@@ -1049,6 +1071,29 @@ object Dedup {
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       struct(lit(bi).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit(mask)).as("key"))
+    }: _*)
+  }
+
+  /** Multi-block composite keys (Manku et al. 2007 §3): maxHamming + d
+   * blocks, one (band, key) per d-block combination — key = xxhash64 of
+   * the combination id + the d block values. Any pair within maxHamming
+   * agrees on some d untouched blocks (pigeonhole), so recall is exact;
+   * key width grows ~d-fold, so random band collisions shrink
+   * geometrically. C(h+d, d) key rows per doc — plan-time literals. */
+  private def simhashMultiBlockCols(maxHamming: Int,
+      d: Int): org.apache.spark.sql.Column = {
+    val nBlocks = maxHamming + d
+    val bandBits = 64 / nBlocks
+    def block(i: Int): org.apache.spark.sql.Column = {
+      val lo = i * bandBits
+      val width = if (i == nBlocks - 1) 64 - lo else bandBits
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      shiftright(col("simhash"), lo).bitwiseAND(lit(mask))
+    }
+    val combos = (0 until nBlocks).combinations(d).toSeq
+    array(combos.zipWithIndex.map { case (combo, bi) =>
+      struct(lit(bi).as("band"),
+        xxhash64((lit(bi) +: combo.map(block)): _*).as("key"))
     }: _*)
   }
 

@@ -53,6 +53,27 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= 12)) // every reported pair verified exactly
   }
 
+  test("simhash multi-block pigeonhole (blocksPerKey > 1): verified " +
+    "pair set IDENTICAL to single-block for d=2 and d=3 (exact recall), " +
+    "guard on block budget") {
+    // pigeonhole at any d: <= h differing bits touch <= h of the h+d
+    // blocks, so some d untouched blocks agree — candidates differ,
+    // the verified output cannot
+    val corpus = docs.limit(400).select("doc_id", "text")
+    def pairSet(d: Int): Set[(Long, Long, Long)] =
+      Dedup.simhashCandidatePairs(corpus, "text", "doc_id",
+          maxHamming = 8, blocksPerKey = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val d1 = pairSet(1)
+    assert(d1.nonEmpty, "fixture must produce near-dup pairs")
+    assert(pairSet(2) == d1, "d=2 changed the verified pair set")
+    assert(pairSet(3) == d1, "d=3 changed the verified pair set")
+    intercept[IllegalArgumentException](
+      Dedup.simhashCandidatePairs(corpus, "text", "doc_id",
+        maxHamming = 62, blocksPerKey = 3))
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups close") {
     val a = Dedup.simhash(docs.limit(10), "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
