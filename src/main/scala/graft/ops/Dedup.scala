@@ -493,8 +493,18 @@ object Dedup {
    * QueryExecutionListener — constructing a pipeline never triggers a
    * Spark job. Callers pass Int.MaxValue to disable (no extra pass then).
    */
+  /** `hugeKeySpace`: set by callers whose (band, key) domain is
+   * data-scale (the multi-block simhash path: hashed composite keys —
+   * up to bands × distinct-fingerprint keys, vs the ≤ 2^bandBits
+   * per-band domain of the classic banding). The static planner
+   * estimates the count aggregate from its phantom Generate child and
+   * picks a broadcast build that collects millions of key rows to the
+   * driver (measured: OOM at d=2, 640k docs, 8g driver); the hint pins
+   * the join-back to a shuffled hash join. Classic callers keep the
+   * tiny-broadcast plan — their count frame is config-bounded. */
   private def capBuckets(
-      keyed: DataFrame, maxBucketSize: Int, opName: String): DataFrame = {
+      keyed: DataFrame, maxBucketSize: Int, opName: String,
+      hugeKeySpace: Boolean = false): DataFrame = {
     if (maxBucketSize == Int.MaxValue) return keyed
     ensureCapListener(keyed.sparkSession)
     val counts = keyed.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
@@ -507,8 +517,10 @@ object Dedup {
         // without an eager top-20 query
         max_by(struct(col("band"), col("key"), col("bucket_n")), col("bucket_n"))
           .as("worst_bucket"))
+    val keep = counts.filter(col("bucket_n") <= maxBucketSize)
+      .select("band", "key")
     keyed.join(
-      counts.filter(col("bucket_n") <= maxBucketSize).select("band", "key"),
+      if (hugeKeySpace) keep.hint("shuffle_hash") else keep,
       Seq("band", "key"))
   }
 
@@ -1009,7 +1021,8 @@ object Dedup {
       .select(col(idCol).as("id"), col("simhash"),
         explode(keyCols).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs")
+    val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs",
+      hugeKeySpace = blocksPerKey > 1)
     val a = kept.select(col("id").as("id_a"), col("simhash").as("h_a"),
       col("band"), col("key"))
     val b = kept.select(col("id").as("id_b"), col("simhash").as("h_b"),
