@@ -1652,6 +1652,58 @@ object Profile {
   }
 
   /**
+   * Nelson–Aalen cumulative hazard per group (Nelson 1972, Aalen 1978)
+   * — [[kaplanMeier]]'s ADDITIVE sibling, the estimator survival
+   * tooling reports beside S(t): H(t) = Σ_{t' ≤ t} d_{t'}/n_{t'} over
+   * the event times, with the Poisson-form variance Σ d/n² (se =
+   * its square root). Where KM multiplies survival factors, NA sums
+   * hazard mass — H is the curve whose SLOPE is the instantaneous
+   * event rate (a flattening H reads "the remaining population has
+   * stopped converting" directly, which S(t) shows only as an
+   * asymptote), and exp(−H) is the Fleming–Harrington survival
+   * estimate (reported as `fh_survival`; ≥ KM's S by construction,
+   * close on dense data — the pair is the standard cross-check).
+   * Censoring semantics, the (group, duration) aggregation, and the
+   * per-group cumulative windows over the DISTINCT-duration frame are
+   * exactly [[kaplanMeier]]'s (n_durations rows per group, never
+   * subjects). The d = n terminal point needs no special casing here:
+   * its hazard increment is exactly 1.
+   * Output: group, t, n_at_risk, d_events, c_censored, hazard (4dp),
+   * se_hazard (4dp), fh_survival (4dp).
+   */
+  def nelsonAalen(df: DataFrame, groupCol: String, durationCol: String,
+      eventCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(durationCol).isNotNull && col(durationCol) >= 0)
+      .select(col(groupCol).as("g"),
+        col(durationCol).cast("double").as("t"),
+        col(eventCol).cast("boolean").as("e"))
+    val at = base.groupBy("g", "t")
+      .agg(count(when(col("e"), 1)).as("d_events"),
+        count(when(!col("e"), 1)).as("c_censored"))
+    val tot = base.groupBy("g").agg(count(lit(1)).as("_n"))
+    val wPrev = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.partitionBy("g").orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dOverN = col("d_events") / col("n_at_risk")
+    at.join(tot, "g")
+      .withColumn("n_at_risk",
+        col("_n") - coalesce(
+          sum(col("d_events") + col("c_censored")).over(wPrev), lit(0L)))
+      .withColumn("_h", sum(dOverN).over(wCum))
+      .withColumn("_v",
+        sum(col("d_events") / (col("n_at_risk") * col("n_at_risk")))
+          .over(wCum))
+      .select(col("g").as(groupCol), col("t"), col("n_at_risk"),
+        col("d_events"), col("c_censored"),
+        round(col("_h"), 4).as("hazard"),
+        round(sqrt(col("_v")), 4).as("se_hazard"),
+        round(exp(-col("_h")), 4).as("fh_survival"))
+  }
+
+  /**
    * Chi-square test of independence + Cramér's V — the categorical
    * dual of [[welchTTest]] (is lang independent of source? is the
    * label leaking through a metadata column?) from the SAME single

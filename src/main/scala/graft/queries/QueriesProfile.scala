@@ -85,6 +85,26 @@ private[graft] object QueriesProfile {
       // be averaged, or does it need medians? one scan aggregation
       graft.ops.Profile.hillTail(t(s, dir, "orders"), "o_totalprice",
         xmin = 300000.0)),
+    "q_hazard" -> ((s, dir) => {
+      // Nelson-Aalen cumulative hazard on the SAME cohort
+      // time-to-first-purchase frame as q_survival: additive hazard
+      // mass + Poisson-form se + the Fleming-Harrington exp(-H)
+      // cross-check of the KM curve
+      val ev = eventsTsUs(s, dir)
+      val per = ev.groupBy("user_id").agg(
+        min(col("ts_us")).as("_first"),
+        max(col("ts_us")).as("_last"),
+        min(when(col("event_type") === "purchase", col("ts_us")))
+          .as("_fp"))
+      val subjects = per.select(
+        (col("user_id") % 3).as("cohort"),
+        expr("(coalesce(_fp, _last) - _first) div 86400000000")
+          .as("duration_days"),
+        col("_fp").isNotNull.as("event"))
+      graft.ops.Profile.nelsonAalen(subjects, "cohort",
+          "duration_days", "event")
+        .orderBy("cohort", "t")
+    }),
     "q_survival" -> ((s, dir) => {
       // Kaplan-Meier time-to-first-purchase by user cohort: users who
       // never purchase are CENSORED at their last observed event, not
@@ -858,6 +878,40 @@ private[graft] object QueriesProfile {
         |        ::DOUBLE), 4)
         |  END AS se
         |FROM orders WHERE o_totalprice IS NOT NULL""".stripMargin,
+    // the q_survival risk-set CTEs with additive hazard sums instead
+    // of the log-product: H = cum d/n, var = cum d/n², exp(-H) —
+    // window sums run in the identical per-cohort t-order, so the FP
+    // accumulation sequence matches the engine's
+    "q_hazard" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
+        |    event_type AS ty FROM events),
+        |per AS (SELECT u, min(t) AS f, max(t) AS l,
+        |    min(CASE WHEN ty = 'purchase' THEN t END) AS fp
+        |  FROM e GROUP BY u),
+        |subj AS (SELECT u % 3 AS cohort,
+        |    (coalesce(fp, l) - f) // 86400000000 AS t,
+        |    fp IS NOT NULL AS ev FROM per),
+        |at AS (SELECT cohort, t::DOUBLE AS t,
+        |    count(*) FILTER (WHERE ev)::BIGINT AS d,
+        |    count(*) FILTER (WHERE NOT ev)::BIGINT AS c
+        |  FROM subj GROUP BY 1, 2),
+        |tot AS (SELECT cohort, count(*)::BIGINT AS n FROM subj
+        |  GROUP BY cohort),
+        |risk AS (SELECT at.cohort, at.t, at.d, at.c,
+        |    tot.n - coalesce(sum(at.d + at.c) OVER (PARTITION BY at.cohort
+        |      ORDER BY at.t ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), 0) AS n_at_risk
+        |  FROM at JOIN tot USING (cohort)),
+        |na AS (SELECT cohort, t, n_at_risk, d, c,
+        |    sum(d / n_at_risk::DOUBLE) OVER win AS h,
+        |    sum(d / (n_at_risk::DOUBLE * n_at_risk)) OVER win AS v
+        |  FROM risk WINDOW win AS (PARTITION BY cohort ORDER BY t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT cohort, t, n_at_risk::BIGINT AS n_at_risk,
+        |  d AS d_events, c AS c_censored,
+        |  round(h, 4) AS hazard, round(sqrt(v), 4) AS se_hazard,
+        |  round(exp(-h), 4) AS fh_survival
+        |FROM na ORDER BY cohort, t""".stripMargin,
     "q_survival" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts)::BIGINT AS t,
         |    event_type AS ty FROM events),

@@ -3300,6 +3300,33 @@ class OpsSpec extends AnyFunSuite {
       "censoring is information: the naive curve must differ")
   }
 
+  test("nelsonAalen: hand-summed hazard on the KM fixture, censoring " +
+    "moves no mass, Fleming-Harrington dominates KM") {
+    import spark.implicits._
+    // the kaplanMeier fixture: events at 1,3,5; censored at 2,4
+    val df = Seq((1.0, true), (2.0, false), (3.0, true), (4.0, false),
+      (5.0, true)).map { case (t, e) => ("g", t, e) }
+      .toDF("grp", "t", "e")
+    val got = Profile.nelsonAalen(df, "grp", "t", "e")
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7)))).toMap
+    // H(1) = 1/5; H(3) = 1/5 + 1/3; H(5) = + 1/1
+    assert(got(1.0) == ((5L, 1L, 0.2, 0.2, 0.8187)), s"${got(1.0)}")
+    assert(got(2.0)._3 == 0.2, "censoring adds no hazard mass")
+    assert(got(3.0)._3 == 0.5333 &&
+      got(3.0)._4 == BigDecimal(math.sqrt(1.0 / 25 + 1.0 / 9))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      s"${got(3.0)}")
+    assert(got(5.0)._3 == 1.5333, "d = n adds exactly 1")
+    // FH survival >= KM survival pointwise (the standard dominance)
+    val km = Profile.kaplanMeier(df, "grp", "t", "e").collect()
+      .map(r => r.getDouble(1) -> r.getDouble(5)).toMap
+    got.foreach { case (t, v) =>
+      assert(v._5 >= km(t) - 1e-9, s"FH < KM at t=$t: ${v._5} ${km(t)}")
+    }
+  }
+
   test("chiSquare: textbook 2x2, independence reads ~0, empty cells " +
     "contribute their expectation without a grid") {
     import spark.implicits._
