@@ -2161,6 +2161,62 @@ object Profile {
   }
 
   /**
+   * Theil's uncertainty coefficient matrix (Theil 1970) — the
+   * ASYMMETRIC categorical-association matrix: [[corrMatrix]]'s
+   * categorical dual, [[mutualInfo]] normalized per DIRECTION.
+   * U(x|y) = (H(x) − H(x|y)) / H(x) = MI / H(x) ∈ [0, 1] reads "how
+   * much of x does knowing y explain" — which is not symmetric (a
+   * city column nearly determines its state, U(state|city) ≈ 1, while
+   * state barely narrows city), the property Cramér's V and NMI both
+   * erase and exactly what the leakage/redundancy audit wants to see
+   * per direction. Computed in the count form from ONE joint
+   * (map-side-combined) aggregation per UNORDERED pair — marginals
+   * derived, both directions emitted from the same cell frame:
+   * MI = (Σc_ab·ln c_ab − Σc_a·ln c_a − Σc_b·ln c_b)/n + ln n,
+   * H(x) = ln n − Σc_a·ln c_a / n. Rows where either side is NULL
+   * drop (the mutualInfo convention); a constant column (H = 0)
+   * reports NULL u, never a division error. C(|cols|, 2) bounded
+   * pair subtrees, every 1-row frame a crossJoin aggregate.
+   * Output: one row per ORDERED pair — col_x, col_y, n, mi (4dp),
+   * u (4dp; U(col_x | col_y)).
+   */
+  def theilsU(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 8,
+      s"cols must have 2..8 columns (C(n,2) pair subtrees): ${cols.size}")
+    require(cols.distinct.size == cols.size, "cols must be distinct")
+    val parts = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield {
+      val (cx, cy) = (cols(i), cols(j))
+      val joint = df
+        .filter(col(cx).isNotNull && col(cy).isNotNull)
+        .groupBy(col(cx).cast("string").as("a"),
+          col(cy).cast("string").as("b"))
+        .agg(count(lit(1)).as("c"))
+      val agg = joint
+        .agg(sum("c").cast("double").as("n"),
+          sum(col("c") * log(col("c"))).as("sab"))
+        .crossJoin(joint.groupBy("a").agg(sum("c").as("ca"))
+          .agg(sum(col("ca") * log(col("ca"))).as("sa")))
+        .crossJoin(joint.groupBy("b").agg(sum("c").as("cb"))
+          .agg(sum(col("cb") * log(col("cb"))).as("sb")))
+      val mi = (col("sab") - col("sa") - col("sb")) / col("n") +
+        log(col("n"))
+      val base = agg.select(col("n"), mi.as("mi"),
+        (log(col("n")) - col("sa") / col("n")).as("hx"),
+        (log(col("n")) - col("sb") / col("n")).as("hy"))
+      def dir(x: String, y: String, h: String) =
+        base.select(lit(x).as("col_x"), lit(y).as("col_y"),
+          col("n").cast("long").as("n"),
+          (round(col("mi"), 4) + lit(0.0)).as("mi"),
+          (when(col(h) > 0, round(col("mi") / col(h), 4)) + lit(0.0))
+            .as("u"))
+      dir(cx, cy, "hx").unionAll(dir(cy, cx, "hy"))
+    }
+    parts.reduce(_.unionAll(_))
+  }
+
+  /**
    * Distribution-drift report between two corpus versions — the
    * Population Stability Index over a fixed binning, the retraining/
    * alerting trigger every production data pipeline ends up needing

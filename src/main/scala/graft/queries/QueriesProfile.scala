@@ -250,6 +250,15 @@ private[graft] object QueriesProfile {
           Seq("lang", "source"))
         .orderBy("col_name")
     }),
+    "q_theils_u" -> ((s, dir) => {
+      // asymmetric categorical association over (lang, source, coarse
+      // length bucket): 6 ordered pairs from 3 joint aggregations —
+      // the direction-aware redundancy matrix NMI/Cramer's V flatten
+      val d = t(s, dir, "documents").select(col("lang"), col("source"),
+        expr("cast(n_chars div 300 as string)").as("len_bucket"))
+      graft.ops.Profile.theilsU(d, Seq("lang", "len_bucket", "source"))
+        .orderBy("col_x", "col_y")
+    }),
     "q_mutual_info" -> ((s, dir) => {
       // mutual information between return flag and line status — the
       // feature-redundancy/leakage probe; joint counts once, marginals
@@ -1284,6 +1293,60 @@ private[graft] object QueriesProfile {
         |    THEN (ln(nn) - clogc / nn) / ln(n_distinct::DOUBLE)
         |    ELSE 0.0 END, 4) AS norm_entropy
         |FROM a ORDER BY col_name""".stripMargin,
+    // the engine's count form replayed per pair: MI = (Σc·ln c terms)/n
+    // + ln n, H from the marginal term — identical expression order, so
+    // the one division and the ln(n) anchor match bit-for-bit
+    "q_theils_u" ->
+      """WITH d AS (SELECT lang::VARCHAR AS lang,
+        |    source::VARCHAR AS source,
+        |    (n_chars // 300)::VARCHAR AS len_bucket FROM documents),
+        |p1 AS (SELECT lang AS a, len_bucket AS b, count(*)::BIGINT AS c
+        |  FROM d WHERE lang IS NOT NULL AND len_bucket IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a1 AS (SELECT sum(c)::DOUBLE AS n, sum(c * ln(c)) AS sab,
+        |    (SELECT sum(ca * ln(ca)) FROM
+        |      (SELECT sum(c) AS ca FROM p1 GROUP BY a) t) AS sa,
+        |    (SELECT sum(cb * ln(cb)) FROM
+        |      (SELECT sum(c) AS cb FROM p1 GROUP BY b) t) AS sb
+        |  FROM p1),
+        |r1 AS (SELECT 'lang' AS x, 'len_bucket' AS y, n,
+        |    (sab - sa - sb) / n + ln(n) AS mi,
+        |    ln(n) - sa / n AS hx, ln(n) - sb / n AS hy FROM a1),
+        |p2 AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS c
+        |  FROM d WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a2 AS (SELECT sum(c)::DOUBLE AS n, sum(c * ln(c)) AS sab,
+        |    (SELECT sum(ca * ln(ca)) FROM
+        |      (SELECT sum(c) AS ca FROM p2 GROUP BY a) t) AS sa,
+        |    (SELECT sum(cb * ln(cb)) FROM
+        |      (SELECT sum(c) AS cb FROM p2 GROUP BY b) t) AS sb
+        |  FROM p2),
+        |r2 AS (SELECT 'lang' AS x, 'source' AS y, n,
+        |    (sab - sa - sb) / n + ln(n) AS mi,
+        |    ln(n) - sa / n AS hx, ln(n) - sb / n AS hy FROM a2),
+        |p3 AS (SELECT len_bucket AS a, source AS b, count(*)::BIGINT AS c
+        |  FROM d WHERE len_bucket IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a3 AS (SELECT sum(c)::DOUBLE AS n, sum(c * ln(c)) AS sab,
+        |    (SELECT sum(ca * ln(ca)) FROM
+        |      (SELECT sum(c) AS ca FROM p3 GROUP BY a) t) AS sa,
+        |    (SELECT sum(cb * ln(cb)) FROM
+        |      (SELECT sum(c) AS cb FROM p3 GROUP BY b) t) AS sb
+        |  FROM p3),
+        |r3 AS (SELECT 'len_bucket' AS x, 'source' AS y, n,
+        |    (sab - sa - sb) / n + ln(n) AS mi,
+        |    ln(n) - sa / n AS hx, ln(n) - sb / n AS hy FROM a3),
+        |uu AS (
+        |  SELECT x AS col_x, y AS col_y, n, mi, hx AS h FROM r1
+        |  UNION ALL SELECT y, x, n, mi, hy FROM r1
+        |  UNION ALL SELECT x, y, n, mi, hx FROM r2
+        |  UNION ALL SELECT y, x, n, mi, hy FROM r2
+        |  UNION ALL SELECT x, y, n, mi, hx FROM r3
+        |  UNION ALL SELECT y, x, n, mi, hy FROM r3)
+        |SELECT col_x, col_y, n::BIGINT AS n,
+        |  round(mi, 4) + 0.0 AS mi,
+        |  CASE WHEN h > 0 THEN round(mi / h, 4) + 0.0 END AS u
+        |FROM uu ORDER BY col_x, col_y""".stripMargin,
     "q_mutual_info" ->
       """WITH j AS (SELECT l_returnflag::VARCHAR AS a,
         |    l_linestatus::VARCHAR AS b, count(*)::BIGINT AS c_ab

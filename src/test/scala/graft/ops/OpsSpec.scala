@@ -3300,6 +3300,36 @@ class OpsSpec extends AnyFunSuite {
       "censoring is information: the naive curve must differ")
   }
 
+  test("theilsU: determined pair reads 1, independence reads exactly 0, " +
+    "asymmetric case splits 1.0 vs 0.5, constant column NULL, guards") {
+    import spark.implicits._
+    // x 4-distinct determines y 2-distinct; y only halves x:
+    // U(y|x) = 1, U(x|y) = (ln4 - ln2)/ln4 = 0.5, MI = ln 2
+    val asym = Seq(("A", "p"), ("B", "p"), ("C", "q"), ("D", "q"))
+      .toDF("x", "y")
+    val got = Profile.theilsU(asym, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.get(4)))).toMap
+    assert(got(("y", "x")) == ((4L, 0.6931, 1.0)), s"${got(("y", "x"))}")
+    assert(got(("x", "y")) == ((4L, 0.6931, 0.5)), s"${got(("x", "y"))}")
+    // exact independence: the count form cancels to 0.0 exactly
+    val ind = Seq(("A", "p"), ("A", "q"), ("B", "p"), ("B", "q"))
+      .toDF("x", "y")
+    val gi = Profile.theilsU(ind, Seq("x", "y")).collect()
+      .map(r => r.getDouble(3)).toSeq
+    assert(gi == Seq(0.0, 0.0), s"$gi")
+    // constant column: H(x) = 0 -> NULL u in that direction
+    val const = Seq(("k", "p"), ("k", "q")).toDF("x", "y")
+    val gc = Profile.theilsU(const, Seq("x", "y")).collect()
+      .map(r => (r.getString(0), r.isNullAt(4))).toMap
+    assert(gc("x"), "U(constant|y) must be NULL, H(x)=0")
+    assert(!gc("y"), "U(y|constant) is defined (0)")
+    intercept[IllegalArgumentException](
+      Profile.theilsU(asym, Seq("x")))
+    intercept[IllegalArgumentException](
+      Profile.theilsU(asym, Seq("x", "x")))
+  }
+
   test("nelsonAalen: hand-summed hazard on the KM fixture, censoring " +
     "moves no mass, Fleming-Harrington dominates KM") {
     import spark.implicits._
