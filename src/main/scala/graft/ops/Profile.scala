@@ -1027,6 +1027,56 @@ object Profile {
   }
 
   /**
+   * Brier score with the Murphy (1973) decomposition — the PROPER
+   * scoring rule beside [[calibration]]'s table and [[rocAuc]]'s
+   * ranking: BS = mean (p − y)² punishes both miscalibration and
+   * unsharp forecasts, and the decomposition says WHICH —
+   * reliability = Σ n_k(p̄_k − ȳ_k)²/n (calibration error mass; 0 is
+   * perfect), resolution = Σ n_k(ȳ_k − ȳ)²/n (how much the forecast
+   * separates outcomes; bigger is better), uncertainty = ȳ(1 − ȳ)
+   * (the data's own difficulty — the score of always forecasting ȳ).
+   * brier_binned = reliability − resolution + uncertainty is the
+   * identity's exact value at bucket-mean forecasts; its gap to raw
+   * `brier` is the within-bin variance the binning absorbs.
+   * Buckets follow [[calibration]] (floor(s·bins), top-inclusive).
+   * One pass for the bucket frame + one 1-row moment aggregate; the
+   * decomposition folds over the ≤ bins bucket rows — no window, no
+   * collect. Output: 1 row — n, brier (4dp), reliability (4dp),
+   * resolution (4dp), uncertainty (4dp), brier_binned (4dp).
+   */
+  def brierScore(df: DataFrame, scoreCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    val base = df
+      .filter(s.isNotNull && y.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(s.as("_s"), y.cast("double").as("_y"),
+        least(floor(s * bins), lit((bins - 1).toLong)).as("_b"))
+    val perB = base.groupBy("_b")
+      .agg(count(lit(1)).as("_nb"), avg("_s").as("_ps"),
+        avg("_y").as("_ys"))
+    val tot = base.agg(count(lit(1)).as("n"), avg("_y").as("_ybar"),
+      avg((col("_s") - col("_y")) * (col("_s") - col("_y")))
+        .as("_bs"))
+    perB.crossJoin(tot)
+      .agg(max(col("n")).as("n"),
+        max(col("_bs")).as("_bsx"), max(col("_ybar")).as("_yb"),
+        sum(col("_nb") * (col("_ps") - col("_ys")) *
+          (col("_ps") - col("_ys"))).as("_rel"),
+        sum(col("_nb") * (col("_ys") - col("_ybar")) *
+          (col("_ys") - col("_ybar"))).as("_res"))
+      .select(col("n"),
+        round(col("_bsx"), 4).as("brier"),
+        round(col("_rel") / col("n"), 4).as("reliability"),
+        round(col("_res") / col("n"), 4).as("resolution"),
+        round(col("_yb") * (lit(1.0) - col("_yb")), 4)
+          .as("uncertainty"),
+        round(col("_rel") / col("n") - col("_res") / col("n") +
+          col("_yb") * (lit(1.0) - col("_yb")), 4).as("brier_binned"))
+  }
+
+  /**
    * Exact ROC-AUC by the rank-sum (Mann–Whitney) identity with the
    * standard half-credit for score ties — the threshold-free companion
    * of [[classifierMetrics]]. Computed from the per-DISTINCT-SCORE

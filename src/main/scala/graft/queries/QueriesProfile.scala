@@ -456,6 +456,12 @@ private[graft] object QueriesProfile {
           "score", "label", bins = 10)
         .orderBy("bucket")
     }),
+    "q_brier" -> ((s, dir) =>
+      // proper scoring rule + Murphy decomposition on the same
+      // classifier frame and bucket convention as q_calibration:
+      // which part of the loss is miscalibration vs missing sharpness
+      graft.ops.Profile.brierScore(classifierEvalFrame(s, dir),
+        "score", "label", bins = 10)),
     "q_isotonic" -> ((s, dir) =>
       // PAV isotonic fit over the same classifier frame and bucket
       // convention as q_calibration: the best monotone P(label|score),
@@ -1729,6 +1735,34 @@ private[graft] object QueriesProfile {
         |FROM (SELECT unnest(range(0, 10))::BIGINT AS bucket) g
         |LEFT JOIN b ON g.bucket = b.bucket
         |ORDER BY g.bucket""".stripMargin),
+    // the engine's Murphy decomposition verbatim: bucket frame +
+    // 1-row moments, the identity assembled as rel/n - res/n + u in
+    // the same expression order
+    "q_brier" -> (classifierEvalCte +
+      """b AS (SELECT least(floor(score * 10), 9)::BIGINT AS bk,
+        |    count(*)::BIGINT AS nb, avg(score) AS ps,
+        |    avg(label::INT::DOUBLE) AS ys
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND score >= 0.0 AND score <= 1.0
+        |  GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS n,
+        |    avg(label::INT::DOUBLE) AS ybar,
+        |    avg((score - label::INT::DOUBLE)
+        |      * (score - label::INT::DOUBLE)) AS bs
+        |  FROM sc WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND score >= 0.0 AND score <= 1.0),
+        |m AS (SELECT max(t.n) AS n, max(t.bs) AS bsx,
+        |    max(t.ybar) AS yb,
+        |    sum(b.nb * (b.ps - b.ys) * (b.ps - b.ys)) AS rel,
+        |    sum(b.nb * (b.ys - t.ybar) * (b.ys - t.ybar)) AS res
+        |  FROM b, t)
+        |SELECT n, round(bsx, 4) AS brier,
+        |  round(rel / n, 4) AS reliability,
+        |  round(res / n, 4) AS resolution,
+        |  round(yb * (1.0 - yb), 4) AS uncertainty,
+        |  round(rel / n - res / n + yb * (1.0 - yb), 4)
+        |    AS brier_binned
+        |FROM m""".stripMargin),
     // PAV replay via the minimax identity iso(i) = max_{j<=i}
     // min_{k>=i} mean(j..k): segment means from integer cumulatives,
     // equal rationals divide to bit-identical doubles, bucket count is

@@ -2848,6 +2848,36 @@ class OpsSpec extends AnyFunSuite {
     assert(one.collect().head.getLong(1) == 1L)
   }
 
+  test("brierScore: perfect forecasts score zero, hand-computed Murphy " +
+    "decomposition, identity exact at zero within-bucket variance") {
+    import spark.implicits._
+    // perfect forecasts: brier 0, reliability 0, resolution ==
+    // uncertainty, binned 0
+    val perfect = Seq((1.0, true), (0.0, false), (1.0, true))
+      .toDF("score", "label")
+    val p = Profile.brierScore(perfect, "score", "label").collect().head
+    assert(p.getLong(0) == 3L && p.getDouble(1) == 0.0 &&
+      p.getDouble(2) == 0.0, s"$p")
+    assert(p.getDouble(3) == p.getDouble(4) && p.getDouble(5) == 0.0,
+      s"resolution must equal uncertainty at perfection: $p")
+    // hand-computed: scores {0.2,0.2,0.8,0.8}, labels {F,T,T,T}:
+    // brier 0.19, rel 0.065, res 0.0625, unc 0.1875 — and with zero
+    // within-bucket forecast variance, binned == raw exactly
+    val mixed = Seq((0.2, false), (0.2, true), (0.8, true), (0.8, true))
+      .toDF("score", "label")
+    val m = Profile.brierScore(mixed, "score", "label").collect().head
+    assert(m.getLong(0) == 4L && m.getDouble(1) == 0.19, s"$m")
+    assert(m.getDouble(2) == 0.065 && m.getDouble(3) == 0.0625 &&
+      m.getDouble(4) == 0.1875, s"$m")
+    assert(m.getDouble(5) == 0.19,
+      s"binned == raw at zero within-bucket variance: $m")
+    // within-bucket variance opens the gap: binned <= raw
+    val spread = mixed.unionAll(Seq((0.85, true)).toDF("score", "label"))
+    val sp = Profile.brierScore(spread, "score", "label").collect().head
+    assert(sp.getDouble(5) <= sp.getDouble(1),
+      s"binned must not exceed raw: $sp")
+  }
+
   test("isotonicCalibration: PAV pooling closed form, monotone fit, " +
     "mass preservation, bins guard") {
     import spark.implicits._
