@@ -141,7 +141,17 @@ private[graft] object DistScan {
    * prefix-combine window runs over the re-created local frame — so the
    * result plan joins a broadcast-able literal table instead of
    * re-evaluating the input. `_off<i>` = the combine of `perBucket(i)`
-   * over all EARLIER buckets (null when none). */
+   * over all EARLIER buckets (null when none).
+   *
+   * KNOWN LOG LINE: the prefix window below is partition-less, so Spark
+   * emits `WARN WindowExec: No Partition Defined ... serious performance
+   * degradation` once per scan. The warning's premise does not apply —
+   * the frame is the LOCAL ≤ nBuckets carry table (4·shuffle-partitions
+   * rows by config, never data), already on one partition by
+   * construction. Operators chasing this warning in cluster logs should
+   * match it against a DistScan-family query and move on; a
+   * driver-side fold would silence it only by reimplementing typed
+   * sum/min/max arithmetic for every value type the scans carry. */
   private def offsets(p: DataFrame, perBucket: Seq[Column],
       combine: Seq[Column => Column]): DataFrame = {
     val spark = p.sparkSession
