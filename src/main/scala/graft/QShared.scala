@@ -193,6 +193,78 @@ private[graft] object QShared {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Multi-block (d = 2) simhash candidate-pair oracle — the SCALE path
+   * under the same full-SQL standard as the d = 1 gate: the portable
+   * fingerprint's 64 sign sums feed 10 = maxHamming + 2 block values,
+   * every 2-block combination keys an md5 composite ('|'-joined
+   * combination indexes + decimal block values — exactly Spark's
+   * portable key scheme), hot buckets are capped, and pairs verify
+   * with the exact 64-term hamming sum. */
+  def simhashPairsMbOracle: String = {
+    val maxHamming = 8
+    val d = 2
+    val nBlocks = maxHamming + d
+    val bandBits = 64 / nBlocks
+    val bitSums = (0 until 64).map { b =>
+      val j = b / 4
+      val c = 1 << (b % 4)
+      s"sum(CASE WHEN ((strpos('0123456789abcdef', substr(hx, ${j + 1}, 1)) - 1) // $c) % 2 = 1 THEN 1 ELSE -1 END) AS b$b"
+    }.mkString(",\n    ")
+    val blockCols = (0 until nBlocks).map { i =>
+      val lo = i * bandBits
+      val width = if (i == nBlocks - 1) 64 - lo else bandBits
+      val v = (0 until width)
+        .map(j => s"(CASE WHEN b${lo + j} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"($v)::BIGINT AS blk$i"
+    }.mkString(",\n    ")
+    // the SAME combination enumeration as simhashMultiBlockCols — band
+    // ids and key text must match Spark's plan-time literals exactly
+    val comboSelects = (0 until nBlocks).combinations(d).toSeq.zipWithIndex
+      .map { case (combo, bi) =>
+        val key = (combo.map(i => s"'$i'") ++
+          combo.map(i => s"blk$i::VARCHAR")).mkString(" || '|' || ")
+        s"SELECT doc_id, $bi AS band, md5($key) AS key FROM blk"
+      }.mkString("\n  UNION ALL\n  ")
+    val hamming = (0 until 64)
+      .map(b => s"(CASE WHEN (x.b$b > 0) <> (y.b$b > 0) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH docs2 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id,
+       |    text || ' tail tokens appended here' AS text FROM documents),
+       |tok AS (
+       |  SELECT doc_id, md5(t) AS hx FROM (
+       |    SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM docs2)
+       |  WHERE t <> ''),
+       |bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM tok GROUP BY doc_id),
+       |blk AS (
+       |  SELECT doc_id,
+       |    $blockCols
+       |  FROM bits),
+       |bk AS (
+       |  $comboSelects),
+       |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+       |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+       |  WHERE bn.c <= $ngramMaxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+       |  FROM bk2 a JOIN bk2 b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |ham AS (
+       |  SELECT c.ia, c.ib, ($hamming)::BIGINT AS hamming
+       |  FROM cand c
+       |  JOIN bits x ON x.doc_id = c.ia
+       |  JOIN bits y ON y.doc_id = c.ib)
+       |SELECT ia AS id_a, ib AS id_b, hamming FROM ham
+       |WHERE hamming <= $maxHamming
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Full-pipeline ngram-Jaccard oracle: replays the md5 minhash
    * signatures, 2-hash banding, hot-bucket cap, candidate join, and exact
    * within-bucket Jaccard of Dedup.ngramJaccardPairs on the same

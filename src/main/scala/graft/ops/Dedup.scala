@@ -1002,27 +1002,47 @@ object Dedup {
    * (~10× fewer random collisions at h = 8 for 5× the key rows),
    * d = 3 ~13×. Composite keys are xxhash64 of the block values
    * (hash collisions only ADD candidates, never lose one — exact
-   * verification filters them). */
+   * verification filters them); under `portable = true` they are the
+   * md5 of the '|'-joined combination indexes + block values instead,
+   * which the DuckDB oracle replays verbatim (the portable-fingerprint
+   * precedent extended to the key scheme — the d ≥ 2 SCALE path sits
+   * under the same full-SQL gate as d = 1, `dedup_simhash_pairs_mb`).
+   *
+   * `blocksPerKey = 0` is AUTO: d is routed from the corpus size
+   * ([[simhashAutoBlocks]] — one count on the already-cached
+   * fingerprint frame). Small corpora keep the d = 1 plan (no extra
+   * key rows); past the measured d=1→d=2 crossover (~240k docs at
+   * h = 8, the 48× gate-scale multiple where 7-bit keys' ~n²/2⁷
+   * random collisions overtake the 5× key-row cost — PairScaling r17,
+   * slope_last 1.53 vs 0.73 at 128×) the routed plan switches to
+   * d = 2. Callers with measured knowledge can still pin d
+   * explicitly. */
   def simhashCandidatePairs(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = 100000,
       portable: Boolean = false, blocksPerKey: Int = 1): DataFrame = {
-    require(blocksPerKey >= 1 && maxHamming + blocksPerKey <= 64,
-      s"blocksPerKey must be >= 1 with maxHamming + blocksPerKey <= 64: " +
+    require(blocksPerKey >= 0 && maxHamming + math.max(blocksPerKey, 1) <= 64,
+      s"blocksPerKey must be >= 0 (0 = auto) with maxHamming + blocksPerKey <= 64: " +
         s"$blocksPerKey (maxHamming $maxHamming)")
     val nBands = maxHamming + 1
-    val keyCols =
-      if (blocksPerKey == 1) simhashBandCols(nBands)
-      else simhashMultiBlockCols(maxHamming, blocksPerKey)
     // fingerprints cached (tracked, doc-count-sized): the bucket guard and
     // both pair-join sides reuse one computation of the 64-bit-sum agg
     val fp = CacheScope.track(simhash(docs, textCol, idCol, portable))
+    // auto-route d from the corpus size: the count materializes the
+    // cached fingerprint frame the plan reuses anyway, so the sizing
+    // action costs one cache scan, not a second fingerprint pass
+    val d =
+      if (blocksPerKey > 0) blocksPerKey
+      else simhashAutoBlocks(fp.count(), maxHamming)
+    val keyCols =
+      if (d == 1) simhashBandCols(nBands)
+      else simhashMultiBlockCols(maxHamming, d, portable)
     val keyed = fp
       .select(col(idCol).as("id"), col("simhash"),
         explode(keyCols).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
     val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs",
-      hugeKeySpace = blocksPerKey > 1)
+      hugeKeySpace = d > 1)
     val a = kept.select(col("id").as("id_a"), col("simhash").as("h_a"),
       col("band"), col("key"))
     val b = kept.select(col("id").as("id_b"), col("simhash").as("h_b"),
@@ -1087,14 +1107,39 @@ object Dedup {
     }: _*)
   }
 
+  /** The measured d=1→d=2 crossover for [[simhashCandidatePairs]]'s
+   * auto route (`blocksPerKey = 0`): PairScaling r17 put the d = 1
+   * candidate explosion's overtake near a 48× gate-scale corpus
+   * multiple ≈ 240k docs at maxHamming = 8 (7-bit band keys → ~n²/2⁷
+   * random candidates; d = 2's ~10× wider keys cost 5× the key rows,
+   * so the switch pays only past the collision knee). Below the knee
+   * the d = 1 plan is strictly cheaper (no extra key rows); above it
+   * d = 2 measured 6.4× faster at 128× with slope 0.73 vs 1.53.
+   * Pure function of (corpus size, maxHamming) so the route is
+   * plan-deterministic and spec-pinned; the threshold scales with the
+   * key width 2^(64/(h+1)) relative to its h = 8 calibration point —
+   * a larger h narrows the keys and the knee arrives earlier. */
+  def simhashAutoBlocks(nDocs: Long, maxHamming: Int = 8): Int = {
+    val calibrated = 240000.0 // measured at h = 8 (64/9 ≈ 7.1-bit keys)
+    val calibratedBits = 64.0 / 9
+    val keyBits = 64.0 / (maxHamming + 1)
+    val threshold =
+      calibrated * math.pow(2.0, (keyBits - calibratedBits) / 2.0)
+    if (nDocs < threshold || maxHamming + 2 > 64) 1 else 2
+  }
+
   /** Multi-block composite keys (Manku et al. 2007 §3): maxHamming + d
    * blocks, one (band, key) per d-block combination — key = xxhash64 of
-   * the combination id + the d block values. Any pair within maxHamming
-   * agrees on some d untouched blocks (pigeonhole), so recall is exact;
-   * key width grows ~d-fold, so random band collisions shrink
-   * geometrically. C(h+d, d) key rows per doc — plan-time literals. */
+   * the combination id + the d block values (or, `portable = true`, the
+   * md5 hex of the '|'-joined combination indexes + decimal block
+   * values — replayable in DuckDB SQL, the oracle-gate mode). Any pair
+   * within maxHamming agrees on some d untouched blocks (pigeonhole),
+   * so recall is exact; key collisions only ADD candidates under either
+   * hash — exact verification filters them. Key width grows ~d-fold,
+   * so random band collisions shrink geometrically. C(h+d, d) key rows
+   * per doc — plan-time literals. */
   private def simhashMultiBlockCols(maxHamming: Int,
-      d: Int): org.apache.spark.sql.Column = {
+      d: Int, portable: Boolean = false): org.apache.spark.sql.Column = {
     val nBlocks = maxHamming + d
     val bandBits = 64 / nBlocks
     def block(i: Int): org.apache.spark.sql.Column = {
@@ -1105,8 +1150,13 @@ object Dedup {
     }
     val combos = (0 until nBlocks).combinations(d).toSeq
     array(combos.zipWithIndex.map { case (combo, bi) =>
-      struct(lit(bi).as("band"),
-        xxhash64((lit(bi) +: combo.map(block)): _*).as("key"))
+      val key =
+        if (portable)
+          md5(concat_ws("|",
+            combo.map(i => lit(i.toString)) ++
+              combo.map(i => block(i).cast("string")): _*))
+        else xxhash64((lit(bi) +: combo.map(block)): _*)
+      struct(lit(bi).as("band"), key.as("key"))
     }: _*)
   }
 

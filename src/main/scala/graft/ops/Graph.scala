@@ -335,15 +335,39 @@ object Graph {
    * sampled mode (sampling replaces the gate), and per-center work is
    * O(s²) expected regardless of degree — Σ deg² becomes |V|·s².
    * The spec pins small centers bit-exact and a 400-degree hub's total
-   * mass exact at s = 50.
+   * mass exact at s = 50. In sampled mode the jaccard NUMERATOR is
+   * clamped to min(deg_a, deg_b) — the true common-neighbor count's
+   * hard upper bound — because an over-degree hub pair's ratio-weighted
+   * estimate (weight ~ deg²/k² per wedge) can exceed deg_a + deg_b and
+   * would otherwise drive the denominator negative; the clamp keeps
+   * jaccard inside its [0, 1] contract (spec-pinned) while
+   * common_neighbors itself stays the unbiased estimate.
+   *
+   * `sampleDegree = -1` (the DEFAULT) is AUTO: a degree-profile probe
+   * (one max over the degree frame, which the plan reuses) keeps the
+   * exact mode whenever no center exceeds maxWedgeDegree — every graph
+   * without extreme hubs gets today's exact plan and LONG counts — and
+   * switches to the sampled estimator at s = `autoSampleDegree` when
+   * hubs would otherwise be silently DROPPED by the hard gate (the
+   * web-host-graph regime: many centers just under any cap, ~5·10⁷
+   * wedges each just above it). The auto switch changes the
+   * common_neighbors type to DOUBLE (estimates are not counts) —
+   * callers needing a stable schema pin the mode explicitly.
    * Output: id_a, id_b, common_neighbors, jaccard (4dp),
    * adamic_adar (4dp).
    */
+  /** Wedge-sample size the AUTO route switches to when a center exceeds
+   * maxWedgeDegree (the PairScaling `link_pred_sampled` tier value):
+   * per-center work caps at ~64² = 4096 wedges, and the ratio estimator
+   * at s = 64 reproduces each center's total wedge mass exactly
+   * whenever ≥ 2 sampled neighbors survive (P(k ≤ 1) ≈ 65·e⁻⁶⁴ — nil). */
+  val autoSampleDegree: Int = 64
+
   def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
-      maxWedgeDegree: Int = 10000, sampleDegree: Int = 0): DataFrame = {
+      maxWedgeDegree: Int = 10000, sampleDegree: Int = -1): DataFrame = {
     require(maxWedgeDegree >= 2, s"maxWedgeDegree must be >= 2: $maxWedgeDegree")
-    require(sampleDegree == 0 || sampleDegree >= 2,
-      s"sampleDegree must be 0 (exact) or >= 2: $sampleDegree")
+    require(sampleDegree == -1 || sampleDegree == 0 || sampleDegree >= 2,
+      s"sampleDegree must be -1 (auto), 0 (exact) or >= 2: $sampleDegree")
     val und = edges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
@@ -353,20 +377,32 @@ object Graph {
       .distinct()
     val nb = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("ctr"), col("b").as("n"))
-    val deg = nb.groupBy(col("ctr").as("node"))
+    val deg0 = nb.groupBy(col("ctr").as("node"))
       .agg(count(lit(1)).as("deg"))
+    // AUTO route: cache the degree frame (tracked, node-count-sized —
+    // the probe action and the two downstream joins reuse one
+    // computation) and probe the max degree; exact mode whenever the
+    // hard hub gate would drop nothing, else the unbiased estimator
+    val deg = if (sampleDegree >= 0) deg0 else CacheScope.track(deg0)
+    val effSample =
+      if (sampleDegree >= 0) sampleDegree
+      else {
+        val maxDeg = Option(deg.agg(max(col("deg"))).collect()(0).get(0))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        if (maxDeg > maxWedgeDegree) autoSampleDegree else 0
+      }
     val withDeg = nb.join(deg.withColumnRenamed("node", "ctr"), "ctr")
-    val exact = sampleDegree == 0
+    val exact = effSample == 0
     val centers =
       if (exact) withDeg.filter(col("deg") <= maxWedgeDegree)
       else {
-        val s = sampleDegree.toDouble
+        val s = effSample.toDouble
         // deterministic Bernoulli thinning at rate s/deg: hash fraction
         // in [0, 1) from xxhash64 — a pure function of (ctr, n), so
         // both wedge sides of a surviving neighbor agree
         val frac = pmod(xxhash64(lit("lpwedge"), col("ctr"), col("n")),
           lit(1000000007L)).cast("double") / 1000000007.0
-        val kept = withDeg.filter(col("deg") <= sampleDegree ||
+        val kept = withDeg.filter(col("deg") <= effSample ||
           frac < lit(s) / col("deg"))
         // realized survivor count per center: the ratio-weight
         // denominator (one keyed count + keyed join — never a window)
@@ -374,7 +410,7 @@ object Graph {
       }
     val w =
       if (exact) lit(1.0)
-      else when(col("x.deg") <= sampleDegree, lit(1.0))
+      else when(col("x.deg") <= effSample, lit(1.0))
         .otherwise(col("x.deg").cast("double") * (col("x.deg") - 1) /
           (col("x._k").cast("double") * (col("x._k") - 1)))
     val scored = centers.as("x")
@@ -394,14 +430,20 @@ object Graph {
           .select(col("a"), col("b"),
             round(col("_cnRaw"), 4).as("common_neighbors"), col("_aa"))
       ).join(und, Seq("a", "b"), "left_anti") // score NON-edges only
+    // sampled mode: clamp the jaccard numerator to min(deg_a, deg_b) —
+    // the exact count's hard bound — so an over-estimated hub pair can
+    // never drive the denominator negative; exact mode already satisfies
+    // the bound and keeps its bit-identical gate output untouched
+    val cnJ =
+      if (exact) col("common_neighbors").cast("double")
+      else least(col("common_neighbors"),
+        least(col("_da"), col("_db")).cast("double"))
     pairs
       .join(deg.select(col("node").as("a"), col("deg").as("_da")), "a")
       .join(deg.select(col("node").as("b"), col("deg").as("_db")), "b")
       .select(col("a").as("id_a"), col("b").as("id_b"),
         col("common_neighbors"),
-        round(col("common_neighbors") /
-          (col("_da") + col("_db") - col("common_neighbors")), 4)
-          .as("jaccard"),
+        round(cnJ / (col("_da") + col("_db") - cnJ), 4).as("jaccard"),
         round(col("_aa"), 4).as("adamic_adar"))
   }
 

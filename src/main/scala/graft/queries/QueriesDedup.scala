@@ -52,6 +52,22 @@ private[graft] object QueriesDedup {
           maxHamming = 8, maxBucketSize = ngramMaxBucket, portable = true)
         .orderBy("id_a", "id_b")
     }),
+    "dedup_simhash_pairs_mb" -> ((s, dir) => {
+      // the d = 2 multi-block SCALE path (Manku composite keys — the
+      // shape a 100 TB corpus actually runs, PairScaling-measured 6.4x
+      // faster than d = 1 at 128x) under the same full-SQL oracle:
+      // portable md5 composite keys over the portable fingerprint, hot
+      // buckets capped, exact hamming verification. The spec pins the
+      // verified pair set identical to d = 1 (exact pigeonhole recall),
+      // so this gate and dedup_simhash_pairs must agree row-for-row.
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val mutated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"))
+      Dedup.simhashCandidatePairs(docs.unionAll(mutated), "text", "doc_id",
+          maxHamming = 8, maxBucketSize = ngramMaxBucket, portable = true,
+          blocksPerKey = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"), "text", "doc_id", portable = true)
         .select(col("doc_id"),
@@ -444,6 +460,7 @@ private[graft] object QueriesDedup {
         |ORDER BY id""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_simhash_pairs_mb" -> simhashPairsMbOracle,
     "dedup_minhash_pairs" -> minhashPairsOracle,
     "dedup_lsh_eval" -> lshEvalOracle,
     "dedup_minhash_incr" -> minhashIncrOracle,

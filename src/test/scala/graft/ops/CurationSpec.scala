@@ -1702,6 +1702,73 @@ class CurationSpec extends AnyFunSuite {
       s"sampled candidate count must be ~s²/2, got ${hubPairs.size}")
   }
 
+  test("linkPrediction sampled mode: jaccard stays in [0, 1] on the " +
+    "hub fixture (numerator clamped to min(deg_a, deg_b))") {
+    import spark.implicits._
+    // the over-degree regime: a 400-leaf hub at s = 50 gives each
+    // wedge weight ~ deg²/k² ≈ 64, so the raw common_neighbors
+    // estimate for leaf pairs (~64) dwarfs deg_a + deg_b = 2 and the
+    // unclamped jaccard read ≈ −1.03 for EVERY leaf pair; the clamp
+    // must keep the whole column inside the score's contract
+    val hub = (1L to 400L).map(v => (0L, v))
+    val ring = (0 until 12).map(i => (1000L + i, 1000L + (i + 1) % 12))
+    val edges = (hub ++ ring).toDF("s", "d")
+    val rows = Graph.linkPrediction(edges, "s", "d", sampleDegree = 50)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(rows.nonEmpty, "fixture must score pairs")
+    rows.foreach(j => assert(j >= 0.0 && j <= 1.0,
+      s"sampled jaccard $j outside [0, 1]"))
+    // leaf pairs specifically: cn estimate ≈ 64 > min(deg)=1, so the
+    // clamp binds and jaccard collapses to 1/(1+1-1) = 1.0 — the
+    // exact-mode value for a shared-single-neighbor pair
+    val leafJ = Graph.linkPrediction(edges, "s", "d", sampleDegree = 50)
+      .filter(col("id_a") >= 1L && col("id_b") <= 400L)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(leafJ.nonEmpty && leafJ.forall(_ == 1.0),
+      s"clamped leaf-pair jaccard must be exactly 1.0")
+  }
+
+  test("linkPrediction AUTO route (default): hub-free graphs keep the " +
+    "exact LONG plan; a hub past maxWedgeDegree switches to sampling " +
+    "instead of silently dropping the center") {
+    import spark.implicits._
+    // hub-free: default call == explicit exact call, LONG cn schema
+    val smallE = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 6L), (6L, 7L),
+      (7L, 4L)).toDF("s", "d")
+    val auto = Graph.linkPrediction(smallE, "s", "d")
+    assert(auto.schema("common_neighbors").dataType ==
+      org.apache.spark.sql.types.LongType,
+      "auto on a hub-free graph must keep exact LONG counts")
+    val exact = Graph.linkPrediction(smallE, "s", "d", sampleDegree = 0)
+    assert(auto.collect().toSet == exact.collect().toSet)
+    // a 400-degree hub with maxWedgeDegree = 100: the hard gate would
+    // DROP the hub (exact mode scores zero hub pairs); auto must keep
+    // it via the s = autoSampleDegree estimator with bounded candidates
+    val hub = (1L to 400L).map(v => (0L, v))
+    val edges = (hub ++ Seq((500L, 501L), (501L, 502L))).toDF("s", "d")
+    val dropped = Graph.linkPrediction(edges, "s", "d",
+      maxWedgeDegree = 100, sampleDegree = 0)
+      .filter(col("id_b") <= 400L).count()
+    assert(dropped == 0L, "exact mode drops the gated hub (by design)")
+    val routed = Graph.linkPrediction(edges, "s", "d",
+      maxWedgeDegree = 100)
+    assert(routed.schema("common_neighbors").dataType ==
+      org.apache.spark.sql.types.DoubleType,
+      "auto past the gate must switch to the estimator (DOUBLE)")
+    val hubPairs = routed.filter(col("id_b") <= 400L)
+      .select("common_neighbors").collect().map(_.getDouble(0))
+    assert(hubPairs.nonEmpty, "auto must SCORE the hub, not drop it")
+    val s = Graph.autoSampleDegree
+    assert(hubPairs.length <= s * s,
+      s"auto-sampled hub candidates must stay <= s² = ${s * s}, " +
+        s"got ${hubPairs.length}")
+    // total hub wedge mass is reproduced exactly by the ratio weights
+    val mass = hubPairs.sum
+    val want = 400.0 * 399 / 2
+    assert(math.abs(mass - want) / want < 1e-4,
+      s"routed hub mass $mass vs $want")
+  }
+
   test("labelProp: two planted cliques converge to their min ids, " +
     "== reference sync loop on a pseudo-random graph") {
     import spark.implicits._

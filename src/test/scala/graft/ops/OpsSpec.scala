@@ -74,6 +74,52 @@ class OpsSpec extends AnyFunSuite {
         maxHamming = 62, blocksPerKey = 3))
   }
 
+  test("simhash portable multi-block keys (the oracle-gate mode): " +
+    "d=2 verified pair set identical to portable d=1") {
+    // the md5 composite-key scheme must preserve exact pigeonhole
+    // recall exactly like the xxhash64 scheme — the
+    // dedup_simhash_pairs_mb gate relies on this parity
+    val corpus = docs.limit(400).select("doc_id", "text")
+    def pairSet(d: Int): Set[(Long, Long, Long)] =
+      Dedup.simhashCandidatePairs(corpus, "text", "doc_id",
+          maxHamming = 8, portable = true, blocksPerKey = d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val d1 = pairSet(1)
+    assert(d1.nonEmpty, "fixture must produce near-dup pairs")
+    assert(pairSet(2) == d1, "portable d=2 changed the verified pair set")
+  }
+
+  test("simhashAutoBlocks routing: small corpora keep d=1 plans, " +
+    "large ones switch to d=2; auto call output == explicit d=1") {
+    // the measured h=8 crossover (~240k docs, PairScaling r17)
+    assert(Dedup.simhashAutoBlocks(1000L, 8) == 1)
+    assert(Dedup.simhashAutoBlocks(239999L, 8) == 1)
+    assert(Dedup.simhashAutoBlocks(240000L, 8) == 2)
+    assert(Dedup.simhashAutoBlocks(640000L, 8) == 2)
+    // wider keys (smaller h) push the knee out; narrower pull it in
+    assert(Dedup.simhashAutoBlocks(300000L, 3) == 1)
+    assert(Dedup.simhashAutoBlocks(200000L, 15) == 2)
+    // auto on a small corpus: identical output to the explicit d=1 call
+    // AND the identical d=1 plan (no multi-block key explosion: the
+    // exploded key array is h+1 bands, not C(h+d, d) combos)
+    val corpus = docs.limit(200).select("doc_id", "text")
+    val auto = Dedup.simhashCandidatePairs(corpus, "text", "doc_id",
+      maxHamming = 8, blocksPerKey = 0)
+    val explicit1 = Dedup.simhashCandidatePairs(corpus, "text", "doc_id",
+      maxHamming = 8, blocksPerKey = 1)
+    assert(auto.collect().toSet == explicit1.collect().toSet)
+    // canonicalized-plan identity modulo the capBuckets observe()
+    // instance counter (each call mints a fresh metrics name) — the
+    // assertion is "auto built the d=1 plan", not "similar output"
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.canonicalized.toString
+        .replaceAll("graft_cap/simhashCandidatePairs/\\d+",
+          "graft_cap/simhashCandidatePairs/N")
+    assert(shape(auto) == shape(explicit1),
+      "auto route on a small corpus must build the d=1 plan itself")
+  }
+
   test("simhash: identical docs get identical fingerprints, near-dups close") {
     val a = Dedup.simhash(docs.limit(10), "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
