@@ -1042,7 +1042,9 @@ object Profile {
    * One pass for the bucket frame + one 1-row moment aggregate; the
    * decomposition folds over the ≤ bins bucket rows — no window, no
    * collect. Output: 1 row — n, brier (4dp), reliability (4dp),
-   * resolution (4dp), uncertainty (4dp), brier_binned (4dp).
+   * resolution (4dp), uncertainty (4dp), brier_binned (4dp); an input
+   * with NO valid rows (all scores null/out-of-range) returns an EMPTY
+   * frame, the [[calibration]]/[[isotonicCalibration]] convention.
    */
   def brierScore(df: DataFrame, scoreCol: String, labelCol: String,
       bins: Int = 10): DataFrame = {
@@ -1066,6 +1068,10 @@ object Profile {
           (col("_ps") - col("_ys"))).as("_rel"),
         sum(col("_nb") * (col("_ys") - col("_ybar")) *
           (col("_ys") - col("_ybar"))).as("_res"))
+      // no valid rows -> the empty crossJoin aggregates to one all-NULL
+      // row; drop it so the degenerate case returns an EMPTY frame like
+      // calibration/isotonicCalibration, not a row whose n reads null
+      .filter(col("n").isNotNull)
       .select(col("n"),
         round(col("_bsx"), 4).as("brier"),
         round(col("_rel") / col("n"), 4).as("reliability"),
@@ -1526,7 +1532,12 @@ object Profile {
    * end, so the result is bit-identical to a naive single-window
    * replay at any partitioning. Envelope: |v|·10^scale must fit a
    * long, and gap·cum·count must fit 38 digits (~1e38 — beyond any
-   * real frame).
+   * real frame). The envelope boundary is LOUD on both engines: under
+   * ANSI (the Spark 4 default) arithmetic past the boundary raises on
+   * its own; under non-ANSI a per-cell overflow would land NULL and be
+   * silently dropped by sum(), so the plan counts non-null terms and
+   * `raise_error`s when any cell overflowed (matching the DuckDB
+   * replay's own HUGEINT error) instead of understating w1.
    *
    * Scale shape: one map-side-combined groupBy per side on the
    * quantized value, then the cumulative walk as ONE [[DistScan]]
@@ -1569,12 +1580,23 @@ object Profile {
       withPrev.crossJoin(tot)
         .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
           count(lit(1)).as("n_cells"),
+          // count(expr) counts NON-NULL terms: in non-ANSI Spark an
+          // overflowing gap·diff product lands NULL and sum() would
+          // silently drop it (an understated w1, where the DuckDB
+          // HUGEINT replay errors loudly) — _tn < n_cells is the exact
+          // per-term overflow detector, turned into a loud error below
+          count(gap * diff).as("_tn"),
           sum(gap * diff).as("_t"))
         .select(col("n_a"), col("n_b"), col("n_cells"),
-          when(col("n_a") > 0 && col("n_b") > 0,
-            round(col("_t").cast("double") /
-              (col("n_a").cast("double") * col("n_b").cast("double") *
-                lit(factor)), 6)).as("w1"))
+          when(col("_tn") < col("n_cells"), raise_error(concat(
+            lit("graft.emdDrift: gap*diff overflowed DECIMAL(38,0) on "),
+            (col("n_cells") - col("_tn")).cast("string"),
+            lit(" cells - values exceed the documented envelope " +
+              "(gap*cum*count beyond ~1e38); reduce `scale`"))))
+            .otherwise(when(col("n_a") > 0 && col("n_b") > 0,
+              round(col("_t").cast("double") /
+                (col("n_a").cast("double") * col("n_b").cast("double") *
+                  lit(factor)), 6))).as("w1"))
     })
   }
 

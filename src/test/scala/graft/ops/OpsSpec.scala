@@ -2922,6 +2922,15 @@ class OpsSpec extends AnyFunSuite {
     val sp = Profile.brierScore(spread, "score", "label").collect().head
     assert(sp.getDouble(5) <= sp.getDouble(1),
       s"binned must not exceed raw: $sp")
+    // no row passes the validity filter (scores out of [0,1]): EMPTY
+    // frame like calibration — not a single row whose n reads null
+    val invalid = Seq((1.5, true), (-0.2, false)).toDF("score", "label")
+    val inv = Profile.brierScore(invalid, "score", "label")
+    assert(inv.count() == 0L,
+      "all-invalid input must return an empty frame")
+    assert(inv.schema.fieldNames.toSeq ==
+      Seq("n", "brier", "reliability", "resolution", "uncertainty",
+        "brier_binned"))
   }
 
   test("isotonicCalibration: PAV pooling closed form, monotone fit, " +
@@ -3225,6 +3234,23 @@ class OpsSpec extends AnyFunSuite {
     val e = Profile.emdDrift(a, Seq.empty[Double].toDF("v"), "v")
       .collect().head
     assert(e.isNullAt(3), s"$e")
+    // envelope boundary is LOUD, not a silently smaller w1: at scale=0
+    // the quantized gap between -9e18 and 9e18 is 1.8e19 — under ANSI
+    // (the session default) the long subtraction itself raises; under
+    // non-ANSI the decimal-product NULL would be caught by the
+    // per-term overflow detector's raise_error. Either way the caller
+    // gets an error, never an understated w1.
+    val big = Seq(-9.0e18, 9.0e18).toDF("v")
+    val ex = intercept[Exception] {
+      Profile.emdDrift(big, Seq(-9.0e18).toDF("v"), "v", scale = 0)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(m => m.contains("overflowed DECIMAL") ||
+      m.contains("ARITHMETIC_OVERFLOW")),
+      s"expected a loud envelope error, got: $ex")
   }
 
   test("qqCompare: identical samples gap 0, planted shift appears at " +
