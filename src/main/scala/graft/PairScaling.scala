@@ -74,13 +74,22 @@ object PairScaling {
 
     val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
       "minhash_pairs" -> (d => Dedup.minhashCandidatePairs(d, "text", "doc_id")),
-      "simhash_pairs" -> (d => Dedup.simhashCandidatePairs(d, "text", "doc_id")),
+      // d pinned to 1: this tier measures the single-block curve (the
+      // small-corpus route) so the auto tier below has its baseline
+      "simhash_pairs" -> (d => Dedup.simhashCandidatePairs(d, "text",
+        "doc_id", blocksPerKey = 1)),
       // the multi-block scale path (Manku-style composite keys, d=2):
       // IDENTICAL verified output (spec-pinned), ~10x fewer random band
       // collisions at h=8 — the retune for the d=1 candidate explosion
       // the 64x/128x doublings exposed (7-bit keys -> ~n²/2⁷ candidates)
       "simhash_pairs_mb" -> (d => Dedup.simhashCandidatePairs(d, "text",
         "doc_id", blocksPerKey = 2)),
+      // the ROUTED operator (blocksPerKey=0, the default a knobless
+      // caller gets): must track the d=1 curve below the ~240k-doc
+      // crossover and the d=2 curve above it — the auto-routing claim
+      // measured, not asserted
+      "simhash_pairs_auto" -> (d => Dedup.simhashCandidatePairs(d, "text",
+        "doc_id")),
       "ngram_jaccard" -> (d => Dedup.ngramJaccardPairs(d, "text", "doc_id")),
       // stride-1 span detection: O(tokens) span rows — the vocabulary
       // bijection keeps spans disjoint across copies, so flagged spans
@@ -329,6 +338,7 @@ object PairScaling {
     // fitted slope of log2(time) per log2(size) across the doubling chain;
     // ~1.0 = linear banding cost (~1.5 for the semantic n^1.5 law),
     // 2.0 would be the all-pairs blow-up
+    var flagged = List.empty[String]
     val summary = (ops.map(_._1) ++
       Seq("semantic_pairs", "mm_image_dhash", "fuzzy_delete", "link_pred",
         "link_pred_nodes", "link_pred_sampled"))
@@ -354,9 +364,19 @@ object PairScaling {
             math.log(b._2.toDouble / a._2)
       }.toSeq
       val costSlope = if (costSlopes.isEmpty) -99.0 else median(costSlopes)
+      // regression flag rule (mechanical, judge-free): a scale path
+      // whose LAST doubling reads super-linear is degrading at exactly
+      // the sizes the tier exists to protect — except the two series
+      // DOCUMENTED super-linear by construction: link_pred's density
+      // sweep (envelope is quadratic, saturation reads 1.1-1.5) and
+      // simhash d=1 past its crossover (the wall the mb/auto routes fix)
+      val exemptLast = Set("link_pred", "simhash_pairs")
+      if (slopes.last > 1.1 && !exemptLast(name)) flagged ::= name
       f""""$name":{"slope":${median(slopes)}%.2f,"slope_last":${slopes.last}%.2f,"pair_ratio_vs_linear":$pairRatio%.3f,"cost_per_pair_slope":$costSlope%.2f}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"pair_scaling","reps":$reps,"sf":"$sfDir","exponents":$summary}""")
+    val flaggedJson = flagged.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    println(s"""{"metric":"pair_scaling","reps":$reps,"sf":"$sfDir","flag_rule":"slope_last>1.1","flagged":$flaggedJson,"exponents":$summary}""")
     spark.stop()
   }
 }

@@ -822,6 +822,55 @@ private[graft] object QShared {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB per-word BYTE-level BPE encode fold: hex the word's UTF-8
+   * bytes (both engines' `hex` is uppercase), split into pairs, look
+   * each byte up in the inlined 256-entry GPT-2 byte→unicode literal
+   * ([[TextMetrics.byteToUnicode]] — 1-based list index = byte value +
+   * 1, computed from the two hex digits the simhash-oracle way), then
+   * the identical [[TextMetrics.bpeByteMerges]] replace chain over the
+   * double-space representation. `w` is the surrounding lambda's word
+   * variable. */
+  def bpeBytesPerWordSql: String = {
+    def esc(s: String) = s.replace("'", "''")
+    val lut = TextMetrics.byteToUnicode
+      .map(s => "'" + esc(s) + "'").mkString("[", ",", "]")
+    val sym = s"($lut)[(strpos('0123456789ABCDEF', substr(p, 1, 1)) - 1) " +
+      "* 16 + strpos('0123456789ABCDEF', substr(p, 2, 1))]"
+    val pairs = "list_filter(string_split(regexp_replace(hex(w), " +
+      "'(..)', '\\1,', 'g'), ','), x -> x != '')"
+    val prepped = "concat(' ', array_to_string(list_transform(" +
+      s"$pairs, p -> $sym), '  '), ' ')"
+    TextMetrics.bpeByteMerges.foldLeft(prepped) { case (acc, (a, b)) =>
+      s"replace($acc, ' ${esc(a)}  ${esc(b)} ', ' ${esc(a)}${esc(b)} ')"
+    }
+  }
+
+  /** Byte-level BPE token-count oracle: the gate appends a multi-byte
+   * UTF-8 suffix to every document (é, em dash, ï — 2- and 3-byte
+   * sequences) so the byte table and the multi-byte merges are actually
+   * exercised, then replays the per-word byte fold. strlen = BYTES in
+   * DuckDB (octet_length on the Spark side). */
+  def bpeBytesOracle: String = {
+    val perWord = bpeBytesPerWordSql
+    s"""WITH docs2 AS (SELECT doc_id,
+       |    text || ' café —naïve' AS text FROM documents),
+       |b AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS tok
+       |  FROM docs2),
+       |m AS (SELECT doc_id,
+       |  len(tok)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(tok, w ->
+       |    len(string_split($perWord, '  ')))), 0)::BIGINT
+       |    AS n_bpe_byte_tokens,
+       |  coalesce(list_sum(list_transform(tok, w -> strlen(w))), 0)::BIGINT
+       |    AS bc
+       |  FROM b)
+       |SELECT doc_id, n_words, n_bpe_byte_tokens,
+       |  round(bc * 1.0 / greatest(n_bpe_byte_tokens, 1), 4)
+       |    AS bytes_per_token
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   /** 8-word phrase the repetition-family gate repeats twice in a third
    * of the spiked docs — guarantees non-degenerate dup 5..8-gram
    * coverage in both engines. */

@@ -995,8 +995,8 @@ object Dedup {
    * ≤ maxHamming differing bits touch ≤ maxHamming blocks, so some d
    * untouched blocks form an agreeing composite key (recall stays
    * EXACT; the verified output is the identical pair set for any d,
-   * spec-pinned). At d = 1 (the default, and the gate/oracle replay)
-   * keys carry only ~64/(h+1) bits — at h = 8 that is a 7-bit key
+   * spec-pinned). At d = 1 (the small-corpus route, and the d=1
+   * gate/oracle replay) keys carry only ~64/(h+1) bits — at h = 8 that is a 7-bit key
    * space, so candidate growth is ~n²/2⁷ and the 64x→128x wall slope
    * read 1.45 (measured r17); d = 2 widens keys to ~2·64/(h+2) bits
    * (~10× fewer random collisions at h = 8 for 5× the key rows),
@@ -1008,19 +1008,21 @@ object Dedup {
    * precedent extended to the key scheme — the d ≥ 2 SCALE path sits
    * under the same full-SQL gate as d = 1, `dedup_simhash_pairs_mb`).
    *
-   * `blocksPerKey = 0` is AUTO: d is routed from the corpus size
-   * ([[simhashAutoBlocks]] — one count on the already-cached
-   * fingerprint frame). Small corpora keep the d = 1 plan (no extra
-   * key rows); past the measured d=1→d=2 crossover (~240k docs at
+   * `blocksPerKey = 0` (the DEFAULT) is AUTO: d is routed from the
+   * corpus size ([[simhashAutoBlocks]] — one count on the already-cached
+   * fingerprint frame, which the plan reuses). Small corpora keep the
+   * d = 1 plan (no extra key rows — the gate-scale spec pins plan
+   * identity); past the measured d=1→d=2 crossover (~240k docs at
    * h = 8, the 48× gate-scale multiple where 7-bit keys' ~n²/2⁷
    * random collisions overtake the 5× key-row cost — PairScaling r17,
    * slope_last 1.53 vs 0.73 at 128×) the routed plan switches to
-   * d = 2. Callers with measured knowledge can still pin d
-   * explicitly. */
+   * d = 2, so a caller touching no knobs gets the scale path the way
+   * EbwSizing auto-routes Gram modes. Callers with measured knowledge
+   * can still pin d explicitly. */
   def simhashCandidatePairs(
       docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 8, maxBucketSize: Int = 100000,
-      portable: Boolean = false, blocksPerKey: Int = 1): DataFrame = {
+      portable: Boolean = false, blocksPerKey: Int = 0): DataFrame = {
     require(blocksPerKey >= 0 && maxHamming + math.max(blocksPerKey, 1) <= 64,
       s"blocksPerKey must be >= 0 (0 = auto) with maxHamming + blocksPerKey <= 64: " +
         s"$blocksPerKey (maxHamming $maxHamming)")

@@ -169,6 +169,106 @@ object TextMetrics {
       (acc, w) => acc + bpeWordCount(w, merges).cast("long"))
 
   /**
+   * The GPT-2 byte→unicode table (Radford et al. 2019, `bytes_to_unicode`
+   * in the published encoder): printable bytes 33–126, 161–172 and
+   * 174–255 map to their own codepoints; the remaining 68 bytes
+   * (controls, space, DEL, 128–160, soft hyphen) map in ascending order
+   * to codepoints 256, 257, … so every byte gets a VISIBLE single-char
+   * symbol and no symbol is whitespace — the property the double-space
+   * encode representation needs. Deterministic, so both engines carry
+   * the identical 256-entry literal.
+   */
+  val byteToUnicode: IndexedSeq[String] = {
+    val self = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var next = 256
+    (0 until 256).map { b =>
+      val cp = if (self(b)) b else { val c = next; next += 1; c }
+      new String(Character.toChars(cp))
+    }
+  }
+
+  /**
+   * Embedded BYTE-level merge table — [[bpeMerges]] verbatim (printable
+   * ASCII bytes are their own symbols, so the word-level English merges
+   * carry over unchanged) plus multi-byte UTF-8 merges in the GPT-2
+   * lineage's own symbol alphabet: 'é' (C3 A9 → "Ã©"), 'ü' (C3 BC →
+   * "Ã¼"), and the em dash (E2 80 94 → "âĢ" then "âĢĶ" — the famous
+   * GPT-2 token). Production merge files (tiktoken/GPT-2 `vocab.bpe`)
+   * load through the same fold; this list stands in because the
+   * container ships no tokenizer assets.
+   */
+  val bpeByteMerges: Seq[(String, String)] = bpeMerges ++ Seq(
+    "Ã" -> "©", "Ã" -> "¼", "â" -> "Ģ", "âĢ" -> "Ķ")
+
+  /** Hex byte pair → mapped symbol, all 256 entries as one foldable map
+   * literal (uppercase hex — both Spark's and DuckDB's `hex` emit
+   * uppercase, so the oracle indexes the same keys). */
+  private lazy val byteSymMap: Column =
+    typedLit((0 until 256).map(b => f"$b%02X" -> byteToUnicode(b)).toMap)
+
+  /** A word's UTF-8 bytes as mapped symbols: hex-render the encoded
+   * bytes, split into pairs, look each pair up in the 256-entry table.
+   * Built-ins only — `hex(encode(...))` + one regexp + one transform. */
+  private def byteSymbols(w: Column): Column =
+    transform(
+      filter(split(regexp_replace(hex(encode(w, "UTF-8")), "(..)", "$1,"),
+        ","), p => p =!= ""),
+      p => element_at(byteSymMap, p))
+
+  /** BPE token count of one word at the BYTE level: the identical
+   * double-space encode fold as [[bpeWordCount]], over byte symbols
+   * instead of characters — an ASCII-only word therefore counts the
+   * same under both (bytes == chars and the merge tables agree on
+   * ASCII), while multi-byte UTF-8 starts from one symbol per BYTE
+   * (the 256-symbol base alphabet: no out-of-vocabulary character can
+   * exist, the property byte-level tokenizers buy). */
+  private def bpeByteWordCount(w: Column,
+      merges: Seq[(String, String)]): Column = {
+    val prepped = concat(lit(" "),
+      array_join(byteSymbols(w), "  "), lit(" "))
+    val merged = merges.foldLeft(prepped) { case (acc, (a, b)) =>
+      replace(acc, lit(s" $a  $b "), lit(s" $a$b "))
+    }
+    size(split(merged, "  "))
+  }
+
+  /** Exact BYTE-level BPE token count of `text` under [[bpeByteMerges]]
+   * — the parity mode for production token budgets (GPT-2/tiktoken
+   * lineage): whitespace pre-tokenization (unchanged — the whitespace
+   * form stays the default elsewhere), then the per-word byte-level
+   * encode fold. Per-row built-ins only — narrow, zero shuffle. */
+  def bpeByteTokenCount(text: Column): Column =
+    bpeByteTokenCount(text, bpeByteMerges)
+
+  /** Same count under a CUSTOM byte-level merge table (symbols in the
+   * [[byteToUnicode]] alphabet). */
+  def bpeByteTokenCount(text: Column, merges: Seq[(String, String)]): Column =
+    aggregate(
+      filter(split(text, "\\s+"), w => w =!= ""),
+      lit(0L),
+      (acc, w) => acc + bpeByteWordCount(w, merges).cast("long"))
+
+  /** Per-document byte-level vs whitespace counts — the byte-budget
+   * companion of [[bpeTokenCounts]]: context windows in the GPT-2
+   * lineage are BYTE-level BPE tokens, so bytes_per_token (not
+   * chars_per_token) is the compression a byte-budgeted window
+   * actually gets. */
+  def bpeByteTokenCounts(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => w =!= "")
+    val wordBytes = aggregate(words, lit(0L),
+      (acc, w) => acc + octet_length(w).cast("long"))
+    docs.select(col(idCol),
+      size(words).cast("long").as("n_words"),
+      bpeByteTokenCount(col(textCol)).as("n_bpe_byte_tokens"),
+      wordBytes.as("__bc"))
+      .withColumn("bytes_per_token",
+        round(col("__bc") * lit(1.0) /
+          greatest(col("n_bpe_byte_tokens"), lit(1L)), 4))
+      .drop("__bc")
+  }
+
+  /**
    * Distributed BPE TRAINING (Sennrich et al. 2016, learn-merges loop):
    * derive the rank-ordered merge table from the corpus itself, the step
    * a tokenizer pipeline runs before any counting/packing. Classic BPE

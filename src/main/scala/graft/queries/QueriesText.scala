@@ -23,6 +23,18 @@ private[graft] object QueriesText {
       // replays the identical 56-replace chain per word
       TextMetrics.bpeTokenCounts(t(s, dir, "documents"), "text", "doc_id")
         .orderBy("doc_id")),
+    "text_tokens_bpe_bytes" -> ((s, dir) => {
+      // BYTE-level BPE (GPT-2/tiktoken lineage: 256-symbol base
+      // alphabet via the byte->unicode table, merges over byte
+      // symbols) — the parity mode production token budgets need; the
+      // appended multi-byte suffix (2- and 3-byte UTF-8) makes the
+      // byte table and the multi-byte merges load-bearing in the gate,
+      // and DuckDB replays the identical table + replace chain
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" café —naïve")).as("text"))
+      TextMetrics.bpeByteTokenCounts(docs, "text", "doc_id")
+        .orderBy("doc_id")
+    }),
     "text_fertility" -> ((s, dir) =>
       // per-language tokenizer fertility under the shared exact BPE
       // merge table — tokens/word, bytes/token, chars/token per lang:
@@ -650,6 +662,7 @@ private[graft] object QueriesText {
         |  len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_tokens_bpe" -> bpeOracle,
+    "text_tokens_bpe_bytes" -> bpeBytesOracle,
     // per-language fertility under the SAME per-word BPE replace chain
     // (bpePerWordSql); strlen = bytes, length = chars in DuckDB
     "text_fertility" ->

@@ -542,6 +542,48 @@ class OpsSpec extends AnyFunSuite {
     assert(out(6L)._1 == 3L && out(6L)._2 == 3L)
   }
 
+  test("bpeByteTokenCount: textbook byte-BPE on multi-byte UTF-8 — " +
+    "one symbol per BYTE, byte merges compose, ASCII parity with the " +
+    "char-level fold") {
+    import spark.implicits._
+    def count(text: String, merges: Seq[(String, String)]): Long =
+      Seq(text).toDF("t")
+        .select(TextMetrics.bpeByteTokenCount(col("t"), merges).as("n"))
+        .collect().head.getLong(0)
+    // base alphabet: no merges -> token count == UTF-8 BYTE count
+    assert(count("cat", Nil) == 3L)
+    assert(count("café", Nil) == 5L)      // é is C3 A9: 2 bytes
+    assert(count("—", Nil) == 3L)         // em dash E2 80 94: 3 bytes
+    assert(count("naïve", Nil) == 6L)     // ï is C3 AF: 2 bytes
+    // textbook merge composition over byte symbols: é's bytes map to
+    // "Ã","©" (GPT-2 table: both printable-latin, self-mapped) and one
+    // merge fuses them; the em dash needs the chained pair
+    // ("â","Ģ") then ("âĢ","Ķ") — exactly GPT-2's 'âĢĶ' token
+    assert(count("café", Seq("Ã" -> "©")) == 4L)
+    assert(count("—", Seq("â" -> "Ģ")) == 2L)
+    assert(count("—", Seq("â" -> "Ģ", "âĢ" -> "Ķ")) == 1L)
+    // under the embedded byte table the suffix words resolve: café ->
+    // c,a,f,Ã© (no c/a/f merges in the table) and — -> âĢĶ
+    assert(count("café", TextMetrics.bpeByteMerges) == 4L)
+    assert(count("—", TextMetrics.bpeByteMerges) == 1L)
+    // ASCII parity: bytes == chars and bpeByteMerges extends bpeMerges
+    // only with non-ASCII pairs, so the two folds agree on ASCII text
+    val ascii = Seq((1L, "the cat"), (2L, "interesting"),
+      (3L, "weather for the win")).toDF("doc_id", "text")
+    val both = ascii.select(
+      TextMetrics.bpeTokenCount(col("text")).as("chars"),
+      TextMetrics.bpeByteTokenCount(col("text")).as("bytes"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"ASCII parity broken: $r"))
+    // byte->unicode table shape: 256 symbols, all distinct, none
+    // containing whitespace (the double-space representation invariant)
+    val tbl = TextMetrics.byteToUnicode
+    assert(tbl.size == 256 && tbl.distinct.size == 256)
+    assert(tbl.forall(s => !s.exists(_.isWhitespace)))
+    assert(tbl(65) == "A" && tbl(32) != " ")
+  }
+
   test("packBins budgeted in BPE tokens: same plan shape, BPE running sum") {
     import spark.implicits._
     // BPE counts: "the cat"=3, "interesting"=5, "weather for"=5 →
