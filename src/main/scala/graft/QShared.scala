@@ -822,6 +822,154 @@ private[graft] object QShared {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB replay of the FULL curation pipeline ([[graft.ops.Curate
+   * .curateCorpus]] on the gate's spiked corpus): chains the existing
+   * per-stage oracle constructions — the c4Oracle line/page rules, the
+   * gopherOracle statistics (recomputed from ROUNDED stats exactly like
+   * the operator), md5 exact-dedup election, the minhashBandingCtes
+   * banding (retargeted at the surviving clean texts), the
+   * text_quality_score md5-bucket scoring, the mixtureSampleOracle
+   * quota election, and the text_pack window — each stage reading the
+   * previous stage's survivors, ending in the packed artifact. */
+  def pipelineCurationOracle: String = {
+    val punct = TextMetrics.c4PunctLine
+    val bad = TextMetrics.c4BadLine
+    val stops = TextMetrics.gopherStopwords
+      .map(w => "(CASE WHEN instr(' ' || " +
+        s"regexp_replace(lower(text), '[^a-z]', ' ', 'g') || ' ', ' $w ') " +
+        "> 0 THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
+    val wvals = (0 until 20)
+      .map(i => s"('src$i', ${1.0 + i % 4})").mkString(", ")
+    s"""WITH sp AS (SELECT doc_id, source,
+       |  text || '.' || chr(10) ||
+       |  CASE WHEN doc_id % 4 = 0 THEN 'click here javascript required.'
+       |       WHEN doc_id % 4 = 1 THEN 'short line'
+       |       WHEN doc_id % 4 = 2
+       |         THEN 'read our privacy policy and terms of use.'
+       |       ELSE 'a perfectly fine second sentence with many words in it.'
+       |       END || chr(10) ||
+       |  CASE WHEN doc_id % 7 = 0 THEN 'Lorem Ipsum dolor { sit amet'
+       |       ELSE 'and a third closing sentence follows right here today!'
+       |       END AS t
+       |  FROM documents),
+       |corpus AS (
+       |  SELECT doc_id, source, t FROM sp
+       |  UNION ALL SELECT doc_id + 1000000, source, t FROM sp
+       |  UNION ALL SELECT doc_id + 2000000, source,
+       |    t || chr(10) ||
+       |    'five extra trailing filler words follow right here today.'
+       |  FROM sp),
+       |cm AS (SELECT doc_id, t, string_split(t, chr(10)) AS ln,
+       |  list_filter(string_split(t, chr(10)), x -> $punct
+       |    AND len(list_filter(string_split(x, ' '), w -> w != '')) >= 5
+       |    AND $bad) AS kept
+       |  FROM corpus),
+       |cr AS (SELECT doc_id,
+       |  len(kept)::BIGINT AS n_kept_lines,
+       |  (CASE WHEN instr(lower(t), 'lorem ipsum') > 0 THEN 1 ELSE 0 END)
+       |    AS has_lorem,
+       |  (CASE WHEN instr(t, '{') > 0 THEN 1 ELSE 0 END) AS has_curly,
+       |  coalesce(array_to_string(kept, chr(10)), '') AS text
+       |  FROM cm),
+       |c4k AS (SELECT doc_id, text FROM cr
+       |  WHERE has_lorem = 0 AND has_curly = 0 AND n_kept_lines >= 1
+       |    AND (len(text) - len(replace(replace(replace(text,
+       |      '.', ''), '!', ''), '?', ''))) >= 3),
+       |gm AS (SELECT doc_id,
+       |  len(tok)::BIGINT AS n_words,
+       |  coalesce(list_sum(list_transform(tok, x -> len(x))), 0)::BIGINT
+       |    AS word_chars,
+       |  len(list_filter(tok, x -> regexp_matches(x, '[A-Za-z]')))::BIGINT
+       |    AS n_alpha,
+       |  (len(text) - len(replace(text, '#', '')))::BIGINT AS n_hash,
+       |  ((len(text) - len(replace(text, '...', ''))) / 3)::BIGINT AS n_ell,
+       |  len(string_split(text, chr(10)))::BIGINT AS n_lines,
+       |  len(list_filter(string_split(text, chr(10)),
+       |    x -> x LIKE '- %' OR x LIKE '• %'))::BIGINT AS n_bullet,
+       |  len(list_filter(string_split(text, chr(10)),
+       |    x -> x LIKE '%...'))::BIGINT AS n_endell,
+       |  ($stops)::BIGINT AS stop_hits
+       |  FROM (SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')
+       |      AS tok FROM c4k)),
+       |gkeep AS (SELECT doc_id FROM (SELECT doc_id, n_words,
+       |    round(word_chars * 1.0 / n_words, 4) AS mean_word_len,
+       |    round(n_alpha * 1.0 / n_words, 4) AS alpha_word_frac,
+       |    round((n_hash + n_ell) * 1.0 / n_words, 4) AS symbol_word_ratio,
+       |    round(n_bullet * 1.0 / n_lines, 4) AS bullet_line_frac,
+       |    round(n_endell * 1.0 / n_lines, 4) AS ellipsis_line_frac,
+       |    stop_hits FROM gm)
+       |  WHERE n_words >= 50 AND n_words <= 100000
+       |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |    AND symbol_word_ratio < 0.1 AND alpha_word_frac >= 0.8
+       |    AND bullet_line_frac < 0.9 AND ellipsis_line_frac < 0.3
+       |    AND stop_hits >= 2),
+       |gk AS (SELECT c4k.* FROM c4k JOIN gkeep USING (doc_id)),
+       |ek AS (SELECT gk.* FROM gk JOIN (
+       |    SELECT md5(text) AS h, min(doc_id) AS doc_id FROM gk GROUP BY 1)
+       |  e USING (doc_id)),
+       |mtok AS (SELECT doc_id, str_split(text, ' ') AS tk FROM ek
+       |  WHERE len(str_split(text, ' ')) >= 3),
+       |msh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+       |  FROM mtok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+       |mhh AS (SELECT doc_id, j,
+       |    min(md5(concat(j::VARCHAR, '|', s))) AS mh
+       |  FROM msh, unnest(generate_series(0, 7)) AS g(j)
+       |  GROUP BY doc_id, j),
+       |mbk AS (SELECT doc_id, j // 2 AS band,
+       |    string_agg(mh, '|' ORDER BY j) AS key
+       |  FROM mhh GROUP BY doc_id, j // 2),
+       |mbn AS (SELECT band, key, count(*) AS c FROM mbk GROUP BY 1, 2),
+       |mbk2 AS (SELECT mbk.* FROM mbk JOIN mbn USING (band, key)
+       |  WHERE mbn.c <= $ngramMaxBucket),
+       |mdrop AS (SELECT DISTINCT b.doc_id FROM mbk2 a JOIN mbk2 b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |mk AS (SELECT * FROM ek
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM mdrop)),
+       |qtk AS (SELECT doc_id,
+       |    CAST('0x' || substring(md5(t), 1, 6) AS BIGINT) % 64 AS b
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+       |    FROM mk) WHERE t <> ''),
+       |qtf AS (SELECT doc_id, b, count(*)::DOUBLE AS tf FROM qtk
+       |  GROUP BY 1, 2),
+       |qco AS (SELECT range AS b, ((range % 7) - 3) / 10.0 AS w
+       |  FROM range(64)),
+       |qz AS (SELECT doc_id, sum(tf * coalesce(w, 0)) AS z
+       |  FROM qtf LEFT JOIN qco USING (b) GROUP BY doc_id),
+       |qk AS (SELECT mk.doc_id, mk.text, c.source
+       |  FROM mk JOIN qz USING (doc_id) JOIN corpus c USING (doc_id)
+       |  WHERE round(1.0 / (1.0 + exp(-(-0.5 + coalesce(z, 0)))), 4)
+       |    >= 0.5),
+       |w(source, wt) AS (VALUES $wvals),
+       |qc AS (SELECT source, count(*)::DOUBLE AS n FROM qk GROUP BY 1),
+       |qr AS (SELECT qc.source, wt, n / wt AS r FROM qc JOIN w
+       |  USING (source)),
+       |qq AS (SELECT source,
+       |    CAST(floor(wt * (SELECT min(r) FROM qr) + 1e-9) AS BIGINT)
+       |      AS quota
+       |  FROM qr),
+       |ranked AS (SELECT qk.source, qk.doc_id, qk.text,
+       |    row_number() OVER (PARTITION BY qk.source
+       |      ORDER BY md5(concat('42|', qk.doc_id::VARCHAR)), qk.doc_id)
+       |      AS rn
+       |  FROM qk JOIN w USING (source)),
+       |mixed AS (SELECT r.doc_id, r.text FROM ranked r JOIN qq
+       |  USING (source) WHERE rn <= quota),
+       |pb AS (SELECT doc_id, doc_id % 8 AS shard,
+       |    len(str_split(text, ' '))::BIGINT AS n_tokens FROM mixed),
+       |pc AS (SELECT doc_id, shard, n_tokens,
+       |    (sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+       |      AS cum_tokens
+       |  FROM pb)
+       |SELECT doc_id, shard, n_tokens, cum_tokens,
+       |  (cum_tokens - n_tokens) // 256 AS bin,
+       |  cum_tokens - n_tokens - ((cum_tokens - n_tokens) // 256) * 256
+       |    AS bin_offset
+       |FROM pc ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB per-word BYTE-level BPE encode fold: hex the word's UTF-8
    * bytes (both engines' `hex` is uppercase), split into pairs, look
    * each byte up in the inlined 256-entry GPT-2 byte→unicode literal

@@ -14,6 +14,50 @@ import graft.QShared._
  * edit to one family can never touch another family's oracle text. */
 private[graft] object QueriesOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipeline_curation" -> ((s, dir) => {
+      // the FULL curation pipeline as one gate (Curate.curateCorpus):
+      // C4 rules -> gopher keep -> exact dedup -> minhash near-dup drop
+      // -> quality score -> mixture sample -> packBins, every stage
+      // individually gated elsewhere and composed here end-to-end. The
+      // corpus gets the c4 gate's sentence spike (so C4 verdicts
+      // split), one exact copy of every doc (exact-dedup victims) and
+      // one near-dup copy with an extra kept line (minhash victims) —
+      // every stage provably drops something on the way to the packed
+      // artifact
+      val docsRaw = t(s, dir, "documents").select("doc_id", "text",
+        "source")
+      val spiked = docsRaw.select(col("doc_id"), col("source"),
+        concat(col("text"), lit(".\n"),
+          when(col("doc_id") % 4 === 0,
+              lit("click here javascript required."))
+            .when(col("doc_id") % 4 === 1, lit("short line"))
+            .when(col("doc_id") % 4 === 2,
+              lit("read our privacy policy and terms of use."))
+            .otherwise(lit(
+              "a perfectly fine second sentence with many words in it.")),
+          lit("\n"),
+          when(col("doc_id") % 7 === 0,
+              lit("Lorem Ipsum dolor { sit amet"))
+            .otherwise(lit(
+              "and a third closing sentence follows right here today!")))
+          .as("text"))
+      val exactDups = spiked.select((col("doc_id") + 1000000).as("doc_id"),
+        col("source"), col("text"))
+      val nearDups = spiked.select((col("doc_id") + 2000000).as("doc_id"),
+        col("source"),
+        concat(col("text"), lit(
+          "\nfive extra trailing filler words follow right here today."))
+          .as("text"))
+      val corpus = spiked.unionByName(exactDups).unionByName(nearDups)
+      val coeffs = s.range(64).select(col("id").as("b"),
+        (((col("id") % 7) - 3) / lit(10.0)).as("w"))
+      val weights = (0 until 20).map(i => (s"src$i", 1.0 + i % 4)).toMap
+      graft.ops.Curate.curateCorpus(corpus, "text", "doc_id", "source",
+          coeffs, intercept = -0.5, buckets = 64, minQuality = 0.5,
+          weights, packBudget = 256, nShards = 8,
+          maxBucketSize = ngramMaxBucket)
+        .orderBy("doc_id")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // attribution: each click matched to the user's latest at-or-before
       // view (backward as-of join; union-window plan, no inequality join)
@@ -752,6 +796,7 @@ private[graft] object QueriesOps {
         |SELECT click_id, user_id, view_id, round(value, 2) AS view_value
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "q_mixture_sample" -> mixtureSampleOracle,
+    "pipeline_curation" -> pipelineCurationOracle,
     // the oracle's NAIVE global window equals the operator's two-phase
     // (distinct-score walk + per-group cumsum) construction exactly:
     // both realize sum(cost) over (score DESC, id ASC) prefixes, and

@@ -1119,4 +1119,54 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 1,
       s"more exchanges than one global agg needs:\n$p")
   }
+
+  test("pipeline_curation: composed plan executes the stages' own " +
+    "shuffles, not a multiplicative recompute; no cartesian; pins drain") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    // plan-shape existence checks on the composed (pre-materialization)
+    // plan: no cartesian product anywhere; the only nested-loop joins
+    // are mixtureSample's documented 1-row quota/min subtrees
+    val df = SparkEntry.queries("pipeline_curation")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian product in the curation pipeline:\n${p.take(4000)}")
+    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 3,
+      "nested-loop joins beyond mixtureSample's 1-row quota subtree")
+    // the REAL recompute audit is physical, not textual: the plan
+    // STRING under-counts nothing but over-counts cached lineage (each
+    // InMemoryRelation reference prints its full subtree), so count
+    // the stages Spark actually EXECUTES for one materialization.
+    // Measured 44 at this scale with every stage boundary pinned —
+    // the stages' own shuffle budget; the unpinned composition
+    // re-executes upstream chains per downstream reference and lands
+    // in the hundreds. 55 = measured + headroom for AQE re-splits.
+    val stages = new AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        stages.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      assert(df.count() > 0, "pipeline must pack a non-empty corpus")
+      // listener events post asynchronously (the bus is private API):
+      // poll until the count stabilizes, bounded
+      var prev = -1
+      var waited = 0
+      while (stages.get() != prev && waited < 5000) {
+        prev = stages.get(); Thread.sleep(250); waited += 250
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(stages.get() <= 55,
+      s"curation pipeline executed ${stages.get()} stages — the " +
+        "composition is recomputing stage boundaries instead of " +
+        "reading their pins")
+    // lifecycle: the stage-boundary pins live in the Ops scope and
+    // drain with the pair-operator caches
+    assert(graft.ops.CacheScope.trackedCount(spark) > 0,
+      "expected tracked stage-boundary pins")
+    graft.ops.CacheScope.unpersistAll(spark)
+    assert(graft.ops.CacheScope.trackedCount(spark) == 0,
+      "unpersistAll must drain the pipeline's pins")
+  }
 }
