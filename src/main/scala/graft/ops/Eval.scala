@@ -406,6 +406,48 @@ object Eval {
   }
 
   /**
+   * Judge-score re-ranking — the cross-encoder / LLM-judge eval readout
+   * beside [[winRateMatrix]]'s pairwise battles: each (group,
+   * candidate) is scored by several judges (a cross-encoder re-ranker,
+   * a judge panel, repeated samples of one judge), the per-candidate
+   * scores aggregate to a mean, and candidates re-rank within their
+   * group by that mean. Tie handling is explicit and two-layered,
+   * because judge panels tie CONSTANTLY on coarse rubrics:
+   * `rank` is a standard competition rank over the 4dp-ROUNDED mean
+   * (true ties share a rank — rounding first so float noise cannot
+   * split a genuine tie, the langIdModel round-before-rank rule), while
+   * `is_pick` elects exactly one winner per group deterministically
+   * (highest rounded mean, then smallest candidate key — the
+   * exact-dedup election convention), which is what a re-rank pipeline
+   * that must OUTPUT one candidate actually consumes.
+   *
+   * Scale shape: one map-side-combined (group, candidate) aggregation +
+   * one group-keyed rank window over the CANDIDATE frame (bounded by
+   * eval design: candidates/group, not judgments) — no join, no
+   * driver state. Output: group, candidate, n_judgments, n_judges,
+   * mean_score (4dp), min_score, max_score, rank, is_pick.
+   */
+  def judgeRerank(df: DataFrame, groupCol: String, candCol: String,
+      judgeCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = col(scoreCol).cast("double")
+    val perCand = df.filter(s.isNotNull)
+      .groupBy(col(groupCol).as("group"), col(candCol).as("candidate"))
+      .agg(count(lit(1)).as("n_judgments"),
+        countDistinct(col(judgeCol)).as("n_judges"),
+        round(avg(s), 4).as("mean_score"),
+        round(min(s), 4).as("min_score"),
+        round(max(s), 4).as("max_score"))
+    val byScore = Window.partitionBy(col("group"))
+      .orderBy(col("mean_score").desc)
+    val pick = Window.partitionBy(col("group"))
+      .orderBy(col("mean_score").desc, col("candidate"))
+    perCand
+      .withColumn("rank", rank().over(byScore).cast("long"))
+      .withColumn("is_pick", (row_number().over(pick) === 1).cast("long"))
+  }
+
+  /**
    * Minimum-Bayes-Risk candidate selection (Kumar & Byrne 2004; the
    * modern best-of-n decoding readout, e.g. Bertsch et al. 2023): per
    * group (a prompt / problem), pick the candidate whose EXPECTED

@@ -594,4 +594,77 @@ object Sampling {
         col("cum_cost"))
       .withColumn("selected", round(col("cum_cost"), 4) <= budget)
   }
+
+  /**
+   * Per-domain token-budget LEDGER — the accounting artifact a recipe
+   * pipeline reads each refresh, where [[selectByBudget]] answers
+   * "which documents" and [[mixtureSample]] "which counts": every
+   * domain gets an ALLOCATED token budget, fills it greedily in the
+   * deterministic md5-rank order (the [[mixtureSample]] draw — a
+   * budget ledger meters an unbiased sample of each domain, not its
+   * longest documents), and the ledger reports allocated vs REALIZED
+   * vs CARRYOVER per domain: how much of the allocation this refresh
+   * could actually cover, and how much rolls forward because the
+   * domain ran out of documents (realized < allocated with every doc
+   * selected) — the under-served-domain signal a mixture rebalance
+   * consumes. Domains present in the data but absent from
+   * `allocations` are reported with allocated = 0 and nothing
+   * selected (an unallocated domain showing realizable mass is a
+   * finding, not a silent drop).
+   *
+   * Selection rule: a document is selected while the running cost
+   * total AFTER it stays within the allocation (4dp-rounded compare,
+   * the [[selectByBudget]] reassociation guard) — the same greedy
+   * prefix rule, per domain.
+   *
+   * Scale shape: one domain-keyed cumulative window over the corpus +
+   * one domain aggregation. The window partitions by DOMAIN, so a
+   * single dominant domain is a hot partition — the documented
+   * trade-off vs [[selectByBudget]]'s global [[DistScan]] scan; for a
+   * corpus that is effectively one domain, run selectByBudget per
+   * domain slice instead. Output: one row per domain — domain,
+   * allocated, n_docs, n_selected, realized (4dp), carryover (4dp),
+   * utilization (4dp), exhausted (every doc selected and the
+   * allocation still not met).
+   */
+  def budgetLedger(df: DataFrame, domainCol: String, idCol: String,
+      costCol: String, allocations: Map[String, Double],
+      seed: Long = 42L): DataFrame = {
+    require(allocations.values.forall(_ >= 0.0),
+      "allocations must be non-negative")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val alloc = allocations.toSeq.sortBy(_._1)
+      .toDF(domainCol, "_alloc")
+    val rank = md5(concat(lit(s"$seed|"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col("_hrank"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .select(col(domainCol), col(idCol),
+        col(costCol).cast("double").as("_c"))
+      .filter(col("_c").isNotNull)
+      .join(broadcast(alloc), Seq(domainCol), "left")
+      .withColumn("_hrank", rank)
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .withColumn("_sel",
+        round(col("_cum"), 4) <= coalesce(col("_alloc"), lit(0.0)))
+    cum.groupBy(col(domainCol).as("domain"))
+      .agg(round(max(coalesce(col("_alloc"), lit(0.0))), 4)
+          .as("allocated"),
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("_sel"), 1L).otherwise(0L)), lit(0L))
+          .as("n_selected"),
+        round(coalesce(sum(when(col("_sel"), col("_c"))
+          .otherwise(lit(0.0))), lit(0.0)), 4).as("realized"))
+      .select(col("domain"), col("allocated"), col("n_docs"),
+        col("n_selected"), col("realized"),
+        round(col("allocated") - col("realized"), 4).as("carryover"),
+        round(when(col("allocated") > 0,
+          col("realized") / col("allocated")).otherwise(lit(0.0)), 4)
+          .as("utilization"),
+        (col("n_selected") === col("n_docs") &&
+          col("realized") < col("allocated")).cast("long")
+          .as("exhausted"))
+  }
 }

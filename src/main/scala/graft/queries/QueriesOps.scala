@@ -141,6 +141,22 @@ private[graft] object QueriesOps {
           budget = 1000.0)
         .orderBy("doc_id")
     }),
+    "q_budget_ledger" -> ((s, dir) => {
+      // per-domain token-budget ledger: integral costs (exact window
+      // sums), allocations cycling 100..500 over 15 of the 20 sources
+      // so the artifact shows every regime — domains cut mid-fill
+      // (carryover from an unfinished allocation), EXHAUSTED domains
+      // (every doc selected, allocation unmet — the under-served
+      // signal), and unallocated-but-present domains (allocated 0,
+      // nothing selected, realizable mass visible in n_docs)
+      val d = t(s, dir, "documents").select(col("source"), col("doc_id"),
+        (lit(1) + col("doc_id") % 13).cast("double").as("cost"))
+      val allocs = (0 until 15)
+        .map(i => (s"src$i", (i % 5 + 1) * 100.0)).toMap
+      graft.ops.Sampling.budgetLedger(d, "source", "doc_id", "cost",
+          allocs)
+        .orderBy("domain")
+    }),
     "q_mixture_sample" -> ((s, dir) => {
       // domain-mixture realization at max corpus usage: weights cycle 1..4
       // over the sources, so the heaviest-weighted present source pins
@@ -797,6 +813,37 @@ private[graft] object QueriesOps {
         |FROM j WHERE rn = 1 ORDER BY click_id""".stripMargin,
     "q_mixture_sample" -> mixtureSampleOracle,
     "pipeline_curation" -> pipelineCurationOracle,
+    "q_budget_ledger" -> {
+      val avals = (0 until 15)
+        .map(i => s"('src$i', ${(i % 5 + 1) * 100.0})").mkString(", ")
+      s"""WITH a(source, alloc) AS (VALUES $avals),
+         |base AS (SELECT source, doc_id,
+         |    (1 + doc_id % 13)::DOUBLE AS c FROM documents),
+         |j AS (SELECT b.source, b.doc_id, b.c,
+         |    coalesce(a.alloc, 0) AS alloc,
+         |    md5(concat('42|', b.doc_id::VARCHAR)) AS hr
+         |  FROM base b LEFT JOIN a USING (source)),
+         |cum AS (SELECT *, sum(c) OVER (PARTITION BY source
+         |    ORDER BY hr, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+         |  FROM j),
+         |sel AS (SELECT *, (round(cm, 4) <= alloc) AS s FROM cum),
+         |g AS (SELECT source AS domain,
+         |    round(max(alloc), 4) AS allocated,
+         |    count(*)::BIGINT AS n_docs,
+         |    coalesce(sum(CASE WHEN s THEN 1 ELSE 0 END), 0)::BIGINT
+         |      AS n_selected,
+         |    round(coalesce(sum(CASE WHEN s THEN c ELSE 0 END), 0), 4)
+         |      AS realized
+         |  FROM sel GROUP BY 1)
+         |SELECT domain, allocated, n_docs, n_selected, realized,
+         |  round(allocated - realized, 4) AS carryover,
+         |  round(CASE WHEN allocated > 0 THEN realized / allocated
+         |    ELSE 0.0 END, 4) AS utilization,
+         |  (CASE WHEN n_selected = n_docs AND realized < allocated
+         |    THEN 1 ELSE 0 END)::BIGINT AS exhausted
+         |FROM g ORDER BY domain""".stripMargin
+    },
     // the oracle's NAIVE global window equals the operator's two-phase
     // (distinct-score walk + per-group cumsum) construction exactly:
     // both realize sum(cost) over (score DESC, id ASC) prefixes, and

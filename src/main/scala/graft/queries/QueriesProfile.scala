@@ -653,6 +653,24 @@ private[graft] object QueriesProfile {
       graft.ops.Eval.winRateMatrix(m, "ma", "mb", "win")
         .orderBy("model_a", "model_b")
     }),
+    "q_judge_rerank" -> ((s, dir) => {
+      // cross-encoder-style judge-score re-ranking: candidates scored
+      // by a 3-judge panel on a coarse deterministic rubric —
+      // candidates 1..4 score (grp + cand) % 3 (judge-independent, so
+      // within-group exact TIES are guaranteed and `rank` must share
+      // them), candidate 0 scores judge % 2 (judge-DEPENDENT, so its
+      // mean/min/max split); is_pick elects exactly one winner per
+      // group by (mean desc, candidate asc)
+      val j = t(s, dir, "orders").select(
+        (col("o_custkey") % 50).as("grp"),
+        (col("o_orderkey") % 5).as("cand"),
+        (col("o_orderkey") % 3).as("judge"))
+        .withColumn("score",
+          when(col("cand") === 0, (col("judge") % 2).cast("double"))
+            .otherwise(((col("grp") + col("cand")) % 3).cast("double")))
+      graft.ops.Eval.judgeRerank(j, "grp", "cand", "judge", "score")
+        .orderBy("group", "candidate")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2141,5 +2159,27 @@ private[graft] object QueriesProfile {
         |  round((wins_a + ties / 2.0) / n_battles, 4) AS win_rate_a,
         |  round((wins_b + ties / 2.0) / n_battles, 4) AS win_rate_b
         |FROM g ORDER BY model_a, model_b""".stripMargin,
+    "q_judge_rerank" ->
+      """WITH j AS (SELECT o_custkey % 50 AS grp, o_orderkey % 5 AS cand,
+        |    o_orderkey % 3 AS judge,
+        |    CASE WHEN o_orderkey % 5 = 0
+        |      THEN ((o_orderkey % 3) % 2)::DOUBLE
+        |      ELSE ((o_custkey % 50 + o_orderkey % 5) % 3)::DOUBLE
+        |    END AS score
+        |  FROM orders),
+        |pc AS (SELECT grp, cand, count(*)::BIGINT AS n_judgments,
+        |    count(DISTINCT judge)::BIGINT AS n_judges,
+        |    round(avg(score), 4) AS mean_score,
+        |    round(min(score), 4) AS min_score,
+        |    round(max(score), 4) AS max_score
+        |  FROM j GROUP BY 1, 2)
+        |SELECT grp AS "group", cand AS candidate, n_judgments, n_judges,
+        |  mean_score, min_score, max_score,
+        |  rank() OVER (PARTITION BY grp ORDER BY mean_score DESC)
+        |    ::BIGINT AS rank,
+        |  (CASE WHEN row_number() OVER (PARTITION BY grp
+        |      ORDER BY mean_score DESC, cand) = 1 THEN 1 ELSE 0 END)
+        |    ::BIGINT AS is_pick
+        |FROM pc ORDER BY "group", candidate""".stripMargin,
   )
 }

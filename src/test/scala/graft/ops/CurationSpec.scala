@@ -22,6 +22,41 @@ class CurationSpec extends AnyFunSuite {
 
   // ---------------------------------------------------------- mixtureSample
 
+  test("budgetLedger: greedy per-domain fill, exhausted and unallocated " +
+    "regimes, partitioning-invariant") {
+    import spark.implicits._
+    val df = ((1 to 5).map(i => ("A", i.toLong, 4.0)) ++
+      (11 to 13).map(i => ("B", i.toLong, 2.0)) ++
+      (21 to 22).map(i => ("C", i.toLong, 5.0)))
+      .toDF("domain", "id", "cost")
+    val allocs = Map("A" -> 10.0, "B" -> 100.0)
+    val out = Sampling.budgetLedger(df, "domain", "id", "cost", allocs)
+      .orderBy("domain").collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getLong(7)))).toMap
+    // A: 5 docs of cost 4 against allocation 10 -> greedy keeps 2
+    // (cum 4, 8; the third would read 12): realized 8, carryover 2
+    assert(out("A") == ((10.0, 5L, 2L, 8.0, 2.0, 0.8, 0L)), s"$out")
+    // B: total mass 6 < allocation 100 -> every doc selected and the
+    // allocation unmet: EXHAUSTED, carryover 94
+    assert(out("B") == ((100.0, 3L, 3L, 6.0, 94.0, 0.06, 1L)), s"$out")
+    // C: present but unallocated -> reported, nothing selected
+    assert(out("C") == ((0.0, 2L, 0L, 0.0, 0.0, 0.0, 0L)), s"$out")
+    // deterministic under a different partitioning
+    val again = Sampling.budgetLedger(df.repartition(7), "domain", "id",
+      "cost", allocs).orderBy("domain").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(again == Map("A" -> 2L, "B" -> 3L, "C" -> 0L))
+    // null costs are excluded before the fill (no NULL cum poisoning)
+    val withNull = df.unionByName(
+      Seq(("A", 99L, Option.empty[Double])).toDF("domain", "id", "cost"))
+    val nOut = Sampling.budgetLedger(withNull, "domain", "id", "cost",
+      allocs).filter($"domain" === "A").collect().head
+    assert(nOut.getLong(2) == 5L && nOut.getLong(3) == 2L,
+      s"null-cost row must be dropped, got $nOut")
+  }
+
   test("mixtureSample: quotas realize the target mixture at max usage") {
     import spark.implicits._
     val df = ((1 to 10).map(i => ("A", i * 10)) ++

@@ -204,6 +204,38 @@ class EvalSpec extends AnyFunSuite {
     assert(out(1) == (("A", "C", 1L, 0L, 0L, 1L, 0.5, 0.5)), s"${out(1)}")
   }
 
+  test("judgeRerank: hand-computed means, exact ties share a rank, " +
+    "is_pick elects exactly one winner per group, null scores dropped") {
+    import spark.implicits._
+    val rows = Seq(
+      // g1: c1 scored (3.0, 2.0) by judges j1/j2 -> mean 2.5;
+      //     c2 scored 2.5 by each of j1, j2, j3 -> mean 2.5 (TIE with
+      //     c1 at 4dp); c3 scored 1.0 once -> mean 1.0
+      ("g1", "c1", "j1", Some(3.0)), ("g1", "c1", "j2", Some(2.0)),
+      ("g1", "c2", "j1", Some(2.5)), ("g1", "c2", "j2", Some(2.5)),
+      ("g1", "c2", "j3", Some(2.5)), ("g1", "c3", "j1", Some(1.0)),
+      // g2: one candidate, plus a null-score judgment that must not
+      // count toward n_judgments
+      ("g2", "c9", "j1", Some(4.0)), ("g2", "c9", "j2", None))
+      .toDF("grp", "cand", "judge", "score")
+    val out = Eval.judgeRerank(rows, "grp", "cand", "judge", "score")
+      .orderBy("group", "candidate").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getLong(7),
+          r.getLong(8)))).toMap
+    // c1 and c2 tie at mean 2.5: both rank 1 (competition rank), c3
+    // ranks 3 (the tie consumes two positions); the pick is c1 (the
+    // smaller candidate key at the tied top)
+    assert(out(("g1", "c1")) == ((2L, 2L, 2.5, 1L, 1L)), s"$out")
+    assert(out(("g1", "c2")) == ((3L, 3L, 2.5, 1L, 0L)), s"$out")
+    assert(out(("g1", "c3")) == ((1L, 1L, 1.0, 3L, 0L)), s"$out")
+    assert(out(("g2", "c9")) == ((1L, 1L, 4.0, 1L, 1L)), s"$out")
+    // min/max split on the judge-dependent candidate
+    val c1 = Eval.judgeRerank(rows, "grp", "cand", "judge", "score")
+      .filter($"group" === "g1" && $"candidate" === "c1").collect().head
+    assert(c1.getDouble(5) == 2.0 && c1.getDouble(6) == 3.0)
+  }
+
   test("mbrSelect: consensus argmax, tie to smallest id, singleton and " +
     "empty-text groups") {
     import spark.implicits._
