@@ -55,6 +55,10 @@ class DriverStateAuditSpec extends AnyFunSuite {
     "ops/Eval.scala" -> (2,
       "bradleyTerry: 1-row distinct-item count + roster collect guarded " +
         "at maxItems=4096 with a sized error (Eval.scala:205)"),
+    "ops/Graph.scala" -> (1,
+      "linkPrediction AUTO route: 1-row max-degree probe aggregate " +
+        "(agg(max(deg)).collect()(0)) over the cached degree frame the " +
+        "plan reuses — route selection, never data"),
     "ebw/DesignMatrix.scala" -> (4,
       "distinct one-hot labels (vocabulary-bounded design width) and " +
         "1-row weighted-total aggregates"),

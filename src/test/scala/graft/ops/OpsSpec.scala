@@ -876,7 +876,11 @@ class OpsSpec extends AnyFunSuite {
       // construction of every capped pipeline: plan building only
       Dedup.minhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
       Dedup.ngramJaccardPairs(docsDf, "text", "doc_id", 0.5, maxBucketSize = 100)
-      Dedup.simhashCandidatePairs(docsDf, "text", "doc_id", maxBucketSize = 100)
+      // with d pinned, simhash skips its auto-route sizing count (the
+      // dim-supplied hyperplane precedent below: sizing probes are the
+      // documented construction-time exception, avoidable by the knob)
+      Dedup.simhashCandidatePairs(docsDf, "text", "doc_id",
+        maxBucketSize = 100, blocksPerKey = 1)
       // with dim supplied, even the hyperplane operator skips its probe job
       Dedup.embeddingCosinePairs(emb, "embedding", "vec_id", 0.9,
         maxBucketSize = 100, dim = Some(64))
