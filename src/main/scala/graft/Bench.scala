@@ -80,10 +80,10 @@ object Bench {
     * Do NOT re-pin these when the host moves; the moving ratio IS the
     * signal. */
   private val hostProbeRef: Map[String, Double] = Map(
-    "probe_cpu" -> -1.0,
-    "probe_scan_agg" -> -1.0,
-    "probe_join" -> -1.0,
-    "probe_window" -> -1.0)
+    "probe_cpu" -> 0.1540,
+    "probe_scan_agg" -> 0.3263,
+    "probe_join" -> 0.3472,
+    "probe_window" -> 0.3572)
 
   /** 1-minute load average from /proc/loadavg (-1.0 where unreadable).
     * Stamped at bench start and end so a record inflated by host
