@@ -1712,6 +1712,58 @@ object Dedup {
           .as("jaccard"))
   }
 
+  /**
+   * Per-source dedup-rate report — the post-run TELEMETRY beside
+   * [[sourceOverlap]]'s planning view and [[clusterStats]]'s
+   * corpus-level totals: for each source (crawl, dump, vendor), how
+   * many documents the exact and near-dup stages actually removed and
+   * what fraction survived — the per-feed duplicate-rate dashboard a
+   * curation pipeline reviews each refresh (a source whose pct_kept
+   * collapses between refreshes is re-crawling itself; one whose
+   * near-dup rate dwarfs its exact rate is boilerplate-heavy, not
+   * mirror-heavy — different remediations).
+   *
+   * Fate rules are EXACTLY [[graft.ops.Curate.curateCorpus]]'s dedup
+   * stages so the report explains that pipeline's drops: exact_dup =
+   * not the content hash's smallest id; near_dup = an exact SURVIVOR
+   * that appears as the larger id of a minhash banding candidate pair;
+   * kept = everything else. Scale shape: the exact election's one
+   * hash groupBy + the banded candidate join (both documented), two
+   * id-keyed glue joins, one source aggregation; the input is pinned
+   * (Ops scope) because three subtrees read it.
+   * Output: one row per source — source, n_docs, n_exact_dups,
+   * n_near_dups, n_kept, pct_kept (4dp).
+   */
+  def dedupReport(docs: DataFrame, textCol: String, idCol: String,
+      sourceCol: String, maxBucketSize: Int = 100000): DataFrame = {
+    val base = CacheScope.track(
+      docs.select(col(idCol), col(textCol), col(sourceCol)))
+    val reps = exact(base, textCol, idCol)
+      .select(col("keep_id").as(idCol))
+    val surv = CacheScope.track(base.join(reps, Seq(idCol)))
+    val nearDrop = minhashCandidatePairs(surv, textCol, idCol,
+        maxBucketSize = maxBucketSize)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("_nd", lit(true))
+    val fate = base
+      .join(reps.withColumn("_rep", lit(true)), Seq(idCol), "left")
+      .join(nearDrop, Seq(idCol), "left")
+      .withColumn("_fate",
+        when(col("_rep").isNull, lit("exact_dup"))
+          .when(col("_nd").isNotNull, lit("near_dup"))
+          .otherwise(lit("kept")))
+    fate.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(when(col("_fate") === "exact_dup", 1L)
+          .otherwise(0L)), lit(0L)).as("n_exact_dups"),
+        coalesce(sum(when(col("_fate") === "near_dup", 1L)
+          .otherwise(0L)), lit(0L)).as("n_near_dups"),
+        coalesce(sum(when(col("_fate") === "kept", 1L).otherwise(0L)),
+          lit(0L)).as("n_kept"))
+      .withColumn("pct_kept",
+        round(col("n_kept") / col("n_docs").cast("double"), 4))
+  }
+
   def clusterStats(assign: DataFrame, idCol: String,
       clusterCol: String): DataFrame = {
     val sizes = assign.groupBy(col(clusterCol))

@@ -24,6 +24,22 @@ private[graft] object QueriesDedup {
     // §2c — LLM-data pipeline ops
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "text", "doc_id").orderBy("content_hash")),
+    "dedup_report" -> ((s, dir) => {
+      // per-source dedup-rate telemetry: one exact copy and one
+      // near-dup copy of every doc, so each source reads n_docs 3x its
+      // corpus share with one third exact-dropped, one third
+      // near-dropped, one third kept — the fate rules are exactly the
+      // curation pipeline's dedup stages, replayed per feed
+      val docs = t(s, dir, "documents").select("doc_id", "text", "source")
+      val exactDups = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        col("text"), col("source"))
+      val nearDups = docs.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit(" tail tokens appended here")).as("text"),
+        col("source"))
+      Dedup.dedupReport(docs.unionByName(exactDups).unionByName(nearDups),
+          "text", "doc_id", "source", maxBucketSize = ngramMaxBucket)
+        .orderBy("source")
+    }),
     "dedup_homoglyph" -> ((s, dir) => {
       // homoglyph-spam dedup: odd ids carry the PRECEDING even doc's
       // text with Latin aeopcxy swapped to Cyrillic lookalikes and a
@@ -427,6 +443,48 @@ private[graft] object QueriesDedup {
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
         |  count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin,
+    "dedup_report" ->
+      s"""WITH docs2 AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text, source FROM documents
+         |  UNION ALL SELECT doc_id + 2000000,
+         |    text || ' tail tokens appended here', source FROM documents),
+         |reps AS (SELECT md5(text) AS h, min(doc_id) AS kid
+         |  FROM docs2 GROUP BY 1),
+         |bj AS (SELECT d.doc_id, d.text, d.source,
+         |    (d.doc_id = r.kid) AS isrep
+         |  FROM docs2 d JOIN reps r ON md5(d.text) = r.h),
+         |tok AS (SELECT doc_id, str_split(text, ' ') AS tk FROM bj
+         |  WHERE isrep AND len(str_split(text, ' ')) >= 3),
+         |sh AS (SELECT doc_id, array_to_string(tk[i:i+2], ' ') AS s
+         |  FROM tok, unnest(generate_series(1, len(tk) - 2)) AS u(i)),
+         |hh AS (SELECT doc_id, j,
+         |    min(md5(concat(j::VARCHAR, '|', s))) AS mh
+         |  FROM sh, unnest(generate_series(0, 7)) AS g(j)
+         |  GROUP BY doc_id, j),
+         |bk AS (SELECT doc_id, j // 2 AS band,
+         |    string_agg(mh, '|' ORDER BY j) AS key
+         |  FROM hh GROUP BY doc_id, j // 2),
+         |bn AS (SELECT band, key, count(*) AS c FROM bk GROUP BY 1, 2),
+         |bk2 AS (SELECT bk.* FROM bk JOIN bn USING (band, key)
+         |  WHERE bn.c <= $ngramMaxBucket),
+         |nd AS (SELECT DISTINCT b.doc_id FROM bk2 a JOIN bk2 b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |fate AS (SELECT source,
+         |    CASE WHEN NOT isrep THEN 'e'
+         |      WHEN doc_id IN (SELECT doc_id FROM nd) THEN 'n'
+         |      ELSE 'k' END AS f
+         |  FROM bj),
+         |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN f = 'e' THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_exact_dups,
+         |    sum(CASE WHEN f = 'n' THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_near_dups,
+         |    sum(CASE WHEN f = 'k' THEN 1 ELSE 0 END)::BIGINT AS n_kept
+         |  FROM fate GROUP BY 1)
+         |SELECT source, n_docs, n_exact_dups, n_near_dups, n_kept,
+         |  round(n_kept / n_docs::DOUBLE, 4) AS pct_kept
+         |FROM g ORDER BY source""".stripMargin,
     "dedup_minhash" ->
       """WITH tok AS (
         |  SELECT doc_id, str_split(text, ' ') AS tk FROM documents

@@ -41,6 +41,41 @@ class OpsSpec extends AnyFunSuite {
     assert(hits >= 15, s"found only $hits/20 near-dup pairs: $found")
   }
 
+  test("dedupReport: per-source fates match the planted thirds and the " +
+    "curation drop rules") {
+    import spark.implicits._
+    // disjoint per-doc vocabulary: no NATURAL cross-doc near-dups (the
+    // real corpus has planted ones, which would rightly inflate
+    // near_dup counts beyond the planted thirds)
+    val orig = (0 until 30).map { i =>
+      (i.toLong, (0 until 12).map(j => s"w${i}x$j").mkString(" "),
+        s"s${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val exactDups = orig.select((col("doc_id") + 1000L).as("doc_id"),
+      col("text"), col("source"))
+    val nearDups = orig.select((col("doc_id") + 2000L).as("doc_id"),
+      concat(col("text"), lit(" tail tokens appended here")).as("text"),
+      col("source"))
+    val rep = Dedup.dedupReport(
+      orig.unionByName(exactDups).unionByName(nearDups),
+      "text", "doc_id", "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val perSource = orig.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rep.keySet == perSource.keySet)
+    perSource.foreach { case (src, n) =>
+      val (nd, ne, nn, nk, pct) = rep(src)
+      assert(nd == 3 * n, s"$src n_docs: $nd vs ${3 * n}")
+      assert(ne == n, s"$src exact dups: $ne vs $n")
+      assert(nn == n, s"$src near dups must be the +2000 copies: $nn")
+      assert(nk == n, s"$src kept: $nk")
+      assert(pct == BigDecimal(n * 1.0 / (3 * n))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    Dedup.unpersistAll(spark)
+  }
+
   test("simhash banding finds near-dup pairs without all-pairs compare") {
     val base = docs.limit(30).select("doc_id", "text")
     val near = base.select((col("doc_id") + 5000).as("doc_id"),
