@@ -368,21 +368,25 @@ object Graph {
     require(maxWedgeDegree >= 2, s"maxWedgeDegree must be >= 2: $maxWedgeDegree")
     require(sampleDegree == -1 || sampleDegree == 0 || sampleDegree >= 2,
       s"sampleDegree must be -1 (auto), 0 (exact) or >= 2: $sampleDegree")
-    val und = edges
+    val und0 = edges
       .select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
+    // AUTO route: the probe ACTION below materializes the degree
+    // aggregation, whose lineage includes the edge canonicalize +
+    // distinct — pin BOTH frames (tracked: edge-count- and
+    // node-count-sized) so the probe's pass is the same one the main
+    // plan's neighbor/degree joins and the final anti-join read,
+    // instead of a second full edge scan (the r18 sf1 sweep measured
+    // the unpinned probe pushing the gate's slope to 1.03)
+    val und = if (sampleDegree >= 0) und0 else CacheScope.track(und0)
     val nb = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
       .select(col("a").as("ctr"), col("b").as("n"))
     val deg0 = nb.groupBy(col("ctr").as("node"))
       .agg(count(lit(1)).as("deg"))
-    // AUTO route: cache the degree frame (tracked, node-count-sized —
-    // the probe action and the two downstream joins reuse one
-    // computation) and probe the max degree; exact mode whenever the
-    // hard hub gate would drop nothing, else the unbiased estimator
     val deg = if (sampleDegree >= 0) deg0 else CacheScope.track(deg0)
     val effSample =
       if (sampleDegree >= 0) sampleDegree
