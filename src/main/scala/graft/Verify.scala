@@ -14,6 +14,11 @@ object Verify {
     val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: AQE-planned cached-plan output partitioning (the
+      // r18 optimization conf) so Verify replays the exact plans the
+      // bench times
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))

@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
  *   →  MinHash near-dup drop  →  linear quality score
  *   →  domain-mixture sample  →  token-budget bin packing
  *
- * Each stage consumes the previous stage's survivors; the whole thing
- * is ONE declarative plan (no action until the caller's), so Catalyst
- * prunes columns across stage boundaries and AQE sizes the glue joins.
+ * Each stage consumes the previous stage's survivors and is
+ * materialized at the boundary (checkpoint/localCheckpoint — the
+ * persist-between-stages pipeline shape), so every stage computes
+ * exactly once, AQE sizes each stage's own shuffles, and Catalyst
+ * analyzes per-stage plans instead of the multiplicatively nested
+ * composition.
  *
  * Scale shape: the narrow stages (C4, Gopher, scoring lambdas) fuse
  * into the scans; the shuffling stages keep their own documented
@@ -45,18 +48,27 @@ object Curate {
       packBudget: Int, nShards: Int,
       maxBucketSize: Int = 100000): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1: $nShards")
-    // EVERY stage boundary is cached (tracked, Ops scope — drained by
-    // CacheScope.unpersistAll like the pair operators' signature
-    // caches): a stage's survivors are referenced by MULTIPLE
-    // downstream subtrees (the next stage's verdict frame + the glue
-    // join's left side; scoreLinear and mixtureSample each read their
-    // input 2-3 times internally), so without the pin the lineage
-    // re-executes the whole upstream chain per reference and the
-    // composed plan blows up MULTIPLICATIVELY (measured: 755 Exchanges
-    // unpinned vs ~40 pinned at gate scale — at 100 TB that is dozens
-    // of full-corpus rescans vs one materialization per stage, the
-    // standard persist-between-stages pipeline shape).
-    def pin(df: DataFrame): DataFrame = CacheScope.track(df)
+    // EVERY stage boundary is materialized AND lineage-truncated
+    // (reliable checkpoint when the session has a checkpoint dir — set
+    // one on a real cluster — else localCheckpoint, the
+    // connectedComponents contract): a stage's survivors are referenced
+    // by MULTIPLE downstream subtrees (the next stage's verdict frame +
+    // the glue join's left side; scoreLinear and mixtureSample each
+    // read their input 2-3 times internally), so without the pin the
+    // lineage re-executes the whole upstream chain per reference and
+    // the composed plan blows up MULTIPLICATIVELY (measured: 755
+    // Exchanges unpinned vs ~40 pinned at gate scale). Cache pins alone
+    // are not enough: the ANALYZED tree still nests every upstream
+    // stage 2x per boundary (cache substitution happens after
+    // analysis), so seven stages hand Catalyst a ~2^7-nested tree per
+    // action — measured 18.3 s vs 6.2 s for the identical stages with
+    // truncated lineage at sf0.1, with the gap growing in stage count,
+    // not data. Checkpointing keeps the one-materialization-per-stage
+    // execution AND resets the plan at each boundary — the standard
+    // persist-between-stages pipeline shape.
+    val reliable = docs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // stage 1: C4 — keep pages passing the page rules, and carry each
     // page's REWRITTEN text (kept lines only) forward: C4 ships the
     // rewrite, not just the verdict

@@ -533,7 +533,10 @@ object Dedup {
    */
   def minhashSignatures(
       docs: DataFrame, textCol: String, idCol: String, numHashes: Int = 8): DataFrame = {
-    val tok = docs
+    // FanOut: the 8-md5-per-shingle map work is the expensive stage and
+    // runs at SCAN parallelism — single-file local inputs would hash on
+    // one core (r18 measured: a 2-task 3 s stage); no-op at corpus scale
+    val tok = FanOut(docs)
       .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
     val shingled = tok.select(
@@ -634,7 +637,9 @@ object Dedup {
   /** Distinct 3-word shingle sets per document: (sid, sh) — the second
    * half of the persistable ngram dedup index (with `ngramBandKeys`). */
   def ngramShingles(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs
+    // FanOut: shingle construction + the md5 hash families downstream
+    // run at scan parallelism (see minhashSignatures)
+    FanOut(docs)
       .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
       .select(col("sid"), array_distinct(expr(shingleExpr)).as("sh"))
@@ -1170,7 +1175,9 @@ object Dedup {
   def simhash(
       docs: DataFrame, textCol: String, idCol: String,
       portable: Boolean = false): DataFrame = {
-    val tokens = docs.select(col(idCol),
+    // FanOut: per-token hashing + the 64-column bit aggregation dominate
+    // and run at scan parallelism (see minhashSignatures)
+    val tokens = FanOut(docs).select(col(idCol),
       explode(split(col(textCol), " ", -1)).as("t"))
       .filter(length(col("t")) > 0)
     val (hashed, bitSet) =

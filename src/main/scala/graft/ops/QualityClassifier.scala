@@ -84,7 +84,8 @@ object QualityClassifier {
    * oracle-checkable end to end. Output: idCol, b (bucket), tf. */
   private def bucketTf(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
-    docs
+    // FanOut: one md5 per token, pre-shuffle map work
+    FanOut(docs)
       .select(col(idCol),
         explode(split(lower(col(textCol)), " ", -1)).as("t"))
       .filter(col("t") =!= "")

@@ -803,7 +803,9 @@ object TextMetrics {
          |        THEN i END), x -> x is not null)
          |  ELSE cast(array() as array<bigint>) END,
          |  array(len)))""".stripMargin
-    docs
+    // FanOut: the per-character rolling-hash cut scan is pure map work
+    // at scan parallelism (single-file local inputs run it on one core)
+    FanOut(docs)
       .select(col(idCol), col(textCol).as("t"),
         length(col(textCol)).cast("long").as("len"))
       .filter(col("len") >= 1)
@@ -878,7 +880,9 @@ object TextMetrics {
       merges: Seq[(String, String)] = bpeMerges): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budget >= 1, s"token budget must be >= 1, got $budget")
-    val words = docs
+    // FanOut: the per-word BPE merge fold below is the expensive stage
+    // and runs before the window's id-shuffle
+    val words = FanOut(docs)
       .select(col(idCol),
         posexplode(expr(s"filter(split($textCol, '\\\\s+'), x -> x != '')")))
       .toDF(idCol, "pos", "w")
@@ -1089,9 +1093,10 @@ object TextMetrics {
       model: DataFrame = null, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val m = Option(model).getOrElse(docs)
+    // FanOut: the zip_with sequence construction is pre-shuffle map work
     def seqOf(df: DataFrame) = {
       val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
-      df.select(col(idCol), toks.as("l"))
+      FanOut(df).select(col(idCol), toks.as("l"))
         .where(size(col("l")) > 0)
         .select(col(idCol), explode(zip_with(col("l"),
           concat(array(lit(null).cast("string")),
@@ -1147,9 +1152,10 @@ object TextMetrics {
       model: DataFrame = null, alpha: Double = 0.4): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
     val m = Option(model).getOrElse(docs)
+    // FanOut: the nested zip_with construction is pre-shuffle map work
     def seqOf(df: DataFrame) = {
       val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
-      df.select(col(idCol), toks.as("l"))
+      FanOut(df).select(col(idCol), toks.as("l"))
         .where(size(col("l")) > 0)
         .select(col(idCol), explode(zip_with(
           zip_with(col("l"),
@@ -1294,7 +1300,8 @@ object TextMetrics {
    * Output: id, n_chars, n_distinct, entropy (4dp), norm_entropy (4dp).
    */
   def charEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val chars = docs.select(col(idCol),
+    // FanOut: the per-character explode is pre-shuffle map work
+    val chars = FanOut(docs).select(col(idCol),
         explode(filter(split(col(textCol), "", -1), x => x =!= ""))
           .as("c"))
       .groupBy(col(idCol), col("c")).agg(count(lit(1)).as("n"))
@@ -1506,7 +1513,10 @@ object TextMetrics {
     val wide = langIdModelRows.map(_._2).distinct.sorted
       .map(tri => (tri, langs.map(l => byLang(l).getOrElse(tri, floorOf(l)))))
       .toDF("tri", "lps")
-    val base = docs
+    // FanOut: per-character trigram construction + the 40-column score
+    // aggregation run at scan parallelism; each document's exploded rows
+    // stay contiguous, so the per-doc sums are bit-identical
+    val base = FanOut(docs)
       .select(col(idCol),
         trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")).as("s"))
       .select(col(idCol), expr(
@@ -1593,7 +1603,8 @@ object TextMetrics {
   def dsirWeights(corpus: DataFrame, target: DataFrame, textCol: String,
       idCol: String, buckets: Int = 65536): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    def tok(df: DataFrame) = df
+    // FanOut: one md5 per token, pre-shuffle map work
+    def tok(df: DataFrame) = FanOut(df)
       .select(col(idCol), explode(split(col(textCol), " ", -1)).as("t"))
       .filter(col("t") =!= "")
       .withColumn("b",
@@ -2301,8 +2312,9 @@ object TextMetrics {
       "stopwords must be non-empty and quote-free")
     val stopArr = stopwords.map(s => s"'$s'").mkString("array(", ", ", ")")
     val toks = filter(split(col(textCol), " ", -1), x => x =!= "")
-    // per-row segmentation fold: stopword closes the current run
-    val phrases = docs
+    // per-row segmentation fold: stopword closes the current run.
+    // FanOut: the fold is the expensive stage and runs pre-shuffle
+    val phrases = FanOut(docs)
       .select(col(idCol).as("id"), toks.as("_l"))
       .where(size(col("_l")) > 0)
       .select(col("id"), expr(

@@ -1124,23 +1124,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "shuffles, not a multiplicative recompute; no cartesian; pins drain") {
     import java.util.concurrent.atomic.AtomicInteger
     import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
-    // plan-shape existence checks on the composed (pre-materialization)
-    // plan: no cartesian product anywhere; the only nested-loop joins
-    // are mixtureSample's documented 1-row quota/min subtrees
-    val df = SparkEntry.queries("pipeline_curation")(spark, dir)
-    val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("CartesianProduct"),
-      s"cartesian product in the curation pipeline:\n${p.take(4000)}")
-    assert("BroadcastNestedLoop".r.findAllIn(p).length <= 3,
-      "nested-loop joins beyond mixtureSample's 1-row quota subtree")
-    // the REAL recompute audit is physical, not textual: the plan
-    // STRING under-counts nothing but over-counts cached lineage (each
-    // InMemoryRelation reference prints its full subtree), so count
-    // the stages Spark actually EXECUTES for one materialization.
-    // Measured 44 at this scale with every stage boundary pinned —
-    // the stages' own shuffle budget; the unpinned composition
-    // re-executes upstream chains per downstream reference and lands
-    // in the hundreds. 55 = measured + headroom for AQE re-splits.
+    // the REAL recompute audit is physical, not textual: count the
+    // stages Spark actually EXECUTES for one materialization. Stage
+    // boundaries are EAGER checkpoints since r18 (lineage truncation),
+    // so most stages run during query CONSTRUCTION — the listener
+    // attaches before it. Measured 44 at this scale with cache pins /
+    // ~35 with checkpoint boundaries — the stages' own shuffle budget;
+    // the unpinned composition re-executes upstream chains per
+    // downstream reference and lands in the hundreds. 55 = measured +
+    // headroom for AQE re-splits.
     val stages = new AtomicInteger(0)
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
@@ -1148,6 +1140,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
+      // plan-shape existence checks on the composed final-segment plan:
+      // no cartesian product anywhere; the only nested-loop joins are
+      // mixtureSample's documented 1-row quota/min subtrees
+      val df = SparkEntry.queries("pipeline_curation")(spark, dir)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        s"cartesian product in the curation pipeline:\n${p.take(4000)}")
+      assert("BroadcastNestedLoop".r.findAllIn(p).length <= 3,
+        "nested-loop joins beyond mixtureSample's 1-row quota subtree")
       assert(df.count() > 0, "pipeline must pack a non-empty corpus")
       // listener events post asynchronously (the bus is private API):
       // poll until the count stabilizes, bounded
@@ -1161,12 +1162,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"curation pipeline executed ${stages.get()} stages — the " +
         "composition is recomputing stage boundaries instead of " +
         "reading their pins")
-    // lifecycle: the stage-boundary pins live in the Ops scope and
-    // drain with the pair-operator caches
-    assert(graft.ops.CacheScope.trackedCount(spark) > 0,
-      "expected tracked stage-boundary pins")
+    // lifecycle: stage boundaries are checkpoint-materialized (r18
+    // optimization — lineage truncation, not cache pins), so the only
+    // Ops-scope caches left are minhashCandidatePairs' internal
+    // signature cache; unpersistAll must still drain cleanly
     graft.ops.CacheScope.unpersistAll(spark)
     assert(graft.ops.CacheScope.trackedCount(spark) == 0,
-      "unpersistAll must drain the pipeline's pins")
+      "unpersistAll must drain the pipeline's operator caches")
   }
 }
