@@ -539,9 +539,14 @@ object Dedup {
     val tok = FanOut(docs)
       .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
+    // exploded position + plain concat, NOT explode(transform(...)):
+    // HOF lambdas measured a ~1.5 s fixed per-action cost (r18);
+    // identical shingle rows by construction
     val shingled = tok.select(
-      col(idCol),
-      explode(expr(shingleExpr)).as("s"))
+      col(idCol), col("tok"),
+      explode(expr("sequence(1, size(tok) - 2)")).as("i"))
+      .select(col(idCol),
+        expr("concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1])").as("s"))
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
     val sig = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -650,8 +655,15 @@ object Dedup {
    * per-family md5 but 4x fewer digest computations — the signature
    * aggregation is the expensive stage. */
   private def ngramBandKeysOf(
-      shingles: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
-    val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
+      shingles: DataFrame, numHashes: Int, bandSize: Int): DataFrame =
+    bandKeysFromExploded(
+      shingles.select(col("sid"), explode(col("sh")).as("s")),
+      numHashes, bandSize)
+
+  /** [[ngramBandKeysOf]] over an already-exploded (sid, s) shingle
+   * frame — the shared signature/banding core. */
+  private def bandKeysFromExploded(
+      exploded: DataFrame, numHashes: Int, bandSize: Int): DataFrame = {
     val seeds = (0 to (numHashes - 1) / 4).map(si =>
       md5(concat(lit(s"$si|"), col("s"))))
     val aggs = (0 until numHashes).map(j =>
@@ -683,9 +695,17 @@ object Dedup {
    * `aCol`/`bCol` name the pair columns of `cand`. */
   private def jaccardVerify(
       cand: DataFrame, shingles: DataFrame, aCol: String, bCol: String,
-      minJaccard: Double): DataFrame = {
-    val exploded = shingles.select(col("sid"), explode(col("sh")).as("s"))
-    val sizes = shingles.select(col("sid"), size(col("sh")).as("nsh"))
+      minJaccard: Double): DataFrame =
+    jaccardVerifyExploded(cand,
+      shingles.select(col("sid"), explode(col("sh")).as("s")),
+      shingles.select(col("sid"), size(col("sh")).as("nsh")),
+      aCol, bCol, minJaccard)
+
+  /** [[jaccardVerify]] over an already-exploded (sid, s) distinct
+   * shingle frame plus a (sid, nsh) size frame. */
+  private def jaccardVerifyExploded(
+      cand: DataFrame, exploded: DataFrame, sizes: DataFrame,
+      aCol: String, bCol: String, minJaccard: Double): DataFrame = {
     val interCounts = cand
       .join(exploded.select(col("sid").as(aCol), col("s")), aCol)
       .join(exploded.select(col("sid").as(bCol), col("s")), Seq(bCol, "s"))
@@ -705,21 +725,42 @@ object Dedup {
    * built once and cached (candidate generation and exact Jaccard reuse
    * it); band hashes are md5-based so the DuckDB oracle replays the whole
    * pipeline — signatures, banding, candidates, exact Jaccard — verbatim. */
+  /** Exploded DISTINCT shingles (sid, s) — the lambda-free internal form
+   * of [[ngramShingles]]: one exploded position row per shingle slot +
+   * plain concat + distinct, no transform()/array_distinct() lambdas
+   * (HOF lambdas force interpreted evaluation of their whole stage —
+   * r18 measured ~0.4 s per evaluation site at gate scale). The
+   * distinct is one exchange of the shingle set — the same bytes the
+   * verify join and signature aggregation shuffle anyway. */
+  private def ngramShinglesExploded(
+      docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    FanOut(docs)
+      .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
+      .filter(size(col("tok")) >= 3)
+      .select(col("sid"), col("tok"),
+        explode(expr("sequence(1, size(tok) - 2)")).as("i"))
+      .select(col("sid"),
+        expr("concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1])").as("s"))
+      .distinct()
+
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
       minJaccard: Double = 0.5, numHashes: Int = 8, bandSize: Int = 2,
       maxBucketSize: Int = 100000): DataFrame = {
-    val shingles = CacheScope.track(ngramShingles(docs, textCol, idCol))
+    val exploded = CacheScope.track(
+      ngramShinglesExploded(docs, textCol, idCol))
+    val sizes = exploded.groupBy("sid").agg(count(lit(1)).as("nsh"))
     // cached (tracked): the signature aggregation inside feeds the bucket
     // guard and both pair-join sides
-    val keyed = CacheScope.track(ngramBandKeysOf(shingles, numHashes, bandSize))
+    val keyed = CacheScope.track(
+      bandKeysFromExploded(exploded, numHashes, bandSize))
     val kept = capBuckets(keyed, maxBucketSize, "ngramJaccardPairs")
     val cand = kept.as("a")
       .join(kept.as("b"), col("a.band") === col("b.band") &&
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    jaccardVerify(cand, shingles, "id_a", "id_b", minJaccard)
+    jaccardVerifyExploded(cand, exploded, sizes, "id_a", "id_b", minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 

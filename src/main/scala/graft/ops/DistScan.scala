@@ -178,8 +178,13 @@ private[graft] object DistScan {
     require(values.nonEmpty, "prefixSums needs at least one value column")
     guard(df)
     // optimization-only pin (see the object doc): the sample job fills
-    // it, totals + the result plan read it; recompute is identical
-    val pinned = CacheScope.track(df, CacheScope.Scan)
+    // it, totals + the result plan read it; recompute is identical.
+    // FanOut before the pin: the _p bucket fold (a ~4·partitions-deep
+    // when-chain per row) evaluates on every cached partition, and with
+    // AQE-planned cache partitioning a small input coalesces to ONE
+    // partition — serializing the fold across the totals and result
+    // scans (r18 measured: q_spearman 4.3 -> 9.3 s). No-op at scale.
+    val pinned = CacheScope.track(FanOut(df), CacheScope.Scan)
     notePin(pinned)
     val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val upper = if (inclusive) 0L else -1L
@@ -210,8 +215,8 @@ private[graft] object DistScan {
       value: Column, out: String, inclusive: Boolean,
       isMin: Boolean): DataFrame = {
     guard(df)
-    // optimization-only (object doc)
-    val pinned = CacheScope.track(df, CacheScope.Scan)
+    // optimization-only (object doc); FanOut as in prefixSums
+    val pinned = CacheScope.track(FanOut(df), CacheScope.Scan)
     notePin(pinned)
     val p = pinned.withColumn("_p", bucketCol(pinned, order))
     val agg: Column => Column = if (isMin) min else max

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -167,32 +168,45 @@ object Graph {
       .localCheckpoint()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    // r18 optimization: the iteration carries only NONZERO scores.
+    // Zero-score nodes contribute exactly 0.0 to both L2 norms and to
+    // the next round's sums (and a dropped 0.0 term cannot move a float
+    // sum), so the two per-round nodes⋈scores left-joins that existed
+    // only to materialize those zeros were pure overhead — 2 of the 4
+    // joins per round gone, identical scores (the 10dp per-round
+    // rounding pins both forms to the same values; gate-verified).
+    // Absent nodes re-enter as 0/0 in the final projection.
+    // Norms via a partition-less window over the node-sized score frame
+    // (not a crossJoin of a separate aggregate): the window normalizes
+    // in the SAME pass, so the edges⋈scores join+agg — the only
+    // data-scale work of a round — is evaluated once per direction
+    // instead of re-executing under both the norm subtree and the score
+    // projection. The window's single task holds one row per NODE WITH
+    // NONZERO SCORE (never edges), the bounded-carry-table argument
+    // from DistScan; values are pinned by the same 10dp rounding.
+    val wAll = Window.partitionBy()
     var scores = nodes.select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
     for (_ <- 0 until iters) {
-      val aRaw = nodes.join(
-        e.join(scores.select(col("node").as("src"), col("h")), "src")
-          .groupBy(col("dst").as("node")).agg(sum("h").as("ar")),
-        Seq("node"), "left")
-        .select(col("node"), coalesce(col("ar"), lit(0.0)).as("ar"))
-      val aNorm = aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("an"))
-      val aDf = aRaw.crossJoin(aNorm)
+      val aDf = e.join(scores.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("h").as("ar"))
+        .withColumn("_an", sqrt(sum(col("ar") * col("ar")).over(wAll)))
         .select(col("node"),
-          round(when(col("an") > 0, col("ar") / col("an"))
+          round(when(col("_an") > 0, col("ar") / col("_an"))
             .otherwise(lit(0.0)), 10).as("a"))
-      val hRaw = nodes.join(
-        e.join(aDf.select(col("node").as("dst"), col("a")), "dst")
-          .groupBy(col("src").as("node")).agg(sum("a").as("hr")),
-        Seq("node"), "left")
-        .select(col("node"), coalesce(col("hr"), lit(0.0)).as("hr"))
-      val hNorm = hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("hn"))
-      val hDf = hRaw.crossJoin(hNorm)
+      val hDf = e.join(aDf.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("a").as("hr"))
+        .withColumn("_hn", sqrt(sum(col("hr") * col("hr")).over(wAll)))
         .select(col("node"),
-          round(when(col("hn") > 0, col("hr") / col("hn"))
+          round(when(col("_hn") > 0, col("hr") / col("_hn"))
             .otherwise(lit(0.0)), 10).as("h"))
-      scores = hDf.join(aDf, "node").localCheckpoint()
+      scores = hDf.join(aDf, Seq("node"), "full")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"),
+          coalesce(col("a"), lit(0.0)).as("a"))
+        .localCheckpoint()
     }
-    scores.select(col("node"), round(col("h"), 6).as("hub"),
-      round(col("a"), 6).as("authority"))
+    nodes.join(scores, Seq("node"), "left")
+      .select(col("node"), round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("authority"))
   }
 
   /**

@@ -1515,17 +1515,21 @@ object TextMetrics {
       .toDF("tri", "lps")
     // FanOut: per-character trigram construction + the 40-column score
     // aggregation run at scan parallelism; each document's exploded rows
-    // stay contiguous, so the per-doc sums are bit-identical
+    // stay contiguous, so the per-doc sums are bit-identical.
+    // Trigrams come from an exploded position sequence + plain substring
+    // — NOT a transform() lambda: higher-order-function lambdas measured
+    // a ~1.5 s FIXED per-action cost at any scale (plan/codegen setup,
+    // r18), where the equivalent explode+substring is pure codegen
+    // (identical rows, probe-verified; admission length>=3 ==
+    // "has a trigram")
     val base = FanOut(docs)
       .select(col(idCol),
         trim(regexp_replace(lower(col(textCol)), "[^a-z]+", " ")).as("s"))
-      .select(col(idCol), expr(
-        """CASE WHEN length(s) >= 3
-          | THEN transform(sequence(1, length(s) - 2),
-          |   i -> substring(s, i, 3))
-          | ELSE array() END""".stripMargin).as("tris"))
-      .where(size(col("tris")) > 0)
-    val agg = base.select(col(idCol), explode(col("tris")).as("tri"))
+      .where(length(col("s")) >= 3)
+    val agg = base
+      .select(col(idCol), col("s"),
+        explode(expr("sequence(1, length(s) - 2)")).as("i"))
+      .select(col(idCol), expr("substring(s, i, 3)").as("tri"))
       .join(broadcast(wide), Seq("tri"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_tri"),
