@@ -400,14 +400,18 @@ object Dedup {
     // operators): the tokenize+explode+md5 scan feeds BOTH the dup
     // aggregate and the probe side of the join — uncached it would run
     // the full-corpus hashing twice per action
-    val spans = CacheScope.track(docs
+    // exploded position + plain slice/md5, NOT inline(transform(...)):
+    // the HOF lambda forced interpreted evaluation of the whole hashing
+    // stage (r18); identical (pos, span_hash) rows by construction.
+    // FanOut: the per-span md5 is the expensive pre-shuffle map stage.
+    val spans = CacheScope.track(FanOut(docs)
       .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= n)
-      .select(col(idCol), expr(
-        s"""inline(transform(sequence(1, size(tok) - ${n - 1}, $stride),
-           |  i -> struct(cast(i as bigint) as pos,
-           |    md5(array_join(slice(tok, i, $n), ' ')) as span_hash)))"""
-          .stripMargin)))
+      .select(col(idCol), col("tok"),
+        explode(expr(s"sequence(1, size(tok) - ${n - 1}, $stride)"))
+          .as("_i"))
+      .select(col(idCol), col("_i").cast("bigint").as("pos"),
+        expr(s"md5(array_join(slice(tok, _i, $n), ' '))").as("span_hash")))
     val dups = spans.groupBy("span_hash")
       .agg(countDistinct(col(idCol)).as("n_docs"),
         count(lit(1)).as("n_occ"))
@@ -533,10 +537,12 @@ object Dedup {
    */
   def minhashSignatures(
       docs: DataFrame, textCol: String, idCol: String, numHashes: Int = 8): DataFrame = {
-    // FanOut: the 8-md5-per-shingle map work is the expensive stage and
-    // runs at SCAN parallelism — single-file local inputs would hash on
-    // one core (r18 measured: a 2-task 3 s stage); no-op at corpus scale
-    val tok = FanOut(docs)
+    // No FanOut HERE: signature-only consumers that merely count rows
+    // let the optimizer PRUNE the 8-md5-per-shingle aggregates, and a
+    // repartition below the agg would put an unprunable exchange under
+    // that fast path. Pair/band-key callers (where the hashes are
+    // always computed) FanOut the docs before calling.
+    val tok = docs
       .select(col(idCol), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
     // exploded position + plain concat, NOT explode(transform(...)):
@@ -576,8 +582,13 @@ object Dedup {
   def minhashBandKeys(
       docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int = 8, bandSize: Int = 2): DataFrame =
+    // FanOut: the 8-md5-per-shingle signature map is the expensive
+    // stage and runs at scan parallelism — single-file local inputs
+    // would hash on one core (r18 measured: a 2-task 3 s stage); no-op
+    // at corpus scale. Applied here (not in minhashSignatures) so the
+    // signature-only fast path stays prunable.
     bandKeysOf(
-      minhashSignatures(docs, textCol, idCol, numHashes)
+      minhashSignatures(FanOut(docs), textCol, idCol, numHashes)
         .withColumn("parts", split(col("minhash_sig"), "\\|")),
       idCol, numHashes, bandSize)
 
@@ -592,7 +603,7 @@ object Dedup {
     // guard and both pair-join sides reuse one computation of the
     // 8-md5-per-shingle aggregation
     val sig = CacheScope.track(
-      minhashSignatures(docs, textCol, idCol, numHashes)
+      minhashSignatures(FanOut(docs), textCol, idCol, numHashes)
         .withColumn("parts", split(col("minhash_sig"), "\\|")))
     val exploded = bandKeysOf(sig, idCol, numHashes, bandSize)
     val kept = capBuckets(exploded, maxBucketSize, "minhashCandidatePairs")
@@ -1075,7 +1086,7 @@ object Dedup {
     val nBands = maxHamming + 1
     // fingerprints cached (tracked, doc-count-sized): the bucket guard and
     // both pair-join sides reuse one computation of the 64-bit-sum agg
-    val fp = CacheScope.track(simhash(docs, textCol, idCol, portable))
+    val fp = CacheScope.track(simhash(FanOut(docs), textCol, idCol, portable))
     // auto-route d from the corpus size: the count materializes the
     // cached fingerprint frame the plan reuses anyway, so the sizing
     // action costs one cache scan, not a second fingerprint pass
@@ -1117,7 +1128,7 @@ object Dedup {
       maxHamming: Int = 8, maxBucketSize: Int = 100000,
       portable: Boolean = false): DataFrame = {
     val nBands = maxHamming + 1
-    val newFp = CacheScope.track(simhash(newDocs, textCol, idCol, portable))
+    val newFp = CacheScope.track(simhash(FanOut(newDocs), textCol, idCol, portable))
       .select(col(idCol).as("id"), col("simhash")).withColumn("_new", lit(true))
     val corpusFp = corpusFingerprints
       .select(col(idCol).as("id"), col("simhash")).withColumn("_new", lit(false))
@@ -1216,9 +1227,9 @@ object Dedup {
   def simhash(
       docs: DataFrame, textCol: String, idCol: String,
       portable: Boolean = false): DataFrame = {
-    // FanOut: per-token hashing + the 64-column bit aggregation dominate
-    // and run at scan parallelism (see minhashSignatures)
-    val tokens = FanOut(docs).select(col(idCol),
+    // No FanOut here (the minhashSignatures prunability argument):
+    // pair-path callers fan the docs out before calling
+    val tokens = docs.select(col(idCol),
       explode(split(col(textCol), " ", -1)).as("t"))
       .filter(length(col("t")) > 0)
     val (hashed, bitSet) =

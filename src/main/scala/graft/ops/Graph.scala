@@ -431,8 +431,17 @@ object Graph {
       else when(col("x.deg") <= effSample, lit(1.0))
         .otherwise(col("x.deg").cast("double") * (col("x.deg") - 1) /
           (col("x._k").cast("double") * (col("x._k") - 1)))
-    val scored = centers.as("x")
-      .join(centers.as("y"),
+    // pin the wedge join's width with an explicit keyed repartition: the
+    // per-center pair generation is the O(s²) CPU stage, and AQE's
+    // byte-sized coalescing otherwise shrinks the tiny-bytes exchange to
+    // ONE partition (r18 measured a single 2.5 s task under a sub-second
+    // parallel plan). REPARTITION_BY_NUM is not coalescable, the SMJ
+    // reuses it on both sides, and N is the session shuffle parallelism
+    // — the cluster-sized setting, not a local constant.
+    val nPart = edges.sparkSession.sessionState.conf.numShufflePartitions
+    val centersP = centers.repartition(nPart, col("ctr"))
+    val scored = centersP.as("x")
+      .join(centersP.as("y"),
         col("x.ctr") === col("y.ctr") && col("x.n") < col("y.n"))
       .select(col("x.n").as("a"), col("y.n").as("b"),
         col("x.deg").as("_dw"), w.as("_w"))

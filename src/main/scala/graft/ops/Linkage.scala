@@ -170,8 +170,15 @@ object Linkage {
     val sa = base.select(col("_id").as("id_a"), col("_s").as("_sa"))
     val sb = base.select(col("_id").as("id_b"), col("_s").as("_sb"))
     val dist = levenshtein(col("_sa"), col("_sb"), math.max(maxDist, 1))
+    // pin the kernel stage's width: the DP verify evaluates in the stage
+    // reading the id_b join, whose exchange AQE otherwise coalesces by
+    // bytes (candidate rows are ids-wide) down to a handful of tasks —
+    // r18 measured the kernel on 6 tasks under a 32-core session. The
+    // keyed REPARTITION_BY_NUM satisfies the join's distribution, so no
+    // extra exchange is added.
     cand
       .join(sa.hint("merge"), Seq("id_a"))
+      .repartition(nPart, col("id_b"))
       .join(sb.hint("merge"), Seq("id_b"))
       .select((col("id_a") +: col("id_b") +: blockCols.map(col)) :+
         explode(when(dist.between(0, maxDist), array(dist))

@@ -122,7 +122,7 @@ object Multimodal {
   def extractMetadata(
       df: DataFrame, idCol: String, binaryCol: String): Dataset[MediaMeta] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
@@ -325,7 +325,7 @@ object Multimodal {
   def decodeMedia(
       df: DataFrame, idCol: String, binaryCol: String): Dataset[MediaDecoded] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .mapPartitions(it => it.map(r => decodeOne(r.id, r.payload)))
   }
@@ -337,7 +337,7 @@ object Multimodal {
   def extractFeatures(
       df: DataFrame, idCol: String, binaryCol: String, dim: Int = 16): Dataset[MediaFeatures] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
@@ -550,7 +550,7 @@ object Multimodal {
   def imageHashes(df: DataFrame, idCol: String,
       binaryCol: String): Dataset[MediaHash] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .mapPartitions(it => it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -589,7 +589,7 @@ object Multimodal {
   def audioHashes(df: DataFrame, idCol: String,
       binaryCol: String): Dataset[MediaHash] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .mapPartitions(it => it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -683,7 +683,7 @@ object Multimodal {
       everyNth: Int = 2): Dataset[VideoHash] = {
     require(everyNth >= 1, s"everyNth must be >= 1: $everyNth")
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .mapPartitions(it => it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -738,7 +738,7 @@ object Multimodal {
       df: DataFrame, idCol: String, binaryCol: String,
       frameBytes: Int = 256, everyNth: Int = 4): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
+    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
       .as[MediaRecord]
       .flatMap { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload

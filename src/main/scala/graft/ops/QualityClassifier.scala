@@ -84,8 +84,10 @@ object QualityClassifier {
    * oracle-checkable end to end. Output: idCol, b (bucket), tf. */
   private def bucketTf(docs: DataFrame, textCol: String, idCol: String,
       buckets: Int): DataFrame =
-    // FanOut: one md5 per token, pre-shuffle map work
-    FanOut(docs)
+    // no FanOut: this featurization sits inside trainPortable's
+    // iterative optimizer loop, where an extra exchange is paid per
+    // re-evaluation (r18 measured text_quality_model +1 s with it)
+    docs
       .select(col(idCol),
         explode(split(lower(col(textCol)), " ", -1)).as("t"))
       .filter(col("t") =!= "")

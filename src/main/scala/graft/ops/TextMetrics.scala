@@ -2338,7 +2338,13 @@ object TextMetrics {
           |    THEN concat(acc.out, array(array_join(acc.cur, ' ')))
           |    ELSE acc.out END)""".stripMargin).as("_ps"))
       .select(col("id"), explode(col("_ps")).as("phrase"))
-    val words = phrases
+    // pin the phrase frame: the segmentation fold above is an
+    // interpreted HOF (the expensive stage here), and the word-stat and
+    // phrase-score subtrees below both re-evaluate `phrases` — the pin
+    // bounds the fold to one evaluation (r18; AQE-planned cache
+    // partitioning keeps the pin itself cheap)
+    val phrasesPinned = CacheScope.track(phrases)
+    val words = phrasesPinned
       .withColumn("_ws", split(col("phrase"), " ", -1))
       .withColumn("n_words", size(col("_ws")).cast("long"))
       .select(col("id"), col("phrase"), col("n_words"),
