@@ -290,7 +290,7 @@ object TextMetrics {
    * round r never replays rounds 1..r-1.
    */
   def trainBpe(docs: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 2L, checkpointEvery: Int = 16): Seq[(String, String)] = {
+      minPairCount: Long = 2L, checkpointEvery: Int = 4): Seq[(String, String)] = {
     require(numMerges >= 0, "numMerges must be non-negative")
     require(minPairCount >= 2L,
       "minPairCount below 2 would merge pairs that never repeat")
