@@ -712,15 +712,17 @@ object Dedup {
       shingles.select(col("sid"), size(col("sh")).as("nsh")),
       aCol, bCol, minJaccard)
 
-  /** [[jaccardVerify]] over an already-exploded (sid, s) distinct
-   * shingle frame plus a (sid, nsh) size frame. */
+  /** [[jaccardVerify]] over an already-exploded (sid, s) shingle frame
+   * plus a (sid, nsh) DISTINCT-size frame. The exploded frame may carry
+   * duplicate (sid, s) rows — the intersection counts distinct shingles,
+   * so the result equals the distinct-set form. */
   private def jaccardVerifyExploded(
       cand: DataFrame, exploded: DataFrame, sizes: DataFrame,
       aCol: String, bCol: String, minJaccard: Double): DataFrame = {
     val interCounts = cand
       .join(exploded.select(col("sid").as(aCol), col("s")), aCol)
       .join(exploded.select(col("sid").as(bCol), col("s")), Seq(bCol, "s"))
-      .groupBy(aCol, bCol).agg(count(lit(1)).as("inter"))
+      .groupBy(aCol, bCol).agg(countDistinct(col("s")).as("inter"))
     cand
       .join(interCounts, Seq(aCol, bCol), "left")
       .withColumn("inter", coalesce(col("inter"), lit(0L)))
@@ -745,6 +747,9 @@ object Dedup {
    * verify join and signature aggregation shuffle anyway. */
   private def ngramShinglesExploded(
       docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    // NOT deduplicated: a separate distinct() exchange measured net
+    // negative; every consumer is duplicate-insensitive instead (min
+    // signatures by definition, sizes/intersections via countDistinct)
     FanOut(docs)
       .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
       .filter(size(col("tok")) >= 3)
@@ -752,7 +757,6 @@ object Dedup {
         explode(expr("sequence(1, size(tok) - 2)")).as("i"))
       .select(col("sid"),
         expr("concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1])").as("s"))
-      .distinct()
 
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -760,7 +764,8 @@ object Dedup {
       maxBucketSize: Int = 100000): DataFrame = {
     val exploded = CacheScope.track(
       ngramShinglesExploded(docs, textCol, idCol))
-    val sizes = exploded.groupBy("sid").agg(count(lit(1)).as("nsh"))
+    val sizes = exploded.groupBy("sid")
+      .agg(countDistinct(col("s")).as("nsh"))
     // cached (tracked): the signature aggregation inside feeds the bucket
     // guard and both pair-join sides
     val keyed = CacheScope.track(
