@@ -118,11 +118,16 @@ object Multimodal {
   }
 
   /** Batched metadata extraction: one narrow mapPartitions pass parsing
-   * real container headers (see sniffMeta). */
+   * real container headers (see sniffMeta). NO FanOut: header sniffing
+   * reads a few dozen leading bytes per row — trivial CPU — so a
+   * round-robin exchange of the RAW PAYLOADS costs more than the
+   * parallelism buys at any scale where the exchange would fire
+   * (r18 measured the FanOut form at 3.4x the floor; never shuffle
+   * media bytes to parallelize cheap work). */
   def extractMetadata(
       df: DataFrame, idCol: String, binaryCol: String): Dataset[MediaMeta] = {
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
@@ -325,7 +330,12 @@ object Multimodal {
   def decodeMedia(
       df: DataFrame, idCol: String, binaryCol: String): Dataset[MediaDecoded] = {
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    // No FanOut on any Multimodal payload path (r19): a round-robin
+    // exchange of raw media bytes costs more than the decode parallelism
+    // it buys whenever the exchange would fire (small inputs), and is a
+    // no-op at scale (the scan is already wide). r18's FanOut forms
+    // measured 1.5-3.4x the pre-FanOut floors across the mm gates.
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .mapPartitions(it => it.map(r => decodeOne(r.id, r.payload)))
   }
@@ -337,7 +347,8 @@ object Multimodal {
   def extractFeatures(
       df: DataFrame, idCol: String, binaryCol: String, dim: Int = 16): Dataset[MediaFeatures] = {
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    // No FanOut: see decodeMedia — never shuffle media bytes for parallelism.
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
@@ -550,7 +561,8 @@ object Multimodal {
   def imageHashes(df: DataFrame, idCol: String,
       binaryCol: String): Dataset[MediaHash] = {
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    // No FanOut: see decodeMedia — never shuffle media bytes for parallelism.
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .mapPartitions(it => it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -589,7 +601,11 @@ object Multimodal {
   def audioHashes(df: DataFrame, idCol: String,
       binaryCol: String): Dataset[MediaHash] = {
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    // No FanOut: the envelope hash is ONE linear PCM pass per clip —
+    // cheaper than round-robin-shuffling the clip bytes (r19 measured
+    // the FanOut form 0.84 s vs 0.63 s without; the payload exchange
+    // costs more than the decode parallelism buys).
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .mapPartitions(it => it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -623,8 +639,14 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming < bands,
       s"pigeonhole needs maxHamming < bands, got $maxHamming vs $bands")
     val width = 64 / bands
-    val hashes = hashFrame.filter(col("real_decode"))
-      .select(col("id"), col("dhash"))
+    // Pin the (id, dhash) frame: the banded candidate join is a SELF-join,
+    // so without a pin each side re-evaluates the upstream decode
+    // mapPartitions — every image/clip/video decoded TWICE. The pinned
+    // frame is 16 bytes/row (ids + hashes, payloads projected away), so
+    // the cache is negligible while the decode CPU halves. Tracked under
+    // CacheScope.Ops like the Dedup pair operators' signature pins.
+    val hashes = CacheScope.track(hashFrame.filter(col("real_decode"))
+      .select(col("id"), col("dhash")))
     val banded = hashes.select(col("id"), col("dhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -683,7 +705,8 @@ object Multimodal {
       everyNth: Int = 2): Dataset[VideoHash] = {
     require(everyNth >= 1, s"everyNth must be >= 1: $everyNth")
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    // No FanOut: see decodeMedia — never shuffle media bytes for parallelism.
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .mapPartitions(it => it.map { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
@@ -738,7 +761,8 @@ object Multimodal {
       df: DataFrame, idCol: String, binaryCol: String,
       frameBytes: Int = 256, everyNth: Int = 4): DataFrame = {
     import df.sparkSession.implicits._
-    FanOut(df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload")))
+    // No FanOut: see decodeMedia — never shuffle media bytes for parallelism.
+    df.select(col(idCol).cast("long").as("id"), col(binaryCol).as("payload"))
       .as[MediaRecord]
       .flatMap { r =>
         val payload = if (r.payload == null) Array.empty[Byte] else r.payload
