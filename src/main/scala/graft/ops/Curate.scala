@@ -66,18 +66,20 @@ object Curate {
     // not data. Checkpointing keeps the one-materialization-per-stage
     // execution AND resets the plan at each boundary — the standard
     // persist-between-stages pipeline shape.
-    // Fan out before each pin: the checkpoint stores the frame at its
-    // CURRENT partitioning, and AQE coalesces a small stage output to
-    // one partition — serializing the NEXT stage's per-row text rules
-    // (r18 measured a single 1.75 s gopher task). The fan decision is
-    // made ONCE on the raw corpus scan (reliable statistics; a join
-    // output's estimate is inflated and would mask the local case) and
-    // is None at corpus scale, so production plans carry no extra
-    // exchanges.
-    // (A per-pin repartition was tried and measured NET-NEGATIVE at gate
-    // scale — the per-stage exchanges cost more than the occasional
-    // coalesced-to-one-partition consumer stage they prevent — so pins
-    // checkpoint at natural partitioning.)
+    // Pins checkpoint at their NATURAL partitioning: a per-pin
+    // repartition was tried and measured NET-NEGATIVE at gate scale —
+    // the per-stage exchanges cost more than the occasional
+    // coalesced-to-one-partition consumer stage they prevent.
+    // CHECKPOINT LIFECYCLE (the connectedComponents contract): reliable
+    // checkpoint FILES are only auto-deleted when
+    // `spark.cleaner.referenceTracking.cleanCheckpoints=true` (Spark
+    // defaults it to false) — set it on a real cluster or the per-stage
+    // snapshots accumulate in the checkpoint dir until app exit;
+    // localCheckpoint blocks release via the ContextCleaner once the
+    // returned frame is unreferenced, at the cost of fault tolerance
+    // for that intermediate (an executor loss re-fails the query
+    // instead of recomputing — acceptable for a per-refresh batch job,
+    // set a checkpoint dir if it is not).
     val reliable = docs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def pin(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()

@@ -102,13 +102,29 @@ object Dedup {
       }
     }
 
-  /** 3-word shingles of a pre-split `tok` array — ONE definition shared by
-   * the minhash and ngram paths (both DuckDB oracles replay exactly this
-   * string construction; editing it in one place only would silently
-   * desynchronize them). */
+  /** 3-word shingles of a pre-split `tok` array — the array form of the
+   * shingle construction shared by the minhash and ngram paths (both
+   * DuckDB oracles replay exactly this string). Its hot-path twin is
+   * [[shingleRowsExploded]]; those two are the only definitions — edit
+   * them together or the oracles silently desynchronize. */
   private[ops] val shingleExpr: String =
     "transform(sequence(1, size(tok) - 2), i -> " +
       "concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1]))"
+
+  /** [[shingleExpr]]'s exploded-position twin — the lambda-free hot-path
+   * form (HOF lambdas force interpreted evaluation of their stage): one
+   * row per shingle slot, the shingle string in `s`. The string
+   * construction is character-identical to [[shingleExpr]]'s lambda
+   * body; these two are the ONLY definitions of the oracle-replayed
+   * shingle string — edit them together or the minhash/ngram oracles
+   * silently desynchronize. `tokenized` must carry (`idName`, tok). */
+  private def shingleRowsExploded(
+      tokenized: DataFrame, idName: String): DataFrame =
+    tokenized
+      .select(col(idName), col("tok"),
+        explode(expr("sequence(1, size(tok) - 2)")).as("i"))
+      .select(col(idName),
+        expr("concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1])").as("s"))
 
   /** Exact dedup on content hash. One shuffle on the 128-bit digest; at
    * 100 TB use it with spark.sql.shuffle.partitions sized to the corpus. */
@@ -548,11 +564,7 @@ object Dedup {
     // exploded position + plain concat, NOT explode(transform(...)):
     // HOF lambdas measured a ~1.5 s fixed per-action cost (r18);
     // identical shingle rows by construction
-    val shingled = tok.select(
-      col(idCol), col("tok"),
-      explode(expr("sequence(1, size(tok) - 2)")).as("i"))
-      .select(col(idCol),
-        expr("concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1])").as("s"))
+    val shingled = shingleRowsExploded(tok, idCol)
     val aggs = (0 until numHashes).map(j =>
       min(md5(concat(lit(s"$j|"), col("s")))).as(s"h$j"))
     val sig = shingled.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
@@ -715,7 +727,15 @@ object Dedup {
   /** [[jaccardVerify]] over an already-exploded (sid, s) shingle frame
    * plus a (sid, nsh) DISTINCT-size frame. The exploded frame may carry
    * duplicate (sid, s) rows — the intersection counts distinct shingles,
-   * so the result equals the distinct-set form. */
+   * so the result equals the distinct-set form — but callers SHOULD pass
+   * a per-(sid, s) distinct frame when one is free (see
+   * [[ngramJaccardPairs]]): a document with m copies of a shingle
+   * contributes m_a·m_b intermediate rows per (pair, shingle) before the
+   * countDistinct collapses them — quadratic on exactly the boilerplate-
+   * heavy near-dup-rich corpora this operator targets. (A candidate-id
+   * semi-join + distinct slice built HERE was measured at 3.7 → 5.3 s on
+   * the gate: the extra exchanges cost more than deriving the distinct
+   * frame upstream where the size aggregation already pays one.) */
   private def jaccardVerifyExploded(
       cand: DataFrame, exploded: DataFrame, sizes: DataFrame,
       aCol: String, bCol: String, minJaccard: Double): DataFrame = {
@@ -750,13 +770,11 @@ object Dedup {
     // NOT deduplicated: a separate distinct() exchange measured net
     // negative; every consumer is duplicate-insensitive instead (min
     // signatures by definition, sizes/intersections via countDistinct)
-    FanOut(docs)
-      .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
-      .filter(size(col("tok")) >= 3)
-      .select(col("sid"), col("tok"),
-        explode(expr("sequence(1, size(tok) - 2)")).as("i"))
-      .select(col("sid"),
-        expr("concat(tok[i - 1], ' ', tok[i], ' ', tok[i + 1])").as("s"))
+    shingleRowsExploded(
+      FanOut(docs)
+        .select(col(idCol).as("sid"), split(col(textCol), " ", -1).as("tok"))
+        .filter(size(col("tok")) >= 3),
+      "sid")
 
   def ngramJaccardPairs(
       docs: DataFrame, textCol: String, idCol: String,
@@ -764,8 +782,17 @@ object Dedup {
       maxBucketSize: Int = 100000): DataFrame = {
     val exploded = CacheScope.track(
       ngramShinglesExploded(docs, textCol, idCol))
-    val sizes = exploded.groupBy("sid")
-      .agg(countDistinct(col("s")).as("nsh"))
+    // per-(sid, s) DISTINCT shingles, pinned: the size aggregation pays
+    // this exchange anyway (countDistinct two-phases through a (sid, s)
+    // grouping), so deriving the distinct frame once and computing sizes
+    // from it adds no exchange — and the verify join's sides now carry
+    // one row per (doc, shingle), bounding the intersection join at
+    // LINEAR in the shingle count where duplicate-tolerant sides went
+    // m_a·m_b-quadratic on boilerplate-heavy documents (ADVICE r18). The
+    // raw duplicate-tolerant frame still feeds the min-signature path,
+    // where a distinct measured net-negative.
+    val dedup = CacheScope.track(exploded.dropDuplicates("sid", "s"))
+    val sizes = dedup.groupBy("sid").agg(count(lit(1)).as("nsh"))
     // cached (tracked): the signature aggregation inside feeds the bucket
     // guard and both pair-join sides
     val keyed = CacheScope.track(
@@ -776,7 +803,7 @@ object Dedup {
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    jaccardVerifyExploded(cand, exploded, sizes, "id_a", "id_b", minJaccard)
+    jaccardVerifyExploded(cand, dedup, sizes, "id_a", "id_b", minJaccard)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -1342,24 +1369,38 @@ object Dedup {
 
     // fixed point = (count, order-independent checksum) of the edge set
     // unchanged across a full round; XOR (not SUM) so ANSI mode can never
-    // overflow on the hash aggregate
-    def signature(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(u, v))")).collect()(0)
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
-
+    // overflow on the hash aggregate. r19: the signature rides the
+    // round's CHECKPOINT job as observe() metrics instead of a second
+    // collect over the checkpointed blocks — one driver action per round
+    // instead of two, identical fixed-point test values. NAMED observe +
+    // queryExecution.observedMetrics, NOT the Observation helper: merely
+    // constructing an Observation force-initializes the session's lazy
+    // `observationManager` — a non-transient, non-serializable
+    // SparkSession field — after which any closure that (even
+    // incidentally) captures the session, like a Spark ML model summary,
+    // dies Task-not-serializable for the rest of the application.
     val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
     def truncate(e: DataFrame): DataFrame =
       if (reliable) e.checkpoint() else e.localCheckpoint()
+    def truncateSigned(e: DataFrame): (DataFrame, (Long, Long)) = {
+      val observed = e.observe("graft_cc_sig", count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(u, v))").as("x"))
+      val cp = if (reliable) observed.checkpoint()
+        else observed.localCheckpoint()
+      // the eager checkpoint above executed `observed`'s plan; read the
+      // metrics straight off its executed plan's accumulators
+      val row = observed.queryExecution.observedMetrics("graft_cc_sig")
+      (cp, (row.getAs[Long]("n"),
+        if (row.isNullAt(row.fieldIndex("x"))) 0L else row.getAs[Long]("x")))
+    }
 
-    var cur = truncate(canonical)
-    var sig = signature(cur)
+    val init = truncateSigned(canonical)
+    var cur = init._1
+    var sig = init._2
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
-      val next = truncate(smallStar(largeStar(cur)))
-      val nextSig = signature(next)
+      val (next, nextSig) = truncateSigned(smallStar(largeStar(cur)))
       converged = nextSig == sig
       cur = next
       sig = nextSig

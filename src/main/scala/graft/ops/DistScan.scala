@@ -121,18 +121,41 @@ private[graft] object DistScan {
     val cuts = (1 until n)
       .map(i => svals(math.min(svals.length - 1, (i * step).toInt)))
       .distinct
+    // r19: bucket id via a BALANCED BINARY-SEARCH when-tree instead of
+    // the linear count fold — the fold evaluated one comparison per cut
+    // per row (~128 at 32 shuffle partitions) where log2(cuts) suffices,
+    // and the bucket id is evaluated on every totals/result read of the
+    // pin. Identical bucket ids by construction: the tree performs the
+    // SAME strict comparisons against the SAME ascending cut literals,
+    // and counting trues of a predicate monotone along a sorted list IS
+    // binary search. Null keys take every `otherwise` branch and land at
+    // the ascending tree's leftmost leaf = 0 (Spark's nulls-first
+    // ascending default, exactly the fold's otherwise(0) total); desc
+    // keeps the explicit isNull -> last-bucket guard.
+    val m = cuts.length
     if (desc) {
-      // bucket grows as the key DESCENDS; nulls sort last under desc
-      val nonNull = cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(key < lit(c), 1).otherwise(0)
-      }
-      when(key.isNull, lit(cuts.length)).otherwise(nonNull)
-    } else
-      // null keys: every comparison is null -> otherwise(0) -> bucket 0,
-      // exactly Spark's nulls-first ascending default
-      cuts.foldLeft(lit(0)) { (acc, c) =>
-        acc + when(key > lit(c), 1).otherwise(0)
-      }
+      // bucket = #{cuts c : key < c}; trues are a SUFFIX of the
+      // ascending cuts, so bucket >= mid  <=>  key < cuts(m - mid)
+      def tree(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi + 1) / 2
+          when(key < lit(cuts(m - mid)), tree(mid, hi))
+            .otherwise(tree(lo, mid - 1))
+        }
+      when(key.isNull, lit(m)).otherwise(tree(0, m))
+    } else {
+      // bucket = #{cuts c : key > c}; trues are a PREFIX of the
+      // ascending cuts, so bucket >= mid  <=>  key > cuts(mid - 1)
+      def tree(lo: Int, hi: Int): Column =
+        if (lo == hi) lit(lo)
+        else {
+          val mid = (lo + hi + 1) / 2
+          when(key > lit(cuts(mid - 1)), tree(mid, hi))
+            .otherwise(tree(lo, mid - 1))
+        }
+      tree(0, m)
+    }
   }
 
   /** One carry row per bucket, as a LOCAL frame: the per-bucket combines

@@ -35,25 +35,21 @@ import org.apache.spark.sql.DataFrame
  */
 private[graft] object FanOut {
   /** `docs` repartitioned to the session default parallelism when the
-    * plan's size estimate proves the scan under-parallelizes; `docs`
-    * unchanged otherwise. */
-  def apply(docs: DataFrame): DataFrame =
-    decide(docs).map(docs.repartition(_)).getOrElse(docs)
-
-  /** The fan decision alone: Some(targetPartitions) when `probe`'s size
-    * estimate is below cores x maxPartitionBytes (the scan cannot reach
-    * the session parallelism), None at scale. Callers with a chain of
-    * derived frames (whose join-output estimates are unreliable) decide
-    * ONCE on the raw input and apply the result to each stage. */
-  def decide(probe: DataFrame): Option[Int] = {
-    val spark = probe.sparkSession
+    * plan's size estimate (optimized-plan statistics — no job, no
+    * action) proves the scan under-parallelizes (estimated bytes <
+    * cores × maxPartitionBytes); `docs` unchanged otherwise — and
+    * always unchanged at corpus scale. */
+  def apply(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (target <= 1) return None
+    if (target <= 1) return docs
     val maxPartitionBytes =
       spark.sessionState.conf.filesMaxPartitionBytes
     val estBytes =
-      try probe.queryExecution.optimizedPlan.stats.sizeInBytes
-      catch { case scala.util.control.NonFatal(_) => return None }
-    if (estBytes < BigInt(maxPartitionBytes) * target) Some(target) else None
+      try docs.queryExecution.optimizedPlan.stats.sizeInBytes
+      catch { case scala.util.control.NonFatal(_) => return docs }
+    if (estBytes < BigInt(maxPartitionBytes) * target)
+      docs.repartition(target)
+    else docs
   }
 }

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -176,26 +175,33 @@ object Graph {
     // joins per round gone, identical scores (the 10dp per-round
     // rounding pins both forms to the same values; gate-verified).
     // Absent nodes re-enter as 0/0 in the final projection.
-    // Norms via a partition-less window over the node-sized score frame
-    // (not a crossJoin of a separate aggregate): the window normalizes
-    // in the SAME pass, so the edges⋈scores join+agg — the only
-    // data-scale work of a round — is evaluated once per direction
-    // instead of re-executing under both the norm subtree and the score
-    // projection. The window's single task holds one row per NODE WITH
-    // NONZERO SCORE (never edges), the bounded-carry-table argument
-    // from DistScan; values are pinned by the same 10dp rounding.
-    val wAll = Window.partitionBy()
+    // r19 (VERDICT r18 #3): norms as DISTRIBUTED 1-row aggregates
+    // crossJoin-broadcast back, reading each direction's raw-score frame
+    // from a PIN. The r18 partition-less window funneled every
+    // nonzero-score node through ONE task twice per iteration — a
+    // NODE-sized frame, not a bounded carry table, i.e. billions of rows
+    // through a single task on a corpus-scale graph. The pin keeps r18's
+    // join-elimination win: the edges⋈scores join+agg — the only
+    // data-scale work of a round — still evaluates once per direction
+    // (the norm subtree and the score projection both read the cache),
+    // and each round's pins release the moment the round's checkpoint
+    // has materialized. Values pinned by the same 10dp rounding (the
+    // oracle computes the identical plain-aggregate norm).
     var scores = nodes.select(col("node"), lit(1.0).as("h"), lit(1.0).as("a"))
     for (_ <- 0 until iters) {
-      val aDf = e.join(scores.select(col("node").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("node")).agg(sum("h").as("ar"))
-        .withColumn("_an", sqrt(sum(col("ar") * col("ar")).over(wAll)))
+      val aRaw = CacheScope.track(
+        e.join(scores.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("node")).agg(sum("h").as("ar")))
+      val aDf = aRaw.crossJoin(
+          broadcast(aRaw.agg(sqrt(sum(col("ar") * col("ar"))).as("_an"))))
         .select(col("node"),
           round(when(col("_an") > 0, col("ar") / col("_an"))
             .otherwise(lit(0.0)), 10).as("a"))
-      val hDf = e.join(aDf.select(col("node").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("node")).agg(sum("a").as("hr"))
-        .withColumn("_hn", sqrt(sum(col("hr") * col("hr")).over(wAll)))
+      val hRaw = CacheScope.track(
+        e.join(aDf.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("node")).agg(sum("a").as("hr")))
+      val hDf = hRaw.crossJoin(
+          broadcast(hRaw.agg(sqrt(sum(col("hr") * col("hr"))).as("_hn"))))
         .select(col("node"),
           round(when(col("_hn") > 0, col("hr") / col("_hn"))
             .otherwise(lit(0.0)), 10).as("h"))
@@ -203,6 +209,10 @@ object Graph {
         .select(col("node"), coalesce(col("h"), lit(0.0)).as("h"),
           coalesce(col("a"), lit(0.0)).as("a"))
         .localCheckpoint()
+      // the eager checkpoint above cut every reference to this round's
+      // raw frames — release the pins now, not at session teardown
+      CacheScope.untrack(aRaw)
+      CacheScope.untrack(hRaw)
     }
     nodes.join(scores, Seq("node"), "left")
       .select(col("node"), round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
@@ -242,7 +252,24 @@ object Graph {
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-    var e = und.localCheckpoint()
+    // r19: the fixpoint test rides each round's checkpoint job as an
+    // observe() metric — the old shape ran e2.count() AND e.count() per
+    // round (two extra jobs re-counting checkpointed blocks); the edge
+    // count is now measured once per frame, fused into the action that
+    // materializes it. Identical test values, 1 job per round not 3.
+    // named observe + observedMetrics, NOT Observation — see the
+    // connectedComponents note: Observation force-initializes the
+    // session's non-serializable observationManager field and poisons
+    // later session-capturing closures (e.g. Spark ML summaries).
+    def cpCounted(f: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) = {
+      val observed = f.observe("graft_kcore_n", count(lit(1)).as("n"))
+      val cp = observed.localCheckpoint()
+      (cp, observed.queryExecution.observedMetrics("graft_kcore_n")
+        .getAs[Long]("n"))
+    }
+    val init = cpCounted(und)
+    var e = init._1
+    var nCur = init._2
     var round = 0
     var done = false
     while (round < maxRounds && !done) {
@@ -250,12 +277,12 @@ object Graph {
         .unionAll(e.select(col("b").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select("node")
-      val e2 = e
+      val (e2, n2) = cpCounted(e
         .join(keep.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
-        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
-        .localCheckpoint()
-      done = e2.count() == e.count() // fixpoint: nothing peeled this round
+        .join(keep.withColumnRenamed("node", "b"), Seq("b"), "left_semi"))
+      done = n2 == nCur // fixpoint: nothing peeled this round
       e = e2
+      nCur = n2
       round += 1
     }
     // a truncated peel is NOT a k-core (retained edges of sub-k nodes
