@@ -1132,8 +1132,24 @@ object Dedup {
       .select(col(idCol).as("id"), col("simhash"),
         explode(keyCols).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs",
+    // pin the band join's width (the linkPrediction pattern, r19) on the
+    // CLASSIC d=1 route: its per-bucket pair generation + bit_count
+    // verify is the CPU stage, and AQE's byte-sized coalescing shrinks
+    // the small-bytes (band, key) exchange to ONE partition (profiled: a
+    // single 1.34 s task under an otherwise-parallel plan; pinned 1.58x).
+    // REPARTITION_BY_NUM is not coalescable, both self-join sides reuse
+    // the one exchange, and N is the session shuffle parallelism — the
+    // cluster-sized setting. The d>1 multi-block route is NOT pinned:
+    // its C(h+d, d)-keys-per-doc frame makes the extra exchange cost
+    // more than the tiny per-bucket joins it would parallelize
+    // (measured 0.94x on dedup_simhash_pairs_mb).
+    val capped = capBuckets(keyed, maxBucketSize, "simhashCandidatePairs",
       hugeKeySpace = d > 1)
+    val kept =
+      if (d > 1) capped
+      else capped.repartition(
+        docs.sparkSession.sessionState.conf.numShufflePartitions,
+        col("band"), col("key"))
     val a = kept.select(col("id").as("id_a"), col("simhash").as("h_a"),
       col("band"), col("key"))
     val b = kept.select(col("id").as("id_b"), col("simhash").as("h_b"),
@@ -1169,7 +1185,11 @@ object Dedup {
         explode(simhashBandCols(nBands)).as("bk"))
       .select(col("id"), col("simhash"), col("_new"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val kept = capBuckets(keyed, maxBucketSize, "simhashCandidatePairsIncremental")
+    // width pin: see simhashCandidatePairs
+    val kept = capBuckets(keyed, maxBucketSize,
+        "simhashCandidatePairsIncremental")
+      .repartition(newDocs.sparkSession.sessionState.conf
+        .numShufflePartitions, col("band"), col("key"))
     val a = kept.filter(col("_new")).select(col("id").as("id_new"),
       col("simhash").as("h_a"), col("band"), col("key"))
     val b = kept.select(col("id").as("id_match"), col("simhash").as("h_b"),
@@ -1724,7 +1744,14 @@ object Dedup {
       ngramShingles(docs, textCol, idCol))
     val sizes = sh.select(col("sid"), size(col("sh")).as("c"))
     val ex = sh.select(col("sid"), explode(col("sh")).as("s"))
-    val truth = ex.as("x")
+    // truth and cand are each read TWICE below (their own 1-row
+    // aggregate + the hits semi-join); unpinned, the m² inverted-index
+    // truth join and the banded candidate join re-evaluated once per
+    // reference (r19 profile: the two heaviest stages of the query were
+    // the same join twice — 13.1 s + 6.4 s of task time). Pinned, each
+    // evaluates once; both frames are pair-sized, released by
+    // unpersistAll like the other pair-operator pins.
+    val truth = CacheScope.track(ex.as("x")
       .join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.sid") < col("y.sid"))
       .groupBy(col("x.sid").as("ia"), col("y.sid").as("ib"))
@@ -1735,10 +1762,11 @@ object Dedup {
       .filter(col("j") >= minJaccard)
       .select(col("ia"), col("ib"),
         (lit(1.0) - pow(lit(1.0) - pow(col("j"), bandSize), bands))
-          .as("p_hit"))
-    val cand = minhashCandidatePairs(docs, textCol, idCol, numHashes,
-      bandSize, maxBucketSize)
-      .select(col("id_a").as("ia"), col("id_b").as("ib"))
+          .as("p_hit")))
+    val cand = CacheScope.track(
+      minhashCandidatePairs(docs, textCol, idCol, numHashes,
+        bandSize, maxBucketSize)
+        .select(col("id_a").as("ia"), col("id_b").as("ib")))
     val tAgg = truth.agg(count(lit(1)).as("n_truth"),
       sum(col("p_hit")).as("_psum"))
     val cAgg = cand.agg(count(lit(1)).as("n_candidates"))

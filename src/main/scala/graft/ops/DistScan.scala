@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
  *
  * Determinism: bucket CUT POINTS are sampled once at operator-construction
  * time and folded into the plan as literals, and the per-bucket carry
- * offsets are computed by one bounded aggregate job and joined back as a
- * LOCAL broadcast frame — so `_p` is a pure function of the row and every
- * evaluation of the result plan sees the same bucketing. (The previous
+ * offsets are a bounded (≤ nBuckets rows) aggregate subtree broadcast-
+ * joined back inside the result plan — so `_p` is a pure function of the
+ * row and every evaluation of the result plan sees the same bucketing. (The previous
  * shape derived `_p` from spark_partition_id over a sampled range
  * shuffle — nondeterministic across plan branches — and leaned on a
  * session-tracked cache to pin one materialization; that cache was a
@@ -158,36 +158,41 @@ private[graft] object DistScan {
     }
   }
 
-  /** One carry row per bucket, as a LOCAL frame: the per-bucket combines
-   * are aggregated distributed (map-side combined), the ≤ nBuckets
-   * result rows collected (bounded by config, never data), and the
-   * prefix-combine window runs over the re-created local frame — so the
-   * result plan joins a broadcast-able literal table instead of
-   * re-evaluating the input. `_off<i>` = the combine of `perBucket(i)`
-   * over all EARLIER buckets (null when none).
+  /** One carry row per bucket, as a LAZY bounded subtree: the per-bucket
+   * combines are aggregated distributed (map-side combined, reading the
+   * pin) down to ≤ nBuckets rows (bounded by config, never data), and
+   * the prefix-combine window runs over that bounded frame INSIDE the
+   * result plan — the caller broadcast-joins it back. `_off<i>` = the
+   * combine of `perBucket(i)` over all EARLIER buckets (null when none).
+   *
+   * r19 (VERDICT #4): previously the totals were collect()ed and
+   * re-created as a local frame — a separate driver job (plus a
+   * 32-partition ParallelCollection scan of ~128 rows) per scan level.
+   * The DistScan family's remaining cost profile is job-count latency,
+   * not bytes (q_spearman: 28 stages, 3.9 s wall, 32 s task time —
+   * pure scheduling), so a scan level now runs ONE driver job: the
+   * cut-point sample (which also fills the pin); totals, carry window
+   * and join-back all ride the result action. Values are identical —
+   * the same distributed aggregate feeds the same window.
    *
    * KNOWN LOG LINE: the prefix window below is partition-less, so Spark
    * emits `WARN WindowExec: No Partition Defined ... serious performance
    * degradation` once per scan. The warning's premise does not apply —
-   * the frame is the LOCAL ≤ nBuckets carry table (4·shuffle-partitions
-   * rows by config, never data), already on one partition by
-   * construction. Operators chasing this warning in cluster logs should
-   * match it against a DistScan-family query and move on; a
+   * the frame is the ≤ nBuckets carry table (4·shuffle-partitions rows
+   * by config, never data). Operators chasing this warning in cluster
+   * logs should match it against a DistScan-family query and move on; a
    * driver-side fold would silence it only by reimplementing typed
    * sum/min/max arithmetic for every value type the scans carry. */
   private def offsets(p: DataFrame, perBucket: Seq[Column],
       combine: Seq[Column => Column]): DataFrame = {
-    val spark = p.sparkSession
     val totals = p.groupBy(col("_p"))
       .agg(perBucket.head.as("_pt0"),
         perBucket.tail.zipWithIndex.map { case (c, i) =>
           c.as(s"_pt${i + 1}")
         }: _*)
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(totals.collect(): _*), totals.schema)
     val wOff = Window.orderBy(col("_p"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    combine.zipWithIndex.foldLeft(local) { case (acc, (f, i)) =>
+    combine.zipWithIndex.foldLeft(totals) { case (acc, (f, i)) =>
       acc.withColumn(s"_off$i", f(col(s"_pt$i")).over(wOff))
     }.select(col("_p") +: combine.indices.map(i => col(s"_off$i")): _*)
   }

@@ -42,12 +42,13 @@ class DriverStateAuditSpec extends AnyFunSuite {
         "range-partition the hash space, Dedup.scala docstring). The " +
         "connectedComponents fixed-point checksum no longer collects: it " +
         "rides each round's checkpoint job as observe() metrics (r19)"),
-    "ops/DistScan.scala" -> (3,
+    "ops/DistScan.scala" -> (2,
       "cut-point sample: TakeOrdered limit(16*nBuckets) of ONE projected " +
-        "column; carry offsets: <= nBuckets rows (both bounded by " +
-        "4*numShufflePartitions config, never data); sealTerminal: " +
-        "limit(maxRows+1) with a sized require — statistics-sized " +
-        "terminal readouts only"),
+        "column (bounded by 4*numShufflePartitions config, never data); " +
+        "sealTerminal: limit(maxRows+1) with a sized require — " +
+        "statistics-sized terminal readouts only. The carry offsets no " +
+        "longer collect: they are a <= nBuckets lazy aggregate subtree " +
+        "broadcast-joined inside the result plan (r19)"),
     "ops/Profile.scala" -> (1,
       "isotonicCalibration bucket frame: <= bins rows (bucket ids live " +
         "in [0, bins)), bins capped at 4096 with a sized require — the " +

@@ -697,11 +697,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window partitioned on the raw score:\n$p")
     assert(p.contains("windowspecdefinition(_p"),
       s"per-bucket cumsum window missing:\n$p")
-    // the carry offsets join back as a broadcast of a LOCAL frame — the
-    // result plan must not re-evaluate the input on an offsets branch
+    // the carry offsets join back as a broadcast of a bounded aggregate
+    // subtree (r19: lazy, no driver collect) — the offsets branch must
+    // read the tracked CACHE of the input, never a fresh scan of it
     assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast:\n$p")
-    assert("LocalTableScan|LocalRelation".r.findFirstIn(p).nonEmpty,
-      s"offsets are not a collected local frame:\n$p")
+    // both the per-bucket cumsum branch and the offsets-aggregate branch
+    // must read the tracked pin (plan printing repeats the cached child
+    // per consumer, so >= 2 InMemoryTableScans = both branches pinned)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"offsets/result branches do not both read the input pin:\n$p")
   }
 
   test("containmentPairs: shingle document frequency is a groupBy + " +

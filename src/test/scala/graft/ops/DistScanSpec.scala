@@ -121,25 +121,25 @@ class DistScanSpec extends AnyFunSuite {
     CacheScope.unpersistAll(spark, CacheScope.Scan)
   }
 
-  test("a single scan result plan evaluates its input once: offsets come " +
-    "from a local broadcast, not a second input branch") {
+  test("a single scan result plan evaluates its input once: the offsets " +
+    "branch reads the tracked pin, never a fresh input scan") {
     val df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_totalprice").as("v"), col("o_orderkey").as("id"),
         lit(1L).as("c"))
     val out = DistScan.prefixSums(df, Seq(col("v").asc, col("id").asc),
       Seq((col("c"), "cum")), inclusive = true)
     val p = out.queryExecution.executedPlan.toString
-    assert("LocalTableScan|LocalRelation".r.findFirstIn(p).nonEmpty,
-      s"carry offsets are not a collected local frame:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"offsets must broadcast-join back:\n$p")
-    // exactly ONE scan of the input in the result plan: the offsets
-    // branch was collected at construction, not left as a plan branch.
-    // With the Ops-scope pin the input reads as exactly one
-    // InMemoryTableScan (the FileScan string inside the cached
-    // relation's description is rendering, not an execution branch)
+    // r19: the carry offsets are a LAZY bounded aggregate subtree inside
+    // the result plan (one driver job per scan level — the cut-point
+    // sample — instead of two), so the plan now carries TWO
+    // InMemoryTableScan reads of the pinned input: the per-bucket cumsum
+    // branch and the offsets-aggregate branch. Both must read the pin —
+    // a fresh FileScan branch outside the cached relation's rendering
+    // would mean the input re-evaluates per reference.
     val scans = "InMemoryTableScan".r.findAllIn(p).length
-    assert(scans == 1, s"result plan re-reads the input $scans times:\n$p")
+    assert(scans == 2, s"expected both branches on the pin, got $scans:\n$p")
     CacheScope.unpersistAll(spark, CacheScope.Scan)
   }
 }
