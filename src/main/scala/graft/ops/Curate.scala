@@ -81,6 +81,18 @@ object Curate {
     // instead of recomputing — acceptable for a per-refresh batch job,
     // set a checkpoint dir if it is not).
     val reliable = docs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // Examined twice, left alone (r18 + r19): AQE sizes the checkpoint
+    // job's last exchange by BYTES, so a small stage output freezes at 1
+    // partition and one consumer stage serializes (r19 profiled a single
+    // 1.27 s task under an otherwise-parallel plan). BOTH repair shapes
+    // measured net-negative at gate scale — repartitioning inside every
+    // checkpoint job (r18) and fanning the pin output lazily when the
+    // materialized partition count < parallelism, keyed on idCol (r19:
+    // 6.18 -> 6.82 s; five pins x per-consumer exchange latency costs
+    // more than the one serialized stage). Join-output checkpoint stats
+    // are garbage-inflated here, so a stats-driven FanOut can never
+    // fire either. At corpus scale stage outputs hold >= cores
+    // partitions and none of this applies.
     def pin(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     // stage 1: C4 — keep pages passing the page rules, and carry each

@@ -472,8 +472,14 @@ object Eval {
       textCol: String): DataFrame = {
     val toks = array_distinct(
       filter(split(lower(col(textCol)), "\\s+"), w => w =!= ""))
-    val cands = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
-      toks.as("t"))
+    // pinned + fanned (r19): cands is read FOUR times below (both
+    // self-join sides, the group sizes, the final roster) and the HOF
+    // tokenization re-ran per reference — on the scan's own parallelism
+    // (profiled: a single 0.72 s scan task). FanOut parallelizes the
+    // one tokenization pass that now runs; Ops-scope release.
+    val cands = CacheScope.track(FanOut(df)
+      .select(col(groupCol).as("grp"), col(idCol).as("id"),
+        toks.as("t")))
     val a = cands.select(col("grp"), col("id"), col("t"))
     val b = cands.select(col("grp"), col("id").as("id2"), col("t").as("t2"))
     val inter = size(array_intersect(col("t"), col("t2")))

@@ -485,10 +485,15 @@ object Sampling {
     // contiguous 0-based index over the DISTINCT corpus: a DistScan rank
     // (the corpus is data-scale — a partition-less row_number would sort
     // it in one task)
-    val ranked = DistScan.prefixRank(
+    // pinned (r19): the ranked frame is read THREE times below (the _n
+    // count, the positive-rank join, the negative lookup join) and each
+    // unpinned reference re-ran the whole rank scan (profiled: six ~5 s
+    // task-time stages re-reading the same shuffle). (_cid, _rank) is
+    // 2 narrow columns per distinct corpus id; Ops-scope release.
+    val ranked = CacheScope.track(DistScan.prefixRank(
         corpus.select(col(corpusIdCol).cast("string").as("_cid")).distinct(),
         Seq(col("_cid")), "_rank")
-      .withColumn("_rank", col("_rank") - 1)
+      .withColumn("_rank", col("_rank") - 1))
     val n = ranked.groupBy().agg(count(lit(1)).as("_n"))
     val slots = pairs.select(col(queryCol).cast("string").as("query"),
         col(posCol).cast("string").as("positive"))
