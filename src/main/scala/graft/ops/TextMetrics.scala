@@ -434,7 +434,11 @@ object TextMetrics {
   def langMix(docs: DataFrame, textCol: String, idCol: String,
       chunkTokens: Int = 50): DataFrame = {
     require(chunkTokens >= 1, s"chunkTokens must be >= 1: $chunkTokens")
-    val chunks = docs
+    // FanOut (r19): the chunk explode + per-chunk bestLang marker vote
+    // is the expensive pre-shuffle map stage and ran at the scan's
+    // parallelism (profiled: one 0.72 s task under a 1-split local
+    // input); no-op at corpus scale — the langIdModel pattern.
+    val chunks = FanOut(docs)
       .select(col(idCol), split(col(textCol), " ", -1).as("_tok"))
       .select(col(idCol),
         explode(sequence(lit(0),
@@ -445,8 +449,12 @@ object TextMetrics {
           slice(col("_tok"), col("_ci") * chunkTokens + 1,
             lit(chunkTokens))), lit(" ")).as("_p"))
     val cl = chunks.select(col(idCol), bestLang(col("_p")).as("_lang"))
-    val perLang = cl.groupBy(col(idCol), col("_lang"))
-      .agg(count(lit(1)).as("_c"))
+    // pinned (r19): perLang feeds BOTH the per-doc totals and the
+    // majority window, and their differing projections defeat exchange
+    // reuse — unpinned, the chunk explode + bestLang vote evaluated
+    // twice. (doc, lang) counts are a tiny frame; Ops-scope release.
+    val perLang = CacheScope.track(cl.groupBy(col(idCol), col("_lang"))
+      .agg(count(lit(1)).as("_c")))
     val tot = perLang.groupBy(col(idCol))
       .agg(sum("_c").as("_n"), countDistinct(col("_lang")).as("n_langs"))
     val w = org.apache.spark.sql.expressions.Window
